@@ -1,0 +1,192 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.storage.StorageLevel
+
+import graft.model._
+
+/** Core data-regression comparison operators, re-expressed Spark-first.
+  *
+  * The reference (rahrajlat/dbt-model-diff) compiles each comparison to a SQL
+  * string executed by Postgres/Redshift (adapters/postgres.py:57-101,
+  * core/diff_flow.py:124-257). Here the same operators are declarative
+  * DataFrame programs: Catalyst plans them (predicate pushdown, column
+  * pruning, broadcast-vs-sortmerge join selection, whole-stage codegen) and
+  * Tungsten executes them — no SQL string assembly, no driver-side row loops.
+  *
+  * Scale posture (100 TB):
+  *   - added/removed are `left_anti` joins on the key columns — one shuffle
+  *     each on the keys, map-side short-circuit under AQE; no `LEFT JOIN …
+  *     WHERE k IS NULL` materialization of the full outer side.
+  *   - changed-count and changed-key-sample share ONE inner join (the
+  *     reference computes the identical hash CTEs twice —
+  *     core/diff_flow.py:207-249); we persist the joined/filtered frame and
+  *     reuse it, so non-key columns are scanned exactly once per side.
+  *   - the row hash is a single codegen'd expression tree
+  *     (md5 ∘ concat_ws ∘ coalesce ∘ cast) — stays inside whole-stage
+  *     codegen, no UDFs.
+  *   - column profiles run as ONE aggregate pass per side; `exact` mode uses
+  *     `count(distinct c)` per column (N-column Expand — fine at test scale,
+  *     quadratic data blow-up at 100 TB), `approx` mode uses HLL++
+  *     `approx_count_distinct` which keeps the pass at one shuffle with
+  *     constant-size sketches.
+  */
+object DiffEngine {
+
+  /** Sentinel for NULL in the row hash — byte-for-byte the reference's scheme
+    * (adapters/postgres.py:99 `coalesce(col::text,'<NULL>')`). */
+  val NullSentinel = "<NULL>"
+
+  /** Separator between column values inside the row hash
+    * (adapters/postgres.py:100-101 `|| '|' ||`). */
+  val HashSep = "|"
+
+  /** md5(concat_ws("|", coalesce(cast(c as string), "<NULL>")…)) over `cols`
+    * in the given order (head-table column order per diff_flow.py:181).
+    * `concat_ws` skips NULLs, so the coalesce must come first — matching the
+    * reference, which coalesces before concatenation. Fully codegen'd. */
+  def rowHash(cols: Seq[String]): Column = {
+    require(cols.nonEmpty, "row hash needs at least one column")
+    md5(concat_ws(HashSep, cols.map(c => coalesce(col(c).cast(StringType), lit(NullSentinel))): _*))
+  }
+
+  /** Order-preserving, name-only column-set diff (diff_flow.py:139-150).
+    * Pure metadata — never touches data. `common` keeps HEAD order. */
+  def schemaDiff(base: DataFrame, head: DataFrame): SchemaDiff = {
+    val baseCols = base.schema.fieldNames.toSeq
+    val headCols = head.schema.fieldNames.toSeq
+    val baseSet = baseCols.toSet
+    val headSet = headCols.toSet
+    SchemaDiff(
+      common = headCols.filter(baseSet),
+      onlyInHead = headCols.filterNot(baseSet),
+      onlyInBase = baseCols.filterNot(headSet)
+    )
+  }
+
+  /** Single-pass multi-column profile: for every column in `cols`, its null
+    * count and distinct count, in ONE aggregate over one table scan —
+    * the reference's deliberate scan-sharing (adapters/postgres.py:71-92).
+    * `approx=true` swaps exact `count(distinct)` for HLL++
+    * (`approx_count_distinct`) — the 100 TB mode: constant memory, no Expand. */
+  def profileExprs(cols: Seq[String], approx: Boolean = false): Seq[Column] =
+    cols.flatMap { c =>
+      Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).cast("long").as(s"${c}__nulls"),
+        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))).cast("long").as(s"${c}__distinct")
+      )
+    }
+
+  /** Single-row DataFrame form of the profile pass (for Verify/oracle). */
+  def profileDf(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    val aggs = profileExprs(cols, approx)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def columnProfile(df: DataFrame, cols: Seq[String], approx: Boolean = false): Map[String, (Long, Long)] = {
+    if (cols.isEmpty) return Map.empty
+    val row = profileDf(df, cols, approx).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (row.getLong(2 * i), row.getLong(2 * i + 1))
+    }.toMap
+  }
+
+  /** null% / uniq% derivation (core/util.py:35-37). */
+  def pct(n: Long, d: Long): Double = if (d == 0L) 0.0 else n.toDouble / d.toDouble * 100.0
+
+  /** Head rows with no base key match — true anti join (reference idiom is
+    * `LEFT JOIN … WHERE base.k IS NULL`, diff_flow.py:189-197; left_anti is
+    * the null-safe, single-shuffle Spark form). */
+  def added(base: DataFrame, head: DataFrame, keys: Seq[String]): DataFrame =
+    head.join(base.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Base rows with no head key match (diff_flow.py:198-205). */
+  def removed(base: DataFrame, head: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(head.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Key-matched rows whose non-key hash differs (diff_flow.py:207-225).
+    * Both sides are projected to keys + hash BEFORE the join (column pruning
+    * the reference gets from its hash CTEs), so the shuffle carries only
+    * keys + 32-byte hash regardless of table width. */
+  def changed(base: DataFrame, head: DataFrame, keys: Seq[String], nonKeyCols: Seq[String]): DataFrame = {
+    val b = base.select(keys.map(col) :+ rowHash(nonKeyCols).as("__base_hash"): _*)
+    val h = head.select(keys.map(col) :+ rowHash(nonKeyCols).as("__head_hash"): _*)
+    h.join(b, keys, "inner").filter(col("__base_hash") =!= col("__head_hash"))
+  }
+
+  /** Full diff — the reference's `run_diff` comparison stages
+    * (diff_flow.py:124-257) as one orchestrated Spark program.
+    *
+    * @param where  SQL predicate applied identically to both sides before all
+    *               counting/diffing (cli.py:54-55, diff_flow.py:129-131)
+    * @param keys   key columns; empty ⇒ STATS_ONLY mode (diff_flow.py:177-178)
+    * @param sample max changed-key tuples to return (diff_flow.py:246)
+    * @param approxDistinct HLL++ profile mode for scale
+    * @param deterministicSample sort sample by keys (reference LIMIT is
+    *               unordered — "any ≤ sample changed keys"; flag per SURVEY §7.3)
+    */
+  def diff(
+      baseIn: DataFrame,
+      headIn: DataFrame,
+      keys: Seq[String] = Nil,
+      where: Option[String] = None,
+      sample: Int = 10,
+      approxDistinct: Boolean = false,
+      deterministicSample: Boolean = true,
+      model: String = "model",
+      baseRef: String = "base",
+      headRef: String = "head"
+  ): DiffResult = {
+    val base = where.fold(baseIn)(p => baseIn.filter(expr(p)))
+    val head = where.fold(headIn)(p => headIn.filter(expr(p)))
+    val mode = if (keys.nonEmpty) "FULL_DIFF" else "STATS_ONLY"
+    val meta = DiffMeta(model, baseRef, headRef, mode, where, keys)
+
+    // Row counts (diff_flow.py:133-135) — count-only plans: Catalyst prunes
+    // to zero columns; Parquet answers from row-group metadata when unfiltered.
+    val rc = RowCounts(base.count(), head.count())
+
+    // Schema diff — metadata only.
+    val sd = schemaDiff(base, head)
+
+    // Single-pass profile per side over the common columns, head order.
+    val baseProf = columnProfile(base, sd.common, approxDistinct)
+    val headProf = columnProfile(head, sd.common, approxDistinct)
+    val profiles = sd.common.map { c =>
+      val (bn, bd) = baseProf(c)
+      val (hn, hd) = headProf(c)
+      ColumnProfile(
+        c,
+        SideProfile(bn, bd, pct(bn, rc.base), pct(bd, rc.base)),
+        SideProfile(hn, hd, pct(hn, rc.head), pct(hd, rc.head))
+      )
+    }
+
+    // STATS_ONLY: stop before any join (diff_flow.py:177-178).
+    if (keys.isEmpty) return DiffResult(meta, rc, sd, profiles, None)
+
+    val addedCount = added(base, head, keys).count()
+    val removedCount = removed(base, head, keys).count()
+
+    // ONE join for changed-count + key sample (reference recomputes the hash
+    // CTEs twice — diff_flow.py:207-249; we persist and reuse).
+    val nonKey = sd.common.filterNot(keys.contains) // head order (diff_flow.py:181)
+    val rd = if (nonKey.isEmpty) {
+      RowDiff(addedCount, removedCount, 0L, Nil)
+    } else {
+      val ch = changed(base, head, keys, nonKey).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val changedCount = ch.count()
+        val sampleDf = ch.select(keys.map(col): _*)
+        val ordered = if (deterministicSample) sampleDf.orderBy(keys.map(col): _*) else sampleDf
+        val sampleKeys = ordered.limit(sample).collect().toSeq.map { r =>
+          keys.map(k => k -> String.valueOf(r.getAs[Any](k))).toMap
+        }
+        RowDiff(addedCount, removedCount, changedCount, sampleKeys)
+      } finally ch.unpersist()
+    }
+    DiffResult(meta, rc, sd, profiles, Some(rd))
+  }
+}

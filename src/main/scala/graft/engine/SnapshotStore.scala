@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-run snapshot isolation — the reference's `dbt_model_diff__{run_id}`
+  * schema of CTAS copies (core/diff_flow.py:69-71, adapters/postgres.py:29-44)
+  * re-expressed as a run-scoped directory of Parquet tables.
+  *
+  * Parquet snapshots are a strict upgrade over warehouse CTAS at scale:
+  * columnar layout, min/max row-group stats (scan pruning for every later
+  * comparison pass), and immutability — both diff sides become immune to
+  * re-planning drift, the same isolation property the reference buys with
+  * its throwaway schema.
+  */
+final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
+  import SnapshotStore._
+
+  val runDir: String = s"${rootDir.stripSuffix("/")}/${sanitize(runId)}"
+
+  private def path(table: String): String = s"$runDir/${sanitize(table)}"
+
+  /** CTAS-equivalent snapshot copy (adapters/postgres.py:37-44): materialize
+    * an immutable Parquet copy; overwrite = the reference's
+    * `drop table if exists` + `create table as`. */
+  def snapshot(df: DataFrame, table: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path(table))
+    read(table)
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  /** `drop schema … cascade` cleanup (adapters/postgres.py:33-35), honoring
+    * the reference's `--keep-schemas` escape hatch (diff_flow.py:271-275). */
+  def drop(): Unit = deleteRecursively(new java.io.File(runDir))
+}
+
+object SnapshotStore {
+
+  /** Identifier sanitization with the reference's exact semantics
+    * (core/util.py:8-32): non-alphanumerics collapse to `_`, lowercase,
+    * trimmed of leading/trailing `_`, capped at 60 chars. */
+  def sanitize(ident: String, maxLen: Int = 60): String = {
+    val cleaned = ident.replaceAll("[^a-zA-Z0-9_]+", "_").toLowerCase
+      .replaceAll("^_+|_+$", "")
+    val out = if (cleaned.isEmpty) "run" else cleaned
+    out.take(maxLen)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

@@ -1,0 +1,63 @@
+package graft.model
+
+/** Result-plane case classes mirroring the reference's result document shape
+  * (reference: dbt-model-diff/dbt_model_diff/core/diff_flow.py:80-94).
+  *
+  * The reference builds a nested dict `meta / rowcounts / schema_diff /
+  * column_profile / row_diff`; we mirror it as a typed tree so formatters and
+  * tests are compile-checked. JSON field names emitted by
+  * [[graft.formatters.JsonFormatter]] match the reference's exactly.
+  */
+final case class DiffMeta(
+    model: String,
+    baseRef: String,
+    headRef: String,
+    mode: String, // "FULL_DIFF" | "STATS_ONLY" (diff_flow.py:85)
+    where: Option[String],
+    keys: Seq[String]
+)
+
+final case class RowCounts(base: Long, head: Long)
+
+/** Name-only, order-preserving column-set diff (diff_flow.py:139-150).
+  * `common` preserves HEAD column order — profiles and row hashes iterate in
+  * this order (diff_flow.py:137-143,181). */
+final case class SchemaDiff(
+    common: Seq[String],
+    onlyInHead: Seq[String],
+    onlyInBase: Seq[String]
+)
+
+/** Per-side column stats (diff_flow.py:156-175): null count, distinct count,
+  * null% and uniqueness% derived from the side's row count
+  * (core/util.py:35-37 `pct`). */
+final case class SideProfile(
+    nulls: Long,
+    distinct: Long,
+    nullPct: Double,
+    uniqPct: Double
+)
+
+final case class ColumnProfile(
+    column: String,
+    base: SideProfile,
+    head: SideProfile
+)
+
+/** Key-based row-level diff (diff_flow.py:180-256). `sampleChangedKeys` is a
+  * bounded sample of key tuples whose non-key hash changed (diff_flow.py:227-249);
+  * values are stringified at render time like the reference. */
+final case class RowDiff(
+    added: Long,
+    removed: Long,
+    changed: Long,
+    sampleChangedKeys: Seq[Map[String, String]]
+)
+
+final case class DiffResult(
+    meta: DiffMeta,
+    rowcounts: RowCounts,
+    schemaDiff: SchemaDiff,
+    columnProfiles: Seq[ColumnProfile],
+    rowDiff: Option[RowDiff]
+)

@@ -1,0 +1,420 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.DiffEngine
+
+/** The reference's operator inventory (SURVEY.md §2) as driver-checkable
+  * queries over the TPC-H-ish testdata tables.
+  *
+  * Cross-engine parity rules (Spark result must hash-match the DuckDB oracle):
+  *   - every multi-row result is ORDER BY'd on a unique key on both sides;
+  *   - doubles are never aggregated raw — inputs are cast to DECIMAL first
+  *     (exact, order-independent) so partial-aggregation order can't perturb
+  *     low bits; raw doubles only ever pass through untouched;
+  *   - timestamps are cast to DATE (or hashed via their DATE rendering) —
+  *     identical text form in Spark (UTC session) and DuckDB;
+  *   - row hashes stringify via DECIMAL/DATE renderings, which are
+  *     byte-identical across engines (SURVEY §7.3 risk #1).
+  */
+object ParityQueries {
+
+  /** Canonical orders projection used by the diff-family queries: doubles →
+    * DECIMAL(18,2), timestamps → DATE, so the md5 row-hash scheme
+    * (adapters/postgres.py:94-101) renders identically in Spark and DuckDB. */
+  private def ordersCanon(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+      to_date(col("o_orderdate")).as("o_orderdate"),
+      col("o_orderpriority")
+    )
+
+  private val ordersCanonSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM orders""".stripMargin
+
+  /** Synthetic HEAD side for the diff-family queries (FIXTURES.md §3: clone +
+    * perturb with a known recipe): delete keys %131==0, mutate
+    * o_orderpriority on keys %97==0, append fresh keys (+10M) for %139==0. */
+  private def ordersHead(s: SparkSession, dir: String): DataFrame = {
+    val o = ordersCanon(s, dir)
+    val survived = o
+      .filter(col("o_orderkey") % 131 =!= 0)
+      .withColumn(
+        "o_orderpriority",
+        when(col("o_orderkey") % 97 === 0, lit("X-MUTATED")).otherwise(col("o_orderpriority")))
+    val fresh = o
+      .filter(col("o_orderkey") % 139 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    survived.unionByName(fresh)
+  }
+
+  private val ordersHeadSql =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       |       CASE WHEN o_orderkey % 97 = 0 THEN 'X-MUTATED' ELSE o_orderpriority END AS o_orderpriority
+       |FROM ($ordersCanonSql) ob WHERE o_orderkey % 131 <> 0
+       |UNION ALL
+       |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+       |FROM ($ordersCanonSql) oa WHERE o_orderkey % 139 = 0""".stripMargin
+
+  private val nonKeyCols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private def hashSql(alias: String): String =
+    "md5(concat_ws('|', " + nonKeyCols
+      .map(c => s"coalesce(CAST($c AS VARCHAR),'<NULL>')")
+      .mkString(", ") + s")) AS $alias"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1/P1: scan + filter + projection. Both filters and the 4-column
+    // projection reach the parquet reader (PushedFilters/ReadSchema).
+    QueryDef(
+      "q01_scan_filter_project",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) <= lit("1998-09-02") && col("l_returnflag") === "R")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_quantity").cast("decimal(18,2)").as("qty"),
+            col("l_returnflag"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty, l_returnflag
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // A1: row count.
+    QueryDef(
+      "q03_rowcount",
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem")
+    ),
+
+    // A3: single-pass multi-column profile — 2·N aggregates, ONE scan
+    // (adapters/postgres.py:71-92). Exact count(distinct) here (test scale);
+    // approx HLL++ variant is q05.
+    QueryDef(
+      "q04_profile_exact",
+      (s, dir) =>
+        DiffEngine.profileDf(
+          t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+        "SELECT " + cols.flatMap { c =>
+          Seq(
+            s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls",
+            s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS ${c}__distinct")
+        }.mkString(", ") + " FROM orders"
+      }
+    ),
+
+    // A3 at 100 TB: HLL++ sketch profile — no Expand, constant memory.
+    // DuckDB's approx_count_distinct uses a different sketch, so no value
+    // oracle is possible: driver records the weaker rows-only check.
+    QueryDef(
+      "q05_profile_approx",
+      (s, dir) =>
+        DiffEngine.profileDf(
+          t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+          approx = true),
+      None
+    ),
+
+    // F1-F4: the md5 row-hash scheme, byte-for-byte cross-engine.
+    QueryDef(
+      "q06_rowhash",
+      (s, dir) =>
+        ordersCanon(s, dir)
+          .select(col("o_orderkey"), DiffEngine.rowHash(nonKeyCols).as("row_hash"))
+          .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey, ${hashSql("row_hash")}
+              |FROM ($ordersCanonSql) o ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // J1: added rows — left_anti join on keys (reference: LEFT JOIN … IS NULL,
+    // diff_flow.py:189-197). Emits the full added key list, ordered.
+    QueryDef(
+      "q07_diff_added",
+      (s, dir) =>
+        DiffEngine
+          .added(ordersCanon(s, dir), ordersHead(s, dir), Seq("o_orderkey"))
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey"),
+      Some(s"""SELECT h.o_orderkey FROM ($ordersHeadSql) h
+              |WHERE NOT EXISTS (SELECT 1 FROM ($ordersCanonSql) b WHERE b.o_orderkey = h.o_orderkey)
+              |ORDER BY h.o_orderkey""".stripMargin)
+    ),
+
+    // J2: removed rows — symmetric anti join (diff_flow.py:198-205).
+    QueryDef(
+      "q08_diff_removed",
+      (s, dir) =>
+        DiffEngine
+          .removed(ordersCanon(s, dir), ordersHead(s, dir), Seq("o_orderkey"))
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey"),
+      Some(s"""SELECT b.o_orderkey FROM ($ordersCanonSql) b
+              |WHERE NOT EXISTS (SELECT 1 FROM ($ordersHeadSql) h WHERE h.o_orderkey = b.o_orderkey)
+              |ORDER BY b.o_orderkey""".stripMargin)
+    ),
+
+    // J3: changed rows — keys+hash projected BEFORE the join, hash inequality
+    // after (diff_flow.py:207-225). Shuffle carries only key + 32-byte hash.
+    QueryDef(
+      "q09_diff_changed",
+      (s, dir) =>
+        DiffEngine
+          .changed(ordersCanon(s, dir), ordersHead(s, dir), Seq("o_orderkey"), nonKeyCols)
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey"),
+      Some(s"""SELECT h.o_orderkey
+              |FROM (SELECT o_orderkey, ${hashSql("h_hash")} FROM ($ordersHeadSql) hh) h
+              |JOIN (SELECT o_orderkey, ${hashSql("b_hash")} FROM ($ordersCanonSql) bb) b
+              |  ON h.o_orderkey = b.o_orderkey
+              |WHERE h.h_hash <> b.b_hash
+              |ORDER BY h.o_orderkey""".stripMargin)
+    ),
+
+    // J4/O1: changed-key sample — deterministic (ordered) variant of the
+    // reference's unordered LIMIT (diff_flow.py:227-249, SURVEY §7.3 #6).
+    QueryDef(
+      "q10_diff_sample",
+      (s, dir) =>
+        DiffEngine
+          .changed(ordersCanon(s, dir), ordersHead(s, dir), Seq("o_orderkey"), nonKeyCols)
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey")
+          .limit(20),
+      Some(s"""SELECT h.o_orderkey
+              |FROM (SELECT o_orderkey, ${hashSql("h_hash")} FROM ($ordersHeadSql) hh) h
+              |JOIN (SELECT o_orderkey, ${hashSql("b_hash")} FROM ($ordersCanonSql) bb) b
+              |  ON h.o_orderkey = b.o_orderkey
+              |WHERE h.h_hash <> b.b_hash
+              |ORDER BY h.o_orderkey LIMIT 20""".stripMargin)
+    ),
+
+    // Flagship: the whole diff as one summary frame (rowcounts + added/
+    // removed/changed) — the reference's result document's numeric spine.
+    QueryDef(
+      "q11_diff_summary",
+      (s, dir) => {
+        val base = ordersCanon(s, dir)
+        val head = ordersHead(s, dir)
+        val keys = Seq("o_orderkey")
+        val rows = Seq(
+          ("added", DiffEngine.added(base, head, keys).count()),
+          ("base_rows", base.count()),
+          ("changed", DiffEngine.changed(base, head, keys, nonKeyCols).count()),
+          ("head_rows", head.count()),
+          ("removed", DiffEngine.removed(base, head, keys).count())
+        )
+        import s.implicits._
+        rows.toDF("metric", "value").orderBy("metric")
+      },
+      Some(s"""WITH b AS ($ordersCanonSql), h AS ($ordersHeadSql),
+              |bh AS (SELECT o_orderkey, ${hashSql("v")} FROM b),
+              |hh AS (SELECT o_orderkey, ${hashSql("v")} FROM h)
+              |SELECT 'added' AS metric, CAST((SELECT count(*) FROM h WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.o_orderkey=h.o_orderkey)) AS BIGINT) AS value
+              |UNION ALL SELECT 'base_rows', CAST((SELECT count(*) FROM b) AS BIGINT)
+              |UNION ALL SELECT 'changed', CAST((SELECT count(*) FROM bh JOIN hh ON bh.o_orderkey=hh.o_orderkey WHERE bh.v <> hh.v) AS BIGINT)
+              |UNION ALL SELECT 'head_rows', CAST((SELECT count(*) FROM h) AS BIGINT)
+              |UNION ALL SELECT 'removed', CAST((SELECT count(*) FROM b WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.o_orderkey=b.o_orderkey)) AS BIGINT)
+              |ORDER BY metric""".stripMargin)
+    ),
+
+    // P3: order-preserving name-only schema diff (metadata operator,
+    // diff_flow.py:139-150). Deterministic → literal VALUES oracle.
+    QueryDef(
+      "q12_schema_diff",
+      (s, dir) => {
+        val base = t(s, dir, "orders").drop("o_orderpriority")
+        val head = t(s, dir, "orders").drop("o_custkey").withColumn("o_comment", lit("x"))
+        val sd = DiffEngine.schemaDiff(base, head)
+        import s.implicits._
+        (sd.common.map(_ -> "common") ++ sd.onlyInHead.map(_ -> "only_in_head") ++
+          sd.onlyInBase.map(_ -> "only_in_base")).zipWithIndex
+          .map { case ((c, st), i) => (i.toLong, c, st) }
+          .toDF("pos", "col_name", "status")
+      },
+      Some("""SELECT CAST(pos AS BIGINT) AS pos, col_name, status FROM (VALUES
+             |  (0,'o_orderkey','common'), (1,'o_orderstatus','common'),
+             |  (2,'o_totalprice','common'), (3,'o_orderdate','common'),
+             |  (4,'o_orderpriority','only_in_head'), (5,'o_comment','only_in_head'),
+             |  (6,'o_custkey','only_in_base')
+             |) t(pos, col_name, status) ORDER BY pos""".stripMargin)
+    ),
+
+    // P1: --where predicate pushed identically into both sides
+    // (cli.py:54-55, diff_flow.py:129-131) before counting.
+    QueryDef(
+      "q13_where_predicate",
+      (s, dir) => {
+        val pred = "o_totalprice > 100000 AND o_orderstatus = 'O'"
+        val base = ordersCanon(s, dir).filter(expr(pred))
+        val head = ordersHead(s, dir).filter(expr(pred))
+        import s.implicits._
+        Seq(("base", base.count()), ("head", head.count()))
+          .toDF("side", "n").orderBy("side")
+      },
+      Some(s"""SELECT 'base' AS side, CAST(count(*) AS BIGINT) AS n FROM ($ordersCanonSql) b WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+              |UNION ALL
+              |SELECT 'head', CAST(count(*) AS BIGINT) FROM ($ordersHeadSql) h WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+              |ORDER BY side""".stripMargin)
+    ),
+
+    // J5: workload left join (int_orders.sql:1-9 shape) — small dim side is
+    // auto-broadcast by Catalyst (customer ≪ autoBroadcastJoinThreshold).
+    QueryDef(
+      "q14_left_join",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // A6/J6: group-by aggregate then inner join (int_order_agg.sql shape).
+    // DECIMAL inputs keep partial-agg order out of the result bits.
+    QueryDef(
+      "q15_agg_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val agg = li
+          .groupBy(col("l_orderkey"))
+          .agg(
+            count(lit(1)).as("item_count"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"))
+        agg
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+            col("item_count"), col("revenue"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             |       CAST(count(*) AS BIGINT) AS item_count,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // TPC-H Q1 shape: the canonical wide aggregate (A6) — map-side partial
+    // agg then single shuffle on the 2-key group.
+    QueryDef(
+      "q16_groupby_wide_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("count_order"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+            sum((col("l_extendedprice").cast("decimal(18,6)") *
+              (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+              .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(count(*) AS BIGINT) AS count_order,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+             |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price
+             |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // O1: top-k — global sort + limit (AQE turns this into TakeOrdered).
+    QueryDef(
+      "q17_topk",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // §2.7: row-level set op (EXCEPT ⇒ distinct difference) — customers with
+    // no orders.
+    QueryDef(
+      "q18_set_except",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_custkey"))
+          .except(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("c_custkey")))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Beyond-reference: ROLLUP grouping sets (SURVEY §2.4 notes their absence
+    // — covered here as engine capability).
+    QueryDef(
+      "q19_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // Beyond-reference: window (analytic) functions — top-3 events per user.
+    QueryDef(
+      "q20_window_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("rn"))
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, event_id, event_type, CAST(rn AS INT) AS rn FROM (
+             |  SELECT user_id, event_id, event_type,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events) t
+             |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin)
+    ),
+
+    // Beyond-reference: tumbling-window aggregation (batch form of the
+    // Structured Streaming windowed agg in graft.streaming).
+    QueryDef(
+      "q21_window_agg",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            date_trunc("hour", col("ts")).cast("string").as("window_start"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_value"))
+          .orderBy("window_start", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+    )
+  )
+}

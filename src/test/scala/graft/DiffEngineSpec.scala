@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.DiffEngine
+import graft.formatters.{ConsoleFormatter, JsonFormatter, MarkdownFormatter}
+
+/** Per-operator unit tests against the reference's golden e2e fixture
+  * (FIXTURES.md §1: raw.customers with 4 rows, base filters id<=3, head
+  * id<=4 → base=3 head=4 added=1 removed=0 changed=0,
+  * tests/integration/test_postgres_e2e.py:301-307). */
+class DiffEngineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def customers = Seq(
+    (1, "Alice"), (2, "Bob"), (3, "Chandra"), (4, "Deepak")
+  ).toDF("customer_id", "name")
+
+  test("e2e golden: base=3 head=4 added=1 removed=0 changed=0") {
+    val base = customers.filter($"customer_id" <= 3)
+    val head = customers.filter($"customer_id" <= 4)
+    val r = DiffEngine.diff(base, head, keys = Seq("customer_id"), model = "dim_customers")
+    assert(r.rowcounts.base == 3)
+    assert(r.rowcounts.head == 4)
+    assert(r.meta.mode == "FULL_DIFF")
+    assert(r.schemaDiff.common == Seq("customer_id", "name"))
+    assert(r.schemaDiff.onlyInHead.isEmpty && r.schemaDiff.onlyInBase.isEmpty)
+    val rd = r.rowDiff.get
+    assert(rd.added == 1 && rd.removed == 0 && rd.changed == 0)
+    assert(rd.sampleChangedKeys.isEmpty)
+  }
+
+  test("changed rows are detected and sampled") {
+    val base = customers
+    val head = customers.withColumn("name",
+      when($"customer_id" === 2, lit("Robert")).otherwise($"name"))
+    val r = DiffEngine.diff(base, head, keys = Seq("customer_id"))
+    val rd = r.rowDiff.get
+    assert(rd.added == 0 && rd.removed == 0 && rd.changed == 1)
+    assert(rd.sampleChangedKeys == Seq(Map("customer_id" -> "2")))
+  }
+
+  test("STATS_ONLY mode: no keys -> no row diff") {
+    val r = DiffEngine.diff(customers, customers)
+    assert(r.meta.mode == "STATS_ONLY")
+    assert(r.rowDiff.isEmpty)
+    assert(r.columnProfiles.map(_.column) == Seq("customer_id", "name"))
+  }
+
+  test("diff(x, x) is all-zero (ScalaCheck-style property, fixed seed data)") {
+    val r = DiffEngine.diff(customers, customers, keys = Seq("customer_id"))
+    val rd = r.rowDiff.get
+    assert(rd.added == 0 && rd.removed == 0 && rd.changed == 0)
+  }
+
+  test("added(a,b) == removed(b,a) symmetry") {
+    val a = customers.filter($"customer_id" <= 3)
+    val b = customers
+    assert(DiffEngine.added(a, b, Seq("customer_id")).count() ==
+      DiffEngine.removed(b, a, Seq("customer_id")).count())
+  }
+
+  test("schema diff is order-preserving and name-only") {
+    val base = customers.drop("name").withColumn("extra_b", lit(1))
+    val head = customers.withColumn("extra_h", lit(1))
+    val sd = DiffEngine.schemaDiff(base, head)
+    assert(sd.common == Seq("customer_id"))
+    assert(sd.onlyInHead == Seq("name", "extra_h"))
+    assert(sd.onlyInBase == Seq("extra_b"))
+  }
+
+  test("row hash: null sentinel and separator match the reference scheme") {
+    val df = Seq((Option.empty[String], Option("b"))).toDF("x", "y")
+    val hash = df.select(DiffEngine.rowHash(Seq("x", "y")).as("h")).head().getString(0)
+    // md5('<NULL>|b') — the adapters/postgres.py:94-101 rendering
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("<NULL>|b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hash == expected)
+  }
+
+  test("row hash is sensitive to non-key changes, stable under identity") {
+    val h1 = customers.select(DiffEngine.rowHash(Seq("name")).as("h")).collect().map(_.getString(0))
+    val h2 = customers.select(DiffEngine.rowHash(Seq("name")).as("h")).collect().map(_.getString(0))
+    assert(h1.sameElements(h2))
+    assert(h1.distinct.length == 4)
+  }
+
+  test("column profile: nulls, distinct, pct derivation") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("b"))
+    ).toDF("k", "v")
+    val p = DiffEngine.columnProfile(df, Seq("k", "v"))
+    assert(p("k") == ((1L, 2L)))
+    assert(p("v") == ((1L, 2L)))
+    assert(DiffEngine.pct(1, 4) == 25.0)
+    assert(DiffEngine.pct(0, 0) == 0.0)
+  }
+
+  test("where predicate applies to both sides before counting") {
+    val r = DiffEngine.diff(customers, customers,
+      keys = Seq("customer_id"), where = Some("customer_id <= 2"))
+    assert(r.rowcounts.base == 2 && r.rowcounts.head == 2)
+  }
+
+  test("formatters render without loss") {
+    val base = customers.filter($"customer_id" <= 3)
+    val head = customers
+    val r = DiffEngine.diff(base, head, keys = Seq("customer_id"), model = "m")
+    val json = JsonFormatter.render(r)
+    assert(json.contains("\"added\": 1") && json.contains("\"row_diff\""))
+    assert(json.contains("\"base\": 3") && json.contains("\"head\": 4"))
+    val md = MarkdownFormatter.render(r)
+    assert(md.contains("| added | 1 |"))
+    val txt = ConsoleFormatter.render(r)
+    assert(txt.contains("added=1"))
+  }
+}
