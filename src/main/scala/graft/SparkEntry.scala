@@ -10,7 +10,7 @@ import graft.queries._
   * semantics are ANSI-SQL-expressible. */
 object SparkEntry {
 
-  private def packs: Seq[QueryDef] = ParityQueries.defs
+  private def packs: Seq[QueryDef] = ParityQueries.defs ++ ExtensionQueries.defs
 
   /** Flagship: full diff pipeline (rowcounts, schema diff, profiles, row
     * diff) on sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Determinism note: dot products fold left-to-right over the array
+  * (`aggregate` HOF), so the double result is bit-reproducible — and
+  * engine-portable, since any sequential fold performs the identical IEEE
+  * op sequence. Scores surface as DECIMAL to pin the rendering.
+  *
+  * Scale path: brute-force is one pass over n rows per probe (fine fanned
+  * out on a cluster for modest probe counts); the LSH variant prunes to a
+  * sign-pattern bucket — candidate set shrinks ~2^bits× with zero shuffle
+  * beyond the bucket equi-join, at recall cost standard for random-
+  * hyperplane LSH.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+            |          cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+
+  def norm2(a: String): Column = dot(a, a)
+
+  /** Cosine similarity, pinned to DECIMAL(16,12) for cross-engine renders. */
+  def cosine(a: String, b: String): Column =
+    (dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))).cast("decimal(16,12)")
+
+  /** Brute-force top-k: exact cosine of every row against one probe vector
+    * (selected by id). The probe is a 1-row broadcast cross join — no
+    * shuffle of the big side. */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeId: Long,
+      k: Int
+  ): DataFrame = {
+    val probe = df.filter(col(idCol) === probeId).select(col(vecCol).as("__probe"))
+    df.crossJoin(broadcast(probe))
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), cosine(vecCol, "__probe").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane-style LSH bucket: sign bits of the first `bits`
+    * dimensions (axis-aligned planes — deterministic, no seeds to ship).
+    * bucket = Σ (v[i] > 0) · 2^i. */
+  def signBucket(vecCol: String, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(col(vecCol), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** ANN via sign-bucket pruning: exact cosine only within the probe's
+    * bucket. The bucket equi-join replaces the all-pairs scan. */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeId: Long,
+      k: Int,
+      bits: Int = 8
+  ): DataFrame = {
+    val bucketed = df.withColumn("__bucket", signBucket(vecCol, bits))
+    val probe = bucketed.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__probe"), col("__bucket"))
+    bucketed.join(broadcast(probe), Seq("__bucket"))
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), cosine(vecCol, "__probe").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** k-NN join: top `k` neighbors for every probe row (probes selected by a
+    * predicate). Probes broadcast against the full set; ranking is a window
+    * per probe — shuffle on probe id only. */
+  def knnJoin(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = df.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__probe"))
+    val scored = df.crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        cosine(vecCol, "__probe").as("cos_sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token stats, quality
+  * scoring, language-ID heuristics, fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs) producing integer/string outputs so
+  * results are engine-exact. */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (split/filter semantics chosen to
+    * be portable: trailing-empty behavior differs between engines, the
+    * filter normalizes it away). */
+  def tokens(textCol: String): Column =
+    expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')")
+
+  def tokenCount(textCol: String): Column = size(tokens(textCol)).cast("long")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-space symbols — the shape of a byte-pair pre-tokenizer's regex. */
+  def bpeishTokenCount(textCol: String): Column =
+    size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")).cast("long")
+
+  /** Occurrences of substring `pat` — (len(s) - len(remove(s,pat))) / len(pat),
+    * expressible in any SQL engine. */
+  def substrCount(textCol: String, pat: String): Column =
+    ((length(col(textCol)) - length(regexp_replace(col(textCol), java.util.regex.Pattern.quote(pat), ""))) / lit(pat.length)).cast("long")
+
+  /** Quality-signal bundle: integer counts only (length, tokens, distinct
+    * tokens, stopwords, vowels, digits) + avg token length ×100 as an int —
+    * downstream filters derive ratios. */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(textCol)
+    val stopArr = array(stopwords.map(lit): _*)
+    df.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      size(expr(s"filter(${toksSql(textCol)}, x -> array_contains(${stopArrSql(stopwords)}, x))"))
+        .cast("long").as("n_stopwords"),
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "[aeiou]", ""))).cast("long").as("n_vowels"),
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "[0-9]", ""))).cast("long").as("n_digits"),
+      when(size(toks) === 0, lit(0L)).otherwise(
+        (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, v) => acc + v) * 100)
+          .divide(size(toks)).cast("long")).as("avg_token_len_x100"))
+  }
+
+  private def toksSql(textCol: String) = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
+  private def stopArrSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** Language-ID heuristic: score each candidate language by marker-token
+    * hits (an n-gram/stopword heuristic), argmax with deterministic
+    * first-listed tie-break. Markers are per-language token lists. */
+  def languageId(df: DataFrame, idCol: String, textCol: String,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    val toks = tokens(textCol)
+    val scoreCols = markers.map { case (lang, ws) =>
+      size(expr(s"filter(${toksSql(textCol)}, x -> array_contains(${stopArrSql(ws)}, x))"))
+        .cast("long").as(s"score_$lang")
+    }
+    val scored = df.select(col(idCol) +: scoreCols: _*)
+    val best = markers.map { case (lang, _) => col(s"score_$lang") }
+    val greatestScore = greatest(best: _*)
+    // first language (in declaration order) achieving the max score
+    val pred = markers.reverse.foldLeft(lit("unknown")) { case (acc, (lang, _)) =>
+      when(col(s"score_$lang") === greatestScore, lit(lang)).otherwise(acc)
+    }
+    scored.select(col(idCol) +: markers.map { case (l, _) => col(s"score_$l") } :+ pred.as("pred_lang"): _*)
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token set —
+    * invariant to token order and repetition (a rolling-hash-class
+    * fingerprint for shuffle-robust dedup keys). */
+  def fingerprint(textCol: String): Column =
+    md5(array_join(sort_array(array_distinct(tokens(textCol))), " "))
+}

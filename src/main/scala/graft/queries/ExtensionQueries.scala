@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** LLM-data-pipeline extension operators (BASELINE.json north star, SURVEY
+  * §2.9) as driver-checkable queries: dedup (exact / MinHash-LSH / SimHash /
+  * Jaccard / levenshtein), similarity search (brute-force + LSH ANN + kNN
+  * join), text analysis (tokens / quality / lang-ID / fingerprint), and
+  * multimodal binary plumbing. Oracles replicate the exact algorithm in
+  * DuckDB SQL (md5-based hashing is engine-portable; integer/decimal outputs
+  * pin renderings). */
+object ExtensionQueries {
+
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a", "key", "row"),
+    "de" -> Seq("table", "value", "fast"),
+    "fr" -> Seq("data", "query", "scan"),
+    "es" -> Seq("batch", "window", "join"),
+    "zh" -> Seq("spark", "merge", "stream")
+  )
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  // ---- shared DuckDB SQL fragments -------------------------------------
+
+  private val duckToks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  private def duckMarkerScore(ws: Seq[String]): String =
+    s"len(list_filter($duckToks, x -> list_contains(${ws.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
+
+  /** DuckDB minhash signature s: min over word-3-shingles of md5('s|'||sh). */
+  private def duckSig(s: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$s|' || x)))"
+
+  private val duckShingles =
+    """SELECT doc_id, list_transform(range(greatest(len(w) - 3, 0) + 1),
+      |         i -> array_to_string(w[i+1:i+3], ' ')) AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- dedup ---------------------------------------------------------
+
+    QueryDef(
+      "q30_dedup_exact",
+      (s, dir) =>
+        Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |       CAST(count(*) AS BIGINT) AS group_size
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)
+    ),
+
+    QueryDef(
+      "q31_dedup_exact_keys",
+      (s, dir) =>
+        Dedup.exactByKeys(t(s, dir, "documents"), "doc_id", Seq("lang", "source"))
+          .orderBy("lang", "source"),
+      Some("""SELECT lang, source, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |       CAST(count(*) AS BIGINT) AS group_size
+             |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+    ),
+
+    QueryDef(
+      "q32_dedup_minhash_lsh",
+      (s, dir) =>
+        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, bandSize = 2, shingleK = 3)
+          .orderBy("a_doc_id", "b_doc_id"),
+      Some {
+        val sigs = (0 until 8).map(i => s"${duckSig(i)} AS s$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_idx, md5(s${2 * b} || s${2 * b + 1}) AS band_hash FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""WITH shing AS ($duckShingles),
+           |sig AS (SELECT doc_id, $sigs FROM shing),
+           |bands AS ($bands)
+           |SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+           |FROM bands a JOIN bands b USING (band_idx, band_hash)
+           |WHERE a.doc_id < b.doc_id
+           |ORDER BY a_doc_id, b_doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q33_dedup_simhash",
+      (s, dir) =>
+        Dedup.simHash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some {
+        val bitSums = (0 until 32).map { b =>
+          val j = b / 4; val k = 3 - (b % 4)
+          s"SUM(((strpos('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) - 1) // ${1 << k}) % 2) AS b$b"
+        }.mkString(", ")
+        val recombine = (0 until 32)
+          .map(b => s"CASE WHEN 2 * b$b >= n THEN CAST(${1L << (31 - b)} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH words AS (
+           |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+           |agg AS (SELECT doc_id, count(*) AS n, $bitSums FROM words GROUP BY doc_id)
+           |SELECT doc_id, CAST($recombine AS BIGINT) AS simhash FROM agg ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q34_dedup_jaccard",
+      (s, dir) =>
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          blockExprs = Seq(col("lang"), (col("n_chars") / 50).cast("int")),
+          minJaccardPct = 40)
+          .orderBy("a_doc_id", "b_doc_id"),
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars // 50 AS lb,
+             |  list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents)
+             |SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+             |       CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_n,
+             |       CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS union_n
+             |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.ws, b.ws)) * 100 >= len(list_distinct(list_concat(a.ws, b.ws))) * 40
+             |ORDER BY a_doc_id, b_doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q35_dedup_levenshtein",
+      (s, dir) =>
+        Dedup.levenshteinPairs(t(s, dir, "documents"), "doc_id", "text",
+          prefixLen = 20, maxDist = 120)
+          .orderBy("a_doc_id", "b_doc_id"),
+      Some("""SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+             |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+             |FROM documents a JOIN documents b
+             |  ON substr(a.text, 1, 20) = substr(b.text, 1, 20) AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.text, b.text) <= 120
+             |ORDER BY a_doc_id, b_doc_id""".stripMargin)
+    ),
+
+    // ---- similarity search --------------------------------------------
+
+    QueryDef(
+      "q36_embed_cosine_topk",
+      (s, dir) =>
+        Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = 20),
+      Some("""WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+             |s AS (SELECT vec_id,
+             |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS dot,
+             |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y) AS na,
+             |  list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS np
+             |  FROM embeddings, p WHERE vec_id <> 0)
+             |SELECT vec_id, CAST(dot / (sqrt(na) * sqrt(np)) AS DECIMAL(16,12)) AS cos_sim
+             |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)
+    ),
+
+    QueryDef(
+      "q37_embed_ann_lsh",
+      (s, dir) =>
+        Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = 10, bits = 4),
+      Some {
+        val bucket = (0 until 4)
+          .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM embeddings),
+           |p AS (SELECT embedding AS pv, bucket FROM e WHERE vec_id = 0),
+           |s AS (SELECT vec_id,
+           |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS dot,
+           |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y) AS na,
+           |  list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS np
+           |  FROM e JOIN p USING (bucket) WHERE vec_id <> 0)
+           |SELECT vec_id, CAST(dot / (sqrt(na) * sqrt(np)) AS DECIMAL(16,12)) AS cos_sim
+           |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q38_embed_knn_join",
+      (s, dir) =>
+        Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 3)
+          .orderBy("probe_id", "rank"),
+      Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
+             |s AS (SELECT probe_id, vec_id AS neighbor_id,
+             |  CAST(list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y)
+             |   / (sqrt(list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y))
+             |    * sqrt(list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y))) AS DECIMAL(16,12)) AS cos_sim
+             |  FROM embeddings, p WHERE vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, cos_sim,
+             |  row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+             |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)
+    ),
+
+    // ---- text analysis -------------------------------------------------
+
+    QueryDef(
+      "q40_text_tokens",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount("text").as("n_tokens"),
+          size(array_distinct(TextAnalysis.tokens("text"))).cast("long").as("n_distinct_tokens"),
+          TextAnalysis.bpeishTokenCount("text").as("n_bpeish"),
+          length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(len($duckToks) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct($duckToks)) AS BIGINT) AS n_distinct_tokens,
+              |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpeish,
+              |  CAST(length(text) AS BIGINT) AS n_chars
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q41_text_quality",
+      (s, dir) =>
+        TextAnalysis.qualitySignals(t(s, dir, "documents"), "doc_id", "text", stopwords)
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(length(text) AS BIGINT) AS n_chars,
+              |  CAST(len($duckToks) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct($duckToks)) AS BIGINT) AS n_distinct_tokens,
+              |  CAST(${duckMarkerScore(stopwords)} AS BIGINT) AS n_stopwords,
+              |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+              |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+              |  CAST(CASE WHEN len($duckToks) = 0 THEN 0
+              |       ELSE list_sum(list_transform($duckToks, t -> length(t))) * 100 // len($duckToks)
+              |  END AS BIGINT) AS avg_token_len_x100
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q42_text_langid",
+      (s, dir) =>
+        TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text", langMarkers)
+          .orderBy("doc_id"),
+      Some {
+        val scores = langMarkers
+          .map { case (l, ws) => s"CAST(${duckMarkerScore(ws)} AS BIGINT) AS score_$l" }
+          .mkString(",\n  ")
+        val g = langMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+        val pred = langMarkers
+          .map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
+          .mkString("CASE ", " ", " ELSE 'unknown' END")
+        s"""WITH s AS (SELECT doc_id, $scores FROM documents)
+           |SELECT doc_id, ${langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")},
+           |       $pred AS pred_lang
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q43_text_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fingerprint"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- multimodal plumbing ------------------------------------------
+
+    QueryDef(
+      "q45_mm_assets",
+      (s, dir) =>
+        Multimodal.toAssets(t(s, dir, "documents"), "doc_id", "text", "text")
+          .drop("payload")
+          .orderBy("asset_id"),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS asset_id, 'text' AS media_type,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |       md5(text) AS checksum
+             |FROM documents ORDER BY asset_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q46_mm_chunks",
+      (s, dir) =>
+        Multimodal.chunkHashes(t(s, dir, "documents"), "doc_id", "text", chunkSize = 100)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH c AS (SELECT doc_id,
+             |  list_transform(range(CAST(ceil(length(text) / 100.0) AS BIGINT)),
+             |    i -> substr(text, CAST(i * 100 + 1 AS INT), 100)) AS chunks FROM documents),
+             |u AS (SELECT doc_id, unnest(chunks) AS chunk, generate_subscripts(chunks, 1) - 1 AS ci FROM c)
+             |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+             |       CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
+             |FROM u ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
+    QueryDef(
+      "q47_mm_decode_stub",
+      (s, dir) =>
+        Multimodal.fakeDecodeFeatures(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some {
+        val feats = (0 until 8)
+          .map(i => s"CAST(('0x' || substr(md5(text), ${i * 4 + 1}, 4)) AS BIGINT) AS f$i")
+          .mkString(",\n  ")
+        s"""SELECT doc_id, md5(text) AS payload_md5,
+           |  $feats
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    )
+  )
+}

@@ -385,7 +385,7 @@ object ParityQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-        t(s, dir, "events")
+        events(s, dir)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("user_id"), col("event_id"), col("event_type"), col("rn"))
@@ -403,7 +403,7 @@ object ParityQueries {
     QueryDef(
       "q21_window_agg",
       (s, dir) =>
-        t(s, dir, "events")
+        events(s, dir)
           .groupBy(
             date_trunc("hour", col("ts")).cast("string").as("window_start"),
             col("event_type"))

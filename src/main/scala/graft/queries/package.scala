@@ -17,4 +17,15 @@ package object queries {
   /** Load one of the driver-generated parquet tables (TESTDATA.md). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects by default; read `ts` as raw nanos (legacy conf) and surface it
+    * as a microsecond TimestampType column. DuckDB reads the same file as
+    * TIMESTAMP_NS — hour/day truncations agree on both. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+  }
 }
