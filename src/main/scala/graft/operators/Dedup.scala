@@ -36,28 +36,33 @@ object Dedup {
          |  i -> array_join(slice($w, i + 1, $k), ' '))""".stripMargin)
   }
 
-  /** MinHash signature: for seed s, min over shingles of md5('s|'||shingle).
-    * The md5 hex string is uniformly distributed, so the lexicographic min is
-    * a valid min-hash; using strings keeps the scheme byte-identical in any
-    * engine with md5. */
-  def minHashSignature(textCol: String, numHashes: Int, shingleK: Int): Seq[Column] = {
-    val sh = shingles(textCol, shingleK)
-    (0 until numHashes).map { s =>
-      array_min(transform(sh, x => md5(concat(lit(s"$s|"), x)))).as(s"sig_$s")
-    }
-  }
+  /** MinHash base hash: ONE md5 per shingle, folded to a 32-bit integer via
+    * its first 8 hex chars. The `numHashes` signature values derive from this
+    * single hash by affine maps `(a_s·h + b_s) mod P` (universal hashing,
+    * P prime > 2^32) — integer ops in a codegen'd aggregate instead of
+    * `numHashes` string hashes per shingle. Engine-portable: DuckDB computes
+    * the identical `('0x'||substr(md5(x),1,8))::BIGINT` and modular math. */
+  val MinHashP: Long = 4294967311L
+  /** Affine coefficients per signature (fixed primes; a < 2^30 keeps
+    * a·h < 2^62 — no ANSI overflow). */
+  def minHashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map(s => (1000003L * (s + 1) + 17L, 998244353L * (s + 1) + 7L))
 
   /** MinHash + LSH banding: documents sharing any band of `bandSize`
     * consecutive signature values become a candidate pair.
     *
-    * Plan shape: project (id, band_idx, band_hash) — `numBands` rows per doc
-    * via explode — then ONE shuffle on (band_idx, band_hash) for the
-    * self-join, distinct pairs out. No pairwise scan; skewed bands (a near-
-    * universal shingle) are the one hazard at scale — AQE skew-join handles
-    * moderate cases, and raising bandSize shrinks band populations
-    * exponentially.
+    * Plan shape (all linear, no pairwise scan):
+    *   1. explode shingles → one md5 + int fold per shingle;
+    *   2. ONE codegen'd groupBy(id) computing all `numHashes` signature mins;
+    *   3. explode band structs, groupBy (band_idx, band_hash) collecting the
+    *      bucket's ids — signatures are computed ONCE (a self-join would
+    *      recompute the whole upstream for each side);
+    *   4. emit sorted in-bucket pairs; buckets above `maxBucketSize` are
+    *      dropped (an over-common band carries no near-dup signal and would
+    *      produce O(n²) pairs — standard LSH cap, applied identically in the
+    *      oracle).
     *
-    * Returns (id_a, id_b) with id_a < id_b.
+    * Returns distinct (id_a, id_b) with id_a < id_b.
     */
   def minHashLshPairs(
       df: DataFrame,
@@ -65,23 +70,36 @@ object Dedup {
       textCol: String,
       numHashes: Int = 8,
       bandSize: Int = 2,
-      shingleK: Int = 3
+      shingleK: Int = 3,
+      maxBucketSize: Int = 500
   ): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must divide into bands")
     val numBands = numHashes / bandSize
-    val sigs = df.select(col(idCol) +: minHashSignature(textCol, numHashes, shingleK): _*)
+    val hashed = df
+      .select(col(idCol), explode(shingles(textCol, shingleK)).as("__sh"))
+      .select(col(idCol),
+        expr("cast(conv(substring(md5(__sh), 1, 8), 16, 10) as bigint)").as("__h"))
+    val sigAggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), s) =>
+      min((col("__h") * a + b) % MinHashP).as(s"sig_$s")
+    }
+    val sigs = hashed.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until numBands).map { b =>
-      val parts = (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}"))
-      struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("band_hash")).as(s"band_$b")
+      val parts = (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}").cast("string"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", parts: _*)).as("band_hash")).as(s"band_$b")
     }
     val banded = sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
-    val a = banded.toDF(s"a_$idCol", "band_idx", "band_hash")
-    val b = banded.toDF(s"b_$idCol", "band_idx", "band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
-      .select(col(s"a_$idCol"), col(s"b_$idCol"))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(__ids, (x, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids)), y -> struct(x as a, y as b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as(s"a_$idCol"), col("p.b").as(s"b_$idCol"))
       .distinct()
   }
 
@@ -112,7 +130,15 @@ object Dedup {
   /** N-gram (word-set) Jaccard near-dup pairs within blocks.
     * Blocking keys bound candidate pairs; the verify step computes exact
     * |A∩B| / |A∪B| on distinct-word arrays. Integer outputs (inter/union
-    * sizes) keep results engine-exact. */
+    * sizes) keep results engine-exact.
+    *
+    * Pruning before the expensive intersect:
+    *   - size-compatibility in the JOIN condition — J ≤ min(|A|,|B|)/max, so
+    *     pairs failing `min·100 ≥ max·pct` can't reach the threshold and are
+    *     cut before any array work;
+    *   - |A∪B| = |A|+|B|−|A∩B| (sets are distinct) — no array_union pass;
+    *   - threshold test in pure integers: I/(|A|+|B|−I) ≥ t ⇔
+    *     I·(100+pct) ≥ (|A|+|B|)·pct. */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -124,15 +150,18 @@ object Dedup {
       col(idCol),
       sort_array(array_distinct(split(col(textCol), " "))).as("__ws"),
       struct(blockExprs: _*).as("__blk"))
-    val a = withBlock.toDF(s"a_$idCol", "a_ws", "__blk")
-    val b = withBlock.toDF(s"b_$idCol", "b_ws", "__blk")
+      .withColumn("__n", size(col("__ws")).cast("long"))
+    val a = withBlock.toDF(s"a_$idCol", "a_ws", "__blk", "a_n")
+    val b = withBlock.toDF(s"b_$idCol", "b_ws", "__blk", "b_n")
     a.join(b, Seq("__blk"))
-      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol") &&
+        least(col("a_n"), col("b_n")) * 100 >= greatest(col("a_n"), col("b_n")) * minJaccardPct)
       .select(
-        col(s"a_$idCol"), col(s"b_$idCol"),
-        size(array_intersect(col("a_ws"), col("b_ws"))).cast("long").as("inter_n"),
-        size(array_union(col("a_ws"), col("b_ws"))).cast("long").as("union_n"))
-      .filter(col("inter_n") * 100 >= col("union_n") * minJaccardPct)
+        col(s"a_$idCol"), col(s"b_$idCol"), col("a_n"), col("b_n"),
+        size(array_intersect(col("a_ws"), col("b_ws"))).cast("long").as("inter_n"))
+      .filter(col("inter_n") * (100 + minJaccardPct) >= (col("a_n") + col("b_n")) * minJaccardPct)
+      .select(col(s"a_$idCol"), col(s"b_$idCol"), col("inter_n"),
+        (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))
   }
 
   /** Edit-distance near-dup pairs: block on a text prefix, verify with

@@ -30,13 +30,9 @@ object ExtensionQueries {
   private def duckMarkerScore(ws: Seq[String]): String =
     s"len(list_filter($duckToks, x -> list_contains(${ws.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
 
-  /** DuckDB minhash signature s: min over word-3-shingles of md5('s|'||sh). */
-  private def duckSig(s: Int): String =
-    s"list_min(list_transform(sh, x -> md5('$s|' || x)))"
-
   private val duckShingles =
-    """SELECT doc_id, list_transform(range(greatest(len(w) - 3, 0) + 1),
-      |         i -> array_to_string(w[i+1:i+3], ' ')) AS sh
+    """SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 3, 0) + 1),
+      |         i -> array_to_string(w[i+1:i+3], ' '))) AS sh
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -70,15 +66,20 @@ object ExtensionQueries {
           numHashes = 8, bandSize = 2, shingleK = 3)
           .orderBy("a_doc_id", "b_doc_id"),
       Some {
-        val sigs = (0 until 8).map(i => s"${duckSig(i)} AS s$i").mkString(", ")
+        val p = Dedup.MinHashP
+        val sigs = Dedup.minHashCoeffs(8).zipWithIndex
+          .map { case ((a, b), s) => s"min((h * $a + $b) % $p) AS s$s" }
+          .mkString(", ")
         val bands = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band_idx, md5(s${2 * b} || s${2 * b + 1}) AS band_hash FROM sig")
+          s"SELECT doc_id, $b AS band_idx, md5(s${2 * b}::VARCHAR || ',' || s${2 * b + 1}::VARCHAR) AS band_hash FROM sig")
           .mkString("\n  UNION ALL ")
         s"""WITH shing AS ($duckShingles),
-           |sig AS (SELECT doc_id, $sigs FROM shing),
-           |bands AS ($bands)
+           |hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing),
+           |sig AS (SELECT doc_id, $sigs FROM hashed GROUP BY doc_id),
+           |bands AS ($bands),
+           |ok AS (SELECT band_idx, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 500)
            |SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
-           |FROM bands a JOIN bands b USING (band_idx, band_hash)
+           |FROM bands a JOIN ok USING (band_idx, band_hash) JOIN bands b USING (band_idx, band_hash)
            |WHERE a.doc_id < b.doc_id
            |ORDER BY a_doc_id, b_doc_id""".stripMargin
       }
@@ -111,12 +112,15 @@ object ExtensionQueries {
           minJaccardPct = 40)
           .orderBy("a_doc_id", "b_doc_id"),
       Some("""WITH d AS (SELECT doc_id, lang, n_chars // 50 AS lb,
-             |  list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents)
-             |SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
-             |       CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_n,
-             |       CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS union_n
-             |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-             |WHERE len(list_intersect(a.ws, b.ws)) * 100 >= len(list_distinct(list_concat(a.ws, b.ws))) * 40
+             |  list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents),
+             |d2 AS (SELECT *, CAST(len(ws) AS BIGINT) AS n FROM d),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, a.n AS a_n, b.n AS b_n,
+             |         CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_n
+             |  FROM d2 a JOIN d2 b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+             |   AND least(a.n, b.n) * 100 >= greatest(a.n, b.n) * 40)
+             |SELECT a_doc_id, b_doc_id, inter_n, (a_n + b_n - inter_n) AS union_n
+             |FROM pairs WHERE inter_n * 140 >= (a_n + b_n) * 40
              |ORDER BY a_doc_id, b_doc_id""".stripMargin)
     ),
 

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the events stream (beyond the reference,
+  * which is batch-only — SURVEY §2.8; mandated by the engine's stream-table
+  * duality goal). Every transform here is defined on an unbounded DataFrame:
+  * the same code runs on `readStream` (incremental, stateful) and on a batch
+  * frame (the ParityQueries q20/q21 batch twins are the oracle-checkable
+  * forms).
+  *
+  * Scale posture: watermarks bound state; windowed aggregation state is
+  * per-(window,event_type) — small; sessionization keys state by user_id
+  * with a processing-time-free event-time gap, dropped on timeout.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  /** Internal per-user session accumulator (public: the state encoder's
+    * generated code must be able to reach the accessors). */
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Tumbling-window counts/sums with a watermark for bounded state and
+    * late-data tolerance. Works on streaming and batch inputs alike. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour", lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window event rate per type. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Event-time sessionization with custom state:
+    * `flatMapGroupsWithState` keyed by user, closing a session after
+    * `gapMillis` of event-time silence (checked via the event-time timeout).
+    * This is the reference pattern for arbitrary stateful stream logic the
+    * built-in windows can't express. */
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run a streaming transform over a bounded source and collect the final
+    * result — used by tests and batch/stream parity checks
+    * (Trigger.AvailableNow processes everything then stops). */
+  def runToBatch(spark: SparkSession, streaming: DataFrame, queryName: String): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Hand-computed golden tests for the LLM-pipeline extension operators. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the mat"), // exact dup of 1
+    (3L, "the cat sat on a mat"),   // near dup of 1
+    (4L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val r = Dedup.exactByContent(docs, "doc_id", "text").collect()
+    assert(r.length == 3)
+    val dupGroup = r.find(_.getAs[Long]("group_size") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", numHashes = 8, bandSize = 2, shingleK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide in every band
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // disjoint shingles can't collide
+  }
+
+  test("simhash: identical docs get identical hashes; near dups are close") {
+    val hs = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(3L)) < hamming(hs(1L), hs(4L)))
+  }
+
+  test("jaccard pairs: exact integer intersection/union on blocked pairs") {
+    val r = Dedup.jaccardPairs(docs, "doc_id", "text",
+      blockExprs = Seq(lit(1)), minJaccardPct = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // docs 1,2 identical: words {the,cat,sat,on,mat} -> 5/5
+    assert(r((1L, 2L)) == ((5L, 5L)))
+    // docs 1,3: {the,cat,sat,on,mat} vs {the,cat,sat,on,a,mat} -> 5/6
+    assert(r((1L, 3L)) == ((5L, 6L)))
+    assert(!r.contains((1L, 4L)))
+  }
+
+  test("levenshtein pairs verify within prefix blocks") {
+    val r = Dedup.levenshteinPairs(docs, "doc_id", "text", prefixLen = 7, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(r((1L, 2L)) == 0L)
+    assert(r((1L, 3L)) == 3L) // "the mat" vs "a mat": replace t->a? dist('the','a') edit = 3
+  }
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),  // cos 1.0 with probe
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // cos 0.0
+    (3L, Array(0.7071f, 0.7071f, 0.0f)) // cos ~0.7071
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val r = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", probeId = 0L, k = 3).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+    assert(r(0).getDecimal(1).doubleValue() == 1.0)
+    assert(math.abs(r(1).getDecimal(1).doubleValue() - 0.7071) < 1e-4)
+  }
+
+  test("sign-bucket LSH only searches the probe's bucket") {
+    val r = Similarity.lshTopK(vecs, "vec_id", "embedding", probeId = 0L, k = 5, bits = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(r == Set(1L)) // only vec 1 shares bucket (x>0, y<=0)
+  }
+
+  test("knn join returns k ranked neighbors per probe") {
+    val r = Similarity.knnJoin(vecs, "vec_id", "embedding", col("vec_id") <= 1, k = 2)
+      .collect()
+    assert(r.length == 4)
+    val probe0 = r.filter(_.getAs[Long]("probe_id") == 0L).sortBy(_.getAs[Int]("rank"))
+    assert(probe0.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L))
+  }
+
+  test("text quality signals are exact integers") {
+    val r = TextAnalysis.qualitySignals(docs, "doc_id", "text", Seq("the", "a", "on"))
+      .filter($"doc_id" === 1L).head()
+    assert(r.getAs[Long]("n_chars") == 22)
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Long]("n_distinct_tokens") == 5)
+    assert(r.getAs[Long]("n_stopwords") == 3) // the, on, the
+    assert(r.getAs[Long]("avg_token_len_x100") == (17 * 100) / 6)
+  }
+
+  test("language id picks max marker score with declaration-order tie-break") {
+    val r = TextAnalysis.languageId(docs, "doc_id", "text",
+      Seq("en" -> Seq("the", "cat"), "xx" -> Seq("zzz")))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("pred_lang")).toMap
+    assert(r(1L) == "en")
+    assert(r(4L) == "en") // 0-0 tie -> first declared
+  }
+
+  test("fingerprint is invariant to word order and repetition") {
+    val df = Seq((1L, "b a a c"), (2L, "c b a"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextAnalysis.fingerprint("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("multimodal: chunking covers the payload exactly") {
+    val r = Multimodal.chunkHashes(docs.filter($"doc_id" === 1L), "doc_id", "text", chunkSize = 10)
+      .orderBy("chunk_idx").collect()
+    assert(r.length == 3) // 22 chars -> 10+10+2
+    assert(r.map(_.getAs[Long]("chunk_len")).toSeq == Seq(10L, 10L, 2L))
+    assert(r.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("multimodal: asset wrapper carries byte length and checksum") {
+    val r = Multimodal.toAssets(docs, "doc_id", "text", "text").orderBy("asset_id").head()
+    assert(r.getAs[Long]("byte_len") == 22L)
+    assert(r.getAs[String]("checksum").length == 32)
+    assert(r.getAs[Array[Byte]]("payload").length == 22)
+  }
+
+  test("multimodal: stub decode features are deterministic") {
+    val a = Multimodal.fakeDecodeFeatures(docs, "doc_id", "text").collect()
+    val b = Multimodal.fakeDecodeFeatures(docs, "doc_id", "text").collect()
+    assert(a.sameElements(b))
+    assert(a.head.schema.fieldNames.count(_.startsWith("f")) == 8)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Structured Streaming specs: windowed agg and sessionization over a
+  * MemoryStream, checking stream results against batch-computed truth. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val fixture = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(5), 1, "click", 2.0),
+    Event(3, ts(10), 2, "view", 3.0),
+    Event(4, ts(40), 1, "click", 4.0), // >15min gap for user 1 -> new session
+    Event(5, ts(41), 2, "view", 5.0)
+  )
+
+  test("windowed aggregation over a stream matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val streamed = EventStreams.runToBatch(
+      spark, EventStreams.windowedAgg(mem.toDF(), "15 minutes"), "win_agg_test")
+      .orderBy("window_start", "event_type")
+      .collect()
+    val batch = EventStreams.windowedAgg(fixture.toDF(), "15 minutes")
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed.length == 4) // (10:00 click), (10:00 view), (10:30 click), (10:30 view)
+  }
+
+  test("sessionization closes sessions on event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    // advance watermark far past all data so every session times out
+    mem.addData(Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), 9, "click", 0.0))
+    val q = EventStreams.sessionize(mem.toDS(), gapMillis = 15 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sessions = spark.table("sessions_test").as[Session].collect()
+      .sortBy(s => (s.user_id, s.session_start.getTime))
+    // user 1: [10:00-10:05] then [10:40]; user 2: [10:10] then [10:41]
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length == 2)
+    assert(u1(0).n_events == 2 && u1(0).sum_value == 3.0)
+    assert(u1(1).n_events == 1 && u1(1).sum_value == 4.0)
+    val u2 = sessions.filter(_.user_id == 2)
+    assert(u2.length == 2)
+    assert(u2.map(_.n_events).toSeq == Seq(1, 1))
+  }
+}
