@@ -1,0 +1,188 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.{DiffEngine, SnapshotStore}
+import graft.formatters.{ConsoleFormatter, JsonFormatter, MarkdownFormatter}
+import graft.model.DiffResult
+import graft.modelrun.{ModelRunner, Profiles}
+
+/** CLI with the reference's flag surface (cli.py:31-111):
+  *
+  *   diff <model> [--keys k1,k2] [--base REF] [--head REF]
+  *        [--project-dir DIR] [--profiles-dir DIR] [--profile P] [--target T]
+  *        [--where SQL] [--sample N] [--keep-snapshots] [--format rich|json|markdown]
+  *
+  *   diff-tables <basePath> <headPath> [--keys ...] [--where ...] [--sample N]
+  *        [--format ...]              (engine-only: parquet paths, no git/dbt)
+  *
+  * `diff` follows the reference lifecycle (diff_flow.py:21-277): two git
+  * worktrees at base/head refs, model DAG built in each (ModelRunner replaces
+  * `dbt build`), snapshots into a run-scoped store, compare, render, clean
+  * up. STATS_ONLY when --keys is omitted (diff_flow.py:177-178); stdout stays
+  * clean for machine formats (cli.py:134 `verbose = fmt == "rich"`).
+  */
+object Main {
+
+  final case class Args(
+      command: String = "",
+      model: String = "",
+      basePath: String = "",
+      headPath: String = "",
+      keys: Seq[String] = Nil,
+      baseRef: String = "main",
+      headRef: String = "HEAD",
+      projectDir: String = ".",
+      profilesDir: Option[String] = None,
+      profile: Option[String] = None,
+      target: Option[String] = None,
+      where: Option[String] = None,
+      sample: Int = 10,
+      keepSnapshots: Boolean = false,
+      format: String = "rich",
+      approxDistinct: Boolean = false)
+
+  def parseArgs(argv: Seq[String]): Args = {
+    // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
+    // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
+    val (cmd, rest) = argv match {
+      case ("diff" | "diff-tables") +: tail => (argv.head, tail)
+      case m +: _ if !m.startsWith("-") => ("diff", argv)
+      case _ => ("diff", argv)
+    }
+    var a = Args(command = cmd)
+    var positional = Vector.empty[String]
+    var i = 0
+    val r = rest.toVector
+    def need(flag: String): String = {
+      i += 1
+      require(i < r.length, s"$flag requires a value"); r(i)
+    }
+    while (i < r.length) {
+      r(i) match {
+        case "--keys" => a = a.copy(keys = need("--keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "--base" => a = a.copy(baseRef = need("--base"))
+        case "--head" => a = a.copy(headRef = need("--head"))
+        case "--project-dir" => a = a.copy(projectDir = need("--project-dir"))
+        case "--profiles-dir" => a = a.copy(profilesDir = Some(need("--profiles-dir")))
+        case "--profile" => a = a.copy(profile = Some(need("--profile")))
+        case "--target" => a = a.copy(target = Some(need("--target")))
+        case "--where" => a = a.copy(where = Some(need("--where")))
+        case "--sample" => a = a.copy(sample = need("--sample").toInt)
+        case "--keep-snapshots" | "--keep-schemas" => a = a.copy(keepSnapshots = true)
+        case "--approx" => a = a.copy(approxDistinct = true)
+        case "--format" =>
+          val f = need("--format")
+          require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
+          a = a.copy(format = f)
+        case flag if flag.startsWith("-") =>
+          throw new IllegalArgumentException(s"unknown flag '$flag'")
+        case pos => positional :+= pos
+      }
+      i += 1
+    }
+    cmd match {
+      case "diff" =>
+        require(positional.nonEmpty, "diff requires a <model> argument")
+        a.copy(model = positional.head)
+      case "diff-tables" =>
+        require(positional.length >= 2, "diff-tables requires <basePath> <headPath>")
+        a.copy(basePath = positional(0), headPath = positional(1),
+          model = if (positional.length > 2) positional(2) else "tables")
+    }
+  }
+
+  def render(r: DiffResult, format: String): String = format match {
+    case "json" => JsonFormatter.render(r)
+    case "markdown" => MarkdownFormatter.render(r)
+    case _ => ConsoleFormatter.render(r)
+  }
+
+  private def log(a: Args, msg: String): Unit =
+    if (a.format == "rich") println(msg) // machine formats keep stdout clean
+
+  /** git helper (subprocess, like core/subprocess_utils.py:9-43). */
+  private def git(cwd: String, args: String*): String = {
+    val pb = new ProcessBuilder(("git" +: args): _*)
+    pb.directory(new java.io.File(cwd))
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    require(p.waitFor() == 0, s"git ${args.mkString(" ")} failed:\n$out")
+    out.trim
+  }
+
+  /** Build the project's model DAG inside one worktree and return the diffed
+    * model's frame (replaces stages 5-7 of the reference lifecycle). */
+  private def buildModelAt(spark: SparkSession, worktree: String, model: String): DataFrame = {
+    ModelRunner.loadSeeds(spark, worktree)
+    val models = ModelRunner.loadProject(worktree)
+    val frames = ModelRunner.run(spark, models)
+    frames.getOrElse(model,
+      throw new IllegalArgumentException(
+        s"model '$model' not found; project has: ${frames.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  def runDiff(spark: SparkSession, a: Args): DiffResult = {
+    val repoRoot = git(a.projectDir, "rev-parse", "--show-toplevel")
+    val runId = SnapshotStore.sanitize(s"${a.model}_${a.baseRef}_${a.headRef}_${System.currentTimeMillis()}")
+    val tmp = Files.createTempDirectory("graft_diff_").toString
+    val store = new SnapshotStore(spark, tmp, runId)
+    val baseWt = s"$tmp/wt_base"
+    val headWt = s"$tmp/wt_head"
+    try {
+      log(a, s"creating worktrees for ${a.baseRef}..${a.headRef}")
+      git(repoRoot, "worktree", "add", "--detach", baseWt, a.baseRef)
+      git(repoRoot, "worktree", "add", "--detach", headWt, a.headRef)
+      log(a, s"building model '${a.model}' in both worktrees")
+      val projRel = Paths.get(repoRoot).relativize(Paths.get(a.projectDir).toAbsolutePath.normalize).toString
+      val baseDf = buildModelAt(spark, Paths.get(baseWt, projRel).toString, a.model)
+      val headDf = buildModelAt(spark, Paths.get(headWt, projRel).toString, a.model)
+      log(a, "snapshotting")
+      val baseSnap = store.snapshot(baseDf, s"${a.model}__base")
+      val headSnap = store.snapshot(headDf, s"${a.model}__head")
+      DiffEngine.diff(baseSnap, headSnap, a.keys, a.where, a.sample,
+        approxDistinct = a.approxDistinct, model = a.model,
+        baseRef = a.baseRef, headRef = a.headRef)
+    } finally {
+      try git(repoRoot, "worktree", "remove", "--force", baseWt) catch { case _: Throwable => }
+      try git(repoRoot, "worktree", "remove", "--force", headWt) catch { case _: Throwable => }
+      if (!a.keepSnapshots) store.drop()
+    }
+  }
+
+  def runDiffTables(spark: SparkSession, a: Args): DiffResult = {
+    def load(p: String): DataFrame =
+      if (Files.exists(Paths.get(p))) spark.read.parquet(p) else spark.table(p)
+    DiffEngine.diff(load(a.basePath), load(a.headPath), a.keys, a.where, a.sample,
+      approxDistinct = a.approxDistinct, model = a.model,
+      baseRef = a.basePath, headRef = a.headPath)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toSeq)
+    // connection descriptor parity: resolve profiles.yml when present
+    a.profilesDir.foreach { d =>
+      val p = Paths.get(d, "profiles.yml")
+      if (Files.exists(p)) Profiles.load(p.toString, a.profile, a.target)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .appName("graft-diff")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val result = a.command match {
+        case "diff-tables" => runDiffTables(spark, a)
+        case _ => runDiff(spark, a)
+      }
+      println(render(result, a.format))
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.modelrun
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spark-native model execution — the workload layer the reference delegates
+  * to `dbt build` (core/dbt_runner.py:11-39). Models are SQL files using
+  * dbt-style `{{ ref('name') }}` / `{{ source('schema','table') }}`
+  * references; we resolve the reference graph, topologically order it, and
+  * execute each model with `spark.sql` over temp views — Catalyst sees the
+  * whole lineage, so cross-model pushdown/pruning happen for free (something
+  * per-model warehouse CTAS can never do).
+  */
+object ModelRunner {
+
+  final case class Model(name: String, sql: String, deps: Set[String])
+
+  private val RefPat = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
+  private val SourcePat = raw"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
+
+  /** Source tables referenced as `{{ source('s','t') }}` resolve to the view
+    * name `s__t` — register sources under that convention. */
+  def sourceViewName(schema: String, table: String): String = s"${schema}__$table"
+
+  /** Parse one model's SQL: extract ref/source dependencies and rewrite the
+    * jinja-ish references to plain view names. */
+  def parse(name: String, rawSql: String): Model = {
+    val refs = RefPat.findAllMatchIn(rawSql).map(_.group(1)).toSet
+    val sources = SourcePat.findAllMatchIn(rawSql)
+      .map(m => sourceViewName(m.group(1), m.group(2))).toSet
+    val rendered = SourcePat.replaceAllIn(
+      RefPat.replaceAllIn(rawSql, m => m.group(1)),
+      m => sourceViewName(m.group(1), m.group(2)))
+    Model(name, rendered, refs ++ sources)
+  }
+
+  /** Load every .sql file under `models/` (recursively; model name = file
+    * basename, like dbt). */
+  def loadProject(projectDir: String): Seq[Model] = {
+    val modelsDir = Paths.get(projectDir, "models")
+    if (!Files.isDirectory(modelsDir)) return Nil
+    Files.walk(modelsDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
+      .map { p: Path =>
+        val name = p.getFileName.toString.stripSuffix(".sql")
+        parse(name, Files.readString(p))
+      }
+      .toSeq.sortBy(_.name)
+  }
+
+  /** Kahn topological order; external names (sources/seeds, registered
+    * before the run) are satisfied implicitly. Cycles raise. */
+  def topoOrder(models: Seq[Model]): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val resolved = scala.collection.mutable.LinkedHashSet.empty[String]
+    val visiting = scala.collection.mutable.Set.empty[String]
+    def visit(name: String): Unit = byName.get(name).foreach { m =>
+      if (!resolved.contains(name)) {
+        require(visiting.add(name), s"model dependency cycle through '$name'")
+        m.deps.toSeq.sorted.foreach(visit)
+        visiting.remove(name)
+        resolved += name
+      }
+    }
+    models.map(_.name).foreach(visit)
+    resolved.toSeq.map(byName)
+  }
+
+  /** Execute models in dependency order, registering each result as a temp
+    * view; returns every model's DataFrame. Lazy: nothing materializes until
+    * a downstream action (diff/write) runs — one Catalyst plan end to end. */
+  def run(spark: SparkSession, models: Seq[Model]): Map[String, DataFrame] =
+    topoOrder(models).map { m =>
+      val df = spark.sql(m.sql)
+      df.createOrReplaceTempView(m.name)
+      m.name -> df
+    }.toMap
+
+  /** Convenience: load seeds (CSV files under `seeds/`, header row) as
+    * source views, mirroring dbt's seed step (demo/dbt_project.yml:22-25). */
+  def loadSeeds(spark: SparkSession, projectDir: String, schema: String = "seeds"): Seq[String] = {
+    val seedsDir = Paths.get(projectDir, "seeds")
+    if (!Files.isDirectory(seedsDir)) return Nil
+    Files.list(seedsDir).iterator().asScala
+      .filter(_.toString.endsWith(".csv"))
+      .map { p =>
+        val name = p.getFileName.toString.stripSuffix(".csv")
+        val view = sourceViewName(schema, name)
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(p.toString)
+          .createOrReplaceTempView(view)
+        // also register the bare name so `{{ ref('seed') }}` works like dbt
+        spark.table(view).createOrReplaceTempView(name)
+        view
+      }.toSeq.sorted
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.modelrun.{ModelRunner, Profiles}
+
+/** Workload-layer specs: ref/source resolution, topo order, seed loading,
+  * and the demo-warehouse golden facts (FIXTURES.md §2). */
+class ModelRunnerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parse extracts refs/sources and renders view names") {
+    val m = ModelRunner.parse("int_orders",
+      "select * from {{ ref('stg_orders') }} o left join {{ source('raw', 'customers') }} c on o.id = c.id")
+    assert(m.deps == Set("stg_orders", "raw__customers"))
+    assert(m.sql.contains("from stg_orders o"))
+    assert(m.sql.contains("join raw__customers c"))
+  }
+
+  test("topo order respects dependencies and detects cycles") {
+    val models = Seq(
+      ModelRunner.Model("c", "select * from b", Set("b")),
+      ModelRunner.Model("a", "select 1", Set.empty),
+      ModelRunner.Model("b", "select * from a", Set("a")))
+    assert(ModelRunner.topoOrder(models).map(_.name) == Seq("a", "b", "c"))
+    val cyclic = Seq(
+      ModelRunner.Model("x", "", Set("y")),
+      ModelRunner.Model("y", "", Set("x")))
+    intercept[IllegalArgumentException](ModelRunner.topoOrder(cyclic))
+  }
+
+  test("demo warehouse DAG reproduces the documented golden facts") {
+    // FIXTURES.md §2: 4 seeds -> stage casts -> intermediate joins/aggs.
+    Seq(
+      (1, "Alice Smith", "ALICE@example.com", "2024-01-10", "UK"),
+      (2, "bob jones", "Bob@Example.com", "2024-02-11", "US"),
+      (3, "Carol King", "carol@example.com", "2024-03-12", "FR"),
+      (4, "dan lee", "DAN@example.com", "2024-04-13", "UK")
+    ).toDF("customer_id", "customer_name", "email", "signup_date", "country")
+      .createOrReplaceTempView("seed_customers")
+    Seq(
+      (1001, 1, "2024-05-01", "COMPLETED"),
+      (1002, 2, "2024-05-02", "completed"),
+      (1003, 3, "2024-05-03", "PENDING"),
+      (1004, 4, "2024-05-04", "completed") // no items -> dropped by inner join
+    ).toDF("order_id", "customer_id", "order_date", "status")
+      .createOrReplaceTempView("seed_orders")
+    Seq(
+      (1001, 1, 2, "25.00"), (1001, 2, 1, "9.00"),
+      (1002, 3, 1, "140.00"),
+      (1003, 1, 3, "7.99")
+    ).toDF("order_id", "product_id", "quantity", "unit_price")
+      .createOrReplaceTempView("seed_order_items")
+
+    val models = Seq(
+      ModelRunner.parse("stg_customers",
+        """select cast(customer_id as int) as customer_id,
+          |  initcap(trim(customer_name)) as customer_name,
+          |  lower(trim(email)) as email,
+          |  cast(signup_date as date) as signup_date,
+          |  upper(country) as country
+          |from {{ ref('seed_customers') }}""".stripMargin),
+      ModelRunner.parse("stg_orders",
+        """select cast(order_id as int) as order_id, cast(customer_id as int) as customer_id,
+          |  cast(order_date as date) as order_date, lower(status) as status
+          |from {{ ref('seed_orders') }}""".stripMargin),
+      ModelRunner.parse("stg_order_items",
+        """select cast(order_id as int) as order_id, cast(product_id as int) as product_id,
+          |  cast(quantity as int) as quantity, cast(unit_price as decimal(10,2)) as unit_price,
+          |  cast(quantity as int) * cast(unit_price as decimal(10,2)) as line_total
+          |from {{ ref('seed_order_items') }}""".stripMargin),
+      ModelRunner.parse("int_orders",
+        """select o.order_id, o.order_date, o.status, c.customer_id, c.customer_name, c.country
+          |from {{ ref('stg_orders') }} o
+          |left join {{ ref('stg_customers') }} c on o.customer_id = c.customer_id""".stripMargin),
+      ModelRunner.parse("fct_orders",
+        """select io.order_id, io.order_date, io.status, io.customer_id, io.customer_name, io.country,
+          |  agg.item_count, agg.order_total
+          |from (select order_id, cast(sum(quantity) as bigint) as item_count,
+          |        cast(sum(line_total) as decimal(10,2)) as order_total
+          |      from {{ ref('stg_order_items') }} group by order_id) agg
+          |join {{ ref('int_orders') }} io on agg.order_id = io.order_id""".stripMargin)
+    )
+    val frames = ModelRunner.run(spark, models)
+    val fct = frames("fct_orders").orderBy("order_id").collect()
+    assert(fct.length == 3) // order 1004 dropped (no items)
+    val totals = fct.map(_.getAs[java.math.BigDecimal]("order_total").toString).toSeq
+    assert(totals == Seq("59.00", "140.00", "23.97"))
+    assert(fct.map(_.getAs[Long]("item_count")).toSeq == Seq(3L, 1L, 3L))
+    // stage normalization applied
+    assert(frames("stg_customers").orderBy("customer_id").collect()
+      .map(_.getAs[String]("customer_name")).take(2).toSeq == Seq("Alice Smith", "Bob Jones"))
+  }
+
+  test("profiles.yml parsing: resolution order, fallbacks, errors") {
+    val dir = Files.createTempDirectory("graft_profiles_")
+    val f = dir.resolve("profiles.yml")
+    Files.writeString(f,
+      """mini_project:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      type: postgres
+        |      host: 127.0.0.1
+        |      user: postgres
+        |      password: postgres
+        |      port: 55432
+        |      dbname: postgres
+        |      schema: core
+        |    prod:
+        |      type: spark
+        |      database: warehouse
+        |""".stripMargin)
+    val c = Profiles.load(f.toString, env = Map.empty)
+    assert(c.warehouseType == "postgres" && c.port == 55432 && c.schema == "core")
+    // target override + database fallback + default port
+    val p = Profiles.load(f.toString, targetArg = Some("prod"), env = Map.empty)
+    assert(p.warehouseType == "spark" && p.dbname == "warehouse" && p.port == 5432)
+    // DBT_PROFILE env resolution
+    val viaEnv = Profiles.load(f.toString, env = Map("DBT_PROFILE" -> "mini_project"))
+    assert(viaEnv.warehouseType == "postgres")
+    intercept[IllegalArgumentException](Profiles.load(f.toString, profileArg = Some("nope"), env = Map.empty))
+    intercept[IllegalArgumentException](Profiles.load(f.toString, targetArg = Some("nope"), env = Map.empty))
+  }
+}
