@@ -116,6 +116,22 @@ object DiffEngine {
     h.join(b, keys, "inner").filter(col("__base_hash") =!= col("__head_hash"))
   }
 
+  /** The whole row-diff in ONE join: full-outer on the keys over (keys, hash)
+    * projections of both sides. Unmatched-head rows are `added`, unmatched-
+    * base rows `removed`, matched-with-different-hash `changed` — the
+    * reference runs three separate join queries for these
+    * (diff_flow.py:189-249); at scale that is 3 shuffles of the same data vs
+    * 1 here. The returned frame (persist before multiple actions) carries
+    * `__base_hash`/`__head_hash`; null-ness encodes match status (row hashes
+    * are md5 hex — never null for present rows). */
+  def rowDiffFrame(base: DataFrame, head: DataFrame, keys: Seq[String], nonKeyCols: Seq[String]): DataFrame = {
+    // With no non-key columns a matched row can never differ: constant hash.
+    val hashCol = if (nonKeyCols.isEmpty) md5(lit("")) else rowHash(nonKeyCols)
+    val b = base.select(keys.map(col) :+ hashCol.as("__base_hash"): _*)
+    val h = head.select(keys.map(col) :+ hashCol.as("__head_hash"): _*)
+    h.join(b, keys, "full_outer")
+  }
+
   /** Full diff — the reference's `run_diff` comparison stages
     * (diff_flow.py:124-257) as one orchestrated Spark program.
     *
@@ -144,16 +160,24 @@ object DiffEngine {
     val mode = if (keys.nonEmpty) "FULL_DIFF" else "STATS_ONLY"
     val meta = DiffMeta(model, baseRef, headRef, mode, where, keys)
 
-    // Row counts (diff_flow.py:133-135) — count-only plans: Catalyst prunes
-    // to zero columns; Parquet answers from row-group metadata when unfiltered.
-    val rc = RowCounts(base.count(), head.count())
-
     // Schema diff — metadata only.
     val sd = schemaDiff(base, head)
 
-    // Single-pass profile per side over the common columns, head order.
-    val baseProf = columnProfile(base, sd.common, approxDistinct)
-    val headProf = columnProfile(head, sd.common, approxDistinct)
+    // ONE scan per side: row count + all column profiles in a single
+    // aggregate (the reference's scan-sharing, adapters/postgres.py:71-92,
+    // plus the count query it runs separately — diff_flow.py:133-135).
+    def profileAndCount(df: DataFrame): (Long, Map[String, (Long, Long)]) = {
+      val aggs = count(lit(1)).as("__n") +: profileExprs(sd.common, approxDistinct)
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(0)
+      val prof = sd.common.zipWithIndex.map { case (c, i) =>
+        c -> (row.getLong(2 * i + 1), row.getLong(2 * i + 2))
+      }.toMap
+      (n, prof)
+    }
+    val (baseCount, baseProf) = profileAndCount(base)
+    val (headCount, headProf) = profileAndCount(head)
+    val rc = RowCounts(baseCount, headCount)
     val profiles = sd.common.map { c =>
       val (bn, bd) = baseProf(c)
       val (hn, hd) = headProf(c)
@@ -167,26 +191,29 @@ object DiffEngine {
     // STATS_ONLY: stop before any join (diff_flow.py:177-178).
     if (keys.isEmpty) return DiffResult(meta, rc, sd, profiles, None)
 
-    val addedCount = added(base, head, keys).count()
-    val removedCount = removed(base, head, keys).count()
-
-    // ONE join for changed-count + key sample (reference recomputes the hash
-    // CTEs twice — diff_flow.py:207-249; we persist and reuse).
+    // ONE full-outer join answers added + removed + changed + sample — the
+    // reference runs three joins and rebuilds the hash CTEs for the sample
+    // (diff_flow.py:189-249).
     val nonKey = sd.common.filterNot(keys.contains) // head order (diff_flow.py:181)
-    val rd = if (nonKey.isEmpty) {
-      RowDiff(addedCount, removedCount, 0L, Nil)
-    } else {
-      val ch = changed(base, head, keys, nonKey).persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val changedCount = ch.count()
-        val sampleDf = ch.select(keys.map(col): _*)
-        val ordered = if (deterministicSample) sampleDf.orderBy(keys.map(col): _*) else sampleDf
-        val sampleKeys = ordered.limit(sample).collect().toSeq.map { r =>
-          keys.map(k => k -> String.valueOf(r.getAs[Any](k))).toMap
-        }
-        RowDiff(addedCount, removedCount, changedCount, sampleKeys)
-      } finally ch.unpersist()
-    }
+    val joined = rowDiffFrame(base, head, keys, nonKey).persist(StorageLevel.MEMORY_AND_DISK)
+    val rd = try {
+      val stats = joined.agg(
+        sum(when(col("__base_hash").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("__head_hash").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
+          col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed")
+      ).head()
+      def stat(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+      val changedRows = joined.filter(
+        col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
+          col("__base_hash") =!= col("__head_hash"))
+        .select(keys.map(col): _*)
+      val ordered = if (deterministicSample) changedRows.orderBy(keys.map(col): _*) else changedRows
+      val sampleKeys = ordered.limit(sample).collect().toSeq.map { r =>
+        keys.map(k => k -> String.valueOf(r.getAs[Any](k))).toMap
+      }
+      RowDiff(stat(0), stat(1), stat(2), sampleKeys)
+    } finally { joined.unpersist(); () }
     DiffResult(meta, rc, sd, profiles, Some(rd))
   }
 }

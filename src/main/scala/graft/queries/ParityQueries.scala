@@ -210,13 +210,21 @@ object ParityQueries {
       (s, dir) => {
         val base = ordersCanon(s, dir)
         val head = ordersHead(s, dir)
-        val keys = Seq("o_orderkey")
+        // added/removed/changed from ONE full-outer pass (vs the reference's
+        // three separate join queries — diff_flow.py:189-249).
+        val stats = DiffEngine.rowDiffFrame(base, head, Seq("o_orderkey"), nonKeyCols)
+          .agg(
+            sum(when(col("__base_hash").isNull, 1L).otherwise(0L)).as("added"),
+            sum(when(col("__head_hash").isNull, 1L).otherwise(0L)).as("removed"),
+            sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
+              col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed"))
+          .head()
         val rows = Seq(
-          ("added", DiffEngine.added(base, head, keys).count()),
+          ("added", stats.getLong(0)),
           ("base_rows", base.count()),
-          ("changed", DiffEngine.changed(base, head, keys, nonKeyCols).count()),
+          ("changed", stats.getLong(2)),
           ("head_rows", head.count()),
-          ("removed", DiffEngine.removed(base, head, keys).count())
+          ("removed", stats.getLong(1))
         )
         import s.implicits._
         rows.toDF("metric", "value").orderBy("metric")
