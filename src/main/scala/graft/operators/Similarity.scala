@@ -3,31 +3,40 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over embedding columns (`Array[Float]`).
   *
-  * Determinism note: dot products fold left-to-right over the array
-  * (`aggregate` HOF), so the double result is bit-reproducible — and
-  * engine-portable, since any sequential fold performs the identical IEEE
-  * op sequence. Scores surface as DECIMAL to pin the rendering.
+  * Determinism note: dot products accumulate in array-index order (both the
+  * fused native expression and the HOF fallback), so the double result is
+  * bit-reproducible — and engine-portable, since any sequential fold performs
+  * the identical IEEE op sequence. Scores surface as DECIMAL to pin the
+  * rendering.
   *
   * Scale path: brute-force is one pass over n rows per probe (fine fanned
   * out on a cluster for modest probe counts); the LSH variant prunes to a
   * sign-pattern bucket — candidate set shrinks ~2^bits× with zero shuffle
   * beyond the bucket equi-join, at recall cost standard for random-
-  * hyperplane LSH.
+  * hyperplane LSH. The per-row score is the codegen'd
+  * [[graft.functions.CosineSimilarity]] expression (one fused loop), not an
+  * interpreted lambda chain.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two float-array columns, in double
+    * (HOF form — kept for reference/fallback; the hot path uses the fused
+    * native expression). */
   def dot(a: String, b: String): Column =
     expr(s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
             |          cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
 
   def norm2(a: String): Column = dot(a, a)
 
-  /** Cosine similarity, pinned to DECIMAL(16,12) for cross-engine renders. */
+  /** Cosine similarity, pinned to DECIMAL(16,12) for cross-engine renders.
+    * Uses the fused native expression — callers in this object register it
+    * on the input's session first. */
   def cosine(a: String, b: String): Column =
-    (dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))).cast("decimal(16,12)")
+    GraftFunctions.cosineSim(col(a), col(b)).cast("decimal(16,12)")
 
   /** Brute-force top-k: exact cosine of every row against one probe vector
     * (selected by id). The probe is a 1-row broadcast cross join — no
@@ -39,6 +48,7 @@ object Similarity {
       probeId: Long,
       k: Int
   ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val probe = df.filter(col(idCol) === probeId).select(col(vecCol).as("__probe"))
     df.crossJoin(broadcast(probe))
       .filter(col(idCol) =!= probeId)
@@ -65,6 +75,7 @@ object Similarity {
       k: Int,
       bits: Int = 8
   ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val bucketed = df.withColumn("__bucket", signBucket(vecCol, bits))
     val probe = bucketed.filter(col(idCol) === probeId)
       .select(col(vecCol).as("__probe"), col("__bucket"))
@@ -85,6 +96,7 @@ object Similarity {
       probeFilter: Column,
       k: Int
   ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val probes = df.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("__probe"))
