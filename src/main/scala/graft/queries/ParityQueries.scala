@@ -91,6 +91,19 @@ object ParityQueries {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     ),
 
+    // S2-S4: CTAS snapshot copy into a run-scoped namespace and read-back
+    // (adapters/postgres.py:29-44) — identity-preserving, so the oracle is
+    // the source itself.
+    QueryDef(
+      "q02_snapshot_roundtrip",
+      (s, dir) => {
+        val store = new graft.engine.SnapshotStore(
+          s, sys.props("java.io.tmpdir") + "/graft_snapshots", "verify_run")
+        store.snapshot(ordersCanon(s, dir), "orders__base").orderBy("o_orderkey")
+      },
+      Some(s"""SELECT * FROM ($ordersCanonSql) o ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // A1: row count.
     QueryDef(
       "q03_rowcount",
@@ -343,6 +356,34 @@ object ParityQueries {
              |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // F9-F15: the workload scalar functions from the demo models
+    // (stg_customers.sql:5-9 etc): initcap/trim/lower/upper, decimal cast,
+    // multiply, CASE IN. DuckDB has no initcap — the oracle replicates it
+    // word-wise (Spark semantics: first letter upper, rest lower, words on
+    // whitespace).
+    QueryDef(
+      "q22_workload_scalars",
+      (s, dir) =>
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          initcap(lower(trim(col("c_name")))).as("name_initcap"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          lower(col("c_mktsegment")).as("seg_lower"),
+          (col("c_acctbal").cast("decimal(12,2)") * lit(2).cast("decimal(4,0)"))
+            .cast("decimal(14,2)").as("bal_x2"),
+          when(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), lit("core"))
+            .otherwise(lit("other")).as("seg_class"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  array_to_string(list_transform(string_split(lower(trim(c_name)), ' '),
+             |    w -> upper(w[1:1]) || lower(w[2:])), ' ') AS name_initcap,
+             |  upper(c_mktsegment) AS seg_upper,
+             |  lower(c_mktsegment) AS seg_lower,
+             |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 AS DECIMAL(14,2)) AS bal_x2,
+             |  CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'core' ELSE 'other' END AS seg_class
+             |FROM customer ORDER BY c_custkey""".stripMargin)
     ),
 
     // O1: top-k — global sort + limit (AQE turns this into TakeOrdered).
