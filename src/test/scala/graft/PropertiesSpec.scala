@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.engine.{DiffEngine, SkewTools}
+
+/** ScalaCheck properties for the diff engine (SURVEY §5 test plan) plus
+  * salted-join equivalence. Generators are driven manually with fixed seeds
+  * (the scalatest-scalacheck bridge isn't on the offline classpath) — 8
+  * deterministic samples per property. */
+class PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (0 until 8).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    (0 until 8).foreach { i =>
+      body(ga.pureApply(Gen.Parameters.default, Seed(42L + i)),
+        gb.pureApply(Gen.Parameters.default, Seed(1042L + i)))
+    }
+
+  private val rowsGen: Gen[List[(Int, String, Option[Int])]] =
+    Gen.listOfN(12, for {
+      k <- Gen.choose(1, 20)
+      v <- Gen.alphaLowerStr.map(_.take(4))
+      o <- Gen.option(Gen.choose(0, 5))
+    } yield (k, v, o)).map(_.distinctBy(_._1)) // unique keys
+
+  test("property: diff(x, x) is all-zero and profiles match per side") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v", "o")
+      val r = DiffEngine.diff(df, df, keys = Seq("k"))
+      val rd = r.rowDiff.get
+      assert(rd.added == 0 && rd.removed == 0 && rd.changed == 0)
+      r.columnProfiles.foreach(cp => assert(cp.base == cp.head))
+    }
+  }
+
+  test("property: added(a,b) == removed(b,a) for arbitrary splits") {
+    forAll(rowsGen, Gen.choose(1, 20)) { (rows, pivot) =>
+      val df = rows.toDF("k", "v", "o")
+      val a = df.filter($"k" <= pivot)
+      val b = df.filter($"k" % 2 === 0)
+      assert(DiffEngine.added(a, b, Seq("k")).count() ==
+        DiffEngine.removed(b, a, Seq("k")).count())
+    }
+  }
+
+  test("property: rowcounts partition into removed + matched; added symmetric") {
+    forAll(rowsGen, Gen.choose(1, 20)) { (rows, pivot) =>
+      val df = rows.toDF("k", "v", "o")
+      val base = df.filter($"k" <= pivot)
+      val head = df.filter($"k" > 3)
+      val r = DiffEngine.diff(base, head, keys = Seq("k")).rowDiff.get
+      val matchedBase = base.join(head.select("k"), Seq("k"), "left_semi").count()
+      assert(r.removed == base.count() - matchedBase)
+      assert(r.added == head.count() - matchedBase) // keys unique per side
+      assert(r.changed <= matchedBase)
+    }
+  }
+
+  test("property: row hash invariant under row order, sensitive to value change") {
+    forAll(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("k", "v", "o")
+        val h1 = df.orderBy("k").select(DiffEngine.rowHash(Seq("v", "o")).as("h"))
+          .collect().map(_.getString(0)).sorted.toSeq
+        val h2 = df.orderBy(desc("k")).select(DiffEngine.rowHash(Seq("v", "o")).as("h"))
+          .collect().map(_.getString(0)).sorted.toSeq
+        assert(h1 == h2)
+        val mutated = df.withColumn("v", concat($"v", lit("_x")))
+        val h3 = mutated.select(DiffEngine.rowHash(Seq("v", "o")).as("h"))
+          .collect().map(_.getString(0)).toSet
+        assert(h3.intersect(h1.toSet).isEmpty)
+      }
+    }
+  }
+
+  test("salted join returns the same rows as a plain join") {
+    val fact = (1 to 500).map(i => (if (i % 3 == 0) 1 else i % 50, s"row$i")).toDF("k", "payload")
+    val dim = (0 to 49).map(i => (i, s"dim$i")).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k")).select("k", "payload", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = SkewTools.saltedJoin(fact, dim, Seq("k"), buckets = 8)
+      .select("k", "payload", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(plain.sameElements(salted))
+  }
+
+  test("salted two-phase aggregation matches direct aggregation") {
+    val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val salted = SkewTools.saltedSumCount(df, Seq("k"), "v", buckets = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(direct == salted)
+  }
+}
