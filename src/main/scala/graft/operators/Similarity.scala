@@ -108,4 +108,39 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** kNN join via the bounded [[graft.functions.TopKAggregator]] instead of
+    * a window sort: each partition reduces to ≤k candidates per probe BEFORE
+    * the shuffle, so the exchange carries k·probes rows rather than every
+    * scored candidate — the scalable form when candidates ≫ k. Same output
+    * contract as [[knnJoin]]. */
+  def knnJoinAgg(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probes = df.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__probe"))
+    val scored = df.crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id").cast("long"), col(idCol).cast("long").as("neighbor_id"),
+        GraftFunctions.cosineSim(col(vecCol), col("__probe")).as("cos_sim"))
+      .as[(Long, Long, Double)]
+    val agg = new graft.functions.TopKAggregator(k)
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => (s, id) }
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (probe, topk) =>
+        topk.zipWithIndex.map { case ((s, id), i) => (probe, id, s, i + 1) }
+      }
+      .toDF("probe_id", "neighbor_id", "cos_sim_raw", "rank")
+      .select(col("probe_id"), col("neighbor_id"),
+        col("cos_sim_raw").cast("decimal(16,12)").as("cos_sim"), col("rank"))
+  }
 }

@@ -83,6 +83,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(probe0.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L))
   }
 
+  test("knn join via bounded top-k aggregator matches the window form") {
+    val win = Similarity.knnJoin(vecs, "vec_id", "embedding", col("vec_id") <= 1, k = 2)
+      .select("probe_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val agg = Similarity.knnJoinAgg(vecs, "vec_id", "embedding", col("vec_id") <= 1, k = 2)
+      .select("probe_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(win.sameElements(agg))
+  }
+
   test("text quality signals are exact integers") {
     val r = TextAnalysis.qualitySignals(docs, "doc_id", "text", Seq("the", "a", "on"))
       .filter($"doc_id" === 1L).head()
