@@ -87,21 +87,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
 
   val CosineName = "graft_cosine_similarity"
+  val SortedIntersectName = "graft_sorted_intersect_count"
+
+  private def registerOne(
+      spark: SparkSession, name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier(name)
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier(CosineName)
-    if (!registry.functionExists(ident)) {
-      registry.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
-        (children: Seq[Expression]) => {
-          require(children.length == 2, s"$CosineName expects 2 arguments")
-          CosineSimilarity(children.head, children(1))
-        })
-    }
+    registerOne(spark, CosineName, classOf[CosineSimilarity], { children =>
+      require(children.length == 2, s"$CosineName expects 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    })
+    registerOne(spark, SortedIntersectName, classOf[SortedIntersectCount], { children =>
+      require(children.length == 2, s"$SortedIntersectName expects 2 arguments")
+      SortedIntersectCount(children.head, children(1))
+    })
   }
 
   /** Column DSL for the fused cosine (caller must have registered). */
   def cosineSim(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** Column DSL for the sorted-merge intersection count. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function(SortedIntersectName, a, b)
 }

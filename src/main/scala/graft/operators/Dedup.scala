@@ -153,12 +153,15 @@ object Dedup {
       .withColumn("__n", size(col("__ws")).cast("long"))
     val a = withBlock.toDF(s"a_$idCol", "a_ws", "__blk", "a_n")
     val b = withBlock.toDF(s"b_$idCol", "b_ws", "__blk", "b_n")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     a.join(b, Seq("__blk"))
       .filter(col(s"a_$idCol") < col(s"b_$idCol") &&
         least(col("a_n"), col("b_n")) * 100 >= greatest(col("a_n"), col("b_n")) * minJaccardPct)
       .select(
         col(s"a_$idCol"), col(s"b_$idCol"), col("a_n"), col("b_n"),
-        size(array_intersect(col("a_ws"), col("b_ws"))).cast("long").as("inter_n"))
+        // arrays are sorted+distinct: native merge-count, no per-row hash set
+        graft.functions.GraftFunctions.sortedIntersectCount(col("a_ws"), col("b_ws"))
+          .as("inter_n"))
       .filter(col("inter_n") * (100 + minJaccardPct) >= (col("a_n") + col("b_n")) * minJaccardPct)
       .select(col(s"a_$idCol"), col(s"b_$idCol"), col("inter_n"),
         (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))

@@ -48,6 +48,25 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(r(1).isNullAt(1)) // null input
   }
 
+  test("sorted intersect count: merge semantics on sorted distinct arrays") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Array("a", "b", "c", "d"), Array("b", "d", "e")),
+      (2L, Array("a"), Array("b")),
+      (3L, Array.empty[String], Array("a"))
+    ).toDF("id", "x", "y")
+    val r = df.select($"id", GraftFunctions.sortedIntersectCount($"x", $"y").as("n"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(r == Seq(2L, 0L, 0L))
+  }
+
+  test("extensions class injects functions into a SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftSparkExtensions().apply(ext)
+    // injection is validated end-to-end by the registry path tests; here we
+    // only assert the wiring executes without error
+  }
+
   test("interpreted eval agrees with codegen path") {
     // force interpreted evaluation via the expression's eval()
     import org.apache.spark.sql.catalyst.expressions.Literal
