@@ -96,6 +96,41 @@ object DiffEngine {
   /** null% / uniq% derivation (core/util.py:35-37). */
   def pct(n: Long, d: Long): Double = if (d == 0L) 0.0 else n.toDouble / d.toDouble * 100.0
 
+  /** Exact multi-column profile WITHOUT the Expand blow-up: melt the N
+    * columns to (col_idx, value-as-string) rows via posexplode, then ONE
+    * count-distinct per group — Catalyst plans that as a two-phase
+    * (partial-distinct → count) aggregate, so the shuffle carries at most
+    * Σ per-column distinct values instead of Expand's N× input rows. The
+    * 100 TB exact mode when HLL approximation isn't acceptable.
+    *
+    * String-casting is 1:1 for the profiled types (int/decimal/date/string),
+    * so distinct counts equal the raw-value counts; null survives the cast.
+    * Returns the same single-row shape as [[profileDf]]. */
+  def profileMeltDf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val spark = df.sparkSession
+    val melted = df.select(posexplode(array(
+      cols.map(c => col(c).cast(StringType)): _*)).as(Seq("__pos", "__v")))
+    val byPos = melted.groupBy(col("__pos"))
+      .agg(
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).cast("long").as("nulls"),
+        countDistinct(col("__v")).cast("long").as("distinct"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val row = org.apache.spark.sql.Row.fromSeq(
+      cols.indices.flatMap { i =>
+        val (n, d) = byPos.getOrElse(i, (0L, 0L))
+        Seq(n, d)
+      })
+    val schema = org.apache.spark.sql.types.StructType(cols.flatMap { c =>
+      Seq(
+        org.apache.spark.sql.types.StructField(s"${c}__nulls", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(s"${c}__distinct", org.apache.spark.sql.types.LongType))
+    })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+
   /** Head rows with no base key match — true anti join (reference idiom is
     * `LEFT JOIN … WHERE base.k IS NULL`, diff_flow.py:189-197; left_anti is
     * the null-safe, single-shuffle Spark form). */

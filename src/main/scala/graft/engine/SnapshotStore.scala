@@ -29,6 +29,30 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
+  /** Bucketed snapshot: both diff sides written `bucketBy(keys)` land
+    * co-partitioned, so every later key join (the full-outer row diff, the
+    * anti joins) runs with ZERO exchange — the scans are already hash-
+    * distributed on the diff keys. At 100 TB this converts the diff's one
+    * remaining shuffle of both tables into none; the sort/cluster cost is
+    * paid once at snapshot time, amortized over every comparison query.
+    * Requires a catalog table (bucketing metadata lives there). */
+  def snapshotBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): DataFrame = {
+    val qualified = s"${SnapshotStore.sanitize(runId)}_${SnapshotStore.sanitize(table)}"
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path(table))
+      .saveAsTable(qualified)
+    spark.table(qualified)
+  }
+
+  /** Drop the catalog entries created by bucketed snapshots. */
+  def dropTable(table: String): Unit = {
+    val qualified = s"${SnapshotStore.sanitize(runId)}_${SnapshotStore.sanitize(table)}"
+    spark.sql(s"DROP TABLE IF EXISTS $qualified")
+    ()
+  }
+
   /** `drop schema … cascade` cleanup (adapters/postgres.py:33-35), honoring
     * the reference's `--keep-schemas` escape hatch (diff_flow.py:271-275). */
   def drop(): Unit = deleteRecursively(new java.io.File(runDir))

@@ -143,6 +143,24 @@ object ParityQueries {
       None
     ),
 
+    // A3 exact mode at scale: melt + two-phase distinct (no Expand) — same
+    // values as q04, different (shuffle-lean) plan; same oracle.
+    QueryDef(
+      "q23_profile_melt",
+      (s, dir) =>
+        DiffEngine.profileMeltDf(
+          t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+        "SELECT " + cols.flatMap { c =>
+          Seq(
+            s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls",
+            s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS ${c}__distinct")
+        }.mkString(", ") + " FROM orders"
+      }
+    ),
+
     // F1-F4: the md5 row-hash scheme, byte-for-byte cross-engine.
     QueryDef(
       "q06_rowhash",

@@ -102,6 +102,33 @@ class DiffEngineSpec extends SparkTestBase {
     assert(r.rowcounts.base == 2 && r.rowcounts.head == 2)
   }
 
+  test("melt profile equals the single-agg exact profile") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val direct = DiffEngine.profileDf(df, cols).head()
+    val melt = DiffEngine.profileMeltDf(df, cols).head()
+    assert(direct.toSeq == melt.toSeq)
+    assert(direct.schema.fieldNames.sameElements(melt.schema.fieldNames))
+  }
+
+  test("bucketed snapshots make the diff join exchange-free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+    val store = new graft.engine.SnapshotStore(spark, dir, "bucket_test")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val base = store.snapshotBucketed(orders, "b", Seq("o_orderkey"), buckets = 4)
+    val head = store.snapshotBucketed(
+      orders.filter(col("o_orderkey") % 7 =!= 0), "h", Seq("o_orderkey"), buckets = 4)
+    try {
+      val joined = DiffEngine.rowDiffFrame(base, head,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle, plan:\n$plan")
+      // and the result is still correct
+      val removed = joined.filter(col("__head_hash").isNull).count()
+      assert(removed == orders.filter(col("o_orderkey") % 7 === 0).count())
+    } finally { store.dropTable("b"); store.dropTable("h"); store.drop() }
+  }
+
   test("formatters render without loss") {
     val base = customers.filter($"customer_id" <= 3)
     val head = customers
