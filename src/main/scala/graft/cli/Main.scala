@@ -42,7 +42,8 @@ object Main {
       sample: Int = 10,
       keepSnapshots: Boolean = false,
       format: String = "rich",
-      approxDistinct: Boolean = false)
+      approxDistinct: Boolean = false,
+      colStats: Boolean = true)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
@@ -72,6 +73,8 @@ object Main {
         case "--where" => a = a.copy(where = Some(need("--where")))
         case "--sample" => a = a.copy(sample = need("--sample").toInt)
         case "--keep-snapshots" | "--keep-schemas" => a = a.copy(keepSnapshots = true)
+        case "--col-stats" => a = a.copy(colStats = true)
+        case "--no-col-stats" => a = a.copy(colStats = false)
         case "--approx" => a = a.copy(approxDistinct = true)
         case "--format" =>
           val f = need("--format")
@@ -144,8 +147,8 @@ object Main {
       val baseSnap = store.snapshot(baseDf, s"${a.model}__base")
       val headSnap = store.snapshot(headDf, s"${a.model}__head")
       DiffEngine.diff(baseSnap, headSnap, a.keys, a.where, a.sample,
-        approxDistinct = a.approxDistinct, model = a.model,
-        baseRef = a.baseRef, headRef = a.headRef)
+        approxDistinct = a.approxDistinct, computeProfiles = a.colStats,
+        model = a.model, baseRef = a.baseRef, headRef = a.headRef)
     } finally {
       try git(repoRoot, "worktree", "remove", "--force", baseWt) catch { case _: Throwable => }
       try git(repoRoot, "worktree", "remove", "--force", headWt) catch { case _: Throwable => }
@@ -157,8 +160,8 @@ object Main {
     def load(p: String): DataFrame =
       if (Files.exists(Paths.get(p))) spark.read.parquet(p) else spark.table(p)
     DiffEngine.diff(load(a.basePath), load(a.headPath), a.keys, a.where, a.sample,
-      approxDistinct = a.approxDistinct, model = a.model,
-      baseRef = a.basePath, headRef = a.headPath)
+      approxDistinct = a.approxDistinct, computeProfiles = a.colStats,
+      model = a.model, baseRef = a.basePath, headRef = a.headPath)
   }
 
   def main(argv: Array[String]): Unit = {

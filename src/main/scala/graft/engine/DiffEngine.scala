@@ -185,6 +185,7 @@ object DiffEngine {
       where: Option[String] = None,
       sample: Int = 10,
       approxDistinct: Boolean = false,
+      computeProfiles: Boolean = true,
       deterministicSample: Boolean = true,
       model: String = "model",
       baseRef: String = "base",
@@ -202,6 +203,7 @@ object DiffEngine {
     // aggregate (the reference's scan-sharing, adapters/postgres.py:71-92,
     // plus the count query it runs separately — diff_flow.py:133-135).
     def profileAndCount(df: DataFrame): (Long, Map[String, (Long, Long)]) = {
+      if (!computeProfiles) return (df.count(), Map.empty) // --no-col-stats
       val aggs = count(lit(1)).as("__n") +: profileExprs(sd.common, approxDistinct)
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getLong(0)
@@ -213,7 +215,7 @@ object DiffEngine {
     val (baseCount, baseProf) = profileAndCount(base)
     val (headCount, headProf) = profileAndCount(head)
     val rc = RowCounts(baseCount, headCount)
-    val profiles = sd.common.map { c =>
+    val profiles = if (!computeProfiles) Nil else sd.common.map { c =>
       val (bn, bd) = baseProf(c)
       val (hn, hd) = headProf(c)
       ColumnProfile(

@@ -109,6 +109,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest of
+    * `nlist` centroids once; a probe searches only the `nprobe` lists whose
+    * centroids score highest — the classic coarse-quantization scale path
+    * (candidates shrink ~nlist/nprobe×).
+    *
+    * Centroids are the vectors with the `nlist` smallest ids — a
+    * deterministic seeding (no RNG to ship, reproducible runs); a k-means
+    * refinement would drop in by replacing `centroids`. Assignment is one
+    * broadcast cross join + `min_by` per vector — linear, no shuffle of the
+    * big side. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeId: Long,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val centroids = df.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // nearest centroid per vector — row_number over (score desc, cid) gives a
+    // fully deterministic assignment even on exact score ties
+    val wAsg = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("cid"))
+    val assigned = df.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("cid"), GraftFunctions.cosineSim(col(vecCol), col("cv")).as("__c"))
+      .withColumn("__rn", row_number().over(wAsg))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+    val probeVec = df.filter(col(idCol) === probeId).select(col(vecCol).as("__probe"))
+    val probeLists = centroids.crossJoin(broadcast(probeVec))
+      .select(col("cid"), GraftFunctions.cosineSim(col("cv"), col("__probe")).as("__c"))
+      .orderBy(col("__c").desc, col("cid"))
+      .limit(nprobe)
+      .select("cid")
+    assigned
+      .join(broadcast(probeLists), "cid")
+      .crossJoin(broadcast(probeVec))
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), cosine(vecCol, "__probe").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** kNN join via the bounded [[graft.functions.TopKAggregator]] instead of
     * a window sort: each partition reduces to ≤k candidates per probe BEFORE
     * the shuffle, so the exchange carries k·probes rows rather than every

@@ -194,6 +194,64 @@ object ExtensionQueries {
              |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)
     ),
 
+    QueryDef(
+      "q39_embed_ivf",
+      (s, dir) =>
+        Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = 10, nlist = 16, nprobe = 4),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16),
+           |sc AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cv")} AS csc
+           |       FROM embeddings e CROSS JOIN cent c),
+           |asg AS (SELECT vec_id, embedding, cid FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc)
+           |  WHERE rn = 1),
+           |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+           |pl AS (SELECT cid FROM (SELECT c.cid, ${cos("c.cv", "pv")} AS pc FROM cent c CROSS JOIN p)
+           |       ORDER BY pc DESC, cid LIMIT 4),
+           |cand AS (SELECT a.vec_id, a.embedding FROM asg a JOIN pl USING (cid) WHERE a.vec_id <> 0)
+           |SELECT vec_id, CAST(${cos("embedding", "pv")} AS DECIMAL(16,12)) AS cos_sim
+           |FROM cand CROSS JOIN p ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+      }
+    ),
+
+    // Batch twin of streaming sessionization (EventStreams.sessionize):
+    // gap-based session assignment via lag + running sum — second-granularity
+    // timestamps keep both engines integer-exact.
+    QueryDef(
+      "q24_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("sec"))
+          .withColumn("prev", lag(col("sec"), 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("brk")).over(wRun))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |y AS (SELECT *, CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+             |        OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+             |      THEN 1 ELSE 0 END AS brk FROM x),
+             |z AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM y)
+             |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       min(sec) AS start_sec, max(sec) AS end_sec
+             |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin)
+    ),
+
     // ---- text analysis -------------------------------------------------
 
     QueryDef(

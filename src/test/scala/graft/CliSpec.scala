@@ -33,6 +33,17 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Main.parseArgs(Seq("diff")))
   }
 
+  test("--no-col-stats skips profile computation") {
+    val a = Main.parseArgs(Seq("diff", "m", "--no-col-stats"))
+    assert(!a.colStats)
+    assert(Main.parseArgs(Seq("diff", "m", "--col-stats")).colStats)
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val r = graft.engine.DiffEngine.diff(df, df, keys = Seq("id"), computeProfiles = false)
+    assert(r.columnProfiles.isEmpty)
+    assert(r.rowcounts.base == 2 && r.rowDiff.get.changed == 0)
+  }
+
   test("diff-tables runs the engine over two parquet paths") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dt_")
