@@ -219,6 +219,35 @@ object ExtensionQueries {
       }
     ),
 
+    // As-of (point-in-time) join: each event matched to the user's most
+    // recent order — union+window composition (one shuffle, no range
+    // explosion). Oracle: DuckDB's NATIVE ASOF JOIN validates the
+    // composition against an independent implementation of the operator.
+    QueryDef(
+      "q25_asof_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("osec"))
+          .agg(max(col("o_orderkey")).as("o_orderkey")) // well-defined winner per (key, time)
+        val e = events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("esec"))
+        AsofJoin.asofJoin(
+          e, "user_id", "esec",
+          o, "o_custkey", "osec",
+          payload = Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_o_orderkey").as("asof_orderkey"), col("asof_osec").as("asof_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o2 AS (SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec,
+             |              max(o_orderkey) AS o_orderkey
+             |            FROM orders GROUP BY 1, 2),
+             |e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS esec FROM events)
+             |SELECT e.event_id, e.user_id, o2.o_orderkey AS asof_orderkey, o2.osec AS asof_sec
+             |FROM e ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.esec >= o2.osec
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // Batch twin of streaming sessionization (EventStreams.sessionize):
     // gap-based session assignment via lag + running sum — second-granularity
     // timestamps keep both engines integer-exact.

@@ -93,6 +93,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(win.sameElements(agg))
   }
 
+  test("as-of join picks the most recent right row at or before left time") {
+    val quotes = Seq( // (key, time, quote_id)
+      (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 15L, 200L)
+    ).toDF("k", "qt", "quote_id")
+    val trades = Seq( // (key, time, trade_id)
+      (1L, 5L, 1L),   // before any quote -> null
+      (1L, 20L, 2L),  // exactly at quote 101 -> inclusive match
+      (1L, 25L, 3L),  // -> quote 101
+      (1L, 99L, 4L),  // -> quote 102
+      (2L, 16L, 5L),  // -> quote 200
+      (3L, 50L, 6L)   // key with no quotes -> null
+    ).toDF("k", "tt", "trade_id")
+    val r = AsofJoin.asofJoin(trades, "k", "tt", quotes, "k", "qt", Seq("quote_id"))
+      .orderBy("trade_id")
+      .collect()
+      .map(x => x.getAs[Long]("trade_id") -> Option(x.getAs[Any]("asof_quote_id")))
+      .toMap
+    assert(r(1L).isEmpty)
+    assert(r(2L).contains(101L))
+    assert(r(3L).contains(101L))
+    assert(r(4L).contains(102L))
+    assert(r(5L).contains(200L))
+    assert(r(6L).isEmpty)
+  }
+
   test("text quality signals are exact integers") {
     val r = TextAnalysis.qualitySignals(docs, "doc_id", "text", Seq("the", "a", "on"))
       .filter($"doc_id" === 1L).head()
