@@ -167,6 +167,48 @@ object Dedup {
         (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))
   }
 
+  /** Connected components over an undirected pair list — turns candidate
+    * near-dup PAIRS into dedup CLUSTERS (transitive closure), labeling every
+    * node with the minimum id reachable from it. The final dedup keep-list
+    * is "one representative (min id) per component".
+    *
+    * Algorithm: iterative min-label propagation (Pregel-lite) — each round
+    * every node adopts the smallest label among itself and its neighbors;
+    * converges in O(component diameter) rounds, each ONE shuffle of the
+    * (small) edge list. Near-dup components are shallow in practice, and the
+    * loop stops as soon as a round changes nothing (driver-side count — the
+    * only driver involvement).
+    *
+    * Returns (id, component) for every id appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("component", "__nc"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("__nc")).as("__minNeighbor"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__minNeighbor"), col("component"))).as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .filter(col("component") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Edit-distance near-dup pairs: block on a text prefix, verify with
     * levenshtein — the classic cheap-block/expensive-verify split. */
   def levenshteinPairs(

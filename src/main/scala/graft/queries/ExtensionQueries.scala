@@ -30,6 +30,26 @@ object ExtensionQueries {
   private def duckMarkerScore(ws: Seq[String]): String =
     s"len(list_filter($duckToks, x -> list_contains(${ws.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
 
+  /** DuckDB CTE producing the MinHash-LSH candidate pairs (shared by q32 and
+    * the clusters oracle). */
+  private lazy val duckMinhashPairsSql: String = {
+    val p = Dedup.MinHashP
+    val sigs = Dedup.minHashCoeffs(8).zipWithIndex
+      .map { case ((a, b), s) => s"min((h * $a + $b) % $p) AS s$s" }
+      .mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, md5(s${2 * b}::VARCHAR || ',' || s${2 * b + 1}::VARCHAR) AS band_hash FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH shing AS ($duckShingles),
+       |hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing),
+       |sig AS (SELECT doc_id, $sigs FROM hashed GROUP BY doc_id),
+       |bands AS ($bands),
+       |ok AS (SELECT band_idx, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 500)
+       |SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+       |FROM bands a JOIN ok USING (band_idx, band_hash) JOIN bands b USING (band_idx, band_hash)
+       |WHERE a.doc_id < b.doc_id""".stripMargin
+  }
+
   private val duckShingles =
     """SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 3, 0) + 1),
       |         i -> array_to_string(w[i+1:i+3], ' '))) AS sh
@@ -65,24 +85,7 @@ object ExtensionQueries {
         Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           numHashes = 8, bandSize = 2, shingleK = 3)
           .orderBy("a_doc_id", "b_doc_id"),
-      Some {
-        val p = Dedup.MinHashP
-        val sigs = Dedup.minHashCoeffs(8).zipWithIndex
-          .map { case ((a, b), s) => s"min((h * $a + $b) % $p) AS s$s" }
-          .mkString(", ")
-        val bands = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band_idx, md5(s${2 * b}::VARCHAR || ',' || s${2 * b + 1}::VARCHAR) AS band_hash FROM sig")
-          .mkString("\n  UNION ALL ")
-        s"""WITH shing AS ($duckShingles),
-           |hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing),
-           |sig AS (SELECT doc_id, $sigs FROM hashed GROUP BY doc_id),
-           |bands AS ($bands),
-           |ok AS (SELECT band_idx, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 500)
-           |SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
-           |FROM bands a JOIN ok USING (band_idx, band_hash) JOIN bands b USING (band_idx, band_hash)
-           |WHERE a.doc_id < b.doc_id
-           |ORDER BY a_doc_id, b_doc_id""".stripMargin
-      }
+      Some(s"$duckMinhashPairsSql\nORDER BY a_doc_id, b_doc_id")
     ),
 
     QueryDef(
@@ -136,6 +139,26 @@ object ExtensionQueries {
              |  ON substr(a.text, 1, 20) = substr(b.text, 1, 20) AND a.doc_id < b.doc_id
              |WHERE levenshtein(a.text, b.text) <= 120
              |ORDER BY a_doc_id, b_doc_id""".stripMargin)
+    ),
+
+    // Pairs -> clusters: transitive closure of near-dup pairs (min-label
+    // propagation in Spark vs a recursive-CTE reachability oracle).
+    QueryDef(
+      "q26_dedup_clusters",
+      (s, dir) =>
+        Dedup.connectedComponents(
+          Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 8, bandSize = 2, shingleK = 3),
+          "a_doc_id", "b_doc_id")
+          .orderBy("id"),
+      Some(s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+              |edges AS (SELECT a_doc_id AS u, b_doc_id AS v FROM pairs
+              |          UNION SELECT b_doc_id, a_doc_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT u, u FROM edges
+              |  UNION
+              |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+              |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)
     ),
 
     // ---- similarity search --------------------------------------------

@@ -93,6 +93,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(win.sameElements(agg))
   }
 
+  test("connected components labels transitive near-dup clusters by min id") {
+    val pairs = Seq( // chain 1-2-3, pair 10-11, triangle 20-21-22
+      (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("as-of join picks the most recent right row at or before left time") {
     val quotes = Seq( // (key, time, quote_id)
       (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
