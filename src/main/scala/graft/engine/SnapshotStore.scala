@@ -46,6 +46,17 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
     spark.table(qualified)
   }
 
+  /** Hive-style partitioned snapshot: subsequent comparisons filtered on the
+    * partition column(s) (e.g. diffing one day/region of a 100 TB table)
+    * read ONLY the matching directories — partition pruning happens before
+    * any IO is scheduled. Pair with the reference's `--where` flag: a
+    * predicate on a partition column turns a full-table diff into a
+    * per-partition one. */
+  def snapshotPartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path(table))
+    read(table)
+  }
+
   /** Drop the catalog entries created by bucketed snapshots. */
   def dropTable(table: String): Unit = {
     val qualified = s"${SnapshotStore.sanitize(runId)}_${SnapshotStore.sanitize(table)}"

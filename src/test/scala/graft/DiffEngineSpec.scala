@@ -129,6 +129,21 @@ class DiffEngineSpec extends SparkTestBase {
     } finally { store.dropTable("b"); store.dropTable("h"); store.drop() }
   }
 
+  test("partitioned snapshots prune to the filtered partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val store = new graft.engine.SnapshotStore(spark, dir, "part_test")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_status_part", col("o_orderstatus"))
+    val snap = store.snapshotPartitioned(orders, "p", Seq("o_status_part"))
+    try {
+      val filtered = snap.filter(col("o_status_part") === "O")
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("o_status_part"))
+      // pruned scan reads fewer files than the full snapshot
+      assert(filtered.count() == orders.filter(col("o_orderstatus") === "O").count())
+    } finally store.drop()
+  }
+
   test("formatters render without loss") {
     val base = customers.filter($"customer_id" <= 3)
     val head = customers
