@@ -38,6 +38,25 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.length == 4) // (10:00 click), (10:00 view), (10:30 click), (10:30 view)
   }
 
+  test("streaming diff accumulates added/changed and finds removed at completion") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDiff
+    // base: ids 1-6; stream delivers head = {1 same, 2 changed, 7 added, 3 same} in 2 batches
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+      .toDF("id", "v")
+    val mem = MemoryStream[(Long, String)]
+    val spool = java.nio.file.Files.createTempDirectory("graft_spool_").toString + "/keys"
+    val (q, counts) = StreamingDiff.start(
+      base, mem.toDF().toDF("id", "v"), Seq("id"), Seq("v"), spool)
+    mem.addData((1L, "a"), (2L, "CHANGED"))
+    mem.addData((7L, "new"), (3L, "c"))
+    q.awaitTermination()
+    val (added, changed, unchanged) = counts.snapshot
+    assert(added == 1 && changed == 1 && unchanged == 2)
+    // 4,5,6 never arrived
+    assert(StreamingDiff.removedCount(base, spool, Seq("id")) == 3)
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
