@@ -161,6 +161,45 @@ object ParityQueries {
       }
     ),
 
+    // Numeric column summary (profile extension beyond the reference's
+    // null/distinct): min/max exact; median/p95 via exact interpolated
+    // percentile (Spark `percentile` ≡ DuckDB `quantile_cont` — same linear
+    // interpolation over identical sorted values), pinned to DECIMAL.
+    QueryDef(
+      "q27_numeric_summary",
+      (s, dir) =>
+        t(s, dir, "orders").agg(
+          min(col("o_totalprice")).cast("decimal(18,2)").as("min_price"),
+          max(col("o_totalprice")).cast("decimal(18,2)").as("max_price"),
+          expr("percentile(o_totalprice, 0.5)").cast("decimal(18,4)").as("median_price"),
+          expr("percentile(o_totalprice, 0.95)").cast("decimal(18,4)").as("p95_price"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(min(o_totalprice) AS DECIMAL(18,2)) AS min_price,
+             |       CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price,
+             |       CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,4)) AS median_price,
+             |       CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,4)) AS p95_price,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM orders""".stripMargin)
+    ),
+
+    // Skew-mitigation equivalence: two-phase salted aggregation returns the
+    // same result as the direct group-by (oracle is the direct form).
+    QueryDef(
+      "q28_salted_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("q"))
+        graft.engine.SkewTools.saltedSumCount(li, Seq("l_returnflag"), "q", buckets = 16)
+          .select(col("l_returnflag"),
+            col("sum_q").cast("decimal(18,2)").as("sum_q"), col("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_q,
+             |       CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // F1-F4: the md5 row-hash scheme, byte-for-byte cross-engine.
     QueryDef(
       "q06_rowhash",
