@@ -161,6 +161,25 @@ object ExtensionQueries {
               |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)
     ),
 
+    // Range join (interval containment) via bucketing — one equi-join
+    // shuffle instead of Spark's nested-loop plan for BETWEEN theta joins.
+    // Oracle runs the naive theta join (fine at oracle scale).
+    QueryDef(
+      "q29_range_join",
+      (s, dir) => {
+        val points = t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"))
+        val intervals = t(s, dir, "part").select(col("p_partkey"),
+          (col("p_retailprice") - 2.0).as("lo"), (col("p_retailprice") + 2.0).as("hi"))
+        RangeJoin.bucketedRangeJoin(points, "s_acctbal", intervals, "lo", "hi", width = 4.0)
+          .select(col("s_suppkey"), col("p_partkey"))
+          .orderBy("s_suppkey", "p_partkey")
+      },
+      Some("""SELECT s_suppkey, p_partkey
+             |FROM supplier JOIN part
+             |  ON s_acctbal >= p_retailprice - 2.0 AND s_acctbal <= p_retailprice + 2.0
+             |ORDER BY s_suppkey, p_partkey""".stripMargin)
+    ),
+
     // ---- similarity search --------------------------------------------
 
     QueryDef(

@@ -103,6 +103,16 @@ class OperatorsSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("bucketed range join equals the naive containment join") {
+    val points = Seq((1L, 0.5), (2L, 10.0), (3L, -3.2), (4L, 99.9)).toDF("pid", "x")
+    val intervals = Seq((10L, 0.0, 1.0), (11L, -5.0, 15.0), (12L, 9.9, 10.0), (13L, 50.0, 60.0))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.bucketedRangeJoin(points, "x", intervals, "lo", "hi", width = 3.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 11L))
+    assert(got == expected)
+  }
+
   test("as-of join picks the most recent right row at or before left time") {
     val quotes = Seq( // (key, time, quote_id)
       (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
