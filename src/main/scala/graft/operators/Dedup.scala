@@ -179,8 +179,42 @@ object Dedup {
     * loop stops as soon as a round changes nothing (driver-side count — the
     * only driver involvement).
     *
-    * Returns (id, component) for every id appearing in `pairs`. */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    * Returns (id, component) for every id appearing in `pairs`.
+    *
+    * Hybrid execution: near-dup pair graphs are tiny relative to the corpus
+    * (banding caps them), so below `driverThreshold` edges the closure runs
+    * as driver-side union-find (microseconds, no iterative jobs); above it,
+    * the distributed propagation loop takes over. Identical results. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgeCount = pairs.count()
+    if (edgeCount <= driverThreshold) {
+      val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "component")
+    }
+    connectedComponentsDistributed(pairs, aCol, bCol, maxIters)
+  }
+
+  /** Distributed min-label propagation (see [[connectedComponents]]). */
+  def connectedComponentsDistributed(pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()

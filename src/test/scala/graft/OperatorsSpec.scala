@@ -97,10 +97,15 @@ class OperatorsSpec extends SparkTestBase {
     val pairs = Seq( // chain 1-2-3, pair 10-11, triangle 20-21-22
       (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)
     ).toDF("a", "b")
-    val cc = Dedup.connectedComponents(pairs, "a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    val ccDriver = Dedup.connectedComponents(pairs, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(ccDriver == expected)
+    // distributed propagation path must agree with union-find
+    val ccDist = Dedup.connectedComponentsDistributed(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist == expected)
   }
 
   test("bucketed range join equals the naive containment join") {
