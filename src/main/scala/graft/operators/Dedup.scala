@@ -189,10 +189,13 @@ object Dedup {
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edgeCount = pairs.count()
-    if (edgeCount <= driverThreshold) {
-      val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // single pass: fetch up to threshold+1 edges — only a larger-than-
+    // threshold graph (rare for banded candidates) falls through to the
+    // distributed loop and recomputes
+    val probe = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .limit((driverThreshold + 1).toInt).collect()
+    if (probe.length <= driverThreshold) {
+      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
