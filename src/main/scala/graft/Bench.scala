@@ -29,11 +29,17 @@ object Bench {
     try SparkEntry.queries("q03_rowcount")(spark, sfDir).foreach(_ => ())
     catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_BENCH_REPS>1 takes the per-query minimum across
+    // repetitions — cuts JIT/GC run-to-run variance when time allows.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = all.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).foreach(_ => ())
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).foreach(_ => ())
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
