@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),

@@ -60,6 +60,33 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(r == Seq(2L, 0L, 0L))
   }
 
+  test("optimizer rule rewrites size(array_intersect) of sorted distinct arrays") {
+    import graft.functions.IntersectCountRewrite
+    IntersectCountRewrite.install(spark)
+    // parquet-backed input: local literal data would be constant-folded into
+    // a LocalRelation before the plan can be inspected. The rule matches the
+    // INLINE canonical token-set shape.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(8)
+    val pairs = docs.select(col("doc_id"), col("text"))
+      .crossJoin(docs.select(col("doc_id").as("doc_id2"), col("text").as("text2")))
+      .filter("doc_id < doc_id2")
+    val inline = "size(array_intersect(sort_array(array_distinct(split(text, ' '))), " +
+      "sort_array(array_distinct(split(text2, ' ')))))"
+    val q = pairs.selectExpr("doc_id", "doc_id2", s"$inline as n")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("sorted_intersect_count"), s"rewrite did not fire:\n$optimized")
+    // values must match a rule-free evaluation of the same expression
+    val got = q.orderBy("doc_id", "doc_id2").collect().map(_.getInt(2)).toSeq
+    val expected = pairs.selectExpr("doc_id", "doc_id2",
+      "size(filter(sort_array(array_distinct(split(text, ' '))), " +
+        "x -> array_contains(sort_array(array_distinct(split(text2, ' '))), x))) as n")
+      .orderBy("doc_id", "doc_id2").collect().map(_.getInt(2)).toSeq
+    assert(got == expected)
+    // non-matching shape (unsorted) must NOT be rewritten
+    val raw = docs.selectExpr("size(array_intersect(split(text, ' '), split(text, ' '))) as n")
+    assert(!raw.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"))
+  }
+
   test("extensions class injects functions into a SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftSparkExtensions().apply(ext)
