@@ -310,6 +310,52 @@ object ParityQueries {
               |ORDER BY metric""".stripMargin)
     ),
 
+    // Composite-key row diff: the same full-outer single-pass over a
+    // two-column key (l_orderkey, l_linenumber) — multi-key joins shuffle on
+    // both columns; perturbation recipe mirrors the single-key family.
+    QueryDef(
+      "q44_diff_multikey",
+      (s, dir) => {
+        val canon = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+          col("l_returnflag"))
+        val head = canon
+          .filter((col("l_orderkey") + col("l_linenumber")) % 211 =!= 0)
+          .withColumn("l_quantity",
+            when((col("l_orderkey") + col("l_linenumber")) % 89 === 0,
+              col("l_quantity") + lit(java.math.BigDecimal.ONE)).otherwise(col("l_quantity")))
+        val joined = DiffEngine.rowDiffFrame(canon, head,
+          Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_returnflag"))
+        val stats = joined.agg(
+          sum(when(col("__base_hash").isNull, 1L).otherwise(0L)),
+          sum(when(col("__head_hash").isNull, 1L).otherwise(0L)),
+          sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
+            col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L))).head()
+        import s.implicits._
+        Seq(("added", stats.getLong(0)), ("changed", stats.getLong(2)),
+          ("removed", stats.getLong(1)))
+          .toDF("metric", "value").orderBy("metric")
+      },
+      Some("""WITH canon AS (SELECT l_orderkey, l_linenumber,
+             |    CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity, l_returnflag FROM lineitem),
+             |head AS (SELECT l_orderkey, l_linenumber,
+             |    CASE WHEN (l_orderkey + l_linenumber) % 89 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+             |    l_returnflag
+             |  FROM canon WHERE (l_orderkey + l_linenumber) % 211 <> 0),
+             |bh AS (SELECT l_orderkey, l_linenumber, md5(concat_ws('|',
+             |    coalesce(CAST(l_quantity AS VARCHAR),'<NULL>'), coalesce(l_returnflag,'<NULL>'))) AS v FROM canon),
+             |hh AS (SELECT l_orderkey, l_linenumber, md5(concat_ws('|',
+             |    coalesce(CAST(l_quantity AS VARCHAR),'<NULL>'), coalesce(l_returnflag,'<NULL>'))) AS v FROM head)
+             |SELECT 'added' AS metric, CAST((SELECT count(*) FROM hh WHERE NOT EXISTS
+             |  (SELECT 1 FROM bh WHERE bh.l_orderkey = hh.l_orderkey AND bh.l_linenumber = hh.l_linenumber)) AS BIGINT) AS value
+             |UNION ALL SELECT 'changed', CAST((SELECT count(*) FROM bh JOIN hh
+             |  ON bh.l_orderkey = hh.l_orderkey AND bh.l_linenumber = hh.l_linenumber WHERE bh.v <> hh.v) AS BIGINT)
+             |UNION ALL SELECT 'removed', CAST((SELECT count(*) FROM bh WHERE NOT EXISTS
+             |  (SELECT 1 FROM hh WHERE hh.l_orderkey = bh.l_orderkey AND hh.l_linenumber = bh.l_linenumber)) AS BIGINT)
+             |ORDER BY metric""".stripMargin)
+    ),
+
     // P3: order-preserving name-only schema diff (metadata operator,
     // diff_flow.py:139-150). Deterministic → literal VALUES oracle.
     QueryDef(
