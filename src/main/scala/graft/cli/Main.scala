@@ -39,7 +39,7 @@ object Main {
       profile: Option[String] = None,
       target: Option[String] = None,
       where: Option[String] = None,
-      sample: Int = 10,
+      sample: Int = 20, // reference default (cli.py sample=20)
       keepSnapshots: Boolean = false,
       format: String = "rich",
       approxDistinct: Boolean = false,
@@ -77,7 +77,7 @@ object Main {
         case "--no-col-stats" => a = a.copy(colStats = false)
         case "--approx" => a = a.copy(approxDistinct = true)
         case "--format" =>
-          val f = need("--format")
+          val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
           a = a.copy(format = f)
         case flag if flag.startsWith("-") =>

@@ -183,7 +183,7 @@ object DiffEngine {
       headIn: DataFrame,
       keys: Seq[String] = Nil,
       where: Option[String] = None,
-      sample: Int = 10,
+      sample: Int = 20, // reference default (cli.py sample=20)
       approxDistinct: Boolean = false,
       computeProfiles: Boolean = true,
       deterministicSample: Boolean = true,
