@@ -146,6 +146,11 @@ object Main {
       log(a, "snapshotting")
       val baseSnap = store.snapshot(baseDf, s"${a.model}__base")
       val headSnap = store.snapshot(headDf, s"${a.model}__head")
+      if (a.keys.nonEmpty) {
+        val (bn, hn) = DiffEngine.nullKeyCounts(baseSnap, headSnap, a.keys)
+        if (bn + hn > 0)
+          log(a, s"WARNING: null key values (base=$bn head=$hn rows) — these rows can never match and inflate added/removed")
+      }
       DiffEngine.diff(baseSnap, headSnap, a.keys, a.where, a.sample,
         approxDistinct = a.approxDistinct, computeProfiles = a.colStats,
         model = a.model, baseRef = a.baseRef, headRef = a.headRef)

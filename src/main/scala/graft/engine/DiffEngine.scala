@@ -151,6 +151,16 @@ object DiffEngine {
     h.join(b, keys, "inner").filter(col("__base_hash") =!= col("__head_hash"))
   }
 
+  /** Null-key diagnostic (SURVEY §7.3 risk 2): the reference's anti-join
+    * idiom — and any key join — assumes non-null keys; a row with a null in
+    * any key column can never match and silently inflates added+removed.
+    * Returns per-side counts of such rows so callers can warn or fail fast. */
+  def nullKeyCounts(base: DataFrame, head: DataFrame, keys: Seq[String]): (Long, Long) = {
+    require(keys.nonEmpty, "null-key check needs key columns")
+    val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+    (base.filter(anyNull).count(), head.filter(anyNull).count())
+  }
+
   /** The whole row-diff in ONE join: full-outer on the keys over (keys, hash)
     * projections of both sides. Unmatched-head rows are `added`, unmatched-
     * base rows `removed`, matched-with-different-hash `changed` — the

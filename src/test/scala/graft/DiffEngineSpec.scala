@@ -102,6 +102,12 @@ class DiffEngineSpec extends SparkTestBase {
     assert(r.rowcounts.base == 2 && r.rowcounts.head == 2)
   }
 
+  test("null-key diagnostic counts rows that can never match") {
+    val base = Seq((Some(1), "a"), (None, "b"), (Some(3), "c")).toDF("k", "v")
+    val head = Seq((Some(1), "a"), (None, "x"), (None, "y")).toDF("k", "v")
+    assert(DiffEngine.nullKeyCounts(base, head, Seq("k")) == ((1L, 2L)))
+  }
+
   test("melt profile equals the single-agg exact profile") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
