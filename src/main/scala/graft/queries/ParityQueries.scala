@@ -531,6 +531,60 @@ object ParityQueries {
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     ),
 
+    // Beyond-reference: semi-structured (JSON) column extraction — the
+    // events.props payload. get_json_object ≡ DuckDB ->> for scalar paths.
+    QueryDef(
+      "q48_json_extract",
+      (s, dir) =>
+        events(s, dir)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+          .groupBy((col("k_val") / 10).cast("long").as("k_bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("k_bucket"),
+      Some("""SELECT CAST(CAST(props->>'k' AS BIGINT) // 10 AS BIGINT) AS k_bucket,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+    ),
+
+    // Beyond-reference: pivot (long → wide) as engine-portable conditional
+    // aggregation; Spark's groupBy().pivot() with an explicit value list
+    // produces the identical frame.
+    QueryDef(
+      "q49_pivot",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+          .na.fill(0L, langs)
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+             |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Beyond-reference: unpivot (wide → long) via Spark's unpivot/melt;
+    // oracle is the portable UNION ALL form.
+    QueryDef(
+      "q50_unpivot",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .unpivot(Array(col("c_custkey")), Array(col("c_name"), col("c_mktsegment")),
+            "attr", "value")
+          .orderBy("c_custkey", "attr"),
+      Some("""SELECT c_custkey, 'c_name' AS attr, c_name AS value FROM customer
+             |UNION ALL SELECT c_custkey, 'c_mktsegment', c_mktsegment FROM customer
+             |ORDER BY c_custkey, attr""".stripMargin)
+    ),
+
     // Beyond-reference: window (analytic) functions — top-3 events per user.
     QueryDef(
       "q20_window_rank",
