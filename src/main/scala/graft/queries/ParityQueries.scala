@@ -65,6 +65,21 @@ object ParityQueries {
 
   private val nonKeyCols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** TPC-H Q3-shaped SQL written once in the dialect intersection of Spark
+    * SQL and DuckDB: the exact same text runs on both engines (q52). */
+  private val VerbatimSql: String =
+    """SELECT l_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+      |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 50""".stripMargin
+
   private def hashSql(alias: String): String =
     "md5(concat_ws('|', " + nonKeyCols
       .map(c => s"coalesce(CAST($c AS VARCHAR),'<NULL>')")
@@ -513,6 +528,32 @@ object ParityQueries {
       Some("""SELECT c_custkey FROM customer
              |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // §2.7: INTERSECT — customers appearing in both order-status populations.
+    QueryDef(
+      "q51_set_intersect",
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .intersect(t(s, dir, "orders").filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_custkey""".stripMargin)
+    ),
+
+    // SQL-entry parity: ONE SQL text executed verbatim by BOTH engines —
+    // spark.sql over registered views and DuckDB over the same parquet. The
+    // strongest statement that the engine's SQL surface matches.
+    QueryDef(
+      "q52_sql_verbatim",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(VerbatimSql)
+      },
+      Some(VerbatimSql)
     ),
 
     // Beyond-reference: ROLLUP grouping sets (SURVEY §2.4 notes their absence
