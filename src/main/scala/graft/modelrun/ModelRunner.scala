@@ -19,6 +19,9 @@ object ModelRunner {
 
   private val RefPat = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
   private val SourcePat = raw"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
+  // dbt config blocks are materialization hints, not query semantics —
+  // stripped (this engine decides materialization via SnapshotStore).
+  private val ConfigPat = raw"\{\{\s*config\([^)]*\)\s*\}\}".r
 
   /** Source tables referenced as `{{ source('s','t') }}` resolve to the view
     * name `s__t` — register sources under that convention. */
@@ -27,11 +30,12 @@ object ModelRunner {
   /** Parse one model's SQL: extract ref/source dependencies and rewrite the
     * jinja-ish references to plain view names. */
   def parse(name: String, rawSql: String): Model = {
-    val refs = RefPat.findAllMatchIn(rawSql).map(_.group(1)).toSet
-    val sources = SourcePat.findAllMatchIn(rawSql)
+    val noConfig = ConfigPat.replaceAllIn(rawSql, "")
+    val refs = RefPat.findAllMatchIn(noConfig).map(_.group(1)).toSet
+    val sources = SourcePat.findAllMatchIn(noConfig)
       .map(m => sourceViewName(m.group(1), m.group(2))).toSet
     val rendered = SourcePat.replaceAllIn(
-      RefPat.replaceAllIn(rawSql, m => m.group(1)),
+      RefPat.replaceAllIn(noConfig, m => m.group(1)),
       m => sourceViewName(m.group(1), m.group(2)))
     Model(name, rendered, refs ++ sources)
   }

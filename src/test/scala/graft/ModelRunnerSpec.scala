@@ -15,6 +15,10 @@ class ModelRunnerSpec extends SparkTestBase {
     assert(m.deps == Set("stg_orders", "raw__customers"))
     assert(m.sql.contains("from stg_orders o"))
     assert(m.sql.contains("join raw__customers c"))
+    // config blocks are stripped (materialization hints, not semantics)
+    val withCfg = ModelRunner.parse("m",
+      "{{ config(materialized='table', tags=['x']) }}\nselect * from {{ ref('a') }}")
+    assert(withCfg.deps == Set("a") && !withCfg.sql.contains("config"))
   }
 
   test("topo order respects dependencies and detects cycles") {
