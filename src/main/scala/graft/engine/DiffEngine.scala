@@ -59,10 +59,16 @@ object DiffEngine {
     val headCols = head.schema.fieldNames.toSeq
     val baseSet = baseCols.toSet
     val headSet = headCols.toSet
+    val common = headCols.filter(baseSet)
+    val baseTypes = base.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val headTypes = head.schema.map(f => f.name -> f.dataType.simpleString).toMap
     SchemaDiff(
-      common = headCols.filter(baseSet),
+      common = common,
       onlyInHead = headCols.filterNot(baseSet),
-      onlyInBase = baseCols.filterNot(headSet)
+      onlyInBase = baseCols.filterNot(headSet),
+      typeChanges = common.collect {
+        case c if baseTypes(c) != headTypes(c) => (c, baseTypes(c), headTypes(c))
+      }
     )
   }
 

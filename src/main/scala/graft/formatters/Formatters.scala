@@ -41,7 +41,10 @@ object JsonFormatter {
     val schemaDiff = jobj(Seq(
       "common" -> jarr(r.schemaDiff.common.map(js)),
       "only_in_head" -> jarr(r.schemaDiff.onlyInHead.map(js)),
-      "only_in_base" -> jarr(r.schemaDiff.onlyInBase.map(js))
+      "only_in_base" -> jarr(r.schemaDiff.onlyInBase.map(js)),
+      "type_changes" -> jarr(r.schemaDiff.typeChanges.map { case (c, bt, ht) =>
+        jobj(Seq("column" -> js(c), "base_type" -> js(bt), "head_type" -> js(ht)))
+      })
     ))
     def side(p: SideProfile): String = jobj(Seq(
       "nulls" -> p.nulls.toString,
@@ -92,7 +95,9 @@ object MarkdownFormatter {
     sb ++= table(Seq("status", "columns"), Seq(
       Seq("common", r.schemaDiff.common.mkString(", ")),
       Seq("only_in_head", r.schemaDiff.onlyInHead.mkString(", ")),
-      Seq("only_in_base", r.schemaDiff.onlyInBase.mkString(", ")))) + "\n\n"
+      Seq("only_in_base", r.schemaDiff.onlyInBase.mkString(", ")),
+      Seq("type_changes", r.schemaDiff.typeChanges
+        .map { case (c, bt, ht) => s"$c: $bt -> $ht" }.mkString(", ")))) + "\n\n"
     if (r.columnProfiles.nonEmpty) {
       sb ++= "## Column profiles\n\n"
       sb ++= table(
@@ -128,6 +133,9 @@ object ConsoleFormatter {
     sb ++= s"== dbt-model-diff: ${r.meta.model} (${r.meta.baseRef} -> ${r.meta.headRef}, ${r.meta.mode}) ==\n"
     sb ++= s"rows: base=${r.rowcounts.base} head=${r.rowcounts.head}\n"
     sb ++= s"schema: common=${r.schemaDiff.common.size} +head=${r.schemaDiff.onlyInHead.mkString(",")} +base=${r.schemaDiff.onlyInBase.mkString(",")}\n"
+    r.schemaDiff.typeChanges.foreach { case (c, bt, ht) =>
+      sb ++= s"  type change: $c $bt -> $ht\n"
+    }
     r.columnProfiles.foreach { cp =>
       sb ++= f"  ${cp.column}%-24s nulls ${cp.base.nulls}/${cp.head.nulls}  distinct ${cp.base.distinct}/${cp.head.distinct}\n"
     }

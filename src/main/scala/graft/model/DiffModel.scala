@@ -21,11 +21,14 @@ final case class RowCounts(base: Long, head: Long)
 
 /** Name-only, order-preserving column-set diff (diff_flow.py:139-150).
   * `common` preserves HEAD column order — profiles and row hashes iterate in
-  * this order (diff_flow.py:137-143,181). */
+  * this order (diff_flow.py:137-143,181). `typeChanges` is a Spark-side
+  * improvement over the reference (which ignores types — SURVEY §1.2):
+  * common columns whose DataType differs, as (column, baseType, headType). */
 final case class SchemaDiff(
     common: Seq[String],
     onlyInHead: Seq[String],
-    onlyInBase: Seq[String]
+    onlyInBase: Seq[String],
+    typeChanges: Seq[(String, String, String)] = Nil
 )
 
 /** Per-side column stats (diff_flow.py:156-175): null count, distinct count,

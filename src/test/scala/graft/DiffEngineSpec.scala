@@ -102,6 +102,14 @@ class DiffEngineSpec extends SparkTestBase {
     assert(r.rowcounts.base == 2 && r.rowcounts.head == 2)
   }
 
+  test("schema diff reports type changes on common columns (beyond reference)") {
+    val base = customers
+    val head = customers.withColumn("customer_id", $"customer_id".cast("long"))
+    val sd = DiffEngine.schemaDiff(base, head)
+    assert(sd.common == Seq("customer_id", "name"))
+    assert(sd.typeChanges == Seq(("customer_id", "int", "bigint")))
+  }
+
   test("null-key diagnostic counts rows that can never match") {
     val base = Seq((Some(1), "a"), (None, "b"), (Some(3), "c")).toDF("k", "v")
     val head = Seq((Some(1), "a"), (None, "x"), (None, "y")).toDF("k", "v")
