@@ -31,7 +31,7 @@ object Bench {
 
     // SPARK_GRAFT_BENCH_REPS>1 takes the per-query minimum across
     // repetitions — cuts JIT/GC run-to-run variance when time allows.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = all.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
