@@ -167,6 +167,31 @@ object Dedup {
         (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))
   }
 
+  /** Embedding-cosine near-dup pairs: sign-bucket blocking (shared
+    * random-hyperplane-style bits with [[Similarity.signBucket]]) then exact
+    * cosine ≥ threshold within buckets — the embedding-space member of the
+    * near-dup family. Pair count is bounded by bucket populations
+    * (~n²/2^bits for balanced buckets), never all-pairs. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      minCosineX100: Int
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val bucketed = df.select(col(idCol), col(vecCol),
+      Similarity.signBucket(vecCol, bits).as("__bucket"))
+    val a = bucketed.toDF(s"a_$idCol", "a_vec", "__bucket")
+    val b = bucketed.toDF(s"b_$idCol", "b_vec", "__bucket")
+    a.join(b, Seq("__bucket"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        graft.functions.GraftFunctions.cosineSim(col("a_vec"), col("b_vec"))
+          .cast("decimal(16,12)").as("cos_sim"))
+      .filter(col("cos_sim") * 100 >= minCosineX100)
+  }
+
   /** Connected components over an undirected pair list — turns candidate
     * near-dup PAIRS into dedup CLUSTERS (transitive closure), labeling every
     * node with the minimum id reachable from it. The final dedup keep-list

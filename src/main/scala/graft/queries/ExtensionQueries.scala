@@ -141,6 +141,32 @@ object ExtensionQueries {
              |ORDER BY a_doc_id, b_doc_id""".stripMargin)
     ),
 
+    // Embedding-cosine near-dup pairs: sign-bucket block + exact cosine
+    // threshold — the embedding member of the dedup family.
+    QueryDef(
+      "q54_dedup_embed",
+      (s, dir) =>
+        Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          bits = 4, minCosineX100 = 35)
+          .orderBy("a_vec_id", "b_vec_id"),
+      Some {
+        val bucket = (0 until 4)
+          .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        def cos(x: String, y: String) =
+          s"""(list_reduce(list_transform(range(len($x)), i -> $x[i+1]::DOUBLE * $y[i+1]::DOUBLE), (p,q) -> p + q)
+             | / (sqrt(list_reduce(list_transform(range(len($x)), i -> $x[i+1]::DOUBLE * $x[i+1]::DOUBLE), (p,q) -> p + q))
+             |  * sqrt(list_reduce(list_transform(range(len($y)), i -> $y[i+1]::DOUBLE * $y[i+1]::DOUBLE), (p,q) -> p + q))))""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS b FROM embeddings),
+           |p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
+           |  CAST(${cos("a.embedding", "b.embedding")} AS DECIMAL(16,12)) AS cos_sim
+           |  FROM e a JOIN e b ON a.b = b.b AND a.vec_id < b.vec_id)
+           |SELECT a_vec_id, b_vec_id, cos_sim FROM p
+           |WHERE cos_sim * 100 >= 35
+           |ORDER BY a_vec_id, b_vec_id""".stripMargin
+      }
+    ),
+
     // Pairs -> clusters: transitive closure of near-dup pairs (min-label
     // propagation in Spark vs a recursive-CTE reachability oracle).
     QueryDef(

@@ -572,6 +572,32 @@ object ParityQueries {
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     ),
 
+    // Beyond-reference: sliding windows (1h length, 15m slide) in the
+    // engine-portable arithmetic form — each event lands in 4 windows via
+    // explode; integer epoch-second window starts keep both engines exact.
+    // (StreamingSpec asserts Spark's native window() gives identical frames.)
+    QueryDef(
+      "q53_sliding_window",
+      (s, dir) =>
+        events(s, dir)
+          .select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+            col("value").cast("decimal(18,4)").as("v"))
+          .withColumn("k", explode(sequence(lit(0), lit(3))))
+          .withColumn("window_start", expr("sec div 900 * 900 - k * 900"))
+          .filter(col("sec") - col("window_start") < 3600)
+          .groupBy(col("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(18,4)").as("sum_value"))
+          .orderBy("window_start", "event_type"),
+      Some("""WITH x AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |              CAST(value AS DECIMAL(18,4)) AS v FROM events),
+             |w AS (SELECT x.*, (sec // 900) * 900 - t.k * 900 AS window_start
+             |      FROM x CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) t)
+             |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(v) AS DECIMAL(18,4)) AS sum_value
+             |FROM w WHERE sec - window_start < 3600
+             |GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin)
+    ),
+
     // Beyond-reference: semi-structured (JSON) column extraction — the
     // events.props payload. get_json_object ≡ DuckDB ->> for scalar paths.
     QueryDef(

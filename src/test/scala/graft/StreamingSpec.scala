@@ -38,6 +38,22 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.length == 4) // (10:00 click), (10:00 view), (10:30 click), (10:30 view)
   }
 
+  test("native window() matches the arithmetic sliding-window form") {
+    import org.apache.spark.sql.functions._
+    val ev = fixture.toDF()
+    val native = EventStreams.slidingCounts(ev, "1 hour", "15 minutes")
+      .select(unix_timestamp(col("window_start")).as("ws"), col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val arithmetic = ev
+      .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .withColumn("ws", expr("sec div 900 * 900 - k * 900"))
+      .filter(col("sec") - col("ws") < 3600)
+      .groupBy(col("ws"), col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(native == arithmetic)
+  }
+
   test("streaming diff accumulates added/changed and finds removed at completion") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingDiff
