@@ -169,8 +169,19 @@ object Main {
       model = a.model, baseRef = a.basePath, headRef = a.headPath)
   }
 
+  private val Usage =
+    """usage: diff <model> [--keys k1,k2] [--base REF] [--head REF]
+      |            [--project-dir DIR] [--profiles-dir DIR] [--profile P] [--target T]
+      |            [--where SQL] [--sample N] [--keep-schemas]
+      |            [--col-stats|--no-col-stats] [--approx] [--format rich|json|markdown]
+      |       diff-tables <basePath> <headPath> [same options]""".stripMargin
+
   def main(argv: Array[String]): Unit = {
-    val a = parseArgs(argv.toSeq)
+    val a = try parseArgs(argv.toSeq) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}\n$Usage")
+        sys.exit(2)
+    }
     // connection descriptor parity: resolve profiles.yml when present
     a.profilesDir.foreach { d =>
       val p = Paths.get(d, "profiles.yml")
