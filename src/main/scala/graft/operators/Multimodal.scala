@@ -51,6 +51,25 @@ object Multimodal {
         md5(col("chunk")).as("chunk_md5"))
   }
 
+  /** STUB RESIZE — deterministic stand-in for image/audio downsampling:
+    * keeps every `factor`-th unit of the payload (subsampling is what a
+    * nearest-neighbor resize does to pixels), recording old/new sizes as the
+    * typed metadata a real resize would produce. The Spark-side shape —
+    * per-row payload transform with metadata — is exactly a codec-backed
+    * resize's; swap the expression for a decoder call to make it real. */
+  def fakeResize(df: DataFrame, idCol: String, payloadStrCol: String, factor: Int): DataFrame = {
+    require(factor > 0, "resize factor must be positive")
+    val resized = expr(
+      s"""array_join(transform(
+         |  sequence(1, length($payloadStrCol), $factor),
+         |  i -> substring($payloadStrCol, i, 1)), '')""".stripMargin)
+    df.select(col(idCol),
+      length(col(payloadStrCol)).cast("long").as("orig_len"),
+      resized.as("resized_payload"))
+      .withColumn("resized_len", length(col("resized_payload")).cast("long"))
+      .withColumn("resized_md5", md5(col("resized_payload")))
+  }
+
   /** STUB DECODE — deterministic fake featurizer: 8 pseudo-features derived
     * from md5 nibbles of the payload. Replace with a real codec via
     * mapPartitions when libs are available; schema and batch shape are what

@@ -75,4 +75,39 @@ object TextAnalysis {
     * fingerprint for shuffle-robust dedup keys). */
   def fingerprint(textCol: String): Column =
     md5(array_join(sort_array(array_distinct(tokens(textCol))), " "))
+
+  /** Winnowing fingerprint (the rolling-hash document-fingerprint scheme):
+    * hash every character k-gram via a polynomial rolling hash mod a prime,
+    * then keep the MINIMUM hash of each window of `w` consecutive k-grams —
+    * the standard plagiarism/near-dup fingerprint selection. Returns the
+    * sorted distinct selected hashes; two documents sharing long substrings
+    * share fingerprints regardless of position.
+    *
+    * Pure integer arithmetic (char codes, base 257, prime mod < 2^31) —
+    * engine-exact; expressed with HOFs over one k-gram array per row. */
+  /** k-gram polynomial rolling hashes of `textCol` (base 257 mod prime) —
+    * materialize this as its own column BEFORE winnowing: nesting it inside
+    * the winnow lambda would re-evaluate the whole gram array per window. */
+  def gramHashesSql(textCol: String, k: Int = 8): String = {
+    val P = 1000000007L // prime modulus; acc*257+c stays well under 2^63
+    s"""transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+       |  i -> aggregate(transform(sequence(0, ${k - 1}),
+       |         j -> ascii(substring($textCol, i + j, 1))),
+       |       cast(0 as bigint), (acc, c) -> (acc * 257 + c) % $P))""".stripMargin
+  }
+
+  /** Winnowing selection over a MATERIALIZED gram-hash array column: the
+    * minimum of every `w`-window, distinct and sorted. */
+  def winnowSql(ghCol: String, w: Int = 4): String =
+    s"""array_sort(array_distinct(transform(
+       |  sequence(1, greatest(size($ghCol) - ${w - 1}, 1)),
+       |  i -> array_min(slice($ghCol, i, $w)))))""".stripMargin
+
+  /** Winnowing fingerprint pipeline (the rolling-hash document-fingerprint
+    * scheme): adds `outCol` with the sorted distinct window-min hashes. */
+  def withWinnowingFingerprints(df: DataFrame, textCol: String, outCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.withColumn("__gh", expr(gramHashesSql(textCol, k)))
+      .withColumn(outCol, expr(winnowSql("__gh", w)))
+      .drop("__gh")
 }

@@ -418,7 +418,47 @@ object ExtensionQueries {
               |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
+    // Winnowing (rolling-hash) fingerprints: polynomial k-gram hashes,
+    // per-window minima, distinct set — surfaced as (count, set-md5) scalars.
+    QueryDef(
+      "q55_text_winnowing",
+      (s, dir) =>
+        TextAnalysis.withWinnowingFingerprints(
+          t(s, dir, "documents"), "text", "__fp", k = 8, w = 4)
+          .select(
+            col("doc_id"),
+            size(col("__fp")).cast("long").as("n_fingerprints"),
+            md5(array_join(expr("transform(__fp, v -> cast(v as string))"), ",")).as("fp_md5"))
+          .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id, text,
+             |  list_transform(range(greatest(length(text) - 7, 1)),
+             |    i -> list_reduce(list_transform(range(8), j -> CAST(ascii(substr(text, CAST(i + 1 + j AS INT), 1)) AS BIGINT)),
+             |           (acc, c) -> (acc * 257 + c) % 1000000007)) AS gh FROM documents),
+             |wsel AS (SELECT doc_id,
+             |  list_sort(list_distinct(list_transform(range(greatest(len(gh) - 3, 1)),
+             |    i -> list_min(gh[i+1:i+4])))) AS fp FROM g)
+             |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fingerprints,
+             |       md5(array_to_string(list_transform(fp, v -> v::VARCHAR), ',')) AS fp_md5
+             |FROM wsel ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- multimodal plumbing ------------------------------------------
+
+    // STUB resize (nearest-neighbor-style subsampling of the payload) with
+    // typed size metadata — deterministic, oracle-checked plumbing.
+    QueryDef(
+      "q56_mm_resize",
+      (s, dir) =>
+        Multimodal.fakeResize(t(s, dir, "documents"), "doc_id", "text", factor = 4)
+          .drop("resized_payload")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len,
+             |       CAST(length(r) AS BIGINT) AS resized_len, md5(r) AS resized_md5
+             |FROM (SELECT doc_id, text,
+             |        array_to_string(list_transform(range(1, length(text) + 1, 4),
+             |          i -> substr(text, CAST(i AS INT), 1)), '') AS r
+             |      FROM documents) t ORDER BY doc_id""".stripMargin)
+    ),
 
     QueryDef(
       "q45_mm_assets",

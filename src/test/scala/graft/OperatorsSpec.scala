@@ -170,6 +170,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(fps(1L) != fps(3L))
   }
 
+  test("winnowing: shared substrings share fingerprints; disjoint texts don't") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "XXXX quick brown fox jumps over the lazy dog YYYYYY"), // shares long middle
+      (3L, "completely unrelated content with different letters!")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.withWinnowingFingerprints(df, "text", "fp")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("fp")).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)   // shared window minima from shared middle
+    assert(fps(1L).intersect(fps(3L)).isEmpty)    // no shared 8-grams
+  }
+
+  test("multimodal: resize stub subsamples deterministically with metadata") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val r = Multimodal.fakeResize(df, "doc_id", "text", factor = 3).head()
+    assert(r.getAs[Long]("orig_len") == 10L)
+    assert(r.getAs[String]("resized_payload") == "adgj")
+    assert(r.getAs[Long]("resized_len") == 4L)
+  }
+
   test("multimodal: chunking covers the payload exactly") {
     val r = Multimodal.chunkHashes(docs.filter($"doc_id" === 1L), "doc_id", "text", chunkSize = 10)
       .orderBy("chunk_idx").collect()
