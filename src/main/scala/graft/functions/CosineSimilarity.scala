@@ -88,6 +88,7 @@ object GraftFunctions {
 
   val CosineName = "graft_cosine_similarity"
   val SortedIntersectName = "graft_sorted_intersect_count"
+  val WinnowingName = "graft_winnowing_fingerprints"
 
   private def registerOne(
       spark: SparkSession, name: String, clazz: Class[_],
@@ -108,6 +109,14 @@ object GraftFunctions {
       require(children.length == 2, s"$SortedIntersectName expects 2 arguments")
       SortedIntersectCount(children.head, children(1))
     })
+    registerOne(spark, WinnowingName, classOf[WinnowingFingerprints], { children =>
+      require(children.length == 3, s"$WinnowingName expects (text, k, w)")
+      def intLit(e: Expression): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"$WinnowingName k/w must be int literals, got $other")
+      }
+      WinnowingFingerprints(children.head, intLit(children(1)), intLit(children(2)))
+    })
   }
 
   /** Column DSL for the fused cosine (caller must have registered). */
@@ -116,4 +125,9 @@ object GraftFunctions {
   /** Column DSL for the sorted-merge intersection count. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function(SortedIntersectName, a, b)
+
+  /** Column DSL for native winnowing fingerprints. */
+  def winnowing(text: Column, k: Int, w: Int): Column =
+    call_function(WinnowingName, text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
 }

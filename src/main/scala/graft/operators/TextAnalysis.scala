@@ -104,8 +104,19 @@ object TextAnalysis {
        |  i -> array_min(slice($ghCol, i, $w)))))""".stripMargin
 
   /** Winnowing fingerprint pipeline (the rolling-hash document-fingerprint
-    * scheme): adds `outCol` with the sorted distinct window-min hashes. */
+    * scheme): adds `outCol` with the sorted distinct window-min hashes —
+    * computed by the native [[graft.functions.WinnowingFingerprints]]
+    * expression (one compiled loop per row; the HOF formulation above is
+    * the portable spec, ~50× slower interpreted). */
   def withWinnowingFingerprints(df: DataFrame, textCol: String, outCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol, graft.functions.GraftFunctions.winnowing(col(textCol), k, w))
+  }
+
+  /** HOF (portable-spec) form of [[withWinnowingFingerprints]] — used by
+    * specs to prove the native expression equivalent. */
+  def withWinnowingFingerprintsHof(df: DataFrame, textCol: String, outCol: String,
       k: Int = 8, w: Int = 4): DataFrame =
     df.withColumn("__gh", expr(gramHashesSql(textCol, k)))
       .withColumn(outCol, expr(winnowSql("__gh", w)))

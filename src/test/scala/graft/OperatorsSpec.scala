@@ -180,6 +180,12 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("fp")).toSet).toMap
     assert(fps(1L).intersect(fps(2L)).nonEmpty)   // shared window minima from shared middle
     assert(fps(1L).intersect(fps(3L)).isEmpty)    // no shared 8-grams
+    // native expression == portable HOF formulation, element for element
+    val hof = TextAnalysis.withWinnowingFingerprintsHof(df, "text", "fp")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("fp")).toSeq).toMap
+    val native = TextAnalysis.withWinnowingFingerprints(df, "text", "fp")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("fp")).toSeq).toMap
+    assert(hof == native)
   }
 
   test("multimodal: resize stub subsamples deterministically with metadata") {
