@@ -68,6 +68,32 @@ class CliSpec extends SparkTestBase {
     assert(p.waitFor() == 0, s"git ${args.mkString(" ")}: $out")
   }
 
+  test("worktree diff detects schema drift between refs") {
+    assume(new ProcessBuilder("git", "--version").start().waitFor() == 0, "git unavailable")
+    val repo = Files.createTempDirectory("graft_drift_repo_")
+    val models = repo.resolve("models"); Files.createDirectories(models)
+    val seeds = repo.resolve("seeds"); Files.createDirectories(seeds)
+    Files.writeString(seeds.resolve("customers.csv"),
+      "id,name,city\n1,Alice,Oslo\n2,Bob,Lima\n")
+    git(repo, "init", "-b", "main")
+    Files.writeString(models.resolve("dim.sql"),
+      "select id, name, city from {{ ref('customers') }}")
+    git(repo, "add", "."); git(repo, "commit", "-m", "base")
+    git(repo, "checkout", "-b", "feature/drift")
+    Files.writeString(models.resolve("dim.sql"),
+      "select id, upper(name) as name, concat(name, '!') as greeting from {{ ref('customers') }}")
+    git(repo, "add", "."); git(repo, "commit", "-m", "head drops city, adds greeting, changes name")
+
+    val r = Main.runDiff(spark, Main.parseArgs(Seq("diff", "dim", "--keys", "id",
+      "--base", "main", "--head", "feature/drift",
+      "--project-dir", repo.toString, "--format", "json")))
+    assert(r.schemaDiff.common == Seq("id", "name"))
+    assert(r.schemaDiff.onlyInHead == Seq("greeting"))
+    assert(r.schemaDiff.onlyInBase == Seq("city"))
+    // hash over common non-key columns only: both names changed by upper()
+    assert(r.rowDiff.get.changed == 2 && r.rowDiff.get.added == 0 && r.rowDiff.get.removed == 0)
+  }
+
   test("full worktree diff lifecycle hits the reference e2e golden 3/4/1/0/0") {
     assume(new ProcessBuilder("git", "--version").start().waitFor() == 0, "git unavailable")
     val repo = Files.createTempDirectory("graft_e2e_repo_")
