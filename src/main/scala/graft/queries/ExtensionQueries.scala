@@ -146,9 +146,9 @@ object ExtensionQueries {
     QueryDef(
       "q54_dedup_embed",
       (s, dir) =>
-        Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        canonOut(Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           bits = 4, minCosineX100 = 35)
-          .orderBy("a_vec_id", "b_vec_id"),
+          .orderBy("a_vec_id", "b_vec_id")),
       Some {
         val bucket = (0 until 4)
           .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
@@ -159,10 +159,10 @@ object ExtensionQueries {
              |  * sqrt(list_reduce(list_transform(range(len($y)), i -> $y[i+1]::DOUBLE * $y[i+1]::DOUBLE), (p,q) -> p + q))))""".stripMargin
         s"""WITH e AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS b FROM embeddings),
            |p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
-           |  CAST(${cos("a.embedding", "b.embedding")} AS DECIMAL(16,12)) AS cos_sim
+           |  CAST(${cos("a.embedding", "b.embedding")} AS DECIMAL(16,12)) AS cs
            |  FROM e a JOIN e b ON a.b = b.b AND a.vec_id < b.vec_id)
-           |SELECT a_vec_id, b_vec_id, cos_sim FROM p
-           |WHERE cos_sim * 100 >= 35
+           |SELECT a_vec_id, b_vec_id, CAST(cs AS VARCHAR) AS cos_sim FROM p
+           |WHERE cs * 100 >= 35
            |ORDER BY a_vec_id, b_vec_id""".stripMargin
       }
     ),
@@ -211,23 +211,24 @@ object ExtensionQueries {
     QueryDef(
       "q36_embed_cosine_topk",
       (s, dir) =>
-        Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          probeId = 0L, k = 20),
+        canonOut(Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = 20)),
       Some("""WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
              |s AS (SELECT vec_id,
              |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS dot,
              |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y) AS na,
              |  list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS np
-             |  FROM embeddings, p WHERE vec_id <> 0)
-             |SELECT vec_id, CAST(dot / (sqrt(na) * sqrt(np)) AS DECIMAL(16,12)) AS cos_sim
-             |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)
+             |  FROM embeddings, p WHERE vec_id <> 0),
+             |r AS (SELECT vec_id, CAST(dot / (sqrt(na) * sqrt(np)) AS DECIMAL(16,12)) AS cs FROM s)
+             |SELECT vec_id, CAST(cs AS VARCHAR) AS cos_sim
+             |FROM r ORDER BY cs DESC, vec_id LIMIT 20""".stripMargin)
     ),
 
     QueryDef(
       "q37_embed_ann_lsh",
       (s, dir) =>
-        Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          probeId = 0L, k = 10, bits = 4),
+        canonOut(Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = 10, bits = 4)),
       Some {
         val bucket = (0 until 4)
           .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
@@ -238,35 +239,36 @@ object ExtensionQueries {
            |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS dot,
            |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y) AS na,
            |  list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS np
-           |  FROM e JOIN p USING (bucket) WHERE vec_id <> 0)
-           |SELECT vec_id, CAST(dot / (sqrt(na) * sqrt(np)) AS DECIMAL(16,12)) AS cos_sim
-           |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+           |  FROM e JOIN p USING (bucket) WHERE vec_id <> 0),
+           |r AS (SELECT vec_id, CAST(dot / (sqrt(na) * sqrt(np)) AS DECIMAL(16,12)) AS cs FROM s)
+           |SELECT vec_id, CAST(cs AS VARCHAR) AS cos_sim
+           |FROM r ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin
       }
     ),
 
     QueryDef(
       "q38_embed_knn_join",
       (s, dir) =>
-        Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+        canonOut(Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 3)
-          .orderBy("probe_id", "rank"),
+          .orderBy("probe_id", "rank")),
       Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
              |s AS (SELECT probe_id, vec_id AS neighbor_id,
              |  CAST(list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y)
              |   / (sqrt(list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y))
-             |    * sqrt(list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y))) AS DECIMAL(16,12)) AS cos_sim
+             |    * sqrt(list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y))) AS DECIMAL(16,12)) AS cs
              |  FROM embeddings, p WHERE vec_id <> probe_id),
-             |r AS (SELECT probe_id, neighbor_id, cos_sim,
-             |  row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
-             |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+             |r AS (SELECT probe_id, neighbor_id, cs,
+             |  row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank FROM s)
+             |SELECT probe_id, neighbor_id, CAST(cs AS VARCHAR) AS cos_sim, CAST(rank AS INT) AS rank
              |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)
     ),
 
     QueryDef(
       "q39_embed_ivf",
       (s, dir) =>
-        Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          probeId = 0L, k = 10, nlist = 16, nprobe = 4),
+        canonOut(Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = 10, nlist = 16, nprobe = 4)),
       Some {
         def cos(a: String, b: String) =
           s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
@@ -281,9 +283,11 @@ object ExtensionQueries {
            |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
            |pl AS (SELECT cid FROM (SELECT c.cid, ${cos("c.cv", "pv")} AS pc FROM cent c CROSS JOIN p)
            |       ORDER BY pc DESC, cid LIMIT 4),
-           |cand AS (SELECT a.vec_id, a.embedding FROM asg a JOIN pl USING (cid) WHERE a.vec_id <> 0)
-           |SELECT vec_id, CAST(${cos("embedding", "pv")} AS DECIMAL(16,12)) AS cos_sim
-           |FROM cand CROSS JOIN p ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+           |cand AS (SELECT a.vec_id, a.embedding FROM asg a JOIN pl USING (cid) WHERE a.vec_id <> 0),
+           |r AS (SELECT vec_id, CAST(${cos("embedding", "pv")} AS DECIMAL(16,12)) AS cs
+           |      FROM cand CROSS JOIN p)
+           |SELECT vec_id, CAST(cs AS VARCHAR) AS cos_sim
+           |FROM r ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin
       }
     ),
 

@@ -66,18 +66,21 @@ object ParityQueries {
   private val nonKeyCols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
   /** TPC-H Q3-shaped SQL written once in the dialect intersection of Spark
-    * SQL and DuckDB: the exact same text runs on both engines (q52). */
+    * SQL and DuckDB: the exact same text runs on both engines (q52). DECIMAL
+    * math stays internal; output columns render as text (STRING is a cast
+    * alias in both dialects) and ORDER BY keeps the typed values. */
   private val VerbatimSql: String =
     """SELECT l_orderkey,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
-      |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS STRING) AS revenue,
+      |       CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate, o_orderpriority
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |              JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE c_mktsegment = 'BUILDING'
       |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
       |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
       |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
-      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) DESC,
+      |         CAST(o_orderdate AS DATE), l_orderkey
       |LIMIT 50""".stripMargin
 
   private def hashSql(alias: String): String =
@@ -92,15 +95,16 @@ object ParityQueries {
     QueryDef(
       "q01_scan_filter_project",
       (s, dir) =>
-        t(s, dir, "lineitem")
-          .filter(to_date(col("l_shipdate")) <= lit("1998-09-02") && col("l_returnflag") === "R")
-          .select(
-            col("l_orderkey"),
-            col("l_linenumber"),
-            col("l_quantity").cast("decimal(18,2)").as("qty"),
-            col("l_returnflag"))
-          .orderBy("l_orderkey", "l_linenumber"),
-      Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty, l_returnflag
+        canonOut(
+          t(s, dir, "lineitem")
+            .filter(to_date(col("l_shipdate")) <= lit("1998-09-02") && col("l_returnflag") === "R")
+            .select(
+              col("l_orderkey"),
+              col("l_linenumber"),
+              col("l_quantity").cast("decimal(18,2)").as("qty"),
+              col("l_returnflag"))
+            .orderBy("l_orderkey", "l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS qty, l_returnflag
              |FROM lineitem
              |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' AND l_returnflag = 'R'
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)
@@ -114,9 +118,12 @@ object ParityQueries {
       (s, dir) => {
         val store = new graft.engine.SnapshotStore(
           s, sys.props("java.io.tmpdir") + "/graft_snapshots", "verify_run")
-        store.snapshot(ordersCanon(s, dir), "orders__base").orderBy("o_orderkey")
+        canonOut(store.snapshot(ordersCanon(s, dir), "orders__base").orderBy("o_orderkey"))
       },
-      Some(s"""SELECT * FROM ($ordersCanonSql) o ORDER BY o_orderkey""".stripMargin)
+      Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+              |       CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+              |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+              |FROM ($ordersCanonSql) o ORDER BY o_orderkey""".stripMargin)
     ),
 
     // A1: row count.
@@ -183,16 +190,17 @@ object ParityQueries {
     QueryDef(
       "q27_numeric_summary",
       (s, dir) =>
-        t(s, dir, "orders").agg(
-          min(col("o_totalprice")).cast("decimal(18,2)").as("min_price"),
-          max(col("o_totalprice")).cast("decimal(18,2)").as("max_price"),
-          expr("percentile(o_totalprice, 0.5)").cast("decimal(18,4)").as("median_price"),
-          expr("percentile(o_totalprice, 0.95)").cast("decimal(18,4)").as("p95_price"),
-          count(lit(1)).as("n")),
-      Some("""SELECT CAST(min(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-             |       CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price,
-             |       CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,4)) AS median_price,
-             |       CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,4)) AS p95_price,
+        canonOut(
+          t(s, dir, "orders").agg(
+            min(col("o_totalprice")).cast("decimal(18,2)").as("min_price"),
+            max(col("o_totalprice")).cast("decimal(18,2)").as("max_price"),
+            expr("percentile(o_totalprice, 0.5)").cast("decimal(18,4)").as("median_price"),
+            expr("percentile(o_totalprice, 0.95)").cast("decimal(18,4)").as("p95_price"),
+            count(lit(1)).as("n"))),
+      Some("""SELECT CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS min_price,
+             |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS max_price,
+             |       CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,4)) AS VARCHAR) AS median_price,
+             |       CAST(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,4)) AS VARCHAR) AS p95_price,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM orders""".stripMargin)
     ),
@@ -204,13 +212,14 @@ object ParityQueries {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("q"))
-        graft.engine.SkewTools.saltedSumCount(li, Seq("l_returnflag"), "q", buckets = 16)
-          .select(col("l_returnflag"),
-            col("sum_q").cast("decimal(18,2)").as("sum_q"), col("cnt"))
-          .orderBy("l_returnflag")
+        canonOut(
+          graft.engine.SkewTools.saltedSumCount(li, Seq("l_returnflag"), "q", buckets = 16)
+            .select(col("l_returnflag"),
+              col("sum_q").cast("decimal(18,2)").as("sum_q"), col("cnt"))
+            .orderBy("l_returnflag"))
       },
       Some("""SELECT l_returnflag,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_q,
+             |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_q,
              |       CAST(count(*) AS BIGINT) AS cnt
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
@@ -436,15 +445,16 @@ object ParityQueries {
           .agg(
             count(lit(1)).as("item_count"),
             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"))
-        agg
-          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
-            col("item_count"), col("revenue"))
-          .orderBy("o_orderkey")
+        canonOut(
+          agg
+            .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+              col("item_count"), col("revenue"))
+            .orderBy("o_orderkey"))
       },
-      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      Some("""SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
              |       CAST(count(*) AS BIGINT) AS item_count,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+             |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
              |ORDER BY o_orderkey""".stripMargin)
@@ -455,22 +465,23 @@ object ParityQueries {
     QueryDef(
       "q16_groupby_wide_agg",
       (s, dir) =>
-        t(s, dir, "lineitem")
-          .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
-          .groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            count(lit(1)).as("count_order"),
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
-            sum((col("l_extendedprice").cast("decimal(18,6)") *
-              (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-              .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"))
-          .orderBy("l_returnflag", "l_linestatus"),
+        canonOut(
+          t(s, dir, "lineitem")
+            .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(
+              count(lit(1)).as("count_order"),
+              sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+              sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+              sum((col("l_extendedprice").cast("decimal(18,6)") *
+                (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+                .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"))
+            .orderBy("l_returnflag", "l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
              |       CAST(count(*) AS BIGINT) AS count_order,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price
+             |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+             |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_base_price,
+             |       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS sum_disc_price
              |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
@@ -484,22 +495,23 @@ object ParityQueries {
     QueryDef(
       "q22_workload_scalars",
       (s, dir) =>
-        t(s, dir, "customer").select(
-          col("c_custkey"),
-          initcap(lower(trim(col("c_name")))).as("name_initcap"),
-          upper(col("c_mktsegment")).as("seg_upper"),
-          lower(col("c_mktsegment")).as("seg_lower"),
-          (col("c_acctbal").cast("decimal(12,2)") * lit(2).cast("decimal(4,0)"))
-            .cast("decimal(14,2)").as("bal_x2"),
-          when(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), lit("core"))
-            .otherwise(lit("other")).as("seg_class"))
-          .orderBy("c_custkey"),
+        canonOut(
+          t(s, dir, "customer").select(
+            col("c_custkey"),
+            initcap(lower(trim(col("c_name")))).as("name_initcap"),
+            upper(col("c_mktsegment")).as("seg_upper"),
+            lower(col("c_mktsegment")).as("seg_lower"),
+            (col("c_acctbal").cast("decimal(12,2)") * lit(2).cast("decimal(4,0)"))
+              .cast("decimal(14,2)").as("bal_x2"),
+            when(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), lit("core"))
+              .otherwise(lit("other")).as("seg_class"))
+            .orderBy("c_custkey")),
       Some("""SELECT c_custkey,
              |  array_to_string(list_transform(string_split(lower(trim(c_name)), ' '),
              |    w -> upper(w[1:1]) || lower(w[2:])), ' ') AS name_initcap,
              |  upper(c_mktsegment) AS seg_upper,
              |  lower(c_mktsegment) AS seg_lower,
-             |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 AS DECIMAL(14,2)) AS bal_x2,
+             |  CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 AS DECIMAL(14,2)) AS VARCHAR) AS bal_x2,
              |  CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'core' ELSE 'other' END AS seg_class
              |FROM customer ORDER BY c_custkey""".stripMargin)
     ),
@@ -561,13 +573,14 @@ object ParityQueries {
     QueryDef(
       "q19_rollup",
       (s, dir) =>
-        t(s, dir, "lineitem")
-          .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
-          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+        canonOut(
+          t(s, dir, "lineitem")
+            .rollup(col("l_returnflag"), col("l_linestatus"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+            .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
       Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+             |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     ),
@@ -579,21 +592,22 @@ object ParityQueries {
     QueryDef(
       "q53_sliding_window",
       (s, dir) =>
-        events(s, dir)
-          .select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
-            col("value").cast("decimal(18,4)").as("v"))
-          .withColumn("k", explode(sequence(lit(0), lit(3))))
-          .withColumn("window_start", expr("sec div 900 * 900 - k * 900"))
-          .filter(col("sec") - col("window_start") < 3600)
-          .groupBy(col("window_start"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(18,4)").as("sum_value"))
-          .orderBy("window_start", "event_type"),
+        canonOut(
+          events(s, dir)
+            .select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+              col("value").cast("decimal(18,4)").as("v"))
+            .withColumn("k", explode(sequence(lit(0), lit(3))))
+            .withColumn("window_start", expr("sec div 900 * 900 - k * 900"))
+            .filter(col("sec") - col("window_start") < 3600)
+            .groupBy(col("window_start"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(18,4)").as("sum_value"))
+            .orderBy("window_start", "event_type")),
       Some("""WITH x AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
              |              CAST(value AS DECIMAL(18,4)) AS v FROM events),
              |w AS (SELECT x.*, (sec // 900) * 900 - t.k * 900 AS window_start
              |      FROM x CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) t)
              |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
-             |       CAST(SUM(v) AS DECIMAL(18,4)) AS sum_value
+             |       CAST(CAST(SUM(v) AS DECIMAL(18,4)) AS VARCHAR) AS sum_value
              |FROM w WHERE sec - window_start < 3600
              |GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin)
     ),
@@ -676,17 +690,18 @@ object ParityQueries {
     QueryDef(
       "q21_window_agg",
       (s, dir) =>
-        events(s, dir)
-          .groupBy(
-            date_trunc("hour", col("ts")).cast("string").as("window_start"),
-            col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_value"))
-          .orderBy("window_start", "event_type"),
+        canonOut(
+          events(s, dir)
+            .groupBy(
+              date_trunc("hour", col("ts")).cast("string").as("window_start"),
+              col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_value"))
+            .orderBy("window_start", "event_type")),
       Some("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
              |       CAST(count(*) AS BIGINT) AS n,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+             |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
     )
   )

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, DateType, DecimalType, TimestampNTZType, TimestampType}
 
 package object queries {
 
@@ -13,6 +15,29 @@ package object queries {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String]
   )
+
+  private def needsTextRender(dt: DataType): Boolean = dt match {
+    case _: DecimalType                              => true
+    case DateType | TimestampType | TimestampNTZType => true
+    case _                                           => false
+  }
+
+  /** Output-boundary canonicalization. The driver reads the Spark result via
+    * pyarrow (typed `Decimal`/`date` objects) but the DuckDB oracle via
+    * `fetchdf` (float64/datetime64), so a DECIMAL/DATE/TIMESTAMP column in the
+    * FINAL projection hash-mismatches even when values are identical. Exact
+    * DECIMAL math stays internal (order-independent aggregation); the last
+    * projection renders those columns as text — the reference's own
+    * comparison scheme is likewise text-rendered (adapters/postgres.py:99).
+    * Every oracle SQL mirrors this with CAST(... AS VARCHAR), applied in the
+    * same SELECT as the ORDER BY so ordering stays on the typed value. */
+  def canonOut(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(f => needsTextRender(f.dataType))) df
+    else
+      df.select(df.schema.fields.toIndexedSeq.map { f =>
+        if (needsTextRender(f.dataType)) col(f.name).cast("string").as(f.name)
+        else col(f.name)
+      }: _*)
 
   /** Load one of the driver-generated parquet tables (TESTDATA.md). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -2,10 +2,19 @@
 """Dev-only pre-flight mirroring the driver's correctness gate:
 run graft.Verify (sbt) output against DuckDB oracles on the same parquet.
 
+ASYMMETRIC on purpose (this is what the driver does): the Spark side is read
+with pyarrow/pandas.read_parquet, which preserves DECIMAL as decimal.Decimal
+and DATE as datetime.date; the oracle side goes through duckdb fetchdf, which
+coerces DECIMAL->float64 and DATE->datetime64. String-comparing the two sides
+therefore catches any typed DECIMAL/DATE/TIMESTAMP column left in a final
+projection (the round-1 failure mode) that a symmetric fetchdf/fetchdf
+comparison silently masks.
+
 Usage: python3 tools/selfcheck.py [sfDir] [outDir]
 """
 import json, sys, glob, os
 import duckdb
+import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -21,7 +30,8 @@ for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d):
         continue
-    spark_df = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
+    # Spark side via pyarrow: typed Decimal/date objects survive (driver parity).
+    spark_df = pd.read_parquet(d)
     if name not in oracle:
         print(f"{name:28s} rows-only: {len(spark_df)} rows")
         continue
