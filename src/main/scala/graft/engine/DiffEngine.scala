@@ -219,7 +219,6 @@ object DiffEngine {
     // aggregate (the reference's scan-sharing, adapters/postgres.py:71-92,
     // plus the count query it runs separately — diff_flow.py:133-135).
     def profileAndCount(df: DataFrame): (Long, Map[String, (Long, Long)]) = {
-      if (!computeProfiles) return (df.count(), Map.empty) // --no-col-stats
       val aggs = count(lit(1)).as("__n") +: profileExprs(sd.common, approxDistinct)
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getLong(0)
@@ -228,33 +227,45 @@ object DiffEngine {
       }.toMap
       (n, prof)
     }
-    val (baseCount, baseProf) = profileAndCount(base)
-    val (headCount, headProf) = profileAndCount(head)
-    val rc = RowCounts(baseCount, headCount)
-    val profiles = if (!computeProfiles) Nil else sd.common.map { c =>
-      val (bn, bd) = baseProf(c)
-      val (hn, hd) = headProf(c)
-      ColumnProfile(
-        c,
-        SideProfile(bn, bd, pct(bn, rc.base), pct(bd, rc.base)),
-        SideProfile(hn, hd, pct(hn, rc.head), pct(hd, rc.head))
-      )
+    def profiles(rc: RowCounts, baseProf: Map[String, (Long, Long)], headProf: Map[String, (Long, Long)]) =
+      sd.common.map { c =>
+        val (bn, bd) = baseProf(c)
+        val (hn, hd) = headProf(c)
+        ColumnProfile(
+          c,
+          SideProfile(bn, bd, pct(bn, rc.base), pct(bd, rc.base)),
+          SideProfile(hn, hd, pct(hn, rc.head), pct(hd, rc.head))
+        )
+      }
+
+    // STATS_ONLY: stop before any join (diff_flow.py:177-178). Side counts
+    // need their own action here (one combined scan per side).
+    if (keys.isEmpty) {
+      if (!computeProfiles)
+        return DiffResult(meta, RowCounts(base.count(), head.count()), sd, Nil, None)
+      val (baseCount, baseProf) = profileAndCount(base)
+      val (headCount, headProf) = profileAndCount(head)
+      val rc = RowCounts(baseCount, headCount)
+      return DiffResult(meta, rc, sd, profiles(rc, baseProf, headProf), None)
     }
 
-    // STATS_ONLY: stop before any join (diff_flow.py:177-178).
-    if (keys.isEmpty) return DiffResult(meta, rc, sd, profiles, None)
-
-    // ONE full-outer join answers added + removed + changed + sample — the
-    // reference runs three joins and rebuilds the hash CTEs for the sample
-    // (diff_flow.py:189-249).
+    // ONE full-outer join answers added + removed + changed + sample + both
+    // side row counts — the reference runs three joins, rebuilds the hash
+    // CTEs for the sample, and issues separate COUNT queries
+    // (diff_flow.py:133-135, 189-249). Side counts fold into the same pass
+    // as count of non-null per-side hash (exact when keys are unique — the
+    // PK contract every keyed diff here assumes); with profiles on they come
+    // from the profile scan instead, which is needed anyway.
     val nonKey = sd.common.filterNot(keys.contains) // head order (diff_flow.py:181)
     val joined = rowDiffFrame(base, head, keys, nonKey).persist(StorageLevel.MEMORY_AND_DISK)
-    val rd = try {
+    try {
       val stats = joined.agg(
         sum(when(col("__base_hash").isNull, 1L).otherwise(0L)).as("added"),
         sum(when(col("__head_hash").isNull, 1L).otherwise(0L)).as("removed"),
         sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
-          col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed")
+          col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed"),
+        sum(when(col("__base_hash").isNotNull, 1L).otherwise(0L)).as("base_rows"),
+        sum(when(col("__head_hash").isNotNull, 1L).otherwise(0L)).as("head_rows")
       ).head()
       def stat(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
       val changedRows = joined.filter(
@@ -265,8 +276,15 @@ object DiffEngine {
       val sampleKeys = ordered.limit(sample).collect().toSeq.map { r =>
         keys.map(k => k -> String.valueOf(r.getAs[Any](k))).toMap
       }
-      RowDiff(stat(0), stat(1), stat(2), sampleKeys)
+      val rd = RowDiff(stat(0), stat(1), stat(2), sampleKeys)
+      if (!computeProfiles) // --no-col-stats: zero per-side scans beyond the join
+        DiffResult(meta, RowCounts(stat(3), stat(4)), sd, Nil, Some(rd))
+      else {
+        val (baseCount, baseProf) = profileAndCount(base)
+        val (headCount, headProf) = profileAndCount(head)
+        val rc = RowCounts(baseCount, headCount)
+        DiffResult(meta, rc, sd, profiles(rc, baseProf, headProf), Some(rd))
+      }
     } finally { joined.unpersist(); () }
-    DiffResult(meta, rc, sd, profiles, Some(rd))
   }
 }

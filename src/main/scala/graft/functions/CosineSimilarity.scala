@@ -89,6 +89,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine_similarity"
   val SortedIntersectName = "graft_sorted_intersect_count"
   val WinnowingName = "graft_winnowing_fingerprints"
+  val HyperplaneName = "graft_hyperplane_bucket"
 
   private def registerOne(
       spark: SparkSession, name: String, clazz: Class[_],
@@ -117,6 +118,14 @@ object GraftFunctions {
       }
       WinnowingFingerprints(children.head, intLit(children(1)), intLit(children(2)))
     })
+    registerOne(spark, HyperplaneName, classOf[HyperplaneBucket], { children =>
+      require(children.length == 3, s"$HyperplaneName expects (vec, bits, seed)")
+      def intLit(e: Expression): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"$HyperplaneName bits/seed must be int literals, got $other")
+      }
+      HyperplaneBucket(children.head, intLit(children(1)), intLit(children(2)))
+    })
   }
 
   /** Column DSL for the fused cosine (caller must have registered). */
@@ -130,4 +139,9 @@ object GraftFunctions {
   def winnowing(text: Column, k: Int, w: Int): Column =
     call_function(WinnowingName, text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+
+  /** Column DSL for the random-hyperplane LSH bucket. */
+  def hyperplaneBucket(vec: Column, bits: Int, seed: Int): Column =
+    call_function(HyperplaneName, vec,
+      org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(seed))
 }

@@ -167,21 +167,26 @@ object Dedup {
         (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))
   }
 
-  /** Embedding-cosine near-dup pairs: sign-bucket blocking (shared
-    * random-hyperplane-style bits with [[Similarity.signBucket]]) then exact
+  /** Embedding-cosine near-dup pairs: LSH-bucket blocking then exact
     * cosine ≥ threshold within buckets — the embedding-space member of the
     * near-dup family. Pair count is bounded by bucket populations
-    * (~n²/2^bits for balanced buckets), never all-pairs. */
+    * (~n²/2^bits for balanced buckets), never all-pairs. Default bucketing is
+    * the seeded random-hyperplane form ([[Similarity.hyperplaneBucket]],
+    * balanced under biased dims — use bits ≥ 12 at corpus scale);
+    * `axisAligned=true` selects the oracle-replicable axis-sign form. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       bits: Int,
-      minCosineX100: Int
+      minCosineX100: Int,
+      axisAligned: Boolean = false
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val bucketed = df.select(col(idCol), col(vecCol),
-      Similarity.signBucket(vecCol, bits).as("__bucket"))
+    val bucket =
+      if (axisAligned) Similarity.signBucket(vecCol, bits)
+      else Similarity.hyperplaneBucket(vecCol, bits)
+    val bucketed = df.select(col(idCol), col(vecCol), bucket.as("__bucket"))
     val a = bucketed.toDF(s"a_$idCol", "a_vec", "__bucket")
     val b = bucketed.toDF(s"b_$idCol", "b_vec", "__bucket")
     a.join(b, Seq("__bucket"))
@@ -272,20 +277,38 @@ object Dedup {
   }
 
   /** Edit-distance near-dup pairs: block on a text prefix, verify with
-    * levenshtein — the classic cheap-block/expensive-verify split. */
+    * levenshtein — the classic cheap-block/expensive-verify split.
+    *
+    * Two guards keep the block from going quadratic on real corpora:
+    *   - length-difference prune IN the join condition —
+    *     `|len(a)−len(b)| ≤ maxDist` is a lower bound on edit distance, so
+    *     it is exact (never changes results) and cuts candidates before any
+    *     O(len²) levenshtein work;
+    *   - `maxBlockSize` cap — web corpora share boilerplate prefixes
+    *     ("Terms of Service…") that would otherwise make one block O(n²);
+    *     over-common prefixes are dropped like over-common LSH bands
+    *     ([[minHashLshPairs]]), applied identically in the oracle. */
   def levenshteinPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       prefixLen: Int,
-      maxDist: Int
+      maxDist: Int,
+      maxBlockSize: Int = 500
   ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val proj = df.select(col(idCol), col(textCol),
-      substring(col(textCol), 1, prefixLen).as("__pfx"))
-    val a = proj.toDF(s"a_$idCol", "a_text", "__pfx")
-    val b = proj.toDF(s"b_$idCol", "b_text", "__pfx")
+      substring(col(textCol), 1, prefixLen).as("__pfx"),
+      length(col(textCol)).as("__len"))
+    val capped = proj
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__pfx"))))
+      .filter(col("__bn") <= maxBlockSize)
+      .drop("__bn")
+    val a = capped.toDF(s"a_$idCol", "a_text", "__pfx", "a_len")
+    val b = capped.toDF(s"b_$idCol", "b_text", "__pfx", "b_len")
     a.join(b, Seq("__pfx"))
-      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol") &&
+        abs(col("a_len") - col("b_len")) <= maxDist)
       .select(col(s"a_$idCol"), col(s"b_$idCol"),
         levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)

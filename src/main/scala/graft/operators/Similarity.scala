@@ -57,26 +57,44 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane-style LSH bucket: sign bits of the first `bits`
-    * dimensions (axis-aligned planes — deterministic, no seeds to ship).
-    * bucket = Σ (v[i] > 0) · 2^i. */
+  /** Axis-aligned LSH bucket: sign bits of the first `bits` dimensions —
+    * deterministic and oracle-replicable (plain SQL on any engine), but
+    * bias-prone: real embedding dims are correlated, and a dimension with a
+    * skewed sign collapses occupancy. Use [[hyperplaneBucket]] for real ANN
+    * workloads; keep this form where a cross-engine oracle must replicate
+    * the bucketing. bucket = Σ (v[i] > 0) · 2^i. */
   def signBucket(vecCol: String, bits: Int): Column =
     (0 until bits)
       .map(i => when(element_at(col(vecCol), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Random-hyperplane LSH bucket (the ANN-grade form): bit p is the sign of
+    * the vector's projection onto a pseudo-random Rademacher hyperplane with
+    * a fixed seed — deterministic across executors/runs, balanced occupancy
+    * even on biased embeddings. Native codegen'd expression
+    * ([[graft.functions.HyperplaneBucket]]); caller must have registered. */
+  def hyperplaneBucket(vecCol: String, bits: Int, seed: Int = DefaultPlaneSeed): Column =
+    GraftFunctions.hyperplaneBucket(col(vecCol), bits, seed)
+
+  val DefaultPlaneSeed = 42
+
   /** ANN via sign-bucket pruning: exact cosine only within the probe's
-    * bucket. The bucket equi-join replaces the all-pairs scan. */
+    * bucket. The bucket equi-join replaces the all-pairs scan.
+    * `axisAligned=true` selects the oracle-replicable axis-sign bucketing
+    * (use only where a cross-engine oracle needs it); the default is the
+    * hyperplane form, for which `bits` should be ≥ 12 at ANN scale. */
   def lshTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       probeId: Long,
       k: Int,
-      bits: Int = 8
+      bits: Int = 12,
+      axisAligned: Boolean = false
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val bucketed = df.withColumn("__bucket", signBucket(vecCol, bits))
+    val bucket = if (axisAligned) signBucket(vecCol, bits) else hyperplaneBucket(vecCol, bits)
+    val bucketed = df.withColumn("__bucket", bucket)
     val probe = bucketed.filter(col(idCol) === probeId)
       .select(col(vecCol).as("__probe"), col("__bucket"))
     bucketed.join(broadcast(probe), Seq("__bucket"))

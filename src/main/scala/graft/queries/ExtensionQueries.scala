@@ -131,12 +131,16 @@ object ExtensionQueries {
       "q35_dedup_levenshtein",
       (s, dir) =>
         Dedup.levenshteinPairs(t(s, dir, "documents"), "doc_id", "text",
-          prefixLen = 20, maxDist = 120)
+          prefixLen = 20, maxDist = 120, maxBlockSize = 500)
           .orderBy("a_doc_id", "b_doc_id"),
-      Some("""SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+      Some("""WITH ok AS (SELECT substr(text, 1, 20) AS pfx FROM documents
+             |            GROUP BY 1 HAVING count(*) <= 500)
+             |SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
              |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
              |FROM documents a JOIN documents b
              |  ON substr(a.text, 1, 20) = substr(b.text, 1, 20) AND a.doc_id < b.doc_id
+             |  AND abs(length(a.text) - length(b.text)) <= 120
+             |JOIN ok ON ok.pfx = substr(a.text, 1, 20)
              |WHERE levenshtein(a.text, b.text) <= 120
              |ORDER BY a_doc_id, b_doc_id""".stripMargin)
     ),
@@ -147,7 +151,7 @@ object ExtensionQueries {
       "q54_dedup_embed",
       (s, dir) =>
         canonOut(Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          bits = 4, minCosineX100 = 35)
+          bits = 4, minCosineX100 = 35, axisAligned = true)
           .orderBy("a_vec_id", "b_vec_id")),
       Some {
         val bucket = (0 until 4)
@@ -228,7 +232,7 @@ object ExtensionQueries {
       "q37_embed_ann_lsh",
       (s, dir) =>
         canonOut(Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          probeId = 0L, k = 10, bits = 4)),
+          probeId = 0L, k = 10, bits = 4, axisAligned = true)),
       Some {
         val bucket = (0 until 4)
           .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")

@@ -304,20 +304,24 @@ object ParityQueries {
       (s, dir) => {
         val base = ordersCanon(s, dir)
         val head = ordersHead(s, dir)
-        // added/removed/changed from ONE full-outer pass (vs the reference's
-        // three separate join queries — diff_flow.py:189-249).
+        // added/removed/changed AND both side row counts from ONE full-outer
+        // pass (vs the reference's three join queries + two COUNTs —
+        // diff_flow.py:133-135, 189-249). Side counts = non-null per-side
+        // hashes, exact under the keyed diff's unique-key contract.
         val stats = DiffEngine.rowDiffFrame(base, head, Seq("o_orderkey"), nonKeyCols)
           .agg(
             sum(when(col("__base_hash").isNull, 1L).otherwise(0L)).as("added"),
             sum(when(col("__head_hash").isNull, 1L).otherwise(0L)).as("removed"),
             sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
-              col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed"))
+              col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed"),
+            sum(when(col("__base_hash").isNotNull, 1L).otherwise(0L)).as("base_rows"),
+            sum(when(col("__head_hash").isNotNull, 1L).otherwise(0L)).as("head_rows"))
           .head()
         val rows = Seq(
           ("added", stats.getLong(0)),
-          ("base_rows", base.count()),
+          ("base_rows", stats.getLong(3)),
           ("changed", stats.getLong(2)),
-          ("head_rows", head.count()),
+          ("head_rows", stats.getLong(4)),
           ("removed", stats.getLong(1))
         )
         import s.implicits._

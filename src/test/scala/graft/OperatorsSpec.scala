@@ -55,6 +55,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(r((1L, 3L)) == 3L) // "the mat" vs "a mat": replace t->a? dist('the','a') edit = 3
   }
 
+  test("levenshtein block cap bounds a pathological common-prefix corpus") {
+    // 200 docs sharing a 20-char boilerplate prefix (ubiquitous in web
+    // corpora) would otherwise produce 200*199/2 = 19900 candidate pairs.
+    val boiler = (1L to 200L).map(i => (i, s"Terms of Service v2 $i unique tail ${i * 37}"))
+    val organic = Seq((900L, "organic text one x"), (901L, "organic text one y"))
+    val corpus = (boiler ++ organic).toDF("doc_id", "text")
+    val capped = Dedup.levenshteinPairs(corpus, "doc_id", "text",
+      prefixLen = 16, maxDist = 50, maxBlockSize = 100)
+    // the over-common block is dropped entirely; the small organic block survives
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((900L, 901L)))
+  }
+
+  test("levenshtein length-difference prune never changes results") {
+    // prune is a lower bound on edit distance: results with a huge maxBlockSize
+    // equal the unpruned all-in-block pairs computed naively
+    val r = Dedup.levenshteinPairs(docs, "doc_id", "text", prefixLen = 4, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // docs 1,2,3 share "the " prefix; 1-3 dist 2 ("the"->"a" ... ) within 5, 1-2 = 0
+    assert(r((1L, 2L)) == 0L)
+    assert(r.contains((1L, 3L)) == (r((1L, 3L)) <= 5L))
+  }
+
   private def vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(1.0f, 0.0f, 0.0f)),  // cos 1.0 with probe
@@ -70,9 +93,41 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("sign-bucket LSH only searches the probe's bucket") {
-    val r = Similarity.lshTopK(vecs, "vec_id", "embedding", probeId = 0L, k = 5, bits = 2)
+    val r = Similarity.lshTopK(vecs, "vec_id", "embedding", probeId = 0L, k = 5, bits = 2,
+      axisAligned = true)
       .collect().map(_.getLong(0)).toSet
     assert(r == Set(1L)) // only vec 1 shares bucket (x>0, y<=0)
+  }
+
+  test("hyperplane LSH finds identical vectors (same projections, same bucket)") {
+    val r = Similarity.lshTopK(vecs, "vec_id", "embedding", probeId = 0L, k = 5, bits = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(r.contains(1L)) // identical vector always lands in the probe's bucket
+  }
+
+  test("hyperplane buckets are deterministic and balanced on biased embeddings") {
+    graft.functions.GraftFunctions.register(spark)
+    // biased corpus: EVERY dimension positive -> axis-sign bucketing collapses
+    // all rows into one bucket (2^bits-1); hyperplanes must still spread them
+    val n = 512
+    val dims = 16
+    val biased = (0 until n).map { r =>
+      val rnd = new scala.util.Random(r * 7919L + 13L)
+      (r.toLong, Array.fill(dims)(0.25f + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val bits = 6
+    val axis = biased.select(Similarity.signBucket("embedding", bits).as("b"))
+      .groupBy("b").count().collect()
+    assert(axis.length == 1) // the failure mode: total collapse
+    val hp1 = biased.select(col("vec_id"), Similarity.hyperplaneBucket("embedding", bits).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hp2 = biased.select(col("vec_id"), Similarity.hyperplaneBucket("embedding", bits).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hp1 == hp2) // fixed seed => reproducible across runs
+    val occupancy = hp1.values.groupBy(identity).map(_._2.size)
+    // balanced-ish: many buckets used and no bucket hoards the corpus
+    assert(occupancy.size >= (1 << bits) / 4, s"only ${occupancy.size} buckets used")
+    assert(occupancy.max <= n / 4, s"largest bucket ${occupancy.max} of $n")
   }
 
   test("knn join returns k ranked neighbors per probe") {
