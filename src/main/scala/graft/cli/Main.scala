@@ -151,9 +151,15 @@ object Main {
         if (bn + hn > 0)
           log(a, s"WARNING: null key values (base=$bn head=$hn rows) — these rows can never match and inflate added/removed")
       }
-      DiffEngine.diff(baseSnap, headSnap, a.keys, a.where, a.sample,
+      val res = DiffEngine.diff(baseSnap, headSnap, a.keys, a.where, a.sample,
         approxDistinct = a.approxDistinct, computeProfiles = a.colStats,
         model = a.model, baseRef = a.baseRef, headRef = a.headRef)
+      // record the ACTUAL snapshot namespace/tables in meta (diff_flow.py:87-88)
+      res.copy(meta = res.meta.copy(
+        diffSchema = Some("dbt_model_diff__" + SnapshotStore.sanitize(runId)),
+        tables = Some((
+          SnapshotStore.sanitize(s"${a.model}__base"),
+          SnapshotStore.sanitize(s"${a.model}__head")))))
     } finally {
       try git(repoRoot, "worktree", "remove", "--force", baseWt) catch { case _: Throwable => }
       try git(repoRoot, "worktree", "remove", "--force", headWt) catch { case _: Throwable => }

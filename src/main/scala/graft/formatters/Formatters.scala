@@ -4,9 +4,21 @@ import graft.model._
 
 /** Output renderers mirroring the reference's three formats
   * (cli.py:137-145 → formatters/{json_fmt,markdown_fmt,rich_fmt}.py).
-  * JSON keys match formatters/json_fmt.py's document shape (sorted keys,
-  * json_fmt.py:28) so golden-JSON parity is testable. */
+  *
+  * The JSON document is golden-comparable with the reference's: the result
+  * dict shape of diff_flow.py:80-94/251-256 (meta.base/head/diff_schema/
+  * tables, row_diff.sample_keys as key tuples) rendered like
+  * json_fmt.py:28's `json.dumps(indent=2, sort_keys=True)`. Two documented
+  * extensions appear ONLY when non-empty, so a run the reference could
+  * produce matches byte-for-byte: `meta.where` (set by --where) and
+  * `schema_diff.type_changes` (the reference ignores column types). */
 object JsonFormatter {
+
+  private sealed trait J
+  private final case class JRaw(text: String) extends J // numbers / null
+  private final case class JStr(s: String) extends J
+  private final case class JArr(items: Seq[J]) extends J
+  private final case class JObj(fields: Seq[(String, J)]) extends J
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
@@ -18,59 +30,92 @@ object JsonFormatter {
     case c => c.toString
   }
 
-  private def js(s: String): String = "\"" + esc(s) + "\""
+  /** python json.dumps(indent=2, sort_keys=True) layout: one entry per
+    * line, 2-space nesting, empty containers inline. */
+  private def pretty(j: J, indent: Int): String = {
+    val pad = "  " * indent
+    val padIn = "  " * (indent + 1)
+    j match {
+      case JRaw(t) => t
+      case JStr(s) => "\"" + esc(s) + "\""
+      case JArr(Seq()) => "[]"
+      case JArr(items) =>
+        items.map(i => padIn + pretty(i, indent + 1)).mkString("[\n", ",\n", s"\n$pad]")
+      case JObj(Seq()) => "{}"
+      case JObj(fields) =>
+        fields.sortBy(_._1).map { case (k, v) =>
+          s"""$padIn"${esc(k)}": ${pretty(v, indent + 1)}"""
+        }.mkString("{\n", ",\n", s"\n$pad}")
+    }
+  }
+
   private def jnum(d: Double): String =
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString + ".0" else d.toString
-  private def jarr(xs: Seq[String]): String = xs.mkString("[", ", ", "]")
-  private def jobj(fields: Seq[(String, String)]): String =
-    fields.sortBy(_._1).map { case (k, v) => s"${js(k)}: $v" }.mkString("{", ", ", "}")
+
+  /** Sample-key values come back stringified from the collect; re-render
+    * integral values as JSON numbers the way the reference's native ints
+    * serialize (diff_flow.py:249 keeps raw driver values). */
+  private def keyValue(v: String): J =
+    if (v != null && v.nonEmpty && v.forall(c => c.isDigit || c == '-') && scala.util.Try(v.toLong).isSuccess)
+      JRaw(v.toLong.toString)
+    else if (v == null) JRaw("null")
+    else JStr(v)
 
   def render(r: DiffResult): String = {
-    val meta = jobj(Seq(
-      "model" -> js(r.meta.model),
-      "base_ref" -> js(r.meta.baseRef),
-      "head_ref" -> js(r.meta.headRef),
-      "mode" -> js(r.meta.mode),
-      "where" -> r.meta.where.map(js).getOrElse("null"),
-      "keys" -> jarr(r.meta.keys.map(js))
+    val sanitize = graft.engine.SnapshotStore.sanitize(_: String)
+    // reference-deterministic defaults (diff_flow.py:68-71) when the caller
+    // didn't thread actual snapshot names through
+    val diffSchema = r.meta.diffSchema.getOrElse(
+      "dbt_model_diff__" + sanitize(s"${r.meta.model}_${r.meta.baseRef}_${r.meta.headRef}"))
+    val (baseTable, headTable) = r.meta.tables.getOrElse(
+      (s"${sanitize(r.meta.model)}__base", s"${sanitize(r.meta.model)}__head"))
+    val meta = JObj(Seq(
+      "model" -> JStr(r.meta.model),
+      "base" -> JStr(r.meta.baseRef),
+      "head" -> JStr(r.meta.headRef),
+      "mode" -> JStr(r.meta.mode),
+      "keys" -> JArr(r.meta.keys.map(JStr.apply)),
+      "diff_schema" -> JStr(diffSchema),
+      "tables" -> JObj(Seq("base" -> JStr(baseTable), "head" -> JStr(headTable)))
+    ) ++ r.meta.where.map(w => "where" -> (JStr(w): J)).toSeq)
+    val rowcounts = JObj(Seq(
+      "base" -> JRaw(r.rowcounts.base.toString),
+      "head" -> JRaw(r.rowcounts.head.toString)
     ))
-    val rowcounts = jobj(Seq(
-      "base" -> r.rowcounts.base.toString,
-      "head" -> r.rowcounts.head.toString
+    val schemaDiff = JObj(Seq(
+      "common" -> JArr(r.schemaDiff.common.map(JStr.apply)),
+      "only_in_head" -> JArr(r.schemaDiff.onlyInHead.map(JStr.apply)),
+      "only_in_base" -> JArr(r.schemaDiff.onlyInBase.map(JStr.apply))
+    ) ++ (if (r.schemaDiff.typeChanges.isEmpty) Nil
+          else Seq("type_changes" -> (JArr(r.schemaDiff.typeChanges.map { case (c, bt, ht) =>
+            JObj(Seq("column" -> JStr(c), "base_type" -> JStr(bt), "head_type" -> JStr(ht)))
+          }): J))))
+    def side(p: SideProfile): J = JObj(Seq(
+      "nulls" -> JRaw(p.nulls.toString),
+      "distinct" -> JRaw(p.distinct.toString),
+      "null_pct" -> JRaw(jnum(p.nullPct)),
+      "uniq_pct" -> JRaw(jnum(p.uniqPct))
     ))
-    val schemaDiff = jobj(Seq(
-      "common" -> jarr(r.schemaDiff.common.map(js)),
-      "only_in_head" -> jarr(r.schemaDiff.onlyInHead.map(js)),
-      "only_in_base" -> jarr(r.schemaDiff.onlyInBase.map(js)),
-      "type_changes" -> jarr(r.schemaDiff.typeChanges.map { case (c, bt, ht) =>
-        jobj(Seq("column" -> js(c), "base_type" -> js(bt), "head_type" -> js(ht)))
-      })
-    ))
-    def side(p: SideProfile): String = jobj(Seq(
-      "nulls" -> p.nulls.toString,
-      "distinct" -> p.distinct.toString,
-      "null_pct" -> jnum(p.nullPct),
-      "uniq_pct" -> jnum(p.uniqPct)
-    ))
-    val profiles = jobj(r.columnProfiles.map { cp =>
-      cp.column -> jobj(Seq("base" -> side(cp.base), "head" -> side(cp.head)))
+    val profiles = JObj(r.columnProfiles.map { cp =>
+      cp.column -> (JObj(Seq("base" -> side(cp.base), "head" -> side(cp.head))): J)
     })
-    val rowDiff = r.rowDiff.map { rd =>
-      jobj(Seq(
-        "added" -> rd.added.toString,
-        "removed" -> rd.removed.toString,
-        "changed" -> rd.changed.toString,
-        "sample_changed_keys" -> jarr(rd.sampleChangedKeys.map(m =>
-          jobj(m.toSeq.map { case (k, v) => k -> js(v) })))
-      ))
-    }.getOrElse("null")
-    jobj(Seq(
+    val rowDiff: J = r.rowDiff.map { rd =>
+      JObj(Seq(
+        "added" -> JRaw(rd.added.toString),
+        "removed" -> JRaw(rd.removed.toString),
+        "changed" -> JRaw(rd.changed.toString),
+        // key TUPLES in meta.keys order (diff_flow.py:249 `[list(r) for r in rows]`)
+        "sample_keys" -> (JArr(rd.sampleChangedKeys.map(m =>
+          JArr(r.meta.keys.map(k => keyValue(m.getOrElse(k, null)))))): J)
+      )): J
+    }.getOrElse(JRaw("null"))
+    pretty(JObj(Seq(
       "meta" -> meta,
       "rowcounts" -> rowcounts,
       "schema_diff" -> schemaDiff,
       "column_profile" -> profiles,
       "row_diff" -> rowDiff
-    ))
+    )), 0)
   }
 }
 

@@ -18,7 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
   * the Catalyst-idiomatic way to ship an optimization.
   *
   * Conservative by construction: fires only on the exact provably-safe
-  * pattern (sorted ascending, deduped, string element type).
+  * pattern (sorted ascending, deduped, string element type, and
+  * `containsNull=false`). The null restriction is semantic, not cosmetic:
+  * `array_intersect` counts a null element shared by both sides while the
+  * sorted merge skips nulls, so rewriting a null-bearing array would change
+  * the user's result by one. `split()` et al. produce containsNull=false,
+  * so the common token-set shape still qualifies.
   */
 object IntersectCountRewrite extends Rule[LogicalPlan] {
 
@@ -28,7 +33,7 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
         case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value == true
         case _ => false
       }) && (child.dataType match {
-        case ArrayType(StringType, _) => true
+        case ArrayType(StringType, containsNull) => !containsNull
         case _ => false
       })
     case _ => false

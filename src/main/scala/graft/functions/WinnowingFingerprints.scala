@@ -22,6 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Chars beyond the string (len < k tail) contribute 0, matching
   * `ascii(substring(...)) = ascii('') = 0` in the SQL form.
+  *
+  * Iterates CODE POINTS, not UTF-16 code units: the SQL form counts
+  * characters with `length()` and hashes `ascii(substring(...))` code
+  * points, so a surrogate-pair character (emoji etc. — routine in web
+  * training text) must be one gram position with its full code-point
+  * value, exactly as DuckDB computes it.
   */
 case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
@@ -37,7 +43,8 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val len = s.length
+    val cps = s.codePoints().toArray // code points, matching SQL length()/substring()
+    val len = cps.length
     val n = math.max(len - k + 1, 1)
     val grams = new Array[Long](n)
     var i = 0
@@ -45,7 +52,7 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
       var acc = 0L
       var j = 0
       while (j < k) {
-        val c = if (i + j < len) s.charAt(i + j).toLong else 0L
+        val c = if (i + j < len) cps(i + j).toLong else 0L
         acc = (acc * 257L + c) % P
         j += 1
       }

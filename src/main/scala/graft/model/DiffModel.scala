@@ -14,7 +14,12 @@ final case class DiffMeta(
     headRef: String,
     mode: String, // "FULL_DIFF" | "STATS_ONLY" (diff_flow.py:85)
     where: Option[String],
-    keys: Seq[String]
+    keys: Seq[String],
+    // Snapshot namespace + table names, mirroring meta.diff_schema/tables
+    // (diff_flow.py:87-88). None ⇒ formatter derives the reference's
+    // deterministic names from model/base/head.
+    diffSchema: Option[String] = None,
+    tables: Option[(String, String)] = None
 )
 
 final case class RowCounts(base: Long, head: Long)

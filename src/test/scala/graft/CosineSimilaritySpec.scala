@@ -87,6 +87,22 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(!raw.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"))
   }
 
+  test("rewrite skips null-bearing arrays (array_intersect counts a shared null)") {
+    import graft.functions.IntersectCountRewrite
+    IntersectCountRewrite.install(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(4)
+    // array(text, NULL) has containsNull=true: the sorted merge skips nulls but
+    // array_intersect counts a null shared by both sides — result would shift
+    // by one, so the rule must leave this expression alone
+    val withNull = "size(array_intersect(" +
+      "sort_array(array_distinct(array(text, cast(null as string)))), " +
+      "sort_array(array_distinct(array(text, cast(null as string))))))"
+    val q = docs.selectExpr(s"$withNull as n")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"))
+    // and the untouched builtin counts {text, null} -> 2
+    assert(q.collect().forall(_.getInt(0) == 2))
+  }
+
   test("extensions class injects functions into a SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftSparkExtensions().apply(ext)

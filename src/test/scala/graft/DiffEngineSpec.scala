@@ -158,6 +158,87 @@ class DiffEngineSpec extends SparkTestBase {
     } finally store.drop()
   }
 
+  test("JSON formatter is byte-identical to the reference's json.dumps golden") {
+    import graft.model._
+    // golden produced by: json.dumps(result, indent=2, sort_keys=True,
+    // default=str) over the reference's result-dict shape
+    // (diff_flow.py:80-94, 251-256; json_fmt.py:28)
+    val r = DiffResult(
+      DiffMeta("stg_customers", "main", "feature", "FULL_DIFF", None, Seq("customer_id"),
+        diffSchema = Some("dbt_model_diff__stg_customers_main_feature"),
+        tables = Some(("stg_customers__base", "stg_customers__head"))),
+      RowCounts(3, 4),
+      SchemaDiff(Seq("customer_id", "name"), Seq("new_col"), Nil),
+      Seq(ColumnProfile("customer_id",
+        SideProfile(0, 3, 0.0, 100.0), SideProfile(0, 4, 0.0, 100.0))),
+      Some(RowDiff(1, 0, 2, Seq(Map("customer_id" -> "2"), Map("customer_id" -> "3"))))
+    )
+    val golden =
+      """{
+        |  "column_profile": {
+        |    "customer_id": {
+        |      "base": {
+        |        "distinct": 3,
+        |        "null_pct": 0.0,
+        |        "nulls": 0,
+        |        "uniq_pct": 100.0
+        |      },
+        |      "head": {
+        |        "distinct": 4,
+        |        "null_pct": 0.0,
+        |        "nulls": 0,
+        |        "uniq_pct": 100.0
+        |      }
+        |    }
+        |  },
+        |  "meta": {
+        |    "base": "main",
+        |    "diff_schema": "dbt_model_diff__stg_customers_main_feature",
+        |    "head": "feature",
+        |    "keys": [
+        |      "customer_id"
+        |    ],
+        |    "mode": "FULL_DIFF",
+        |    "model": "stg_customers",
+        |    "tables": {
+        |      "base": "stg_customers__base",
+        |      "head": "stg_customers__head"
+        |    }
+        |  },
+        |  "row_diff": {
+        |    "added": 1,
+        |    "changed": 2,
+        |    "removed": 0,
+        |    "sample_keys": [
+        |      [
+        |        2
+        |      ],
+        |      [
+        |        3
+        |      ]
+        |    ]
+        |  },
+        |  "rowcounts": {
+        |    "base": 3,
+        |    "head": 4
+        |  },
+        |  "schema_diff": {
+        |    "common": [
+        |      "customer_id",
+        |      "name"
+        |    ],
+        |    "only_in_base": [],
+        |    "only_in_head": [
+        |      "new_col"
+        |    ]
+        |  }
+        |}""".stripMargin
+    assert(JsonFormatter.render(r) == golden)
+    // defaults derive the reference's deterministic names (diff_flow.py:68-71)
+    val noNames = r.copy(meta = r.meta.copy(diffSchema = None, tables = None))
+    assert(JsonFormatter.render(noNames) == golden)
+  }
+
   test("formatters render without loss") {
     val base = customers.filter($"customer_id" <= 3)
     val head = customers

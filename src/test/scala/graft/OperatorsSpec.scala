@@ -243,6 +243,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(hof == native)
   }
 
+  test("winnowing: non-ASCII text (code points, incl. surrogate pairs) matches the HOF spec") {
+    // é (BMP multi-byte), 汉字, and 🦊🚀 (non-BMP surrogate pairs) — the SQL
+    // form counts code points via length()/substring(); the native loop must too
+    val df = Seq(
+      (1L, "héllo wörld héllo wörld with accents andmore"),
+      (2L, "汉字文本去重测试汉字文本去重测试汉字文本"),
+      (3L, "emoji 🦊 fox and 🚀 rocket emoji 🦊 fox text")
+    ).toDF("doc_id", "text")
+    val hof = TextAnalysis.withWinnowingFingerprintsHof(df, "text", "fp")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("fp")).toSeq).toMap
+    val native = TextAnalysis.withWinnowingFingerprints(df, "text", "fp")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("fp")).toSeq).toMap
+    assert(hof == native)
+  }
+
   test("multimodal: resize stub subsamples deterministically with metadata") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
     val r = Multimodal.fakeResize(df, "doc_id", "text", factor = 3).head()
