@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.{DiffEngine, SnapshotStore}
 import graft.formatters.{ConsoleFormatter, JsonFormatter, MarkdownFormatter}
 import graft.model.DiffResult
-import graft.modelrun.{ModelRunner, Profiles}
+import graft.modelrun.{DbtBuild, ModelRunner, Profiles}
 
 /** CLI with the reference's flag surface (cli.py:31-111):
   *
@@ -43,7 +43,8 @@ object Main {
       keepSnapshots: Boolean = false,
       format: String = "rich",
       approxDistinct: Boolean = false,
-      colStats: Boolean = true)
+      colStats: Boolean = true,
+      buildMode: String = "native") // native | dbt (external `dbt build`)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
@@ -76,6 +77,10 @@ object Main {
         case "--col-stats" => a = a.copy(colStats = true)
         case "--no-col-stats" => a = a.copy(colStats = false)
         case "--approx" => a = a.copy(approxDistinct = true)
+        case "--build-mode" =>
+          val m = need("--build-mode").toLowerCase.trim
+          require(Set("native", "dbt")(m), s"unsupported build mode '$m' (native|dbt)")
+          a = a.copy(buildMode = m)
         case "--format" =>
           val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
@@ -119,7 +124,7 @@ object Main {
 
   /** Build the project's model DAG inside one worktree and return the diffed
     * model's frame (replaces stages 5-7 of the reference lifecycle). */
-  private def buildModelAt(spark: SparkSession, worktree: String, model: String): DataFrame = {
+  private def buildModelNative(spark: SparkSession, worktree: String, model: String): DataFrame = {
     ModelRunner.loadSeeds(spark, worktree)
     val models = ModelRunner.loadProject(worktree)
     val frames = ModelRunner.run(spark, models)
@@ -127,6 +132,29 @@ object Main {
       throw new IllegalArgumentException(
         s"model '$model' not found; project has: ${frames.keys.toSeq.sorted.mkString(", ")}"))
   }
+
+  /** `--build-mode dbt`: run the real `dbt build` in the worktree
+    * (core/dbt_runner.py:11-39), resolve the built relation via
+    * target/manifest.json — alias / custom schema / duplicate basenames
+    * resolve correctly (core/manifest.py:11-65) — and read it from the
+    * catalog. Falls back to the native runner with a warning when the dbt
+    * executable is absent. */
+  private def buildModelAt(spark: SparkSession, worktree: String, a: Args): DataFrame =
+    a.buildMode match {
+      case "dbt" =>
+        try {
+          DbtBuild.build(worktree, a.profilesDir, a.model, a.target)
+          val node = DbtBuild.modelNode(worktree, a.model)
+          val (schema, ident) = DbtBuild.relation(node)
+          log(a, s"dbt built ${node.uniqueId} -> $schema.$ident")
+          DbtBuild.readRelation(spark, schema, ident)
+        } catch {
+          case e: DbtBuild.DbtUnavailable =>
+            log(a, s"WARNING: ${e.message} — falling back to the native model runner")
+            buildModelNative(spark, worktree, a.model)
+        }
+      case _ => buildModelNative(spark, worktree, a.model)
+    }
 
   def runDiff(spark: SparkSession, a: Args): DiffResult = {
     val repoRoot = git(a.projectDir, "rev-parse", "--show-toplevel")
@@ -141,11 +169,13 @@ object Main {
       git(repoRoot, "worktree", "add", "--detach", headWt, a.headRef)
       log(a, s"building model '${a.model}' in both worktrees")
       val projRel = Paths.get(repoRoot).relativize(Paths.get(a.projectDir).toAbsolutePath.normalize).toString
-      val baseDf = buildModelAt(spark, Paths.get(baseWt, projRel).toString, a.model)
-      val headDf = buildModelAt(spark, Paths.get(headWt, projRel).toString, a.model)
-      log(a, "snapshotting")
-      val baseSnap = store.snapshot(baseDf, s"${a.model}__base")
-      val headSnap = store.snapshot(headDf, s"${a.model}__head")
+      // build-then-snapshot one side at a time (reference order,
+      // diff_flow.py:107-122): in dbt mode both builds materialize the SAME
+      // warehouse relation, so base must be copied out before head builds
+      val baseSnap = store.snapshot(
+        buildModelAt(spark, Paths.get(baseWt, projRel).toString, a), s"${a.model}__base")
+      val headSnap = store.snapshot(
+        buildModelAt(spark, Paths.get(headWt, projRel).toString, a), s"${a.model}__head")
       if (a.keys.nonEmpty) {
         val (bn, hn) = DiffEngine.nullKeyCounts(baseSnap, headSnap, a.keys)
         if (bn + hn > 0)
@@ -178,9 +208,31 @@ object Main {
   private val Usage =
     """usage: diff <model> [--keys k1,k2] [--base REF] [--head REF]
       |            [--project-dir DIR] [--profiles-dir DIR] [--profile P] [--target T]
-      |            [--where SQL] [--sample N] [--keep-schemas]
+      |            [--where SQL] [--sample N] [--keep-schemas] [--build-mode native|dbt]
       |            [--col-stats|--no-col-stats] [--approx] [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]""".stripMargin
+
+  /** Map a profiles.yml target onto Spark session settings. The reference
+    * uses conn_info to pick its warehouse connection (cli.py:110-117); this
+    * engine executes on Spark only, so a `spark`-type target CONFIGURES the
+    * session — `host` supplies the master URL (`local[...]`/`spark://...`),
+    * `dbname`/`database` the warehouse dir, `schema` the current database —
+    * and a postgres/redshift target is a hard error, never a silent ignore.
+    * Returns (master, warehouseDir, currentDatabase). */
+  def sessionTarget(conn: Option[Profiles.ConnInfo]): (Option[String], Option[String], Option[String]) =
+    conn match {
+      case None => (None, None, None)
+      case Some(c) =>
+        if (c.warehouseType != "spark")
+          throw new IllegalArgumentException(
+            s"unsupported execution target type '${c.warehouseType}': this engine executes on " +
+              "Spark; point --profile/--target at a profiles.yml output with `type: spark`")
+        val master = Some(c.host)
+          .filter(h => h.nonEmpty && (h.startsWith("local") || h.startsWith("spark://")))
+        val warehouse = Some(c.dbname).filter(_.nonEmpty)
+        val db = Some(c.schema).filter(s => s.nonEmpty && s != "public")
+        (master, warehouse, db)
+    }
 
   def main(argv: Array[String]): Unit = {
     val a = try parseArgs(argv.toSeq) catch {
@@ -188,20 +240,31 @@ object Main {
         System.err.println(s"error: ${e.getMessage}\n$Usage")
         sys.exit(2)
     }
-    // connection descriptor parity: resolve profiles.yml when present
-    a.profilesDir.foreach { d =>
+    // connection descriptor: profiles.yml selects/configures the execution target
+    val conn = a.profilesDir.flatMap { d =>
       val p = Paths.get(d, "profiles.yml")
-      if (Files.exists(p)) Profiles.load(p.toString, a.profile, a.target)
+      if (Files.exists(p)) Some(Profiles.load(p.toString, a.profile, a.target)) else None
     }
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+    val (profMaster, profWarehouse, profDb) = try sessionTarget(conn) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}")
+        sys.exit(2)
+    }
+    val builder = SparkSession.builder()
+      .master(profMaster.orElse(sys.env.get("SPARK_MASTER"))
+        .getOrElse(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .appName("graft-diff")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    profWarehouse.foreach(w => builder.config("spark.sql.warehouse.dir", w))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    profDb.foreach { db =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      spark.catalog.setCurrentDatabase(db)
+    }
     try {
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a)

@@ -94,6 +94,130 @@ class CliSpec extends SparkTestBase {
     assert(r.rowDiff.get.changed == 2 && r.rowDiff.get.added == 0 && r.rowDiff.get.removed == 0)
   }
 
+  test("--build-mode dbt: macro model builds via external dbt + manifest alias resolution") {
+    assume(new ProcessBuilder("git", "--version").start().waitFor() == 0, "git unavailable")
+    import spark.implicits._
+    // the relations "dbt" builds, pre-created in the session catalog under a
+    // custom schema with ALIASED names (filename-based resolution would fail).
+    // In-memory catalogs forget tables across JVMs but leave warehouse files —
+    // clear both before creating.
+    spark.sql("DROP DATABASE IF EXISTS graft_dbt_e2e CASCADE")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_dbt_e2e.db"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_dbt_e2e")
+    Seq((1, "Alice"), (2, "Bob"), (3, "Chandra")).toDF("customer_id", "name")
+      .write.mode("overwrite").saveAsTable("graft_dbt_e2e.rel_base")
+    Seq((1, "Alice"), (2, "Bob"), (3, "Chandra"), (4, "Deepak")).toDF("customer_id", "name")
+      .write.mode("overwrite").saveAsTable("graft_dbt_e2e.rel_head")
+
+    val repo = Files.createTempDirectory("graft_dbtmode_repo_")
+    val models = repo.resolve("models"); Files.createDirectories(models)
+    val target = repo.resolve("target"); Files.createDirectories(target)
+    Files.writeString(repo.resolve("dbt_project.yml"), "name: graft_e2e\nversion: '1.0'\n")
+    // a model the NATIVE parser cannot handle (macro + var()) — only real
+    // dbt jinja rendering could build it
+    Files.writeString(models.resolve("dim_customers.sql"),
+      "{% set lim = var('limit', 3) %}\nselect * from {{ ref('customers') }} where id <= {{ lim }}")
+    def manifest(alias: String): String =
+      s"""{"nodes": {"model.graft_e2e.dim_customers": {
+         |  "resource_type": "model", "name": "dim_customers", "alias": "$alias",
+         |  "schema": "graft_dbt_e2e", "unique_id": "model.graft_e2e.dim_customers"}}}""".stripMargin
+    git(repo, "init", "-b", "main")
+    Files.writeString(target.resolve("manifest.json"), manifest("rel_base"))
+    git(repo, "add", "."); git(repo, "commit", "-m", "base")
+    git(repo, "checkout", "-b", "feature/dbt")
+    Files.writeString(target.resolve("manifest.json"), manifest("rel_head"))
+    git(repo, "add", "."); git(repo, "commit", "-m", "head")
+
+    // stub dbt executable: the warehouse relations already exist (exit 0)
+    val fakeDbt = repo.resolve("fake_dbt.sh")
+    Files.writeString(fakeDbt, "#!/bin/sh\nexit 0\n")
+    fakeDbt.toFile.setExecutable(true)
+    sys.props("graft.dbt.bin") = fakeDbt.toString
+    try {
+      val r = Main.runDiff(spark, Main.parseArgs(Seq("diff", "dim_customers",
+        "--keys", "customer_id", "--base", "main", "--head", "feature/dbt",
+        "--project-dir", repo.toString, "--build-mode", "dbt", "--format", "json")))
+      assert(r.rowcounts.base == 3 && r.rowcounts.head == 4)
+      val rd = r.rowDiff.get
+      assert(rd.added == 1 && rd.removed == 0 && rd.changed == 0)
+    } finally {
+      sys.props.remove("graft.dbt.bin")
+      spark.sql("DROP DATABASE IF EXISTS graft_dbt_e2e CASCADE")
+    }
+  }
+
+  test("--build-mode dbt falls back to the native runner when dbt is absent") {
+    assume(new ProcessBuilder("git", "--version").start().waitFor() == 0, "git unavailable")
+    val repo = Files.createTempDirectory("graft_dbtfall_repo_")
+    val models = repo.resolve("models"); Files.createDirectories(models)
+    val seeds = repo.resolve("seeds"); Files.createDirectories(seeds)
+    Files.writeString(repo.resolve("dbt_project.yml"), "name: p\nversion: '1.0'\n")
+    Files.writeString(seeds.resolve("customers.csv"), "id,name\n1,Alice\n2,Bob\n")
+    git(repo, "init", "-b", "main")
+    Files.writeString(models.resolve("dim.sql"), "select id, name from {{ ref('customers') }}")
+    git(repo, "add", "."); git(repo, "commit", "-m", "base")
+    git(repo, "checkout", "-b", "f"); git(repo, "commit", "--allow-empty", "-m", "head")
+    sys.props("graft.dbt.bin") = "/nonexistent/graft-no-such-dbt"
+    try {
+      val r = Main.runDiff(spark, Main.parseArgs(Seq("diff", "dim", "--keys", "id",
+        "--base", "main", "--head", "f",
+        "--project-dir", repo.toString, "--build-mode", "dbt", "--format", "json")))
+      assert(r.rowcounts.base == 2 && r.rowcounts.head == 2)
+      assert(r.rowDiff.get.changed == 0)
+    } finally sys.props.remove("graft.dbt.bin")
+  }
+
+  test("manifest resolution: alias/relation_name/schema precedence") {
+    import graft.modelrun.DbtBuild
+    val dir = Files.createTempDirectory("graft_manifest_")
+    Files.createDirectories(dir.resolve("target"))
+    Files.writeString(dir.resolve("target/manifest.json"),
+      """{"nodes": {
+        |  "model.p.a": {"resource_type": "model", "name": "a", "alias": "a_aliased", "schema": "s1"},
+        |  "model.p.b": {"resource_type": "model", "name": "b", "schema": "s2",
+        |                "relation_name": "\"db\".\"custom\".\"b_rel\""},
+        |  "seed.p.a":  {"resource_type": "seed", "name": "a", "schema": "seeds"}
+        |}}""".stripMargin)
+    val a = DbtBuild.modelNode(dir.toString, "a") // seed with same name must be skipped
+    assert(a.alias == "a_aliased" && a.schema == "s1")
+    assert(DbtBuild.relation(a) == (("s1", "a_aliased")))
+    val b = DbtBuild.modelNode(dir.toString, "b")
+    assert(DbtBuild.relation(b) == (("custom", "b_rel"))) // relation_name wins
+    intercept[IllegalArgumentException](DbtBuild.modelNode(dir.toString, "missing"))
+  }
+
+  test("profiles.yml spark target configures the session; postgres target is a hard error") {
+    import graft.modelrun.Profiles
+    val dir = Files.createTempDirectory("graft_prof_")
+    Files.writeString(dir.resolve("profiles.yml"),
+      """graft:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      type: spark
+        |      host: local[8]
+        |      schema: analytics
+        |      dbname: /tmp/graft_wh
+        |    prod:
+        |      type: postgres
+        |      host: db.example.com
+        |      user: u
+        |      dbname: warehouse
+        |""".stripMargin)
+    val sparkConn = Profiles.load(dir.resolve("profiles.yml").toString, Some("graft"), Some("dev"))
+    val (master, wh, db) = Main.sessionTarget(Some(sparkConn))
+    assert(master.contains("local[8]") && wh.contains("/tmp/graft_wh") && db.contains("analytics"))
+    val pgConn = Profiles.load(dir.resolve("profiles.yml").toString, Some("graft"), Some("prod"))
+    val e = intercept[IllegalArgumentException](Main.sessionTarget(Some(pgConn)))
+    assert(e.getMessage.contains("unsupported execution target"))
+    assert(Main.sessionTarget(None) == ((None, None, None)))
+  }
+
   test("full worktree diff lifecycle hits the reference e2e golden 3/4/1/0/0") {
     assume(new ProcessBuilder("git", "--version").start().waitFor() == 0, "git unavailable")
     val repo = Files.createTempDirectory("graft_e2e_repo_")
