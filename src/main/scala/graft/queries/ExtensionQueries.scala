@@ -494,6 +494,32 @@ object ExtensionQueries {
              |FROM u ORDER BY doc_id, chunk_idx""".stripMargin)
     ),
 
+    // REAL binary decode: synthesize a P6 PPM payload per document (pixel
+    // bytes = text code points mod 256, cycled), run the actual byte-level
+    // header parser + channel sums on executors, and verify the integer
+    // stats against DuckDB computing the same sums straight from the text.
+    QueryDef(
+      "q57_mm_ppm_decode",
+      (s, dir) => {
+        val withPayload = Multimodal.withPpmPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 8, height = 8)
+        Multimodal.ppmFeatures(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some {
+        def channel(c: Int) =
+          s"CAST(list_sum(list_transform(range(64), i -> p[3*i + ${c + 1}])) AS BIGINT)"
+        """WITH px AS (SELECT doc_id,
+          |  list_transform(range(192),
+          |    j -> ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) AS p
+          |  FROM documents)
+          |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+          |       CAST(64 AS BIGINT) AS n_pixels,
+          |""".stripMargin +
+          s"       ${channel(0)} AS r_sum, ${channel(1)} AS g_sum, ${channel(2)} AS b_sum\n" +
+          "FROM px ORDER BY doc_id"
+      }
+    ),
+
     QueryDef(
       "q47_mm_decode_stub",
       (s, dir) =>

@@ -243,6 +243,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(hof == native)
   }
 
+  test("PPM decode: real P6 parser computes exact channel sums; rejects malformed payloads") {
+    // hand-built 2x1 image: pixel0 = (10,20,30), pixel1 = (40,50,60)
+    val img = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    assert(Multimodal.decodePpm(img).contains(
+      Multimodal.ImageFeatures(2, 1, 2, 50L, 70L, 90L)))
+    // comment lines in the header are part of the PPM spec
+    val withComment = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    assert(Multimodal.decodePpm(withComment).exists(_.rSum == 50L))
+    // high bytes must sum unsigned (0xFF = 255, not -1)
+    val bright = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](-1, -1, -1)
+    assert(Multimodal.decodePpm(bright).contains(
+      Multimodal.ImageFeatures(1, 1, 1, 255L, 255L, 255L)))
+    // malformed: wrong magic, truncated pixels, junk header
+    assert(Multimodal.decodePpm("P5\n2 1\n255\n abcdef".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("P6\n2 1\n255\nab".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("P6\nx y\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm(null).isEmpty)
+  }
+
+  test("PPM decode end-to-end: encode from text on executors, decode back, nulls for corrupt") {
+    val df = Seq((1L, "abcdef"), (2L, "zz")).toDF("doc_id", "text")
+    val withPayload = Multimodal.withPpmPayload(df, "doc_id", "text", width = 2, height = 2)
+    val feats = Multimodal.ppmFeatures(withPayload, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 12 pixel bytes cycle "abcdef" twice; r channel = bytes 0,3,6,9 = a,d,a,d
+    val a = 'a'.toInt; val d = 'd'.toInt
+    assert(feats(1L).getAs[Long]("r_sum") == 2L * (a + d))
+    assert(feats(1L).getAs[Int]("width") == 2 && feats(1L).getAs[Long]("n_pixels") == 4L)
+    // corrupt payloads decode to null features, not failures
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val corrupt = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(9L, "not an image".getBytes("US-ASCII"))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
+    val cf = Multimodal.ppmFeatures(corrupt, "doc_id", "payload").collect()
+    assert(cf.length == 1 && cf(0).isNullAt(cf(0).fieldIndex("width")))
+  }
+
   test("winnowing: non-ASCII text (code points, incl. surrogate pairs) matches the HOF spec") {
     // é (BMP multi-byte), 汉字, and 🦊🚀 (non-BMP surrogate pairs) — the SQL
     // form counts code points via length()/substring(); the native loop must too
