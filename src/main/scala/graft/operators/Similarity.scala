@@ -127,16 +127,61 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic Lloyd (k-means) refinement of IVF centroids, seeded from
+    * the `nlist` smallest-id vectors (no RNG to ship — bit-reproducible
+    * runs). Each iteration: assign every vector to its highest-cosine
+    * centroid (broadcast cross join — the big side never shuffles; the
+    * explode/agg carries nlist×dims doubles), then recompute each centroid
+    * as the member mean. Centroids are tiny (nlist × dims), so the per-
+    * iteration collect is a few KB regardless of corpus size. Empty
+    * clusters keep their previous centroid. */
+  def refineCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int
+  ): Seq[(Long, Array[Float])] = {
+    GraftFunctions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    var centroids: Seq[(Long, Array[Float])] = df.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])].collect().toSeq
+    var it = 0
+    while (it < iters) {
+      val centDf = broadcast(centroids.toDF("cid", "cv"))
+      val wAsg = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("cid"))
+      val means = df.crossJoin(centDf)
+        .select(col(idCol), col(vecCol),
+          col("cid"), GraftFunctions.cosineSim(col(vecCol), col("cv")).as("__c"))
+        .withColumn("__rn", row_number().over(wAsg))
+        .filter(col("__rn") === 1)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy(col("cid"), col("__pos"))
+        .agg(avg(col("__v")).as("__m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      centroids = centroids.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest of
     * `nlist` centroids once; a probe searches only the `nprobe` lists whose
     * centroids score highest — the classic coarse-quantization scale path
     * (candidates shrink ~nlist/nprobe×).
     *
-    * Centroids are the vectors with the `nlist` smallest ids — a
-    * deterministic seeding (no RNG to ship, reproducible runs); a k-means
-    * refinement would drop in by replacing `centroids`. Assignment is one
-    * broadcast cross join + `min_by` per vector — linear, no shuffle of the
-    * big side. */
+    * Centroid seeding is the `nlist` smallest-id vectors (deterministic, no
+    * RNG to ship); `kmeansIters > 0` runs that many Lloyd refinement rounds
+    * ([[refineCentroids]]) — recall improves because lists actually tile
+    * the data instead of echoing the first rows. Assignment is one
+    * broadcast cross join + deterministic argmax per vector — linear, no
+    * shuffle of the big side. */
   def ivfTopK(
       df: DataFrame,
       idCol: String,
@@ -144,12 +189,20 @@ object Similarity {
       probeId: Long,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      kmeansIters: Int = 0
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val centroids = df.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val spark = df.sparkSession
+    val centroids =
+      if (kmeansIters <= 0)
+        df.orderBy(col(idCol)).limit(nlist)
+          .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      else {
+        import spark.implicits._
+        refineCentroids(df, idCol, vecCol, nlist, kmeansIters).toDF("cid", "cv")
+      }
     // nearest centroid per vector — row_number over (score desc, cid) gives a
     // fully deterministic assignment even on exact score ties
     val wAsg = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("cid"))

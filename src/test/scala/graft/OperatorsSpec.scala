@@ -130,6 +130,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(occupancy.max <= n / 4, s"largest bucket ${occupancy.max} of $n")
   }
 
+  test("IVF k-means refinement: deterministic and recall@10 over threshold on testdata") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probeId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    def ivfIds(iters: Int): Seq[Long] =
+      Similarity.ivfTopK(emb, "vec_id", "embedding", probeId = 0L, k = 10,
+        nlist = 16, nprobe = 4, kmeansIters = iters)
+        .collect().map(_.getLong(0)).toSeq
+    val refined = ivfIds(2)
+    assert(refined == ivfIds(2)) // deterministic seeding + Lloyd => identical runs
+    val recall = refined.toSet.intersect(brute).size / 10.0
+    assert(recall >= 0.5, s"refined IVF recall@10 = $recall")
+    // refinement must not be a no-op: centroids actually move
+    val seeds = Similarity.refineCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+    val moved = Similarity.refineCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 2)
+    assert(seeds.map(_._1) == moved.map(_._1)) // stable list ids
+    assert(seeds.zip(moved).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
+  }
+
   test("knn join returns k ranked neighbors per probe") {
     val r = Similarity.knnJoin(vecs, "vec_id", "embedding", col("vec_id") <= 1, k = 2)
       .collect()
