@@ -32,18 +32,31 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS>1 takes the per-query minimum across
     // repetitions — cuts JIT/GC run-to-run variance when time allows.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).foreach(_ => ())
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val results = all.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).foreach(_ => ())
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
-      }
+      val times = (1 to reps).map(_ => timeOnce(name, fn))
+      samples(name) = times.toVector
       name -> times.min
     }
+    // top-5 most expensive queries get extra reps (3 samples total) and a
+    // p50 — round-over-round regressions on the queries that matter are
+    // attributable to the change, not to one noisy run.
+    val top5 = results.sortBy(-_._2).take(5).map(_._1)
+    top5.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      while (samples(name).length < 3) samples(name) :+= timeOnce(name, fn)
+    }
+    def p50(xs: Vector[Double]): Double = xs.sorted.apply(xs.length / 2)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val p50s = top5.map(n => "\"" + n + "\":" + p50(samples(n))).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50_top5":$p50s,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
