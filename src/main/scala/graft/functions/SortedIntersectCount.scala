@@ -7,8 +7,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression: |A ∩ B| for two SORTED string arrays via a
-  * linear merge — O(n+m), zero per-row allocation.
+/** Native Catalyst expression: |A ∩ B| for two SORTED arrays via a linear
+  * merge — O(n+m), zero per-row allocation. Elements are `string` or
+  * `bigint` (both sides the same type); the long form exists because the
+  * hashed-token-set dedup path compares 8-byte integers instead of variable-
+  * length UTF8 strings — the same merge at a fraction of the per-element
+  * cost.
   *
   * `array_intersect` builds a hash set per row and materializes the
   * intersection array just to take its size; on a candidate-pair stream
@@ -24,15 +28,22 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType): Boolean = t match {
-      case ArrayType(StringType, _) => true
-      case _ => false
+  private def elemOf(t: DataType): Option[DataType] = t match {
+    case ArrayType(e @ (StringType | LongType), _) => Some(e)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemOf(left.dataType), elemOf(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<string> or two array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<string> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = LongType
@@ -43,12 +54,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var cnt = 0L
+    val longs = isLong
     while (i < na && j < nb) {
       if (a.isNullAt(i)) i += 1
       else if (b.isNullAt(j)) j += 1
       else {
-        val x = a.getUTF8String(i); val y = b.getUTF8String(j)
-        val c = x.compareTo(y)
+        val c =
+          if (longs) java.lang.Long.compare(a.getLong(i), b.getLong(j))
+          else a.getUTF8String(i).compareTo(b.getUTF8String(j))
         if (c == 0) { cnt += 1; i += 1; j += 1 }
         else if (c < 0) i += 1
         else j += 1
@@ -64,6 +77,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val utf8 = classOf[UTF8String].getName
+      val cmp =
+        if (isLong)
+          s"""long $x = $a.getLong($i);
+             |long $y = $b.getLong($j);
+             |int $c = Long.compare($x, $y);""".stripMargin
+        else
+          s"""$utf8 $x = $a.getUTF8String($i);
+             |$utf8 $y = $b.getUTF8String($j);
+             |int $c = $x.compareTo($y);""".stripMargin
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; long $cnt = 0L;
@@ -71,9 +93,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |  if ($a.isNullAt($i)) { $i++; }
          |  else if ($b.isNullAt($j)) { $j++; }
          |  else {
-         |    $utf8 $x = $a.getUTF8String($i);
-         |    $utf8 $y = $b.getUTF8String($j);
-         |    int $c = $x.compareTo($y);
+         |    $cmp
          |    if ($c == 0) { $cnt++; $i++; $j++; }
          |    else if ($c < 0) { $i++; } else { $j++; }
          |  }

@@ -167,6 +167,46 @@ object Dedup {
         (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))
   }
 
+  /** [[jaccardPairs]] over HASHED token sets: each distinct token folds to a
+    * 32-bit integer via its md5 prefix (the engine-portable
+    * `('0x'||substr(md5(t),1,8))::BIGINT` fold the MinHash path already
+    * uses), so the candidate-verify merge compares 8-byte ints instead of
+    * variable-length strings — same one-block-shuffle plan, several× less
+    * CPU per pair on the verify hot path, and the shuffled token arrays
+    * shrink to 8 bytes/element. Exactly reproducible cross-engine (the
+    * oracle computes identical hashes); equals token-set Jaccard up to
+    * 32-bit collisions (~n²/2³³ per document — negligible at ~10²-token
+    * docs, and collisions affect both engines identically). */
+  def jaccardPairsHashed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockExprs: Seq[Column],
+      minJaccardPct: Int
+  ): DataFrame = {
+    val hashedTokens = expr(
+      s"""sort_array(array_distinct(transform(split($textCol, ' '),
+         |  t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))))""".stripMargin)
+    val withBlock = df.select(
+      col(idCol),
+      hashedTokens.as("__ws"),
+      struct(blockExprs: _*).as("__blk"))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+    val a = withBlock.toDF(s"a_$idCol", "a_ws", "__blk", "a_n")
+    val b = withBlock.toDF(s"b_$idCol", "b_ws", "__blk", "b_n")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    a.join(b, Seq("__blk"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol") &&
+        least(col("a_n"), col("b_n")) * 100 >= greatest(col("a_n"), col("b_n")) * minJaccardPct)
+      .select(
+        col(s"a_$idCol"), col(s"b_$idCol"), col("a_n"), col("b_n"),
+        graft.functions.GraftFunctions.sortedIntersectCount(col("a_ws"), col("b_ws"))
+          .as("inter_n"))
+      .filter(col("inter_n") * (100 + minJaccardPct) >= (col("a_n") + col("b_n")) * minJaccardPct)
+      .select(col(s"a_$idCol"), col(s"b_$idCol"), col("inter_n"),
+        (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket blocking then exact
     * cosine ≥ threshold within buckets — the embedding-space member of the
     * near-dup family. Pair count is bounded by bucket populations

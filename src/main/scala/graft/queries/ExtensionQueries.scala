@@ -127,6 +127,30 @@ object ExtensionQueries {
              |ORDER BY a_doc_id, b_doc_id""".stripMargin)
     ),
 
+    // Hashed-token jaccard: same blocking/threshold algebra as q34 but over
+    // md5-folded integer token sets — the scale path (8-byte int merges).
+    // Oracle computes the identical hash fold, so results are exact.
+    QueryDef(
+      "q58_dedup_jaccard_hashed",
+      (s, dir) =>
+        Dedup.jaccardPairsHashed(t(s, dir, "documents"), "doc_id", "text",
+          blockExprs = Seq(col("lang"), (col("n_chars") / 50).cast("int")),
+          minJaccardPct = 40)
+          .orderBy("a_doc_id", "b_doc_id"),
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars // 50 AS lb,
+             |  list_sort(list_distinct(list_transform(string_split(text, ' '),
+             |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT))) AS ws FROM documents),
+             |d2 AS (SELECT *, CAST(len(ws) AS BIGINT) AS n FROM d),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, a.n AS a_n, b.n AS b_n,
+             |         CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_n
+             |  FROM d2 a JOIN d2 b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+             |   AND least(a.n, b.n) * 100 >= greatest(a.n, b.n) * 40)
+             |SELECT a_doc_id, b_doc_id, inter_n, (a_n + b_n - inter_n) AS union_n
+             |FROM pairs WHERE inter_n * 140 >= (a_n + b_n) * 40
+             |ORDER BY a_doc_id, b_doc_id""".stripMargin)
+    ),
+
     QueryDef(
       "q35_dedup_levenshtein",
       (s, dir) =>

@@ -48,6 +48,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(!r.contains((1L, 4L)))
   }
 
+  test("hashed-token jaccard finds the same pairs as the string form") {
+    val str = Dedup.jaccardPairs(docs, "doc_id", "text",
+      blockExprs = Seq(lit(1)), minJaccardPct = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val hashed = Dedup.jaccardPairsHashed(docs, "doc_id", "text",
+      blockExprs = Seq(lit(1)), minJaccardPct = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(str == hashed) // no 32-bit collisions on these token sets
+  }
+
   test("levenshtein pairs verify within prefix blocks") {
     val r = Dedup.levenshteinPairs(docs, "doc_id", "text", prefixLen = 7, maxDist = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
