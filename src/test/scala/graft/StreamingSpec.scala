@@ -73,6 +73,32 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamingDiff.removedCount(base, spool, Seq("id")) == 3)
   }
 
+  test("exactly-once streaming diff: batch replay is idempotent, totals from durable stats") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDiff
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eo_").toString
+    val (spool, stats, ckpt) = (s"$tmp/spool", s"$tmp/stats", s"$tmp/ckpt")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "CHANGED"))
+    mem.addData((9L, "new"))
+    val q = StreamingDiff.startExactlyOnce(
+      base, mem.toDF().toDF("id", "v"), Seq("id"), Seq("v"), spool, stats, ckpt)
+    q.awaitTermination()
+    assert(StreamingDiff.totals(spark, stats) == ((1L, 1L, 1L)))
+    // simulate foreachBatch's at-least-once replay: re-run batch 0 verbatim
+    // (AvailableNow delivered all rows as one batch) — overwrite-by-batchId
+    // must leave totals unchanged however many times the batch runs
+    val baseProj = base.select($"id",
+      graft.engine.DiffEngine.rowHash(Seq("v")).as("__base_hash"))
+    val replay = Seq((1L, "a"), (2L, "CHANGED"), (9L, "new")).toDF("id", "v")
+    StreamingDiff.processBatch(baseProj, replay, Seq("id"), Seq("v"), spool, stats, batchId = 0L)
+    StreamingDiff.processBatch(baseProj, replay, Seq("id"), Seq("v"), spool, stats, batchId = 0L)
+    assert(StreamingDiff.totals(spark, stats) == ((1L, 1L, 1L)))
+    // spool is replay-safe too: removed = base keys never arrived (3, 4)
+    assert(StreamingDiff.removedCount(base, spool, Seq("id")) == 2)
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
