@@ -171,23 +171,80 @@ object MarkdownFormatter {
   }
 }
 
-/** Plain-text console rendition of formatters/rich_fmt.py's sections. */
+/** Console rendition mirroring formatters/rich_fmt.py:58-141 section for
+  * section: a fitted header panel, a Summary table, only-in-HEAD/BASE
+  * lines, the 7-column profile table (same `%.1f` percent renderings), the
+  * row-level diff table, and the sample-keys table — drawn with box
+  * characters instead of the `rich` library (no ANSI state, stable in
+  * logs/CI captures). `type_changes` prints as an extra line (documented
+  * extension — the reference ignores column types). */
 object ConsoleFormatter {
+
+  private def panel(title: String, lines: Seq[String]): String = {
+    val w = (title.length + 2) +: lines.map(_.length) reduce math.max
+    val top = s"╭─ $title ${"─" * math.max(w - title.length - 2, 0)}╮"
+    val body = lines.map(l => s"│ $l${" " * (w - l.length + 1)}│")
+    (top +: body :+ s"╰${"─" * (w + 2)}╯").mkString("\n")
+  }
+
+  private def table(title: String, headers: Seq[String], rows: Seq[Seq[String]]): String = {
+    val widths = headers.indices.map { i =>
+      (headers(i).length +: rows.map(_(i).length)).max
+    }
+    def line(cells: Seq[String], pad: Char = ' '): String =
+      cells.zip(widths).map { case (c, w) => c + pad.toString * (w - c.length) }
+        .mkString("│ ", " │ ", " │")
+    val sep = widths.map("─" * _).mkString("├─", "─┼─", "─┤")
+    val top = widths.map("─" * _).mkString("┌─", "─┬─", "─┐")
+    val bot = widths.map("─" * _).mkString("└─", "─┴─", "─┘")
+    (Seq(title, top, line(headers), sep) ++ rows.map(line(_)) :+ bot).mkString("\n")
+  }
+
   def render(r: DiffResult): String = {
     val sb = new StringBuilder
-    sb ++= s"== dbt-model-diff: ${r.meta.model} (${r.meta.baseRef} -> ${r.meta.headRef}, ${r.meta.mode}) ==\n"
-    sb ++= s"rows: base=${r.rowcounts.base} head=${r.rowcounts.head}\n"
-    sb ++= s"schema: common=${r.schemaDiff.common.size} +head=${r.schemaDiff.onlyInHead.mkString(",")} +base=${r.schemaDiff.onlyInBase.mkString(",")}\n"
+    val keys = if (r.meta.keys.nonEmpty) r.meta.keys.mkString(", ") else "(none)"
+    val sanitize = graft.engine.SnapshotStore.sanitize(_: String)
+    val diffSchema = r.meta.diffSchema.getOrElse(
+      "dbt_model_diff__" + sanitize(s"${r.meta.model}_${r.meta.baseRef}_${r.meta.headRef}"))
+    val (tb, th) = r.meta.tables.getOrElse(
+      (s"${sanitize(r.meta.model)}__base", s"${sanitize(r.meta.model)}__head"))
+    sb ++= panel("dbt-model-diff", Seq(
+      r.meta.model,
+      s"mode=${r.meta.mode}",
+      s"base=${r.meta.baseRef}  head=${r.meta.headRef}",
+      s"keys=$keys",
+      s"diff_schema=$diffSchema",
+      s"tables: $tb / $th") ++
+      r.meta.where.map(w => s"where=$w").toSeq) += '\n'
+    sb ++= table("Summary", Seq("Metric", "Value"), Seq(
+      Seq("Base rowcount", r.rowcounts.base.toString),
+      Seq("Head rowcount", r.rowcounts.head.toString))) += '\n'
+    if (r.schemaDiff.onlyInHead.nonEmpty)
+      sb ++= s"Columns only in HEAD: ${r.schemaDiff.onlyInHead.mkString(", ")}\n"
+    if (r.schemaDiff.onlyInBase.nonEmpty)
+      sb ++= s"Columns only in BASE: ${r.schemaDiff.onlyInBase.mkString(", ")}\n"
     r.schemaDiff.typeChanges.foreach { case (c, bt, ht) =>
-      sb ++= s"  type change: $c $bt -> $ht\n"
+      sb ++= s"Type change: $c $bt -> $ht\n"
     }
-    r.columnProfiles.foreach { cp =>
-      sb ++= f"  ${cp.column}%-24s nulls ${cp.base.nulls}/${cp.head.nulls}  distinct ${cp.base.distinct}/${cp.head.distinct}\n"
+    if (r.columnProfiles.nonEmpty) {
+      sb ++= table(s"Column profile (${r.columnProfiles.size} common columns)",
+        Seq("Column", "Base null %", "Head null %", "Base distinct", "Head distinct",
+          "Base uniq %", "Head uniq %"),
+        r.columnProfiles.map(cp => Seq(
+          cp.column,
+          f"${cp.base.nullPct}%.1f", f"${cp.head.nullPct}%.1f",
+          cp.base.distinct.toString, cp.head.distinct.toString,
+          f"${cp.base.uniqPct}%.1f", f"${cp.head.uniqPct}%.1f"))) += '\n'
     }
     r.rowDiff.foreach { rd =>
-      sb ++= s"row_diff: added=${rd.added} removed=${rd.removed} changed=${rd.changed}\n"
+      sb ++= table("Row-level diff", Seq("Metric", "Value"), Seq(
+        Seq("Added rows", rd.added.toString),
+        Seq("Removed rows", rd.removed.toString),
+        Seq("Changed rows", rd.changed.toString))) += '\n'
       if (rd.sampleChangedKeys.nonEmpty)
-        sb ++= s"sample_changed_keys: ${rd.sampleChangedKeys.map(_.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("(", ",", ")")).mkString(" ")}\n"
+        sb ++= table(s"Sample changed keys (limit ${rd.sampleChangedKeys.size})",
+          r.meta.keys,
+          rd.sampleChangedKeys.map(m => r.meta.keys.map(k => m.getOrElse(k, "")))) += '\n'
     }
     sb.result()
   }

@@ -120,4 +120,30 @@ class CosineSimilaritySpec extends SparkTestBase {
     val v = e.eval(null).asInstanceOf[Double]
     assert(math.abs(v - 24.0 / 25.0) < 1e-12)
   }
+
+  test("native expressions COMPILE under codegen (no silent Janino fallback)") {
+    // GenerateUnsafeProjection.generate throws if doGenCode emits bad Java —
+    // a plain DataFrame test would silently fall back to interpreted eval
+    // and hide the break. Each expression's generated result must equal its
+    // interpreted eval on the same input.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val vec = Literal.create(Array(0.5f, -1.5f, 2.0f, 0.25f), ArrayType(FloatType))
+    val strs = Literal.create(Array(UTF8String.fromString("a"), UTF8String.fromString("b")),
+      ArrayType(StringType))
+    val longs = Literal.create(Array(1L, 3L, 7L), ArrayType(LongType))
+    val exprs = Seq(
+      CosineSimilarity(vec, vec),
+      graft.functions.SortedIntersectCount(strs, strs),
+      graft.functions.SortedIntersectCount(longs, longs),
+      graft.functions.HyperplaneBucket(vec, bits = 6, seed = 42))
+    exprs.foreach { e =>
+      val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on codegen failure
+      val generated = proj(InternalRow.empty).get(0, e.dataType)
+      assert(generated == e.eval(InternalRow.empty), s"codegen != eval for ${e.prettyName}")
+    }
+  }
 }

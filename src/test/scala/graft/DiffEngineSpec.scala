@@ -249,6 +249,9 @@ class DiffEngineSpec extends SparkTestBase {
     val md = MarkdownFormatter.render(r)
     assert(md.contains("| added | 1 |"))
     val txt = ConsoleFormatter.render(r)
-    assert(txt.contains("added=1"))
+    // rich_fmt section structure: header panel + Summary/Row-level tables
+    assert(txt.contains("dbt-model-diff") && txt.contains("Summary"))
+    assert(txt.contains("Added rows") && txt.contains("Row-level diff"))
+    assert(txt.contains("Base rowcount") && txt.contains("Column profile (2 common columns)"))
   }
 }
