@@ -28,7 +28,13 @@ object ModelRunner {
   def sourceViewName(schema: String, table: String): String = s"${schema}__$table"
 
   /** Parse one model's SQL: extract ref/source dependencies and rewrite the
-    * jinja-ish references to plain view names. */
+    * jinja-ish references to plain view names.
+    *
+    * The native surface is exactly `ref`/`source`/`config` — any OTHER
+    * jinja (macros, `var()`, `{% ... %}` blocks) is detected up front and
+    * fails with a pointer to `--build-mode dbt` (which renders full jinja
+    * through the real dbt), instead of leaking `{{ ... }}` into spark.sql
+    * and dying with an unrelated SQL parse error. */
   def parse(name: String, rawSql: String): Model = {
     val noConfig = ConfigPat.replaceAllIn(rawSql, "")
     val refs = RefPat.findAllMatchIn(noConfig).map(_.group(1)).toSet
@@ -37,6 +43,12 @@ object ModelRunner {
     val rendered = SourcePat.replaceAllIn(
       RefPat.replaceAllIn(noConfig, m => m.group(1)),
       m => sourceViewName(m.group(1), m.group(2)))
+    val leftover = raw"\{\{[\s\S]*?\}\}|\{%[\s\S]*?%\}".r.findFirstIn(rendered)
+    leftover.foreach { j =>
+      throw new IllegalArgumentException(
+        s"model '$name' uses jinja beyond ref/source/config (found: ${j.take(60)}); " +
+          "the native runner cannot render it — run with --build-mode dbt")
+    }
     Model(name, rendered, refs ++ sources)
   }
 

@@ -21,6 +21,15 @@ class ModelRunnerSpec extends SparkTestBase {
     assert(withCfg.deps == Set("a") && !withCfg.sql.contains("config"))
   }
 
+  test("unsupported jinja fails fast with a --build-mode dbt pointer") {
+    val e1 = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "select * from {{ ref('a') }} where id <= {{ var('limit', 3) }}"))
+    assert(e1.getMessage.contains("--build-mode dbt") && e1.getMessage.contains("var("))
+    val e2 = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "{% set x = 1 %}\nselect {{ x }} as v"))
+    assert(e2.getMessage.contains("--build-mode dbt"))
+  }
+
   test("topo order respects dependencies and detects cycles") {
     val models = Seq(
       ModelRunner.Model("c", "select * from b", Set("b")),
