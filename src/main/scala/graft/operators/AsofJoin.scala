@@ -4,22 +4,30 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (point-in-time) join — for each left row, the single most recent
-  * right row with `right.time <= left.time` on the same key. Spark has no
-  * native operator for this; the naive formulations are a range join
-  * (quadratic blow-up) or a per-row subquery (no). This is the scalable
-  * composition: tag both sides, UNION, and run ONE ordered window per key
-  * with `last(..., ignoreNulls)` — a single shuffle on the key, linear in
-  * input size, no interval explosion.
+/** As-of (point-in-time) join — for each left row, the single nearest right
+  * row on the same key in the requested direction. Spark has no native
+  * operator for this; the naive formulations are a range join (quadratic
+  * blow-up) or a per-row subquery (no). This is the scalable composition:
+  * tag both sides, UNION, and run ONE ordered window per key — a single
+  * shuffle on the key, linear in input size, no interval explosion.
   *
-  * Ordering within a key is (time, tag, tieBreak) with right rows tagged 0 <
-  * left's 1, so a right row exactly at the left row's time matches
-  * (inclusive as-of), and equal-time right rows resolve deterministically by
-  * `rightTieBreak` (the LAST one in tie order wins — dedupe the right side
-  * per (key,time) first if a specific winner is required).
+  * Directions (pandas merge_asof surface):
+  *   - `backward` (default): most recent right with `r.time <= l.time`;
+  *   - `forward`: earliest right with `r.time >= l.time`;
+  *   - `nearest`: whichever of the two is closer in time (tie → backward).
   *
-  * Time columns must be mutually comparable and totally ordered (use epoch
-  * seconds/micros for cross-engine-reproducible results).
+  * `tolerance` (same units as the time columns) nulls a match farther than
+  * the bound; for `nearest` it applies to each direction BEFORE choosing,
+  * so a too-far backward match still falls through to an in-range forward
+  * one (pandas semantics).
+  *
+  * Inclusivity/determinism: a right row exactly at the left row's time
+  * matches in every direction; equal-time right rows resolve
+  * deterministically by `rightTieBreak` (backward: last in tie order wins;
+  * forward: first wins — dedupe the right side per (key,time) first if a
+  * specific winner is required). Time columns must be mutually comparable
+  * and totally ordered (use epoch seconds/micros for cross-engine-
+  * reproducible results).
   */
 object AsofJoin {
 
@@ -31,9 +39,13 @@ object AsofJoin {
       rightKey: String,
       rightTime: String,
       payload: Seq[String],
-      rightTieBreak: Option[String] = None
+      rightTieBreak: Option[String] = None,
+      direction: String = "backward",
+      tolerance: Option[Long] = None
   ): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one right payload column")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
     val payloadStruct = struct((rightTime +: payload).map(col): _*)
 
@@ -41,7 +53,7 @@ object AsofJoin {
       Seq(
         col(rightKey).cast("long").as("__k"),
         col(rightTime).cast("long").as("__t"),
-        lit(0).as("__tag"),
+        lit(0).as("__tag"), // sorts BEFORE left at equal time (backward-inclusive)
         rightTieBreak.fold(lit(0L))(c => col(c).cast("long")).as("__tie"),
         payloadStruct.as("__p")
       ) ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -55,12 +67,45 @@ object AsofJoin {
         lit(null).cast(taggedRight.schema("__p").dataType).as("__p")
       ) ++ leftCols.map(col): _*)
 
-    val w = Window.partitionBy(col("__k"))
+    val unioned = taggedLeft.unionByName(taggedRight)
+
+    // backward: rights sort before lefts at equal (t, tie) → preceding frame
+    // is inclusive; LAST right in order = latest time, largest tie.
+    val wBack = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__tag"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: time DESCENDING flips the frame — the preceding frame holds
+    // exactly the rows with t >= left's t. At equal time rights (tag 0)
+    // still sort before left (tag 1) so the match is inclusive, and tie
+    // DESC makes LAST = earliest time, smallest tie ("first wins").
+    val wFwd = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__tag").asc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedLeft.unionByName(taggedRight)
-      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+    def withinTol(m: Column): Column = tolerance.fold(m) { tol =>
+      when(m.isNotNull && abs(col("__t") - m.getField(rightTime).cast("long")) <= tol, m)
+        .otherwise(lit(null).cast(taggedRight.schema("__p").dataType))
+    }
+
+    val needBack = direction != "forward"
+    val needFwd = direction != "backward"
+    val withMatches = unioned
+      .withColumn("__mb", if (needBack) withinTol(last(col("__p"), ignoreNulls = true).over(wBack)) else lit(null))
+      .withColumn("__mf", if (needFwd) withinTol(last(col("__p"), ignoreNulls = true).over(wFwd)) else lit(null))
+    val chosen = direction match {
+      case "backward" => col("__mb")
+      case "forward"  => col("__mf")
+      case "nearest" =>
+        val bDist = col("__t") - col("__mb").getField(rightTime).cast("long")
+        val fDist = col("__mf").getField(rightTime).cast("long") - col("__t")
+        when(col("__mb").isNull, col("__mf"))
+          .when(col("__mf").isNull, col("__mb"))
+          .when(bDist <= fDist, col("__mb")) // tie → backward (pandas)
+          .otherwise(col("__mf"))
+    }
+
+    withMatches
+      .withColumn("__match", chosen)
       .filter(col("__tag") === 1)
       .select(leftCols.map(col) ++
         Seq(col(s"__match.$rightTime").as(s"asof_$rightTime")) ++

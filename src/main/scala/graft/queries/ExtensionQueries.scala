@@ -348,6 +348,77 @@ object ExtensionQueries {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // Forward as-of: each event matched to the user's EARLIEST order at or
+    // after it. Oracle: DuckDB ASOF with the inequality flipped (<= picks
+    // the smallest right time satisfying it).
+    QueryDef(
+      "q59_asof_forward",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("osec"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        val e = events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("esec"))
+        AsofJoin.asofJoin(
+          e, "user_id", "esec",
+          o, "o_custkey", "osec",
+          payload = Seq("o_orderkey"), direction = "forward")
+          .select(col("event_id"), col("user_id"),
+            col("asof_o_orderkey").as("asof_orderkey"), col("asof_osec").as("asof_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o2 AS (SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec,
+             |              max(o_orderkey) AS o_orderkey
+             |            FROM orders GROUP BY 1, 2),
+             |e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS esec FROM events)
+             |SELECT e.event_id, e.user_id, o2.o_orderkey AS asof_orderkey, o2.osec AS asof_sec
+             |FROM e ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.esec <= o2.osec
+             |ORDER BY event_id""".stripMargin)
+    ),
+
+    // Nearest as-of with a tolerance: per event, the closer of the two
+    // directional matches, each direction bounded to 7 days first (pandas
+    // merge_asof semantics). Oracle composes DuckDB's two directional ASOF
+    // joins with the identical in-range/choose-closer CASE.
+    QueryDef(
+      "q60_asof_nearest_tol",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("osec"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        val e = events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("esec"))
+        AsofJoin.asofJoin(
+          e, "user_id", "esec",
+          o, "o_custkey", "osec",
+          payload = Seq("o_orderkey"), direction = "nearest",
+          tolerance = Some(7L * 86400L))
+          .select(col("event_id"), col("user_id"),
+            col("asof_o_orderkey").as("asof_orderkey"), col("asof_osec").as("asof_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o2 AS (SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec,
+             |              max(o_orderkey) AS o_orderkey
+             |            FROM orders GROUP BY 1, 2),
+             |e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS esec FROM events),
+             |b AS (SELECT e.event_id, o2.o_orderkey AS bk, o2.osec AS bs
+             |      FROM e ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.esec >= o2.osec),
+             |f AS (SELECT e.event_id, o2.o_orderkey AS fk, o2.osec AS fs
+             |      FROM e ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.esec <= o2.osec),
+             |j AS (SELECT e.event_id, e.user_id, e.esec,
+             |        CASE WHEN b.bs IS NOT NULL AND e.esec - b.bs <= 604800 THEN b.bk END AS bk,
+             |        CASE WHEN b.bs IS NOT NULL AND e.esec - b.bs <= 604800 THEN b.bs END AS bs,
+             |        CASE WHEN f.fs IS NOT NULL AND f.fs - e.esec <= 604800 THEN f.fk END AS fk,
+             |        CASE WHEN f.fs IS NOT NULL AND f.fs - e.esec <= 604800 THEN f.fs END AS fs
+             |      FROM e JOIN b USING (event_id) JOIN f USING (event_id))
+             |SELECT event_id, user_id,
+             |  CASE WHEN bs IS NULL THEN fk WHEN fs IS NULL THEN bk
+             |       WHEN esec - bs <= fs - esec THEN bk ELSE fk END AS asof_orderkey,
+             |  CASE WHEN bs IS NULL THEN fs WHEN fs IS NULL THEN bs
+             |       WHEN esec - bs <= fs - esec THEN bs ELSE fs END AS asof_sec
+             |FROM j ORDER BY event_id""".stripMargin)
+    ),
+
     // Batch twin of streaming sessionization (EventStreams.sessionize):
     // gap-based session assignment via lag + running sum — second-granularity
     // timestamps keep both engines integer-exact.

@@ -228,6 +228,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(6L).isEmpty)
   }
 
+  test("as-of join directions: forward, nearest, and tolerance") {
+    val quotes = Seq(
+      (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 15L, 200L)
+    ).toDF("k", "qt", "quote_id")
+    val trades = Seq(
+      (1L, 5L, 1L),   // fwd -> 100 (t=10); nearest -> 100
+      (1L, 20L, 2L),  // exact -> 101 in every direction
+      (1L, 26L, 3L),  // back -> 101 (d=6), fwd -> 102 (d=4): nearest -> 102
+      (1L, 24L, 4L),  // back -> 101 (d=4), fwd -> 102 (d=6): nearest -> 101
+      (1L, 99L, 5L),  // fwd -> null; nearest -> 102
+      (2L, 16L, 6L)   // fwd -> null (no later quote on k=2)
+    ).toDF("k", "tt", "trade_id")
+    def run(direction: String, tol: Option[Long] = None) =
+      AsofJoin.asofJoin(trades, "k", "tt", quotes, "k", "qt", Seq("quote_id"),
+        direction = direction, tolerance = tol)
+        .collect()
+        .map(x => x.getAs[Long]("trade_id") -> Option(x.getAs[Any]("asof_quote_id")))
+        .toMap
+    val fwd = run("forward")
+    assert(fwd(1L).contains(100L) && fwd(2L).contains(101L) && fwd(3L).contains(102L))
+    assert(fwd(5L).isEmpty && fwd(6L).isEmpty)
+    val near = run("nearest")
+    assert(near(1L).contains(100L) && near(2L).contains(101L))
+    assert(near(3L).contains(102L) && near(4L).contains(101L) && near(5L).contains(102L))
+    // tolerance: backward match farther than 10 nulls out...
+    val backTol = run("backward", tol = Some(10L))
+    assert(backTol(5L).isEmpty) // t=99, last quote t=30 -> too far
+    assert(backTol(3L).contains(101L))
+    // ...but nearest+tolerance falls through to the in-range direction
+    val nearTol = AsofJoin.asofJoin(
+      Seq((1L, 29L, 7L)).toDF("k", "tt", "trade_id"), "k", "tt",
+      quotes, "k", "qt", Seq("quote_id"), direction = "nearest", tolerance = Some(1L))
+      .head()
+    assert(nearTol.getAs[Long]("asof_quote_id") == 102L) // back d=9 out, fwd d=1 in
+  }
+
   test("text quality signals are exact integers") {
     val r = TextAnalysis.qualitySignals(docs, "doc_id", "text", Seq("the", "a", "on"))
       .filter($"doc_id" === 1L).head()

@@ -100,4 +100,39 @@ class PropertiesSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(direct == salted)
   }
+
+  test("property: sorted-merge intersect count equals set intersection (strings and longs)") {
+    graft.functions.GraftFunctions.register(spark)
+    val setsGen = Gen.listOfN(2, Gen.listOfN(30, Gen.choose(0, 40)))
+    forAll(setsGen) { case List(xs, ys) =>
+      val expected = xs.toSet.intersect(ys.toSet).size.toLong
+      val df = Seq((xs.distinct.sorted.map(_.toLong).toArray,
+        ys.distinct.sorted.map(_.toLong).toArray,
+        xs.distinct.map(_.toString).sorted.toArray,
+        ys.distinct.map(_.toString).sorted.toArray))
+        .toDF("la", "lb", "sa", "sb")
+      val row = df.select(
+        graft.functions.GraftFunctions.sortedIntersectCount($"la", $"lb"),
+        graft.functions.GraftFunctions.sortedIntersectCount($"sa", $"sb")).head()
+      assert(row.getLong(0) == expected, "long merge")
+      // string sort order differs from numeric, but set-intersection size doesn't
+      assert(row.getLong(1) == expected, "string merge")
+    case other => fail(s"generator shape: $other")
+    }
+  }
+
+  test("property: hashed jaccard pairs equal string-form pairs on random corpora") {
+    import graft.operators.Dedup
+    val docsGen = Gen.listOfN(10, Gen.listOfN(12, Gen.choose(0, 25)))
+    forAll(docsGen) { wordLists =>
+      val docs = wordLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.map(w => s"w$w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+      val str = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", Seq(lit(1)), 30))
+      val hashed = pairs(Dedup.jaccardPairsHashed(docs, "doc_id", "text", Seq(lit(1)), 30))
+      assert(str == hashed)
+    }
+  }
 }
