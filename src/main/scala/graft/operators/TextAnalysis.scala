@@ -76,6 +76,17 @@ object TextAnalysis {
   def fingerprint(textCol: String): Column =
     md5(array_join(sort_array(array_distinct(tokens(textCol))), " "))
 
+  /** Canonical text normalization for dedup: lowercase, strip everything
+    * outside `[a-z0-9\s]`, collapse whitespace runs, trim. Two documents
+    * differing only in case/punctuation/spacing normalize identically —
+    * run exact or near-dup over the normalized column to catch the
+    * formatting-only duplicates raw hashing misses. Pure codegen'd
+    * builtins; the identical regex pipeline runs in any SQL engine. */
+  def normalizeText(textCol: String): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   /** Winnowing fingerprint (the rolling-hash document-fingerprint scheme):
     * hash every character k-gram via a polynomial rolling hash mod a prime,
     * then keep the MINIMUM hash of each window of `w` consecutive k-grams —

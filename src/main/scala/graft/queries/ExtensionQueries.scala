@@ -545,6 +545,58 @@ object ExtensionQueries {
              |FROM wsel ORDER BY doc_id""".stripMargin)
     ),
 
+    // Deterministic (hash-bucket) sampling: membership decided per key by an
+    // engine-portable md5 fold — identical sample on any engine/partitioning,
+    // stable under corpus growth. Stratified rates per language + the
+    // train/holdout split law are spec-checked; here the driver verifies the
+    // exact member set cross-engine.
+    QueryDef(
+      "q61_sample_deterministic",
+      (s, dir) =>
+        Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 30, "de" -> 10, "fr" -> 10, "es" -> 10, "zh" -> 10))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+             |      < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 10 WHEN 'fr' THEN 10
+             |                  WHEN 'es' THEN 10 WHEN 'zh' THEN 10 ELSE 0 END
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Normalization-aware exact dedup: lowercase/punct-strip/whitespace-
+    // collapse, then group by the normalized content hash — catches the
+    // formatting-only duplicates raw md5 misses.
+    QueryDef(
+      "q62_dedup_normalized",
+      (s, dir) => {
+        val norm = t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.normalizeText("text").as("text"))
+        Dedup.exactByContent(norm, "doc_id", "text").orderBy("content_hash")
+      },
+      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+             |                 '\s+', ' ', 'g'))) AS content_hash,
+             |       CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |       CAST(count(*) AS BIGINT) AS group_size
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)
+    ),
+
+    // Corpus-wide token frequency top-k: explode + two-phase count (map-side
+    // partial agg collapses to |vocab| per task) + deterministic top-k.
+    QueryDef(
+      "q63_token_topk",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens("text")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some(s"""SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+              |FROM (SELECT unnest($duckToks) AS tok FROM documents)
+              |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)
+    ),
+
     // ---- multimodal plumbing ------------------------------------------
 
     // STUB resize (nearest-neighbor-style subsampling of the payload) with

@@ -265,6 +265,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(nearTol.getAs[Long]("asof_quote_id") == 102L) // back d=9 out, fwd d=1 in
   }
 
+  test("deterministic sampling: stable membership, disjoint+complete split, stratified rates") {
+    val df = (1L to 2000L).map(i => (i, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
+    val s1 = Sampling.deterministicSample(df, "id", 20).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(df, "id", 20).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // same sample every run
+    assert(math.abs(s1.size - 400) < 80, s"20% of 2000 -> ${s1.size}")
+    // monotone: raising the rate only ADDS members (bucket < pct nesting)
+    val s30 = Sampling.deterministicSample(df, "id", 30).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s30))
+    val (train, holdout) = Sampling.trainHoldoutSplit(df, "id", 10)
+    val (tr, ho) = (train.collect().map(_.getLong(0)).toSet, holdout.collect().map(_.getLong(0)).toSet)
+    assert(tr.intersect(ho).isEmpty && (tr ++ ho).size == 2000)
+    val strat = Sampling.stratifiedSample(df, "lang", "id", Map("en" -> 50))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(strat.forall(_._2 == "en")) // unlisted strata dropped
+  }
+
+  test("normalizeText canonicalizes case/punctuation/whitespace") {
+    val df = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "HELLO-world??")
+    ).toDF("doc_id", "text")
+    val norm = df.select($"doc_id", TextAnalysis.normalizeText("text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "hello world" && norm(2L) == "hello world" && norm(3L) == "hello world")
+    // and the dedup interplay: all three collapse to one normalized group
+    val groups = Dedup.exactByContent(
+      df.select($"doc_id", TextAnalysis.normalizeText("text").as("text")), "doc_id", "text")
+      .collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("group_size") == 3L)
+  }
+
   test("text quality signals are exact integers") {
     val r = TextAnalysis.qualitySignals(docs, "doc_id", "text", Seq("the", "a", "on"))
       .filter($"doc_id" === 1L).head()
