@@ -237,6 +237,41 @@ object Dedup {
       .filter(col("cos_sim") * 100 >= minCosineX100)
   }
 
+  /** Cross-corpus contamination detection: for every (train, eval) document
+    * pair sharing at least `minShared` word `shingleK`-shingles, the shared
+    * count — the benchmark-decontamination primitive (is an eval item's
+    * n-gram content inside the training set?).
+    *
+    * Plan shape is an INVERTED-INDEX join, never pairwise: distinct
+    * (doc, shingle-hash) postings on both sides, equi-join on the hash,
+    * count per pair. Shuffles are proportional to posting counts.
+    * `maxPostingsPerShingle` drops shingles too common to carry signal
+    * (stopword runs, boilerplate) — the same cap discipline as LSH bands,
+    * without it one ubiquitous shingle produces |train|×|eval| pairs. */
+  def crossOverlapPairs(
+      train: DataFrame, trainId: String, trainText: String,
+      eval: DataFrame, evalId: String, evalText: String,
+      shingleK: Int = 8,
+      minShared: Int = 2,
+      maxPostingsPerShingle: Int = 1000
+  ): DataFrame = {
+    def postings(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId), explode(shingles(text, shingleK)).as("__sh"))
+        .select(col(outId),
+          expr("cast(conv(substring(md5(__sh), 1, 8), 16, 10) as bigint)").as("__h"))
+        .distinct()
+    val tp = postings(train, trainId, trainText, s"train_$trainId")
+    val ep = postings(eval, evalId, evalText, s"eval_$evalId")
+    val hot = tp.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPostingsPerShingle)
+      .select(col("__h"))
+    tp.join(hot, Seq("__h"), "left_anti")
+      .join(ep, Seq("__h"))
+      .groupBy(col(s"train_$trainId"), col(s"eval_$evalId"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** Connected components over an undirected pair list — turns candidate
     * near-dup PAIRS into dedup CLUSTERS (transitive closure), labeling every
     * node with the minimum id reachable from it. The final dedup keep-list

@@ -87,6 +87,42 @@ object TextAnalysis {
       regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "),
       "\\s+", " "))
 
+  private val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhonePat = "\\b[0-9]{3}[-.]?[0-9]{3}[-.]?[0-9]{4}\\b"
+
+  /** PII scrubbing for training text: emails and NANP-style phone numbers
+    * replaced with typed sentinels. Counting happens BEFORE redaction (the
+    * counts drive per-source PII-rate quality gates); both the patterns and
+    * the replacement run as codegen'd regexp builtins, portable to any
+    * RE2-compatible engine. Extend by chaining further patterns — order
+    * matters (emails first: a phone-looking run inside an email must not
+    * split it). */
+  def redactPii(textCol: String): Column =
+    regexp_replace(regexp_replace(col(textCol), EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
+
+  def piiCounts(textCol: String): (Column, Column) = {
+    // SQL string literals consume backslash escapes ('\b' -> backspace):
+    // double them so the REGEX sees \b, matching the DSL-path patterns
+    def sqlLit(p: String) = p.replace("\\", "\\\\")
+    (size(expr(s"regexp_extract_all($textCol, '${sqlLit(EmailPat)}', 0)")).cast("long"),
+      size(expr(s"regexp_extract_all($textCol, '${sqlLit(PhonePat)}', 0)")).cast("long"))
+  }
+
+  /** Word n-gram repetition score in [0, 100]: the percentage of n-grams
+    * that are repeats of an earlier one — the Gopher/C4-style signal that
+    * flags boilerplate and generation loops. Integer output
+    * (`(total-distinct)*100/total`, 0 for short texts) keeps the score
+    * engine-exact. */
+  def repetitionScore(textCol: String, n: Int = 3): Column = {
+    val w = s"split($textCol, ' ')"
+    val grams =
+      s"transform(sequence(0, greatest(size($w) - $n, 0)), i -> array_join(slice($w, i + 1, $n), ' '))"
+    expr(
+      s"""CASE WHEN size($w) < $n THEN CAST(0 AS BIGINT)
+         |ELSE CAST((size($grams) - size(array_distinct($grams))) * 100 DIV size($grams) AS BIGINT)
+         |END""".stripMargin)
+  }
+
   /** Winnowing fingerprint (the rolling-hash document-fingerprint scheme):
     * hash every character k-gram via a polynomial rolling hash mod a prime,
     * then keep the MINIMUM hash of each window of `w` consecutive k-grams —

@@ -597,6 +597,75 @@ object ExtensionQueries {
               |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)
     ),
 
+    // Benchmark-contamination check: inverted-index join on 8-word shingle
+    // hashes between a "train" and an "eval" corpus (documents split by id
+    // parity) — pairs sharing >= 2 shingles, hot shingles capped out.
+    QueryDef(
+      "q64_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.crossOverlapPairs(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          shingleK = 8, minShared = 2, maxPostingsPerShingle = 1000)
+          .orderBy("train_doc_id", "eval_doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 8, 0) + 1),
+             |         i -> array_to_string(w[i+1:i+8], ' '))) AS sh FROM w),
+             |post AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+             |tp AS (SELECT doc_id AS train_doc_id, h FROM post WHERE doc_id % 2 = 0),
+             |ep AS (SELECT doc_id AS eval_doc_id, h FROM post WHERE doc_id % 2 = 1),
+             |hot AS (SELECT h FROM tp GROUP BY h HAVING count(*) > 1000)
+             |SELECT train_doc_id, eval_doc_id, CAST(count(*) AS BIGINT) AS shared_shingles
+             |FROM tp ANTI JOIN hot USING (h) JOIN ep USING (h)
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY train_doc_id, eval_doc_id""".stripMargin)
+    ),
+
+    // PII scrubbing: deterministic email+phone injected per doc (so the
+    // patterns demonstrably fire), counted before redaction, redacted text
+    // verified by md5 — regex semantics proven identical cross-engine.
+    QueryDef(
+      "q65_pii_redaction",
+      (s, dir) => {
+        val aug = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-867-5309 now")).as("aug"))
+        val (emails, phones) = TextAnalysis.piiCounts("aug")
+        aug.select(col("doc_id"), emails.as("n_emails"), phones.as("n_phones"),
+          md5(TextAnalysis.redactPii("aug")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id,
+             |  text || ' contact user' || doc_id || '@example.com or 555-867-5309 now' AS aug
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(aug, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(aug, '\b[0-9]{3}[-.]?[0-9]{3}[-.]?[0-9]{4}\b')) AS BIGINT) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(aug,
+             |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |        '\b[0-9]{3}[-.]?[0-9]{3}[-.]?[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+             |FROM a ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Gopher/C4-style repetition signal: % of word 3-grams that repeat an
+    // earlier one, as an exact integer per document.
+    QueryDef(
+      "q66_repetition_score",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.repetitionScore("text", n = 3).as("rep_pct"))
+          .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |r AS (SELECT doc_id, w, list_transform(range(greatest(len(w) - 3, 0) + 1),
+             |        i -> array_to_string(w[i+1:i+3], ' ')) AS grams FROM g)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN len(w) < 3 THEN 0
+             |       ELSE (len(grams) - len(list_distinct(grams))) * 100 // len(grams) END AS BIGINT) AS rep_pct
+             |FROM r ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- multimodal plumbing ------------------------------------------
 
     // STUB resize (nearest-neighbor-style subsampling of the payload) with

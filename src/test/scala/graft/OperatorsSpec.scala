@@ -282,6 +282,55 @@ class OperatorsSpec extends SparkTestBase {
     assert(strat.forall(_._2 == "en")) // unlisted strata dropped
   }
 
+  test("cross-corpus contamination: shared-shingle pairs via inverted index, hot cap") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (21L, "XX alpha beta gamma delta epsilon zeta YY"), // shares 4 3-shingles with 10
+      (23L, "totally different words here now ok")
+    ).toDF("doc_id", "text")
+    val r = Dedup.crossOverlapPairs(train, "doc_id", "text", eval, "doc_id", "text",
+      shingleK = 3, minShared = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r.keySet == Set((10L, 21L)))
+    assert(r((10L, 21L)) == 4L) // windows of "alpha..zeta" (6 words -> 4 3-shingles)
+    // hot-shingle cap: a shingle in every train doc gets dropped, pairs vanish
+    val boiler = (1L to 5L).map(i => (i, "common boiler plate")).toDF("doc_id", "text")
+    val evalB = Seq((100L, "common boiler plate")).toDF("doc_id", "text")
+    val capped = Dedup.crossOverlapPairs(boiler, "doc_id", "text", evalB, "doc_id", "text",
+      shingleK = 3, minShared = 1, maxPostingsPerShingle = 3)
+    assert(capped.count() == 0)
+  }
+
+  test("PII redaction replaces emails/phones and counts them first") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 555-123-4567 ok"),
+      (2L, "no pii here just words")
+    ).toDF("doc_id", "text")
+    val (emails, phones) = TextAnalysis.piiCounts("text")
+    val r = df.select($"doc_id", emails.as("e"), phones.as("p"),
+      TextAnalysis.redactPii("text").as("red"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L)._1 == 1L && r(1L)._2 == 1L)
+    assert(r(1L)._3 == "reach me at <EMAIL> or <PHONE> ok")
+    assert(r(2L) == ((0L, 0L, "no pii here just words")))
+  }
+
+  test("repetition score: 0 for unique text, high for looped text, 0 for short") {
+    val df = Seq(
+      (1L, "all words here are completely unique tokens"),
+      (2L, "spam ham spam ham spam ham spam ham spam ham"), // 2-period loop
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.repetitionScore("text", 3).as("s"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 0L)
+    assert(r(2L) == 75L) // 8 3-grams, only 2 distinct -> 6*100/8
+    assert(r(3L) == 0L)
+  }
+
   test("normalizeText canonicalizes case/punctuation/whitespace") {
     val df = Seq(
       (1L, "Hello,   World!"),
