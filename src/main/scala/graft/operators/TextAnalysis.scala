@@ -112,16 +112,22 @@ object TextAnalysis {
     * that are repeats of an earlier one — the Gopher/C4-style signal that
     * flags boilerplate and generation loops. Integer output
     * (`(total-distinct)*100/total`, 0 for short texts) keeps the score
-    * engine-exact. */
-  def repetitionScore(textCol: String, n: Int = 3): Column = {
-    val w = s"split($textCol, ' ')"
-    val grams =
-      s"transform(sequence(0, greatest(size($w) - $n, 0)), i -> array_join(slice($w, i + 1, $n), ' '))"
-    expr(
-      s"""CASE WHEN size($w) < $n THEN CAST(0 AS BIGINT)
-         |ELSE CAST((size($grams) - size(array_distinct($grams))) * 100 DIV size($grams) AS BIGINT)
-         |END""".stripMargin)
-  }
+    * engine-exact.
+    *
+    * DF-level on purpose: HOFs are interpreted per element, so the gram
+    * array MUST be materialized once as its own column — referencing the
+    * `transform(...)` expression from each of the three places the formula
+    * needs it re-evaluates the whole array each time (measured 8× slower;
+    * same trap the winnowing operator hit). */
+  def withRepetitionScore(df: DataFrame, textCol: String, outCol: String, n: Int = 3): DataFrame =
+    df.withColumn("__w", split(col(textCol), " "))
+      .withColumn("__grams", expr(
+        s"transform(sequence(0, greatest(size(__w) - $n, 0)), i -> array_join(slice(__w, i + 1, $n), ' '))"))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN size(__w) < $n THEN CAST(0 AS BIGINT)
+           |ELSE CAST((size(__grams) - size(array_distinct(__grams))) * 100 DIV size(__grams) AS BIGINT)
+           |END""".stripMargin))
+      .drop("__w", "__grams")
 
   /** Winnowing fingerprint (the rolling-hash document-fingerprint scheme):
     * hash every character k-gram via a polynomial rolling hash mod a prime,

@@ -654,8 +654,8 @@ object ExtensionQueries {
     QueryDef(
       "q66_repetition_score",
       (s, dir) =>
-        t(s, dir, "documents")
-          .select(col("doc_id"), TextAnalysis.repetitionScore("text", n = 3).as("rep_pct"))
+        TextAnalysis.withRepetitionScore(t(s, dir, "documents"), "text", "rep_pct", n = 3)
+          .select(col("doc_id"), col("rep_pct"))
           .orderBy("doc_id"),
       Some("""WITH g AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |r AS (SELECT doc_id, w, list_transform(range(greatest(len(w) - 3, 0) + 1),

@@ -324,7 +324,8 @@ class OperatorsSpec extends SparkTestBase {
       (2L, "spam ham spam ham spam ham spam ham spam ham"), // 2-period loop
       (3L, "too short")
     ).toDF("doc_id", "text")
-    val r = df.select($"doc_id", TextAnalysis.repetitionScore("text", 3).as("s"))
+    val r = TextAnalysis.withRepetitionScore(df, "text", "s", 3)
+      .select($"doc_id", $"s")
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r(1L) == 0L)
     assert(r(2L) == 75L) // 8 3-grams, only 2 distinct -> 6*100/8
