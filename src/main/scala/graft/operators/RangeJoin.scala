@@ -40,4 +40,25 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Broadcast-dimension fast path: the interval side ships as a stabbing
+    * index (sorted-by-lo + max-hi segment tree) via the engine's custom
+    * logical node / planner strategy / physical operator
+    * ([[org.apache.spark.sql.graft.PointIntervalJoin]]) — each point row
+    * enumerates matches in O(log n + k) where BroadcastNestedLoopJoin scans
+    * all n intervals. No width parameter, no shuffle of the point side.
+    * Columns are cast to DOUBLE here; all other columns pass through. */
+  def indexedRangeJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String
+  ): DataFrame = {
+    val p = points.withColumn(pointCol, col(pointCol).cast("double"))
+    val iv = intervals
+      .withColumn(loCol, col(loCol).cast("double"))
+      .withColumn(hiCol, col(hiCol).cast("double"))
+    org.apache.spark.sql.graft.PointIntervalJoinApi.join(p, pointCol, iv, loCol, hiCol)
+  }
 }

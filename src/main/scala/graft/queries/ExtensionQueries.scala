@@ -234,6 +234,25 @@ object ExtensionQueries {
              |ORDER BY s_suppkey, p_partkey""".stripMargin)
     ),
 
+    // Same range-join semantics through the engine's custom Catalyst stack:
+    // logical node + planner strategy + stabbing-index physical operator
+    // (O(log n + k) per point vs BroadcastNestedLoopJoin's O(n)).
+    QueryDef(
+      "q67_range_join_indexed",
+      (s, dir) => {
+        val points = t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"))
+        val intervals = t(s, dir, "part").select(col("p_partkey"),
+          (col("p_retailprice") - 2.0).as("lo"), (col("p_retailprice") + 2.0).as("hi"))
+        RangeJoin.indexedRangeJoin(points, "s_acctbal", intervals, "lo", "hi")
+          .select(col("s_suppkey"), col("p_partkey"))
+          .orderBy("s_suppkey", "p_partkey")
+      },
+      Some("""SELECT s_suppkey, p_partkey
+             |FROM supplier JOIN part
+             |  ON s_acctbal >= p_retailprice - 2.0 AND s_acctbal <= p_retailprice + 2.0
+             |ORDER BY s_suppkey, p_partkey""".stripMargin)
+    ),
+
     // ---- similarity search --------------------------------------------
 
     QueryDef(

@@ -265,6 +265,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(nearTol.getAs[Long]("asof_quote_id") == 102L) // back d=9 out, fwd d=1 in
   }
 
+  test("indexed range join: custom strategy plans it, results equal the naive theta join") {
+    val points = (1 to 500).map(i => (i.toLong, (i % 97).toDouble + 0.5)).toDF("pid", "p")
+    val intervals = (1 to 60).map(i =>
+      (i.toLong, (i % 13).toDouble * 7.0, (i % 13).toDouble * 7.0 + (i % 5) * 10.0))
+      .toDF("iid", "lo", "hi")
+    val fast = RangeJoin.indexedRangeJoin(points, "p", intervals, "lo", "hi")
+    // the custom physical operator actually planned (not BNLJ)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("PointIntervalJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(key(fast) == key(naive))
+    assert(key(fast).nonEmpty) // the fixture genuinely produces matches
+    // inverted/null intervals are dropped, null points match nothing
+    val weird = Seq((1L, Some(5.0), Some(1.0)), (2L, None, Some(9.0)))
+      .toDF("iid", "lo", "hi")
+    assert(RangeJoin.indexedRangeJoin(points, "p", weird, "lo", "hi").count() == 0)
+  }
+
   test("deterministic sampling: stable membership, disjoint+complete split, stratified rates") {
     val df = (1L to 2000L).map(i => (i, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
     val s1 = Sampling.deterministicSample(df, "id", 20).collect().map(_.getLong(0)).toSet
