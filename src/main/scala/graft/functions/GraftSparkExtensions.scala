@@ -17,6 +17,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.PointIntervalJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
