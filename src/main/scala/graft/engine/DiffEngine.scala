@@ -102,6 +102,29 @@ object DiffEngine {
   /** null% / uniq% derivation (core/util.py:35-37). */
   def pct(n: Long, d: Long): Double = if (d == 0L) 0.0 else n.toDouble / d.toDouble * 100.0
 
+  /** Mergeable distinct-count sketches — the INCREMENTAL profile path.
+    * `approx_count_distinct` answers one query; a DataSketches HLL sketch
+    * is a VALUE: profile each new partition/day once, store the sketch
+    * (bytes), and answer any later cross-snapshot distinct question by
+    * merging sketches instead of rescanning history — at 100 TB the
+    * difference between touching one day and touching everything. Merge is
+    * a register-wise max, so union of part-sketches ≡ sketch of the whole
+    * input (same lgK): estimates are deterministic, not path-dependent. */
+  def profileSketchDf(df: DataFrame, cols: Seq[String], lgK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to sketch")
+    val aggs = cols.map(c => hll_sketch_agg(col(c).cast(StringType), lit(lgK)).as(s"${c}__sketch"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge per-part sketch rows (same columns) and estimate distincts. */
+  def mergeSketchEstimates(parts: Seq[DataFrame], cols: Seq[String]): Map[String, Long] = {
+    require(parts.nonEmpty && cols.nonEmpty, "need sketch parts and columns")
+    val unioned = parts.reduce(_ unionByName _)
+    val aggs = cols.map(c => hll_sketch_estimate(hll_union_agg(col(s"${c}__sketch"))).as(c))
+    val row = unioned.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
   /** Exact multi-column profile WITHOUT the Expand blow-up: melt the N
     * columns to (col_idx, value-as-string) rows via posexplode, then ONE
     * count-distinct per group — Catalyst plans that as a two-phase

@@ -158,6 +158,28 @@ class DiffEngineSpec extends SparkTestBase {
     } finally store.drop()
   }
 
+  test("HLL sketch profiles: part-wise sketches merge to the whole-input answer") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cols = Seq("o_custkey", "o_orderstatus")
+    // profile three disjoint slices independently (the incremental pattern)
+    val parts = Seq(
+      orders.filter($"o_orderkey" % 3 === 0),
+      orders.filter($"o_orderkey" % 3 === 1),
+      orders.filter($"o_orderkey" % 3 === 2)
+    ).map(DiffEngine.profileSketchDf(_, cols))
+    val merged = DiffEngine.mergeSketchEstimates(parts, cols)
+    // HLL union is register-wise max: merging parts == sketching the whole
+    val whole = DiffEngine.mergeSketchEstimates(
+      Seq(DiffEngine.profileSketchDf(orders, cols)), cols)
+    assert(merged == whole)
+    // and the estimate lands within HLL error of the exact count
+    val exact = DiffEngine.columnProfile(orders, cols).map { case (c, (_, d)) => c -> d }
+    cols.foreach { c =>
+      val err = math.abs(merged(c).toDouble - exact(c)) / math.max(exact(c), 1L)
+      assert(err < 0.05, s"$c: est ${merged(c)} vs exact ${exact(c)}")
+    }
+  }
+
   test("JSON formatter is byte-identical to the reference's json.dumps golden") {
     import graft.model._
     // golden produced by: json.dumps(result, indent=2, sort_keys=True,
