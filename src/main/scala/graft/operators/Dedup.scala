@@ -351,6 +351,31 @@ object Dedup {
     labels
   }
 
+  /** Canonical-representative pick per near-dup cluster — the last stage of
+    * the dedup pipeline (pairs → components → ONE kept doc per cluster).
+    * Winner is highest `qualityCol`, smallest id on ties (deterministic
+    * keep-list, reproducible across runs). Input `clusters` is
+    * [[connectedComponents]] output (id, component); one window over the
+    * component — no extra shuffle beyond it. */
+  def canonicalPerCluster(
+      clusters: DataFrame,
+      quality: DataFrame,
+      idCol: String,
+      qualityCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = clusters.join(quality, clusters("id") === quality(idCol))
+      .select(clusters("id"), col("component"), col(qualityCol).as("__q"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__q").desc, col("id"))
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(
+        min(when(col("__rn") === 1, col("id"))).as("keep_id"),
+        count(lit(1)).as("cluster_size"))
+  }
+
   /** Edit-distance near-dup pairs: block on a text prefix, verify with
     * levenshtein — the classic cheap-block/expensive-verify split.
     *

@@ -104,6 +104,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** LSH-bucketed k-NN JOIN: top `k` in-bucket neighbors for EVERY probe
+    * row. Where [[knnJoin]] scores all probes × all vectors (exact, fine
+    * for few probes), this joins on the LSH bucket first — candidates per
+    * probe shrink ~2^bits×, so probe count can scale to the corpus itself
+    * (the all-pairs-ish ANN join a dedup/linking pipeline runs). One
+    * equi-join shuffle on the bucket id + a per-probe window. Default
+    * bucketing is the balanced hyperplane form; `axisAligned=true` keeps
+    * the oracle-replicable axis variant. */
+  def lshKnnJoin(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      bits: Int = 12,
+      axisAligned: Boolean = false
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val bucket = if (axisAligned) signBucket(vecCol, bits) else hyperplaneBucket(vecCol, bits)
+    val bucketed = df.withColumn("__bucket", bucket)
+    val probes = bucketed.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__probe"), col("__bucket"))
+    val scored = bucketed.join(probes, Seq("__bucket"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        cosine(vecCol, "__probe").as("cos_sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** k-NN join: top `k` neighbors for every probe row (probes selected by a
     * predicate). Probes broadcast against the full set; ranking is a window
     * per probe — shuffle on probe id only. */

@@ -215,6 +215,38 @@ object ExtensionQueries {
               |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)
     ),
 
+    // The dedup pipeline end to end: LSH candidate pairs → transitive
+    // clusters → one canonical doc per cluster (longest text, min-id tie).
+    QueryDef(
+      "q69_dedup_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.connectedComponents(
+          Dedup.minHashLshPairs(docs, "doc_id", "text",
+            numHashes = 8, bandSize = 2, shingleK = 3),
+          "a_doc_id", "b_doc_id")
+        Dedup.canonicalPerCluster(clusters,
+          docs.select(col("doc_id"), length(col("text")).cast("long").as("q")),
+          "doc_id", "q")
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+              |edges AS (SELECT a_doc_id AS u, b_doc_id AS v FROM pairs
+              |          UNION SELECT b_doc_id, a_doc_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT u, u FROM edges
+              |  UNION
+              |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+              |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+              |j AS (SELECT c.id, c.component, CAST(length(d.text) AS BIGINT) AS q
+              |      FROM comp c JOIN documents d ON d.doc_id = c.id),
+              |w AS (SELECT id, component, row_number() OVER
+              |        (PARTITION BY component ORDER BY q DESC, id) AS rn FROM j)
+              |SELECT component, min(CASE WHEN rn = 1 THEN id END) AS keep_id,
+              |       CAST(count(*) AS BIGINT) AS cluster_size
+              |FROM w GROUP BY component ORDER BY component""".stripMargin)
+    ),
+
     // Range join (interval containment) via bucketing — one equi-join
     // shuffle instead of Spark's nested-loop plan for BETWEEN theta joins.
     // Oracle runs the naive theta join (fine at oracle scale).
@@ -309,6 +341,33 @@ object ExtensionQueries {
              |  row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank FROM s)
              |SELECT probe_id, neighbor_id, CAST(cs AS VARCHAR) AS cos_sim, CAST(rank AS INT) AS rank
              |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)
+    ),
+
+    // Bucketed kNN JOIN: per-probe top-k restricted to the probe's LSH
+    // bucket — the many-probe ANN form (probe count scales to the corpus).
+    QueryDef(
+      "q68_embed_lsh_knn_join",
+      (s, dir) =>
+        canonOut(Similarity.lshKnnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 3, bits = 4, axisAligned = true)
+          .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+          .orderBy("probe_id", "rank")),
+      Some {
+        val bucket = (0 until 4)
+          .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM embeddings),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pv, bucket FROM e WHERE vec_id < 10),
+           |s AS (SELECT probe_id, e.vec_id AS neighbor_id,
+           |  CAST(list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y)
+           |   / (sqrt(list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y))
+           |    * sqrt(list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y))) AS DECIMAL(16,12)) AS cs
+           |  FROM e JOIN p USING (bucket) WHERE e.vec_id <> probe_id),
+           |r AS (SELECT probe_id, neighbor_id, cs,
+           |  row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank FROM s)
+           |SELECT probe_id, neighbor_id, CAST(cs AS VARCHAR) AS cos_sim, CAST(rank AS INT) AS rank
+           |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+      }
     ),
 
     QueryDef(

@@ -159,6 +159,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(seeds.zip(moved).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
   }
 
+  test("lsh knn join only scores in-bucket candidates per probe") {
+    // axis buckets with bits=2: vec 0/1 share bucket 1 (x>0), vec 2 is bucket 2
+    val r = Similarity.lshKnnJoin(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") <= 2, k = 5, bits = 2, axisAligned = true)
+      .collect().map(x => (x.getAs[Long]("probe_id"), x.getAs[Long]("neighbor_id"))).toSet
+    assert(r.contains((0L, 1L)) && r.contains((1L, 0L)))
+    assert(!r.exists { case (p, n) => p == 2L && (n == 0L || n == 1L) }) // cross-bucket never scored
+  }
+
+  test("canonical pick per cluster keeps highest quality, min id on ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (11L, 1L))
+      .toDF("doc_id", "q")
+    val r = Dedup.canonicalPerCluster(clusters, quality, "doc_id", "q")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((2L, 3L))) // q=9 tie between 2 and 3 -> min id 2; size 3
+    assert(r(10L) == ((10L, 2L)))
+  }
+
   test("knn join returns k ranked neighbors per probe") {
     val r = Similarity.knnJoin(vecs, "vec_id", "embedding", col("vec_id") <= 1, k = 2)
       .collect()
