@@ -216,6 +216,14 @@ object DiffEngine {
     * @param approxDistinct HLL++ profile mode for scale
     * @param deterministicSample sort sample by keys (reference LIMIT is
     *               unordered — "any ≤ sample changed keys"; flag per SURVEY §7.3)
+    * @param coerceTypes when a common column's type drifted between sides
+    *               (int→bigint, decimal widening …), cast BOTH sides to the
+    *               wider common type before hashing — otherwise the text
+    *               renderings differ ("5" vs "5.0") and every matched row
+    *               reports as changed, drowning the real diff. The drift
+    *               itself still surfaces in `schemaDiff.typeChanges`. No-op
+    *               when types already match (so reference-parity runs are
+    *               unaffected); columns with no wider common type hash as-is.
     */
   def diff(
       baseIn: DataFrame,
@@ -228,7 +236,8 @@ object DiffEngine {
       deterministicSample: Boolean = true,
       model: String = "model",
       baseRef: String = "base",
-      headRef: String = "head"
+      headRef: String = "head",
+      coerceTypes: Boolean = true
   ): DiffResult = {
     val base = where.fold(baseIn)(p => baseIn.filter(expr(p)))
     val head = where.fold(headIn)(p => headIn.filter(expr(p)))
@@ -280,7 +289,20 @@ object DiffEngine {
     // PK contract every keyed diff here assumes); with profiles on they come
     // from the profile scan instead, which is needed anyway.
     val nonKey = sd.common.filterNot(keys.contains) // head order (diff_flow.py:181)
-    val joined = rowDiffFrame(base, head, keys, nonKey).persist(StorageLevel.MEMORY_AND_DISK)
+    val (baseJ, headJ) =
+      if (!coerceTypes || sd.typeChanges.isEmpty) (base, head)
+      else {
+        val widened = sd.typeChanges.flatMap { case (c, _, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findWiderTypeForTwo(base.schema(c).dataType, head.schema(c).dataType)
+            .map(c -> _)
+        }.toMap
+        def coerce(df: DataFrame) = widened.foldLeft(df) { case (d, (c, t)) =>
+          d.withColumn(c, col(c).cast(t))
+        }
+        (coerce(base), coerce(head))
+      }
+    val joined = rowDiffFrame(baseJ, headJ, keys, nonKey).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val stats = joined.agg(
         sum(when(col("__base_hash").isNull, 1L).otherwise(0L)).as("added"),

@@ -158,6 +158,22 @@ class DiffEngineSpec extends SparkTestBase {
     } finally store.drop()
   }
 
+  test("type drift coerces to the wider common type before hashing") {
+    val base = Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v") // v: INT
+    val head = Seq((1L, 10L), (2L, 99L), (3L, 30L)).toDF("id", "v") // v: BIGINT
+      .select($"id".cast("int").as("id"), $"v")
+    val r = DiffEngine.diff(base, head, keys = Seq("id"))
+    assert(r.schemaDiff.typeChanges.map(_._1) == Seq("v")) // drift still reported
+    assert(r.rowDiff.get.changed == 1) // only the real change, not all 3
+    // opt-out reproduces the raw-rendering behavior (every matched row differs
+    // would be wrong here: int vs bigint render identically; use double side)
+    val headD = head.select($"id", $"v".cast("double").as("v"))
+    val raw = DiffEngine.diff(base, headD, keys = Seq("id"), coerceTypes = false)
+    assert(raw.rowDiff.get.changed == 3) // "10" vs "10.0" etc — all mismatch
+    val coerced = DiffEngine.diff(base, headD, keys = Seq("id"))
+    assert(coerced.rowDiff.get.changed == 1)
+  }
+
   test("HLL sketch profiles: part-wise sketches merge to the whole-input answer") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val cols = Seq("o_custkey", "o_orderstatus")
