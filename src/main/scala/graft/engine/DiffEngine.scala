@@ -180,6 +180,30 @@ object DiffEngine {
     h.join(b, keys, "inner").filter(col("__base_hash") =!= col("__head_hash"))
   }
 
+  /** Per-column change attribution: among key-matched rows, how many rows
+    * differ in EACH column — answers "what actually changed?" after the
+    * row-level counts say "something did" (beyond the reference, which
+    * stops at whole-row hashes). One inner join on the keys carrying the
+    * compared columns, one aggregate; comparisons are null-safe (`<=>`
+    * negated), so null→value and value→null both count. Returns one row
+    * per compared column: (column, n_changed), head column order. */
+  def changedByColumn(base: DataFrame, head: DataFrame, keys: Seq[String], cols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && cols.nonEmpty, "changedByColumn needs keys and columns")
+    val b = base.select(keys.map(col) ++ cols.map(c => col(c).as(s"__b_$c")): _*)
+    val h = head.select(keys.map(col) ++ cols.map(c => col(c).as(s"__h_$c")): _*)
+    val aggs = cols.map { c =>
+      sum(when(!(col(s"__b_$c") <=> col(s"__h_$c")), 1L).otherwise(0L)).as(c)
+    }
+    val row = h.join(b, keys, "inner").agg(aggs.head, aggs.tail: _*)
+    // melt the single stat row to (column, n_changed) in head column order
+    val spark = base.sparkSession
+    val stats = row.head()
+    import spark.implicits._
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, if (stats.isNullAt(i)) 0L else stats.getLong(i))
+    }.toDF("column", "n_changed")
+  }
+
   /** Null-key diagnostic (SURVEY §7.3 risk 2): the reference's anti-join
     * idiom — and any key join — assumes non-null keys; a row with a null in
     * any key column can never match and silently inflates added+removed.

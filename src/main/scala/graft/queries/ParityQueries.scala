@@ -384,6 +384,24 @@ object ParityQueries {
              |ORDER BY metric""".stripMargin)
     ),
 
+    // Per-column change attribution over the synthetic head: only
+    // o_orderpriority is mutated by the recipe, so its count equals the
+    // changed-row count and every other column is 0.
+    QueryDef(
+      "q70_diff_by_column",
+      (s, dir) =>
+        DiffEngine.changedByColumn(ordersCanon(s, dir), ordersHead(s, dir),
+          Seq("o_orderkey"), nonKeyCols)
+          .orderBy("column"),
+      Some(s"""WITH b AS ($ordersCanonSql), h AS ($ordersHeadSql),
+              |m AS (SELECT ${nonKeyCols.map(c => s"b.$c AS b_$c, h.$c AS h_$c").mkString(", ")}
+              |      FROM h JOIN b ON h.o_orderkey = b.o_orderkey)
+              |${nonKeyCols.map(c =>
+                 s"""SELECT '$c' AS "column", CAST(SUM(CASE WHEN b_$c IS DISTINCT FROM h_$c THEN 1 ELSE 0 END) AS BIGINT) AS n_changed FROM m""")
+                 .mkString("\nUNION ALL ")}
+              |ORDER BY "column"""".stripMargin)
+    ),
+
     // P3: order-preserving name-only schema diff (metadata operator,
     // diff_flow.py:139-150). Deterministic → literal VALUES oracle.
     QueryDef(
