@@ -44,7 +44,8 @@ object Main {
       format: String = "rich",
       approxDistinct: Boolean = false,
       colStats: Boolean = true,
-      buildMode: String = "native") // native | dbt (external `dbt build`)
+      buildMode: String = "native", // native | dbt (external `dbt build`)
+      byColumn: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
@@ -81,6 +82,7 @@ object Main {
           val m = need("--build-mode").toLowerCase.trim
           require(Set("native", "dbt")(m), s"unsupported build mode '$m' (native|dbt)")
           a = a.copy(buildMode = m)
+        case "--by-column" => a = a.copy(byColumn = true)
         case "--format" =>
           val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
@@ -182,7 +184,7 @@ object Main {
           log(a, s"WARNING: null key values (base=$bn head=$hn rows) — these rows can never match and inflate added/removed")
       }
       val res = DiffEngine.diff(baseSnap, headSnap, a.keys, a.where, a.sample,
-        approxDistinct = a.approxDistinct, computeProfiles = a.colStats,
+        approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
         model = a.model, baseRef = a.baseRef, headRef = a.headRef)
       // record the ACTUAL snapshot namespace/tables in meta (diff_flow.py:87-88)
       res.copy(meta = res.meta.copy(
@@ -201,7 +203,7 @@ object Main {
     def load(p: String): DataFrame =
       if (Files.exists(Paths.get(p))) spark.read.parquet(p) else spark.table(p)
     DiffEngine.diff(load(a.basePath), load(a.headPath), a.keys, a.where, a.sample,
-      approxDistinct = a.approxDistinct, computeProfiles = a.colStats,
+      approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
       model = a.model, baseRef = a.basePath, headRef = a.headPath)
   }
 

@@ -261,7 +261,8 @@ object DiffEngine {
       model: String = "model",
       baseRef: String = "base",
       headRef: String = "head",
-      coerceTypes: Boolean = true
+      coerceTypes: Boolean = true,
+      computeByColumn: Boolean = false
   ): DiffResult = {
     val base = where.fold(baseIn)(p => baseIn.filter(expr(p)))
     val head = where.fold(headIn)(p => headIn.filter(expr(p)))
@@ -346,13 +347,18 @@ object DiffEngine {
         keys.map(k => k -> String.valueOf(r.getAs[Any](k))).toMap
       }
       val rd = RowDiff(stat(0), stat(1), stat(2), sampleKeys)
+      val byCol =
+        if (computeByColumn && nonKey.nonEmpty)
+          Some(changedByColumn(baseJ, headJ, keys, nonKey).collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1))))
+        else None
       if (!computeProfiles) // --no-col-stats: zero per-side scans beyond the join
-        DiffResult(meta, RowCounts(stat(3), stat(4)), sd, Nil, Some(rd))
+        DiffResult(meta, RowCounts(stat(3), stat(4)), sd, Nil, Some(rd), byCol)
       else {
         val (baseCount, baseProf) = profileAndCount(base)
         val (headCount, headProf) = profileAndCount(head)
         val rc = RowCounts(baseCount, headCount)
-        DiffResult(meta, rc, sd, profiles(rc, baseProf, headProf), Some(rd))
+        DiffResult(meta, rc, sd, profiles(rc, baseProf, headProf), Some(rd), byCol)
       }
     } finally { joined.unpersist(); () }
   }

@@ -115,7 +115,8 @@ object JsonFormatter {
       "schema_diff" -> schemaDiff,
       "column_profile" -> profiles,
       "row_diff" -> rowDiff
-    )), 0)
+    ) ++ r.changedByColumn.map(bc => "changed_by_column" -> (JObj(
+      bc.map { case (c, n) => c -> (JRaw(n.toString): J) }): J)).toSeq), 0)
   }
 }
 
@@ -245,6 +246,10 @@ object ConsoleFormatter {
         sb ++= table(s"Sample changed keys (limit ${rd.sampleChangedKeys.size})",
           r.meta.keys,
           rd.sampleChangedKeys.map(m => r.meta.keys.map(k => m.getOrElse(k, "")))) += '\n'
+    }
+    r.changedByColumn.foreach { bc =>
+      sb ++= table("Changed rows by column", Seq("Column", "Rows changed"),
+        bc.map { case (c, n) => Seq(c, n.toString) }) += '\n'
     }
     sb.result()
   }

@@ -67,5 +67,10 @@ final case class DiffResult(
     rowcounts: RowCounts,
     schemaDiff: SchemaDiff,
     columnProfiles: Seq[ColumnProfile],
-    rowDiff: Option[RowDiff]
+    rowDiff: Option[RowDiff],
+    // Engine extension (absent from the reference document): per-column
+    // changed-row counts among key-matched rows, populated by --by-column.
+    // JSON emits `changed_by_column` only when present, preserving
+    // byte-parity for reference-shaped runs.
+    changedByColumn: Option[Seq[(String, Long)]] = None
 )

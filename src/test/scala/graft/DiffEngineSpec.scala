@@ -158,6 +158,20 @@ class DiffEngineSpec extends SparkTestBase {
     } finally store.drop()
   }
 
+  test("--by-column attribution lands in the result document and renderers") {
+    val base = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "v")
+    val head = Seq((1, "a", 10), (2, "B", 20), (3, "c", 31)).toDF("id", "name", "v")
+    val r = DiffEngine.diff(base, head, keys = Seq("id"), computeByColumn = true)
+    assert(r.changedByColumn.contains(Seq(("name", 1L), ("v", 1L))))
+    val json = JsonFormatter.render(r)
+    assert(json.contains("\"changed_by_column\"") && json.contains("\"name\": 1"))
+    assert(ConsoleFormatter.render(r).contains("Changed rows by column"))
+    // absent unless requested — reference-shaped documents stay byte-identical
+    val plain = DiffEngine.diff(base, head, keys = Seq("id"))
+    assert(plain.changedByColumn.isEmpty)
+    assert(!JsonFormatter.render(plain).contains("changed_by_column"))
+  }
+
   test("type drift coerces to the wider common type before hashing") {
     val base = Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v") // v: INT
     val head = Seq((1L, 10L), (2L, 99L), (3L, 30L)).toDF("id", "v") // v: BIGINT
