@@ -94,6 +94,35 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: pair each right-stream event with the
+    * left-stream events of the same key whose timestamps fall within
+    * `[rt - windowBefore, rt]` (e.g. clicks attributed to impressions in the
+    * preceding hour). Both sides carry watermarks and the join condition
+    * bounds the time distance, so Spark can PURGE buffered state once the
+    * watermark passes — without the time bound a stream-stream inner join
+    * must buffer both streams forever. Columns are prefixed per side. */
+  def intervalJoin(
+      left: DataFrame, // event schema with ts, user_id
+      right: DataFrame,
+      windowBefore: String = "1 hour",
+      lateness: String = "30 minutes"
+  ): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("user_id"),
+        col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("user_id").as("r_user_id"),
+        col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $windowBefore") &&
+        col("l_ts") <= col("r_ts"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
+  }
+
   /** Run a streaming transform over a bounded source and collect the final
     * result — used by tests and batch/stream parity checks
     * (Trigger.AvailableNow processes everything then stops). */

@@ -99,6 +99,29 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamingDiff.removedCount(base, spool, Seq("id")) == 2)
   }
 
+  test("stream-stream interval join attributes events within the window, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    impressions.addData(
+      Event(100, ts(0), 1, "impression", 0.0),
+      Event(101, ts(30), 1, "impression", 0.0),
+      Event(102, ts(5), 2, "impression", 0.0))
+    clicks.addData(
+      Event(200, ts(10), 1, "click", 1.0),  // within 15m of imp 100
+      Event(201, ts(44), 1, "click", 1.0),  // within 15m of imp 101 only
+      Event(202, ts(50), 2, "click", 1.0))  // imp 102 is 45m earlier -> no match
+    val joined = EventStreams.intervalJoin(
+      impressions.toDF(), clicks.toDF(), windowBefore = "15 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val pairs = spark.table("ij")
+      .collect().map(r => (r.getAs[Long]("l_event_id"), r.getAs[Long]("r_event_id"))).toSet
+    assert(pairs == Set((100L, 200L), (101L, 201L)))
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
