@@ -204,6 +204,28 @@ object DiffEngine {
     }.toDF("column", "n_changed")
   }
 
+  /** Categorical drift between the two sides of a diff: per-value counts
+    * plus each value's contribution to total-variation distance in the
+    * EXACT cross-multiplied form `|n_i·Nh − m_i·Nb|` (summing to
+    * TV × 2·Nb·Nh) — integer arithmetic end to end, so drift is
+    * hash-comparable across engines where a float PSI/KL would diverge in
+    * the last bits. One count-aggregate per side + a full-outer join on the
+    * value (absent values count 0). Intended for low-cardinality
+    * dimension/status columns; for high-cardinality columns profile
+    * distincts instead. */
+  def categoricalDrift(base: DataFrame, head: DataFrame, c: String): DataFrame = {
+    val b = base.groupBy(col(c).as("value")).agg(count(lit(1)).as("base_n"))
+    val h = head.groupBy(col(c).as("value")).agg(count(lit(1)).as("head_n"))
+    val joined = b.join(h, Seq("value"), "full_outer")
+      .select(col("value"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("head_n"), lit(0L)).as("head_n"))
+    val totals = joined.agg(sum("base_n"), sum("head_n")).head()
+    val (nb, nh) = (totals.getLong(0), totals.getLong(1))
+    joined.withColumn("tv_contrib",
+      abs(col("base_n") * lit(nh) - col("head_n") * lit(nb)))
+  }
+
   /** Null-key diagnostic (SURVEY §7.3 risk 2): the reference's anti-join
     * idiom — and any key join — assumes non-null keys; a row with a null in
     * any key column can never match and silently inflates added+removed.

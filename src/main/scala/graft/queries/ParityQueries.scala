@@ -402,6 +402,28 @@ object ParityQueries {
               |ORDER BY "column"""".stripMargin)
     ),
 
+    // Categorical drift: per-value counts across the diff sides plus each
+    // value's exact total-variation contribution |n_i*Nh - m_i*Nb| —
+    // integer math, no float divergence metric to mismatch.
+    QueryDef(
+      "q71_categorical_drift",
+      (s, dir) =>
+        DiffEngine.categoricalDrift(
+          ordersCanon(s, dir), ordersHead(s, dir), "o_orderpriority")
+          .orderBy("value"),
+      Some(s"""WITH b AS (SELECT o_orderpriority AS value, CAST(count(*) AS BIGINT) AS base_n
+              |           FROM ($ordersCanonSql) bb GROUP BY 1),
+              |h AS (SELECT o_orderpriority AS value, CAST(count(*) AS BIGINT) AS head_n
+              |      FROM ($ordersHeadSql) hh GROUP BY 1),
+              |j AS (SELECT coalesce(b.value, h.value) AS value,
+              |             coalesce(base_n, 0) AS base_n, coalesce(head_n, 0) AS head_n
+              |      FROM b FULL OUTER JOIN h ON b.value = h.value),
+              |t AS (SELECT CAST(sum(base_n) AS BIGINT) AS nb, CAST(sum(head_n) AS BIGINT) AS nh FROM j)
+              |SELECT value, base_n, head_n,
+              |       CAST(abs(base_n * nh - head_n * nb) AS BIGINT) AS tv_contrib
+              |FROM j CROSS JOIN t ORDER BY value""".stripMargin)
+    ),
+
     // P3: order-preserving name-only schema diff (metadata operator,
     // diff_flow.py:139-150). Deterministic → literal VALUES oracle.
     QueryDef(

@@ -158,6 +158,18 @@ class DiffEngineSpec extends SparkTestBase {
     } finally store.drop()
   }
 
+  test("categorical drift: exact TV contributions, absent values count zero") {
+    val base = Seq("a", "a", "a", "b").toDF("s") // Nb=4: a:3 b:1
+    val head = Seq("a", "b", "b", "c").toDF("s") // Nh=4: a:1 b:2 c:1
+    val r = DiffEngine.categoricalDrift(base, head, "s")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("a") == ((3L, 1L, 8L)))  // |3*4 - 1*4|
+    assert(r("b") == ((1L, 2L, 4L)))
+    assert(r("c") == ((0L, 1L, 4L)))  // value only in head
+    // TV = sum/(2*Nb*Nh) = 16/32 = 0.5: half the mass moved
+    assert(r.values.map(_._3).sum == 16L)
+  }
+
   test("--by-column attribution lands in the result document and renderers") {
     val base = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "v")
     val head = Seq((1, "a", 10), (2, "B", 20), (3, "c", 31)).toDF("id", "name", "v")
