@@ -402,6 +402,31 @@ object ParityQueries {
               |ORDER BY "column"""".stripMargin)
     ),
 
+    // Incremental-diff scoping: partitions (order dates) whose content
+    // fingerprint (count + order-independent 60-bit hash XOR) moved between
+    // the sides — the scope list that lets a 100 TB diff skip unchanged
+    // history entirely.
+    QueryDef(
+      "q72_changed_partitions",
+      (s, dir) =>
+        canonOut(DiffEngine.changedPartitions(
+          ordersCanon(s, dir), ordersHead(s, dir), "o_orderdate",
+          Seq("o_orderkey") ++ nonKeyCols.filterNot(_ == "o_orderdate"))
+          .orderBy("part")),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        val rh = "md5(concat_ws('|', " + cols
+          .map(c => s"coalesce(CAST($c AS VARCHAR),'<NULL>')").mkString(", ") + "))"
+        val fp = s"CAST(count(*) AS BIGINT) AS n, bit_xor(('0x' || substr($rh, 1, 15))::BIGINT) AS x"
+        s"""WITH b AS (SELECT o_orderdate AS part, $fp FROM ($ordersCanonSql) bb GROUP BY 1),
+           |h AS (SELECT o_orderdate AS part, $fp FROM ($ordersHeadSql) hh GROUP BY 1)
+           |SELECT CAST(coalesce(b.part, h.part) AS VARCHAR) AS part
+           |FROM b FULL OUTER JOIN h ON b.part = h.part
+           |WHERE b.n IS DISTINCT FROM h.n OR b.x IS DISTINCT FROM h.x
+           |ORDER BY part""".stripMargin
+      }
+    ),
+
     // Categorical drift: per-value counts across the diff sides plus each
     // value's exact total-variation contribution |n_i*Nh - m_i*Nb| —
     // integer math, no float divergence metric to mismatch.

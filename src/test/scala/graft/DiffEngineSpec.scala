@@ -158,6 +158,27 @@ class DiffEngineSpec extends SparkTestBase {
     } finally store.drop()
   }
 
+  test("partition fingerprints scope the incremental diff to changed partitions only") {
+    val base = Seq(
+      ("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"),
+      ("2024-01-02", 3L, "c"),
+      ("2024-01-03", 4L, "d")
+    ).toDF("day", "id", "v")
+    val head = Seq(
+      ("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"), // untouched
+      ("2024-01-02", 3L, "CHANGED"),                    // value changed
+      ("2024-01-04", 9L, "new")                         // new partition; 01-03 removed
+    ).toDF("day", "id", "v")
+    val changed = DiffEngine.changedPartitions(base, head, "day", Seq("id", "v"))
+      .collect().map(_.getString(0)).toSet
+    assert(changed == Set("2024-01-02", "2024-01-03", "2024-01-04"))
+    // the scoped diff over changed partitions equals the full diff's counts
+    def scoped(df: org.apache.spark.sql.DataFrame) = df.filter($"day".isin(changed.toSeq: _*))
+    val full = DiffEngine.diff(base, head, keys = Seq("id")).rowDiff.get
+    val inc = DiffEngine.diff(scoped(base), scoped(head), keys = Seq("id")).rowDiff.get
+    assert((inc.added, inc.removed, inc.changed) == ((full.added, full.removed, full.changed)))
+  }
+
   test("categorical drift: exact TV contributions, absent values count zero") {
     val base = Seq("a", "a", "a", "b").toDF("s") // Nb=4: a:3 b:1
     val head = Seq("a", "b", "b", "c").toDF("s") // Nh=4: a:1 b:2 c:1
