@@ -45,7 +45,8 @@ object Main {
       approxDistinct: Boolean = false,
       colStats: Boolean = true,
       buildMode: String = "native", // native | dbt (external `dbt build`)
-      byColumn: Boolean = false)
+      byColumn: Boolean = false,
+      scopePartition: Option[String] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
@@ -83,6 +84,7 @@ object Main {
           require(Set("native", "dbt")(m), s"unsupported build mode '$m' (native|dbt)")
           a = a.copy(buildMode = m)
         case "--by-column" => a = a.copy(byColumn = true)
+        case "--scope-partition" => a = a.copy(scopePartition = Some(need("--scope-partition")))
         case "--format" =>
           val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
@@ -158,6 +160,22 @@ object Main {
       case _ => buildModelNative(spark, worktree, a.model)
     }
 
+  /** `--scope-partition COL`: compare partition fingerprints first (two
+    * aggregate scans producing tiny tables) and keep only partitions whose
+    * content moved — the incremental-diff scope. Left-semi join, never a
+    * collected IN-list, so the partition count can be huge. Rowcounts and
+    * profiles then describe the CHANGED SCOPE, not the full tables (the
+    * added/removed/changed counts are identical either way — unchanged
+    * partitions contribute none). */
+  private def scopeByChangedPartitions(
+      spark: SparkSession, base: DataFrame, head: DataFrame, pc: String): (DataFrame, DataFrame) = {
+    val hashCols = base.columns.toSeq.intersect(head.columns.toSeq).filterNot(_ == pc)
+    require(hashCols.nonEmpty, s"--scope-partition $pc leaves no columns to fingerprint")
+    val parts = DiffEngine.changedPartitions(base, head, pc, hashCols)
+      .withColumnRenamed("part", pc)
+    (base.join(parts, Seq(pc), "left_semi"), head.join(parts, Seq(pc), "left_semi"))
+  }
+
   def runDiff(spark: SparkSession, a: Args): DiffResult = {
     val repoRoot = git(a.projectDir, "rev-parse", "--show-toplevel")
     val runId = SnapshotStore.sanitize(s"${a.model}_${a.baseRef}_${a.headRef}_${System.currentTimeMillis()}")
@@ -183,7 +201,13 @@ object Main {
         if (bn + hn > 0)
           log(a, s"WARNING: null key values (base=$bn head=$hn rows) — these rows can never match and inflate added/removed")
       }
-      val res = DiffEngine.diff(baseSnap, headSnap, a.keys, a.where, a.sample,
+      val (baseIn, headIn) = a.scopePartition match {
+        case Some(pc) =>
+          log(a, s"scoping to partitions of '$pc' whose fingerprint changed")
+          scopeByChangedPartitions(spark, baseSnap, headSnap, pc)
+        case None => (baseSnap, headSnap)
+      }
+      val res = DiffEngine.diff(baseIn, headIn, a.keys, a.where, a.sample,
         approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
         model = a.model, baseRef = a.baseRef, headRef = a.headRef)
       // record the ACTUAL snapshot namespace/tables in meta (diff_flow.py:87-88)
@@ -202,7 +226,12 @@ object Main {
   def runDiffTables(spark: SparkSession, a: Args): DiffResult = {
     def load(p: String): DataFrame =
       if (Files.exists(Paths.get(p))) spark.read.parquet(p) else spark.table(p)
-    DiffEngine.diff(load(a.basePath), load(a.headPath), a.keys, a.where, a.sample,
+    val (b0, h0) = (load(a.basePath), load(a.headPath))
+    val (base, head) = a.scopePartition match {
+      case Some(pc) => scopeByChangedPartitions(spark, b0, h0, pc)
+      case None => (b0, h0)
+    }
+    DiffEngine.diff(base, head, a.keys, a.where, a.sample,
       approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
       model = a.model, baseRef = a.basePath, headRef = a.headPath)
   }

@@ -44,6 +44,25 @@ class CliSpec extends SparkTestBase {
     assert(r.rowcounts.base == 2 && r.rowDiff.get.changed == 0)
   }
 
+  test("--scope-partition diffs only changed partitions with identical row-diff counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_scope_")
+    val base = Seq(
+      ("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c"), ("d3", 4, "d")
+    ).toDF("day", "id", "v")
+    val head = Seq(
+      ("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "CHANGED"), ("d4", 9, "new")
+    ).toDF("day", "id", "v")
+    base.write.parquet(s"$dir/base"); head.write.parquet(s"$dir/head")
+    val scoped = Main.runDiffTables(spark, Main.parseArgs(Seq("diff-tables",
+      s"$dir/base", s"$dir/head", "--keys", "id", "--scope-partition", "day")))
+    val full = Main.runDiffTables(spark, Main.parseArgs(Seq("diff-tables",
+      s"$dir/base", s"$dir/head", "--keys", "id")))
+    val (s1, f1) = (scoped.rowDiff.get, full.rowDiff.get)
+    assert((s1.added, s1.removed, s1.changed) == ((f1.added, f1.removed, f1.changed)))
+    assert(scoped.rowcounts.base == 2 && scoped.rowcounts.head == 2) // scope: d2/d3/d4 rows only
+  }
+
   test("diff-tables runs the engine over two parquet paths") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dt_")
