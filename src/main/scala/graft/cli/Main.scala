@@ -240,7 +240,8 @@ object Main {
     """usage: diff <model> [--keys k1,k2] [--base REF] [--head REF]
       |            [--project-dir DIR] [--profiles-dir DIR] [--profile P] [--target T]
       |            [--where SQL] [--sample N] [--keep-schemas] [--build-mode native|dbt]
-      |            [--col-stats|--no-col-stats] [--approx] [--format rich|json|markdown]
+      |            [--col-stats|--no-col-stats] [--approx] [--by-column]
+      |            [--scope-partition COL] [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]""".stripMargin
 
   /** Map a profiles.yml target onto Spark session settings. The reference
