@@ -317,12 +317,13 @@ object ParityQueries {
             sum(when(col("__base_hash").isNotNull, 1L).otherwise(0L)).as("base_rows"),
             sum(when(col("__head_hash").isNotNull, 1L).otherwise(0L)).as("head_rows"))
           .head()
+        def stat(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
         val rows = Seq(
-          ("added", stats.getLong(0)),
-          ("base_rows", stats.getLong(3)),
-          ("changed", stats.getLong(2)),
-          ("head_rows", stats.getLong(4)),
-          ("removed", stats.getLong(1))
+          ("added", stat(0)),
+          ("base_rows", stat(3)),
+          ("changed", stat(2)),
+          ("head_rows", stat(4)),
+          ("removed", stat(1))
         )
         import s.implicits._
         rows.toDF("metric", "value").orderBy("metric")
