@@ -121,6 +121,41 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: as-of direction laws on random event/quote streams") {
+    import graft.operators.AsofJoin
+    val streamGen = for {
+      quotes <- Gen.listOfN(15, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 100)))
+      trades <- Gen.listOfN(15, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 100)))
+    } yield (quotes.distinct, trades.distinct)
+    forAll(streamGen) { case (qs, ts) =>
+      val quotes = qs.zipWithIndex.map { case ((k, t), i) => (k.toLong, t.toLong, 100L + i) }
+        .toDF("k", "qt", "quote_id")
+      val trades = ts.zipWithIndex.map { case ((k, t), i) => (k.toLong, t.toLong, i.toLong) }
+        .toDF("k", "tt", "trade_id")
+      def run(direction: String) =
+        AsofJoin.asofJoin(trades, "k", "tt", quotes, "k", "qt", Seq("quote_id"),
+          direction = direction)
+          .collect().map(r => r.getAs[Long]("trade_id") ->
+            Option(r.getAs[Any]("asof_qt")).map(_.asInstanceOf[Long])).toMap
+      val (back, fwd, near) = (run("backward"), run("forward"), run("nearest"))
+      val tradeTime = ts.zipWithIndex.map { case ((_, t), i) => i.toLong -> t.toLong }.toMap
+      back.keys.foreach { id =>
+        // direction bounds
+        back(id).foreach(t => assert(t <= tradeTime(id)))
+        fwd(id).foreach(t => assert(t >= tradeTime(id)))
+        // nearest picks the closer of the two (backward on ties), and is
+        // null only when both directions are null
+        (back(id), fwd(id)) match {
+          case (None, f) => assert(near(id) == f)
+          case (b, None) => assert(near(id) == b)
+          case (Some(b), Some(f)) =>
+            val expectBack = (tradeTime(id) - b) <= (f - tradeTime(id))
+            assert(near(id).contains(if (expectBack) b else f))
+        }
+      }
+    }
+  }
+
   test("property: hashed jaccard pairs equal string-form pairs on random corpora") {
     import graft.operators.Dedup
     val docsGen = Gen.listOfN(10, Gen.listOfN(12, Gen.choose(0, 25)))
