@@ -144,13 +144,25 @@ object Dedup {
       idCol: String,
       textCol: String,
       blockExprs: Seq[Column],
-      minJaccardPct: Int
+      minJaccardPct: Int,
+      maxBlockSize: Int = Int.MaxValue
   ): DataFrame = {
-    val withBlock = df.select(
+    val withBlock0 = df.select(
       col(idCol),
       sort_array(array_distinct(split(col(textCol), " "))).as("__ws"),
       struct(blockExprs: _*).as("__blk"))
       .withColumn("__n", size(col("__ws")).cast("long"))
+    // same cap discipline as LSH bands/prefix blocks: an over-common block
+    // (all docs same lang+length on a skewed corpus) would go O(n²); drop it
+    val withBlock =
+      if (maxBlockSize == Int.MaxValue) withBlock0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        withBlock0
+          .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+          .filter(col("__bn") <= maxBlockSize)
+          .drop("__bn")
+      }
     val a = withBlock.toDF(s"a_$idCol", "a_ws", "__blk", "a_n")
     val b = withBlock.toDF(s"b_$idCol", "b_ws", "__blk", "b_n")
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -220,13 +232,24 @@ object Dedup {
       vecCol: String,
       bits: Int,
       minCosineX100: Int,
-      axisAligned: Boolean = false
+      axisAligned: Boolean = false,
+      maxBucketSize: Int = 10000
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val bucket =
       if (axisAligned) Similarity.signBucket(vecCol, bits)
       else Similarity.hyperplaneBucket(vecCol, bits)
-    val bucketed = df.select(col(idCol), col(vecCol), bucket.as("__bucket"))
+    val bucketed0 = df.select(col(idCol), col(vecCol), bucket.as("__bucket"))
+    // degenerate corpora (near-identical vectors) collapse into one bucket
+    // regardless of plane quality — cap it like LSH bands so the in-bucket
+    // pair join stays bounded (mirrored in the oracle)
+    val bucketed = {
+      import org.apache.spark.sql.expressions.Window
+      bucketed0
+        .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+        .filter(col("__bn") <= maxBucketSize)
+        .drop("__bn")
+    }
     val a = bucketed.toDF(s"a_$idCol", "a_vec", "__bucket")
     val b = bucketed.toDF(s"b_$idCol", "b_vec", "__bucket")
     a.join(b, Seq("__bucket"))

@@ -185,7 +185,9 @@ object ExtensionQueries {
           s"""(list_reduce(list_transform(range(len($x)), i -> $x[i+1]::DOUBLE * $y[i+1]::DOUBLE), (p,q) -> p + q)
              | / (sqrt(list_reduce(list_transform(range(len($x)), i -> $x[i+1]::DOUBLE * $x[i+1]::DOUBLE), (p,q) -> p + q))
              |  * sqrt(list_reduce(list_transform(range(len($y)), i -> $y[i+1]::DOUBLE * $y[i+1]::DOUBLE), (p,q) -> p + q))))""".stripMargin
-        s"""WITH e AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS b FROM embeddings),
+        s"""WITH e0 AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS b FROM embeddings),
+           |ok AS (SELECT b FROM e0 GROUP BY b HAVING count(*) <= 10000),
+           |e AS (SELECT e0.* FROM e0 JOIN ok USING (b)),
            |p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
            |  CAST(${cos("a.embedding", "b.embedding")} AS DECIMAL(16,12)) AS cs
            |  FROM e a JOIN e b ON a.b = b.b AND a.vec_id < b.vec_id)

@@ -48,6 +48,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(!r.contains((1L, 4L)))
   }
 
+  test("jaccard block cap and embedding bucket cap bound degenerate corpora") {
+    // 100 docs in ONE jaccard block -> 4950 candidate pairs; cap drops the block
+    val boiler = (1L to 100L).map(i => (i, s"shared tokens everywhere plus t$i")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(boiler, "doc_id", "text",
+      blockExprs = Seq(lit(1)), minJaccardPct = 10, maxBlockSize = 50)
+    assert(capped.count() == 0)
+    // identical vectors all land in one bucket regardless of plane quality
+    val same = (1L to 40L).map(i => (i, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cappedEmb = Dedup.embeddingNearDupPairs(same, "vec_id", "embedding",
+      bits = 4, minCosineX100 = 10, maxBucketSize = 20)
+    assert(cappedEmb.count() == 0)
+    // under the cap the same corpus produces all pairs
+    val uncapped = Dedup.embeddingNearDupPairs(same, "vec_id", "embedding",
+      bits = 4, minCosineX100 = 10, maxBucketSize = 100)
+    assert(uncapped.count() == 40L * 39 / 2)
+  }
+
   test("hashed-token jaccard finds the same pairs as the string form") {
     val str = Dedup.jaccardPairs(docs, "doc_id", "text",
       blockExprs = Seq(lit(1)), minJaccardPct = 50)
