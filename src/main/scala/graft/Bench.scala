@@ -24,7 +24,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q23_profile_melt,q24_sessionize limits the run
+    // while iterating on one query; unset = full suite (driver mode).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup: touch each input format + codegen paths once, untimed
     try SparkEntry.queries("q03_rowcount")(spark, sfDir).foreach(_ => ())
     catch { case _: Throwable => () }

@@ -137,27 +137,22 @@ object DiffEngine {
     * Returns the same single-row shape as [[profileDf]]. */
   def profileMeltDf(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    val spark = df.sparkSession
     val melted = df.select(posexplode(array(
       cols.map(c => col(c).cast(StringType)): _*)).as(Seq("__pos", "__v")))
     val byPos = melted.groupBy(col("__pos"))
       .agg(
-        sum(when(col("__v").isNull, 1L).otherwise(0L)).cast("long").as("nulls"),
-        countDistinct(col("__v")).cast("long").as("distinct"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val row = org.apache.spark.sql.Row.fromSeq(
-      cols.indices.flatMap { i =>
-        val (n, d) = byPos.getOrElse(i, (0L, 0L))
-        Seq(n, d)
-      })
-    val schema = org.apache.spark.sql.types.StructType(cols.flatMap { c =>
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).cast("long").as("__nulls"),
+        countDistinct(col("__v")).cast("long").as("__distinct"))
+    // Pivot the ≤N per-column rows into the single profile row with a second
+    // (single-partition, N-input-row) aggregate — one job end to end, no
+    // driver collect + createDataFrame round-trip. Empty input degrades to
+    // all-zero counts via the coalesce.
+    val pivots = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        org.apache.spark.sql.types.StructField(s"${c}__nulls", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField(s"${c}__distinct", org.apache.spark.sql.types.LongType))
-    })
-    spark.createDataFrame(
-      java.util.Collections.singletonList(row), schema)
+        coalesce(max(when(col("__pos") === i, col("__nulls"))), lit(0L)).as(s"${c}__nulls"),
+        coalesce(max(when(col("__pos") === i, col("__distinct"))), lit(0L)).as(s"${c}__distinct"))
+    }
+    byPos.agg(pivots.head, pivots.tail: _*)
   }
 
   /** Head rows with no base key match — true anti join (reference idiom is

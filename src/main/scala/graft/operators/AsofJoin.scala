@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** As-of (point-in-time) join — for each left row, the single nearest right
   * row on the same key in the requested direction. Spark has no native
@@ -16,20 +17,42 @@ import org.apache.spark.sql.functions._
   *   - `forward`: earliest right with `r.time >= l.time`;
   *   - `nearest`: whichever of the two is closer in time (tie → backward).
   *
-  * `tolerance` (same units as the time columns) nulls a match farther than
-  * the bound; for `nearest` it applies to each direction BEFORE choosing,
-  * so a too-far backward match still falls through to an in-range forward
-  * one (pandas semantics).
+  * Keys partition by VALUE EQUALITY on the raw columns (any type — string
+  * tickers, UUIDs, numeric ids); the union widens mixed-but-compatible
+  * key types (int vs bigint) to the common type. Null keys group with null
+  * keys (null-equal semantics, like a window PARTITION BY).
+  *
+  * Time columns must be integral (already epoch units) or date/timestamp;
+  * anything else is rejected up front rather than silently null-casting.
+  * Temporal times convert to epoch MICROseconds, so `tolerance` is in
+  * micros for date/timestamp inputs and in the columns' own units for
+  * integral inputs. Both sides must be in the same family (integral vs
+  * temporal) — mixed units would silently mis-match.
+  *
+  * `tolerance` nulls a match farther than the bound; for `nearest` it
+  * applies to each direction BEFORE choosing, so a too-far backward match
+  * still falls through to an in-range forward one (pandas semantics).
   *
   * Inclusivity/determinism: a right row exactly at the left row's time
   * matches in every direction; equal-time right rows resolve
   * deterministically by `rightTieBreak` (backward: last in tie order wins;
   * forward: first wins — dedupe the right side per (key,time) first if a
-  * specific winner is required). Time columns must be mutually comparable
-  * and totally ordered (use epoch seconds/micros for cross-engine-
-  * reproducible results).
+  * specific winner is required).
   */
 object AsofJoin {
+
+  private def timeFamily(side: String, name: String, dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType        => "integral"
+    case DateType | TimestampType | TimestampNTZType          => "temporal"
+    case other => throw new IllegalArgumentException(
+      s"as-of $side time column '$name' must be integral (epoch units) or date/timestamp, " +
+        s"got $other — cast it explicitly before the join")
+  }
+
+  private def timeAsLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+    case _                                             => unix_micros(col(c).cast("timestamp"))
+  }
 
   def asofJoin(
       left: DataFrame,
@@ -46,13 +69,28 @@ object AsofJoin {
     require(payload.nonEmpty, "as-of join needs at least one right payload column")
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got '$direction'")
+    val lFam = timeFamily("left", leftTime, left.schema(leftTime).dataType)
+    val rFam = timeFamily("right", rightTime, right.schema(rightTime).dataType)
+    require(lFam == rFam,
+      s"as-of time columns disagree: '$leftTime' is $lFam but '$rightTime' is $rFam — " +
+        "mixed units would silently mis-match; align them first")
+    rightTieBreak.foreach { c =>
+      right.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"as-of tie-break column '$c' must be integral, got $other")
+      }
+    }
     val leftCols = left.columns.toSeq
-    val payloadStruct = struct((rightTime +: payload).map(col): _*)
+    // __rt duplicates the right time in converted (long) units so tolerance
+    // and nearest-distance math never re-derive it from the raw column.
+    val payloadStruct = struct(
+      (timeAsLong(right, rightTime).as("__rt") +: col(rightTime) +: payload.map(col)): _*)
 
     val taggedRight = right.select(
       Seq(
-        col(rightKey).cast("long").as("__k"),
-        col(rightTime).cast("long").as("__t"),
+        col(rightKey).as("__k"), // raw value — equality partitioning needs no cast
+        timeAsLong(right, rightTime).as("__t"),
         lit(0).as("__tag"), // sorts BEFORE left at equal time (backward-inclusive)
         rightTieBreak.fold(lit(0L))(c => col(c).cast("long")).as("__tie"),
         payloadStruct.as("__p")
@@ -60,8 +98,8 @@ object AsofJoin {
 
     val taggedLeft = left.select(
       Seq(
-        col(leftKey).cast("long").as("__k"),
-        col(leftTime).cast("long").as("__t"),
+        col(leftKey).as("__k"),
+        timeAsLong(left, leftTime).as("__t"),
         lit(1).as("__tag"),
         lit(Long.MaxValue).as("__tie"),
         lit(null).cast(taggedRight.schema("__p").dataType).as("__p")
@@ -83,7 +121,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     def withinTol(m: Column): Column = tolerance.fold(m) { tol =>
-      when(m.isNotNull && abs(col("__t") - m.getField(rightTime).cast("long")) <= tol, m)
+      when(m.isNotNull && abs(col("__t") - m.getField("__rt")) <= tol, m)
         .otherwise(lit(null).cast(taggedRight.schema("__p").dataType))
     }
 
@@ -96,8 +134,8 @@ object AsofJoin {
       case "backward" => col("__mb")
       case "forward"  => col("__mf")
       case "nearest" =>
-        val bDist = col("__t") - col("__mb").getField(rightTime).cast("long")
-        val fDist = col("__mf").getField(rightTime).cast("long") - col("__t")
+        val bDist = col("__t") - col("__mb").getField("__rt")
+        val fDist = col("__mf").getField("__rt") - col("__t")
         when(col("__mb").isNull, col("__mf"))
           .when(col("__mf").isNull, col("__mb"))
           .when(bDist <= fDist, col("__mb")) // tie → backward (pandas)

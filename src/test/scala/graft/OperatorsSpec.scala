@@ -265,6 +265,69 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(6L).isEmpty)
   }
 
+  test("as-of join with STRING keys matches per key (no silent cast collapse)") {
+    // Regression: keys used to be .cast("long"), so "AAPL" -> null on every
+    // row, every key collapsed into one window partition, and trades silently
+    // matched other tickers' quotes. Raw-key partitioning must keep them apart.
+    val quotes = Seq(
+      ("AAPL", 10L, 100L), ("AAPL", 30L, 101L),
+      ("MSFT", 20L, 200L),
+      ("GOOG", 5L, 300L)
+    ).toDF("sym", "qt", "quote_id")
+    val trades = Seq(
+      ("AAPL", 25L, 1L), // -> AAPL@10 (NOT MSFT@20, which is nearer in time)
+      ("MSFT", 25L, 2L), // -> MSFT@20
+      ("GOOG", 25L, 3L), // -> GOOG@5
+      ("TSLA", 25L, 4L)  // no quotes for key -> null, not someone else's
+    ).toDF("sym", "tt", "trade_id")
+    val r = AsofJoin.asofJoin(trades, "sym", "tt", quotes, "sym", "qt", Seq("quote_id"))
+      .collect()
+      .map(x => x.getAs[Long]("trade_id") -> Option(x.getAs[Any]("asof_quote_id")))
+      .toMap
+    assert(r(1L).contains(100L))
+    assert(r(2L).contains(200L))
+    assert(r(3L).contains(300L))
+    assert(r(4L).isEmpty)
+    // forward + nearest keep per-key isolation too
+    val fwd = AsofJoin.asofJoin(trades, "sym", "tt", quotes, "sym", "qt", Seq("quote_id"),
+      direction = "forward").collect()
+      .map(x => x.getAs[Long]("trade_id") -> Option(x.getAs[Any]("asof_quote_id"))).toMap
+    assert(fwd(1L).contains(101L) && fwd(2L).isEmpty && fwd(3L).isEmpty && fwd(4L).isEmpty)
+    // non-time-like time column is rejected up front, not null-cast
+    val bad = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(
+        trades.withColumn("tstr", col("tt").cast("string")), "sym", "tstr",
+        quotes, "sym", "qt", Seq("quote_id"))
+    }
+    assert(bad.getMessage.contains("time column"))
+  }
+
+  test("as-of join with timestamp time columns uses micro precision") {
+    import java.sql.Timestamp
+    val quotes = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00.000100"), 1L),
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00.000300"), 2L)
+    ).toDF("k", "qt", "quote_id")
+    val trades = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00.000250"), 10L)
+    ).toDF("k", "tt", "trade_id")
+    // sub-second resolution: backward must pick the 100us quote, not see
+    // both at "the same second"; tolerance is in MICROS for temporal inputs
+    val back = AsofJoin.asofJoin(trades, "k", "tt", quotes, "k", "qt", Seq("quote_id"))
+      .head().getAs[Long]("asof_quote_id")
+    assert(back == 1L)
+    val tol = AsofJoin.asofJoin(trades, "k", "tt", quotes, "k", "qt", Seq("quote_id"),
+      direction = "nearest", tolerance = Some(60L)) // 60us: back d=150 out, fwd d=50 in
+      .head().getAs[Long]("asof_quote_id")
+    assert(tol == 2L)
+    // mixed integral/temporal time columns are rejected
+    val mixed = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(trades.withColumn("ti", lit(5L)), "k", "ti",
+        quotes, "k", "qt", Seq("quote_id"))
+    }
+    assert(mixed.getMessage.contains("disagree"))
+  }
+
   test("as-of join directions: forward, nearest, and tolerance") {
     val quotes = Seq(
       (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
