@@ -246,7 +246,9 @@ object DiffEngine {
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("head_n"), lit(0L)).as("head_n"))
     val totals = joined.agg(sum("base_n"), sum("head_n")).head()
-    val (nb, nh) = (totals.getLong(0), totals.getLong(1))
+    // sum over zero rows is null — empty sides mean zero totals, not an NPE
+    def total(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
+    val (nb, nh) = (total(0), total(1))
     joined.withColumn("tv_contrib",
       abs(col("base_n") * lit(nh) - col("head_n") * lit(nb)))
   }

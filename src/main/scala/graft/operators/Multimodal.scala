@@ -7,15 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `BinaryType`
   * payloads with typed metadata, processed by per-chunk ("frame") operators.
   *
-  * The container has no image/audio codecs, so the DECODE step is a clearly
-  * marked deterministic fake (md5-derived pseudo-features) — the Spark-side
-  * plumbing (schema, chunking/partitioning, batch shape) is real and tested,
-  * and a codec-backed decoder drops in by replacing [[fakeDecodeFeatures]]'s
-  * expression with a `mapPartitions` over the binary payloads.
+  * The container has no image/audio codec libraries, so the format exercised
+  * end-to-end is binary PPM (P6) — a real binary image format parsed byte-
+  * by-byte on executors ([[decodePpm]]), with REAL nearest-neighbor resize
+  * ([[resizePpm]]) and feature extraction ([[decodePpmStats]]) over the
+  * decoded pixels. A JPEG/PNG/audio codec drops in by swapping the decode
+  * call inside the same `mapPartitions` plumbing.
   *
   * Scale notes: payload columns stay in Parquet as binary; chunking is a
-  * generate (explode) — no shuffle; feature extraction is per-row
-  * expression work that scales embarrassingly.
+  * generate (explode) — no shuffle; decode/resize/feature extraction is
+  * per-row work that scales embarrassingly, and payload bytes never leave
+  * the executor that scanned them.
   */
 object Multimodal {
 
@@ -51,38 +53,6 @@ object Multimodal {
         md5(col("chunk")).as("chunk_md5"))
   }
 
-  /** STUB RESIZE — deterministic stand-in for image/audio downsampling:
-    * keeps every `factor`-th unit of the payload (subsampling is what a
-    * nearest-neighbor resize does to pixels), recording old/new sizes as the
-    * typed metadata a real resize would produce. The Spark-side shape —
-    * per-row payload transform with metadata — is exactly a codec-backed
-    * resize's; swap the expression for a decoder call to make it real. */
-  def fakeResize(df: DataFrame, idCol: String, payloadStrCol: String, factor: Int): DataFrame = {
-    require(factor > 0, "resize factor must be positive")
-    val resized = expr(
-      s"""array_join(transform(
-         |  sequence(1, length($payloadStrCol), $factor),
-         |  i -> substring($payloadStrCol, i, 1)), '')""".stripMargin)
-    df.select(col(idCol),
-      length(col(payloadStrCol)).cast("long").as("orig_len"),
-      resized.as("resized_payload"))
-      .withColumn("resized_len", length(col("resized_payload")).cast("long"))
-      .withColumn("resized_md5", md5(col("resized_payload")))
-  }
-
-  /** STUB DECODE — deterministic fake featurizer: 8 pseudo-features derived
-    * from md5 nibbles of the payload. Replace with a real codec via
-    * mapPartitions when libs are available; schema and batch shape are what
-    * a real decoder would produce. */
-  def fakeDecodeFeatures(df: DataFrame, idCol: String, payloadStrCol: String): DataFrame = {
-    val h = md5(col(payloadStrCol))
-    val feats = (0 until 8).map { i =>
-      expr(s"cast(conv(substring(md5($payloadStrCol), ${i * 4 + 1}, 4), 16, 10) as bigint)")
-        .as(s"f$i")
-    }
-    df.select(col(idCol) +: h.as("payload_md5") +: feats: _*)
-  }
-
   // ---- REAL decode: binary PPM (P6) ----------------------------------
 
   /** Decoded image features: dimensions plus exact per-channel pixel sums —
@@ -97,7 +67,9 @@ object Multimodal {
     * null feature rows, never task failures. Pure JVM byte parsing, no
     * codec library needed: this is the honest end-to-end proof that opaque
     * BinaryType payloads flow through decode on executors. */
-  def decodePpm(bytes: Array[Byte]): Option[ImageFeatures] = {
+  /** Parse the P6 header; returns (width, height, offset-of-pixel-data) only
+    * when the full pixel payload is present. None for anything malformed. */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes == null || bytes.length < 9) return None
     var pos = 0
     def isWs(b: Byte): Boolean = b == ' ' || b == '\n' || b == '\r' || b == '\t'
@@ -121,19 +93,76 @@ object Multimodal {
       catch { case _: NumberFormatException => return None }
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 || w.toLong * h > Int.MaxValue / 3) return None
     pos += 1 // exactly one whitespace byte separates maxval from pixel data (PPM spec)
-    val n = w * h * 3
-    if (bytes.length - pos < n) return None
-    var r = 0L; var g = 0L; var b = 0L
-    var i = pos
-    val end = pos + n
-    while (i < end) {
-      r += bytes(i) & 0xff
-      g += bytes(i + 1) & 0xff
-      b += bytes(i + 2) & 0xff
-      i += 3
-    }
-    Some(ImageFeatures(w, h, w.toLong * h, r, g, b))
+    if (bytes.length - pos < w * h * 3) return None
+    Some((w, h, pos))
   }
+
+  def decodePpm(bytes: Array[Byte]): Option[ImageFeatures] =
+    ppmHeader(bytes).map { case (w, h, pos) =>
+      var r = 0L; var g = 0L; var b = 0L
+      var i = pos
+      val end = pos + w * h * 3
+      while (i < end) {
+        r += bytes(i) & 0xff
+        g += bytes(i + 1) & 0xff
+        b += bytes(i + 2) & 0xff
+        i += 3
+      }
+      ImageFeatures(w, h, w.toLong * h, r, g, b)
+    }
+
+  /** REAL nearest-neighbor resize over decoded P6 pixels: target pixel
+    * (x, y) samples source pixel (⌊x·W/newW⌋, ⌊y·H/newH⌋) — the standard
+    * NN mapping, exact integer arithmetic so both engines can replicate it.
+    * Returns the resized image's dimensions and per-channel sums; None on
+    * any decode failure (malformed header, truncated pixels). */
+  def resizePpm(bytes: Array[Byte], newW: Int, newH: Int): Option[ImageFeatures] = {
+    if (newW <= 0 || newH <= 0) return None
+    ppmHeader(bytes).map { case (w, h, pos) =>
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < newH) {
+        val sy = (y.toLong * h / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * w / newW).toInt
+          val j = pos + 3 * (sy * w + sx)
+          r += bytes(j) & 0xff
+          g += bytes(j + 1) & 0xff
+          b += bytes(j + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(newW, newH, newW.toLong * newH, r, g, b)
+    }
+  }
+
+  /** Extended per-image stats from a REAL decode pass: dimensions plus
+    * per-channel min/max and total brightness — the feature-extraction
+    * shape a training-data pipeline computes per image, all integers for
+    * exact cross-engine oracle checks. */
+  final case class ImageStats(
+      width: Int, height: Int, nPixels: Long,
+      rMin: Int, rMax: Int, gMin: Int, gMax: Int, bMin: Int, bMax: Int,
+      brightSum: Long)
+
+  def decodePpmStats(bytes: Array[Byte]): Option[ImageStats] =
+    ppmHeader(bytes).map { case (w, h, pos) =>
+      var rMin = 255; var rMax = 0; var gMin = 255; var gMax = 0
+      var bMin = 255; var bMax = 0; var bright = 0L
+      var i = pos
+      val end = pos + w * h * 3
+      while (i < end) {
+        val r = bytes(i) & 0xff; val g = bytes(i + 1) & 0xff; val b = bytes(i + 2) & 0xff
+        if (r < rMin) rMin = r; if (r > rMax) rMax = r
+        if (g < gMin) gMin = g; if (g > gMax) gMax = g
+        if (b < bMin) bMin = b; if (b > bMax) bMax = b
+        bright += r + g + b
+        i += 3
+      }
+      ImageStats(w, h, w.toLong * h, rMin, rMax, gMin, gMax, bMin, bMax, bright)
+    }
 
   /** Test/oracle harness: synthesize a P6 payload whose pixel bytes cycle
     * through the text's code points mod 256 — both engines can derive the
@@ -182,5 +211,50 @@ object Multimodal {
         }
       })
       .toDF(idCol, "width", "height", "n_pixels", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Nearest-neighbor resize of P6 payloads to `newW`×`newH`, emitting the
+    * resized image's typed metadata (dims + exact channel sums). Same
+    * shuffle-free `mapPartitions` shape as [[ppmFeatures]]; malformed
+    * payloads become null feature rows. */
+  def ppmResize(df: DataFrame, idCol: String, payloadCol: String,
+      newW: Int, newH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        resizePpm(bytes, newW, newH) match {
+          case Some(f) =>
+            (id, Option(f.width), Option(f.height), Option(f.nPixels),
+              Option(f.rSum), Option(f.gSum), Option(f.bSum))
+          case None => (id, None: Option[Int], None: Option[Int], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "new_w", "new_h", "n_pixels", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Per-image feature extraction over REAL decoded pixels: channel
+    * min/max + total brightness (see [[decodePpmStats]]). */
+  def ppmStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodePpmStats(bytes) match {
+          case Some(s) =>
+            (id, Option(s.width), Option(s.height), Option(s.nPixels),
+              Option(s.rMin), Option(s.rMax), Option(s.gMin), Option(s.gMax),
+              Option(s.bMin), Option(s.bMax), Option(s.brightSum))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Long],
+              None: Option[Int], None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "width", "height", "n_pixels",
+        "r_min", "r_max", "g_min", "g_max", "b_min", "b_max", "bright_sum")
   }
 }

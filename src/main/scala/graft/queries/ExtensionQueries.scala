@@ -752,16 +752,31 @@ object ExtensionQueries {
     // typed size metadata — deterministic, oracle-checked plumbing.
     QueryDef(
       "q56_mm_resize",
-      (s, dir) =>
-        Multimodal.fakeResize(t(s, dir, "documents"), "doc_id", "text", factor = 4)
-          .drop("resized_payload")
-          .orderBy("doc_id"),
-      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len,
-             |       CAST(length(r) AS BIGINT) AS resized_len, md5(r) AS resized_md5
-             |FROM (SELECT doc_id, text,
-             |        array_to_string(list_transform(range(1, length(text) + 1, 4),
-             |          i -> substr(text, CAST(i AS INT), 1)), '') AS r
-             |      FROM documents) t ORDER BY doc_id""".stripMargin)
+      // REAL resize: synthesize an 8×8 P6 payload per document (as q57),
+      // then nearest-neighbor downsample to 4×4 over the DECODED pixels on
+      // executors. Oracle replicates the exact NN source-pixel mapping
+      // sx=⌊x·W/newW⌋, sy=⌊y·H/newH⌋ straight from the text-derived bytes.
+      (s, dir) => {
+        val withPayload = Multimodal.withPpmPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 8, height = 8)
+        Multimodal.ppmResize(withPayload, "doc_id", "payload", newW = 4, newH = 4)
+          .orderBy("doc_id")
+      },
+      Some {
+        // resized pixel k: x=k%4, y=k//4 -> source pixel ((y*8)//4)*8 + (x*8)//4
+        def channel(c: Int) =
+          s"CAST(list_sum(list_transform(range(16), " +
+            s"k -> p[3*(((k//4)*8//4)*8 + ((k%4)*8//4)) + ${c + 1}])) AS BIGINT)"
+        """WITH px AS (SELECT doc_id,
+          |  list_transform(range(192),
+          |    j -> ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) AS p
+          |  FROM documents)
+          |SELECT doc_id, CAST(4 AS INT) AS new_w, CAST(4 AS INT) AS new_h,
+          |       CAST(16 AS BIGINT) AS n_pixels,
+          |""".stripMargin +
+          s"       ${channel(0)} AS r_sum, ${channel(1)} AS g_sum, ${channel(2)} AS b_sum\n" +
+          "FROM px ORDER BY doc_id"
+      }
     ),
 
     QueryDef(
@@ -817,17 +832,30 @@ object ExtensionQueries {
     ),
 
     QueryDef(
-      "q47_mm_decode_stub",
-      (s, dir) =>
-        Multimodal.fakeDecodeFeatures(t(s, dir, "documents"), "doc_id", "text")
-          .orderBy("doc_id"),
+      "q47_mm_image_stats",
+      // REAL per-image feature extraction over decoded pixels: channel
+      // min/max + total brightness on a 12×4 payload (different dims than
+      // q56/q57 so the header parse is exercised on non-square inputs).
+      (s, dir) => {
+        val withPayload = Multimodal.withPpmPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 12, height = 4)
+        Multimodal.ppmStats(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
       Some {
-        val feats = (0 until 8)
-          .map(i => s"CAST(('0x' || substr(md5(text), ${i * 4 + 1}, 4)) AS BIGINT) AS f$i")
-          .mkString(",\n  ")
-        s"""SELECT doc_id, md5(text) AS payload_md5,
-           |  $feats
-           |FROM documents ORDER BY doc_id""".stripMargin
+        def mm(c: Int, f: String) =
+          s"CAST(list_$f(list_transform(range(48), i -> p[3*i + ${c + 1}])) AS INT)"
+        """WITH px AS (SELECT doc_id,
+          |  list_transform(range(144),
+          |    j -> ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) AS p
+          |  FROM documents)
+          |SELECT doc_id, CAST(12 AS INT) AS width, CAST(4 AS INT) AS height,
+          |       CAST(48 AS BIGINT) AS n_pixels,
+          |""".stripMargin +
+          s"       ${mm(0, "min")} AS r_min, ${mm(0, "max")} AS r_max,\n" +
+          s"       ${mm(1, "min")} AS g_min, ${mm(1, "max")} AS g_max,\n" +
+          s"       ${mm(2, "min")} AS b_min, ${mm(2, "max")} AS b_max,\n" +
+          "       CAST(list_sum(p) AS BIGINT) AS bright_sum\n" +
+          "FROM px ORDER BY doc_id"
       }
     )
   )

@@ -568,12 +568,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(hof == native)
   }
 
-  test("multimodal: resize stub subsamples deterministically with metadata") {
-    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
-    val r = Multimodal.fakeResize(df, "doc_id", "text", factor = 3).head()
-    assert(r.getAs[Long]("orig_len") == 10L)
-    assert(r.getAs[String]("resized_payload") == "adgj")
-    assert(r.getAs[Long]("resized_len") == 4L)
+  test("multimodal: real nearest-neighbor resize samples the exact source pixels") {
+    // 2×2 image with distinct per-pixel values: resize to 1×1 must sample
+    // ONLY pixel (0,0) — sx = ⌊0·2/1⌋ = 0 — not average or sum anything else
+    val px = Array[Byte](
+      10, 11, 12,   20, 21, 22, // row 0: (0,0), (1,0)
+      30, 31, 32,   40, 41, 42) // row 1
+    val img = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val one = Multimodal.resizePpm(img, 1, 1).get
+    assert((one.rSum, one.gSum, one.bSum) == (10L, 11L, 12L))
+    // identity resize reproduces the full-decode channel sums
+    val same = Multimodal.resizePpm(img, 2, 2).get
+    val full = Multimodal.decodePpm(img).get
+    assert((same.rSum, same.gSum, same.bSum) == (full.rSum, full.gSum, full.bSum))
+    // 4×4 -> 2×2 keeps pixels (0,0),(2,0),(0,2),(2,2) of a known gradient
+    val g16 = (0 until 48).map(_.toByte).toArray // pixel p channel c = 3p+c
+    val img4 = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ g16
+    val r4 = Multimodal.resizePpm(img4, 2, 2).get
+    // sampled source pixels 0, 2, 8, 10 -> r bytes 0, 6, 24, 30
+    assert(r4.rSum == 0L + 6L + 24L + 30L)
+    assert(r4.gSum == r4.rSum + 4L && r4.bSum == r4.rSum + 8L)
+    // malformed input -> None, never a throw
+    assert(Multimodal.resizePpm("P6\n2 2\n255\n".getBytes("US-ASCII"), 1, 1).isEmpty)
+    assert(Multimodal.resizePpm(img, 0, 1).isEmpty)
+  }
+
+  test("multimodal: decoded image stats track channel extrema and brightness") {
+    val px = Array[Byte](
+      10, 110, -56,   20, 121, 22, // -56 unsigned = 200
+      30, 31, 32,     40, 41, 42)
+    val img = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val s = Multimodal.decodePpmStats(img).get
+    assert((s.rMin, s.rMax) == (10, 40))
+    assert((s.gMin, s.gMax) == (31, 121))
+    assert((s.bMin, s.bMax) == (22, 200))
+    assert(s.brightSum == px.map(_ & 0xff).map(_.toLong).sum)
+    assert(Multimodal.decodePpmStats(Array[Byte](1, 2, 3)).isEmpty)
   }
 
   test("multimodal: chunking covers the payload exactly") {
@@ -591,10 +621,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getAs[Array[Byte]]("payload").length == 22)
   }
 
-  test("multimodal: stub decode features are deterministic") {
-    val a = Multimodal.fakeDecodeFeatures(docs, "doc_id", "text").collect()
-    val b = Multimodal.fakeDecodeFeatures(docs, "doc_id", "text").collect()
-    assert(a.sameElements(b))
-    assert(a.head.schema.fieldNames.count(_.startsWith("f")) == 8)
+  test("multimodal: ppmResize/ppmStats plumbing nulls out malformed payloads") {
+    val withPayload = Multimodal.withPpmPayload(docs, "doc_id", "text", 4, 4)
+      .union(Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"))
+    val rs = Multimodal.ppmResize(withPayload, "doc_id", "payload", 2, 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rs(99L).isNullAt(rs(99L).fieldIndex("r_sum")))
+    assert(rs.keySet.filter(_ != 99L).forall(id => !rs(id).isNullAt(rs(id).fieldIndex("r_sum"))))
+    val st = Multimodal.ppmStats(withPayload, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(st(99L).isNullAt(st(99L).fieldIndex("bright_sum")))
+    assert(st.keySet.filter(_ != 99L).forall(id => !st(id).isNullAt(st(id).fieldIndex("bright_sum"))))
   }
 }
