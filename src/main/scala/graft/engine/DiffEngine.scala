@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.model._
@@ -384,9 +384,17 @@ object DiffEngine {
         sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
           col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed"),
         sum(when(col("__base_hash").isNotNull, 1L).otherwise(0L)).as("base_rows"),
-        sum(when(col("__head_hash").isNotNull, 1L).otherwise(0L)).as("head_rows")
+        sum(when(col("__head_hash").isNotNull, 1L).otherwise(0L)).as("head_rows"),
+        // duplicate-key detection: under the PK contract the full-outer join
+        // emits each key exactly once, so join rows == distinct keys; any
+        // dup key on either side multiplies join rows past that. (Unmatched
+        // null-key rows also trip this — and those equally break the
+        // hash-count shortcut, so the exact-count fallback is right there too.)
+        count(lit(1)).as("join_rows"),
+        countDistinct(struct(keys.map(col): _*)).as("distinct_keys")
       ).head()
       def stat(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+      val keysNotUnique = stat(5) > stat(6)
       val changedRows = joined.filter(
         col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
           col("__base_hash") =!= col("__head_hash"))
@@ -395,14 +403,26 @@ object DiffEngine {
       val sampleKeys = ordered.limit(sample).collect().toSeq.map { r =>
         keys.map(k => k -> String.valueOf(r.getAs[Any](k))).toMap
       }
-      val rd = RowDiff(stat(0), stat(1), stat(2), sampleKeys)
+      val integralKeys = keys.filter(k => baseJ.schema(k).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      }).toSet
+      val rd = RowDiff(stat(0), stat(1), stat(2), sampleKeys, integralKeys)
       val byCol =
         if (computeByColumn && nonKey.nonEmpty)
           Some(changedByColumn(baseJ, headJ, keys, nonKey).collect().toSeq
             .map(r => (r.getString(0), r.getLong(1))))
         else None
-      if (!computeProfiles) // --no-col-stats: zero per-side scans beyond the join
-        DiffResult(meta, RowCounts(stat(3), stat(4)), sd, Nil, Some(rd), byCol)
+      if (!computeProfiles) {
+        // --no-col-stats: zero per-side scans beyond the join — UNLESS keys
+        // turned out non-unique, where join-row multiplication makes the
+        // hash counts over-count and two plain count() jobs are the only
+        // exact answer (matching the reference's separate COUNT queries)
+        val rc =
+          if (keysNotUnique) RowCounts(base.count(), head.count())
+          else RowCounts(stat(3), stat(4))
+        DiffResult(meta, rc, sd, Nil, Some(rd), byCol)
+      }
       else {
         val (baseCount, baseProf) = profileAndCount(base)
         val (headCount, headProf) = profileAndCount(head)

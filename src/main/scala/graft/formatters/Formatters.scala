@@ -53,12 +53,14 @@ object JsonFormatter {
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString + ".0" else d.toString
 
   /** Sample-key values come back stringified from the collect; re-render
-    * integral values as JSON numbers the way the reference's native ints
-    * serialize (diff_flow.py:249 keeps raw driver values). */
-  private def keyValue(v: String): J =
-    if (v != null && v.nonEmpty && v.forall(c => c.isDigit || c == '-') && scala.util.Try(v.toLong).isSuccess)
-      JRaw(v.toLong.toString)
-    else if (v == null) JRaw("null")
+    * values of integer-TYPED key columns as JSON numbers the way the
+    * reference's native ints serialize (diff_flow.py:249 keeps raw driver
+    * values). The decision comes from the source schema (RowDiff.integralKeys),
+    * never from the string's shape — a string-typed key "007" keeps its
+    * leading zeros as a JSON string. */
+  private def keyValue(v: String, integral: Boolean): J =
+    if (v == null) JRaw("null")
+    else if (integral && scala.util.Try(v.toLong).isSuccess) JRaw(v.toLong.toString)
     else JStr(v)
 
   def render(r: DiffResult): String = {
@@ -106,7 +108,7 @@ object JsonFormatter {
         "changed" -> JRaw(rd.changed.toString),
         // key TUPLES in meta.keys order (diff_flow.py:249 `[list(r) for r in rows]`)
         "sample_keys" -> (JArr(rd.sampleChangedKeys.map(m =>
-          JArr(r.meta.keys.map(k => keyValue(m.getOrElse(k, null)))))): J)
+          JArr(r.meta.keys.map(k => keyValue(m.getOrElse(k, null), rd.integralKeys(k)))))): J)
       )): J
     }.getOrElse(JRaw("null"))
     pretty(JObj(Seq(

@@ -54,12 +54,17 @@ final case class ColumnProfile(
 
 /** Key-based row-level diff (diff_flow.py:180-256). `sampleChangedKeys` is a
   * bounded sample of key tuples whose non-key hash changed (diff_flow.py:227-249);
-  * values are stringified at render time like the reference. */
+  * values are stringified at render time like the reference. `integralKeys`
+  * carries which key COLUMNS are integer-typed in the source schema, so the
+  * JSON formatter can serialize those samples as JSON numbers (matching the
+  * reference's native-int serialization) without guessing from the string —
+  * a genuinely string-typed key like "007" must stay a JSON string. */
 final case class RowDiff(
     added: Long,
     removed: Long,
     changed: Long,
-    sampleChangedKeys: Seq[Map[String, String]]
+    sampleChangedKeys: Seq[Map[String, String]],
+    integralKeys: Set[String] = Set.empty
 )
 
 final case class DiffResult(

@@ -285,11 +285,15 @@ object Dedup {
         .distinct()
     val tp = postings(train, trainId, trainText, s"train_$trainId")
     val ep = postings(eval, evalId, evalText, s"eval_$evalId")
-    val hot = tp.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    // a shingle is hot if EITHER side's posting list exceeds the cap —
+    // capping only the train side leaves an eval-ubiquitous shingle free to
+    // fan out train×eval pairs, so the bound must be two-sided
+    def hotIn(p: DataFrame) = p.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxPostingsPerShingle)
       .select(col("__h"))
+    val hot = hotIn(tp).union(hotIn(ep)).distinct()
     tp.join(hot, Seq("__h"), "left_anti")
-      .join(ep, Seq("__h"))
+      .join(ep.join(hot, Seq("__h"), "left_anti"), Seq("__h"))
       .groupBy(col(s"train_$trainId"), col(s"eval_$evalId"))
       .agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)

@@ -696,9 +696,12 @@ object ExtensionQueries {
              |post AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
              |tp AS (SELECT doc_id AS train_doc_id, h FROM post WHERE doc_id % 2 = 0),
              |ep AS (SELECT doc_id AS eval_doc_id, h FROM post WHERE doc_id % 2 = 1),
-             |hot AS (SELECT h FROM tp GROUP BY h HAVING count(*) > 1000)
+             |hot AS (SELECT h FROM tp GROUP BY h HAVING count(*) > 1000
+             |        UNION SELECT h FROM ep GROUP BY h HAVING count(*) > 1000),
+             |tpc AS (SELECT * FROM tp ANTI JOIN hot USING (h)),
+             |epc AS (SELECT * FROM ep ANTI JOIN hot USING (h))
              |SELECT train_doc_id, eval_doc_id, CAST(count(*) AS BIGINT) AS shared_shingles
-             |FROM tp ANTI JOIN hot USING (h) JOIN ep USING (h)
+             |FROM tpc JOIN epc USING (h)
              |GROUP BY 1, 2 HAVING count(*) >= 2
              |ORDER BY train_doc_id, eval_doc_id""".stripMargin)
     ),

@@ -42,6 +42,14 @@ class CliSpec extends SparkTestBase {
     val r = graft.engine.DiffEngine.diff(df, df, keys = Seq("id"), computeProfiles = false)
     assert(r.columnProfiles.isEmpty)
     assert(r.rowcounts.base == 2 && r.rowDiff.get.changed == 0)
+    // duplicate keys break the PK contract: the full-outer join multiplies
+    // rows (2 base x 3 head = 6 joined for key 1), so the hash-count
+    // shortcut must detect that and fall back to exact per-side counts
+    val dupBase = Seq((1, "a"), (1, "a2"), (2, "b")).toDF("id", "v")
+    val dupHead = Seq((1, "x"), (1, "y"), (1, "z")).toDF("id", "v")
+    val rd = graft.engine.DiffEngine.diff(dupBase, dupHead, keys = Seq("id"),
+      computeProfiles = false)
+    assert(rd.rowcounts.base == 3 && rd.rowcounts.head == 3)
   }
 
   test("--scope-partition diffs only changed partitions with identical row-diff counts") {

@@ -256,7 +256,8 @@ class DiffEngineSpec extends SparkTestBase {
       SchemaDiff(Seq("customer_id", "name"), Seq("new_col"), Nil),
       Seq(ColumnProfile("customer_id",
         SideProfile(0, 3, 0.0, 100.0), SideProfile(0, 4, 0.0, 100.0))),
-      Some(RowDiff(1, 0, 2, Seq(Map("customer_id" -> "2"), Map("customer_id" -> "3"))))
+      Some(RowDiff(1, 0, 2, Seq(Map("customer_id" -> "2"), Map("customer_id" -> "3")),
+        integralKeys = Set("customer_id")))
     )
     val golden =
       """{
@@ -322,6 +323,27 @@ class DiffEngineSpec extends SparkTestBase {
     // defaults derive the reference's deterministic names (diff_flow.py:68-71)
     val noNames = r.copy(meta = r.meta.copy(diffSchema = None, tables = None))
     assert(JsonFormatter.render(noNames) == golden)
+  }
+
+  test("JSON sample keys: typed by schema, not by string shape") {
+    import graft.model._
+    // a STRING-typed key whose values happen to be digits must stay a JSON
+    // string ("007" would lose its leading zeros as a number); an integer-
+    // typed key renders as a bare number
+    val r = DiffResult(
+      DiffMeta("m", "a", "b", "FULL_DIFF", None, Seq("code", "id")),
+      RowCounts(1, 1), SchemaDiff(Seq("code", "id"), Nil, Nil), Nil,
+      Some(RowDiff(0, 0, 1, Seq(Map("code" -> "007", "id" -> "42")),
+        integralKeys = Set("id"))))
+    val json = JsonFormatter.render(r)
+    assert(json.contains("\"007\""))
+    assert(json.contains("        42") && !json.contains("\"42\""))
+    // end-to-end: a real diff over a string-keyed frame threads the type
+    val base = Seq(("007", "x"), ("010", "y")).toDF("code", "v")
+    val head = Seq(("007", "x2"), ("010", "y")).toDF("code", "v")
+    val real = DiffEngine.diff(base, head, keys = Seq("code"), model = "m")
+    assert(real.rowDiff.get.integralKeys.isEmpty)
+    assert(JsonFormatter.render(real).contains("\"007\""))
   }
 
   test("formatters render without loss") {

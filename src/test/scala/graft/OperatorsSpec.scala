@@ -423,6 +423,14 @@ class OperatorsSpec extends SparkTestBase {
     val capped = Dedup.crossOverlapPairs(boiler, "doc_id", "text", evalB, "doc_id", "text",
       shingleK = 3, minShared = 1, maxPostingsPerShingle = 3)
     assert(capped.count() == 0)
+    // the cap is TWO-sided: a shingle ubiquitous only in the EVAL corpus
+    // (train side under the cap) must also be dropped, or one hot eval
+    // shingle fans out |train|x|eval| pairs
+    val trainOk = Seq((1L, "common boiler plate")).toDF("doc_id", "text")
+    val evalHot = (100L to 104L).map(i => (i, "common boiler plate")).toDF("doc_id", "text")
+    val cappedEval = Dedup.crossOverlapPairs(trainOk, "doc_id", "text", evalHot, "doc_id", "text",
+      shingleK = 3, minShared = 1, maxPostingsPerShingle = 3)
+    assert(cappedEval.count() == 0)
   }
 
   test("PII redaction replaces emails/phones and counts them first") {
