@@ -348,8 +348,18 @@ object Dedup {
     connectedComponentsDistributed(pairs, aCol, bCol, maxIters)
   }
 
-  /** Distributed min-label propagation (see [[connectedComponents]]). */
-  def connectedComponentsDistributed(pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+  /** Distributed min-label propagation (see [[connectedComponents]]).
+    *
+    * Each round's frame is built FROM the previous round's, so without
+    * truncation the logical plan nests one level per iteration — on a
+    * high-diameter component the plan (and any recomputation path) grows
+    * linearly with rounds. `checkpointEvery` rounds the labels are
+    * `localCheckpoint`ed instead of persisted, cutting lineage back to a
+    * materialized leaf; plan depth stays bounded by the checkpoint interval
+    * regardless of graph diameter. */
+  def connectedComponentsDistributed(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20, checkpointEvery: Int = 5): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
@@ -363,10 +373,12 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("component", "__nc"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min(col("__nc")).as("__minNeighbor"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__minNeighbor"), col("component"))).as("component"))
-        .persist()
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) stepped.localCheckpoint() // eager: materializes + truncates lineage
+        else stepped.persist()
       val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
         .filter(col("component") =!= col("__old")).count()
       labels.unpersist()

@@ -229,6 +229,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(ccDist == expected)
   }
 
+  test("distributed components: high-diameter path converges with bounded plan depth") {
+    // a 25-node path graph (diameter 24) forces ~24 propagation rounds —
+    // without lineage truncation each round nests the previous round's plan
+    val path = (0L until 24L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponentsDistributed(path, "a", "b",
+      maxIters = 40, checkpointEvery = 5)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 24L).map(_ -> 0L).toMap) // converged: everything labels to min id 0
+    // localCheckpoint every 5 rounds cuts the returned frame's lineage to a
+    // materialized leaf — plan depth bounded by the checkpoint interval, not
+    // the ~24 iterations run
+    val planLines = labels.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(planLines < 60, s"plan depth grew with iterations: $planLines lines")
+  }
+
   test("bucketed range join equals the naive containment join") {
     val points = Seq((1L, 0.5), (2L, 10.0), (3L, -3.2), (4L, 99.9)).toDF("pid", "x")
     val intervals = Seq((10L, 0.0, 1.0), (11L, -5.0, 15.0), (12L, 9.9, 10.0), (13L, 50.0, 60.0))
