@@ -90,6 +90,7 @@ object GraftFunctions {
   val SortedIntersectName = "graft_sorted_intersect_count"
   val WinnowingName = "graft_winnowing_fingerprints"
   val HyperplaneName = "graft_hyperplane_bucket"
+  val ProbeBucketsName = "graft_hyperplane_probe_buckets"
 
   private def registerOne(
       spark: SparkSession, name: String, clazz: Class[_],
@@ -126,6 +127,14 @@ object GraftFunctions {
       }
       HyperplaneBucket(children.head, intLit(children(1)), intLit(children(2)))
     })
+    registerOne(spark, ProbeBucketsName, classOf[HyperplaneProbeBuckets], { children =>
+      require(children.length == 4, s"$ProbeBucketsName expects (vec, bits, nProbes, seed)")
+      def intLit(e: Expression): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"$ProbeBucketsName bits/nProbes/seed must be int literals, got $other")
+      }
+      HyperplaneProbeBuckets(children.head, intLit(children(1)), intLit(children(2)), intLit(children(3)))
+    })
   }
 
   /** Column DSL for the fused cosine (caller must have registered). */
@@ -144,4 +153,9 @@ object GraftFunctions {
   def hyperplaneBucket(vec: Column, bits: Int, seed: Int): Column =
     call_function(HyperplaneName, vec,
       org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(seed))
+
+  /** Column DSL for multi-probe LSH buckets (own + lowest-margin flips). */
+  def hyperplaneProbeBuckets(vec: Column, bits: Int, nProbes: Int, seed: Int): Column =
+    call_function(ProbeBucketsName, vec, org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(nProbes), org.apache.spark.sql.functions.lit(seed))
 }

@@ -125,3 +125,91 @@ object HyperplaneBucket {
     h
   }
 }
+
+/** Multi-probe companion to [[HyperplaneBucket]]: the vector's own bucket
+  * plus the `nProbes−1` alternates reached by flipping the bits whose
+  * projection MARGIN is smallest — the planes the vector sits closest to,
+  * i.e. where hash noise most likely put a true neighbor on the other side
+  * (standard multi-probe LSH, Lv et al., VLDB'07). Probing these buckets
+  * recovers most of the recall lost to bucketing at ~nProbes× candidate
+  * cost, without re-hashing or extra tables.
+  *
+  * Same memoized balanced sign table as [[HyperplaneBucket]], so element 0
+  * always equals `hyperplane_bucket(v)` — single-probe callers compose
+  * unchanged. Distinct buckets are disjoint, so downstream joins need no
+  * dedup. */
+case class HyperplaneProbeBuckets(child: Expression, bits: Int, nProbes: Int, seed: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+  require(nProbes >= 1 && nProbes <= bits + 1,
+    s"nProbes must be in [1, bits + 1], got $nProbes with $bits bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "hyperplane_probe_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HyperplaneProbeBuckets.compute(input.asInstanceOf[ArrayData], bits, nProbes, seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.HyperplaneProbeBuckets.compute($a, $bits, $nProbes, $seed));
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneProbeBuckets {
+
+  /** Shared by interpreted eval and codegen (static call keeps the generated
+    * method small; the projection loop itself is branch-light JVM code). */
+  def compute(a: ArrayData, bits: Int, nProbes: Int, seed: Int): Array[Long] = {
+    val n = a.numElements()
+    val tab = HyperplaneBucket.table(bits, n, seed)
+    val acc = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      var p = 0
+      while (p < bits) {
+        if (tab(p)(i)) acc(p) += x else acc(p) -= x
+        p += 1
+      }
+      i += 1
+    }
+    var main = 0L
+    var p = 0
+    while (p < bits) {
+      if (acc(p) > 0.0) main |= (1L << p)
+      p += 1
+    }
+    val out = new Array[Long](nProbes)
+    out(0) = main
+    val used = new Array[Boolean](bits)
+    var q = 1
+    while (q < nProbes) { // nProbes−1 passes over ≤62 margins: selection sort is optimal here
+      var best = -1
+      var bestAbs = Double.MaxValue
+      var r = 0
+      while (r < bits) {
+        val m = math.abs(acc(r))
+        if (!used(r) && m < bestAbs) { bestAbs = m; best = r }
+        r += 1
+      }
+      used(best) = true
+      out(q) = main ^ (1L << best)
+      q += 1
+    }
+    out
+  }
+}

@@ -79,10 +79,15 @@ object Similarity {
   val DefaultPlaneSeed = 42
 
   /** ANN via sign-bucket pruning: exact cosine only within the probe's
-    * bucket. The bucket equi-join replaces the all-pairs scan.
+    * bucket(s). The bucket equi-join replaces the all-pairs scan.
     * `axisAligned=true` selects the oracle-replicable axis-sign bucketing
     * (use only where a cross-engine oracle needs it); the default is the
-    * hyperplane form, for which `bits` should be ≥ 12 at ANN scale. */
+    * hyperplane form, for which `bits` should be ≥ 12 at ANN scale.
+    * `probes` > 1 enables multi-probe: the probe also searches the
+    * `probes−1` buckets reached by flipping its lowest-|margin| plane bits
+    * — the standard recall upgrade at ~probes× candidate cost
+    * ([[graft.functions.HyperplaneProbeBuckets]]). Buckets are disjoint, so
+    * no dedup is needed. */
   def lshTopK(
       df: DataFrame,
       idCol: String,
@@ -90,13 +95,21 @@ object Similarity {
       probeId: Long,
       k: Int,
       bits: Int = 12,
-      axisAligned: Boolean = false
+      axisAligned: Boolean = false,
+      probes: Int = 1
   ): DataFrame = {
+    require(probes == 1 || !axisAligned, "multi-probe needs hyperplane margins (axisAligned=false)")
     GraftFunctions.register(df.sparkSession)
     val bucket = if (axisAligned) signBucket(vecCol, bits) else hyperplaneBucket(vecCol, bits)
     val bucketed = df.withColumn("__bucket", bucket)
-    val probe = bucketed.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("__probe"), col("__bucket"))
+    val probe =
+      if (probes == 1)
+        bucketed.filter(col(idCol) === probeId).select(col(vecCol).as("__probe"), col("__bucket"))
+      else
+        df.filter(col(idCol) === probeId)
+          .select(col(vecCol).as("__probe"),
+            explode(GraftFunctions.hyperplaneProbeBuckets(col(vecCol), bits, probes, DefaultPlaneSeed))
+              .as("__bucket"))
     bucketed.join(broadcast(probe), Seq("__bucket"))
       .filter(col(idCol) =!= probeId)
       .select(col(idCol), cosine(vecCol, "__probe").as("cos_sim"))
@@ -119,15 +132,27 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       bits: Int = 12,
-      axisAligned: Boolean = false
+      axisAligned: Boolean = false,
+      probes: Int = 1
   ): DataFrame = {
+    require(probes == 1 || !axisAligned, "multi-probe needs hyperplane margins (axisAligned=false)")
     GraftFunctions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val bucket = if (axisAligned) signBucket(vecCol, bits) else hyperplaneBucket(vecCol, bits)
     val bucketed = df.withColumn("__bucket", bucket)
-    val probes = bucketed.filter(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("__probe"), col("__bucket"))
-    val scored = bucketed.join(probes, Seq("__bucket"))
+    // multi-probe: each probe row fans out to its own bucket + the
+    // (probes−1) lowest-margin flips; corpus rows keep their single bucket,
+    // so the join stays one shuffle and (probe, neighbor) pairs stay unique
+    val probeRows =
+      if (probes == 1)
+        bucketed.filter(probeFilter)
+          .select(col(idCol).as("probe_id"), col(vecCol).as("__probe"), col("__bucket"))
+      else
+        df.filter(probeFilter)
+          .select(col(idCol).as("probe_id"), col(vecCol).as("__probe"),
+            explode(GraftFunctions.hyperplaneProbeBuckets(col(vecCol), bits, probes, DefaultPlaneSeed))
+              .as("__bucket"))
+    val scored = bucketed.join(probeRows, Seq("__bucket"))
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol).as("neighbor_id"),
         cosine(vecCol, "__probe").as("cos_sim"))

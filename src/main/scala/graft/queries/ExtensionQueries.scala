@@ -860,6 +860,128 @@ object ExtensionQueries {
           "       CAST(list_sum(p) AS BIGINT) AS bright_sum\n" +
           "FROM px ORDER BY doc_id"
       }
+    ),
+
+    // ---- production ANN configs through the gate ------------------------
+    // q37/q68 run the axis-aligned oracle stand-in; these two run the REAL
+    // production paths — balanced-hyperplane multi-probe LSH and Lloyd-
+    // refined IVF. Both are deterministic pure functions of (data, seed),
+    // and the DuckDB oracle recomputes them INDEPENDENTLY: the only shared
+    // constant is the ±1 plane table (a pure function of (bits, dims, seed),
+    // embedded as literals the way a seed would be); projections, buckets,
+    // margin flips, Lloyd means, and top-k all re-derive in SQL.
+    // bits=6 keeps in-bucket candidate sets non-degenerate at the gate's
+    // sf0.01 (500 vectors / 2^6 buckets ≈ 8 each × 3 probes); q75 covers
+    // the production bits=12 bucketing on the same plane table.
+    QueryDef(
+      "q73_embed_ann_multiprobe",
+      (s, dir) =>
+        canonOut(Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = 10, bits = 6, probes = 3)),
+      Some {
+        val tab = graft.functions.HyperplaneBucket.table(6, 64, Similarity.DefaultPlaneSeed)
+        val planes = tab.zipWithIndex.map { case (row, p) =>
+          s"($p, ${row.map(b => if (b) "1" else "-1").mkString("[", ", ", "]")})"
+        }.mkString(",\n  ")
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        // ±1·x then left-fold-add reproduces the Spark expression's
+        // add/subtract accumulation bit-for-bit (multiplication by ±1 and
+        // a+(−x) are IEEE-exact), so signs and margins agree exactly
+        s"""WITH planes(idx, w) AS (VALUES
+           |  $planes),
+           |pr AS (SELECT e.vec_id, p.idx,
+           |    list_reduce(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * p.w[i+1]), (x,y) -> x + y) AS proj
+           |  FROM embeddings e CROSS JOIN planes p),
+           |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS b
+           |  FROM pr GROUP BY vec_id),
+           |flips AS (SELECT idx FROM pr WHERE vec_id = 0 ORDER BY abs(proj), idx LIMIT 2),
+           |pb AS (SELECT b FROM bkt WHERE vec_id = 0
+           |  UNION ALL SELECT xor(m.b, (1::BIGINT << f.idx)) FROM (SELECT b FROM bkt WHERE vec_id = 0) m, flips f),
+           |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+           |cand AS (SELECT e.vec_id, e.embedding
+           |  FROM embeddings e JOIN bkt ON e.vec_id = bkt.vec_id JOIN pb ON bkt.b = pb.b
+           |  WHERE e.vec_id <> 0),
+           |r AS (SELECT vec_id, CAST(${cos("embedding", "pv")} AS DECIMAL(16,12)) AS cs
+           |  FROM cand CROSS JOIN p)
+           |SELECT vec_id, CAST(cs AS VARCHAR) AS cos_sim
+           |FROM r ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q74_embed_ivf_refined",
+      (s, dir) =>
+        canonOut(Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = 10, nlist = 16, nprobe = 4, kmeansIters = 2)),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        // one Lloyd round: argmax-cosine assignment (deterministic cid
+        // tie-break), then per-dim member mean CAST TO REAL — the float
+        // rounding absorbs double-summation-order differences between the
+        // engines, exactly like the Spark side's .toFloat; empty clusters
+        // keep their previous centroid
+        def assign(cent: String, out: String) =
+          s"""$out AS (SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN $cent c)
+             |  WHERE rn = 1)""".stripMargin
+        def lloyd(asg: String, prev: String, out: String, m: String, n: String) =
+          s"""$m AS (SELECT cid, i, CAST(avg(embedding[i+1]::DOUBLE) AS REAL) AS mv
+             |  FROM $asg, (SELECT unnest(range(64)) AS i) ix GROUP BY cid, i),
+             |$n AS (SELECT cid, list(mv ORDER BY i) AS cv FROM $m GROUP BY cid),
+             |$out AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM $prev c LEFT JOIN $n n USING (cid))""".stripMargin
+        s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16),
+           |${assign("cent0", "asg0")},
+           |${lloyd("asg0", "cent0", "cent1", "m1", "n1")},
+           |${assign("cent1", "asg1")},
+           |${lloyd("asg1", "cent1", "cent2", "m2", "n2")},
+           |${assign("cent2", "asgf")},
+           |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+           |pl AS (SELECT cid FROM (SELECT c.cid, ${cos("c.cv", "pv")} AS pc FROM cent2 c CROSS JOIN p)
+           |  ORDER BY pc DESC, cid LIMIT 4),
+           |cand AS (SELECT a.vec_id, a.embedding FROM asgf a JOIN pl USING (cid) WHERE a.vec_id <> 0),
+           |r AS (SELECT vec_id, CAST(${cos("embedding", "pv")} AS DECIMAL(16,12)) AS cs
+           |  FROM cand CROSS JOIN p)
+           |SELECT vec_id, CAST(cs AS VARCHAR) AS cos_sim
+           |FROM r ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin
+      }
+    ),
+
+    // Production-config bucketing itself: bits=12 balanced-hyperplane bucket
+    // per vector, checked as the occupancy histogram (top-20 buckets). The
+    // oracle recomputes every projection and sign from the ±1 plane literals.
+    QueryDef(
+      "q75_hyperplane_bucket_hist",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.functions.GraftFunctions.register(s)
+        emb.select(Similarity.hyperplaneBucket("embedding", 12).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bucket"))
+          .limit(20)
+      },
+      Some {
+        val tab = graft.functions.HyperplaneBucket.table(12, 64, Similarity.DefaultPlaneSeed)
+        val planes = tab.zipWithIndex.map { case (row, p) =>
+          s"($p, ${row.map(b => if (b) "1" else "-1").mkString("[", ", ", "]")})"
+        }.mkString(",\n  ")
+        s"""WITH planes(idx, w) AS (VALUES
+           |  $planes),
+           |pr AS (SELECT e.vec_id, p.idx,
+           |    list_reduce(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * p.w[i+1]), (x,y) -> x + y) AS proj
+           |  FROM embeddings e CROSS JOIN planes p),
+           |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM pr GROUP BY vec_id)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n
+           |FROM bkt GROUP BY bucket ORDER BY n DESC, bucket LIMIT 20""".stripMargin
+      }
     )
   )
 }
