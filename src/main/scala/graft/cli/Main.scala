@@ -151,7 +151,26 @@ object Main {
           val node = DbtBuild.modelNode(worktree, a.model)
           val (schema, ident) = DbtBuild.relation(node)
           log(a, s"dbt built ${node.uniqueId} -> $schema.$ident")
-          DbtBuild.readRelation(spark, schema, ident)
+          // catalog coherence: dbt wrote wherever its PROFILE points, which
+          // is not necessarily this session's warehouse — the reference gets
+          // coherence for free because one conn_info drives both build and
+          // compare (cli.py:110-117, core/dbt_profiles.py:14-85). A missing
+          // relation here means the profile targeted a different catalog;
+          // fail with the mismatch spelled out instead of a bare
+          // TABLE_OR_VIEW_NOT_FOUND (or, worse, silently reading stale data
+          // left by an earlier run).
+          try DbtBuild.readRelation(spark, schema, ident)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              val prof = a.profilesDir.map(p => s"--profiles-dir $p").getOrElse("default profiles dir")
+              val tgt = a.target.map(t => s"--target $t").getOrElse("default target")
+              throw new IllegalStateException(
+                s"dbt reported building ${node.uniqueId} as '$schema.$ident', but that relation " +
+                  s"is not in this Spark session's catalog (warehouse: " +
+                  s"${spark.conf.get("spark.sql.warehouse.dir")}). The dbt profile ($prof, $tgt) " +
+                  "likely targets a different warehouse/catalog than this session; point it at " +
+                  "the session's warehouse or use --build-mode native.", e)
+          }
         } catch {
           case e: DbtBuild.DbtUnavailable =>
             log(a, s"WARNING: ${e.message} — falling back to the native model runner")
@@ -220,6 +239,14 @@ object Main {
       try git(repoRoot, "worktree", "remove", "--force", baseWt) catch { case _: Throwable => }
       try git(repoRoot, "worktree", "remove", "--force", headWt) catch { case _: Throwable => }
       if (!a.keepSnapshots) store.drop()
+      else {
+        // the JSON meta records only logical names; without the physical
+        // path, kept snapshots are unfindable in an unannounced temp dir
+        // (the reference's kept schema is findable in the warehouse by its
+        // printed name — diff_flow.py:68-71,271-275)
+        val msg = s"snapshots kept at $tmp (tables ${a.model}__base / ${a.model}__head)"
+        if (a.format == "rich") println(msg) else Console.err.println(msg) // machine formats keep stdout clean
+      }
     }
   }
 

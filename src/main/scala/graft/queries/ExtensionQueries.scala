@@ -518,6 +518,11 @@ object ExtensionQueries {
           .groupBy(col("user_id"), col("session_idx"))
           .agg(count(lit(1)).as("n_events"),
             min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+          // materialize the (much smaller) session table before the global
+          // sort: the range exchange's sampling pass otherwise re-executes
+          // the whole scan→window→agg pipeline a second time — measured 40%
+          // of q24's wall time, and the recomputation only grows with scale
+          .localCheckpoint()
           .orderBy("user_id", "session_idx")
       },
       Some("""WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

@@ -166,16 +166,59 @@ class CliSpec extends SparkTestBase {
     fakeDbt.toFile.setExecutable(true)
     sys.props("graft.dbt.bin") = fakeDbt.toString
     try {
-      val r = Main.runDiff(spark, Main.parseArgs(Seq("diff", "dim_customers",
-        "--keys", "customer_id", "--base", "main", "--head", "feature/dbt",
-        "--project-dir", repo.toString, "--build-mode", "dbt", "--format", "json")))
+      // --keep-schemas: the physical snapshot dir must be announced (stderr
+      // for machine formats, so stdout stays parseable JSON)
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val r = Console.withErr(errBuf) {
+        Main.runDiff(spark, Main.parseArgs(Seq("diff", "dim_customers",
+          "--keys", "customer_id", "--base", "main", "--head", "feature/dbt",
+          "--project-dir", repo.toString, "--build-mode", "dbt", "--format", "json",
+          "--keep-schemas")))
+      }
       assert(r.rowcounts.base == 3 && r.rowcounts.head == 4)
       val rd = r.rowDiff.get
       assert(rd.added == 1 && rd.removed == 0 && rd.changed == 0)
+      val kept = errBuf.toString
+      assert(kept.contains("snapshots kept at "), s"no kept-path line in: $kept")
+      val keptDir = kept.split("snapshots kept at ")(1).split(" ")(0)
+      assert(Files.exists(java.nio.file.Paths.get(keptDir)), s"announced path $keptDir missing")
     } finally {
       sys.props.remove("graft.dbt.bin")
       spark.sql("DROP DATABASE IF EXISTS graft_dbt_e2e CASCADE")
     }
+  }
+
+  test("--build-mode dbt: profile/catalog mismatch fails with an actionable error") {
+    assume(new ProcessBuilder("git", "--version").start().waitFor() == 0, "git unavailable")
+    // dbt "succeeds" (exit 0) but its manifest resolves to a schema this
+    // session's catalog has never seen — the shape of a profile pointing at
+    // a different warehouse. Must be a hard, named error, not a stale read.
+    val repo = Files.createTempDirectory("graft_dbtmiss_repo_")
+    val models = repo.resolve("models"); Files.createDirectories(models)
+    val target = repo.resolve("target"); Files.createDirectories(target)
+    Files.writeString(repo.resolve("dbt_project.yml"), "name: p\nversion: '1.0'\n")
+    Files.writeString(models.resolve("dim.sql"), "{% macro m() %}{% endmacro %}select 1")
+    Files.writeString(target.resolve("manifest.json"),
+      """{"nodes": {"model.p.dim": {"resource_type": "model", "name": "dim",
+        |  "alias": "dim", "schema": "graft_no_such_warehouse_schema",
+        |  "unique_id": "model.p.dim"}}}""".stripMargin)
+    git(repo, "init", "-b", "main")
+    git(repo, "add", "."); git(repo, "commit", "-m", "base")
+    git(repo, "checkout", "-b", "f"); git(repo, "commit", "--allow-empty", "-m", "head")
+    val fakeDbt = repo.resolve("fake_dbt.sh")
+    Files.writeString(fakeDbt, "#!/bin/sh\nexit 0\n")
+    fakeDbt.toFile.setExecutable(true)
+    sys.props("graft.dbt.bin") = fakeDbt.toString
+    try {
+      val e = intercept[IllegalStateException] {
+        Main.runDiff(spark, Main.parseArgs(Seq("diff", "dim", "--keys", "id",
+          "--base", "main", "--head", "f",
+          "--project-dir", repo.toString, "--build-mode", "dbt", "--format", "json")))
+      }
+      assert(e.getMessage.contains("not in this Spark session's catalog"))
+      assert(e.getMessage.contains("graft_no_such_warehouse_schema"))
+      assert(e.getMessage.contains("--build-mode native"))
+    } finally sys.props.remove("graft.dbt.bin")
   }
 
   test("--build-mode dbt falls back to the native runner when dbt is absent") {
