@@ -91,7 +91,7 @@ object ExtensionQueries {
     QueryDef(
       "q33_dedup_simhash",
       (s, dir) =>
-        Dedup.simHash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+        orderedOut(Dedup.simHash(t(s, dir, "documents"), "doc_id", "text"), "doc_id"),
       Some {
         val bitSums = (0 until 32).map { b =>
           val j = b / 4; val k = 3 - (b % 4)
@@ -110,10 +110,9 @@ object ExtensionQueries {
     QueryDef(
       "q34_dedup_jaccard",
       (s, dir) =>
-        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        orderedOut(Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           blockExprs = Seq(col("lang"), (col("n_chars") / 50).cast("int")),
-          minJaccardPct = 40)
-          .orderBy("a_doc_id", "b_doc_id"),
+          minJaccardPct = 40), "a_doc_id", "b_doc_id"),
       Some("""WITH d AS (SELECT doc_id, lang, n_chars // 50 AS lb,
              |  list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents),
              |d2 AS (SELECT *, CAST(len(ws) AS BIGINT) AS n FROM d),
@@ -133,10 +132,9 @@ object ExtensionQueries {
     QueryDef(
       "q58_dedup_jaccard_hashed",
       (s, dir) =>
-        Dedup.jaccardPairsHashed(t(s, dir, "documents"), "doc_id", "text",
+        orderedOut(Dedup.jaccardPairsHashed(t(s, dir, "documents"), "doc_id", "text",
           blockExprs = Seq(col("lang"), (col("n_chars") / 50).cast("int")),
-          minJaccardPct = 40)
-          .orderBy("a_doc_id", "b_doc_id"),
+          minJaccardPct = 40), "a_doc_id", "b_doc_id"),
       Some("""WITH d AS (SELECT doc_id, lang, n_chars // 50 AS lb,
              |  list_sort(list_distinct(list_transform(string_split(text, ' '),
              |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT))) AS ws FROM documents),
@@ -154,9 +152,8 @@ object ExtensionQueries {
     QueryDef(
       "q35_dedup_levenshtein",
       (s, dir) =>
-        Dedup.levenshteinPairs(t(s, dir, "documents"), "doc_id", "text",
-          prefixLen = 20, maxDist = 120, maxBlockSize = 500)
-          .orderBy("a_doc_id", "b_doc_id"),
+        orderedOut(Dedup.levenshteinPairs(t(s, dir, "documents"), "doc_id", "text",
+          prefixLen = 20, maxDist = 120, maxBlockSize = 500), "a_doc_id", "b_doc_id"),
       Some("""WITH ok AS (SELECT substr(text, 1, 20) AS pfx FROM documents
              |            GROUP BY 1 HAVING count(*) <= 500)
              |SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
@@ -202,6 +199,8 @@ object ExtensionQueries {
     QueryDef(
       "q26_dedup_clusters",
       (s, dir) =>
+        // NOT orderedOut: the hybrid CC path materializes via a driver
+        // union-find already, so the checkpoint is pure overhead (measured)
         Dedup.connectedComponents(
           Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
             numHashes = 8, bandSize = 2, shingleK = 3),
@@ -227,10 +226,9 @@ object ExtensionQueries {
           Dedup.minHashLshPairs(docs, "doc_id", "text",
             numHashes = 8, bandSize = 2, shingleK = 3),
           "a_doc_id", "b_doc_id")
-        Dedup.canonicalPerCluster(clusters,
+        orderedOut(Dedup.canonicalPerCluster(clusters,
           docs.select(col("doc_id"), length(col("text")).cast("long").as("q")),
-          "doc_id", "q")
-          .orderBy("component")
+          "doc_id", "q"), "component")
       },
       Some(s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
               |edges AS (SELECT a_doc_id AS u, b_doc_id AS v FROM pairs
@@ -518,12 +516,7 @@ object ExtensionQueries {
           .groupBy(col("user_id"), col("session_idx"))
           .agg(count(lit(1)).as("n_events"),
             min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
-          // materialize the (much smaller) session table before the global
-          // sort: the range exchange's sampling pass otherwise re-executes
-          // the whole scan→window→agg pipeline a second time — measured 40%
-          // of q24's wall time, and the recomputation only grows with scale
-          .localCheckpoint()
-          .orderBy("user_id", "session_idx")
+          .transform(orderedOut(_, "user_id", "session_idx"))
       },
       Some("""WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
              |y AS (SELECT *, CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
@@ -578,8 +571,9 @@ object ExtensionQueries {
     QueryDef(
       "q42_text_langid",
       (s, dir) =>
-        TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text", langMarkers)
-          .orderBy("doc_id"),
+        orderedOut(
+          TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text", langMarkers),
+          "doc_id"),
       Some {
         val scores = langMarkers
           .map { case (l, ws) => s"CAST(${duckMarkerScore(ws)} AS BIGINT) AS score_$l" }
@@ -689,11 +683,11 @@ object ExtensionQueries {
       "q64_contamination",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        Dedup.crossOverlapPairs(
+        orderedOut(Dedup.crossOverlapPairs(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-          shingleK = 8, minShared = 2, maxPostingsPerShingle = 1000)
-          .orderBy("train_doc_id", "eval_doc_id")
+          shingleK = 8, minShared = 2, maxPostingsPerShingle = 1000),
+          "train_doc_id", "eval_doc_id")
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 8, 0) + 1),

@@ -39,6 +39,17 @@ package object queries {
         else col(f.name)
       }: _*)
 
+  /** Globally-ordered output without executing the pipeline twice: a global
+    * `orderBy` plans a range exchange whose partition-bound SAMPLING pass
+    * re-runs everything above the last materialized stage — for a query
+    * whose final stage is an expensive join/aggregate, that roughly doubles
+    * the cost (measured 40% of q24's wall before this). Materializing the
+    * (typically much smaller) result first makes the sampler read the
+    * materialized blocks instead. Use on ordered outputs whose pre-sort
+    * pipeline is the expensive part; a plain scan+filter doesn't need it. */
+  def orderedOut(df: DataFrame, cols: String*): DataFrame =
+    df.localCheckpoint().orderBy(cols.map(col): _*)
+
   /** Load one of the driver-generated parquet tables (TESTDATA.md). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
