@@ -253,6 +253,52 @@ object DiffEngine {
       abs(col("base_n") * lit(nh) - col("head_n") * lit(nb)))
   }
 
+  /** Numeric drift between the two sides of a diff — the continuous sibling
+    * of [[categoricalDrift]]: values of an integer-valued column (scale
+    * DECIMALs to integer units first, e.g. price→cents) bucket into
+    * `nBuckets` equal-width bins over the COMBINED min..max range, and each
+    * bin contributes `|n_i·Nh − m_i·Nb|` to total variation — integer
+    * arithmetic end to end, so a histogram-shape shift is hash-comparable
+    * across engines where float PSI/KL would diverge in the last bits.
+    *
+    * Bin index is `(x − lo) * nBuckets div (hi − lo + 1)` — multiply-then-
+    * integer-divide, no float rounding anywhere. The range scan is one tiny
+    * min/max aggregate per side (collected: 2 rows); counts are one
+    * aggregate per side + a full-outer join on the bin. Nulls are excluded
+    * (profile nulls count them). Empty inputs return an empty frame. */
+  def numericDrift(base: DataFrame, head: DataFrame, c: String, nBuckets: Int = 20): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val x = col(c).cast("long")
+    def range(df: DataFrame) = df.agg(min(x), max(x)).head()
+    val (rb, rh) = (range(base), range(head))
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val los = opt(rb, 0).toSeq ++ opt(rh, 0).toSeq
+    val his = opt(rb, 1).toSeq ++ opt(rh, 1).toSeq
+    if (los.isEmpty) // both sides empty (or all-null): no histogram to drift
+      return base.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bin"), lit(0L).as("base_n"), lit(0L).as("head_n"),
+          lit(0L).as("tv_contrib")).limit(0)
+    val (lo, hi) = (los.min, his.max)
+    val width = hi - lo + 1
+    require(width <= Long.MaxValue / nBuckets,
+      s"value range $width x $nBuckets buckets overflows long; rescale the column")
+    // SQL `div`, not `/`: Column./ on longs is DOUBLE division, which loses
+    // exactness past 2^53 — div keeps the whole computation in integers
+    val bin = expr(s"(cast(`$c` as bigint) - ${lo}L) * $nBuckets div ${width}L")
+    def counts(df: DataFrame, out: String) =
+      df.filter(x.isNotNull).groupBy(bin.as("bin")).agg(count(lit(1)).as(out))
+    val joined = counts(base, "base_n").join(counts(head, "head_n"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("head_n"), lit(0L)).as("head_n"))
+    val totals = joined.agg(sum("base_n"), sum("head_n")).head()
+    def total(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
+    val (nb, nh) = (total(0), total(1))
+    joined.withColumn("tv_contrib",
+      abs(col("base_n") * lit(nh) - col("head_n") * lit(nb)))
+  }
+
   /** Null-key diagnostic (SURVEY §7.3 risk 2): the reference's anti-join
     * idiom — and any key join — assumes non-null keys; a row with a null in
     * any key column can never match and silently inflates added+removed.

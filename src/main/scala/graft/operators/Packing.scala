@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation: lay documents out in a
+  * deterministic total order and slice the stream into fixed token-budget
+  * bins (context windows). The core primitive is a DISTRIBUTED prefix sum —
+  * the naive Spark form, `sum(...).over(Window.orderBy(id))` with no
+  * partitionBy, collapses the whole dataset into ONE task and cannot scale.
+  *
+  * Scale shape (the classic two-phase scan):
+  *   1. range-repartition by the order column and sort within partitions —
+  *      one shuffle, full parallelism;
+  *   2. per-partition running totals (window inside each range slice);
+  *   3. partition TOTALS (one tiny row per partition) collect to the driver,
+  *      their exclusive cumulative sums broadcast back as offsets;
+  *   4. running total = partition offset + local running total.
+  * The only driver data is #partitions rows, independent of input size, and
+  * the result depends ONLY on the total order — partition boundaries cancel
+  * out — so it is deterministic and oracle-checkable.
+  */
+object Packing {
+
+  /** Inclusive running total of `valueCol` over the total order given by
+    * `orderCol` (must be unique; ties would make the prefix sum
+    * order-dependent). Appends `outCol` as LongType. */
+  def withRunningTotal(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String
+  ): DataFrame = {
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    // the window's required clustering on __pid re-shuffles rows by slice id
+    // (cheap: keys are already grouped); parallelism stays #partitions wide,
+    // unlike the single-task Window.orderBy(...) with no partitionBy
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged
+      .withColumn("__local", sum(col(valueCol).cast("long")).over(wLocal))
+    // per-partition totals: one row per range slice, bounded by the
+    // partition count — never by data size
+    val totals = withLocal.groupBy(col("__pid"))
+      .agg(max(col("__local")).as("__tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, tot) =>
+      val off = (pid, acc); acc += tot; off
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__pid", "__off"))
+    withLocal.join(offDf, Seq("__pid"))
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** Contiguous-fill sequence packing: documents in `orderCol` order fill a
+    * stream of `budget`-token bins; each document is assigned the bin its
+    * FIRST token lands in (`bin_id`) plus its offset inside that bin
+    * (`bin_offset`). Long documents may straddle bins — downstream splitters
+    * use (bin_id, bin_offset, tokens) to cut exactly; short tails pad. This
+    * is the standard pack-then-split layout for fixed-context training.
+    *
+    * All integer arithmetic (`div` is exact integer division); one shuffle
+    * plus one #partitions-row driver collect (see [[withRunningTotal]]). */
+  def packByTokenBudget(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    withRunningTotal(df, orderCol, tokenCol, "__cum")
+      .withColumn("__start", col("__cum") - col(tokenCol).cast("long"))
+      .withColumn("bin_id", expr(s"__start div ${budget}L"))
+      .withColumn("bin_offset", col("__start") - col("bin_id") * budget)
+      .drop("__cum", "__start")
+  }
+}

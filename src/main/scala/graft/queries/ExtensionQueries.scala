@@ -861,6 +861,24 @@ object ExtensionQueries {
       }
     ),
 
+    // Sequence packing: documents in doc_id order fill 2048-token bins via
+    // the distributed prefix sum (range slices + broadcast offsets — never
+    // the single-task global window). Oracle is a plain running sum: the
+    // two-phase scan must agree with it exactly, partition count and all.
+    QueryDef(
+      "q76_pack_sequences",
+      (s, dir) =>
+        Packing.packByTokenBudget(t(s, dir, "documents"), "doc_id", "n_chars", budget = 2048)
+          .select(col("doc_id"), col("bin_id"), col("bin_offset"))
+          .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id, n_chars,
+             |  sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM documents)
+             |SELECT doc_id, CAST((cum - n_chars) // 2048 AS BIGINT) AS bin_id,
+             |       CAST((cum - n_chars) % 2048 AS BIGINT) AS bin_offset
+             |FROM c ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- production ANN configs through the gate ------------------------
     // q37/q68 run the axis-aligned oracle stand-in; these two run the REAL
     // production paths — balanced-hyperplane multi-probe LSH and Lloyd-

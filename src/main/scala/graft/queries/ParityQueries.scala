@@ -450,6 +450,36 @@ object ParityQueries {
               |FROM j CROSS JOIN t ORDER BY value""".stripMargin)
     ),
 
+    // Numeric drift: the continuous sibling of q71 — o_totalprice in cents
+    // buckets into 20 equal-width bins over the combined range, each bin's
+    // TV contribution in the exact integer cross-multiplied form. Bucketing
+    // is multiply-then-integer-divide: no float rounding to diverge.
+    QueryDef(
+      "q77_numeric_drift",
+      (s, dir) => {
+        def cents(df: DataFrame) =
+          df.withColumn("cents", (col("o_totalprice") * 100).cast("long"))
+        DiffEngine.numericDrift(cents(ordersCanon(s, dir)), cents(ordersHead(s, dir)),
+          "cents", nBuckets = 20)
+          .orderBy("bin")
+      },
+      Some(s"""WITH b AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM ($ordersCanonSql) bb),
+              |h AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM ($ordersHeadSql) hh),
+              |r AS (SELECT least((SELECT min(v) FROM b), (SELECT min(v) FROM h)) AS lo,
+              |             greatest((SELECT max(v) FROM b), (SELECT max(v) FROM h)) AS hi),
+              |bc AS (SELECT (v - lo) * 20 // (hi - lo + 1) AS bin, CAST(count(*) AS BIGINT) AS base_n
+              |       FROM b, r GROUP BY 1),
+              |hc AS (SELECT (v - lo) * 20 // (hi - lo + 1) AS bin, CAST(count(*) AS BIGINT) AS head_n
+              |       FROM h, r GROUP BY 1),
+              |j AS (SELECT coalesce(bc.bin, hc.bin) AS bin,
+              |             coalesce(base_n, 0) AS base_n, coalesce(head_n, 0) AS head_n
+              |      FROM bc FULL OUTER JOIN hc ON bc.bin = hc.bin),
+              |t AS (SELECT CAST(sum(base_n) AS BIGINT) AS nb, CAST(sum(head_n) AS BIGINT) AS nh FROM j)
+              |SELECT CAST(bin AS BIGINT) AS bin, base_n, head_n,
+              |       CAST(abs(base_n * nh - head_n * nb) AS BIGINT) AS tv_contrib
+              |FROM j CROSS JOIN t ORDER BY bin""".stripMargin)
+    ),
+
     // P3: order-preserving name-only schema diff (metadata operator,
     // diff_flow.py:139-150). Deterministic → literal VALUES oracle.
     QueryDef(

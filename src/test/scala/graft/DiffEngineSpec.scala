@@ -191,6 +191,27 @@ class DiffEngineSpec extends SparkTestBase {
     assert(r.values.map(_._3).sum == 16L)
   }
 
+  test("numeric drift: equal-width integer bins over the combined range") {
+    // combined range 0..99, 10 buckets of width 10
+    val base = Seq(0L, 5L, 15L, 99L).toDF("v")   // bins 0,0,1,9
+    val head = Seq(8L, 15L, 17L, 95L).toDF("v")  // bins 0,1,1,9
+    val r = DiffEngine.numericDrift(base, head, "v", nBuckets = 10)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set(0L, 1L, 9L))
+    assert(r(0L) == ((2L, 1L, 4L)))  // |2*4 - 1*4|
+    assert(r(1L) == ((1L, 2L, 4L)))
+    assert(r(9L) == ((1L, 1L, 0L)))  // same mass: no drift contribution
+    // a shape shift shows up where it happened, nowhere else
+    assert(r.values.map(_._3).sum == 8L)
+    // nulls excluded; one-sided emptiness still buckets over the other side
+    val withNull = Seq[Option[Long]](Some(1L), None).toDF("v")
+    val oneSided = DiffEngine.numericDrift(withNull, spark.emptyDataset[Long].toDF("v"), "v", 4)
+    assert(oneSided.collect().map(_.getLong(1)).sum == 1L)
+    // both sides empty -> empty frame, not an exception
+    val e = spark.emptyDataset[Long].toDF("v")
+    assert(DiffEngine.numericDrift(e, e, "v", 4).count() == 0L)
+  }
+
   test("--by-column attribution lands in the result document and renderers") {
     val base = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "v")
     val head = Seq((1, "a", 10), (2, "B", 20), (3, "c", 31)).toDF("id", "name", "v")

@@ -459,6 +459,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(strat.forall(_._2 == "en")) // unlisted strata dropped
   }
 
+  test("distributed prefix sum equals the single-partition window on shuffled data") {
+    val rnd = new scala.util.Random(4242)
+    // unordered input with gaps and duplicate-free ids; values span sizes
+    val rows = rnd.shuffle((1L to 1000L).map(i => (i * 3, rnd.nextInt(500).toLong)).toVector)
+    val df = rows.toDF("id", "v").repartition(13)
+    val got = Packing.withRunningTotal(df, "id", "v", "cum")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    // naive oracle: in-order scan
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, v) => acc += v; id -> acc }.toMap
+    assert(got == want)
+  }
+
+  test("sequence packing assigns bins by start offset, straddlers included") {
+    // budget 10: docs of 4,4,4 -> starts 0,4,8; third doc STRADDLES bins 0->1
+    val df = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 10L), (5L, 1L)).toDF("doc_id", "toks")
+    val r = Packing.packByTokenBudget(df, "doc_id", "toks", budget = 10)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("bin_id"), x.getAs[Long]("bin_offset")))).toMap
+    assert(r(1L) == ((0L, 0L)))
+    assert(r(2L) == ((0L, 4L)))
+    assert(r(3L) == ((0L, 8L))) // starts in bin 0 at offset 8, spills into bin 1
+    assert(r(4L) == ((1L, 2L))) // starts where doc 3 ended: 12 -> bin 1 offset 2
+    assert(r(5L) == ((2L, 2L))) // cumulative 22
+    intercept[IllegalArgumentException](Packing.packByTokenBudget(df, "doc_id", "toks", 0))
+  }
+
   test("cross-corpus contamination: shared-shingle pairs via inverted index, hot cap") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),
