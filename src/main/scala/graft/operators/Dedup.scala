@@ -28,8 +28,9 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
   /** Word k-shingles of `textCol` (single-space tokenization — matches the
-    * oracle's `string_split(text,' ')`). */
-  private def shingles(textCol: String, k: Int): Column = {
+    * oracle's `string_split(text,' ')`). Shared with the streaming dedup,
+    * which must band identically to this batch pipeline. */
+  private[graft] def shingles(textCol: String, k: Int): Column = {
     val w = s"split($textCol, ' ')"
     expr(
       s"""transform(sequence(0, greatest(size($w) - $k, 0)),

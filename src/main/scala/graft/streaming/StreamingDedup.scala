@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.operators.Dedup
+
+/** Streaming deduplication — the incremental twins of the batch operators in
+  * [[graft.operators.Dedup]], for ingest pipelines that must reject dups as
+  * documents ARRIVE rather than in a nightly sweep.
+  *
+  * Two tiers, mirroring the batch family:
+  *   - exact: drop later copies of an id/content hash inside the watermark
+  *     horizon (state bounded by the watermark — Spark expires it);
+  *   - near-dup candidates: MinHash band buckets as keyed state; the first
+  *     document seen in a bucket is its canonical owner, and every later
+  *     arrival emits a (keep_id, dup_id) candidate — the streaming form of
+  *     the batch LSH bucket-join, same shingling/signature/banding math, so
+  *     a candidate emitted here IS a candidate the batch pipeline would emit.
+  *
+  * Scale posture: signatures are computed STATELESSLY per row (array fold
+  * over the document's own shingles — no groupBy), so the only stateful
+  * operator is the bucket map: 8 bytes of state per occupied (band, hash)
+  * bucket, the minimum any streaming dedup dictionary can hold. An optional
+  * processing-time timeout expires idle buckets for horizon-limited dedup.
+  */
+object StreamingDedup {
+
+  /** Exact streaming dedup: first arrival of each `dedupCols` tuple wins
+    * inside the watermark horizon; later copies drop. State is expired by
+    * the watermark (`dropDuplicatesWithinWatermark`), so it holds only the
+    * horizon's distinct keys. */
+  def dedupExact(events: DataFrame, tsCol: String, lateness: String, dedupCols: Seq[String]): DataFrame = {
+    require(dedupCols.nonEmpty, "dedup needs at least one column")
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(dedupCols.head, dedupCols.tail: _*)
+  }
+
+  final case class DupCandidate(band_idx: Int, keep_id: Long, dup_id: Long)
+
+  /** Streaming MinHash-LSH near-dup candidates over a (doc_id, text) stream.
+    *
+    * Per row (stateless): word `shingleK`-shingles → one md5-fold per
+    * shingle → `numHashes` affine min-signatures → `numHashes/bandSize`
+    * band hashes (identical math to [[Dedup.minHashLshPairs]] — the
+    * signatures are a pure function of the text). Stateful: group by
+    * (band_idx, band_hash); state = first doc_id seen in the bucket; later
+    * arrivals emit (first, later) candidates. Downstream verifies with the
+    * same jaccard/cosine verifiers as the batch path.
+    *
+    * `idleTimeout` (e.g. "2 hours") expires buckets not hit for that long —
+    * horizon-limited dedup with bounded state; None keeps the full
+    * dictionary (exact streaming dedup IS a dictionary). */
+  def lshCandidates(
+      docs: DataFrame, // columns: doc_id LONG, text STRING
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      shingleK: Int = 3,
+      idleTimeout: Option[String] = None
+  ): Dataset[DupCandidate] = {
+    require(numHashes % bandSize == 0, "numHashes must divide into bands")
+    val numBands = numHashes / bandSize
+    // stateless per-row signatures: materialize the shingle array (the SAME
+    // Dedup.shingles the batch pipeline bands with) and then the hash array
+    // as their own columns — HOF lambdas are interpreted per element, so the
+    // array builds must never nest inside the fold
+    val hashedShingles = expr(
+      """transform(__shingles, s ->
+        |  cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))""".stripMargin)
+    val sigCols = Dedup.minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), s) =>
+      expr(
+        s"""aggregate(__hs, cast(${Dedup.MinHashP} as bigint),
+           |  (acc, h) -> least(acc, (h * ${a}L + ${b}L) % ${Dedup.MinHashP}L))""".stripMargin)
+        .as(s"sig_$s")
+    }
+    val bandCols = (0 until numBands).map { bnd =>
+      val parts = (0 until bandSize).map(j => col(s"sig_${bnd * bandSize + j}").cast("string"))
+      struct(lit(bnd).as("band_idx"), md5(concat_ws(",", parts: _*)).as("band_hash")).as(s"band_$bnd")
+    }
+    val banded = docs
+      .withColumn("__shingles", Dedup.shingles("text", shingleK))
+      .withColumn("__hs", hashedShingles)
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    implicit val keyEnc = Encoders.product[(Int, String)]
+    implicit val rowEnc = Encoders.product[(Int, String, Long)]
+    implicit val outEnc = Encoders.product[DupCandidate]
+    implicit val stateEnc = Encoders.scalaLong
+    val timeout =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .selectExpr("band_idx", "band_hash", "doc_id")
+      .as[(Int, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, DupCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
+        case ((bandIdx, _), rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = rows.map(_._3).toSeq.sorted // deterministic within a batch
+            var keep = state.getOption.getOrElse(Long.MaxValue)
+            val out = Seq.newBuilder[DupCandidate]
+            arrivals.foreach { id =>
+              if (keep == Long.MaxValue) keep = id
+              else if (id != keep) out += DupCandidate(bandIdx, math.min(keep, id), math.max(keep, id))
+            }
+            state.update(keep)
+            idleTimeout.foreach(t => state.setTimeoutDuration(t))
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -122,6 +122,50 @@ class StreamingSpec extends SparkTestBase {
     assert(pairs == Set((100L, 200L), (101L, 201L)))
   }
 
+  test("streaming exact dedup drops later copies within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 99.0), // same event_id, later copy in-batch
+      Event(2, ts(2), 2, "view", 2.0))
+    mem.addData(Event(2, ts(9), 2, "view", 98.0), Event(3, ts(10), 3, "click", 3.0))
+    val q = StreamingDedup.dedupExact(mem.toDF(), "ts", "30 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_exact_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("dedup_exact_test")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L)) // one survivor per id
+    assert(rows(1L) == 1.0 && rows(2L) == 2.0) // first arrival wins
+  }
+
+  test("streaming LSH candidates match batch banding, first-seen keeps") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "completely different words about spark engines here now"
+    val docs = Seq((1L, textA), (2L, textA), (3L, textB), (5L, textA))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = StreamingDedup.lshCandidates(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lsh_cand_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("lsh_cand_test")
+      .select("keep_id", "dup_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // first-seen (min id in the arrival order) owns the bucket: copies of
+    // textA attach to doc 1; the unrelated doc 3 appears nowhere
+    assert(streamed == Set((1L, 2L), (1L, 5L)))
+    // every streamed candidate is a pair the BATCH pipeline also bands
+    val batchPairs = graft.operators.Dedup.minHashLshPairs(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.subsetOf(batchPairs))
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
