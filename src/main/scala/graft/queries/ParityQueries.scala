@@ -457,8 +457,12 @@ object ParityQueries {
     QueryDef(
       "q77_numeric_drift",
       (s, dir) => {
+        // numericDrift makes three passes over each side (range, counts,
+        // totals); materialize the single needed column once so the side
+        // pipelines don't re-execute per pass — the 100 TB form reads a
+        // snapshot table, which is materialized by construction
         def cents(df: DataFrame) =
-          df.withColumn("cents", (col("o_totalprice") * 100).cast("long"))
+          df.select((col("o_totalprice") * 100).cast("long").as("cents")).localCheckpoint()
         DiffEngine.numericDrift(cents(ordersCanon(s, dir)), cents(ordersHead(s, dir)),
           "cents", nBuckets = 20)
           .orderBy("bin")
