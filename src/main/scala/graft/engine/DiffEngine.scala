@@ -280,7 +280,15 @@ object DiffEngine {
         .select(lit(0L).as("bin"), lit(0L).as("base_n"), lit(0L).as("head_n"),
           lit(0L).as("tv_contrib")).limit(0)
     val (lo, hi) = (los.min, his.max)
-    val width = hi - lo + 1
+    // exact-arithmetic guard: hi - lo + 1 itself can wrap for sentinel-laden
+    // columns (Long.MinValue..Long.MaxValue), which would slip past a plain
+    // bound check and fail later inside the job (ANSI) or silently mis-bin
+    val width =
+      try Math.addExact(Math.subtractExact(hi, lo), 1L)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"value range [$lo, $hi] overflows long; rescale the column before numericDrift")
+      }
     require(width <= Long.MaxValue / nBuckets,
       s"value range $width x $nBuckets buckets overflows long; rescale the column")
     // SQL `div`, not `/`: Column./ on longs is DOUBLE division, which loses

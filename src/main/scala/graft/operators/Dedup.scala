@@ -367,6 +367,12 @@ object Dedup {
       .persist()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
+    // Dataset.unpersist() frees CacheManager entries but is a no-op for
+    // localCheckpoint storage (an internal RDD cache) — track the backing
+    // RDD of the latest checkpoint and free it when a NEWER checkpoint
+    // materializes (at which point nothing depends on the old one). The
+    // final checkpoint stays cached: it backs the returned frame.
+    var lastCkptRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -378,8 +384,14 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("__minNeighbor"), col("component"))).as("component"))
       val next =
-        if ((iter + 1) % checkpointEvery == 0) stepped.localCheckpoint() // eager: materializes + truncates lineage
-        else stepped.persist()
+        if ((iter + 1) % checkpointEvery == 0) {
+          val d = stepped.localCheckpoint() // eager: materializes + truncates lineage
+          lastCkptRdd.foreach(_.unpersist(blocking = false))
+          lastCkptRdd = d.queryExecution.analyzed.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }
+          d
+        } else stepped.persist()
       val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
         .filter(col("component") =!= col("__old")).count()
       labels.unpersist()

@@ -40,12 +40,21 @@ object Packing {
     // unlike the single-task Window.orderBy(...) with no partitionBy
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // MATERIALIZE before the totals collect: the range partitioner draws its
+    // bounds by sampling, and a second execution (the final join job) could
+    // sample different bounds — a boundary row would then carry a different
+    // __pid than the one its value was accounted to, silently corrupting
+    // offsets. The checkpoint pins one partitioning for both jobs (and stops
+    // paying for the shuffle + window twice).
     val withLocal = ranged
       .withColumn("__local", sum(col(valueCol).cast("long")).over(wLocal))
+      .localCheckpoint()
     // per-partition totals: one row per range slice, bounded by the
-    // partition count — never by data size
+    // partition count — never by data size. sum(value), NOT max(__local):
+    // running totals are only monotone for non-negative values, and this
+    // helper accepts signed inputs (balance deltas etc.).
     val totals = withLocal.groupBy(col("__pid"))
-      .agg(max(col("__local")).as("__tot"))
+      .agg(sum(col(valueCol).cast("long")).as("__tot"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)

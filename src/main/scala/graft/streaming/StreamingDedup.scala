@@ -51,13 +51,23 @@ object StreamingDedup {
     *
     * `idleTimeout` (e.g. "2 hours") expires buckets not hit for that long —
     * horizon-limited dedup with bounded state; None keeps the full
-    * dictionary (exact streaming dedup IS a dictionary). */
+    * dictionary (exact streaming dedup IS a dictionary).
+    *
+    * `maxBucketSize` bounds per-bucket fan-out, mirroring the batch cap's
+    * intent (an over-common band carries no near-dup signal): after that
+    * many arrivals a bucket emits nothing further. Semantics necessarily
+    * diverge from batch ABOVE the cap — batch sees the final bucket size
+    * and drops the whole bucket, a stream cannot retract already-emitted
+    * candidates — so the subset-of-batch guarantee holds exactly for
+    * buckets that stay under the cap, and over-common buckets degrade to
+    * "first maxBucketSize arrivals emitted, bounded" instead of O(n). */
   def lshCandidates(
       docs: DataFrame, // columns: doc_id LONG, text STRING
       numHashes: Int = 8,
       bandSize: Int = 2,
       shingleK: Int = 3,
-      idleTimeout: Option[String] = None
+      idleTimeout: Option[String] = None,
+      maxBucketSize: Int = 500
   ): Dataset[DupCandidate] = {
     require(numHashes % bandSize == 0, "numHashes must divide into bands")
     val numBands = numHashes / bandSize
@@ -86,10 +96,11 @@ object StreamingDedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    require(maxBucketSize >= 2, "maxBucketSize must allow at least one pair")
     implicit val keyEnc = Encoders.product[(Int, String)]
     implicit val rowEnc = Encoders.product[(Int, String, Long)]
     implicit val outEnc = Encoders.product[DupCandidate]
-    implicit val stateEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[(Long, Long)] // (keep_id, arrivals seen)
     val timeout =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -97,19 +108,21 @@ object StreamingDedup {
       .selectExpr("band_idx", "band_hash", "doc_id")
       .as[(Int, String, Long)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[Long, DupCandidate](
+      .flatMapGroupsWithState[(Long, Long), DupCandidate](
         org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
-        case ((bandIdx, _), rows, state: GroupState[Long]) =>
+        case ((bandIdx, _), rows, state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val arrivals = rows.map(_._3).toSeq.sorted // deterministic within a batch
-            var keep = state.getOption.getOrElse(Long.MaxValue)
+            var (keep, seen) = state.getOption.getOrElse((Long.MaxValue, 0L))
             val out = Seq.newBuilder[DupCandidate]
             arrivals.foreach { id =>
+              seen += 1
               if (keep == Long.MaxValue) keep = id
-              else if (id != keep) out += DupCandidate(bandIdx, math.min(keep, id), math.max(keep, id))
+              else if (id != keep && seen <= maxBucketSize) // over-common bucket: stop fanning out
+                out += DupCandidate(bandIdx, math.min(keep, id), math.max(keep, id))
             }
-            state.update(keep)
+            state.update((keep, seen))
             idleTimeout.foreach(t => state.setTimeoutDuration(t))
             out.result().iterator
           }

@@ -210,6 +210,13 @@ class DiffEngineSpec extends SparkTestBase {
     // both sides empty -> empty frame, not an exception
     val e = spark.emptyDataset[Long].toDF("v")
     assert(DiffEngine.numericDrift(e, e, "v", 4).count() == 0L)
+    // a range wider than Long (sentinel values) must fail the guard up
+    // front, not wrap past it and explode mid-job
+    val sentinels = Seq(Long.MinValue, 0L).toDF("v")
+    val big = Seq(Long.MaxValue).toDF("v")
+    val err = intercept[IllegalArgumentException](
+      DiffEngine.numericDrift(sentinels, big, "v", 4))
+    assert(err.getMessage.contains("rescale"))
   }
 
   test("--by-column attribution lands in the result document and renderers") {

@@ -470,6 +470,14 @@ class OperatorsSpec extends SparkTestBase {
     var acc = 0L
     val want = rows.sortBy(_._1).map { case (id, v) => acc += v; id -> acc }.toMap
     assert(got == want)
+    // signed values: running totals are NOT monotone, so partition offsets
+    // must come from sum(value), never max(running)
+    val signed = rnd.shuffle((1L to 400L).map(i => (i, rnd.nextInt(201).toLong - 100L)).toVector)
+    val gotS = Packing.withRunningTotal(signed.toDF("id", "v").repartition(7), "id", "v", "cum")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    var accS = 0L
+    val wantS = signed.sortBy(_._1).map { case (id, v) => accS += v; id -> accS }.toMap
+    assert(gotS == wantS)
   }
 
   test("sequence packing assigns bins by start offset, straddlers included") {

@@ -166,6 +166,24 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.subsetOf(batchPairs))
   }
 
+  test("streaming LSH bucket cap bounds fan-out on over-common text") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val boiler = "common boiler plate words repeated in every single document"
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L to 10L).map(i => (i, boiler)): _*)
+    val q = StreamingDedup.lshCandidates(
+      mem.toDF().toDF("doc_id", "text"), maxBucketSize = 4)
+      .writeStream.format("memory").queryName("lsh_cap_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dups = spark.table("lsh_cap_test")
+      .select("dup_id").distinct().collect().map(_.getLong(0)).toSet
+    // only the first maxBucketSize arrivals may emit: docs 2..4 attach to 1,
+    // arrivals 5..10 are past the cap and emit nothing in any band
+    assert(dups == Set(2L, 3L, 4L))
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
