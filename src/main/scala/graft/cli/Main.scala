@@ -109,7 +109,9 @@ object Main {
   def render(r: DiffResult, format: String): String = format match {
     case "json" => JsonFormatter.render(r)
     case "markdown" => MarkdownFormatter.render(r)
-    case _ => ConsoleFormatter.render(r)
+    // color only on an interactive terminal — pipes/CI/tests get plain
+    // text (same discipline as rich's auto-detection in the reference)
+    case _ => ConsoleFormatter.render(r, color = System.console() != null)
   }
 
   private def log(a: Args, msg: String): Unit =

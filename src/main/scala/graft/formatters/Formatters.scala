@@ -203,7 +203,34 @@ object ConsoleFormatter {
     (Seq(title, top, line(headers), sep) ++ rows.map(line(_)) :+ bot).mkString("\n")
   }
 
-  def render(r: DiffResult): String = {
+  // ANSI styling mirroring the reference's rich_fmt colors (rich_fmt.py:
+  // cyan panel, green/red/yellow add/remove/change). Applied to WHOLE lines
+  // after layout so escape codes never perturb the box arithmetic; plain
+  // output stays the default (tests, logs, CI captures, non-TTY pipes).
+  private val Reset = "\u001b[0m"
+  private def paint(code: String)(l: String) = s"\u001b[${code}m$l$Reset"
+  private def colorize(s: String): String = {
+    val endsNl = s.endsWith("\n")
+    val out = s.linesIterator.map { l =>
+      if (l.startsWith("│ Added rows")) paint("32")(l)                                // green
+      else if (l.startsWith("│ Removed rows")) paint("31")(l)                         // red
+      else if (l.startsWith("│ Changed rows")) paint("33")(l)                         // yellow
+      else if (l.startsWith("╭") || l.startsWith("╰")) paint("36")(l)                 // meta panel border: cyan
+      else if (l.startsWith("Type change:") || l.startsWith("Columns only")) paint("35")(l) // magenta
+      else if (l.nonEmpty && !"╭╰┌├└│".contains(l.charAt(0))) paint("1")(l)           // table titles: bold
+      else l
+    }.mkString("\n")
+    if (endsNl) out + "\n" else out
+  }
+
+  def render(r: DiffResult): String = render(r, color = false)
+
+  def render(r: DiffResult, color: Boolean): String = {
+    val plain = renderPlain(r)
+    if (color) colorize(plain) else plain
+  }
+
+  private def renderPlain(r: DiffResult): String = {
     val sb = new StringBuilder
     val keys = if (r.meta.keys.nonEmpty) r.meta.keys.mkString(", ") else "(none)"
     val sanitize = graft.engine.SnapshotStore.sanitize(_: String)

@@ -174,4 +174,23 @@ object TextAnalysis {
     df.withColumn("__gh", expr(gramHashesSql(textCol, k)))
       .withColumn(outCol, expr(winnowSql("__gh", w)))
       .drop("__gh")
+
+  /** Fixed-size overlapping text chunks — the context-window chunking a
+    * training/RAG pipeline applies before embedding or packing. Chunk `i`
+    * starts at character `i·(chunkSize − overlap)`; chunks cover every
+    * character (the last one may be short), empty documents produce no
+    * chunks. Pure per-row generate (explode) — no shuffle; chunk count per
+    * doc is ⌈len/step⌉, exact integer arithmetic both engines replicate. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+    val step = chunkSize - overlap
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, cast((length($textCol) - 1) div $step as int)),
+           |  i -> substring($textCol, i * $step + 1, $chunkSize))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
 }

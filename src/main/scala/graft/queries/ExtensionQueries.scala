@@ -861,6 +861,26 @@ object ExtensionQueries {
       }
     ),
 
+    // Context chunking: 200-char chunks with 50-char overlap per document —
+    // the pre-embedding / pre-packing splitter. Exact start arithmetic
+    // (i·step) replicated in DuckDB via correlated range unnest.
+    QueryDef(
+      "q78_text_chunks",
+      (s, dir) =>
+        TextAnalysis.chunkText(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 200, overlap = 50)
+          .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("chunk_md5"),
+            col("chunk_len"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH c AS (SELECT doc_id, text,
+             |    unnest(range(((length(text) - 1) // 150) + 1)) AS k
+             |  FROM documents WHERE length(text) > 0)
+             |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+             |       md5(substr(text, CAST(k * 150 + 1 AS INT), 200)) AS chunk_md5,
+             |       CAST(length(substr(text, CAST(k * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
     // Sequence packing: documents in doc_id order fill 2048-token bins via
     // the distributed prefix sum (range slices + broadcast offsets — never
     // the single-task global window). Oracle is a plain running sum: the

@@ -374,6 +374,18 @@ class DiffEngineSpec extends SparkTestBase {
     assert(JsonFormatter.render(real).contains("\"007\""))
   }
 
+  test("console color mode styles lines without disturbing layout") {
+    val base = customers.filter($"customer_id" <= 3)
+    val r = DiffEngine.diff(base, customers, keys = Seq("customer_id"), model = "m")
+    val plain = ConsoleFormatter.render(r)
+    val colored = ConsoleFormatter.render(r, color = true)
+    assert(!plain.contains("\u001b[")) // default stays machine-clean
+    assert(colored.contains("\u001b[32m") && colored.contains("\u001b[36m")) // green adds, cyan panel
+    // stripping the codes reproduces the plain render exactly — styling is
+    // layout-neutral (box arithmetic untouched)
+    assert(colored.replaceAll("\u001b\\[[0-9]+m", "") == plain)
+  }
+
   test("formatters render without loss") {
     val base = customers.filter($"customer_id" <= 3)
     val head = customers

@@ -459,6 +459,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(strat.forall(_._2 == "en")) // unlisted strata dropped
   }
 
+  test("text chunking covers every character with exact overlap arithmetic") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    // size 4, overlap 2 -> step 2: starts 0,2,4,6,8
+    val r = TextAnalysis.chunkText(df, "doc_id", "text", chunkSize = 4, overlap = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getString(2)).toMap
+    assert(r((1L, 0)) == "abcd" && r((1L, 1)) == "cdef" && r((1L, 2)) == "efgh")
+    assert(r((1L, 3)) == "ghij" && r((1L, 4)) == "ij") // short tail kept
+    assert(r((2L, 0)) == "xy")
+    assert(!r.keySet.exists(_._1 == 3L)) // empty doc -> no chunks
+    // no-overlap chunks reassemble the document exactly
+    val whole = TextAnalysis.chunkText(df.filter($"doc_id" === 1L), "doc_id", "text", 3)
+      .orderBy("chunk_idx").collect().map(_.getString(2)).mkString
+    assert(whole == "abcdefghij")
+    intercept[IllegalArgumentException](TextAnalysis.chunkText(df, "doc_id", "text", 4, 4))
+  }
+
   test("distributed prefix sum equals the single-partition window on shuffled data") {
     val rnd = new scala.util.Random(4242)
     // unordered input with gaps and duplicate-free ids; values span sizes
