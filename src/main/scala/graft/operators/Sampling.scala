@@ -56,4 +56,44 @@ object Sampling {
     val b = bucketOf(keyCol)
     (df.filter(b < 100 - holdoutPct), df.filter(b >= 100 - holdoutPct))
   }
+
+  /** Finer-grained bucket in [0, 10000) — basis points, for rates a 1%
+    * grid is too coarse to express. Same md5 fold, so still engine- and
+    * partitioning-stable. */
+  def bucketBpOf(keyCol: String): Column =
+    expr(s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint) % 10000")
+
+  /** Rebalance a corpus toward a target DOMAIN MIXTURE — the data-mixing
+    * step of a training build ("30% code, 50% web, 20% books"): given
+    * relative weights per domain and a total row budget, compute each
+    * domain's deterministic keep-rate and sample it per key.
+    *
+    * All integer arithmetic (exact, oracle-replicable):
+    * `target_d = budget·w_d div Σw`; `rate_bp = min(10000,
+    * target_d·10000 div n_d)`. Domains without a weight drop; a domain
+    * smaller than its target keeps everything (mixtures can only be
+    * approached from above without upsampling — callers see the shortfall
+    * in the output counts). One tiny count aggregate (bounded by #domains)
+    * feeds the rates; the sample itself is a pure pushdown-friendly filter. */
+  def rebalanceToMixture(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      weights: Map[String, Int],
+      totalBudget: Long
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "weights must be non-negative with a positive sum")
+    require(totalBudget > 0, "totalBudget must be positive")
+    val wSum = weights.values.sum
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateBp = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>
+      val n = counts.getOrElse(d, 0L)
+      val bp = if (n == 0) 0L
+        else math.min(10000L, (totalBudget * w / wSum) * 10000L / n)
+      when(col(domainCol) === d, lit(bp)).otherwise(acc)
+    }
+    df.filter(bucketBpOf(keyCol) < rateBp)
+  }
 }

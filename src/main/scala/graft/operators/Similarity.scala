@@ -318,4 +318,25 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         col("cos_sim_raw").cast("decimal(16,12)").as("cos_sim"), col("rank"))
   }
+
+  /** Symmetric per-vector int8 quantization — 4× embedding storage/shuffle
+    * reduction for ANN at scale: `scale = 127 / max|v|`, `q_i = v_i·scale`
+    * truncated toward zero (Spark's int cast truncates; the DuckDB oracle
+    * must spell it `trunc(...)::INT` because DuckDB's int cast ROUNDS —
+    * cross-engine rounding is the one trap here). Appends
+    * `q` (array<int> in [−127, 127]) and `q_scale` (double). Zero vectors
+    * quantize to all-zero with scale 0. Per-row expression work only — no
+    * shuffle, no UDF. Dequantization `q_i / scale` preserves cosine to
+    * ~1e-2 (spec); exact scoring re-reads the float column. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    // materialize maxAbs as its own column: HOF lambdas are interpreted per
+    // element and must not recompute the fold per output element
+    df.withColumn("__maxabs",
+        expr(s"aggregate($vecCol, cast(0.0 as double), (acc, x) -> greatest(acc, abs(cast(x as double))))"))
+      .withColumn("q_scale",
+        when(col("__maxabs") > 0.0, lit(127.0) / col("__maxabs")).otherwise(lit(0.0)))
+      .withColumn("q",
+        expr(s"transform($vecCol, x -> cast(cast(x as double) * q_scale as int))"))
+      .drop("__maxabs")
+  }
 }

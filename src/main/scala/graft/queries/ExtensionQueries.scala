@@ -861,6 +861,49 @@ object ExtensionQueries {
       }
     ),
 
+    // Domain-mixture rebalancing: sample documents toward lang weights
+    // within a row budget — integer rate arithmetic the oracle re-derives
+    // from the same counts.
+    QueryDef(
+      "q79_mixture_rebalance",
+      (s, dir) =>
+        Sampling.rebalanceToMixture(t(s, dir, "documents"), "lang", "doc_id",
+          weights = Map("en" -> 500, "de" -> 300, "fr" -> 200), totalBudget = 300L)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang),
+             |r AS (SELECT lang, least(10000,
+             |         ((300 * CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 WHEN 'fr' THEN 200 ELSE 0 END) // 1000)
+             |         * 10000 // nd) AS bp
+             |      FROM n WHERE lang IN ('en', 'de', 'fr'))
+             |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < bp
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Int8 embedding quantization: per-vector symmetric scale + truncated
+    // ints; oracle replicates the exact double fold and truncation (DuckDB
+    // int casts ROUND, so the oracle must trunc explicitly).
+    QueryDef(
+      "q80_embed_quantize",
+      (s, dir) =>
+        Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+          .select(col("vec_id"),
+            md5(expr("array_join(transform(q, x -> cast(x as string)), ',')")).as("q_md5"),
+            floor(col("q_scale") * 1e9).cast("long").as("scale_1e9"))
+          .orderBy("vec_id"),
+      Some("""WITH m AS (SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)), (a, b) -> greatest(a, b)) AS maxabs
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, embedding,
+             |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS sc FROM m)
+             |SELECT vec_id,
+             |  md5(array_to_string(list_transform(embedding,
+             |    x -> CAST(CAST(trunc(x::DOUBLE * sc) AS INT) AS VARCHAR)), ',')) AS q_md5,
+             |  CAST(floor(sc * 1000000000) AS BIGINT) AS scale_1e9
+             |FROM s ORDER BY vec_id""".stripMargin)
+    ),
+
     // Context chunking: 200-char chunks with 50-char overlap per document —
     // the pre-embedding / pre-packing splitter. Exact start arithmetic
     // (i·step) replicated in DuckDB via correlated range unnest.

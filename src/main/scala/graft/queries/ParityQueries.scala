@@ -187,6 +187,10 @@ object ParityQueries {
     // null/distinct): min/max exact; median/p95 via exact interpolated
     // percentile (Spark `percentile` ≡ DuckDB `quantile_cont` — same linear
     // interpolation over identical sorted values), pinned to DECIMAL.
+    // Scale note: exact `percentile` buffers every value (the sweep's 4.6×
+    // scaler) and exists for oracle parity; the 100 TB path is
+    // `approx_percentile` (GK sketch, mergeable, constant memory) — swap is
+    // one function name, the query shape is identical.
     QueryDef(
       "q27_numeric_summary",
       (s, dir) =>

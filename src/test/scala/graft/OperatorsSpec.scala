@@ -459,6 +459,56 @@ class OperatorsSpec extends SparkTestBase {
     assert(strat.forall(_._2 == "en")) // unlisted strata dropped
   }
 
+  test("mixture rebalance approaches target domain weights within budget") {
+    val rows = (1L to 3000L).map(i =>
+      (i, if (i % 10 < 6) "en" else if (i % 10 < 9) "de" else "fr"))
+    val df = rows.toDF("id", "lang") // en:1800 de:900 fr:300
+    val out = Sampling.rebalanceToMixture(df, "lang", "id",
+      weights = Map("en" -> 500, "de" -> 300, "fr" -> 200), totalBudget = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // targets: en 500, de 300, fr 200 — md5 buckets land within sampling noise
+    assert(math.abs(byLang("en") - 500) < 100, s"en=${byLang("en")}")
+    assert(math.abs(byLang("de") - 300) < 80, s"de=${byLang("de")}")
+    assert(math.abs(byLang("fr") - 200) < 60, s"fr=${byLang("fr")}")
+    // deterministic: same call, same sample
+    val again = Sampling.rebalanceToMixture(df, "lang", "id",
+      Map("en" -> 500, "de" -> 300, "fr" -> 200), 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+    // a domain smaller than its target keeps everything (no upsampling)
+    val keepAll = Sampling.rebalanceToMixture(df, "lang", "id",
+      Map("fr" -> 1000), totalBudget = 2000L)
+    assert(keepAll.count() == 300) // all of fr, nothing else
+    // unweighted domains drop entirely
+    assert(!out.exists(_._2 == "zh"))
+  }
+
+  test("int8 quantization: bounded range, truncation, cosine preserved") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    val rows = q.select($"vec_id", $"embedding", $"q", $"q_scale").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val qs = r.getSeq[Int](2)
+      val sc = r.getDouble(3)
+      assert(qs.forall(x => x >= -127 && x <= 127))
+      // spot-check truncation semantics on the first element
+      assert(qs.head == (v.head.toDouble * sc).toInt)
+      // dequantized cosine stays close to 1 against the original
+      val dq = qs.map(_ / sc)
+      val dot = v.zip(dq).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(dq.map(x => x * x).sum)
+      assert(dot / (na * nb) > 0.99, s"vec ${r.getLong(0)} cosine degraded")
+    }
+    // zero vector: all-zero q, scale 0 — no division blowup
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array(0f, 0f))).toDF("vec_id", "embedding"), "embedding").head()
+    assert(z.getSeq[Int](z.fieldIndex("q")).toList == List(0, 0) &&
+      z.getAs[Double]("q_scale") == 0.0)
+  }
+
   test("text chunking covers every character with exact overlap arithmetic") {
     val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
     // size 4, overlap 2 -> step 2: starts 0,2,4,6,8
