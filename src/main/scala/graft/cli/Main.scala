@@ -111,8 +111,22 @@ object Main {
     case "markdown" => MarkdownFormatter.render(r)
     // color only on an interactive terminal — pipes/CI/tests get plain
     // text (same discipline as rich's auto-detection in the reference)
-    case _ => ConsoleFormatter.render(r, color = System.console() != null)
+    case _ => ConsoleFormatter.render(r, color = colorTerminal)
   }
+
+  /** True only for an interactive terminal with color not opted out.
+    * `System.console() != null` alone is wrong on JDK 22+ (JDK-8295803:
+    * non-null even with redirected streams — `isTerminal()` is the real
+    * check there, probed reflectively since this builds on 17); NO_COLOR
+    * (no-color.org) always wins. */
+  private def colorTerminal: Boolean =
+    sys.env.get("NO_COLOR").isEmpty && (System.console() match {
+      case null => false
+      case c =>
+        try classOf[java.io.Console].getMethod("isTerminal")
+          .invoke(c).asInstanceOf[Boolean]
+        catch { case _: NoSuchMethodException => true } // JDK <= 21: non-null console IS a tty
+    })
 
   private def log(a: Args, msg: String): Unit =
     if (a.format == "rich") println(msg) // machine formats keep stdout clean

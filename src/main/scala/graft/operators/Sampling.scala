@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform per-key bucket in [0, 100): `hash32(key) mod 100` with the
-    * engine-portable `conv(substring(md5(key),1,8),16,10)` fold. */
-  def bucketOf(keyCol: String): Column =
-    expr(s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint) % 100")
+  /** Engine-portable 32-bit key hash in [0, 2^32): the
+    * `conv(substring(md5(key),1,8),16,10)` fold every oracle replicates as
+    * `('0x'||substr(md5(key),1,8))::BIGINT`. Single source of truth for all
+    * sampling decisions. */
+  def hash32Of(keyCol: String): Column =
+    expr(s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint)")
+
+  /** Uniform per-key bucket in [0, 100): `hash32(key) mod 100`. */
+  def bucketOf(keyCol: String): Column = hash32Of(keyCol) % 100
 
   /** Keep ~`pct`% of rows, decided per key — deterministic across runs,
     * partitionings, and engines. */
@@ -57,24 +62,20 @@ object Sampling {
     (df.filter(b < 100 - holdoutPct), df.filter(b >= 100 - holdoutPct))
   }
 
-  /** Finer-grained bucket in [0, 10000) — basis points, for rates a 1%
-    * grid is too coarse to express. Same md5 fold, so still engine- and
-    * partitioning-stable. */
-  def bucketBpOf(keyCol: String): Column =
-    expr(s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint) % 10000")
-
   /** Rebalance a corpus toward a target DOMAIN MIXTURE — the data-mixing
     * step of a training build ("30% code, 50% web, 20% books"): given
     * relative weights per domain and a total row budget, compute each
-    * domain's deterministic keep-rate and sample it per key.
+    * domain's deterministic keep-threshold and sample it per key.
     *
-    * All integer arithmetic (exact, oracle-replicable):
-    * `target_d = budget·w_d div Σw`; `rate_bp = min(10000,
-    * target_d·10000 div n_d)`. Domains without a weight drop; a domain
-    * smaller than its target keeps everything (mixtures can only be
-    * approached from above without upsampling — callers see the shortfall
-    * in the output counts). One tiny count aggregate (bounded by #domains)
-    * feeds the rates; the sample itself is a pure pushdown-friendly filter. */
+    * The keep test is `hash32(key) < threshold_d` at the hash's FULL 2^32
+    * resolution: `threshold_d = ⌊budget·w_d·2^32 / (Σw·n_d)⌋`, computed in
+    * BigInt on the driver (exact — no overflow for any Long budget, no
+    * basis-point grid to floor a small-but-positive rate down to zero).
+    * Domains without a weight drop; a domain smaller than its target keeps
+    * everything (mixtures can only be approached from above without
+    * upsampling — callers see the shortfall in the output counts). One tiny
+    * count aggregate (bounded by #domains) feeds the thresholds; the sample
+    * itself is a pure pushdown-friendly filter. */
   def rebalanceToMixture(
       df: DataFrame,
       domainCol: String,
@@ -85,15 +86,16 @@ object Sampling {
     require(weights.nonEmpty && weights.values.forall(_ >= 0) && weights.values.sum > 0,
       "weights must be non-negative with a positive sum")
     require(totalBudget > 0, "totalBudget must be positive")
-    val wSum = weights.values.sum
+    val wSum = BigInt(weights.values.sum)
+    val two32 = BigInt(1) << 32
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rateBp = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>
+    val threshold = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>
       val n = counts.getOrElse(d, 0L)
-      val bp = if (n == 0) 0L
-        else math.min(10000L, (totalBudget * w / wSum) * 10000L / n)
-      when(col(domainCol) === d, lit(bp)).otherwise(acc)
+      val t = if (n == 0) BigInt(0)
+        else (BigInt(totalBudget) * w * two32 / (wSum * n)).min(two32)
+      when(col(domainCol) === d, lit(t.toLong)).otherwise(acc)
     }
-    df.filter(bucketBpOf(keyCol) < rateBp)
+    df.filter(hash32Of(keyCol) < threshold)
   }
 }

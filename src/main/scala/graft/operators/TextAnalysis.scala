@@ -178,9 +178,15 @@ object TextAnalysis {
   /** Fixed-size overlapping text chunks — the context-window chunking a
     * training/RAG pipeline applies before embedding or packing. Chunk `i`
     * starts at character `i·(chunkSize − overlap)`; chunks cover every
-    * character (the last one may be short), empty documents produce no
-    * chunks. Pure per-row generate (explode) — no shuffle; chunk count per
-    * doc is ⌈len/step⌉, exact integer arithmetic both engines replicate. */
+    * character (the last may be short), and the LAST start is the first one
+    * whose chunk reaches the end — a tail shorter than the overlap is
+    * already inside the previous chunk and must not re-emit (a redundant
+    * tail double-feeds ~⅓ of docs into downstream embedding). Chunk count
+    * is `max(1, ⌈(len − overlap)/step⌉)`; the max() runs BEFORE the
+    * division so both engines' integer division (Spark truncates, DuckDB
+    * floors — they differ on negatives) see a non-negative numerator.
+    * Empty documents produce no chunks. Pure per-row generate — no
+    * shuffle. */
   def chunkText(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int = 0): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
@@ -188,7 +194,7 @@ object TextAnalysis {
     val step = chunkSize - overlap
     df.filter(length(col(textCol)) > 0)
       .select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, cast((length($textCol) - 1) div $step as int)),
+        s"""transform(sequence(0, cast(greatest(length($textCol) - $overlap - 1, 0) div $step as int)),
            |  i -> substring($textCol, i * $step + 1, $chunkSize))""".stripMargin))
         .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))

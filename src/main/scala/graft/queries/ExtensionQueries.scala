@@ -872,12 +872,12 @@ object ExtensionQueries {
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id"),
       Some("""WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang),
-             |r AS (SELECT lang, least(10000,
-             |         ((300 * CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 WHEN 'fr' THEN 200 ELSE 0 END) // 1000)
-             |         * 10000 // nd) AS bp
+             |r AS (SELECT lang, CAST(least(4294967296::HUGEINT,
+             |         (300::HUGEINT * CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 WHEN 'fr' THEN 200 ELSE 0 END
+             |          * 4294967296::HUGEINT) // (1000::HUGEINT * nd)) AS BIGINT) AS thr
              |      FROM n WHERE lang IN ('en', 'de', 'fr'))
              |SELECT doc_id, lang FROM documents JOIN r USING (lang)
-             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < bp
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
              |ORDER BY doc_id""".stripMargin)
     ),
 
@@ -893,7 +893,9 @@ object ExtensionQueries {
             floor(col("q_scale") * 1e9).cast("long").as("scale_1e9"))
           .orderBy("vec_id"),
       Some("""WITH m AS (SELECT vec_id, embedding,
-             |    list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)), (a, b) -> greatest(a, b)) AS maxabs
+             |    CASE WHEN len(embedding) = 0 THEN 0.0 ELSE
+             |      list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)), (a, b) -> greatest(a, b))
+             |    END AS maxabs
              |  FROM embeddings),
              |s AS (SELECT vec_id, embedding,
              |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS sc FROM m)
@@ -916,7 +918,7 @@ object ExtensionQueries {
             col("chunk_len"))
           .orderBy("doc_id", "chunk_idx"),
       Some("""WITH c AS (SELECT doc_id, text,
-             |    unnest(range(((length(text) - 1) // 150) + 1)) AS k
+             |    unnest(range((greatest(length(text) - 50 - 1, 0) // 150) + 1)) AS k
              |  FROM documents WHERE length(text) > 0)
              |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
              |       md5(substr(text, CAST(k * 150 + 1 AS INT), 200)) AS chunk_md5,

@@ -461,8 +461,9 @@ class OperatorsSpec extends SparkTestBase {
 
   test("mixture rebalance approaches target domain weights within budget") {
     val rows = (1L to 3000L).map(i =>
-      (i, if (i % 10 < 6) "en" else if (i % 10 < 9) "de" else "fr"))
-    val df = rows.toDF("id", "lang") // en:1800 de:900 fr:300
+      (i, if (i % 10 < 6) "en" else if (i % 10 < 9) "de" else "fr")) ++
+      (3001L to 3050L).map(i => (i, "zh")) // unweighted domain, must drop
+    val df = rows.toDF("id", "lang") // en:1800 de:900 fr:300 zh:50
     val out = Sampling.rebalanceToMixture(df, "lang", "id",
       weights = Map("en" -> 500, "de" -> 300, "fr" -> 200), totalBudget = 1000L)
       .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -510,14 +511,19 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("text chunking covers every character with exact overlap arithmetic") {
-    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
-    // size 4, overlap 2 -> step 2: starts 0,2,4,6,8
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""), (4L, "abcdefghijk"))
+      .toDF("doc_id", "text")
+    // size 4, overlap 2 -> step 2: starts 0,2,4,6 — the would-be start 8
+    // chunk ("ij") is fully inside "ghij" and must NOT re-emit
     val r = TextAnalysis.chunkText(df, "doc_id", "text", chunkSize = 4, overlap = 2)
       .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getString(2)).toMap
     assert(r((1L, 0)) == "abcd" && r((1L, 1)) == "cdef" && r((1L, 2)) == "efgh")
-    assert(r((1L, 3)) == "ghij" && r((1L, 4)) == "ij") // short tail kept
-    assert(r((2L, 0)) == "xy")
+    assert(r((1L, 3)) == "ghij")
+    assert(!r.contains((1L, 4))) // no redundant tail chunk
+    assert(r((2L, 0)) == "xy") // doc shorter than chunkSize: one chunk
     assert(!r.keySet.exists(_._1 == 3L)) // empty doc -> no chunks
+    // len 11: char 'k' is NOT covered by the start-6 chunk, so start 8 runs
+    assert(r((4L, 4)) == "ijk" && !r.contains((4L, 5)))
     // no-overlap chunks reassemble the document exactly
     val whole = TextAnalysis.chunkText(df.filter($"doc_id" === 1L), "doc_id", "text", 3)
       .orderBy("chunk_idx").collect().map(_.getString(2)).mkString
