@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.{DiffEngine, SnapshotStore}
 import graft.formatters.{ConsoleFormatter, JsonFormatter, MarkdownFormatter}
-import graft.model.DiffResult
+import graft.model.{DiffResult, DriftRow}
 import graft.modelrun.{DbtBuild, ModelRunner, Profiles}
 
 /** CLI with the reference's flag surface (cli.py:31-111):
@@ -46,7 +46,8 @@ object Main {
       colStats: Boolean = true,
       buildMode: String = "native", // native | dbt (external `dbt build`)
       byColumn: Boolean = false,
-      scopePartition: Option[String] = None)
+      scopePartition: Option[String] = None,
+      driftCols: Seq[String] = Nil)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
@@ -85,6 +86,8 @@ object Main {
           a = a.copy(buildMode = m)
         case "--by-column" => a = a.copy(byColumn = true)
         case "--scope-partition" => a = a.copy(scopePartition = Some(need("--scope-partition")))
+        case "--drift" =>
+          a = a.copy(driftCols = need("--drift").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "--format" =>
           val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
@@ -246,11 +249,13 @@ object Main {
         approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
         model = a.model, baseRef = a.baseRef, headRef = a.headRef)
       // record the ACTUAL snapshot namespace/tables in meta (diff_flow.py:87-88)
-      res.copy(meta = res.meta.copy(
-        diffSchema = Some("dbt_model_diff__" + SnapshotStore.sanitize(runId)),
-        tables = Some((
-          SnapshotStore.sanitize(s"${a.model}__base"),
-          SnapshotStore.sanitize(s"${a.model}__head")))))
+      res.copy(
+        meta = res.meta.copy(
+          diffSchema = Some("dbt_model_diff__" + SnapshotStore.sanitize(runId)),
+          tables = Some((
+            SnapshotStore.sanitize(s"${a.model}__base"),
+            SnapshotStore.sanitize(s"${a.model}__head")))),
+        drift = computeDrift(baseIn, headIn, a.driftCols))
     } finally {
       try git(repoRoot, "worktree", "remove", "--force", baseWt) catch { case _: Throwable => }
       try git(repoRoot, "worktree", "remove", "--force", headWt) catch { case _: Throwable => }
@@ -277,14 +282,33 @@ object Main {
     DiffEngine.diff(base, head, a.keys, a.where, a.sample,
       approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
       model = a.model, baseRef = a.basePath, headRef = a.headPath)
+      .copy(drift = computeDrift(base, head, a.driftCols))
   }
+
+  /** `--drift col1,col2`: exact per-value TV contributions per requested
+    * column, top-50 by contribution (bounded collect — drift columns are
+    * low-cardinality dimensions by contract; see DiffEngine.categoricalDrift). */
+  private def computeDrift(
+      base: DataFrame, head: DataFrame, cols: Seq[String]): Option[Seq[(String, Seq[DriftRow])]] =
+    if (cols.isEmpty) None
+    else Some(cols.map { c =>
+      import org.apache.spark.sql.functions.col
+      val rows = DiffEngine.categoricalDrift(base, head, c)
+        .orderBy(col("tv_contrib").desc, col("value").cast("string"))
+        .limit(50)
+        .collect()
+        .map(r => DriftRow(String.valueOf(r.get(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      c -> rows
+    })
 
   private val Usage =
     """usage: diff <model> [--keys k1,k2] [--base REF] [--head REF]
       |            [--project-dir DIR] [--profiles-dir DIR] [--profile P] [--target T]
       |            [--where SQL] [--sample N] [--keep-schemas] [--build-mode native|dbt]
       |            [--col-stats|--no-col-stats] [--approx] [--by-column]
-      |            [--scope-partition COL] [--format rich|json|markdown]
+      |            [--scope-partition COL] [--drift col1,col2]
+      |            [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]""".stripMargin
 
   /** Map a profiles.yml target onto Spark session settings. The reference

@@ -118,7 +118,14 @@ object JsonFormatter {
       "column_profile" -> profiles,
       "row_diff" -> rowDiff
     ) ++ r.changedByColumn.map(bc => "changed_by_column" -> (JObj(
-      bc.map { case (c, n) => c -> (JRaw(n.toString): J) }): J)).toSeq), 0)
+      bc.map { case (c, n) => c -> (JRaw(n.toString): J) }): J)).toSeq
+      ++ r.drift.map(ds => "drift" -> (JObj(ds.map { case (c, rows) =>
+        c -> (JArr(rows.map(d => JObj(Seq(
+          "value" -> (JStr(d.value): J),
+          "base_n" -> JRaw(d.baseN.toString),
+          "head_n" -> JRaw(d.headN.toString),
+          "tv_contrib" -> JRaw(d.tv.toString))): J)): J)
+      }): J)).toSeq), 0)
   }
 }
 
@@ -168,6 +175,14 @@ object MarkdownFormatter {
         sb ++= "### Sample changed keys\n\n"
         val keys = r.meta.keys
         sb ++= table(keys, rd.sampleChangedKeys.map(m => keys.map(m.getOrElse(_, "")))) + "\n"
+      }
+    }
+    r.drift.foreach { ds =>
+      sb ++= "## Value drift\n\n"
+      ds.foreach { case (c, rows) =>
+        sb ++= s"### $c\n\n"
+        sb ++= table(Seq("value", "base_n", "head_n", "tv_contrib"),
+          rows.map(d => Seq(d.value, d.baseN.toString, d.headN.toString, d.tv.toString))) + "\n\n"
       }
     }
     sb.result()
@@ -280,6 +295,11 @@ object ConsoleFormatter {
       sb ++= table("Changed rows by column", Seq("Column", "Rows changed"),
         bc.map { case (c, n) => Seq(c, n.toString) }) += '\n'
     }
+    r.drift.foreach(_.foreach { case (c, rows) =>
+      sb ++= table(s"Value drift: $c (top ${rows.size} by TV contribution)",
+        Seq("Value", "Base n", "Head n", "TV contrib"),
+        rows.map(d => Seq(d.value, d.baseN.toString, d.headN.toString, d.tv.toString))) += '\n'
+    })
     sb.result()
   }
 }

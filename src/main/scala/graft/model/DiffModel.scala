@@ -67,6 +67,11 @@ final case class RowDiff(
     integralKeys: Set[String] = Set.empty
 )
 
+/** One drifted value's exact counts: `tv` is the integer cross-multiplied
+  * total-variation contribution |base_n·Nh − head_n·Nb| (DiffEngine
+  * categoricalDrift). Values are stringified for rendering. */
+final case class DriftRow(value: String, baseN: Long, headN: Long, tv: Long)
+
 final case class DiffResult(
     meta: DiffMeta,
     rowcounts: RowCounts,
@@ -77,5 +82,9 @@ final case class DiffResult(
     // changed-row counts among key-matched rows, populated by --by-column.
     // JSON emits `changed_by_column` only when present, preserving
     // byte-parity for reference-shaped runs.
-    changedByColumn: Option[Seq[(String, Long)]] = None
+    changedByColumn: Option[Seq[(String, Long)]] = None,
+    // Engine extension: per-column value drift (--drift col1,col2) — the
+    // top TV-contributing values per requested column. Emitted only when
+    // requested, same parity discipline as changedByColumn.
+    drift: Option[Seq[(String, Seq[DriftRow])]] = None
 )

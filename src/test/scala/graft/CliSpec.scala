@@ -52,6 +52,32 @@ class CliSpec extends SparkTestBase {
     assert(rd.rowcounts.base == 3 && rd.rowcounts.head == 3)
   }
 
+  test("--drift computes per-value TV contributions and renders only when asked") {
+    val a = Main.parseArgs(Seq("diff", "m", "--drift", "status,region"))
+    assert(a.driftCols == Seq("status", "region"))
+    import spark.implicits._
+    val base = Seq((1, "a"), (2, "a"), (3, "a"), (4, "b")).toDF("id", "s")
+    val head = Seq((1, "a"), (2, "b"), (3, "b"), (4, "c")).toDF("id", "s")
+    val r = graft.engine.DiffEngine.diff(base, head, keys = Seq("id"))
+      .copy(drift = Some(Seq("s" -> Seq(
+        graft.model.DriftRow("a", 3, 1, 8), graft.model.DriftRow("b", 1, 2, 4)))))
+    val json = graft.formatters.JsonFormatter.render(r)
+    assert(json.contains("\"drift\"") && json.contains("\"tv_contrib\": 8"))
+    assert(graft.formatters.ConsoleFormatter.render(r).contains("Value drift: s"))
+    assert(graft.formatters.MarkdownFormatter.render(r).contains("## Value drift"))
+    // absent when not requested — reference-shaped output stays byte-stable
+    assert(!graft.formatters.JsonFormatter.render(r.copy(drift = None)).contains("drift"))
+    // end-to-end through the engine-only entry point
+    val dir = Files.createTempDirectory("graft_drift_")
+    base.write.mode("overwrite").parquet(dir.resolve("b").toString)
+    head.write.mode("overwrite").parquet(dir.resolve("h").toString)
+    val res = Main.runDiffTables(spark, Main.parseArgs(Seq("diff-tables",
+      dir.resolve("b").toString, dir.resolve("h").toString,
+      "--keys", "id", "--drift", "s", "--format", "json")))
+    val ds = res.drift.get.toMap.apply("s")
+    assert(ds.find(_.value == "a").get == graft.model.DriftRow("a", 3, 1, 8))
+  }
+
   test("--scope-partition diffs only changed partitions with identical row-diff counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_scope_")
