@@ -255,7 +255,7 @@ object Main {
           tables = Some((
             SnapshotStore.sanitize(s"${a.model}__base"),
             SnapshotStore.sanitize(s"${a.model}__head")))),
-        drift = computeDrift(baseIn, headIn, a.driftCols))
+        drift = computeDrift(baseIn, headIn, a.driftCols, a.where))
     } finally {
       try git(repoRoot, "worktree", "remove", "--force", baseWt) catch { case _: Throwable => }
       try git(repoRoot, "worktree", "remove", "--force", headWt) catch { case _: Throwable => }
@@ -282,18 +282,22 @@ object Main {
     DiffEngine.diff(base, head, a.keys, a.where, a.sample,
       approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
       model = a.model, baseRef = a.basePath, headRef = a.headPath)
-      .copy(drift = computeDrift(base, head, a.driftCols))
+      .copy(drift = computeDrift(base, head, a.driftCols, a.where))
   }
 
   /** `--drift col1,col2`: exact per-value TV contributions per requested
     * column, top-50 by contribution (bounded collect — drift columns are
-    * low-cardinality dimensions by contract; see DiffEngine.categoricalDrift). */
+    * low-cardinality dimensions by contract; see DiffEngine.categoricalDrift).
+    * `--where` applies to both sides first, same as every other comparison
+    * (the diff itself filters inside DiffEngine.diff). */
   private def computeDrift(
-      base: DataFrame, head: DataFrame, cols: Seq[String]): Option[Seq[(String, Seq[DriftRow])]] =
+      base: DataFrame, head: DataFrame, cols: Seq[String],
+      where: Option[String]): Option[Seq[(String, Seq[DriftRow])]] =
     if (cols.isEmpty) None
     else Some(cols.map { c =>
       import org.apache.spark.sql.functions.col
-      val rows = DiffEngine.categoricalDrift(base, head, c)
+      val (b, h) = where.map(w => (base.filter(w), head.filter(w))).getOrElse((base, head))
+      val rows = DiffEngine.categoricalDrift(b, h, c)
         .orderBy(col("tv_contrib").desc, col("value").cast("string"))
         .limit(50)
         .collect()

@@ -76,6 +76,13 @@ class CliSpec extends SparkTestBase {
       "--keys", "id", "--drift", "s", "--format", "json")))
     val ds = res.drift.get.toMap.apply("s")
     assert(ds.find(_.value == "a").get == graft.model.DriftRow("a", 3, 1, 8))
+    // --where filters the drift frames too, same as the diff itself
+    val resW = Main.runDiffTables(spark, Main.parseArgs(Seq("diff-tables",
+      dir.resolve("b").toString, dir.resolve("h").toString,
+      "--keys", "id", "--drift", "s", "--where", "id <= 3", "--format", "json")))
+    val dsW = resW.drift.get.toMap.apply("s") // base a:3; head a:1 b:2 -> Nb=3 Nh=3
+    assert(dsW.find(_.value == "a").get == graft.model.DriftRow("a", 3, 1, 6))
+    assert(dsW.find(_.value == "c").isEmpty) // id=4 row filtered out of head
   }
 
   test("--scope-partition diffs only changed partitions with identical row-diff counts") {
