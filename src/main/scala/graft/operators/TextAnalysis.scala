@@ -175,6 +175,31 @@ object TextAnalysis {
       .withColumn(outCol, expr(winnowSql("__gh", w)))
       .drop("__gh")
 
+  /** Distinctive terms per document — TF-IDF's ranking without its float:
+    * rank a document's tokens by (term frequency DESC, corpus document
+    * frequency ASC, token ASC). The float IDF log only MONOTONICALLY
+    * transforms df, so ordering by raw (tf, −df) selects the same top
+    * terms while staying integer-exact — `ln` differs in last-ulp between
+    * libm implementations, which would break cross-engine hash parity.
+    *
+    * Plan: one explode + distinct for document frequencies, one explode +
+    * count for term frequencies, an equi-join on the token, a per-doc
+    * window for the top-k. All shuffles are on token/doc keys — linear. */
+  def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(textCol)).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"))
+  }
+
   /** Fixed-size overlapping text chunks — the context-window chunking a
     * training/RAG pipeline applies before embedding or packing. Chunk `i`
     * starts at character `i·(chunkSize − overlap)`; chunks cover every

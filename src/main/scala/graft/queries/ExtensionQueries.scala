@@ -861,6 +861,25 @@ object ExtensionQueries {
       }
     ),
 
+    // Distinctive terms per document: TF-IDF's ranking via exact integer
+    // (tf DESC, df ASC, token) ordering — the float log is monotone in df,
+    // so top-k is identical and hash parity survives.
+    QueryDef(
+      "q81_top_terms_per_doc",
+      (s, dir) =>
+        TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "doc_id", "text", k = 3)
+          .orderBy("doc_id", "rank"),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+              |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+              |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              |          FROM (SELECT DISTINCT doc_id, token FROM toks) d GROUP BY token),
+              |r AS (SELECT doc_id, token, tf, df,
+              |        row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) AS rank
+              |      FROM tf JOIN dfreq USING (token))
+              |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df
+              |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+    ),
+
     // Domain-mixture rebalancing: sample documents toward lang weights
     // within a row budget — integer rate arithmetic the oracle re-derives
     // from the same counts.

@@ -459,6 +459,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(strat.forall(_._2 == "en")) // unlisted strata dropped
   }
 
+  test("top terms per doc rank by tf desc then rarity (df asc)") {
+    val df = Seq(
+      (1L, "apple apple banana cherry"), // tf: apple 2; banana/cherry 1
+      (2L, "banana banana banana date"),
+      (3L, "apple banana")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.topTermsPerDoc(df, "doc_id", "text", k = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> ((x.getString(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r((1L, 1)) == (("apple", 2L, 2L))) // highest tf wins
+    // tf tie at 1: cherry (df=1, only doc 1) beats banana (df=3)
+    assert(r((1L, 2)) == (("cherry", 1L, 1L)))
+    assert(r((2L, 1)) == (("banana", 3L, 3L)))
+    assert(r((2L, 2)) == (("date", 1L, 1L)))
+    // doc 3: both tf=1; apple df=2 rarer than banana df=3
+    assert(r((3L, 1)) == (("apple", 1L, 2L)))
+  }
+
   test("mixture rebalance approaches target domain weights within budget") {
     val rows = (1L to 3000L).map(i =>
       (i, if (i % 10 < 6) "en" else if (i % 10 < 9) "de" else "fr")) ++
