@@ -373,6 +373,13 @@ object Main {
         case "diff-tables" => runDiffTables(spark, a)
         case _ => runDiff(spark, a)
       }
+      // mirror the null-key warning: when key tuples are not unique the
+      // added/removed/changed counts and sample come from a join-multiplied
+      // frame (rowcounts already fell back to exact counts in DiffEngine)
+      if (result.rowDiff.exists(_.keysNotUnique))
+        Console.err.println(
+          s"WARNING: key columns (${result.meta.keys.mkString(", ")}) are not unique — " +
+            "added/removed/changed and sample_keys are join-multiplied and may over-count")
       println(render(result, a.format))
     } finally spark.stop()
   }

@@ -461,7 +461,7 @@ object DiffEngine {
         case ByteType | ShortType | IntegerType | LongType => true
         case _                                             => false
       }).toSet
-      val rd = RowDiff(stat(0), stat(1), stat(2), sampleKeys, integralKeys)
+      val rd = RowDiff(stat(0), stat(1), stat(2), sampleKeys, integralKeys, keysNotUnique)
       val byCol =
         if (computeByColumn && nonKey.nonEmpty)
           Some(changedByColumn(baseJ, headJ, keys, nonKey).collect().toSeq

@@ -109,7 +109,10 @@ object JsonFormatter {
         // key TUPLES in meta.keys order (diff_flow.py:249 `[list(r) for r in rows]`)
         "sample_keys" -> (JArr(rd.sampleChangedKeys.map(m =>
           JArr(r.meta.keys.map(k => keyValue(m.getOrElse(k, null), rd.integralKeys(k)))))): J)
-      )): J
+      ) ++ (if (rd.keysNotUnique)
+              // emitted ONLY when tripped — reference-shaped runs stay byte-identical
+              Seq("keys_not_unique" -> (JRaw("true"): J))
+            else Nil)): J
     }.getOrElse(JRaw("null"))
     pretty(JObj(Seq(
       "meta" -> meta,

@@ -64,7 +64,13 @@ final case class RowDiff(
     removed: Long,
     changed: Long,
     sampleChangedKeys: Seq[Map[String, String]],
-    integralKeys: Set[String] = Set.empty
+    integralKeys: Set[String] = Set.empty,
+    // True when the full-outer join saw more rows than distinct key tuples —
+    // the key columns are NOT a primary key, so added/removed/changed and the
+    // sample come from a join-multiplied frame and over-count. Rowcounts fall
+    // back to exact per-side counts in that case; this flag lets consumers
+    // (and the console warning in Main) know the row-diff numbers are suspect.
+    keysNotUnique: Boolean = false
 )
 
 /** One drifted value's exact counts: `tv` is the integer cross-multiplied

@@ -25,13 +25,16 @@ object Packing {
 
   /** Inclusive running total of `valueCol` over the total order given by
     * `orderCol` (must be unique; ties would make the prefix sum
-    * order-dependent). Appends `outCol` as LongType. */
+    * order-dependent). Appends `outCol` as LongType. NULL values count as 0
+    * (the coalesce below), so an all-NULL range slice contributes a zero
+    * offset instead of a null that would NPE the driver-side getLong. */
   def withRunningTotal(
       df: DataFrame,
       orderCol: String,
       valueCol: String,
       outCol: String
   ): DataFrame = {
+    val safeVal = coalesce(col(valueCol).cast("long"), lit(0L))
     val ranged = df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
@@ -47,14 +50,14 @@ object Packing {
     // offsets. The checkpoint pins one partitioning for both jobs (and stops
     // paying for the shuffle + window twice).
     val withLocal = ranged
-      .withColumn("__local", sum(col(valueCol).cast("long")).over(wLocal))
+      .withColumn("__local", sum(safeVal).over(wLocal))
       .localCheckpoint()
     // per-partition totals: one row per range slice, bounded by the
     // partition count — never by data size. sum(value), NOT max(__local):
     // running totals are only monotone for non-negative values, and this
     // helper accepts signed inputs (balance deltas etc.).
     val totals = withLocal.groupBy(col("__pid"))
-      .agg(sum(col(valueCol).cast("long")).as("__tot"))
+      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("__tot"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
@@ -87,7 +90,8 @@ object Packing {
   ): DataFrame = {
     require(budget > 0, "token budget must be positive")
     withRunningTotal(df, orderCol, tokenCol, "__cum")
-      .withColumn("__start", col("__cum") - col(tokenCol).cast("long"))
+      .withColumn("__start",
+        col("__cum") - coalesce(col(tokenCol).cast("long"), lit(0L)))
       .withColumn("bin_id", expr(s"__start div ${budget}L"))
       .withColumn("bin_offset", col("__start") - col("bin_id") * budget)
       .drop("__cum", "__start")

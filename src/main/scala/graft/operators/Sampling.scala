@@ -88,13 +88,17 @@ object Sampling {
     require(totalBudget > 0, "totalBudget must be positive")
     val wSum = BigInt(weights.values.sum)
     val two32 = BigInt(1) << 32
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // compare domains as STRINGS on both sides: an int-coded domain column
+    // would otherwise ClassCastException on getString; casting the group key
+    // and the filter comparison identically keeps weight lookup consistent
+    val domainStr = col(domainCol).cast("string")
+    val counts = df.groupBy(domainStr.as("__d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
     val threshold = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>
       val n = counts.getOrElse(d, 0L)
       val t = if (n == 0) BigInt(0)
         else (BigInt(totalBudget) * w * two32 / (wSum * n)).min(two32)
-      when(col(domainCol) === d, lit(t.toLong)).otherwise(acc)
+      when(domainStr === d, lit(t.toLong)).otherwise(acc)
     }
     df.filter(hash32Of(keyCol) < threshold)
   }

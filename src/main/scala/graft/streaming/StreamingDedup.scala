@@ -55,12 +55,21 @@ object StreamingDedup {
     *
     * `maxBucketSize` bounds per-bucket fan-out, mirroring the batch cap's
     * intent (an over-common band carries no near-dup signal): after that
-    * many arrivals a bucket emits nothing further. Semantics necessarily
-    * diverge from batch ABOVE the cap — batch sees the final bucket size
-    * and drops the whole bucket, a stream cannot retract already-emitted
-    * candidates — so the subset-of-batch guarantee holds exactly for
-    * buckets that stay under the cap, and over-common buckets degrade to
-    * "first maxBucketSize arrivals emitted, bounded" instead of O(n). */
+    * many distinct arrivals a bucket emits nothing further. Semantics
+    * necessarily diverge from batch ABOVE the cap — batch sees the final
+    * bucket size and drops the whole bucket, a stream cannot retract
+    * already-emitted candidates — so the subset-of-batch guarantee holds
+    * exactly for buckets that stay under the cap, and over-common buckets
+    * degrade to "first maxBucketSize distinct arrivals emitted, bounded"
+    * instead of O(n).
+    *
+    * Replay hygiene: re-arrivals of the SAME doc_id are deduplicated within
+    * a batch and against the bucket's last-seen id across batches, and only
+    * ids that survive that filter consume cap slots — so duplicate stream
+    * rows cannot crowd out genuinely new candidates. An id replayed in a
+    * non-adjacent later batch (with other ids in between) still re-emits
+    * its candidate; downstream must `distinct()` candidates before
+    * clustering, exactly as the batch path does. */
   def lshCandidates(
       docs: DataFrame, // columns: doc_id LONG, text STRING
       numHashes: Int = 8,
@@ -100,7 +109,8 @@ object StreamingDedup {
     implicit val keyEnc = Encoders.product[(Int, String)]
     implicit val rowEnc = Encoders.product[(Int, String, Long)]
     implicit val outEnc = Encoders.product[DupCandidate]
-    implicit val stateEnc = Encoders.product[(Long, Long)] // (keep_id, arrivals seen)
+    // state = (keep_id, distinct arrivals counted, last id seen)
+    implicit val stateEnc = Encoders.product[(Long, Long, Long)]
     val timeout =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -108,21 +118,28 @@ object StreamingDedup {
       .selectExpr("band_idx", "band_hash", "doc_id")
       .as[(Int, String, Long)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[(Long, Long), DupCandidate](
+      .flatMapGroupsWithState[(Long, Long, Long), DupCandidate](
         org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
-        case ((bandIdx, _), rows, state: GroupState[(Long, Long)]) =>
+        case ((bandIdx, _), rows, state: GroupState[(Long, Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val arrivals = rows.map(_._3).toSeq.sorted // deterministic within a batch
-            var (keep, seen) = state.getOption.getOrElse((Long.MaxValue, 0L))
+            // sorted → within-batch replays are adjacent; distinct drops them
+            val arrivals = rows.map(_._3).toSeq.sorted.distinct
+            var (keep, seen, lastId) =
+              state.getOption.getOrElse((Long.MaxValue, 0L, Long.MinValue))
             val out = Seq.newBuilder[DupCandidate]
             arrivals.foreach { id =>
-              seen += 1
-              if (keep == Long.MaxValue) keep = id
-              else if (id != keep && seen <= maxBucketSize) // over-common bucket: stop fanning out
-                out += DupCandidate(bandIdx, math.min(keep, id), math.max(keep, id))
+              // replays never consume cap slots or re-emit: skip the bucket's
+              // last-seen id (cross-batch) — within-batch dups already gone
+              if (id != lastId && id != keep) {
+                seen += 1
+                lastId = id
+                if (keep == Long.MaxValue) keep = id
+                else if (seen <= maxBucketSize) // over-common bucket: stop fanning out
+                  out += DupCandidate(bandIdx, math.min(keep, id), math.max(keep, id))
+              }
             }
-            state.update((keep, seen))
+            state.update((keep, seen, lastId))
             idleTimeout.foreach(t => state.setTimeoutDuration(t))
             out.result().iterator
           }

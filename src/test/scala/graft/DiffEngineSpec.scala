@@ -110,6 +110,20 @@ class DiffEngineSpec extends SparkTestBase {
     assert(sd.typeChanges == Seq(("customer_id", "int", "bigint")))
   }
 
+  test("duplicate keys raise the keysNotUnique flag; unique keys do not") {
+    val base = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v") // k=1 duplicated
+    val head = Seq((1, "a"), (2, "c"), (3, "d")).toDF("k", "v")
+    val r = DiffEngine.diff(base, head, keys = Seq("k"), computeProfiles = false)
+    assert(r.rowDiff.exists(_.keysNotUnique))
+    // rowcounts fall back to exact per-side counts, not join-row arithmetic
+    assert(r.rowcounts.base == 3 && r.rowcounts.head == 3)
+    // the flag reaches the JSON document — and only when tripped
+    assert(graft.formatters.JsonFormatter.render(r).contains("\"keys_not_unique\": true"))
+    val clean = DiffEngine.diff(head, head, keys = Seq("k"), computeProfiles = false)
+    assert(clean.rowDiff.exists(!_.keysNotUnique))
+    assert(!graft.formatters.JsonFormatter.render(clean).contains("keys_not_unique"))
+  }
+
   test("null-key diagnostic counts rows that can never match") {
     val base = Seq((Some(1), "a"), (None, "b"), (Some(3), "c")).toDF("k", "v")
     val head = Seq((Some(1), "a"), (None, "x"), (None, "y")).toDF("k", "v")

@@ -503,6 +503,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(!out.exists(_._2 == "zh"))
   }
 
+  test("mixture rebalance accepts non-string domain columns") {
+    // int-coded domains: weights keyed by the values' string form
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0L) 1 else 2)).toDF("id", "dom")
+    val out = Sampling.rebalanceToMixture(df, "dom", "id",
+      weights = Map("1" -> 1, "2" -> 1), totalBudget = 400L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byDom(1) - 200) < 70, s"dom1=${byDom(1)}")
+    assert(math.abs(byDom(2) - 200) < 70, s"dom2=${byDom(2)}")
+  }
+
   test("int8 quantization: bounded range, truncation, cosine preserved") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Similarity.quantizeInt8(emb, "embedding")
@@ -568,6 +579,20 @@ class OperatorsSpec extends SparkTestBase {
     var accS = 0L
     val wantS = signed.sortBy(_._1).map { case (id, v) => accS += v; id -> accS }.toMap
     assert(gotS == wantS)
+  }
+
+  test("prefix sum counts NULL values as 0 — even an all-null range slice") {
+    // ids 1..40 all-null in the low range so at least one whole range slice
+    // sums to NULL; the driver offset collect must read 0, not NPE
+    val rows = (1L to 40L).map(i => (i, None: Option[Long])) ++
+      (41L to 80L).map(i => (i, Some(i)))
+    val df = rows.toDF("id", "v").repartition(8)
+    val got = Packing.withRunningTotal(df, "id", "v", "cum")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, v) => acc += v.getOrElse(0L); id -> acc }.toMap
+    assert(got == want)
+    assert(got(40L) == 0L) // nulls contributed nothing
   }
 
   test("sequence packing assigns bins by start offset, straddlers included") {

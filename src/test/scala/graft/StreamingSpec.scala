@@ -184,6 +184,31 @@ class StreamingSpec extends SparkTestBase {
     assert(dups == Set(2L, 3L, 4L))
   }
 
+  test("streaming LSH: replayed doc ids neither re-emit nor consume cap slots") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val boiler = "replay hygiene words repeated across every duplicate document"
+    val mem = MemoryStream[(Long, String)]
+    // doc 1 arrives 5 times in batch 1 (replays), then docs 2..4 in batch 2,
+    // then doc 4 replays in batch 3 (cross-batch, adjacent re-arrival)
+    mem.addData((1L to 5L).map(_ => (1L, boiler)): _*)
+    mem.addData((2L, boiler), (3L, boiler), (4L, boiler))
+    mem.addData((4L, boiler))
+    val q = StreamingDedup.lshCandidates(
+      mem.toDF().toDF("doc_id", "text"), maxBucketSize = 4)
+      .writeStream.format("memory").queryName("lsh_replay_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val cands = spark.table("lsh_replay_test")
+      .select("band_idx", "keep_id", "dup_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // replays of doc 1 consumed ONE slot, not five: docs 2..4 all fit under
+    // the distinct-arrival cap of 4 and each emits against keeper 1
+    assert(cands.map(c => (c._2, c._3)).toSet == Set((1L, 2L), (1L, 3L), (1L, 4L)))
+    // and no (band, pair) was emitted twice — doc 4's replay was swallowed
+    assert(cands.length == cands.distinct.length)
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
