@@ -41,7 +41,13 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).foreach(_ => ())
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed suite hygiene: queries that pin block-manager storage
+      // (orderedOut/Packing localCheckpoints, persisted diffs) would
+      // otherwise accumulate across 80+ queries and tax later entries'
+      // memory — each query must be measured against a clean session
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
     }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val results = all.map { case (name, fn) =>

@@ -465,4 +465,52 @@ object Dedup {
         levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
   }
+
+  /** Sub-document (line-level) dedup — the C4/RefinedWeb-style boilerplate
+    * scrub: split each document into fixed-width word SPANS, count each
+    * span's corpus-wide document frequency, drop spans occurring in more
+    * than `maxDocs` distinct documents (navigation chrome, license headers,
+    * cookie banners — anything repeated verbatim across documents), and
+    * reassemble each document from its surviving spans in order. Documents
+    * whose every span is boilerplate drop out entirely.
+    *
+    * Scale shape: one generate (posexplode — no shuffle), one two-level
+    * distinct-count aggregation keyed by span, one equi-join back on the
+    * span (both sides hash-partition on the same key, so the exchange is
+    * shared), one per-document reassembly agg. Everything is linear in
+    * total span count; no driver-side data. The reassembly's
+    * sort_array(collect_list(struct(pos, span))) sorts WITHIN one
+    * document's row group only — bounded by that document's span count. */
+  def removeBoilerplateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int,
+      maxDocs: Long
+  ): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    require(maxDocs >= 1, "maxDocs must be at least 1")
+    val spans = df
+      .withColumn("__w", split(col(textCol), " "))
+      .filter(size(col("__w")) > 0)
+      // (len + spanWords - 1) div spanWords spans; integer arithmetic so
+      // both engines agree without float ceil
+      .select(col(idCol),
+        expr(s"(size(__w) + ${spanWords - 1}) div $spanWords").cast("long").as("n_spans"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(__w) + ${spanWords - 1}) div $spanWords - 1),
+             |  i -> array_join(slice(__w, i * $spanWords + 1, $spanWords), ' '))""".stripMargin))
+          .as(Seq("span_pos", "span")))
+    val counts = spans.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") <= maxDocs)
+      .drop("__nd")
+    spans.join(counts, Seq("span"))
+      .groupBy(col(idCol))
+      .agg(
+        first(col("n_spans")).as("n_spans"),
+        count(lit(1)).as("kept_spans"),
+        array_join(expr("transform(array_sort(collect_list(struct(span_pos, span))), x -> x.span)"), " ")
+          .as("clean_text"))
+  }
 }

@@ -62,6 +62,26 @@ object Sampling {
     (df.filter(b < 100 - holdoutPct), df.filter(b >= 100 - holdoutPct))
   }
 
+  /** Curation top-k: keep the best `k` rows per group under an explicit
+    * ordering — "the 100 highest-quality documents per language" selection
+    * step of a curated dataset build. Callers pass a DETERMINISTIC ordering
+    * (break ties on a unique key) or the cut line is partition-dependent.
+    *
+    * Scale: a per-group window shuffle on `groupCol`; k rows survive per
+    * group. With FEW large groups the shuffle skews — mitigate upstream by
+    * pre-aggregating a per-partition top-k (each partition can discard all
+    * but its local k before the exchange; [[graft.functions.TopKAggregator]]
+    * is that form for aggregable payloads). For the usual many-groups case
+    * the window is one balanced exchange. */
+  def topKPerGroup(df: DataFrame, groupCol: String, k: Int, order: Seq[Column]): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(order.nonEmpty, "ordering must be explicit")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= k)
+  }
+
   /** Rebalance a corpus toward a target DOMAIN MIXTURE — the data-mixing
     * step of a training build ("30% code, 50% web, 20% books"): given
     * relative weights per domain and a total row budget, compute each

@@ -200,6 +200,80 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"))
   }
 
+  /** Gopher-style document quality rules — the published rule family from
+    * the Gopher corpus paper (word-count bounds, mean-word-length band,
+    * symbol-to-word ratio, alphabetic-word fraction, stopword presence),
+    * each evaluated in INTEGER arithmetic so the verdicts are engine-exact:
+    * "mean word length in [3, 10]" becomes `3·n ≤ Σlen ≤ 10·n` — no float
+    * division anywhere. Emits the raw counts plus one boolean per rule and
+    * the conjunction, so a pipeline can filter on `passes_all` or log
+    * per-rule rejection rates. Pure per-row expressions — no shuffle. */
+  def gopherQualityRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Int = 3,
+      maxMeanLen: Int = 10,
+      maxSymbolPct: Int = 10,
+      minAlphaPct: Int = 80,
+      minStopwordHits: Int = 2
+  ): DataFrame = {
+    val base = df
+      .withColumn("__t", tokens(textCol))
+      .withColumn("n_words", size(col("__t")).cast("long"))
+      .withColumn("sum_word_chars",
+        expr("aggregate(__t, cast(0 as bigint), (acc, x) -> acc + length(x))"))
+      .withColumn("n_symbol_words",
+        size(expr("filter(__t, x -> x rlike '^[#@]|\\\\.{3}$')")).cast("long"))
+      .withColumn("n_alpha_words",
+        size(expr("filter(__t, x -> x rlike '[a-zA-Z]')")).cast("long"))
+      .withColumn("n_stopword_hits",
+        size(expr(s"filter(__t, x -> array_contains(${stopArrSql(stopwords)}, x))")).cast("long"))
+    base.select(
+      col(idCol), col("n_words"), col("sum_word_chars"), col("n_symbol_words"),
+      col("n_alpha_words"), col("n_stopword_hits"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords).as("ok_word_count"),
+      (col("sum_word_chars") >= col("n_words") * minMeanLen &&
+        col("sum_word_chars") <= col("n_words") * maxMeanLen).as("ok_mean_len"),
+      (col("n_symbol_words") * 100 <= col("n_words") * maxSymbolPct).as("ok_symbols"),
+      (col("n_alpha_words") * 100 >= col("n_words") * minAlphaPct).as("ok_alpha"),
+      (col("n_stopword_hits") >= minStopwordHits).as("ok_stopwords"))
+      .withColumn("passes_all",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stopwords"))
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary rate: build the corpus top-`v`
+    * vocabulary (by total occurrences, ties broken token-ASC so the cut is
+    * deterministic), then count each document's in-vocab and OOV token
+    * occurrences. The tokenizer-coverage audit run before committing to a
+    * vocab size.
+    *
+    * Scale shape: token counts are one explode + one agg; the vocabulary is
+    * `v` rows — collected to the driver and rejoined as a BROADCAST set, so
+    * the per-document pass is shuffle-free on the fact side (explode →
+    * broadcast semi-match → per-doc agg). */
+  def oovStats(df: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = df.select(col(idCol), explode(tokens(textCol)).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"))
+    toks.join(broadcast(vocab).withColumn("__in", lit(1)), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0))).cast("long").as("in_vocab"))
+      .withColumn("oov", col("n_tokens") - col("in_vocab"))
+      .withColumn("oov_pct_x100",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("oov * 10000 div n_tokens").cast("long")))
+  }
+
   /** Fixed-size overlapping text chunks — the context-window chunking a
     * training/RAG pipeline applies before embedding or packing. Chunk `i`
     * starts at character `i·(chunkSize − overlap)`; chunks cover every

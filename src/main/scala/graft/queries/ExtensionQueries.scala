@@ -1083,6 +1083,96 @@ object ExtensionQueries {
            |SELECT bucket, CAST(count(*) AS BIGINT) AS n
            |FROM bkt GROUP BY bucket ORDER BY n DESC, bucket LIMIT 20""".stripMargin
       }
+    ),
+
+    // Sub-document boilerplate scrub (C4-style line dedup): spans repeated
+    // across >2 documents are removed, documents reassembled from the
+    // surviving spans in order.
+    QueryDef(
+      "q82_boilerplate_spans",
+      (s, dir) =>
+        orderedOut(Dedup.removeBoilerplateSpans(t(s, dir, "documents"),
+          "doc_id", "text", spanWords = 5, maxDocs = 2), "doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sp AS (SELECT doc_id, (len(w)+4)//5 AS n_spans, unnest(range((len(w)+4)//5)) AS pos, w FROM d),
+             |fl AS (SELECT doc_id, n_spans, pos, array_to_string(w[pos*5+1:pos*5+5], ' ') AS span FROM sp),
+             |ok AS (SELECT span FROM fl GROUP BY span HAVING count(DISTINCT doc_id) <= 2)
+             |SELECT doc_id, CAST(any_value(n_spans) AS BIGINT) AS n_spans,
+             |       CAST(count(*) AS BIGINT) AS kept_spans,
+             |       string_agg(span, ' ' ORDER BY pos) AS clean_text
+             |FROM fl JOIN ok USING (span)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Gopher-style quality rules: integer-arithmetic verdicts (flags emitted
+    // as 0/1 BIGINT — engine-portable hashing).
+    QueryDef(
+      "q83_gopher_rules",
+      (s, dir) => {
+        val r = TextAnalysis.gopherQualityRules(t(s, dir, "documents"),
+          "doc_id", "text", stopwords, minWords = 50)
+        r.select(col("doc_id") +:
+          Seq("n_words", "sum_word_chars", "n_symbol_words", "n_alpha_words",
+            "n_stopword_hits").map(c => col(c)) ++:
+          Seq("ok_word_count", "ok_mean_len", "ok_symbols", "ok_alpha",
+            "ok_stopwords", "passes_all").map(c => col(c).cast("long").as(c)): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS n_words,
+              |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a,b) -> a + b) AS BIGINT) AS sum_word_chars,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[#@]|\\.{3}$$'))) AS BIGINT) AS n_symbol_words,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+              |  CAST(len(list_filter(toks, x -> list_contains(${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS n_stopword_hits
+              |FROM t)
+              |SELECT doc_id, n_words, sum_word_chars, n_symbol_words, n_alpha_words, n_stopword_hits,
+              |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS ok_word_count,
+              |  CAST(sum_word_chars BETWEEN n_words * 3 AND n_words * 10 AS BIGINT) AS ok_mean_len,
+              |  CAST(n_symbol_words * 100 <= n_words * 10 AS BIGINT) AS ok_symbols,
+              |  CAST(n_alpha_words * 100 >= n_words * 80 AS BIGINT) AS ok_alpha,
+              |  CAST(n_stopword_hits >= 2 AS BIGINT) AS ok_stopwords,
+              |  CAST(n_words BETWEEN 50 AND 100000 AND sum_word_chars BETWEEN n_words * 3 AND n_words * 10
+              |       AND n_symbol_words * 100 <= n_words * 10 AND n_alpha_words * 100 >= n_words * 80
+              |       AND n_stopword_hits >= 2 AS BIGINT) AS passes_all
+              |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Curation: top-10 documents per language by token count (deterministic
+    // doc_id tie-break) — the "best k per group" dataset-selection step.
+    QueryDef(
+      "q84_curation_topk",
+      (s, dir) =>
+        Sampling.topKPerGroup(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), TextAnalysis.tokenCount("text").as("n_tokens")),
+          "lang", k = 10, order = Seq(col("n_tokens").desc, col("doc_id").asc))
+          .select(col("lang"), col("rank_in_group").cast("long").as("rank_in_group"),
+            col("doc_id"), col("n_tokens"))
+          .orderBy("lang", "rank_in_group"),
+      Some(s"""WITH t AS (SELECT doc_id, lang, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+              |r AS (SELECT lang, doc_id, n_tokens,
+              |        row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id ASC) AS rk
+              |      FROM t)
+              |SELECT lang, CAST(rk AS BIGINT) AS rank_in_group, doc_id, n_tokens
+              |FROM r WHERE rk <= 10 ORDER BY lang, rank_in_group""".stripMargin)
+    ),
+
+    // Vocabulary coverage: corpus top-50 vocab (count DESC, token ASC cut),
+    // per-document in-vocab vs OOV occurrence counts.
+    QueryDef(
+      "q85_oov_rate",
+      (s, dir) =>
+        TextAnalysis.oovStats(t(s, dir, "documents"), "doc_id", "text", vocabSize = 50)
+          .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+              |vc AS (SELECT token FROM toks GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 50),
+              |j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS iv
+              |      FROM toks t LEFT JOIN vc v USING (token))
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(iv) AS BIGINT) AS in_vocab,
+              |       CAST(count(*) - sum(iv) AS BIGINT) AS oov,
+              |       CAST((count(*) - sum(iv)) * 10000 // count(*) AS BIGINT) AS oov_pct_x100
+              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -847,4 +847,76 @@ class OperatorsSpec extends SparkTestBase {
     assert(st(99L).isNullAt(st(99L).fieldIndex("bright_sum")))
     assert(st.keySet.filter(_ != 99L).forall(id => !st(id).isNullAt(st(id).fieldIndex("bright_sum"))))
   }
+
+  test("boilerplate span removal drops cross-doc spans, reassembles in order") {
+    // span width 2: "cookie banner" is shared by 3 docs (> maxDocs=2) and
+    // must vanish; "unique words" variants survive; doc 4 is ALL boilerplate
+    val df = Seq(
+      (1L, "cookie banner alpha beta gamma"),
+      (2L, "cookie banner delta epsilon"),
+      (3L, "cookie banner zeta"),
+      (4L, "cookie banner"),
+      (5L, "totally original content here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeBoilerplateSpans(df, "doc_id", "text", spanWords = 2, maxDocs = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_spans"), x.getAs[Long]("kept_spans"), x.getAs[String]("clean_text")))).toMap
+    // doc 1: spans "cookie banner"|"alpha beta"|"gamma" -> first removed
+    assert(r(1L) == ((3L, 2L, "alpha beta gamma")))
+    assert(r(2L) == ((2L, 1L, "delta epsilon")))
+    assert(r(3L) == ((2L, 1L, "zeta"))) // tail span shorter than width survives
+    assert(!r.contains(4L)) // all-boilerplate doc drops out entirely
+    assert(r(5L) == ((2L, 2L, "totally original content here")))
+  }
+
+  test("gopher rules: each rule rejects independently, integer arithmetic") {
+    val stop = Seq("the", "a", "of")
+    val longDoc = (1 to 60).map(i => s"word$i").mkString(" ") + " the a"
+    val df = Seq(
+      (1L, longDoc),                                        // passes all
+      (2L, "the a short doc"),                              // fails word count
+      (3L, (1 to 60).map(_ => "zz").mkString(" ") + " the a supercalifragilistic"), // mean len < 3
+      (4L, (1 to 60).map(i => s"word$i").mkString(" "))     // no stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityRules(df, "doc_id", "text", stop, minWords = 50)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("passes_all"))
+    assert(!r(2L).getAs[Boolean]("ok_word_count") && !r(2L).getAs[Boolean]("passes_all"))
+    assert(!r(3L).getAs[Boolean]("ok_mean_len"))
+    assert(r(3L).getAs[Long]("n_words") == 63L)
+    assert(!r(4L).getAs[Boolean]("ok_stopwords"))
+    // integer identity: sum_word_chars == n_chars - (n_words - 1) separators
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("sum_word_chars") ==
+      longDoc.length - (d1.getAs[Long]("n_words") - 1))
+  }
+
+  test("topKPerGroup cuts deterministically at k with explicit tie-break") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 7)).toDF("id", "g", "q")
+    val r = Sampling.topKPerGroup(df, "g", k = 5, order = Seq(col("q").desc, col("id").asc))
+      .collect().map(x => (x.getAs[String]("g"), x.getAs[Int]("rank_in_group"), x.getAs[Long]("id")))
+    assert(r.length == 10)
+    // group a (even ids): q=6 at ids 6,20,34,48,62,76,90 -> top5 = 5 smallest of those
+    val aIds = r.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq
+    assert(aIds == Seq(6L, 20L, 34L, 48L, 62L))
+    intercept[IllegalArgumentException](Sampling.topKPerGroup(df, "g", 0, Seq(col("q"))))
+  }
+
+  test("oov stats: deterministic vocab cut, integer rate") {
+    // corpus counts: x:6 y:4 z:3 w:1 -> vocab(2) = {x, y}
+    val df = Seq(
+      (1L, "x x x y y z"),
+      (2L, "x x x y y z z w")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.oovStats(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("in_vocab"), x.getAs[Long]("oov"),
+          x.getAs[Long]("oov_pct_x100")))).toMap
+    assert(r(1L) == ((6L, 5L, 1L, 1666L)))
+    assert(r(2L) == ((8L, 5L, 3L, 3750L)))
+    // tie at the boundary: u and v both count 1 — token ASC wins the slot
+    val tied = Seq((1L, "u v")).toDF("doc_id", "text")
+    val t = TextAnalysis.oovStats(tied, "doc_id", "text", vocabSize = 1).head()
+    assert(t.getAs[Long]("in_vocab") == 1L) // exactly one of them made the cut: u
+  }
 }
