@@ -47,7 +47,8 @@ object Main {
       buildMode: String = "native", // native | dbt (external `dbt build`)
       byColumn: Boolean = false,
       scopePartition: Option[String] = None,
-      driftCols: Seq[String] = Nil)
+      driftCols: Seq[String] = Nil,
+      driftNumericCols: Seq[String] = Nil)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
@@ -88,6 +89,9 @@ object Main {
         case "--scope-partition" => a = a.copy(scopePartition = Some(need("--scope-partition")))
         case "--drift" =>
           a = a.copy(driftCols = need("--drift").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "--drift-numeric" =>
+          a = a.copy(driftNumericCols =
+            need("--drift-numeric").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "--format" =>
           val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
@@ -255,7 +259,8 @@ object Main {
           tables = Some((
             SnapshotStore.sanitize(s"${a.model}__base"),
             SnapshotStore.sanitize(s"${a.model}__head")))),
-        drift = computeDrift(baseIn, headIn, a.driftCols, a.where))
+        drift = computeDrift(baseIn, headIn, a.driftCols, a.where),
+        driftNumeric = computeNumericDrift(baseIn, headIn, a.driftNumericCols, a.where))
     } finally {
       try git(repoRoot, "worktree", "remove", "--force", baseWt) catch { case _: Throwable => }
       try git(repoRoot, "worktree", "remove", "--force", headWt) catch { case _: Throwable => }
@@ -282,7 +287,8 @@ object Main {
     DiffEngine.diff(base, head, a.keys, a.where, a.sample,
       approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
       model = a.model, baseRef = a.basePath, headRef = a.headPath)
-      .copy(drift = computeDrift(base, head, a.driftCols, a.where))
+      .copy(drift = computeDrift(base, head, a.driftCols, a.where),
+        driftNumeric = computeNumericDrift(base, head, a.driftNumericCols, a.where))
   }
 
   /** `--drift col1,col2`: exact per-value TV contributions per requested
@@ -306,12 +312,32 @@ object Main {
       c -> rows
     })
 
+  /** `--drift-numeric col1,col2`: binned distribution drift for numeric
+    * columns (DiffEngine.numericDrift's equal-width integer bins).
+    * DriftRow.value carries the bin index; top-50 bins by TV contribution,
+    * bin ASC tie-break. `--where` applies to both sides first. */
+  private def computeNumericDrift(
+      base: DataFrame, head: DataFrame, cols: Seq[String],
+      where: Option[String]): Option[Seq[(String, Seq[DriftRow])]] =
+    if (cols.isEmpty) None
+    else Some(cols.map { c =>
+      import org.apache.spark.sql.functions.col
+      val (b, h) = where.map(w => (base.filter(w), head.filter(w))).getOrElse((base, head))
+      val rows = DiffEngine.numericDrift(b, h, c)
+        .orderBy(col("tv_contrib").desc, col("bin"))
+        .limit(50)
+        .collect()
+        .map(r => DriftRow(String.valueOf(r.getLong(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      c -> rows
+    })
+
   private val Usage =
     """usage: diff <model> [--keys k1,k2] [--base REF] [--head REF]
       |            [--project-dir DIR] [--profiles-dir DIR] [--profile P] [--target T]
       |            [--where SQL] [--sample N] [--keep-schemas] [--build-mode native|dbt]
       |            [--col-stats|--no-col-stats] [--approx] [--by-column]
-      |            [--scope-partition COL] [--drift col1,col2]
+      |            [--scope-partition COL] [--drift col1,col2] [--drift-numeric col1,col2]
       |            [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]""".stripMargin
 

@@ -128,6 +128,13 @@ object JsonFormatter {
           "base_n" -> JRaw(d.baseN.toString),
           "head_n" -> JRaw(d.headN.toString),
           "tv_contrib" -> JRaw(d.tv.toString))): J)): J)
+      }): J)).toSeq
+      ++ r.driftNumeric.map(ds => "drift_numeric" -> (JObj(ds.map { case (c, rows) =>
+        c -> (JArr(rows.map(d => JObj(Seq(
+          "bin" -> (JRaw(d.value): J), // bin index, a JSON number
+          "base_n" -> JRaw(d.baseN.toString),
+          "head_n" -> JRaw(d.headN.toString),
+          "tv_contrib" -> JRaw(d.tv.toString))): J)): J)
       }): J)).toSeq), 0)
   }
 }
@@ -185,6 +192,14 @@ object MarkdownFormatter {
       ds.foreach { case (c, rows) =>
         sb ++= s"### $c\n\n"
         sb ++= table(Seq("value", "base_n", "head_n", "tv_contrib"),
+          rows.map(d => Seq(d.value, d.baseN.toString, d.headN.toString, d.tv.toString))) + "\n\n"
+      }
+    }
+    r.driftNumeric.foreach { ds =>
+      sb ++= "## Numeric drift (binned)\n\n"
+      ds.foreach { case (c, rows) =>
+        sb ++= s"### $c\n\n"
+        sb ++= table(Seq("bin", "base_n", "head_n", "tv_contrib"),
           rows.map(d => Seq(d.value, d.baseN.toString, d.headN.toString, d.tv.toString))) + "\n\n"
       }
     }
@@ -301,6 +316,11 @@ object ConsoleFormatter {
     r.drift.foreach(_.foreach { case (c, rows) =>
       sb ++= table(s"Value drift: $c (top ${rows.size} by TV contribution)",
         Seq("Value", "Base n", "Head n", "TV contrib"),
+        rows.map(d => Seq(d.value, d.baseN.toString, d.headN.toString, d.tv.toString))) += '\n'
+    })
+    r.driftNumeric.foreach(_.foreach { case (c, rows) =>
+      sb ++= table(s"Numeric drift: $c (top ${rows.size} bins by TV contribution)",
+        Seq("Bin", "Base n", "Head n", "TV contrib"),
         rows.map(d => Seq(d.value, d.baseN.toString, d.headN.toString, d.tv.toString))) += '\n'
     })
     sb.result()

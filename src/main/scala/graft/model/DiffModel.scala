@@ -92,5 +92,10 @@ final case class DiffResult(
     // Engine extension: per-column value drift (--drift col1,col2) — the
     // top TV-contributing values per requested column. Emitted only when
     // requested, same parity discipline as changedByColumn.
-    drift: Option[Seq[(String, Seq[DriftRow])]] = None
+    drift: Option[Seq[(String, Seq[DriftRow])]] = None,
+    // Engine extension: binned numeric drift (--drift-numeric col1,col2).
+    // DriftRow.value carries the bin index (equal-width bins over the
+    // combined min..max range — DiffEngine.numericDrift). Emitted only when
+    // requested.
+    driftNumeric: Option[Seq[(String, Seq[DriftRow])]] = None
 )

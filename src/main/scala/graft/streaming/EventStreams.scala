@@ -123,6 +123,40 @@ object EventStreams {
         col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
   }
 
+  /** Binned histogram with FIXED bin edges — works identically on a batch
+    * frame and a stream (a streaming groupBy here keeps at most
+    * `nBuckets + 1` state rows, the minimum any running histogram holds).
+    * Bin arithmetic matches [[graft.engine.DiffEngine.numericDrift]]
+    * exactly (`(x − lo)·n div width`, all integer); values outside
+    * [lo, lo+width) clamp to the edge bins so a drifting stream can't
+    * silently create unbounded bin state. Edges are FIXED by the caller —
+    * a stream has no global min/max to derive them from; take them from the
+    * base snapshot's observed range. */
+  def binHistogram(df: DataFrame, c: String, lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && width > 0, "nBuckets and width must be positive")
+    require(width <= Long.MaxValue / nBuckets, "range x buckets overflows long")
+    val bin = expr(
+      s"least(greatest((cast(`$c` as bigint) - ${lo}L) * $nBuckets div ${width}L, 0L), ${nBuckets - 1}L)")
+    df.filter(col(c).isNotNull).groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Exact TV-contribution drift between two bin histograms (same edges):
+    * `|base_n·Nh − head_n·Nb|` per bin — the integer cross-multiplied form
+    * of [[graft.engine.DiffEngine.numericDrift]], applied to a static base
+    * histogram vs. the latest streaming histogram (e.g. inside
+    * foreachBatch, where the Complete-mode table is a plain frame). */
+  def driftVsBase(baseHist: DataFrame, headHist: DataFrame): DataFrame = {
+    val joined = baseHist.select(col("bin"), col("n").as("base_n"))
+      .join(headHist.select(col("bin"), col("n").as("head_n")), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("head_n"), lit(0L)).as("head_n"))
+    val totals = joined.agg(sum("base_n"), sum("head_n")).head()
+    def total(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
+    joined.withColumn("tv_contrib",
+      abs(col("base_n") * lit(total(1)) - col("head_n") * lit(total(0))))
+  }
+
   /** Run a streaming transform over a bounded source and collect the final
     * result — used by tests and batch/stream parity checks
     * (Trigger.AvailableNow processes everything then stops). */

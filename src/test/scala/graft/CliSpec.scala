@@ -85,6 +85,32 @@ class CliSpec extends SparkTestBase {
     assert(dsW.find(_.value == "c").isEmpty) // id=4 row filtered out of head
   }
 
+  test("--drift-numeric bins a numeric column and renders only when asked") {
+    val a = Main.parseArgs(Seq("diff", "m", "--drift-numeric", "amount,qty"))
+    assert(a.driftNumericCols == Seq("amount", "qty"))
+    import spark.implicits._
+    // range 0..19, 20 bins -> bin == value; head shifts mass from 0 to 19
+    val base = Seq((1, 0L), (2, 0L), (3, 19L)).toDF("id", "v")
+    val head = Seq((1, 0L), (2, 19L), (3, 19L)).toDF("id", "v")
+    val dir = Files.createTempDirectory("graft_driftnum_")
+    base.write.mode("overwrite").parquet(dir.resolve("b").toString)
+    head.write.mode("overwrite").parquet(dir.resolve("h").toString)
+    val res = Main.runDiffTables(spark, Main.parseArgs(Seq("diff-tables",
+      dir.resolve("b").toString, dir.resolve("h").toString,
+      "--keys", "id", "--drift-numeric", "v", "--format", "json")))
+    val bins = res.driftNumeric.get.toMap.apply("v")
+    // base 0:2 19:1, head 0:1 19:2, Nb=Nh=3 -> tv = |2*3-1*3| = 3 each
+    assert(bins.find(_.value == "0").get == graft.model.DriftRow("0", 2, 1, 3))
+    assert(bins.find(_.value == "19").get == graft.model.DriftRow("19", 1, 2, 3))
+    val json = graft.formatters.JsonFormatter.render(res)
+    assert(json.contains("\"drift_numeric\"") && json.contains("\"bin\": 0"))
+    assert(graft.formatters.ConsoleFormatter.render(res).contains("Numeric drift: v"))
+    assert(graft.formatters.MarkdownFormatter.render(res).contains("## Numeric drift (binned)"))
+    // absent when not requested
+    assert(!graft.formatters.JsonFormatter.render(res.copy(driftNumeric = None))
+      .contains("drift_numeric"))
+  }
+
   test("--scope-partition diffs only changed partitions with identical row-diff counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_scope_")

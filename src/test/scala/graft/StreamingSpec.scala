@@ -209,6 +209,34 @@ class StreamingSpec extends SparkTestBase {
     assert(cands.length == cands.distinct.length)
   }
 
+  test("streaming numeric drift: fixed-edge histogram matches batch, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // base snapshot fixes the edges: range 0..19, 20 bins -> bin == value
+    val base = Seq(0L, 0L, 5L, 19L).toDF("v")
+    val baseHist = EventStreams.binHistogram(base, "v", lo = 0L, width = 20L, nBuckets = 20)
+    val mem = MemoryStream[Long]
+    mem.addData(0L, 5L, 5L)
+    mem.addData(19L, 25L, -3L) // out-of-range values clamp to edge bins
+    val headHist = EventStreams.runToBatch(spark,
+      EventStreams.binHistogram(mem.toDF().toDF("v"), "v", 0L, 20L, 20), "drift_hist_test")
+    val h = headHist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(0L -> 2L, 5L -> 2L, 19L -> 2L)) // -3 -> bin 0, 25 -> bin 19
+    // drift vs base: Nb=4, Nh=6; exact integer TV contributions
+    val d = EventStreams.driftVsBase(baseHist, headHist)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(d(0L) == math.abs(2L * 6 - 2L * 4)) // 4
+    assert(d(5L) == math.abs(1L * 6 - 2L * 4)) // 2
+    assert(d(19L) == math.abs(1L * 6 - 2L * 4))
+    // in-range data: streaming histogram == batch histogram == numericDrift bins
+    val sameBatch = Seq(0L, 5L, 5L, 19L).toDF("v")
+    val bh = EventStreams.binHistogram(sameBatch, "v", 0L, 20L, 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nd = graft.engine.DiffEngine.numericDrift(base, sameBatch, "v", nBuckets = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).filter(_._2 > 0).toMap
+    assert(bh == nd) // same bin arithmetic end to end
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
