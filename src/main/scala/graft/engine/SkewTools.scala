@@ -62,4 +62,23 @@ object SkewTools {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("cnt"))
   }
+
+  /** Skew diagnostic: the top-`k` heaviest values of a prospective join/
+    * group key with their exact share of rows in basis points — the "should
+    * this join be salted?" report run BEFORE committing to a shuffle plan
+    * at scale. One aggregation + a driver-side total (two tiny jobs); the
+    * heavy-hitter list is bounded by `k`. Integer share arithmetic
+    * (`n·10000 div total`), so the report is engine-exact. NULL keys count
+    * as their own group — a null-heavy key is the classic silent skew. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totalRow = counts.agg(sum("n")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    counts
+      .withColumn("share_x10000",
+        if (total == 0L) lit(0L) else expr(s"n * 10000 div ${total}L"))
+      .orderBy(col("n").desc, col(keyCol).asc_nulls_first)
+      .limit(k)
+  }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distribution statistics for pipeline QA — the integer-exact
+  * complements to the approximate profile sketches in DiffEngine.
+  */
+object Stats {
+
+  /** Exact per-group discrete quantiles via rank arithmetic — no floats:
+    * the `p`% quantile is the value at 1-based sorted position
+    * `⌈n·p/100⌉ = (n·p + 99) div 100`, i.e. `percentile_disc` semantics
+    * (the smallest value whose cumulative frequency reaches p%). Integer
+    * positions on integer-ordered values make the result engine-exact,
+    * unlike interpolating percentiles (float averaging on even counts) or
+    * approximate sketches (engine-specific).
+    *
+    * Output: one row per (group, p) with the quantile value.
+    *
+    * Scale: one window sort per group — exact quantiles fundamentally
+    * require rank information, so the sort is the cost of exactness. Groups
+    * sort independently (parallel across groups); for quantiles over a
+    * HUGE single group prefer the sketch profile (approx mode) and keep
+    * this for per-stratum QA where groups are partition-sized. */
+  def groupedQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      percents: Seq[Int]
+  ): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in 1..100")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val pArr = array(percents.map(lit): _*)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol),
+        row_number().over(w).as("__rn"),
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).as("__n"))
+      .select(col(groupCol), col(valueCol), col("__rn"), col("__n"),
+        explode(pArr).as("p"))
+      .filter(col("__rn") === expr("(__n * p + 99) div 100"))
+      .select(col(groupCol), col("p").cast("long").as("p"), col(valueCol))
+  }
+}

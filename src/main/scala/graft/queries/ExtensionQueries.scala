@@ -1158,6 +1158,36 @@ object ExtensionQueries {
               |FROM r WHERE rk <= 10 ORDER BY lang, rank_in_group""".stripMargin)
     ),
 
+    // Exact per-language quantiles of document length — integer rank
+    // arithmetic (percentile_disc semantics), engine-exact where
+    // interpolated/approx percentiles are not.
+    QueryDef(
+      "q86_grouped_quantiles",
+      (s, dir) =>
+        Stats.groupedQuantiles(t(s, dir, "documents"), "lang", "n_chars",
+          percents = Seq(25, 50, 75))
+          .orderBy("lang", "p"),
+      Some("""WITH r AS (SELECT lang, n_chars,
+             |         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             |         count(*) OVER (PARTITION BY lang) AS n
+             |       FROM documents)
+             |SELECT lang, CAST(p AS BIGINT) AS p, n_chars
+             |FROM r CROSS JOIN (VALUES (25), (50), (75)) pv(p)
+             |WHERE rn = (n * p + 99) // 100 ORDER BY lang, p""".stripMargin)
+    ),
+
+    // Join-key skew diagnostic: heaviest key values with exact basis-point
+    // shares — the pre-shuffle audit for salting decisions.
+    QueryDef(
+      "q87_skew_report",
+      (s, dir) =>
+        graft.engine.SkewTools.skewReport(t(s, dir, "orders"), "o_custkey", k = 20),
+      Some("""WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+             |t AS (SELECT sum(n) AS tot FROM c)
+             |SELECT o_custkey, n, CAST(n * 10000 // tot AS BIGINT) AS share_x10000
+             |FROM c, t ORDER BY n DESC, o_custkey LIMIT 20""".stripMargin)
+    ),
+
     // Vocabulary coverage: corpus top-50 vocab (count DESC, token ASC cut),
     // per-document in-vocab vs OOV occurrence counts.
     QueryDef(

@@ -919,4 +919,35 @@ class OperatorsSpec extends SparkTestBase {
     val t = TextAnalysis.oovStats(tied, "doc_id", "text", vocabSize = 1).head()
     assert(t.getAs[Long]("in_vocab") == 1L) // exactly one of them made the cut: u
   }
+
+  test("grouped quantiles: percentile_disc semantics, exact integer ranks") {
+    // group a: 1..10 -> p25 at rank ceil(2.5)=3 -> 3; p50 rank 5 -> 5; p75 rank 8
+    // group b: {7,7,7,9} -> p25 rank 1 -> 7; p50 rank 2 -> 7; p75 rank 3 -> 7; p100 rank 4 -> 9
+    val df = ((1L to 10L).map(v => ("a", v)) ++ Seq(("b", 7L), ("b", 7L), ("b", 7L), ("b", 9L)))
+      .toDF("g", "v")
+    val r = Stats.groupedQuantiles(df, "g", "v", Seq(25, 50, 75, 100))
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r(("a", 25L)) == 3L && r(("a", 50L)) == 5L && r(("a", 75L)) == 8L && r(("a", 100L)) == 10L)
+    assert(r(("b", 25L)) == 7L && r(("b", 50L)) == 7L && r(("b", 75L)) == 7L && r(("b", 100L)) == 9L)
+    // nulls excluded, single-row group: every quantile is that row
+    val withNull = Seq(("c", Some(4L)), ("c", None)).toDF("g", "v")
+    val rn = Stats.groupedQuantiles(withNull, "g", "v", Seq(50, 100))
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(rn == Map(50L -> 4L, 100L -> 4L))
+    intercept[IllegalArgumentException](Stats.groupedQuantiles(df, "g", "v", Seq(0)))
+  }
+
+  test("skew report: exact basis-point shares, null keys counted") {
+    val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
+      Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val r = graft.engine.SkewTools.skewReport(df, "k", k = 3)
+      .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (Some("hot"), 60L, 6000L), (Some("warm"), 30L, 3000L), (Some("cold"), 9L, 900L)))
+    // a null-heavy key surfaces in the report rather than vanishing
+    val r2 = graft.engine.SkewTools.skewReport(df.filter(col("k").isNull || col("k") === "cold"), "k", 2)
+      .collect().map(x => (Option(x.getString(0)), x.getLong(1)))
+    assert(r2.contains((None, 1L)))
+  }
 }
