@@ -110,10 +110,14 @@ object Sampling {
     val two32 = BigInt(1) << 32
     // compare domains as STRINGS on both sides: an int-coded domain column
     // would otherwise ClassCastException on getString; casting the group key
-    // and the filter comparison identically keeps weight lookup consistent
+    // and the filter comparison identically keeps weight lookup consistent.
+    // NULL domains are excluded from the counts — they can never match a
+    // weight (null comparison) so they always drop, and folding them into
+    // any real domain's count would deflate that domain's keep-rate.
     val domainStr = col(domainCol).cast("string")
-    val counts = df.groupBy(domainStr.as("__d")).agg(count(lit(1)).as("n"))
-      .collect().map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+    val counts = df.filter(domainStr.isNotNull)
+      .groupBy(domainStr.as("__d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val threshold = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>
       val n = counts.getOrElse(d, 0L)
       val t = if (n == 0) BigInt(0)

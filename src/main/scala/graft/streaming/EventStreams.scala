@@ -135,8 +135,19 @@ object EventStreams {
   def binHistogram(df: DataFrame, c: String, lo: Long, width: Long, nBuckets: Int): DataFrame = {
     require(nBuckets > 0 && width > 0, "nBuckets and width must be positive")
     require(width <= Long.MaxValue / nBuckets, "range x buckets overflows long")
+    // clamp the VALUE into [lo, hi] before any arithmetic: an outlier far
+    // outside the base range would otherwise overflow (x−lo)·nBuckets —
+    // an ArithmeticException under ANSI (killing the streaming query) or a
+    // negative wrap clamped to the WRONG edge without it. After clamping,
+    // (x−lo) ∈ [0, width−1] so the product is bounded by the require above.
+    val hi =
+      try Math.addExact(lo, width - 1)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"lo=$lo width=$width overflows long; rescale the column")
+      }
     val bin = expr(
-      s"least(greatest((cast(`$c` as bigint) - ${lo}L) * $nBuckets div ${width}L, 0L), ${nBuckets - 1}L)")
+      s"(least(greatest(cast(`$c` as bigint), ${lo}L), ${hi}L) - ${lo}L) * $nBuckets div ${width}L")
     df.filter(col(c).isNotNull).groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
   }
 

@@ -64,12 +64,17 @@ object StreamingDedup {
     * instead of O(n).
     *
     * Replay hygiene: re-arrivals of the SAME doc_id are deduplicated within
-    * a batch and against the bucket's last-seen id across batches, and only
-    * ids that survive that filter consume cap slots — so duplicate stream
-    * rows cannot crowd out genuinely new candidates. An id replayed in a
-    * non-adjacent later batch (with other ids in between) still re-emits
-    * its candidate; downstream must `distinct()` candidates before
-    * clustering, exactly as the batch path does. */
+    * a batch (exact — arrivals are sorted, dups adjacent), and across
+    * batches against the keeper and the PREVIOUS batch's highest id (the
+    * common at-least-once tail-redelivery shape); ids surviving that filter
+    * are what consume cap slots. The filter compares against the previous
+    * batch's value for the whole batch — comparing against a running
+    * last-seen would let a replay sorted after a new smaller id slip
+    * through AND burn a slot. Suppression beyond that single remembered id
+    * is not attempted (it would need per-bucket id SETS — unbounded state);
+    * an id replayed from deeper history re-emits its candidate, so
+    * downstream must `distinct()` candidates before clustering, exactly as
+    * the batch path does. */
   def lshCandidates(
       docs: DataFrame, // columns: doc_id LONG, text STRING
       numHashes: Int = 8,
@@ -109,8 +114,14 @@ object StreamingDedup {
     implicit val keyEnc = Encoders.product[(Int, String)]
     implicit val rowEnc = Encoders.product[(Int, String, Long)]
     implicit val outEnc = Encoders.product[DupCandidate]
-    // state = (keep_id, distinct arrivals counted, last id seen)
-    implicit val stateEnc = Encoders.product[(Long, Long, Long)]
+    // state = (keep_id, distinct arrivals counted, previous batch's max id,
+    // whether that max is valid). seen == 0 encodes "no keeper yet" and
+    // hasPrev guards the replay filter — NO sentinel ids anywhere, so
+    // documents with doc_id == 0/Long.MinValue/MaxValue behave like any
+    // other. NOTE: this state schema is incompatible with checkpoints
+    // written by the pre-round-4 (2-long) build; restart such queries with
+    // a fresh checkpoint.
+    implicit val stateEnc = Encoders.product[(Long, Long, Long, Boolean)]
     val timeout =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -118,28 +129,29 @@ object StreamingDedup {
       .selectExpr("band_idx", "band_hash", "doc_id")
       .as[(Int, String, Long)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[(Long, Long, Long), DupCandidate](
+      .flatMapGroupsWithState[(Long, Long, Long, Boolean), DupCandidate](
         org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
-        case ((bandIdx, _), rows, state: GroupState[(Long, Long, Long)]) =>
+        case ((bandIdx, _), rows, state: GroupState[(Long, Long, Long, Boolean)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // sorted → within-batch replays are adjacent; distinct drops them
             val arrivals = rows.map(_._3).toSeq.sorted.distinct
-            var (keep, seen, lastId) =
-              state.getOption.getOrElse((Long.MaxValue, 0L, Long.MinValue))
+            var (keep, seen, prevLast, hasPrev) =
+              state.getOption.getOrElse((0L, 0L, 0L, false))
             val out = Seq.newBuilder[DupCandidate]
             arrivals.foreach { id =>
-              // replays never consume cap slots or re-emit: skip the bucket's
-              // last-seen id (cross-batch) — within-batch dups already gone
-              if (id != lastId && id != keep) {
+              if (seen == 0L) { keep = id; seen = 1L } // first distinct arrival owns the bucket
+              // cross-batch replay filter: compare against the PREVIOUS
+              // batch's max id (constant for this whole batch) and the keeper
+              else if (id != keep && !(hasPrev && id == prevLast)) {
                 seen += 1
-                lastId = id
-                if (keep == Long.MaxValue) keep = id
-                else if (seen <= maxBucketSize) // over-common bucket: stop fanning out
+                if (seen <= maxBucketSize) // over-common bucket: stop fanning out
                   out += DupCandidate(bandIdx, math.min(keep, id), math.max(keep, id))
               }
             }
-            state.update((keep, seen, lastId))
+            // sorted ⇒ last element is this batch's max
+            if (arrivals.nonEmpty) { prevLast = arrivals.last; hasPrev = true }
+            state.update((keep, seen, prevLast, hasPrev))
             idleTimeout.foreach(t => state.setTimeoutDuration(t))
             out.result().iterator
           }

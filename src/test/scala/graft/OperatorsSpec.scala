@@ -514,6 +514,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(byDom(2) - 200) < 70, s"dom2=${byDom(2)}")
   }
 
+  test("mixture rebalance: null domains drop without deflating real domains") {
+    // 300 nulls + 100 genuine empty-string rows; nulls must not fold into
+    // ""'s count (which would shrink its keep-rate ~4x)
+    val rows = (1L to 300L).map(i => (i, None: Option[String])) ++
+      (301L to 400L).map(i => (i, Some("")))
+    val out = Sampling.rebalanceToMixture(rows.toDF("id", "dom"), "dom", "id",
+      weights = Map("" -> 1), totalBudget = 80L)
+      .collect().map(_.getLong(0))
+    assert(out.forall(_ >= 301L)) // no null-domain row survives
+    // rate computed against the TRUE "" count of 100 -> ~80 kept, not ~20
+    assert(math.abs(out.length - 80) < 25, s"kept=${out.length}")
+  }
+
   test("int8 quantization: bounded range, truncation, cosine preserved") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Similarity.quantizeInt8(emb, "embedding")

@@ -209,6 +209,35 @@ class StreamingSpec extends SparkTestBase {
     assert(cands.length == cands.distinct.length)
   }
 
+  test("streaming LSH: replay sorted after a new smaller id still can't crowd out") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val boiler = "crowding scenario text shared verbatim by every document here"
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, boiler), (5L, boiler))      // keep=1, emit (1,5), prevLast=5
+    mem.addData((3L, boiler), (5L, boiler))      // 3 is NEW, 5 is a replay of prev max
+    mem.addData((7L, boiler))                    // must still fit under cap 4
+    val q = StreamingDedup.lshCandidates(
+      mem.toDF().toDF("doc_id", "text"), maxBucketSize = 4)
+      .writeStream.format("memory").queryName("lsh_crowd_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val pairs = spark.table("lsh_crowd_test")
+      .select("keep_id", "dup_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch-2 replay of 5 must not re-emit or burn the slot doc 7 needs
+    assert(pairs == Set((1L, 5L), (1L, 3L), (1L, 7L)))
+    // doc_id 0 is a legal id, not a state sentinel: it participates fully
+    val mem0 = MemoryStream[(Long, String)]
+    mem0.addData((2L, boiler), (0L, boiler))
+    val q0 = StreamingDedup.lshCandidates(mem0.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lsh_zero_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q0.awaitTermination()
+    val p0 = spark.table("lsh_zero_test")
+      .select("keep_id", "dup_id").distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p0 == Set((0L, 2L))) // 0 sorts first -> owns the bucket, pair emitted
+  }
+
   test("streaming numeric drift: fixed-edge histogram matches batch, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -235,6 +264,14 @@ class StreamingSpec extends SparkTestBase {
     val nd = graft.engine.DiffEngine.numericDrift(base, sameBatch, "v", nBuckets = 20)
       .collect().map(r => (r.getLong(0), r.getLong(2))).filter(_._2 > 0).toMap
     assert(bh == nd) // same bin arithmetic end to end
+    // an extreme outlier clamps to the edge bin instead of overflowing
+    // (x−lo)·nBuckets — under ANSI that overflow would kill the query
+    val extreme = Seq(Long.MaxValue, Long.MinValue, 5L).toDF("v")
+    val eh = EventStreams.binHistogram(extreme, "v", 0L, 20L, 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eh == Map(0L -> 1L, 5L -> 1L, 19L -> 1L))
+    intercept[IllegalArgumentException](
+      EventStreams.binHistogram(extreme, "v", Long.MaxValue - 5, 20L, 2))
   }
 
   test("sessionization closes sessions on event-time gap") {
