@@ -208,6 +208,40 @@ object TextAnalysis {
     * division anywhere. Emits the raw counts plus one boolean per rule and
     * the conjunction, so a pipeline can filter on `passes_all` or log
     * per-rule rejection rates. Pure per-row expressions — no shuffle. */
+  /** Shared rule machinery: appends the integer signal columns plus the
+    * per-rule flags and `passes_all` (token array materialized ONCE — the
+    * HOF re-evaluation trap). Used by both the report and filter forms. */
+  private def withGopherVerdicts(
+      df: DataFrame, textCol: String, stopwords: Seq[String],
+      minWords: Int, maxWords: Int, minMeanLen: Int, maxMeanLen: Int,
+      maxSymbolPct: Int, minAlphaPct: Int, minStopwordHits: Int): DataFrame =
+    df.withColumn("__t", tokens(textCol))
+      .withColumn("n_words", size(col("__t")).cast("long"))
+      .withColumn("sum_word_chars",
+        expr("aggregate(__t, cast(0 as bigint), (acc, x) -> acc + length(x))"))
+      .withColumn("n_symbol_words",
+        size(expr("filter(__t, x -> x rlike '^[#@]|\\\\.{3}$')")).cast("long"))
+      .withColumn("n_alpha_words",
+        size(expr("filter(__t, x -> x rlike '[a-zA-Z]')")).cast("long"))
+      .withColumn("n_stopword_hits",
+        size(expr(s"filter(__t, x -> array_contains(${stopArrSql(stopwords)}, x))")).cast("long"))
+      .drop("__t")
+      .withColumn("ok_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("sum_word_chars") >= col("n_words") * minMeanLen &&
+          col("sum_word_chars") <= col("n_words") * maxMeanLen)
+      .withColumn("ok_symbols", col("n_symbol_words") * 100 <= col("n_words") * maxSymbolPct)
+      .withColumn("ok_alpha", col("n_alpha_words") * 100 >= col("n_words") * minAlphaPct)
+      .withColumn("ok_stopwords", col("n_stopword_hits") >= minStopwordHits)
+      .withColumn("passes_all",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stopwords"))
+
+  private val GopherCols = Seq(
+    "n_words", "sum_word_chars", "n_symbol_words", "n_alpha_words", "n_stopword_hits",
+    "ok_word_count", "ok_mean_len", "ok_symbols", "ok_alpha", "ok_stopwords", "passes_all")
+
   def gopherQualityRules(
       df: DataFrame,
       idCol: String,
@@ -220,31 +254,30 @@ object TextAnalysis {
       maxSymbolPct: Int = 10,
       minAlphaPct: Int = 80,
       minStopwordHits: Int = 2
-  ): DataFrame = {
-    val base = df
-      .withColumn("__t", tokens(textCol))
-      .withColumn("n_words", size(col("__t")).cast("long"))
-      .withColumn("sum_word_chars",
-        expr("aggregate(__t, cast(0 as bigint), (acc, x) -> acc + length(x))"))
-      .withColumn("n_symbol_words",
-        size(expr("filter(__t, x -> x rlike '^[#@]|\\\\.{3}$')")).cast("long"))
-      .withColumn("n_alpha_words",
-        size(expr("filter(__t, x -> x rlike '[a-zA-Z]')")).cast("long"))
-      .withColumn("n_stopword_hits",
-        size(expr(s"filter(__t, x -> array_contains(${stopArrSql(stopwords)}, x))")).cast("long"))
-    base.select(
-      col(idCol), col("n_words"), col("sum_word_chars"), col("n_symbol_words"),
-      col("n_alpha_words"), col("n_stopword_hits"),
-      (col("n_words") >= minWords && col("n_words") <= maxWords).as("ok_word_count"),
-      (col("sum_word_chars") >= col("n_words") * minMeanLen &&
-        col("sum_word_chars") <= col("n_words") * maxMeanLen).as("ok_mean_len"),
-      (col("n_symbol_words") * 100 <= col("n_words") * maxSymbolPct).as("ok_symbols"),
-      (col("n_alpha_words") * 100 >= col("n_words") * minAlphaPct).as("ok_alpha"),
-      (col("n_stopword_hits") >= minStopwordHits).as("ok_stopwords"))
-      .withColumn("passes_all",
-        col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") &&
-          col("ok_alpha") && col("ok_stopwords"))
-  }
+  ): DataFrame =
+    withGopherVerdicts(df, textCol, stopwords, minWords, maxWords, minMeanLen,
+      maxMeanLen, maxSymbolPct, minAlphaPct, minStopwordHits)
+      .select((idCol +: GopherCols).map(col): _*)
+
+  /** Filter form of [[gopherQualityRules]]: keeps only passing documents,
+    * original columns intact — the quality gate stage of a curation
+    * pipeline. Same rule arithmetic (shared implementation), zero shuffle. */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String,
+      stopwords: Seq[String],
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Int = 3,
+      maxMeanLen: Int = 10,
+      maxSymbolPct: Int = 10,
+      minAlphaPct: Int = 80,
+      minStopwordHits: Int = 2
+  ): DataFrame =
+    withGopherVerdicts(df, textCol, stopwords, minWords, maxWords, minMeanLen,
+      maxMeanLen, maxSymbolPct, minAlphaPct, minStopwordHits)
+      .filter(col("passes_all"))
+      .drop(GopherCols: _*)
 
   /** Vocabulary coverage / out-of-vocabulary rate: build the corpus top-`v`
     * vocabulary (by total occurrences, ties broken token-ASC so the cut is

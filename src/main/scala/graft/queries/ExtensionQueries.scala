@@ -1158,6 +1158,47 @@ object ExtensionQueries {
               |FROM r WHERE rk <= 10 ORDER BY lang, rank_in_group""".stripMargin)
     ),
 
+    // Flagship curation pipeline: Gopher gate -> boilerplate scrub -> exact
+    // dedup on cleaned text -> sequence packing. The oracle chains the
+    // stage CTEs (q83 rules, q82 scrub, q30-style dedup, q76 packing).
+    QueryDef(
+      "q88_curate_pipeline",
+      (s, dir) =>
+        orderedOut(Pipelines.curateAndPack(t(s, dir, "documents"),
+          "doc_id", "text", stopwords, minWords = 50,
+          spanWords = 5, maxSpanDocs = 2, budget = 256), "doc_id"),
+      Some(s"""WITH t0 AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+              |m AS (SELECT doc_id, text,
+              |  CAST(len(toks) AS BIGINT) AS nw,
+              |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a,b) -> a + b) AS BIGINT) AS swc,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[#@]|\\.{3}$$'))) AS BIGINT) AS sy,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS al,
+              |  CAST(len(list_filter(toks, x -> list_contains(${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS st
+              |FROM t0),
+              |gated AS (SELECT doc_id, text FROM m
+              |  WHERE nw BETWEEN 50 AND 100000 AND swc BETWEEN nw * 3 AND nw * 10
+              |    AND sy * 100 <= nw * 10 AND al * 100 >= nw * 80 AND st >= 2),
+              |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM gated),
+              |sp AS (SELECT doc_id, unnest(range((len(w)+4)//5)) AS pos, w FROM d),
+              |fl AS (SELECT doc_id, pos, array_to_string(w[pos*5+1:pos*5+5], ' ') AS span FROM sp),
+              |ok AS (SELECT span FROM fl GROUP BY span HAVING count(DISTINCT doc_id) <= 2),
+              |clean AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_spans,
+              |            string_agg(span, ' ' ORDER BY pos) AS clean_text
+              |          FROM fl JOIN ok USING (span) GROUP BY doc_id),
+              |uniq AS (SELECT doc_id, kept_spans, clean_text FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) AS rn FROM clean)
+              |  WHERE rn = 1),
+              |tok AS (SELECT doc_id, kept_spans,
+              |          CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens FROM uniq),
+              |c AS (SELECT doc_id, kept_spans, n_tokens,
+              |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM tok)
+              |SELECT doc_id, kept_spans, n_tokens,
+              |       CAST((cum - n_tokens) // 256 AS BIGINT) AS bin_id,
+              |       CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset
+              |FROM c ORDER BY doc_id""".stripMargin)
+    ),
+
     // Exact per-language quantiles of document length — integer rank
     // arithmetic (percentile_disc semantics), engine-exact where
     // interpolated/approx percentiles are not.

@@ -933,6 +933,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(t.getAs[Long]("in_vocab") == 1L) // exactly one of them made the cut: u
   }
 
+  test("curation pipeline: scrub-then-dedup catches boilerplate-differing copies") {
+    val stop = Seq("the", "a", "of")
+    // unique 50-word bodies (stopwords inside, so they survive any scrub
+    // alignment); 5-word banners aligned to the FIRST span
+    def ubody(p: String) = "the a " + (1 to 48).map(i => s"${p}w$i").mkString(" ")
+    val bannerA = "alpha beta gamma delta epsi" // docs 1, 5, 6 -> 3 docs, scrubbed
+    val bannerB = "zeta eta theta iota kappa"   // docs 2, 7, 8 -> 3 docs, scrubbed
+    val sharedX = ubody("x")                    // docs 1, 2 only -> survives
+    val df = Seq(
+      (1L, s"$bannerA $sharedX"),
+      (2L, s"$bannerB $sharedX"), // differs from doc 1 ONLY in boilerplate
+      (5L, s"$bannerA ${ubody("e")}"),
+      (6L, s"$bannerA ${ubody("f")}"),
+      (7L, s"$bannerB ${ubody("g")}"),
+      (8L, s"$bannerB ${ubody("h")}")
+    ).toDF("doc_id", "text")
+    val r = Pipelines.curateAndPack(df, "doc_id", "text", stop,
+      minWords = 50, spanWords = 5, maxSpanDocs = 2, budget = 64)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("kept_spans"), x.getAs[Long]("n_tokens"),
+          x.getAs[Long]("bin_id"), x.getAs[Long]("bin_offset")))).toMap
+    // raw docs 1 and 2 are NOT byte-identical, but after their banners are
+    // scrubbed both reduce to sharedX -> dedup keeps only the min id
+    assert(r.contains(1L) && !r.contains(2L), s"got ${r.keySet}")
+    assert(r(1L)._1 == 10L && r(1L)._2 == 50L) // 10 surviving spans, 50 tokens
+    assert(Set(5L, 6L, 7L, 8L).subsetOf(r.keySet)) // unique bodies survive
+    // packing is contiguous over survivors in id order at budget 64:
+    // starts 0, 50, 100, 150, 200 -> bins 0,0,1,2,3 offsets 0,50,36,22,8
+    assert(r(1L)._3 == 0L && r(1L)._4 == 0L)
+    assert(r(5L)._3 == 0L && r(5L)._4 == 50L)
+    assert(r(6L)._3 == 1L && r(6L)._4 == 36L)
+    assert(r(7L)._3 == 2L && r(7L)._4 == 22L)
+    assert(r(8L)._3 == 3L && r(8L)._4 == 8L)
+  }
+
   test("grouped quantiles: percentile_disc semantics, exact integer ranks") {
     // group a: 1..10 -> p25 at rank ceil(2.5)=3 -> 3; p50 rank 5 -> 5; p75 rank 8
     // group b: {7,7,7,9} -> p25 rank 1 -> 7; p50 rank 2 -> 7; p75 rank 3 -> 7; p100 rank 4 -> 9
