@@ -307,6 +307,23 @@ object TextAnalysis {
           .otherwise(expr("oov * 10000 div n_tokens").cast("long")))
   }
 
+  /** Approximate corpus-wide top tokens via the Misra–Gries sketch
+    * ([[graft.functions.HeavyHitters]]): bounded memory per partition,
+    * map-side partial merge — never shuffles the token dictionary. Returns
+    * (token, min_count) with min_count a certified LOWER bound; every token
+    * with true frequency > n/(capacity+1) is guaranteed present. The scale
+    * path for token-frequency audits; the exact gate twin is q63's
+    * window-ranked form. */
+  def topTokensApprox(df: DataFrame, textCol: String, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(tokens(textCol)).as("token")).as[String]
+      .select(graft.functions.HeavyHitters.sketch(capacity).toColumn) // typed select: one Seq[Hitter] row
+      .toDF("hitters")
+      .select(explode(col("hitters")).as("h"))
+      .select(col("h.item").as("token"), col("h.min_count"))
+  }
+
   /** Fixed-size overlapping text chunks — the context-window chunking a
     * training/RAG pipeline applies before embedding or packing. Chunk `i`
     * starts at character `i·(chunkSize − overlap)`; chunks cover every

@@ -985,6 +985,41 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Stats.groupedQuantiles(df, "g", "v", Seq(0)))
   }
 
+  test("misra-gries heavy hitters: guaranteed presence and certified lower bounds") {
+    import graft.functions.HeavyHitters
+    // skewed corpus: "hot" 400x, "warm" 150x, "cool" 60x, 390 singletons
+    // n = 1000; capacity 9 -> error bound n/(cap+1) = 100
+    val words = Seq.fill(400)("hot") ++ Seq.fill(150)("warm") ++ Seq.fill(60)("cool") ++
+      (1 to 390).map(i => s"rare$i")
+    val docs = new scala.util.Random(7).shuffle(words).grouped(25)
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    val df = docs.toDF("doc_id", "text").repartition(8)
+    val got = TextAnalysis.topTokensApprox(df, "text", capacity = 9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 1000L; val bound = n / 10
+    // every token above the bound is present
+    assert(got.contains("hot") && got.contains("warm"))
+    // counts are certified lower bounds within the error bound
+    for ((tok, true_) <- Seq("hot" -> 400L, "warm" -> 150L) ) {
+      assert(got(tok) <= true_, s"$tok overcounted: ${got(tok)}")
+      assert(got(tok) >= true_ - bound, s"$tok bound violated: ${got(tok)}")
+    }
+    // no counter can exceed its true frequency (spot-check the tail too)
+    got.foreach { case (tok, c) =>
+      val truth = words.count(_ == tok).toLong
+      assert(c <= truth, s"$tok: sketch $c > true $truth")
+    }
+    // the pure merge preserves the invariant on adversarial splits
+    val a = Seq("x", "x", "x", "y").foldLeft(Map.empty[String, Long])(HeavyHitters.offer(_, _, 2))
+    val b = Seq("z", "z", "y", "w").foldLeft(Map.empty[String, Long])(HeavyHitters.offer(_, _, 2))
+    val m = HeavyHitters.combine(a, b, 2)
+    assert(m.size <= 2)
+    m.foreach { case (k, c) =>
+      val truth = Seq("x", "x", "x", "y", "z", "z", "y", "w").count(_ == k).toLong
+      assert(c <= truth)
+    }
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
