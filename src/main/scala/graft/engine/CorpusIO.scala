@@ -51,10 +51,14 @@ object CorpusIO {
       parsed.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line")))
   }
 
-  /** Write JSONL sharded into `shards` files by RANGE of `orderCol` — the
-    * export format downstream tokenizer/training jobs consume. Range (not
-    * hash) sharding keeps each shard a contiguous id interval, so a
-    * consumer can map shard → id range without reading the others. */
+  /** Write JSONL sharded into AT MOST `shards` files by RANGE of
+    * `orderCol` — the export format downstream tokenizer/training jobs
+    * consume. Range (not hash) sharding keeps each shard a contiguous id
+    * interval, so a consumer can map shard → id range without reading the
+    * others. The range partitioner samples its bounds, so low-cardinality
+    * or skewed order columns can leave some ranges empty and produce fewer
+    * files — consumers must enumerate the directory, not assume exactly
+    * `shards` entries. */
   def writeJsonl(df: DataFrame, path: String, orderCol: String, shards: Int): Unit = {
     require(shards > 0, "shards must be positive")
     df.repartitionByRange(shards, col(orderCol))

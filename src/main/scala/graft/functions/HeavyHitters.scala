@@ -35,11 +35,13 @@ object HeavyHitters {
       case Some(c) => m.updated(x, c + 1)
       case None if m.size < capacity => m.updated(x, 1L)
       case None =>
-        // decrement all by the minimum count (amortized MG step: equivalent
-        // to min repetitions of the classic decrement-all-by-1), drop zeros;
-        // the new item absorbs the same decrement so it does not enter
-        val dec = m.values.min
-        m.flatMap { case (k, c) => if (c > dec) Some(k -> (c - dec)) else None }
+        // classic MG step: ONE unrecorded arrival pays for exactly ONE
+        // decrement of every counter (the arriving item is consumed by its
+        // own decrement and does not enter). Decrementing by more than 1
+        // per arrival — e.g. by the buffer minimum — would charge one
+        // arrival several decrements and break the n/(capacity+1) bound
+        // (capacity 2, stream a,a,a,b,b,b,c would wipe the whole buffer).
+        m.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
     }
 
   /** Mergeable-summaries combine: sum counters, then subtract the

@@ -42,8 +42,11 @@ object Pipelines {
     val gated = TextAnalysis.gopherFilter(df, textCol, stopwords, minWords = minWords)
     val scrubbed = Dedup.removeBoilerplateSpans(gated, idCol, textCol, spanWords, maxSpanDocs)
     // min-id winner per cleaned text (exactByContent semantics, but keeping
-    // the row itself rather than the group summary)
-    val w = Window.partitionBy(col("clean_text")).orderBy(col(idCol))
+    // the row itself rather than the group summary). Partition on the md5,
+    // not the raw document string — the exchange and sort comparators then
+    // work on 32 hex chars instead of multi-KB texts (same md5-equivalence
+    // contract exactByContent already accepts)
+    val w = Window.partitionBy(md5(col("clean_text"))).orderBy(col(idCol))
     val unique = scrubbed
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -261,7 +261,10 @@ object TextAnalysis {
 
   /** Filter form of [[gopherQualityRules]]: keeps only passing documents,
     * original columns intact — the quality gate stage of a curation
-    * pipeline. Same rule arithmetic (shared implementation), zero shuffle. */
+    * pipeline. Same rule arithmetic (shared implementation), zero shuffle.
+    * The rule machinery claims the 11 gopher column names internally, so
+    * input frames must not already carry them (checked — silently
+    * overwriting and then dropping a caller's `n_words` would lose data). */
   def gopherFilter(
       df: DataFrame,
       textCol: String,
@@ -273,11 +276,15 @@ object TextAnalysis {
       maxSymbolPct: Int = 10,
       minAlphaPct: Int = 80,
       minStopwordHits: Int = 2
-  ): DataFrame =
+  ): DataFrame = {
+    val clash = df.columns.toSet.intersect(GopherCols.toSet)
+    require(clash.isEmpty,
+      s"gopherFilter reserves columns ${clash.mkString(", ")} — rename them on the input frame")
     withGopherVerdicts(df, textCol, stopwords, minWords, maxWords, minMeanLen,
       maxMeanLen, maxSymbolPct, minAlphaPct, minStopwordHits)
       .filter(col("passes_all"))
       .drop(GopherCols: _*)
+  }
 
   /** Vocabulary coverage / out-of-vocabulary rate: build the corpus top-`v`
     * vocabulary (by total occurrences, ties broken token-ASC so the cut is

@@ -1052,6 +1052,13 @@ class OperatorsSpec extends SparkTestBase {
       val truth = Seq("x", "x", "x", "y", "z", "z", "y", "w").count(_ == k).toLong
       assert(c <= truth)
     }
+    // classic-MG eviction pays ONE decrement per arrival: the token-sorted
+    // stream a,a,a,b,b,b,c at capacity 2 must NOT wipe the buffer (n=7,
+    // bound n/3 ≈ 2.33 — both a and b with true count 3 must survive)
+    val sorted = Seq("a", "a", "a", "b", "b", "b", "c")
+      .foldLeft(Map.empty[String, Long])(HeavyHitters.offer(_, _, 2))
+    assert(sorted.keySet == Set("a", "b"), s"buffer wiped: $sorted")
+    assert(sorted("a") >= 3L - 7L / 3 && sorted("b") >= 3L - 7L / 3)
   }
 
   test("skew report: exact basis-point shares, null keys counted") {
