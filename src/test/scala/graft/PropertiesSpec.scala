@@ -170,4 +170,82 @@ class PropertiesSpec extends SparkTestBase {
       assert(str == hashed)
     }
   }
+
+  test("property: boilerplate scrub with a permissive cap is the identity") {
+    import graft.operators.Dedup
+    val docsGen = Gen.listOfN(8, Gen.listOfN(11, Gen.choose(0, 30)))
+    forAll(docsGen) { wordLists =>
+      val docs = wordLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.map(w => s"w$w").mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      // maxDocs >= corpus size -> no span can exceed it -> full reassembly
+      val r = Dedup.removeBoilerplateSpans(df, "doc_id", "text", spanWords = 4,
+        maxDocs = docs.size.toLong)
+        .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("clean_text")).toMap
+      docs.foreach { case (id, text) =>
+        assert(r(id) == text, s"doc $id not reassembled identically")
+      }
+    }
+  }
+
+  test("property: grouped quantiles match a driver-side sorted scan") {
+    import graft.operators.Stats
+    val gen = Gen.listOfN(40, for {
+      g <- Gen.oneOf("a", "b", "c"); v <- Gen.choose(-50L, 50L)
+    } yield (g, v))
+    forAll(gen) { rows =>
+      val r = Stats.groupedQuantiles(rows.toDF("g", "v"), "g", "v", Seq(10, 50, 90, 100))
+        .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        Seq(10, 50, 90, 100).foreach { p =>
+          val want = sorted((sorted.size * p + 99) / 100 - 1)
+          assert(r((g, p.toLong)) == want, s"group $g p$p")
+        }
+      }
+      // p100 is the max; quantiles are monotone in p
+      rows.groupBy(_._1).keys.foreach { g =>
+        assert(r((g, 100L)) == rows.filter(_._1 == g).map(_._2).max)
+        assert(Seq(10L, 50L, 90L, 100L).map(p => r((g, p))).sliding(2).forall(s => s(0) <= s(1)))
+      }
+    }
+  }
+
+  test("property: topKPerGroup output is a subset with at most k rows per group") {
+    import graft.operators.Sampling
+    val gen = Gen.listOfN(30, for {
+      g <- Gen.oneOf("x", "y"); q <- Gen.choose(0, 9)
+    } yield (g, q))
+    forAll(gen) { raw =>
+      val rows = raw.zipWithIndex.map { case ((g, q), i) => (i.toLong, g, q) }
+      val df = rows.toDF("id", "g", "q")
+      val out = Sampling.topKPerGroup(df, "g", k = 4, order = Seq(col("q").desc, col("id").asc))
+        .collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2)))
+      val byG = out.groupBy(_._2)
+      byG.foreach { case (_, g) => assert(g.length <= 4) }
+      assert(out.map(o => (o._1, o._2, o._3)).toSet.subsetOf(rows.toSet))
+      // the cut is the true top by (q desc, id asc)
+      rows.groupBy(_._2).foreach { case (g, grp) =>
+        val want = grp.sortBy(t => (-t._3, t._1)).take(4).map(_._1).toSet
+        assert(byG.get(g).map(_.map(_._1).toSet).getOrElse(Set.empty) == want)
+      }
+    }
+  }
+
+  test("property: misra-gries never overcounts and keeps every heavy item") {
+    import graft.functions.HeavyHitters
+    val gen = Gen.listOfN(200, Gen.choose(0, 15))
+    forAll(gen) { raw =>
+      val items = raw.map(i => if (i < 4) "hot" + i else "cold" + i) // skew mass onto 4 items
+      val cap = 7
+      val sketch = items.foldLeft(Map.empty[String, Long])(HeavyHitters.offer(_, _, cap))
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      sketch.foreach { case (k, c) => assert(c <= truth(k), s"$k overcounted") }
+      val bound = items.size.toLong / (cap + 1)
+      truth.filter(_._2 > bound).keys.foreach { k =>
+        assert(sketch.contains(k), s"heavy item $k missing (bound $bound)")
+        assert(sketch(k) >= truth(k) - bound, s"$k below certified bound")
+      }
+    }
+  }
 }
