@@ -261,6 +261,54 @@ object Dedup {
       .filter(col("cos_sim") * 100 >= minCosineX100)
   }
 
+  /** SemDedup-style semantic dedup: block by COARSE CLUSTER (nearest of
+    * `nlist` centroids by cosine, deterministic tie-break) and verify with
+    * exact cosine inside each cell — the published cluster-then-prune
+    * recipe, complementing [[embeddingNearDupPairs]]'s hyperplane buckets.
+    * Clustering concentrates semantically-close vectors into one block, so
+    * at equal candidate budget it catches near-dups that straddle a
+    * hyperplane sign boundary.
+    *
+    * Centroids here are the first `nlist` vectors in id order (the
+    * deterministic coarse quantizer [[Similarity.ivfTopK]] uses at
+    * `kmeansIters = 0`); pass the Lloyd-refined table through
+    * [[Similarity.refineCentroids]] when quality matters more than oracle
+    * replicability. Assignment is one broadcast of `nlist` rows — the big
+    * side never shuffles until the in-cell pair join, and `maxCellSize`
+    * bounds that join exactly like the LSH band cap. */
+  def semDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      minCosineX100: Int,
+      maxCellSize: Int = 10000
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val centroids = df.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val wAsg = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("cid"))
+    val assigned = df.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("cid"),
+        graft.functions.GraftFunctions.cosineSim(col(vecCol), col("cv")).as("__c"))
+      .withColumn("__rn", row_number().over(wAsg))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+    val capped = assigned
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .filter(col("__cn") <= maxCellSize)
+      .drop("__cn")
+    val a = capped.toDF(s"a_$idCol", "a_vec", "cid")
+    val b = capped.toDF(s"b_$idCol", "b_vec", "cid")
+    a.join(b, Seq("cid"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col("cid"), col(s"a_$idCol"), col(s"b_$idCol"),
+        graft.functions.GraftFunctions.cosineSim(col("a_vec"), col("b_vec"))
+          .cast("decimal(16,12)").as("cos_sim"))
+      .filter(col("cos_sim") * 100 >= minCosineX100)
+  }
+
   /** Cross-corpus contamination detection: for every (train, eval) document
     * pair sharing at least `minShared` word `shingleK`-shingles, the shared
     * count — the benchmark-decontamination primitive (is an eval item's

@@ -194,6 +194,38 @@ object ExtensionQueries {
       }
     ),
 
+    // SemDedup: cluster-blocked semantic dedup — nearest-of-nlist-centroid
+    // cells, exact cosine verify inside each cell. Oracle recomputes the
+    // assignment (sequential-fold cosine, same tie-break) and the verify.
+    QueryDef(
+      "q89_semdedup",
+      (s, dir) =>
+        canonOut(Dedup.semDedupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nlist = 8, minCosineX100 = 35)
+          .orderBy("a_vec_id", "b_vec_id")),
+      Some {
+        def cos(x: String, y: String) =
+          s"""(list_reduce(list_transform(range(len($x)), i -> $x[i+1]::DOUBLE * $y[i+1]::DOUBLE), (p,q) -> p + q)
+             | / (sqrt(list_reduce(list_transform(range(len($x)), i -> $x[i+1]::DOUBLE * $x[i+1]::DOUBLE), (p,q) -> p + q))
+             |  * sqrt(list_reduce(list_transform(range(len($y)), i -> $y[i+1]::DOUBLE * $y[i+1]::DOUBLE), (p,q) -> p + q))))""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+           |s AS (SELECT e.vec_id, e.embedding, c.cid,
+           |        ${cos("e.embedding", "c.cv")} AS sc
+           |      FROM embeddings e CROSS JOIN c),
+           |a AS (SELECT vec_id, embedding, cid FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn FROM s)
+           |      WHERE rn = 1),
+           |ok AS (SELECT cid FROM a GROUP BY cid HAVING count(*) <= 10000),
+           |e AS (SELECT a.* FROM a JOIN ok USING (cid)),
+           |p AS (SELECT x.cid, x.vec_id AS a_vec_id, y.vec_id AS b_vec_id,
+           |        CAST(${cos("x.embedding", "y.embedding")} AS DECIMAL(16,12)) AS cs
+           |      FROM e x JOIN e y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+           |SELECT cid, a_vec_id, b_vec_id, CAST(cs AS VARCHAR) AS cos_sim FROM p
+           |WHERE cs * 100 >= 35
+           |ORDER BY a_vec_id, b_vec_id""".stripMargin
+      }
+    ),
+
     // Pairs -> clusters: transitive closure of near-dup pairs (min-label
     // propagation in Spark vs a recursive-CTE reachability oracle).
     QueryDef(

@@ -985,6 +985,36 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Stats.groupedQuantiles(df, "g", "v", Seq(0)))
   }
 
+  test("semdedup: cluster-blocked pairs are exact-cosine verified, cells capped") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.semDedupPairs(emb, "vec_id", "embedding", nlist = 4, minCosineX100 = 30)
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getDecimal(3).doubleValue()))
+    assert(pairs.nonEmpty)
+    // every reported pair really clears the threshold, and a < b ordering holds
+    pairs.foreach { case (a, b, cs) => assert(a < b && cs * 100 >= 30) }
+    // verify against brute force inside one cell: every brute-force pair
+    // above threshold whose BOTH ends landed in the same cell is reported
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i) }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val cents = vecs.keys.toSeq.sorted.take(4).map(c => c -> vecs(c))
+    def cell(v: Array[Float]): Long =
+      cents.map { case (cid, cv) => (cid, cos(v, cv)) }.maxBy { case (cid, sc) => (sc, -cid) }._1
+    val reported = pairs.map(p => (p._1, p._2)).toSet
+    for (a <- vecs.keys; b <- vecs.keys if a < b) {
+      val shouldReport = cell(vecs(a)) == cell(vecs(b)) && cos(vecs(a), vecs(b)) * 100 >= 30.0001
+      if (shouldReport) assert(reported((a, b)), s"missed in-cell pair ($a,$b)")
+    }
+    // degenerate cap: identical vectors all land in one cell; cap drops it
+    import spark.implicits._
+    val degen = (1L to 50L).map(i => (i, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Dedup.semDedupPairs(degen, "vec_id", "embedding", 2, 30, maxCellSize = 10).count() == 0)
+  }
+
   test("jsonl corpus io: schema-explicit read, corrupt quarantine, ranged shards") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_")
