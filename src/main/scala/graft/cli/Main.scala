@@ -48,13 +48,20 @@ object Main {
       byColumn: Boolean = false,
       scopePartition: Option[String] = None,
       driftCols: Seq[String] = Nil,
-      driftNumericCols: Seq[String] = Nil)
+      driftNumericCols: Seq[String] = Nil,
+      // curate subcommand
+      budget: Long = 256,
+      spanWords: Int = 5,
+      maxSpanDocs: Long = 2,
+      minWords: Int = 50,
+      shards: Int = 1,
+      jsonlIn: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -92,6 +99,12 @@ object Main {
         case "--drift-numeric" =>
           a = a.copy(driftNumericCols =
             need("--drift-numeric").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "--budget" => a = a.copy(budget = need("--budget").toLong)
+        case "--span-words" => a = a.copy(spanWords = need("--span-words").toInt)
+        case "--max-span-docs" => a = a.copy(maxSpanDocs = need("--max-span-docs").toLong)
+        case "--min-words" => a = a.copy(minWords = need("--min-words").toInt)
+        case "--shards" => a = a.copy(shards = need("--shards").toInt)
+        case "--jsonl" => a = a.copy(jsonlIn = true)
         case "--format" =>
           val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
@@ -110,6 +123,9 @@ object Main {
         require(positional.length >= 2, "diff-tables requires <basePath> <headPath>")
         a.copy(basePath = positional(0), headPath = positional(1),
           model = if (positional.length > 2) positional(2) else "tables")
+      case "curate" =>
+        require(positional.length >= 2, "curate requires <inPath> <outPath>")
+        a.copy(basePath = positional(0), headPath = positional(1), model = "curate")
     }
   }
 
@@ -291,6 +307,46 @@ object Main {
         driftNumeric = computeNumericDrift(base, head, a.driftNumericCols, a.where))
   }
 
+  /** `curate <in> <out>`: the end-to-end corpus cleanup
+    * ([[graft.operators.Pipelines.curateAndPack]]) from the shell — quality
+    * gate, boilerplate scrub, dedup on cleaned text, sequence packing —
+    * reading parquet (or `--jsonl`) with (doc_id, text) columns and writing
+    * range-sharded JSONL plus a one-line JSON summary on stdout. */
+  def runCurate(spark: SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val df =
+      if (a.jsonlIn) {
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val (clean, corrupt) =
+          graft.engine.CorpusIO.partitionCorrupt(
+            graft.engine.CorpusIO.readJsonl(spark, a.basePath, schema))
+        val nBad = corrupt.count()
+        if (nBad > 0)
+          Console.err.println(s"WARNING: $nBad malformed JSONL lines quarantined (dropped)")
+        clean
+      } else spark.read.parquet(a.basePath)
+    val inDocs = df.count()
+    val curated = graft.operators.Pipelines.curateAndPack(
+      df, "doc_id", "text", DefaultStopwords,
+      minWords = a.minWords, spanWords = a.spanWords,
+      maxSpanDocs = a.maxSpanDocs, budget = a.budget, keepText = true)
+      .persist()
+    try {
+      val kept = curated.count()
+      val bins =
+        if (kept == 0) 0L
+        else curated.agg(org.apache.spark.sql.functions.max("bin_id")).head().getLong(0) + 1
+      graft.engine.CorpusIO.writeJsonl(curated, a.headPath, "doc_id", a.shards)
+      println(
+        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}, "out": "${a.headPath}"}""")
+    } finally { curated.unpersist(); () }
+  }
+
+  /** Default stopword list for the curate gate (the same conservative set
+    * the query pack's quality operators use). */
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
   /** `--drift col1,col2`: exact per-value TV contributions per requested
     * column, top-50 by contribution (bounded collect — drift columns are
     * low-cardinality dimensions by contract; see DiffEngine.categoricalDrift).
@@ -339,7 +395,9 @@ object Main {
       |            [--col-stats|--no-col-stats] [--approx] [--by-column]
       |            [--scope-partition COL] [--drift col1,col2] [--drift-numeric col1,col2]
       |            [--format rich|json|markdown]
-      |       diff-tables <basePath> <headPath> [same options]""".stripMargin
+      |       diff-tables <basePath> <headPath> [same options]
+      |       curate <inPath> <outPath> [--jsonl] [--min-words N] [--span-words N]
+      |            [--max-span-docs N] [--budget N] [--shards N]""".stripMargin
 
   /** Map a profiles.yml target onto Spark session settings. The reference
     * uses conn_info to pick its warehouse connection (cli.py:110-117); this
@@ -395,6 +453,7 @@ object Main {
       spark.catalog.setCurrentDatabase(db)
     }
     try {
+      if (a.command == "curate") { runCurate(spark, a); return }
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a)
         case _ => runDiff(spark, a)

@@ -37,7 +37,8 @@ object Pipelines {
       minWords: Int = 50,
       spanWords: Int = 5,
       maxSpanDocs: Long = 2,
-      budget: Long = 256
+      budget: Long = 256,
+      keepText: Boolean = false // true adds clean_text (the export path wants it)
   ): DataFrame = {
     val gated = TextAnalysis.gopherFilter(df, textCol, stopwords, minWords = minWords)
     val scrubbed = Dedup.removeBoilerplateSpans(gated, idCol, textCol, spanWords, maxSpanDocs)
@@ -55,8 +56,9 @@ object Pipelines {
     // plain split size, no regex needed
     val counted = unique.withColumn("n_tokens",
       size(split(col("clean_text"), " ")).cast("long"))
-    Packing.packByTokenBudget(
-      counted.select(col(idCol), col("kept_spans"), col("n_tokens")),
-      idCol, "n_tokens", budget)
+    val carried =
+      if (keepText) counted.select(col(idCol), col("kept_spans"), col("n_tokens"), col("clean_text"))
+      else counted.select(col(idCol), col("kept_spans"), col("n_tokens"))
+    Packing.packByTokenBudget(carried, idCol, "n_tokens", budget)
   }
 }

@@ -111,6 +111,46 @@ class CliSpec extends SparkTestBase {
       .contains("drift_numeric"))
   }
 
+  test("curate subcommand: parquet in, sharded jsonl out, one-line summary") {
+    val a = Main.parseArgs(Seq("curate", "/in", "/out",
+      "--min-words", "5", "--span-words", "3", "--max-span-docs", "1",
+      "--budget", "32", "--shards", "2"))
+    assert(a.command == "curate" && a.basePath == "/in" && a.headPath == "/out")
+    assert(a.minWords == 5 && a.spanWords == 3 && a.maxSpanDocs == 1L &&
+      a.budget == 32L && a.shards == 2)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_curate_")
+    // docs: 1 and 2 differ only in their (unique) 3-word banners around a
+    // shared 12-word body -> body repeated in 2 docs > maxSpanDocs=1 ->
+    // scrubbed; both reduce to banners (3 tokens each, distinct -> both kept)
+    val body = "the a common words repeated across both documents here now ok fine"
+    val docs = Seq(
+      (1L, s"one two three $body"),
+      (2L, s"four five six $body"),
+      (3L, "the a completely standalone document with its own original words")
+    ).toDF("doc_id", "text")
+    val in = dir.resolve("in").toString
+    docs.write.mode("overwrite").parquet(in)
+    val out = dir.resolve("out").toString
+    Main.runCurate(spark, Main.parseArgs(Seq("curate", in, out,
+      "--min-words", "5", "--span-words", "3", "--max-span-docs", "1", "--budget", "8")))
+    // re-read the export: three surviving docs with clean_text + bin layout
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("clean_text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bin_id", org.apache.spark.sql.types.LongType)))
+    val back = graft.engine.CorpusIO.partitionCorrupt(
+      graft.engine.CorpusIO.readJsonl(spark, out, schema))._1
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(back.keySet == Set(1L, 2L, 3L))
+    assert(back(1L)._1 == "one two three" && back(1L)._2 == 3L)
+    assert(back(2L)._1 == "four five six")
+    assert(back(3L)._2 == 10L) // standalone doc unscathed
+    // packing: starts 0,3,6 at budget 8 -> doc3 starts in bin 0, spills
+    assert(back(1L)._3 == 0L && back(2L)._3 == 0L && back(3L)._3 == 0L)
+  }
+
   test("--scope-partition diffs only changed partitions with identical row-diff counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_scope_")
