@@ -232,6 +232,35 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed sort-merge join (first-line defense before salting)") {
+    // SURVEY §7.3 risk 7 / SkewTools scaladoc claim: AQE's skew-join split
+    // is the first line of defense. Prove it engages: one hot key carrying
+    // ~95% of rows, broadcast disabled so the join is SMJ, skew thresholds
+    // lowered to demo scale. The final adaptive plan must mark the SMJ as a
+    // skew join (partition split at runtime), with results identical to the
+    // non-adaptive join.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    val facts = ((1L to 40000L).map(i => (1L, i)) ++ (1L to 2000L).map(i => (i % 40 + 2, i)))
+      .toDF("k", "v")
+    val dims = (1L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val joined = facts.join(dims, "k")
+    // execute THIS dataset (count() would plan a separate query execution,
+    // and AQE only finalizes the plan of the query that actually ran)
+    assert(joined.collect().length == 42000)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isSkewJoin=true") || finalPlan.contains("skew=true"),
+      s"AQE did not mark the join as skewed:\n${finalPlan.take(800)}")
+  }
+
   test("property: misra-gries never overcounts and keeps every heavy item") {
     import graft.functions.HeavyHitters
     val gen = Gen.listOfN(200, Gen.choose(0, 15))
