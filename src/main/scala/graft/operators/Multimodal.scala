@@ -257,4 +257,114 @@ object Multimodal {
       .toDF(idCol, "width", "height", "n_pixels",
         "r_min", "r_max", "g_min", "g_max", "b_min", "b_max", "bright_sum")
   }
+
+  // ---- audio: RIFF/WAVE PCM16 ------------------------------------------
+
+  final case class AudioFeatures(
+      sampleRate: Int, nSamples: Long, sMin: Int, sMax: Int, absSum: Long)
+
+  /** Parse a RIFF/WAVE container and extract PCM16-mono sample features —
+    * a REAL chunk-walking parser (magic check, fmt/data chunk scan with
+    * RIFF's odd-size padding rule), the audio twin of [[decodePpm]].
+    * Returns None for anything malformed: wrong magic, truncated chunks,
+    * compressed or multi-channel or non-16-bit formats, data overrun. */
+  def decodeWav(bytes: Array[Byte]): Option[AudioFeatures] = {
+    def ascii4(p: Int): String =
+      if (p + 4 > bytes.length) "" else new String(bytes, p, 4, "US-ASCII")
+    def leU32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    def leU16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    if (bytes.length < 12 || ascii4(0) != "RIFF" || ascii4(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, channels, rate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, size)
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = ascii4(pos)
+      val size = leU32(pos + 4)
+      if (size > Int.MaxValue || pos + 8 + size > bytes.length) return None
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = Some((leU16(body), leU16(body + 2), leU32(body + 4).toInt, leU16(body + 14)))
+        case "data" => data = Some((body, size.toInt))
+        case _ => () // skip unknown chunks (LIST, cue, ...) — real files have them
+      }
+      pos = body + size.toInt + (size.toInt & 1) // RIFF pads chunks to even size
+    }
+    for {
+      (audioFormat, channels, rate, bits) <- fmt
+      (off, sz) <- data
+      if audioFormat == 1 && channels == 1 && bits == 16 && sz % 2 == 0
+    } yield {
+      var i = off; val end = off + sz
+      var mn = Int.MaxValue; var mx = Int.MinValue; var abs = 0L
+      while (i < end) {
+        val s = ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)).toShort.toInt
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        abs += math.abs(s.toLong)
+        i += 2
+      }
+      val n = sz / 2
+      if (n == 0) AudioFeatures(rate, 0L, 0, 0, 0L)
+      else AudioFeatures(rate, n.toLong, mn, mx, abs)
+    }
+  }
+
+  /** Synthesize a deterministic PCM16-mono WAV payload from text: sample j
+    * is `((cp_j·131 + 7j) mod 2^16) − 2^15` over cycled code points — full
+    * 16-bit range, reproducible in any engine from the text alone (the
+    * audio twin of [[encodePpmFromText]]). */
+  def encodeWavFromText(text: String, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
+    val dataSize = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var j = 0
+    while (j < nSamples) {
+      val cp = if (cps.isEmpty) 0 else cps(j % cps.length) % 256
+      out.putShort((((cp * 131 + 7 * j) % 65536) - 32768).toShort)
+      j += 1
+    }
+    out.array()
+  }
+
+  /** Attach a synthesized WAV payload column (see [[encodeWavFromText]]). */
+  def withWavPayload(df: DataFrame, idCol: String, textCol: String,
+      nSamples: Int, sampleRate: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, encodeWavFromText(text, nSamples, sampleRate)) }
+      .toDF(idCol, "payload")
+  }
+
+  /** Decode WAV payloads into per-clip features — same shuffle-free
+    * `mapPartitions` shape as [[ppmFeatures]]; malformed payloads become
+    * null feature rows. */
+  def wavFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Some(f) =>
+            (id, Option(f.sampleRate), Option(f.nSamples),
+              Option(f.sMin), Option(f.sMax), Option(f.absSum))
+          case None => (id, None: Option[Int], None: Option[Long],
+            None: Option[Int], None: Option[Int], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "sample_rate", "n_samples", "s_min", "s_max", "abs_sum")
+  }
 }

@@ -866,6 +866,26 @@ object ExtensionQueries {
     ),
 
     QueryDef(
+      "q90_mm_wav_decode",
+      // REAL audio decode: RIFF/WAVE chunk-walking parser over PCM16-mono
+      // payloads synthesized deterministically from text (audio twin of
+      // q57) — sample stats the oracle re-derives from the generator math.
+      (s, dir) => {
+        val withPayload = Multimodal.withWavPayload(
+          t(s, dir, "documents"), "doc_id", "text", nSamples = 256, sampleRate = 8000)
+        Multimodal.wavFeatures(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some("""WITH smp AS (SELECT doc_id,
+             |  list_transform(range(256),
+             |    j -> ((ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) * 131 + 7*j) % 65536 - 32768) AS s
+             |  FROM documents)
+             |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(256 AS BIGINT) AS n_samples,
+             |       CAST(list_min(s) AS INT) AS s_min, CAST(list_max(s) AS INT) AS s_max,
+             |       CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS abs_sum
+             |FROM smp ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
       "q47_mm_image_stats",
       // REAL per-image feature extraction over decoded pixels: channel
       // min/max + total brightness on a 12×4 payload (different dims than

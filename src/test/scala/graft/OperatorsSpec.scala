@@ -985,6 +985,41 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Stats.groupedQuantiles(df, "g", "v", Seq(0)))
   }
 
+  test("wav decode: real RIFF parser — golden values, unknown chunks, corrupt payloads") {
+    import Multimodal._
+    // golden: text "AB" (cps 65,66), 4 samples at 8000 Hz
+    // s_j = ((cp_j*131 + 7j) % 65536) - 32768; cps cycle A,B,A,B
+    val want = Seq(0, 1, 2, 3).map { j =>
+      val cp = if (j % 2 == 0) 65 else 66
+      ((cp * 131 + 7 * j) % 65536) - 32768
+    }
+    val f = decodeWav(encodeWavFromText("AB", 4, 8000)).get
+    assert(f.sampleRate == 8000 && f.nSamples == 4L)
+    assert(f.sMin == want.min && f.sMax == want.max)
+    assert(f.absSum == want.map(x => math.abs(x.toLong)).sum)
+    // a LIST chunk (odd-size, exercising RIFF padding) before data must skip
+    val base = encodeWavFromText("AB", 4, 8000)
+    val extra = java.nio.ByteBuffer.allocate(base.length + 8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 12) // RIFF header
+    extra.put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0)) // odd size + pad
+    extra.put(base, 12, base.length - 12)
+    val withList = extra.array()
+    assert(decodeWav(withList).contains(f)) // identical features through the skip
+    // corrupt payloads -> None, never a throw
+    assert(decodeWav(Array[Byte]()).isEmpty)
+    assert(decodeWav("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+    assert(decodeWav(base.take(30).toArray).isEmpty) // truncated inside fmt
+    val stereo = base.clone(); stereo(22) = 2 // channels=2 -> rejected (contract is mono)
+    assert(decodeWav(stereo).isEmpty)
+    // null rows flow through the frame path for malformed payloads
+    import spark.implicits._
+    val frames = Seq((1L, base), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val rows = wavFeatures(frames, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L) && rows(2L))
+  }
+
   test("semdedup: cluster-blocked pairs are exact-cosine verified, cells capped") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Dedup.semDedupPairs(emb, "vec_id", "embedding", nlist = 4, minCosineX100 = 30)
