@@ -314,13 +314,17 @@ object Main {
     * range-sharded JSONL plus a one-line JSON summary on stdout. */
   def runCurate(spark: SparkSession, a: Args): Unit = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // parsed is the cached JSONL frame (partitionCorrupt's contract) — it
+    // must be released once the pipeline has materialized, or it pins
+    // block-manager memory through the heaviest stages
+    var parsed: Option[DataFrame] = None
     val df =
       if (a.jsonlIn) {
         val schema = StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType)))
-        val (clean, corrupt) =
-          graft.engine.CorpusIO.partitionCorrupt(
-            graft.engine.CorpusIO.readJsonl(spark, a.basePath, schema))
+        val raw = graft.engine.CorpusIO.readJsonl(spark, a.basePath, schema)
+        val (clean, corrupt) = graft.engine.CorpusIO.partitionCorrupt(raw)
+        parsed = Some(raw)
         val nBad = corrupt.count()
         if (nBad > 0)
           Console.err.println(s"WARNING: $nBad malformed JSONL lines quarantined (dropped)")
@@ -328,24 +332,27 @@ object Main {
       } else spark.read.parquet(a.basePath)
     val inDocs = df.count()
     val curated = graft.operators.Pipelines.curateAndPack(
-      df, "doc_id", "text", DefaultStopwords,
+      df, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,
       minWords = a.minWords, spanWords = a.spanWords,
       maxSpanDocs = a.maxSpanDocs, budget = a.budget, keepText = true)
       .persist()
     try {
-      val kept = curated.count()
+      val kept = curated.count() // materializes curated; the parse cache is now droppable
+      parsed.foreach(_.unpersist())
       val bins =
         if (kept == 0) 0L
         else curated.agg(org.apache.spark.sql.functions.max("bin_id")).head().getLong(0) + 1
       graft.engine.CorpusIO.writeJsonl(curated, a.headPath, "doc_id", a.shards)
+      def jstr(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
       println(
-        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}, "out": "${a.headPath}"}""")
+        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}, "out": ${jstr(a.headPath)}}""")
     } finally { curated.unpersist(); () }
   }
-
-  /** Default stopword list for the curate gate (the same conservative set
-    * the query pack's quality operators use). */
-  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
   /** `--drift col1,col2`: exact per-value TV contributions per requested
     * column, top-50 by contribution (bounded collect — drift columns are

@@ -273,9 +273,10 @@ object Dedup {
     * deterministic coarse quantizer [[Similarity.ivfTopK]] uses at
     * `kmeansIters = 0`); pass the Lloyd-refined table through
     * [[Similarity.refineCentroids]] when quality matters more than oracle
-    * replicability. Assignment is one broadcast of `nlist` rows — the big
-    * side never shuffles until the in-cell pair join, and `maxCellSize`
-    * bounds that join exactly like the LSH band cap. */
+    * replicability. Assignment is [[Similarity.assignToCentroids]]'s
+    * per-row expression argmax — the big side genuinely does not shuffle
+    * until the in-cell pair join, and `maxCellSize` bounds that join
+    * exactly like the LSH band cap. */
   def semDedupPairs(
       df: DataFrame,
       idCol: String,
@@ -286,14 +287,12 @@ object Dedup {
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val centroids = df.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val wAsg = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("cid"))
-    val assigned = df.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol), col("cid"),
-        graft.functions.GraftFunctions.cosineSim(col(vecCol), col("cv")).as("__c"))
-      .withColumn("__rn", row_number().over(wAsg))
-      .filter(col("__rn") === 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centSeq = df.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .collect().toSeq
+    val assigned = Similarity.assignToCentroids(df, vecCol, centSeq)
       .select(col(idCol), col(vecCol), col("cid"))
     val capped = assigned
       .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("cid"))))

@@ -275,7 +275,8 @@ object Multimodal {
       (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
         ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
     def leU16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-    if (bytes.length < 12 || ascii4(0) != "RIFF" || ascii4(8) != "WAVE") return None
+    // null payloads are "malformed" too — same null-row contract as decodePpm
+    if (bytes == null || bytes.length < 12 || ascii4(0) != "RIFF" || ascii4(8) != "WAVE") return None
     var pos = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, channels, rate, bits)
     var data: Option[(Int, Int)] = None          // (offset, size)

@@ -192,6 +192,32 @@ object Similarity {
     * as the member mean. Centroids are tiny (nlist × dims), so the per-
     * iteration collect is a few KB regardless of corpus size. Empty
     * clusters keep their previous centroid. */
+  /** Append the nearest-centroid id (`cid`) by cosine — tie broken to the
+    * SMALLEST cid — as a pure per-row expression over a DRIVER-SIDE
+    * centroid table: `nlist` fused cosine loops per row, no crossJoin row
+    * multiplication, NO shuffle (codegen subexpression elimination shares
+    * the score evaluations). The single argmax convention for every
+    * cluster-assignment consumer (IVF, Lloyd refinement, SemDedup) — the
+    * winner is identical to `row_number` over `(score DESC, cid ASC)`. */
+  def assignToCentroids(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Long, Array[Float])]
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    GraftFunctions.register(df.sparkSession)
+    val sorted = centroids.sortBy(_._1)
+    val scores = sorted.map { case (_, cv) =>
+      GraftFunctions.cosineSim(col(vecCol), typedLit(cv.toSeq))
+    }
+    val m = if (scores.length == 1) scores.head else greatest(scores: _*)
+    // first (smallest) cid reaching the max wins — chained in cid order
+    val best = sorted.zip(scores).init.foldRight(lit(sorted.last._1): Column) {
+      case (((cid, _), s), acc) => when(s === m, lit(cid)).otherwise(acc)
+    }
+    df.withColumn("cid", best)
+  }
+
   def refineCentroids(
       df: DataFrame,
       idCol: String,
@@ -207,13 +233,7 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])].collect().toSeq
     var it = 0
     while (it < iters) {
-      val centDf = broadcast(centroids.toDF("cid", "cv"))
-      val wAsg = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("cid"))
-      val means = df.crossJoin(centDf)
-        .select(col(idCol), col(vecCol),
-          col("cid"), GraftFunctions.cosineSim(col(vecCol), col("cv")).as("__c"))
-        .withColumn("__rn", row_number().over(wAsg))
-        .filter(col("__rn") === 1)
+      val means = assignToCentroids(df, vecCol, centroids)
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
         .groupBy(col("cid"), col("__pos"))
         .agg(avg(col("__v")).as("__m"))
@@ -250,24 +270,17 @@ object Similarity {
       kmeansIters: Int = 0
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val centroids =
+    import spark.implicits._
+    val centSeq: Seq[(Long, Array[Float])] =
       if (kmeansIters <= 0)
         df.orderBy(col(idCol)).limit(nlist)
-          .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      else {
-        import spark.implicits._
-        refineCentroids(df, idCol, vecCol, nlist, kmeansIters).toDF("cid", "cv")
-      }
-    // nearest centroid per vector — row_number over (score desc, cid) gives a
-    // fully deterministic assignment even on exact score ties
-    val wAsg = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("cid"))
-    val assigned = df.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("cid"), GraftFunctions.cosineSim(col(vecCol), col("cv")).as("__c"))
-      .withColumn("__rn", row_number().over(wAsg))
-      .filter(col("__rn") === 1)
+          .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+          .collect().toSeq
+      else refineCentroids(df, idCol, vecCol, nlist, kmeansIters)
+    val centroids = centSeq.toDF("cid", "cv")
+    // nearest centroid per vector — shuffle-free expression argmax
+    val assigned = assignToCentroids(df, vecCol, centSeq)
       .select(col(idCol), col(vecCol), col("cid"))
     val probeVec = df.filter(col(idCol) === probeId).select(col(vecCol).as("__probe"))
     val probeLists = centroids.crossJoin(broadcast(probeVec))

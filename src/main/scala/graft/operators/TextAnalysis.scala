@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * results are engine-exact. */
 object TextAnalysis {
 
+  /** The conservative default stopword list shared by the quality operators,
+    * the query pack, and the curate CLI — one definition so the claimed
+    * CLI/query-pack parity cannot silently drift. */
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
   /** Whitespace tokens, empties dropped (split/filter semantics chosen to
     * be portable: trailing-empty behavior differs between engines, the
     * filter normalizes it away). */

@@ -21,7 +21,7 @@ object ExtensionQueries {
     "zh" -> Seq("spark", "merge", "stream")
   )
 
-  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private val stopwords = TextAnalysis.DefaultStopwords
 
   // ---- shared DuckDB SQL fragments -------------------------------------
 
