@@ -207,15 +207,20 @@ object Similarity {
     require(centroids.nonEmpty, "need at least one centroid")
     GraftFunctions.register(df.sparkSession)
     val sorted = centroids.sortBy(_._1)
-    val scores = sorted.map { case (_, cv) =>
+    // each cosine evaluates exactly ONCE: materialize the score vector as
+    // its own column, then argmax over the ATTRIBUTE — a when(s === max)
+    // chain over the raw score expressions re-evaluates every cosine per
+    // branch (no cross-reference CSE; measured 12× on the IVF family)
+    val scores = array(sorted.map { case (_, cv) =>
       GraftFunctions.cosineSim(col(vecCol), typedLit(cv.toSeq))
-    }
-    val m = if (scores.length == 1) scores.head else greatest(scores: _*)
-    // first (smallest) cid reaching the max wins — chained in cid order
-    val best = sorted.zip(scores).init.foldRight(lit(sorted.last._1): Column) {
-      case (((cid, _), s), acc) => when(s === m, lit(cid)).otherwise(acc)
-    }
-    df.withColumn("cid", best)
+    }: _*)
+    val cids = typedLit(sorted.map(_._1))
+    df.withColumn("__sa", scores)
+      // array_position finds the FIRST index holding the max — ties break
+      // to the smallest cid exactly like row_number over (score DESC, cid)
+      .withColumn("cid",
+        element_at(cids, array_position(col("__sa"), array_max(col("__sa"))).cast("int")))
+      .drop("__sa")
   }
 
   def refineCentroids(
