@@ -319,6 +319,28 @@ object TextAnalysis {
           .otherwise(expr("oov * 10000 div n_tokens").cast("long")))
   }
 
+  /** Per-source ingest quality report — the monitoring aggregate a corpus
+    * pipeline runs on every batch: document and token mass per source plus
+    * the Gopher-gate pass rate, all integer (rate in basis points). One
+    * pass, one aggregation keyed by the source column; the per-row verdict
+    * machinery is [[gopherQualityRules]]'s. */
+  def sourceQualityReport(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      minWords: Int = 50
+  ): DataFrame =
+    withGopherVerdicts(df, textCol, stopwords, minWords, 100000, 3, 10, 10, 80, 2)
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_stopword_hits")).as("total_stopword_hits"),
+        sum(when(col("passes_all"), 1L).otherwise(0L)).as("passing_docs"))
+      .withColumn("pass_x10000", expr("passing_docs * 10000 div docs"))
+      .withColumn("mean_words_x100", expr("total_words * 100 div docs"))
+
   /** Approximate corpus-wide top tokens via the Misra–Gries sketch
     * ([[graft.functions.HeavyHitters]]): bounded memory per partition,
     * map-side partial merge — never shuffles the token dictionary. Returns

@@ -1251,6 +1251,35 @@ object ExtensionQueries {
               |FROM c ORDER BY doc_id""".stripMargin)
     ),
 
+    // Per-source ingest quality report: doc/token mass + Gopher pass rate
+    // in basis points — the batch-monitoring aggregate.
+    QueryDef(
+      "q91_source_quality",
+      (s, dir) =>
+        TextAnalysis.sourceQualityReport(t(s, dir, "documents"), "source", "text",
+          stopwords, minWords = 50)
+          .orderBy("source"),
+      Some(s"""WITH t AS (SELECT source, $duckToks AS toks FROM documents),
+              |m AS (SELECT source,
+              |  CAST(len(toks) AS BIGINT) AS nw,
+              |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a,b) -> a + b) AS BIGINT) AS swc,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[#@]|\\.{3}$$'))) AS BIGINT) AS sy,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS al,
+              |  CAST(len(list_filter(toks, x -> list_contains(${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS st
+              |FROM t),
+              |v AS (SELECT source, nw, st,
+              |  CAST(nw BETWEEN 50 AND 100000 AND swc BETWEEN nw * 3 AND nw * 10
+              |       AND sy * 100 <= nw * 10 AND al * 100 >= nw * 80 AND st >= 2 AS BIGINT) AS ok
+              |FROM m)
+              |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+              |       CAST(sum(nw) AS BIGINT) AS total_words,
+              |       CAST(sum(st) AS BIGINT) AS total_stopword_hits,
+              |       CAST(sum(ok) AS BIGINT) AS passing_docs,
+              |       CAST(sum(ok) * 10000 // count(*) AS BIGINT) AS pass_x10000,
+              |       CAST(sum(nw) * 100 // count(*) AS BIGINT) AS mean_words_x100
+              |FROM v GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
     // Exact per-language quantiles of document length — integer rank
     // arithmetic (percentile_disc semantics), engine-exact where
     // interpolated/approx percentiles are not.
