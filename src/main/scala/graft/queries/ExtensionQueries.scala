@@ -1251,6 +1251,51 @@ object ExtensionQueries {
               |FROM c ORDER BY doc_id""".stripMargin)
     ),
 
+    // Frequency-of-frequencies vocabulary audit: how many distinct tokens
+    // occur exactly k times — the double aggregation that surfaces
+    // tokenizer anomalies and boilerplate mass (a heavy tail at high k).
+    QueryDef(
+      "q92_token_freq_of_freqs",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens("text")).as("token"))
+        toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+          .groupBy(col("freq")).agg(count(lit(1)).as("n_tokens"))
+          .orderBy(col("freq"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest($duckToks) AS token FROM documents),
+              |f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY token)
+              |SELECT freq, CAST(count(*) AS BIGINT) AS n_tokens
+              |FROM f GROUP BY freq ORDER BY freq""".stripMargin)
+    ),
+
+    // Dedup survivorship curve: near-dup cluster-size histogram — how much
+    // of the corpus sits in duplicate groups of each size (the "what did
+    // dedup buy us" diagnostic).
+    QueryDef(
+      "q93_cluster_size_hist",
+      (s, dir) => {
+        val clusters = Dedup.connectedComponents(
+          Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 8, bandSize = 2, shingleK = 3),
+          "a_doc_id", "b_doc_id")
+        clusters.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+              |edges AS (SELECT a_doc_id AS u, b_doc_id AS v FROM pairs
+              |          UNION SELECT b_doc_id, a_doc_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges) n(u)
+              |  UNION
+              |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+              |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+              |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY cluster)
+              |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+              |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
+    ),
+
     // Per-source ingest quality report: doc/token mass + Gopher pass rate
     // in basis points — the batch-monitoring aggregate.
     QueryDef(
