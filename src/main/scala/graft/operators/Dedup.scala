@@ -261,6 +261,29 @@ object Dedup {
       .filter(col("cos_sim") * 100 >= minCosineX100)
   }
 
+  /** Incremental ingest dedup: drop arriving documents whose content
+    * already exists in the accumulated corpus — the nightly-batch twin of
+    * [[graft.streaming.StreamingDedup.dedupExact]]. A LEFT ANTI join of
+    * the batch's content hashes against the corpus's (hash-before-join:
+    * 32-hex keys shuffle, never document bodies; with the corpus side
+    * pre-bucketed on the hash the exchange is one-sided). Also drops
+    * within-batch copies (min-id winner), so output is globally fresh. */
+  def dedupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      contentCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seen = corpus.select(md5(col(contentCol)).as("__h")).distinct()
+    val fresh = batch.withColumn("__h", md5(col(contentCol)))
+      .join(seen, Seq("__h"), "left_anti")
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
   /** SemDedup-style semantic dedup: block by COARSE CLUSTER (nearest of
     * `nlist` centroids by cosine, deterministic tie-break) and verify with
     * exact cosine inside each cell — the published cluster-then-prune

@@ -62,6 +62,19 @@ object Sampling {
     (df.filter(b < 100 - holdoutPct), df.filter(b >= 100 - holdoutPct))
   }
 
+  /** Quality-weighted deterministic sampling: keep a row with probability
+    * `weight/maxWeight`, decided by the row's key hash — the soft
+    * alternative to a hard quality cutoff (a doc scoring 80 keeps 80% of
+    * its hash buckets, a doc scoring 20 keeps 20%, verdicts stable across
+    * runs/partitionings/engines like every sampler here). `weightCol` must
+    * be integer-valued in [0, maxWeight]; out-of-range weights clamp.
+    * Pure filter — pushdown-friendly, no shuffle. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, maxWeight: Int = 100): DataFrame = {
+    require(maxWeight > 0, "maxWeight must be positive")
+    val w = least(greatest(col(weightCol).cast("long"), lit(0L)), lit(maxWeight.toLong))
+    df.filter(hash32Of(keyCol) * maxWeight < w * (BigInt(1) << 32).toLong)
+  }
+
   /** Curation top-k: keep the best `k` rows per group under an explicit
     * ordering — "the 100 highest-quality documents per language" selection
     * step of a curated dataset build. Callers pass a DETERMINISTIC ordering

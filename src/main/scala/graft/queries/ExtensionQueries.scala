@@ -1251,6 +1251,54 @@ object ExtensionQueries {
               |FROM c ORDER BY doc_id""".stripMargin)
     ),
 
+    // Incremental ingest dedup: a synthetic arriving batch (replayed
+    // corpus content under new ids + genuinely new docs + a within-batch
+    // dup) deduped against the corpus — replays and batch dups drop.
+    QueryDef(
+      "q94_dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val replay = docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val novel = docs.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text"))
+        val novelDup = docs.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text"))
+        val batch = replay.unionByName(novel).unionByName(novelDup)
+        Dedup.dedupAgainstCorpus(batch, docs, "doc_id", "text")
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT md5(text) AS h FROM documents GROUP BY 1),
+             |replay AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3),
+             |novel AS (SELECT doc_id + 2000000 AS doc_id, text || ' fresh' AS text FROM documents WHERE doc_id % 10 = 4),
+             |novel2 AS (SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text FROM documents WHERE doc_id % 10 = 4),
+             |batch AS (SELECT * FROM replay UNION ALL SELECT * FROM novel UNION ALL SELECT * FROM novel2),
+             |fresh AS (SELECT b.doc_id, md5(b.text) AS h FROM batch b
+             |          LEFT JOIN corpus c ON md5(b.text) = c.h WHERE c.h IS NULL),
+             |win AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM fresh)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, h AS content_hash
+             |FROM win WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Quality-weighted deterministic sampling: keep-probability proportional
+    // to an integer quality score, decided by the key hash — soft filtering.
+    QueryDef(
+      "q95_weighted_sample",
+      (s, dir) =>
+        Sampling.weightedSample(
+          t(s, dir, "documents").withColumn("q", (col("n_chars") % 101).cast("int")),
+          "doc_id", "q", maxWeight = 100)
+          .select(col("doc_id"), col("q"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(n_chars % 101 AS INT) AS q FROM documents
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 100
+             |      < (n_chars % 101) * 4294967296
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // Frequency-of-frequencies vocabulary audit: how many distinct tokens
     // occur exactly k times — the double aggregation that surfaces
     // tokenizer anomalies and boilerplate mass (a heavy tail at high k).

@@ -1020,6 +1020,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(!rows(1L) && rows(2L))
   }
 
+  test("incremental dedup and weighted sampling edge cases") {
+    // dedupAgainstCorpus: replayed content drops, new content survives with
+    // min-id winner among within-batch copies
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),  // replay -> drop
+      (11L, "brand new"), (12L, "brand new"), // batch dup -> keep 11 only
+      (13L, "another new")
+    ).toDF("doc_id", "text")
+    val fresh = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(fresh == Seq(11L, 13L))
+    // weightedSample: weight 0 keeps nothing, maxWeight keeps everything,
+    // out-of-range weights clamp instead of misbehaving
+    val rows = (1L to 500L).map(i => (i, (i % 150).toInt)).toDF("id", "w") // some w > 100
+    val kept = Sampling.weightedSample(rows, "id", "w", maxWeight = 100)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(kept.forall(_._2 != 0)) // zero weight never kept
+    val full = (1L to 100L).map(i => (i, 100)).toDF("id", "w")
+    assert(Sampling.weightedSample(full, "id", "w").count() == 100) // w = max -> all kept
+    val over = (1L to 100L).map(i => (i, 1000)).toDF("id", "w")
+    assert(Sampling.weightedSample(over, "id", "w").count() == 100) // clamps to max
+    val neg = (1L to 100L).map(i => (i, -5)).toDF("id", "w")
+    assert(Sampling.weightedSample(neg, "id", "w").count() == 0) // clamps to 0
+  }
+
   test("semdedup: cluster-blocked pairs are exact-cosine verified, cells capped") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Dedup.semDedupPairs(emb, "vec_id", "embedding", nlist = 4, minCosineX100 = 30)
