@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The key-hash domain size — [[hash32Of]] is uniform on [0, 2^32). */
+  private val Two32 = BigInt(1) << 32
+
   /** Engine-portable 32-bit key hash in [0, 2^32): the
     * `conv(substring(md5(key),1,8),16,10)` fold every oracle replicates as
     * `('0x'||substr(md5(key),1,8))::BIGINT`. Single source of truth for all
@@ -72,7 +75,7 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String, maxWeight: Int = 100): DataFrame = {
     require(maxWeight > 0, "maxWeight must be positive")
     val w = least(greatest(col(weightCol).cast("long"), lit(0L)), lit(maxWeight.toLong))
-    df.filter(hash32Of(keyCol) * maxWeight < w * (BigInt(1) << 32).toLong)
+    df.filter(hash32Of(keyCol) * maxWeight < w * Two32.toLong)
   }
 
   /** Curation top-k: keep the best `k` rows per group under an explicit
@@ -120,7 +123,6 @@ object Sampling {
       "weights must be non-negative with a positive sum")
     require(totalBudget > 0, "totalBudget must be positive")
     val wSum = BigInt(weights.values.sum)
-    val two32 = BigInt(1) << 32
     // compare domains as STRINGS on both sides: an int-coded domain column
     // would otherwise ClassCastException on getString; casting the group key
     // and the filter comparison identically keeps weight lookup consistent.
@@ -134,7 +136,7 @@ object Sampling {
     val threshold = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>
       val n = counts.getOrElse(d, 0L)
       val t = if (n == 0) BigInt(0)
-        else (BigInt(totalBudget) * w * two32 / (wSum * n)).min(two32)
+        else (BigInt(totalBudget) * w * Two32 / (wSum * n)).min(Two32)
       when(domainStr === d, lit(t.toLong)).otherwise(acc)
     }
     df.filter(hash32Of(keyCol) < threshold)

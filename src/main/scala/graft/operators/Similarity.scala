@@ -217,9 +217,14 @@ object Similarity {
     val cids = typedLit(sorted.map(_._1))
     df.withColumn("__sa", scores)
       // array_position finds the FIRST index holding the max — ties break
-      // to the smallest cid exactly like row_number over (score DESC, cid)
+      // to the smallest cid exactly like row_number over (score DESC, cid).
+      // Zero-norm/null vectors make every score NULL: coalesce to the
+      // smallest cid, matching desc_nulls_last + cid-asc window semantics
+      // (and keeping cid non-null for downstream getLong/equi-joins).
       .withColumn("cid",
-        element_at(cids, array_position(col("__sa"), array_max(col("__sa"))).cast("int")))
+        coalesce(
+          element_at(cids, array_position(col("__sa"), array_max(col("__sa"))).cast("int")),
+          lit(sorted.head._1)))
       .drop("__sa")
   }
 

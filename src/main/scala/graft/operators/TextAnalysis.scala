@@ -329,9 +329,16 @@ object TextAnalysis {
       sourceCol: String,
       textCol: String,
       stopwords: Seq[String],
-      minWords: Int = 50
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Int = 3,
+      maxMeanLen: Int = 10,
+      maxSymbolPct: Int = 10,
+      minAlphaPct: Int = 80,
+      minStopwordHits: Int = 2
   ): DataFrame =
-    withGopherVerdicts(df, textCol, stopwords, minWords, 100000, 3, 10, 10, 80, 2)
+    withGopherVerdicts(df, textCol, stopwords, minWords, maxWords, minMeanLen,
+      maxMeanLen, maxSymbolPct, minAlphaPct, minStopwordHits)
       .groupBy(col(sourceCol))
       .agg(
         count(lit(1)).as("docs"),

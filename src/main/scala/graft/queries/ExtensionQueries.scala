@@ -1263,9 +1263,8 @@ object ExtensionQueries {
         val novel = docs.filter(col("doc_id") % 10 === 4)
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" fresh")).as("text"))
-        val novelDup = docs.filter(col("doc_id") % 10 === 4)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            concat(col("text"), lit(" fresh")).as("text"))
+        // same text as novel, shifted ids — the within-batch duplicate
+        val novelDup = novel.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
         val batch = replay.unionByName(novel).unionByName(novelDup)
         Dedup.dedupAgainstCorpus(batch, docs, "doc_id", "text")
           .select(col("doc_id"), md5(col("text")).as("content_hash"))
