@@ -274,6 +274,35 @@ class StreamingSpec extends SparkTestBase {
       EventStreams.binHistogram(extreme, "v", Long.MaxValue - 5, 20L, 2))
   }
 
+  test("misra-gries sketch aggregates a token stream with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    // the same mergeable Aggregator runs as a streaming aggregate — state is
+    // ONE bounded counter map, the scale path for live ingest token stats
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "hot hot hot warm rare1"), (2L, "hot warm warm rare2"))
+    mem.addData((3L, "hot hot warm rare3 rare4"))
+    val toks = mem.toDF().toDF("doc_id", "text")
+      .select(explode(graft.operators.TextAnalysis.tokens("text")).as("token"))
+      .as[String]
+    val q = toks.select(graft.functions.HeavyHitters.sketch(4).toColumn)
+      .toDF("hitters")
+      .writeStream.format("memory").queryName("mg_stream_test")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("mg_stream_test")
+      .select(explode(col("hitters")).as("h"))
+      .select(col("h.item"), col("h.min_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=15, capacity 4 -> bound 3: hot (6) and warm (4) must be present,
+    // counts are certified lower bounds
+    assert(got.contains("hot") && got.contains("warm"))
+    assert(got("hot") <= 6L && got("hot") >= 3L)
+    assert(got("warm") <= 4L && got("warm") >= 1L)
+    assert(got.size <= 4) // the state never exceeds the capacity
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
