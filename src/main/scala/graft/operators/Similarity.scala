@@ -192,6 +192,27 @@ object Similarity {
     * as the member mean. Centroids are tiny (nlist × dims), so the per-
     * iteration collect is a few KB regardless of corpus size. Empty
     * clusters keep their previous centroid. */
+  /** Embedding QA: the L2 norm of each vector plus an outlier flag — the
+    * degenerate-/exploding-vector audit an embedding pipeline runs before
+    * trusting cosine math (zero-norm vectors poison similarity joins;
+    * huge norms flag upstream scaling bugs). The norm is a SEQUENTIAL
+    * index-order fold (engine-exact — the same convention as every float
+    * reduction here); bounds compare on the squared norm so the check
+    * itself stays sqrt-free. Pure per-row expressions, no shuffle. */
+  def withNormAudit(
+      df: DataFrame,
+      vecCol: String,
+      minNormX100: Int,
+      maxNormX100: Int
+  ): DataFrame = {
+    require(minNormX100 >= 0 && maxNormX100 > minNormX100, "need 0 <= min < max")
+    df.withColumn("norm_sq", expr(
+      s"aggregate($vecCol, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))"))
+      .withColumn("is_outlier",
+        (col("norm_sq") * 10000 < lit(minNormX100.toLong * minNormX100) ||
+          col("norm_sq") * 10000 > lit(maxNormX100.toLong * maxNormX100)).cast("int"))
+  }
+
   /** Append the nearest-centroid id (`cid`) by cosine — tie broken to the
     * SMALLEST cid — as a pure per-row expression over a DRIVER-SIDE
     * centroid table: `nlist` fused cosine loops per row, no crossJoin row

@@ -1251,6 +1251,26 @@ object ExtensionQueries {
               |FROM c ORDER BY doc_id""".stripMargin)
     ),
 
+    // Embedding-norm QA audit: exact sequential-fold L2 norm-squared plus a
+    // bounds flag — testdata embeddings are normalized, so the audit
+    // reports all-clear (the outlier logic is spec-covered on crafted
+    // vectors; thresholds here are the robust production band).
+    QueryDef(
+      "q96_embedding_norm_audit",
+      (s, dir) =>
+        canonOut(Similarity.withNormAudit(t(s, dir, "embeddings"), "embedding",
+          minNormX100 = 50, maxNormX100 = 200)
+          .select(col("vec_id"), col("norm_sq").cast("decimal(18,10)").as("norm_sq"),
+            col("is_outlier").cast("long").as("is_outlier"))
+          .orderBy("vec_id")),
+      Some("""WITH n AS (SELECT vec_id,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a,b) -> a + b) AS ns
+             |FROM embeddings)
+             |SELECT vec_id, CAST(CAST(ns AS DECIMAL(18,10)) AS VARCHAR) AS norm_sq,
+             |       CAST(CASE WHEN ns * 10000 < 2500 OR ns * 10000 > 40000 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+             |FROM n ORDER BY vec_id""".stripMargin)
+    ),
+
     // Incremental ingest dedup: a synthetic arriving batch (replayed
     // corpus content under new ids + genuinely new docs + a within-batch
     // dup) deduped against the corpus — replays and batch dups drop.

@@ -1020,6 +1020,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(!rows(1L) && rows(2L))
   }
 
+  test("embedding norm audit flags degenerate and exploding vectors") {
+    val df = Seq(
+      (1L, Array(0.6f, 0.8f)),   // norm 1.0 -> in band
+      (2L, Array(0f, 0f)),       // zero vector -> degenerate
+      (3L, Array(3f, 4f)),       // norm 5.0 -> exploding
+      (4L, Array(0.3f, 0.4f))    // norm 0.5 -> exactly the min bound, in band
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.withNormAudit(df, "embedding", minNormX100 = 50, maxNormX100 = 200)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getAs[Double]("norm_sq"), x.getAs[Int]("is_outlier")))).toMap
+    assert(math.abs(r(1L)._1 - 1.0) < 1e-6 && r(1L)._2 == 0)
+    assert(r(2L) == ((0.0, 1)))
+    assert(r(3L)._1 == 25.0 && r(3L)._2 == 1)
+    assert(r(4L)._2 == 0) // boundary is inclusive (strict < / > comparisons)
+    intercept[IllegalArgumentException](Similarity.withNormAudit(df, "embedding", 100, 100))
+  }
+
   test("incremental dedup and weighted sampling edge cases") {
     // dedupAgainstCorpus: replayed content drops, new content survives with
     // min-id winner among within-batch copies
