@@ -8,6 +8,7 @@ import graft.engine.{DiffEngine, SnapshotStore}
 import graft.formatters.{ConsoleFormatter, JsonFormatter, MarkdownFormatter}
 import graft.model.{DiffResult, DriftRow}
 import graft.modelrun.{DbtBuild, ModelRunner, Profiles}
+import graft.sources.JdbcSource
 
 /** CLI with the reference's flag surface (cli.py:31-111):
   *
@@ -49,6 +50,10 @@ object Main {
       scopePartition: Option[String] = None,
       driftCols: Seq[String] = Nil,
       driftNumericCols: Seq[String] = Nil,
+      // JDBC-source reads: split the warehouse scan into parallel
+      // range-bounded queries on this column
+      jdbcPartitionCol: Option[String] = None,
+      jdbcPartitions: Int = 8,
       // curate subcommand
       budget: Long = 256,
       spanWords: Int = 5,
@@ -99,6 +104,8 @@ object Main {
         case "--drift-numeric" =>
           a = a.copy(driftNumericCols =
             need("--drift-numeric").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "--jdbc-partition-col" => a = a.copy(jdbcPartitionCol = Some(need("--jdbc-partition-col")))
+        case "--jdbc-partitions" => a = a.copy(jdbcPartitions = need("--jdbc-partitions").toInt)
         case "--budget" => a = a.copy(budget = need("--budget").toLong)
         case "--span-words" => a = a.copy(spanWords = need("--span-words").toInt)
         case "--max-span-docs" => a = a.copy(maxSpanDocs = need("--max-span-docs").toLong)
@@ -182,7 +189,8 @@ object Main {
     * resolve correctly (core/manifest.py:11-65) — and read it from the
     * catalog. Falls back to the native runner with a warning when the dbt
     * executable is absent. */
-  private def buildModelAt(spark: SparkSession, worktree: String, a: Args): DataFrame =
+  private def buildModelAt(spark: SparkSession, worktree: String, a: Args,
+      jdbc: Option[Profiles.ConnInfo] = None): DataFrame =
     a.buildMode match {
       case "dbt" =>
         try {
@@ -190,6 +198,13 @@ object Main {
           val node = DbtBuild.modelNode(worktree, a.model)
           val (schema, ident) = DbtBuild.relation(node)
           log(a, s"dbt built ${node.uniqueId} -> $schema.$ident")
+          // jdbc profile: dbt just built INSIDE the live warehouse — read the
+          // built relation back over JDBC (the reference's lifecycle,
+          // diff_flow.py:107-122, with Spark as the comparison engine)
+          if (jdbc.isDefined)
+            JdbcSource.read(spark, jdbc.get, s"$schema.$ident",
+              partitionColumn = a.jdbcPartitionCol, numPartitions = a.jdbcPartitions)
+          else {
           // catalog coherence: dbt wrote wherever its PROFILE points, which
           // is not necessarily this session's warehouse — the reference gets
           // coherence for free because one conn_info drives both build and
@@ -209,6 +224,7 @@ object Main {
                   s"${spark.conf.get("spark.sql.warehouse.dir")}). The dbt profile ($prof, $tgt) " +
                   "likely targets a different warehouse/catalog than this session; point it at " +
                   "the session's warehouse or use --build-mode native.", e)
+          }
           }
         } catch {
           case e: DbtBuild.DbtUnavailable =>
@@ -234,7 +250,8 @@ object Main {
     (base.join(parts, Seq(pc), "left_semi"), head.join(parts, Seq(pc), "left_semi"))
   }
 
-  def runDiff(spark: SparkSession, a: Args): DiffResult = {
+  def runDiff(spark: SparkSession, a: Args,
+      jdbc: Option[Profiles.ConnInfo] = None): DiffResult = {
     val repoRoot = git(a.projectDir, "rev-parse", "--show-toplevel")
     val runId = SnapshotStore.sanitize(s"${a.model}_${a.baseRef}_${a.headRef}_${System.currentTimeMillis()}")
     val tmp = Files.createTempDirectory("graft_diff_").toString
@@ -251,9 +268,9 @@ object Main {
       // diff_flow.py:107-122): in dbt mode both builds materialize the SAME
       // warehouse relation, so base must be copied out before head builds
       val baseSnap = store.snapshot(
-        buildModelAt(spark, Paths.get(baseWt, projRel).toString, a), s"${a.model}__base")
+        buildModelAt(spark, Paths.get(baseWt, projRel).toString, a, jdbc), s"${a.model}__base")
       val headSnap = store.snapshot(
-        buildModelAt(spark, Paths.get(headWt, projRel).toString, a), s"${a.model}__head")
+        buildModelAt(spark, Paths.get(headWt, projRel).toString, a, jdbc), s"${a.model}__head")
       if (a.keys.nonEmpty) {
         val (bn, hn) = DiffEngine.nullKeyCounts(baseSnap, headSnap, a.keys)
         if (bn + hn > 0)
@@ -292,19 +309,62 @@ object Main {
     }
   }
 
-  def runDiffTables(spark: SparkSession, a: Args): DiffResult = {
-    def load(p: String): DataFrame =
-      if (Files.exists(Paths.get(p))) spark.read.parquet(p) else spark.table(p)
-    val (b0, h0) = (load(a.basePath), load(a.headPath))
-    val (base, head) = a.scopePartition match {
-      case Some(pc) => scopeByChangedPartitions(spark, b0, h0, pc)
-      case None => (b0, h0)
+  def runDiffTables(spark: SparkSession, a: Args,
+      jdbc: Option[Profiles.ConnInfo] = None): DiffResult = jdbc match {
+    case Some(conn) => runDiffJdbc(spark, a, conn)
+    case None =>
+      def load(p: String): DataFrame =
+        if (Files.exists(Paths.get(p))) spark.read.parquet(p) else spark.table(p)
+      val (b0, h0) = (load(a.basePath), load(a.headPath))
+      val (base, head) = a.scopePartition match {
+        case Some(pc) => scopeByChangedPartitions(spark, b0, h0, pc)
+        case None => (b0, h0)
+      }
+      DiffEngine.diff(base, head, a.keys, a.where, a.sample,
+        approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
+        model = a.model, baseRef = a.basePath, headRef = a.headPath)
+        .copy(drift = computeDrift(base, head, a.driftCols, a.where),
+          driftNumeric = computeNumericDrift(base, head, a.driftNumericCols, a.where))
+  }
+
+  /** diff-tables over a live warehouse (profiles.yml `type: postgres` /
+    * `redshift` / `jdbc`): the reference's deployment mode. Both relations
+    * are read over JDBC — `--where` pushed into the remote scan,
+    * `--jdbc-partition-col` splitting the transfer into parallel bounded
+    * queries — then snapshotted to Parquet (the CTAS-copy isolation step,
+    * adapters/postgres.py:37-44) so every comparison pass runs on an
+    * immutable columnar copy instead of re-querying the live warehouse. */
+  private def runDiffJdbc(spark: SparkSession, a: Args, conn: Profiles.ConnInfo): DiffResult = {
+    val runId = SnapshotStore.sanitize(s"${a.model}_${System.currentTimeMillis()}")
+    val tmp = Files.createTempDirectory("graft_jdbc_").toString
+    val store = new SnapshotStore(spark, tmp, runId)
+    try {
+      def snap(rel: String, side: String): DataFrame = {
+        val df = JdbcSource.read(spark, conn, rel, a.where,
+          a.jdbcPartitionCol, a.jdbcPartitions)
+        store.snapshot(df, s"${a.model}__$side")
+      }
+      val (b0, h0) = (snap(a.basePath, "base"), snap(a.headPath, "head"))
+      val (base, head) = a.scopePartition match {
+        case Some(pc) => scopeByChangedPartitions(spark, b0, h0, pc)
+        case None => (b0, h0)
+      }
+      // `--where` already constrained the JDBC scans; re-applying it to the
+      // snapshots inside diff() is a no-op on rows and keeps one code path
+      val res = DiffEngine.diff(base, head, a.keys, a.where, a.sample,
+        approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
+        model = a.model, baseRef = a.basePath, headRef = a.headPath)
+        .copy(drift = computeDrift(base, head, a.driftCols, a.where),
+          driftNumeric = computeNumericDrift(base, head, a.driftNumericCols, a.where))
+      res.copy(meta = res.meta.copy(
+        diffSchema = Some("dbt_model_diff__" + SnapshotStore.sanitize(runId)),
+        tables = Some((
+          SnapshotStore.sanitize(s"${a.model}__base"),
+          SnapshotStore.sanitize(s"${a.model}__head")))))
+    } finally {
+      if (!a.keepSnapshots) store.drop()
+      else Console.err.println(s"snapshots kept at $tmp (tables ${a.model}__base / ${a.model}__head)")
     }
-    DiffEngine.diff(base, head, a.keys, a.where, a.sample,
-      approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
-      model = a.model, baseRef = a.basePath, headRef = a.headPath)
-      .copy(drift = computeDrift(base, head, a.driftCols, a.where),
-        driftNumeric = computeNumericDrift(base, head, a.driftNumericCols, a.where))
   }
 
   /** `curate <in> <out>`: the end-to-end corpus cleanup
@@ -401,26 +461,34 @@ object Main {
       |            [--where SQL] [--sample N] [--keep-schemas] [--build-mode native|dbt]
       |            [--col-stats|--no-col-stats] [--approx] [--by-column]
       |            [--scope-partition COL] [--drift col1,col2] [--drift-numeric col1,col2]
+      |            [--jdbc-partition-col COL] [--jdbc-partitions N]
       |            [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]
+      |            (with a postgres/redshift/jdbc profile target, basePath/headPath
+      |             are warehouse relations read over JDBC)
       |       curate <inPath> <outPath> [--jsonl] [--min-words N] [--span-words N]
       |            [--max-span-docs N] [--budget N] [--shards N]""".stripMargin
 
   /** Map a profiles.yml target onto Spark session settings. The reference
     * uses conn_info to pick its warehouse connection (cli.py:110-117); this
-    * engine executes on Spark only, so a `spark`-type target CONFIGURES the
+    * engine executes on Spark, so a `spark`-type target CONFIGURES the
     * session — `host` supplies the master URL (`local[...]`/`spark://...`),
-    * `dbname`/`database` the warehouse dir, `schema` the current database —
-    * and a postgres/redshift target is a hard error, never a silent ignore.
+    * `dbname`/`database` the warehouse dir, `schema` the current database.
+    * A postgres/redshift/jdbc target configures nothing here: it is a data
+    * SOURCE (graft.sources.JdbcSource) — relations are read over JDBC,
+    * snapshotted to Parquet, and compared by this Spark session, the
+    * reference's deployment mode with the execution engine inverted.
     * Returns (master, warehouseDir, currentDatabase). */
   def sessionTarget(conn: Option[Profiles.ConnInfo]): (Option[String], Option[String], Option[String]) =
     conn match {
       case None => (None, None, None)
+      case Some(c) if JdbcSource.isJdbc(c) => (None, None, None)
       case Some(c) =>
         if (c.warehouseType != "spark")
           throw new IllegalArgumentException(
             s"unsupported execution target type '${c.warehouseType}': this engine executes on " +
-              "Spark; point --profile/--target at a profiles.yml output with `type: spark`")
+              "Spark; point --profile/--target at a profiles.yml output with `type: spark` " +
+              "(or a postgres/redshift/jdbc output to diff live warehouse relations)")
         val master = Some(c.host)
           .filter(h => h.nonEmpty && (h.startsWith("local") || h.startsWith("spark://")))
         val warehouse = Some(c.dbname).filter(_.nonEmpty)
@@ -461,9 +529,10 @@ object Main {
     }
     try {
       if (a.command == "curate") { runCurate(spark, a); return }
+      val jdbcConn = conn.filter(JdbcSource.isJdbc)
       val result = a.command match {
-        case "diff-tables" => runDiffTables(spark, a)
-        case _ => runDiff(spark, a)
+        case "diff-tables" => runDiffTables(spark, a, jdbcConn)
+        case _ => runDiff(spark, a, jdbcConn)
       }
       // mirror the null-key warning: when key tuples are not unique the
       // added/removed/changed counts and sample come from a join-multiplied

@@ -21,10 +21,16 @@ object Profiles {
       password: String,
       port: Int,
       dbname: String,
-      schema: String)
+      schema: String,
+      // JDBC-source extras (graft.sources.JdbcSource): an explicit `url:`
+      // overrides the type-derived URL; `driver:` names the JDBC driver
+      // class when the jar doesn't self-register
+      jdbcUrl: Option[String] = None,
+      driver: Option[String] = None)
 
-  /** Accepted targets: the reference's two plus our native one. */
-  val SupportedTypes: Set[String] = Set("postgres", "redshift", "spark")
+  /** Accepted targets: the reference's two (read over JDBC), our native
+    * one, and a generic `jdbc` escape hatch (explicit `url:`). */
+  val SupportedTypes: Set[String] = Set("postgres", "redshift", "spark", "jdbc")
 
   def load(
       profilesPath: String,
@@ -65,7 +71,9 @@ object Profiles {
       password = s.getOrElse("password", ""),
       port = s.get("port").map(_.toInt).getOrElse(if (tpe == "redshift") 5439 else 5432),
       dbname = s.get("dbname").orElse(s.get("database")).getOrElse(""),
-      schema = s.getOrElse("schema", "public"))
+      schema = s.getOrElse("schema", "public"),
+      jdbcUrl = s.get("url").filter(_.nonEmpty),
+      driver = s.get("driver").filter(_.nonEmpty))
   }
 
   /** Minimal indentation-based mapping parser: scalar `k: v` and nested

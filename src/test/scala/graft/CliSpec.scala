@@ -360,7 +360,7 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException](DbtBuild.modelNode(dir.toString, "missing"))
   }
 
-  test("profiles.yml spark target configures the session; postgres target is a hard error") {
+  test("profiles.yml spark target configures the session; postgres target routes to JDBC source") {
     import graft.modelrun.Profiles
     val dir = Files.createTempDirectory("graft_prof_")
     Files.writeString(dir.resolve("profiles.yml"),
@@ -381,9 +381,12 @@ class CliSpec extends SparkTestBase {
     val sparkConn = Profiles.load(dir.resolve("profiles.yml").toString, Some("graft"), Some("dev"))
     val (master, wh, db) = Main.sessionTarget(Some(sparkConn))
     assert(master.contains("local[8]") && wh.contains("/tmp/graft_wh") && db.contains("analytics"))
+    // a postgres target is a data SOURCE (read over JDBC, compared on this
+    // Spark session) — it contributes no session overrides and is no longer
+    // a hard error (JdbcSourceSpec covers the live-read path)
     val pgConn = Profiles.load(dir.resolve("profiles.yml").toString, Some("graft"), Some("prod"))
-    val e = intercept[IllegalArgumentException](Main.sessionTarget(Some(pgConn)))
-    assert(e.getMessage.contains("unsupported execution target"))
+    assert(graft.sources.JdbcSource.isJdbc(pgConn))
+    assert(Main.sessionTarget(Some(pgConn)) == ((None, None, None)))
     assert(Main.sessionTarget(None) == ((None, None, None)))
   }
 
