@@ -34,9 +34,12 @@ object Bench {
     try SparkEntry.queries("q03_rowcount")(spark, sfDir).foreach(_ => ())
     catch { case _: Throwable => () }
 
-    // SPARK_GRAFT_BENCH_REPS>1 takes the per-query minimum across
-    // repetitions — cuts JIT/GC run-to-run variance when time allows.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // SPARK_GRAFT_BENCH_REPS: every query runs this many times (default 3).
+    // Round 3 and round 4 each burned a cycle on phantom "regressions" that
+    // were host-load contamination of a single rep — with 3+ samples the
+    // reported min is stable and the spread column makes contamination
+    // visible instead of masquerading as a 6x slowdown.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).foreach(_ => ())
@@ -55,19 +58,24 @@ object Bench {
       samples(name) = times.toVector
       name -> times.min
     }
-    // top-5 most expensive queries get extra reps (3 samples total) and a
-    // p50 — round-over-round regressions on the queries that matter are
-    // attributable to the change, not to one noisy run.
-    val top5 = results.sortBy(-_._2).take(5).map(_._1)
-    top5.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      while (samples(name).length < 3) samples(name) :+= timeOnce(name, fn)
-    }
     def p50(xs: Vector[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val p50s = top5.map(n => "\"" + n + "\":" + p50(samples(n))).mkString("{", ",", "}")
+    def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // `queries` stays the driver-facing stable number (min across reps —
+    // external load only ever inflates a sample, never deflates it);
+    // `detail` carries {min, p50, spread} per query and `noisy` lists the
+    // queries whose max/min exceeded 2x, i.e. whose p50 was load-
+    // contaminated and should not be read as a regression signal.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val detail = results.map { case (k, _) =>
+      val xs = samples(k)
+      "\"" + k + "\":{\"min\":" + f(xs.min) + ",\"p50\":" + f(p50(xs)) +
+        ",\"spread\":" + f(if (xs.min > 0) xs.max / xs.min else 1.0) + "}"
+    }.mkString("{", ",", "}")
+    val noisy = results.collect {
+      case (k, _) if samples(k).min > 0 && samples(k).max / samples(k).min > 2.0 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50_top5":$p50s,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
