@@ -292,29 +292,37 @@ object Dedup {
     * at equal candidate budget it catches near-dups that straddle a
     * hyperplane sign boundary.
     *
-    * Centroids here are the first `nlist` vectors in id order (the
-    * deterministic coarse quantizer [[Similarity.ivfTopK]] uses at
-    * `kmeansIters = 0`); pass the Lloyd-refined table through
-    * [[Similarity.refineCentroids]] when quality matters more than oracle
-    * replicability. Assignment is [[Similarity.assignToCentroids]]'s
-    * per-row expression argmax — the big side genuinely does not shuffle
-    * until the in-cell pair join, and `maxCellSize` bounds that join
-    * exactly like the LSH band cap. */
+    * Centroid seeding is the `nlist` smallest-id vectors (deterministic, no
+    * RNG to ship) and `kmeansIters` Lloyd rounds refine them
+    * ([[Similarity.refineCentroids]]). **Production config is
+    * `kmeansIters >= 2`**: on a crawl-ordered corpus the first `nlist` ids
+    * all come from one source, so unrefined cells collapse onto that
+    * source's region and the rest of the space lands in one giant cell —
+    * Lloyd rounds tile the data so `maxCellSize` bounds real work instead
+    * of silently dropping the only populated cell. `kmeansIters = 0` keeps
+    * the raw seeding for replicability studies. Assignment is
+    * [[Similarity.assignToCentroids]]'s per-row expression argmax — the
+    * big side genuinely does not shuffle until the in-cell pair join, and
+    * `maxCellSize` bounds that join exactly like the LSH band cap. */
   def semDedupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int,
       minCosineX100: Int,
-      maxCellSize: Int = 10000
+      maxCellSize: Int = 10000,
+      kmeansIters: Int = 2
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    val centSeq = df.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .collect().toSeq
+    val centSeq =
+      if (kmeansIters > 0)
+        Similarity.refineCentroids(df, idCol, vecCol, nlist, kmeansIters)
+      else df.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+        .collect().toSeq
     val assigned = Similarity.assignToCentroids(df, vecCol, centSeq)
       .select(col(idCol), col(vecCol), col("cid"))
     val capped = assigned

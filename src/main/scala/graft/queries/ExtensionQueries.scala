@@ -197,11 +197,13 @@ object ExtensionQueries {
     // SemDedup: cluster-blocked semantic dedup — nearest-of-nlist-centroid
     // cells, exact cosine verify inside each cell. Oracle recomputes the
     // assignment (sequential-fold cosine, same tie-break) and the verify.
+    // kmeansIters = 0 pins the raw first-nlist seeding this oracle models;
+    // q97 gates the production Lloyd-refined config.
     QueryDef(
       "q89_semdedup",
       (s, dir) =>
         canonOut(Dedup.semDedupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          nlist = 8, minCosineX100 = 35)
+          nlist = 8, minCosineX100 = 35, kmeansIters = 0)
           .orderBy("a_vec_id", "b_vec_id")),
       Some {
         def cos(x: String, y: String) =
@@ -1437,6 +1439,51 @@ object ExtensionQueries {
               |       CAST(count(*) - sum(iv) AS BIGINT) AS oov,
               |       CAST((count(*) - sum(iv)) * 10000 // count(*) AS BIGINT) AS oov_pct_x100
               |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // SemDedup PRODUCTION config: Lloyd-refined centroids (kmeansIters = 2,
+    // the default) instead of q89's raw first-nlist seeding. The oracle
+    // replays both Lloyd rounds exactly — argmax-cosine assignment with the
+    // deterministic cid tie-break, per-dim member mean CAST TO REAL (float
+    // rounding absorbs double sum-order drift, same scheme as q74) — then
+    // the in-cell pair verify.
+    QueryDef(
+      "q97_semdedup_refined",
+      (s, dir) =>
+        canonOut(Dedup.semDedupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nlist = 8, minCosineX100 = 35, kmeansIters = 2)
+          .orderBy("a_vec_id", "b_vec_id")),
+      Some {
+        def cos(x: String, y: String) =
+          s"""(list_reduce(list_transform(range(len($x)), i -> $x[i+1]::DOUBLE * $y[i+1]::DOUBLE), (p,q) -> p + q)
+             | / (sqrt(list_reduce(list_transform(range(len($x)), i -> $x[i+1]::DOUBLE * $x[i+1]::DOUBLE), (p,q) -> p + q))
+             |  * sqrt(list_reduce(list_transform(range(len($y)), i -> $y[i+1]::DOUBLE * $y[i+1]::DOUBLE), (p,q) -> p + q))))""".stripMargin
+        def assign(cent: String, out: String) =
+          s"""$out AS (SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN $cent c)
+             |  WHERE rn = 1)""".stripMargin
+        def lloyd(asg: String, prev: String, out: String, m: String, n: String) =
+          s"""$m AS (SELECT cid, i, CAST(avg(embedding[i+1]::DOUBLE) AS REAL) AS mv
+             |  FROM $asg, (SELECT unnest(range(64)) AS i) ix GROUP BY cid, i),
+             |$n AS (SELECT cid, list(mv ORDER BY i) AS cv FROM $m GROUP BY cid),
+             |$out AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM $prev c LEFT JOIN $n n USING (cid))""".stripMargin
+        s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+           |${assign("cent0", "asg0")},
+           |${lloyd("asg0", "cent0", "cent1", "m1", "n1")},
+           |${assign("cent1", "asg1")},
+           |${lloyd("asg1", "cent1", "cent2", "m2", "n2")},
+           |${assign("cent2", "a")},
+           |ok AS (SELECT cid FROM a GROUP BY cid HAVING count(*) <= 10000),
+           |e AS (SELECT a.* FROM a JOIN ok USING (cid)),
+           |p AS (SELECT x.cid, x.vec_id AS a_vec_id, y.vec_id AS b_vec_id,
+           |        CAST(${cos("x.embedding", "y.embedding")} AS DECIMAL(16,12)) AS cs
+           |      FROM e x JOIN e y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+           |SELECT cid, a_vec_id, b_vec_id, CAST(cs AS VARCHAR) AS cos_sim FROM p
+           |WHERE cs * 100 >= 35
+           |ORDER BY a_vec_id, b_vec_id""".stripMargin
+      }
     )
   )
 }

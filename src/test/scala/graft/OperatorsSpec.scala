@@ -1065,7 +1065,11 @@ class OperatorsSpec extends SparkTestBase {
 
   test("semdedup: cluster-blocked pairs are exact-cosine verified, cells capped") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val pairs = Dedup.semDedupPairs(emb, "vec_id", "embedding", nlist = 4, minCosineX100 = 30)
+    // kmeansIters = 0: this spec verifies the blocking/verify semantics
+    // against a hand-rolled first-nlist assignment; the Lloyd-refined
+    // production config has its own balance spec below
+    val pairs = Dedup.semDedupPairs(emb, "vec_id", "embedding", nlist = 4, minCosineX100 = 30,
+      kmeansIters = 0)
       .collect().map(r => (r.getLong(1), r.getLong(2),
         r.getDecimal(3).doubleValue()))
     assert(pairs.nonEmpty)
@@ -1091,6 +1095,43 @@ class OperatorsSpec extends SparkTestBase {
     import spark.implicits._
     val degen = (1L to 50L).map(i => (i, Array(1f, 0f))).toDF("vec_id", "embedding")
     assert(Dedup.semDedupPairs(degen, "vec_id", "embedding", 2, 30, maxCellSize = 10).count() == 0)
+  }
+
+  test("semdedup production config: Lloyd rounds rebalance crawl-ordered seeding") {
+    import spark.implicits._
+    // crawl-ordered corpus: the first nlist ids ALL come from one source
+    // (cluster at angle 0), so first-nlist seeding plants every centroid in
+    // that cluster; clusters at 20/40/60 degrees follow in id order
+    def vec(angle: Double): Array[Float] = {
+      val v = Array.fill(8)(0f)
+      v(0) = math.cos(math.toRadians(angle)).toFloat
+      v(1) = math.sin(math.toRadians(angle)).toFloat
+      v
+    }
+    val pts = for (c <- 0 until 4; j <- 0 until 25)
+      yield ((c * 25 + j).toLong, vec(c * 20.0 + (j % 5 - 2) * 2.0))
+    val df = pts.toDF("vec_id", "embedding")
+    val raw = df.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toSeq
+    def maxCell(cents: Seq[(Long, Array[Float])]): Long =
+      Similarity.assignToCentroids(df, "embedding", cents)
+        .groupBy("cid").count().agg(max("count")).head().getLong(0)
+    // raw seeding: three of four clusters collapse into one 85-vector cell
+    assert(maxCell(raw) >= 80)
+    // two Lloyd rounds tile the space: every cell under the 60 cap
+    val refined = Similarity.refineCentroids(df, "vec_id", "embedding", 4, 2)
+    assert(maxCell(refined) <= 60 && maxCell(refined) < maxCell(raw))
+    // the cap consequence VERDICT flagged: with maxCellSize = 60 the raw
+    // config silently DROPS the giant cell (only the 3 tiny seed-slice
+    // cells survive -> a handful of pairs), while the refined default
+    // keeps every cell and reports the real in-cluster near-dups
+    val rawPairs = Dedup.semDedupPairs(df, "vec_id", "embedding", 4, 90,
+      maxCellSize = 60, kmeansIters = 0).count()
+    val refinedPairs = Dedup.semDedupPairs(df, "vec_id", "embedding", 4, 90,
+      maxCellSize = 60).count() // kmeansIters defaults to 2 (production)
+    assert(rawPairs < 100, s"raw seeding reported $rawPairs pairs")
+    assert(refinedPairs > 1000, s"refined seeding reported $refinedPairs pairs")
   }
 
   test("jsonl corpus io: schema-explicit read, corrupt quarantine, ranged shards") {
