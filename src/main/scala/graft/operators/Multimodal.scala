@@ -368,4 +368,246 @@ object Multimodal {
       })
       .toDF(idCol, "sample_rate", "n_samples", "s_min", "s_max", "abs_sum")
   }
+
+  // ---- images: PNG (real-world format) ---------------------------------
+
+  final case class PngStats(
+      width: Int, height: Int, nPixels: Long, channels: Int,
+      rMin: Int, rMax: Int, gMin: Int, gMax: Int, bMin: Int, bMax: Int,
+      brightSum: Long, aSum: Long)
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** REAL PNG decode from pure public knowledge (the PNG spec): signature,
+    * CRC-verified chunk walk (IHDR / IDAT / IEND, ancillary chunks
+    * skipped), zlib inflate of the concatenated IDAT stream
+    * (`java.util.zip.Inflater`), and per-scanline defiltering of all five
+    * filter types (None / Sub / Up / Average / Paeth). Accepts 8-bit
+    * truecolor (color type 2, RGB) and truecolor+alpha (6, RGBA),
+    * non-interlaced — the shapes real training corpora overwhelmingly
+    * carry. Everything else (palette, 16-bit, Adam7, bad CRC, truncated or
+    * oversized IDAT, missing IHDR/IEND) returns None: the same
+    * malformed→null-row contract as [[decodePpm]]/[[decodeWav]]. */
+  def decodePng(bytes: Array[Byte]): Option[PngStats] = {
+    if (bytes == null || bytes.length < 8) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSignature(i)) return None; i += 1 }
+    def beU32(p: Int): Long =
+      ((bytes(p) & 0xff).toLong << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+    var pos = 8
+    var w = 0; var h = 0; var channels = 0
+    var sawHdr = false; var sawEnd = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawEnd) {
+      if (pos + 8 > bytes.length) return None
+      val len = beU32(pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length) return None
+      val n = len.toInt
+      val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + n)
+      if (crc.getValue != beU32(pos + 8 + n)) return None
+      ctype match {
+        case "IHDR" =>
+          if (n != 13 || sawHdr) return None
+          w = beU32(pos + 8).toInt; h = beU32(pos + 12).toInt
+          val bitDepth = bytes(pos + 16) & 0xff
+          val colorType = bytes(pos + 17) & 0xff
+          val compression = bytes(pos + 18) & 0xff
+          val filterMethod = bytes(pos + 19) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 ||
+            filterMethod != 0 || interlace != 0) return None
+          channels = colorType match {
+            case 2 => 3
+            case 6 => 4
+            case _ => return None
+          }
+          // executor-memory guard: a forged header must not allocate
+          // beyond what the payload could plausibly inflate to
+          if (w.toLong * h * channels > 64L * 1024 * 1024) return None
+          sawHdr = true
+        case "IDAT" =>
+          if (!sawHdr) return None
+          idat.write(bytes, pos + 8, n)
+        case "IEND" =>
+          if (n != 0) return None
+          sawEnd = true
+        case _ => () // ancillary chunk (tEXt, pHYs, gAMA, ...) — skip
+      }
+      pos += 12 + n
+    }
+    if (!sawHdr) return None
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val k = try inf.inflate(raw, off, raw.length - off)
+        catch { case _: java.util.zip.DataFormatException => return None }
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        off += k
+      }
+      if (off != raw.length) return None
+      // a stream that inflates to MORE than the expected scanlines is
+      // malformed too (defends against trailing garbage)
+      val over = try { !inf.finished() && inf.inflate(new Array[Byte](1)) > 0 }
+      catch { case _: java.util.zip.DataFormatException => true }
+      if (over) return None
+    } finally inf.end()
+    // defilter in place, row by row; prior row is already reconstructed
+    var y = 0
+    while (y < h) {
+      val rowStart = y * (stride + 1)
+      val filter = raw(rowStart) & 0xff
+      if (filter > 4) return None
+      var x = 0
+      while (x < stride) {
+        val p = rowStart + 1 + x
+        val a = if (x >= channels) raw(p - channels) & 0xff else 0
+        val b = if (y > 0) raw(p - stride - 1) & 0xff else 0
+        val c = if (y > 0 && x >= channels) raw(p - stride - 1 - channels) & 0xff else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => // Paeth (filter == 4; > 4 already rejected)
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(p) = ((raw(p) & 0xff) + pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // feature pass over reconstructed pixels
+    var rMin = 255; var rMax = 0; var gMin = 255; var gMax = 0
+    var bMin = 255; var bMax = 0; var bright = 0L; var aSum = 0L
+    y = 0
+    while (y < h) {
+      var p = y * (stride + 1) + 1
+      val end = p + stride
+      while (p < end) {
+        val r = raw(p) & 0xff; val g = raw(p + 1) & 0xff; val b = raw(p + 2) & 0xff
+        if (r < rMin) rMin = r; if (r > rMax) rMax = r
+        if (g < gMin) gMin = g; if (g > gMax) gMax = g
+        if (b < bMin) bMin = b; if (b > bMax) bMax = b
+        bright += r + g + b
+        if (channels == 4) aSum += raw(p + 3) & 0xff
+        p += channels
+      }
+      y += 1
+    }
+    Some(PngStats(w, h, w.toLong * h, channels,
+      rMin, rMax, gMin, gMax, bMin, bMax, bright, aSum))
+  }
+
+  /** Synthesize a REAL (spec-valid) PNG payload whose raw pixel bytes cycle
+    * the text's code points mod 256 — the [[encodePpmFromText]] scheme, so
+    * both engines derive expected stats from the text alone — while the
+    * container exercises the full decode path: scanline `y` is filtered
+    * with type `y % 5` (all five PNG filters), the stream is zlib-deflated,
+    * and chunks carry real CRCs. */
+  def encodePngFromText(text: String, width: Int, height: Int, channels: Int): Array[Byte] = {
+    require(channels == 3 || channels == 4, "PNG truecolor is 3 or 4 channels")
+    val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
+    val stride = width * channels
+    def px(j: Int): Int = if (cps.isEmpty) 0 else cps(j % cps.length) & 0xff
+    // raw scanlines with the per-row filter applied (encoder side of the
+    // exact defilter algebra: filt = raw - pred mod 256)
+    val filtered = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val rowStart = y * (stride + 1)
+      val filter = y % 5
+      filtered(rowStart) = filter.toByte
+      var x = 0
+      while (x < stride) {
+        val raw = px(y * stride + x)
+        val a = if (x >= channels) px(y * stride + x - channels) else 0
+        val b = if (y > 0) px((y - 1) * stride + x) else 0
+        val c = if (y > 0 && x >= channels) px((y - 1) * stride + x - channels) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => // Paeth (y % 5 == 4)
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered(rowStart + 1 + x) = (raw - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSignature, 0, 8)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte), 0, 4)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val v = crc.getValue
+      out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put((if (channels == 3) 2 else 6).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Attach a synthesized PNG payload column (see [[encodePngFromText]]). */
+  def withPngPayload(df: DataFrame, idCol: String, textCol: String,
+      width: Int, height: Int, channels: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, encodePngFromText(text, width, height, channels)) }
+      .toDF(idCol, "payload")
+  }
+
+  /** Decode PNG payloads into per-image stats — same shuffle-free
+    * `mapPartitions` shape as [[ppmStats]]; malformed payloads become null
+    * feature rows. */
+  def pngStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodePng(bytes) match {
+          case Some(s) =>
+            (id, Option(s.width), Option(s.height), Option(s.nPixels), Option(s.channels),
+              Option(s.rMin), Option(s.rMax), Option(s.gMin), Option(s.gMax),
+              Option(s.bMin), Option(s.bMax), Option(s.brightSum), Option(s.aSum))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Long], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "width", "height", "n_pixels", "channels",
+        "r_min", "r_max", "g_min", "g_max", "b_min", "b_max", "bright_sum", "a_sum")
+  }
 }

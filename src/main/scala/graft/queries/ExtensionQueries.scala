@@ -1484,6 +1484,37 @@ object ExtensionQueries {
            |WHERE cs * 100 >= 35
            |ORDER BY a_vec_id, b_vec_id""".stripMargin
       }
+    ),
+
+    // REAL real-world image format: PNG (signature, CRC-checked chunk walk,
+    // zlib inflate, all five scanline filters) on a 7×3 RGBA payload. The
+    // container round-trips through genuine deflate+filter encoding, but
+    // the reconstructed pixels are text-derived (q47's scheme) so the
+    // oracle re-derives every feature from the text alone.
+    QueryDef(
+      "q98_mm_png_decode",
+      (s, dir) => {
+        val withPayload = Multimodal.withPngPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 7, height = 3, channels = 4)
+        Multimodal.pngStats(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some {
+        def mm(c: Int, f: String) =
+          s"CAST(list_$f(list_transform(range(21), i -> p[4*i + ${c + 1}])) AS INT)"
+        """WITH px AS (SELECT doc_id,
+          |  list_transform(range(84),
+          |    j -> ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) AS p
+          |  FROM documents)
+          |SELECT doc_id, CAST(7 AS INT) AS width, CAST(3 AS INT) AS height,
+          |       CAST(21 AS BIGINT) AS n_pixels, CAST(4 AS INT) AS channels,
+          |""".stripMargin +
+          s"       ${mm(0, "min")} AS r_min, ${mm(0, "max")} AS r_max,\n" +
+          s"       ${mm(1, "min")} AS g_min, ${mm(1, "max")} AS g_max,\n" +
+          s"       ${mm(2, "min")} AS b_min, ${mm(2, "max")} AS b_max,\n" +
+          "       CAST(list_sum(list_transform(range(21), i -> p[4*i+1] + p[4*i+2] + p[4*i+3])) AS BIGINT) AS bright_sum,\n" +
+          "       CAST(list_sum(list_transform(range(21), i -> p[4*i+4])) AS BIGINT) AS a_sum\n" +
+          "FROM px ORDER BY doc_id"
+      }
     )
   )
 }

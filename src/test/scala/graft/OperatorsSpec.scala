@@ -1020,6 +1020,63 @@ class OperatorsSpec extends SparkTestBase {
     assert(!rows(1L) && rows(2L))
   }
 
+  test("png decode: real decoder — all five filters, golden values, corrupt payloads") {
+    import Multimodal._
+    // golden: "AB" cycles cps 65,66 over pixel bytes; height 6 makes the
+    // encoder emit every filter type (y % 5) plus one repeat
+    def expect(w: Int, h: Int, ch: Int): (Seq[Int], Seq[Int], Seq[Int], Seq[Int]) = {
+      val n = w * h * ch
+      val bytes = (0 until n).map(j => if (j % 2 == 0) 65 else 66)
+      def channel(c: Int) = bytes.grouped(ch).map(_(c)).toSeq
+      (channel(0), channel(1), channel(2), if (ch == 4) channel(3) else Nil)
+    }
+    for (ch <- Seq(3, 4)) {
+      val payload = encodePngFromText("AB", 5, 6, ch)
+      val s = decodePng(payload).get
+      val (r, g, b, a) = expect(5, 6, ch)
+      assert(s.width == 5 && s.height == 6 && s.nPixels == 30L && s.channels == ch)
+      assert(s.rMin == r.min && s.rMax == r.max && s.gMin == g.min && s.gMax == g.max)
+      assert(s.bMin == b.min && s.bMax == b.max)
+      assert(s.brightSum == (r.sum + g.sum + b.sum).toLong)
+      assert(s.aSum == (if (ch == 4) a.sum.toLong else 0L))
+    }
+    // high-entropy pixels stress Average/Paeth prediction harder than a
+    // 2-char cycle; decode must still reconstruct exactly
+    val noisy = "The quick brown fox jumps over the lazy dog! 0123456789"
+    assert(decodePng(encodePngFromText(noisy, 9, 7, 3)).isDefined)
+    // corrupt payloads -> None, never a throw
+    val ok = encodePngFromText("AB", 5, 6, 3)
+    assert(decodePng(null).isEmpty)
+    assert(decodePng(Array[Byte]()).isEmpty)
+    assert(decodePng("notapngfile!".getBytes("US-ASCII")).isEmpty)
+    assert(decodePng(ok.take(40).toArray).isEmpty) // truncated mid-chunk
+    val badCrc = ok.clone(); badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 1).toByte
+    assert(decodePng(badCrc).isEmpty) // IEND CRC flipped
+    val flippedPixel = ok.clone()
+    // flip a byte inside IDAT (after the 8-byte sig + 25-byte IHDR chunk + 8)
+    flippedPixel(8 + 25 + 8 + 4) = (flippedPixel(8 + 25 + 8 + 4) ^ 0xff).toByte
+    assert(decodePng(flippedPixel).isEmpty) // IDAT CRC catches it
+    val deep = ok.clone(); deep(8 + 8 + 8) = 16 // bit depth 16 (IHDR data byte 8)
+    assert(decodePng(deep).isEmpty) // (CRC rejects; 16-bit unsupported anyway)
+    // a valid-CRC but non-truecolor header is rejected by the header check
+    val pal = {
+      val p = ok.clone(); p(8 + 8 + 9) = 3 // color type 3 = palette
+      // recompute IHDR CRC so the rejection is the TYPE check, not CRC
+      val crc = new java.util.zip.CRC32(); crc.update(p, 12, 4 + 13)
+      val v = crc.getValue
+      p(8 + 8 + 13) = (v >>> 24).toByte; p(8 + 8 + 14) = (v >>> 16).toByte
+      p(8 + 8 + 15) = (v >>> 8).toByte; p(8 + 8 + 16) = v.toByte
+      p
+    }
+    assert(decodePng(pal).isEmpty)
+    // null rows flow through the frame path for malformed payloads
+    import spark.implicits._
+    val frames = Seq((1L, ok), (2L, Array[Byte](9, 9))).toDF("doc_id", "payload")
+    val rows = pngStats(frames, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L) && rows(2L))
+  }
+
   test("embedding norm audit flags degenerate and exploding vectors") {
     val df = Seq(
       (1L, Array(0.6f, 0.8f)),   // norm 1.0 -> in band
