@@ -54,6 +54,9 @@ object Main {
       // range-bounded queries on this column
       jdbcPartitionCol: Option[String] = None,
       jdbcPartitions: Int = 8,
+      // keyed diffs bucket both snapshots on the diff keys by default so
+      // the row-diff joins plan with zero Exchange
+      bucketSnapshots: Boolean = true,
       // curate subcommand
       budget: Long = 256,
       spanWords: Int = 5,
@@ -106,6 +109,8 @@ object Main {
             need("--drift-numeric").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "--jdbc-partition-col" => a = a.copy(jdbcPartitionCol = Some(need("--jdbc-partition-col")))
         case "--jdbc-partitions" => a = a.copy(jdbcPartitions = need("--jdbc-partitions").toInt)
+        case "--bucket-by-keys" => a = a.copy(bucketSnapshots = true)
+        case "--no-bucket-by-keys" => a = a.copy(bucketSnapshots = false)
         case "--budget" => a = a.copy(budget = need("--budget").toLong)
         case "--span-words" => a = a.copy(spanWords = need("--span-words").toInt)
         case "--max-span-docs" => a = a.copy(maxSpanDocs = need("--max-span-docs").toLong)
@@ -250,6 +255,18 @@ object Main {
     (base.join(parts, Seq(pc), "left_semi"), head.join(parts, Seq(pc), "left_semi"))
   }
 
+  /** Snapshot one diff side. Keyed diffs bucket (and sort) on the diff keys
+    * by default — both sides land hash-co-partitioned, so the anti/full-
+    * outer row-diff joins plan with ZERO Exchange (DiffEngineSpec asserts
+    * the plan). At 100 TB this converts the diff's one remaining shuffle of
+    * both tables into none; the clustering cost is paid once at snapshot
+    * time. `--no-bucket-by-keys` opts out (e.g. snapshot dirs consumed by
+    * external tools that expect plain parquet files). */
+  def snapshotForDiff(store: SnapshotStore, df: DataFrame, table: String,
+      keys: Seq[String], bucket: Boolean, buckets: Int = 32): DataFrame =
+    if (bucket && keys.nonEmpty) store.snapshotBucketed(df, table, keys, buckets)
+    else store.snapshot(df, table)
+
   def runDiff(spark: SparkSession, a: Args,
       jdbc: Option[Profiles.ConnInfo] = None): DiffResult = {
     val repoRoot = git(a.projectDir, "rev-parse", "--show-toplevel")
@@ -267,10 +284,12 @@ object Main {
       // build-then-snapshot one side at a time (reference order,
       // diff_flow.py:107-122): in dbt mode both builds materialize the SAME
       // warehouse relation, so base must be copied out before head builds
-      val baseSnap = store.snapshot(
-        buildModelAt(spark, Paths.get(baseWt, projRel).toString, a, jdbc), s"${a.model}__base")
-      val headSnap = store.snapshot(
-        buildModelAt(spark, Paths.get(headWt, projRel).toString, a, jdbc), s"${a.model}__head")
+      val baseSnap = snapshotForDiff(store,
+        buildModelAt(spark, Paths.get(baseWt, projRel).toString, a, jdbc), s"${a.model}__base",
+        a.keys, a.bucketSnapshots)
+      val headSnap = snapshotForDiff(store,
+        buildModelAt(spark, Paths.get(headWt, projRel).toString, a, jdbc), s"${a.model}__head",
+        a.keys, a.bucketSnapshots)
       if (a.keys.nonEmpty) {
         val (bn, hn) = DiffEngine.nullKeyCounts(baseSnap, headSnap, a.keys)
         if (bn + hn > 0)
@@ -297,7 +316,13 @@ object Main {
     } finally {
       try git(repoRoot, "worktree", "remove", "--force", baseWt) catch { case _: Throwable => }
       try git(repoRoot, "worktree", "remove", "--force", headWt) catch { case _: Throwable => }
-      if (!a.keepSnapshots) store.drop()
+      if (!a.keepSnapshots) {
+        // bucketed snapshots also carry catalog entries (DROP IF EXISTS —
+        // no-op for plain parquet snapshots)
+        store.dropTable(s"${a.model}__base")
+        store.dropTable(s"${a.model}__head")
+        store.drop()
+      }
       else {
         // the JSON meta records only logical names; without the physical
         // path, kept snapshots are unfindable in an unannounced temp dir
@@ -342,7 +367,7 @@ object Main {
       def snap(rel: String, side: String): DataFrame = {
         val df = JdbcSource.read(spark, conn, rel, a.where,
           a.jdbcPartitionCol, a.jdbcPartitions)
-        store.snapshot(df, s"${a.model}__$side")
+        snapshotForDiff(store, df, s"${a.model}__$side", a.keys, a.bucketSnapshots)
       }
       val (b0, h0) = (snap(a.basePath, "base"), snap(a.headPath, "head"))
       val (base, head) = a.scopePartition match {
@@ -362,8 +387,11 @@ object Main {
           SnapshotStore.sanitize(s"${a.model}__base"),
           SnapshotStore.sanitize(s"${a.model}__head")))))
     } finally {
-      if (!a.keepSnapshots) store.drop()
-      else Console.err.println(s"snapshots kept at $tmp (tables ${a.model}__base / ${a.model}__head)")
+      if (!a.keepSnapshots) {
+        store.dropTable(s"${a.model}__base")
+        store.dropTable(s"${a.model}__head")
+        store.drop()
+      } else Console.err.println(s"snapshots kept at $tmp (tables ${a.model}__base / ${a.model}__head)")
     }
   }
 
@@ -462,6 +490,7 @@ object Main {
       |            [--col-stats|--no-col-stats] [--approx] [--by-column]
       |            [--scope-partition COL] [--drift col1,col2] [--drift-numeric col1,col2]
       |            [--jdbc-partition-col COL] [--jdbc-partitions N]
+      |            [--bucket-by-keys|--no-bucket-by-keys]
       |            [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]
       |            (with a postgres/redshift/jdbc profile target, basePath/headPath

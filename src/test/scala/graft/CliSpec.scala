@@ -390,6 +390,29 @@ class CliSpec extends SparkTestBase {
     assert(Main.sessionTarget(None) == ((None, None, None)))
   }
 
+  test("keyed CLI snapshots bucket by default and the diff join plans exchange-free") {
+    val a = Main.parseArgs(Seq("diff", "m", "--keys", "k"))
+    assert(a.bucketSnapshots)
+    assert(!Main.parseArgs(Seq("diff", "m", "--keys", "k", "--no-bucket-by-keys")).bucketSnapshots)
+    // the CLI's snapshot helper with keys -> bucketed tables -> zero-Exchange diff
+    val dir = Files.createTempDirectory("graft_cli_bucket_").toString
+    val store = new graft.engine.SnapshotStore(spark, dir, "cli_bucket")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val base = Main.snapshotForDiff(store, orders, "m__base", Seq("o_orderkey"), bucket = true, buckets = 4)
+    val head = Main.snapshotForDiff(store,
+      orders.filter(org.apache.spark.sql.functions.col("o_orderkey") % 7 =!= 0),
+      "m__head", Seq("o_orderkey"), bucket = true, buckets = 4)
+    try {
+      val joined = graft.engine.DiffEngine.rowDiffFrame(base, head,
+        Seq("o_orderkey"), Seq("o_orderstatus"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle, plan:\n$plan")
+      // opting out yields plain parquet snapshots (no catalog table)
+      val plain = Main.snapshotForDiff(store, orders, "m__plain", Seq("o_orderkey"), bucket = false)
+      assert(plain.count() == orders.count())
+    } finally { store.dropTable("m__base"); store.dropTable("m__head"); store.drop() }
+  }
+
   test("full worktree diff lifecycle hits the reference e2e golden 3/4/1/0/0") {
     assume(new ProcessBuilder("git", "--version").start().waitFor() == 0, "git unavailable")
     val repo = Files.createTempDirectory("graft_e2e_repo_")
