@@ -1,5 +1,7 @@
 package graft.engine
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-run snapshot isolation — the reference's `dbt_model_diff__{run_id}`
@@ -21,13 +23,33 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
 
   /** CTAS-equivalent snapshot copy (adapters/postgres.py:37-44): materialize
     * an immutable Parquet copy; overwrite = the reference's
-    * `drop table if exists` + `create table as`. */
+    * `drop table if exists` + `create table as`.
+    *
+    * ATOMIC COMMIT: the copy is written to `<table>.tmp` and renamed into
+    * place only after the write fully succeeds, with a `_GRAFT_COMMITTED`
+    * marker written after the rename. The reference gets this isolation
+    * from warehouse CTAS (a transaction either creates the table or
+    * doesn't); a plain `df.write.parquet(dst)` does not — a killed run
+    * leaves a torn directory that a later diff would silently read as "the
+    * table lost rows". [[read]] refuses uncommitted snapshots instead. */
   def snapshot(df: DataFrame, table: String): DataFrame = {
-    df.write.mode("overwrite").parquet(path(table))
+    val dst = new java.io.File(path(table))
+    val tmp = new java.io.File(path(table) + ".tmp")
+    deleteRecursively(tmp)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    deleteRecursively(dst)
+    require(tmp.renameTo(dst), s"atomic snapshot commit failed: rename $tmp -> $dst")
+    Files.createFile(new java.io.File(dst, CommitMarker).toPath)
     read(table)
   }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  def read(table: String): DataFrame = {
+    val dir = new java.io.File(path(table))
+    require(new java.io.File(dir, CommitMarker).isFile,
+      s"snapshot '$table' at $dir is not committed (torn write from an " +
+        "interrupted run?) — refusing to diff against it")
+    spark.read.parquet(dir.toString)
+  }
 
   /** Bucketed snapshot: both diff sides written `bucketBy(keys)` land
     * co-partitioned, so every later key join (the full-outer row diff, the
@@ -53,7 +75,13 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
     * predicate on a partition column turns a full-table diff into a
     * per-partition one. */
   def snapshotPartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): DataFrame = {
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path(table))
+    val dst = new java.io.File(path(table))
+    val tmp = new java.io.File(path(table) + ".tmp")
+    deleteRecursively(tmp)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
+    deleteRecursively(dst)
+    require(tmp.renameTo(dst), s"atomic snapshot commit failed: rename $tmp -> $dst")
+    Files.createFile(new java.io.File(dst, CommitMarker).toPath)
     read(table)
   }
 
@@ -70,6 +98,11 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
 }
 
 object SnapshotStore {
+
+  /** Underscore-prefixed so Spark/Hadoop readers ignore it as a data file
+    * (the `_SUCCESS` convention). Present = the snapshot write completed
+    * and was renamed into place. */
+  val CommitMarker = "_GRAFT_COMMITTED"
 
   /** Identifier sanitization with the reference's exact semantics
     * (core/util.py:8-32): non-alphanumerics collapse to `_`, lowercase,

@@ -157,6 +157,33 @@ class DiffEngineSpec extends SparkTestBase {
     } finally { store.dropTable("b"); store.dropTable("h"); store.drop() }
   }
 
+  test("snapshot commit is atomic: torn writes are refused on read") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_atomic_").toString
+    val store = new graft.engine.SnapshotStore(spark, dir, "atomic_test")
+    val df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    try {
+      // committed snapshot: marker present, reads fine, marker is not data
+      val snap = store.snapshot(df, "ok")
+      assert(snap.count() == df.count())
+      assert(Files.exists(Paths.get(store.runDir, "ok", graft.engine.SnapshotStore.CommitMarker)))
+      // torn write: a directory with data files but NO marker (what a
+      // killed run leaves behind mid-copy) must be refused, not silently
+      // diffed as a table that "lost rows"
+      val torn = Paths.get(store.runDir, "torn")
+      Files.createDirectories(torn)
+      val src = Paths.get(store.runDir, "ok").toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(src.toPath, torn.resolve(src.getName))
+      val e = intercept[IllegalArgumentException](store.read("torn"))
+      assert(e.getMessage.contains("not committed"))
+      // overwriting a torn snapshot heals it
+      assert(store.snapshot(df, "torn").count() == df.count())
+      // a leftover .tmp dir from a killed run never shadows the committed copy
+      Files.createDirectories(Paths.get(store.runDir, "ok.tmp"))
+      assert(store.snapshot(df, "ok").count() == df.count())
+    } finally store.drop()
+  }
+
   test("partitioned snapshots prune to the filtered partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val store = new graft.engine.SnapshotStore(spark, dir, "part_test")
