@@ -255,6 +255,37 @@ object Main {
     (base.join(parts, Seq(pc), "left_semi"), head.join(parts, Seq(pc), "left_semi"))
   }
 
+  /** Hot-key diagnostic for keyed diffs ([[graft.engine.SkewTools.skewReport]]
+    * run on both snapshot sides): when one key value holds more than
+    * `shareX10000` basis points (default 20%) of a side's rows AND that
+    * side is big enough for skew to matter (`minRows`), return a warning
+    * naming the value, its share, and the mitigation recipe. Cost: one
+    * key-column aggregate per side — the scan is column-pruned to the keys
+    * and the shuffle carries only distinct keys, the same price class as
+    * the null-key diagnostic. NULL keys count as their own group (the
+    * classic silent skew), matching skewReport semantics. */
+  def skewWarning(base: DataFrame, head: DataFrame, keys: Seq[String],
+      shareX10000: Long = 2000, minRows: Long = 1000): Option[String] = {
+    import org.apache.spark.sql.functions.{col, struct}
+    if (keys.isEmpty) None
+    else {
+      def hot(df: DataFrame, side: String): Option[String] = {
+        val keyed = df.withColumn("__diff_key",
+          if (keys.length == 1) col(keys.head) else struct(keys.map(col): _*))
+        graft.engine.SkewTools.skewReport(keyed, "__diff_key", 1).collect().headOption
+          .filter(r => r.getLong(2) >= shareX10000 && r.getLong(1) >= minRows)
+          .map(r => s"$side key ${String.valueOf(r.get(0))} holds ${r.getLong(1)} rows " +
+            s"(${r.getLong(2) / 100}% of the side)")
+      }
+      val hits = hot(base, "base") ++ hot(head, "head")
+      if (hits.isEmpty) None
+      else Some(s"WARNING: diff key (${keys.mkString(", ")}) is skewed — ${hits.mkString("; ")}. " +
+        "AQE skew-split (on by default) rebalances the sort-merge row-diff join; for " +
+        "aggregation-heavy follow-up queries salt deterministically with " +
+        "SkewTools.saltedJoin/saltedSumCount.")
+    }
+  }
+
   /** Snapshot one diff side. Keyed diffs bucket (and sort) on the diff keys
     * by default — both sides land hash-co-partitioned, so the anti/full-
     * outer row-diff joins plan with ZERO Exchange (DiffEngineSpec asserts
@@ -294,6 +325,7 @@ object Main {
         val (bn, hn) = DiffEngine.nullKeyCounts(baseSnap, headSnap, a.keys)
         if (bn + hn > 0)
           log(a, s"WARNING: null key values (base=$bn head=$hn rows) — these rows can never match and inflate added/removed")
+        skewWarning(baseSnap, headSnap, a.keys).foreach(w => log(a, w))
       }
       val (baseIn, headIn) = a.scopePartition match {
         case Some(pc) =>
@@ -345,6 +377,7 @@ object Main {
         case Some(pc) => scopeByChangedPartitions(spark, b0, h0, pc)
         case None => (b0, h0)
       }
+      skewWarning(base, head, a.keys).foreach(Console.err.println)
       DiffEngine.diff(base, head, a.keys, a.where, a.sample,
         approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
         model = a.model, baseRef = a.basePath, headRef = a.headPath)
@@ -374,6 +407,7 @@ object Main {
         case Some(pc) => scopeByChangedPartitions(spark, b0, h0, pc)
         case None => (b0, h0)
       }
+      skewWarning(base, head, a.keys).foreach(Console.err.println)
       // `--where` already constrained the JDBC scans; re-applying it to the
       // snapshots inside diff() is a no-op on rows and keeps one code path
       val res = DiffEngine.diff(base, head, a.keys, a.where, a.sample,

@@ -413,6 +413,28 @@ class CliSpec extends SparkTestBase {
     } finally { store.dropTable("m__base"); store.dropTable("m__head"); store.drop() }
   }
 
+  test("skewed diff keys trigger a warning naming the hot value and the salting recipe") {
+    import spark.implicits._
+    // hot key: 1500 of 2000 base rows share custkey 42
+    val base = ((1 to 1500).map(i => (42L, i.toLong)) ++ (1 to 500).map(i => (i.toLong + 100000, i.toLong)))
+      .toDF("custkey", "v")
+    val head = (1 to 2000).map(i => (i.toLong, i.toLong)).toDF("custkey", "v") // uniform
+    val w = Main.skewWarning(base, head, Seq("custkey"))
+    assert(w.isDefined)
+    assert(w.get.contains("base key 42") && w.get.contains("75%") && w.get.contains("salt"))
+    // uniform sides: silent
+    assert(Main.skewWarning(head, head, Seq("custkey")).isEmpty)
+    // tiny tables never warn even at 100% share (skew is a scale problem)
+    val tiny = Seq((1L, 1L), (1L, 2L)).toDF("custkey", "v")
+    assert(Main.skewWarning(tiny, tiny, Seq("custkey")).isEmpty)
+    // multi-column keys report the struct value; null keys count as a group
+    val nulls = ((1 to 1500).map(_ => (null.asInstanceOf[java.lang.Long], 1L)) ++
+      (1 to 500).map(i => (java.lang.Long.valueOf(i.toLong), 1L))).toDF("custkey", "v")
+    val wn = Main.skewWarning(nulls, head, Seq("custkey", "v"))
+    assert(wn.isDefined && wn.get.contains("base key"))
+    assert(Main.skewWarning(base, head, Nil).isEmpty) // STATS_ONLY: no keys, no scan
+  }
+
   test("full worktree diff lifecycle hits the reference e2e golden 3/4/1/0/0") {
     assume(new ProcessBuilder("git", "--version").start().waitFor() == 0, "git unavailable")
     val repo = Files.createTempDirectory("graft_e2e_repo_")
