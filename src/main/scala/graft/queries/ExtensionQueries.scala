@@ -1515,6 +1515,65 @@ object ExtensionQueries {
           "       CAST(list_sum(list_transform(range(21), i -> p[4*i+4])) AS BIGINT) AS a_sum\n" +
           "FROM px ORDER BY doc_id"
       }
+    ),
+
+    // Misra–Gries CERTIFICATE: the sketch's counter values are arrival-
+    // order-dependent (never hashable), but its mathematical guarantee is
+    // not — every token with true frequency > n/(capacity+1) MUST be
+    // present with a count in [exact − ⌊n/(cap+1)⌋, exact]. The query
+    // outputs exactly that guaranteed-frequent set with a `certified` bit
+    // computed FROM the live sketch; the oracle derives the same set from
+    // exact counts with certified pinned to 1. A broken MG implementation
+    // (over-decrement, bad merge) flips bits and fails the hash.
+    QueryDef(
+      "q99_mg_certificate",
+      (s, dir) => {
+        val capacity = 40
+        val docs = t(s, dir, "documents")
+        val sketch = TextAnalysis.topTokensApprox(docs, "text", capacity)
+        val exact = docs.select(explode(TextAnalysis.tokens("text")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("exact_n"))
+        val n = exact.agg(sum("exact_n")).head().getLong(0)
+        val slack = n / (capacity + 1) // integer deficit can never exceed the floor
+        exact.filter(col("exact_n") * (capacity + 1) > n)
+          .join(sketch, Seq("token"), "left")
+          .select(col("token"), col("exact_n"),
+            (col("min_count").isNotNull && col("min_count") <= col("exact_n") &&
+              col("min_count") + slack >= col("exact_n")).cast("long").as("certified"))
+          .orderBy("token")
+      },
+      Some(s"""WITH toks AS (SELECT unnest($duckToks) AS token FROM documents),
+           |c AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY token),
+           |t AS (SELECT sum(exact_n) AS n FROM c)
+           |SELECT token, exact_n, CAST(1 AS BIGINT) AS certified
+           |FROM c, t WHERE exact_n * 41 > n ORDER BY token""".stripMargin)
+    ),
+
+    // Batch twin of the streaming drift monitor: fixed-edge bin histograms
+    // (EventStreams.binHistogram's exact integer bin arithmetic, clamped
+    // edges) on two slices, cross-multiplied TV contributions per bin.
+    QueryDef(
+      "q100_hist_drift",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val baseH = graft.streaming.EventStreams.binHistogram(
+          li.filter(col("l_returnflag") === "R"), "l_quantity", lo = 1, width = 50, nBuckets = 10)
+        val headH = graft.streaming.EventStreams.binHistogram(
+          li.filter(col("l_returnflag") =!= "R"), "l_quantity", lo = 1, width = 50, nBuckets = 10)
+        graft.streaming.EventStreams.driftVsBase(baseH, headH).orderBy("bin")
+      },
+      Some("""WITH b AS (SELECT (least(greatest(CAST(l_quantity AS BIGINT), 1), 50) - 1) * 10 // 50 AS bin,
+           |         CAST(count(*) AS BIGINT) AS n
+           |       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+           |h AS (SELECT (least(greatest(CAST(l_quantity AS BIGINT), 1), 50) - 1) * 10 // 50 AS bin,
+           |         CAST(count(*) AS BIGINT) AS n
+           |       FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1),
+           |j AS (SELECT COALESCE(b.bin, h.bin) AS bin, COALESCE(b.n, 0) AS base_n, COALESCE(h.n, 0) AS head_n
+           |      FROM b FULL OUTER JOIN h ON b.bin = h.bin),
+           |t AS (SELECT sum(base_n) AS tb, sum(head_n) AS th FROM j)
+           |SELECT bin, CAST(base_n AS BIGINT) AS base_n, CAST(head_n AS BIGINT) AS head_n,
+           |       CAST(abs(base_n * th - head_n * tb) AS BIGINT) AS tv_contrib
+           |FROM j, t ORDER BY bin""".stripMargin)
     )
   )
 }
