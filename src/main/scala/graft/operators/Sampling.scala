@@ -98,6 +98,19 @@ object Sampling {
       .filter(col("rank_in_group") <= k)
   }
 
+  /** Per-group cap: keep at most `cap` rows per group, chosen by the
+    * engine-portable key hash (an UNBIASED uniform subsample of each group,
+    * not a top-k by any payload ordering) with the raw key as the total
+    * tie-break. The C4/RefinedWeb "domain cap" — no crawl domain may
+    * contribute more than `cap` documents — and deterministic across runs,
+    * partitionings, and engines. One window exchange on the group key; for
+    * hot groups AQE's skew handling applies, and the output is bounded by
+    * `groups × cap` regardless of input skew. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    topKPerGroup(df, groupCol, cap, Seq(hash32Of(keyCol), col(keyCol)))
+  }
+
   /** Rebalance a corpus toward a target DOMAIN MIXTURE — the data-mixing
     * step of a training build ("30% code, 50% web, 20% books"): given
     * relative weights per domain and a total row budget, compute each

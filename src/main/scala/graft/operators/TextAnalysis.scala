@@ -319,6 +319,36 @@ object TextAnalysis {
           .otherwise(expr("oov * 10000 div n_tokens").cast("long")))
   }
 
+  /** Token-rarity score — the surprisal-shaped quality signal computed
+    * WITHOUT a language model: rank the corpus top-`vocabSize` tokens
+    * 1..V by frequency (count DESC, token ASC — the [[oovStats]] cut), give
+    * out-of-vocab tokens rank V+1, and score each document by its mean
+    * token rank (×100, integer). Common-word prose scores low; rare-token /
+    * OOV-heavy noise scores high — the cheap stand-in for LM-perplexity
+    * filtering, fully rank-based so it is integer-exact across engines
+    * (a float log-prob would never hash-match).
+    *
+    * Scale shape: vocab is a bounded top-V aggregate broadcast to the
+    * token join — the corpus side never shuffles on the token. */
+  def rarityScore(df: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = df.select(col(idCol), explode(tokens(textCol)).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(vocabSize)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token").asc)))
+      .select(col("token"), col("rank"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("rank"), lit(vocabSize + 1)).cast("long")).as("sum_rank"))
+      .withColumn("mean_rank_x100",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("sum_rank * 100 div n_tokens").cast("long")))
+  }
+
   /** Per-source ingest quality report — the monitoring aggregate a corpus
     * pipeline runs on every batch: document and token mass per source plus
     * the Gopher-gate pass rate, all integer (rate in basis points). One

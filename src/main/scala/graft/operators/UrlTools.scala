@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-corpus curation — the canonicalization step that
+  * turns crawl URLs into dedup keys and per-domain grouping keys (C4/
+  * CCNet-style pipelines dedup and cap BY canonical URL/domain before any
+  * content pass).
+  *
+  * Everything is built from codegen'd `functions._` string/array
+  * expressions — per-row, shuffle-free, no UDFs — so the canonicalization
+  * of 100 TB of URLs is a pure map stage fused into whatever scan feeds
+  * it. */
+object UrlTools {
+
+  /** Tracking-parameter names dropped during canonicalization (the
+    * industry-standard scrub set: UTM campaign tags + click ids). */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "ref")
+  val TrackingPrefixes: Seq[String] = Seq("utm_")
+
+  /** Canonicalize a URL column:
+    *   - scheme and host lowercased; an explicit default port is stripped
+    *     (`:443` for https, `:80` for http)
+    *   - the fragment is dropped (never reaches the server)
+    *   - tracking query params are dropped ([[TrackingParams]] by name,
+    *     [[TrackingPrefixes]] by prefix)
+    *   - surviving query params are SORTED (param order is not semantic;
+    *     sorting makes `?a=1&b=2` and `?b=2&a=1` the same dedup key)
+    *   - an empty path becomes `/`
+    *
+    * Malformed rows (no `scheme://host` shape) canonicalize to NULL rather
+    * than passing through unchanged — a downstream URL-dedup must not treat
+    * garbage as a distinct valid key. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    // strip the scheme's default port only (a NON-default port is semantic)
+    val host = when(scheme === "https" && hostPort.endsWith(":443"),
+        regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http" && hostPort.endsWith(":80"),
+        regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptParams = array_sort(filter(
+      split(query, "&"),
+      p => {
+        val name = split(p, "=").getItem(0)
+        val tracked = TrackingParams.map(t => name === t)
+          .reduce(_ || _) || TrackingPrefixes.map(t => name.startsWith(t)).reduce(_ || _)
+        p =!= "" && !tracked
+      }))
+    val canonQuery = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    when(scheme === "" || hostPort === "", lit(null).cast("string"))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(path === "", lit("/")).otherwise(path),
+        canonQuery))
+  }
+
+  /** Registered-domain heuristic: the last two dot-labels of the host
+    * (`a.b.example.com` → `example.com`). A public-suffix list would refine
+    * multi-label TLDs; the two-label form is the standard offline-safe
+    * approximation and is what per-domain caps key on. */
+  def registeredDomain(url: Column): Column = {
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = regexp_replace(hostPort, ":[0-9]+$", "")
+    when(host === "", lit(null).cast("string"))
+      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+  }
+
+  /** Attach `canon_url` and `domain` for a URL column — the map stage a
+    * crawl-ingest pipeline runs before URL-level dedup / domain caps. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("canon_url", canonicalUrl(col(urlCol)))
+      .withColumn("domain", registeredDomain(col(urlCol)))
+
+  /** Test/oracle harness: synthesize a messy-but-deterministic URL per row
+    * from existing columns (the [[Multimodal.encodePpmFromText]] discipline:
+    * both engines can derive the input, the operator under test does the
+    * real work). Mixed-case host, explicit default port, unsorted params, a
+    * tracking param, and a fragment — every canonicalization rule fires. */
+  def syntheticUrl(sourceCol: Column, idCol: Column, langCol: Column): Column =
+    concat(lit("https://WWW."), upper(sourceCol), lit(".Example.COM:443/docs/"),
+      idCol.cast("string"),
+      lit("?utm_source=feed&b="), langCol, lit("&a=1#sec"),
+      pmod(idCol, lit(2)).cast("string"))
+}

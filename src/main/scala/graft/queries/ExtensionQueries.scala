@@ -1574,6 +1574,63 @@ object ExtensionQueries {
            |SELECT bin, CAST(base_n AS BIGINT) AS base_n, CAST(head_n AS BIGINT) AS head_n,
            |       CAST(abs(base_n * th - head_n * tb) AS BIGINT) AS tv_contrib
            |FROM j, t ORDER BY bin""".stripMargin)
+    ),
+
+    // Domain cap (C4/RefinedWeb rule: no source contributes more than N
+    // docs): unbiased per-group uniform subsample by the engine-portable
+    // key hash, not a payload top-k.
+    QueryDef(
+      "q101_domain_cap",
+      (s, dir) =>
+        Sampling.capPerGroup(t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", cap = 15)
+          .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id, source,
+           |  row_number() OVER (PARTITION BY source
+           |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id)
+           |    AS rank_in_group
+           |  FROM documents)
+           |SELECT doc_id, source, CAST(rank_in_group AS INT) AS rank_in_group
+           |FROM r WHERE rank_in_group <= 15 ORDER BY doc_id""".stripMargin)
+    ),
+
+    // URL canonicalization: the crawl-ingest map stage producing dedup/
+    // domain-cap keys. The synthetic URL fires every rule (mixed-case host,
+    // explicit :443, unsorted params, utm_ tracking param, fragment); the
+    // oracle states the expected canonical form directly — the Spark side
+    // genuinely parses and rebuilds.
+    QueryDef(
+      "q102_url_canonical",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val withUrl = docs.select(col("doc_id"),
+          UrlTools.syntheticUrl(col("source"), col("doc_id"), col("lang")).as("url"))
+        UrlTools.withCanonicalUrl(withUrl, "url").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+           |  'https://WWW.' || upper(source) || '.Example.COM:443/docs/' || CAST(doc_id AS VARCHAR)
+           |    || '?utm_source=feed&b=' || lang || '&a=1#sec' || CAST(doc_id % 2 AS VARCHAR) AS url,
+           |  'https://www.' || lower(source) || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           |    || '?a=1&b=' || lang AS canon_url,
+           |  'example.com' AS domain
+           |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Token-rarity quality score: rank-based surprisal stand-in (mean rank
+    // of each doc's tokens in the corpus top-50 vocabulary, OOV = rank 51)
+    // — integer-exact where an LM log-prob never would be.
+    QueryDef(
+      "q103_rarity_score",
+      (s, dir) =>
+        TextAnalysis.rarityScore(t(s, dir, "documents"), "doc_id", "text", vocabSize = 50)
+          .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+           |vc AS (SELECT token, row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+           |       FROM toks GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 50),
+           |j AS (SELECT t.doc_id, COALESCE(v.rank, 51) AS rank FROM toks t LEFT JOIN vc v USING (token))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(rank) AS BIGINT) AS sum_rank,
+           |       CAST(sum(rank) * 100 // count(*) AS BIGINT) AS mean_rank_x100
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -1077,6 +1077,61 @@ class OperatorsSpec extends SparkTestBase {
     assert(!rows(1L) && rows(2L))
   }
 
+  test("url canonicalization: ports, tracking params, sorting, fragments, malformed") {
+    import spark.implicits._
+    import graft.operators.UrlTools
+    def canon(u: String): String = {
+      val r = Seq(u).toDF("url").select(UrlTools.canonicalUrl(col("url"))).head()
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // default port stripped, host+scheme lowercased, fragment dropped
+    assert(canon("HTTPS://Ex.COM:443/a#frag") == "https://ex.com/a")
+    assert(canon("http://ex.com:80/a") == "http://ex.com/a")
+    // NON-default port is semantic and survives (incl. cross-scheme 443)
+    assert(canon("http://ex.com:443/a") == "http://ex.com:443/a")
+    assert(canon("https://ex.com:8443/a") == "https://ex.com:8443/a")
+    // tracking params dropped by name and by utm_ prefix; survivors sorted
+    assert(canon("https://ex.com/p?z=9&utm_campaign=x&a=1&fbclid=F&b=2") ==
+      "https://ex.com/p?a=1&b=2&z=9")
+    // all params tracked -> no query at all; empty path -> /
+    assert(canon("https://ex.com?utm_source=x") == "https://ex.com/")
+    // malformed inputs canonicalize to NULL, not pass-through
+    assert(canon("not a url") == null)
+    assert(canon("ex.com/no-scheme") == null)
+    // registered domain: last two labels, port ignored; bare host -> itself
+    val doms = Seq("https://a.b.Example.com:8443/x", "https://example.com/", "nope")
+      .toDF("url").select(UrlTools.registeredDomain(col("url"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(doms.sameElements(Array("example.com", "example.com", null)))
+  }
+
+  test("capPerGroup: unbiased hash-chosen cap, small groups intact, deterministic") {
+    import spark.implicits._
+    val df = (for (g <- Seq("a", "b"); i <- 1 to 50) yield (g, s"$g$i", i)).toDF("g", "id", "payload")
+      .union(Seq(("c", "c1", 1)).toDF("g", "id", "payload")) // group smaller than cap
+    val capped = graft.operators.Sampling.capPerGroup(df, "g", "id", cap = 10)
+    val byGroup = capped.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("a" -> 10L, "b" -> 10L, "c" -> 1L))
+    // chosen by key hash, not payload order: the kept payloads are not
+    // simply the 10 smallest
+    val keptA = capped.filter(col("g") === "a").select("payload").collect().map(_.getInt(0)).sorted
+    assert(!keptA.sameElements(1 to 10))
+    // deterministic across evaluations
+    val again = graft.operators.Sampling.capPerGroup(df, "g", "id", cap = 10)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(again == capped.select("id").collect().map(_.getString(0)).toSet)
+  }
+
+  test("rarityScore: rank-based surprisal, OOV rank V+1, integer mean") {
+    import spark.implicits._
+    // corpus counts: x:3, y:2, z:1 -> ranks x=1, y=2; vocabSize=2 -> z OOV rank 3
+    val docs = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.rarityScore(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((3L, 1L + 1L + 2L, 4L * 100 / 3)))   // 1+1+2=4, mean 133
+    assert(r(2L) == ((3L, 1L + 2L + 3L, 200L)))           // 1+2+3=6, mean 200
+  }
+
   test("embedding norm audit flags degenerate and exploding vectors") {
     val df = Seq(
       (1L, Array(0.6f, 0.8f)),   // norm 1.0 -> in band
