@@ -324,4 +324,40 @@ class StreamingSpec extends SparkTestBase {
     assert(u2.length == 2)
     assert(u2.map(_.n_events).toSeq == Seq(1, 1))
   }
+
+  test("streaming curate intake: quality gate + horizon dedup on the firehose") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCurate
+    val stop = Seq("the", "a", "of")
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") + " the a"
+    val good2 = (1 to 60).map(i => s"term$i").mkString(" ") + " of the"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, ts(0), good),            // passes, first arrival of its content
+      (2L, ts(1), "the a short"),   // fails the word-count gate
+      (3L, ts(2), good),            // duplicate content -> dropped
+      (4L, ts(3), good2))           // passes, distinct content
+    val q = StreamingCurate.intake(
+      mem.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "30 minutes", stop, minWords = 50)
+      .writeStream.format("memory").queryName("curate_intake_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("curate_intake_test")
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // survivors: first copy of each distinct passing content only
+    assert(rows.keySet == Set(1L, 4L))
+    assert(rows(1L) == 62L && rows(4L) == 62L)
+    // batch twin: gate + min-id-per-content dedup gives the same survivors
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, md5, row_number}
+    val batch = TextAnalysis.gopherFilter(
+      Seq((1L, good), (2L, "the a short"), (3L, good), (4L, good2)).toDF("doc_id", "text"),
+      "text", stop, minWords = 50)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == rows.keySet)
+  }
 }
