@@ -43,4 +43,44 @@ object Stats {
       .filter(col("__rn") === expr("(__n * p + 99) div 100"))
       .select(col(groupCol), col("p").cast("long").as("p"), col(valueCol))
   }
+
+  /** Exact global percentile thresholds of one integer column, collected to
+    * the driver (|percents| longs) — [[groupedQuantiles]]'s rank arithmetic
+    * on a single group. The sort is global (exactness requires rank); at
+    * corpus scale use [[approxThresholds]] — the use case (curriculum /
+    * quality-tier boundaries) tolerates sketch error, and the assignment
+    * step is identical either way. */
+  def exactThresholds(df: DataFrame, valueCol: String, percents: Seq[Int]): Seq[Long] = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in 1..100")
+    val ranked = groupedQuantiles(
+      df.select(col(valueCol)).withColumn("__g", lit(1)), "__g", valueCol, percents)
+      .collect().map(r => r.getLong(1) -> r.getAs[Number](2).longValue()).toMap
+    percents.map(p => ranked(p.toLong))
+  }
+
+  /** Sketch-based global thresholds (`percentile_approx`, a mergeable
+    * bounded-memory quantile summary): rank error ≤ n/accuracy, no global
+    * sort — the 100 TB path for [[bucketByThresholds]] boundaries. */
+  def approxThresholds(
+      df: DataFrame, valueCol: String, percents: Seq[Int], accuracy: Int = 10000): Seq[Long] = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in 1..100")
+    val arr = percents.map(p => p / 100.0).mkString("array(", ", ", ")")
+    df.select(expr(s"percentile_approx($valueCol, $arr, $accuracy)"))
+      .head().getSeq[Number](0).map(_.longValue()).toSeq
+  }
+
+  /** Assign each row its quality/curriculum tier from ascending score
+    * thresholds: `bucket = 1 + |{t : score > t}|` (threshold t_i is the
+    * UPPER bound of bucket i, matching percentile_disc boundaries). A pure
+    * when-sum map stage — no global sort, no shuffle; thresholds come from
+    * [[exactThresholds]] (oracle-exact) or [[approxThresholds]] (scale). */
+  def bucketByThresholds(df: DataFrame, scoreCol: String, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      "thresholds must be non-empty ascending")
+    val over = thresholds.map(t => when(col(scoreCol) > t, 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("bucket", (lit(1) + over).cast("int"))
+  }
 }

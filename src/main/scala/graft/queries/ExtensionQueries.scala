@@ -1631,6 +1631,35 @@ object ExtensionQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(rank) AS BIGINT) AS sum_rank,
            |       CAST(sum(rank) * 100 // count(*) AS BIGINT) AS mean_rank_x100
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Curriculum / quality tiers: exact quartile thresholds of the rarity
+    // score (percentile_disc rank arithmetic, 3 longs to the driver), then
+    // a pure map-stage bucket assignment — no global sort over the corpus.
+    QueryDef(
+      "q104_quality_buckets",
+      (s, dir) => {
+        val scored = TextAnalysis.rarityScore(t(s, dir, "documents"), "doc_id", "text", vocabSize = 50)
+        val thresholds = Stats.exactThresholds(scored, "mean_rank_x100", Seq(25, 50, 75))
+        Stats.bucketByThresholds(scored, "mean_rank_x100", thresholds)
+          .select("doc_id", "mean_rank_x100", "bucket")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+           |vc AS (SELECT token, row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+           |       FROM toks GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 50),
+           |j AS (SELECT t.doc_id, COALESCE(v.rank, 51) AS rank FROM toks t LEFT JOIN vc v USING (token)),
+           |s AS (SELECT doc_id, CAST(sum(rank) * 100 // count(*) AS BIGINT) AS mean_rank_x100
+           |      FROM j GROUP BY doc_id),
+           |r AS (SELECT mean_rank_x100 AS v, row_number() OVER (ORDER BY mean_rank_x100) AS rn,
+           |             count(*) OVER () AS n FROM s),
+           |t AS (SELECT max(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END) AS t25,
+           |             max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS t50,
+           |             max(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END) AS t75 FROM r)
+           |SELECT doc_id, mean_rank_x100,
+           |  CAST(1 + (mean_rank_x100 > t25)::INT + (mean_rank_x100 > t50)::INT
+           |         + (mean_rank_x100 > t75)::INT AS INT) AS bucket
+           |FROM s, t ORDER BY doc_id""".stripMargin)
     )
   )
 }

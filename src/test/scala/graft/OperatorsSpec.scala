@@ -1122,6 +1122,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == capped.select("id").collect().map(_.getString(0)).toSet)
   }
 
+  test("quality buckets: exact thresholds, map-stage assignment, approx within rank bound") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "score")
+    // percentile_disc quartiles of 1..100 are exactly 25/50/75
+    val t = graft.operators.Stats.exactThresholds(df, "score", Seq(25, 50, 75))
+    assert(t == Seq(25L, 50L, 75L))
+    val buckets = graft.operators.Stats.bucketByThresholds(df, "score", t)
+      .groupBy("bucket").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets == Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
+    // boundary semantics: score == threshold stays in the LOWER bucket
+    val edge = graft.operators.Stats.bucketByThresholds(
+      Seq((0L, 25L), (1L, 26L)).toDF("id", "score"), "score", t)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(edge(0L) == 1 && edge(1L) == 2)
+    // approx thresholds: rank error <= n/accuracy (here n=100, acc=10000 -> exact)
+    val ta = graft.operators.Stats.approxThresholds(df, "score", Seq(25, 50, 75))
+    (t, ta).zipped.foreach((e, a) => assert(math.abs(e - a) <= 1, s"approx $a vs exact $e"))
+    intercept[IllegalArgumentException](
+      graft.operators.Stats.bucketByThresholds(df, "score", Seq(50L, 25L)))
+  }
+
   test("rarityScore: rank-based surprisal, OOV rank V+1, integer mean") {
     import spark.implicits._
     // corpus counts: x:3, y:2, z:1 -> ranks x=1, y=2; vocabSize=2 -> z OOV rank 3
