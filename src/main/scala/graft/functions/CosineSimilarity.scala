@@ -87,6 +87,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
 
   val CosineName = "graft_cosine_similarity"
+  val SqL2Name = "graft_squared_l2_distance"
   val SortedIntersectName = "graft_sorted_intersect_count"
   val WinnowingName = "graft_winnowing_fingerprints"
   val HyperplaneName = "graft_hyperplane_bucket"
@@ -106,6 +107,10 @@ object GraftFunctions {
     registerOne(spark, CosineName, classOf[CosineSimilarity], { children =>
       require(children.length == 2, s"$CosineName expects 2 arguments")
       CosineSimilarity(children.head, children(1))
+    })
+    registerOne(spark, SqL2Name, classOf[SquaredL2Distance], { children =>
+      require(children.length == 2, s"$SqL2Name expects 2 arguments")
+      SquaredL2Distance(children.head, children(1))
     })
     registerOne(spark, SortedIntersectName, classOf[SortedIntersectCount], { children =>
       require(children.length == 2, s"$SortedIntersectName expects 2 arguments")
@@ -139,6 +144,9 @@ object GraftFunctions {
 
   /** Column DSL for the fused cosine (caller must have registered). */
   def cosineSim(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** Column DSL for the fused squared-L2 distance. */
+  def squaredL2(a: Column, b: Column): Column = call_function(SqL2Name, a, b)
 
   /** Column DSL for the sorted-merge intersection count. */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -383,4 +383,167 @@ object Similarity {
         expr(s"transform($vecCol, x -> cast(cast(x as double) * q_scale as int))"))
       .drop("__maxabs")
   }
+
+  // ---- product quantization (PQ) ----------------------------------------
+
+  /** L2 twin of [[assignToCentroids]]: nearest centroid by SQUARED-L2
+    * distance (argmin, ties to the smallest cid), same materialized-score-
+    * array machinery so each distance evaluates exactly once. PQ must
+    * cluster and score in L2 — the one metric that decomposes additively
+    * across subspaces — while the rest of the ANN family stays cosine. */
+  def assignToCentroidsL2(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Long, Array[Float])]
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    GraftFunctions.register(df.sparkSession)
+    val sorted = centroids.sortBy(_._1)
+    val dists = array(sorted.map { case (_, cv) =>
+      GraftFunctions.squaredL2(col(vecCol), typedLit(cv.toSeq))
+    }: _*)
+    val cids = typedLit(sorted.map(_._1))
+    df.withColumn("__da", dists)
+      .withColumn("cid",
+        coalesce(
+          element_at(cids, array_position(col("__da"), array_min(col("__da"))).cast("int")),
+          lit(sorted.head._1)))
+      .drop("__da")
+  }
+
+  /** L2 Lloyd refinement ([[refineCentroids]] with [[assignToCentroidsL2]]
+    * assignment): per-dim member means CAST TO FLOAT, empty cells keep
+    * their previous centroid — the k-means PQ codebooks are built from. */
+  def refineCentroidsL2(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int
+  ): Seq[(Long, Array[Float])] = {
+    GraftFunctions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var centroids: Seq[(Long, Array[Float])] = df.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])].collect().toSeq
+    var it = 0
+    while (it < iters) {
+      val means = assignToCentroidsL2(df, vecCol, centroids)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy(col("cid"), col("__pos"))
+        .agg(avg(col("__v")).as("__m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      centroids = centroids.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+      it += 1
+    }
+    centroids
+  }
+
+  /** PQ codebooks: the vector space splits into `m` contiguous subspaces of
+    * `dim/m` dims; each gets its own `k`-centroid codebook, L2-Lloyd-
+    * refined `iters` rounds from the deterministic first-`k`-ids seeding
+    * ([[refineCentroidsL2]] on the sliced column). With `m` codes of
+    * `k` centroids a vector stores in `m·log2(k)` bits instead of
+    * `dim·32` — the memory/shuffle path that makes billion-vector ANN fit
+    * (IVF partitions the search, PQ shrinks the payload; this engine
+    * provides both halves of the classic IVF+PQ recipe). */
+  def pqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int
+  ): Seq[Seq[(Long, Array[Float])]] = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    (0 until m).map { j =>
+      val sub = df.select(col(idCol),
+        expr(s"slice($vecCol, ${j * subDim + 1}, $subDim)").as("__sub"))
+      refineCentroidsL2(sub, idCol, "__sub", k, iters)
+    }
+  }
+
+  /** Encode vectors to PQ codes: per subspace, the id of the nearest
+    * codebook centroid ([[assignToCentroidsL2]]'s shuffle-free expression
+    * argmin on the sliced column) lands in `code_j`. Output carries the id
+    * and the `m` code columns only — the compressed representation a
+    * billion-vector index actually stores. */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      codebooks: Seq[Seq[(Long, Array[Float])]]
+  ): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    var out = df
+    codebooks.zipWithIndex.foreach { case (cb, j) =>
+      out = assignToCentroidsL2(
+        out.withColumn("__sub", expr(s"slice($vecCol, ${j * subDim + 1}, $subDim)")),
+        "__sub", cb)
+        .withColumnRenamed("cid", s"code_$j")
+        .drop("__sub")
+    }
+    out.select(col(idCol) +: (0 until m).map(j => col(s"code_$j")): _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the probe's squared-L2
+    * distance to every codebook centroid is precomputed DRIVER-SIDE
+    * (`m·k` doubles — the classic ADC lookup tables), and each encoded
+    * vector's approximate distance is the sum of `m` map lookups on its
+    * codes: a pure per-row expression, no vector math per candidate, then
+    * `TakeOrdered(k)`. The scan reads codes only — at a billion vectors
+    * that is `m` bytes/row instead of `dim·4`.
+    *
+    * Sequential-fold arithmetic throughout (driver loop ≡ DuckDB
+    * `list_reduce` ≡ IEEE left fold) so the distances are engine-exact and
+    * the whole path oracle-checkable. */
+  def pqAdcTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      probeId: Long,
+      k: Int,
+      m: Int = 2,
+      kcent: Int = 4,
+      iters: Int = 1
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val codebooks = pqCodebooks(df, idCol, vecCol, dim, m, kcent, iters)
+    val encoded = pqEncode(df, idCol, vecCol, dim, codebooks)
+    val probe = df.filter(col(idCol) === probeId)
+      .select(col(vecCol)).as[Array[Float]].head()
+    // ADC tables: left-fold squared-L2 of the probe subvector vs each
+    // centroid, in index order — bit-identical to the oracle's list_reduce
+    def sqDist(q: Array[Float], c: Array[Float], off: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) {
+        val d = q(off + i).toDouble - c(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    val dist = codebooks.zipWithIndex.map { case (cb, j) =>
+      val table = cb.map { case (cid, cv) => cid -> sqDist(probe, cv, j * subDim) }.toMap
+      element_at(typedLit(table), col(s"code_$j"))
+    }.reduce(_ + _)
+    encoded
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), dist.cast("decimal(16,12)").as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
 }

@@ -1660,6 +1660,56 @@ object ExtensionQueries {
            |  CAST(1 + (mean_rank_x100 > t25)::INT + (mean_rank_x100 > t50)::INT
            |         + (mean_rank_x100 > t75)::INT AS INT) AS bucket
            |FROM s, t ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Product quantization ADC top-k: m=2 subspace codebooks (L2 Lloyd,
+    // deterministic seeding), code assignment by squared-L2 argmin, probe
+    // scored by additive distance-table lookups. The oracle replays BOTH
+    // subspace Lloyd rounds and the fold arithmetic exactly — squared L2
+    // decomposes additively across subspaces, which is the whole trick.
+    QueryDef(
+      "q105_pq_adc_topk",
+      (s, dir) =>
+        canonOut(Similarity.pqAdcTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, probeId = 0L, k = 10, m = 2, kcent = 4, iters = 1)),
+      Some {
+        def sq(x: String, y: String) =
+          s"""list_reduce(list_transform(range(32),
+             |  i -> ($x[i+1]::DOUBLE - $y[i+1]::DOUBLE) * ($x[i+1]::DOUBLE - $y[i+1]::DOUBLE)),
+             |  (p,q) -> p + q)""".stripMargin
+        // one L2-Lloyd round for subspace j over slice [lo:hi] (1-based)
+        def subspace(j: Int, lo: Int, hi: Int) =
+          s"""cb${j}0 AS (SELECT vec_id AS cid, embedding[$lo:$hi] AS cv
+             |  FROM embeddings ORDER BY vec_id LIMIT 4),
+             |asg${j}0 AS (SELECT vec_id, sub, cid FROM (
+             |    SELECT e.vec_id, e.embedding[$lo:$hi] AS sub, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${sq(s"e.embedding[$lo:$hi]", "c.cv")} ASC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN cb${j}0 c)
+             |  WHERE rn = 1),
+             |m${j} AS (SELECT cid, i, CAST(avg(sub[i+1]::DOUBLE) AS REAL) AS mv
+             |  FROM asg${j}0, (SELECT unnest(range(32)) AS i) ix GROUP BY cid, i),
+             |n${j} AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m${j} GROUP BY cid),
+             |cb${j}1 AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM cb${j}0 c LEFT JOIN n${j} n USING (cid)),
+             |code${j} AS (SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${sq(s"e.embedding[$lo:$hi]", "c.cv")} ASC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN cb${j}1 c)
+             |  WHERE rn = 1),
+             |dt${j} AS (SELECT c.cid, ${sq(s"p.pv[$lo:$hi]", "c.cv")} AS d
+             |  FROM cb${j}1 c, (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p)""".stripMargin
+        s"""WITH ${subspace(0, 1, 32)},
+           |${subspace(1, 33, 64)},
+           |r AS (SELECT c0.vec_id, CAST(d0.d + d1.d AS DECIMAL(16,12)) AS dist
+           |  FROM code0 c0
+           |  JOIN code1 c1 USING (vec_id)
+           |  JOIN dt0 d0 ON c0.cid = d0.cid
+           |  JOIN dt1 d1 ON c1.cid = d1.cid
+           |  WHERE c0.vec_id <> 0)
+           |SELECT vec_id, CAST(dist AS VARCHAR) AS adc_dist
+           |FROM r ORDER BY dist, vec_id LIMIT 10""".stripMargin
+      }
     )
   )
 }

@@ -1153,6 +1153,54 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(2L) == ((3L, 1L + 2L + 3L, 200L)))           // 1+2+3=6, mean 200
   }
 
+  test("product quantization: L2 codebooks, code compression, ADC retrieval") {
+    import spark.implicits._
+    // two obvious clusters per subspace: first half of dims near e0 or e1,
+    // second half near e2 or e3 — 4 combined "quadrants"
+    def vec(a: Int, b: Int, j: Int): Array[Float] = {
+      val v = Array.fill(8)(0f)
+      v(a) = 1f; v(4 + b) = 1f
+      v(2) = 0.01f * j // small within-cluster jitter
+      v
+    }
+    // quadrant order (0,0),(1,1),(0,1),(1,0) puts BOTH clusters of each
+    // subspace among the first two ids, so the deterministic first-k
+    // seeding starts one centroid in each (id = j*4 + quadrant)
+    val quads = Seq((0, 0), (1, 1), (0, 1), (1, 0))
+    val pts = (for ((qd, q) <- quads.zipWithIndex; j <- 0 until 10)
+      yield (j * 4 + q).toLong -> vec(qd._1, qd._2, j)).toSeq
+    val df = pts.toDF("vec_id", "embedding")
+    // L2 assignment: brute-force check on the fixture
+    val cents = Seq(0L -> vec(0, 0, 0), 1L -> vec(1, 1, 0))
+    val assigned = graft.operators.Similarity.assignToCentroidsL2(df, "embedding", cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    def sq(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; for (i <- x.indices) { val d = x(i).toDouble - y(i).toDouble; s += d * d }; s
+    }
+    pts.foreach { case (id, v) =>
+      val want = cents.minBy { case (cid, cv) => (sq(v, cv), cid) }._1
+      assert(assigned(id) == want, s"vec $id assigned ${assigned(id)}, brute force $want")
+    }
+    // codebooks: m=2 subspaces, k=2 centroids each, correct shapes
+    val cbs = graft.operators.Similarity.pqCodebooks(df, "vec_id", "embedding",
+      dim = 8, m = 2, k = 2, iters = 2)
+    assert(cbs.length == 2 && cbs.forall(cb => cb.length == 2 && cb.forall(_._2.length == 4)))
+    // codes: every vector's code is a codebook cid; same-quadrant vectors
+    // share codes (the compression actually clusters)
+    val enc = graft.operators.Similarity.pqEncode(df, "vec_id", "embedding", 8, cbs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(enc.values.toSet.size == 4, s"expected 4 distinct codes, got ${enc.values.toSet}")
+    for (q <- 0 to 3) {
+      val ids = (0 until 10).map(j => (j * 4 + q).toLong)
+      assert(ids.map(enc).toSet.size == 1, s"quadrant $q should share one code")
+    }
+    // ADC top-k: neighbors of probe 0 are its own quadrant (ids 4,8,...,36)
+    val top = graft.operators.Similarity.pqAdcTopK(df, "vec_id", "embedding",
+      dim = 8, probeId = 0L, k = 9, m = 2, kcent = 2, iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == (1 to 9).map(j => (j * 4).toLong).toSet, s"ADC top-9 was $top")
+  }
+
   test("embedding norm audit flags degenerate and exploding vectors") {
     val df = Seq(
       (1L, Array(0.6f, 0.8f)),   // norm 1.0 -> in band
