@@ -546,4 +546,73 @@ object Similarity {
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
   }
+
+  /** The composed IVF+PQ search — the canonical billion-scale ANN recipe
+    * with both halves from this engine: an L2 coarse quantizer prunes the
+    * corpus to the `nprobe` nearest inverted lists (~`nlist/nprobe`×
+    * candidate reduction), and PQ ADC scores only the survivors (one map
+    * lookup per code). Coarse centroids default to the deterministic
+    * first-`nlist` seeding (`coarseIters` adds L2 Lloyd rounds); PQ
+    * codebooks train on the full corpus once (standard practice — train
+    * offline, reuse per query). Probe-to-list selection happens on the
+    * driver over the already-driver-side centroid table (`nlist` rows).
+    * Codes here are computed on the raw vectors, not coarse residuals —
+    * the residual variant sharpens recall at equal bits but is otherwise
+    * identical plumbing. */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      probeId: Long,
+      k: Int,
+      nlist: Int = 4,
+      nprobe: Int = 2,
+      m: Int = 2,
+      kcent: Int = 4,
+      pqIters: Int = 1,
+      coarseIters: Int = 0
+  ): DataFrame = {
+    require(nprobe > 0 && nprobe <= nlist, "need 0 < nprobe <= nlist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val coarse: Seq[(Long, Array[Float])] =
+      if (coarseIters <= 0)
+        df.orderBy(col(idCol)).limit(nlist)
+          .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+          .collect().toSeq
+      else refineCentroidsL2(df, idCol, vecCol, nlist, coarseIters)
+    val probe = df.filter(col(idCol) === probeId)
+      .select(col(vecCol)).as[Array[Float]].head()
+    def sqDist(q: Array[Float], c: Array[Float], off: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) {
+        val d = q(off + i).toDouble - c(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    // nprobe nearest coarse lists — driver arithmetic over nlist rows that
+    // are already driver-side (ties to the smaller cid, same convention)
+    val probeLists = coarse
+      .map { case (cid, cv) => (sqDist(probe, cv, 0), cid) }
+      .sorted.take(nprobe).map(_._2)
+    val candidates = assignToCentroidsL2(df, vecCol, coarse)
+      .filter(col("cid").isInCollection(probeLists))
+      .drop("cid")
+    val codebooks = pqCodebooks(df, idCol, vecCol, dim, m, kcent, pqIters)
+    val encoded = pqEncode(candidates, idCol, vecCol, dim, codebooks)
+    val dist = codebooks.zipWithIndex.map { case (cb, j) =>
+      val table = cb.map { case (cid, cv) => cid -> sqDist(probe, cv, j * subDim) }.toMap
+      element_at(typedLit(table), col(s"code_$j"))
+    }.reduce(_ + _)
+    encoded
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), dist.cast("decimal(16,12)").as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
 }

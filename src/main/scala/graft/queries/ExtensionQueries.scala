@@ -1710,6 +1710,68 @@ object ExtensionQueries {
            |SELECT vec_id, CAST(dist AS VARCHAR) AS adc_dist
            |FROM r ORDER BY dist, vec_id LIMIT 10""".stripMargin
       }
+    ),
+
+    // The composed IVF+PQ search: L2 coarse quantizer prunes to nprobe
+    // inverted lists, PQ ADC scores the survivors. Oracle replays the
+    // coarse assignment, probe-list selection, both subspace Lloyds, and
+    // the additive lookup arithmetic.
+    QueryDef(
+      "q106_ivfpq_topk",
+      (s, dir) =>
+        canonOut(Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, probeId = 0L, k = 10, nlist = 4, nprobe = 2,
+          m = 2, kcent = 4, pqIters = 1, coarseIters = 0)),
+      Some {
+        def sq(n: Int, x: String, y: String) =
+          s"""list_reduce(list_transform(range($n),
+             |  i -> ($x[i+1]::DOUBLE - $y[i+1]::DOUBLE) * ($x[i+1]::DOUBLE - $y[i+1]::DOUBLE)),
+             |  (p,q) -> p + q)""".stripMargin
+        def subspace(j: Int, lo: Int, hi: Int) =
+          s"""cb${j}0 AS (SELECT vec_id AS cid, embedding[$lo:$hi] AS cv
+             |  FROM embeddings ORDER BY vec_id LIMIT 4),
+             |asg${j}0 AS (SELECT vec_id, sub, cid FROM (
+             |    SELECT e.vec_id, e.embedding[$lo:$hi] AS sub, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${sq(32, s"e.embedding[$lo:$hi]", "c.cv")} ASC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN cb${j}0 c)
+             |  WHERE rn = 1),
+             |m${j} AS (SELECT cid, i, CAST(avg(sub[i+1]::DOUBLE) AS REAL) AS mv
+             |  FROM asg${j}0, (SELECT unnest(range(32)) AS i) ix GROUP BY cid, i),
+             |n${j} AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m${j} GROUP BY cid),
+             |cb${j}1 AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM cb${j}0 c LEFT JOIN n${j} n USING (cid)),
+             |code${j} AS (SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${sq(32, s"e.embedding[$lo:$hi]", "c.cv")} ASC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN cb${j}1 c)
+             |  WHERE rn = 1),
+             |dt${j} AS (SELECT c.cid, ${sq(32, s"p.pv[$lo:$hi]", "c.cv")} AS d
+             |  FROM cb${j}1 c, probe p)""".stripMargin
+        s"""WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+           |coarse AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+           |pl AS (SELECT cid FROM (
+           |    SELECT c.cid, ${sq(64, "p.pv", "c.cv")} AS d FROM coarse c, probe p)
+           |  ORDER BY d, cid LIMIT 2),
+           |casg AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sq(64, "e.embedding", "c.cv")} ASC, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN coarse c)
+           |  WHERE rn = 1),
+           |cand AS (SELECT vec_id FROM casg JOIN pl USING (cid)),
+           |${subspace(0, 1, 32)},
+           |${subspace(1, 33, 64)},
+           |r AS (SELECT c0.vec_id, CAST(d0.d + d1.d AS DECIMAL(16,12)) AS dist
+           |  FROM code0 c0
+           |  JOIN cand USING (vec_id)
+           |  JOIN code1 c1 USING (vec_id)
+           |  JOIN dt0 d0 ON c0.cid = d0.cid
+           |  JOIN dt1 d1 ON c1.cid = d1.cid
+           |  WHERE c0.vec_id <> 0)
+           |SELECT vec_id, CAST(dist AS VARCHAR) AS adc_dist
+           |FROM r ORDER BY dist, vec_id LIMIT 10""".stripMargin
+      }
     )
   )
 }

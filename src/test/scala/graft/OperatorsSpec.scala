@@ -1199,6 +1199,13 @@ class OperatorsSpec extends SparkTestBase {
       dim = 8, probeId = 0L, k = 9, m = 2, kcent = 2, iters = 2)
       .collect().map(_.getLong(0)).toSet
     assert(top == (1 to 9).map(j => (j * 4).toLong).toSet, s"ADC top-9 was $top")
+    // composed IVF+PQ: ids 0-3 are one per quadrant, so the first-nlist
+    // coarse seeding puts one list per quadrant; nprobe=1 restricts the
+    // candidates to the probe's own quadrant before ADC even runs
+    val ivfpq = graft.operators.Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      dim = 8, probeId = 0L, k = 9, nlist = 4, nprobe = 1, m = 2, kcent = 2, pqIters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivfpq == (1 to 9).map(j => (j * 4).toLong).toSet, s"IVF+PQ top-9 was $ivfpq")
   }
 
   test("embedding norm audit flags degenerate and exploding vectors") {
