@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer — the real token counter behind context-
+  * window packing and token-budget curation (the whitespace and regex
+  * counts in [[TextAnalysis]] approximate it; packing 100 TB against a
+  * model's ACTUAL vocabulary needs the merge-table form).
+  *
+  * Scale split, mirroring practice: TRAINING is a bounded-sample,
+  * driver-side greedy merge loop (vocabularies are trained once, offline,
+  * on samples — every public tokenizer does this); ENCODING is the hot
+  * path and runs distributed: merges broadcast as a rank map, each
+  * document encoded independently in `mapPartitions` — embarrassingly
+  * parallel, no shuffle, no per-row driver contact.
+  *
+  * Determinism: the trainer breaks pair-frequency ties lexicographically
+  * and the encoder always applies the LOWEST-RANK applicable merge first
+  * (standard BPE semantics) — same corpus in, same vocabulary and same
+  * token stream out, on any partitioning.
+  *
+  * Counter values are whitespace-word-internal (merges never cross word
+  * boundaries), the classic word-BPE formulation. */
+object Bpe {
+
+  /** Train `numMerges` merges on up to `sampleDocs` documents (collected —
+    * the documented bounded sample). Returns merges in rank order. */
+  def train(df: DataFrame, textCol: String, numMerges: Int, sampleDocs: Int = 10000): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val texts = df.select(col(textCol)).as[String]
+      .filter((s: String) => s != null && s.nonEmpty)
+      .limit(sampleDocs).collect()
+    // word -> frequency, words as symbol sequences (single chars initially)
+    var words: Map[Vector[String], Long] = texts.iterator
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .map(w => w.map(_.toString).toVector)
+      .foldLeft(Map.empty[Vector[String], Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    val merges = Vector.newBuilder[(String, String)]
+    var it = 0
+    var done = false
+    while (it < numMerges && !done) {
+      val pairCounts = words.iterator.flatMap { case (syms, n) =>
+        syms.iterator.zip(syms.iterator.drop(1)).map(p => p -> n)
+      }.foldLeft(Map.empty[(String, String), Long]) { case (m, (p, n)) =>
+        m.updated(p, m.getOrElse(p, 0L) + n)
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // most frequent pair, ties lexicographic — fully deterministic
+        val best = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val (x, y) = best
+        val xy = x + y
+        words = words.map { case (syms, n) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) { out += xy; i += 2 }
+            else { out += syms(i); i += 1 }
+          }
+          out.result() -> n
+        }.foldLeft(Map.empty[Vector[String], Long]) { case (m, (w, n)) =>
+          m.updated(w, m.getOrElse(w, 0L) + n)
+        }
+        it += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode one word with a rank map: repeatedly apply the lowest-rank
+    * applicable merge (leftmost occurrence first) until none applies. */
+  private[graft] def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var hit = true
+    while (hit && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestIdx = i }
+        }
+        i += 1
+      }
+      if (bestIdx < 0) hit = false
+      else syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++ syms.drop(bestIdx + 2)
+    }
+    syms
+  }
+
+  /** Distributed encode: per-document BPE token count and the token list —
+    * merges broadcast as a rank map, `mapPartitions`, shuffle-free. */
+  def encodeTokens(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { case (id, text) =>
+          val toks =
+            if (text == null) Vector.empty[String]
+            else text.split("\\s+").iterator.filter(_.nonEmpty)
+              .flatMap(w => encodeWord(w, r)).toVector
+          (id, toks.length.toLong, toks)
+        }
+      }
+      .toDF(idCol, "n_bpe_tokens", "bpe_tokens")
+  }
+}

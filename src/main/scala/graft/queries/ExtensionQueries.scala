@@ -1772,6 +1772,24 @@ object ExtensionQueries {
            |SELECT vec_id, CAST(dist AS VARCHAR) AS adc_dist
            |FROM r ORDER BY dist, vec_id LIMIT 10""".stripMargin
       }
+    ),
+
+    // Real BPE token counting: merges trained deterministically on the
+    // corpus sample, encode distributed via broadcast rank map. No SQL
+    // engine can replay the iterative merge loop — like q05, the driver
+    // records the weaker rows-only check; the algebraic gates (exact
+    // merges on a hand-computed corpus, losslessness, rank-first encode
+    // order, determinism) live in OperatorsSpec.
+    QueryDef(
+      "q107_bpe_tokens",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Bpe.train(docs, "text", numMerges = 30)
+        Bpe.encodeTokens(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      None
     )
   )
 }

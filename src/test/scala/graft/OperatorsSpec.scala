@@ -1208,6 +1208,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(ivfpq == (1 to 9).map(j => (j * 4).toLong).toSet, s"IVF+PQ top-9 was $ivfpq")
   }
 
+  test("bpe: deterministic merges, lowest-rank-first encode, lossless concat") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // low x3 + lower: (l,o) and (o,w) tie at 4 -> lexicographic picks (l,o);
+    // then (lo,w)=4; then (e,r) vs (low,e) tie at 1 -> (e,r); then (low,er)
+    val corpus = Seq((1L, "low low lower"), (2L, "low")).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, "text", numMerges = 10)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")))
+    // train is deterministic across invocations
+    assert(Bpe.train(corpus, "text", numMerges = 10) == merges)
+    // encode: learned words collapse to single tokens; novel word "lowly"
+    // gets the applicable prefix merges only
+    val enc = Bpe.encodeTokens(
+      Seq((1L, "low lower lowly"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    assert(enc(1L)._2 == Seq("low", "lower", "low", "l", "y"))
+    assert(enc(1L)._1 == 5L)
+    assert(enc(2L) == ((0L, Seq())))
+    // losslessness: tokens of each word concatenate back to the word
+    val words = "lowering slowest wallflower".split(" ")
+    words.foreach { w =>
+      assert(Bpe.encodeWord(w, merges.zipWithIndex.toMap).mkString == w)
+    }
+    // rank order beats left-to-right greed: for "lower" the (e,r) merge
+    // (rank 2) must not be pre-empted by scanning order once (low,er)
+    // exists -- the final token is the single "lower"... which requires
+    // (low, er), which requires BOTH (lo,w)-chain and (e,r) first
+    assert(Bpe.encodeWord("lower", merges.zipWithIndex.toMap) == Vector("lower"))
+  }
+
   test("embedding norm audit flags degenerate and exploding vectors") {
     val df = Seq(
       (1L, Array(0.6f, 0.8f)),   // norm 1.0 -> in band
