@@ -85,6 +85,32 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
     read(table)
   }
 
+  /** Compact a committed snapshot to `targetFiles` files — the small-file
+    * management every long-lived Parquet lake needs: a snapshot written by
+    * a 1000-task job carries 1000 files; every later comparison pays 1000
+    * opens/footer reads. Rewrite goes through the same tmp + rename +
+    * marker protocol as [[snapshot]], so a killed compaction can never
+    * tear the original (the source directory is replaced only after the
+    * compacted copy fully commits). `coalesce` (not `repartition`) — a
+    * pure merge, no shuffle of the data. */
+  def compact(table: String, targetFiles: Int): DataFrame = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    snapshot(read(table).coalesce(targetFiles), table)
+  }
+
+  /** Retention GC: delete committed run directories under `rootDir` whose
+    * last modification is older than `maxAgeMillis` — the reference drops
+    * its diff schema per run (diff_flow.py:271-275); long-lived stores
+    * (`--keep-snapshots`) need the janitor form. The CURRENT run's dir is
+    * never dropped. Returns the dropped run ids. */
+  def gc(maxAgeMillis: Long, now: Long = System.currentTimeMillis()): Seq[String] = {
+    val root = new java.io.File(rootDir)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName != sanitize(runId))
+      .filter(f => now - f.lastModified() > maxAgeMillis)
+      .map { f => deleteRecursively(f); f.getName }
+  }
+
   /** Drop the catalog entries created by bucketed snapshots. */
   def dropTable(table: String): Unit = {
     val qualified = s"${SnapshotStore.sanitize(runId)}_${SnapshotStore.sanitize(table)}"

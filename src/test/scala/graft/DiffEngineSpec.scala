@@ -184,6 +184,30 @@ class DiffEngineSpec extends SparkTestBase {
     } finally store.drop()
   }
 
+  test("snapshot compaction merges small files atomically; gc drops expired runs") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_compact_").toString
+    val store = new graft.engine.SnapshotStore(spark, dir, "compact_test")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").repartition(8)
+    val n = orders.count()
+    store.snapshot(orders, "t")
+    def parquetFiles(t: String) =
+      Paths.get(store.runDir, t).toFile.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles("t") == 8)
+    val compacted = store.compact("t", targetFiles = 2)
+    assert(parquetFiles("t") <= 2 && compacted.count() == n)
+    // still committed (marker survived the rewrite) and readable
+    assert(store.read("t").count() == n)
+    // gc: an expired foreign run dir is dropped, the current run is not
+    val old = Paths.get(dir, "stale_run")
+    Files.createDirectories(old)
+    old.toFile.setLastModified(System.currentTimeMillis() - 100000)
+    val dropped = store.gc(maxAgeMillis = 50000)
+    assert(dropped == Seq("stale_run") && !Files.exists(old))
+    assert(Files.exists(Paths.get(store.runDir)))
+    store.drop()
+  }
+
   test("partitioned snapshots prune to the filtered partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val store = new graft.engine.SnapshotStore(spark, dir, "part_test")
