@@ -349,6 +349,66 @@ object TextAnalysis {
           .otherwise(expr("sum_rank * 100 div n_tokens").cast("long")))
   }
 
+  /** N-gram language-model table: for every (n−1)-token prefix, the top-`k`
+    * next tokens with counts — the classic count-based LM / autocomplete /
+    * contamination-probe artifact a corpus pipeline materializes. Pure
+    * relational shape: explode n-grams (per-row generate), count per
+    * (prefix, next), rank within prefix (count DESC, token ASC — fully
+    * deterministic), keep k. The rank window benefits from the same
+    * map-side WindowGroupLimit prune as every top-k-per-group here. */
+  def ngramModel(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2, "need n >= 2 (a prefix and a next token)")
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(tokens(textCol).as("__toks"))
+      .filter(size(col("__toks")) >= n) // sequence() must not see a negative end
+      .select(explode(expr(
+        s"""transform(sequence(0, size(__toks) - $n),
+           |  i -> named_struct(
+           |    'prefix', array_join(slice(__toks, i + 1, ${n - 1}), ' '),
+           |    'next', element_at(__toks, i + $n)))""".stripMargin)).as("g"))
+      .select(col("g.prefix"), col("g.next"))
+    val counted = grams.groupBy("prefix", "next").agg(count(lit(1)).as("cnt"))
+    counted
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("prefix")).orderBy(col("cnt").desc, col("next").asc)))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank").cast("long").as("rank"), col("next"), col("cnt"))
+  }
+
+  /** Compression-ratio quality signal: `deflated bytes ×100 / raw bytes`
+    * per document (UTF-8, `java.util.zip.Deflater` level 6) — the
+    * RedPajama/CCNet-style repetition detector: boilerplate and template
+    * spam compress far below prose. Real compression in shuffle-free
+    * `mapPartitions` (one Deflater reused per partition); the engine-
+    * specific byte stream means no SQL oracle — the ordering property
+    * (repetitive ≪ prose ≪ random) is spec-gated. Empty/null text → null
+    * ratio. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          if (text == null || text.isEmpty) (id, None: Option[Long], None: Option[Long])
+          else {
+            val raw = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished()) compressed += deflater.deflate(buf)
+            (id, Some(raw.length.toLong), Some(compressed * 100L / raw.length))
+          }
+        }
+      }
+      .toDF(idCol, "raw_bytes", "compression_pct")
+  }
+
   /** Per-source ingest quality report — the monitoring aggregate a corpus
     * pipeline runs on every batch: document and token mass per source plus
     * the Gopher-gate pass rate, all integer (rate in basis points). One

@@ -1790,6 +1790,37 @@ object ExtensionQueries {
           .orderBy("doc_id")
       },
       None
+    ),
+
+    // Count-based bigram LM table: top-3 next tokens per prefix with
+    // counts — the autocomplete / contamination-probe artifact. Pure
+    // relational: generate, count, rank (map-side WindowGroupLimit prune).
+    QueryDef(
+      "q108_bigram_model",
+      (s, dir) =>
+        TextAnalysis.ngramModel(t(s, dir, "documents"), "text", n = 2, k = 3)
+          .orderBy("prefix", "rank"),
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+           |pairs AS (SELECT unnest(list_transform(range(greatest(len(t) - 1, 0)),
+           |    i -> struct_pack(prefix := t[i+1], nxt := t[i+2]))) AS g FROM toks),
+           |c AS (SELECT g.prefix AS prefix, g.nxt AS "next", CAST(count(*) AS BIGINT) AS cnt
+           |      FROM pairs GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY prefix ORDER BY cnt DESC, "next" ASC) AS rank
+           |      FROM c)
+           |SELECT prefix, CAST(rank AS BIGINT) AS rank, "next", cnt
+           |FROM r WHERE rank <= 3 ORDER BY prefix, rank""".stripMargin)
+    ),
+
+    // Compression-ratio quality signal (RedPajama/CCNet-style repetition
+    // detector): real Deflater bytes — engine-specific stream, so like
+    // q05/q107 the driver records the rows-only check; the ordering
+    // property (repetitive << prose << incompressible) is spec-gated.
+    QueryDef(
+      "q109_compression_ratio",
+      (s, dir) =>
+        TextAnalysis.compressionRatio(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      None
     )
   )
 }

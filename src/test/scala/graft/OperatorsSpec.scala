@@ -1239,6 +1239,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(Bpe.encodeWord("lower", merges.zipWithIndex.toMap) == Vector("lower"))
   }
 
+  test("ngram model: prefix-ranked next tokens; short docs skipped") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "x")).toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.ngramModel(docs, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // bigrams: (a,b) x2, (b,a), (b,c); doc 2 has no bigram
+    assert(m.toSet == Set(("a", 1L, "b", 2L), ("b", 1L, "a", 1L), ("b", 2L, "c", 1L)))
+    // trigram form: prefix is the joined (n-1)-gram; k=1 keeps the
+    // tie-broken winner ("a" < "c") per prefix
+    val t3 = graft.operators.TextAnalysis.ngramModel(docs, "text", n = 3, k = 1)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSet
+    assert(t3 == Set(("a b", "a", 1L), ("b a", "b", 1L)), s"got $t3")
+  }
+
+  test("compression ratio orders repetitive < prose < incompressible") {
+    import spark.implicits._
+    val rep = "spam spam spam spam " * 100
+    val prose = "The engine compares two relations and reports added, removed and " +
+      "changed rows with per-column profiles and drift summaries for analysts. " * 5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rand = (1 to 60).map { i =>
+      md.digest(s"seed$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.mkString(" ")
+    val df = Seq((1L, rep), (2L, prose), (3L, rand), (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    assert(r(1L).get < r(2L).get && r(2L).get < r(3L).get,
+      s"expected rep < prose < random, got $r")
+    assert(r(1L).get < 10) // template spam compresses to almost nothing
+    assert(r(4L).isEmpty && r(5L).isEmpty)
+  }
+
   test("embedding norm audit flags degenerate and exploding vectors") {
     val df = Seq(
       (1L, Array(0.6f, 0.8f)),   // norm 1.0 -> in band
