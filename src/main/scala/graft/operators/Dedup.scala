@@ -284,6 +284,104 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
+  /** Duplicated-span coverage — the exact-substring-dedup SIGNAL: slide a
+    * token window of `n` over every document, count each n-gram's distinct-
+    * document frequency corpus-wide, and report per document how many of
+    * its windows also occur elsewhere. `dup_pct_x100` is the "fraction of
+    * the doc covered by text that exists verbatim in another doc" number
+    * that suffix-array substring dedup thresholds on; computing it with
+    * sliding n-gram hashes instead of a suffix array keeps the plan
+    * relational: explode → count → join back, every stage a linear hash
+    * shuffle, no global ordering anywhere.
+    *
+    * The n-grams shuffle as md5 hashes (16 bytes however long the span
+    * is), and the count table is filtered to `freq >= 2` BEFORE the join
+    * back, so the join's build side holds only actually-duplicated grams —
+    * on a mostly-novel corpus that's a small fraction of the gram volume
+    * (and a candidate for a broadcast under AQE). Docs shorter than `n`
+    * tokens have no windows: reported with `n_grams = 0` and null pct. */
+  def duplicatedSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    // CASE-guard: sequence(0, len-n) with len < n would generate a
+    // DESCENDING sequence (Spark defaults step to -1), not an empty one;
+    // short docs must instead surface one null gram via explode_outer
+    val grams = df
+      .withColumn("__t", expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
+      .select(col(idCol), explode_outer(expr(
+        s"""CASE WHEN size(__t) < $n THEN cast(null as array<string>)
+           |ELSE transform(sequence(0, size(__t) - $n),
+           |  i -> md5(array_join(slice(__t, i + 1, $n), ' '))) END""".stripMargin))
+        .as("__gh"))
+    val dupGrams = grams.filter(col("__gh").isNotNull)
+      .groupBy(col("__gh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__gh"), lit(1).as("__dup"))
+    grams.join(dupGrams, Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__gh").isNotNull, 1L).otherwise(0L)).cast("long").as("n_grams"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long").as("dup_grams"))
+      .withColumn("dup_pct_x100",
+        when(col("n_grams") === 0, lit(null).cast("long"))
+          .otherwise(expr("dup_grams * 10000 div n_grams").cast("long")))
+  }
+
+  /** Bloom-prefiltered incremental ingest dedup — [[dedupAgainstCorpus]]
+    * semantics at a fraction of its shuffle. The corpus's content hashes
+    * are folded into a Bloom filter (`DataFrameStatFunctions.bloomFilter`:
+    * a distributed, MERGEABLE aggregation — each partition builds a local
+    * sketch, the driver ORs them), the batch is prefiltered map-side
+    * against the broadcast sketch, and only the bloom-POSITIVE rows (true
+    * dups + an `fpp` sliver of false positives) reach the exact confirm
+    * anti-join. Bloom-negative rows are *definitively* fresh — a Bloom
+    * filter has no false negatives — so the typical new-crawl batch where
+    * most content is novel skips the join almost entirely.
+    *
+    * Exactly equal output to [[dedupAgainstCorpus]] (the confirm join
+    * removes every false positive), so the q94 oracle doubles as this
+    * operator's oracle. Scale: at 100 TB the sketch is built ONCE per
+    * corpus epoch and reused across every arriving batch (persist
+    * `BloomFilter.writeTo`), amortizing the one corpus scan; per batch the
+    * only work is a map-side membership probe plus a join whose left side
+    * is ~`dup_rate + fpp` of the batch. ~10 bits/item at fpp=1%: a
+    * 10-billion-doc corpus fits a ~12 GiB broadcast, and tighter budgets
+    * just raise `fpp` — correctness never depends on it. */
+  def dedupAgainstCorpusBloom(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      contentCol: String,
+      expectedCorpusItems: Long,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(expectedCorpusItems > 0, "expectedCorpusItems must be positive")
+    // upper bound 0.5 keeps the derived numBits >= 1 for any n >= 1
+    // (Spark rejects a zero-bit sketch) — and a looser-than-coinflip bloom
+    // is pointless anyway
+    require(fpp > 0 && fpp <= 0.5, s"fpp must be in (0, 0.5], got $fpp")
+    val spark = batch.sparkSession
+    val seen = corpus.select(md5(col(contentCol)).as("__h")).distinct()
+    val bloom = seen.stat.bloomFilter("__h", expectedCorpusItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val maybeSeen = udf((h: String) => bc.value.mightContainString(h))
+    val hashed = batch.withColumn("__h", md5(col(contentCol)))
+    // negatives bypass the join (no false negatives exist); positives get
+    // the exact confirm so fpp affects cost only, never the answer
+    val fresh = hashed.filter(!maybeSeen(col("__h")))
+      .unionByName(hashed.filter(maybeSeen(col("__h"))).join(seen, Seq("__h"), "left_anti"))
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
   /** SemDedup-style semantic dedup: block by COARSE CLUSTER (nearest of
     * `nlist` centroids by cosine, deterministic tie-break) and verify with
     * exact cosine inside each cell — the published cluster-then-prune

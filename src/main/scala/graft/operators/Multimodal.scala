@@ -138,6 +138,105 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) over REAL decoded P6 pixels: NN-sample
+    * a `grid`×`grid` thumbnail (same ⌊x·W/grid⌋ mapping as [[resizePpm]]),
+    * take each cell's integer brightness r+g+b (0..765), floor-mean over
+    * the cells, and set bit `y·grid+x` when the cell is strictly brighter
+    * than the mean. All integer arithmetic — the hash is bit-identical
+    * across engines, unlike float-mean formulations. A near-duplicate
+    * image (re-encode, slight crop, brightness-preserving noise) flips few
+    * bits, so Hamming distance on the 64-bit hash is the standard image
+    * near-dup key. None on any decode failure. */
+  def aHashPpm(bytes: Array[Byte], grid: Int = 8): Option[Long] = {
+    require(grid > 0 && grid <= 8, "grid must be 1..8 (bits must fit a Long)")
+    ppmHeader(bytes).map { case (w, h, pos) =>
+      val cells = grid * grid
+      val gray = new Array[Int](cells)
+      var sum = 0L
+      var y = 0
+      while (y < grid) {
+        val sy = (y.toLong * h / grid).toInt
+        var x = 0
+        while (x < grid) {
+          val sx = (x.toLong * w / grid).toInt
+          val j = pos + 3 * (sy * w + sx)
+          val g = (bytes(j) & 0xff) + (bytes(j + 1) & 0xff) + (bytes(j + 2) & 0xff)
+          gray(y * grid + x) = g
+          sum += g
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum / cells // floor — integer-exact on both engines
+      var hash = 0L
+      var i = 0
+      while (i < cells) {
+        if (gray(i) > mean) hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+  }
+
+  /** [[aHashPpm]] as a DataFrame pass — shuffle-free `mapPartitions` like
+    * every decoder here. The 64-bit hash is surfaced as two unsigned
+    * 32-bit halves (`ahash_hi`/`ahash_lo`): cross-engine oracles can
+    * rebuild bit 63 without BIGINT overflow, and either half doubles as a
+    * coarse bucket key. Null payload / failed decode → null halves. */
+  def ppmAHash(df: DataFrame, idCol: String, payloadCol: String, grid: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val h = aHashPpm(payload, grid)
+        (id, h.map(v => v >>> 32), h.map(v => v & 0xffffffffL))
+      })
+      .toDF(idCol, "ahash_hi", "ahash_lo")
+  }
+
+  /** Image near-dup candidate pairs by BANDED Hamming distance on aHash:
+    * split the 64-bit hash into four 16-bit bands; any pair within Hamming
+    * distance 3 of each other must agree on at least one whole band
+    * (pigeonhole: 3 flipped bits can dirty at most 3 of 4 bands), so a
+    * group-by per band generates a complete candidate set, and an exact
+    * `bit_count(xor)` verifies. The same band→bucket→verify plan as
+    * MinHash-LSH: linear shuffle on (band, value) keys, `maxBucket` caps
+    * any degenerate bucket (e.g. the all-zero hash of blank images), no
+    * all-pairs join anywhere. */
+  def ahashNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 64
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3, "banded scheme covers Hamming 0..3")
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    val withHash = hashes
+      .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+      // bitwise rebuild — a multiply-add would ANSI-overflow for hashes
+      // with bit 63 set (hi >= 2^31)
+      .withColumn("__ah", expr("shiftleft(ahash_hi, 32) | ahash_lo"))
+    val bands = withHash.select(col(idCol).as("__id"), col("__ah"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'v', (__ah >> (b * 16)) & 65535))"))
+        .as("g"))
+      .select(col("__id"), col("__ah"), col("g.band"), col("g.v"))
+    val capped = bands
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("v")).orderBy(col("__id"))))
+      .filter(col("__rn") <= maxBucket)
+    val a = capped.select(col("band"), col("v"), col("__id").as("id_a"), col("__ah").as("__ha"))
+    val b = capped.select(col("band"), col("v"), col("__id").as("id_b"), col("__ah").as("__hb"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("cast(bit_count(__ha ^ __hb) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
   /** Extended per-image stats from a REAL decode pass: dimensions plus
     * per-channel min/max and total brightness — the feature-extraction
     * shape a training-data pipeline computes per image, all integers for

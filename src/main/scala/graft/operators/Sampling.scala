@@ -65,6 +65,22 @@ object Sampling {
     (df.filter(b < 100 - holdoutPct), df.filter(b >= 100 - holdoutPct))
   }
 
+  /** Three-way train/val/test assignment on the same key hash: bucket
+    * [0, 100−valPct−testPct) → train, then val, then test — every key lands
+    * in exactly one split, forever, across runs/engines/partitionings. A
+    * pure map expression (no shuffle, no RNG); downstream writers filter on
+    * `split`, so the assignment column is also the natural partition column
+    * for a `partitionBy("split")` export. */
+  def threeWaySplit(df: DataFrame, keyCol: String, valPct: Int, testPct: Int): DataFrame = {
+    require(valPct > 0 && testPct > 0 && valPct + testPct < 100,
+      s"val/test must be positive and sum below 100, got $valPct/$testPct")
+    val b = bucketOf(keyCol)
+    df.withColumn("split",
+      when(b < 100 - valPct - testPct, lit("train"))
+        .when(b < 100 - testPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Quality-weighted deterministic sampling: keep a row with probability
     * `weight/maxWeight`, decided by the row's key hash — the soft
     * alternative to a hard quality cutoff (a doc scoring 80 keeps 80% of

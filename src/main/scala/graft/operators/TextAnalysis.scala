@@ -349,6 +349,68 @@ object TextAnalysis {
           .otherwise(expr("sum_rank * 100 div n_tokens").cast("long")))
   }
 
+  /** BM25 keyword retrieval: score every document against a small fixed
+    * query-term set (Robertson/Okapi BM25, the log-idf formulation
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)`) and keep the top `k` — the
+    * retrieval primitive a curation pipeline uses for targeted corpus
+    * slices ("all docs about X") and contamination probes.
+    *
+    * Scale shape: ONE corpus-stats aggregate (N, Σdl, and one df counter
+    * per query term — a single 1-row reduction, no per-term passes)
+    * broadcast back via a 1-row crossJoin; per-doc tf/score is then a pure
+    * map expression and the only ordering work is the TakeOrdered top-k.
+    * The corpus never shuffles. Query terms are bounded (≤16) because each
+    * adds one counter to the stats row and one `size(filter(...))` to the
+    * map stage.
+    *
+    * Engine parity: every arithmetic step is IEEE +,-,*,/ on exactly-
+    * representable inputs (bit-identical across engines); `ln` is the one
+    * libm call and can differ by 1 ulp on ~0.1% of df values, so callers
+    * hash-comparing across engines should render the score at ≤4 decimal
+    * places (a 1-ulp input flips a 4-decimal rounding with probability
+    * ~1e-12 per value). The per-term sum is written as an explicit
+    * left-associated chain — never a float SUM() whose order could vary
+    * with partitioning. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: String = "1.2",
+      b: String = "0.75"
+  ): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16, "1..16 query terms")
+    require(k > 0, "k must be positive")
+    val base = df.select(col(idCol), tokens(textCol).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    val statAggs =
+      Seq(count(lit(1)).cast("double").as("__n"), sum(col("__dl")).as("__sumdl")) ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("__toks"), t), 1.0d).otherwise(0.0d)).as(s"__df$i")
+        }
+    val stats = base.agg(statAggs.head, statAggs.drop(1): _*)
+    val withTf = queryTerms.zipWithIndex.foldLeft(base.crossJoin(broadcast(stats))) {
+      case (acc, (t, i)) =>
+        val esc = t.replace("\\", "\\\\").replace("'", "\\'")
+        acc.withColumn(s"__tf$i",
+          expr(s"cast(size(filter(__toks, x -> x = '$esc')) as double)"))
+    }
+    // textual shape mirrored by the DuckDB oracle (bm25DuckScore) so both
+    // engines evaluate the identical IEEE expression tree
+    val perTerm = queryTerms.indices.map { i =>
+      s"(ln((__n - __df$i + 0.5) / (__df$i + 0.5) + 1.0) * " +
+        s"(__tf$i * ($k1 + 1.0)) / (__tf$i + $k1 * (1.0 - $b + $b * (__dl / (__sumdl / __n)))))"
+    }
+    val anyTf = queryTerms.indices.map(i => s"__tf$i").mkString(" + ")
+    withTf
+      .filter(expr(s"($anyTf) > 0"))
+      .withColumn("score", expr(perTerm.mkString(" + ")).cast("decimal(16,4)"))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** N-gram language-model table: for every (n−1)-token prefix, the top-`k`
     * next tokens with counts — the classic count-based LM / autocomplete /
     * contamination-probe artifact a corpus pipeline materializes. Pure
@@ -375,6 +437,43 @@ object TextAnalysis {
         Window.partitionBy(col("prefix")).orderBy(col("cnt").desc, col("next").asc)))
       .filter(col("rank") <= k)
       .select(col("prefix"), col("rank").cast("long").as("rank"), col("next"), col("cnt"))
+  }
+
+  /** Count-LM fluency score — [[rarityScore]] lifted from unigrams to the
+    * [[ngramModel]] table: every document's adjacent n-grams are looked up
+    * in the corpus LM and scored by the model RANK of the observed
+    * continuation (1 = the most likely next token, `k+1` = not in the
+    * model's top-k). Mean rank ×100, integer — fluent in-distribution text
+    * scores near 100, shuffled/garbled/foreign text scores near
+    * `(k+1)*100`, which is exactly the perplexity-shaped signal a pipeline
+    * thresholds on, with NO float log-prob to break cross-engine hashing.
+    *
+    * Scale shape: the model is a bounded aggregate (≤ k rows per distinct
+    * prefix); doc grams join it on (prefix, next) — one hash shuffle each
+    * side, both linear. The model side arrives pre-aggregated so the join
+    * never amplifies. Docs with fewer than `n` tokens get no grams and are
+    * absent from the output (nothing to score). */
+  def lmFluencyScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 10): DataFrame = {
+    require(n >= 2, "need n >= 2")
+    require(k > 0, "k must be positive")
+    val model = ngramModel(df, textCol, n, k).select(col("prefix"), col("next"), col("rank"))
+    val grams = df
+      .select(col(idCol), tokens(textCol).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__toks) - $n),
+           |  i -> named_struct(
+           |    'prefix', array_join(slice(__toks, i + 1, ${n - 1}), ' '),
+           |    'next', element_at(__toks, i + $n)))""".stripMargin)).as("g"))
+      .select(col(idCol), col("g.prefix"), col("g.next"))
+    grams.join(model, Seq("prefix", "next"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("rank").isNotNull, 1L).otherwise(0L)).cast("long").as("in_model"),
+        sum(coalesce(col("rank"), lit((k + 1).toLong))).cast("long").as("sum_rank"))
+      .withColumn("mean_rank_x100", expr("sum_rank * 100 div n_grams").cast("long"))
   }
 
   /** Compression-ratio quality signal: `deflated bytes ×100 / raw bytes`

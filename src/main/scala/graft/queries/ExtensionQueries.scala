@@ -1821,6 +1821,154 @@ object ExtensionQueries {
         TextAnalysis.compressionRatio(t(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id"),
       None
+    ),
+
+    // Bloom-prefiltered incremental dedup: identical semantics (and
+    // oracle) to q94's exact anti-join — the sketch changes the COST
+    // shape (bloom-negative batch rows never reach the join), never the
+    // answer, which is exactly what this gate proves.
+    QueryDef(
+      "q110_dedup_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val replay = docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val novel = docs.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text"))
+        val novelDup = novel.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val batch = replay.unionByName(novel).unionByName(novelDup)
+        Dedup.dedupAgainstCorpusBloom(batch, docs, "doc_id", "text",
+          expectedCorpusItems = 20000L, fpp = 0.01)
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT md5(text) AS h FROM documents GROUP BY 1),
+             |replay AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3),
+             |novel AS (SELECT doc_id + 2000000 AS doc_id, text || ' fresh' AS text FROM documents WHERE doc_id % 10 = 4),
+             |novel2 AS (SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text FROM documents WHERE doc_id % 10 = 4),
+             |batch AS (SELECT * FROM replay UNION ALL SELECT * FROM novel UNION ALL SELECT * FROM novel2),
+             |fresh AS (SELECT b.doc_id, md5(b.text) AS h FROM batch b
+             |          LEFT JOIN corpus c ON md5(b.text) = c.h WHERE c.h IS NULL),
+             |win AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM fresh)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, h AS content_hash
+             |FROM win WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+    ),
+
+    // BM25 keyword retrieval: one corpus-stats reduction broadcast back,
+    // per-doc scoring as a pure map stage, TakeOrdered top-k. Score
+    // rendered at 4 decimals — ln() is the one libm call whose last ulp
+    // can differ across engines (measured: 12 of 15000 df values), and a
+    // 1-ulp input flips a 4-decimal rounding with probability ~1e-12.
+    QueryDef(
+      "q111_bm25_topk",
+      (s, dir) =>
+        canonOut(TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "vector", "merge"), k = 25)),
+      Some {
+        val terms = Seq("spark", "vector", "merge")
+        val dfs = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN list_contains(t, '${terms(i)}') THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df$i").mkString(", ")
+        val tfs = terms.indices.map(i =>
+          s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS DOUBLE) AS tf$i").mkString(", ")
+        val score = terms.indices.map(i =>
+          s"(ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
+            s"(tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n)))))").mkString(" + ")
+        val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+           |base AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl, $dfs FROM base),
+           |tf AS (SELECT doc_id, dl, $tfs FROM base),
+           |scored AS (SELECT doc_id, CAST($score AS DECIMAL(16,4)) AS sc
+           |           FROM tf, stats WHERE ($anyTf) > 0)
+           |SELECT doc_id, CAST(sc AS VARCHAR) AS score
+           |FROM scored ORDER BY sc DESC, doc_id LIMIT 25""".stripMargin
+      }
+    ),
+
+    // Count-LM fluency: q103's rarity signal lifted to bigrams through
+    // the q108 LM table — mean model-rank of each observed continuation,
+    // unseen = k+1. Integer-exact (no float log-prob).
+    QueryDef(
+      "q112_lm_fluency",
+      (s, dir) =>
+        TextAnalysis.lmFluencyScore(t(s, dir, "documents"), "doc_id", "text", n = 2, k = 5)
+          .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+           |pairs AS (SELECT doc_id, unnest(list_transform(range(greatest(len(t) - 1, 0)),
+           |    i -> struct_pack(prefix := t[i+1], nxt := t[i+2]))) AS g FROM toks WHERE len(t) >= 2),
+           |c AS (SELECT g.prefix AS prefix, g.nxt AS nxt, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+           |model AS (SELECT prefix, nxt, rank FROM (
+           |    SELECT prefix, nxt, row_number() OVER (PARTITION BY prefix ORDER BY cnt DESC, nxt ASC) AS rank
+           |    FROM c) WHERE rank <= 5),
+           |j AS (SELECT p.doc_id, m.rank FROM pairs p
+           |      LEFT JOIN model m ON p.g.prefix = m.prefix AND p.g.nxt = m.nxt)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS in_model,
+           |       CAST(sum(COALESCE(rank, 6)) AS BIGINT) AS sum_rank,
+           |       CAST(sum(COALESCE(rank, 6)) * 100 // count(*) AS BIGINT) AS mean_rank_x100
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Duplicated-span coverage (exact-substring-dedup signal): per-doc
+    // fraction of sliding 5-token windows that occur verbatim in >= 2
+    // docs. Grams shuffle as md5 hashes; the dup-gram table is filtered
+    // to freq >= 2 BEFORE the join back.
+    QueryDef(
+      "q113_dup_spans",
+      (s, dir) =>
+        Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text", n = 5)
+          .filter(col("n_grams") > 0)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 4),
+             |    i -> md5(array_to_string(t[i+1:i+5], ' ')))) AS gh FROM toks WHERE len(t) >= 5),
+             |d AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+             |j AS (SELECT g.doc_id, CASE WHEN d.gh IS NULL THEN 0 ELSE 1 END AS dup
+             |      FROM g LEFT JOIN d ON g.gh = d.gh)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |       CAST(sum(dup) AS BIGINT) AS dup_grams,
+             |       CAST(sum(dup) * 10000 // count(*) AS BIGINT) AS dup_pct_x100
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Image perceptual hash (aHash) over REAL decoded P6 pixels — 8x8
+    // NN-sampled grid, integer brightness, strictly-above-floor-mean bits.
+    // 8x8 source dims make the NN map the identity here so the oracle
+    // stays readable; the non-square mapping is spec-exercised. The 64-bit
+    // hash surfaces as two unsigned 32-bit halves (BIGINT-safe bit 63).
+    QueryDef(
+      "q114_mm_ahash",
+      (s, dir) => {
+        val withPayload = Multimodal.withPpmPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 8, height = 8)
+        Multimodal.ppmAHash(withPayload, "doc_id", "payload", grid = 8).orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |    list_transform(range(192), b -> ascii(substr(text, CAST(b % length(text) + 1 AS INT), 1)) % 256) AS p
+             |  FROM documents),
+             |cg AS (SELECT doc_id, list_transform(range(64), j -> p[3*j+1] + p[3*j+2] + p[3*j+3]) AS gray FROM px),
+             |m AS (SELECT doc_id, gray, list_sum(gray) // 64 AS mean FROM cg)
+             |SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(32), j -> CASE WHEN gray[j+33] > mean THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS ahash_hi,
+             |  CAST(list_sum(list_transform(range(32), j -> CASE WHEN gray[j+1] > mean THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS ahash_lo
+             |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Deterministic three-way train/val/test split: pure map expression
+    // on the q61 key-hash — a key lands in one split forever.
+    QueryDef(
+      "q115_three_way_split",
+      (s, dir) =>
+        Sampling.threeWaySplit(t(s, dir, "documents"), "doc_id", valPct = 10, testPct = 10)
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -1462,6 +1462,140 @@ class OperatorsSpec extends SparkTestBase {
     assert(sorted("a") >= 3L - 7L / 3 && sorted("b") >= 3L - 7L / 3)
   }
 
+  test("bloom incremental dedup: equals the exact anti-join, survives fp-heavy sketches") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),   // replay of corpus content — must drop
+      (11L, "fresh one"),    // novel
+      (12L, "fresh one"),    // within-batch dup of 11 — min id wins
+      (13L, "fresh two")     // novel
+    ).toDF("doc_id", "text")
+    val exact = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(exact == Seq(11L, 13L))
+    val bloom = Dedup.dedupAgainstCorpusBloom(batch, corpus, "doc_id", "text",
+      expectedCorpusItems = 100L, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bloom == exact)
+    // a deliberately tiny/saturated sketch (1 item budget at the max fpp
+    // -> ~1 bit) pushes everything through the confirm join — the answer
+    // must not change
+    val saturated = Dedup.dedupAgainstCorpusBloom(batch, corpus, "doc_id", "text",
+      expectedCorpusItems = 1L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(saturated == exact)
+  }
+
+  test("bm25: term-bearing docs only, rarity beats frequency, tf monotone") {
+    val df = Seq(
+      (1L, "cat cat cat dog"),        // tf(cat)=3
+      (2L, "cat dog dog dog"),        // tf(cat)=1
+      (3L, "rare dog bird fish"),     // the only 'rare' doc
+      (4L, "bird fish bird fish")     // no query term
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("cat", "rare"), k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDecimal(1).doubleValue()).toMap
+    assert(!r.contains(4L), "doc without any query term must not be scored")
+    // 'rare' (df=1) outscores 'cat' (df=2) at equal tf and dl
+    assert(r(3L) > r(2L))
+    // higher tf of the same term at equal dl scores higher
+    assert(r(1L) > r(2L))
+  }
+
+  test("lm fluency: in-model text scores low, beyond-top-k continuations score k+1") {
+    // prefix 'a' fans out to 5 continuations; k=3 keeps b (cnt 8) then the
+    // count-1 ties c, d (token asc) — e and z fall OFF the model even
+    // though they occur in the corpus, which is the unseen path a
+    // self-trained LM can actually exercise
+    val df = ((1L to 8L).map(i => (i, "a b")) ++
+      Seq((9L, "a c"), (10L, "a d"), (11L, "a e"), (12L, "a z")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lmFluencyScore(df, "doc_id", "text", n = 2, k = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) == ((1L, 1L, 1L, 100L)))   // rank-1 continuation
+    assert(r(9L) == ((1L, 1L, 2L, 200L)))   // rank-2 (tie broken token asc)
+    assert(r(10L) == ((1L, 1L, 3L, 300L)))  // rank-3
+    assert(r(11L) == ((1L, 0L, 4L, 400L)))  // beyond top-k -> k+1
+    assert(r(12L) == ((1L, 0L, 4L, 400L)))
+    // docs shorter than n produce no output row
+    val short = TextAnalysis.lmFluencyScore(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0L)
+  }
+
+  test("duplicated spans: shared windows counted, short docs surface with zero grams") {
+    val df = Seq(
+      (1L, "one two three four five"),      // shares its only 5-gram with 2
+      (2L, "one two three four five"),
+      (3L, "six seven eight nine ten"),     // unique 5-gram
+      (4L, "tiny")                          // shorter than n
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpanStats(df, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(r(1L) == ((1L, 1L, Some(10000L))))
+    assert(r(2L) == ((1L, 1L, Some(10000L))))
+    assert(r(3L) == ((1L, 0L, Some(0L))))
+    assert(r(4L) == ((0L, 0L, None)))
+  }
+
+  test("ahash: golden bits, non-square NN mapping, corrupt payloads, hamming pairs") {
+    // hand-computed golden: 2x2 image, grid 2 (identity map). Pixels'
+    // gray values 3, 6, 9, 300 -> sum 318, mean 79 -> only cell 3 above
+    def ppm(px: Array[Int]): Array[Byte] =
+      ("P6\n2 2\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte))
+    val g = Multimodal.aHashPpm(ppm(Array(1, 1, 1, 2, 2, 2, 3, 3, 3, 100, 100, 100)), grid = 2)
+    assert(g.contains(8L)) // bit 3 only
+    // non-square source through a 2x2 grid: 4x2 image, NN samples columns 0
+    // and 2 of each row — bright pixels placed at sampled vs skipped
+    // positions must flip the hash
+    val sampled = Multimodal.aHashPpm(ppm2(4, 2, bright = Set(0, 2)), grid = 2)
+    val skipped = Multimodal.aHashPpm(ppm2(4, 2, bright = Set(1, 3)), grid = 2)
+    assert(sampled.get != skipped.get)
+    // corrupt: truncated pixel data and bad magic decode to None -> null row
+    assert(Multimodal.aHashPpm("P6\n8 8\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.aHashPpm("P5\n1 1\n255\n abc".getBytes("US-ASCII")).isEmpty)
+    val hashed = Multimodal.ppmAHash(
+      Seq((1L, ppm(Array.fill(12)(7))), (2L, null.asInstanceOf[Array[Byte]]))
+        .toDF("doc_id", "payload"), "doc_id", "payload", grid = 2)
+    assert(hashed.filter(col("ahash_lo").isNull).count() == 1L)
+    // hamming pairs: identical hashes pair at distance 0; 1-bit-off pairs
+    // at distance 1; far hashes don't pair
+    val hs = Seq(
+      (1L, 0L, 255L), (2L, 0L, 255L),        // identical
+      (3L, 0L, 254L),                        // hamming 1 from 1/2
+      (4L, 0xffffffffL, 0L)                  // far from all
+    ).toDF("doc_id", "ahash_hi", "ahash_lo")
+    val pairs = Multimodal.ahashNearDupPairs(hs, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  private def ppm2(w: Int, h: Int, bright: Set[Int]): Array[Byte] =
+    (s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+      (0 until w * h).flatMap(i => { val v = if (bright(i)) 200 else 0; Seq(v, v, v) })
+        .map(_.toByte).toArray)
+
+  test("three-way split: exhaustive, disjoint, deterministic, matches holdout hash") {
+    val df = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val r = Sampling.threeWaySplit(df, "doc_id", valPct = 10, testPct = 10)
+    assert(r.count() == 500L)
+    val byS = r.groupBy("split").count().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS.values.sum == 500L)
+    // same hash => stable across reruns and consistent with bucketOf
+    val again = Sampling.threeWaySplit(df, "doc_id", 10, 10)
+    assert(r.select("doc_id", "split").except(again.select("doc_id", "split")).count() == 0L)
+    // every key's bucket decides its split: spot-check the boundary algebra
+    val joined = r.withColumn("b", Sampling.bucketOf("doc_id")).collect()
+    joined.foreach { row =>
+      val b = row.getAs[Long]("b"); val s = row.getAs[String]("split")
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == want, s"bucket $b -> $s, want $want")
+    }
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
