@@ -332,6 +332,110 @@ object Dedup {
           .otherwise(expr("dup_grams * 10000 div n_grams").cast("long")))
   }
 
+  /** Cross-doc duplicated-span SCRUB — the action [[duplicatedSpanStats]]
+    * signals: every token covered by any sliding `n`-token window that
+    * occurs verbatim in `minDocs`+ distinct documents is cut, and the
+    * survivors re-join in order. This is the relational form of exact-
+    * substring dedup's "remove the duplicated substring" step: flag
+    * duplicated window STARTS (gram-hash count ≥ minDocs), expand each
+    * start to its `n` covered token positions (a generate, ≤ n× the
+    * flagged starts, then distinct — overlapping windows collapse), and
+    * anti-join the doc's (position, token) stream against the covered set.
+    * Every stage is a linear hash shuffle on either the gram hash or the
+    * doc id; nothing is ever quadratic in corpus size.
+    *
+    * Docs shorter than `n` tokens have no windows and pass through whole;
+    * a fully-covered doc survives with `kept_tokens = 0` and empty text
+    * (callers typically drop those rows next). Whitespace is normalized to
+    * single spaces by tokenization, like [[removeBoilerplateSpans]]. */
+  def scrubDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Long = 2L
+  ): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    require(minDocs >= 2, "minDocs below 2 would scrub every token")
+    val toks = df
+      .withColumn("__t", expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
+      .select(col(idCol), col("__t"), size(col("__t")).cast("long").as("n_tokens"))
+    val grams = toks.filter(size(col("__t")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__t) - $n), i -> md5(array_join(slice(__t, i + 1, $n), ' ')))"))
+        .as(Seq("i", "gh")))
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gh")
+    val covered = grams.join(dup, Seq("gh"))
+      .select(col(idCol), explode(expr(s"sequence(i, i + ${n - 1})")).as("j"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("__t")).as(Seq("j", "tok")))
+      .join(covered, Seq(idCol, "j"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(j, tok))), x -> x.tok)"), " ")
+          .as("__ct"))
+    // restore fully-scrubbed (and token-less) docs: they must surface with
+    // zero kept tokens, not vanish
+    toks.select(col(idCol), col("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__kept"), lit(0L)).cast("long").as("kept_tokens"),
+        coalesce(col("__ct"), lit("")).as("clean_text"))
+  }
+
+  /** Per-eval-document contamination fraction: the share of an eval doc's
+    * sliding `n`-token windows that occur verbatim ANYWHERE in the
+    * training corpus — the standard benchmark-decontamination report
+    * ([[crossOverlapPairs]] names the offending train docs; this scores
+    * each eval doc). The train side collapses to a DISTINCT gram-hash set
+    * before the join, so the join's build side is bounded by train's
+    * distinct-gram count regardless of duplication, and the eval side —
+    * typically thousands of times smaller — drives the output. At corpus
+    * scale the distinct train-gram set is the natural thing to persist
+    * across eval suites (or fold into a Bloom sketch for a lossy-but-tiny
+    * variant à la [[dedupAgainstCorpusBloom]]).
+    *
+    * Eval docs shorter than `n` tokens report `n_grams = 0` (nothing to
+    * match, not evidence of cleanliness). */
+  def evalOverlapStats(
+      evalDf: DataFrame,
+      trainDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    def gramsOf(d: DataFrame) = d
+      .withColumn("__t", expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__t) - $n), i -> md5(array_join(slice(__t, i + 1, $n), ' ')))"))
+        .as("gh"))
+    val trainGrams = gramsOf(trainDf).select("gh").distinct()
+      .withColumn("__hit", lit(1))
+    val scored = gramsOf(evalDf)
+      .join(trainGrams, Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("hit_grams"))
+      .withColumn("contaminated_pct_x100",
+        expr("hit_grams * 10000 div n_grams").cast("long"))
+    // short eval docs surface with zero grams
+    evalDf
+      .select(col(idCol),
+        size(expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')")).as("__len"))
+      .filter(col("__len") < n)
+      .select(col(idCol), lit(0L).as("n_grams"), lit(0L).as("hit_grams"),
+        lit(0L).as("contaminated_pct_x100"))
+      .unionByName(scored)
+  }
+
   /** Bloom-prefiltered incremental ingest dedup — [[dedupAgainstCorpus]]
     * semantics at a fraction of its shuffle. The corpus's content hashes
     * are folded into a Bloom filter (`DataFrameStatFunctions.bloomFilter`:

@@ -468,6 +468,173 @@ object Multimodal {
       .toDF(idCol, "sample_rate", "n_samples", "s_min", "s_max", "abs_sum")
   }
 
+  /** Signal-level audio features over the same REAL RIFF/WAVE parse:
+    * zero-crossing count (strict sign change between consecutive samples —
+    * zeros neither cross nor reset) and total energy Σs² — the two
+    * integer-exact features a speech/music/noise triage computes before
+    * any model sees the audio. 16-bit samples keep Σs² under 2^31·n, so a
+    * Long holds clips of any realistic length. Same malformed→null
+    * contract and shuffle-free `mapPartitions` shape as [[wavFeatures]]. */
+  def wavSignalFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Some(f) =>
+            // re-walk the verified payload for the signal pass (decodeWav
+            // established well-formedness; offsets are re-derived cheaply)
+            val sig = wavSignal(bytes)
+            (id, Option(f.sampleRate), Option(f.nSamples),
+              Option(sig._1), Option(sig._2))
+          case None =>
+            (id, None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "sample_rate", "n_samples", "zero_crossings", "energy_sum")
+  }
+
+  /** (zeroCrossings, energySum) over a payload [[decodeWav]] accepted. */
+  private def wavSignal(bytes: Array[Byte]): (Long, Long) = {
+    def ascii4(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    def leU32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    var pos = 12
+    var off = -1; var sz = 0
+    while (off < 0 && pos + 8 <= bytes.length) {
+      val size = leU32(pos + 4).toInt
+      if (ascii4(pos) == "data") { off = pos + 8; sz = size }
+      pos = pos + 8 + size + (size & 1)
+    }
+    var i = off; val end = off + sz
+    var prev = 0; var zc = 0L; var energy = 0L; var first = true
+    while (i < end) {
+      val s = ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)).toShort.toInt
+      if (!first && prev * s < 0) zc += 1
+      energy += s.toLong * s
+      prev = s; first = false
+      i += 2
+    }
+    (zc, energy)
+  }
+
+  // ---- images: BMP (real-world format) ---------------------------------
+
+  /** Decoded BMP features: channel sums plus the TOP row's brightness —
+    * the orientation probe: BMP stores rows bottom-up, so a decoder that
+    * forgets to flip reports the wrong top row. */
+  final case class BmpStats(
+      width: Int, height: Int, nPixels: Long,
+      rSum: Long, gSum: Long, bSum: Long, topRowBright: Long)
+
+  /** REAL decoder for the classic uncompressed 24-bit BMP: 'BM' file
+    * header, BITMAPINFOHEADER (40+ bytes honored via its own size field),
+    * bottom-up row order, BGR channel order, rows padded to 4-byte
+    * boundaries — every quirk a real .bmp from a Windows tool carries.
+    * Returns None for anything else (top-down/negative height, palettes,
+    * 16/32-bit, RLE compression, truncated pixel data): malformed →
+    * null feature rows, never task failures. */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpStats] = {
+    if (bytes == null || bytes.length < 54) return None
+    def leU16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def leU32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    def leI32(p: Int): Int = leU32(p).toInt
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = leU32(10)
+    val headerSize = leU32(14)
+    val w = leI32(18); val h = leI32(22)
+    val planes = leU16(26); val bitCount = leU16(28); val compression = leU32(30)
+    if (headerSize < 40 || planes != 1 || bitCount != 24 || compression != 0) return None
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 3) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOffset < 54 || dataOffset + rowSize.toLong * h > bytes.length) return None
+    val base = dataOffset.toInt
+    var rSum = 0L; var gSum = 0L; var bSum = 0L; var top = 0L
+    var row = 0
+    while (row < h) {
+      // stored row `row` is image row (h-1-row): bottom-up
+      val p0 = base + row * rowSize
+      val isTop = row == h - 1
+      var x = 0
+      while (x < w) {
+        val p = p0 + 3 * x
+        val b = bytes(p) & 0xff; val g = bytes(p + 1) & 0xff; val r = bytes(p + 2) & 0xff
+        bSum += b; gSum += g; rSum += r
+        if (isTop) top += r + g + b
+        x += 1
+      }
+      row += 1
+    }
+    Some(BmpStats(w, h, w.toLong * h, rSum, gSum, bSum, top))
+  }
+
+  /** Synthesize a deterministic 24-bit BMP from text: the 3·w·h pixel
+    * bytes (STORED order — bottom-up rows, BGR) cycle through the text's
+    * code points mod 256, padding bytes zero — the BMP twin of
+    * [[encodePpmFromText]], so both engines derive expected features from
+    * the text alone. */
+  def encodeBmpFromText(text: String, width: Int, height: Int): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
+    var k = 0 // index over PIXEL bytes only — padding stays zero
+    var row = 0
+    while (row < height) {
+      var x = 0
+      while (x < width * 3) {
+        out.put(54 + row * rowSize + x,
+          (if (cps.isEmpty) 0 else cps(k % cps.length) & 0xff).toByte)
+        k += 1
+        x += 1
+      }
+      row += 1
+    }
+    out.array()
+  }
+
+  /** Attach a synthesized BMP payload column (see [[encodeBmpFromText]]). */
+  def withBmpPayload(df: DataFrame, idCol: String, textCol: String,
+      width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, encodeBmpFromText(text, width, height)) }
+      .toDF(idCol, "payload")
+  }
+
+  /** Decode BMP payloads into per-image features — shuffle-free
+    * `mapPartitions` like every decoder here; malformed → null rows. */
+  def bmpStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeBmp(bytes) match {
+          case Some(s) =>
+            (id, Option(s.width), Option(s.height), Option(s.nPixels),
+              Option(s.rSum), Option(s.gSum), Option(s.bSum), Option(s.topRowBright))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "width", "height", "n_pixels", "r_sum", "g_sum", "b_sum", "top_row_bright")
+  }
+
   // ---- images: PNG (real-world format) ---------------------------------
 
   final case class PngStats(

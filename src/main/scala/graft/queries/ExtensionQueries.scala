@@ -1955,6 +1955,113 @@ object ExtensionQueries {
              |FROM m ORDER BY doc_id""".stripMargin)
     ),
 
+    // Cross-doc duplicated-span scrub: the ACTION q113 signals — cut
+    // every token covered by a 5-token window occurring in >= 2 docs,
+    // rejoin survivors in order. Fully-scrubbed docs surface with zero
+    // kept tokens rather than vanishing.
+    QueryDef(
+      "q116_scrub_dup_spans",
+      (s, dir) =>
+        orderedOut(Dedup.scrubDuplicatedSpans(t(s, dir, "documents"),
+          "doc_id", "text", n = 5, minDocs = 2), "doc_id"),
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+             |g AS (SELECT doc_id, unnest(range(len(w) - 4)) AS i, w FROM d WHERE len(w) >= 5),
+             |gh AS (SELECT doc_id, i, md5(array_to_string(w[i+1:i+5], ' ')) AS h FROM g),
+             |dup AS (SELECT h FROM gh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (SELECT DISTINCT gh.doc_id, gh.i + u.u AS j
+             |        FROM gh JOIN dup USING (h), (SELECT unnest(range(5)) AS u) u),
+             |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS j FROM d),
+             |keep AS (SELECT t.doc_id, t.tok, t.j FROM tok t
+             |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j WHERE c.doc_id IS NULL),
+             |agg AS (SELECT doc_id, count(*) AS kept, string_agg(tok, ' ' ORDER BY j) AS ct
+             |        FROM keep GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+             |       CAST(COALESCE(a.kept, 0) AS BIGINT) AS kept_tokens,
+             |       COALESCE(a.ct, '') AS clean_text
+             |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Benchmark decontamination report: per-eval-doc share of 5-token
+    // windows found verbatim in the train split. Eval = the held-out
+    // tenth plus verbatim replays of train docs (known-contaminated
+    // positives); train grams collapse to a DISTINCT hash set pre-join.
+    QueryDef(
+      "q117_eval_overlap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val train = docs.filter(col("doc_id") % 10 =!= 7)
+        val evalDf = docs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 2)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Dedup.evalOverlapStats(evalDf, train, "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+             |            UNION ALL
+             |            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 2),
+             |trw AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+             |        FROM documents WHERE doc_id % 10 <> 7),
+             |tg0 AS (SELECT unnest(range(len(w) - 4)) AS i, w FROM trw WHERE len(w) >= 5),
+             |tg AS (SELECT DISTINCT md5(array_to_string(w[i+1:i+5], ' ')) AS h FROM tg0),
+             |evw AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM ev),
+             |eg0 AS (SELECT doc_id, unnest(range(len(w) - 4)) AS i, w FROM evw WHERE len(w) >= 5),
+             |eg AS (SELECT doc_id, md5(array_to_string(w[i+1:i+5], ' ')) AS h FROM eg0),
+             |sc AS (SELECT e.doc_id, count(*) AS n_grams,
+             |              sum(CASE WHEN t.h IS NULL THEN 0 ELSE 1 END) AS hits
+             |       FROM eg e LEFT JOIN tg t USING (h) GROUP BY e.doc_id)
+             |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(hits AS BIGINT) AS hit_grams,
+             |       CAST(hits * 10000 // n_grams AS BIGINT) AS contaminated_pct_x100
+             |FROM sc
+             |UNION ALL
+             |SELECT doc_id, 0, 0, 0 FROM evw WHERE len(w) < 5
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // REAL 24-bit BMP decode: bottom-up rows, BGR order, 4-byte row
+    // padding. 8-wide payloads make rowSize = 24 (no padding) so the
+    // oracle's byte indexing stays linear; the padded + corrupt cases are
+    // spec-exercised. top_row_bright proves the bottom-up flip: the top
+    // image row lives in the LAST stored row.
+    QueryDef(
+      "q118_mm_bmp_decode",
+      (s, dir) => {
+        val withPayload = Multimodal.withBmpPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 8, height = 5)
+        Multimodal.bmpStats(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |    list_transform(range(120), b -> ascii(substr(text, CAST(b % length(text) + 1 AS INT), 1)) % 256) AS p
+             |  FROM documents)
+             |SELECT doc_id, CAST(8 AS INT) AS width, CAST(5 AS INT) AS height,
+             |       CAST(40 AS BIGINT) AS n_pixels,
+             |       CAST(list_sum(list_transform(range(40), k -> p[3*k+3])) AS BIGINT) AS r_sum,
+             |       CAST(list_sum(list_transform(range(40), k -> p[3*k+2])) AS BIGINT) AS g_sum,
+             |       CAST(list_sum(list_transform(range(40), k -> p[3*k+1])) AS BIGINT) AS b_sum,
+             |       CAST(list_sum(list_transform(range(24), o -> p[97+o])) AS BIGINT) AS top_row_bright
+             |FROM px ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Signal-level audio features on the REAL RIFF/WAVE parse: strict
+    // sign-change zero crossings + total energy, both integer-exact; the
+    // oracle replays the q90 generator math.
+    QueryDef(
+      "q119_wav_signal",
+      (s, dir) => {
+        val withPayload = Multimodal.withWavPayload(
+          t(s, dir, "documents"), "doc_id", "text", nSamples = 256, sampleRate = 8000)
+        Multimodal.wavSignalFeatures(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some("""WITH smp AS (SELECT doc_id,
+             |  list_transform(range(256),
+             |    j -> ((ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) * 131 + 7*j) % 65536 - 32768) AS s
+             |  FROM documents)
+             |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(256 AS BIGINT) AS n_samples,
+             |       CAST(list_sum(list_transform(range(255), i -> CASE WHEN s[i+1] * s[i+2] < 0 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+             |       CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy_sum
+             |FROM smp ORDER BY doc_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1596,6 +1596,103 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("scrub duplicated spans: covered tokens cut, short docs pass whole, full scrub keeps row") {
+    val df = Seq(
+      (1L, "a b c d e tail1"),   // 5-gram "a b c d e" shared with 2
+      (2L, "a b c d e tail2"),
+      (3L, "u v w x y z"),       // no shared window
+      (4L, "tiny doc"),          // shorter than n -> passes whole
+      (5L, "a b c d e"),         // nothing but the shared window -> fully scrubbed
+      (6L, "")                   // no tokens at all
+    ).toDF("doc_id", "text")
+    val r = Dedup.scrubDuplicatedSpans(df, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((6L, 1L, "tail1")))
+    assert(r(2L) == ((6L, 1L, "tail2")))
+    assert(r(3L) == ((6L, 6L, "u v w x y z")))
+    assert(r(4L) == ((2L, 2L, "tiny doc")))
+    assert(r(5L) == ((5L, 0L, "")))
+    assert(r(6L) == ((0L, 0L, "")))
+    // overlapping windows collapse: doc 1's positions 0..4 are covered by
+    // ONE flagged start, not five — kept_tokens already proves no
+    // double-cutting, and stats/scrub agree on what counts as duplicated
+    val stats = Dedup.duplicatedSpanStats(df, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(stats(1L) == 1L && stats(3L) == 0L)
+  }
+
+  test("eval overlap: replayed docs fully contaminated, novel docs zero, partial counted") {
+    val train = Seq(
+      (1L, "one two three four five six"),
+      (2L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "one two three four five six"),        // verbatim replay: 2 grams, both hit
+      (11L, "totally novel words appear here now"),// clean
+      (12L, "one two three four five NEW TOKENS"), // first window hits, rest don't
+      (13L, "too short")                           // < n tokens
+    ).toDF("doc_id", "text")
+    val r = Dedup.evalOverlapStats(eval_, train, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(10L) == ((2L, 2L, 10000L)))
+    assert(r(11L) == ((2L, 0L, 0L)))
+    assert(r(12L) == ((3L, 1L, 3333L)))
+    assert(r(13L) == ((0L, 0L, 0L)))
+  }
+
+  test("bmp decode: golden channel sums, bottom-up top row, padding, corrupt payloads") {
+    // 2x2 image: rows padded 6 -> 8 bytes. Image rows top-down:
+    //   top:    (r=1,g=2,b=3) (r=4,g=5,b=6)
+    //   bottom: (r=7,g=8,b=9) (r=10,g=11,b=12)
+    // stored bottom-up BGR: row0 = bottom = 9,8,7, 12,11,10, pad,pad
+    val header = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0,
+      0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val pixels = Array[Int](9, 8, 7, 12, 11, 10, 0, 0, /* bottom row + pad */
+      3, 2, 1, 6, 5, 4, 0, 0 /* top row + pad */ )
+    val bmp = (header ++ pixels).map(_.toByte)
+    val s = Multimodal.decodeBmp(bmp).get
+    assert((s.width, s.height, s.nPixels) == ((2, 2, 4L)))
+    assert((s.rSum, s.gSum, s.bSum) == ((22L, 26L, 30L)))
+    assert(s.topRowBright == 1L + 2 + 3 + 4 + 5 + 6) // the LAST stored row
+    // encodeBmpFromText roundtrip hits the same decoder on a padded width
+    val enc = Multimodal.encodeBmpFromText("abcdef", width = 3, height = 2)
+    val es = Multimodal.decodeBmp(enc).get
+    assert((es.width, es.height) == ((3, 2)))
+    // pixel bytes cycle 'a'..'f' repeatedly; padding must NOT be summed:
+    // 18 pixel bytes over cps a..f -> each letter appears 3x
+    assert(es.rSum + es.gSum + es.bSum == 3L * ('a' + 'b' + 'c' + 'd' + 'e' + 'f').toLong)
+    // corrupt: truncated pixels, palette bit depth, compressed, top-down
+    assert(Multimodal.decodeBmp(bmp.dropRight(3)).isEmpty)
+    val bad8 = bmp.clone; bad8(28) = 8; assert(Multimodal.decodeBmp(bad8).isEmpty)
+    val rle = bmp.clone; rle(30) = 1; assert(Multimodal.decodeBmp(rle).isEmpty)
+    val topDown = bmp.clone
+    // height = -2 little-endian
+    topDown(22) = 0xfe.toByte; topDown(23) = 0xff.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+    assert(Multimodal.decodeBmp(topDown).isEmpty)
+    assert(Multimodal.decodeBmp(null).isEmpty)
+  }
+
+  test("wav signal: zero crossings strict, energy exact, malformed null") {
+    // hand-built samples: +5, -3, 0, 2, -2 -> crossings at (+5,-3) and
+    // (2,-2); the 0 sample breaks the (-3 -> 2) pair into products 0,0
+    val samples = Seq(5, -3, 0, 2, -2)
+    val data = samples.flatMap(s => Seq(s & 0xff, (s >> 8) & 0xff))
+    val wav = (Seq('R', 'I', 'F', 'F').map(_.toInt) ++ Seq(36 + 10, 0, 0, 0) ++
+      Seq('W', 'A', 'V', 'E', 'f', 'm', 't', ' ').map(_.toInt) ++
+      Seq(16, 0, 0, 0, 1, 0, 1, 0, 0x40, 0x1f, 0, 0, 0x80, 0x3e, 0, 0, 2, 0, 16, 0) ++
+      Seq('d', 'a', 't', 'a').map(_.toInt) ++ Seq(10, 0, 0, 0) ++ data)
+      .map(_.toByte).toArray
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val r = Multimodal.wavSignalFeatures(df, "doc_id", "payload")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(3) == 2L) // zero_crossings
+    assert(r(1L).getLong(4) == samples.map(s => s.toLong * s).sum)
+    assert(r(2L).isNullAt(3) && r(2L).isNullAt(4))
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
