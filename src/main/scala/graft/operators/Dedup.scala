@@ -75,6 +75,26 @@ object Dedup {
       maxBucketSize: Int = 500
   ): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must divide into bands")
+    val banded = sigBands(df, idCol, textCol, numHashes, bandSize, shingleK)
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(__ids, (x, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids)), y -> struct(x as a, y as b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as(s"a_$idCol"), col("p.b").as(s"b_$idCol"))
+      .distinct()
+  }
+
+  /** Shared MinHash banding stage: shingle → 32-bit hash → per-doc
+    * signature minima → banded hashes, as (id, band_idx, band_hash) rows.
+    * One explode + one agg + one generate; the only shuffle keys on the
+    * doc id for the signature aggregate. */
+  private def sigBands(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bandSize: Int, shingleK: Int): DataFrame = {
     val numBands = numHashes / bandSize
     val hashed = df
       .select(col(idCol), explode(shingles(textCol, shingleK)).as("__sh"))
@@ -88,19 +108,49 @@ object Dedup {
       val parts = (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}").cast("string"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", parts: _*)).as("band_hash")).as(s"band_$b")
     }
-    val banded = sigs
+    sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
-    val buckets = banded
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
-    buckets
-      .select(explode(expr(
-        """flatten(transform(__ids, (x, i) ->
-          |  transform(slice(__ids, i + 2, size(__ids)), y -> struct(x as a, y as b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a").as(s"a_$idCol"), col("p.b").as(s"b_$idCol"))
+  }
+
+  /** Incremental NEAR-dup against a frozen corpus — the MinHash-LSH twin
+    * of [[dedupAgainstCorpusBloom]]'s exact check, and the op a crawl
+    * pipeline actually runs nightly: band the arriving batch, join its
+    * band hashes against the corpus's, emit (batch_id, corpus_id)
+    * candidates. The corpus side of the join is its BANDED form —
+    * `numBands` short rows per doc that at scale are computed once per
+    * corpus epoch and persisted (band_hash-bucketed), so a batch lands as
+    * one shuffle of the (tiny) batch bands against a pre-partitioned
+    * table. Corpus postings per bucket are capped (smallest ids win,
+    * deterministic) exactly like [[minHashLshPairs]]'s bucket cap: an
+    * over-common band is boilerplate, not near-dup signal.
+    *
+    * Returns DISTINCT candidate pairs; callers verify with
+    * [[jaccardPairs]]-style exact overlap when the decision is
+    * destructive. */
+  def nearDupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      shingleK: Int = 3,
+      maxPostings: Int = 500
+  ): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must divide into bands")
+    require(maxPostings >= 1, "maxPostings must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val corpusBands = sigBands(corpus, idCol, textCol, numHashes, bandSize, shingleK)
+      .withColumnRenamed(idCol, "corpus_id")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("corpus_id"))))
+      .filter(col("__rn") <= maxPostings)
+      .drop("__rn")
+    sigBands(batch, idCol, textCol, numHashes, bandSize, shingleK)
+      .withColumnRenamed(idCol, "batch_id")
+      .join(corpusBands, Seq("band_idx", "band_hash"))
+      .select(col("batch_id"), col("corpus_id"))
       .distinct()
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -2060,6 +2061,122 @@ object ExtensionQueries {
              |       CAST(list_sum(list_transform(range(255), i -> CASE WHEN s[i+1] * s[i+2] < 0 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
              |       CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy_sum
              |FROM smp ORDER BY doc_id""".stripMargin)
+    ),
+
+    // HLL CERTIFICATE — q99's scheme applied to approx_count_distinct:
+    // the sketch value itself is engine-specific (never hashable), but
+    // HLL++ at rsd=0.05 stays within 3σ = 15% of truth with overwhelming
+    // probability; the `certified` bit (|approx − exact|·20 ≤ 3·exact,
+    // integer algebra) is computed FROM the live sketch and the oracle
+    // pins 1 alongside the engine-portable exact counts.
+    QueryDef(
+      "q120_hll_certificate",
+      (s, dir) => {
+        def cert(df: DataFrame, dim: String, c: Column): DataFrame =
+          df.agg(
+            approx_count_distinct(c, 0.05).as("__a"),
+            countDistinct(c).as("exact_n"))
+            .select(lit(dim).as("dim"), col("exact_n").cast("long").as("exact_n"),
+              (abs(col("__a") - col("exact_n")) * 20 <= col("exact_n") * 3)
+                .cast("long").as("certified"))
+        val toks = t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens("text")).as("token"))
+        cert(toks, "doc_tokens", col("token"))
+          .unionByName(cert(t(s, dir, "lineitem"), "l_partkey", col("l_partkey")))
+          .unionByName(cert(t(s, dir, "orders"), "o_custkey", col("o_custkey")))
+          .orderBy("dim")
+      },
+      Some(s"""WITH a AS (SELECT 'doc_tokens' AS dim, CAST(count(DISTINCT token) AS BIGINT) AS exact_n
+             |           FROM (SELECT unnest($duckToks) AS token FROM documents)),
+             |b AS (SELECT 'l_partkey' AS dim, CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem),
+             |c AS (SELECT 'o_custkey' AS dim, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+             |SELECT dim, exact_n, CAST(1 AS BIGINT) AS certified FROM (
+             |  SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+             |ORDER BY dim""".stripMargin)
+    ),
+
+    // Image exact-dup grouping on the q114 perceptual hash: replayed docs
+    // produce byte-identical images under different ids; grouping on
+    // (hi, lo) finds them with min-id winners — the multimodal twin of
+    // q30's content dedup, one hash-key shuffle.
+    QueryDef(
+      "q121_image_dup_groups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val wide = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val hashed = Multimodal.ppmAHash(
+          Multimodal.withPpmPayload(wide, "doc_id", "text", width = 8, height = 8),
+          "doc_id", "payload", grid = 8)
+        hashed.groupBy("ahash_hi", "ahash_lo")
+          .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("keep_id"))
+          .filter(col("group_size") > 1)
+          .orderBy("keep_id")
+      },
+      Some("""WITH wide AS (SELECT doc_id, text FROM documents
+             |              UNION ALL
+             |              SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+             |px AS (SELECT doc_id,
+             |    list_transform(range(192), b -> ascii(substr(text, CAST(b % length(text) + 1 AS INT), 1)) % 256) AS p
+             |  FROM wide),
+             |cg AS (SELECT doc_id, list_transform(range(64), j -> p[3*j+1] + p[3*j+2] + p[3*j+3]) AS gray FROM px),
+             |m AS (SELECT doc_id, gray, list_sum(gray) // 64 AS mean FROM cg),
+             |h AS (SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(32), j -> CASE WHEN gray[j+33] > mean THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS ahash_hi,
+             |  CAST(list_sum(list_transform(range(32), j -> CASE WHEN gray[j+1] > mean THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS ahash_lo
+             |  FROM m)
+             |SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS group_size,
+             |       CAST(min(doc_id) AS BIGINT) AS keep_id
+             |FROM h GROUP BY ahash_hi, ahash_lo HAVING count(*) > 1
+             |ORDER BY keep_id""".stripMargin)
+    ),
+
+    // Incremental NEAR-dup against the frozen corpus: batch bands join
+    // pre-banded (cap-bounded) corpus bands — the nightly-crawl twin of
+    // q32, asymmetric by design. Batch = verbatim replays (guaranteed
+    // band hits) + one-token-appended perturbations (partial hits).
+    QueryDef(
+      "q122_near_dup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 6)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" zz")).as("text")))
+        Dedup.nearDupAgainstCorpus(batch, docs, "doc_id", "text",
+          numHashes = 8, bandSize = 2, shingleK = 3, maxPostings = 500)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some {
+        val p = Dedup.MinHashP
+        val sigs = Dedup.minHashCoeffs(8).zipWithIndex
+          .map { case ((a, b), s) => s"min((h * $a + $b) % $p) AS s$s" }.mkString(", ")
+        def bands(sig: String) = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_idx, md5(s${2 * b}::VARCHAR || ',' || s${2 * b + 1}::VARCHAR) AS band_hash FROM $sig")
+          .mkString("\n  UNION ALL ")
+        def shing(src: String) =
+          s"""SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 3, 0) + 1),
+             |         i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)""".stripMargin
+        s"""WITH batch_src AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 5
+           |                   UNION ALL
+           |                   SELECT doc_id + 2000000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id % 10 = 6),
+           |cshing AS (${shing("documents")}),
+           |bshing AS (${shing("batch_src")}),
+           |ch AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM cshing),
+           |bh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM bshing),
+           |csig AS (SELECT doc_id, $sigs FROM ch GROUP BY doc_id),
+           |bsig AS (SELECT doc_id, $sigs FROM bh GROUP BY doc_id),
+           |cband AS (${bands("csig")}),
+           |bband AS (${bands("bsig")}),
+           |ccap AS (SELECT band_idx, band_hash, doc_id AS corpus_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS rn
+           |    FROM cband) WHERE rn <= 500)
+           |SELECT DISTINCT b.doc_id AS batch_id, c.corpus_id
+           |FROM bband b JOIN ccap c USING (band_idx, band_hash)
+           |ORDER BY batch_id, corpus_id""".stripMargin
+      }
     ),
 
     // Deterministic three-way train/val/test split: pure map expression

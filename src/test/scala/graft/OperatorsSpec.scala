@@ -1693,6 +1693,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(2L).isNullAt(3) && r(2L).isNullAt(4))
   }
 
+  test("incremental near-dup: replays always hit, disjoint never, postings cap binds") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "the cat sat on the mat today"), // identical twin of 1
+      (3L, "entirely unrelated corpus content here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the cat sat on the mat today"),   // verbatim replay: every band matches 1 and 2
+      (11L, "zz qq ww ee rr tt yy")            // disjoint shingles: no candidate
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (10L, 2L)))
+    // maxPostings = 1: only the smallest corpus id survives per bucket,
+    // deterministically
+    val capped = Dedup.nearDupAgainstCorpus(batch, corpus, "doc_id", "text", maxPostings = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 1L)))
+    // the shared banding stage keeps q32 semantics: within-corpus pairs
+    // from minHashLshPairs still find the twin
+    val within = Dedup.minHashLshPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(within.contains((1L, 2L)))
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
