@@ -418,24 +418,22 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("gh")
+    // covered positions aggregate to ONE array row per affected doc
+    // (collect_set dedups overlapping windows in-agg — no separate
+    // distinct pass), so the scrub join is doc-level: the corpus's full
+    // token stream never shuffles, only flagged positions do — on a
+    // mostly-novel corpus that's a tiny fraction of the token volume
     val covered = grams.join(dup, Seq("gh"))
       .select(col(idCol), explode(expr(s"sequence(i, i + ${n - 1})")).as("j"))
-      .distinct()
-    val kept = toks
-      .select(col(idCol), posexplode(col("__t")).as(Seq("j", "tok")))
-      .join(covered, Seq(idCol, "j"), "left_anti")
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("__kept"),
-        array_join(expr("transform(array_sort(collect_list(struct(j, tok))), x -> x.tok)"), " ")
-          .as("__ct"))
-    // restore fully-scrubbed (and token-less) docs: they must surface with
-    // zero kept tokens, not vanish
-    toks.select(col(idCol), col("n_tokens"))
-      .join(kept, Seq(idCol), "left")
+      .agg(collect_set(col("j")).as("__cov"))
+    toks.join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
-        coalesce(col("__kept"), lit(0L)).cast("long").as("kept_tokens"),
-        coalesce(col("__ct"), lit("")).as("clean_text"))
+        expr("""filter(transform(__t, (x, i) -> named_struct('x', x, 'i', i)),
+               |  s -> __cov IS NULL OR NOT array_contains(__cov, s.i))""".stripMargin).as("__keep"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__keep")).cast("long").as("kept_tokens"),
+        array_join(expr("transform(__keep, s -> s.x)"), " ").as("clean_text"))
   }
 
   /** Per-eval-document contamination fraction: the share of an eval doc's

@@ -81,6 +81,32 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Token-budget curation cut: walk the corpus in `orderCol` order
+    * (callers put their quality ranking there — best first) and keep the
+    * contiguous PREFIX whose running token total stays within `budget` —
+    * "the best N-token dataset this corpus can yield", the final selection
+    * step of a budgeted pretraining mix. Prefix semantics are deliberate:
+    * once a document overflows the budget, later (worse) documents do NOT
+    * backfill the gap — a backfilling knapsack would make the cut depend
+    * on every downstream doc and lose the clean "quality threshold"
+    * interpretation.
+    *
+    * The running total is [[graft.operators.Packing.withRunningTotal]]'s
+    * two-phase distributed scan (range repartition + per-slice window +
+    * #partitions-row offset collect) — no single-task global window at any
+    * scale. `orderCol` must be unique (compose `quality·K + id`). Output
+    * keeps `cum_tokens` so the cut is auditable. */
+  def selectByTokenBudget(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    Packing.withRunningTotal(df, orderCol, tokenCol, "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Quality-weighted deterministic sampling: keep a row with probability
     * `weight/maxWeight`, decided by the row's key hash — the soft
     * alternative to a hard quality cutoff (a doc scoring 80 keeps 80% of

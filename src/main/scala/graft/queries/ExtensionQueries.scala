@@ -2179,6 +2179,34 @@ object ExtensionQueries {
       }
     ),
 
+    // Token-budget curation cut: best-quality-first prefix under a 10k
+    // token budget, running total via the q76 two-phase distributed scan
+    // (never a single-task global window). Quality = q103 rarity rank;
+    // the composite order key keeps the prefix sum's total order unique.
+    QueryDef(
+      "q123_token_budget_cut",
+      (s, dir) => {
+        val scored = TextAnalysis.rarityScore(t(s, dir, "documents"), "doc_id", "text", vocabSize = 50)
+          .withColumn("__ord", col("mean_rank_x100") * 10000000L + col("doc_id"))
+          .select(col("doc_id"), col("n_tokens"), col("mean_rank_x100"), col("__ord"))
+        Sampling.selectByTokenBudget(scored, "__ord", "n_tokens", budget = 10000L)
+          .drop("__ord")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+           |vc AS (SELECT token, row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+           |       FROM toks GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 50),
+           |j AS (SELECT t.doc_id, COALESCE(v.rank, 51) AS rank FROM toks t LEFT JOIN vc v USING (token)),
+           |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |             CAST(sum(rank) * 100 // count(*) AS BIGINT) AS mean_rank_x100
+           |      FROM j GROUP BY doc_id),
+           |c AS (SELECT doc_id, n_tokens, mean_rank_x100,
+           |             CAST(sum(n_tokens) OVER (ORDER BY mean_rank_x100, doc_id
+           |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM r)
+           |SELECT doc_id, n_tokens, mean_rank_x100, cum_tokens
+           |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

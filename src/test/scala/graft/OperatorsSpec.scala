@@ -1718,6 +1718,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(within.contains((1L, 2L)))
   }
 
+  test("token budget cut: contiguous best-first prefix, no backfill, boundary inclusive") {
+    val df = Seq(
+      (1L, 1L, 40L),  // quality rank 1, 40 tokens -> cum 40
+      (2L, 2L, 30L),  // cum 70
+      (3L, 3L, 40L),  // cum 110 -> over budget 100, dropped
+      (4L, 4L, 20L),  // cum 130 -> dropped even though 20 would HAVE fit (no backfill)
+      (5L, 5L, 10L)   // cum 140 -> dropped
+    ).toDF("doc_id", "ord", "toks")
+    val r = Sampling.selectByTokenBudget(df.repartition(4), "ord", "toks", budget = 100L)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cum_tokens")).toMap
+    assert(r == Map(1L -> 40L, 2L -> 70L))
+    // boundary: a doc landing exactly ON the budget is kept
+    val exact = Sampling.selectByTokenBudget(df.repartition(3), "ord", "toks", budget = 110L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(exact == Seq(1L, 2L, 3L))
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
