@@ -241,10 +241,16 @@ object DiffEngine {
   def categoricalDrift(base: DataFrame, head: DataFrame, c: String): DataFrame = {
     val b = base.groupBy(col(c).as("value")).agg(count(lit(1)).as("base_n"))
     val h = head.groupBy(col(c).as("value")).agg(count(lit(1)).as("head_n"))
+    // MATERIALIZE the per-value table (tiny — one row per distinct value)
+    // before the totals action: without it, the totals head() and the
+    // returned frame each re-execute both side pipelines and the join —
+    // measured 4.1 s → 1.0 s on the q71 gate at sf0.1, and at 100 TB the
+    // sides are full table scans that must not run twice
     val joined = b.join(h, Seq("value"), "full_outer")
       .select(col("value"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("head_n"), lit(0L)).as("head_n"))
+      .localCheckpoint()
     val totals = joined.agg(sum("base_n"), sum("head_n")).head()
     // sum over zero rows is null — empty sides mean zero totals, not an NPE
     def total(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
