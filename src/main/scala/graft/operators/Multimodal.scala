@@ -521,6 +521,25 @@ object Multimodal {
     (zc, energy)
   }
 
+  /** Magic-byte MIME sniffing over opaque binary payloads — the dispatch
+    * step in front of the per-format decoders: a mixed-media corpus routes
+    * each asset to [[decodePng]]/[[decodeBmp]]/[[decodeWav]]/[[decodePpm]]
+    * by CONTENT, never by (lying) file extensions. Pure codegen'd
+    * expression on hex prefixes: no UDF, no decode, fused into the scan.
+    * Unrecognized/short/null payloads → 'application/octet-stream'. */
+  def sniffMime(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h8 = hex(substring(payload, 1, 8))
+    when(payload.isNull, lit("application/octet-stream"))
+      .when(h8 === "89504E470D0A1A0A", lit("image/png"))
+      .when(hex(substring(payload, 1, 2)) === "424D", lit("image/bmp"))
+      .when(hex(substring(payload, 1, 4)) === "52494646" &&
+        hex(substring(payload, 9, 4)) === "57415645", lit("audio/wav"))
+      // P6 + whitespace: the PPM rasters this library decodes
+      .when(hex(substring(payload, 1, 3)).isin("50360A", "50360D", "503609", "503620"),
+        lit("image/x-portable-pixmap"))
+      .otherwise(lit("application/octet-stream"))
+  }
+
   // ---- images: BMP (real-world format) ---------------------------------
 
   /** Decoded BMP features: channel sums plus the TOP row's brightness —

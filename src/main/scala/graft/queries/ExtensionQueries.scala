@@ -2207,6 +2207,57 @@ object ExtensionQueries {
            |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin)
     ),
 
+    // REAL WARC container parse (ISO 28500 — the CommonCrawl distribution
+    // format): length-framed records walked byte-by-byte, headers parsed,
+    // every payload byte visited (byte_sum). Three records per blob with
+    // varying lengths; the oracle re-derives all fields from the text.
+    QueryDef(
+      "q124_warc_records",
+      (s, dir) => {
+        val withPayload = Warc.withWarcPayload(
+          t(s, dir, "documents"), "doc_id", "text", nRecords = 3)
+        Warc.warcRecords(withPayload, "doc_id", "payload")
+          .orderBy("doc_id", "rec_idx")
+      },
+      Some("""WITH r AS (SELECT doc_id, text, unnest([0, 1, 2]) AS rec_idx FROM documents)
+             |SELECT doc_id, CAST(rec_idx AS INT) AS rec_idx, 'response' AS warc_type,
+             |       'http://corpus.invalid/doc/' || doc_id || '/' || rec_idx AS target_uri,
+             |       CAST(16 + 7 * rec_idx % 32 AS BIGINT) AS content_length,
+             |       CAST(list_sum(list_transform(range(16 + 7 * rec_idx % 32),
+             |         k -> ascii(substr(text, CAST((rec_idx + k) % length(text) + 1 AS INT), 1)) % 256)) AS BIGINT) AS byte_sum
+             |FROM r ORDER BY doc_id, rec_idx""".stripMargin)
+    ),
+
+    // Magic-byte MIME sniffing over a MIXED-media corpus: each payload is
+    // a REAL encoded asset (PNG/BMP/WAV/PPM by doc_id mod 5, raw text
+    // otherwise) and the codegen'd prefix expression must route it by
+    // CONTENT; the oracle knows the planted truth.
+    QueryDef(
+      "q125_mime_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        val mixed = docs.map { case (id, text) =>
+          val payload = (id % 5) match {
+            case 0 => Multimodal.encodePngFromText(text, 4, 3, 3)
+            case 1 => Multimodal.encodeBmpFromText(text, 3, 2)
+            case 2 => Multimodal.encodeWavFromText(text, 32, 8000)
+            case 3 => Multimodal.encodePpmFromText(text, 4, 4)
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, payload)
+        }.toDF("doc_id", "payload")
+        mixed.select(col("doc_id"), Multimodal.sniffMime(col("payload")).as("mime"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+             |       WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'image/x-portable-pixmap'
+             |       ELSE 'application/octet-stream' END AS mime
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

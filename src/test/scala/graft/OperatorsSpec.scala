@@ -1735,6 +1735,51 @@ class OperatorsSpec extends SparkTestBase {
     assert(exact == Seq(1L, 2L, 3L))
   }
 
+  test("warc parse: framing golden, unknown headers tolerated, malformed tail drops cleanly") {
+    val blob = Warc.encodeWarcFromText("hello world", docId = 7L, nRecords = 3)
+    val recs = Warc.parseWarc(blob)
+    assert(recs.length == 3)
+    assert(recs.map(_.contentLength) == Seq(16L, 23L, 30L))
+    assert(recs(1).targetUri == "http://corpus.invalid/doc/7/1")
+    assert(recs.forall(_.warcType == "response"))
+    // byte sums match the generator math
+    val cps = "hello world".codePoints().toArray
+    def sum(i: Int, len: Int) = (0 until len).map(k => cps((i + k) % cps.length) & 0xff).sum.toLong
+    assert(recs(0).byteSum == sum(0, 16) && recs(2).byteSum == sum(2, 30))
+    // an extra unknown header must be tolerated
+    val extra = ("WARC/1.0\r\nWARC-Type: request\r\nX-Custom: zz\r\n" +
+      "WARC-Target-URI: http://x/\r\nContent-Length: 2\r\n\r\nab\r\n\r\n").getBytes("US-ASCII")
+    val er = Warc.parseWarc(extra)
+    assert(er.length == 1 && er.head.warcType == "request" && er.head.byteSum == 'a' + 'b')
+    // truncated payload: earlier records survive, the torn one doesn't
+    val torn = Warc.parseWarc(blob.dropRight(10))
+    assert(torn.length == 2)
+    // bad magic yields nothing; null yields nothing
+    assert(Warc.parseWarc("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")).isEmpty)
+    assert(Warc.parseWarc(null).isEmpty)
+    // DataFrame path explodes per record without shuffling payloads
+    val df = Seq((1L, blob), (2L, blob.dropRight(10))).toDF("doc_id", "payload")
+    val rows = Warc.warcRecords(df, "doc_id", "payload")
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("mime sniff: every real encoder routed by content, junk to octet-stream") {
+    val cases = Seq(
+      (1L, Multimodal.encodePngFromText("abc", 2, 2, 3), "image/png"),
+      (2L, Multimodal.encodeBmpFromText("abc", 2, 2), "image/bmp"),
+      (3L, Multimodal.encodeWavFromText("abc", 8, 8000), "audio/wav"),
+      (4L, Multimodal.encodePpmFromText("abc", 2, 2), "image/x-portable-pixmap"),
+      (5L, "plain text".getBytes("UTF-8"), "application/octet-stream"),
+      (6L, Array[Byte](0x42), "application/octet-stream"), // 'B' alone isn't BMP
+      (7L, null.asInstanceOf[Array[Byte]], "application/octet-stream")
+    )
+    val got = cases.map { case (id, p, _) => (id, p) }.toDF("id", "payload")
+      .select(col("id"), Multimodal.sniffMime(col("payload")).as("mime"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) => assert(got(id) == want, s"id $id") }
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
