@@ -61,4 +61,38 @@ object Pipelines {
       else counted.select(col(idCol), col("kept_spans"), col("n_tokens"))
     Packing.packByTokenBudget(carried, idCol, "n_tokens", budget)
   }
+
+  /** Corpus DATASHEET — the one-page summary a dataset release ships
+    * ("Datasheets for Datasets"): volume (docs/tokens/chars), language
+    * spread, exact-duplicate mass, and the token-count median, as a
+    * long-format (metric, value) table of integer-exact rows.
+    *
+    * Plan shape: ONE derived-columns pass is materialized (the frame is
+    * tokenized/hashed exactly once — `localCheckpoint`, same reuse
+    * argument as the q77 inputs), then a single multi-aggregate row plus
+    * the rank-based exact median ([[Stats.exactThresholds]] —
+    * percentile_disc semantics, a #percents-row driver fetch). Six
+    * metrics cost two jobs, not six scans. */
+  def datasheet(df: DataFrame, idCol: String, langCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(idCol), col(langCol).as("__lang"),
+      TextAnalysis.tokenCount(textCol).as("__toks"),
+      length(col(textCol)).cast("long").as("__chars"),
+      md5(col(textCol)).as("__h")).localCheckpoint()
+    val a = base.agg(
+      count(lit(1)).as("docs"), sum(col("__toks")).as("toks"),
+      sum(col("__chars")).as("chars"), countDistinct(col("__lang")).as("langs"),
+      countDistinct(col("__h")).as("dh")).head()
+    val median = Stats.exactThresholds(base, "__toks", Seq(50)).head
+    Seq(
+      ("chars_total", a.getLong(2)),
+      ("distinct_langs", a.getLong(3)),
+      ("docs_total", a.getLong(0)),
+      ("exact_dup_docs", a.getLong(0) - a.getLong(4)),
+      ("median_tokens", median),
+      ("tokens_total", a.getLong(1))
+    ).toDF("metric", "value")
+  }
 }

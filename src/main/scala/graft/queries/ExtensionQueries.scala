@@ -2258,6 +2258,34 @@ object ExtensionQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
+    // Corpus datasheet: the release-artifact summary (volume, language
+    // spread, duplicate mass, token median) — six integer metrics from
+    // one materialized derived-columns pass + one multi-aggregate.
+    QueryDef(
+      "q126_corpus_datasheet",
+      (s, dir) =>
+        Pipelines.datasheet(t(s, dir, "documents"), "doc_id", "lang", "text")
+          .orderBy("metric"),
+      Some(s"""WITH base AS (SELECT doc_id, lang,
+             |    CAST(len($duckToks) AS BIGINT) AS n_toks,
+             |    CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS h FROM documents),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_toks) AS BIGINT) AS toks,
+             |             CAST(sum(n_chars) AS BIGINT) AS chars,
+             |             CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+             |             CAST(count(DISTINCT h) AS BIGINT) AS dh FROM base),
+             |r AS (SELECT n_toks AS v, row_number() OVER (ORDER BY n_toks) AS rn,
+             |             count(*) OVER () AS n FROM base),
+             |m AS (SELECT CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS BIGINT) AS med FROM r)
+             |SELECT metric, value FROM (
+             |  SELECT 'chars_total' AS metric, chars AS value FROM a
+             |  UNION ALL SELECT 'distinct_langs', langs FROM a
+             |  UNION ALL SELECT 'docs_total', docs FROM a
+             |  UNION ALL SELECT 'exact_dup_docs', docs - dh FROM a
+             |  UNION ALL SELECT 'median_tokens', med FROM m
+             |  UNION ALL SELECT 'tokens_total', toks FROM a)
+             |ORDER BY metric""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

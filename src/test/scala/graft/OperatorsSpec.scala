@@ -1780,6 +1780,24 @@ class OperatorsSpec extends SparkTestBase {
     cases.foreach { case (id, _, want) => assert(got(id) == want, s"id $id") }
   }
 
+  test("datasheet: hand-computed metrics, dup mass counted, percentile_disc median") {
+    val df = Seq(
+      (1L, "en", "a b c"),        // 3 toks, 5 chars
+      (2L, "en", "a b c"),        // exact dup of 1
+      (3L, "de", "x y"),          // 2 toks
+      (4L, "fr", "p q r s t u v") // 7 toks
+    ).toDF("doc_id", "lang", "text")
+    val m = Pipelines.datasheet(df, "doc_id", "lang", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("docs_total") == 4L)
+    assert(m("tokens_total") == 15L)
+    assert(m("chars_total") == 5L + 5L + 3L + 13L)
+    assert(m("distinct_langs") == 3L)
+    assert(m("exact_dup_docs") == 1L)
+    // percentile_disc(0.5) over [2,3,3,7]: rank ceil(4*0.5)=2 -> 3
+    assert(m("median_tokens") == 3L)
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
