@@ -261,6 +261,78 @@ class PropertiesSpec extends SparkTestBase {
       s"AQE did not mark the join as skewed:\n${finalPlan.take(800)}")
   }
 
+  test("property: bloom incremental dedup equals the exact path on random corpora") {
+    import graft.operators.Dedup
+    val docGen = Gen.listOfN(20, Gen.choose(0, 6)
+      .map(i => s"content variant $i with shared words"))
+    forAll(docGen, docGen) { (corpusTexts, batchTexts) =>
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val exact = ids(Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text"))
+      // tiny saturated sketch AND a roomy one: both must equal exact
+      assert(ids(Dedup.dedupAgainstCorpusBloom(batch, corpus, "doc_id", "text", 4L, 0.5)) == exact)
+      assert(ids(Dedup.dedupAgainstCorpusBloom(batch, corpus, "doc_id", "text", 1000L, 0.01)) == exact)
+    }
+  }
+
+  test("property: scrub keeps exactly the tokens outside duplicated windows; stats agree") {
+    import graft.operators.Dedup
+    // small vocab forces cross-doc window collisions
+    val docGen = Gen.listOfN(8, Gen.listOfN(9, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    forAll(docGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val n = 3
+      val scrub = Dedup.scrubDuplicatedSpans(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      // reference model computed directly in Scala
+      val toks = texts.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+      val gramDocs = toks.zipWithIndex
+        .flatMap { case (t, d) => t.sliding(n).filter(_.size == n).map(g => (g.mkString(" "), d)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      toks.zipWithIndex.foreach { case (t, d) =>
+        val covered = t.indices.filter { j =>
+          (math.max(0, j - n + 1) to math.min(j, t.size - n))
+            .exists(i => gramDocs.getOrElse(t.slice(i, i + n).mkString(" "), 0) >= 2)
+        }.toSet
+        val expectKept = t.indices.filterNot(covered).map(t(_))
+        val (nt, kept, clean) = scrub(d.toLong)
+        assert(nt == t.size.toLong)
+        assert(kept == expectKept.size.toLong, s"doc $d kept mismatch")
+        assert(clean == expectKept.mkString(" "), s"doc $d text mismatch")
+      }
+      // the stats operator must count covered-window docs consistently:
+      // dup_grams counts flagged STARTS, which is  <= covered positions
+      val stats = Dedup.duplicatedSpanStats(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      toks.zipWithIndex.foreach { case (t, d) =>
+        val flaggedStarts = t.sliding(n).filter(_.size == n).zipWithIndex
+          .count { case (g, _) => gramDocs.getOrElse(g.mkString(" "), 0) >= 2 }
+        assert(stats(d.toLong) == flaggedStarts.toLong, s"doc $d stats mismatch")
+      }
+    }
+  }
+
+  test("property: budget cut is the exact running-total prefix under any partitioning") {
+    import graft.operators.Sampling
+    val gen = Gen.listOfN(25, Gen.choose(1L, 50L))
+    forAll(gen, Gen.choose(1, 8)) { (toks, parts) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("ord", "toks").repartition(parts)
+      val budget = toks.sum / 2 max 1L
+      val got = Sampling.selectByTokenBudget(df, "ord", "toks", budget)
+        .collect().map(r => r.getAs[Long]("ord") -> r.getAs[Long]("cum_tokens")).toMap
+      var acc = 0L
+      val want = toks.zipWithIndex.flatMap { case (t, i) =>
+        acc += t; if (acc <= budget) Some(i.toLong -> acc) else None
+      }.toMap
+      assert(got == want, s"budget $budget parts $parts")
+    }
+  }
+
   test("property: misra-gries never overcounts and keeps every heavy item") {
     import graft.functions.HeavyHitters
     val gen = Gen.listOfN(200, Gen.choose(0, 15))
