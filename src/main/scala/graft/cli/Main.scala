@@ -54,6 +54,10 @@ object Main {
       // range-bounded queries on this column
       jdbcPartitionCol: Option[String] = None,
       jdbcPartitions: Int = 8,
+      // append the one-row diff summary to this warehouse table after a
+      // JDBC-sourced run (the return leg of the reference's in-warehouse
+      // workflow)
+      publishJdbc: Option[String] = None,
       // keyed diffs bucket both snapshots on the diff keys by default so
       // the row-diff joins plan with zero Exchange
       bucketSnapshots: Boolean = true,
@@ -109,6 +113,7 @@ object Main {
             need("--drift-numeric").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "--jdbc-partition-col" => a = a.copy(jdbcPartitionCol = Some(need("--jdbc-partition-col")))
         case "--jdbc-partitions" => a = a.copy(jdbcPartitions = need("--jdbc-partitions").toInt)
+        case "--publish-jdbc" => a = a.copy(publishJdbc = Some(need("--publish-jdbc")))
         case "--bucket-by-keys" => a = a.copy(bucketSnapshots = true)
         case "--no-bucket-by-keys" => a = a.copy(bucketSnapshots = false)
         case "--budget" => a = a.copy(budget = need("--budget").toLong)
@@ -392,6 +397,24 @@ object Main {
     * queries — then snapshotted to Parquet (the CTAS-copy isolation step,
     * adapters/postgres.py:37-44) so every comparison pass runs on an
     * immutable columnar copy instead of re-querying the live warehouse. */
+  /** One-row run-history record for `--publish-jdbc`: the numbers a
+    * warehouse dashboard trends per model per run. Missing row-diff
+    * sections (STATS_ONLY runs) publish as -1, not NULL — BI-side
+    * `WHERE added >= 0` beats three-valued-logic surprises. */
+  def summaryFrame(spark: SparkSession, r: DiffResult): DataFrame = {
+    import spark.implicits._
+    Seq((
+      r.meta.model, r.meta.baseRef, r.meta.headRef,
+      r.rowcounts.base, r.rowcounts.head,
+      r.rowDiff.map(_.added).getOrElse(-1L),
+      r.rowDiff.map(_.removed).getOrElse(-1L),
+      r.rowDiff.map(_.changed).getOrElse(-1L),
+      if (r.rowDiff.exists(_.keysNotUnique)) 1 else 0,
+      java.time.Instant.now().toString
+    )).toDF("model", "base_ref", "head_ref", "base_rows", "head_rows",
+      "added", "removed", "changed", "keys_not_unique", "published_at")
+  }
+
   private def runDiffJdbc(spark: SparkSession, a: Args, conn: Profiles.ConnInfo): DiffResult = {
     val runId = SnapshotStore.sanitize(s"${a.model}_${System.currentTimeMillis()}")
     val tmp = Files.createTempDirectory("graft_jdbc_").toString
@@ -523,7 +546,7 @@ object Main {
       |            [--where SQL] [--sample N] [--keep-schemas] [--build-mode native|dbt]
       |            [--col-stats|--no-col-stats] [--approx] [--by-column]
       |            [--scope-partition COL] [--drift col1,col2] [--drift-numeric col1,col2]
-      |            [--jdbc-partition-col COL] [--jdbc-partitions N]
+      |            [--jdbc-partition-col COL] [--jdbc-partitions N] [--publish-jdbc TABLE]
       |            [--bucket-by-keys|--no-bucket-by-keys]
       |            [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]
@@ -604,6 +627,10 @@ object Main {
         Console.err.println(
           s"WARNING: key columns (${result.meta.keys.mkString(", ")}) are not unique — " +
             "added/removed/changed and sample_keys are join-multiplied and may over-count")
+      // publish the run summary back to the warehouse it came from — only
+      // meaningful (and only attempted) for JDBC-sourced runs
+      for (tbl <- a.publishJdbc; c <- jdbcConn)
+        JdbcSource.publish(spark, c, tbl, summaryFrame(spark, result))
       println(render(result, a.format))
     } finally spark.stop()
   }

@@ -111,4 +111,23 @@ object JdbcSource {
     val m = "PushedFilters: \\[(.*?)\\]".r.findFirstMatchIn(plan)
     m.exists(_.group(1).trim.nonEmpty)
   }
+
+  /** Publish a RESULT frame back to the warehouse (append) — the return
+    * leg of the reference's in-warehouse workflow: dbt users keep run
+    * history in warehouse tables their BI stack already reads, so the diff
+    * summary lands next to the models it describes. Append-only with
+    * `createTableOptions` left to driver defaults; intended for
+    * SUMMARY-sized frames (one row per run) — the `coalesce(1)` makes that
+    * contract explicit (one connection, one transaction), it is NOT a bulk
+    * export path. */
+  def publish(spark: SparkSession, conn: ConnInfo, table: String, df: DataFrame): Unit = {
+    val qualified = if (table.contains(".")) table else s"${conn.schema}.$table"
+    var w = df.coalesce(1).write.format("jdbc")
+      .option("url", url(conn))
+      .option("dbtable", qualified)
+    if (conn.user.nonEmpty) w = w.option("user", conn.user)
+    if (conn.password.nonEmpty) w = w.option("password", conn.password)
+    conn.driver.foreach(d => w = w.option("driver", d))
+    w.mode("append").save()
+  }
 }

@@ -104,6 +104,26 @@ class JdbcSourceSpec extends SparkTestBase {
     assert(r.rowDiff.get.added == 0 && r.rowDiff.get.removed == 0 && r.rowDiff.get.changed == 0)
   }
 
+  test("--publish-jdbc appends the run summary back to the warehouse (round trip)") {
+    val c = conn(derbyUrl)
+    val a = Main.parseArgs(Seq("diff-tables", "customers_base", "customers_head",
+      "--keys", "customer_id")).copy(model = "dim_customers")
+    val r = Main.runDiffTables(spark, a, Some(c))
+    JdbcSource.publish(spark, c, "diff_runs", Main.summaryFrame(spark, r))
+    // second run appends, never replaces - run history accumulates
+    JdbcSource.publish(spark, c, "diff_runs", Main.summaryFrame(spark, r))
+    val back = JdbcSource.read(spark, c, "diff_runs")
+    assert(back.count() == 2)
+    val row = back.collect().head
+    assert(row.getAs[String]("model") == "dim_customers")
+    assert(row.getAs[Long]("base_rows") == 3L && row.getAs[Long]("head_rows") == 4L)
+    assert(row.getAs[Long]("added") == 1L && row.getAs[Long]("removed") == 0L)
+    assert(row.getAs[Int]("keys_not_unique") == 0)
+    // the CLI flag parses and lands in Args
+    val pa = Main.parseArgs(Seq("diff-tables", "b", "h", "--publish-jdbc", "myschema.diff_runs"))
+    assert(pa.publishJdbc.contains("myschema.diff_runs"))
+  }
+
   test("--jdbc-partition-col splits the warehouse read into parallel bounded queries") {
     val df = JdbcSource.read(spark, conn(derbyUrl), "customers_head",
       partitionColumn = Some("customer_id"), numPartitions = 2)
