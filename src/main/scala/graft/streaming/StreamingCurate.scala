@@ -39,4 +39,28 @@ object StreamingCurate {
     StreamingDedup.dedupExact(gated, tsCol, lateness, Seq("content_key"))
       .withColumn("n_tokens", size(TextAnalysis.tokens(textCol)).cast("long"))
   }
+
+  /** Streaming ASSET intake — the multimodal twin of [[intake]]: binary
+    * payloads come off the firehose, are routed by CONTENT
+    * ([[graft.operators.Multimodal.sniffMime]] — a stateless codegen'd
+    * prefix expression, so it fuses into the stream's map stage exactly
+    * like the Gopher gate), unrecognized bytes are dropped at the door,
+    * and exact payload dedup runs within the watermark horizon on the
+    * md5 of the BYTES (32-hex state keys — payloads never enter state).
+    * Decode/feature-extraction stays downstream of landing, batch, where
+    * a decoder bug can be replayed; sniff-and-dedup is the part that must
+    * happen before bytes are stored twice. */
+  def assetIntake(
+      assets: DataFrame, // asset_id, <tsCol>, <payloadCol>
+      tsCol: String,
+      payloadCol: String,
+      lateness: String
+  ): DataFrame = {
+    import graft.operators.Multimodal
+    val routed = assets
+      .withColumn("mime", Multimodal.sniffMime(col(payloadCol)))
+      .filter(col("mime") =!= "application/octet-stream")
+      .withColumn("content_key", md5(col(payloadCol)))
+    StreamingDedup.dedupExact(routed, tsCol, lateness, Seq("content_key"))
+  }
 }

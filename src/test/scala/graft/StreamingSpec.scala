@@ -360,4 +360,34 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batch == rows.keySet)
   }
+
+  test("streaming asset intake: content-routed mime, junk dropped, payload dedup in horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    import graft.streaming.StreamingCurate
+    val png = Multimodal.encodePngFromText("abc", 2, 2, 3)
+    val bmp = Multimodal.encodeBmpFromText("abc", 2, 2)
+    val mem = MemoryStream[(Long, Timestamp, Array[Byte])]
+    mem.addData(
+      (1L, ts(0), png),                        // lands: image/png
+      (2L, ts(1), bmp),                        // lands: image/bmp
+      (3L, ts(2), png),                        // byte-identical dup -> dropped
+      (4L, ts(3), "not an image".getBytes("UTF-8"))) // junk -> dropped at the door
+    val q = StreamingCurate.assetIntake(
+      mem.toDF().toDF("asset_id", "ts", "payload"), "ts", "payload", "30 minutes")
+      .writeStream.format("memory").queryName("asset_intake_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("asset_intake_test")
+      .select("asset_id", "mime").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "image/png", 2L -> "image/bmp"))
+    // batch twin: the q125 sniff expression routes the same set
+    import org.apache.spark.sql.functions.col
+    val batch = Seq((1L, png), (2L, bmp), (4L, "not an image".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), Multimodal.sniffMime(col("payload")).as("mime"))
+      .filter(col("mime") =!= "application/octet-stream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch == rows)
+  }
 }
