@@ -525,9 +525,13 @@ object Dedup {
     val maybeSeen = udf((h: String) => bc.value.mightContainString(h))
     val hashed = batch.withColumn("__h", md5(col(contentCol)))
     // negatives bypass the join (no false negatives exist); positives get
-    // the exact confirm so fpp affects cost only, never the answer
-    val fresh = hashed.filter(!maybeSeen(col("__h")))
-      .unionByName(hashed.filter(maybeSeen(col("__h"))).join(seen, Seq("__h"), "left_anti"))
+    // the exact confirm so fpp affects cost only, never the answer.
+    // NULL content hashes to NULL: such rows are negatives (a null key
+    // never equi-joins, so the exact path keeps them too) — without the
+    // isNull arm they'd fail BOTH branches and vanish
+    val fresh = hashed.filter(col("__h").isNull || !maybeSeen(col("__h")))
+      .unionByName(hashed.filter(col("__h").isNotNull && maybeSeen(col("__h")))
+        .join(seen, Seq("__h"), "left_anti"))
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
     fresh.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

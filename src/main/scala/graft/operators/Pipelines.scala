@@ -85,14 +85,18 @@ object Pipelines {
       count(lit(1)).as("docs"), sum(col("__toks")).as("toks"),
       sum(col("__chars")).as("chars"), countDistinct(col("__lang")).as("langs"),
       countDistinct(col("__h")).as("dh")).head()
-    val median = Stats.exactThresholds(base, "__toks", Seq(50)).head
+    // empty corpus: SUMs are NULL and there is no median rank — a datasheet
+    // of zeros beats an NPE in a scheduled report job
+    def lg(i: Int): Long = if (a.isNullAt(i)) 0L else a.getLong(i)
+    val median =
+      if (lg(0) == 0) 0L else Stats.exactThresholds(base, "__toks", Seq(50)).head
     Seq(
-      ("chars_total", a.getLong(2)),
-      ("distinct_langs", a.getLong(3)),
-      ("docs_total", a.getLong(0)),
-      ("exact_dup_docs", a.getLong(0) - a.getLong(4)),
+      ("chars_total", lg(2)),
+      ("distinct_langs", lg(3)),
+      ("docs_total", lg(0)),
+      ("exact_dup_docs", lg(0) - lg(4)),
       ("median_tokens", median),
-      ("tokens_total", a.getLong(1))
+      ("tokens_total", lg(1))
     ).toDF("metric", "value")
   }
 }

@@ -1484,6 +1484,15 @@ class OperatorsSpec extends SparkTestBase {
       expectedCorpusItems = 1L, fpp = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(saturated == exact)
+    // NULL content must follow the exact path's semantics (kept — a null
+    // key never equi-joins), not silently vanish between the UDF branches
+    val withNull = batch.unionByName(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val exactN = Dedup.dedupAgainstCorpus(withNull, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val bloomN = Dedup.dedupAgainstCorpusBloom(withNull, corpus, "doc_id", "text", 100L, 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bloomN == exactN && bloomN.contains(99L))
   }
 
   test("bm25: term-bearing docs only, rarity beats frequency, tf monotone") {
@@ -1796,6 +1805,10 @@ class OperatorsSpec extends SparkTestBase {
     assert(m("exact_dup_docs") == 1L)
     // percentile_disc(0.5) over [2,3,3,7]: rank ceil(4*0.5)=2 -> 3
     assert(m("median_tokens") == 3L)
+    // empty corpus: a datasheet of zeros, not an NPE in a report job
+    val e = Pipelines.datasheet(df.filter(col("doc_id") < 0), "doc_id", "lang", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e.values.forall(_ == 0L) && e.size == 6)
   }
 
   test("skew report: exact basis-point shares, null keys counted") {
