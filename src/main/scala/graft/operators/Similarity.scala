@@ -38,6 +38,55 @@ object Similarity {
   def cosine(a: String, b: String): Column =
     GraftFunctions.cosineSim(col(a), col(b)).cast("decimal(16,12)")
 
+  /** Hybrid retrieval: fuse a KEYWORD ranking ([[TextAnalysis.bm25TopK]])
+    * with a VECTOR ranking ([[bruteForceTopK]] — swap in `ivfTopK` at
+    * scale) by rank-sum (Borda) fusion — the lexical+semantic combination
+    * modern search stacks run, expressed with INTEGER ranks so the fused
+    * score is engine-exact (reciprocal-rank fusion's 1/(k+r) floats would
+    * never hash-match; rank-sum preserves RRF's intent at equal weight).
+    * A doc missing from one ranking takes rank `pool+1` — present-in-one
+    * beats absent-from-both, absent never beats present.
+    *
+    * Plan shape: both candidate generators bound their output to `pool`
+    * rows BEFORE fusion, so the full-outer fuse join and the rank windows
+    * run on ≤ 2·pool rows — driver-scale, after the heavy corpus work
+    * happened inside the two generators (each already its own audited
+    * plan). The unpartitioned rank windows are deliberate: they see at
+    * most `pool` rows. */
+  def hybridTopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      probeId: Long,
+      k: Int,
+      pool: Int = 50
+  ): DataFrame = {
+    // k may exceed pool: the fused union holds up to 2·pool docs
+    require(k >= 1 && pool >= 1, "need k >= 1 and pool >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val absent = (pool + 1).toLong
+    val text = TextAnalysis.bm25TopK(
+      docs.filter(col(idCol) =!= probeId), idCol, textCol, queryTerms, pool)
+      .withColumn("rank_text",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col(idCol).as("__id"), col("rank_text"))
+    val vec = bruteForceTopK(embeddings, vecIdCol, vecCol, probeId, pool)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col(vecIdCol))).cast("long"))
+      .select(col(vecIdCol).as("__id"), col("rank_vec"))
+    text.join(vec, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("rank_text"), lit(absent)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(absent)).as("rank_vec"))
+      .withColumn("fused", col("rank_text") + col("rank_vec"))
+      .orderBy(col("fused"), col(idCol))
+      .limit(k)
+  }
+
   /** Brute-force top-k: exact cosine of every row against one probe vector
     * (selected by id). The probe is a 1-row broadcast cross join — no
     * shuffle of the big side. */

@@ -2286,6 +2286,51 @@ object ExtensionQueries {
              |ORDER BY metric""".stripMargin)
     ),
 
+    // Hybrid retrieval: BM25 keyword ranking fused with the cosine vector
+    // ranking by integer rank-sum (Borda) — the lexical+semantic search
+    // combination, engine-exact because only RANKS cross the fusion. Both
+    // generators bound to a 50-candidate pool before the tiny fuse join.
+    QueryDef(
+      "q127_hybrid_retrieval",
+      (s, dir) =>
+        Similarity.hybridTopK(t(s, dir, "documents"), t(s, dir, "embeddings"),
+          "doc_id", "text", "vec_id", "embedding",
+          queryTerms = Seq("spark", "vector", "merge"), probeId = 0L, k = 15, pool = 50),
+      Some {
+        val terms = Seq("spark", "vector", "merge")
+        val dfs = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN list_contains(t, '${terms(i)}') THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df$i").mkString(", ")
+        val tfs = terms.indices.map(i =>
+          s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS DOUBLE) AS tf$i").mkString(", ")
+        val score = terms.indices.map(i =>
+          s"(ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
+            s"(tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n)))))").mkString(" + ")
+        val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id <> 0),
+           |base AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl, $dfs FROM base),
+           |tf AS (SELECT doc_id, dl, $tfs FROM base),
+           |scored AS (SELECT doc_id, CAST($score AS DECIMAL(16,4)) AS sc
+           |           FROM tf, stats WHERE ($anyTf) > 0),
+           |tr AS (SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rank_text
+           |       FROM scored ORDER BY sc DESC, doc_id LIMIT 50),
+           |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+           |sv AS (SELECT vec_id,
+           |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS dot,
+           |  list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y) AS na,
+           |  list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y) AS np
+           |  FROM embeddings, p WHERE vec_id <> 0),
+           |cr AS (SELECT vec_id, CAST(dot / (sqrt(na) * sqrt(np)) AS DECIMAL(16,12)) AS cs FROM sv),
+           |vr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rank_vec
+           |       FROM cr ORDER BY cs DESC, vec_id LIMIT 50),
+           |f AS (SELECT doc_id, CAST(COALESCE(rank_text, 51) AS BIGINT) AS rank_text,
+           |             CAST(COALESCE(rank_vec, 51) AS BIGINT) AS rank_vec
+           |      FROM tr FULL OUTER JOIN vr USING (doc_id))
+           |SELECT doc_id, rank_text, rank_vec, rank_text + rank_vec AS fused
+           |FROM f ORDER BY fused, doc_id LIMIT 15""".stripMargin
+      }
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

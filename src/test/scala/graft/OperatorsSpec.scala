@@ -1811,6 +1811,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(e.values.forall(_ == 0L) && e.size == 6)
   }
 
+  test("hybrid retrieval: rank-sum fusion, absent rank penalty, pool bound") {
+    val docs = Seq(
+      (0L, "query probe row itself"),
+      (1L, "cat cat cat"),        // strong keyword match
+      (2L, "cat dog"),            // weaker keyword match
+      (3L, "no match here"),      // vector-only candidate
+      (4L, "nothing again")       // in neither pool (no term, weak vector)
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),      // orthogonal to probe
+      (2L, Array(0.9f, 0.1f)),      // close to probe
+      (3L, Array(1.0f, 0.01f)),     // closest
+      (4L, Array(-1.0f, 0.0f))      // opposite
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.hybridTopK(docs, emb, "doc_id", "text", "vec_id", "embedding",
+      Seq("cat"), probeId = 0L, k = 4, pool = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // text pool (2): doc1 rank1, doc2 rank2. vector pool (2): doc3 rank1, doc2 rank2.
+    assert(r(2L) == ((2L, 2L, 4L)))  // present in both: 2+2
+    assert(r(1L) == ((1L, 3L, 4L)))  // text-1, absent from vector pool -> 1+3
+    assert(r(3L) == ((3L, 1L, 4L)))  // vector-1, absent from text pool -> 3+1
+    assert(!r.contains(0L) && !r.contains(4L)) // probe excluded; absent-from-both never ranks
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
