@@ -349,6 +349,28 @@ object TextAnalysis {
           .otherwise(expr("sum_rank * 100 div n_tokens").cast("long")))
   }
 
+  /** HTML → text extraction — the FIRST transform of every web-crawl
+    * pipeline (upstream of all quality/dedup signals here): drop script /
+    * style / comment blocks wholesale (non-greedy, case-insensitive,
+    * dot-matches-newline — a `</p>` inside a JS string literal must not
+    * terminate the script block early), strip remaining tags, decode the
+    * five core entities (+ nbsp; ampersand LAST, standard order), and
+    * collapse whitespace. Pure codegen'd `regexp_replace` chain fused into
+    * the scan — no UDF, no parser state, embarrassingly parallel. A real
+    * DOM parser handles pathological markup better; this is the regex
+    * tier every large-scale pipeline actually runs first. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** BM25 keyword retrieval: score every document against a small fixed
     * query-term set (Robertson/Okapi BM25, the log-idf formulation
     * `ln((N - df + 0.5)/(df + 0.5) + 1)`) and keep the top `k` — the

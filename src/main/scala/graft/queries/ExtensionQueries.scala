@@ -2331,6 +2331,26 @@ object ExtensionQueries {
       }
     ),
 
+    // HTML -> text extraction: wrap each doc's text in a realistic page
+    // (head/title/script-with-fake-tags-in-a-string-literal/body) and
+    // prove the strip chain inverts it EXACTLY — the oracle is the
+    // original text, no oracle-side regex at all.
+    QueryDef(
+      "q128_html_extract",
+      (s, dir) => {
+        val page = concat(
+          lit("<html><head><title></title>" +
+            "<script type=\"text/javascript\">var a = \"<p>not text</p>\";</script>" +
+            "<style>p { color: red; }</style></head>\n<body><!-- nav --><p>"),
+          col("text"),
+          lit("</p>\n</body></html>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.stripHtml(page).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text AS clean FROM documents ORDER BY doc_id")
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1836,6 +1836,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(!r.contains(0L) && !r.contains(4L)) // probe excluded; absent-from-both never ranks
   }
 
+  test("strip html: blocks dropped whole, entities decoded, fake tags in JS survive") {
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(TextAnalysis.stripHtml(col("h"))).head().getString(0)
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    // a </p> inside a JS string must not end the script block early
+    assert(strip("""<script>var a = "<p>no</p>";</script>real""") == "real")
+    assert(strip("<style>p{}</style>text<!-- note -->here") == "text here")
+    // entities, ampersand decoded last so &amp;lt; -> &lt; not <
+    assert(strip("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;") == "a & b <tag> \"q\" 's'")
+    assert(strip("x&amp;lt;y") == "x&lt;y")
+    assert(strip("a&nbsp;b") == "a b")
+    // whitespace collapse + trim; case-insensitive block tags
+    assert(strip("  <DIV>\n a \n\n b </DIV>  ") == "a b")
+    assert(strip("<SCRIPT>x</SCRIPT>ok") == "ok")
+    // unclosed script: non-greedy needs a terminator - content survives as
+    // tag-stripped text rather than vanishing (documented regex-tier limit)
+    assert(strip("<script>var x;").nonEmpty)
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
