@@ -2351,6 +2351,37 @@ object ExtensionQueries {
       Some("SELECT doc_id, text AS clean FROM documents ORDER BY doc_id")
     ),
 
+    // robots.txt politeness gate: per-doc synthesized policy (a decoy
+    // group for another bot, a Disallow on the first token's path, an
+    // Allow on the deeper path only when the first token has odd length)
+    // evaluated by the REAL parser for agent graft-bot; the oracle knows
+    // the planted decision algebra. Exercises group selection, comment
+    // skip, longest-prefix match, and allow-wins-ties.
+    QueryDef(
+      "q129_robots_check",
+      (s, dir) => {
+        val tok1 = expr("element_at(filter(split(text, '\\\\s+'), x -> x != ''), 1)")
+        val tok2 = expr("element_at(filter(split(text, '\\\\s+'), x -> x != ''), 2)")
+        val robots = concat(
+          lit("# crawl policy\nUser-agent: other-bot\nDisallow: /\n\n" +
+            "User-agent: graft-bot\nDisallow: /"), tok1, lit("\n"),
+          when(length(tok1) % 2 === 1,
+            concat(lit("Allow: /"), tok1, lit("/"), tok2, lit("\n"))).otherwise(lit("")),
+          lit("Crawl-delay: 5\n"))
+        val path = concat(lit("/"), tok1, lit("/"), tok2, lit("/page"))
+        Robots.robotsCheck(
+          t(s, dir, "documents").select(col("doc_id"),
+            robots.as("robots"), path.as("path")),
+          "doc_id", "robots", "path", agent = "graft-bot")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |  CAST(CASE WHEN length(t1) % 2 = 1 THEN 2 ELSE 1 END AS INT) AS n_rules,
+             |  CAST(CASE WHEN length(t1) % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS allowed
+             |FROM (SELECT doc_id, ($duckToks)[1] AS t1 FROM documents)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

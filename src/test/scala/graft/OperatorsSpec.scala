@@ -1855,6 +1855,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(strip("<script>var x;").nonEmpty)
   }
 
+  test("robots: group selection, longest match, allow-wins-tie, malformed tolerated") {
+    val robots =
+      """# policy
+        |User-agent: evil-bot
+        |Disallow: /
+        |
+        |User-agent: good-bot
+        |User-agent: graft-bot
+        |Disallow: /private
+        |Allow: /private/pub
+        |Crawl-delay: 10
+        |broken line without colon
+        |Disallow:
+        |
+        |User-agent: *
+        |Disallow: /all
+        |""".stripMargin
+    val rules = Robots.parse(robots, "graft-bot")
+    // exact-match group applies (both its rules; empty Disallow kept but inert)
+    assert(rules.count(_.path.nonEmpty) == 2)
+    assert(Robots.isAllowed(rules, "/public/x"))            // no match -> allowed
+    assert(!Robots.isAllowed(rules, "/private/secret"))     // Disallow prefix
+    assert(Robots.isAllowed(rules, "/private/pub/doc"))     // longer Allow wins
+    // allow-wins on a length tie
+    val tie = Seq(Robots.Rule(false, "/a"), Robots.Rule(true, "/a"))
+    assert(Robots.isAllowed(tie, "/a/x"))
+    // unknown agent falls to the * group
+    val star = Robots.parse(robots, "stranger")
+    assert(!Robots.isAllowed(star, "/all/x") && Robots.isAllowed(star, "/private/x"))
+    // exact group shields from *: graft-bot may fetch /all
+    assert(Robots.isAllowed(rules, "/all/x"))
+    // null/garbage content -> no rules -> allowed (never a task failure)
+    assert(Robots.parse(null, "x").isEmpty)
+    assert(Robots.isAllowed(Robots.parse("%%% not robots %%%", "x"), "/anything"))
+    // agent line after rules starts a NEW group (missing blank line)
+    val squeezed = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert(Robots.parse(squeezed, "b").map(_.path) == Seq("/y"))
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
