@@ -77,6 +77,28 @@ object UrlTools {
     df.withColumn("canon_url", canonicalUrl(col(urlCol)))
       .withColumn("domain", registeredDomain(col(urlCol)))
 
+  /** Polite fetch-frontier scheduling: assign every URL its WAVE — the
+    * round-robin slot that fetches at most one URL per domain per wave
+    * (wave w = the w-th best URL of its domain under the caller's
+    * priority order). Emitting the frontier ordered by (wave, domain)
+    * yields the classic politeness interleave: every domain's best URL
+    * first, no domain hammered twice before all others got a turn, and
+    * per-domain priority respected within the domain.
+    *
+    * Scale shape: ONE shuffle on the domain key for the per-domain rank
+    * window (the usual many-domains case balances it; a mega-domain is
+    * exactly the skew [[graft.engine.SkewTools.skewReport]] flags).
+    * Deliberately NO global sequence column — the (wave, domain) sort
+    * order IS the schedule, and materializing a global row number would
+    * cost a needless single-task window (or a prefix-sum pass) at every
+    * scale. Callers pass a DETERMINISTIC order (tie-break on the id). */
+  def frontierWaves(df: DataFrame, domainCol: String, order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "ordering must be explicit")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("wave", row_number()
+      .over(Window.partitionBy(col(domainCol)).orderBy(order: _*)).cast("long"))
+  }
+
   /** Test/oracle harness: synthesize a messy-but-deterministic URL per row
     * from existing columns (the [[Multimodal.encodePpmFromText]] discipline:
     * both engines can derive the input, the operator under test does the

@@ -2382,6 +2382,23 @@ object ExtensionQueries {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Polite fetch-frontier schedule: wave = per-domain rank under a
+    // quality priority (longest docs first, doc_id ties); emitting in
+    // (wave, domain) order interleaves one URL per domain per wave. No
+    // global sequence column by design (the sort order IS the schedule).
+    QueryDef(
+      "q130_frontier_waves",
+      (s, dir) =>
+        UrlTools.frontierWaves(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), length(col("text")).as("__len")),
+          "source", Seq(col("__len").desc, col("doc_id")))
+          .select(col("doc_id"), col("source"), col("wave"))
+          .orderBy("wave", "source", "doc_id"),
+      Some("""SELECT doc_id, source,
+             |  CAST(row_number() OVER (PARTITION BY source ORDER BY length(text) DESC, doc_id) AS BIGINT) AS wave
+             |FROM documents ORDER BY wave, source, doc_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

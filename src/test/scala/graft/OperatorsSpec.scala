@@ -1894,6 +1894,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(Robots.parse(squeezed, "b").map(_.path) == Seq("/y"))
   }
 
+  test("frontier waves: one URL per domain per wave, priority within domain") {
+    val df = Seq(
+      (1L, "a.com", 90L), (2L, "a.com", 50L), (3L, "a.com", 70L),
+      (4L, "b.com", 10L), (5L, "b.com", 99L)
+    ).toDF("id", "domain", "prio")
+    val r = UrlTools.frontierWaves(df, "domain", Seq(col("prio").desc, col("id")))
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("wave")).toMap
+    // a.com priority order: 1 (90), 3 (70), 2 (50); b.com: 5 (99), 4 (10)
+    assert(r == Map(1L -> 1L, 3L -> 2L, 2L -> 3L, 5L -> 1L, 4L -> 2L))
+    // the (wave, domain) schedule alternates domains before repeats
+    val sched = UrlTools.frontierWaves(df, "domain", Seq(col("prio").desc, col("id")))
+      .orderBy("wave", "domain").collect().map(_.getLong(0)).toSeq
+    assert(sched == Seq(1L, 5L, 3L, 4L, 2L))
+  }
+
   test("skew report: exact basis-point shares, null keys counted") {
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
       Seq.fill(9)(Some("cold")) ++ Seq.fill(1)(None: Option[String]))
