@@ -333,6 +333,37 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: no byte parser ever throws — arbitrary bytes decode to None/empty") {
+    import graft.operators.{Multimodal, Robots, Warc}
+    val bytesGen = Gen.choose(0, 600).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+    forAll(bytesGen) { raw =>
+      // a malformed payload must yield an empty/None result, NEVER an
+      // exception — at corpus scale one bad record must not kill a task
+      Multimodal.decodePpm(raw); Multimodal.resizePpm(raw, 2, 2)
+      Multimodal.decodePpmStats(raw); Multimodal.aHashPpm(raw)
+      Multimodal.decodeWav(raw); Multimodal.decodeBmp(raw); Multimodal.decodePng(raw)
+      Warc.parseWarc(raw)
+      Robots.parse(new String(raw, "ISO-8859-1"), "bot")
+    }
+    // adversarial prefixes: real magic bytes followed by garbage — the
+    // parsers get past the signature and must still bail cleanly
+    val magics = Seq(
+      "P6\n".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"),
+      "RIFF".getBytes("US-ASCII"),
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      "WARC/1.0\r\n".getBytes("US-ASCII"))
+    forAll(bytesGen) { tail =>
+      magics.foreach { m =>
+        val payload = m ++ tail
+        Multimodal.decodePpm(payload); Multimodal.aHashPpm(payload)
+        Multimodal.decodeBmp(payload); Multimodal.decodeWav(payload)
+        Multimodal.decodePng(payload); Warc.parseWarc(payload)
+      }
+    }
+  }
+
   test("property: misra-gries never overcounts and keeps every heavy item") {
     import graft.functions.HeavyHitters
     val gen = Gen.listOfN(200, Gen.choose(0, 15))
