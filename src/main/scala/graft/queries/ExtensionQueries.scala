@@ -2399,6 +2399,50 @@ object ExtensionQueries {
              |FROM documents ORDER BY wave, source, doc_id""".stripMargin)
     ),
 
+    // Per-source dedup-rate telemetry: the curation dashboard row that
+    // decides which ingest feeds are rotting — docs vs distinct content
+    // per source, integer basis-point dup rate. One aggregate.
+    QueryDef(
+      "q131_source_dup_rate",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            countDistinct(md5(col("text"))).as("distinct_docs"))
+          .withColumn("dup_bp", expr("(docs - distinct_docs) * 10000 div docs").cast("long"))
+          .orderBy("source"),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_docs,
+             |       CAST((count(*) - count(DISTINCT md5(text))) * 10000 // count(*) AS BIGINT) AS dup_bp
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // URL-frontier dedup: canonicalize (q102's codegen'd rules) then keep
+    // the smallest doc_id per canonical URL — the crawl-side exact dedup
+    // that runs BEFORE any fetch. Ids 2k and 2k+1 get messy URLs that
+    // differ in case/port/tracking-params/fragment but canonicalize
+    // IDENTICALLY, so every group has exactly two members.
+    QueryDef(
+      "q132_frontier_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val urls = docs.select(col("doc_id"),
+          UrlTools.syntheticUrl(lit("crawl"), (col("doc_id") / 2).cast("long"), lit("en"))
+            .as("url"))
+        val canon = urls.withColumn("canon_url", UrlTools.canonicalUrl(col("url")))
+        Dedup.exactByKeys(canon, "doc_id", Seq("canon_url"))
+          .orderBy("keep_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    'https://www.crawl.example.com/docs/' || CAST(doc_id // 2 AS VARCHAR)
+             |      || '?a=1&b=en' AS canon_url
+             |  FROM documents)
+             |SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |       CAST(count(*) AS BIGINT) AS group_size
+             |FROM u GROUP BY canon_url ORDER BY keep_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
