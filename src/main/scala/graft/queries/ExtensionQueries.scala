@@ -2443,6 +2443,37 @@ object ExtensionQueries {
              |FROM u GROUP BY canon_url ORDER BY keep_id""".stripMargin)
     ),
 
+    // Vocabulary drift between corpus slices (en vs rest): the
+    // distribution-shift monitor a corpus refresh runs — q71's exact
+    // integer cross-multiplied TV algebra applied to exploded tokens,
+    // output bounded to the global top-40 vocabulary (q103's cut) so the
+    // report stays dashboard-sized while totals cover the full slices.
+    QueryDef(
+      "q133_vocab_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def toks(side: DataFrame) =
+          side.select(explode(TextAnalysis.tokens("text")).as("token"))
+        val drift = graft.engine.DiffEngine.categoricalDrift(
+          toks(docs.filter(col("lang") === "en")),
+          toks(docs.filter(col("lang") =!= "en")), "token")
+        val vocab = toks(docs).groupBy(col("token")).agg(count(lit(1)).as("__n"))
+          .orderBy(col("__n").desc, col("token").asc).limit(40).select(col("token").as("value"))
+        drift.join(broadcast(vocab), Seq("value")).orderBy("value")
+      },
+      Some(s"""WITH tk AS (SELECT lang, unnest($duckToks) AS token FROM documents),
+             |b AS (SELECT token, CAST(count(*) AS BIGINT) AS base_n FROM tk WHERE lang = 'en' GROUP BY 1),
+             |h AS (SELECT token, CAST(count(*) AS BIGINT) AS head_n FROM tk WHERE lang <> 'en' GROUP BY 1),
+             |j AS (SELECT COALESCE(b.token, h.token) AS value,
+             |             COALESCE(base_n, 0) AS base_n, COALESCE(head_n, 0) AS head_n
+             |      FROM b FULL OUTER JOIN h ON b.token = h.token),
+             |t AS (SELECT CAST(sum(base_n) AS BIGINT) AS nb, CAST(sum(head_n) AS BIGINT) AS nh FROM j),
+             |v AS (SELECT token AS value FROM tk GROUP BY 1 ORDER BY count(*) DESC, token ASC LIMIT 40)
+             |SELECT value, base_n, head_n,
+             |       CAST(abs(base_n * nh - head_n * nb) AS BIGINT) AS tv_contrib
+             |FROM j CROSS JOIN t JOIN v USING (value) ORDER BY value""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
