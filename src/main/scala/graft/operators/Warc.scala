@@ -39,9 +39,25 @@ object Warc {
     * malformation contract). Features, not payload bytes, are returned:
     * `byteSum` is the payload byte total — enough for an engine-portable
     * oracle while proving every payload byte was visited. */
-  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
+  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] =
+    walk(bytes).map { case (idx, tpe, uri, off, len, sum) =>
+      WarcRecord(idx, tpe, uri, len.toLong, sum)
+    }
+
+  /** Records with their payloads DECODED as text (ISO-8859-1 — byte
+    * transparent, so ASCII/Latin-1 crawl bodies round-trip exactly) — the
+    * ingestion form feeding [[TextAnalysis.stripHtml]] and the text
+    * pipeline. Same walk, same stop-on-malformation contract. */
+  def parseWarcBodies(bytes: Array[Byte]): Seq[(Int, String, String, String)] =
+    walk(bytes).map { case (idx, tpe, uri, off, len, _) =>
+      (idx, tpe, uri, new String(bytes, off, len, "ISO-8859-1"))
+    }
+
+  /** (recIdx, warcType, targetUri, bodyOffset, bodyLen, byteSum) per
+    * record — the single parser both public forms share. */
+  private def walk(bytes: Array[Byte]): Seq[(Int, String, String, Int, Int, Long)] = {
     if (bytes == null) return Seq.empty
-    val out = Seq.newBuilder[WarcRecord]
+    val out = Seq.newBuilder[(Int, String, String, Int, Int, Long)]
     var pos = 0
     var idx = 0
     def lineEnd(p: Int): Int = {
@@ -86,7 +102,7 @@ object Warc {
           var i = p
           val end = p + clen.toInt
           while (i < end) { sum += bytes(i) & 0xff; i += 1 }
-          out += WarcRecord(idx, warcType, uri, clen, sum)
+          out += ((idx, warcType, uri, p, clen.toInt, sum))
           idx += 1
           pos = end
           // records terminate with \r\n\r\n; tolerate its absence at EOF
@@ -149,5 +165,21 @@ object Warc {
           (id, r.recIdx, r.warcType, r.targetUri, r.contentLength, r.byteSum))
       }
       .toDF(idCol, "rec_idx", "warc_type", "target_uri", "content_length", "byte_sum")
+  }
+
+  /** Explode WARC blobs into per-record TEXT rows (body decoded
+    * ISO-8859-1) — the ingestion head of the text pipeline: downstream
+    * stages chain [[TextAnalysis.stripHtml]], quality gates, and dedup on
+    * the `body` column. Same shuffle-free flatMap shape; bodies leave the
+    * scanning executor only when a downstream stage shuffles them. */
+  def warcTextRecords(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        parseWarcBodies(bytes).map { case (idx, tpe, uri, body) => (id, idx, tpe, uri, body) }
+      }
+      .toDF(idCol, "rec_idx", "warc_type", "target_uri", "body")
   }
 }

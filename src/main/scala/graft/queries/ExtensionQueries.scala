@@ -2474,6 +2474,36 @@ object ExtensionQueries {
              |FROM j CROSS JOIN t JOIN v USING (value) ORDER BY value""".stripMargin)
     ),
 
+    // Crawl ingestion head end-to-end: WARC container -> decoded record
+    // bodies -> content hash + token count, the columns the text pipeline
+    // (gates, dedup) consumes next. The oracle rebuilds each body
+    // character-for-character from the generator math (corpus is ASCII,
+    // so ISO-8859-1 byte decode == the original characters) and md5s it.
+    QueryDef(
+      "q134_warc_ingest",
+      (s, dir) => {
+        val withPayload = Warc.withWarcPayload(
+          t(s, dir, "documents"), "doc_id", "text", nRecords = 2)
+        Warc.warcTextRecords(withPayload, "doc_id", "payload")
+          .select(col("doc_id"), col("rec_idx"), col("target_uri"),
+            md5(col("body")).as("body_md5"),
+            length(col("body")).cast("long").as("n_chars"),
+            TextAnalysis.tokenCount("body").as("n_tokens"))
+          .orderBy("doc_id", "rec_idx")
+      },
+      Some("""WITH r AS (SELECT doc_id, text, unnest([0, 1]) AS rec_idx FROM documents),
+             |b AS (SELECT doc_id, rec_idx,
+             |        array_to_string(list_transform(range(16 + 7 * rec_idx % 32),
+             |          k -> substr(text, CAST((rec_idx + k) % length(text) + 1 AS INT), 1)), '') AS body
+             |      FROM r)
+             |SELECT doc_id, CAST(rec_idx AS INT) AS rec_idx,
+             |       'http://corpus.invalid/doc/' || doc_id || '/' || rec_idx AS target_uri,
+             |       md5(body) AS body_md5,
+             |       CAST(length(body) AS BIGINT) AS n_chars,
+             |       CAST(len(list_filter(string_split_regex(body, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+             |FROM b ORDER BY doc_id, rec_idx""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

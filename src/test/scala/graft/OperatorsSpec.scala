@@ -1771,6 +1771,13 @@ class OperatorsSpec extends SparkTestBase {
     val rows = Warc.warcRecords(df, "doc_id", "payload")
       .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows == Map(1L -> 3L, 2L -> 2L))
+    // text-ingestion form: bodies round-trip byte-for-byte (record 0's
+    // payload is the first 16 chars of the cycled text)
+    val bodies = Warc.parseWarcBodies(blob)
+    assert(bodies.length == 3)
+    assert(bodies.head._4 == ("hello world" * 2).take(16))
+    assert(Warc.warcTextRecords(df, "doc_id", "payload")
+      .where(col("doc_id") === 1L && col("rec_idx") === 0).head().getString(4) == bodies.head._4)
   }
 
   test("mime sniff: every real encoder routed by content, junk to octet-stream") {
