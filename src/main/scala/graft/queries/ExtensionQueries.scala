@@ -2504,6 +2504,37 @@ object ExtensionQueries {
              |FROM b ORDER BY doc_id, rec_idx""".stripMargin)
     ),
 
+    // Count-Min Sketch CERTIFICATE — completing the mergeable-sketch
+    // family (q99 Misra–Gries heavy hitters, q120 HLL distincts, q110
+    // Bloom membership): CMS never undercounts, and overcounts by more
+    // than eps·N with probability < delta. The certified bit checks BOTH
+    // bounds against the LIVE sketch (seeded — deterministic) for the
+    // exact top-20 tokens; the oracle pins 1 plus engine-exact counts.
+    QueryDef(
+      "q135_cms_certificate",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens("text")).as("token"))
+        val eps = 0.005
+        val sketch = toks.stat.countMinSketch(col("token"), eps, 0.999, 42)
+        val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        val n = toks.count()
+        val slack = math.ceil(eps * n).toLong
+        val top = exact.orderBy(col("exact_n").desc, col("token").asc).limit(20)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        top.map { case (tok, ex) =>
+          val est = sketch.estimateCount(tok)
+          (tok, ex, if (est >= ex && est <= ex + slack) 1L else 0L)
+        }.toSeq.toDF("token", "exact_n", "certified").orderBy("token")
+      },
+      Some(s"""WITH toks AS (SELECT unnest($duckToks) AS token FROM documents),
+             |c AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY token),
+             |top AS (SELECT token, exact_n FROM c ORDER BY exact_n DESC, token ASC LIMIT 20)
+             |SELECT token, exact_n, CAST(1 AS BIGINT) AS certified
+             |FROM top ORDER BY token""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
