@@ -2535,6 +2535,28 @@ object ExtensionQueries {
              |FROM top ORDER BY token""".stripMargin)
     ),
 
+    // Tokenizer fertility per language: chars-per-subword ×100 on the
+    // BPE-ish pre-tokenization — the multilingual cost signal (a language
+    // with high fertility pays more tokens per character of text). One
+    // aggregate, integer-exact ratios.
+    QueryDef(
+      "q136_tokenizer_fertility",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(length(col("text")).cast("long")).as("chars"),
+            sum(TextAnalysis.bpeishTokenCount("text")).as("subwords"))
+          .withColumn("fertility_x100", expr("chars * 100 div subwords").cast("long"))
+          .orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             |       CAST(sum(length(text)) AS BIGINT) AS chars,
+             |       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS subwords,
+             |       CAST(sum(length(text)) * 100 // sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS fertility_x100
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
