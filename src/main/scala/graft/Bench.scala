@@ -75,7 +75,14 @@ object Bench {
       case (k, _) if samples(k).min > 0 && samples(k).max / samples(k).min > 2.0 => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log capture keeps only the tail of stdout, which nulled
+    // the r04 and r05 per-query records — persist the full line to a file
+    // so round-over-round comparisons never depend on that capture
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCHOUT.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -627,11 +627,20 @@ object Main {
         Console.err.println(
           s"WARNING: key columns (${result.meta.keys.mkString(", ")}) are not unique — " +
             "added/removed/changed and sample_keys are join-multiplied and may over-count")
-      // publish the run summary back to the warehouse it came from — only
-      // meaningful (and only attempted) for JDBC-sourced runs
-      for (tbl <- a.publishJdbc; c <- jdbcConn)
-        JdbcSource.publish(spark, c, tbl, summaryFrame(spark, result))
+      // the rendered report is the primary output — print it BEFORE the
+      // warehouse publish-back so a telemetry write failure (connectivity,
+      // dropped run-history table, schema drift) can't swallow the result
+      // of a diff that already succeeded
       println(render(result, a.format))
+      // publish the run summary back to the warehouse it came from — only
+      // meaningful (and only attempted) for JDBC-sourced runs; failures
+      // are a loud warning, not a process death
+      for (tbl <- a.publishJdbc; c <- jdbcConn)
+        try JdbcSource.publish(spark, c, tbl, summaryFrame(spark, result))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Console.err.println(s"WARNING: --publish-jdbc to '$tbl' failed: ${e.getMessage}")
+        }
     } finally spark.stop()
   }
 }

@@ -469,8 +469,10 @@ object Multimodal {
   }
 
   /** Signal-level audio features over the same REAL RIFF/WAVE parse:
-    * zero-crossing count (strict sign change between consecutive samples —
-    * zeros neither cross nor reset) and total energy Σs² — the two
+    * zero-crossing count (pairwise `prev·s < 0` between CONSECUTIVE
+    * samples, so an exact-zero sample crosses nothing itself but does
+    * become the new `prev` — [5, 0, -5] counts zero crossings) and total
+    * energy Σs² — the two
     * integer-exact features a speech/music/noise triage computes before
     * any model sees the audio. 16-bit samples keep Σs² under 2^31·n, so a
     * Long holds clips of any realistic length. Same malformed→null
@@ -570,8 +572,11 @@ object Multimodal {
     val planes = leU16(26); val bitCount = leU16(28); val compression = leU32(30)
     if (headerSize < 40 || planes != 1 || bitCount != 24 || compression != 0) return None
     if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 3) return None
-    val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-    if (dataOffset < 54 || dataOffset + rowSize.toLong * h > bytes.length) return None
+    // all size arithmetic in Long BEFORE narrowing: w=715827882 passes the
+    // area guard with h=1 but overflows (w*3+3) in Int
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOffset < 54 || dataOffset + rowSizeL * h > bytes.length) return None
+    val rowSize = rowSizeL.toInt
     val base = dataOffset.toInt
     var rSum = 0L; var gSum = 0L; var bSum = 0L; var top = 0L
     var row = 0

@@ -11,10 +11,16 @@ import org.apache.spark.sql.functions._
   *     `User-agent:` lines followed by `Allow:`/`Disallow:` rules;
   *   - a crawler obeys the union of the groups naming it EXACTLY
   *     (case-insensitive); only if none do, the `*` groups apply;
-  *   - decision per path: among rules whose path is a prefix of the
-  *     target, the LONGEST path wins; on a length tie Allow wins; an
-  *     empty-path `Disallow:` disallows nothing; no matching rule ⇒
-  *     allowed.
+  *   - rule paths are PATTERNS (RFC 9309 §2.2.3): `*` matches any run
+  *     of characters, a trailing `$` anchors the match to the end of
+  *     the target path, and a pattern without `$` matches any target it
+  *     is a prefix-pattern of; percent-escapes are normalized on both
+  *     sides before matching (decoded to the octet, except `%2F` which
+  *     stays encoded so an escaped slash never collides with the path
+  *     delimiter);
+  *   - decision per path: among matching rules, the one with the
+  *     LONGEST pattern wins; on a length tie Allow wins; an empty-path
+  *     `Disallow:` disallows nothing; no matching rule ⇒ allowed.
   *
   * A REAL line-walking parser (the honest-decoder contract of the
   * PPM/WAV/PNG/BMP/WARC family): unknown fields (Crawl-delay, Sitemap)
@@ -67,9 +73,53 @@ object Robots {
     chosen.flatMap(_.rules)
   }
 
-  /** Longest-prefix-match decision (Allow wins length ties). */
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Percent-escape normalization so `/a%2Db` and `/a-b` compare equal:
+    * decode `%XX` to its octet, EXCEPT `%2F` (an escaped slash must stay
+    * distinct from the path delimiter — kept encoded, hex uppercased).
+    * Malformed escapes pass through literally. */
+  private[operators] def pctNormalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        val v = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        if (v == 0x2F) sb.append("%2F") else sb.append(v.toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** RFC 9309 §2.2.3 pattern match: `*` = any character run, one
+    * trailing `$` = end anchor (a `$` anywhere else is literal). A
+    * pattern without the anchor is a prefix pattern — implemented by
+    * appending `*` and requiring a whole-string glob match. Iterative
+    * glob with single-star backtracking: O(|path|·stars) worst case, no
+    * recursion, so a hostile robots.txt can't blow the task stack. */
+  private[operators] def pathMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val base = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val pat = if (anchored) base else base + "*"
+    var pi = 0; var si = 0; var starPi = -1; var starSi = 0
+    while (si < path.length) {
+      if (pi < pat.length && pat.charAt(pi) == '*') { starPi = pi; starSi = si; pi += 1 }
+      else if (pi < pat.length && pat.charAt(pi) == path.charAt(si)) { pi += 1; si += 1 }
+      else if (starPi >= 0) { starSi += 1; si = starSi; pi = starPi + 1 }
+      else return false
+    }
+    while (pi < pat.length && pat.charAt(pi) == '*') pi += 1
+    pi == pat.length
+  }
+
+  /** Longest-pattern-match decision (Allow wins length ties). Pattern
+    * length is ranked on the raw rule path per RFC 9309 §2.2.2. */
   def isAllowed(rules: Seq[Rule], path: String): Boolean = {
-    val matching = rules.filter(r => r.path.nonEmpty && path.startsWith(r.path))
+    val target = pctNormalize(path)
+    val matching = rules.filter(r => r.path.nonEmpty && pathMatches(pctNormalize(r.path), target))
     if (matching.isEmpty) true
     else {
       val longest = matching.map(_.path.length).max

@@ -165,8 +165,11 @@ object Sampling {
     * Domains without a weight drop; a domain smaller than its target keeps
     * everything (mixtures can only be approached from above without
     * upsampling — callers see the shortfall in the output counts). One tiny
-    * count aggregate (bounded by #domains) feeds the thresholds; the sample
-    * itself is a pure pushdown-friendly filter. */
+    * count aggregate (bounded by #WEIGHTED domains — the count is filtered
+    * to `weights.keys` before the collect, so a high-cardinality domain
+    * column can't blow the driver; `domainCol` is a MIXTURE LABEL, tens of
+    * values, not a raw URL host) feeds the thresholds; the sample itself is
+    * a pure pushdown-friendly filter. */
   def rebalanceToMixture(
       df: DataFrame,
       domainCol: String,
@@ -185,7 +188,10 @@ object Sampling {
     // weight (null comparison) so they always drop, and folding them into
     // any real domain's count would deflate that domain's keep-rate.
     val domainStr = col(domainCol).cast("string")
-    val counts = df.filter(domainStr.isNotNull)
+    // unweighted domains always drop, so they never need counting: the isin
+    // filter bounds the collect at |weights| rows no matter how many
+    // distinct values the column actually has
+    val counts = df.filter(domainStr.isin(weights.keys.toSeq: _*))
       .groupBy(domainStr.as("__d")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val threshold = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>

@@ -527,6 +527,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(out.length - 80) < 25, s"kept=${out.length}")
   }
 
+  test("mixture rebalance: high-cardinality domain column stays driver-safe") {
+    // 5000 distinct URL-host-like domains, only 2 weighted — the count
+    // collect must be bounded by |weights|, not by distinct(domain); the
+    // plan's aggregate reads from an isin-filtered scan
+    val rows = (1L to 5000L).map(i =>
+      (i, if (i <= 400) "hub.example" else if (i <= 800) "lib.example"
+          else s"host-$i.example"))
+    val df = rows.toDF("id", "dom")
+    val out = Sampling.rebalanceToMixture(df, "dom", "id",
+      weights = Map("hub.example" -> 1, "lib.example" -> 1), totalBudget = 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.forall(r => r._2 == "hub.example" || r._2 == "lib.example"))
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byDom("hub.example") - 100) < 45, s"hub=${byDom("hub.example")}")
+    assert(math.abs(byDom("lib.example") - 100) < 45, s"lib=${byDom("lib.example")}")
+  }
+
   test("int8 quantization: bounded range, truncation, cosine preserved") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Similarity.quantizeInt8(emb, "embedding")
@@ -1899,6 +1916,33 @@ class OperatorsSpec extends SparkTestBase {
     // agent line after rules starts a NEW group (missing blank line)
     val squeezed = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
     assert(Robots.parse(squeezed, "b").map(_.path) == Seq("/y"))
+  }
+
+  test("robots: RFC 9309 wildcard '*', end-anchor '$', percent normalization") {
+    def allowed(rules: String, path: String): Boolean =
+      Robots.isAllowed(Robots.parse("User-agent: *\n" + rules, "bot"), path)
+    // '*' matches any character run — the classic 'Disallow: /*?' rule
+    assert(!allowed("Disallow: /*?", "/search?q=x"))
+    assert(allowed("Disallow: /*?", "/search/q/x"))
+    assert(!allowed("Disallow: /private*/data", "/private-2024/data/f"))
+    assert(allowed("Disallow: /private*/data", "/private-2024/info"))
+    // consecutive / leading stars, and '*' needing backtracking
+    assert(!allowed("Disallow: /a**b", "/axxb"))
+    assert(!allowed("Disallow: /*.pdf", "/x/report.pdf.pdf"))
+    // '$' anchors to end-of-path only when TRAILING; literal elsewhere
+    assert(!allowed("Disallow: /*.json$", "/api/v1.json"))
+    assert(allowed("Disallow: /*.json$", "/api/v1.json/extra"))
+    assert(!allowed("Disallow: /a$b", "/a$b/c")) // midway '$' is literal
+    // anchored empty-suffix: 'Disallow: /dir$' blocks exactly /dir
+    assert(!allowed("Disallow: /dir$", "/dir") && allowed("Disallow: /dir$", "/dir/x"))
+    // longest PATTERN wins: a longer wildcard Disallow beats a shorter Allow
+    assert(!allowed("Allow: /p\nDisallow: /p/*/secret", "/p/a/secret"))
+    // percent normalization: %7E ~ compare equal both directions; %2F stays
+    assert(!allowed("Disallow: /~joe", "/%7Ejoe/f"))
+    assert(!allowed("Disallow: /%7Ejoe", "/~joe/f"))
+    assert(allowed("Disallow: /a/b", "/a%2Fb")) // escaped slash != delimiter
+    // prefix semantics unchanged for literal rules
+    assert(!allowed("Disallow: /lit", "/literal") && allowed("Disallow: /lit", "/x/lit"))
   }
 
   test("frontier waves: one URL per domain per wave, priority within domain") {

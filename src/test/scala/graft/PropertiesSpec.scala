@@ -362,6 +362,15 @@ class PropertiesSpec extends SparkTestBase {
         Multimodal.decodePng(payload); Warc.parseWarc(payload)
       }
     }
+    // crafted BMP whose width passes the Int.MaxValue/3 area guard with
+    // h=1 but overflows (w*3+3) in Int arithmetic — the rowSize/bounds
+    // math must run in Long so this is a clean None, not an AIOOBE
+    val evil = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+      .putInt(40).putInt(715827882).putInt(1)
+      .putShort(1).putShort(24).putInt(0).putInt(0)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    assert(Multimodal.decodeBmp(evil.array()).isEmpty)
   }
 
   test("property: misra-gries never overcounts and keeps every heavy item") {
