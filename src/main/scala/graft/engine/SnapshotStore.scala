@@ -1,7 +1,7 @@
 package graft.engine
 
-import java.nio.file.Files
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-run snapshot isolation — the reference's `dbt_model_diff__{run_id}`
@@ -13,13 +13,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * comparison pass), and immutability — both diff sides become immune to
   * re-planning drift, the same isolation property the reference buys with
   * its throwaway schema.
+  *
+  * All IO goes through `org.apache.hadoop.fs.FileSystem` resolved from the
+  * root path's scheme, NOT `java.io.File`: a 100 TB deployment keeps its
+  * snapshots on HDFS/S3/ABFS, where `java.io` doesn't exist. The commit
+  * protocol is tmp-dir → rename → `_GRAFT_COMMITTED` marker, and the MARKER
+  * IS THE SOLE COMMIT SIGNAL readers trust: on HDFS the rename is atomic
+  * (belt and braces); on object stores whose "rename" is copy+delete a
+  * killed run can leave a half-copied destination, but never one carrying
+  * the marker — [[read]] refuses it either way. Local `file://` behavior is
+  * unchanged (Hadoop's local FS implements the same contract).
   */
 final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
   import SnapshotStore._
 
   val runDir: String = s"${rootDir.stripSuffix("/")}/${sanitize(runId)}"
 
-  private def path(table: String): String = s"$runDir/${sanitize(table)}"
+  private def hadoopConf: Configuration = spark.sessionState.newHadoopConf()
+
+  /** The filesystem owning the snapshot root — `file://`, `hdfs://`,
+    * `s3a://`, … resolved from the path's scheme via the session's Hadoop
+    * configuration (so `spark.hadoop.fs.*` settings apply). */
+  private def fs: FileSystem = new Path(runDir).getFileSystem(hadoopConf)
+
+  private def path(table: String): Path = new Path(s"$runDir/${sanitize(table)}")
 
   /** CTAS-equivalent snapshot copy (adapters/postgres.py:37-44): materialize
     * an immutable Parquet copy; overwrite = the reference's
@@ -32,20 +49,12 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
     * doesn't); a plain `df.write.parquet(dst)` does not — a killed run
     * leaves a torn directory that a later diff would silently read as "the
     * table lost rows". [[read]] refuses uncommitted snapshots instead. */
-  def snapshot(df: DataFrame, table: String): DataFrame = {
-    val dst = new java.io.File(path(table))
-    val tmp = new java.io.File(path(table) + ".tmp")
-    deleteRecursively(tmp)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    deleteRecursively(dst)
-    require(tmp.renameTo(dst), s"atomic snapshot commit failed: rename $tmp -> $dst")
-    Files.createFile(new java.io.File(dst, CommitMarker).toPath)
-    read(table)
-  }
+  def snapshot(df: DataFrame, table: String): DataFrame =
+    commitVia(table)(tmp => df.write.mode("overwrite").parquet(tmp.toString))
 
   def read(table: String): DataFrame = {
-    val dir = new java.io.File(path(table))
-    require(new java.io.File(dir, CommitMarker).isFile,
+    val dir = path(table)
+    require(fs.exists(new Path(dir, CommitMarker)),
       s"snapshot '$table' at $dir is not committed (torn write from an " +
         "interrupted run?) — refusing to diff against it")
     spark.read.parquet(dir.toString)
@@ -63,7 +72,7 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .option("path", path(table))
+      .option("path", path(table).toString)
       .saveAsTable(qualified)
     spark.table(qualified)
   }
@@ -74,14 +83,23 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
     * any IO is scheduled. Pair with the reference's `--where` flag: a
     * predicate on a partition column turns a full-table diff into a
     * per-partition one. */
-  def snapshotPartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): DataFrame = {
-    val dst = new java.io.File(path(table))
-    val tmp = new java.io.File(path(table) + ".tmp")
-    deleteRecursively(tmp)
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
-    deleteRecursively(dst)
-    require(tmp.renameTo(dst), s"atomic snapshot commit failed: rename $tmp -> $dst")
-    Files.createFile(new java.io.File(dst, CommitMarker).toPath)
+  def snapshotPartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): DataFrame =
+    commitVia(table)(tmp =>
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString))
+
+  /** The shared tmp → rename → marker commit. The destination is deleted
+    * only AFTER the tmp copy fully wrote; if the rename (or an object
+    * store's copy-loop behind it) dies midway, the destination has no
+    * marker and [[read]] refuses it — torn-write-safe on every scheme. */
+  private def commitVia(table: String)(write: Path => Unit): DataFrame = {
+    val dst = path(table)
+    val tmp = new Path(dst.toString + ".tmp")
+    val f = fs
+    if (f.exists(tmp)) f.delete(tmp, true)
+    write(tmp)
+    if (f.exists(dst)) f.delete(dst, true)
+    require(f.rename(tmp, dst), s"atomic snapshot commit failed: rename $tmp -> $dst")
+    f.create(new Path(dst, CommitMarker), true).close()
     read(table)
   }
 
@@ -104,11 +122,13 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
     * (`--keep-snapshots`) need the janitor form. The CURRENT run's dir is
     * never dropped. Returns the dropped run ids. */
   def gc(maxAgeMillis: Long, now: Long = System.currentTimeMillis()): Seq[String] = {
-    val root = new java.io.File(rootDir)
-    Option(root.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName != sanitize(runId))
-      .filter(f => now - f.lastModified() > maxAgeMillis)
-      .map { f => deleteRecursively(f); f.getName }
+    val root = new Path(rootDir)
+    val f = fs
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName != sanitize(runId))
+      .filter(s => now - s.getModificationTime > maxAgeMillis)
+      .map { s => f.delete(s.getPath, true); s.getPath.getName }
   }
 
   /** Drop the catalog entries created by bucketed snapshots. */
@@ -120,7 +140,7 @@ final class SnapshotStore(spark: SparkSession, rootDir: String, runId: String) {
 
   /** `drop schema … cascade` cleanup (adapters/postgres.py:33-35), honoring
     * the reference's `--keep-schemas` escape hatch (diff_flow.py:271-275). */
-  def drop(): Unit = deleteRecursively(new java.io.File(runDir))
+  def drop(): Unit = { fs.delete(new Path(runDir), true); () }
 }
 
 object SnapshotStore {
@@ -138,10 +158,5 @@ object SnapshotStore {
       .replaceAll("^_+|_+$", "")
     val out = if (cleaned.isEmpty) "run" else cleaned
     out.take(maxLen)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
   }
 }

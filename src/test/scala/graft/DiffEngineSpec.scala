@@ -184,6 +184,53 @@ class DiffEngineSpec extends SparkTestBase {
     } finally store.drop()
   }
 
+  test("snapshot store runs the same commit protocol on a non-file:// filesystem") {
+    import java.nio.file.{Files, Paths}
+    // register a scheme that is NOT file:// and resolve it to Hadoop's
+    // RawLocalFileSystem — every snapshot/read/gc call must route through
+    // the org.apache.hadoop.fs API for this to work (java.io.File cannot
+    // open a graftfs:// path), which is exactly the HDFS/S3 portability
+    // contract the store promises at 100 TB
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
+    val local = Files.createTempDirectory("graft_hfs_").toString
+    val root = "graftfs://" + local // local starts with '/': empty authority
+    assert(new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .isInstanceOf[graft.GraftTestFs])
+    val store = new graft.engine.SnapshotStore(spark, root, "hfs_test")
+    val df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    try {
+      assert(store.runDir.startsWith("graftfs://"))
+      val snap = store.snapshot(df, "t")
+      assert(snap.count() == df.count())
+      // the marker landed on the backing store (checked via the REAL fs)
+      assert(Files.exists(Paths.get(local, "hfs_test", "t",
+        graft.engine.SnapshotStore.CommitMarker)))
+      // torn write (data, no marker) refused through the scheme'd path too
+      val torn = Paths.get(local, "hfs_test", "torn")
+      Files.createDirectories(torn)
+      val src = Paths.get(local, "hfs_test", "t").toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(src.toPath, torn.resolve(src.getName))
+      val e = intercept[IllegalArgumentException](store.read("torn"))
+      assert(e.getMessage.contains("not committed"))
+      // partitioned variant commits through the same protocol
+      val part = store.snapshotPartitioned(
+        df.withColumn("p", col("r_regionkey") % 2), "pt", Seq("p"))
+      assert(part.count() == df.count())
+      // gc sees and drops expired runs through the scheme'd root
+      val old = Paths.get(local, "stale_run")
+      Files.createDirectories(old)
+      old.toFile.setLastModified(System.currentTimeMillis() - 100000)
+      assert(store.gc(maxAgeMillis = 50000) == Seq("stale_run"))
+      assert(Files.exists(Paths.get(local, "hfs_test")))
+    } finally {
+      store.drop()
+      assert(!Files.exists(Paths.get(local, "hfs_test")))
+    }
+  }
+
   test("snapshot compaction merges small files atomically; gc drops expired runs") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_compact_").toString
