@@ -533,6 +533,7 @@ object Multimodal {
     val h8 = hex(substring(payload, 1, 8))
     when(payload.isNull, lit("application/octet-stream"))
       .when(h8 === "89504E470D0A1A0A", lit("image/png"))
+      .when(hex(substring(payload, 1, 3)) === "FFD8FF", lit("image/jpeg"))
       .when(hex(substring(payload, 1, 2)) === "424D", lit("image/bmp"))
       .when(hex(substring(payload, 1, 4)) === "52494646" &&
         hex(substring(payload, 9, 4)) === "57415645", lit("audio/wav"))
@@ -899,5 +900,527 @@ object Multimodal {
       })
       .toDF(idCol, "width", "height", "n_pixels", "channels",
         "r_min", "r_max", "g_min", "g_max", "b_min", "b_max", "bright_sum", "a_sum")
+  }
+
+  // ---- images: JPEG (real-world format) --------------------------------
+
+  /** Decoded-JPEG features: dimensions + per-channel min/max + brightness
+    * — the [[ImageStats]] frame shape. Grayscale reports its single plane
+    * on all three channels (r=g=b=Y), so downstream feature consumers see
+    * one schema for the whole mixed corpus. */
+  final case class JpegStats(
+      width: Int, height: Int, nPixels: Long, nComponents: Int,
+      rMin: Int, rMax: Int, gMin: Int, gMax: Int, bMin: Int, bMax: Int,
+      brightSum: Long)
+
+  /** One canonical JPEG Huffman table (ITU-T T.81 §C.2/F.2.2.3): codes are
+    * assigned in symbol order within ascending code length, so the
+    * (counts-per-length, symbols) pair from a DHT segment fully determines
+    * them. Decode walks bit-by-bit against per-length max codes — at most
+    * 16 steps, no lookup-table memory per task. */
+  private final class JpegHuff(counts: Array[Int], symbols: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k; minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = code - 1 // -1 when counts(l-1)==0: code < minCode fails the test
+        if (counts(l - 1) == 0) maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Next symbol from the bit stream, or -1 on exhausted/invalid data. */
+    def decode(in: JpegBits): Int = {
+      var code = 0; var l = 1
+      while (l <= 16) {
+        val b = in.readBit(); if (b < 0) return -1
+        code = (code << 1) | b
+        if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l))
+          return symbols(valPtr(l) + code - minCode(l))
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** Entropy-segment bit reader (T.81 §F.2.2.5): MSB-first, `FF 00` byte
+    * stuffing unstuffed, any real marker (`FF xx`, xx≠0) ends the segment
+    * — readBit returns -1 and leaves `pos` ON the FF so the MCU loop can
+    * inspect restart markers. */
+  private final class JpegBits(bytes: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def readBit(): Int = {
+      if (cnt == 0) {
+        if (pos >= bytes.length) return -1
+        val b = bytes(pos) & 0xff
+        if (b == 0xff) {
+          if (pos + 1 >= bytes.length) return -1
+          if ((bytes(pos + 1) & 0xff) != 0x00) return -1 // marker: stay on FF
+          pos += 2 // stuffed FF data byte
+        } else pos += 1
+        buf = b; cnt = 8
+      }
+      cnt -= 1
+      (buf >>> cnt) & 1
+    }
+    /** `s`-bit unsigned receive; Int.MinValue on exhausted data. */
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) {
+        val b = readBit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+    def byteAlign(): Unit = cnt = 0
+  }
+
+  /** T.81 F.2.1.1 sign extension: an s-bit magnitude below 2^(s-1) codes a
+    * negative value. */
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Zigzag scan position → natural (row-major) coefficient index. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** ct(x)(u) = C(u)/2 · cos((2x+1)uπ/16): the separable half of the 8×8
+    * inverse DCT, so f(x,y) = Σ_u Σ_v ct(x)(u)·ct(y)(v)·F(v·8+u). */
+  private val JpegIdctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** REAL baseline JPEG decoder from pure public knowledge (ITU-T T.81 +
+    * JFIF): marker walk (SOI / APPn / COM / DQT / DHT / SOF0 / DRI / SOS),
+    * canonical Huffman entropy decode with byte unstuffing and restart
+    * markers, dequantization, separable 8×8 inverse DCT, per-component
+    * sample-replication upsampling for subsampled chroma (4:2:0 / 4:2:2 /
+    * arbitrary h,v ≤ 4), and JFIF YCbCr→RGB. Accepts baseline sequential
+    * (SOF0) grayscale and 3-component scans — the shapes web corpora
+    * overwhelmingly carry. Progressive (SOF2), arithmetic coding,
+    * hierarchical, 12-bit precision, and truncated/malformed streams
+    * return None: the same malformed→null contract as the PPM/WAV/PNG/BMP
+    * family. Returns (width, height, nComponents, RGB interleaved). */
+  def decodeJpegPixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    val quant = Array.ofDim[Int](4, 64) // zigzag order, as transmitted
+    val quantSeen = new Array[Boolean](4)
+    val huffDc = new Array[JpegHuff](4)
+    val huffAc = new Array[JpegHuff](4)
+    var w = 0; var h = 0; var nComp = 0
+    // per component: id, h, v, quant-table id (from SOF0)
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compQ: Array[Int] = null
+    var restartInterval = 0
+    var pos = 2
+    while (true) {
+      // marker: FF (fill FFs allowed) + code
+      if (pos + 1 >= bytes.length) return None
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      while (pos < bytes.length && (bytes(pos) & 0xff) == 0xff) pos += 1
+      if (pos >= bytes.length) return None
+      val marker = bytes(pos) & 0xff; pos += 1
+      marker match {
+        case 0xd9 => return None // EOI before any scan decoded
+        case m if m >= 0xe0 && m <= 0xef || m == 0xfe => // APPn / COM
+          if (pos + 2 > bytes.length) return None
+          val len = u16(pos); if (len < 2 || pos + len > bytes.length) return None
+          pos += len
+        case 0xdb => // DQT: one or more tables in the segment
+          if (pos + 2 > bytes.length) return None
+          val len = u16(pos); if (len < 2 || pos + len > bytes.length) return None
+          val end = pos + len; var p = pos + 2
+          while (p < end) {
+            val pq = (bytes(p) & 0xff) >> 4; val tq = bytes(p) & 0x0f
+            if (tq > 3 || pq > 1) return None
+            p += 1
+            val step = if (pq == 0) 1 else 2
+            if (p + 64 * step > end) return None
+            var k = 0
+            while (k < 64) {
+              quant(tq)(k) = if (pq == 0) bytes(p + k) & 0xff else u16(p + 2 * k)
+              k += 1
+            }
+            quantSeen(tq) = true
+            p += 64 * step
+          }
+          pos = end
+        case 0xc4 => // DHT: one or more tables
+          if (pos + 2 > bytes.length) return None
+          val len = u16(pos); if (len < 2 || pos + len > bytes.length) return None
+          val end = pos + len; var p = pos + 2
+          while (p < end) {
+            val tc = (bytes(p) & 0xff) >> 4; val th = bytes(p) & 0x0f
+            if (tc > 1 || th > 3) return None
+            p += 1
+            if (p + 16 > end) return None
+            val counts = Array.tabulate(16)(i => bytes(p + i) & 0xff)
+            val total = counts.sum
+            if (total > 256 || p + 16 + total > end) return None
+            val symbols = Array.tabulate(total)(i => bytes(p + 16 + i) & 0xff)
+            val tab = new JpegHuff(counts, symbols)
+            if (tc == 0) huffDc(th) = tab else huffAc(th) = tab
+            p += 16 + total
+          }
+          pos = end
+        case 0xc0 => // SOF0 baseline sequential
+          if (pos + 2 > bytes.length) return None
+          val len = u16(pos); if (len < 8 || pos + len > bytes.length) return None
+          if ((bytes(pos + 2) & 0xff) != 8) return None // precision
+          h = u16(pos + 3); w = u16(pos + 5)
+          nComp = bytes(pos + 7) & 0xff
+          if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+          if (w.toLong * h * nComp > 64L * 1024 * 1024) return None // forged dims
+          if (len != 8 + 3 * nComp) return None
+          compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compId(c) = bytes(pos + 8 + 3 * c) & 0xff
+            compH(c) = (bytes(pos + 9 + 3 * c) & 0xff) >> 4
+            compV(c) = bytes(pos + 9 + 3 * c) & 0x0f
+            compQ(c) = bytes(pos + 10 + 3 * c) & 0xff
+            if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4 ||
+              compQ(c) > 3) return None
+            c += 1
+          }
+          pos += len
+        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) ||
+          (m >= 0xc9 && m <= 0xcb) || (m >= 0xcd && m <= 0xcf) =>
+          return None // progressive/extended/arithmetic/hierarchical: not baseline
+        case 0xdd => // DRI
+          if (pos + 4 > bytes.length || u16(pos) != 4) return None
+          restartInterval = u16(pos + 2)
+          pos += 4
+        case 0xda => // SOS: single interleaved scan, then entropy data
+          if (compId == null) return None
+          if (pos + 2 > bytes.length) return None
+          val len = u16(pos); if (pos + len > bytes.length) return None
+          val ns = bytes(pos + 2) & 0xff
+          if (ns != nComp || len != 6 + 2 * ns) return None
+          val scanDc = new Array[JpegHuff](nComp)
+          val scanAc = new Array[JpegHuff](nComp)
+          var c = 0
+          while (c < ns) {
+            val cs = bytes(pos + 3 + 2 * c) & 0xff
+            val ci = compId.indexOf(cs); if (ci < 0) return None
+            val td = (bytes(pos + 4 + 2 * c) & 0xff) >> 4
+            val ta = bytes(pos + 4 + 2 * c) & 0x0f
+            if (td > 3 || ta > 3) return None
+            scanDc(ci) = huffDc(td); scanAc(ci) = huffAc(ta)
+            if (scanDc(ci) == null || scanAc(ci) == null || !quantSeen(compQ(ci)))
+              return None
+            c += 1
+          }
+          return decodeJpegScan(bytes, pos + len, w, h, nComp,
+            compH, compV, compQ, quant, scanDc, scanAc, restartInterval)
+        case _ => return None // TEM/DNL/JPG/unknown: outside the baseline contract
+      }
+    }
+    None // unreachable
+  }
+
+  /** The entropy-coded scan: MCU loop → per-component blocks → Huffman +
+    * dequant + IDCT into component planes → upsample + color-convert. */
+  private def decodeJpegScan(bytes: Array[Byte], start: Int, w: Int, h: Int,
+      nComp: Int, compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      quant: Array[Array[Int]], scanDc: Array[JpegHuff], scanAc: Array[JpegHuff],
+      restartInterval: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    val maxH = compH.max; val maxV = compV.max
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    if (compH.indices.map(c => compH(c) * compV(c)).sum > 10) return None // T.81 B.2.3
+    // component planes at their own resolution, padded to whole MCUs
+    val planeW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+    val planeH = Array.tabulate(nComp)(c => mcusY * compV(c) * 8)
+    if (planeW.indices.exists(c => planeW(c).toLong * planeH(c) > 96L * 1024 * 1024))
+      return None
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * planeH(c)))
+    val in = new JpegBits(bytes, start)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var nextRst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        val mcuIdx = my * mcusX + mx
+        // restart boundary: byte-align, consume FFD0+m (cyclic), reset DC
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          in.byteAlign()
+          val p = in.pos
+          if (p + 1 >= bytes.length || (bytes(p) & 0xff) != 0xff ||
+            (bytes(p + 1) & 0xff) != 0xd0 + nextRst) return None
+          in.pos = p + 2
+          nextRst = (nextRst + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
+        var c = 0
+        while (c < nComp) {
+          val q = quant(compQ(c))
+          var by = 0
+          while (by < compV(c)) {
+            var bx = 0
+            while (bx < compH(c)) {
+              // -- one 8×8 block: DC + AC Huffman, dequant into natural order
+              java.util.Arrays.fill(coef, 0)
+              val t = scanDc(c).decode(in); if (t < 0 || t > 11) return None
+              val dv = in.receive(t); if (dv == Int.MinValue) return None
+              pred(c) += jpegExtend(dv, t)
+              coef(0) = pred(c) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = scanAc(c).decode(in); if (rs < 0) return None
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 else eob = true // ZRL vs EOB
+                } else {
+                  k += r
+                  if (k > 63) return None
+                  val av = in.receive(s); if (av == Int.MinValue) return None
+                  coef(JpegZigzag(k)) = jpegExtend(av, s) * q(k)
+                  k += 1
+                }
+              }
+              // -- separable IDCT: rows (over u) then columns (over v)
+              var v = 0
+              while (v < 8) {
+                var x = 0
+                while (x < 8) {
+                  var acc = 0.0; var u = 0
+                  while (u < 8) { acc += JpegIdctCos(x)(u) * coef(v * 8 + u); u += 1 }
+                  tmp(v * 8 + x) = acc
+                  x += 1
+                }
+                v += 1
+              }
+              val px0 = (mx * compH(c) + bx) * 8
+              val py0 = (my * compV(c) + by) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var acc = 0.0; var vv = 0
+                  while (vv < 8) { acc += JpegIdctCos(y)(vv) * tmp(vv * 8 + x); vv += 1 }
+                  val s = math.round(acc).toInt + 128 // level shift
+                  val cl = if (s < 0) 0 else if (s > 255) 255 else s
+                  planes(c)((py0 + y) * planeW(c) + px0 + x) = cl.toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    // the scan must terminate with EOI (fill FFs allowed): a stream cut
+    // anywhere — even between the last MCU and the marker — is truncated,
+    // the same strictness as the PNG family's required IEND
+    in.byteAlign()
+    var ep = in.pos
+    while (ep + 2 < bytes.length && (bytes(ep) & 0xff) == 0xff &&
+      (bytes(ep + 1) & 0xff) == 0xff) ep += 1
+    if (ep + 2 > bytes.length || (bytes(ep) & 0xff) != 0xff ||
+      (bytes(ep + 1) & 0xff) != 0xd9) return None
+    // upsample (sample replication) + JFIF YCbCr→RGB into the output frame
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        if (nComp == 1) {
+          val g = planes(0)(y * planeW(0) + x)
+          rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+        } else {
+          def sample(c: Int): Int =
+            planes(c)((y * compV(c) / maxV) * planeW(c) + (x * compH(c) / maxH)) & 0xff
+          val yy = sample(0); val cb = sample(1) - 128; val cr = sample(2) - 128
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          rgb(o) = clamp(yy + 1.402 * cr)
+          rgb(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          rgb(o + 2) = clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, nComp, rgb))
+  }
+
+  /** Feature frame over a [[decodeJpegPixels]] pass — the mixed-corpus
+    * [[ImageStats]] shape, all integers for exact cross-engine checks. */
+  def decodeJpeg(bytes: Array[Byte]): Option[JpegStats] =
+    try decodeJpegPixels(bytes).map { case (w, h, nc, rgb) =>
+      var rMin = 255; var rMax = 0; var gMin = 255; var gMax = 0
+      var bMin = 255; var bMax = 0; var bright = 0L
+      var i = 0
+      while (i < rgb.length) {
+        val r = rgb(i) & 0xff; val g = rgb(i + 1) & 0xff; val b = rgb(i + 2) & 0xff
+        if (r < rMin) rMin = r; if (r > rMax) rMax = r
+        if (g < gMin) gMin = g; if (g > gMax) gMax = g
+        if (b < bMin) bMin = b; if (b > bMax) bMax = b
+        bright += r + g + b
+        i += 3
+      }
+      JpegStats(w, h, w.toLong * h, nc, rMin, rMax, gMin, gMax, bMin, bMax, bright)
+    } catch {
+      // belt and braces on the malformed→None contract: index/arith faults
+      // from a stream shape the guards missed must not kill a task
+      case _: ArrayIndexOutOfBoundsException | _: ArithmeticException |
+        _: NegativeArraySizeException => None
+    }
+
+  /** Oracle/test harness encoder: a REAL baseline JPEG (grayscale SOF0,
+    * canonical DHT, restart markers when `restartInterval` > 0) whose
+    * decoded pixels are EXACTLY derivable from the text — each 8×8 tile is
+    * the constant v_k = codepoint k of the cycled text mod 256. A constant
+    * block has only a DC coefficient (8·(v−128)); with an all-ones quant
+    * table the round-trip is exact, so the DuckDB oracle replays v_k
+    * directly while the Spark side runs the FULL Huffman+IDCT decode (the
+    * [[encodePpmFromText]] scheme lifted to a lossy container's lossless
+    * subset). DC Huffman is T.81 Annex K.3.1; AC is a minimal 1-entry
+    * table (only EOB is ever coded). */
+  def encodeJpegFromText(text: String, widthBlocks: Int, heightBlocks: Int,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(widthBlocks > 0 && heightBlocks > 0, "block grid must be positive")
+    val w = widthBlocks * 8; val h = heightBlocks * 8
+    val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
+    def vk(k: Int): Int = if (cps.isEmpty) 0 else cps(k % cps.length) & 0xff
+    // Annex K.3.1 luminance DC: counts per length 1..16, symbols 0..11
+    val dcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcSymbols = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+    // minimal AC table: the single symbol EOB (0x00) as the 1-bit code '0'
+    val acCounts = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acSymbols = Array(0)
+    // canonical code assignment (same derivation the decoder runs)
+    def codes(counts: Array[Int], n: Int): (Array[Int], Array[Int]) = {
+      val code = new Array[Int](n); val size = new Array[Int](n)
+      var c = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < counts(l - 1)) { code(k) = c; size(k) = l; c += 1; k += 1; i += 1 }
+        c <<= 1; l += 1
+      }
+      (code, size)
+    }
+    val (dcCode, dcSize) = codes(dcCounts, 12)
+    val (acCode, acSize) = codes(acCounts, 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); out.write(0x00) // DQT: pq=0 tq=0
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 } // all-ones: lossless DC round-trip
+    marker(0xc0); u16(8 + 3) // SOF0: 8-bit, 1 component, no subsampling
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xc4); u16(2 + (1 + 16 + 12) + (1 + 16 + 1)) // DHT: DC0 + AC0
+    out.write(0x00); dcCounts.foreach(out.write); dcSymbols.foreach(out.write)
+    out.write(0x10); acCounts.foreach(out.write); acSymbols.foreach(out.write)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) } // DRI
+    marker(0xda); u16(6 + 2) // SOS
+    out.write(1); out.write(1); out.write(0x00); out.write(0); out.write(63); out.write(0)
+    // entropy data: per block DC diff (category+bits) then EOB; FF stuffed
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(code: Int, size: Int): Unit = {
+      var s = size - 1
+      while (s >= 0) {
+        bitBuf = (bitBuf << 1) | ((code >>> s) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) out.write(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        s -= 1
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) { putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) }
+    var pred = 0
+    var nextRst = 0
+    var k = 0
+    val nBlocks = widthBlocks * heightBlocks
+    while (k < nBlocks) {
+      if (restartInterval > 0 && k > 0 && k % restartInterval == 0) {
+        flushBits()
+        marker(0xd0 + nextRst); nextRst = (nextRst + 1) % 8
+        pred = 0
+      }
+      val dc = 8 * (vk(k) - 128) // DCT DC of a constant (level-shifted) block
+      val diff = dc - pred; pred = dc
+      var s = 0; var m = math.abs(diff)
+      while (m > 0) { s += 1; m >>= 1 } // category = magnitude bit-length
+      putBits(dcCode(s), dcSize(s))
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      putBits(acCode(0), acSize(0)) // EOB: all 63 AC are zero
+      k += 1
+    }
+    flushBits()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Attach a synthesized JPEG payload column (see [[encodeJpegFromText]]). */
+  def withJpegPayload(df: DataFrame, idCol: String, textCol: String,
+      widthBlocks: Int, heightBlocks: Int, restartInterval: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, encodeJpegFromText(text, widthBlocks, heightBlocks, restartInterval))
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** Decode JPEG payloads into per-image stats — same shuffle-free
+    * `mapPartitions` shape as [[pngStats]]; malformed payloads become null
+    * feature rows. */
+  def jpegStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeJpeg(bytes) match {
+          case Some(s) =>
+            (id, Option(s.width), Option(s.height), Option(s.nPixels), Option(s.nComponents),
+              Option(s.rMin), Option(s.rMax), Option(s.gMin), Option(s.gMax),
+              Option(s.bMin), Option(s.bMax), Option(s.brightSum))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Long], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "width", "height", "n_pixels", "n_components",
+        "r_min", "r_max", "g_min", "g_max", "b_min", "b_max", "bright_sum")
   }
 }

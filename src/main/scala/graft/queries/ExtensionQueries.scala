@@ -2229,7 +2229,7 @@ object ExtensionQueries {
     ),
 
     // Magic-byte MIME sniffing over a MIXED-media corpus: each payload is
-    // a REAL encoded asset (PNG/BMP/WAV/PPM by doc_id mod 5, raw text
+    // a REAL encoded asset (PNG/BMP/WAV/PPM/JPEG by doc_id mod 6, raw text
     // otherwise) and the codegen'd prefix expression must route it by
     // CONTENT; the oracle knows the planted truth.
     QueryDef(
@@ -2239,11 +2239,12 @@ object ExtensionQueries {
         val docs = t(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         val mixed = docs.map { case (id, text) =>
-          val payload = (id % 5) match {
+          val payload = (id % 6) match {
             case 0 => Multimodal.encodePngFromText(text, 4, 3, 3)
             case 1 => Multimodal.encodeBmpFromText(text, 3, 2)
             case 2 => Multimodal.encodeWavFromText(text, 32, 8000)
             case 3 => Multimodal.encodePpmFromText(text, 4, 4)
+            case 4 => Multimodal.encodeJpegFromText(text, 2, 2)
             case _ => text.getBytes("UTF-8")
           }
           (id, payload)
@@ -2252,8 +2253,9 @@ object ExtensionQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+             |  CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
              |       WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'image/x-portable-pixmap'
+             |       WHEN 4 THEN 'image/jpeg'
              |       ELSE 'application/octet-stream' END AS mime
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
@@ -2555,6 +2557,35 @@ object ExtensionQueries {
              |       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS subwords,
              |       CAST(sum(length(text)) * 100 // sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS fertility_x100
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // REAL real-world image format #2: baseline JPEG (marker walk, canonical
+    // Huffman, dequant, 8×8 IDCT, restart markers every 2 MCUs) — the
+    // dominant payload of any web-crawled multimodal corpus. The container
+    // is a genuine entropy-coded stream, but each 8×8 tile is the constant
+    // v_k = codepoint k of the cycled text mod 256 over an all-ones quant
+    // table, making the lossy codec's DC-only subset LOSSLESS — so the
+    // oracle re-derives every decoded pixel from the text alone while the
+    // Spark side runs the full Huffman+IDCT decode (q98's PNG scheme).
+    QueryDef(
+      "q137_mm_jpeg_decode",
+      (s, dir) => {
+        val withPayload = Multimodal.withJpegPayload(
+          t(s, dir, "documents"), "doc_id", "text",
+          widthBlocks = 2, heightBlocks = 3, restartInterval = 2)
+        Multimodal.jpegStats(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |  list_transform(range(6),
+             |    k -> ascii(substr(text, CAST(k % length(text) + 1 AS INT), 1)) % 256) AS p
+             |  FROM documents)
+             |SELECT doc_id, CAST(16 AS INT) AS width, CAST(24 AS INT) AS height,
+             |       CAST(384 AS BIGINT) AS n_pixels, CAST(1 AS INT) AS n_components,
+             |       CAST(list_min(p) AS INT) AS r_min, CAST(list_max(p) AS INT) AS r_max,
+             |       CAST(list_min(p) AS INT) AS g_min, CAST(list_max(p) AS INT) AS g_max,
+             |       CAST(list_min(p) AS INT) AS b_min, CAST(list_max(p) AS INT) AS b_max,
+             |       CAST(192 * list_sum(p) AS BIGINT) AS bright_sum
+             |FROM px ORDER BY doc_id""".stripMargin)
     ),
 
     // Deterministic three-way train/val/test split: pure map expression

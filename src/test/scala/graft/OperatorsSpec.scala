@@ -1094,6 +1094,109 @@ class OperatorsSpec extends SparkTestBase {
     assert(!rows(1L) && rows(2L))
   }
 
+  test("jpeg decode: constant-tile payloads round-trip exactly, restart markers honored") {
+    import Multimodal._
+    // "Spark!" cycles v_k over the 2x3 block grid; all-ones quant makes the
+    // DC-only blocks lossless, so every pixel of tile k must equal v_k
+    val text = "Spark!"
+    val vs = (0 until 6).map(k => text.codePointAt(k % text.length) & 0xff)
+    for (rst <- Seq(0, 2)) { // without and with DRI/RSTn in the stream
+      val payload = encodeJpegFromText(text, 2, 3, restartInterval = rst)
+      val (w, h, nc, rgb) = decodeJpegPixels(payload).get
+      assert(w == 16 && h == 24 && nc == 1)
+      for (by <- 0 until 3; bx <- 0 until 2; y <- 0 until 8; x <- 0 until 8) {
+        val px = rgb(((by * 8 + y) * 16 + bx * 8 + x) * 3) & 0xff
+        assert(px == vs(by * 2 + bx), s"tile ($bx,$by) at ($x,$y) rst=$rst")
+      }
+      val s = decodeJpeg(payload).get
+      assert(s.nPixels == 384L && s.rMin == vs.min && s.rMax == vs.max)
+      assert(s.gMin == vs.min && s.bMax == vs.max) // grayscale: r=g=b
+      assert(s.brightSum == 3L * 64 * vs.sum)
+    }
+    // frame path: malformed payloads become null rows, never task failures
+    import spark.implicits._
+    val ok = encodeJpegFromText(text, 2, 2)
+    val frames = Seq((1L, ok), (2L, Array[Byte](0x12, 0x34))).toDF("doc_id", "payload")
+    val got = jpegStats(frames, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!got(1L) && got(2L))
+  }
+
+  test("jpeg decode: corrupt, truncated, and non-baseline payloads are refused") {
+    import Multimodal._
+    val ok = encodeJpegFromText("corpus", 3, 2, restartInterval = 3)
+    assert(decodeJpeg(null).isEmpty)
+    assert(decodeJpeg(Array[Byte]()).isEmpty)
+    assert(decodeJpeg("notajpeg".getBytes("US-ASCII")).isEmpty)
+    // truncation at EVERY prefix length: header walk, entropy data, EOI
+    (1 until ok.length).foreach(n => assert(decodeJpeg(ok.take(n).toArray).isEmpty, s"len $n"))
+    // progressive DCT (SOF2) is outside the baseline contract
+    val sof = ok.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val prog = ok.clone(); prog(sof + 1) = 0xc2.toByte
+    assert(decodeJpeg(prog).isEmpty)
+    // a wrong restart-marker index is stream corruption, not data
+    val rstAt = ok.indexOfSlice(Seq(0xff.toByte, 0xd0.toByte))
+    assert(rstAt > 0, "expected an RST0 in the fixture")
+    val badRst = ok.clone(); badRst(rstAt + 1) = 0xd5.toByte
+    assert(decodeJpeg(badRst).isEmpty)
+    // forged huge dimensions must be rejected before any allocation
+    val dims = ok.clone()
+    dims(sof + 5) = 0xff.toByte; dims(sof + 6) = 0xff.toByte // height 65535
+    dims(sof + 7) = 0xff.toByte; dims(sof + 8) = 0xff.toByte // width 65535
+    assert(decodeJpeg(dims).isEmpty)
+  }
+
+  test("jpeg decode matches ImageIO on real-world encoder output") {
+    import Multimodal._
+    import java.awt.image.BufferedImage
+    // ImageIO's JPEG codec is an independent implementation of the same
+    // public standard — cross-checking against it validates Huffman
+    // decode, dequant, IDCT, and (for color) subsampled chroma plumbing
+    // on streams this library did NOT author (JFIF APP0, Annex K tables).
+    def encode(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    // grayscale: single component, no upsampling — only IDCT rounding
+    // separates the two decoders (ImageIO uses fixed-point, ours float)
+    val gw = 40; val gh = 25 // non-MCU-multiple: exercises partial MCUs
+    val gray = new BufferedImage(gw, gh, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw)
+      gray.getRaster.setSample(x, y, 0, (x * 6 + y * 4) % 256)
+    val gBytes = encode(gray)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    val (w1, h1, nc1, px1) = decodeJpegPixels(gBytes).get
+    assert(w1 == gw && h1 == gh && nc1 == 1)
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val ours = px1((y * gw + x) * 3) & 0xff
+      val theirs = ref.getRaster.getSample(x, y, 0)
+      assert(math.abs(ours - theirs) <= 2, s"gray ($x,$y): $ours vs $theirs")
+    }
+    // color: ImageIO writes 3-component YCbCr with 4:2:0 subsampling by
+    // default; smooth gradients keep the replication-vs-smooth upsampling
+    // delta small while still covering the full color path
+    val cw = 64; val ch = 48
+    val color = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until ch; x <- 0 until cw)
+      color.setRGB(x, y, (x * 255 / (cw - 1) << 16) | (y * 255 / (ch - 1) << 8) |
+        ((x + y) * 255 / (cw + ch - 2)))
+    val cBytes = encode(color)
+    val cRef = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cBytes))
+    val (w2, h2, nc2, px2) = decodeJpegPixels(cBytes).get
+    assert(w2 == cw && h2 == ch && nc2 == 3)
+    var sumDiff = 0L; var maxDiff = 0
+    for (y <- 0 until ch; x <- 0 until cw; c <- 0 until 3) {
+      val ours = px2((y * cw + x) * 3 + c) & 0xff
+      val theirs = (cRef.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs(ours - theirs)
+      sumDiff += d; if (d > maxDiff) maxDiff = d
+    }
+    val meanDiff = sumDiff.toDouble / (cw * ch * 3)
+    assert(meanDiff <= 3.0, s"mean channel diff $meanDiff")
+    assert(maxDiff <= 32, s"max channel diff $maxDiff")
+  }
+
   test("url canonicalization: ports, tracking params, sorting, fragments, malformed") {
     import spark.implicits._
     import graft.operators.UrlTools
@@ -1803,6 +1906,7 @@ class OperatorsSpec extends SparkTestBase {
       (2L, Multimodal.encodeBmpFromText("abc", 2, 2), "image/bmp"),
       (3L, Multimodal.encodeWavFromText("abc", 8, 8000), "audio/wav"),
       (4L, Multimodal.encodePpmFromText("abc", 2, 2), "image/x-portable-pixmap"),
+      (8L, Multimodal.encodeJpegFromText("abc", 2, 2), "image/jpeg"),
       (5L, "plain text".getBytes("UTF-8"), "application/octet-stream"),
       (6L, Array[Byte](0x42), "application/octet-stream"), // 'B' alone isn't BMP
       (7L, null.asInstanceOf[Array[Byte]], "application/octet-stream")
