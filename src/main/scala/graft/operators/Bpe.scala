@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * counts in [[TextAnalysis]] approximate it; packing 100 TB against a
   * model's ACTUAL vocabulary needs the merge-table form).
   *
-  * Scale split, mirroring practice: TRAINING is a bounded-sample,
-  * driver-side greedy merge loop (vocabularies are trained once, offline,
-  * on samples — every public tokenizer does this); ENCODING is the hot
-  * path and runs distributed: merges broadcast as a rank map, each
-  * document encoded independently in `mapPartitions` — embarrassingly
-  * parallel, no shuffle, no per-row driver contact.
+  * Scale split, mirroring practice: TRAINING comes in two equivalent
+  * forms — [[train]], a bounded-sample driver-side greedy merge loop (one
+  * job; vocabularies are routinely induced on samples), and
+  * [[trainDistributed]], the same algorithm with the corpus-sized pair
+  * counting as a per-round Spark aggregation (full-corpus training, no
+  * sample cap). ENCODING is the hot path and runs distributed: merges
+  * broadcast as a rank map, each document encoded independently in
+  * `mapPartitions` — embarrassingly parallel, no shuffle, no per-row
+  * driver contact.
   *
   * Determinism: the trainer breaks pair-frequency ties lexicographically
   * and the encoder always applies the LOWEST-RANK applicable merge first
@@ -68,6 +71,71 @@ object Bpe {
         it += 1
       }
     }
+    merges.result()
+  }
+
+  /** Distributed trainer: the same greedy merge loop as [[train]], but the
+    * PAIR COUNTING — the only step whose cost grows with corpus size —
+    * runs as a Spark aggregation over the full corpus instead of a driver
+    * fold over a sample. Per round: one `groupBy(a, b).sum(weight)` on the
+    * word-frequency frame and a 1-ROW collect of the winner (count DESC,
+    * pair ASC — the exact tie-break [[train]] uses, so both paths produce
+    * the same merge table on the same corpus¹); the merge rewrite is a
+    * shuffle-free map, and the frame is `localCheckpoint`ed every round so
+    * round N never re-executes rounds 1..N−1 (without it the loop is
+    * quadratic in merges). The frame carries one row per DISTINCT word —
+    * pair counting is weighted by word frequency, so the aggregate's input
+    * is vocabulary-sized, not corpus-sized, after the initial word count.
+    *
+    * Driver [[train]] remains the small-corpus fast path (one job instead
+    * of `numMerges`); this is the form that trains on all 100 TB.
+    *
+    * ¹ tie-break caveat: Spark compares strings in UTF-8 binary (= code
+    * point) order, `java.lang.String` in UTF-16 code-unit order; they
+    * diverge only when supplementary-plane characters tie with U+E000..
+    * U+FFFF ones — no natural-language corpus trips this. */
+  def trainDistributed(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
+      df.select(col(textCol)).as[String]
+        .filter((s: String) => s != null && s.nonEmpty)
+        .flatMap(_.split("\\s+").iterator.filter(_.nonEmpty))
+        .groupBy(col("value")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)]
+        .map { case (w, n) => (w.map(_.toString): Seq[String], n) }
+        .localCheckpoint()
+    val merges = Vector.newBuilder[(String, String)]
+    var it = 0
+    var done = false
+    while (it < numMerges && !done) {
+      val best = words.flatMap { case (syms, n) =>
+        syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, n) }
+      }.toDF("a", "b", "n")
+        .groupBy("a", "b").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .head(1)
+      if (best.isEmpty) done = true
+      else {
+        val x = best(0).getString(0); val y = best(0).getString(1)
+        merges += ((x, y))
+        val xy = x + y
+        val prev = words
+        words = words.map { case (syms, n) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) { out += xy; i += 2 }
+            else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }.localCheckpoint()
+        prev.unpersist(blocking = false)
+        it += 1
+      }
+    }
+    words.unpersist(blocking = false)
     merges.result()
   }
 

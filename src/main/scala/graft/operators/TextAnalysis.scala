@@ -75,6 +75,77 @@ object TextAnalysis {
     scored.select(col(idCol) +: markers.map { case (l, _) => col(s"score_$l") } :+ pred.as("pred_lang"): _*)
   }
 
+  /** Normalized text with word boundaries marked for n-gram profiling:
+    * [[normalizeText]] then spaces → `_` (Cavnar–Trenkle's padding), so
+    * trigrams straddle word edges deterministically in pure ASCII. */
+  private def triNorm(textCol: String): Column =
+    translate(normalizeText(textCol), " ", "_")
+
+  /** All character trigrams of the normalized text (empty when < 3 chars —
+    * `sequence` is CASE-guarded because a descending range is Spark's
+    * default when end < start). */
+  private def triGrams(textCol: String): Column = {
+    val s = triNorm(textCol)
+    when(length(s) >= 3,
+      transform(sequence(lit(1), length(s) - 2), i => s.substr(i, lit(3))))
+      .otherwise(array())
+  }
+
+  /** TRAINED character-trigram language profiles — Cavnar & Trenkle's
+    * n-gram text categorization (the classic trained langid real pipelines
+    * run, e.g. textcat): per language, the top-`k` trigrams of the labeled
+    * corpus ranked by frequency (count DESC, trigram ASC tie-break — fully
+    * deterministic). Output (lang, tri, lang_rank), at most `langs × k`
+    * rows — a BROADCAST-sized model no matter how large the training
+    * corpus, produced by one count aggregate + one per-language window. */
+  def trigramProfiles(df: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("tri"))
+    df.select(col(langCol).as("lang"), explode(triGrams(textCol)).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+      .withColumn("lang_rank", row_number().over(w))
+      .filter(col("lang_rank") <= k)
+      .select("lang", "tri", "lang_rank")
+  }
+
+  /** Classify each document against trained [[trigramProfiles]] by
+    * out-of-place rank distance: build the document's own top-`k` trigram
+    * profile, then for every candidate language sum |doc_rank − lang_rank|
+    * per shared trigram and `k` (the max penalty) per trigram absent from
+    * the language profile; argmin wins (lang ASC tie-break). ALL-INTEGER
+    * algebra — rank statistics cross engines exactly, where log-prob Naive
+    * Bayes would hash-drift on 1-ulp `ln` differences.
+    *
+    * Scale shape: two doc-keyed shuffles (trigram count + profile window);
+    * the per-language fan-out is a crossJoin against the BROADCAST distinct
+    * language list (tens of rows) and the profile join is broadcast too —
+    * the corpus never replicates beyond `k × langs` rows per doc. Documents
+    * with no trigrams (< 3 normalized chars) emit no row. */
+  def trigramLanguageId(df: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("n").desc, col("tri"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("dist"), col("lang"))
+    val docProfile = df
+      .select(col(idCol), explode(triGrams(textCol)).as("tri"))
+      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("n"))
+      .withColumn("doc_rank", row_number().over(wDoc))
+      .filter(col("doc_rank") <= k)
+    val langs = profiles.select("lang").distinct()
+    docProfile
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "tri"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("doc_rank") - col("lang_rank")).cast("long"),
+        lit(k.toLong))).as("dist"))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang").as("pred_lang"), col("dist").as("best_dist"))
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct token set —
     * invariant to token order and repetition (a rolling-hash-class
     * fingerprint for shuffle-robust dedup keys). */

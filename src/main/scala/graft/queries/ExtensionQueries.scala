@@ -2588,6 +2588,44 @@ object ExtensionQueries {
              |FROM px ORDER BY doc_id""".stripMargin)
     ),
 
+    // TRAINED language ID (Cavnar–Trenkle trigram profiles): per-language
+    // top-40 trigram rank tables induced from the labeled corpus, each doc
+    // classified by integer out-of-place rank distance — the upgrade from
+    // q42's fixed marker heuristic to the trained classifier class real
+    // pipelines use. The oracle replays training AND scoring: identical
+    // normalization, ranking tie-breaks, and penalty algebra, all integer.
+    QueryDef(
+      "q138_trained_langid",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val profiles = TextAnalysis.trigramProfiles(docs, "lang", "text", k = 40)
+        TextAnalysis.trigramLanguageId(docs, "doc_id", "text", profiles, k = 40)
+          .orderBy("doc_id")
+      },
+      Some("""WITH norm AS (SELECT doc_id, lang,
+             |    replace(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' '), '\s+', ' ')), ' ', '_') AS s
+             |  FROM documents),
+             |tri AS (SELECT doc_id, lang,
+             |    unnest(list_transform(range(1, length(s) - 1), i -> substr(s, CAST(i AS INT), 3))) AS tri
+             |  FROM norm WHERE length(s) >= 3),
+             |lp AS (SELECT lang, tri,
+             |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri) AS lang_rank
+             |  FROM tri GROUP BY lang, tri QUALIFY lang_rank <= 40),
+             |dp AS (SELECT doc_id, tri,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, tri) AS doc_rank
+             |  FROM tri GROUP BY doc_id, tri QUALIFY doc_rank <= 40),
+             |langs AS (SELECT DISTINCT lang FROM lp),
+             |d AS (SELECT dp.doc_id, l.lang,
+             |    sum(coalesce(abs(dp.doc_rank - lp.lang_rank), 40)) AS dist
+             |  FROM dp CROSS JOIN langs l
+             |  LEFT JOIN lp ON lp.lang = l.lang AND lp.tri = dp.tri
+             |  GROUP BY dp.doc_id, l.lang)
+             |SELECT doc_id, lang AS pred_lang, CAST(dist AS BIGINT) AS best_dist
+             |FROM d
+             |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -124,6 +124,31 @@ class JdbcSourceSpec extends SparkTestBase {
     assert(pa.publishJdbc.contains("myschema.diff_runs"))
   }
 
+  test("publish: concurrent appends both land; schema drift refused loudly") {
+    val c = conn(derbyUrl)
+    val a = Main.parseArgs(Seq("diff-tables", "customers_base", "customers_head",
+      "--keys", "customer_id")).copy(model = "dim_customers")
+    val frame = Main.summaryFrame(spark, Main.runDiffTables(spark, a, Some(c)))
+    JdbcSource.publish(spark, c, "diff_runs_cc", frame) // creates the table
+    // two runs publishing at once (separate schedulers hitting the same
+    // warehouse table): append isolation means BOTH rows land — no lost
+    // update, no unique-constraint invention
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val both = Future.sequence(Seq(
+      Future(JdbcSource.publish(spark, c, "diff_runs_cc", frame)),
+      Future(JdbcSource.publish(spark, c, "diff_runs_cc", frame))))
+    Await.result(both, 120.seconds)
+    assert(JdbcSource.read(spark, c, "diff_runs_cc").count() == 3)
+    // a drifted summary schema (renamed column) must fail LOUDLY on append
+    // and leave the run history untouched — silent positional mapping into
+    // the wrong column would corrupt every later reader
+    val drifted = frame.withColumnRenamed("model", "model_name")
+    intercept[Exception](JdbcSource.publish(spark, c, "diff_runs_cc", drifted))
+    assert(JdbcSource.read(spark, c, "diff_runs_cc").count() == 3)
+  }
+
   test("--jdbc-partition-col splits the warehouse read into parallel bounded queries") {
     val df = JdbcSource.read(spark, conn(derbyUrl), "customers_head",
       partitionColumn = Some("customer_id"), numPartitions = 2)

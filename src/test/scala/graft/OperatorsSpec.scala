@@ -1359,6 +1359,69 @@ class OperatorsSpec extends SparkTestBase {
     assert(Bpe.encodeWord("lower", merges.zipWithIndex.toMap) == Vector("lower"))
   }
 
+  test("bpe: distributed pair counting learns the exact driver merge table") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // same toy corpus: the distributed path must reproduce the driver table
+    val corpus = Seq((1L, "low low lower"), (2L, "low")).toDF("doc_id", "text")
+    assert(Bpe.trainDistributed(corpus, "text", numMerges = 10) ==
+      Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")))
+    // and on a messier corpus (ties, repeats, punctuation, partitioned
+    // input) both trainers still agree merge-for-merge; deterministic
+    // doc_id filter (not limit) so both paths see the same documents
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60).repartition(7)
+    val drv = Bpe.train(docs, "text", numMerges = 25, sampleDocs = 100)
+    val dist = Bpe.trainDistributed(docs, "text", numMerges = 25)
+    assert(dist == drv)
+    // encode with the distributed table stays lossless
+    val ranks = dist.zipWithIndex.toMap
+    "lowering slowest".split(" ").foreach { w =>
+      assert(Bpe.encodeWord(w, ranks).mkString == w)
+    }
+  }
+
+  test("trained trigram langid: classifies real multilingual held-out text") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // genuinely distinct languages (the driver corpus's lang labels sit on
+    // language-uniform synthetic text, so accuracy is provable only here)
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and then it runs through the green fields with the other animals"),
+      ("en", "she was reading the book while the children were playing in the garden behind the old house near the river"),
+      ("en", "this is another example of an english sentence that should share many of the most common english trigrams"),
+      ("de", "der schnelle braune fuchs springt ueber den faulen hund und laeuft dann durch die gruenen felder mit den anderen tieren"),
+      ("de", "sie las das buch waehrend die kinder im garten hinter dem alten haus in der naehe des flusses spielten"),
+      ("de", "dies ist ein weiteres beispiel fuer einen deutschen satz der viele der haeufigsten deutschen trigramme enthalten sollte"),
+      ("fr", "le rapide renard brun saute par dessus le chien paresseux et court ensuite dans les champs verts avec les autres animaux"),
+      ("fr", "elle lisait le livre pendant que les enfants jouaient dans le jardin derriere la vieille maison pres de la riviere"),
+      ("fr", "ceci est un autre exemple de phrase francaise qui devrait partager beaucoup des trigrammes francais les plus frequents")
+    ).toDF("lang", "text")
+    val profiles = TextAnalysis.trigramProfiles(train, "lang", "text", k = 80)
+    // the model is broadcast-sized: at most langs x k rows
+    assert(profiles.count() <= 3 * 80)
+    // ranks are 1..k, dense, deterministic
+    val enRanks = profiles.filter($"lang" === "en").select("lang_rank")
+      .collect().map(_.getInt(0)).sorted
+    assert(enRanks.head == 1 && enRanks.distinct.length == enRanks.length)
+    val heldOut = Seq(
+      (1L, "the dog was running through the house with the children"),
+      (2L, "a young woman walks into the garden to read her favourite book"),
+      (3L, "der hund lief durch das haus waehrend die frau das buch las"),
+      (4L, "die kinder spielen gerne mit dem fuchs im garten des hauses"),
+      (5L, "le chien court dans la maison pendant que la femme lit le livre"),
+      (6L, "les enfants aiment jouer avec le renard dans le jardin de la maison")
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysis.trigramLanguageId(heldOut, "doc_id", "text", profiles, k = 80)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "de", 5L -> "fr", 6L -> "fr")
+    want.foreach { case (id, lang) => assert(pred(id) == lang, s"doc $id: got ${pred(id)}") }
+    // sub-trigram docs emit no row rather than a garbage prediction
+    val tiny = TextAnalysis.trigramLanguageId(
+      Seq((9L, "ab")).toDF("doc_id", "text"), "doc_id", "text", profiles, k = 80)
+    assert(tiny.count() == 0)
+  }
+
   test("ngram model: prefix-ranked next tokens; short docs skipped") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "x")).toDF("doc_id", "text")
@@ -1390,6 +1453,28 @@ class OperatorsSpec extends SparkTestBase {
       s"expected rep < prose < random, got $r")
     assert(r(1L).get < 10) // template spam compresses to almost nothing
     assert(r(4L).isEmpty && r(5L).isEmpty)
+  }
+
+  test("compression ratio: exact pinned values freeze the signal's contract") {
+    import spark.implicits._
+    // q109 has no DuckDB oracle (Deflater bytes aren't portable SQL), but
+    // zlib level 6 on a fixed input is deterministic for a given zlib —
+    // pinning exact ratios on frozen fixtures gives the signal a contract
+    // a dependency bump or a Deflater-parameter drift would break loudly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexes = (0 until 4).map(i =>
+      md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString).mkString
+    val df = Seq(
+      (1L, "ab" * 200), // 400 raw -> 15 deflated
+      (2L, "the quick brown fox jumps over the lazy dog while the analyst " +
+        "reviews every changed row in the report"), // 101 -> 84
+      (3L, hexes) // 128 high-entropy chars -> 93
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((400L, 3L)), s"repetitive: ${r(1L)}")
+    assert(r(2L) == ((101L, 83L)), s"prose: ${r(2L)}")
+    assert(r(3L) == ((128L, 72L)), s"incompressible: ${r(3L)}")
   }
 
   test("embedding norm audit flags degenerate and exploding vectors") {
