@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout — Z-order (Morton) clustering, the
+  * technique behind `OPTIMIZE ZORDER BY` in lakehouse table formats: sort
+  * a table along a space-filling curve over several columns so Parquet
+  * row-group/file min-max stats prune for predicates on ANY clustered
+  * dimension, not just the leading sort key.
+  *
+  * Why it matters at 100 TB: a table sorted by `(part, supplier)` prunes
+  * beautifully on `part` and not at all on `supplier`; z-ordered on both,
+  * a box predicate on either (or both) touches O(box-size) files instead
+  * of all of them. The curve key is PURE codegen'd integer arithmetic
+  * (shift/and/or — no UDF, no sketch), so the identical algebra runs in
+  * any SQL engine for the oracle.
+  */
+object Layout {
+
+  /** Interleave the low `bitsPerDim` bits of each cell column into one
+    * Long: result bit `b·d + i` = bit `b` of dim `i` (dim 0 in the least
+    * significant lane). Cells must already be non-negative and below
+    * 2^bitsPerDim — see [[zOrderBucketized]] for the range mapping. */
+  def zOrderKey(cells: Seq[Column], bitsPerDim: Int): Column = {
+    val d = cells.size
+    require(d > 0 && bitsPerDim > 0 && d * bitsPerDim <= 63,
+      "need 1+ dims and dims*bitsPerDim <= 63")
+    val terms = for {
+      (c, i) <- cells.zipWithIndex
+      b <- 0 until bitsPerDim
+    } yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * d + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Attach a `z_key` column over integer dimension columns: each dim is
+    * range-mapped to a 2^bitsPerDim-cell grid with the exact integer
+    * formula `(v − min) · 2^bits div (max − min + 1)` (no floats — the
+    * same rows land in the same cells in every engine), then bit-
+    * interleaved by [[zOrderKey]]. The min/max come from ONE 1-row
+    * aggregate broadcast-crossJoined back (never a per-row driver call);
+    * everything downstream is a scan-fused projection. NULL dims map to
+    * cell 0 via the min coalesce, keeping the key total so a later sort
+    * never drops rows. */
+  def zOrderBucketized(df: DataFrame, dims: Seq[String], bitsPerDim: Int): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val aggs = dims.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"__mn_$c"),
+      max(col(c)).cast("long").as(s"__mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val withStats = df.crossJoin(broadcast(stats))
+    val cells = dims.map { c =>
+      expr(s"CAST((coalesce(CAST(`$c` AS BIGINT), `__mn_$c`) - `__mn_$c`) * ${1L << bitsPerDim} " +
+        s"DIV (`__mx_$c` - `__mn_$c` + 1) AS BIGINT)")
+    }
+    withStats
+      .withColumn("z_key", zOrderKey(cells, bitsPerDim))
+      .drop(dims.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+}

@@ -2626,6 +2626,81 @@ object ExtensionQueries {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Z-order (Morton) clustering key: the multi-dimensional layout tool —
+    // each lineitem's (l_partkey, l_suppkey) is range-mapped to a 256×256
+    // grid with exact integer division and bit-interleaved into one curve
+    // key. Aggregating per curve tile (z >> 8) hashes the FULL bit algebra
+    // of every row through count/min/max; the oracle replays the identical
+    // shift/and arithmetic.
+    QueryDef(
+      "q139_zorder_key",
+      (s, dir) => {
+        val keyed = Layout.zOrderBucketized(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+          Seq("l_partkey", "l_suppkey"), bitsPerDim = 8)
+        keyed.groupBy(shiftright(col("z_key"), 8).as("z_tile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("z_key")).as("z_min"), max(col("z_key")).as("z_max"))
+          .orderBy("z_tile")
+      },
+      Some("""WITH s AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+             |               min(l_suppkey) AS mns, max(l_suppkey) AS mxs FROM lineitem),
+             |c AS (SELECT (l_partkey - mnp) * 256 // (mxp - mnp + 1) AS cp,
+             |             (l_suppkey - mns) * 256 // (mxs - mns + 1) AS cs
+             |      FROM lineitem, s),
+             |z AS (SELECT CAST(list_sum(list_transform(range(8), b -> ((cp >> CAST(b AS INT)) & 1) << CAST(2 * b AS INT)))
+             |           + list_sum(list_transform(range(8), b -> ((cs >> CAST(b AS INT)) & 1) << CAST(2 * b + 1 AS INT))) AS BIGINT) AS z_key
+             |      FROM c)
+             |SELECT z_key >> 8 AS z_tile, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(min(z_key) AS BIGINT) AS z_min, CAST(max(z_key) AS BIGINT) AS z_max
+             |FROM z GROUP BY z_tile ORDER BY z_tile""".stripMargin)
+    ),
+
+    // Quantile-sketch CERTIFICATE (the q99/q120/q135 pattern, completing
+    // the sketch family): approx_percentile's GK sketch promises every
+    // returned value sits within rank error n/accuracy of the target rank.
+    // The query certifies the LIVE sketch against exact ranks — lt/le
+    // bracket the returned value's true rank set, and the target rank
+    // ⌈φ·n⌉ must land in [lt+1−n/acc, le+n/acc] (checked in exact integer
+    // algebra, multiplied through by acc). `member` certifies the sketch
+    // returned an actual data element, not an interpolation. A broken
+    // sketch flips bits and fails the hash; the oracle derives the same
+    // frame from exact counts with both bits pinned to 1.
+    QueryDef(
+      "q140_quantile_certificate",
+      (s, dir) => {
+        val acc = 100
+        val phis = Seq(10, 25, 50, 75, 90)
+        val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+        val approx = li.agg(
+          percentile_approx(col("x"),
+            array(phis.map(p => lit(p / 100.0)): _*), lit(acc)).as("vals"),
+          count(lit(1)).as("n"))
+          .select(col("n"), posexplode(col("vals")).as(Seq("i", "v")))
+          .withColumn("phi_x100",
+            element_at(array(phis.map(lit): _*), col("i") + 1).cast("long"))
+        li.crossJoin(broadcast(approx)) // bounded fan-out: 5 broadcast rows
+          .groupBy(col("phi_x100"), col("n"))
+          .agg(
+            sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("lt"),
+            sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("le"),
+            max(when(col("x") === col("v"), 1L).otherwise(0L)).as("member"))
+          // target = ⌈φn⌉ in exact integer division (never a double `/`)
+          .withColumn("__target", expr("(phi_x100 * n + 99) div 100"))
+          .select(col("phi_x100"), col("n"),
+            col("member"),
+            // certified ⇔ acc·(lt+1) − n ≤ acc·target ≤ acc·le + n
+            ((lit(acc.toLong) * (col("lt") + 1) - col("n") <= lit(acc.toLong) * col("__target")) &&
+              (lit(acc.toLong) * col("__target") <= lit(acc.toLong) * col("le") + col("n")))
+              .cast("long").as("certified"))
+          .orderBy("phi_x100")
+      },
+      Some("""SELECT phi_x100, (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+             |       CAST(1 AS BIGINT) AS member, CAST(1 AS BIGINT) AS certified
+             |FROM (VALUES (CAST(10 AS BIGINT)), (25), (50), (75), (90)) t(phi_x100)
+             |ORDER BY phi_x100""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -255,6 +255,63 @@ class DiffEngineSpec extends SparkTestBase {
     store.drop()
   }
 
+  test("z-order key: locality — a 2D box touches few curve tiles; nulls stay total") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // full 64x64 grid, both layouts keyed over the same cells
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val z = Layout.zOrderBucketized(grid, Seq("x", "y"), bitsPerDim = 6)
+    // the grid is its own cell space (min 0, max 63): z of (x,y) is exact
+    // interleave, so tile = z >> 6 groups 8x8-aligned squares
+    val boxZ = z.filter($"x" >= 8 && $"x" <= 15 && $"y" >= 16 && $"y" <= 23)
+      .select(shiftright($"z_key", 6)).distinct().count()
+    assert(boxZ == 1L, s"aligned 8x8 box should live in ONE z tile, got $boxZ")
+    // a misaligned box still touches at most 4 tiles
+    val boxZ2 = z.filter($"x" >= 12 && $"x" <= 19 && $"y" >= 20 && $"y" <= 27)
+      .select(shiftright($"z_key", 6)).distinct().count()
+    assert(boxZ2 <= 4L, s"misaligned 8x8 box: $boxZ2 tiles")
+    // row-major layout: the same box smears across 8 disjoint key ranges
+    val rowMajor = grid.withColumn("k", $"x" * 64 + $"y")
+      .filter($"x" >= 8 && $"x" <= 15 && $"y" >= 16 && $"y" <= 23)
+      .select(shiftright($"k", 6)).distinct().count()
+    assert(rowMajor >= 8L && boxZ < rowMajor)
+    // NULL dims: key stays total (null -> min cell), no rows dropped
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L))).toDF("x", "y")
+    assert(Layout.zOrderBucketized(withNull, Seq("x", "y"), 4).count() == 2)
+  }
+
+  test("z-ordered snapshots give per-file min/max pruning on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val store = new graft.engine.SnapshotStore(spark, dir, "zorder_test")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    try {
+      val snap = store.snapshotZOrdered(li, "z", Seq("l_partkey", "l_suppkey"), files = 8)
+      assert(snap.count() == li.count()) // layout is content-preserving
+      // per-FILE dim ranges: under z-layout each file covers a compact
+      // rectangle, so a box predicate on (part, supp) overlaps few files;
+      // a plain snapshot's files each span ~the full range
+      def overlapping(df: org.apache.spark.sql.DataFrame,
+          pLo: Long, pHi: Long, sLo: Long, sHi: Long): Long =
+        df.groupBy(input_file_name().as("f"))
+          .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+            min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
+          .filter(col("pmx") >= pLo && col("pmn") <= pHi &&
+            col("smx") >= sLo && col("smn") <= sHi)
+          .count()
+      val stats = li.agg(max("l_partkey"), max("l_suppkey")).head()
+      val (pMax, sMax) = (stats.getLong(0), stats.getLong(1))
+      val plain = store.snapshot(li.repartition(8), "plain")
+      val nFiles = plain.groupBy(input_file_name()).count().count()
+      // a ~quarter-range box on both dims
+      val zHit = overlapping(snap, 0, pMax / 4, 0, sMax / 4)
+      val plainHit = overlapping(plain, 0, pMax / 4, 0, sMax / 4)
+      assert(plainHit == nFiles, "hash layout: every file overlaps the box")
+      assert(zHit < plainHit, s"z layout should prune files: $zHit vs $plainHit")
+    } finally store.drop()
+  }
+
   test("partitioned snapshots prune to the filtered partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val store = new graft.engine.SnapshotStore(spark, dir, "part_test")
