@@ -33,20 +33,22 @@ object Robots {
 
   final case class Rule(allow: Boolean, path: String)
 
-  /** Rules applying to `agent` (see object doc for group selection). */
-  def parse(content: String, agent: String): Seq[Rule] = {
+  private final case class Group(agents: Seq[String], rules: Seq[Rule], delay: Option[Long])
+
+  /** The groups applying to `agent` (see object doc for group selection). */
+  private def chosenGroups(content: String, agent: String): Seq[Group] = {
     if (content == null) return Seq.empty
     val a = agent.toLowerCase
-    final case class Group(agents: Seq[String], rules: Seq[Rule])
     val groups = Seq.newBuilder[Group]
     var agents = Seq.newBuilder[String]
     var rules = Seq.newBuilder[Rule]
+    var delay: Option[Long] = None
     var inAgents = true
     var haveGroup = false
     def flush(): Unit = {
-      if (haveGroup) groups += Group(agents.result(), rules.result())
+      if (haveGroup) groups += Group(agents.result(), rules.result(), delay)
       agents = Seq.newBuilder[String]; rules = Seq.newBuilder[Rule]
-      inAgents = true; haveGroup = false
+      delay = None; inAgents = true; haveGroup = false
     }
     content.split("\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -60,7 +62,16 @@ object Robots {
             agents += value.toLowerCase; haveGroup = true
           case "allow" | "disallow" =>
             if (haveGroup) { inAgents = false; rules += Rule(field == "allow", value) }
-          case _ => () // Crawl-delay, Sitemap, unknown fields: skipped
+          case "crawl-delay" =>
+            // non-standard but universally emitted; seconds, fractional
+            // tolerated (floored), malformed ignored — first value wins
+            if (haveGroup) {
+              inAgents = false
+              if (delay.isEmpty)
+                delay = scala.util.Try(value.toDouble).toOption
+                  .filter(d => d >= 0 && d <= 86400).map(_.toLong)
+            }
+          case _ => () // Sitemap, unknown fields: skipped
         }
       }
       // malformed (no colon) and blank lines are ignored; group breaks are
@@ -69,8 +80,19 @@ object Robots {
     flush()
     val all = groups.result()
     val exact = all.filter(_.agents.contains(a))
-    val chosen = if (exact.nonEmpty) exact else all.filter(_.agents.contains("*"))
-    chosen.flatMap(_.rules)
+    if (exact.nonEmpty) exact else all.filter(_.agents.contains("*"))
+  }
+
+  /** Rules applying to `agent` (see object doc for group selection). */
+  def parse(content: String, agent: String): Seq[Rule] =
+    chosenGroups(content, agent).flatMap(_.rules)
+
+  /** Crawl-delay (whole seconds) applying to `agent`: the MINIMUM across
+    * the agent's groups (obeying the strictest published rate is the safe
+    * reading of a conflicting robots.txt); None when no group sets one. */
+  def crawlDelay(content: String, agent: String): Option[Long] = {
+    val ds = chosenGroups(content, agent).flatMap(_.delay)
+    if (ds.isEmpty) None else Some(ds.min)
   }
 
   private def isHex(c: Char): Boolean =

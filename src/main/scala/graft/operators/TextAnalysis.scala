@@ -184,6 +184,55 @@ object TextAnalysis {
       size(expr(s"regexp_extract_all($textCol, '${sqlLit(PhonePat)}', 0)")).cast("long"))
   }
 
+  /** Card-number candidates: 13–19 digits, optionally space/dash-grouped
+    * (the formats payment numbers are actually typed in). */
+  private val CardCandPat = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn check as a pure SQL lambda over a digit string `d`: double every
+    * second digit from the RIGHT, fold digit sums, valid ⇔ mod 10 == 0 —
+    * the ISO/IEC 7812 checksum every real payment number carries, which is
+    * what separates an actual PAN from 16 arbitrary digits (a 10× false-
+    * positive cut no regex alone gets). Integer-only, engine-portable. */
+  private def luhnSql(d: String): String = {
+    val v = s"CAST(substr(reverse($d), i, 1) AS INT)"
+    s"aggregate(sequence(1, length($d)), 0, (acc, i) -> acc + " +
+      s"(CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * $v > 9 THEN 2 * $v - 9 ELSE 2 * $v END " +
+      s"ELSE $v END)) % 10 = 0"
+  }
+
+  /** (candidate count, Luhn-valid count) over card-number-shaped digit
+    * runs — the PII class [[piiCounts]]' email/phone patterns miss. Both
+    * scan-fused codegen'd-HOF expressions; the valid count gates redaction
+    * policy (a corpus slice with REAL validated PANs is quarantined, not
+    * just scrubbed). */
+  def cardCounts(textCol: String): (Column, Column) = {
+    val cands = s"transform(regexp_extract_all($textCol, '${CardCandPat.replace("\\", "\\\\")}', 0), " +
+      "c -> regexp_replace(c, '[^0-9]', ''))"
+    val inRange = "length(d) >= 13 AND length(d) <= 19"
+    (size(expr(s"filter($cands, d -> $inRange)")).cast("long"),
+      size(expr(s"filter($cands, d -> $inRange AND ${luhnSql("d")})")).cast("long"))
+  }
+
+  /** Conservative card redaction: every candidate run (valid or not)
+    * becomes `<CARD>` — redaction errs on the side of removal; the
+    * [[cardCounts]] valid count is the signal that decides quarantine. */
+  def redactCards(textCol: String): Column =
+    regexp_replace(col(textCol), CardCandPat, "<CARD>")
+
+  /** Driver/test helper: the check digit making `digits + d` Luhn-valid. */
+  def luhnCheckDigit(digits: String): Int = {
+    var sum = 0
+    var i = digits.length - 1
+    var pos = 1 // position from the right in the FULL number (check digit = 0)
+    while (i >= 0) {
+      val v = digits.charAt(i) - '0'
+      val dv = if (pos % 2 == 1) { val t = 2 * v; if (t > 9) t - 9 else t } else v
+      sum += dv
+      i -= 1; pos += 1
+    }
+    (10 - sum % 10) % 10
+  }
+
   /** Word n-gram repetition score in [0, 100]: the percentage of n-grams
     * that are repeats of an earlier one — the Gopher/C4-style signal that
     * flags boilerplate and generation loops. Integer output

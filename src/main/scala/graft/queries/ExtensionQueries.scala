@@ -2701,6 +2701,67 @@ object ExtensionQueries {
              |ORDER BY phi_x100""".stripMargin)
     ),
 
+    // Checksum-validated PII: card-number-shaped digit runs are only REAL
+    // payment numbers when the ISO 7812 Luhn checksum holds — the planted
+    // 16-digit number per doc gets a correct check digit exactly when
+    // doc_id is even, so the detector's (candidates, valid) split must
+    // reproduce the parity truth the oracle knows. The Luhn fold runs as a
+    // codegen'd HOF lambda over each candidate, scan-fused, no UDF.
+    QueryDef(
+      "q141_card_pii",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        val planted = docs.map { case (id, text) =>
+          val base = f"${id % 1000000000000000L}%015d"
+          val check = TextAnalysis.luhnCheckDigit(base)
+          val digit = if (id % 2 == 0) check else (check + 5) % 10
+          (id, s"$text card $base$digit due")
+        }.toDF("doc_id", "text")
+        val (nCand, nValid) = TextAnalysis.cardCounts("text")
+        planted
+          .select(col("doc_id"), nCand.as("n_candidates"), nValid.as("n_valid"),
+            length(TextAnalysis.redactCards("text")).cast("long").as("redacted_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(1 AS BIGINT) AS n_candidates,
+             |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_valid,
+             |       CAST(length(text) + length(' card <CARD> due') AS BIGINT) AS redacted_len
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Polite fetch schedule v2: q130's per-domain waves throttled by each
+    // domain's OWN published rate — Crawl-delay parsed from a synthesized
+    // per-domain robots.txt by the REAL group-aware parser, broadcast back
+    // onto the frontier, fetch_offset = (wave−1)·delay. The oracle knows
+    // the planted delay algebra (length(source) % 5 + 1 seconds).
+    QueryDef(
+      "q142_crawl_schedule",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), length(col("text")).as("__len"))
+        val delays = docs.select(col("source")).distinct().as[String].map { src =>
+          val robots = "User-agent: other-bot\nCrawl-delay: 99\n\n" +
+            s"User-agent: graft-bot\nDisallow: /private\nCrawl-delay: ${src.length % 5 + 1}\n"
+          (src, Robots.crawlDelay(robots, "graft-bot").getOrElse(0L))
+        }.toDF("source", "crawl_delay")
+        UrlTools.frontierWaves(docs, "source", Seq(col("__len").desc, col("doc_id")))
+          .join(broadcast(delays), Seq("source"))
+          .select(col("doc_id"), col("source"), col("wave"), col("crawl_delay"),
+            ((col("wave") - 1) * col("crawl_delay")).as("fetch_offset_s"))
+          .orderBy("source", "wave")
+      },
+      Some("""SELECT doc_id, source, wave,
+             |       CAST(length(source) % 5 + 1 AS BIGINT) AS crawl_delay,
+             |       CAST((wave - 1) * (length(source) % 5 + 1) AS BIGINT) AS fetch_offset_s
+             |FROM (SELECT doc_id, source,
+             |        CAST(row_number() OVER (PARTITION BY source ORDER BY length(text) DESC, doc_id) AS BIGINT) AS wave
+             |      FROM documents)
+             |ORDER BY source, wave""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1381,6 +1381,37 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("luhn card detection: checksum separates real PANs from digit noise") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "pay 4111111111111111 now"),           // canonical valid test PAN
+      (2L, "pay 4111111111111112 now"),           // one digit off: candidate, invalid
+      (3L, "spaced 4111 1111 1111 1111 form"),    // grouped digits still validate
+      (4L, "dashed 5500-0000-0000-0004 form"),    // 16-digit mastercard test number
+      (5L, "short 123456789012 run"),             // 12 digits: not a candidate
+      (6L, "amex 378282246310005 ok"),            // 15-digit valid
+      (7L, "no digits at all here")
+    ).toDF("doc_id", "text")
+    val (nc, nv) = TextAnalysis.cardCounts("text")
+    val got = rows.select($"doc_id", nc.as("c"), nv.as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 1L)) && got(2L) == ((1L, 0L)))
+    assert(got(3L) == ((1L, 1L)) && got(4L) == ((1L, 1L)))
+    assert(got(5L) == ((0L, 0L)) && got(6L) == ((1L, 1L)) && got(7L) == ((0L, 0L)))
+    // conservative redaction removes candidates whether or not they validate
+    val red = rows.select($"doc_id", TextAnalysis.redactCards("text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "pay <CARD> now" && red(2L) == "pay <CARD> now")
+    assert(red(3L) == "spaced <CARD> form" && red(7L) == "no digits at all here")
+    // the check-digit helper closes the loop: helper-built numbers validate
+    val base = "123456789012345"
+    val full = base + TextAnalysis.luhnCheckDigit(base)
+    val probe = Seq((9L, s"x $full y")).toDF("doc_id", "text")
+    val (_, pv) = TextAnalysis.cardCounts("text")
+    assert(probe.select(pv).head().getLong(0) == 1L)
+  }
+
   test("trained trigram langid: classifies real multilingual held-out text") {
     import spark.implicits._
     import graft.operators.TextAnalysis
@@ -2105,6 +2136,35 @@ class OperatorsSpec extends SparkTestBase {
     // agent line after rules starts a NEW group (missing blank line)
     val squeezed = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
     assert(Robots.parse(squeezed, "b").map(_.path) == Seq("/y"))
+  }
+
+  test("robots: crawl-delay — group-scoped, strictest wins, malformed ignored") {
+    val robots =
+      """User-agent: other-bot
+        |Crawl-delay: 99
+        |
+        |User-agent: graft-bot
+        |Disallow: /x
+        |Crawl-delay: 7
+        |
+        |User-agent: graft-bot
+        |Crawl-delay: 3.9
+        |
+        |User-agent: *
+        |Crawl-delay: 1
+        |""".stripMargin
+    // both graft-bot groups apply; strictest (min) wins; 3.9 floors to 3
+    assert(Robots.crawlDelay(robots, "graft-bot") == Some(3L))
+    // the decoy group's 99 never leaks; unknown agents fall to *
+    assert(Robots.crawlDelay(robots, "stranger") == Some(1L))
+    // no delay published -> None (caller picks its own default)
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /a\n", "bot").isEmpty)
+    // malformed / absurd values ignored, first valid value per group wins
+    assert(Robots.crawlDelay(
+      "User-agent: *\nCrawl-delay: soon\nCrawl-delay: 4\nCrawl-delay: 2\n", "bot")
+      == Some(4L))
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: 900000\n", "bot").isEmpty)
+    assert(Robots.crawlDelay(null, "bot").isEmpty)
   }
 
   test("robots: RFC 9309 wildcard '*', end-anchor '$', percent normalization") {
