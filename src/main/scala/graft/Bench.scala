@@ -79,10 +79,12 @@ object Bench {
     println(line)
     // the driver's log capture keeps only the tail of stdout, which nulled
     // the r04 and r05 per-query records — persist the full line to a file
-    // so round-over-round comparisons never depend on that capture
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCHOUT.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
+    // so round-over-round comparisons never depend on that capture. FULL
+    // runs only: a BENCH_ONLY subset must never overwrite the suite record.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCHOUT.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

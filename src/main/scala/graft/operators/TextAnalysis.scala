@@ -81,15 +81,19 @@ object TextAnalysis {
   private def triNorm(textCol: String): Column =
     translate(normalizeText(textCol), " ", "_")
 
-  /** All character trigrams of the normalized text (empty when < 3 chars —
-    * `sequence` is CASE-guarded because a descending range is Spark's
-    * default when end < start). */
-  private def triGrams(textCol: String): Column = {
-    val s = triNorm(textCol)
+  /** All character trigrams of an ALREADY-MATERIALIZED normalized-text
+    * column (empty when < 3 chars — `sequence` is CASE-guarded because a
+    * descending range is Spark's default when end < start).
+    *
+    * The argument must be a plain column reference, never the [[triNorm]]
+    * expression inline: HOF lambdas re-evaluate captured expressions PER
+    * ELEMENT, so an inlined regex-normalize chain makes trigram extraction
+    * O(len²) regex work per document — measured 200+ s at sf0.1 vs 2 s
+    * materialized (the same trap `withRepetitionScore` documents). */
+  private def triGramsOf(s: Column): Column =
     when(length(s) >= 3,
       transform(sequence(lit(1), length(s) - 2), i => s.substr(i, lit(3))))
       .otherwise(array())
-  }
 
   /** TRAINED character-trigram language profiles — Cavnar & Trenkle's
     * n-gram text categorization (the classic trained langid real pipelines
@@ -102,7 +106,8 @@ object TextAnalysis {
     require(k > 0, "k must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("tri"))
-    df.select(col(langCol).as("lang"), explode(triGrams(textCol)).as("tri"))
+    df.select(col(langCol).as("lang"), triNorm(textCol).as("__s"))
+      .select(col("lang"), explode(triGramsOf(col("__s"))).as("tri"))
       .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
       .withColumn("lang_rank", row_number().over(w))
       .filter(col("lang_rank") <= k)
@@ -130,14 +135,19 @@ object TextAnalysis {
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("dist"), col("lang"))
     val docProfile = df
-      .select(col(idCol), explode(triGrams(textCol)).as("tri"))
+      .select(col(idCol), triNorm(textCol).as("__s"))
+      .select(col(idCol), explode(triGramsOf(col("__s"))).as("tri"))
       .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("n"))
       .withColumn("doc_rank", row_number().over(wDoc))
       .filter(col("doc_rank") <= k)
-    val langs = profiles.select("lang").distinct()
+    // the model frame is used twice (language list + rank join) and is
+    // broadcast-sized by construction — materialize once so the training
+    // aggregation never re-executes per consumer
+    val prof = profiles.localCheckpoint()
+    val langs = prof.select("lang").distinct()
     docProfile
       .crossJoin(broadcast(langs))
-      .join(broadcast(profiles), Seq("lang", "tri"), "left")
+      .join(broadcast(prof), Seq("lang", "tri"), "left")
       .groupBy(col(idCol), col("lang"))
       .agg(sum(coalesce(abs(col("doc_rank") - col("lang_rank")).cast("long"),
         lit(k.toLong))).as("dist"))
