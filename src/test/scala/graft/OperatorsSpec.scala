@@ -1094,6 +1094,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(!rows(1L) && rows(2L))
   }
 
+  test("gif decode: LZW round-trip exact, real-encoder streams, corrupt refused") {
+    import Multimodal._
+    // text-derived pixels over the gray palette: exact (GIF is lossless);
+    // 285 pixels forces a mid-stream CLEAR in the literal-code encoder
+    val text = "Spark engine!"
+    val vs = (0 until 285).map(k => text.codePointAt(k % text.length) & 0xff)
+    val payload = encodeGifFromText(text, 19, 15)
+    val s = decodeGif(payload).get
+    assert(s.width == 19 && s.height == 15 && s.nPixels == 285L && s.paletteSize == 256)
+    assert(s.rMin == vs.min && s.rMax == vs.max && s.gMin == vs.min && s.bMax == vs.max)
+    assert(s.brightSum == 3L * vs.sum)
+    // independent-codec check: ImageIO decodes our stream to the same pixels
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img.getWidth == 19 && img.getHeight == 15)
+    for (y <- 0 until 15; x <- 0 until 5) {
+      val want = vs(y * 19 + x)
+      assert((img.getRGB(x, y) & 0xff) == want, s"ImageIO ($x,$y)")
+    }
+    // and OUR decoder handles a REAL compressed LZW stream (ImageIO's GIF
+    // writer emits genuine multi-byte dictionary codes, not literals)
+    val src = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 23; x <- 0 until 37)
+      src.setRGB(x, y, if ((x / 4 + y / 3) % 2 == 0) 0x00202020 else 0x00e0e0e0)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "gif", bos))
+    val real = decodeGif(bos.toByteArray).get
+    assert(real.width == 37 && real.height == 23)
+    val refBright = (for (y <- 0 until 23; x <- 0 until 37) yield {
+      val c = src.getRGB(x, y)
+      ((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)
+    }).sum.toLong
+    assert(real.brightSum == refBright, "lossless: exact brightness match")
+    // corrupt payloads: the malformed->None family contract; the decoder
+    // returns after the FIRST image, so only the trailing 0x3b is advisory
+    assert(decodeGif(null).isEmpty && decodeGif(Array[Byte]()).isEmpty)
+    assert(decodeGif("GIF89a".getBytes("US-ASCII")).isEmpty) // header only
+    (1 until payload.length - 1).foreach { n =>
+      assert(decodeGif(payload.take(n).toArray).isEmpty, s"truncated at $n")
+    }
+    assert(decodeGif(payload.dropRight(1)).isDefined) // first frame complete
+    // interlace permutes row order ONLY — every reported stat is
+    // row-order-invariant, so the flagged variant decodes identically
+    val inter = payload.clone()
+    val desc = 6 + 7 + 768 + 9 // header + LSD + GCT + comment ext (3+5+1)
+    assert((inter(desc) & 0xff) == 0x2c, "fixture layout: image descriptor")
+    inter(desc + 9) = (inter(desc + 9) | 0x40).toByte
+    assert(decodeGif(inter).get == s)
+    // frame path: null rows for junk
+    import spark.implicits._
+    val frames = Seq((1L, payload), (2L, Array[Byte](0x47, 0x49))).toDF("doc_id", "payload")
+    val got = gifStats(frames, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!got(1L) && got(2L))
+  }
+
   test("jpeg decode: constant-tile payloads round-trip exactly, restart markers honored") {
     import Multimodal._
     // "Spark!" cycles v_k over the 2x3 block grid; all-ones quant makes the
@@ -2023,6 +2079,7 @@ class OperatorsSpec extends SparkTestBase {
       (3L, Multimodal.encodeWavFromText("abc", 8, 8000), "audio/wav"),
       (4L, Multimodal.encodePpmFromText("abc", 2, 2), "image/x-portable-pixmap"),
       (8L, Multimodal.encodeJpegFromText("abc", 2, 2), "image/jpeg"),
+      (9L, Multimodal.encodeGifFromText("abc", 3, 2), "image/gif"),
       (5L, "plain text".getBytes("UTF-8"), "application/octet-stream"),
       (6L, Array[Byte](0x42), "application/octet-stream"), // 'B' alone isn't BMP
       (7L, null.asInstanceOf[Array[Byte]], "application/octet-stream")

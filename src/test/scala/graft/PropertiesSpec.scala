@@ -343,7 +343,7 @@ class PropertiesSpec extends SparkTestBase {
       Multimodal.decodePpm(raw); Multimodal.resizePpm(raw, 2, 2)
       Multimodal.decodePpmStats(raw); Multimodal.aHashPpm(raw)
       Multimodal.decodeWav(raw); Multimodal.decodeBmp(raw); Multimodal.decodePng(raw)
-      Multimodal.decodeJpeg(raw)
+      Multimodal.decodeJpeg(raw); Multimodal.decodeGif(raw)
       Warc.parseWarc(raw)
       Robots.parse(new String(raw, "ISO-8859-1"), "bot")
     }
@@ -355,6 +355,7 @@ class PropertiesSpec extends SparkTestBase {
       "RIFF".getBytes("US-ASCII"),
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
       Array(0xff, 0xd8, 0xff).map(_.toByte),
+      "GIF89a".getBytes("US-ASCII"),
       "WARC/1.0\r\n".getBytes("US-ASCII"))
     forAll(bytesGen) { tail =>
       magics.foreach { m =>
@@ -362,6 +363,7 @@ class PropertiesSpec extends SparkTestBase {
         Multimodal.decodePpm(payload); Multimodal.aHashPpm(payload)
         Multimodal.decodeBmp(payload); Multimodal.decodeWav(payload)
         Multimodal.decodePng(payload); Multimodal.decodeJpeg(payload)
+        Multimodal.decodeGif(payload)
         Warc.parseWarc(payload)
       }
     }
