@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link-graph analytics — the crawl-side authority signals a
+  * web-corpus pipeline feeds back into curation (a page's rank is a prior
+  * on document quality, CommonCrawl publishes exactly this).
+  *
+  * Everything here is FIXED-POINT INTEGER arithmetic: ranks carry ×10^6
+  * scaling and every division is an integral `div` in a pinned order, so
+  * two engines replaying the same iterations produce bit-identical tables
+  * (floating-point PageRank never hash-matches across engines; flooring
+  * loses a bounded trickle of probability mass and loses it identically
+  * everywhere).
+  */
+object Graphs {
+
+  private val Scale = 1000000L
+
+  /** PageRank over an edge list, `iters` synchronous iterations:
+    *
+    *   r₀(v)   = Scale div n
+    *   rᵢ₊₁(v) = (Scale div n)·(100−d) div 100
+    *             + Σ_{u→v} rᵢ(u)·d div (outdeg(u)·100)
+    *
+    * with `d` = dampingX100. Per-edge contributions floor BEFORE the sum
+    * (the pinned cross-engine order). Dangling-node mass is dropped, the
+    * documented behavior of the simplest published formulation.
+    *
+    * Scale shape: the edge+degree frame materializes ONCE
+    * (`localCheckpoint`) and every iteration is one key-shuffled join +
+    * one aggregation over it — the textbook synchronous PR plan; ranks
+    * re-checkpoint per iteration so iteration N never re-executes
+    * 1..N−1. Output (node, rank_x1m). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingX100: Int = 85): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampingX100 >= 0 && dampingX100 <= 100, "damping is a percentage")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank_x1m", lit(0L))
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint() // feeds every iteration; never recompute the scan
+    val init = Scale / n
+    val basePart = init * (100 - dampingX100) / 100
+    var ranks = nodes.withColumn("rank_x1m", lit(init)).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val contrib = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr(s"rank_x1m * $dampingX100 div (outdeg * 100)").as("c"))
+        .groupBy("node").agg(sum("c").as("in_mass"))
+      val prev = ranks
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(basePart) + coalesce(col("in_mass"), lit(0L))).as("rank_x1m"))
+        .localCheckpoint()
+      prev.unpersist(blocking = false)
+      it += 1
+    }
+    ranks
+  }
+}

@@ -2789,6 +2789,44 @@ object ExtensionQueries {
              |FROM px ORDER BY doc_id""".stripMargin)
     ),
 
+    // PageRank authority prior: 3 synchronous iterations over a planted
+    // 3-out-regular link graph (dst = (src·{7,13,31}+{1,3,5}) mod n), all
+    // fixed-point ×10^6 integer arithmetic with per-edge flooring BEFORE
+    // the sum — the oracle replays the identical three iterations CTE by
+    // CTE and must land on bit-identical ranks.
+    QueryDef(
+      "q144_pagerank",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 1) % n,
+            (col("doc_id") * 13 + 3) % n,
+            (col("doc_id") * 31 + 5) % n)).as("dst"))
+        Graphs.pageRank(edges, "src", "dst", iters = 3)
+          .orderBy("node")
+      },
+      Some {
+        def iter(prev: String, c: String, out: String) =
+          s"""$c AS (SELECT e.dst AS node, sum($prev.r * 85 // (e.outdeg * 100)) AS m
+             |  FROM e JOIN $prev ON e.src = $prev.node GROUP BY e.dst),
+             |$out AS (SELECT $prev.node,
+             |    (SELECT (1000000 // n) * 15 // 100 FROM nn) + coalesce($c.m, 0) AS r
+             |  FROM $prev LEFT JOIN $c USING (node))""".stripMargin
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |e0 AS (SELECT doc_id AS src,
+           |    unnest([(doc_id * 7 + 1) % n, (doc_id * 13 + 3) % n, (doc_id * 31 + 5) % n]) AS dst
+           |  FROM documents, nn),
+           |e AS (SELECT src, dst, (SELECT count(*) FROM e0 x WHERE x.src = e0.src) AS outdeg FROM e0),
+           |r0 AS (SELECT doc_id AS node, 1000000 // n AS r FROM documents, nn),
+           |${iter("r0", "c1", "r1")},
+           |${iter("r1", "c2", "r2")},
+           |${iter("r2", "c3", "r3")}
+           |SELECT node, CAST(r AS BIGINT) AS rank_x1m FROM r3 ORDER BY node""".stripMargin
+      }
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

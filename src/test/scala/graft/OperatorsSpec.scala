@@ -1437,6 +1437,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("pagerank: uniform on rings, concentrates on hubs, deterministic") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    // ring 0->1->...->5->0: perfect symmetry, every rank identical forever
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val ringRanks = Graphs.pageRank(ring, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ringRanks.size == 6 && ringRanks.values.toSet.size == 1)
+    // the fixed-point trickle: mass never exceeds the scale
+    assert(ringRanks.values.sum <= 1000000L)
+    // star: every leaf points at the hub; hub rank dwarfs leaf rank
+    val star = (1L to 9L).map(i => (i, 0L)) :+ ((0L, 1L))
+    val starRanks = Graphs.pageRank(star.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starRanks(0L) > 5 * starRanks(2L), s"hub ${starRanks(0L)} vs leaf ${starRanks(2L)}")
+    // node 1 receives the hub's whole mass, so it beats the other leaves
+    assert(starRanks(1L) > starRanks(2L))
+    // deterministic across invocations and partitionings
+    val again = Graphs.pageRank(star.toDF("src", "dst").repartition(5), "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == starRanks)
+    // iters = 0 is the uniform prior
+    val r0 = Graphs.pageRank(ring, "src", "dst", 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(r0 == Set(1000000L / 6))
+  }
+
   test("luhn card detection: checksum separates real PANs from digit noise") {
     import spark.implicits._
     import graft.operators.TextAnalysis
