@@ -313,6 +313,24 @@ object DiffEngine {
       abs(col("base_n") * lit(nh) - col("head_n") * lit(nb)))
   }
 
+  /** MERGE (SCD-1 upsert) — the inverse of the diff identity: apply a
+    * keyed changeset to a snapshot. Change rows WIN on key collision;
+    * rows whose `deleteCol` (0/1) is 1 drop their key; base rows with no
+    * change survive untouched. Changes are assumed keyed (one row per
+    * key — the shape a diff's added/changed output already has).
+    *
+    * Plan: ONE left-anti join on the keys plus a union — the minimal
+    * merge. Against [[SnapshotStore.snapshotBucketed]] tables the anti
+    * join is exchange-free (both scans pre-hashed on the keys), so
+    * applying a day's changes to a 100 TB snapshot shuffles only the
+    * changeset. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      deleteCol: Option[String] = None): DataFrame = {
+    val survivors = base.join(changes.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = deleteCol.fold(changes)(f => changes.filter(col(f) === 0).drop(f))
+    survivors.unionByName(upserts)
+  }
+
   /** Null-key diagnostic (SURVEY §7.3 risk 2): the reference's anti-join
     * idiom — and any key join — assumes non-null keys; a row with a null in
     * any key column can never match and silently inflates added+removed.

@@ -2827,6 +2827,47 @@ object ExtensionQueries {
       }
     ),
 
+    // MERGE (SCD-1 upsert), the diff identity's inverse: a planted
+    // changeset (key%10: 0 deletes, 1–2 update custkey+status, 3 inserts
+    // under an offset key) applied to the orders snapshot — one anti join
+    // + union, and the oracle replays the same set algebra.
+    QueryDef(
+      "q145_merge_upsert",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        val m = col("o_orderkey") % 10
+        val dels = base.filter(m === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            lit(1).as("__del"))
+        val upds = base.filter(m.isin(1, 2))
+          .select(col("o_orderkey"), (col("o_custkey") + 100000).as("o_custkey"),
+            lit("U").as("o_orderstatus"), lit(0).as("__del"))
+        val news = base.filter(m === 3)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"), lit(0).as("__del"))
+        graft.engine.DiffEngine.mergeUpsert(
+          base, dels.unionByName(upds).unionByName(news),
+          Seq("o_orderkey"), deleteCol = Some("__del"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+             |ch AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, 1 AS del
+             |  FROM b WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey + 100000, 'U', 0
+             |  FROM b WHERE o_orderkey % 10 IN (1, 2)
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000000, o_custkey, 'N', 0
+             |  FROM b WHERE o_orderkey % 10 = 3)
+             |SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+             |  SELECT b.* FROM b LEFT JOIN ch USING (o_orderkey) WHERE ch.del IS NULL
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderstatus FROM ch WHERE del = 0)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

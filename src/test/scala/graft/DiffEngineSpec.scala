@@ -255,6 +255,51 @@ class DiffEngineSpec extends SparkTestBase {
     store.drop()
   }
 
+  test("merge upsert: change rows win, deletes drop, bucketed merge is exchange-free") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)
+    ).toDF("k", "v", "n")
+    val changes = Seq(
+      (2L, "B", 21L, 0), // update
+      (4L, "d", 40L, 1), // delete
+      (9L, "z", 90L, 0)  // insert
+    ).toDF("k", "v", "n", "__del")
+    val merged = DiffEngine.mergeUpsert(base, changes, Seq("k"), Some("__del"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(merged == Map(
+      1L -> (("a", 10L)), 2L -> (("B", 21L)), 3L -> (("c", 30L)), 9L -> (("z", 90L))))
+    // no delete column: plain upsert, nothing drops
+    val up = DiffEngine.mergeUpsert(base, Seq((2L, "B", 21L)).toDF("k", "v", "n"), Seq("k"))
+    assert(up.count() == 4 && up.filter($"k" === 2L).head().getString(1) == "B")
+    // against bucketed snapshots the anti join plans with ZERO exchange on
+    // the base side — only the changeset shuffles at 100 TB
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    val store = new graft.engine.SnapshotStore(spark, dir, "merge_test")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    try {
+      val b = store.snapshotBucketed(orders, "b", Seq("o_orderkey"), buckets = 4)
+      val ch = store.snapshotBucketed(
+        orders.filter(col("o_orderkey") % 5 === 0), "c", Seq("o_orderkey"), buckets = 4)
+      // small changeset: the planner broadcasts it (optimal — the base
+      // never moves); that's a BroadcastExchange, not a shuffle
+      val plan = DiffEngine.mergeUpsert(b, ch, Seq("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected no shuffle, plan:\n$plan")
+      // large-changeset regime (broadcast off): bucketing co-partitions
+      // both scans and the merge plans with ZERO exchanges of any kind
+      val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val sortPlan = DiffEngine.mergeUpsert(b, ch, Seq("o_orderkey"))
+          .queryExecution.executedPlan.toString
+        assert(!sortPlan.contains("Exchange"), s"expected no exchange, plan:\n$sortPlan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    } finally { store.dropTable("b"); store.dropTable("c"); store.drop() }
+  }
+
   test("z-order key: locality — a 2D box touches few curve tiles; nulls stay total") {
     import spark.implicits._
     import graft.operators.Layout
