@@ -96,10 +96,7 @@ object Dedup {
   private def sigBands(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bandSize: Int, shingleK: Int): DataFrame = {
     val numBands = numHashes / bandSize
-    val hashed = df
-      .select(col(idCol), explode(shingles(textCol, shingleK)).as("__sh"))
-      .select(col(idCol),
-        expr("cast(conv(substring(md5(__sh), 1, 8), 16, 10) as bigint)").as("__h"))
+    val hashed = hashedShingleFrame(df, idCol, textCol, shingleK)
     val sigAggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), s) =>
       min((col("__h") * a + b) % MinHashP).as(s"sig_$s")
     }
@@ -111,6 +108,73 @@ object Dedup {
     sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Shared per-shingle base-hash frame: (id, __h) with ONE md5 per
+    * shingle folded to its first 8 hex chars — the value both the
+    * signature aggregate and the exact-Jaccard set build on. */
+  private def hashedShingleFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame = df
+    .select(col(idCol), explode(shingles(textCol, shingleK)).as("__sh"))
+    .select(col(idCol),
+      expr("cast(conv(substring(md5(__sh), 1, 8), 16, 10) as bigint)").as("__h"))
+
+  /** MinHash accuracy certificate — completes the sketch-certificate
+    * family (q99 Misra–Gries, q120 HLL, q135 Count-Min, q140 GK): for
+    * every LSH candidate pair, the signature's Jaccard ESTIMATE
+    * (matching components / numHashes) next to the EXACT Jaccard of the
+    * hashed shingle sets, plus a 3σ Bernoulli check done entirely in
+    * ×10^6 fixed point — `(est−exact)²·k ≤ 9·exact·(10^6−exact)` is the
+    * integer form of |est−J| ≤ 3·√(J(1−J)/k), so the verdict is
+    * bit-identical cross-engine (no sqrt, no floats). Unlike MG/HLL/GK
+    * this bound is probabilistic (each signature component is a Bernoulli
+    * trial), so `within_3sigma` is a per-pair audit flag, not a
+    * guarantee; the expected violation rate is < 1%.
+    *
+    * Scale shape: candidates come from the banded LSH (bounded buckets,
+    * no all-pairs); signatures AND sorted hash-sets come out of ONE
+    * groupBy over the shared shingle frame, materialized once and joined
+    * to both sides of the (small) pair list. Set intersection is a
+    * per-row sorted-array op — the full shingle stream never re-shuffles
+    * for the verify. */
+  def minHashCertificate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      shingleK: Int = 3,
+      maxBucketSize: Int = 500
+  ): DataFrame = {
+    require(1000000 % numHashes == 0, "numHashes must divide 10^6 for exact fixed-point")
+    val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bandSize, shingleK, maxBucketSize)
+    val sigAggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), s) =>
+      min((col("__h") * a + b) % MinHashP).as(s"sig_$s")
+    }
+    val perDoc = hashedShingleFrame(df, idCol, textCol, shingleK)
+      .groupBy(col(idCol))
+      .agg(sigAggs.head, (sigAggs.tail :+ sort_array(collect_set(col("__h"))).as("__set")): _*)
+      .localCheckpoint() // one signature+set build feeds both pair sides
+    def side(p: String) = perDoc.select(
+      col(idCol).as(s"${p}_$idCol") +:
+        ((0 until numHashes).map(s => col(s"sig_$s").as(s"${p}_sig_$s")) :+
+          col("__set").as(s"${p}_set")): _*)
+    val est = (0 until numHashes)
+      .map(s => when(col(s"a_sig_$s") === col(s"b_sig_$s"), 1L).otherwise(0L))
+      .reduce(_ + _) * lit(1000000L / numHashes)
+    pairs
+      .join(side("a"), s"a_$idCol").join(side("b"), s"b_$idCol")
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        est.as("est_x1m"),
+        size(array_intersect(col("a_set"), col("b_set"))).cast("long").as("inter_n"),
+        (size(col("a_set")) + size(col("b_set"))).cast("long").as("sizes"))
+      .select(col(s"a_$idCol"), col(s"b_$idCol"), col("est_x1m"),
+        col("inter_n"), (col("sizes") - col("inter_n")).as("union_n"))
+      .withColumn("exact_x1m", expr("inter_n * 1000000 div union_n"))
+      .withColumn("within_3sigma",
+        when(((col("est_x1m") - col("exact_x1m")) * (col("est_x1m") - col("exact_x1m"))
+          * numHashes) <= lit(9L) * col("exact_x1m") * (lit(1000000L) - col("exact_x1m")),
+          1L).otherwise(0L))
   }
 
   /** Incremental NEAR-dup against a frozen corpus — the MinHash-LSH twin

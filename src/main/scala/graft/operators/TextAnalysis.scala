@@ -479,6 +479,52 @@ object TextAnalysis {
           .otherwise(expr("sum_rank * 100 div n_tokens").cast("long")))
   }
 
+  /** Collocation mining — adjacent-token pairs ranked by LIFT, the
+    * integer-exact PMI ordering: lift = P(xy)/(P(x)·P(y)) =
+    * c(xy)·N / (c(x)·c(y)), and since log is monotone, ranking by
+    * fixed-point lift IS ranking by pointwise mutual information without
+    * a cross-engine float log ever entering the gate. The classic
+    * collocation detector (Church & Hanks association ratio) a corpus
+    * pipeline runs to find multiword expressions worth protecting from
+    * tokenizer splits.
+    *
+    * Scale shape: one unigram explode + one bigram explode, three hash
+    * aggregations (map-side combined), then two joins of the SURVIVING
+    * bigram table (already cut to `minCount`, typically tiny) against the
+    * unigram counts — at 100 TB the bigram table after a sane minCount is
+    * broadcast-sized and the corpus itself never shuffles twice. The
+    * unigram frame materializes once (localCheckpoint) because it feeds
+    * the total-count scalar AND both join sides.
+    *
+    * Overflow headroom: lift numerator is c(xy)·N·10^6 ≤ N²·10^6, safe in
+    * a signed 64-bit for corpora to ~3·10^6 tokens per partition-exact
+    * count; beyond that callers should pre-scale counts (documented, not
+    * silently truncated). Output: (x, y, c_xy, c_x, c_y, lift_x1m), top
+    * `topK` by (lift DESC, x, y) — a total order, so the cut is
+    * deterministic. */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 3, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be positive")
+    val toks = df.select(tokens(textCol).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val total = uni.agg(sum(col("c"))).head().getLong(0)
+    val bigrams = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as x, w[i+1] as y))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bigrams
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        expr(s"c_xy * ${total}L * 1000000L div (c_x * c_y)").as("lift_x1m"))
+      .orderBy(col("lift_x1m").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** HTML → text extraction — the FIRST transform of every web-crawl
     * pipeline (upstream of all quality/dedup signals here): drop script /
     * style / comment blocks wholesale (non-greedy, case-insensitive,

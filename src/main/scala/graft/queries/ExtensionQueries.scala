@@ -2868,6 +2868,111 @@ object ExtensionQueries {
              |ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // Triangle counting + clustering coefficient, degree-ordered
+    // orientation. Planted graph: ring successors u→u+1, u→u+2 (every
+    // consecutive triple closes a triangle) + one modular generator for
+    // irregular degree; the oracle replays the same orient + wedge +
+    // closure joins, and the fixed-point coefficient is integral div —
+    // bit-identical. (e0 is MATERIALIZED: DuckDB's binder hits an
+    // internal error filtering an unnest-aliased column otherwise.)
+    QueryDef(
+      "q146_triangle_count",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") + 1) % n,
+            (col("doc_id") + 2) % n,
+            (col("doc_id") * 13 + 3) % n)).as("dst"))
+        Graphs.triangleStats(edges, "src", "dst").orderBy("node")
+      },
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |e0 AS MATERIALIZED (SELECT doc_id AS u,
+             |    unnest([(doc_id + 1) % n, (doc_id + 2) % n, (doc_id * 13 + 3) % n]) AS v
+             |  FROM documents, nn),
+             |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0 WHERE u <> v),
+             |deg AS (SELECT node, count(*) AS degree FROM (
+             |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) GROUP BY node),
+             |o AS (SELECT CASE WHEN da.degree <= db.degree THEN und.a ELSE und.b END AS lo,
+             |             CASE WHEN da.degree <= db.degree THEN und.b ELSE und.a END AS hi
+             |      FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+             |tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+             |        FROM o e1 JOIN o e2 ON e1.hi = e2.lo
+             |        JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+             |pn AS (SELECT node, count(*) AS triangles FROM (
+             |    SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+             |    UNION ALL SELECT z AS node FROM tri) GROUP BY node)
+             |SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+             |       CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+             |       CAST(CASE WHEN deg.degree >= 2
+             |            THEN coalesce(pn.triangles, 0) * 2000000 // (deg.degree * (deg.degree - 1))
+             |            ELSE 0 END AS BIGINT) AS clustering_x1m
+             |FROM deg LEFT JOIN pn USING (node) ORDER BY node""".stripMargin)
+    ),
+
+    // Collocations: adjacent-pair lift (integer PMI ordering) with a
+    // min-count cut — top 50, total (lift DESC, x, y) order both sides.
+    QueryDef(
+      "q147_collocations",
+      (s, dir) =>
+        TextAnalysis.collocations(t(s, dir, "documents"), "text", minCount = 3, topK = 50),
+      Some(s"""WITH toks AS (SELECT $duckToks AS w FROM documents),
+              |uni AS (SELECT unnest(w) AS t FROM toks),
+              |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
+              |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+              |big AS (SELECT w[i + 1] AS x, w[i + 2] AS y
+              |        FROM toks, unnest(range(greatest(len(w) - 1, 0))) AS u(i)),
+              |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+              |       FROM big GROUP BY x, y HAVING count(*) >= 3)
+              |SELECT x, y, c_xy, a.c AS c_x, b.c AS c_y,
+              |       CAST(c_xy * n * 1000000 // (a.c * b.c) AS BIGINT) AS lift_x1m
+              |FROM bc JOIN uc a ON a.t = bc.x JOIN uc b ON b.t = bc.y, nn
+              |ORDER BY lift_x1m DESC, x, y LIMIT 50""".stripMargin)
+    ),
+
+    // MinHash certificate: signature Jaccard estimate vs EXACT set
+    // Jaccard for every LSH candidate pair + an integer 3σ Bernoulli
+    // audit — completes the sketch-certificate family (MG/HLL/CMS/GK).
+    QueryDef(
+      "q148_minhash_certificate",
+      (s, dir) =>
+        Dedup.minHashCertificate(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("a_doc_id", "b_doc_id"),
+      Some {
+        val p = Dedup.MinHashP
+        val sigs = Dedup.minHashCoeffs(8).zipWithIndex
+          .map { case ((a, b), s) => s"min((h * $a + $b) % $p) AS s$s" }
+          .mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_idx, md5(s${2 * b}::VARCHAR || ',' || s${2 * b + 1}::VARCHAR) AS band_hash FROM sig")
+          .mkString("\n  UNION ALL ")
+        val estMatches = (0 until 8)
+          .map(s => s"CASE WHEN sa.s$s = sb.s$s THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH shing AS ($duckShingles),
+           |hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing),
+           |sig AS (SELECT doc_id, $sigs FROM hashed GROUP BY doc_id),
+           |sets AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS hs FROM hashed GROUP BY doc_id),
+           |bands AS ($bands),
+           |ok AS (SELECT band_idx, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 500),
+           |pairs AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+           |  FROM bands a JOIN ok USING (band_idx, band_hash) JOIN bands b USING (band_idx, band_hash)
+           |  WHERE a.doc_id < b.doc_id),
+           |scored AS (SELECT a_doc_id, b_doc_id,
+           |    CAST(($estMatches) * 125000 AS BIGINT) AS est_x1m,
+           |    CAST(len(list_intersect(xa.hs, xb.hs)) AS BIGINT) AS inter_n,
+           |    CAST(len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs)) AS BIGINT) AS union_n
+           |  FROM pairs JOIN sig sa ON sa.doc_id = a_doc_id JOIN sig sb ON sb.doc_id = b_doc_id
+           |  JOIN sets xa ON xa.doc_id = a_doc_id JOIN sets xb ON xb.doc_id = b_doc_id),
+           |ex AS (SELECT *, CAST(inter_n * 1000000 // union_n AS BIGINT) AS exact_x1m FROM scored)
+           |SELECT a_doc_id, b_doc_id, est_x1m, inter_n, union_n, exact_x1m,
+           |       CAST(CASE WHEN (est_x1m - exact_x1m) * (est_x1m - exact_x1m) * 8
+           |                      <= 9 * exact_x1m * (1000000 - exact_x1m)
+           |            THEN 1 ELSE 0 END AS BIGINT) AS within_3sigma
+           |FROM ex ORDER BY a_doc_id, b_doc_id""".stripMargin
+      }
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1464,6 +1464,72 @@ class OperatorsSpec extends SparkTestBase {
     assert(r0 == Set(1000000L / 6))
   }
 
+  test("triangle count: known graph, orientation invariants, input normalization") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    // path-plus-triangle: edges {1-2, 1-3, 2-3, 3-4}; the only triangle is
+    // {1,2,3}. Input is deliberately messy — reversed duplicates and a
+    // self-loop must normalize away.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 4L))
+      .toDF("src", "dst")
+    val out = Graphs.triangleStats(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 1000000L)), // cc = 2·1/(2·1)
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)),  // cc = 2·1·10^6 div (3·2)
+      4L -> ((1L, 0L, 0L))))      // degree 1: cc defined as 0
+    // K4: every node in C(3,2)=3 triangles, cc exactly 1
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)).toDF("src", "dst")
+    val k4out = Graphs.triangleStats(k4, "src", "dst").collect()
+    assert(k4out.forall(r => r.getLong(2) == 3L && r.getLong(3) == 1000000L))
+    // deterministic under repartitioning (the orientation is a total order)
+    val again = Graphs.triangleStats(edges.repartition(5), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+  }
+
+  test("collocations: lift ranks planted bigram first, min-count cuts noise") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      "new york new york is big",
+      "new york city is far",
+      "the big city").toDF("text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    // "new york" appears 3×: c(new)=3, c(york)=3, N=14 → lift = 3·14·10^6/9
+    assert(out.head == (("new", "york", 3L, 3L * 14L * 1000000L / 9L)))
+    // every surviving pair met the cut and carries a positive lift
+    assert(out.forall(p => p._3 >= 2 && p._4 > 0))
+    // singleton bigrams ("york city") fell below minCount
+    assert(!out.exists(p => p._1 == "york" && p._2 == "city"))
+  }
+
+  test("minhash certificate: exact dups certify at 10^6, flag algebra holds") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, body), (2L, body),                       // exact duplicate pair
+      (3L, body + " lambda mu"), (4L, "unrelated words entirely different here now")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minHashCertificate(docs, "doc_id", "text").collect()
+    assert(rows.nonEmpty)
+    val dup = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    // identical docs: estimate and exact both 10^6, inside the (zero-width) band
+    assert(dup.getLong(2) == 1000000L && dup.getLong(5) == 1000000L && dup.getLong(6) == 1L)
+    rows.foreach { r =>
+      val (est, inter, union, exact, within) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(est % 125000 == 0 && est >= 0 && est <= 1000000)
+      assert(exact == inter * 1000000L / union)
+      val lhs = (est - exact) * (est - exact) * 8
+      val rhs = 9L * exact * (1000000L - exact)
+      assert(within == (if (lhs <= rhs) 1L else 0L))
+    }
+  }
+
   test("luhn card detection: checksum separates real PANs from digit noise") {
     import spark.implicits._
     import graft.operators.TextAnalysis
