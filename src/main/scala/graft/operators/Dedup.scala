@@ -76,6 +76,13 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must divide into bands")
     val banded = sigBands(df, idCol, textCol, numHashes, bandSize, shingleK)
+    pairsFromBands(banded, idCol, maxBucketSize)
+  }
+
+  /** In-bucket sorted pair emission with the standard LSH bucket cap —
+    * shared by [[minHashLshPairs]] and [[minHashCertificate]]. */
+  private def pairsFromBands(banded: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
     val buckets = banded
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
@@ -89,18 +96,12 @@ object Dedup {
       .distinct()
   }
 
-  /** Shared MinHash banding stage: shingle → 32-bit hash → per-doc
-    * signature minima → banded hashes, as (id, band_idx, band_hash) rows.
-    * One explode + one agg + one generate; the only shuffle keys on the
-    * doc id for the signature aggregate. */
-  private def sigBands(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bandSize: Int, shingleK: Int): DataFrame = {
+  /** Band rows (id, band_idx, band_hash) derived from an already-built
+    * signature frame — lets callers that need signatures for other work
+    * (the certificate) band WITHOUT a second shingle pass. */
+  private def bandsFromSigs(sigs: DataFrame, idCol: String,
+      numHashes: Int, bandSize: Int): DataFrame = {
     val numBands = numHashes / bandSize
-    val hashed = hashedShingleFrame(df, idCol, textCol, shingleK)
-    val sigAggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), s) =>
-      min((col("__h") * a + b) % MinHashP).as(s"sig_$s")
-    }
-    val sigs = hashed.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}").cast("string"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", parts: _*)).as("band_hash")).as(s"band_$b")
@@ -108,6 +109,20 @@ object Dedup {
     sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Shared MinHash banding stage: shingle → 32-bit hash → per-doc
+    * signature minima → banded hashes, as (id, band_idx, band_hash) rows.
+    * One explode + one agg + one generate; the only shuffle keys on the
+    * doc id for the signature aggregate. */
+  private def sigBands(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bandSize: Int, shingleK: Int): DataFrame = {
+    val hashed = hashedShingleFrame(df, idCol, textCol, shingleK)
+    val sigAggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), s) =>
+      min((col("__h") * a + b) % MinHashP).as(s"sig_$s")
+    }
+    val sigs = hashed.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    bandsFromSigs(sigs, idCol, numHashes, bandSize)
   }
 
   /** Shared per-shingle base-hash frame: (id, __h) with ONE md5 per
@@ -131,12 +146,13 @@ object Dedup {
     * trial), so `within_3sigma` is a per-pair audit flag, not a
     * guarantee; the expected violation rate is < 1%.
     *
-    * Scale shape: candidates come from the banded LSH (bounded buckets,
-    * no all-pairs); signatures AND sorted hash-sets come out of ONE
-    * groupBy over the shared shingle frame, materialized once and joined
-    * to both sides of the (small) pair list. Set intersection is a
-    * per-row sorted-array op — the full shingle stream never re-shuffles
-    * for the verify. */
+    * Scale shape: ONE shingle pass — signatures AND sorted hash-sets come
+    * out of a single groupBy over the shared shingle frame, materialized
+    * once; the LSH bands (and so the candidate pairs, bounded buckets, no
+    * all-pairs) derive from those signatures rather than re-running the
+    * pipeline, and the same frame joins to both sides of the (small) pair
+    * list. Set intersection is a per-row sorted-array op — the full
+    * shingle stream never re-shuffles for the verify. */
   def minHashCertificate(
       df: DataFrame,
       idCol: String,
@@ -146,15 +162,17 @@ object Dedup {
       shingleK: Int = 3,
       maxBucketSize: Int = 500
   ): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must divide into bands")
     require(1000000 % numHashes == 0, "numHashes must divide 10^6 for exact fixed-point")
-    val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bandSize, shingleK, maxBucketSize)
     val sigAggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), s) =>
       min((col("__h") * a + b) % MinHashP).as(s"sig_$s")
     }
     val perDoc = hashedShingleFrame(df, idCol, textCol, shingleK)
       .groupBy(col(idCol))
       .agg(sigAggs.head, (sigAggs.tail :+ sort_array(collect_set(col("__h"))).as("__set")): _*)
-      .localCheckpoint() // one signature+set build feeds both pair sides
+      .localCheckpoint() // one signature+set build feeds bands AND both pair sides
+    val pairs = pairsFromBands(
+      bandsFromSigs(perDoc, idCol, numHashes, bandSize), idCol, maxBucketSize)
     def side(p: String) = perDoc.select(
       col(idCol).as(s"${p}_$idCol") +:
         ((0 until numHashes).map(s => col(s"sig_$s").as(s"${p}_sig_$s")) :+
