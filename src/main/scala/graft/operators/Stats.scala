@@ -44,6 +44,44 @@ object Stats {
       .select(col(groupCol), col("p").cast("long").as("p"), col(valueCol))
   }
 
+  /** Per-group ordinary-least-squares trend over integer (x, y) points —
+    * the drift detector for rates ("is this source's hourly volume
+    * rising?"), computed ENTIRELY in 64-bit integer arithmetic:
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * emitted ×10^6 with integral division, so the result is bit-identical
+    * cross-engine — the standard float OLS never hash-matches. Alongside
+    * it, mean_y_x100 (the level the slope perturbs). Groups whose x has no
+    * variance (denominator 0) are dropped — a slope there is undefined.
+    *
+    * Scale shape: ONE map-side-combined groupBy computing five sums; no
+    * window, no sort, no second pass. Overflow headroom: callers must
+    * normalize x to a small origin-relative range (e.g. hour − min hour);
+    * with |x| ≤ 10⁴ and Σ|y| ≤ 10⁶ per group the ×10^6 numerator stays
+    * under 2⁶³ with ~100× margin. */
+  def groupedTrend(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(x * y).as("__sxy"))
+      .filter(expr("n_points * __sxx - __sx * __sx != 0"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_points"),
+        expr("(n_points * __sxy - __sx * __sy) * 1000000 div (n_points * __sxx - __sx * __sx)")
+          .as("slope_x1m"),
+        expr("__sy * 100 div n_points").as("mean_y_x100")): _*)
+  }
+
   /** Exact global percentile thresholds of one integer column, collected to
     * the driver (|percents| longs) — [[groupedQuantiles]]'s rank arithmetic
     * on a single group. The sort is global (exactness requires rank); at

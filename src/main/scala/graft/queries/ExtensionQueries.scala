@@ -2973,6 +2973,63 @@ object ExtensionQueries {
       }
     ),
 
+    // Per-type OLS trend of hourly event volume — integer-exact slope
+    // (×10^6, truncating div in BOTH engines) over origin-normalized hour
+    // indices; the rate-drift detector.
+    QueryDef(
+      "q149_grouped_trend",
+      (s, dir) => {
+        val hrs = events(s, dir).select(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hr"))
+        val minHr = hrs.agg(min("hr")).head().getLong(0)
+        val pts = hrs.select(col("event_type"), (col("hr") - minHr).as("x"))
+          .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+        Stats.groupedTrend(pts, Seq("event_type"), "x", "y").orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr FROM events),
+             |mn AS (SELECT min(hr) AS m FROM h),
+             |pts AS (SELECT event_type, hr - m AS x, CAST(count(*) AS BIGINT) AS y
+             |        FROM h, mn GROUP BY event_type, hr - m),
+             |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+             |               sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+             |        FROM pts GROUP BY event_type)
+             |SELECT event_type, n_points,
+             |       CAST((n_points * sxy - sx * sy) * 1000000 // (n_points * sxx - sx * sx) AS BIGINT) AS slope_x1m,
+             |       CAST(sy * 100 // n_points AS BIGINT) AS mean_y_x100
+             |FROM agg WHERE n_points * sxx - sx * sx <> 0 ORDER BY event_type""".stripMargin)
+    ),
+
+    // Per-user rolling features (row-frame windows): previous-event value
+    // delta and a 3-row rolling sum, DECIMAL-exact, ordered by the unique
+    // event_id so the frame is identical cross-engine. The per-entity
+    // feature-engineering primitive: one hash shuffle on the key, one
+    // in-partition sort, no self-join.
+    QueryDef(
+      "q150_rolling_features",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        val wf = w.rowsBetween(-2, 0)
+        canonOut(events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            col("value").cast("decimal(18,4)").as("v"))
+          .select(col("user_id"), col("event_id"),
+            row_number().over(w).cast("long").as("rn"),
+            coalesce(col("v") - lag(col("v"), 1).over(w), lit(0).cast("decimal(18,4)"))
+              .cast("decimal(18,4)").as("delta"),
+            sum(col("v")).over(wf).cast("decimal(18,4)").as("roll3_sum"))
+          .orderBy("user_id", "event_id"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, CAST(value AS DECIMAL(18,4)) AS v FROM events)
+             |SELECT user_id, event_id,
+             |       CAST(row_number() OVER w AS BIGINT) AS rn,
+             |       CAST(CAST(coalesce(v - lag(v, 1) OVER w, 0) AS DECIMAL(18,4)) AS VARCHAR) AS delta,
+             |       CAST(CAST(sum(v) OVER (PARTITION BY user_id ORDER BY event_id
+             |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS VARCHAR) AS roll3_sum
+             |FROM x WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+             |ORDER BY user_id, event_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

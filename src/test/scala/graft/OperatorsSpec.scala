@@ -1464,6 +1464,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(r0 == Set(1000000L / 6))
   }
 
+  test("grouped trend: exact slopes on planted lines, degenerate groups dropped") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val pts = Seq(
+      // g="up": y = 2x + 1 exactly
+      ("up", 0L, 1L), ("up", 1L, 3L), ("up", 2L, 5L), ("up", 3L, 7L),
+      // g="down": y = -3x + 10 — negative slope exercises div truncation
+      ("down", 0L, 10L), ("down", 1L, 7L), ("down", 2L, 4L),
+      // g="third": slope 1/2 → 500000 in fixed point
+      ("third", 0L, 0L), ("third", 2L, 1L), ("third", 4L, 2L),
+      // g="flat-x": no x variance — must be dropped, not divide by zero
+      ("flat-x", 5L, 1L), ("flat-x", 5L, 9L)
+    ).toDF("g", "x", "y")
+    val out = Stats.groupedTrend(pts, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "up" -> ((4L, 2000000L, 400L)),    // mean y = 4.00
+      "down" -> ((3L, -3000000L, 700L)),
+      "third" -> ((3L, 500000L, 100L))))
+    assert(!out.contains("flat-x"))
+  }
+
   test("triangle count: known graph, orientation invariants, input normalization") {
     import spark.implicits._
     import graft.operators.Graphs
