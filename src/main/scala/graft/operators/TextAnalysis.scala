@@ -525,6 +525,74 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Token diversity per document — the Gini–Simpson index 1 − Σcᵢ(cᵢ−1) /
+    * (N(N−1)): the probability two tokens drawn without replacement
+    * differ. The log-free diversity signal (entropy's integer-exact
+    * sibling): template/boilerplate pages score low, natural prose high —
+    * and unlike Shannon entropy it needs no float log, so the gate is
+    * bit-identical cross-engine in ×10^6 fixed point.
+    *
+    * Scale shape: one explode + two map-side-combined aggregations, both
+    * keyed on the doc — no corpus-global state at all. Docs with zero
+    * tokens drop out (diversity of nothing is undefined); single-token
+    * docs report 0. */
+  def tokenDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(textCol)).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__n") * (col("__n") - 1)).as("__rep"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") >= 2,
+          lit(1000000L) - expr("__rep * 1000000 div (n_tokens * (n_tokens - 1))"))
+          .otherwise(lit(0L)).as("simpson_x1m"))
+
+  /** Document-level co-occurrence lift — the A-Priori-pruned market-basket
+    * pass over tokens: pairs of DISTINCT terms that appear in the same
+    * document, both individually frequent (doc-frequency ≥ `minDf` — the
+    * A-Priori monotonicity cut that bounds everything downstream), ranked
+    * by lift over doc-frequencies co_df·D / (df_x·df_y) in ×10^6 integer
+    * fixed point. [[collocations]] finds ADJACENT pairs (phrases); this
+    * finds topical association at document range.
+    *
+    * Scale shape: the frequent vocabulary (bounded by minDf) broadcasts
+    * into a semi-join; each doc reduces to its sorted distinct frequent
+    * terms, capped at `maxTermsPerDoc` (head of the sorted array —
+    * deterministic; prevents one pathological doc from emitting a
+    * quadratic pair blast); in-doc pairs generate from the capped array
+    * exactly like the LSH bucket pairing. No corpus self-join. */
+  def cooccurrencePairs(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 5, minPairDf: Long = 3, maxTermsPerDoc: Int = 200,
+      topK: Int = 50): DataFrame = {
+    val docTerms = df
+      .select(col(idCol), explode(array_distinct(tokens(textCol))).as("t"))
+    val docTermsC = docTerms.localCheckpoint() // feeds df-counts AND the pair build
+    val dfCounts = docTermsC.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .localCheckpoint() // feeds the semi-join and both lift joins
+    val nDocs = df.count()
+    val pairs = docTermsC
+      .join(broadcast(dfCounts.select(col("t"))), Seq("t"))
+      .groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(col("t"))), 1, maxTermsPerDoc).as("__ts"))
+      .select(explode(expr(
+        """flatten(transform(__ts, (a, i) ->
+          |  transform(slice(__ts, i + 2, size(__ts)), b -> struct(a as x, b as y))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("co_df"))
+      .filter(col("co_df") >= minPairDf)
+    pairs
+      .join(broadcast(dfCounts.select(col("t").as("x"), col("df").as("df_x"))), "x")
+      .join(broadcast(dfCounts.select(col("t").as("y"), col("df").as("df_y"))), "y")
+      .select(col("x"), col("y"), col("co_df"), col("df_x"), col("df_y"),
+        expr(s"co_df * ${nDocs}L * 1000000L div (df_x * df_y)").as("lift_x1m"))
+      .orderBy(col("lift_x1m").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** HTML → text extraction — the FIRST transform of every web-crawl
     * pipeline (upstream of all quality/dedup signals here): drop script /
     * style / comment blocks wholesale (non-greedy, case-insensitive,

@@ -3030,6 +3030,50 @@ object ExtensionQueries {
              |ORDER BY user_id, event_id""".stripMargin)
     ),
 
+    // Gini–Simpson token diversity: the log-free entropy sibling, fully
+    // integer fixed-point — boilerplate scores low, prose high.
+    QueryDef(
+      "q151_token_diversity",
+      (s, dir) =>
+        TextAnalysis.tokenDiversity(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some(s"""WITH dt AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+              |c AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY doc_id, t),
+              |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+              |             CAST(count(*) AS BIGINT) AS n_distinct,
+              |             CAST(sum(n * (n - 1)) AS BIGINT) AS rep FROM c GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, n_distinct,
+              |       CAST(CASE WHEN n_tokens >= 2
+              |            THEN 1000000 - rep * 1000000 // (n_tokens * (n_tokens - 1))
+              |            ELSE 0 END AS BIGINT) AS simpson_x1m
+              |FROM a ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Document-range co-occurrence lift (A-Priori df cut): topical term
+    // association, the complement of q147's adjacency collocations. The
+    // oracle replays the same capped sorted-array pair generation.
+    QueryDef(
+      "q152_cooccurrence",
+      (s, dir) =>
+        TextAnalysis.cooccurrencePairs(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 5, minPairDf = 3, maxTermsPerDoc = 200, topK = 50),
+      Some(s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS t FROM documents),
+              |dfc AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY t
+              |        HAVING count(*) >= 5),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+              |fd AS (SELECT doc_id, list_sort(list(t))[1:200] AS ts
+              |       FROM dt JOIN dfc USING (t) GROUP BY doc_id),
+              |prs AS (SELECT ts[i + 1] AS x, ts[j + 1] AS y
+              |        FROM fd, unnest(range(len(ts))) AS u(i), unnest(range(len(ts))) AS w(j)
+              |        WHERE j > i),
+              |pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS co_df FROM prs GROUP BY x, y
+              |       HAVING count(*) >= 3)
+              |SELECT x, y, co_df, a.df AS df_x, b.df AS df_y,
+              |       CAST(co_df * d * 1000000 // (a.df * b.df) AS BIGINT) AS lift_x1m
+              |FROM pc JOIN dfc a ON a.t = pc.x JOIN dfc b ON b.t = pc.y, nn
+              |ORDER BY lift_x1m DESC, x, y LIMIT 50""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1464,6 +1464,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(r0 == Set(1000000L / 6))
   }
 
+  test("token diversity: uniform text maxes, repetition sinks, edge docs handled") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d"),      // all distinct: rep=0 → 10^6
+      (2L, "x x x x"),      // one token 4×: rep=12, N(N−1)=12 → 0
+      (3L, "a a b b"),      // rep=2+2=4, denom=12 → 10^6 − 333333
+      (4L, "solo"),         // single token: defined as 0
+      (5L, "   ")           // no tokens: dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((4L, 4L, 1000000L)),
+      2L -> ((4L, 1L, 0L)),
+      3L -> ((4L, 2L, 666667L)),
+      4L -> ((1L, 1L, 0L))))
+    assert(!out.contains(5L))
+  }
+
+  test("cooccurrence: doc-range pairs survive the df cut, lift algebra exact") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "ham eggs" co-occur in 3 of 6 docs; "rare pair" in only 1 (cut by
+    // minPairDf); "zz" appears in 1 doc (cut by minDf before pairing)
+    val docs = Seq(
+      (1L, "ham eggs toast"), (2L, "ham eggs beans"), (3L, "eggs ham"),
+      (4L, "ham toast"), (5L, "eggs beans zz"), (6L, "toast beans rare pair")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrencePairs(docs, "doc_id", "text",
+      minDf = 2, minPairDf = 2, maxTermsPerDoc = 10, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // ham df=4, eggs df=4, co=3, D=6 → lift = 3·6·10^6/16 = 1125000
+    assert(out(("eggs", "ham")) == ((3L, 4L, 4L, 1125000L)))
+    assert(!out.keySet.exists(p => p._1 == "rare" || p._2 == "rare" || p._1 == "zz" || p._2 == "zz"))
+    // pairs are canonical (x < y lexicographically)
+    assert(out.keySet.forall(p => p._1 < p._2))
+  }
+
   test("grouped trend: exact slopes on planted lines, degenerate groups dropped") {
     import spark.implicits._
     import graft.operators.Stats
