@@ -331,6 +331,45 @@ object DiffEngine {
     survivors.unionByName(upserts)
   }
 
+  /** Incremental aggregate maintenance — the consumer of [[mergeUpsert]]'s
+    * changesets: roll a keyed changeset into per-group (count, sum)
+    * aggregates WITHOUT rescanning the base table. The base contributes
+    * only the rows whose keys the changeset touches (one semi-join —
+    * exchange-free against [[SnapshotStore.snapshotBucketed]] tables);
+    * their old contributions come off with negated counts/sums, the
+    * surviving upserts' new contributions go on, and the (small,
+    * group-sized) delta folds into `baseAgg` with a full-outer join.
+    * Groups whose count reaches 0 disappear — the same contract a full
+    * recompute over the merged table would produce, which is exactly the
+    * identity the q153 gate asserts.
+    *
+    * At 100 TB this is THE reason to keep aggregates as state: a day's
+    * changeset shuffles its own size, not the corpus. `baseAgg` must be
+    * the frame a previous call (or the bootstrap
+    * `base.groupBy(groupCols).agg(count, sum)`) returned, with columns
+    * (groupCols..., n_rows, sum_value). */
+  def incrementalAgg(base: DataFrame, baseAgg: DataFrame, changes: DataFrame,
+      keys: Seq[String], groupCols: Seq[String], valueCol: String,
+      deleteCol: Option[String] = None): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val touched = base.join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg((-count(lit(1))).as("__dn"), (-sum(v)).as("__ds"))
+    val upserts = deleteCol.fold(changes)(f => changes.filter(col(f) === 0).drop(f))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__dn"), sum(v).as("__ds"))
+    val delta = touched.unionByName(upserts)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__ds")).as("__ds"))
+    baseAgg.join(delta, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("sum_value"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("__ds"), lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("sum_value")): _*)
+      .filter(col("n_rows") > 0)
+  }
+
   /** Null-key diagnostic (SURVEY §7.3 risk 2): the reference's anti-join
     * idiom — and any key join — assumes non-null keys; a row with a null in
     * any key column can never match and silently inflates added+removed.

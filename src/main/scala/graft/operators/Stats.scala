@@ -82,6 +82,43 @@ object Stats {
         expr("__sy * 100 div n_points").as("mean_y_x100")): _*)
   }
 
+  /** Ordered-step funnel analysis: how many entities completed steps
+    * 1..k IN ORDER (each step's first occurrence strictly after the
+    * previous step's first occurrence). First-occurrence positions are
+    * taken on `orderCol` — callers should pass a UNIQUE monotone column
+    * (an event id) rather than a timestamp, so the comparison is
+    * deterministic cross-engine (timestamps tie and carry precision
+    * differences; ids don't).
+    *
+    * Output: one row per step (step_idx, step, n_entities), n_entities
+    * non-increasing down the funnel.
+    *
+    * Scale shape: ONE groupBy(entity) computing a conditional min per
+    * step, then one tiny k-row aggregate — no joins, no windows, the
+    * event stream shuffles once on the entity key. */
+  def funnel(df: DataFrame, entityCol: String, stepCol: String,
+      orderCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps, "steps must be distinct, non-empty")
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(stepCol) === s, col(orderCol))).as(s"__m$i")
+    }
+    val perEntity = df.groupBy(col(entityCol)).agg(mins.head, mins.tail: _*)
+    // completed(k) = m0 < m1 < ... < mk, all present (NULL comparisons fail)
+    val completed = steps.indices.map { k =>
+      val cond = (1 to k).foldLeft(col("__m0").isNotNull) { (acc, i) =>
+        acc && (col(s"__m${i - 1}") < col(s"__m$i"))
+      }
+      sum(when(cond, 1L).otherwise(0L)).as(s"__c$k")
+    }
+    val row = perEntity.agg(completed.head, completed.tail: _*)
+    val stepStructs = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).cast("long").as("step_idx"), lit(s).as("step"),
+        col(s"__c$i").as("n_entities"))
+    }
+    row.select(explode(array(stepStructs: _*)).as("f"))
+      .select(col("f.step_idx"), col("f.step"), col("f.n_entities"))
+  }
+
   /** Exact global percentile thresholds of one integer column, collected to
     * the driver (|percents| longs) — [[groupedQuantiles]]'s rank arithmetic
     * on a single group. The sort is global (exactness requires rank); at

@@ -3074,6 +3074,79 @@ object ExtensionQueries {
               |ORDER BY lift_x1m DESC, x, y LIMIT 50""".stripMargin)
     ),
 
+    // Incremental aggregate maintenance over the q145 changeset: the
+    // oracle recomputes the merged table from scratch; the Spark side
+    // folds the delta into the base aggregate — the identity that proves
+    // stateful aggregation correct.
+    QueryDef(
+      "q153_incremental_agg",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val m = col("o_orderkey") % 10
+        val dels = base.filter(m === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            lit(1).as("__del"))
+        val upds = base.filter(m.isin(1, 2))
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"), col("o_totalprice"),
+            lit(0).as("__del"))
+        val news = base.filter(m === 3)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"), lit(0).as("__del"))
+        val baseAgg = base.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        canonOut(graft.engine.DiffEngine.incrementalAgg(
+          base, baseAgg, dels.unionByName(upds).unionByName(news),
+          Seq("o_orderkey"), Seq("o_orderstatus"), "o_totalprice", Some("__del"))
+          .orderBy("o_orderstatus"))
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+             |ch AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS del
+             |  FROM b WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, 'U', o_totalprice, 0 FROM b WHERE o_orderkey % 10 IN (1, 2)
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000000, 'N', o_totalprice, 0 FROM b WHERE o_orderkey % 10 = 3),
+             |merged AS (SELECT o_orderstatus, o_totalprice FROM (
+             |  SELECT b.* FROM b LEFT JOIN ch USING (o_orderkey) WHERE ch.del IS NULL
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM ch WHERE del = 0))
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
+             |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+    ),
+
+    // Ordered-step funnel over the unique event_id (NOT the timestamp —
+    // ids are tie-free and precision-free cross-engine): signup → view →
+    // click → purchase, each step's first occurrence strictly after the
+    // previous step's.
+    QueryDef(
+      "q154_funnel",
+      (s, dir) =>
+        Stats.funnel(events(s, dir), "user_id", "event_type", "event_id",
+          Seq("signup", "view", "click", "purchase")).orderBy("step_idx"),
+      Some("""WITH pe AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN event_id END) AS m0,
+             |    min(CASE WHEN event_type = 'view' THEN event_id END) AS m1,
+             |    min(CASE WHEN event_type = 'click' THEN event_id END) AS m2,
+             |    min(CASE WHEN event_type = 'purchase' THEN event_id END) AS m3
+             |  FROM events GROUP BY user_id),
+             |c AS (SELECT
+             |    sum(CASE WHEN m0 IS NOT NULL THEN 1 ELSE 0 END) AS c0,
+             |    sum(CASE WHEN m0 < m1 THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN m0 < m1 AND m1 < m2 THEN 1 ELSE 0 END) AS c2,
+             |    sum(CASE WHEN m0 < m1 AND m1 < m2 AND m2 < m3 THEN 1 ELSE 0 END) AS c3
+             |  FROM pe)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step, CAST(c0 AS BIGINT) AS n_entities FROM c
+             |  UNION ALL SELECT 2, 'view', CAST(c1 AS BIGINT) FROM c
+             |  UNION ALL SELECT 3, 'click', CAST(c2 AS BIGINT) FROM c
+             |  UNION ALL SELECT 4, 'purchase', CAST(c3 AS BIGINT) FROM c)
+             |ORDER BY step_idx""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

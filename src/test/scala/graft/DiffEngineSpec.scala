@@ -300,6 +300,36 @@ class DiffEngineSpec extends SparkTestBase {
     } finally { store.dropTable("b"); store.dropTable("c"); store.drop() }
   }
 
+  test("incremental agg: identical to full recompute; groups appear and vanish") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 5.0)
+    ).toDF("k", "g", "v")
+    val changes = Seq(
+      (4L, "c", 5.0, 1),   // delete: group c must vanish
+      (2L, "b", 25.0, 0),  // update: moves value a -> b
+      (9L, "d", 7.0, 0)    // insert: group d appears
+    ).toDF("k", "g", "v", "__del")
+    val baseAgg = base.groupBy("g")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+    val inc = DiffEngine.incrementalAgg(
+      base, baseAgg, changes, Seq("k"), Seq("g"), "v", Some("__del"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+    // the gate identity: full recompute over the merged table says the same
+    val full = DiffEngine.mergeUpsert(base, changes, Seq("k"), Some("__del"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+    assert(inc == full)
+    assert(inc == Map(
+      "a" -> ((1L, "10.00")), "b" -> ((2L, "55.00")), "d" -> ((1L, "7.00"))))
+    assert(!inc.contains("c"))
+  }
+
   test("z-order key: locality — a 2D box touches few curve tiles; nulls stay total") {
     import spark.implicits._
     import graft.operators.Layout

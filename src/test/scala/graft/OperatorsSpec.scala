@@ -1464,6 +1464,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(r0 == Set(1000000L / 6))
   }
 
+  test("funnel: strict step ordering, missing and out-of-order steps drop out") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val events = Seq(
+      // u1 converts fully in order
+      (1L, "signup", 1L), (1L, "view", 2L), (1L, "click", 3L), (1L, "purchase", 4L),
+      // u2 viewed BEFORE signing up: stops at step 1
+      (2L, "view", 10L), (2L, "signup", 11L), (2L, "click", 12L),
+      // u3 in order through view, never clicked (purchase without click ≠ step 3)
+      (3L, "signup", 20L), (3L, "view", 21L), (3L, "purchase", 22L),
+      // u4 never signed up: contributes nothing
+      (4L, "click", 30L)
+    ).toDF("user_id", "event_type", "event_id")
+    val out = Stats.funnel(events, "user_id", "event_type", "event_id",
+      Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "signup", 3L), (2L, "view", 2L), (3L, "click", 1L), (4L, "purchase", 1L)))
+  }
+
   test("token diversity: uniform text maxes, repetition sinks, edge docs handled") {
     import spark.implicits._
     import graft.operators.TextAnalysis
