@@ -119,6 +119,61 @@ object Stats {
       .select(col("f.step_idx"), col("f.step"), col("f.n_entities"))
   }
 
+  /** Cohort retention: group entities by their FIRST active day (the
+    * cohort), then for every later day offset k count how many of that
+    * cohort were active again — the engagement-decay table every
+    * product/ops dashboard draws, and for a corpus pipeline the "does a
+    * source keep contributing?" signal. Integer day arithmetic only;
+    * retained_pct_x100 is an integral div of exact counts.
+    *
+    * Scale shape: one distinct (entity, day) reduction, one groupBy(entity)
+    * for cohort assignment, one join back keyed on the entity (both sides
+    * hash-partition on it), then two tiny aggregates. Everything keys on
+    * the entity or the (cohort, k) pair — no windows, no self-joins. */
+  def retentionCohorts(df: DataFrame, entityCol: String, dayCol: String): DataFrame = {
+    val days = df.select(col(entityCol).cast("long").as("__e"),
+      col(dayCol).cast("long").as("__d")).distinct()
+    val cohorts = days.groupBy(col("__e")).agg(min(col("__d")).as("cohort_day"))
+    val active = days.join(cohorts, "__e")
+      .select(col("cohort_day"), (col("__d") - col("cohort_day")).as("k"))
+      .groupBy(col("cohort_day"), col("k")).agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    active.join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("k"), col("n_active"), col("cohort_size"),
+        expr("n_active * 10000 div cohort_size").as("retained_pct_x100"))
+  }
+
+  /** CUSUM change-point detection over per-group ordered (x, y) series —
+    * "when did this source's volume shift?" — in EXACT integer
+    * arithmetic: the classic centered cumulative sum Sᵢ = Σ₁..ᵢ(yⱼ − ȳ)
+    * is rational, so it is tracked scaled by n (devᵢ = n·cumᵢ − i·Σy,
+    * an integer); the change-point is the position of max |dev|, ties
+    * broken toward the earliest position. Output per group: n_points,
+    * cp_x (the x at the change-point), max_abs_dev_xn (the deviation,
+    * still ×n — callers comparing across groups divide by n·n or
+    * compare the derived ratio).
+    *
+    * Scale shape: one groupBy for the series points, one per-group window
+    * cumsum (groups sort independently in parallel), one ranked cut —
+    * the same per-group-window posture as [[groupedQuantiles]]. */
+  def changePoints(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__x"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val scored = df
+      .select(col(groupCol), col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__cum", sum(col("__y")).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sy", sum(col("__y")).over(wAll))
+      .withColumn("__dev", abs(col("__n") * col("__cum") - col("__i") * col("__sy")))
+    scored
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__dev").desc, col("__i").asc)))
+      .filter(col("__r") === 1)
+      .select(col(groupCol), col("__n").cast("long").as("n_points"),
+        col("__x").as("cp_x"), col("__dev").as("max_abs_dev_xn"))
+  }
+
   /** Exact global percentile thresholds of one integer column, collected to
     * the driver (|percents| longs) — [[groupedQuantiles]]'s rank arithmetic
     * on a single group. The sort is global (exactness requires rank); at

@@ -3147,6 +3147,50 @@ object ExtensionQueries {
              |ORDER BY step_idx""".stripMargin)
     ),
 
+    // Cohort retention on epoch days — first-active-day cohorts, per-k
+    // re-activity counts, integral-pct; every step is exact counts.
+    QueryDef(
+      "q155_retention_cohorts",
+      (s, dir) =>
+        Stats.retentionCohorts(
+          events(s, dir).select(col("user_id"),
+            expr("unix_timestamp(ts) div 86400").as("day")),
+          "user_id", "day").orderBy("cohort_day", "k"),
+      Some("""WITH d AS (SELECT DISTINCT user_id AS e, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+             |c AS (SELECT e, min(day) AS cohort_day FROM d GROUP BY e),
+             |a AS (SELECT cohort_day, day - cohort_day AS k, CAST(count(*) AS BIGINT) AS n_active
+             |      FROM d JOIN c USING (e) GROUP BY cohort_day, day - cohort_day),
+             |s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size FROM c GROUP BY cohort_day)
+             |SELECT a.cohort_day, k, n_active, cohort_size,
+             |       CAST(n_active * 10000 // cohort_size AS BIGINT) AS retained_pct_x100
+             |FROM a JOIN s USING (cohort_day) ORDER BY a.cohort_day, k""".stripMargin)
+    ),
+
+    // CUSUM change-point per event type over hourly volume — the centered
+    // cumulative sum tracked ×n so every deviation is an exact integer;
+    // argmax with earliest-position tie-break in both engines.
+    QueryDef(
+      "q156_changepoint",
+      (s, dir) =>
+        Stats.changePoints(
+          events(s, dir)
+            .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+            .groupBy("event_type", "hr").agg(count(lit(1)).as("y")),
+          "event_type", "hr", "y").orderBy("event_type"),
+      Some("""WITH h AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr FROM events),
+             |p AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS y FROM h GROUP BY event_type, hr),
+             |w AS (SELECT event_type, hr, y,
+             |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS i,
+             |        sum(y) OVER (PARTITION BY event_type ORDER BY hr) AS cum,
+             |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             |        sum(y) OVER (PARTITION BY event_type) AS sy
+             |      FROM p),
+             |dv AS (SELECT event_type, hr, n, abs(n * cum - i * sy) AS dev, i FROM w),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, i ASC) AS rnk FROM dv)
+             |SELECT event_type, n AS n_points, hr AS cp_x, CAST(dev AS BIGINT) AS max_abs_dev_xn
+             |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

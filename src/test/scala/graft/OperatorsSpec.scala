@@ -1464,6 +1464,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(r0 == Set(1000000L / 6))
   }
 
+  test("retention cohorts: first-day cohorts, exact k offsets, duplicate days collapse") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val activity = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 12L), // dup (u,day) must not double-count
+      (2L, 10L), (2L, 12L),
+      (3L, 11L)
+    ).toDF("u", "day")
+    val out = Stats.retentionCohorts(activity, "u", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      (10L, 0L) -> ((2L, 2L, 10000L)),
+      (10L, 1L) -> ((1L, 2L, 5000L)),
+      (10L, 2L) -> ((2L, 2L, 10000L)),
+      (11L, 0L) -> ((1L, 1L, 10000L))))
+  }
+
+  test("changepoint: CUSUM lands on the planted step, ties break earliest") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val step = (0L to 7L).map(x => ("step", x, if (x < 4) 1L else 9L))
+    val sym = Seq(("sym", 0L, 5L), ("sym", 1L, 0L), ("sym", 2L, 0L), ("sym", 3L, 5L))
+    val out = Stats.changePoints((step ++ sym).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // step series: max |n·cum − i·Σy| = |8·32 − 4·40| = 128 at the 4th point (x=3)
+    assert(out("step") == ((8L, 3L, 128L)))
+    // symmetric series ties at positions 1 and 3 → earliest (x=0) wins
+    assert(out("sym") == ((4L, 0L, 10L)))
+  }
+
   test("funnel: strict step ordering, missing and out-of-order steps drop out") {
     import spark.implicits._
     import graft.operators.Stats
