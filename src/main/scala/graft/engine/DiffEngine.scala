@@ -370,6 +370,40 @@ object DiffEngine {
       .filter(col("n_rows") > 0)
   }
 
+  /** Key-candidate inference — the missing-input helper for every diff:
+    * the reference makes the user NAME the key columns; when nobody
+    * remembers them, rank each candidate column by uniqueness in ONE
+    * aggregate pass (n_rows, per-column exact distinct + non-null counts)
+    * and flag the columns that are keys outright. Output one row per
+    * candidate: (column_name, n_rows, n_distinct, n_nonnull, unique_flag),
+    * most-selective first.
+    *
+    * Exact distinct per column makes Catalyst plan an Expand (one stream
+    * per distinct-aggregate) — the honest cost of certainty, linear in
+    * |cols|. At 100 TB run the `approx = true` mode first (HLL sketches,
+    * single pass, no Expand) to shortlist, then confirm the finalists
+    * exactly; an approx run never sets `unique_flag` (a sketch cannot
+    * certify uniqueness — q120's certificate bounds are two-sided ±15%). */
+  def inferKeys(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "need at least one candidate column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        (if (approx) approx_count_distinct(col(c), 0.05) else countDistinct(col(c)))
+          .cast("long").as(s"__d_$c"),
+        count(col(c)).as(s"__nn_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("column_name"), col("__n").as("n_rows"),
+        col(s"__d_$c").as("n_distinct"), col(s"__nn_$c").as("n_nonnull"),
+        (if (approx) lit(0L)
+         else when(col(s"__d_$c") === col("__n") && col(s"__nn_$c") === col("__n"), 1L)
+           .otherwise(0L)).as("unique_flag")) // a nullable column is never a key
+    }
+    row.select(explode(array(structs: _*)).as("k")).select(col("k.*"))
+      .orderBy(col("n_distinct").desc, col("column_name"))
+  }
+
   /** Null-key diagnostic (SURVEY §7.3 risk 2): the reference's anti-join
     * idiom — and any key join — assumes non-null keys; a row with a null in
     * any key column can never match and silently inflates added+removed.

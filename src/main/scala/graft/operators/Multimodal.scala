@@ -523,6 +523,70 @@ object Multimodal {
     (zc, energy)
   }
 
+  /** int16 sample array of a payload [[decodeWav]] accepted — the same
+    * data-chunk walk as [[wavSignal]], materialized for multi-pass DSP. */
+  private def wavSamples(bytes: Array[Byte]): Array[Int] = {
+    def ascii4(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    def leU32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    var pos = 12
+    var off = -1; var sz = 0
+    while (off < 0 && pos + 8 <= bytes.length) {
+      val size = leU32(pos + 4).toInt
+      if (ascii4(pos) == "data") { off = pos + 8; sz = size }
+      pos = pos + 8 + size + (size & 1)
+    }
+    val out = new Array[Int](sz / 2)
+    var i = 0
+    while (i < out.length) {
+      val p = off + 2 * i
+      out(i) = ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Autocorrelation pitch probe over the REAL RIFF/WAVE parse — the
+    * classic time-domain pitch detector: R(k) = Σ sᵢ·sᵢ₊ₖ over int16
+    * samples is an EXACT 64-bit integer, so the best lag and the
+    * R(best)/R(0) periodicity ratio (×10^6, truncating div — identical in
+    * both engines) gate bit-identically cross-engine. No FFT, no floats,
+    * no windowing functions. Lags scan [minLag, maxLag] (the caller maps
+    * their pitch band to a lag band via the sample rate); ties break
+    * toward the SMALLEST lag (the fundamental, not its multiples, wins a
+    * draw). Malformed payloads drop — the decoder family's None contract.
+    *
+    * Scale shape: shuffle-free mapPartitions over the payload column,
+    * O((maxLag−minLag)·n) integer MACs per asset — embarrassingly
+    * parallel like every decoder here. */
+  def wavAutocorr(df: DataFrame, idCol: String, payloadCol: String,
+      minLag: Int = 20, maxLag: Int = 100): DataFrame = {
+    require(0 < minLag && minLag <= maxLag, "need 0 < minLag <= maxLag")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWav(bytes).map { _ =>
+          val s = wavSamples(bytes)
+          var r0 = 0L
+          s.foreach(x => r0 += x.toLong * x)
+          var bestK = minLag; var bestR = Long.MinValue
+          var k = minLag
+          while (k <= maxLag) {
+            var i = 0; var r = 0L
+            while (i + k < s.length) { r += s(i).toLong * s(i + k); i += 1 }
+            if (r > bestR) { bestR = r; bestK = k } // strict >: earliest lag wins ties
+            k += 1
+          }
+          (id, s.length.toLong, r0, bestK.toLong, bestR,
+            if (r0 > 0) bestR * 1000000L / r0 else 0L)
+        }
+      })
+      .toDF(idCol, "n_samples", "r0", "best_lag", "r_best", "periodicity_x1m")
+  }
+
   /** Magic-byte MIME sniffing over opaque binary payloads — the dispatch
     * step in front of the per-format decoders: a mixed-media corpus routes
     * each asset to [[decodePng]]/[[decodeBmp]]/[[decodeWav]]/[[decodePpm]]

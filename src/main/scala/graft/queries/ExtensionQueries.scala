@@ -3191,6 +3191,55 @@ object ExtensionQueries {
              |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)
     ),
 
+    // Autocorrelation pitch probe on the REAL WAV parse: exact integer
+    // MACs; the oracle replays the q90 generator math and the same
+    // earliest-lag argmax (list_position finds the FIRST max).
+    QueryDef(
+      "q157_wav_autocorr",
+      (s, dir) => {
+        val withPayload = Multimodal.withWavPayload(
+          t(s, dir, "documents"), "doc_id", "text", nSamples = 256, sampleRate = 8000)
+        Multimodal.wavAutocorr(withPayload, "doc_id", "payload", minLag = 20, maxLag = 100)
+          .orderBy("doc_id")
+      },
+      Some("""WITH smp AS (SELECT doc_id,
+             |  list_transform(range(256),
+             |    j -> ((ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) * 131 + 7*j) % 65536 - 32768) AS s
+             |  FROM documents),
+             |ac AS (SELECT doc_id,
+             |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS r0,
+             |  list_transform(range(20, 101),
+             |    k -> CAST(list_sum(list_transform(range(256 - k), i -> s[CAST(i+1 AS INT)] * s[CAST(i+k+1 AS INT)])) AS BIGINT)) AS rs
+             |  FROM smp),
+             |b AS (SELECT doc_id, r0, rs, list_position(rs, list_max(rs)) AS bi FROM ac)
+             |SELECT doc_id, CAST(256 AS BIGINT) AS n_samples, r0,
+             |       CAST(19 + bi AS BIGINT) AS best_lag,
+             |       rs[bi] AS r_best,
+             |       CAST(CASE WHEN r0 > 0 THEN rs[bi] * 1000000 // r0 ELSE 0 END AS BIGINT) AS periodicity_x1m
+             |FROM b ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Key-candidate inference on orders: ONE exact aggregate pass ranks
+    // candidates by distinctness and certifies the true key.
+    QueryDef(
+      "q158_infer_keys",
+      (s, dir) =>
+        canonOut(graft.engine.DiffEngine.inferKeys(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+        val parts = cols.map { c =>
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(count($c) AS BIGINT) AS n_nonnull,
+             |  CAST(CASE WHEN count(DISTINCT $c) = count(*) AND count($c) = count(*)
+             |       THEN 1 ELSE 0 END AS BIGINT) AS unique_flag
+             |FROM orders""".stripMargin
+        }
+        parts.mkString("", "\nUNION ALL\n", "\nORDER BY n_distinct DESC, column_name")
+      }
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1464,6 +1464,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(r0 == Set(1000000L / 6))
   }
 
+  test("wav autocorr: planted period recovered exactly, malformed payloads drop") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def wav(samples: Array[Int], rate: Int = 8000): Array[Byte] = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    // ±8000 square wave, period 25: R(k) aligns perfectly at multiples of
+    // 25, and R(25) has the most terms — best_lag must be the fundamental
+    val periodic = Array.tabulate(250)(i => if (i % 25 < 12) 8000 else -8000)
+    val rows = Seq((1L, wav(periodic)), (2L, "not a wav".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val out = Multimodal.wavAutocorr(rows, "id", "payload").collect()
+    assert(out.length == 1) // malformed dropped, never a task failure
+    val r = out.head
+    assert(r.getLong(1) == 250L && r.getLong(3) == 25L)
+    // R(25)/R(0) = 225·8000² / 250·8000² exactly
+    assert(r.getLong(5) == 900000L)
+  }
+
+  test("infer keys: true key certified, nullable and repeating columns are not") {
+    import spark.implicits._
+    import graft.engine.DiffEngine
+    val df = Seq(
+      (1L, Option("a"), 10), (2L, Option("b"), 10), (3L, Option.empty[String], 20)
+    ).toDF("id", "maybe", "grp")
+    val out = DiffEngine.inferKeys(df, Seq("id", "maybe", "grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ordered most-selective first, names break ties
+    assert(out.toSeq == Seq(
+      ("id", 3L, 3L, 3L, 1L),
+      ("grp", 3L, 2L, 3L, 0L),
+      ("maybe", 3L, 2L, 2L, 0L))) // distinct among non-nulls but NULLABLE: not a key
+    // approx mode shortlists but never certifies
+    val ap = DiffEngine.inferKeys(df, Seq("id"), approx = true).head()
+    assert(ap.getLong(4) == 0L)
+  }
+
   test("retention cohorts: first-day cohorts, exact k offsets, duplicate days collapse") {
     import spark.implicits._
     import graft.operators.Stats
