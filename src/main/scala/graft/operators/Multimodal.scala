@@ -587,6 +587,51 @@ object Multimodal {
       .toDF(idCol, "n_samples", "r0", "best_lag", "r_best", "periodicity_x1m")
   }
 
+  /** Laplacian focus score over REAL decoded P6 pixels — the blur gate an
+    * image-curation pipeline runs before spending feature-extraction
+    * compute on an asset: per interior pixel, the 4-neighbor Laplacian of
+    * integer luma (r+g+b, 0..765) accumulated as |4L − left − right − up
+    * − down|. Sharp edges score high, defocus/smooth gradients low — the
+    * classic variance-of-Laplacian heuristic reduced to integer absolute
+    * sums so both engines agree bit-for-bit. Output: lap_sum and the
+    * per-interior-pixel mean ×100. None (row dropped) on decode failure;
+    * images with no interior (w or h < 3) score 0. */
+  def ppmSharpness(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ppmHeader(bytes).flatMap { case (w, h, pos) =>
+          if (w <= 0 || h <= 0 || bytes.length < pos + 3L * w * h) None
+          else {
+            val lum = new Array[Int](w * h)
+            var i = 0
+            while (i < w * h) {
+              val p = pos + 3 * i
+              lum(i) = (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
+              i += 1
+            }
+            var lap = 0L
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                val c = y * w + x
+                lap += math.abs(
+                  4L * lum(c) - lum(c - 1) - lum(c + 1) - lum(c - w) - lum(c + w))
+                x += 1
+              }
+              y += 1
+            }
+            val interior = math.max(w - 2, 0).toLong * math.max(h - 2, 0)
+            Some((id, w, h, lap, if (interior > 0) lap * 100 / interior else 0L))
+          }
+        }
+      })
+      .toDF(idCol, "width", "height", "lap_sum", "lap_mean_x100")
+  }
+
   /** Magic-byte MIME sniffing over opaque binary payloads — the dispatch
     * step in front of the per-format decoders: a mixed-media corpus routes
     * each asset to [[decodePng]]/[[decodeBmp]]/[[decodeWav]]/[[decodePpm]]

@@ -174,6 +174,43 @@ object Stats {
         col("__x").as("cp_x"), col("__dev").as("max_abs_dev_xn"))
   }
 
+  /** Robust outlier census per group — median/MAD, the z-score's
+    * heavy-tail-safe sibling (one wild value wrecks a mean+stddev gate;
+    * the median and the median absolute deviation shrug it off): a value
+    * is an outlier when |v − median| > (threshX10000/10^4)·MAD, default
+    * 3·1.4826 (the normal-consistency constant). Both medians are
+    * [[groupedQuantiles]]'s percentile_disc rank arithmetic and the
+    * threshold test is a cross-multiplied integer comparison — exact
+    * cross-engine, no float σ anywhere.
+    *
+    * Input values must be integers (scale currency to cents etc. BEFORE
+    * calling — through DECIMAL, not a float multiply). Output per group:
+    * (group, n_rows, median, mad, n_outliers).
+    *
+    * Scale shape: two per-group window sorts (median, then deviation
+    * median) + one aggregate; groups sort independently, same posture as
+    * [[groupedQuantiles]]. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshX10000: Long = 44478L): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val med = groupedQuantiles(base, groupCol, "__v", Seq(50))
+      .select(col(groupCol), col("__v").as("__med"))
+    val dev = base.join(med, groupCol)
+      .select(col(groupCol), col("__v"), col("__med"),
+        abs(col("__v") - col("__med")).as("__dev"))
+    val mad = groupedQuantiles(dev.select(col(groupCol), col("__dev")), groupCol, "__dev", Seq(50))
+      .select(col(groupCol), col("__dev").as("__mad"))
+    dev.join(mad, groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("__med")).as("median"),
+        max(col("__mad")).as("mad"),
+        sum(when(col("__dev") * 10000 > lit(threshX10000) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Exact global percentile thresholds of one integer column, collected to
     * the driver (|percents| longs) — [[groupedQuantiles]]'s rank arithmetic
     * on a single group. The sort is global (exactness requires rank); at

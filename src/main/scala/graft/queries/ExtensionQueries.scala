@@ -3240,6 +3240,63 @@ object ExtensionQueries {
       }
     ),
 
+    // Laplacian sharpness over the REAL P6 decode: the oracle re-derives
+    // every luma from the text generator and replays the interior
+    // 4-neighbor |Laplacian| sum index-for-index.
+    QueryDef(
+      "q159_image_sharpness",
+      (s, dir) => {
+        val withPayload = Multimodal.withPpmPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 12, height = 10)
+        Multimodal.ppmSharpness(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some {
+        val w = 12; val h = 10; val iw = w - 2; val interior = iw * (h - 2)
+        def lum(dx: Int, dy: Int) =
+          s"lum[CAST((1 + t // $iw + ($dy)) * $w + (1 + t % $iw + ($dx)) + 1 AS INT)]"
+        val term = s"abs(4 * ${lum(0, 0)} - ${lum(-1, 0)} - ${lum(1, 0)} - ${lum(0, -1)} - ${lum(0, 1)})"
+        s"""WITH px AS (SELECT doc_id,
+           |  list_transform(range(${3 * w * h}),
+           |    j -> ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) AS p
+           |  FROM documents),
+           |lm AS (SELECT doc_id,
+           |  list_transform(range(${w * h}), i -> p[CAST(3*i + 1 AS INT)] + p[CAST(3*i + 2 AS INT)] + p[CAST(3*i + 3 AS INT)]) AS lum
+           |  FROM px),
+           |lp AS (SELECT doc_id,
+           |  CAST(list_sum(list_transform(range($interior), t -> $term)) AS BIGINT) AS lap_sum
+           |  FROM lm)
+           |SELECT doc_id, CAST($w AS INT) AS width, CAST($h AS INT) AS height, lap_sum,
+           |       CAST(lap_sum * 100 // $interior AS BIGINT) AS lap_mean_x100
+           |FROM lp ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // Median/MAD robust outlier census per event type on cent-scaled
+    // values (through DECIMAL — a float×100 truncation would diverge);
+    // both medians are q86's rank arithmetic, the threshold test is a
+    // cross-multiplied integer comparison.
+    QueryDef(
+      "q160_mad_outliers",
+      (s, dir) =>
+        Stats.madOutliers(
+          events(s, dir).select(col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+          "event_type", "cents").orderBy("event_type"),
+      Some("""WITH b AS (SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             |          FROM events WHERE value IS NOT NULL),
+             |r1 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |              count(*) OVER (PARTITION BY g) AS n FROM b),
+             |med AS (SELECT g, v AS medv FROM r1 WHERE rn = (n * 50 + 99) // 100),
+             |d AS (SELECT b.g, b.v, medv, abs(b.v - medv) AS dev FROM b JOIN med USING (g)),
+             |r2 AS (SELECT g, dev, row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+             |              count(*) OVER (PARTITION BY g) AS n FROM d),
+             |mad AS (SELECT g, dev AS madv FROM r2 WHERE rn = (n * 50 + 99) // 100)
+             |SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(max(medv) AS BIGINT) AS median, CAST(max(madv) AS BIGINT) AS mad,
+             |       CAST(sum(CASE WHEN dev * 10000 > 44478 * madv THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN mad USING (g) GROUP BY d.g ORDER BY event_type""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

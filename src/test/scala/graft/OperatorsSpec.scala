@@ -1464,6 +1464,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(r0 == Set(1000000L / 6))
   }
 
+  test("ppm sharpness: flat is zero, a point edge scores exactly, malformed drops") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def ppm(w: Int, h: Int, rgb: Array[Int]): Array[Byte] =
+      (s"P6\n$w $h\n255\n".getBytes("US-ASCII").toSeq ++ rgb.map(_.toByte)).toArray
+    val flat = ppm(3, 3, Array.fill(27)(77))
+    // white center on black: the single interior pixel sees |4·765| = 3060
+    val point = ppm(3, 3, Array.tabulate(27)(i => if (i / 3 == 4) 255 else 0))
+    val rows = Seq((1L, flat), (2L, point), (3L, "junk".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val out = Multimodal.ppmSharpness(rows, "id", "payload")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(1L -> ((0L, 0L)), 2L -> ((3060L, 306000L))))
+  }
+
+  test("mad outliers: single wild value flagged, tight spread clean") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val df = (Seq.fill(4)(10L) :+ 100L).map(("spiky", _)) ++
+      (1L to 7L).map(("calm", _))
+    val out = Stats.madOutliers(df.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // spiky: median 10, MAD 0 → any nonzero deviation is an outlier
+    assert(out("spiky") == ((5L, 10L, 0L, 1L)))
+    // calm: median 4, MAD 2, 3·1.4826·2 ≈ 8.9 > every deviation
+    assert(out("calm") == ((7L, 4L, 2L, 0L)))
+  }
+
   test("wav autocorr: planted period recovered exactly, malformed payloads drop") {
     import spark.implicits._
     import graft.operators.Multimodal
