@@ -370,6 +370,26 @@ object DiffEngine {
       .filter(col("n_rows") > 0)
   }
 
+  /** CDC log compaction — latest-state reconstruction: reduce an
+    * append-only change log (every row a keyed version with an optional
+    * tombstone flag) to the CURRENT table: the highest-version row per
+    * key wins, and a key whose winning row is a tombstone has no current
+    * row. [[mergeUpsert]] applies one changeset to a snapshot; this
+    * replays an entire log — the two halves of snapshot maintenance.
+    *
+    * Plan: one window rank per key (hash shuffle + in-partition sort,
+    * no joins at all); ties on the version break by the rest of the
+    * sort being absent — callers must make `versionCol` unique per key
+    * (a CDC sequence number is). Helper columns drop from the output. */
+  def cdcLatest(log: DataFrame, keys: Seq[String], versionCol: String,
+      deleteCol: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    val ranked = log.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val live = deleteCol.fold(ranked)(f => ranked.filter(col(f) === 0))
+    live.drop("__rn").drop(versionCol +: deleteCol.toSeq: _*)
+  }
+
   /** Key-candidate inference — the missing-input helper for every diff:
     * the reference makes the user NAME the key columns; when nobody
     * remembers them, rank each candidate column by uniqueness in ONE

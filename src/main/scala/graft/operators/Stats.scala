@@ -211,6 +211,31 @@ object Stats {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** First-order Markov transition matrix over per-entity ordered state
+    * sequences — "after a click, what comes next?": adjacent-state pairs
+    * on the `orderCol` ordering (pass a UNIQUE monotone id, same contract
+    * as [[funnel]]), counted and row-normalized to ×10^6 integral
+    * probabilities. The behavioral-model complement of [[funnel]]'s
+    * fixed-path view.
+    *
+    * Scale shape: one window lag per entity partition (hash shuffle +
+    * in-partition sort), then two map-side-combined aggregates; the
+    * transition matrix is |states|² — driver-safe for any real state
+    * alphabet. Output: (from_state, to_state, n, p_x1m). */
+  def markovTransitions(df: DataFrame, entityCol: String, stateCol: String,
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(orderCol))
+    val pairs = df
+      .select(col(entityCol), col(stateCol).as("to_state"), col(orderCol))
+      .withColumn("from_state", lag(col("to_state"), 1).over(w))
+      .filter(col("from_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state")).agg(count(lit(1)).as("n"))
+    val rowTotals = pairs.groupBy(col("from_state")).agg(sum(col("n")).as("__tot"))
+    pairs.join(rowTotals, "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 1000000 div __tot").as("p_x1m"))
+  }
+
   /** Exact global percentile thresholds of one integer column, collected to
     * the driver (|percents| longs) — [[groupedQuantiles]]'s rank arithmetic
     * on a single group. The sort is global (exactness requires rank); at

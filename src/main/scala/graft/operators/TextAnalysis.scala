@@ -557,12 +557,16 @@ object TextAnalysis {
     * fixed point. [[collocations]] finds ADJACENT pairs (phrases); this
     * finds topical association at document range.
     *
-    * Scale shape: the frequent vocabulary (bounded by minDf) broadcasts
-    * into a semi-join; each doc reduces to its sorted distinct frequent
-    * terms, capped at `maxTermsPerDoc` (head of the sorted array —
-    * deterministic; prevents one pathological doc from emitting a
-    * quadratic pair blast); in-doc pairs generate from the capped array
-    * exactly like the LSH bucket pairing. No corpus self-join. */
+    * Scale shape: the frequent-vocabulary joins are plain equi-joins —
+    * Catalyst/AQE broadcasts them when the vocab is small and falls back
+    * to a hash join when a web-scale minDf leaves millions of frequent
+    * terms (a FORCED broadcast here would OOM the driver at 100 TB; don't
+    * hint what the planner can measure). Each doc reduces to its sorted
+    * distinct frequent terms, capped at `maxTermsPerDoc` (head of the
+    * sorted array — deterministic; prevents one pathological doc from
+    * emitting a quadratic pair blast); in-doc pairs generate from the
+    * capped array exactly like the LSH bucket pairing. No corpus
+    * self-join. */
   def cooccurrencePairs(df: DataFrame, idCol: String, textCol: String,
       minDf: Long = 5, minPairDf: Long = 3, maxTermsPerDoc: Int = 200,
       topK: Int = 50): DataFrame = {
@@ -574,7 +578,7 @@ object TextAnalysis {
       .localCheckpoint() // feeds the semi-join and both lift joins
     val nDocs = df.count()
     val pairs = docTermsC
-      .join(broadcast(dfCounts.select(col("t"))), Seq("t"))
+      .join(dfCounts.select(col("t")), Seq("t"))
       .groupBy(col(idCol))
       .agg(slice(sort_array(collect_list(col("t"))), 1, maxTermsPerDoc).as("__ts"))
       .select(explode(expr(
@@ -585,8 +589,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("co_df"))
       .filter(col("co_df") >= minPairDf)
     pairs
-      .join(broadcast(dfCounts.select(col("t").as("x"), col("df").as("df_x"))), "x")
-      .join(broadcast(dfCounts.select(col("t").as("y"), col("df").as("df_y"))), "y")
+      .join(dfCounts.select(col("t").as("x"), col("df").as("df_x")), "x")
+      .join(dfCounts.select(col("t").as("y"), col("df").as("df_y")), "y")
       .select(col("x"), col("y"), col("co_df"), col("df_x"), col("df_y"),
         expr(s"co_df * ${nDocs}L * 1000000L div (df_x * df_y)").as("lift_x1m"))
       .orderBy(col("lift_x1m").desc, col("x"), col("y"))

@@ -3297,6 +3297,52 @@ object ExtensionQueries {
              |FROM d JOIN mad USING (g) GROUP BY d.g ORDER BY event_type""".stripMargin)
     ),
 
+    // First-order Markov transition matrix over per-user event streams,
+    // row-normalized ×10^6 — the behavioral complement of q154's funnel.
+    QueryDef(
+      "q161_markov_transitions",
+      (s, dir) =>
+        Stats.markovTransitions(events(s, dir), "user_id", "event_type", "event_id")
+          .orderBy("from_state", "to_state"),
+      Some("""WITH s AS (SELECT user_id, event_type AS to_state,
+             |       lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_state
+             |     FROM events),
+             |p AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+             |      FROM s WHERE from_state IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_state, sum(n) AS tot FROM p GROUP BY 1)
+             |SELECT p.from_state, to_state, n, CAST(n * 1000000 // tot AS BIGINT) AS p_x1m
+             |FROM p JOIN t USING (from_state) ORDER BY from_state, to_state""".stripMargin)
+    ),
+
+    // CDC log compaction: three planted versions per key (base, %3
+    // update, %5 tombstone); highest version wins, tombstoned keys have
+    // no current row — the oracle replays the same ranked cut.
+    QueryDef(
+      "q162_cdc_latest",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        val v1 = base.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          lit(1L).as("v"), lit(0).as("__del"))
+        val v2 = base.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), lit("U2").as("o_orderstatus"),
+            lit(2L).as("v"), lit(0).as("__del"))
+        val v3 = base.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), lit("X").as("o_orderstatus"),
+            lit(3L).as("v"), lit(1).as("__del"))
+        graft.engine.DiffEngine.cdcLatest(v1.unionByName(v2).unionByName(v3),
+          Seq("o_orderkey"), "v", Some("__del")).orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+             |log AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, 1 AS v, 0 AS del FROM b
+             |  UNION ALL SELECT o_orderkey, o_custkey, 'U2', 2, 0 FROM b WHERE o_orderkey % 3 = 0
+             |  UNION ALL SELECT o_orderkey, o_custkey, 'X', 3, 1 FROM b WHERE o_orderkey % 5 = 0),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn FROM log)
+             |SELECT o_orderkey, o_custkey, o_orderstatus FROM r WHERE rn = 1 AND del = 0
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1464,6 +1464,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(r0 == Set(1000000L / 6))
   }
 
+  test("markov transitions: exact row-normalized counts, first events emit nothing") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L), // a→b, b→a, a→b
+      (2L, "a", 1L), (2L, "c", 2L),                               // a→c
+      (3L, "b", 1L)                                               // lone event: no pair
+    ).toDF("u", "state", "seq")
+    val out = Stats.markovTransitions(ev, "u", "state", "seq")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 666666L)), // 2 of 3 transitions out of a
+      ("a", "c") -> ((1L, 333333L)),
+      ("b", "a") -> ((1L, 1000000L))))
+  }
+
+  test("cdc latest: highest version wins, tombstones erase, helpers dropped") {
+    import spark.implicits._
+    import graft.engine.DiffEngine
+    val log = Seq(
+      (1L, "v1", 1L, 0), (1L, "v2", 2L, 0),   // update chain: v2 current
+      (2L, "v1", 1L, 0), (2L, "xx", 2L, 1),   // tombstoned: gone
+      (3L, "v1", 1L, 0),                      // untouched
+      (4L, "xx", 1L, 1), (4L, "back", 2L, 0)  // deleted then re-inserted: back
+    ).toDF("k", "s", "ver", "__del")
+    val out = DiffEngine.cdcLatest(log, Seq("k"), "ver", Some("__del"))
+    assert(out.columns.toSeq == Seq("k", "s")) // version + tombstone dropped
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "v2", 3L -> "v1", 4L -> "back"))
+  }
+
   test("ppm sharpness: flat is zero, a point edge scores exactly, malformed drops") {
     import spark.implicits._
     import graft.operators.Multimodal
