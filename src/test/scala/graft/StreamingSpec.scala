@@ -390,4 +390,32 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(batch == rows)
   }
+
+  test("streaming cdc: latest-state matches batch compaction, stale arrivals ignored") {
+    import graft.streaming.StreamingCdc
+    import graft.streaming.StreamingCdc.Change
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    // first delivery: key 1's v2 arrives BEFORE its v1 (out of order)
+    mem.addData(Change(1L, 2L, "B", tombstone = false), Change(2L, 1L, "x", tombstone = false))
+    // later delivery: the stale v1 (must NOT regress state), a tombstone, a new key
+    mem.addData(
+      Change(1L, 1L, "A", tombstone = false),
+      Change(2L, 2L, "xx", tombstone = true),
+      Change(3L, 1L, "c", tombstone = false))
+    val updates = StreamingCdc.runToTable(mem.toDS(), "cdc_stream_test").collect()
+    val finalState = updates.groupBy(_.key).map { case (_, rows) => rows.maxBy(_.version) }
+    // stale v1 for key 1 did not overwrite v2
+    assert(finalState.find(_.key == 1L).get == StreamingCdc.Current(1L, 2L, "B", live = true))
+    // batch twin: cdcLatest over the full log produces the same live rows
+    import spark.implicits._
+    val log = Seq(
+      (1L, 2L, "B", 0), (2L, 1L, "x", 0),
+      (1L, 1L, "A", 0), (2L, 2L, "xx", 1), (3L, 1L, "c", 0)
+    ).toDF("key", "version", "value", "__del")
+    val batchLive = graft.engine.DiffEngine.cdcLatest(log, Seq("key"), "version", Some("__del"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamLive = finalState.filter(_.live).map(c => c.key -> c.value).toMap
+    assert(streamLive == batchLive && batchLive == Map(1L -> "B", 3L -> "c"))
+  }
 }
