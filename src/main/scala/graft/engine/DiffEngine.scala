@@ -390,6 +390,34 @@ object DiffEngine {
     live.drop("__rn").drop(versionCol +: deleteCol.toSeq: _*)
   }
 
+  /** SCD-2 history reconstruction — [[cdcLatest]]'s other half: instead of
+    * keeping only each key's winning version, turn the WHOLE log into
+    * validity intervals. Every non-tombstone log row becomes one history
+    * row valid over the half-open version range `[v, next_v)` where
+    * `next_v` is the key's next logged version (tombstones close the
+    * preceding interval but add no row of their own — a deleted key has
+    * history, no current row). The last interval of an undeleted key is
+    * open-ended: `valid_to` carries the -1 sentinel and `is_current` = 1
+    * (a sentinel, not NULL — gated outputs never emit NULL integers).
+    *
+    * Plan: identical to [[cdcLatest]] — ONE window per key (hash shuffle +
+    * in-partition sort, zero joins); `lead` over the version order computes
+    * every interval bound in the same pass. `versionCol` must be unique
+    * per key (a CDC sequence number is). */
+  def scd2FromLog(log: DataFrame, keys: Seq[String], versionCol: String,
+      deleteCol: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+    val bounded = log
+      .withColumn("__next_v", lead(col(versionCol), 1).over(w))
+    val rows = deleteCol.fold(bounded)(f => bounded.filter(col(f) === 0))
+    rows
+      .withColumn("valid_from", col(versionCol).cast("long"))
+      .withColumn("valid_to", coalesce(col("__next_v").cast("long"), lit(-1L)))
+      .withColumn("is_current", when(col("__next_v").isNull, 1L).otherwise(0L))
+      .drop("__next_v").drop(versionCol +: deleteCol.toSeq: _*)
+  }
+
   /** Key-candidate inference — the missing-input helper for every diff:
     * the reference makes the user NAME the key columns; when nobody
     * remembers them, rank each candidate column by uniqueness in ONE

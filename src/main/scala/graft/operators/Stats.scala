@@ -236,6 +236,52 @@ object Stats {
         expr("n * 1000000 div __tot").as("p_x1m"))
   }
 
+  /** Peak concurrency per group via the classic sweep line: each interval
+    * `[start, end)` contributes a +1 event at `start` and a -1 event at
+    * `end`; the running sum of events in time order is the number of
+    * intervals open at that instant, and its maximum is the peak. Ties at
+    * the same instant process ends BEFORE starts (delta ascending), the
+    * half-open-interval convention — an interval ending exactly when
+    * another starts never counts as overlap. Zero/negative-length
+    * intervals are dropped (they are empty under [s, e)).
+    *
+    * Output one row per group: (group, n_intervals, max_concurrent,
+    * peak_at) with `peak_at` the EARLIEST instant the peak is reached —
+    * a deterministic representative.
+    *
+    * Plan: one explode (2 rows per interval) + one per-group window
+    * (hash shuffle + in-partition sort) + one aggregate — no joins, no
+    * driver state. Groups sweep independently and in parallel; for a
+    * sweep over ONE huge ungrouped timeline the in-partition sort
+    * serializes per group, so split by a coarse time bucket and stitch
+    * boundary sums with a [[graft.operators.Packing]]-style two-level
+    * prefix sum instead. */
+  def maxConcurrency(df: DataFrame, groupCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val iv = df
+      .select(col(groupCol).as("g"), col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e"))
+      .filter(col("s").isNotNull && col("e").isNotNull && col("s") < col("e"))
+    val events = iv.select(col("g"),
+      explode(array(
+        struct(col("s").as("t"), lit(1L).as("delta")),
+        struct(col("e").as("t"), lit(-1L).as("delta")))).as("ev"))
+      .select(col("g"), col("ev.t"), col("ev.delta"))
+    val w = Window.partitionBy(col("g")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The per-group max re-uses the sweep's partitioning: both windows hash
+    // on g, so the second adds no exchange — one shuffle total.
+    val swept = events
+      .withColumn("running", sum(col("delta")).over(w))
+      .withColumn("__gmax", max(col("running")).over(Window.partitionBy(col("g"))))
+    swept.groupBy(col("g"))
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(col("running")).as("max_concurrent"),
+        min(when(col("running") === col("__gmax"), col("t"))).as("peak_at"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Exact global percentile thresholds of one integer column, collected to
     * the driver (|percents| longs) — [[groupedQuantiles]]'s rank arithmetic
     * on a single group. The sort is global (exactness requires rank); at

@@ -3343,6 +3343,77 @@ object ExtensionQueries {
              |ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // SCD-2 history reconstruction over the same planted CDC log as q162:
+    // every surviving version becomes a validity interval [v, next_v);
+    // tombstones close the prior interval but add no row. The oracle
+    // replays the identical lead() pass.
+    QueryDef(
+      "q163_scd2_history",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        val v1 = base.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          lit(1L).as("v"), lit(0).as("__del"))
+        val v2 = base.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), lit("U2").as("o_orderstatus"),
+            lit(2L).as("v"), lit(0).as("__del"))
+        val v3 = base.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), lit("X").as("o_orderstatus"),
+            lit(3L).as("v"), lit(1).as("__del"))
+        graft.engine.DiffEngine.scd2FromLog(v1.unionByName(v2).unionByName(v3),
+          Seq("o_orderkey"), "v", Some("__del"))
+          .orderBy("o_orderkey", "valid_from")
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+             |log AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, 1 AS v, 0 AS del FROM b
+             |  UNION ALL SELECT o_orderkey, o_custkey, 'U2', 2, 0 FROM b WHERE o_orderkey % 3 = 0
+             |  UNION ALL SELECT o_orderkey, o_custkey, 'X', 3, 1 FROM b WHERE o_orderkey % 5 = 0),
+             |l AS (SELECT *, lead(v) OVER (PARTITION BY o_orderkey ORDER BY v) AS nv FROM log)
+             |SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       CAST(v AS BIGINT) AS valid_from,
+             |       CAST(coalesce(nv, -1) AS BIGINT) AS valid_to,
+             |       CAST(CASE WHEN nv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM l WHERE del = 0
+             |ORDER BY o_orderkey, valid_from""".stripMargin)
+    ),
+
+    // Peak-concurrency sweep line per event_type: synthetic half-open
+    // intervals (start = event second, duration = value-cents mod 3600
+    // + 60 s), ends processed before starts at the same instant. Exact
+    // integer sweep both sides; peak_at is the earliest peak instant.
+    QueryDef(
+      "q164_max_concurrency",
+      (s, dir) => {
+        val iv = events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            unix_timestamp(col("ts")).as("start_s"),
+            (unix_timestamp(col("ts")) +
+              (col("value").cast("decimal(18,2)") * 100).cast("long") % 3600 + 60)
+              .as("end_s"))
+        Stats.maxConcurrency(iv, "event_type", "start_s", "end_s")
+          .orderBy("event_type")
+      },
+      Some("""WITH iv AS (
+             |  SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             |         CAST(floor(epoch(ts)) AS BIGINT)
+             |           + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 3600 + 60 AS e
+             |  FROM events WHERE value IS NOT NULL),
+             |iv2 AS (SELECT g, s, e FROM iv WHERE s < e),
+             |ev AS (
+             |  SELECT g, s AS t, 1 AS delta FROM iv2
+             |  UNION ALL SELECT g, e, -1 FROM iv2),
+             |sw AS (SELECT g, t, delta,
+             |         sum(delta) OVER (PARTITION BY g ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS running
+             |       FROM ev),
+             |sw2 AS (SELECT *, max(running) OVER (PARTITION BY g) AS gmax FROM sw)
+             |SELECT g AS event_type, CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+             |       CAST(max(running) AS BIGINT) AS max_concurrent,
+             |       CAST(min(CASE WHEN running = gmax THEN t END) AS BIGINT) AS peak_at
+             |FROM sw2 GROUP BY g ORDER BY event_type""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1495,6 +1495,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(m == Map(1L -> "v2", 3L -> "v1", 4L -> "back"))
   }
 
+  test("scd2 history: intervals chain, tombstones close but add no row") {
+    import spark.implicits._
+    import graft.engine.DiffEngine
+    val log = Seq(
+      (1L, "v1", 1L, 0), (1L, "v2", 3L, 0),   // two intervals: [1,3), [3,open)
+      (2L, "v1", 1L, 0), (2L, "xx", 2L, 1),   // tombstone closes [1,2); no current
+      (3L, "v1", 1L, 0)                       // single open interval
+    ).toDF("k", "s", "ver", "__del")
+    val out = DiffEngine.scd2FromLog(log, Seq("k"), "ver", Some("__del"))
+    assert(out.columns.toSeq == Seq("k", "s", "valid_from", "valid_to", "is_current"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(rows == Set(
+      (1L, "v1", 1L, 3L, 0L), (1L, "v2", 3L, -1L, 1L),
+      (2L, "v1", 1L, 2L, 0L), // closed by the tombstone, not current
+      (3L, "v1", 1L, -1L, 1L)))
+  }
+
+  test("max concurrency: half-open touch never overlaps, earliest peak wins") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val iv = Seq(
+      // g1: [0,10) [5,15) overlap → 2; [15,20) touches 15 → still 2
+      ("g1", 0L, 10L), ("g1", 5L, 15L), ("g1", 15L, 20L),
+      // g2: peak 2 reached at t=3 and again at t=8; earliest (3) reported
+      ("g2", 1L, 5L), ("g2", 3L, 4L), ("g2", 8L, 9L), ("g2", 8L, 9L),
+      // g3: zero-length interval drops entirely
+      ("g3", 7L, 7L), ("g3", 1L, 2L)
+    ).toDF("g", "s", "e")
+    val out = Stats.maxConcurrency(iv, "g", "s", "e")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "g1" -> ((3L, 2L, 5L)),
+      "g2" -> ((4L, 2L, 3L)),
+      "g3" -> ((1L, 1L, 1L))))
+  }
+
   test("ppm sharpness: flat is zero, a point edge scores exactly, malformed drops") {
     import spark.implicits._
     import graft.operators.Multimodal
