@@ -71,6 +71,99 @@ object Graphs {
     ranks
   }
 
+  /** Multi-source BFS hop distances: the minimum number of edges from any
+    * seed to each reachable node, capped at `maxHops` — the "how far is
+    * this page from a trusted seed set" signal (TrustRank-style curation
+    * priors weight documents by seed distance).
+    *
+    * Classic frontier iteration: level k+1 = (frontier ⋈ edges).dst minus
+    * every node already labeled. Each level is ONE key-shuffled join + a
+    * distinct + an anti join — all hash-partitioned on node id, and the
+    * frontier SHRINKS as the reachable set saturates (the loop exits early
+    * on an empty frontier, checked on the frame the next level needs
+    * anyway). `localCheckpoint` per level caps lineage exactly like
+    * [[pageRank]]; distances are exact integers, no floats anywhere.
+    * Output: (node, dist) for reached nodes only, dist in [0, maxHops]. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct() // parallel edges never change a hop count; drop them once
+      .localCheckpoint()
+    var visited = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var level = 0L
+    while (level < maxHops && !frontier.isEmpty) {
+      level += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(level))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
+  /** HITS hubs & authorities, `iters` synchronous rounds of the mutual
+    * recursion (authority = sum of in-neighbor hub scores, hub = sum of
+    * out-neighbor authority scores), each side L1-normalized to ×10^6
+    * fixed point with integral division — [[pageRank]]'s bit-identical
+    * cross-engine discipline applied to Kleinberg's update.
+    *
+    * Initial hubs are `10^6 div n` (so score mass is ~10^6 from round
+    * zero and every later sum stays ≤ ~outdeg·10^12 — far inside Long;
+    * like [[pageRank]], graphs beyond ~10^6 nodes need a bigger scale
+    * constant, a documented knob, not a silent overflow). Each round is
+    * two key-shuffled join+aggregates over the once-materialized edge
+    * frame plus TWO 1-row total reductions (the L1 masses) pulled back
+    * to the driver — bounded driver traffic by construction.
+    * Output: (node, hub_x1m, auth_x1m). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.withColumn("hub_x1m", lit(0L)).withColumn("auth_x1m", lit(0L))
+    // One edge endpoint aggregation, normalized to the running L1 mass.
+    def propagate(scores: DataFrame, scoreName: String, joinOn: String,
+        groupOn: String, outName: String): DataFrame = {
+      val raw = e.join(scores, e(joinOn) === scores("node"))
+        .groupBy(col(groupOn).as("node"))
+        .agg(sum(col(scoreName)).as("raw"))
+      // max(total, 1): a zero L1 mass means every raw is zero, and 0 div 1
+      // keeps them zero instead of tripping ANSI division-by-zero.
+      val total = math.max(
+        Option(raw.agg(sum(col("raw"))).head().get(0)).fold(0L)(_.asInstanceOf[Long]), 1L)
+      nodes.join(raw, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"coalesce(raw, 0) * $Scale div $total").as(outName))
+        .localCheckpoint()
+    }
+    var hubs = nodes.withColumn("hub_x1m", lit(Scale / n)).localCheckpoint()
+    var auths: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      auths = propagate(hubs, "hub_x1m", "src", "dst", "auth_x1m")
+      hubs = propagate(auths, "auth_x1m", "dst", "src", "hub_x1m")
+      it += 1
+    }
+    hubs.join(auths, "node")
+  }
+
   /** Per-node triangle counts + local clustering coefficient via the
     * degree-ordered orientation (the "node-iterator++" / compact-forward
     * scheme): each undirected edge is directed from its lower-(degree, id)

@@ -3414,6 +3414,75 @@ object ExtensionQueries {
              |FROM sw2 GROUP BY g ORDER BY event_type""".stripMargin)
     ),
 
+    // Multi-source BFS over the q144 link graph: hop distance from the
+    // %100 seed set, capped at 4. The oracle is a genuine recursive CTE —
+    // UNION-deduped (node, dist) pairs whose min replays the BFS layers.
+    QueryDef(
+      "q165_bfs_distance",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 1) % n,
+            (col("doc_id") * 13 + 3) % n,
+            (col("doc_id") * 31 + 5) % n)).as("dst"))
+        Graphs.bfsDistances(edges, "src", "dst",
+          docs.filter(col("doc_id") % 100 === 0), "doc_id", maxHops = 4)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+             |e0 AS (SELECT doc_id AS src,
+             |    unnest([(doc_id * 7 + 1) % n, (doc_id * 13 + 3) % n, (doc_id * 31 + 5) % n]) AS dst
+             |  FROM documents, nn),
+             |e AS (SELECT DISTINCT src, dst FROM e0),
+             |r AS (
+             |  SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 100 = 0
+             |  UNION
+             |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node WHERE r.dist < 4)
+             |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+             |FROM r GROUP BY node ORDER BY node""".stripMargin)
+    ),
+
+    // HITS on the same graph, two rounds, each side L1-normalized ×10^6
+    // with integral division — the oracle unrolls the mutual recursion
+    // CTE by CTE and must land on bit-identical scores.
+    QueryDef(
+      "q166_hits",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 1) % n,
+            (col("doc_id") * 13 + 3) % n,
+            (col("doc_id") * 31 + 5) % n)).as("dst"))
+        Graphs.hits(edges, "src", "dst", iters = 2).orderBy("node")
+      },
+      Some {
+        // One normalized propagation: raw sums over one edge endpoint,
+        // then an L1 renormalization to ×10^6 — mirrors Graphs.propagate.
+        def step(prev: String, rawCte: String, outCte: String,
+            joinOn: String, groupOn: String) =
+          s"""$rawCte AS (SELECT e0.$groupOn AS node, sum($prev.sc) AS raw
+             |  FROM e0 JOIN $prev ON e0.$joinOn = $prev.node GROUP BY e0.$groupOn),
+             |$outCte AS (SELECT d.doc_id AS node,
+             |    coalesce($rawCte.raw, 0) * 1000000 // greatest((SELECT sum(raw) FROM $rawCte), 1) AS sc
+             |  FROM documents d LEFT JOIN $rawCte ON $rawCte.node = d.doc_id)""".stripMargin
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |e0 AS (SELECT doc_id AS src,
+           |    unnest([(doc_id * 7 + 1) % n, (doc_id * 13 + 3) % n, (doc_id * 31 + 5) % n]) AS dst
+           |  FROM documents, nn),
+           |h0 AS (SELECT doc_id AS node, (SELECT 1000000 // n FROM nn) AS sc FROM documents),
+           |${step("h0", "a1r", "a1", "src", "dst")},
+           |${step("a1", "h1r", "h1", "dst", "src")},
+           |${step("h1", "a2r", "a2", "src", "dst")},
+           |${step("a2", "h2r", "h2", "dst", "src")}
+           |SELECT h2.node, CAST(h2.sc AS BIGINT) AS hub_x1m, CAST(a2.sc AS BIGINT) AS auth_x1m
+           |FROM h2 JOIN a2 USING (node) ORDER BY node""".stripMargin
+      }
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

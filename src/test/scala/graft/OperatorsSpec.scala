@@ -1495,6 +1495,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(m == Map(1L -> "v2", 3L -> "v1", 4L -> "back"))
   }
 
+  test("bfs distances: layer-exact, capped, early exit on saturation") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("doc_id")
+    def run(cap: Int) = Graphs.bfsDistances(path, "src", "dst", seeds, "doc_id", cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // cap binds
+    // cap far beyond the diameter: the empty-frontier exit stops the loop
+    assert(run(50) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("hits: star graph concentrates authority, spokes share hub mass") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val out = Graphs.hits(star, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // n=4, h0=250000: a1(9)=10^6, h1(spokes)=333333 each, a2(9)=10^6 again
+    assert(out(9L) == ((0L, 1000000L)))
+    Seq(1L, 2L, 3L).foreach(v => assert(out(v) == ((333333L, 0L))))
+  }
+
   test("scd2 history: intervals chain, tombstones close but add no row") {
     import spark.implicits._
     import graft.engine.DiffEngine
