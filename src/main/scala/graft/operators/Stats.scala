@@ -282,6 +282,36 @@ object Stats {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** Per-group covariance/correlation SUFFICIENT STATISTICS, exactly: n,
+    * Σx, Σy, Σx², Σy², Σxy over integer-scaled inputs, plus the integer
+    * numerators `n·Σxy − Σx·Σy` (covariance ×n²) and `n·Σx² − (Σx)²`
+    * per axis (variance ×n²). Correlation itself needs a square root —
+    * irreducibly float — so the CERTIFICATE stops at the exact integer
+    * numerators (corr² = cov²/(varx·vary) is derivable by any consumer);
+    * this is the same exact-integer-core / float-at-the-edge split as
+    * the sketch certificates.
+    *
+    * All accumulation is DECIMAL(38,0): Σy² on cent-scaled prices
+    * overflows a 64-bit long at ~10⁵ rows per group, long before 100 TB.
+    * Plan: ONE map-side-combined aggregate pass, no joins, no windows. */
+  def covarianceStats(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sum_x"), sum(y).as("sum_y"),
+        sum(x * x).as("sum_xx"), sum(y * y).as("sum_yy"),
+        sum(x * y).as("sum_xy"))
+      .withColumn("cov_num_xnn",
+        col("n").cast("decimal(38,0)") * col("sum_xy") - col("sum_x") * col("sum_y"))
+      .withColumn("var_x_xnn",
+        col("n").cast("decimal(38,0)") * col("sum_xx") - col("sum_x") * col("sum_x"))
+      .withColumn("var_y_xnn",
+        col("n").cast("decimal(38,0)") * col("sum_yy") - col("sum_y") * col("sum_y"))
+  }
+
   /** Exact global percentile thresholds of one integer column, collected to
     * the driver (|percents| longs) — [[groupedQuantiles]]'s rank arithmetic
     * on a single group. The sort is global (exactness requires rank); at

@@ -3483,6 +3483,85 @@ object ExtensionQueries {
       }
     ),
 
+    // Split-leakage audit: q58's hashed-Jaccard near-dup pairs crossed
+    // with q115's deterministic split labels — every surviving pair whose
+    // docs landed in DIFFERENT splits is evaluation leakage. Pure
+    // composition: candidate pairs stay bounded by the q58 block algebra,
+    // the label join is one linear key-hash per side.
+    QueryDef(
+      "q167_split_leakage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val split = Sampling.threeWaySplit(docs, "doc_id", valPct = 10, testPct = 10)
+          .select(col("doc_id"), col("split"))
+        val pairs = Dedup.jaccardPairsHashed(docs, "doc_id", "text",
+          blockExprs = Seq(col("lang"), (col("n_chars") / 50).cast("int")),
+          minJaccardPct = 40)
+        pairs
+          .join(split.select(col("doc_id").as("a_doc_id"), col("split").as("a_split")), "a_doc_id")
+          .join(split.select(col("doc_id").as("b_doc_id"), col("split").as("b_split")), "b_doc_id")
+          .filter(col("a_split") =!= col("b_split"))
+          .select(col("a_doc_id"), col("b_doc_id"), col("a_split"), col("b_split"),
+            col("inter_n"), col("union_n"))
+          .orderBy("a_doc_id", "b_doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars // 50 AS lb,
+             |  list_sort(list_distinct(list_transform(string_split(text, ' '),
+             |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT))) AS ws FROM documents),
+             |d2 AS (SELECT *, CAST(len(ws) AS BIGINT) AS n FROM d),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, a.n AS a_n, b.n AS b_n,
+             |         CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_n
+             |  FROM d2 a JOIN d2 b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+             |   AND least(a.n, b.n) * 100 >= greatest(a.n, b.n) * 40),
+             |sel AS (SELECT a_doc_id, b_doc_id, inter_n, (a_n + b_n - inter_n) AS union_n
+             |        FROM pairs WHERE inter_n * 140 >= (a_n + b_n) * 40),
+             |sp AS (SELECT doc_id,
+             |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |       FROM (SELECT doc_id,
+             |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+             |             FROM documents))
+             |SELECT s.a_doc_id, s.b_doc_id, sa.split AS a_split, sb.split AS b_split,
+             |       s.inter_n, s.union_n
+             |FROM sel s JOIN sp sa ON sa.doc_id = s.a_doc_id
+             |           JOIN sp sb ON sb.doc_id = s.b_doc_id
+             |WHERE sa.split <> sb.split
+             |ORDER BY a_doc_id, b_doc_id""".stripMargin)
+    ),
+
+    // Exact covariance certificate on cent-scaled lineitem quantity vs
+    // price per return flag: decimal(38,0) sufficient statistics and the
+    // integer covariance/variance numerators — Σy² alone overflows int64
+    // at ~10^5 rows/group, so the whole chain runs in decimal and renders
+    // as text at the boundary (q36 recipe).
+    QueryDef(
+      "q168_cov_stats",
+      (s, dir) =>
+        canonOut(Stats.covarianceStats(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q_cents"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("p_cents")),
+          "l_returnflag", "q_cents", "p_cents")
+          .orderBy("l_returnflag")),
+      Some("""WITH b AS (SELECT l_returnflag,
+             |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+             |  FROM lineitem),
+             |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sum_x, sum(CAST(y AS HUGEINT)) AS sum_y,
+             |    sum(CAST(x AS HUGEINT) * x) AS sum_xx, sum(CAST(y AS HUGEINT) * y) AS sum_yy,
+             |    sum(CAST(x AS HUGEINT) * y) AS sum_xy
+             |  FROM b GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |       CAST(sum_x AS VARCHAR) AS sum_x, CAST(sum_y AS VARCHAR) AS sum_y,
+             |       CAST(sum_xx AS VARCHAR) AS sum_xx, CAST(sum_yy AS VARCHAR) AS sum_yy,
+             |       CAST(sum_xy AS VARCHAR) AS sum_xy,
+             |       CAST(n * sum_xy - sum_x * sum_y AS VARCHAR) AS cov_num_xnn,
+             |       CAST(n * sum_xx - sum_x * sum_x AS VARCHAR) AS var_x_xnn,
+             |       CAST(n * sum_yy - sum_y * sum_y AS VARCHAR) AS var_y_xnn
+             |FROM a ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1518,6 +1518,19 @@ class OperatorsSpec extends SparkTestBase {
     Seq(1L, 2L, 3L).foreach(v => assert(out(v) == ((333333L, 0L))))
   }
 
+  test("covariance certificate: exact numerators, perfect correlation closes") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val df = Seq(("g", 2L, 1L), ("g", 4L, 2L), ("g", 6L, 3L)).toDF("grp", "y", "x")
+    val r = Stats.covarianceStats(df, "grp", "x", "y").collect().head
+    def d(i: Int) = r.getDecimal(i).longValueExact()
+    // n=3 Σx=6 Σy=12 Σxx=14 Σyy=56 Σxy=28
+    assert((r.getLong(1), d(2), d(3), d(4), d(5), d(6)) == ((3L, 6L, 12L, 14L, 56L, 28L)))
+    val (cov, vx, vy) = (d(7), d(8), d(9))
+    assert((cov, vx, vy) == ((12L, 6L, 24L)))
+    assert(cov * cov == vx * vy) // y = 2x exactly: corr² = 1 from the integers alone
+  }
+
   test("scd2 history: intervals chain, tombstones close but add no row") {
     import spark.implicits._
     import graft.engine.DiffEngine
