@@ -312,6 +312,44 @@ object Stats {
         col("n").cast("decimal(38,0)") * col("sum_yy") - col("sum_y") * col("sum_y"))
   }
 
+  /** Two-proportion A/B test as an EXACT RATIONAL certificate — no square
+    * root, no division, no float ever: the pooled two-proportion z² is
+    *
+    *   z² = (x_a·n_b − x_b·n_a)² · (n_a+n_b)
+    *        ─────────────────────────────────────────
+    *        n_a·n_b · (x_a+x_b) · (n_a+n_b−x_a−x_b)
+    *
+    * so significance at 95% is the INTEGER comparison
+    * `num·10⁴ ≥ den·38415` (z²_crit = 3.8415) — bit-identical on any
+    * engine with wide-integer arithmetic. DECIMAL(38,0) throughout: the
+    * numerator passes 10¹⁸ around 10⁵ exposures per arm. A degenerate
+    * denominator (all successes or all failures pooled) reports
+    * not-significant.
+    *
+    * Input: one row per exposure with a variant label and a 0/1 success.
+    * ONE conditional-aggregate pass over the exposures — no shuffle wider
+    * than a single combine row. Output one row:
+    * (n_a, x_a, n_b, x_b, z2_num, z2_den, significant_95). */
+  def abTestStats(df: DataFrame, variantCol: String, successCol: String,
+      variantA: String, variantB: String): DataFrame = {
+    val isA = col(variantCol) === variantA
+    val isB = col(variantCol) === variantB
+    def d(c: String) = col(c).cast("decimal(38,0)")
+    df.agg(
+        coalesce(sum(when(isA, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(isA, col(successCol)).otherwise(0L)), lit(0L)).as("x_a"),
+        coalesce(sum(when(isB, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(isB, col(successCol)).otherwise(0L)), lit(0L)).as("x_b"))
+      .withColumn("__d", d("x_a") * d("n_b") - d("x_b") * d("n_a"))
+      .withColumn("z2_num", col("__d") * col("__d") * (d("n_a") + d("n_b")))
+      .withColumn("z2_den",
+        d("n_a") * d("n_b") * (d("x_a") + d("x_b")) * (d("n_a") + d("n_b") - d("x_a") - d("x_b")))
+      .withColumn("significant_95",
+        when(col("z2_den") > 0 && col("z2_num") * 10000 >= col("z2_den") * 38415, 1L)
+          .otherwise(0L))
+      .drop("__d")
+  }
+
   /** Exact global percentile thresholds of one integer column, collected to
     * the driver (|percents| longs) — [[groupedQuantiles]]'s rank arithmetic
     * on a single group. The sort is global (exactness requires rank); at

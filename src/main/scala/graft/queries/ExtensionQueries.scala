@@ -3562,6 +3562,79 @@ object ExtensionQueries {
              |FROM a ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // Data-contract audit over orders: four row-level expectations in one
+    // scan (domain, positivity, a cap that really fails, a format regex),
+    // plus a referential rule against customer and a key-uniqueness rule —
+    // the great-expectations-style promote gate as one report.
+    QueryDef(
+      "q169_dq_audit",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val rowRules = DataQuality.audit(orders, Seq(
+          "r1_status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "r2_price_positive" -> (col("o_totalprice") > 0),
+          "r3_price_cap" -> (col("o_totalprice") <= 250000),
+          "r4_priority_format" -> col("o_orderpriority").rlike("^[1-5]-")))
+        val refRule = DataQuality.refIntegrityRow("r5_custkey_ref",
+          orders, "o_custkey", t(s, dir, "customer"), "c_custkey")
+        val uniqRule = DataQuality.uniqueRow("r6_key_unique", orders, "o_orderkey")
+        rowRules.unionByName(refRule).unionByName(uniqRule).orderBy("rule_id")
+      },
+      Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+             |    CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+             |    CAST(sum(CASE WHEN o_totalprice <= 250000 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+             |    CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS v4
+             |  FROM orders),
+             |ref AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+             |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |    ON o.o_custkey = c.c_custkey),
+             |u AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v FROM orders),
+             |rep AS (
+             |  SELECT 'r1_status_domain' AS rule_id, n AS n_rows, v1 AS n_violations FROM a
+             |  UNION ALL SELECT 'r2_price_positive', n, v2 FROM a
+             |  UNION ALL SELECT 'r3_price_cap', n, v3 FROM a
+             |  UNION ALL SELECT 'r4_priority_format', n, v4 FROM a
+             |  UNION ALL SELECT 'r5_custkey_ref', n, v FROM ref
+             |  UNION ALL SELECT 'r6_key_unique', n, v FROM u)
+             |SELECT rule_id, n_rows, n_violations,
+             |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+             |FROM rep ORDER BY rule_id""".stripMargin)
+    ),
+
+    // Exact two-proportion A/B certificate: event-level exposures split
+    // by event_id parity, success = purchase. z² kept as an integer
+    // rational (num, den) and the 95% verdict is the division-free
+    // compare num·10⁴ ≥ den·38415 — replayed in HUGEINT by the oracle.
+    QueryDef(
+      "q170_ab_test",
+      (s, dir) =>
+        canonOut(Stats.abTestStats(
+          events(s, dir).select(
+            when(col("event_id") % 2 === 0, "A").otherwise("B").as("variant"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("ok")),
+          "variant", "ok", "A", "B")),
+      Some("""WITH s AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok FROM events),
+             |a AS (SELECT
+             |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN variant = 'A' THEN ok ELSE 0 END) AS BIGINT) AS x_a,
+             |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(sum(CASE WHEN variant = 'B' THEN ok ELSE 0 END) AS BIGINT) AS x_b
+             |  FROM s),
+             |c AS (SELECT *, (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a) AS dd,
+             |    CAST(n_a AS HUGEINT) * n_b * (x_a + x_b) * (CAST(n_a AS HUGEINT) + n_b - x_a - x_b) AS den
+             |  FROM a)
+             |SELECT n_a, x_a, n_b, x_b,
+             |       CAST(dd * dd * (n_a + n_b) AS VARCHAR) AS z2_num,
+             |       CAST(den AS VARCHAR) AS z2_den,
+             |       CAST(CASE WHEN den > 0 AND dd * dd * (n_a + n_b) * 10000 >= den * 38415
+             |            THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+             |FROM c""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1518,6 +1518,41 @@ class OperatorsSpec extends SparkTestBase {
     Seq(1L, 2L, 3L).foreach(v => assert(out(v) == ((333333L, 0L))))
   }
 
+  test("dq audit: null predicate violates, ref and unique rules count exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DataQuality
+    val child = Seq((1L, Some(10L)), (2L, Some(99L)), (2L, None)).toDF("k", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val rows = DataQuality.audit(child, Seq(
+      "a_fk_present" -> col("fk").isNotNull,     // 1 violation
+      "b_fk_small" -> (col("fk") < 50)))         // 99 fails, NULL fails too → 2
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map(
+      "a_fk_present" -> ((3L, 1L, 0L)),
+      "b_fk_small" -> ((3L, 2L, 0L))))
+    val ref = DataQuality.refIntegrityRow("r", child, "fk", parent, "pk").collect().head
+    assert((ref.getLong(1), ref.getLong(2), ref.getLong(3)) == ((3L, 2L, 0L))) // 99 + NULL orphan
+    val uq = DataQuality.uniqueRow("u", child, "k").collect().head
+    assert((uq.getLong(1), uq.getLong(2), uq.getLong(3)) == ((3L, 1L, 0L))) // k=2 twice
+  }
+
+  test("ab test certificate: textbook z2 lands significant, degenerate never") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val exp = (Seq.fill(50)(("A", 1L)) ++ Seq.fill(50)(("A", 0L)) ++
+      Seq.fill(20)(("B", 1L)) ++ Seq.fill(80)(("B", 0L))).toDF("v", "ok")
+    val r = Stats.abTestStats(exp, "v", "ok", "A", "B").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((100L, 50L, 100L, 20L)))
+    // dd = 50·100 − 20·100 = 3000 → num = 9·10⁶·200, den = 100·100·70·130
+    assert(r.getDecimal(4).longValueExact() == 1800000000L)
+    assert(r.getDecimal(5).longValueExact() == 91000000L)
+    assert(r.getLong(6) == 1L) // z² ≈ 19.8 ≫ 3.8415
+    // every exposure succeeds → pooled failure count 0 → den = 0 → not significant
+    val degen = Seq(("A", 1L), ("B", 1L)).toDF("v", "ok")
+    assert(Stats.abTestStats(degen, "v", "ok", "A", "B").collect().head.getLong(6) == 0L)
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
