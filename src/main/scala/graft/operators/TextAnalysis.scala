@@ -836,6 +836,35 @@ object TextAnalysis {
     * floors — they differ on negatives) see a non-negative numerator.
     * Empty documents produce no chunks. Pure per-row generate — no
     * shuffle. */
+  /** Parse web-server access-log lines (Common/Combined Log Format) into
+    * typed columns — the structured-extraction head of any log-analytics
+    * ingest. ONE regex evaluated per row, fused into the scan by codegen
+    * (`regexp_extract` is a native expression — no UDF); a line that
+    * doesn't match the grammar yields `parsed = 0` with NULL fields,
+    * never a task failure, so a corrupt shard degrades to a counted
+    * quarantine instead of killing the job. CLF's `-` bytes sentinel
+    * (no body) maps to 0. Output adds
+    * (ip, http_method, url_path, status, resp_bytes, parsed).
+    *
+    * Scale: stateless per-row projection — no shuffle, embarrassingly
+    * parallel, and column pruning drops the raw line immediately after
+    * the extract when downstream only keeps the typed fields. */
+  def parseAccessLog(df: DataFrame, lineCol: String): DataFrame = {
+    val re = """^(\S+) (\S+) (\S+) \[([^\]]+)\] "([A-Z]+) (\S+)[^"]*" (\d{3}) (\d+|-)"""
+    def grp(i: Int) = regexp_extract(col(lineCol), re, i)
+    val statusS = grp(7)
+    df.withColumn("ip", when(grp(1) === "", lit(null)).otherwise(grp(1)))
+      .withColumn("http_method", when(grp(5) === "", lit(null)).otherwise(grp(5)))
+      .withColumn("url_path", when(grp(6) === "", lit(null)).otherwise(grp(6)))
+      .withColumn("status",
+        when(statusS === "", lit(null)).otherwise(statusS).cast("long"))
+      .withColumn("resp_bytes",
+        when(statusS === "", lit(null))
+          .when(grp(8) === "-", 0L)
+          .otherwise(grp(8).cast("long")))
+      .withColumn("parsed", when(statusS === "", 0L).otherwise(1L))
+  }
+
   def chunkText(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int = 0): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")

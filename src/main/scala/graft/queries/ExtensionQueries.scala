@@ -3635,6 +3635,67 @@ object ExtensionQueries {
              |FROM c""".stripMargin)
     ),
 
+    // 2-D Pareto skyline over part (cheapest price, biggest size): the
+    // bucket-staircase pruned plan against DuckDB's brute NOT EXISTS
+    // dominance — an O(n) pruned sweep checked by the O(n²) definition.
+    QueryDef(
+      "q171_skyline",
+      (s, dir) => {
+        val p = t(s, dir, "part").select(
+          col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+          col("p_size").cast("long").as("psize"))
+        orderedOut(Pareto.skyline2D(p, "price_cents", "psize", 1000L),
+          "price_cents", "psize", "p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+             |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             |    CAST(p_size AS BIGINT) AS psize FROM part)
+             |SELECT p_partkey, price_cents, psize FROM p s
+             |WHERE NOT EXISTS (SELECT 1 FROM p q
+             |  WHERE q.price_cents <= s.price_cents AND q.psize >= s.psize
+             |    AND (q.price_cents < s.price_cents OR q.psize > s.psize))
+             |ORDER BY price_cents, psize, p_partkey""".stripMargin)
+    ),
+
+    // Structured log extraction: events are rendered as Common-Log-Format
+    // lines (every 17th corrupted), the REAL regex parser recovers the
+    // typed fields, and the oracle aggregates the planted values directly
+    // — the parse is verified against the generator, not against itself.
+    QueryDef(
+      "q172_access_log",
+      (s, dir) => {
+        val e = events(s, dir)
+        val ip = concat_ws(".", lit("10"),
+          (col("user_id") % 256).cast("string"),
+          (col("user_id") % 17).cast("string"),
+          (col("event_id") % 256).cast("string"))
+        val method = when(col("event_type") === "purchase", "POST").otherwise("GET")
+        val status = ((col("event_id") % 4) * 100 + 200).cast("string")
+        val bytes = when(col("event_id") % 13 === 0, lit("-"))
+          .otherwise((col("event_id") % 10000).cast("string"))
+        val good = concat(ip, lit(" - u"), col("user_id").cast("string"),
+          lit(" [01/Jan/2026:00:00:00 +0000] \""), method, lit(" /"),
+          col("event_type"), lit(" HTTP/1.1\" "), status, lit(" "), bytes)
+        val line = when(col("event_id") % 17 === 0,
+          concat(lit("corrupt "), col("event_type"))).otherwise(good)
+        TextAnalysis.parseAccessLog(e.select(line.as("line")), "line")
+          .filter(col("parsed") === 1)
+          .groupBy("http_method", "status")
+          .agg(count(lit(1)).as("n"), sum("resp_bytes").as("bytes"))
+          .orderBy("http_method", "status")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type FROM events WHERE event_id % 17 <> 0),
+             |s AS (SELECT CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END AS http_method,
+             |    CAST((event_id % 4) * 100 + 200 AS BIGINT) AS status,
+             |    CASE WHEN event_id % 13 = 0 THEN 0 ELSE event_id % 10000 END AS resp_bytes
+             |  FROM e)
+             |SELECT http_method, status, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(resp_bytes) AS BIGINT) AS bytes
+             |FROM s GROUP BY http_method, status
+             |ORDER BY http_method, status""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

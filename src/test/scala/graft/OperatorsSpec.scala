@@ -1553,6 +1553,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(Stats.abTestStats(degen, "v", "ok", "A", "B").collect().head.getLong(6) == 0L)
   }
 
+  test("skyline: strict dominance, twins survive, staircase pruning is lossless") {
+    import spark.implicits._
+    import graft.operators.Pareto
+    // frontier: (1,5) (3,7); dominated: (2,5) by (1,5), (3,6) by (3,7),
+    // (9,7) by (3,7) cross-bucket with width 2; twins (4,9)x2 both stay
+    val rows = Seq((1L, 1L, 5L), (2L, 2L, 5L), (3L, 3L, 7L), (4L, 3L, 6L),
+      (5L, 9L, 7L), (6L, 4L, 9L), (7L, 4L, 9L)).toDF("id", "cost", "good")
+    def run(width: Long) =
+      Pareto.skyline2D(rows, "cost", "good", width)
+        .select("id").as[Long].collect().sorted.toSeq
+    val expected = Seq(1L, 3L, 6L, 7L)
+    // every bucketing must give the same frontier (pruning is only a plan
+    // optimization): width 1 (fine buckets), 2, and 100 (single bucket =
+    // no pruning at all)
+    Seq(1L, 2L, 100L).foreach(w => assert(run(w) == expected, s"width $w"))
+  }
+
+  test("access log parse: typed fields recovered, malformed counted not thrown") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val lines = Seq(
+      """10.0.0.1 - alice [01/Jan/2026:00:00:00 +0000] "GET /index.html HTTP/1.1" 200 1234""",
+      """10.0.0.2 - bob [02/Jan/2026:10:30:00 +0000] "POST /api/v1 HTTP/1.1" 503 -""",
+      "not a log line at all",
+      "").toDF("line")
+    val out = TextAnalysis.parseAccessLog(lines, "line")
+      .select("ip", "http_method", "url_path", "status", "resp_bytes", "parsed")
+      .collect()
+    assert(out(0).toSeq == Seq("10.0.0.1", "GET", "/index.html", 200L, 1234L, 1L))
+    assert(out(1).toSeq == Seq("10.0.0.2", "POST", "/api/v1", 503L, 0L, 1L))
+    assert(out(2).toSeq == Seq(null, null, null, null, null, 0L))
+    assert(out(3).toSeq == Seq(null, null, null, null, null, 0L))
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
