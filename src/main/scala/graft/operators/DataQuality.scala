@@ -55,6 +55,22 @@ object DataQuality {
       .select(lit(ruleId).as("rule_id"), col("n_rows"), col("n_violations")))
   }
 
+  /** Functional-dependency audit A→B: a schema-inference profiling probe —
+    * violations = Σ over distinct A of (distinct B under that A − 1), zero
+    * iff A determines B. One two-key aggregate then a one-key aggregate —
+    * both map-side combined, shuffles carry only (A, B) / (A, nB) pairs.
+    * NULL A groups with NULL A (a null LHS still constrains its B set),
+    * and a NULL B counts as a value via the `<NULL>` sentinel (A → {null,
+    * 5} IS a violation — countDistinct alone would miss it).
+    * Output one row: (rule_id, n_lhs, n_violations, holds). */
+  def fdViolations(ruleId: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df.groupBy(col(lhs).as("__a"))
+      .agg(countDistinct(coalesce(col(rhs).cast("string"), lit("<NULL>"))).as("__nb"))
+      .agg(count(lit(1)).as("n_lhs"),
+        coalesce(sum(col("__nb") - 1), lit(0L)).as("n_violations"))
+      .select(lit(ruleId).as("rule_id"), col("n_lhs"), col("n_violations"),
+        when(col("n_violations") === 0, 1L).otherwise(0L).as("holds"))
+
   /** Uniqueness expectation: violations = n_rows − n_distinct(key) —
     * zero iff the column is a key. One exact distinct aggregate (the
     * cost of certainty; see DiffEngine.inferKeys for the sketch-first

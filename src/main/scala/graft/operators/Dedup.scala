@@ -927,4 +927,30 @@ object Dedup {
         array_join(expr("transform(array_sort(collect_list(struct(span_pos, span))), x -> x.span)"), " ")
           .as("clean_text"))
   }
+
+  /** Temporal-locality dedup: mark each row a rapid repeat iff the SAME
+    * key fired within the previous `minGap` time units — the telemetry
+    * debounce (double-clicks, retry storms, at-least-once re-deliveries)
+    * that exact content dedup can't express because the payload is
+    * legitimately identical and legitimately recurring, just not THIS
+    * fast. The first row of a key always survives; gap comparison is
+    * strict (`gap < minGap` drops). One lag window per key — a single
+    * hash shuffle, rows stream through in time order per key.
+    *
+    * NOTE the gap is measured to the previous RAW event, not the previous
+    * KEPT one (window semantics, engine-portable, one pass); a debounce
+    * relative to kept events is inherently sequential state — that
+    * variant lives in the streaming ops. Adds `is_repeat` (0/1). */
+  def flagRapidRepeats(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      minGap: Long): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(minGap > 0, "minGap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+    df.withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .withColumn("is_repeat",
+        when(col("__prev").isNotNull &&
+          col(timeCol) - col("__prev") < minGap, 1L).otherwise(0L))
+      .drop("__prev")
+  }
 }

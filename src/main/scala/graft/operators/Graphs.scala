@@ -216,4 +216,35 @@ object Graphs {
           expr("triangles * 2000000 div (degree * (degree - 1))"))
           .otherwise(lit(0L)))
   }
+
+  /** Every node's root and depth in a forest, by POINTER DOUBLING: each
+    * round replaces every node's ancestor pointer with its ancestor's
+    * ancestor and adds the two path lengths, so the known-ancestor
+    * distance DOUBLES per round — a depth-d forest converges in ⌈log₂ d⌉
+    * self-joins, where [[bfsDistances]]-style level walking would take d
+    * shuffles (the difference between 7 rounds and 100 for a deep
+    * hierarchy at corpus scale). Roots are rows with NULL parent; their
+    * pointer is a depth-0 self-loop, the fold's fixed point, so converged
+    * chains pass through later rounds unchanged and `iters` only needs
+    * `2^iters ≥ max depth` — overshooting is idempotent, not wrong.
+    * Every round is ONE hash self-join on the pointer plus a
+    * `localCheckpoint` to stop the doubled lineage itself growing
+    * exponentially. Output: (node, root, depth). */
+  def treeRootsByDoubling(nodes: DataFrame, nodeCol: String, parentCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 40, "iters: 2^iters must cover max depth")
+    var cur = nodes.select(col(nodeCol).cast("long").as("node"),
+        coalesce(col(parentCol).cast("long"), col(nodeCol).cast("long")).as("anc"),
+        when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"))
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      val b = cur.select(col("node").as("__bn"), col("anc").as("__ba"),
+        col("depth").as("__bd"))
+      cur = cur.join(b, col("anc") === col("__bn"))
+        .select(col("node"), col("__ba").as("anc"),
+          (col("depth") + col("__bd")).as("depth"))
+      if (i % 3 == 0 || i == iters) cur = cur.localCheckpoint()
+    }
+    cur.select(col("node"), col("anc").as("root"), col("depth"))
+  }
 }

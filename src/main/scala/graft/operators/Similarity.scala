@@ -664,4 +664,58 @@ object Similarity {
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
   }
+
+  /** All-pairs sparse cosine similarity over term-frequency vectors via an
+    * inverted index — the text-side sibling of the dense-embedding ANN
+    * family: docs sharing no term never meet, so the join cost is the
+    * postings lists, not |docs|².
+    *
+    * Semantics are defined on the df-capped vocabulary: terms appearing in
+    * more than `dfCap` documents are dropped BEFORE dots and norms (the
+    * A-Priori cut q152 uses — a stopword shared by half the corpus carries
+    * no similarity signal but would contribute |corpus|²/4 join pairs).
+    * Similarity is integer-exact throughout: a pair passes iff
+    * dot² · 10⁴ ≥ thresholdE4 · ‖a‖² · ‖b‖² (cross-multiplied cosine², no
+    * sqrt, no division), and the reported score is the floored fixed-point
+    * `cos2_e4`. DECIMAL(38,0) arithmetic keeps ANSI mode overflow-free.
+    *
+    * Scale: per-term pair blast is ≤ dfCap², so one term shuffles at most
+    * dfCap postings and the pairs stage is Σ df(t)² bounded — pick dfCap
+    * like a block-size cap, thousands at corpus scale. Three hash shuffles
+    * total (tf, postings self-join, pair-sum); norms broadcast-join back
+    * when small or shuffle-join by id when not — Catalyst sizes it. */
+  def sparseCosinePairs(terms: DataFrame, idCol: String, termCol: String,
+      tfCol: String, thresholdE4: Long, dfCap: Long): DataFrame = {
+    require(thresholdE4 >= 0 && thresholdE4 <= 10000, "thresholdE4 is cos²×10⁴")
+    require(dfCap > 0, "dfCap bounds the per-term pair blast")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    // precondition: one row per (id, term) — i.e. `terms` is already the
+    // aggregated tf frame, so count-per-term IS document frequency
+    val kept = terms
+      .withColumn("__df", termDf(col(termCol)))
+      .filter(col("__df") <= dfCap).drop("__df")
+    val norms = kept.groupBy(col(idCol).as("__nid"))
+      .agg(sum(d(col(tfCol)) * d(col(tfCol))).as("__nsq"))
+    val a = kept.select(col(idCol).as("id1"), col(termCol).as("__t"),
+      col(tfCol).as("__tf1"))
+    val b = kept.select(col(idCol).as("id2"), col(termCol).as("__t"),
+      col(tfCol).as("__tf2"))
+    val dots = a.join(b, Seq("__t")).filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(sum(d(col("__tf1")) * d(col("__tf2"))).as("dot"))
+    dots
+      .join(norms.withColumnRenamed("__nid", "id1").withColumnRenamed("__nsq", "norm1_sq"), "id1")
+      .join(norms.withColumnRenamed("__nid", "id2").withColumnRenamed("__nsq", "norm2_sq"), "id2")
+      .filter(col("dot") * col("dot") * 10000 >= lit(thresholdE4) * col("norm1_sq") * col("norm2_sq"))
+      .withColumn("cos2_e4",
+        floor(col("dot") * col("dot") * 10000 / (col("norm1_sq") * col("norm2_sq"))).cast("long"))
+      .select(col("id1"), col("id2"), col("dot").cast("long").as("dot"),
+        col("norm1_sq").cast("long").as("norm1_sq"),
+        col("norm2_sq").cast("long").as("norm2_sq"), col("cos2_e4"))
+  }
+
+  /** Document frequency of each term as a window count — one shuffle on
+    * term, the same key the postings join shuffles on anyway. */
+  private def termDf(term: Column): Column =
+    count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(term))
 }

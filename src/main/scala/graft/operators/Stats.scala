@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -348,6 +348,80 @@ object Stats {
         when(col("z2_den") > 0 && col("z2_num") * 10000 >= col("z2_den") * 38415, 1L)
           .otherwise(0L))
       .drop("__d")
+  }
+
+  /** Per-entity inter-arrival (gap) statistics — the burstiness census bot
+    * detection and rate-limit tuning read: a crawler hammering a host has
+    * tiny, regular gaps; a human has large, high-variance ones. One lag
+    * window per entity (single hash shuffle, rows stream through), then
+    * the exact integer moment pass: variance is kept as the
+    * cross-multiplied numerator `n·Σg² − (Σg)²` in DECIMAL(38,0) — no
+    * division, no floats, engine-exact (the [[covarianceStats]]
+    * certificate algebra on one variable). Entities with fewer than
+    * `minEvents` arrivals carry no gap signal and are dropped. Output:
+    * (entity, n_gaps, sum_gap, max_gap, var_num). */
+  def interArrivalStats(df: DataFrame, entityCol: String, timeCol: String,
+      minEvents: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("entity")).orderBy(col("__t"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    df.select(col(entityCol).as("entity"), col(timeCol).cast("long").as("__t"))
+      .withColumn("__gap", col("__t") - lag("__t", 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n_gaps"), sum("__gap").as("sum_gap"),
+        max("__gap").as("max_gap"),
+        (count(lit(1)).cast("decimal(38,0)") * sum(d(col("__gap")) * d(col("__gap"))) -
+          d(sum("__gap")) * d(sum("__gap"))).as("var_num"))
+      .filter(col("n_gaps") >= minEvents - 1)
+  }
+
+  /** Exact per-group weighted median: the smallest value whose cumulative
+    * weight reaches half the group total — `2·cumw ≥ W` kept as an integer
+    * cross-multiplication (no halving, no floats). The robust center for
+    * weighted corpora (doc quality weighted by token count, latency
+    * weighted by request volume) where the plain median over-counts
+    * featherweight rows. One window sort per group, like
+    * [[groupedQuantiles]] — rank information is the cost of exactness;
+    * groups parallelize. Output: (group, total_weight, wmedian). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("__v"), col(weightCol).cast("long").as("__w"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    base
+      // range frame: equal values share one cumulative weight, so ties
+      // can't make the qualifying set depend on an arbitrary row order
+      .withColumn("__cum", sum("__w").over(wCum))
+      .withColumn("__tot", sum("__w").over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy("grp")
+      .agg(max("__tot").as("total_weight"), min("__v").as("wmedian"))
+  }
+
+  /** Seasonal-slot residual census: per slot (hour-of-day, weekday …) the
+    * exact count/sum plus how many rows sit farther than `threshold` from
+    * their OWN slot's mean — |v·n − Σ| > θ·n cross-multiplied, so the mean
+    * is never materialized as a float. The calendar-aware anomaly screen
+    * that a flat [[madOutliers]] cut gets wrong (3 a.m. traffic isn't an
+    * outlier at 3 a.m.). One aggregate pass + a broadcast-sized slot-stats
+    * join back (|slots| rows). Output per slot:
+    * (slot, n, sum_value, n_outliers). */
+  def slotResidualOutliers(df: DataFrame, slotCol: String, valueCol: String,
+      threshold: Long): DataFrame = {
+    require(threshold >= 0, "threshold is an absolute value-units bound")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.select(col(slotCol).cast("long").as("slot"),
+      col(valueCol).cast("long").as("__v"))
+    val slots = rows.groupBy("slot")
+      .agg(count(lit(1)).as("n"), sum("__v").as("sum_value"))
+    rows.join(broadcast(slots), "slot")
+      .groupBy("slot")
+      .agg(max("n").as("n"), max("sum_value").as("sum_value"),
+        sum(when(
+          abs(d(col("__v")) * d(col("n")) - d(col("sum_value"))) >
+            d(lit(threshold)) * d(col("n")), 1L).otherwise(0L)).as("n_outliers"))
   }
 
   /** Exact global percentile thresholds of one integer column, collected to

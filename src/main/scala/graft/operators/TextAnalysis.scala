@@ -243,6 +243,56 @@ object TextAnalysis {
     (10 - sum % 10) % 10
   }
 
+  /** IBAN candidate pattern: 2 country letters, 2 check digits, 11–30
+    * alphanumerics (the ISO 13616 length envelope), on word boundaries. */
+  private val IbanCandPat = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+  /** ISO 13616 mod-97 validity of one candidate string, as a pure
+    * higher-order-function expression (codegen-friendly, no UDF): move the
+    * first four chars to the end, expand letters to two digits (A=10 …
+    * Z=35), then fold `(acc·10 + digit) mod 97` left-to-right — the
+    * standard incremental remainder, so the 30+-digit number never
+    * materializes. Valid iff the remainder is 1. */
+  private def ibanValidExpr(cand: String): String = {
+    val digits = s"""concat_ws('', transform(
+       |  filter(split(concat(substring($cand, 5), substring($cand, 1, 4)), ''), ch -> ch <> ''),
+       |  ch -> CASE WHEN ch >= '0' AND ch <= '9' THEN ch
+       |             ELSE cast(ascii(ch) - 55 AS string) END))""".stripMargin
+    s"""aggregate(filter(split($digits, ''), d -> d <> ''),
+       |  cast(0 AS bigint), (acc, d) -> (acc * 10 + (ascii(d) - 48)) % 97) = 1""".stripMargin
+  }
+
+  /** (candidate count, mod-97-valid count) of IBANs in `textCol` — the
+    * bank-account sibling of [[cardCounts]]: candidates gate redaction,
+    * the checksum separates real leaks from random uppercase noise. One
+    * `regexp_extract_all` + per-candidate integer fold, fused into the
+    * scan. */
+  def ibanCounts(textCol: String): (Column, Column) = {
+    // SQL string literals eat one level of backslash — double them so the
+    // regex engine sees \b, not a backspace char (the Column-API redaction
+    // below takes the pattern raw)
+    val sqlPat = IbanCandPat.replace("\\", "\\\\")
+    val cands = s"regexp_extract_all($textCol, '$sqlPat', 0)"
+    (size(expr(cands)).cast("long"),
+      size(expr(s"filter($cands, c -> ${ibanValidExpr("c")})")).cast("long"))
+  }
+
+  /** Conservative IBAN redaction: every candidate (valid or not) becomes
+    * `<IBAN>` — same quarantine contract as [[redactCards]]. */
+  def redactIbans(textCol: String): Column =
+    regexp_replace(col(textCol), IbanCandPat, "<IBAN>")
+
+  /** Driver/test helper: the two check digits making `country + cc + bban`
+    * pass mod-97 (ISO 13616 generation: remainder of BBAN + country + "00",
+    * check = 98 − r). */
+  def ibanCheckDigits(country: String, bban: String): Int = {
+    def expand(s: String): String = s.flatMap { c =>
+      if (c.isDigit) c.toString else (c - 'A' + 10).toString
+    }
+    val r = expand(bban + country + "00").foldLeft(0L)((acc, d) => (acc * 10 + (d - '0')) % 97)
+    (98 - r).toInt
+  }
+
   /** Word n-gram repetition score in [0, 100]: the percentage of n-grams
     * that are repeats of an earlier one — the Gopher/C4-style signal that
     * flags boilerplate and generation loops. Integer output

@@ -3696,6 +3696,527 @@ object ExtensionQueries {
              |ORDER BY http_method, status""".stripMargin)
     ),
 
+    // All-pairs sparse cosine over tf vectors via inverted index: the
+    // A-Priori df cap bounds the per-term pair blast, the threshold is the
+    // division-free cross-multiplied cos², and DuckDB replays the exact
+    // integer algebra on the same tokenization.
+    QueryDef(
+      "q173_sparse_cosine",
+      (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.tokens("text")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        orderedOut(
+          Similarity.sparseCosinePairs(tf, "doc_id", "term", "tf",
+            thresholdE4 = 2500L, dfCap = 25L),
+          "id1", "id2")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+             |keep AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= 25),
+             |f AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+             |n AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nsq FROM f GROUP BY 1),
+             |d AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+             |  FROM f a JOIN f b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id1, id2, dot, n1.nsq AS norm1_sq, n2.nsq AS norm2_sq,
+             |       CAST(dot * dot * 10000 // (n1.nsq * n2.nsq) AS BIGINT) AS cos2_e4
+             |FROM d JOIN n n1 ON d.id1 = n1.doc_id JOIN n n2 ON d.id2 = n2.doc_id
+             |WHERE dot * dot * 10000 >= 2500 * n1.nsq * n2.nsq
+             |ORDER BY id1, id2""".stripMargin)
+    ),
+
+    // Per-group top-k WITHOUT sorting the corpus: bounded-heap partial
+    // selection per map task, exact window rank over the k·groups·tasks
+    // survivors — vs DuckDB's full row_number definition.
+    QueryDef(
+      "q174_grouped_topk",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        orderedOut(
+          TopK.topKPerGroup(li, "l_returnflag", "line_id", "price_cents", 5),
+          "grp", "rank")
+      },
+      Some("""WITH x AS (SELECT l_returnflag AS grp,
+             |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS value FROM lineitem),
+             |r AS (SELECT grp, id, value,
+             |    CAST(row_number() OVER (PARTITION BY grp ORDER BY value DESC, id) AS BIGINT) AS rank
+             |  FROM x)
+             |SELECT grp, id, value, rank FROM r WHERE rank <= 5
+             |ORDER BY grp, rank""".stripMargin)
+    ),
+
+    // Last-touch attribution: each purchase credits the user's most recent
+    // click/view before it — the as-of composition (one shuffle, no range
+    // blow-up) aggregated to channel revenue; event_id is the tie-free
+    // time axis. Oracle: DuckDB's native ASOF JOIN.
+    QueryDef(
+      "q175_attribution",
+      (s, dir) => {
+        val e = events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val touches = e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id").as("t_user"), col("event_id").as("tid"),
+            col("event_type").as("channel"))
+        AsofJoin.asofJoin(
+          purchases, "user_id", "pid",
+          touches, "t_user", "tid",
+          payload = Seq("channel"))
+          .groupBy(coalesce(col("asof_channel"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+          .orderBy("channel")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id AS pid, CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, event_id AS tid, event_type AS channel
+             |  FROM events WHERE event_type IN ('click', 'view'))
+             |SELECT coalesce(t.channel, 'none') AS channel,
+             |       CAST(count(*) AS BIGINT) AS n_purchases,
+             |       CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+             |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.pid >= t.tid
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // IBAN PII census: mod-97 checksum as a pure HOF fold separates real
+    // account numbers from uppercase noise; validity is planted per doc_id
+    // parity at generation (the q141 pattern), so the oracle checks the
+    // REAL ISO 13616 arithmetic against ground truth.
+    QueryDef(
+      "q176_iban_pii",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        val planted = docs.map { case (id, text) =>
+          val bban = f"${id % 1000000000L}%018d"
+          val check = TextAnalysis.ibanCheckDigits("DE", bban)
+          val cc = if (id % 2 == 0) check else (if (check == 98) 2 else check + 1)
+          (id, f"$text iban DE$cc%02d$bban ok")
+        }.toDF("doc_id", "text")
+        val (nCand, nValid) = TextAnalysis.ibanCounts("text")
+        planted
+          .select(col("doc_id"), nCand.as("n_candidates"), nValid.as("n_valid"),
+            length(TextAnalysis.redactIbans("text")).cast("long").as("redacted_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(1 AS BIGINT) AS n_candidates,
+             |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_valid,
+             |       CAST(length(text) + length(' iban <IBAN> ok') AS BIGINT) AS redacted_len
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Semi-structured extraction: the REAL JSON path parser
+    // (get_json_object, codegen'd) against DuckDB's independent JSON
+    // engine — two different parsers must agree on the same payloads.
+    QueryDef(
+      "q177_json_props",
+      (s, dir) => {
+        events(s, dir)
+          .select((col("user_id") % 10).as("cohort"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .filter(col("k").isNotNull)
+          .groupBy("cohort")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+          .orderBy("cohort")
+      },
+      Some("""SELECT user_id % 10 AS cohort, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+             |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // PIVOT (long→wide crosstab): explicit value list keeps it one pass —
+    // Spark's pivot without values runs a distinct job first, and an
+    // unbounded value domain would explode the schema at corpus scale.
+    QueryDef(
+      "q178_pivot",
+      (s, dir) => {
+        val wide = events(s, dir)
+          .groupBy((col("user_id") % 10).as("cohort"))
+          .pivot("event_type", Seq("click", "view", "purchase", "error"))
+          .count()
+        wide.select(col("cohort") +:
+          Seq("click", "view", "purchase", "error").map(c =>
+            coalesce(col(c), lit(0L)).as(c)): _*)
+          .orderBy("cohort")
+      },
+      Some("""SELECT user_id % 10 AS cohort,
+             |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view",
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // CUBE with explicit grouping flags: all four aggregation lattices in
+    // one pass (Spark expands the grouping sets before the shuffle — one
+    // exchange, not four scans); labels coalesce to 'ALL' and the flag
+    // pair is computed explicitly so engines' grouping_id bit orders
+    // can't disagree.
+    QueryDef(
+      "q179_cube",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+            (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+              .cast("long").as("gid"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+            col("gid"), col("n"), col("sum_qty"))
+          .orderBy("gid", "rflag", "lstatus")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             |       coalesce(l_linestatus, 'ALL') AS lstatus,
+             |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, rflag, lstatus""".stripMargin)
+    ),
+
+    // Inter-arrival burstiness census: per-user gap moments with the
+    // variance numerator kept as an exact cross-multiplied integer — the
+    // bot-vs-human cadence signal over the event stream.
+    QueryDef(
+      "q180_burstiness",
+      (s, dir) => {
+        // raw nanos div 1000, NOT the events() timestamp reconstruction:
+        // that helper's double division is lossy at 1.7e18 ns and the low
+        // digits are exactly what gap moments aggregate
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val e = t(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("eus"))
+        canonOut(Stats.interArrivalStats(e, "user_id", "eus", minEvents = 3))
+          .orderBy("entity")
+      },
+      // micros axis is tie-free in this corpus, so the lag order is total
+      // on both engines; DuckDB's ns reader already truncates to micros
+      Some("""WITH g AS (SELECT user_id AS entity,
+             |    epoch_us(ts) - lag(epoch_us(ts))
+             |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+             |  FROM events),
+             |a AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    CAST(sum(gap) AS BIGINT) AS sum_gap, CAST(max(gap) AS BIGINT) AS max_gap,
+             |    CAST(count(*) AS HUGEINT) * sum(CAST(gap AS HUGEINT) * gap)
+             |      - CAST(sum(gap) AS HUGEINT) * sum(gap) AS var_num
+             |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT entity, n_gaps, sum_gap, max_gap, CAST(var_num AS VARCHAR) AS var_num
+             |FROM a WHERE n_gaps >= 2 ORDER BY entity""".stripMargin)
+    ),
+
+    // Spatial proximity pairs: grid-cell neighborhood join (each point
+    // meets only its 3×3 cells — ONE shuffle, never O(n²)) against
+    // DuckDB's brute-force all-pairs definition; coordinates are
+    // deterministic integer pseudo-positions on a 10⁶ grid.
+    QueryDef(
+      "q181_proximity_pairs",
+      (s, dir) => {
+        // md5-derived coordinates, not a multiplicative lattice: k·a mod m
+        // scatters sequential keys onto a sparse lattice whose minimum
+        // pair distance exceeds any useful radius (zero matches)
+        val h = md5(col("c_custkey").cast("string"))
+        val pts = t(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          (conv(substring(h, 1, 5), 16, 10).cast("long") % 1000000).as("x"),
+          (conv(substring(h, 6, 5), 16, 10).cast("long") % 1000000).as("y"))
+        orderedOut(
+          Spatial.proximityPairs(pts, "id", "x", "y", radius = 20000L, cellSize = 20000L),
+          "id1", "id2")
+      },
+      Some("""WITH p AS (SELECT c_custkey AS id,
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 5))::BIGINT % 1000000 AS x,
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 6, 5))::BIGINT % 1000000 AS y
+             |  FROM customer)
+             |SELECT a.id AS id1, b.id AS id2,
+             |       CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+             |FROM p a JOIN p b ON a.id < b.id
+             |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 400000000
+             |ORDER BY id1, id2""".stripMargin)
+    ),
+
+    // Exact weighted median per order priority: 2·cumw ≥ W rank algebra
+    // with a range frame so value ties share one cumulative weight.
+    QueryDef(
+      "q182_weighted_median",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          (col("o_custkey") % 5 + 1).as("w"))
+        Stats.weightedMedian(o, "o_orderpriority", "price_cents", "w")
+          .orderBy("grp")
+      },
+      Some("""WITH b AS (SELECT o_orderpriority AS grp,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             |    CAST(o_custkey % 5 + 1 AS BIGINT) AS w FROM orders),
+             |c AS (SELECT grp, v, w,
+             |    sum(w) OVER (PARTITION BY grp ORDER BY v
+             |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER (PARTITION BY grp) AS tot FROM b)
+             |SELECT grp, CAST(max(tot) AS BIGINT) AS total_weight,
+             |       CAST(min(v) AS BIGINT) AS wmedian
+             |FROM c WHERE cum * 2 >= tot GROUP BY grp ORDER BY grp""".stripMargin)
+    ),
+
+    // Calendar-aware anomaly screen: per hour-of-day slot, rows farther
+    // than a fixed bound from their OWN slot mean — the residual algebra
+    // cross-multiplied so no float mean ever exists.
+    QueryDef(
+      "q183_seasonal_residuals",
+      (s, dir) => {
+        val e = events(s, dir).select(hour(col("ts")).as("h"),
+          round(col("value") * 100).cast("long").as("cents"))
+        Stats.slotResidualOutliers(e, "h", "cents", threshold = 600L)
+          .orderBy("slot")
+      },
+      Some("""WITH b AS (SELECT CAST(hour(ts) AS BIGINT) AS slot,
+             |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |s AS (SELECT slot, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(v) AS BIGINT) AS sum_value FROM b GROUP BY 1)
+             |SELECT b.slot, max(s.n) AS n, max(s.sum_value) AS sum_value,
+             |       CAST(sum(CASE WHEN abs(CAST(b.v AS HUGEINT) * s.n - s.sum_value)
+             |                          > CAST(600 AS HUGEINT) * s.n
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM b JOIN s USING (slot) GROUP BY b.slot ORDER BY b.slot""".stripMargin)
+    ),
+
+    // Functional-dependency discovery probes: which columns determine
+    // which — the schema-inference sibling of q158's key inference. Three
+    // FDs of known truth: orderkey→custkey holds, custkey→priority and
+    // partkey→suppkey don't.
+    QueryDef(
+      "q184_fd_audit",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        DataQuality.fdViolations("fd1_orderkey_custkey",
+            li.join(o, col("l_orderkey") === col("o_orderkey")), "l_orderkey", "o_custkey")
+          .unionByName(DataQuality.fdViolations("fd2_custkey_priority",
+            o, "o_custkey", "o_orderpriority"))
+          .unionByName(DataQuality.fdViolations("fd3_partkey_suppkey",
+            li, "l_partkey", "l_suppkey"))
+          .orderBy("rule_id")
+      },
+      Some("""WITH j AS (SELECT l_orderkey, o_custkey FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey),
+             |f1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(nb - 1) AS BIGINT) AS v FROM (
+             |    SELECT count(DISTINCT coalesce(CAST(o_custkey AS VARCHAR), '<NULL>')) AS nb
+             |    FROM j GROUP BY l_orderkey)),
+             |f2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(nb - 1) AS BIGINT) AS v FROM (
+             |    SELECT count(DISTINCT coalesce(CAST(o_orderpriority AS VARCHAR), '<NULL>')) AS nb
+             |    FROM orders GROUP BY o_custkey)),
+             |f3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(nb - 1) AS BIGINT) AS v FROM (
+             |    SELECT count(DISTINCT coalesce(CAST(l_suppkey AS VARCHAR), '<NULL>')) AS nb
+             |    FROM lineitem GROUP BY l_partkey)),
+             |rep AS (
+             |  SELECT 'fd1_orderkey_custkey' AS rule_id, n AS n_lhs, v AS n_violations FROM f1
+             |  UNION ALL SELECT 'fd2_custkey_priority', n, v FROM f2
+             |  UNION ALL SELECT 'fd3_partkey_suppkey', n, v FROM f3)
+             |SELECT rule_id, n_lhs, n_violations,
+             |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+             |FROM rep ORDER BY rule_id""".stripMargin)
+    ),
+
+    // Benford first-digit census over order totals: leading-digit counts
+    // joined to the fixed ×10⁶ Benford expectation (log10(1+1/d) is a
+    // public constant table, not computed) — the books-cooked screen as
+    // pure integer comparison: flag digits where |obs·10⁶ − exp_e6·n|
+    // exceeds n·tolerance_e6.
+    QueryDef(
+      "q185_benford",
+      (s, dir) => {
+        import s.implicits._
+        val expDf = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L).zipWithIndex
+          .map { case (e, i) => (i + 1L, e) }.toDF("digit", "exp_e6")
+        val d = t(s, dir, "orders")
+          .select(substring(round(col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = d.agg(sum("n_obs").as("n")).select(col("n"))
+        d.join(broadcast(expDf), "digit")
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"), col("exp_e6"),
+            when(abs(col("n_obs").cast("decimal(38,0)") * 1000000 -
+              col("exp_e6").cast("decimal(38,0)") * col("n")) >
+              col("n").cast("decimal(38,0)") * 50000, 1L).otherwise(0L)
+              .as("flagged"))
+          .orderBy("digit")
+      },
+      Some("""WITH e(digit, exp_e6) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+             |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+             |d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             |    CAST(count(*) AS BIGINT) AS n_obs FROM orders GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM d)
+             |SELECT d.digit, d.n_obs, CAST(e.exp_e6 AS BIGINT) AS exp_e6,
+             |       CAST(CASE WHEN abs(CAST(d.n_obs AS HUGEINT) * 1000000
+             |                          - CAST(e.exp_e6 AS HUGEINT) * t.n)
+             |                      > CAST(t.n AS HUGEINT) * 50000
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+             |FROM d JOIN e ON d.digit = e.digit CROSS JOIN t
+             |ORDER BY d.digit""".stripMargin)
+    ),
+
+    // Per-document keyword extraction: tf·(N−df) integer TF-IDF surrogate
+    // (rarer term → bigger factor, no logarithm), deterministic top-3 by
+    // (score DESC, term ASC) — the tf/df frames are the q173 machinery.
+    QueryDef(
+      "q186_keywords",
+      (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.tokens("text")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = t(s, dir, "documents").count() // tiny action: one scalar
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfreq, "term")
+          .withColumn("score", col("tf") * (lit(n) - col("df")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("score"), col("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.term, tf.tf * (n.n - df.df) AS score,
+             |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf * (n.n - df.df) DESC, tf.term) AS BIGINT) AS rank
+             |  FROM tf JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, CAST(score AS BIGINT) AS score, rank
+             |FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+    ),
+
+    // Nested-type surface: per-customer sorted order-total array,
+    // canonicalized with a ','-join — collect_list is made deterministic
+    // by sorting INSIDE the row, never relying on aggregation order.
+    QueryDef(
+      "q187_nested_rollup",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            array_join(sort_array(collect_list("cents")), ",").as("totals"))
+          .filter(col("n_orders") >= 8)
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             |       array_to_string(list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT))), ',') AS totals
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+             |ORDER BY o_custkey""".stripMargin)
+    ),
+
+    // Temporal-locality dedup: rapid repeats of the same (user, type)
+    // within 5 minutes flagged by one lag window — the telemetry debounce
+    // exact content-dedup can't express.
+    QueryDef(
+      "q188_rapid_repeats",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("eus"))
+        Dedup.flagRapidRepeats(e, Seq("user_id", "event_type"), "eus", 300000000L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"), sum("is_repeat").as("n_repeats"))
+          .orderBy("event_type")
+      },
+      Some("""WITH l AS (SELECT event_type,
+             |    epoch_us(ts) - lag(epoch_us(ts))
+             |      OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS gap
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+             |       CAST(sum(CASE WHEN gap IS NOT NULL AND gap < 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Forest root+depth by pointer doubling (⌈log₂ depth⌉ self-joins, not
+    // depth-many level walks) on a synthetic 10-ary supplier hierarchy;
+    // the oracle walks the SAME forest with a recursive CTE.
+    QueryDef(
+      "q189_tree_roots",
+      (s, dir) => {
+        val nodes = t(s, dir, "supplier").select(
+          col("s_suppkey").as("node"),
+          when(col("s_suppkey") < 10, lit(null))
+            .otherwise(expr("s_suppkey div 10")).as("parent"))
+        Graphs.treeRootsByDoubling(nodes, "node", "parent", iters = 4)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE w(node, cur, d) AS (
+             |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+             |  UNION ALL SELECT node, cur // 10, d + 1 FROM w WHERE cur >= 10),
+             |m AS (SELECT node, max(d) AS md FROM w GROUP BY 1)
+             |SELECT w.node, CAST(w.cur AS BIGINT) AS root, CAST(w.d AS BIGINT) AS depth
+             |FROM w JOIN m ON w.node = m.node AND w.d = m.md
+             |ORDER BY w.node""".stripMargin)
+    ),
+
+    // Token-bucket admission control (capacity 3, 1 token/min, milli-token
+    // precision): per-user ordered fold as a Spark `aggregate` HOF over
+    // the bounded per-entity event array; the oracle replays the SAME
+    // recurrence with a recursive CTE (DuckDB 1.0's list_reduce
+    // mis-evaluates repeated lambda applications — found while building
+    // this query — so the fold is cross-checked by recursion instead).
+    QueryDef(
+      "q190_token_bucket",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        t(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("eus"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list("eus")).as("ts"))
+          .withColumn("st", expr(
+            """aggregate(ts,
+              |  named_struct('tok', CAST(3000 AS BIGINT), 'prev', CAST(-1 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+              |  (s, t) -> CASE WHEN s.prev < 0
+              |    THEN named_struct('tok', CAST(2000 AS BIGINT), 'prev', t, 'n', CAST(1 AS BIGINT))
+              |    ELSE named_struct(
+              |      'tok', least(3000L, s.tok + (t - s.prev) div 60000)
+              |        - CASE WHEN least(3000L, s.tok + (t - s.prev) div 60000) >= 1000 THEN 1000L ELSE 0L END,
+              |      'prev', t,
+              |      'n', s.n + CASE WHEN least(3000L, s.tok + (t - s.prev) div 60000) >= 1000 THEN 1L ELSE 0L END)
+              |    END)""".stripMargin))
+          .select(col("user_id"), size(col("ts")).cast("long").as("n_events"),
+            col("st.n").as("n_admitted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE seq AS (SELECT user_id, epoch_us(ts) AS t,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS i FROM events),
+             |st(user_id, i, tok, t, n) AS (
+             |  SELECT user_id, i, CAST(2000 AS BIGINT), t, CAST(1 AS BIGINT) FROM seq WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.user_id, s.i,
+             |    least(3000, st.tok + (s.t - st.t) // 60000)
+             |      - CASE WHEN least(3000, st.tok + (s.t - st.t) // 60000) >= 1000 THEN 1000 ELSE 0 END,
+             |    s.t,
+             |    st.n + CASE WHEN least(3000, st.tok + (s.t - st.t) // 60000) >= 1000 THEN 1 ELSE 0 END
+             |  FROM st JOIN seq s ON s.user_id = st.user_id AND s.i = st.i + 1),
+             |m AS (SELECT user_id, max(i) AS mi FROM st GROUP BY 1)
+             |SELECT st.user_id, CAST(m.mi AS BIGINT) AS n_events, st.n AS n_admitted
+             |FROM st JOIN m ON st.user_id = m.user_id AND st.i = m.mi
+             |ORDER BY st.user_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1587,6 +1587,176 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(3).toSeq == Seq(null, null, null, null, null, 0L))
   }
 
+  test("sparse cosine: df cap drops stopword, integer algebra exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // "s" appears in all 3 docs → dropped at dfCap=2; remaining vectors
+    // d1 = {a:2, b:1}, d2 = {a:1, b:1, c:1}, d3 = {z:2}
+    val tf = Seq(
+      (1L, "a", 2L), (1L, "b", 1L), (1L, "s", 1L),
+      (2L, "a", 1L), (2L, "b", 1L), (2L, "c", 1L), (2L, "s", 3L),
+      (3L, "z", 2L), (3L, "s", 1L)).toDF("id", "term", "tf")
+    val out = Similarity.sparseCosinePairs(tf, "id", "term", "tf", 2500L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // only (1,2) share terms: dot = 2+1 = 3, norms 5 and 3,
+    // cos² = 9/15 = 0.6 ≥ 0.25 → cos2_e4 = 6000
+    assert(out.toSeq == Seq((1L, 2L, 3L, 5L, 3L, 6000L)))
+    // raising the bar above 0.6 kills the pair
+    assert(Similarity.sparseCosinePairs(tf, "id", "term", "tf", 6001L, 2L).count() == 0)
+  }
+
+  test("grouped top-k: bounded heap matches the window definition across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    import graft.operators.TopK
+    // 400 rows, 4 groups, ties on value (id breaks them), spread over 7
+    // partitions so map-side heaps must merge correctly at the rank stage
+    val rows = (0L until 400L).map(i => (s"g${i % 4}", i, (i * 37) % 50))
+    val df = rows.toDF("g", "id", "v").repartition(7)
+    val got = TopK.topKPerGroup(df, "g", "id", "v", 6)
+      .orderBy("grp", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 6).orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.size == 24)
+  }
+
+  test("iban: mod-97 HOF matches BigInt arithmetic, redaction conservative") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def bigIntValid(iban: String): Boolean = {
+      val expanded = (iban.drop(4) + iban.take(4)).flatMap { c =>
+        if (c.isDigit) c.toString else (c - 'A' + 10).toString
+      }
+      BigInt(expanded) % 97 == 1
+    }
+    // the canonical published example + a generated one + corruptions
+    val real = "GB82WEST12345698765432"
+    val bban = "000123456789012345"
+    val gen = f"DE${TextAnalysis.ibanCheckDigits("DE", bban)}%02d$bban"
+    assert(bigIntValid(real) && bigIntValid(gen))
+    val rows = Seq(
+      s"pay to $real now",      // valid
+      s"ref $gen end",          // valid generated
+      s"bad ${real.dropRight(1)}9 x", // corrupted tail digit
+      "no candidates here",
+      s"two $real and $gen").toDF("text")
+    val (nc, nv) = TextAnalysis.ibanCounts("text")
+    val out = rows.select(nc.as("c"), nv.as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (1L, 1L), (1L, 0L), (0L, 0L), (2L, 2L)))
+    val red = rows.select(TextAnalysis.redactIbans("text").as("t"))
+      .collect().map(_.getString(0))
+    assert(red(0) == "pay to <IBAN> now" && red(4) == "two <IBAN> and <IBAN>")
+  }
+
+  test("inter-arrival stats: exact gap moments, short entities dropped") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // u1 times 0,10,30,60 → gaps 10,20,30: n=3 sum=60 max=30,
+    // var_num = 3·(100+400+900) − 60² = 600; u2 has one gap (dropped at
+    // minEvents=3); u3 a single event (no gap at all)
+    val df = Seq((1L, 0L), (1L, 10L), (1L, 30L), (1L, 60L),
+      (2L, 5L), (2L, 9L), (3L, 7L)).toDF("u", "t")
+    val out = Stats.interArrivalStats(df, "u", "t", minEvents = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDecimal(4).longValueExact()) == ((3L, 60L, 30L, 600L)))
+  }
+
+  test("proximity pairs: cell-straddling pair found once, far pair dropped") {
+    import spark.implicits._
+    import graft.operators.Spatial
+    // (1,2) straddle a cell boundary at x=100 with dist 6; (1,3) distance
+    // 200 (out of radius 10); (4,5) same cell dist 5; (6) isolated
+    val pts = Seq((1L, 98L, 50L), (2L, 104L, 50L), (3L, 298L, 50L),
+      (4L, 250L, 250L), (5L, 253L, 254L), (6L, 900L, 900L))
+      .toDF("id", "x", "y")
+    val out = Spatial.proximityPairs(pts, "id", "x", "y", 10L, 100L)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 36L), (4L, 5L, 25L)))
+    // shrinking the cell below the radius must be refused, not wrong
+    intercept[IllegalArgumentException] {
+      Spatial.proximityPairs(pts, "id", "x", "y", 10L, 5L)
+    }
+  }
+
+  test("weighted median: ties share cumulative weight, heavy tail wins") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // g1: values 1(w1) 2(w1) 9(w10) → W=12, half=6 → wmedian 9;
+    // g2: 5(w2) 5(w2) 7(w1) → cum at 5 is 4, 2·4 ≥ 5 → wmedian 5
+    val df = Seq(("g1", 1L, 1L), ("g1", 2L, 1L), ("g1", 9L, 10L),
+      ("g2", 5L, 2L), ("g2", 5L, 2L), ("g2", 7L, 1L)).toDF("g", "v", "w")
+    val out = Stats.weightedMedian(df, "g", "v", "w").orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("g1", 12L, 9L), ("g2", 5L, 5L)))
+  }
+
+  test("slot residuals: outliers counted against their own slot mean") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // slot 0: values 10,10,40 → mean 20, |v-20|>15 flags only 40 (|10-20|=10);
+    // slot 1: 100,100 → no outliers
+    val df = Seq((0L, 10L), (0L, 10L), (0L, 40L), (1L, 100L), (1L, 100L))
+      .toDF("slot", "v")
+    val out = Stats.slotResidualOutliers(df, "slot", "v", 15L)
+      .orderBy("slot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((0L, 3L, 60L, 1L), (1L, 2L, 200L, 0L)))
+  }
+
+  test("fd audit: null RHS is a value, violations counted per LHS") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    // a=1 → {x, null} violates (null counts); a=2 → {y, y} holds;
+    // a=null → {z} holds (null LHS is a group)
+    val df = Seq((Some(1L), Some("x")), (Some(1L), None),
+      (Some(2L), Some("y")), (Some(2L), Some("y")),
+      (None, Some("z"))).toDF("a", "b")
+    val r = DataQuality.fdViolations("t", df, "a", "b").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 1L, 0L)))
+    val clean = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+    assert(DataQuality.fdViolations("t", clean, "a", "b")
+      .collect().head.getLong(3) == 1L)
+  }
+
+  test("rapid repeats: strict gap, first always kept, keys independent") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val df = Seq(("u1", "c", 0L), ("u1", "c", 99L), ("u1", "c", 100L),
+      ("u1", "v", 50L), ("u2", "c", 10L)).toDF("u", "k", "t")
+    val out = Dedup.flagRapidRepeats(df, Seq("u", "k"), "t", 100L)
+      .orderBy("u", "k", "t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // 99-0=99 < 100 repeat; 100-99=1 repeat (vs previous RAW event);
+    // different key/user never repeats
+    assert(out == Seq(("u1", "c", 0L, 0L), ("u1", "c", 99L, 1L),
+      ("u1", "c", 100L, 1L), ("u1", "v", 50L, 0L), ("u2", "c", 10L, 0L)))
+  }
+
+  test("tree roots: pointer doubling converges and overshoot is idempotent") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    // chain 8→4→2→1(root) plus root 9 with child 18: depths 3,2,1,0,0,1
+    val nodes = Seq((1L, None), (2L, Some(1L)), (4L, Some(2L)), (8L, Some(4L)),
+      (9L, None), (18L, Some(9L))).toDF("node", "parent")
+    def run(iters: Int) = Graphs.treeRootsByDoubling(nodes, "node", "parent", iters)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq((1L, 1L, 0L), (2L, 1L, 1L), (4L, 1L, 2L), (8L, 1L, 3L),
+      (9L, 9L, 0L), (18L, 9L, 1L))
+    assert(run(2) == want)  // 2^2 = 4 ≥ max depth 3
+    assert(run(6) == want)  // overshooting changes nothing
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
