@@ -97,16 +97,35 @@ object Stats {
     * step, then one tiny k-row aggregate — no joins, no windows, the
     * event stream shuffles once on the entity key. */
   def funnel(df: DataFrame, entityCol: String, stepCol: String,
-      orderCol: String, steps: Seq[String]): DataFrame = {
+      orderCol: String, steps: Seq[String]): DataFrame =
+    funnelCore(df, entityCol, stepCol, orderCol, steps, None)
+
+  /** [[funnel]] with a conversion window: step k counts only when it also
+    * happened within `maxGap` order units of step k−1 — "signed up, then
+    * purchased WITHIN A WEEK", the form product funnels are actually
+    * quoted in. Same first-occurrence semantics and single aggregate
+    * pass; the bound composes into the per-entity completion predicate,
+    * so the plan is unchanged. */
+  def funnelWithin(df: DataFrame, entityCol: String, stepCol: String,
+      orderCol: String, steps: Seq[String], maxGap: Long): DataFrame = {
+    require(maxGap > 0, "maxGap must be positive")
+    funnelCore(df, entityCol, stepCol, orderCol, steps, Some(maxGap))
+  }
+
+  private def funnelCore(df: DataFrame, entityCol: String, stepCol: String,
+      orderCol: String, steps: Seq[String], maxGap: Option[Long]): DataFrame = {
     require(steps.nonEmpty && steps.distinct == steps, "steps must be distinct, non-empty")
     val mins = steps.zipWithIndex.map { case (s, i) =>
       min(when(col(stepCol) === s, col(orderCol))).as(s"__m$i")
     }
     val perEntity = df.groupBy(col(entityCol)).agg(mins.head, mins.tail: _*)
-    // completed(k) = m0 < m1 < ... < mk, all present (NULL comparisons fail)
+    // completed(k) = m0 < m1 < ... < mk, all present (NULL comparisons
+    // fail), each hop additionally within maxGap when bounded
     val completed = steps.indices.map { k =>
       val cond = (1 to k).foldLeft(col("__m0").isNotNull) { (acc, i) =>
-        acc && (col(s"__m${i - 1}") < col(s"__m$i"))
+        val hop = col(s"__m${i - 1}") < col(s"__m$i")
+        acc && maxGap.fold(hop)(g =>
+          hop && col(s"__m$i") - col(s"__m${i - 1}") <= g)
       }
       sum(when(cond, 1L).otherwise(0L)).as(s"__c$k")
     }

@@ -109,4 +109,18 @@ object UrlTools {
       idCol.cast("string"),
       lit("?utm_source=feed&b="), langCol, lit("&a=1#sec"),
       pmod(idCol, lit(2)).cast("string"))
+
+  /** Query-string parameters as a `map<string,string>` — the structured
+    * view tracking-param scrubbing, campaign attribution, and crawl
+    * frontier canonicalization all read. One codegen'd `str_to_map` over
+    * the substring after `?` (no UDF, no parser state); a URL without a
+    * query yields an empty map of the same type so downstream `explode`
+    * simply emits nothing. Duplicate keys (`?p=1&p=9`) follow the
+    * session's `spark.sql.mapKeyDedupPolicy` — the ANSI default THROWS;
+    * set LAST_WIN when parsing wild URLs. `urlCol` is a column NAME
+    * (str_to_map has no Column-API binding to compose with). */
+  def queryParams(urlCol: String): Column =
+    expr(s"""CASE WHEN instr($urlCol, '?') > 0
+            |  THEN str_to_map(substring_index($urlCol, '?', -1), '&', '=')
+            |  ELSE CAST(map() AS MAP<STRING, STRING>) END""".stripMargin)
 }

@@ -4217,6 +4217,206 @@ object ExtensionQueries {
              |ORDER BY st.user_id""".stripMargin)
     ),
 
+    // Mergeable-sketch set operations: DataSketches HLL per slice, union
+    // by sketch merge, intersection by inclusion–exclusion — with the
+    // exact answers computed in the SAME pass and the estimates gated by
+    // an integer error band (the q99/q120 certificate discipline; the
+    // sketch bytes themselves are engine-private, the certificate isn't).
+    QueryDef(
+      "q191_sketch_setops",
+      (s, dir) => {
+        val e = events(s, dir).filter(col("event_type").isin("click", "view"))
+        e.agg(
+            expr("hll_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)").as("ska"),
+            expr("hll_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)").as("skb"),
+            countDistinct(when(col("event_type") === "click", col("user_id"))).as("exact_a"),
+            countDistinct(when(col("event_type") === "view", col("user_id"))).as("exact_b"),
+            countDistinct(col("user_id")).as("exact_union"))
+          .withColumn("est_a", expr("hll_sketch_estimate(ska)"))
+          .withColumn("est_b", expr("hll_sketch_estimate(skb)"))
+          .withColumn("est_u", expr("hll_sketch_estimate(hll_union(ska, skb))"))
+          .withColumn("exact_inter", col("exact_a") + col("exact_b") - col("exact_union"))
+          .withColumn("est_inter", col("est_a") + col("est_b") - col("est_u"))
+          .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+            when(abs(col("est_a") - col("exact_a")) * 100 <= col("exact_a") * 5, 1L)
+              .otherwise(0L).as("a_ok"),
+            when(abs(col("est_b") - col("exact_b")) * 100 <= col("exact_b") * 5, 1L)
+              .otherwise(0L).as("b_ok"),
+            when(abs(col("est_u") - col("exact_union")) * 100 <= col("exact_union") * 5, 1L)
+              .otherwise(0L).as("union_ok"),
+            when(abs(col("est_inter") - col("exact_inter")) * 100 <=
+              col("exact_union") * 5 + 500, 1L).otherwise(0L).as("inter_ok"))
+      },
+      Some("""SELECT
+             |  CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS exact_a,
+             |  CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS exact_b,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union,
+             |  CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+             |     + count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+             |     - count(DISTINCT user_id) AS BIGINT) AS exact_inter,
+             |  CAST(1 AS BIGINT) AS a_ok, CAST(1 AS BIGINT) AS b_ok,
+             |  CAST(1 AS BIGINT) AS union_ok, CAST(1 AS BIGINT) AS inter_ok
+             |FROM events WHERE event_type IN ('click', 'view')""".stripMargin)
+    ),
+
+    // Query-string parameter census over synthesized campaign URLs: the
+    // REAL str_to_map parse exploded to (param, value) — sparse params
+    // (ref only on every 3rd event) prove absent-key semantics.
+    QueryDef(
+      "q192_url_params",
+      (s, dir) => {
+        val url = concat(lit("https://ex.com/p?uid="), col("user_id").cast("string"),
+          lit("&t="), col("event_type"),
+          when(col("event_id") % 3 === 0, lit("&ref=mail")).otherwise(lit("")))
+        events(s, dir).select(url.as("url"))
+          .select(explode(UrlTools.queryParams("url")).as(Seq("param", "value")))
+          .groupBy("param")
+          .agg(count(lit(1)).as("n"), countDistinct("value").as("n_values"))
+          .orderBy("param")
+      },
+      Some("""WITH u AS (SELECT 'https://ex.com/p?uid=' || user_id || '&t=' || event_type ||
+             |    CASE WHEN event_id % 3 = 0 THEN '&ref=mail' ELSE '' END AS url FROM events),
+             |kv AS (SELECT unnest(string_split(string_split(url, '?')[2], '&')) AS pair FROM u)
+             |SELECT string_split(pair, '=')[1] AS param, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(count(DISTINCT string_split(pair, '=')[2]) AS BIGINT) AS n_values
+             |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Conversion-window funnel: view → click → purchase where each hop
+    // must land within 24 h of the previous first occurrence — q154's
+    // single-pass skeleton with the bound folded into the predicate.
+    QueryDef(
+      "q193_funnel_window",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("eus"))
+        Stats.funnelWithin(e, "user_id", "event_type", "eus",
+          Seq("view", "click", "purchase"), maxGap = 86400000000L)
+      },
+      Some("""WITH m AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS m0,
+             |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS m1,
+             |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS m2
+             |  FROM events GROUP BY 1)
+             |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             |       CAST(sum(CASE WHEN m0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_entities FROM m
+             |UNION ALL SELECT 2, 'click',
+             |       CAST(sum(CASE WHEN m0 IS NOT NULL AND m0 < m1 AND m1 - m0 <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+             |UNION ALL SELECT 3, 'purchase',
+             |       CAST(sum(CASE WHEN m0 IS NOT NULL AND m0 < m1 AND m1 - m0 <= 86400000000
+             |                      AND m1 < m2 AND m2 - m1 <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+             |ORDER BY step_idx""".stripMargin)
+    ),
+
+    // Search-index export: per-term posting lists (sorted doc ids, df,
+    // max delta gap) — the inverted-index build step, df-banded to keep
+    // the export a shortlist; delta gaps are what a real index
+    // compresses, so their exactness is the certificate.
+    QueryDef(
+      "q194_posting_lists",
+      (s, dir) => {
+        // bigram terms: the unigram vocabulary of this corpus is ~31 words
+        // all with df ≈ |corpus| — bigrams give a real zipfian df spread
+        val post = t(s, dir, "documents")
+          .withColumn("__w", TextAnalysis.tokens("text"))
+          .filter(size(col("__w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(__w) - 1), i -> concat(element_at(__w, i), '_', element_at(__w, i + 1)))"))
+            .as("term"))
+          .distinct()
+          .groupBy("term")
+          .agg(sort_array(collect_list("doc_id")).as("__p"))
+          .withColumn("df", size(col("__p")).cast("long"))
+          .filter(col("df").between(2, 50))
+        post.select(col("term"), col("df"),
+            array_join(col("__p"), ",").as("postings"),
+            expr("""CASE WHEN size(__p) < 2 THEN CAST(0 AS BIGINT)
+                   |ELSE array_max(transform(sequence(2, size(__p)),
+                   |       i -> element_at(__p, i) - element_at(__p, i - 1))) END""".stripMargin)
+              .as("max_gap"))
+          .orderBy("term")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws FROM documents),
+             |tok AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i + 1])) AS term
+             |  FROM w WHERE len(ws) >= 2),
+             |p AS (SELECT term, list(doc_id ORDER BY doc_id) AS pl,
+             |    CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+             |b AS (SELECT * FROM p WHERE df BETWEEN 2 AND 50)
+             |SELECT term, df, array_to_string(pl, ',') AS postings,
+             |       CAST(coalesce(list_max(list_transform(range(2, CAST(len(pl) AS BIGINT) + 1),
+             |                i -> pl[i] - pl[i - 1])), 0) AS BIGINT) AS max_gap
+             |FROM b ORDER BY term""".stripMargin)
+    ),
+
+    // Surrogate-key width audit: collision counts of 16-bit vs 60-bit
+    // md5-derived ids over the customer key space — the birthday-paradox
+    // certificate behind "how wide must a hash id be at 10^10 keys";
+    // md5 prefixes are the engine-portable hash primitive.
+    QueryDef(
+      "q195_surrogate_collisions",
+      (s, dir) => {
+        val h = md5(col("c_custkey").cast("string"))
+        t(s, dir, "customer")
+          .select(conv(substring(h, 1, 4), 16, 10).cast("long").as("h16"),
+            conv(substring(h, 1, 15), 16, 10).cast("long").as("h60"))
+          .agg(count(lit(1)).as("n_keys"),
+            (count(lit(1)) - countDistinct(col("h16"))).as("collisions_16"),
+            (count(lit(1)) - countDistinct(col("h60"))).as("collisions_60"))
+      },
+      Some("""WITH h AS (SELECT
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT AS h16,
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h60
+             |  FROM customer)
+             |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |       CAST(count(*) - count(DISTINCT h16) AS BIGINT) AS collisions_16,
+             |       CAST(count(*) - count(DISTINCT h60) AS BIGINT) AS collisions_60
+             |FROM h""".stripMargin)
+    ),
+
+    // Bollinger-band breakout census: per-user rolling 5-event mean/var
+    // over the tie-free micros axis, breakout iff (v·n − Σ)² > k²(nΣx²−Σ²)
+    // — rolling variance as two running sums, k=2, zero divisions.
+    QueryDef(
+      "q196_bollinger",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("eus"))
+          .rowsBetween(-4, Window.currentRow)
+        def d(c: Column) = c.cast("decimal(38,0)")
+        t(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("eus"),
+            round(col("value") * 100).cast("long").as("v"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s1", sum("v").over(w))
+          .withColumn("s2", sum(d(col("v")) * d(col("v"))).over(w))
+          .withColumn("dev", d(col("v")) * d(col("n")) - d(col("s1")))
+          .withColumn("varn", d(col("n")) * col("s2") - d(col("s1")) * d(col("s1")))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("n") >= 5 && col("dev") * col("dev") > col("varn") * 4, 1L)
+              .otherwise(0L)).as("n_breakouts"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (SELECT user_id, epoch_us(ts) AS eus,
+             |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |r AS (SELECT user_id, v,
+             |    count(*) OVER w AS n,
+             |    sum(v) OVER w AS s1,
+             |    sum(CAST(v AS HUGEINT) * v) OVER w AS s2
+             |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY eus
+             |                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CASE WHEN n >= 5 AND
+             |                 (CAST(v AS HUGEINT) * n - s1) * (CAST(v AS HUGEINT) * n - s1)
+             |                   > (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 4
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_breakouts
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1757,6 +1757,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(6) == want)  // overshooting changes nothing
   }
 
+  test("funnel window: hop outside the bound breaks the chain, inside counts") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // u1 converts within gaps of 5; u2's second hop takes 100 (> 10);
+    // u3 has steps out of order
+    val df = Seq(("u1", "a", 0L), ("u1", "b", 5L), ("u1", "c", 9L),
+      ("u2", "a", 0L), ("u2", "b", 5L), ("u2", "c", 105L),
+      ("u3", "b", 0L), ("u3", "a", 5L), ("u3", "c", 10L)).toDF("u", "s", "t")
+    val out = Stats.funnelWithin(df, "u", "s", "t", Seq("a", "b", "c"), 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // unbounded funnel still counts u2's slow conversion
+    val unb = Stats.funnel(df, "u", "s", "t", Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(unb == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("url params: map parse, empty on no query, last duplicate wins") {
+    import spark.implicits._
+    import graft.operators.UrlTools
+    import org.apache.spark.sql.functions.{col, map_keys, size}
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    val df = Seq("https://a.com/x?p=1&q=2", "https://a.com/plain",
+      "https://a.com/x?p=1&p=9").toDF("url")
+    val maps = df.select(UrlTools.queryParams("url").as("m"))
+      .select(col("m"), size(map_keys(col("m"))).cast("long").as("n")).collect()
+    assert(maps(0).getLong(1) == 2L &&
+      maps(0).getMap[String, String](0).get("q").contains("2"))
+    assert(maps(1).getLong(1) == 0L)
+    assert(maps(2).getMap[String, String](0).get("p").contains("9"))
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
