@@ -630,4 +630,48 @@ object DiffEngine {
       }
     } finally { joined.unpersist(); () }
   }
+
+  /** Merkle-style segment digests — the anti-entropy shortcut that makes
+    * a 100 TB diff affordable: instead of hashing and joining every row of
+    * both snapshots, digest each side into `segments` order-independent
+    * segment summaries (md5-bucketed by key so a key always lands in the
+    * same segment regardless of layout), compare the tiny digest tables,
+    * and run the full row diff ONLY inside segments whose digests differ.
+    * The digest is `sum` of per-row 32-bit md5 prefixes — commutative, so
+    * no ordering constraint ever reaches the shuffle — plus the row
+    * count; a changed, added, or removed row perturbs both or either.
+    * One aggregate pass per side, |segments| rows out. */
+  def segmentDigests(df: DataFrame, keyCol: String, payloadCols: Seq[String],
+      segments: Int): DataFrame = {
+    require(segments > 0, "segments must be positive")
+    val seg = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(segments.toLong))
+    val rowDig = conv(substring(md5(concat_ws("|",
+      (keyCol +: payloadCols).map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
+      .cast("long")
+    df.groupBy(seg.as("seg"))
+      .agg(count(lit(1)).as("n_rows"), sum(rowDig).as("digest"))
+  }
+
+  /** Bitemporal point lookup over a CDC log: the state of every key at
+    * VALID time `validAt`, as KNOWN at transaction version `knownAt` —
+    * the "what did we believe on date T about date V" query that audits
+    * and retroactive corrections need, impossible with a single time
+    * axis. Composition of the existing machinery: restrict the log to
+    * transactions ≤ `knownAt`, keep each (key, valid_from)'s latest
+    * surviving assertion ([[cdcLatest]] on the compound key), then keep
+    * each key's greatest valid_from ≤ `validAt` that isn't a tombstone.
+    * Two windows, both keyed shuffles, zero joins. */
+  def asOfBitemporal(log: DataFrame, keys: Seq[String], versionCol: String,
+      validFromCol: String, deleteCol: String, knownAt: Long,
+      validAt: Long): DataFrame = {
+    val known = log.filter(col(versionCol) <= knownAt)
+    val latestAssertion = cdcLatest(known, keys :+ validFromCol, versionCol, None)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(validFromCol).desc)
+    latestAssertion.filter(col(validFromCol) <= validAt)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .filter(col(deleteCol) === 0)
+      .drop("__rn", deleteCol)
+  }
 }

@@ -4417,6 +4417,174 @@ object ExtensionQueries {
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // Independence-deviation census over the (hour × event_type)
+    // contingency table: signed exact deviation obs·N − row·col per cell
+    // (the chi-square numerator without the division), top-10 by
+    // magnitude — which calendar cells break the independence assumption.
+    QueryDef(
+      "q197_contingency",
+      (s, dir) => {
+        val e = events(s, dir).select(hour(col("ts")).as("h"), col("event_type"))
+        val cells = e.groupBy("h", "event_type").agg(count(lit(1)).as("obs"))
+        val rows = e.groupBy("h").agg(count(lit(1)).as("row_tot"))
+        val cols = e.groupBy("event_type").agg(count(lit(1)).as("col_tot"))
+        val tot = e.agg(count(lit(1)).as("n"))
+        cells.join(broadcast(rows), "h").join(broadcast(cols), "event_type")
+          .crossJoin(broadcast(tot))
+          .withColumn("dev", col("obs") * col("n") - col("row_tot") * col("col_tot"))
+          .select(col("h"), col("event_type"), col("obs"), col("row_tot"),
+            col("col_tot"), col("dev"))
+          .orderBy(abs(col("dev")).desc, col("h"), col("event_type"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS h, event_type FROM events),
+             |c AS (SELECT h, event_type, CAST(count(*) AS BIGINT) AS obs FROM e GROUP BY 1, 2),
+             |r AS (SELECT h, CAST(count(*) AS BIGINT) AS row_tot FROM e GROUP BY 1),
+             |k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS col_tot FROM e GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+             |SELECT c.h, c.event_type, c.obs, r.row_tot, k.col_tot,
+             |       CAST(c.obs * t.n - r.row_tot * k.col_tot AS BIGINT) AS dev
+             |FROM c JOIN r USING (h) JOIN k USING (event_type) CROSS JOIN t
+             |ORDER BY abs(c.obs * t.n - r.row_tot * k.col_tot) DESC, c.h, c.event_type
+             |LIMIT 10""".stripMargin)
+    ),
+
+    // Anti-entropy segment digests: both snapshots reduce to 64
+    // order-independent (count, Σ md5-prefix) summaries keyed by the
+    // key's own hash bucket — the 100 TB diff shortcut (full row diff
+    // only inside segments whose digests differ). Mutations are planted
+    // (price bump on key%97, delete on key%101) so `differs` has ground
+    // truth.
+    QueryDef(
+      "q198_segment_digests",
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val head = base.filter(col("k") % 101 =!= 0)
+          .withColumn("cents",
+            when(col("k") % 97 === 0, col("cents") + 1).otherwise(col("cents")))
+        val db = graft.engine.DiffEngine.segmentDigests(base, "k", Seq("st", "cents"), 64)
+          .select(col("seg"), col("n_rows").as("n_base"), col("digest").as("d_base"))
+        val dh = graft.engine.DiffEngine.segmentDigests(head, "k", Seq("st", "cents"), 64)
+          .select(col("seg"), col("n_rows").as("n_head"), col("digest").as("d_head"))
+        db.join(dh, Seq("seg"), "full_outer")
+          .select(col("seg"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_head"), lit(0L)).as("n_head"),
+            when(coalesce(col("n_base"), lit(-1L)) === coalesce(col("n_head"), lit(-1L)) &&
+              coalesce(col("d_base"), lit(-1L)) === coalesce(col("d_head"), lit(-1L)), 0L)
+              .otherwise(1L).as("differs"))
+          .orderBy("seg")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |head AS (SELECT k, st,
+             |    CASE WHEN k % 97 = 0 THEN cents + 1 ELSE cents END AS cents
+             |  FROM base WHERE k % 101 <> 0),
+             |db AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4))::BIGINT % 64 AS seg,
+             |    CAST(count(*) AS BIGINT) AS n_base,
+             |    CAST(sum(('0x' || substr(md5(k || '|' || st || '|' || cents), 1, 8))::BIGINT) AS BIGINT) AS d_base
+             |  FROM base GROUP BY 1),
+             |dh AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4))::BIGINT % 64 AS seg,
+             |    CAST(count(*) AS BIGINT) AS n_head,
+             |    CAST(sum(('0x' || substr(md5(k || '|' || st || '|' || cents), 1, 8))::BIGINT) AS BIGINT) AS d_head
+             |  FROM head GROUP BY 1)
+             |SELECT coalesce(db.seg, dh.seg) AS seg,
+             |       coalesce(n_base, 0) AS n_base, coalesce(n_head, 0) AS n_head,
+             |       CAST(CASE WHEN coalesce(n_base, -1) = coalesce(n_head, -1)
+             |                  AND coalesce(d_base, -1) = coalesce(d_head, -1)
+             |                 THEN 0 ELSE 1 END AS BIGINT) AS differs
+             |FROM db FULL OUTER JOIN dh ON db.seg = dh.seg ORDER BY seg""".stripMargin)
+    ),
+
+    // Bitemporal lookup: what we believed at transaction T about valid
+    // time V — a retroactive correction (tx2 rewrites vt=10), a new
+    // period (tx3 at vt=20), and a retroactive delete (tx4 tombstones
+    // vt=10) each visible or not depending on BOTH clocks.
+    QueryDef(
+      "q199_bitemporal",
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+        def asserts(cond: Column, st: String, v: Long, vt: Long, del: Int) =
+          base.filter(cond).select(col("k"), lit(st).as("st"), lit(v).as("v"),
+            lit(vt).as("vt"), lit(del).as("del"))
+        val log = asserts(lit(true), "A", 1L, 10L, 0)
+          .unionByName(asserts(col("k") % 3 === 0, "B", 2L, 10L, 0))
+          .unionByName(asserts(col("k") % 4 === 0, "C", 3L, 20L, 0))
+          .unionByName(asserts(col("k") % 5 === 0, "D", 4L, 10L, 1))
+        def look(lbl: String, ka: Long, va: Long) =
+          graft.engine.DiffEngine.asOfBitemporal(log, Seq("k"), "v", "vt", "del", ka, va)
+            .agg(count(lit(1)).as("n_keys"),
+              sum(when(col("st") === "A", 1L).otherwise(0L)).as("n_a"),
+              sum(when(col("st") === "B", 1L).otherwise(0L)).as("n_b"),
+              sum(when(col("st") === "C", 1L).otherwise(0L)).as("n_c"))
+            .select(lit(lbl).as("lookup"), col("n_keys"), col("n_a"), col("n_b"), col("n_c"))
+        look("t1_v15", 1L, 15L)
+          .unionByName(look("t4_v15", 4L, 15L))
+          .unionByName(look("t4_v25", 4L, 25L))
+          .orderBy("lookup")
+      },
+      Some("""WITH ks AS (SELECT o_orderkey AS k FROM orders),
+             |log AS (
+             |  SELECT k, 'A' AS st, 1 AS v, 10 AS vt, 0 AS del FROM ks
+             |  UNION ALL SELECT k, 'B', 2, 10, 0 FROM ks WHERE k % 3 = 0
+             |  UNION ALL SELECT k, 'C', 3, 20, 0 FROM ks WHERE k % 4 = 0
+             |  UNION ALL SELECT k, 'D', 4, 10, 1 FROM ks WHERE k % 5 = 0),
+             |p(lbl, ka, va) AS (VALUES ('t1_v15', 1, 15), ('t4_v15', 4, 15), ('t4_v25', 4, 25)),
+             |known AS (SELECT p.lbl, p.va, l.* FROM log l JOIN p ON l.v <= p.ka),
+             |la AS (SELECT *, row_number() OVER (PARTITION BY lbl, k, vt ORDER BY v DESC) AS rn
+             |  FROM known),
+             |a1 AS (SELECT * FROM la WHERE rn = 1 AND vt <= va),
+             |a2 AS (SELECT *, row_number() OVER (PARTITION BY lbl, k ORDER BY vt DESC) AS rn2
+             |  FROM a1),
+             |fin AS (SELECT * FROM a2 WHERE rn2 = 1 AND del = 0)
+             |SELECT lbl AS lookup, CAST(count(*) AS BIGINT) AS n_keys,
+             |       CAST(sum(CASE WHEN st = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |       CAST(sum(CASE WHEN st = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |       CAST(sum(CASE WHEN st = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+             |FROM fin GROUP BY lbl ORDER BY lbl""".stripMargin)
+    ),
+
+    // Curation ledger: the stage-by-stage row accounting every audited
+    // pipeline publishes — DQ gate → exact-dedup winners → token-budget
+    // cut, each stage's surviving count in one report.
+    QueryDef(
+      "q200_curation_ledger",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.tokenCount("text").as("tok"))
+        val gated = docs.filter(col("tok") >= 5 && length(col("text")) <= 10000)
+        val winners = gated.join(
+          Dedup.exactByContent(gated, "doc_id", "text")
+            .select(col("keep_id").as("doc_id")), Seq("doc_id"))
+        val packed = Sampling.selectByTokenBudget(winners, "doc_id", "tok", 20000L)
+        def stage(i: Long, name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"))
+            .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_rows"))
+        stage(1L, "raw", docs)
+          .unionByName(stage(2L, "dq_gate", gated))
+          .unionByName(stage(3L, "dedup_winners", winners))
+          .unionByName(stage(4L, "token_budget", packed))
+          .orderBy("stage_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS tok
+             |  FROM documents),
+             |g AS (SELECT * FROM d WHERE tok >= 5 AND length(text) <= 10000),
+             |w AS (SELECT g.* FROM g JOIN (
+             |    SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)) m USING (doc_id)),
+             |p AS (SELECT * FROM (SELECT doc_id, tok,
+             |    sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM w) WHERE cum <= 20000)
+             |SELECT CAST(1 AS BIGINT) AS stage_idx, 'raw' AS stage, CAST((SELECT count(*) FROM d) AS BIGINT) AS n_rows
+             |UNION ALL SELECT 2, 'dq_gate', (SELECT count(*) FROM g)
+             |UNION ALL SELECT 3, 'dedup_winners', (SELECT count(*) FROM w)
+             |UNION ALL SELECT 4, 'token_budget', (SELECT count(*) FROM p)
+             |ORDER BY stage_idx""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -645,4 +645,35 @@ class DiffEngineSpec extends SparkTestBase {
     assert(txt.contains("Added rows") && txt.contains("Row-level diff"))
     assert(txt.contains("Base rowcount") && txt.contains("Column profile (2 common columns)"))
   }
+
+  test("segment digests: only the mutated key's segment differs, layout-independent") {
+    import spark.implicits._
+    val base = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "p")
+    val head = base.withColumn("p",
+      org.apache.spark.sql.functions.when($"k" === 42L, "CHANGED").otherwise($"p"))
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      DiffEngine.segmentDigests(df, "k", Seq("p"), 16)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (db, dh) = (dig(base), dig(head))
+    val differing = db.keySet.union(dh.keySet).filter(s => db.get(s) != dh.get(s))
+    assert(differing.size == 1)
+    // digests ignore physical layout: a shuffled base digests identically
+    assert(dig(base.repartition(7).sortWithinPartitions($"p")) == db)
+  }
+
+  test("bitemporal: correction, new period, and retro-delete obey both clocks") {
+    import spark.implicits._
+    // key 1: asserted A@vt10 (tx1), corrected B@vt10 (tx2), C@vt20 (tx3);
+    // key 2: A@vt10 (tx1), tombstoned (tx4)
+    val log = Seq((1L, "A", 1L, 10L, 0), (1L, "B", 2L, 10L, 0), (1L, "C", 3L, 20L, 0),
+      (2L, "A", 1L, 10L, 0), (2L, "D", 4L, 10L, 1)).toDF("k", "st", "v", "vt", "del")
+    def state(ka: Long, va: Long) =
+      DiffEngine.asOfBitemporal(log, Seq("k"), "v", "vt", "del", ka, va)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(1L, 15L) == Map(1L -> "A", 2L -> "A")) // before the correction
+    assert(state(2L, 15L) == Map(1L -> "B", 2L -> "A")) // correction visible
+    assert(state(3L, 25L) == Map(1L -> "C", 2L -> "A")) // new period at vt 20
+    assert(state(4L, 15L) == Map(1L -> "B"))            // key 2 retro-deleted
+    assert(state(4L, 5L) == Map.empty)                  // before any validity
+  }
 }
