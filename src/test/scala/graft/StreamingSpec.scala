@@ -418,4 +418,32 @@ class StreamingSpec extends SparkTestBase {
     val streamLive = finalState.filter(_.live).map(c => c.key -> c.value).toMap
     assert(streamLive == batchLive && batchLive == Map(1L -> "B", 3L -> "c"))
   }
+
+  test("streaming top-k agrees with the batch operator across out-of-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingTopK
+    import graft.streaming.StreamingTopK.Obs
+    import graft.operators.TopK
+    // same distribution as the batch spec, delivered in two shuffled
+    // batches with a duplicate redelivery of (g0, id 0)
+    val rows = (0L until 100L).map(i => Obs(s"g${i % 2}", i, (i * 37) % 50))
+    val (b1, b2) = rows.splitAt(60)
+    val mem = MemoryStream[Obs]
+    mem.addData(b2.reverse: _*) // later rows arrive first
+    mem.addData(b1 :+ rows.head: _*)
+    val out = StreamingTopK.runToTable(mem.toDS(), 4, "topk_stream").collect()
+    // Update mode: last emitted row per group is its final leaderboard
+    val finalTop = out.zipWithIndex.groupBy(_._1.group)
+      .map { case (g, xs) => g -> xs.maxBy(_._2)._1 }
+    val batch = TopK.topKPerGroup(
+      spark.createDataFrame(rows.map(o => (o.group, o.id, o.value))).toDF("g", "id", "v"),
+      "g", "id", "v", 4)
+      .orderBy("grp", "rank").collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> (rs.map(_.getLong(1)).toSeq, rs.map(_.getLong(2)).toSeq) }
+    assert(finalTop.keySet == batch.keySet)
+    finalTop.foreach { case (g, gt) =>
+      assert((gt.ids, gt.values) == batch(g), s"group $g")
+    }
+  }
 }
