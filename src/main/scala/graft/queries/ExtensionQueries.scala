@@ -2598,9 +2598,8 @@ object ExtensionQueries {
     QueryDef(
       "q138_trained_langid",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val profiles = TextAnalysis.trigramProfiles(docs, "lang", "text", k = 40)
-        TextAnalysis.trigramLanguageId(docs, "doc_id", "text", profiles, k = 40)
+        TextAnalysis.trigramLanguageIdSelf(
+          t(s, dir, "documents"), "doc_id", "lang", "text", k = 40)
           .orderBy("doc_id")
       },
       Some("""WITH norm AS (SELECT doc_id, lang,
@@ -4583,6 +4582,98 @@ object ExtensionQueries {
              |UNION ALL SELECT 3, 'dedup_winners', (SELECT count(*) FROM w)
              |UNION ALL SELECT 4, 'token_budget', (SELECT count(*) FROM p)
              |ORDER BY stage_idx""".stripMargin)
+    ),
+
+    // Longest-prefix CIDR classification of event source IPs (the q172
+    // generator's addresses): nested networks resolve to the most
+    // specific containing range — broadcast routing table, skinny
+    // regroup, fact stream never shuffled wide.
+    QueryDef(
+      "q201_cidr_lookup",
+      (s, dir) => {
+        val ips = events(s, dir).select(col("event_id"),
+          (lit(10L * 256 * 256 * 256) + (col("user_id") % 256) * 65536 +
+            (col("user_id") % 17) * 256 + col("event_id") % 256).as("ip"))
+        // 10.0.0.0/9 and 10.128.0.0/9 split the space; 10.64.0.0/10 and
+        // 10.64.0.0/12 nest inside the first for longest-prefix proof
+        val nets = Seq(
+          ("lower_half", 10L * 16777216, 9),
+          ("upper_half", 10L * 16777216 + 128L * 65536, 9),
+          ("quarter", 10L * 16777216 + 64L * 65536, 10),
+          ("narrow", 10L * 16777216 + 64L * 65536, 12))
+        NetTools.cidrLookup(ips, "ip", "event_id", nets)
+          .groupBy(coalesce(col("net"), lit("unrouted")).as("net"))
+          .agg(count(lit(1)).as("n"), max("prefix_len").as("plen"))
+          .orderBy("net")
+      },
+      Some("""WITH ip AS (SELECT event_id,
+             |    10 * 16777216 + (user_id % 256) * 65536 + (user_id % 17) * 256 + event_id % 256 AS ip
+             |  FROM events),
+             |nets(net, plen, lo, hi) AS (VALUES
+             |  ('lower_half', 9,  167772160, 167772160 + 8388608 - 1),
+             |  ('upper_half', 9,  167772160 + 8388608, 167772160 + 16777216 - 1),
+             |  ('quarter',   10,  167772160 + 4194304, 167772160 + 8388608 - 1),
+             |  ('narrow',    12,  167772160 + 4194304, 167772160 + 4194304 + 1048576 - 1)),
+             |m AS (SELECT ip.event_id, max(struct_pack(plen := n.plen, net := n.net)) AS best
+             |  FROM ip LEFT JOIN nets n ON ip.ip BETWEEN n.lo AND n.hi
+             |  GROUP BY ip.event_id)
+             |SELECT coalesce(best.net, 'unrouted') AS net, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(max(best.plen) AS BIGINT) AS plen
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Linear multi-touch attribution: each purchase splits 10000 basis
+    // points equally across the user's touches in the prior 24 h (the
+    // remainder goes to the LATEST touch — integer credits that always
+    // sum to exactly 10000·|attributed purchases|). The range join is
+    // time-banded: touches replicate to 2 bands, candidates meet on
+    // (user, band) — bounded blast, no interval explosion.
+    QueryDef(
+      "q202_multitouch",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val L = 86400000000L // 24 h in micros
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("eus"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("eus").as("pt"), expr("eus div 86400000000").as("band"))
+        val touch = e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_type").as("channel"), col("eus").as("tt"))
+          .select(col("*"), explode(expr(
+            "array(tt div 86400000000, tt div 86400000000 + 1)")).as("band"))
+        val pairs = purch.join(touch, Seq("user_id", "band"))
+          .filter(col("tt") <= col("pt") && col("tt") > col("pt") - L)
+          .select(col("user_id"), col("pt"), col("channel"), col("tt"))
+        import org.apache.spark.sql.expressions.Window
+        val wp = Window.partitionBy(col("user_id"), col("pt"))
+        val credits = pairs
+          .withColumn("n_t", count(lit(1)).over(wp))
+          .withColumn("last_tt", max("tt").over(wp))
+          .withColumn("credit_bp",
+            expr("10000 div n_t") +
+              when(col("tt") === col("last_tt"),
+                lit(10000L) - expr("10000 div n_t") * col("n_t"))
+                .otherwise(0L))
+        credits.groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"), sum("credit_bp").as("credit_bp"))
+          .orderBy("channel")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS eus FROM events),
+             |p AS (SELECT user_id, eus AS pt FROM e WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, event_type AS channel, eus AS tt FROM e
+             |  WHERE event_type IN ('click', 'view')),
+             |pairs AS (SELECT p.user_id, p.pt, t.channel, t.tt
+             |  FROM p JOIN t ON p.user_id = t.user_id
+             |  AND t.tt <= p.pt AND t.tt > p.pt - 86400000000),
+             |c AS (SELECT *, count(*) OVER w AS n_t, max(tt) OVER w AS last_tt
+             |  FROM pairs WINDOW w AS (PARTITION BY user_id, pt)),
+             |cr AS (SELECT channel,
+             |    10000 // n_t + CASE WHEN tt = last_tt
+             |      THEN 10000 - (10000 // n_t) * n_t ELSE 0 END AS credit_bp
+             |  FROM c)
+             |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+             |       CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+             |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
     // Deterministic three-way train/val/test split: pure map expression

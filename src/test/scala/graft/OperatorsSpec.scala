@@ -1789,6 +1789,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(maps(2).getMap[String, String](0).get("p").contains("9"))
   }
 
+  test("cidr lookup: longest prefix wins, malformed ips null, sloppy nets normalize") {
+    import spark.implicits._
+    import graft.operators.NetTools
+    val conv = Seq("10.0.0.1", "256.1.1.1", "1.2.3", "a.b.c.d", "0.0.0.0")
+      .toDF("ip").select(NetTools.ipv4ToLong($"ip").as("n")).collect()
+    assert(conv(0).getLong(0) == 10L * 16777216 + 1)
+    assert(conv(1).isNullAt(0) && conv(2).isNullAt(0) && conv(3).isNullAt(0))
+    assert(conv(4).getLong(0) == 0L)
+    // 10.0.0.0/8 contains 10.64.0.0/10; address 10.64.0.5 takes the /10;
+    // the /10 net address is given sloppily (10.64.0.99) and must normalize
+    val rows = Seq((1L, 10L * 16777216 + 5), (2L, 10L * 16777216 + 64 * 65536 + 5),
+      (3L, 11L * 16777216)).toDF("id", "ip")
+    val nets = Seq(("wide", 10L * 16777216, 8), ("deep", 10L * 16777216 + 64L * 65536 + 99, 10))
+    val out = NetTools.cidrLookup(rows, "ip", "id", nets)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(out == Seq((1L, Some("wide")), (2L, Some("deep")), (3L, None)))
+  }
+
+  test("fused self-trained langid is bit-identical to the two-pass composition") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "en", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "en", "the dog sleeps while the fox runs through the brown field"),
+      (3L, "xx", "zzzt bzzzt krrrk zzzt vrrrm bzzzt zzzt krrrk vrrrm zzzt"),
+      (4L, "xx", "krrrk vrrrm zzzt bzzzt krrrk zzzt vrrrm krrrk bzzzt"))
+      .toDF("doc_id", "lang", "text")
+    val twoPass = TextAnalysis.trigramLanguageId(docs, "doc_id", "text",
+      TextAnalysis.trigramProfiles(docs, "lang", "text", 20), 20)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fused = TextAnalysis.trigramLanguageIdSelf(docs, "doc_id", "lang", "text", 20)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fused == twoPass && fused.size == 4)
+    assert(fused.forall(r => r(1) == (if (r(0).asInstanceOf[Long] <= 2) "en" else "xx")))
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
