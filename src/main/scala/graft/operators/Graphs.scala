@@ -230,6 +230,40 @@ object Graphs {
     * Every round is ONE hash self-join on the pointer plus a
     * `localCheckpoint` to stop the doubled lineage itself growing
     * exponentially. Output: (node, root, depth). */
+  /** Single-source(s) weighted shortest paths, `maxIters` rounds of
+    * synchronous Bellman–Ford relaxation — the weighted sibling of
+    * [[bfsDistances]] (hop counts can't rank a weighted crawl graph or a
+    * cost-annotated lineage). Each round relaxes EVERY edge once: one
+    * key-shuffled join (current distances × out-edges) and one min
+    * aggregate; `maxIters ≥` the longest shortest-path's hop count
+    * guarantees exactness (n−1 in the worst case — for the small
+    * diameters real link graphs have, a few rounds), and extra rounds
+    * are fixed-point no-ops, not errors. Negative weights are rejected:
+    * without a negative-cycle check Bellman–Ford would silently loop
+    * value-down forever. `localCheckpoint` every 3rd round caps lineage
+    * like [[pageRank]]. Output: (node, dist) for reached nodes. */
+  def ssspBellmanFord(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      maxIters: Int): DataFrame = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    require(e.filter(col("w") < 0).isEmpty,
+      "negative edge weights need a negative-cycle check; not supported")
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (i <- 1 to maxIters) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed).groupBy("node").agg(min("dist").as("dist"))
+      if (i % 3 == 0 || i == maxIters) dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
   def treeRootsByDoubling(nodes: DataFrame, nodeCol: String, parentCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 40, "iters: 2^iters must cover max depth")

@@ -4676,6 +4676,33 @@ object ExtensionQueries {
              |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // Weighted shortest paths (bounded Bellman–Ford) over a synthetic
+    // doubling/tripling graph on supplier keys — min-cost distances where
+    // q165's BFS counts hops; the oracle enumerates every ≤10-hop path
+    // recursively and takes the min.
+    QueryDef(
+      "q203_sssp",
+      (s, dir) => {
+        val ks = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+        val edges = ks.select(col("k").as("src"), (col("k") * 2).as("dst"),
+            (col("k") % 7 + 1).as("w"))
+          .unionByName(ks.select(col("k").as("src"), (col("k") * 3).as("dst"),
+            (col("k") % 5 + 1).as("w")))
+        val seeds = ks.filter(col("k") === 1)
+        Graphs.ssspBellmanFord(edges, "src", "dst", "w", seeds, "k", maxIters = 10)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE ks AS (SELECT s_suppkey AS k FROM supplier),
+             |e AS (SELECT k AS src, k * 2 AS dst, k % 7 + 1 AS w FROM ks
+             |  UNION ALL SELECT k, k * 3, k % 5 + 1 FROM ks),
+             |p(node, d, hops) AS (
+             |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+             |  UNION ALL SELECT e.dst, p.d + e.w, p.hops + 1
+             |  FROM p JOIN e ON e.src = p.node WHERE p.hops < 10)
+             |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM p
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -1825,6 +1825,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(fused.forall(r => r(1) == (if (r(0).asInstanceOf[Long] <= 2) "en" else "xx")))
   }
 
+  test("plan shape: top-k shuffles once, proximity join hashes on cell only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Spatial, TopK}
+    // top-k: the only hash exchange is the survivors' window — the corpus
+    // reaches it already reduced to ≤ k rows per group per task
+    val df = (0L until 1000L).map(i => (s"g${i % 4}", i, i * 7 % 100))
+      .toDF("g", "id", "v").repartition(8)
+    val topkPlan = TopK.topKPerGroup(df, "g", "id", "v", 3)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(topkPlan).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$topkPlan")
+    // proximity: both sides hash on the cell key; the staircase-free cell
+    // join must NOT plan a cartesian/broadcast-nested-loop
+    val pts = (0L until 500L).map(i => (i, i * 37 % 10000, i * 91 % 10000))
+      .toDF("id", "x", "y")
+    val proxPlan = Spatial.proximityPairs(pts, "id", "x", "y", 50L, 50L)
+      .queryExecution.executedPlan.toString
+    assert(!proxPlan.contains("CartesianProduct") &&
+      !proxPlan.contains("BroadcastNestedLoopJoin"),
+      s"cell join degenerated:\n$proxPlan")
+  }
+
+  test("sssp: cheaper long path beats direct edge, negatives rejected") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L), (2L, 4L, 1L))
+      .toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("k")
+    val out = Graphs.ssspBellmanFord(edges, "s", "d", "w", seeds, "k", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 4L))
+    intercept[IllegalArgumentException] {
+      Graphs.ssspBellmanFord(edges.withColumn("w", lit(-1L)), "s", "d", "w", seeds, "k", 2)
+    }
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats

@@ -394,4 +394,29 @@ class PropertiesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: string parsers never throw on arbitrary garbage (quarantine contract)") {
+    import graft.operators.{NetTools, TextAnalysis, UrlTools}
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // arbitrary unicode-ish strings plus adversarial prefixes that LOOK
+    // like the grammars (half a log line, a dotted quad with junk, a '?')
+    val garbage: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.listOfN(20, Gen.choose(0, 0x2fff)).map(_.map(_.toChar).mkString),
+      Gen.asciiPrintableStr.map(s => "1.2.3." + s.take(10)),
+      Gen.asciiPrintableStr.map(s => "10.0.0.1 - u [x] \"GET " + s.take(12)),
+      Gen.asciiPrintableStr.map(s => "http://a/?" + s.take(20) + "&=&x"))
+    forAll(Gen.listOfN(24, garbage)) { strs =>
+      val df = strs.toDF("s")
+      // every parser must evaluate every row without a task failure
+      val out = df.select(
+        NetTools.ipv4ToLong(col("s")).as("ip"),
+        map_keys(UrlTools.queryParams("s")).as("pk"),
+        TextAnalysis.ibanCounts("s")._1.as("ic"))
+      assert(out.count() == strs.size)
+      val logs = TextAnalysis.parseAccessLog(df.withColumnRenamed("s", "line"), "line")
+      // and the log parser marks them all cleanly parsed-or-not
+      assert(logs.select(sum(col("parsed"))).collect().head.getLong(0) >= 0)
+    }
+  }
 }
