@@ -646,11 +646,53 @@ object DiffEngine {
     require(segments > 0, "segments must be positive")
     val seg = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
       .cast("long"), lit(segments.toLong))
+    // <NULL> sentinel, not concat_ws's null-skip: skipping would digest
+    // (a, NULL, b) and (a, b, NULL) identically — same canon as rowHash
     val rowDig = conv(substring(md5(concat_ws("|",
-      (keyCol +: payloadCols).map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
+      (keyCol +: payloadCols).map(c =>
+        coalesce(col(c).cast("string"), lit("<NULL>"))): _*)), 1, 8), 16, 10)
       .cast("long")
     df.groupBy(seg.as("seg"))
       .agg(count(lit(1)).as("n_rows"), sum(rowDig).as("digest"))
+  }
+
+  /** Digest-narrowed diff — [[segmentDigests]] completed into the working
+    * 100 TB mechanism: compare the two |segments|-row digest tables, then
+    * run the row-level anti/hash joins ONLY over rows whose key hashes
+    * into a differing segment. Counts are provably equal to the full
+    * diff's: an added or removed row changes its own segment's row count,
+    * and a changed row changes the digest sum (modulo an exact 2³²-sum
+    * collision — the same accepted-risk class as the md5 row hash the
+    * full diff itself rests on). On a mostly-unchanged corpus the
+    * narrowed scan touches |changed segments|/|segments| of the data;
+    * the digest pass itself is one map-side-combined aggregate per side.
+    * Output one row: (n_segments, n_differing, added, removed, changed). */
+  def diffBySegments(base: DataFrame, head: DataFrame, keyCol: String,
+      payloadCols: Seq[String], segments: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    def seg = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(segments.toLong))
+    val db = segmentDigests(base, keyCol, payloadCols, segments)
+      .select(col("seg"), col("n_rows").as("nb"), col("digest").as("gb"))
+    val dh = segmentDigests(head, keyCol, payloadCols, segments)
+      .select(col("seg"), col("n_rows").as("nh"), col("digest").as("gh"))
+    val differing = db.join(dh, Seq("seg"), "full_outer")
+      .filter(!(coalesce(col("nb"), lit(-1L)) === coalesce(col("nh"), lit(-1L)) &&
+        coalesce(col("gb"), lit(-1L)) === coalesce(col("gh"), lit(-1L))))
+      .select(col("seg")).localCheckpoint() // tiny; both subsets reuse it
+    val nDiff = differing.count()
+    val bSub = base.withColumn("__seg", seg)
+      .join(broadcast(differing), col("__seg") === col("seg"), "left_semi")
+      .drop("__seg")
+    val hSub = head.withColumn("__seg", seg)
+      .join(broadcast(differing), col("__seg") === col("seg"), "left_semi")
+      .drop("__seg")
+    Seq((segments.toLong, nDiff,
+      added(bSub, hSub, Seq(keyCol)).count(),
+      removed(bSub, hSub, Seq(keyCol)).count(),
+      changed(bSub, hSub, Seq(keyCol), payloadCols).count()))
+      .toDF("n_segments", "n_differing", "added", "removed", "changed")
   }
 
   /** Bitemporal point lookup over a CDC log: the state of every key at

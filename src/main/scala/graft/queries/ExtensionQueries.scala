@@ -4703,6 +4703,126 @@ object ExtensionQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // Clustering-layout advisor: RLE run counts per column within
+    // row-group-sized buckets, natural vs status-clustered layout — the
+    // integer measurement of WHY sorted/Z-ordered layouts compress and
+    // prune (runs ≈ parquet RLE segments; fewer runs = tighter encoding
+    // + better min/max pruning). Per-bucket windows parallelize; buckets
+    // model row groups, so cross-bucket boundaries rightly don't count.
+    QueryDef(
+      "q204_layout_advisor",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
+        import org.apache.spark.sql.expressions.Window
+        def runs(df: DataFrame, layout: String, ordCol: Column) = {
+          val w = Window.partitionBy(col("grp")).orderBy(ordCol, col("k"))
+          val flagged = df.withColumn("grp", expr("k div 1000"))
+            .withColumn("st_chg",
+              when(lag("st", 1).over(w).isNull || col("st") =!= lag("st", 1).over(w), 1L)
+                .otherwise(0L))
+            .withColumn("pri_chg",
+              when(lag("pri", 1).over(w).isNull || col("pri") =!= lag("pri", 1).over(w), 1L)
+                .otherwise(0L))
+          flagged.agg(sum("st_chg").as("status_runs"), sum("pri_chg").as("priority_runs"))
+            .select(lit(layout).as("layout"), col("status_runs"), col("priority_runs"))
+        }
+        runs(o, "a_natural", col("k"))
+          .unionByName(runs(o, "b_status_clustered", col("st")))
+          .orderBy("layout")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS pri,
+             |    o_orderkey // 1000 AS grp FROM orders),
+             |n AS (SELECT st, pri,
+             |    lag(st) OVER wn AS pst, lag(pri) OVER wn AS ppri FROM o
+             |  WINDOW wn AS (PARTITION BY grp ORDER BY k)),
+             |c AS (SELECT st, pri,
+             |    lag(st) OVER wc AS pst, lag(pri) OVER wc AS ppri FROM o
+             |  WINDOW wc AS (PARTITION BY grp ORDER BY st, k))
+             |SELECT 'a_natural' AS layout,
+             |  CAST(sum(CASE WHEN pst IS NULL OR st <> pst THEN 1 ELSE 0 END) AS BIGINT) AS status_runs,
+             |  CAST(sum(CASE WHEN ppri IS NULL OR pri <> ppri THEN 1 ELSE 0 END) AS BIGINT) AS priority_runs
+             |FROM n
+             |UNION ALL SELECT 'b_status_clustered',
+             |  CAST(sum(CASE WHEN pst IS NULL OR st <> pst THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(sum(CASE WHEN ppri IS NULL OR pri <> ppri THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM c
+             |ORDER BY layout""".stripMargin)
+    ),
+
+    // Join-cardinality estimation certificate: the textbook CBO formula
+    // |L|·|O| div max(ndv_L, ndv_O) against the true join count — the
+    // planner-statistics literacy check, all-integer both sides.
+    QueryDef(
+      "q205_join_card",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"))
+        val stats = li.agg(count(lit(1)).as("n_l"),
+            countDistinct("l_orderkey").as("ndv_l"))
+          .crossJoin(o.agg(count(lit(1)).as("n_o"),
+            countDistinct("o_orderkey").as("ndv_o")))
+        val exact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("exact"))
+        stats.crossJoin(exact)
+          .withColumn("est", expr("n_l * n_o div greatest(ndv_l, ndv_o)"))
+          .withColumn("err_pct",
+            expr("abs(est - exact) * 100 div greatest(exact, 1)"))
+          .select("n_l", "ndv_l", "n_o", "ndv_o", "exact", "est", "err_pct")
+      },
+      Some("""WITH s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_l,
+             |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS ndv_l,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_o,
+             |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS ndv_o,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem JOIN orders
+             |       ON l_orderkey = o_orderkey) AS exact)
+             |SELECT n_l, ndv_l, n_o, ndv_o, exact,
+             |       CAST(n_l * n_o // greatest(ndv_l, ndv_o) AS BIGINT) AS est,
+             |       CAST(abs(n_l * n_o // greatest(ndv_l, ndv_o) - exact) * 100
+             |            // greatest(exact, 1) AS BIGINT) AS err_pct
+             |FROM s""".stripMargin)
+    ),
+
+    // Digest-narrowed diff end-to-end: q198's segment digests completed
+    // into the working mechanism — adds/deletes/changes planted in the
+    // head snapshot, row joins run only inside differing segments, and
+    // the oracle states the planted truth directly (the narrowing must
+    // be invisible in the counts).
+    QueryDef(
+      "q206_diff_by_segments",
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val head = base.filter(col("k") % 101 =!= 0)
+          .withColumn("cents",
+            when(col("k") % 97 === 0, col("cents") + 1).otherwise(col("cents")))
+          .unionByName(base.filter(col("k") % 103 === 0)
+            .select((col("k") + 1000000).as("k"), col("st"), col("cents")))
+        graft.engine.DiffEngine.diffBySegments(base, head, "k", Seq("st", "cents"), 64)
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |head AS (SELECT k, st, CASE WHEN k % 97 = 0 THEN cents + 1 ELSE cents END AS cents
+             |    FROM base WHERE k % 101 <> 0
+             |  UNION ALL SELECT k + 1000000, st, cents FROM base WHERE k % 103 = 0),
+             |db AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4))::BIGINT % 64 AS seg,
+             |    count(*) AS n, sum(('0x' || substr(md5(k || '|' || st || '|' || cents), 1, 8))::BIGINT) AS g
+             |  FROM base GROUP BY 1),
+             |dh AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4))::BIGINT % 64 AS seg,
+             |    count(*) AS n, sum(('0x' || substr(md5(k || '|' || st || '|' || cents), 1, 8))::BIGINT) AS g
+             |  FROM head GROUP BY 1),
+             |d AS (SELECT count(*) AS n_differing FROM db FULL OUTER JOIN dh USING (seg)
+             |  WHERE NOT (coalesce(db.n, -1) = coalesce(dh.n, -1)
+             |         AND coalesce(db.g, -1) = coalesce(dh.g, -1)))
+             |SELECT CAST(64 AS BIGINT) AS n_segments,
+             |       CAST(d.n_differing AS BIGINT) AS n_differing,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k % 103 = 0) AS added,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k % 101 = 0) AS removed,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k % 97 = 0 AND k % 101 <> 0) AS changed
+             |FROM d""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

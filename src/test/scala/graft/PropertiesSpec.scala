@@ -395,6 +395,23 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: digest-narrowed diff counts equal the full diff on random mutations") {
+    forAll(rowsGen, Gen.choose(1, 20)) { (rows, pivot) =>
+      val base = rows.toDF("k", "v", "o")
+      val head = base.filter($"k" > pivot % 7)
+        .withColumn("v", when($"k" % 3 === 0, concat($"v", lit("!"))).otherwise($"v"))
+        .unionByName(base.filter($"k" % 4 === 0)
+          .select(($"k" + 100).as("k"), $"v", $"o"))
+      val full = (
+        DiffEngine.added(base, head, Seq("k")).count(),
+        DiffEngine.removed(base, head, Seq("k")).count(),
+        DiffEngine.changed(base, head, Seq("k"), Seq("v", "o")).count())
+      val nar = DiffEngine.diffBySegments(base, head, "k", Seq("v", "o"), 8)
+        .collect().head
+      assert((nar.getLong(2), nar.getLong(3), nar.getLong(4)) == full)
+    }
+  }
+
   test("property: string parsers never throw on arbitrary garbage (quarantine contract)") {
     import graft.operators.{NetTools, TextAnalysis, UrlTools}
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
