@@ -4823,6 +4823,78 @@ object ExtensionQueries {
              |FROM d""".stripMargin)
     ),
 
+    // Quantile-vector drift: exact deciles of the value distribution per
+    // event slice, joined into per-percentile shifts — the
+    // distribution-drift report that mean/variance monitors miss (a
+    // median shift with a stable mean), all rank-exact.
+    QueryDef(
+      "q207_quantile_drift",
+      (s, dir) => {
+        val e = events(s, dir).filter(col("event_type").isin("click", "view"))
+          .select(col("event_type").as("slice"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val q = Stats.groupedQuantiles(e, "slice", "cents",
+          percents = Seq(10, 25, 50, 75, 90))
+        val a = q.filter(col("slice") === "click")
+          .select(col("p"), col("cents").as("q_click"))
+        val b = q.filter(col("slice") === "view")
+          .select(col("p"), col("cents").as("q_view"))
+        a.join(b, "p")
+          .withColumn("shift_cents", col("q_view") - col("q_click"))
+          .orderBy("p")
+      },
+      Some("""WITH e AS (SELECT event_type AS slice, CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |r AS (SELECT slice, cents,
+             |    row_number() OVER (PARTITION BY slice ORDER BY cents) AS rn,
+             |    count(*) OVER (PARTITION BY slice) AS n FROM e),
+             |q AS (SELECT slice, CAST(p AS BIGINT) AS p, cents
+             |  FROM r CROSS JOIN (VALUES (10), (25), (50), (75), (90)) pv(p)
+             |  WHERE rn = (n * p + 99) // 100)
+             |SELECT a.p, a.cents AS q_click, b.cents AS q_view,
+             |       b.cents - a.cents AS shift_cents
+             |FROM q a JOIN q b ON a.p = b.p AND a.slice = 'click' AND b.slice = 'view'
+             |ORDER BY a.p""".stripMargin)
+    ),
+
+    // Degree assortativity certificate: over every edge of the q203
+    // doubling graph, exact covariance numerators of (out-degree(src),
+    // in-degree(dst)) — do hubs link to hubs? — via the q168 sufficient-
+    // statistics algebra on graph-structural quantities.
+    QueryDef(
+      "q208_assortativity",
+      (s, dir) => {
+        val ks = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+        val edges = ks.select(col("k").as("src"), (col("k") * 2).as("dst"))
+          .unionByName(ks.select(col("k").as("src"), (col("k") * 3).as("dst")))
+        val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
+        val ind = edges.groupBy("dst").agg(count(lit(1)).as("id_"))
+        val joined = edges.join(outd, "src").join(ind, "dst")
+          .select(lit("all").as("g"), col("od"), col("id_"))
+        canonOut(Stats.covarianceStats(joined, "g", "od", "id_"))
+      },
+      Some("""WITH ks AS (SELECT s_suppkey AS k FROM supplier),
+             |e AS (SELECT k AS src, k * 2 AS dst FROM ks
+             |  UNION ALL SELECT k, k * 3 FROM ks),
+             |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+             |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS id_ FROM e GROUP BY 1),
+             |j AS (SELECT od.od, ind.id_ FROM e JOIN od USING (src) JOIN ind USING (dst)),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(od) AS HUGEINT) AS sum_x, CAST(sum(id_) AS HUGEINT) AS sum_y,
+             |    CAST(sum(CAST(od AS HUGEINT) * od) AS HUGEINT) AS sum_xx,
+             |    CAST(sum(CAST(id_ AS HUGEINT) * id_) AS HUGEINT) AS sum_yy,
+             |    CAST(sum(CAST(od AS HUGEINT) * id_) AS HUGEINT) AS sum_xy
+             |  FROM j)
+             |SELECT 'all' AS g, n,
+             |       CAST(sum_x AS VARCHAR) AS sum_x, CAST(sum_y AS VARCHAR) AS sum_y,
+             |       CAST(sum_xx AS VARCHAR) AS sum_xx, CAST(sum_yy AS VARCHAR) AS sum_yy,
+             |       CAST(sum_xy AS VARCHAR) AS sum_xy,
+             |       CAST(n * sum_xy - sum_x * sum_y AS VARCHAR) AS cov_num_xnn,
+             |       CAST(n * sum_xx - sum_x * sum_x AS VARCHAR) AS var_x_xnn,
+             |       CAST(n * sum_yy - sum_y * sum_y AS VARCHAR) AS var_y_xnn
+             |FROM s""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
