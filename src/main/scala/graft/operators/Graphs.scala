@@ -281,4 +281,41 @@ object Graphs {
     }
     cur.select(col("node"), col("anc").as("root"), col("depth"))
   }
+
+  /** k-core decomposition by bounded peeling: repeatedly drop nodes whose
+    * degree within the SURVIVING subgraph is < k. Returns the survivors of
+    * `rounds` peeling rounds with their within-core degree — deterministic
+    * for any `rounds` (the caller's spec asserts fixpoint is reached on its
+    * data, making the output the true k-core).
+    *
+    * Edges are treated as an undirected simple graph (normalized to
+    * (min,max), deduped, self-loops dropped). Each round is one degree
+    * aggregate + one semi-join — linear hash shuffles on node id, no
+    * all-pairs anything; `localCheckpoint` every 3rd round caps lineage
+    * exactly like the other fixed-point walks here. */
+  def kCoreSurvivors(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 64, "rounds out of range")
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val inc = und.select(col("a").as("node"), col("b").as("other"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("other")))
+    var alive = inc.select("node").distinct().localCheckpoint()
+    var deg: DataFrame = null
+    for (i <- 1 to rounds) {
+      deg = inc
+        .join(alive.withColumnRenamed("node", "__x"), col("node") === col("__x"), "left_semi")
+        .join(alive.withColumnRenamed("node", "__y"), col("other") === col("__y"), "left_semi")
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      alive = deg.select("node")
+      if (i % 3 == 0 || i == rounds) { deg = deg.localCheckpoint(); alive = deg.select("node") }
+    }
+    deg
+  }
 }

@@ -96,4 +96,43 @@ object Packing {
       .withColumn("bin_offset", col("__start") - col("bin_id") * budget)
       .drop("__cum", "__start")
   }
+
+  /** Padding-waste certificate for fixed-size batch assembly: under each
+    * candidate document ORDER (a strategy), consecutive runs of `batchSize`
+    * documents form a batch padded to its longest member — the layout used
+    * when sequences are batched un-packed. Reports, per strategy, how many
+    * tokens the padding burns and the utilization in basis points; the
+    * classic result this certifies is that length-sorted batching recovers
+    * most of the padding a natural (ingest-order) layout wastes.
+    *
+    * Ranks come from [[withRunningTotal]]'s distributed prefix sum — NOT a
+    * global `row_number` window (single task) — so each strategy costs one
+    * range shuffle + one #partitions-row collect at any scale. `orderKey`
+    * must be unique per row (same contract as [[withRunningTotal]]).
+    * All-integer arithmetic; `util_bp = total*10000 div slots` exact. */
+  def paddingWaste(
+      df: DataFrame,
+      lenCol: String,
+      batchSize: Int,
+      strategies: Seq[(String, org.apache.spark.sql.Column)]
+  ): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(strategies.nonEmpty, "need at least one ordering strategy")
+    strategies.map { case (label, orderKey) =>
+      val keyed = df.select(orderKey.as("__ord"),
+        coalesce(col(lenCol).cast("long"), lit(0L)).as("__len"))
+        .withColumn("__one", lit(1L))
+      withRunningTotal(keyed, "__ord", "__one", "__rn")
+        .withColumn("__batch", expr(s"(__rn - 1) div ${batchSize}L"))
+        .groupBy("__batch")
+        .agg(max("__len").as("__mx"), sum("__len").as("__tot"),
+          count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_batches"), sum("__tot").as("total_tokens"),
+          sum(col("__mx") * col("__n")).as("slot_tokens"))
+        .select(lit(label).as("strategy"), col("n_batches"),
+          col("total_tokens"),
+          (col("slot_tokens") - col("total_tokens")).as("waste_tokens"),
+          expr("total_tokens * 10000 div slot_tokens").as("util_bp"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -51,6 +51,37 @@ object ExtensionQueries {
        |WHERE a.doc_id < b.doc_id""".stripMargin
   }
 
+  /** q210 peeling parameters, shared with KcoreSpec's fixpoint assertion. */
+  val KcoreK = 5
+  val KcoreRounds = 8
+
+  /** DuckDB oracle for q210: the identical k-core peeling recurrence,
+    * unrolled — round r keeps nodes with ≥ k neighbors inside round r-1's
+    * survivor set. Generated so rounds/k stay in lockstep with the Spark
+    * side's [[graft.operators.Graphs.kCoreSurvivors]] call. */
+  private lazy val duckKcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""d$r AS (SELECT i.node, count(*) AS deg FROM inc i
+         |  JOIN a${r - 1} x ON i.node = x.node JOIN a${r - 1} y ON i.other = y.node
+         |  GROUP BY 1 HAVING count(*) >= $KcoreK),
+         |a$r AS (SELECT node FROM d$r)""".stripMargin
+    }.mkString(",\n")
+    val hubEdges = Seq(10, 20, 30, 40, 50)
+      .map(j => s"  UNION ALL SELECT u, (u + $j) % n FROM hubs, nn")
+      .mkString("\n")
+    s"""WITH c AS (SELECT c_custkey - 1 AS u FROM customer),
+       |nn AS (SELECT count(*) AS n FROM c),
+       |hubs AS (SELECT u FROM c WHERE u % 10 = 0),
+       |e0 AS (SELECT u AS src, (3*u + 7) % n AS dst FROM c, nn
+       |$hubEdges),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e0 WHERE src <> dst),
+       |inc AS (SELECT a AS node, b AS other FROM und UNION ALL SELECT b, a FROM und),
+       |a0 AS (SELECT DISTINCT node FROM inc),
+       |$rounds
+       |SELECT node, CAST(deg AS BIGINT) AS deg FROM d$KcoreRounds ORDER BY node""".stripMargin
+  }
+
   private val duckShingles =
     """SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 3, 0) + 1),
       |         i -> array_to_string(w[i+1:i+3], ' '))) AS sh
@@ -4893,6 +4924,65 @@ object ExtensionQueries {
              |       CAST(n * sum_xx - sum_x * sum_x AS VARCHAR) AS var_x_xnn,
              |       CAST(n * sum_yy - sum_y * sum_y AS VARCHAR) AS var_y_xnn
              |FROM s""".stripMargin)
+    ),
+
+    // Padding-waste certificate: fixed-size batches padded to their longest
+    // member, natural ingest order vs length-sorted — the integer
+    // measurement of why training loaders length-bucket. Ranks via the
+    // Packing distributed prefix sum (no single-task global window).
+    QueryDef(
+      "q209_padding_waste",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+            .cast("long").as("tk"))
+        Packing.paddingWaste(d, "tk", batchSize = 32, strategies = Seq(
+          "a_natural" -> col("doc_id"),
+          "b_length_sorted" -> (col("tk") * 10000000L + col("doc_id"))))
+          .orderBy("strategy")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS tk
+             |  FROM documents),
+             |nat AS (SELECT tk, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b FROM d),
+             |srt AS (SELECT tk, (row_number() OVER (ORDER BY tk, doc_id) - 1) // 32 AS b FROM d),
+             |gn AS (SELECT b, max(tk) AS mx, sum(tk) AS tot, count(*) AS n FROM nat GROUP BY 1),
+             |gs AS (SELECT b, max(tk) AS mx, sum(tk) AS tot, count(*) AS n FROM srt GROUP BY 1),
+             |rep AS (
+             |  SELECT 'a_natural' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+             |         CAST(sum(tot) AS BIGINT) AS total_tokens,
+             |         CAST(sum(mx * n) - sum(tot) AS BIGINT) AS waste_tokens,
+             |         CAST(sum(tot) * 10000 // sum(mx * n) AS BIGINT) AS util_bp
+             |  FROM gn
+             |  UNION ALL
+             |  SELECT 'b_length_sorted', CAST(count(*) AS BIGINT),
+             |         CAST(sum(tot) AS BIGINT),
+             |         CAST(sum(mx * n) - sum(tot) AS BIGINT),
+             |         CAST(sum(tot) * 10000 // sum(mx * n) AS BIGINT)
+             |  FROM gs)
+             |SELECT * FROM rep ORDER BY strategy""".stripMargin)
+    ),
+
+    // k-core decomposition (bounded peeling) over a deterministic sparse
+    // graph on customer keys: survivors of 8 peel rounds at k=5 with their
+    // within-core degree. The oracle replays the identical peeling unrolled
+    // round by round; KCORE_ROUNDS is asserted past fixpoint by spec.
+    QueryDef(
+      "q210_kcore",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select((col("c_custkey") - 1).cast("long").as("u"))
+        val withN = c.crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
+        val hubs = withN.filter(col("u") % 10 === 0)
+        val edges = (
+          withN.select(col("u").as("src"), expr("(3*u + 7) % n").as("dst")) +:
+            Seq(10, 20, 30, 40, 50).map(j =>
+              hubs.select(col("u").as("src"), expr(s"(u + $j) % n").as("dst")))
+          ).reduce(_ unionByName _)
+        Graphs.kCoreSurvivors(edges, "src", "dst", k = KcoreK, rounds = KcoreRounds)
+          .orderBy("node")
+      },
+      Some(duckKcoreSql)
     ),
 
     // Deterministic three-way train/val/test split: pure map expression

@@ -1862,6 +1862,59 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("k-core peeling: cascade is multi-round, cycle survives as 2-core, q210 is past fixpoint") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    // Path 1-2-3-4-5-6-7 at k=2: leaves peel one layer per round — the
+    // operator's round parameter must gate the cascade, not a single pass.
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("s", "d")
+    def run(edges: org.apache.spark.sql.DataFrame, k: Int, rounds: Int) =
+      Graphs.kCoreSurvivors(edges, "s", "d", k, rounds).collect()
+        .map(r => r.getLong(0)).sorted.toSeq
+    assert(run(path, 2, 1) == Seq(2L, 3L, 4L, 5L, 6L)) // leaves gone
+    assert(run(path, 2, 2) == Seq(3L, 4L, 5L))         // next layer
+    assert(run(path, 2, 4).isEmpty)                    // path has no 2-core
+    // Cycle + tail: the cycle IS the 2-core; the tail peels away.
+    val cycle = Seq((10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L), (13L, 14L))
+      .toDF("s", "d")
+    assert(run(cycle, 2, 3) == Seq(10L, 11L, 12L))
+    // Duplicate + reversed + self-loop edges collapse to the simple graph.
+    val messy = cycle.unionByName(Seq((11L, 10L), (10L, 10L), (12L, 10L)).toDF("s", "d"))
+    assert(run(messy, 2, 3) == Seq(10L, 11L, 12L))
+    // q210's production call reaches fixpoint well inside its round budget:
+    // one extra round changes nothing on the sf0.001 graph.
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.ExtensionQueries.defs.find(_.name == "q210_kcore").get
+    val atBudget = q.fn(spark, dir).collect().map(_.toSeq).toSeq
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select((col("c_custkey") - 1).cast("long").as("u"))
+    val withN = c.crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
+    val hubs = withN.filter(col("u") % 10 === 0)
+    val edges = (
+      withN.select(col("u").as("src"), expr("(3*u + 7) % n").as("dst")) +:
+        Seq(10, 20, 30, 40, 50).map(j =>
+          hubs.select(col("u").as("src"), expr(s"(u + $j) % n").as("dst")))
+      ).reduce(_ unionByName _)
+    val onePast = Graphs.kCoreSurvivors(edges, "src", "dst",
+        graft.queries.ExtensionQueries.KcoreK, graft.queries.ExtensionQueries.KcoreRounds + 1)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    assert(atBudget == onePast && atBudget.nonEmpty)
+  }
+
+  test("padding waste: length-sorted batching strictly beats a shuffled natural order") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // Batches of 2: natural order pairs (9,1),(9,1) — each pads 8; sorted
+    // order pairs (1,1),(9,9) — zero padding.
+    val d = Seq((1L, 9L), (2L, 1L), (3L, 9L), (4L, 1L)).toDF("id", "tk")
+    val out = Packing.paddingWaste(d, "tk", 2, Seq(
+        "nat" -> col("id"), "srt" -> (col("tk") * 1000 + col("id"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("nat") == ((2L, 20L, 16L, 5555L))) // 20 real, 16 padded
+    assert(out("srt") == ((2L, 20L, 0L, 10000L))) // perfect utilization
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
