@@ -352,6 +352,43 @@ object Dedup {
         (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))
   }
 
+  /** ASYMMETRIC containment against a small probe set: for each (probe,
+    * doc) pair, |probe ∩ doc| / |probe| — excerpt/quotation detection,
+    * where symmetric Jaccard fails by construction (a 10-token quote inside
+    * a 1000-token article has Jaccard ≈ 1% but containment 100%).
+    *
+    * The probe side must be SMALL (eval snippets, canary strings, known
+    * quotes): it broadcasts, so the corpus never shuffles — the pair space
+    * is |corpus|·|probes| scanned map-side, never materialized. Probes with
+    * fewer than `minProbeTokens` tokens are dropped (a tiny probe set makes
+    * containment vacuous — an empty probe is contained in everything).
+    * Both token arrays must be sorted+distinct (the sorted-merge intersect
+    * contract shared with [[jaccardPairs]]). */
+  def containmentPairs(
+      corpus: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTokensCol: String,
+      minContainPct: Int,
+      minProbeTokens: Int = 5
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val p = probes
+      .select(col(probeIdCol), col(probeTokensCol),
+        size(col(probeTokensCol)).cast("long").as("probe_n"))
+      .filter(col("probe_n") >= minProbeTokens)
+    corpus.select(col(idCol), col(tokensCol))
+      .crossJoin(broadcast(p))
+      .select(col(probeIdCol), col(idCol),
+        graft.functions.GraftFunctions
+          .sortedIntersectCount(col(probeTokensCol), col(tokensCol))
+          .as("inter_n"),
+        col("probe_n"))
+      .filter(col("inter_n") * 100 >= col("probe_n") * minContainPct)
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket blocking then exact
     * cosine ≥ threshold within buckets — the embedding-space member of the
     * near-dup family. Pair count is bounded by bucket populations

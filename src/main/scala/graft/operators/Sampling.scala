@@ -202,4 +202,30 @@ object Sampling {
     }
     df.filter(hash32Of(keyCol) < threshold)
   }
+
+  /** Temperature-scaled mixture shares (T = 2, i.e. p^(1/2)): the standard
+    * multilingual/multi-domain rebalance that upsamples the tail without
+    * letting the head dominate — unnormalized weight = √count, reported as
+    * exact basis points against the √-weight total, next to the raw share.
+    * `boost_bp > 0` marks domains the temperature favors over proportional
+    * sampling. floor(sqrt) over a BIGINT count is engine-portable (IEEE
+    * double sqrt is correctly rounded and counts ≪ 2⁵²), and all shares are
+    * integer `div` — no float crosses the output boundary.
+    *
+    * Plan: one map-side-combined count per domain (the mixture-label
+    * cardinality contract of [[rebalanceToMixture]] applies), one 1-row
+    * total broadcast back — the corpus is scanned once, never shuffled. */
+  def sqrtTemperatureShares(df: DataFrame, domainCol: String): DataFrame = {
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as(domainCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w_sqrt", expr("cast(floor(sqrt(cnt)) as bigint)"))
+    val totals = counts.agg(sum("cnt").as("__tot"), sum("w_sqrt").as("__wtot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(domainCol), col("cnt"),
+        expr("cnt * 10000 div __tot").as("share_bp"),
+        col("w_sqrt"),
+        expr("w_sqrt * 10000 div __wtot").as("temp_share_bp"),
+        expr("w_sqrt * 10000 div __wtot - cnt * 10000 div __tot").as("boost_bp"))
+  }
 }

@@ -301,6 +301,47 @@ object Stats {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** Union length of (possibly overlapping) half-open integer intervals per
+    * group — "how much time was actually covered" where [[maxConcurrency]]
+    * answers "how deep did coverage stack". The sweep is the classic
+    * merge-islands scan expressed as per-group windows: an interval starts a
+    * new island iff its start exceeds the running max end of every earlier
+    * interval in the group; islands then reduce to `max(e) - min(s)` each.
+    * Touching intervals ([1,3)+[3,5)) merge — zero gap is still covered.
+    *
+    * Scale: both windows and the final aggregate hash-partition on the
+    * group column — one exchange total, no per-group data ever collects.
+    * Ordering ties on (s, e) don't affect island assignment (a tie's
+    * running max can only differ by intervals with the same start, whose
+    * ends cannot precede it), so the output is deterministic. */
+  def coveredLength(df: DataFrame, groupCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val iv = df
+      .select(col(groupCol).as("g"), col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e"))
+      .filter(col("s").isNotNull && col("e").isNotNull && col("s") < col("e"))
+    val wPrev = Window.partitionBy(col("g")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("g")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islanded = iv
+      .withColumn("__pm", max(col("e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pm").isNull || col("s") > col("__pm"), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+    islanded
+      .groupBy(col("g"), col("__isl"))
+      .agg(count(lit(1)).as("__n"), min(col("s")).as("__is"), max(col("e")).as("__ie"))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered"),
+        (max(col("__ie")) - min(col("__is"))).as("span"))
+      .withColumn("coverage_bp", expr("covered * 10000 div span"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Per-group covariance/correlation SUFFICIENT STATISTICS, exactly: n,
     * Σx, Σy, Σx², Σy², Σxy over integer-scaled inputs, plus the integer
     * numerators `n·Σxy − Σx·Σy` (covariance ×n²) and `n·Σx² − (Σx)²`

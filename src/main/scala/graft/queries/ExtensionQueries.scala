@@ -4985,6 +4985,96 @@ object ExtensionQueries {
       Some(duckKcoreSql)
     ),
 
+    // Asymmetric containment vs a broadcast probe set: excerpt/quote
+    // detection that symmetric Jaccard (q34) misses by construction. The
+    // corpus never shuffles — probes broadcast, pairs are scanned map-side.
+    QueryDef(
+      "q211_excerpt_containment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          sort_array(array_distinct(
+            expr("filter(split(text, '\\\\s+'), x -> x != '')"))).as("ws"))
+        val probes = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("probe_id"), expr("slice(ws, 3, 10)").as("pws"))
+        orderedOut(
+          Dedup.containmentPairs(docs, "doc_id", "ws", probes,
+            "probe_id", "pws", minContainPct = 80),
+          "probe_id", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x <> ''))) AS ws
+             |  FROM documents),
+             |p AS (SELECT doc_id AS probe_id, ws[3:12] AS pws FROM d WHERE doc_id % 97 = 0),
+             |p2 AS (SELECT probe_id, pws, CAST(len(pws) AS BIGINT) AS probe_n FROM p
+             |  WHERE len(pws) >= 5)
+             |SELECT p2.probe_id, d.doc_id,
+             |       CAST(len(list_intersect(p2.pws, d.ws)) AS BIGINT) AS inter_n,
+             |       probe_n
+             |FROM d, p2
+             |WHERE len(list_intersect(p2.pws, d.ws)) * 100 >= probe_n * 80
+             |ORDER BY probe_id, doc_id""".stripMargin)
+    ),
+
+    // Interval union coverage per group (sweep-line islands): how many of
+    // each supplier-slice's calendar days were actually covered by an open
+    // shipment — the complement of q164's "how deep do intervals stack".
+    QueryDef(
+      "q212_interval_coverage",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_suppkey") % 25).as("slice"),
+          datediff(col("l_shipdate"), lit("1992-01-01")).as("s"),
+          (datediff(col("l_shipdate"), lit("1992-01-01")) +
+            col("l_quantity").cast("int") % 30 + 1).as("e"))
+        Stats.coveredLength(li, "slice", "s", "e").orderBy("slice")
+      },
+      Some("""WITH iv AS (SELECT l_suppkey % 25 AS slice,
+             |    CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS s,
+             |    CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+             |      + CAST(l_quantity AS INT) % 30 + 1 AS e
+             |  FROM lineitem),
+             |m AS (SELECT slice, s, e,
+             |    max(e) OVER (PARTITION BY slice ORDER BY s, e
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM iv WHERE s < e),
+             |f AS (SELECT slice, s, e,
+             |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
+             |isl AS (SELECT slice, s, e,
+             |    sum(nw) OVER (PARTITION BY slice ORDER BY s, e
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+             |  FROM f),
+             |g AS (SELECT slice, i, count(*) AS n, min(s) AS is_, max(e) AS ie
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT slice, CAST(sum(n) AS BIGINT) AS n_intervals,
+             |       CAST(count(*) AS BIGINT) AS n_islands,
+             |       CAST(sum(ie - is_) AS BIGINT) AS covered,
+             |       CAST(max(ie) - min(is_) AS BIGINT) AS span,
+             |       CAST(sum(ie - is_) * 10000 // (max(ie) - min(is_)) AS BIGINT) AS coverage_bp
+             |FROM g GROUP BY slice ORDER BY slice""".stripMargin)
+    ),
+
+    // Temperature-scaled (T=2, √count) mixture shares per source: the
+    // upsample-the-tail weighting multilingual corpora use, certified in
+    // exact basis points next to the proportional share.
+    QueryDef(
+      "q213_mixture_temperature",
+      (s, dir) =>
+        Sampling.sqrtTemperatureShares(t(s, dir, "documents"), "source")
+          .orderBy("source"),
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w_sqrt
+             |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+             |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+             |    CAST(sum(w_sqrt) AS BIGINT) AS wtot FROM c)
+             |SELECT source, cnt,
+             |       CAST(cnt * 10000 // tot AS BIGINT) AS share_bp,
+             |       w_sqrt,
+             |       CAST(w_sqrt * 10000 // wtot AS BIGINT) AS temp_share_bp,
+             |       CAST(w_sqrt * 10000 // wtot - cnt * 10000 // tot AS BIGINT) AS boost_bp
+             |FROM c, tt ORDER BY source""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

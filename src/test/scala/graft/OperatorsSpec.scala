@@ -1915,6 +1915,52 @@ class OperatorsSpec extends SparkTestBase {
     assert(out("srt") == ((2L, 20L, 0L, 10000L))) // perfect utilization
   }
 
+  test("covered length: overlaps merge, touching merges, gaps split islands") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val iv = Seq(
+      ("g", 1L, 5L), ("g", 4L, 6L), ("g", 8L, 9L), // [1,6) + [8,9)
+      ("h", 1L, 3L), ("h", 3L, 5L),                // touching: one island [1,5)
+      ("h", 9L, 9L)                                // empty interval: dropped
+    ).toDF("grp", "s", "e")
+    val out = Stats.coveredLength(iv, "grp", "s", "e").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("g") == ((3L, 2L, 6L, 8L, 7500L)))
+    assert(out("h") == ((2L, 1L, 4L, 4L, 10000L)))
+  }
+
+  test("containment pairs: excerpt found at 100%, jaccard-invisible; tiny probes dropped") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, (1 to 100).map(i => s"w$i")),          // long article
+      (2L, Seq("w5", "w6", "w7", "x1", "x2")),    // partial overlap
+      (3L, Seq("z1", "z2", "z3"))                 // disjoint
+    ).map { case (id, ws) => (id, ws.distinct.sorted) }.toDF("doc_id", "ws")
+    val probes = Seq(
+      (10L, Seq("w3", "w5", "w6", "w7", "w9").sorted), // 5-token excerpt of doc 1
+      (11L, Seq("w1", "w2"))                           // too small: dropped
+    ).toDF("probe_id", "pws")
+    val out = Dedup.containmentPairs(corpus, "doc_id", "ws", probes,
+        "probe_id", "pws", minContainPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Only (probe 10, doc 1): containment 5/5; doc 2 has 3/5 = 60% < 80.
+    // Jaccard for the hit is 5/100 — the symmetric metric would never flag it.
+    assert(out.toSeq == Seq((10L, 1L, 5L, 5L)))
+  }
+
+  test("sqrt-temperature shares: tail boosted, head damped, exact basis points") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (Seq.fill(100)("big") ++ Seq("small")).map(Tuple1(_)).toDF("src")
+    val out = Sampling.sqrtTemperatureShares(df, "src").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("big") == ((100L, 9900L, 10L, 9090L, -810L)))
+    assert(out("small") == ((1L, 99L, 1L, 909L, 810L)))
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
