@@ -57,4 +57,21 @@ object Layout {
       .withColumn("z_key", zOrderKey(cells, bitsPerDim))
       .drop(dims.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: the key's shard
+    * is the `t` in 0..nShards-1 maximizing the engine-portable md5-fold
+    * weight of `key:t`. The property this buys over `key mod n`: growing
+    * the fleet n → n+1 moves only ~1/(n+1) of keys (only those whose new
+    * shard's weight now wins), where mod-resharding moves ~n/(n+1) —
+    * i.e., nearly everything. Pure scan-fused projection, codegen'd array
+    * expression, no shuffle, no UDF; ties (a 32-bit weight collision
+    * across two shards of one key) break deterministically to the higher
+    * shard via the lexicographic struct max. */
+  def rendezvousShard(keyCol: String, nShards: Int): Column = {
+    require(nShards >= 1, "nShards must be >= 1")
+    expr(
+      s"""array_max(transform(sequence(0, ${nShards - 1}),
+         |  t -> struct(CAST(conv(substring(md5(concat(CAST(`$keyCol` AS STRING), ':', CAST(t AS STRING))), 1, 8), 16, 10) AS BIGINT) AS w,
+         |              t))).t""".stripMargin)
+  }
 }

@@ -587,6 +587,43 @@ object Multimodal {
       .toDF(idCol, "n_samples", "r0", "best_lag", "r_best", "periodicity_x1m")
   }
 
+  /** Silence-run segmentation over the REAL RIFF/WAVE parse: longest
+    * consecutive run of samples with |s| < `threshold`, the count of
+    * maximal quiet runs, and total quiet samples — the features a
+    * voice-activity / silence-trim gate computes to decide whether a clip
+    * is worth transcribing (or should be split at its pauses). Same
+    * malformed→null contract and shuffle-free `mapPartitions` shape as
+    * [[wavFeatures]]; state is three counters per clip, never a
+    * materialized sample list in the plan. */
+  def wavSilenceRuns(df: DataFrame, idCol: String, payloadCol: String,
+      threshold: Int): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Some(_) =>
+            val s = wavSamples(bytes)
+            var longest = 0L; var runs = 0L; var quiet = 0L; var cur = 0L
+            var i = 0
+            while (i < s.length) {
+              if (math.abs(s(i)) < threshold) {
+                if (cur == 0L) runs += 1
+                cur += 1; quiet += 1
+                if (cur > longest) longest = cur
+              } else cur = 0L
+              i += 1
+            }
+            (id, Option(longest), Option(runs), Option(quiet))
+          case None =>
+            (id, None: Option[Long], None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "longest_quiet_run", "n_quiet_runs", "quiet_samples")
+  }
+
   /** Laplacian focus score over REAL decoded P6 pixels — the blur gate an
     * image-curation pipeline runs before spending feature-extraction
     * compute on an asset: per interior pixel, the 4-neighbor Laplacian of

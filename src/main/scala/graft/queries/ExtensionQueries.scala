@@ -5075,6 +5075,76 @@ object ExtensionQueries {
              |FROM c, tt ORDER BY source""".stripMargin)
     ),
 
+    // Silence-run segmentation over the REAL WAV parse (q90's payloads):
+    // longest quiet run / run count / quiet total at |s| < 4096 — the
+    // voice-activity gate before transcription compute. Oracle re-derives
+    // runs from the generator math with the window island trick.
+    QueryDef(
+      "q214_wav_silence",
+      (s, dir) => {
+        val withPayload = Multimodal.withWavPayload(
+          t(s, dir, "documents"), "doc_id", "text", nSamples = 256, sampleRate = 8000)
+        Multimodal.wavSilenceRuns(withPayload, "doc_id", "payload", threshold = 4096)
+          .orderBy("doc_id")
+      },
+      Some("""WITH smp AS (SELECT doc_id,
+             |  list_transform(range(256),
+             |    j -> ((ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) * 131 + 7*j) % 65536 - 32768) AS s
+             |  FROM documents),
+             |u AS (SELECT doc_id, unnest(s) AS v, unnest(range(256)) AS j FROM smp),
+             |q AS (SELECT doc_id, j, CASE WHEN abs(v) < 4096 THEN 1 ELSE 0 END AS quiet FROM u),
+             |g AS (SELECT doc_id, j, quiet,
+             |    j - row_number() OVER (PARTITION BY doc_id, quiet ORDER BY j) AS grp FROM q),
+             |runs AS (SELECT doc_id, count(*) AS rl FROM g WHERE quiet = 1 GROUP BY doc_id, grp),
+             |agg AS (SELECT doc_id, max(rl) AS longest, count(*) AS n_runs, sum(rl) AS total
+             |  FROM runs GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(a.longest, 0) AS BIGINT) AS longest_quiet_run,
+             |       CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_quiet_runs,
+             |       CAST(coalesce(a.total, 0) AS BIGINT) AS quiet_samples
+             |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin)
+    ),
+
+    // Rendezvous-hashing resharding certificate: fraction of keys that
+    // move when a 10-shard fleet grows to 11, highest-random-weight vs
+    // `mod n` — HRW moves ~1/11 of keys, mod moves ~10/11. Pure scan-fused
+    // codegen'd projection; the measurement any storage relayout plans on.
+    QueryDef(
+      "q215_rendezvous_resharding",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("h10", Layout.rendezvousShard("doc_id", 10))
+          .withColumn("h11", Layout.rendezvousShard("doc_id", 11))
+        val agg = d.agg(count(lit(1)).as("n"),
+          sum(when(col("h10") =!= col("h11"), 1L).otherwise(0L)).as("hrw_moved"),
+          sum(when(col("doc_id") % 10 =!= col("doc_id") % 11, 1L).otherwise(0L))
+            .as("mod_moved"))
+        agg.select(lit("a_rendezvous").as("strategy"), col("n").as("n_docs"),
+            col("hrw_moved").as("moved"),
+            expr("hrw_moved * 10000 div n").as("moved_bp"))
+          .unionByName(agg.select(lit("b_mod").as("strategy"),
+            col("n").as("n_docs"), col("mod_moved").as("moved"),
+            expr("mod_moved * 10000 div n").as("moved_bp")))
+          .orderBy("strategy")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_max(list_transform(range(10),
+             |      t -> [('0x' || substr(md5(doc_id || ':' || t), 1, 8))::BIGINT, t]))[2] AS h10,
+             |    list_max(list_transform(range(11),
+             |      t -> [('0x' || substr(md5(doc_id || ':' || t), 1, 8))::BIGINT, t]))[2] AS h11
+             |  FROM documents),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN h10 <> h11 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
+             |    CAST(sum(CASE WHEN doc_id % 10 <> doc_id % 11 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+             |  FROM d)
+             |SELECT 'a_rendezvous' AS strategy, n AS n_docs, hrw_moved AS moved,
+             |       CAST(hrw_moved * 10000 // n AS BIGINT) AS moved_bp FROM a
+             |UNION ALL SELECT 'b_mod', n, mod_moved,
+             |       CAST(mod_moved * 10000 // n AS BIGINT) FROM a
+             |ORDER BY strategy""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

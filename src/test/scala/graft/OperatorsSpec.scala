@@ -1961,6 +1961,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(out("small") == ((1L, 99L, 1L, 909L, 810L)))
   }
 
+  test("wav silence runs: islands counted on handcrafted samples, malformed is null") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val samples = Array[Short](0, 5000, 100, -50, 8000, 3, 2, 1)
+    val buf = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(buf.putShort)
+    val df = Seq((1L, buf.array()), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.wavSilenceRuns(df, "doc_id", "payload", threshold = 4096)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // quiet flags: T F T T F T T T -> runs of 1, 2, 3
+    assert(out(1L) == ((Some(3L), Some(3L), Some(6L))))
+    assert(out(2L) == ((None, None, None)))
+  }
+
+  test("rendezvous sharding: in-range, balanced, and stable under fleet growth") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val keys = (0L until 1000L).toDF("k")
+    val sharded = keys
+      .withColumn("s4", Layout.rendezvousShard("k", 4))
+      .withColumn("s5", Layout.rendezvousShard("k", 5))
+    val rows = sharded.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.forall { case (_, s4, s5) => s4 >= 0 && s4 < 4 && s5 >= 0 && s5 < 5 })
+    val byShard = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(byShard.size == 4 && byShard.values.min > 150) // balanced-ish
+    val hrwMoved = rows.count { case (_, s4, s5) => s4 != s5 }
+    val modMoved = rows.count { case (k, _, _) => k % 4 != k % 5 }
+    assert(hrwMoved < 350)        // ~1/5 expected; far under mod's ~4/5
+    assert(modMoved > 700 && hrwMoved * 2 < modMoved)
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
