@@ -67,6 +67,40 @@ object Layout {
     * expression, no shuffle, no UDF; ties (a 32-bit weight collision
     * across two shards of one key) break deterministically to the higher
     * shard via the lexicographic struct max. */
+  /** Zone-map (min/max) pruning certificate for one candidate layout: rows
+    * in `orderKey` order form `bucketRows`-row "row groups"; a range scan
+    * `lo ≤ value ≤ hi` must read every bucket whose [min,max] overlaps the
+    * predicate. Reports buckets/rows scanned vs rows actually matching —
+    * `amplification_bp` is the integer measure of how much a layout makes
+    * the reader over-fetch (10000 = perfect pruning). Complements the RLE
+    * run-count advisor: runs measure encoding, this measures skipping.
+    *
+    * Ranks come from the Packing distributed prefix sum (one range shuffle
+    * + a #partitions-row collect), never a single-task global window;
+    * everything after is two grouped aggregates on the bucket id. */
+  def zoneMapScan(df: DataFrame, orderKey: Column, valueCol: Column,
+      bucketRows: Int, lo: Long, hi: Long, label: String): DataFrame = {
+    require(bucketRows > 0, "bucketRows must be positive")
+    require(lo <= hi, "empty predicate range")
+    val keyed = df.select(orderKey.as("__ord"), valueCol.cast("long").as("__v"))
+      .withColumn("__one", lit(1L))
+    val scanned = col("mx") >= lo && col("mn") <= hi
+    Packing.withRunningTotal(keyed, "__ord", "__one", "__rn")
+      .withColumn("__b", expr(s"(__rn - 1) div ${bucketRows}L"))
+      .groupBy("__b")
+      .agg(min("__v").as("mn"), max("__v").as("mx"), count(lit(1)).as("n"),
+        sum(when(col("__v").between(lo, hi), 1L).otherwise(0L)).as("match_n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(scanned, 1L).otherwise(0L)).as("buckets_scanned"),
+        sum(col("n")).as("rows_total"),
+        sum(when(scanned, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("match_n")).as("rows_matching"))
+      .select(lit(label).as("layout"), col("n_buckets"), col("buckets_scanned"),
+        col("rows_total"), col("rows_scanned"), col("rows_matching"),
+        expr("rows_scanned * 10000 div greatest(rows_matching, 1)")
+          .as("amplification_bp"))
+  }
+
   def rendezvousShard(keyCol: String, nShards: Int): Column = {
     require(nShards >= 1, "nShards must be >= 1")
     expr(

@@ -203,6 +203,37 @@ object Sampling {
     df.filter(hash32Of(keyCol) < threshold)
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an integer sample
+    * budget across domains: every domain gets `budget·n div N` slots, and
+    * the `budget − Σbase` leftover slots go one each to the largest
+    * remainders (ties break on domain name, so the allocation is total and
+    * deterministic). By construction `Σalloc = budget` EXACTLY — the
+    * property float-rounded quota columns can't give a downstream sampler.
+    *
+    * The rank window is unpartitioned but runs over one row per DOMAIN
+    * (the mixture-label cardinality contract of [[rebalanceToMixture]]),
+    * never over data rows; the corpus itself is scanned once for the
+    * counts. */
+  def largestRemainderAllocation(df: DataFrame, domainCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as(domainCol))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("__N"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"${budget}L * cnt div __N"))
+      .withColumn("rem", expr(s"${budget}L * cnt % __N"))
+    val leftover = based.agg((lit(budget) - sum("base")).as("__L"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("rem").desc, col(domainCol))))
+      .select(col(domainCol), col("cnt"), col("base"), col("rem"),
+        (col("base") + when(col("__rk") <= col("__L"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Temperature-scaled mixture shares (T = 2, i.e. p^(1/2)): the standard
     * multilingual/multi-domain rebalance that upsamples the tail without
     * letting the head dominate — unnormalized weight = √count, reported as

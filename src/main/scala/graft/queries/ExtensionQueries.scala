@@ -5145,6 +5145,74 @@ object ExtensionQueries {
              |ORDER BY strategy""".stripMargin)
     ),
 
+    // Zone-map pruning certificate: 1000-row "row groups" under natural vs
+    // value-clustered layout, min/max overlap vs a fixed price-range scan —
+    // the skipping measurement that completes q204's encoding story
+    // (clustered layout should prune to ~the matching buckets; natural
+    // reads nearly everything).
+    QueryDef(
+      "q216_zonemap_pruning",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val lo = 5000000L; val hi = 10000000L
+        Layout.zoneMapScan(o, col("k"), col("cents"), 1000, lo, hi, "a_natural")
+          .unionByName(Layout.zoneMapScan(o,
+            col("cents") * 1000000000L + col("k"), col("cents"),
+            1000, lo, hi, "b_clustered"))
+          .orderBy("layout")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |nat AS (SELECT cents, (row_number() OVER (ORDER BY k) - 1) // 1000 AS b FROM o),
+             |clu AS (SELECT cents, (row_number() OVER (ORDER BY cents, k) - 1) // 1000 AS b FROM o),
+             |gn AS (SELECT b, min(cents) AS mn, max(cents) AS mx, count(*) AS n,
+             |    sum(CASE WHEN cents BETWEEN 5000000 AND 10000000 THEN 1 ELSE 0 END) AS match_n
+             |  FROM nat GROUP BY 1),
+             |gc AS (SELECT b, min(cents) AS mn, max(cents) AS mx, count(*) AS n,
+             |    sum(CASE WHEN cents BETWEEN 5000000 AND 10000000 THEN 1 ELSE 0 END) AS match_n
+             |  FROM clu GROUP BY 1),
+             |rep AS (
+             |  SELECT 'a_natural' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+             |    CAST(sum(CASE WHEN mx >= 5000000 AND mn <= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+             |    CAST(sum(n) AS BIGINT) AS rows_total,
+             |    CAST(sum(CASE WHEN mx >= 5000000 AND mn <= 10000000 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+             |    CAST(sum(match_n) AS BIGINT) AS rows_matching
+             |  FROM gn
+             |  UNION ALL
+             |  SELECT 'b_clustered', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN mx >= 5000000 AND mn <= 10000000 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(n) AS BIGINT),
+             |    CAST(sum(CASE WHEN mx >= 5000000 AND mn <= 10000000 THEN n ELSE 0 END) AS BIGINT),
+             |    CAST(sum(match_n) AS BIGINT)
+             |  FROM gc)
+             |SELECT layout, n_buckets, buckets_scanned, rows_total, rows_scanned,
+             |       rows_matching,
+             |       CAST(rows_scanned * 10000 // greatest(rows_matching, 1) AS BIGINT) AS amplification_bp
+             |FROM rep ORDER BY layout""".stripMargin)
+    ),
+
+    // Largest-remainder (Hamilton) apportionment of a 10k sample budget
+    // across sources: base quotas + one slot per largest remainder, so the
+    // allocations sum to the budget EXACTLY — what float quota rounding
+    // can't promise a downstream sampler.
+    QueryDef(
+      "q217_budget_allocation",
+      (s, dir) =>
+        Sampling.largestRemainderAllocation(t(s, dir, "documents"), "source",
+          budget = 10000L).orderBy("source"),
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS N FROM c),
+             |b AS (SELECT source, cnt, CAST(10000 * cnt // N AS BIGINT) AS base,
+             |    CAST(10000 * cnt % N AS BIGINT) AS rem FROM c, t),
+             |l AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS L FROM b),
+             |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+             |SELECT source, cnt, base, rem,
+             |       CAST(base + CASE WHEN rk <= L THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM r, l ORDER BY source""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -2000,6 +2000,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(modMoved > 700 && hrwMoved * 2 < modMoved)
   }
 
+  test("zone-map scan: clustered layout prunes, natural layout over-fetches") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val df = Seq((1L, 1L), (2L, 10L), (3L, 2L), (4L, 11L), (5L, 3L), (6L, 12L))
+      .toDF("k", "v")
+    def run(key: org.apache.spark.sql.Column, label: String) =
+      Layout.zoneMapScan(df, key, col("v"), 2, 10L, 12L, label).collect().head
+    val nat = run(col("k"), "nat")
+    // natural buckets (1,10)(2,11)(3,12): every zone overlaps [10,12]
+    assert((nat.getLong(1), nat.getLong(2), nat.getLong(4), nat.getLong(5), nat.getLong(6)) ==
+      ((3L, 3L, 6L, 3L, 20000L)))
+    val clu = run(col("v") * 100 + col("k"), "clu")
+    // clustered buckets (1,2)(3,10)(11,12): first zone is skipped
+    assert((clu.getLong(2), clu.getLong(4), clu.getLong(6)) == ((2L, 4L, 13333L)))
+  }
+
+  test("largest-remainder allocation: sums exactly to budget, remainders ranked") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .map(Tuple1(_)).toDF("src")
+    val out = Sampling.largestRemainderAllocation(df, "src", budget = 7L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // quotas: a 3.5, b 2.1, c 1.4 -> bases 3/2/1, leftover 1 goes to a (rem 5)
+    assert(out("a") == ((3L, 5L, 4L)))
+    assert(out("b") == ((2L, 1L, 2L)))
+    assert(out("c") == ((1L, 4L, 1L)))
+    assert(out.values.map(_._3).sum == 7L)
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
