@@ -5213,6 +5213,110 @@ object ExtensionQueries {
              |FROM r, l ORDER BY source""".stripMargin)
     ),
 
+    // Explicit GROUPING SETS (the general form behind q19's ROLLUP / q178's
+    // CUBE): four hand-picked sets in ONE aggregation pass with an explicit
+    // 2·grouping(a)+grouping(b) id — Spark's Expand feeds all sets from a
+    // single scan, which is the point at 100 TB (4 group-bys would be 4).
+    QueryDef(
+      "q218_grouping_sets",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        o.groupingSets(
+            Seq(Seq(col("st"), col("pri")), Seq(col("st")), Seq(col("pri")), Seq()),
+            col("st"), col("pri"))
+          .agg((grouping(col("st")) * 2 + grouping(col("pri"))).cast("long").as("gid"),
+            count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+          .select(coalesce(col("st"), lit("ALL")).as("st"),
+            coalesce(col("pri"), lit("ALL")).as("pri"),
+            col("gid"), col("n"), col("cents_sum"))
+          .orderBy("gid", "st", "pri")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             |       coalesce(o_orderpriority, 'ALL') AS pri,
+             |       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |                        (o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, st, pri""".stripMargin)
+    ),
+
+    // Value-RANGE window frame: 7-day trailing spend per user over EVENT
+    // TIME (peers at the same day aggregate together whatever their row
+    // order — the determinism ROWS frames can't give on ties). One
+    // exchange on user_id.
+    QueryDef(
+      "q219_trailing_window",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = events(s, dir).select(col("event_id"), col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rangeBetween(-6, 0)
+        e.withColumn("trail7_cents", sum("cents").over(w))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT event_id, user_id, day, cents,
+             |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day
+             |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_cents
+             |FROM e ORDER BY event_id""".stripMargin)
+    ),
+
+    // Matryoshka-truncation recall: top-10 by full 64-dim cosine vs top-10
+    // by the first 8 dims, overlap per probe — the exact measurement behind
+    // "can we ANN on a prefix and re-rank on the full vector".
+    QueryDef(
+      "q220_matryoshka_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val probeF = col("vec_id") % 50 === 0
+        val full = Similarity.knnJoin(e, "vec_id", "embedding", probeF, k = 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        val e8 = e.select(col("vec_id"), expr("slice(embedding, 1, 8)").as("emb8"))
+        val trunc = Similarity.knnJoin(e8, "vec_id", "emb8", probeF, k = 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        val overlap = full.join(trunc, Seq("probe_id", "neighbor_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("overlap10"))
+        e.filter(probeF).select(col("vec_id").as("probe_id"))
+          .join(overlap, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("overlap10"), lit(0L)).as("overlap10"),
+            (coalesce(col("overlap10"), lit(0L)) * 10).as("recall_pct"))
+          .orderBy("probe_id")
+      },
+      Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+             |  WHERE vec_id % 50 = 0),
+             |sf AS (SELECT probe_id, vec_id AS neighbor_id,
+             |  CAST(list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y)
+             |   / (sqrt(list_reduce(list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y))
+             |    * sqrt(list_reduce(list_transform(range(len(pv)), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y))) AS DECIMAL(16,12)) AS cs
+             |  FROM embeddings, p WHERE vec_id <> probe_id),
+             |rf AS (SELECT probe_id, neighbor_id,
+             |  row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk FROM sf),
+             |st AS (SELECT probe_id, vec_id AS neighbor_id,
+             |  CAST(list_reduce(list_transform(range(8), i -> embedding[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y)
+             |   / (sqrt(list_reduce(list_transform(range(8), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE), (x,y) -> x + y))
+             |    * sqrt(list_reduce(list_transform(range(8), i -> pv[i+1]::DOUBLE * pv[i+1]::DOUBLE), (x,y) -> x + y))) AS DECIMAL(16,12)) AS cs
+             |  FROM embeddings, p WHERE vec_id <> probe_id),
+             |rt AS (SELECT probe_id, neighbor_id,
+             |  row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk FROM st),
+             |ov AS (SELECT rf.probe_id, CAST(count(*) AS BIGINT) AS overlap10
+             |  FROM rf JOIN rt ON rf.probe_id = rt.probe_id AND rf.neighbor_id = rt.neighbor_id
+             |  WHERE rf.rk <= 10 AND rt.rk <= 10 GROUP BY 1)
+             |SELECT p.probe_id, CAST(coalesce(ov.overlap10, 0) AS BIGINT) AS overlap10,
+             |       CAST(coalesce(ov.overlap10, 0) * 10 AS BIGINT) AS recall_pct
+             |FROM p LEFT JOIN ov ON p.probe_id = ov.probe_id
+             |ORDER BY p.probe_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
