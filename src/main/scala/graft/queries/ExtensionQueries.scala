@@ -5317,6 +5317,99 @@ object ExtensionQueries {
              |ORDER BY p.probe_id""".stripMargin)
     ),
 
+    // Entity resolution, Fellegi–Sunter style: a deterministically dirtied
+    // copy of customer (case noise, segment corruption, ±1-cent balance
+    // drift) re-linked to the original by INTEGER field-agreement weights
+    // inside hash blocks — blocking on (nation, casefolded-name md5 bucket)
+    // bounds candidates; no all-pairs compare ever runs.
+    QueryDef(
+      "q221_entity_resolution",
+      (s, dir) => {
+        val base = t(s, dir, "customer").select(col("c_custkey").as("id"),
+          col("c_name").as("name"), col("c_nationkey").as("nat"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"),
+          col("c_mktsegment").as("seg"))
+        val dirty = base.select((col("id") + 1000000L).as("b_id"),
+          when(col("id") % 3 === 0, upper(col("name"))).otherwise(col("name")).as("b_name"),
+          col("nat").as("b_nat"),
+          when(col("id") % 5 === 0, col("cents") + 1).otherwise(col("cents")).as("b_cents"),
+          when(col("id") % 7 === 0, lit("UNKNOWN")).otherwise(col("seg")).as("b_seg"))
+        def blk(c: String) =
+          expr(s"CAST(conv(substring(md5(lower(`$c`)), 1, 4), 16, 10) AS BIGINT) % 64")
+        val a = base.withColumn("blk", blk("name"))
+        val b = dirty.withColumn("blk", blk("b_name"))
+        val scored = a.join(b, Seq("blk"))
+          .filter(col("nat") === col("b_nat"))
+          .withColumn("w_name",
+            when(lower(col("name")) === lower(col("b_name")), 40L).otherwise(-10L))
+          .withColumn("w_seg", when(col("seg") === col("b_seg"), 15L).otherwise(-5L))
+          .withColumn("w_bal",
+            when(abs(col("cents") - col("b_cents")) <= 1, 20L).otherwise(-10L))
+          .withColumn("score", col("w_name") + col("w_seg") + col("w_bal"))
+        orderedOut(scored.filter(col("score") >= 50)
+          .select(col("id"), col("b_id"), col("w_name"), col("w_seg"),
+            col("w_bal"), col("score")),
+          "id", "b_id")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment AS seg
+             |  FROM customer),
+             |dirty AS (SELECT id + 1000000 AS b_id,
+             |    CASE WHEN id % 3 = 0 THEN upper(name) ELSE name END AS b_name,
+             |    nat AS b_nat,
+             |    CASE WHEN id % 5 = 0 THEN cents + 1 ELSE cents END AS b_cents,
+             |    CASE WHEN id % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS b_seg
+             |  FROM base),
+             |a AS (SELECT *, ('0x' || substr(md5(lower(name)), 1, 4))::BIGINT % 64 AS blk FROM base),
+             |b AS (SELECT *, ('0x' || substr(md5(lower(b_name)), 1, 4))::BIGINT % 64 AS blk FROM dirty),
+             |sc AS (SELECT a.id, b.b_id,
+             |    CASE WHEN lower(a.name) = lower(b.b_name) THEN 40 ELSE -10 END AS w_name,
+             |    CASE WHEN a.seg = b.b_seg THEN 15 ELSE -5 END AS w_seg,
+             |    CASE WHEN abs(a.cents - b.b_cents) <= 1 THEN 20 ELSE -10 END AS w_bal
+             |  FROM a JOIN b ON a.blk = b.blk AND a.nat = b.b_nat)
+             |SELECT id, b_id, CAST(w_name AS BIGINT) AS w_name,
+             |       CAST(w_seg AS BIGINT) AS w_seg, CAST(w_bal AS BIGINT) AS w_bal,
+             |       CAST(w_name + w_seg + w_bal AS BIGINT) AS score
+             |FROM sc WHERE w_name + w_seg + w_bal >= 50
+             |ORDER BY id, b_id""".stripMargin)
+    ),
+
+    // URL path-hierarchy rollup: every ancestor prefix of a 3-level path
+    // aggregated in one explode pass — the crawl-planning view ("how much
+    // of the corpus lives under /a1/b3") a flat GROUP BY path can't give.
+    QueryDef(
+      "q222_path_rollup",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          concat(lit("/a"), (col("doc_id") % 3).cast("string")).as("p1"),
+          concat(lit("/a"), (col("doc_id") % 3).cast("string"),
+            lit("/b"), (col("doc_id") % 5).cast("string")).as("p2"),
+          concat(lit("/a"), (col("doc_id") % 3).cast("string"),
+            lit("/b"), (col("doc_id") % 5).cast("string"),
+            lit("/c"), (col("doc_id") % 7).cast("string")).as("p3"))
+        d.select(col("doc_id"), col("source"),
+            explode(array(col("p1"), col("p2"), col("p3"))).as("prefix"))
+          .groupBy("prefix")
+          .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"))
+          .withColumn("depth",
+            (length(col("prefix")) - length(regexp_replace(col("prefix"), "/", "")))
+              .cast("long"))
+          .select("prefix", "depth", "n_docs", "n_sources")
+          .orderBy("prefix")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    '/a' || (doc_id % 3) AS p1,
+             |    '/a' || (doc_id % 3) || '/b' || (doc_id % 5) AS p2,
+             |    '/a' || (doc_id % 3) || '/b' || (doc_id % 5) || '/c' || (doc_id % 7) AS p3
+             |  FROM documents),
+             |x AS (SELECT doc_id, source, unnest([p1, p2, p3]) AS prefix FROM d)
+             |SELECT prefix,
+             |       CAST(length(prefix) - length(replace(prefix, '/', '')) AS BIGINT) AS depth,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+             |FROM x GROUP BY prefix ORDER BY prefix""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
