@@ -307,15 +307,26 @@ object Graphs {
       .unionByName(und.select(col("b").as("node"), col("a").as("other")))
     var alive = inc.select("node").distinct().localCheckpoint()
     var deg: DataFrame = null
-    for (i <- 1 to rounds) {
-      deg = inc
-        .join(alive.withColumnRenamed("node", "__x"), col("node") === col("__x"), "left_semi")
-        .join(alive.withColumnRenamed("node", "__y"), col("other") === col("__y"), "left_semi")
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-      alive = deg.select("node")
-      if (i % 3 == 0 || i == rounds) { deg = deg.localCheckpoint(); alive = deg.select("node") }
-    }
+    // Early exit at fixpoint is SOUND here: survivor sets only ever shrink
+    // (alive_r ⊆ alive_{r-1}), so an unchanged COUNT implies an unchanged
+    // SET — and from a fixpoint every further round is identity. Each round
+    // checkpoints its (small, shrinking) survivor frame, so the count is a
+    // cheap local read and lineage never grows.
+    var prevCount = -1L
+    var i = 0
+    while (i < rounds && {
+        deg = inc
+          .join(alive.withColumnRenamed("node", "__x"), col("node") === col("__x"), "left_semi")
+          .join(alive.withColumnRenamed("node", "__y"), col("other") === col("__y"), "left_semi")
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .localCheckpoint()
+        alive = deg.select("node")
+        val c = deg.count()
+        val changed = c != prevCount
+        prevCount = c
+        changed
+      }) { i += 1 }
     deg
   }
 }
