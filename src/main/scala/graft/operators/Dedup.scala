@@ -352,6 +352,63 @@ object Dedup {
         (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))
   }
 
+  /** Bloom-join pruning CERTIFICATE with an engine-exact Bloom: the bit
+    * array is represented as the distinct SET of bit positions lit by the
+    * build keys (position i of key = md5-fold of `key:i` mod `mBits`), and
+    * a probe passes iff all `kHashes` of its positions are lit — exactly a
+    * Bloom filter, but every number is replayable in plain SQL, unlike an
+    * opaque bitset whose false positives can't be oracle-checked. Reports
+    * how many probe rows a runtime Bloom filter would admit vs the exact
+    * semi-join truth — the measurement behind sizing Spark's runtime
+    * row-group/bloom pruning (`fpr_bp` = false positives per 10k true
+    * negatives).
+    *
+    * Plan shape: build positions aggregate to ≤ mBits rows (broadcast);
+    * the probe side explodes to kHashes rows per probe, one broadcast-hash
+    * join, no shuffle of the probe table itself. */
+  def bloomJoinPruneStats(
+      probe: DataFrame,
+      probeKey: String,
+      build: DataFrame,
+      buildKey: String,
+      mBits: Int,
+      kHashes: Int
+  ): DataFrame = {
+    require(mBits > 0 && kHashes > 0, "mBits and kHashes must be positive")
+    def positions(df: DataFrame, key: String) = df
+      .select(col(key).cast("string").as("__k"))
+      .select(col("__k"), explode(expr(
+        s"""transform(sequence(0, ${kHashes - 1}),
+           |  i -> CAST(conv(substring(md5(concat(__k, ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % $mBits)""".stripMargin))
+        .as("__pos"))
+    val lit_ = positions(build, buildKey).select("__pos").distinct()
+    val buildKeys = build.select(col(buildKey).cast("string").as("__bk")).distinct()
+    // membership is per key VALUE: hash the distinct probe keys once, then
+    // join the verdict back to probe ROWS (the runtime-filter shape)
+    val probeKeys = probe.select(col(probeKey).cast("string").as("__k"))
+    val perKey = positions(probeKeys.distinct(), "__k")
+      .join(broadcast(lit_.withColumnRenamed("__pos", "__lp")),
+        col("__pos") === col("__lp"), "left")
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), count(col("__lp")).as("__hit"))
+      .select(col("__k"), (col("__hit") === col("__n")).as("__pass"))
+    val truth = buildKeys
+    probeKeys
+      .join(broadcast(perKey), Seq("__k"), "left")
+      .join(broadcast(truth), col("__k") === col("__bk"), "left")
+      .agg(
+        count(lit(1)).as("n_probe_rows"),
+        sum(when(col("__pass"), 1L).otherwise(0L)).as("bloom_pass"),
+        sum(when(col("__bk").isNotNull, 1L).otherwise(0L)).as("true_matches"))
+      .select(
+        col("n_probe_rows"),
+        lit(mBits.toLong).as("m_bits"), lit(kHashes.toLong).as("k_hashes"),
+        col("bloom_pass"), col("true_matches"),
+        (col("bloom_pass") - col("true_matches")).as("false_pos"),
+        expr("(bloom_pass - true_matches) * 10000 div greatest(n_probe_rows - true_matches, 1)")
+          .as("fpr_bp"))
+  }
+
   /** ASYMMETRIC containment against a small probe set: for each (probe,
     * doc) pair, |probe ∩ doc| / |probe| — excerpt/quotation detection,
     * where symmetric Jaccard fails by construction (a 10-token quote inside

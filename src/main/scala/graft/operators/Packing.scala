@@ -97,6 +97,51 @@ object Packing {
       .drop("__cum", "__start")
   }
 
+  /** EXCLUSIVE running max of `valueCol` over the total order given by
+    * `orderCol` (unique, as in [[withRunningTotal]]): each row gets the max
+    * over all STRICTLY EARLIER rows, null for the first. Same two-phase
+    * distributed-scan shape as the prefix sum — per-slice window plus a
+    * #partitions-row exclusive prefix of slice maxima broadcast back —
+    * because max, like sum, is associative. The single-task
+    * `Window.orderBy` form this replaces cannot scale. */
+  def withRunningMaxExclusive(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String
+  ): DataFrame = {
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wPrev = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // same materialize-before-collect discipline as withRunningTotal: pin
+    // ONE range partitioning for both the maxima collect and the final join
+    val withLocal = ranged
+      .withColumn("__local", max(col(valueCol).cast("long")).over(wPrev))
+      .localCheckpoint()
+    val maxima = withLocal.groupBy(col("__pid"))
+      .agg(max(col(valueCol).cast("long")).as("__mx"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var acc: Option[Long] = None
+    val offsets = maxima.map { case (pid, mx) =>
+      val off = (pid, acc)
+      acc = (acc.toSeq ++ mx.toSeq).reduceOption((a: Long, b: Long) => math.max(a, b))
+      off
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(
+      offsets.map { case (p, o) => (p, o.getOrElse(Long.MinValue), o.isDefined) }
+        .toDF("__pid", "__offv", "__offh"))
+    withLocal.join(offDf, Seq("__pid"))
+      .withColumn(outCol,
+        greatest(col("__local"), when(col("__offh"), col("__offv"))))
+      .drop("__pid", "__local", "__offv", "__offh")
+  }
+
   /** Padding-waste certificate for fixed-size batch assembly: under each
     * candidate document ORDER (a strategy), consecutive runs of `batchSize`
     * documents form a batch padded to its longest member — the layout used

@@ -5410,6 +5410,144 @@ object ExtensionQueries {
              |FROM x GROUP BY prefix ORDER BY prefix""".stripMargin)
     ),
 
+    // Out-of-order-depth audit (watermark sizing): per event, how far
+    // behind the furthest-seen event time it arrived (arrival order =
+    // event_id), bucketed into the watermark budgets a streaming deploy
+    // would choose between. Running max via the DISTRIBUTED two-phase scan
+    // — the naive global window would collapse to one task.
+    QueryDef(
+      "q223_lateness_audit",
+      (s, dir) => {
+        // the fixture stream is perfectly ordered, so PLANT bounded
+        // disorder (the q206 planted-truth pattern): arrival position =
+        // event_id jittered by a deterministic ±100-slot hash — the audit
+        // must then report exactly the disorder the jitter introduces
+        val e = events(s, dir).select(col("event_id"),
+          col("ts").cast("long").as("sec"))
+          .withColumn("arrival",
+            (col("event_id") +
+              expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 200 - 100"))
+              * 10000000L + col("event_id"))
+        val lm = Packing.withRunningMaxExclusive(e, "arrival", "sec", "prior_max")
+        lm.withColumn("late",
+            greatest(coalesce(col("prior_max") - col("sec"), lit(0L)), lit(0L)))
+          .withColumn("bucket",
+            when(col("late") === 0, "a_on_time")
+              .when(col("late") <= 3600, "b_within_1h")
+              .when(col("late") <= 21600, "c_within_6h")
+              .when(col("late") <= 86400, "d_within_24h")
+              .otherwise("e_over_24h"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), max("late").as("max_late_sec"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) // 1000000 AS sec,
+             |    (event_id + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 200 - 100)
+             |      * 10000000 + event_id AS arrival
+             |  FROM events),
+             |m AS (SELECT event_id, sec,
+             |    max(sec) OVER (ORDER BY arrival
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM e),
+             |l AS (SELECT greatest(coalesce(pm - sec, 0), 0) AS late FROM m),
+             |b AS (SELECT late, CASE WHEN late = 0 THEN 'a_on_time'
+             |    WHEN late <= 3600 THEN 'b_within_1h'
+             |    WHEN late <= 21600 THEN 'c_within_6h'
+             |    WHEN late <= 86400 THEN 'd_within_24h'
+             |    ELSE 'e_over_24h' END AS bucket FROM l)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(max(late) AS BIGINT) AS max_late_sec
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+
+    // Bloom-join pruning certificate with an engine-exact Bloom (bit array
+    // = distinct lit-position set): how many lineitem rows a runtime
+    // filter built from the 'P'-status orders would admit vs the exact
+    // semi-join truth — the false-positive math behind runtime filters.
+    QueryDef(
+      "q224_bloom_join_prune",
+      (s, dir) => {
+        val probe = t(s, dir, "lineitem").select(col("l_orderkey"))
+        val build = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"))
+        // undersized (m ≈ 3 bits/key at sf0.01) vs sized-for-1% (≈13
+        // bits/key): the same math, certified at both operating points
+        Dedup.bloomJoinPruneStats(probe, "l_orderkey", build, "o_orderkey",
+            mBits = 16384, kHashes = 4)
+          .unionByName(Dedup.bloomJoinPruneStats(probe, "l_orderkey",
+            build, "o_orderkey", mBits = 65536, kHashes = 4))
+          .orderBy("m_bits")
+      },
+      Some {
+        def one(m: Int) =
+          s"""SELECT CAST(count(*) AS BIGINT) AS n_probe_rows,
+             |       CAST($m AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+             |       CAST(sum(pass) AS BIGINT) AS bloom_pass,
+             |       CAST(sum(truth) AS BIGINT) AS true_matches,
+             |       CAST(sum(pass) - sum(truth) AS BIGINT) AS false_pos,
+             |       CAST((sum(pass) - sum(truth)) * 10000
+             |            // greatest(count(*) - sum(truth), 1) AS BIGINT) AS fpr_bp
+             |FROM (SELECT r.k, v.pass, CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END AS truth
+             |  FROM rows_ r
+             |  JOIN (SELECT pp.k, CASE WHEN count(pos.p) = count(*) THEN 1 ELSE 0 END AS pass
+             |        FROM (SELECT k, ('0x' || substr(md5(k || ':' || i), 1, 8))::BIGINT % $m AS p
+             |              FROM dk, ii) pp
+             |        LEFT JOIN (SELECT DISTINCT ('0x' || substr(md5(k || ':' || i), 1, 8))::BIGINT % $m AS p
+             |                   FROM bk, ii) pos ON pp.p = pos.p
+             |        GROUP BY pp.k) v ON r.k = v.k
+             |  LEFT JOIN bk b ON r.k = b.k)""".stripMargin
+        s"""WITH bk AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
+           |  FROM orders WHERE o_orderstatus = 'P'),
+           |ii AS (SELECT unnest(range(4)) AS i),
+           |dk AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+           |rows_ AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem)
+           |${one(16384)}
+           |UNION ALL
+           |${one(65536)}
+           |ORDER BY m_bits""".stripMargin
+      }
+    ),
+
+    // Mixed-script (confusable) token audit: Cyrillic а/е/о planted into
+    // every 11th doc via translate, detected as tokens carrying BOTH Latin
+    // letters and Cyrillic vowels — the homoglyph-spoof gate a security-
+    // aware text pipeline runs. Scan-fused projections, one aggregate.
+    QueryDef(
+      "q225_confusable_audit",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        val d = base.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, translate(col("text"), "aeo", "аео"))
+            .otherwise(col("text")).as("t2"))
+        val toks = d.select(col("doc_id"),
+          explode(expr("filter(split(t2, '\\\\s+'), x -> x != '')")).as("tok"))
+        val agg = toks.groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tok").rlike("[A-Za-z]") && col("tok").rlike("[аео]"), 1L)
+            .otherwise(0L)).as("n_mixed"))
+        base.select(col("doc_id"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_mixed"), lit(0L)).as("n_mixed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0 THEN translate(text, 'aeo', 'аео')
+             |         ELSE text END AS t2
+             |  FROM documents),
+             |toks AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(t2, '\s+'), x -> x <> '')) AS tok
+             |  FROM d),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+             |                   AND regexp_matches(tok, '[аео]') THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
+             |  FROM toks GROUP BY 1)
+             |SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |       CAST(coalesce(a.n_mixed, 0) AS BIGINT) AS n_mixed
+             |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -2030,6 +2030,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.values.map(_._3).sum == 7L)
   }
 
+  test("exclusive running max: distributed two-phase scan matches the sequential fold") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 2L), (5L, 9L))
+      .toDF("ord", "v").repartition(4) // force multi-partition
+    val out = Packing.withRunningMaxExclusive(df, "ord", "v", "pm")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(5L), 3L -> Some(5L),
+      4L -> Some(9L), 5L -> Some(9L)))
+  }
+
+  test("bloom join prune: no false negatives, pass count bounded below by truth") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val build = (0L until 200L).map(i => i * 3).toDF("k")
+    val probe = (0L until 600L).toDF("k") // includes every build key
+    val r = Dedup.bloomJoinPruneStats(probe, "k", build, "k",
+      mBits = 4096, kHashes = 3).collect().head
+    val (n, pass, truth, falsePos) =
+      (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(n == 600L && truth == 200L)
+    assert(pass >= truth && falsePos == pass - truth && falsePos >= 0)
+    // 4096 bits for 200 keys is ~20 bits/key: false positives must be rare
+    assert(falsePos < 20)
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
