@@ -5548,6 +5548,127 @@ object ExtensionQueries {
              |ORDER BY d.doc_id""".stripMargin)
     ),
 
+    // Join IVM certificate (insert-only delta rule): a materialized
+    // orders⋈lineitem advanced by the three delta terms must be
+    // row-checksum-identical to a full recompute — q153's aggregate IVM
+    // completed for joins. At 100 TB only delta-sided joins run.
+    QueryDef(
+      "q226_join_ivm",
+      (s, dir) => {
+        val r = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("r_cents"))
+        val sS = t(s, dir, "lineitem").select(col("l_orderkey").as("k"),
+          col("l_quantity").cast("int").cast("long").as("qty"),
+          col("l_partkey"))
+        val r0 = r.filter(col("k") % 10 =!= 7)
+        val dr = r.filter(col("k") % 10 === 7)
+        val s0 = sS.filter(col("l_partkey") % 10 =!= 3).drop("l_partkey")
+        val ds = sS.filter(col("l_partkey") % 10 === 3).drop("l_partkey")
+        val sum32 = expr(
+          "sum(CAST(conv(substring(md5(concat(CAST(k AS STRING), ',', CAST(r_cents AS STRING), ',', CAST(qty AS STRING))), 1, 8), 16, 10) AS BIGINT))")
+        val j0 = r0.join(s0, "k")
+        val delta = Ivm.joinDelta(r0, dr, s0, ds, "k")
+        val maintained = j0.unionByName(delta)
+          .agg(count(lit(1)).as("maintained_rows"), sum32.as("maintained_sum"))
+        val recomputed = r0.unionByName(dr).join(s0.unionByName(ds), "k")
+          .agg(count(lit(1)).as("recomputed_rows"), sum32.as("recomputed_sum"))
+        val deltaN = delta.agg(count(lit(1)).as("delta_rows"))
+        maintained.crossJoin(recomputed).crossJoin(deltaN)
+          .select(col("maintained_rows"), col("recomputed_rows"), col("delta_rows"),
+            col("maintained_sum"), col("recomputed_sum"),
+            when(col("maintained_rows") === col("recomputed_rows") &&
+              col("maintained_sum") === col("recomputed_sum"), 1L).otherwise(0L)
+              .as("ivm_exact"))
+      },
+      Some("""WITH r AS (SELECT o_orderkey AS k,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS r_cents FROM orders),
+             |li AS (SELECT l_orderkey AS k, CAST(l_quantity AS INT) AS qty, l_partkey FROM lineitem),
+             |r0 AS (SELECT * FROM r WHERE k % 10 <> 7),
+             |dr AS (SELECT * FROM r WHERE k % 10 = 7),
+             |s0 AS (SELECT k, qty FROM li WHERE l_partkey % 10 <> 3),
+             |ds AS (SELECT k, qty FROM li WHERE l_partkey % 10 = 3),
+             |j0 AS (SELECT r0.k, r_cents, qty FROM r0 JOIN s0 ON r0.k = s0.k),
+             |dj AS (SELECT dr.k, r_cents, qty FROM dr JOIN s0 ON dr.k = s0.k
+             |  UNION ALL SELECT r0.k, r_cents, qty FROM r0 JOIN ds ON r0.k = ds.k
+             |  UNION ALL SELECT dr.k, r_cents, qty FROM dr JOIN ds ON dr.k = ds.k),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS maintained_rows,
+             |    CAST(sum(('0x' || substr(md5(k || ',' || r_cents || ',' || qty), 1, 8))::BIGINT) AS BIGINT) AS maintained_sum
+             |  FROM (SELECT * FROM j0 UNION ALL SELECT * FROM dj)),
+             |f AS (SELECT CAST(count(*) AS BIGINT) AS recomputed_rows,
+             |    CAST(sum(('0x' || substr(md5(k || ',' || r_cents || ',' || qty), 1, 8))::BIGINT) AS BIGINT) AS recomputed_sum
+             |  FROM (SELECT ru.k, r_cents, qty
+             |        FROM (SELECT * FROM r0 UNION ALL SELECT * FROM dr) ru
+             |        JOIN (SELECT * FROM s0 UNION ALL SELECT * FROM ds) su ON ru.k = su.k)),
+             |dn AS (SELECT CAST(count(*) AS BIGINT) AS delta_rows FROM dj)
+             |SELECT maintained_rows, recomputed_rows, delta_rows,
+             |       maintained_sum, recomputed_sum,
+             |       CAST(CASE WHEN maintained_rows = recomputed_rows
+             |                  AND maintained_sum = recomputed_sum THEN 1 ELSE 0 END AS BIGINT) AS ivm_exact
+             |FROM m, f, dn""".stripMargin)
+    ),
+
+    // KMV (bottom-k minimum values) distinct-count certificate: the k-th
+    // smallest 32-bit key hash per group estimates distincts as
+    // (k−1)·2³² div h_k — sketch vs exact, all-integer, the third
+    // cardinality sketch certified here (HLL q120, CMS q135, KMV).
+    QueryDef(
+      "q227_kmv_certificate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = events(s, dir)
+          .select(col("event_type").as("g"), col("user_id").as("u")).distinct()
+        val dh = d.withColumn("h",
+            expr("CAST(conv(substring(md5(CAST(u AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+          .select("g", "h").distinct()
+        val ranked = dh.withColumn("rn",
+          row_number().over(Window.partitionBy("g").orderBy("h")))
+        val kth = ranked.filter(col("rn") === 64)
+          .select(col("g"), col("h").as("hk"))
+        val exact = d.groupBy("g").agg(countDistinct("u").as("exact"))
+        exact.join(kth, Seq("g"), "left")
+          .select(col("g"), col("exact"),
+            when(col("hk").isNotNull, expr("63 * 4294967296 div hk"))
+              .otherwise(col("exact")).as("kmv_est"))
+          .withColumn("err_pct",
+            expr("abs(kmv_est - exact) * 100 div greatest(exact, 1)"))
+          .orderBy("g")
+      },
+      Some("""WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+             |dh AS (SELECT DISTINCT g,
+             |    ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8))::BIGINT AS h FROM d),
+             |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dh),
+             |kth AS (SELECT g, h AS hk FROM r WHERE rn = 64),
+             |e AS (SELECT g, CAST(count(DISTINCT u) AS BIGINT) AS exact FROM d GROUP BY 1),
+             |j AS (SELECT e.g, e.exact,
+             |    CASE WHEN kth.hk IS NOT NULL THEN 63 * 4294967296 // kth.hk
+             |         ELSE e.exact END AS kmv_est
+             |  FROM e LEFT JOIN kth ON e.g = kth.g)
+             |SELECT g, exact, CAST(kmv_est AS BIGINT) AS kmv_est,
+             |       CAST(abs(kmv_est - exact) * 100 // greatest(exact, 1) AS BIGINT) AS err_pct
+             |FROM j ORDER BY g""".stripMargin)
+    ),
+
+    // Audience-overlap matrix: for every event-type pair, how many users
+    // did both — the segment-intersection report. Per-user type sets are
+    // tiny (≤ #types), so the per-user pair blast is constant-bounded;
+    // one shuffle on user, one on the pair.
+    QueryDef(
+      "q228_audience_overlap",
+      (s, dir) => {
+        val d = events(s, dir)
+          .select(col("user_id").as("u"), col("event_type").as("t")).distinct()
+        d.select(col("u"), col("t").as("ta"))
+          .join(d.select(col("u"), col("t").as("tb")), Seq("u"))
+          .filter(col("ta") <= col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_users"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events)
+             |SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n_users
+             |FROM d a JOIN d b ON a.u = b.u AND a.t <= b.t
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
