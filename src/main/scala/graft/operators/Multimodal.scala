@@ -357,6 +357,48 @@ object Multimodal {
         "r_min", "r_max", "g_min", "g_max", "b_min", "b_max", "bright_sum")
   }
 
+  /** ViT-style patch grid over REAL decoded P6 pixels: the image divides
+    * into `patch`×`patch` tiles and each emits its integer luma sum
+    * (Σ r+g+b) — the reduction a patch-embedding front-end computes before
+    * any projection sees the tile. Images whose dimensions don't divide by
+    * `patch` (and malformed payloads) emit no rows — the same drop-don't-
+    * crash contract as the other decoders, row-granular here because the
+    * output is per-tile. Shuffle-free flatMap; state is one Long per tile. */
+  def ppmPatchGrid(df: DataFrame, idCol: String, payloadCol: String,
+      patch: Int): DataFrame = {
+    require(patch > 0, "patch must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ppmHeader(bytes) match {
+          case Some((w, h, pos))
+              if w % patch == 0 && h % patch == 0 &&
+                pos + 3L * w * h <= bytes.length =>
+            for {
+              pr <- 0 until h / patch
+              pc <- 0 until w / patch
+            } yield {
+              var sum = 0L
+              var dy = 0
+              while (dy < patch) {
+                var dx = 0
+                while (dx < patch) {
+                  val i = pos + 3 * ((pr * patch + dy) * w + pc * patch + dx)
+                  sum += (bytes(i) & 0xff) + (bytes(i + 1) & 0xff) + (bytes(i + 2) & 0xff)
+                  dx += 1
+                }
+                dy += 1
+              }
+              (id, pr, pc, sum)
+            }
+          case _ => Seq.empty
+        }
+      })
+      .toDF(idCol, "patch_row", "patch_col", "luma_sum")
+  }
+
   // ---- audio: RIFF/WAVE PCM16 ------------------------------------------
 
   final case class AudioFeatures(

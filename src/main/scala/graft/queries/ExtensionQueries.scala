@@ -51,6 +51,22 @@ object ExtensionQueries {
        |WHERE a.doc_id < b.doc_id""".stripMargin
   }
 
+  /** DuckDB subquery computing each doc's 32-bit SimHash — the same bit
+    * algebra q33's oracle builds inline, reusable as a CTE body (q231). */
+  private lazy val duckSimhashSub: String = {
+    val bitSums = (0 until 32).map { b =>
+      val j = b / 4; val k = 3 - (b % 4)
+      s"SUM(((strpos('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) - 1) // ${1 << k}) % 2) AS b$b"
+    }.mkString(", ")
+    val recombine = (0 until 32)
+      .map(b => s"CASE WHEN 2 * b$b >= n THEN CAST(${1L << (31 - b)} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($recombine AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id, count(*) AS n, $bitSums
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
   /** q210 peeling parameters, shared with KcoreSpec's fixpoint assertion. */
   val KcoreK = 5
   val KcoreRounds = 8
@@ -5667,6 +5683,146 @@ object ExtensionQueries {
              |SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n_users
              |FROM d a JOIN d b ON a.u = b.u AND a.t <= b.t
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Calendar gap-fill with LOCF: each user's daily series regularized to
+    // a dense day grid, missing days carried forward from the last
+    // observation — feature-store regularization. Carry = running max of
+    // observed-day (aggregate max skips nulls on both engines) joined back
+    // to its value; every window partitions by user.
+    QueryDef(
+      "q229_locf_gapfill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir).select(col("user_id").as("u"),
+          datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long").as("day"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("ts"), col("event_id"))
+        val wLast = Window.partitionBy("u", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val obs = ev.withColumn("__rn", row_number().over(wLast))
+          .filter(col("__rn") === 1).select("u", "day", "cents")
+        val grid = obs.groupBy("u").agg(min("day").as("mn"), max("day").as("mx"))
+          .select(col("u"), explode(expr("sequence(mn, mx)")).as("day"))
+        val wCarry = Window.partitionBy("u").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("u", "day"), "left")
+          .withColumn("carry",
+            max(when(col("cents").isNotNull, col("day"))).over(wCarry))
+          .withColumn("is_filled", when(col("cents").isNull, 1L).otherwise(0L))
+          .drop("cents")
+          .join(obs.select(col("u"), col("day").as("carry"),
+            col("cents").as("cents_locf")), Seq("u", "carry"))
+          .select("u", "day", "cents_locf", "is_filled")
+          .orderBy("u", "day")
+      },
+      Some("""WITH ev AS (SELECT user_id AS u,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS cents,
+             |    epoch_us(ts) AS tus, event_id
+             |  FROM events),
+             |obs AS (SELECT u, day, cents FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY u, day
+             |      ORDER BY tus DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1),
+             |grid AS (SELECT u, unnest(generate_series(mn, mx)) AS day
+             |  FROM (SELECT u, min(day) AS mn, max(day) AS mx FROM obs GROUP BY 1)),
+             |g2 AS (SELECT g.u, g.day, o.cents,
+             |    max(CASE WHEN o.cents IS NOT NULL THEN g.day END)
+             |      OVER (PARTITION BY g.u ORDER BY g.day
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+             |  FROM grid g LEFT JOIN obs o ON g.u = o.u AND g.day = o.day)
+             |SELECT g2.u, g2.day, o2.cents AS cents_locf,
+             |       CAST(CASE WHEN g2.cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
+             |FROM g2 JOIN obs o2 ON g2.u = o2.u AND g2.carry = o2.day
+             |ORDER BY g2.u, g2.day""".stripMargin)
+    ),
+
+    // ViT-style patch grid over REAL decoded P6 pixels: 16×16 images in
+    // 4×4 tiles, per-tile integer luma sum — the patch-embedding
+    // front-end's reduction, oracle-checked from the generator math.
+    QueryDef(
+      "q230_mm_patch_grid",
+      (s, dir) => {
+        val withPayload = Multimodal.withPpmPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 16, height = 16)
+        Multimodal.ppmPatchGrid(withPayload, "doc_id", "payload", patch = 4)
+          .orderBy("doc_id", "patch_row", "patch_col")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |    list_transform(range(768),
+             |      j -> ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) AS p
+             |  FROM documents),
+             |grid AS (SELECT pr, pc FROM (SELECT unnest(range(4)) AS pr),
+             |                              (SELECT unnest(range(4)) AS pc))
+             |SELECT doc_id, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+             |       CAST(list_sum(list_transform(range(48), k ->
+             |         p[3 * ((pr*4 + (k//3)//4) * 16 + pc*4 + (k//3)%4) + (k%3) + 1]))
+             |         AS BIGINT) AS luma_sum
+             |FROM px, grid
+             |ORDER BY doc_id, patch_row, patch_col""".stripMargin)
+    ),
+
+    // SimHash quality certificate: precision/recall of hamming-threshold
+    // near-dup prediction against exact-Jaccard ground truth over the q34
+    // blocked pairs, at three thresholds — the measured answer to "is a
+    // 32-bit SimHash good enough for this corpus".
+    QueryDef(
+      "q231_simhash_quality",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = Dedup.simHash(docs, "doc_id", "text")
+        val d = docs.select(col("doc_id"), col("lang"),
+            (col("n_chars") / 50).cast("int").as("lb"),
+            sort_array(array_distinct(split(col("text"), " "))).as("ws"))
+          .withColumn("n", size(col("ws")).cast("long"))
+          .join(sh, "doc_id")
+        graft.functions.GraftFunctions.register(s)
+        val a = d.select(col("doc_id").as("a_id"), col("lang"), col("lb"),
+          col("ws").as("a_ws"), col("n").as("a_n"), col("simhash").as("a_sh"))
+        val b = d.select(col("doc_id").as("b_id"), col("lang"), col("lb"),
+          col("ws").as("b_ws"), col("n").as("b_n"), col("simhash").as("b_sh"))
+        val pairs = a.join(b, Seq("lang", "lb"))
+          .filter(col("a_id") < col("b_id"))
+          .select(
+            graft.functions.GraftFunctions.sortedIntersectCount(col("a_ws"), col("b_ws"))
+              .as("inter"),
+            (col("a_n") + col("b_n")).as("nn"),
+            expr("bit_count(a_sh ^ b_sh)").cast("long").as("ham"))
+          .withColumn("truth", (col("inter") * 140 >= col("nn") * 40).cast("long"))
+        pairs.select(col("truth"), col("ham"),
+            explode(array(lit(3L), lit(6L), lit(10L))).as("ham_thresh"))
+          .withColumn("pred", (col("ham") <= col("ham_thresh")).cast("long"))
+          .groupBy("ham_thresh")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr("truth * pred")).as("tp"),
+            sum(expr("(1 - truth) * pred")).as("fp"),
+            sum(expr("truth * (1 - pred)")).as("fn"))
+          .select(col("ham_thresh"), col("n_pairs"), col("tp"), col("fp"), col("fn"),
+            expr("tp * 10000 div greatest(tp + fp, 1)").as("precision_bp"),
+            expr("tp * 10000 div greatest(tp + fn, 1)").as("recall_bp"))
+          .orderBy("ham_thresh")
+      },
+      Some(s"""WITH sh AS ($duckSimhashSub),
+              |d AS (SELECT doc_id, lang, n_chars // 50 AS lb,
+              |    list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents),
+              |d2 AS (SELECT d.*, CAST(len(ws) AS BIGINT) AS n, sh.simhash
+              |  FROM d JOIN sh USING (doc_id)),
+              |pairs AS (SELECT
+              |    CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+              |    a.n + b.n AS nn,
+              |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+              |  FROM d2 a JOIN d2 b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id),
+              |f AS (SELECT CASE WHEN inter * 140 >= nn * 40 THEN 1 ELSE 0 END AS truth,
+              |    ham, unnest([3, 6, 10]) AS ham_thresh FROM pairs),
+              |g AS (SELECT ham_thresh, CAST(count(*) AS BIGINT) AS n_pairs,
+              |    CAST(sum(truth * (CASE WHEN ham <= ham_thresh THEN 1 ELSE 0 END)) AS BIGINT) AS tp,
+              |    CAST(sum((1 - truth) * (CASE WHEN ham <= ham_thresh THEN 1 ELSE 0 END)) AS BIGINT) AS fp,
+              |    CAST(sum(truth * (CASE WHEN ham > ham_thresh THEN 1 ELSE 0 END)) AS BIGINT) AS fn
+              |  FROM f GROUP BY 1)
+              |SELECT CAST(ham_thresh AS BIGINT) AS ham_thresh, n_pairs, tp, fp, fn,
+              |       CAST(tp * 10000 // greatest(tp + fp, 1) AS BIGINT) AS precision_bp,
+              |       CAST(tp * 10000 // greatest(tp + fn, 1) AS BIGINT) AS recall_bp
+              |FROM g ORDER BY ham_thresh""".stripMargin)
     ),
 
     // Deterministic three-way train/val/test split: pure map expression
