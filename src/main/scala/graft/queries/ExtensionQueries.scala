@@ -5825,6 +5825,85 @@ object ExtensionQueries {
               |FROM g ORDER BY ham_thresh""".stripMargin)
     ),
 
+    // Dictionary-encoding advisor: per column, exact NDV against row count
+    // decides dict-vs-plain — the parquet encoding choice q204 (runs) and
+    // q216 (zone maps) complete into a layout-advice trio. ONE aggregate
+    // pass over the table for all columns.
+    QueryDef(
+      "q232_encoding_advisor",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+        val aggs = count(lit(1)).as("n") +:
+          cols.map(c => countDistinct(col(c)).as(s"ndv_$c"))
+        val one = o.agg(aggs.head, aggs.tail: _*)
+        cols.map { c =>
+          one.select(lit(c).as("column_name"), col("n"),
+            col(s"ndv_$c").as("ndv"),
+            expr(s"ndv_$c * 10000 div n").as("ndv_bp"),
+            when(expr(s"ndv_$c * 10000 div n") < 500, "dictionary")
+              .otherwise("plain").as("verdict"))
+        }.reduce(_ unionByName _).orderBy("column_name")
+      },
+      Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
+             |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_pri,
+             |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ck
+             |  FROM orders),
+             |rep AS (
+             |  SELECT 'o_custkey' AS column_name, n, nd_ck AS ndv FROM a
+             |  UNION ALL SELECT 'o_orderpriority', n, nd_pri FROM a
+             |  UNION ALL SELECT 'o_orderstatus', n, nd_st FROM a)
+             |SELECT column_name, n, ndv,
+             |       CAST(ndv * 10000 // n AS BIGINT) AS ndv_bp,
+             |       CASE WHEN ndv * 10000 // n < 500 THEN 'dictionary' ELSE 'plain' END AS verdict
+             |FROM rep ORDER BY column_name""".stripMargin)
+    ),
+
+    // Star-join cardinality chain: q205's CBO formula applied per STEP of
+    // lineitem⋈orders⋈customer⋈nation — estimated vs exact intermediate
+    // cardinalities, the numbers a join-order optimizer actually compares.
+    QueryDef(
+      "q233_starjoin_card",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val j1 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        val j2 = j1.join(c, col("o_custkey") === col("c_custkey"))
+        val n = t(s, dir, "nation").select(col("n_nationkey"))
+        val j3 = j2.join(n, col("c_nationkey") === col("n_nationkey"))
+        def stats(df: DataFrame, keyCol: String, label: String) =
+          df.agg(count(lit(1)).as("n_rows"), countDistinct(keyCol).as("ndv"))
+            .select(lit(label).as("step"), col("n_rows"), col("ndv"))
+        val s0 = stats(li, "l_orderkey", "0_lineitem")
+          .unionByName(stats(o, "o_orderkey", "1_orders"))
+          .unionByName(stats(j1, "o_custkey", "2_join_orders"))
+          .unionByName(stats(c, "c_custkey", "3_customer"))
+          .unionByName(stats(j2, "c_nationkey", "4_join_customer"))
+          .unionByName(stats(n, "n_nationkey", "5_nation"))
+          .unionByName(stats(j3, "c_nationkey", "6_join_nation"))
+        s0.orderBy("step")
+      },
+      Some("""WITH li AS (SELECT l_orderkey FROM lineitem),
+             |o AS (SELECT o_orderkey, o_custkey FROM orders),
+             |c AS (SELECT c_custkey, c_nationkey FROM customer),
+             |n AS (SELECT n_nationkey FROM nation),
+             |j1 AS (SELECT o_custkey, o_orderkey FROM li JOIN o ON l_orderkey = o_orderkey),
+             |j2 AS (SELECT c_nationkey, c_custkey, o_custkey FROM j1 JOIN c ON o_custkey = c_custkey),
+             |j3 AS (SELECT j2.c_nationkey FROM j2 JOIN n ON j2.c_nationkey = n.n_nationkey),
+             |rep AS (
+             |  SELECT '0_lineitem' AS step, CAST(count(*) AS BIGINT) AS rows_,
+             |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv FROM li
+             |  UNION ALL SELECT '1_orders', count(*), count(DISTINCT o_orderkey) FROM o
+             |  UNION ALL SELECT '2_join_orders', count(*), count(DISTINCT o_custkey) FROM j1
+             |  UNION ALL SELECT '3_customer', count(*), count(DISTINCT c_custkey) FROM c
+             |  UNION ALL SELECT '4_join_customer', count(*), count(DISTINCT c_nationkey) FROM j2
+             |  UNION ALL SELECT '5_nation', count(*), count(DISTINCT n_nationkey) FROM n
+             |  UNION ALL SELECT '6_join_nation', count(*), count(DISTINCT c_nationkey) FROM j3)
+             |SELECT step, rows_ AS n_rows, ndv FROM rep ORDER BY step""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
