@@ -5904,6 +5904,105 @@ object ExtensionQueries {
              |SELECT step, rows_ AS n_rows, ndv FROM rep ORDER BY step""".stripMargin)
     ),
 
+    // Join-fanout audit: per-key multiplicity census of a self-join BEFORE
+    // running it — Σn² predicts the output size and the top keys name the
+    // explosion. The 100 TB early-warning that turns "join OOMed" into a
+    // number read off one aggregate.
+    QueryDef(
+      "q234_join_fanout",
+      (s, dir) => {
+        val m = t(s, dir, "lineitem").groupBy(col("l_partkey").as("k"))
+          .agg(count(lit(1)).as("n"))
+        val totals = m.agg(sum("n").as("left_rows"),
+          sum(col("n") * col("n")).as("fanout_rows"),
+          max("n").as("max_mult"), count(lit(1)).as("n_keys"))
+        val top = m.orderBy(col("n").desc, col("k")).limit(5)
+          .agg(sum(col("n") * col("n")).as("top5_fanout"))
+        totals.crossJoin(top)
+          .select(col("n_keys"), col("left_rows"), col("fanout_rows"),
+            col("max_mult"), col("top5_fanout"),
+            expr("fanout_rows * 100 div greatest(left_rows, 1)").as("amplification_x100"))
+      },
+      Some("""WITH m AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(sum(n) AS BIGINT) AS left_rows,
+             |    CAST(sum(n * n) AS BIGINT) AS fanout_rows,
+             |    CAST(max(n) AS BIGINT) AS max_mult FROM m),
+             |tp AS (SELECT CAST(sum(n * n) AS BIGINT) AS top5_fanout FROM
+             |  (SELECT n FROM m ORDER BY n DESC, k LIMIT 5))
+             |SELECT n_keys, left_rows, fanout_rows, max_mult, top5_fanout,
+             |       CAST(fanout_rows * 100 // greatest(left_rows, 1) AS BIGINT) AS amplification_x100
+             |FROM t, tp""".stripMargin)
+    ),
+
+    // Max-min fair (water-filling) capacity allocation: the largest level
+    // L with Σ min(demand, L) ≤ capacity, found by a prefix scan over
+    // demand-sorted tenants — the fair-scheduler math, all-integer. Small
+    // tenants keep their demand; big ones cap at L; the remainder column
+    // is what a second-pass distributor would hand out.
+    QueryDef(
+      "q235_maxmin_fair",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // demand = docs × (1 + source index): heterogeneous by construction
+        // (the uniform fixture would otherwise cap every tenant equally and
+        // never exercise the served/capped split)
+        val d = t(s, dir, "documents").groupBy(col("source"))
+          .agg(expr("count(*) * (1 + cast(substring(source, 4) as int))")
+            .as("demand"))
+        val cap = d.agg(expr("sum(demand) * 6 div 10").as("__cap"))
+        // tenant count is mixture-label bounded: the unpartitioned windows
+        // run over tens of rows, never data rows
+        val w = Window.orderBy(col("demand"), col("source"))
+        val wAll = Window.orderBy(col("demand"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val ranked = d.crossJoin(broadcast(cap))
+          .withColumn("__pfx", sum("demand").over(w))
+          .withColumn("__rk", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(wAll))
+        // level candidate if every smaller tenant is fully served: the
+        // remaining capacity split among the __n - __rk larger tenants
+        // rank-k candidate: serve ranks ≤ k fully, split the remainder among
+        // the n−k larger tenants; valid iff affordable AND the level covers
+        // d_k (so "fully served" is consistent). rank-n with pfx ≤ cap means
+        // every demand fits: unbounded level. The water level is the MAX
+        // valid candidate, floored by the all-capped k=0 level cap div n.
+        val leveled = ranked.withColumn("__lvl",
+          when(col("__n") > col("__rk"),
+            expr("(__cap - __pfx) div (__n - __rk)")).otherwise(lit(Long.MaxValue)))
+        val vmax = leveled
+          .filter(col("__pfx") <= col("__cap") && col("__lvl") >= col("demand"))
+          .agg(max(col("__lvl")).as("__vmax"))
+        val k0 = d.agg(expr("sum(demand) * 6 div 10 div count(*)").as("__k0"))
+        val level = vmax.crossJoin(k0)
+          .select(greatest(coalesce(col("__vmax"), lit(0L)), col("__k0")).as("__level"))
+        d.crossJoin(broadcast(cap)).crossJoin(broadcast(level))
+          .select(col("source"), col("demand"),
+            least(col("demand"), col("__level")).as("alloc"),
+            when(col("demand") > col("__level"), 1L).otherwise(0L).as("capped"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+             |    CAST(count(*) * (1 + CAST(substr(source, 4) AS INT)) AS BIGINT) AS demand
+             |  FROM documents GROUP BY 1),
+             |cap AS (SELECT CAST(sum(demand) * 6 // 10 AS BIGINT) AS c FROM d),
+             |r AS (SELECT source, demand, c,
+             |    sum(demand) OVER (ORDER BY demand, source) AS pfx,
+             |    row_number() OVER (ORDER BY demand, source) AS rk,
+             |    count(*) OVER () AS n
+             |  FROM d, cap),
+             |lv AS (SELECT *, CASE WHEN n > rk THEN (c - pfx) // (n - rk)
+             |    ELSE 9223372036854775807 END AS lvl FROM r),
+             |vmax AS (SELECT max(lvl) AS vm FROM lv WHERE pfx <= c AND lvl >= demand),
+             |k0 AS (SELECT sum(demand) * 6 // 10 // count(*) AS k FROM d),
+             |level AS (SELECT CAST(greatest(coalesce(vm, 0), k) AS BIGINT) AS l FROM vmax, k0)
+             |SELECT source, demand,
+             |       CAST(least(demand, level.l) AS BIGINT) AS alloc,
+             |       CAST(CASE WHEN demand > level.l THEN 1 ELSE 0 END AS BIGINT) AS capped
+             |FROM d, level ORDER BY source""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
