@@ -2057,6 +2057,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(falsePos < 20)
   }
 
+  test("ppm patch grid: tile sums on handcrafted pixels; malformed and non-divisible drop") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 4x4 P6, pixel bytes 0..47: patch=2 -> four 2x2 tiles with known sums
+    val header = "P6\n4 4\n255\n".getBytes("US-ASCII")
+    val pixels = Array.tabulate(48)(_.toByte)
+    val df = Seq(
+      (1L, header ++ pixels),
+      (2L, Array[Byte](1, 2, 3)),                       // malformed
+      (3L, "P6\n3 4\n255\n".getBytes("US-ASCII") ++ pixels) // 3 % 2 != 0
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.ppmPatchGrid(df, "doc_id", "payload", patch = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.forall(_._1 == 1L) && out.length == 4)
+    // tile (0,0): pixels 0,1,4,5 -> bytes 0..5 and 12..17 sum = 102
+    val m = out.map(t => (t._2, t._3) -> t._4).toMap
+    def tileSum(pr: Int, pc: Int): Long = (for {
+      dy <- 0 until 2; dx <- 0 until 2; c <- 0 until 3
+    } yield 3 * ((pr * 2 + dy) * 4 + pc * 2 + dx) + c).map(_.toLong).sum
+    assert(m == Map((0, 0) -> tileSum(0, 0), (0, 1) -> tileSum(0, 1),
+      (1, 0) -> tileSum(1, 0), (1, 1) -> tileSum(1, 1)))
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
