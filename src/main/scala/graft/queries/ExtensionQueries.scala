@@ -32,7 +32,11 @@ object ExtensionQueries {
     s"len(list_filter($duckToks, x -> list_contains(${ws.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
 
   /** DuckDB CTE producing the MinHash-LSH candidate pairs (shared by q32 and
-    * the clusters oracle). */
+    * the clusters oracle). q236 rebinds it over a planted-bridge corpus via
+    * [[duckMinhashPairsSqlOver]]. */
+  private def duckMinhashPairsSqlOver(table: String): String =
+    duckMinhashPairsSql.replace("FROM documents)", s"FROM $table)")
+
   private lazy val duckMinhashPairsSql: String = {
     val p = Dedup.MinHashP
     val sigs = Dedup.minHashCoeffs(8).zipWithIndex
@@ -6001,6 +6005,138 @@ object ExtensionQueries {
              |       CAST(least(demand, level.l) AS BIGINT) AS alloc,
              |       CAST(CASE WHEN demand > level.l THEN 1 ELSE 0 END AS BIGINT) AS capped
              |FROM d, level ORDER BY source""".stripMargin)
+    ),
+
+    // Transitive-contamination audit of the LSH dedup clusters: connected
+    // components chain A~B~C into one cluster even when A and C share
+    // nothing — this measures exactly how much of each cluster is held
+    // together only by chaining (intra-pairs failing the exact-Jaccard
+    // verify). The dedup-quality number union-find alone hides.
+    QueryDef(
+      "q236_transitive_contamination",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // PLANT bridges: 70% of parent A + 70% of parent B (37 ids apart,
+        // unrelated) — near-dup of each parent, so LSH chains A–bridge–B
+        // into one cluster whose A–B pair must fail the exact verify
+        val bridges = base.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("ia"), col("text").as("ta"))
+          .join(base.select(col("doc_id").as("ib"), col("text").as("tb")),
+            col("ib") === col("ia") + 37)
+          .select((col("ia") + 5000000L).as("doc_id"),
+            concat(expr("substring(ta, 1, length(ta) * 7 div 10)"), lit(" "),
+              expr("substring(tb, length(tb) * 3 div 10 + 1)")).as("text"))
+        val docs = base.unionByName(bridges)
+        val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          numHashes = 8, bandSize = 2, shingleK = 3)
+        val cc = Dedup.connectedComponents(pairs, "a_doc_id", "b_doc_id")
+        val intra = cc.select(col("id").as("a_id"), col("component"))
+          .join(cc.select(col("id").as("b_id"), col("component")), Seq("component"))
+          .filter(col("a_id") < col("b_id"))
+        // verify on SHINGLE jaccard — the granularity the LSH hashes;
+        // token-set jaccard is too loose (fixture docs share vocabulary)
+        val ws = docs.select(col("doc_id"),
+            sort_array(array_distinct(expr(
+              """transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
+                |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))""".stripMargin)))
+              .as("ws"))
+          .withColumn("n", size(col("ws")).cast("long"))
+        graft.functions.GraftFunctions.register(s)
+        val scored = intra
+          .join(ws.select(col("doc_id").as("a_id"), col("ws").as("a_ws"),
+            col("n").as("a_n")), Seq("a_id"))
+          .join(ws.select(col("doc_id").as("b_id"), col("ws").as("b_ws"),
+            col("n").as("b_n")), Seq("b_id"))
+          .withColumn("inter", graft.functions.GraftFunctions
+            .sortedIntersectCount(col("a_ws"), col("b_ws")))
+          .withColumn("verified",
+            (col("inter") * 140 >= (col("a_n") + col("b_n")) * 40).cast("long"))
+          .join(pairs.select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
+            .withColumn("direct", lit(1L)), Seq("a_id", "b_id"), "left")
+        scored.agg(
+            countDistinct("component").as("n_clusters"),
+            count(lit(1)).as("intra_pairs"),
+            sum(coalesce(col("direct"), lit(0L))).as("direct_pairs"),
+            sum("verified").as("verified_pairs"),
+            sum(lit(1L) - col("verified")).as("contaminated_pairs"))
+          .withColumn("contamination_bp",
+            expr("contaminated_pairs * 10000 div greatest(intra_pairs, 1)"))
+      },
+      Some(s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT a.doc_id + 5000000,
+              |         substr(a.text, 1, length(a.text) * 7 // 10) || ' ' ||
+              |         substr(b.text, length(b.text) * 3 // 10 + 1)
+              |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 37
+              |  WHERE a.doc_id % 50 = 0),
+              |pairs AS (${duckMinhashPairsSqlOver("corpus")}),
+              |edges AS (SELECT a_doc_id AS u, b_doc_id AS v FROM pairs
+              |          UNION SELECT b_doc_id, a_doc_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT u, u FROM edges
+              |  UNION
+              |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+              |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+              |intra AS (SELECT a.component, a.id AS a_id, b.id AS b_id
+              |  FROM cc a JOIN cc b ON a.component = b.component AND a.id < b.id),
+              |ws AS (SELECT doc_id,
+              |    list_sort(list_distinct(list_transform(range(greatest(len(w0) - 3, 0) + 1),
+              |      i -> array_to_string(w0[i+1:i+3], ' ')))) AS w,
+              |    CAST(len(list_distinct(list_transform(range(greatest(len(w0) - 3, 0) + 1),
+              |      i -> array_to_string(w0[i+1:i+3], ' ')))) AS BIGINT) AS n
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w0 FROM corpus)),
+              |sc AS (SELECT i.component, i.a_id, i.b_id,
+              |    CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS inter,
+              |    wa.n + wb.n AS nn,
+              |    CASE WHEN p.a_doc_id IS NOT NULL THEN 1 ELSE 0 END AS direct
+              |  FROM intra i
+              |  JOIN ws wa ON i.a_id = wa.doc_id
+              |  JOIN ws wb ON i.b_id = wb.doc_id
+              |  LEFT JOIN pairs p ON i.a_id = p.a_doc_id AND i.b_id = p.b_doc_id)
+              |SELECT CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+              |       CAST(count(*) AS BIGINT) AS intra_pairs,
+              |       CAST(sum(direct) AS BIGINT) AS direct_pairs,
+              |       CAST(sum(CASE WHEN inter * 140 >= nn * 40 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs,
+              |       CAST(sum(CASE WHEN inter * 140 >= nn * 40 THEN 0 ELSE 1 END) AS BIGINT) AS contaminated_pairs,
+              |       CAST(sum(CASE WHEN inter * 140 >= nn * 40 THEN 0 ELSE 1 END) * 10000
+              |            // greatest(count(*), 1) AS BIGINT) AS contamination_bp
+              |FROM sc""".stripMargin)
+    ),
+
+    // Cross-modality coverage audit: both directions of the docs ↔
+    // embeddings correspondence (planted gaps), the join-completeness
+    // check a multimodal pipeline runs before training on pairs.
+    QueryDef(
+      "q237_modality_coverage",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 89 =!= 1)
+        val e = t(s, dir, "embeddings").select(col("vec_id"))
+          .filter(col("vec_id") % 83 =!= 2)
+        val docsOnly = d.join(e, col("doc_id") === col("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("docs_without_vec"))
+        val vecsOnly = e.join(d, col("vec_id") === col("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("vecs_without_doc"))
+        val paired = d.join(e, col("doc_id") === col("vec_id"))
+          .agg(count(lit(1)).as("paired"))
+        d.agg(count(lit(1)).as("docs_total"))
+          .crossJoin(e.agg(count(lit(1)).as("vecs_total")))
+          .crossJoin(paired).crossJoin(docsOnly).crossJoin(vecsOnly)
+          .withColumn("coverage_bp", expr("paired * 10000 div docs_total"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 89 <> 1),
+             |e AS (SELECT vec_id FROM embeddings WHERE vec_id % 83 <> 2),
+             |x AS (SELECT
+             |    (SELECT CAST(count(*) AS BIGINT) FROM d) AS docs_total,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM e) AS vecs_total,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM d JOIN e ON doc_id = vec_id) AS paired,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM d LEFT JOIN e ON doc_id = vec_id
+             |       WHERE vec_id IS NULL) AS docs_without_vec,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM e LEFT JOIN d ON vec_id = doc_id
+             |       WHERE doc_id IS NULL) AS vecs_without_doc)
+             |SELECT docs_total, vecs_total, paired, docs_without_vec, vecs_without_doc,
+             |       CAST(paired * 10000 // docs_total AS BIGINT) AS coverage_bp
+             |FROM x""".stripMargin)
     ),
 
     // Deterministic three-way train/val/test split: pure map expression
