@@ -142,6 +142,42 @@ object Packing {
       .drop("__pid", "__local", "__offv", "__offh")
   }
 
+  /** Distributed `lead(orderCol, 1)`: each row gets the NEXT row's order
+    * value in the total order, null for the global last row — the third
+    * member of the two-phase scan family (prefix sum, running max, lead).
+    * Per-slice `lead` covers everything except each partition's last row,
+    * whose successor lives in the next non-empty slice; those boundaries
+    * are exactly the per-partition minima (#partitions rows), collected
+    * once and broadcast back. `orderCol` must be unique, as elsewhere. */
+  def withNextValue(
+      df: DataFrame,
+      orderCol: String,
+      outCol: String
+  ): DataFrame = {
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wLead = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val minima = ranged.groupBy(col("__pid"))
+      .agg(min(col(orderCol).cast("long")).as("__mn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // boundary for slice p = the min of the NEXT non-empty slice
+    val boundary = minima.sliding(2).collect {
+      case Array((p, _), (_, nextMin)) => (p, nextMin)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bDf = broadcast(boundary.toDF("__pid", "__bnext"))
+    ranged
+      .withColumn("__ll", lead(col(orderCol).cast("long"), 1).over(wLead))
+      .join(bDf, Seq("__pid"), "left")
+      .withColumn(outCol, coalesce(col("__ll"), col("__bnext")))
+      .drop("__pid", "__ll", "__bnext")
+  }
+
   /** Padding-waste certificate for fixed-size batch assembly: under each
     * candidate document ORDER (a strategy), consecutive runs of `batchSize`
     * documents form a batch padded to its longest member — the layout used

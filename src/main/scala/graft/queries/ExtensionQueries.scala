@@ -6139,6 +6139,147 @@ object ExtensionQueries {
              |FROM x""".stripMargin)
     ),
 
+    // Snapshot-chain change attribution: base→mid→head with planted
+    // updates/deletes/adds/REVERTS per hop — every net base→head change is
+    // attributed to the hop that introduced it, and reverted keys (changed
+    // twice, net zero) are surfaced instead of silently vanishing. The
+    // "which deploy broke it" query a two-hop diff can't answer alone.
+    QueryDef(
+      "q238_diff_chain",
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("v"))
+        val mid = base.filter(col("k") % 101 =!= 0)
+          .withColumn("v", when(col("k") % 97 === 0, col("v") + 1).otherwise(col("v")))
+          .unionByName(base.filter(col("k") % 103 === 0)
+            .select((col("k") + 1000000L).as("k"), col("v")))
+        val head = mid.filter(col("k") % 107 =!= 0)
+          .withColumn("v",
+            when(col("k") % 97 === 0 && col("k") % 5 === 0, col("v") - 1) // revert hop 1
+              .when(col("k") % 89 === 0, col("v") + 1)
+              .otherwise(col("v")))
+          .unionByName(base.filter(col("k") % 109 === 0)
+            .select((col("k") + 2000000L).as("k"), col("v")))
+        val j = base.select(col("k"), col("v").as("vb"))
+          .join(mid.select(col("k"), col("v").as("vm")), Seq("k"), "full")
+          .join(head.select(col("k"), col("v").as("vh")), Seq("k"), "full")
+        j.agg(
+            sum(when(col("vb").isNotNull && col("vm").isNull, 1L).otherwise(0L))
+              .as("removed_hop1"),
+            sum(when(col("vb").isNull && col("vm").isNotNull, 1L).otherwise(0L))
+              .as("added_hop1"),
+            sum(when(col("vm").isNotNull && col("vh").isNull, 1L).otherwise(0L))
+              .as("removed_hop2"),
+            sum(when(col("vm").isNull && col("vh").isNotNull, 1L).otherwise(0L))
+              .as("added_hop2"),
+            sum(when(col("vb").isNotNull && col("vm").isNotNull && col("vh").isNotNull &&
+              col("vb") =!= col("vm") && col("vm") === col("vh"), 1L).otherwise(0L))
+              .as("hop1_only"),
+            sum(when(col("vb").isNotNull && col("vm").isNotNull && col("vh").isNotNull &&
+              col("vb") === col("vm") && col("vm") =!= col("vh"), 1L).otherwise(0L))
+              .as("hop2_only"),
+            sum(when(col("vb").isNotNull && col("vm").isNotNull && col("vh").isNotNull &&
+              col("vb") =!= col("vm") && col("vm") =!= col("vh") &&
+              col("vb") =!= col("vh"), 1L).otherwise(0L)).as("both_hops"),
+            sum(when(col("vb").isNotNull && col("vm").isNotNull && col("vh").isNotNull &&
+              col("vb") =!= col("vm") && col("vm") =!= col("vh") &&
+              col("vb") === col("vh"), 1L).otherwise(0L)).as("reverted"),
+            sum(when(col("vb").isNotNull && col("vh").isNotNull &&
+              col("vb") =!= col("vh") && col("vm").isNotNull, 1L).otherwise(0L))
+              .as("net_changed"))
+          .withColumn("attribution_exact",
+            when(col("net_changed") ===
+              col("hop1_only") + col("hop2_only") + col("both_hops"), 1L)
+              .otherwise(0L))
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+             |mid AS (SELECT k, CASE WHEN k % 97 = 0 THEN v + 1 ELSE v END AS v
+             |    FROM base WHERE k % 101 <> 0
+             |  UNION ALL SELECT k + 1000000, v FROM base WHERE k % 103 = 0),
+             |head AS (SELECT k, CASE WHEN k % 97 = 0 AND k % 5 = 0 THEN v - 1
+             |      WHEN k % 89 = 0 THEN v + 1 ELSE v END AS v
+             |    FROM mid WHERE k % 107 <> 0
+             |  UNION ALL SELECT k + 2000000, v FROM base WHERE k % 109 = 0),
+             |j1 AS (SELECT coalesce(b.k, m.k) AS k, b.v AS vb, m.v AS vm
+             |  FROM base b FULL JOIN mid m ON b.k = m.k),
+             |j AS (SELECT coalesce(j1.k, h.k) AS k, vb, vm, h.v AS vh
+             |  FROM j1 FULL JOIN head h ON j1.k = h.k),
+             |a AS (SELECT
+             |  CAST(sum(CASE WHEN vb IS NOT NULL AND vm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed_hop1,
+             |  CAST(sum(CASE WHEN vb IS NULL AND vm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS added_hop1,
+             |  CAST(sum(CASE WHEN vm IS NOT NULL AND vh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed_hop2,
+             |  CAST(sum(CASE WHEN vm IS NULL AND vh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS added_hop2,
+             |  CAST(sum(CASE WHEN vb IS NOT NULL AND vm IS NOT NULL AND vh IS NOT NULL
+             |    AND vb <> vm AND vm = vh THEN 1 ELSE 0 END) AS BIGINT) AS hop1_only,
+             |  CAST(sum(CASE WHEN vb IS NOT NULL AND vm IS NOT NULL AND vh IS NOT NULL
+             |    AND vb = vm AND vm <> vh THEN 1 ELSE 0 END) AS BIGINT) AS hop2_only,
+             |  CAST(sum(CASE WHEN vb IS NOT NULL AND vm IS NOT NULL AND vh IS NOT NULL
+             |    AND vb <> vm AND vm <> vh AND vb <> vh THEN 1 ELSE 0 END) AS BIGINT) AS both_hops,
+             |  CAST(sum(CASE WHEN vb IS NOT NULL AND vm IS NOT NULL AND vh IS NOT NULL
+             |    AND vb <> vm AND vm <> vh AND vb = vh THEN 1 ELSE 0 END) AS BIGINT) AS reverted,
+             |  CAST(sum(CASE WHEN vb IS NOT NULL AND vh IS NOT NULL AND vb <> vh
+             |    AND vm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS net_changed
+             |  FROM j)
+             |SELECT *, CAST(CASE WHEN net_changed = hop1_only + hop2_only + both_hops
+             |    THEN 1 ELSE 0 END AS BIGINT) AS attribution_exact
+             |FROM a""".stripMargin)
+    ),
+
+    // Exact Wasserstein-1 (earth-mover) drift between two price
+    // distributions: ∫|CDFa − CDFb| dv as the integer
+    // Σ|cumulative(ca·nb − cb·na)|·gap over distinct values — the drift
+    // metric that sees a shifted median where TV (q71) saturates. The
+    // cumulative uses the distributed prefix sum and the gap uses the
+    // distributed lead — no single-task window anywhere.
+    QueryDef(
+      "q239_wasserstein_drift",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val ca = o.filter(col("st") === "O").groupBy("cents")
+          .agg(count(lit(1)).as("ca"))
+        val cb = o.filter(col("st") === "F").groupBy("cents")
+          .agg(count(lit(1)).as("cb"))
+        val vals = ca.join(cb, Seq("cents"), "full")
+          .select(col("cents"), coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+        val tot = vals.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        val contrib = vals.crossJoin(broadcast(tot))
+          .withColumn("contrib", col("ca") * col("nb") - col("cb") * col("na"))
+        val cum = Packing.withRunningTotal(contrib, "cents", "contrib", "cum")
+        val withNext = Packing.withNextValue(cum, "cents", "next_cents")
+        withNext.agg(
+            max("na").as("na"), max("nb").as("nb"),
+            sum(when(col("next_cents").isNotNull,
+              abs(col("cum")) * (col("next_cents") - col("cents")))
+              .otherwise(0L)).as("w1_scaled"))
+          .withColumn("w1_cents_x100",
+            expr("w1_scaled * 100 div (na * nb)"))
+      },
+      Some("""WITH o AS (SELECT o_orderstatus AS st,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |ca AS (SELECT cents, CAST(count(*) AS BIGINT) AS ca FROM o WHERE st = 'O' GROUP BY 1),
+             |cb AS (SELECT cents, CAST(count(*) AS BIGINT) AS cb FROM o WHERE st = 'F' GROUP BY 1),
+             |vals AS (SELECT coalesce(ca.cents, cb.cents) AS cents,
+             |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+             |  FROM ca FULL JOIN cb ON ca.cents = cb.cents),
+             |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM vals),
+             |c AS (SELECT cents, ca * nb - cb * na AS contrib, na, nb FROM vals, tt),
+             |w AS (SELECT cents, na, nb,
+             |    sum(contrib) OVER (ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    lead(cents) OVER (ORDER BY cents) AS next_cents
+             |  FROM c)
+             |SELECT max(na) AS na, max(nb) AS nb,
+             |       CAST(sum(CASE WHEN next_cents IS NOT NULL
+             |         THEN abs(cum) * (next_cents - cents) ELSE 0 END) AS BIGINT) AS w1_scaled,
+             |       CAST(sum(CASE WHEN next_cents IS NOT NULL
+             |         THEN abs(cum) * (next_cents - cents) ELSE 0 END) * 100
+             |         // (max(na) * max(nb)) AS BIGINT) AS w1_cents_x100
+             |FROM w""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

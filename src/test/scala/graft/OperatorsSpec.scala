@@ -2080,6 +2080,22 @@ class OperatorsSpec extends SparkTestBase {
       (1, 0) -> tileSum(1, 0), (1, 1) -> tileSum(1, 1)))
   }
 
+  test("distributed lead: partition boundaries stitched, global last row null") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // sparse, shuffled values across many partitions: every row's next
+    // must be the true successor, crossing range-slice boundaries
+    val vals = (1L to 97L).map(_ * 3).reverse
+    val df = vals.toDF("v").repartition(8)
+    val out = Packing.withNextValue(df, "v", "nxt")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    vals.foreach { v =>
+      val expected = if (v == 291L) None else Some(v + 3)
+      assert(out(v) == expected, s"v=$v")
+    }
+  }
+
   test("covariance certificate: exact numerators, perfect correlation closes") {
     import spark.implicits._
     import graft.operators.Stats
