@@ -6280,6 +6280,41 @@ object ExtensionQueries {
              |FROM w""".stripMargin)
     ),
 
+    // Exact GLOBAL quantiles by distributed rank: the prefix-sum scan
+    // assigns every row its global rank (no single-task sort anywhere),
+    // then the p10/25/50/75/90 rows are a filter — order statistics over
+    // the whole table at 100 TB, where q86's per-group windows don't apply
+    // and approx_percentile would be inexact. Rank convention matches
+    // q207: value at rank ⌈n·p/100⌉.
+    QueryDef(
+      "q240_global_quantiles",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        // unique total-order key, cents-major: ranks = value order
+        val keyed = li.withColumn("__ord",
+            col("cents") * 1000000000L + col("l_orderkey") * 10L + col("l_linenumber"))
+          .withColumn("__one", lit(1L))
+        val ranked = Packing.withRunningTotal(keyed, "__ord", "__one", "rn")
+        val n1 = ranked.agg(count(lit(1)).as("n"))
+        val targets = n1.select(explode(expr(
+          "transform(array(10, 25, 50, 75, 90), p -> struct(CAST(p AS BIGINT) AS p, CAST((n * p + 99) div 100 AS BIGINT) AS target))"))
+          .as("t")).select(col("t.p"), col("t.target"))
+        ranked.join(broadcast(targets), col("rn") === col("target"))
+          .select(col("p"), col("cents")).orderBy("p")
+      },
+      Some("""WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |    l_orderkey, l_linenumber FROM lineitem),
+             |r AS (SELECT cents,
+             |    row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+             |    count(*) OVER () AS n FROM li)
+             |SELECT CAST(p AS BIGINT) AS p, cents
+             |FROM r CROSS JOIN (VALUES (10), (25), (50), (75), (90)) pv(p)
+             |WHERE rn = (n * p + 99) // 100
+             |ORDER BY p""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(
