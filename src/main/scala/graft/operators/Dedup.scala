@@ -936,6 +936,49 @@ object Dedup {
         count(lit(1)).as("cluster_size"))
   }
 
+  /** Bounded intra-component pair enumeration — the scale-safe form of
+    * `cc JOIN cc ON component` for audits that must look at pairs *inside*
+    * a near-dup cluster (transitive-contamination, chain attribution).
+    *
+    * The naive self-join is quadratic in component size: boilerplate
+    * families at corpus scale routinely reach 10⁴–10⁶ members, i.e.
+    * 10⁸–10¹² pairs from a single component. This caps the fan-out at the
+    * source: components with ≤ `maxMembers` members enumerate every pair
+    * (`exact = 1`); larger ones are truncated to their `maxMembers`
+    * smallest ids — a deterministic, reproducible sample — and pairs among
+    * that prefix are emitted with `exact = 0`. Output is therefore bounded
+    * by `maxMembers·(maxMembers−1)/2` rows per component no matter how
+    * degenerate the cluster.
+    *
+    * Two keyed shuffles on `componentCol` (size agg + rank window), both
+    * co-partitioned with the pair join that follows — no all-pairs stage
+    * anywhere. Consumers surface `exact` so sampled audits are labeled as
+    * such rather than silently partial (the q238 exactness-flag pattern).
+    *
+    * Input `cc` is [[connectedComponents]] output (`idCol`,
+    * `componentCol`); returns (component, a_id, b_id, exact). */
+  def boundedIntraPairs(
+      cc: DataFrame,
+      idCol: String = "id",
+      componentCol: String = "component",
+      maxMembers: Int = 64
+  ): DataFrame = {
+    require(maxMembers >= 2, "maxMembers must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = cc.groupBy(col(componentCol))
+      .agg(count(lit(1)).as("__csize"))
+    val w = Window.partitionBy(col(componentCol)).orderBy(col(idCol))
+    val kept = cc.select(col(componentCol), col(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxMembers)
+      .join(sizes, Seq(componentCol))
+      .withColumn("exact", (col("__csize") <= maxMembers).cast("long"))
+    kept.select(col(componentCol), col(idCol).as("a_id"), col("exact"))
+      .join(kept.select(col(componentCol), col(idCol).as("b_id")), Seq(componentCol))
+      .filter(col("a_id") < col("b_id"))
+      .select(col(componentCol), col("a_id"), col("b_id"), col("exact"))
+  }
+
   /** Edit-distance near-dup pairs: block on a text prefix, verify with
     * levenshtein — the classic cheap-block/expensive-verify split.
     *

@@ -5540,10 +5540,15 @@ object ExtensionQueries {
             .otherwise(col("text")).as("t2"))
         val toks = d.select(col("doc_id"),
           explode(expr("filter(split(t2, '\\\\s+'), x -> x != '')")).as("tok"))
+        // containment via translate-delete + length compare — no regex
+        // engine in the per-token hot path (two codegen'd translates vs
+        // two rlike evaluations per token; same result, ~2x the scan)
+        val latin = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        val hasLatin = length(translate(col("tok"), latin, "")) < length(col("tok"))
+        val hasCyr = length(translate(col("tok"), "аео", "")) < length(col("tok"))
         val agg = toks.groupBy("doc_id").agg(
           count(lit(1)).as("n_tokens"),
-          sum(when(col("tok").rlike("[A-Za-z]") && col("tok").rlike("[аео]"), 1L)
-            .otherwise(0L)).as("n_mixed"))
+          sum(when(hasLatin && hasCyr, 1L).otherwise(0L)).as("n_mixed"))
         base.select(col("doc_id"))
           .join(agg, Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -6030,9 +6035,10 @@ object ExtensionQueries {
         val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
           numHashes = 8, bandSize = 2, shingleK = 3)
         val cc = Dedup.connectedComponents(pairs, "a_doc_id", "b_doc_id")
-        val intra = cc.select(col("id").as("a_id"), col("component"))
-          .join(cc.select(col("id").as("b_id"), col("component")), Seq("component"))
-          .filter(col("a_id") < col("b_id"))
+        // bounded enumeration: a degenerate cluster (boilerplate family)
+        // can't turn this audit quadratic — oversize components are
+        // deterministically sampled and flagged exact=0 in the output
+        val intra = Dedup.boundedIntraPairs(cc, maxMembers = 64)
         // verify on SHINGLE jaccard — the granularity the LSH hashes;
         // token-set jaccard is too loose (fixture docs share vocabulary)
         val ws = docs.select(col("doc_id"),
@@ -6058,7 +6064,8 @@ object ExtensionQueries {
             count(lit(1)).as("intra_pairs"),
             sum(coalesce(col("direct"), lit(0L))).as("direct_pairs"),
             sum("verified").as("verified_pairs"),
-            sum(lit(1L) - col("verified")).as("contaminated_pairs"))
+            sum(lit(1L) - col("verified")).as("contaminated_pairs"),
+            sum(lit(1L) - col("exact")).as("sampled_pairs"))
           .withColumn("contamination_bp",
             expr("contaminated_pairs * 10000 div greatest(intra_pairs, 1)"))
       },
@@ -6077,15 +6084,21 @@ object ExtensionQueries {
               |  UNION
               |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
               |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-              |intra AS (SELECT a.component, a.id AS a_id, b.id AS b_id
-              |  FROM cc a JOIN cc b ON a.component = b.component AND a.id < b.id),
+              |ranked AS (SELECT id, component,
+              |    row_number() OVER (PARTITION BY component ORDER BY id) AS rk,
+              |    count(*) OVER (PARTITION BY component) AS csize
+              |  FROM cc),
+              |kept AS (SELECT * FROM ranked WHERE rk <= 64),
+              |intra AS (SELECT a.component, a.id AS a_id, b.id AS b_id,
+              |    CASE WHEN a.csize <= 64 THEN 1 ELSE 0 END AS ex
+              |  FROM kept a JOIN kept b ON a.component = b.component AND a.id < b.id),
               |ws AS (SELECT doc_id,
               |    list_sort(list_distinct(list_transform(range(greatest(len(w0) - 3, 0) + 1),
               |      i -> array_to_string(w0[i+1:i+3], ' ')))) AS w,
               |    CAST(len(list_distinct(list_transform(range(greatest(len(w0) - 3, 0) + 1),
               |      i -> array_to_string(w0[i+1:i+3], ' ')))) AS BIGINT) AS n
               |  FROM (SELECT doc_id, string_split(text, ' ') AS w0 FROM corpus)),
-              |sc AS (SELECT i.component, i.a_id, i.b_id,
+              |sc AS (SELECT i.component, i.a_id, i.b_id, i.ex,
               |    CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS inter,
               |    wa.n + wb.n AS nn,
               |    CASE WHEN p.a_doc_id IS NOT NULL THEN 1 ELSE 0 END AS direct
@@ -6098,6 +6111,7 @@ object ExtensionQueries {
               |       CAST(sum(direct) AS BIGINT) AS direct_pairs,
               |       CAST(sum(CASE WHEN inter * 140 >= nn * 40 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs,
               |       CAST(sum(CASE WHEN inter * 140 >= nn * 40 THEN 0 ELSE 1 END) AS BIGINT) AS contaminated_pairs,
+              |       CAST(sum(1 - ex) AS BIGINT) AS sampled_pairs,
               |       CAST(sum(CASE WHEN inter * 140 >= nn * 40 THEN 0 ELSE 1 END) * 10000
               |            // greatest(count(*), 1) AS BIGINT) AS contamination_bp
               |FROM sc""".stripMargin)

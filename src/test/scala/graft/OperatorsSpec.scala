@@ -285,6 +285,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(planLines < 60, s"plan depth grew with iterations: $planLines lines")
   }
 
+  test("bounded intra pairs: degenerate component is sampled, not enumerated") {
+    // one planted 1000-member chain component + one 4-member component:
+    // the audit must NOT go quadratic on the big one (999*1000/2 pairs)
+    val edges = ((0L until 999L).map(i => (i, i + 1)) ++
+      Seq((5000L, 5001L), (5001L, 5002L), (5002L, 5003L))).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+    val pairs = Dedup.boundedIntraPairs(cc, maxMembers = 64).collect()
+    val big = pairs.filter(_.getAs[Long]("component") == 0L)
+    val small = pairs.filter(_.getAs[Long]("component") == 5000L)
+    // big component: exactly the 64 smallest ids' pairs, all flagged sampled
+    assert(big.length == 64 * 63 / 2)
+    assert(big.forall(_.getAs[Long]("exact") == 0L))
+    assert(big.forall(r => r.getAs[Long]("a_id") < 64L && r.getAs[Long]("b_id") < 64L))
+    // small component: full enumeration, flagged exact
+    assert(small.length == 4 * 3 / 2)
+    assert(small.forall(_.getAs[Long]("exact") == 1L))
+    // deterministic: same input, same sample
+    val again = Dedup.boundedIntraPairs(cc, maxMembers = 64).collect()
+    assert(pairs.map(_.toSeq).sortBy(_.toString).sameElements(
+      again.map(_.toSeq).sortBy(_.toString)))
+  }
+
   test("bucketed range join equals the naive containment join") {
     val points = Seq((1L, 0.5), (2L, 10.0), (3L, -3.2), (4L, 99.9)).toDF("pid", "x")
     val intervals = Seq((10L, 0.0, 1.0), (11L, -5.0, 15.0), (12L, 9.9, 10.0), (13L, 50.0, 60.0))
