@@ -854,8 +854,89 @@ object Dedup {
       import spark.implicits._
       return rows.toDF("id", "component")
     }
-    connectedComponentsDistributed(pairs, aCol, bCol, maxIters)
+    connectedComponentsStarContraction(pairs, aCol, bCol)
   }
+
+  /** Star-contraction connected components — the diameter-robust
+    * distributed path (alternating large-star / small-star contraction,
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — public algorithm).
+    *
+    * Min-label propagation ([[connectedComponentsDistributed]]) needs one
+    * shuffle round per hop of component diameter: a chain-shaped near-dup
+    * component (template drift across a crawl) forces O(n) rounds. Star
+    * contraction converges in O(log n) rounds regardless of diameter:
+    *
+    *   - large-star(u): every neighbor v > u is re-pointed at
+    *     m = min(Γ(u) ∪ {u}) — tall trees flatten toward local minima;
+    *   - small-star(u): with edges oriented high→low, u and all its
+    *     smaller neighbors are re-pointed at the minimum neighbor —
+    *     local minima chain down to the component minimum.
+    *
+    * At fixpoint the edge set is a union of stars centered at each
+    * component's minimum id — the same labels union-find produces. Each
+    * round is two keyed shuffles (groupBy min + self-join) over the EDGE
+    * set only (never the corpus); edges are `localCheckpoint`ed per round
+    * so plan depth stays O(1) across rounds.
+    *
+    * Returns (id, component) for every id appearing in `pairs`. */
+  def connectedComponentsStarContraction(
+      pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): DataFrame =
+    starContractionWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** [[connectedComponentsStarContraction]] plus the number of
+    * (large-star, small-star) rounds it took to converge — the O(log n)
+    * claim is testable, so the spec asserts the round count, not just the
+    * labels. */
+  def starContractionWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    if (edges.isEmpty) return (Seq.empty[(Long, Long)].toDF("id", "component"), 0)
+    var lastRdd = ckptRdd(edges)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIters) {
+      // large-star: from each undirected edge {u,v}, u<v, re-point v at
+      // min(Γ(u) ∪ {u}); self-loops (u was its own neighborhood min) drop
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: edges now oriented high→low; re-point u and every
+      // smaller neighbor at u's minimum neighbor
+      val oriented = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins2 = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val next = oriented.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      stable = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      lastRdd.foreach(_.unpersist(blocking = false))
+      lastRdd = ckptRdd(next)
+      edges = next
+      rounds += 1
+    }
+    // fixpoint edge set is (child, componentMin) stars; minima label
+    // themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+    (labels, rounds)
+  }
+
+  private def ckptRdd(d: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    d.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 
   /** Distributed min-label propagation (see [[connectedComponents]]).
     *

@@ -285,6 +285,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(planLines < 60, s"plan depth grew with iterations: $planLines lines")
   }
 
+  test("star contraction matches union-find labels on mixed graph shapes") {
+    // chain + triangle + pair + two bridged stars, plus deterministic
+    // pseudo-random edges — every shape must agree with driver union-find
+    val fixed = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (30L, 31L), (30L, 32L), (40L, 41L), (40L, 42L), (32L, 42L))
+    val rand = (0 until 300).map { i =>
+      val a = (i.toLong * 2654435761L) % 97
+      val b = (i.toLong * 40503L + 7) % 97
+      (a + 100, b + 100)
+    }.filter { case (a, b) => a != b }
+    val pairs = (fixed ++ rand).toDF("a", "b")
+    val expected = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.connectedComponentsStarContraction(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("star contraction: 10k-node chain converges in O(log n) rounds") {
+    // diameter 9999 — min-label propagation would need ~10^4 shuffle
+    // rounds; star contraction must close it in ~log2(10k) ≈ 14
+    val chain = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.starContractionWithRounds(chain, "a", "b")
+    assert(rounds <= 15, s"expected O(log n) rounds, took $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 10000)
+    assert(got.forall(_._2 == 0L), "all chain nodes must label to min id 0")
+  }
+
   test("bounded intra pairs: degenerate component is sampled, not enumerated") {
     // one planted 1000-member chain component + one 4-member component:
     // the audit must NOT go quadratic on the big one (999*1000/2 pairs)
