@@ -35,4 +35,55 @@ object Ivm {
       .unionByName(r0.join(ds, key))
       .unionByName(dr.join(ds, key))
   }
+
+  /** Retraction-capable join delta — the signed-multiplicity (Z-set) form
+    * of the delta rule, completing [[joinDelta]] for real CDC feeds that
+    * carry updates and tombstones, not just appends.
+    *
+    * Each delta row carries `mCol` ∈ {+1, −1}: insert = +1, delete = −1,
+    * update = delete(old) + insert(new). Multiplicities multiply through a
+    * join, so the same three delta terms cover every case:
+    *
+    *   Δ(R⋈S) = ΔR⋈S₀ + R₀⋈ΔS + ΔR⋈ΔS,  m(a⋈b) = m(a)·m(b)
+    *
+    * (a tombstone meeting a tombstone on the same key yields +1 — exactly
+    * the term the naive "subtract deletions twice" derivation double-counts
+    * away). `r0`/`s0` are the base snapshots WITHOUT a multiplicity column
+    * (implicitly all +1); `dr`/`ds` carry `mCol`. Output is the base join's
+    * columns plus `mCol`; rows with net multiplicity 0 cancel when the
+    * caller folds with [[applyDelta]] (or any sum-by-payload).
+    *
+    * Scale shape is identical to the insert-only rule: every term has a
+    * delta side, so the base tables are probed by a small frame (broadcast
+    * or shuffled-by-key) and never re-joined against each other. */
+  def joinDeltaCdc(
+      r0: DataFrame,
+      dr: DataFrame,
+      s0: DataFrame,
+      ds: DataFrame,
+      key: String,
+      mCol: String = "m"
+  ): DataFrame = {
+    val a = dr.join(s0, Seq(key))
+    val b = r0.join(ds, Seq(key))
+    val c = dr.withColumnRenamed(mCol, "__mr")
+      .join(ds.withColumnRenamed(mCol, "__ms"), Seq(key))
+      .withColumn(mCol, col("__mr") * col("__ms"))
+      .drop("__mr", "__ms")
+    a.unionByName(b).unionByName(c)
+  }
+
+  /** Fold a signed delta into a materialized multiset view: group by every
+    * payload column, sum multiplicities, keep net-positive rows (with their
+    * surviving multiplicity). `view` rows count +1 each. One keyed shuffle
+    * on the full payload — the collapse a Z-set materialization runs after
+    * each maintenance batch. */
+  def applyDelta(view: DataFrame, delta: DataFrame, mCol: String = "m"): DataFrame = {
+    val payload = view.columns.filterNot(_ == mCol)
+    view.withColumn(mCol, lit(1L))
+      .unionByName(delta.select(view.columns.filterNot(_ == mCol).map(col) :+ col(mCol): _*))
+      .groupBy(payload.map(col): _*)
+      .agg(sum(col(mCol)).as(mCol))
+      .filter(col(mCol) > 0)
+  }
 }

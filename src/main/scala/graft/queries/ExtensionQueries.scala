@@ -6329,6 +6329,85 @@ object ExtensionQueries {
              |ORDER BY p""".stripMargin)
     ),
 
+    // Retraction-capable join IVM certificate: a materialized
+    // orders⋈lineitem advanced by the SIGNED delta rule (inserts +1,
+    // tombstones −1, updates as −1/+1 pairs; multiplicities multiply
+    // through the join) must be multiplicity-checksum-identical to a full
+    // recompute of the final state — q226's insert-only certificate
+    // completed for real CDC feeds. At 100 TB only delta-sided joins run.
+    QueryDef(
+      "q241_join_ivm_cdc",
+      (s, dir) => {
+        val r = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("r_cents"))
+        val sl = t(s, dir, "lineitem").select(col("l_orderkey").as("k"),
+          col("l_quantity").cast("int").cast("long").as("qty"),
+          col("l_partkey").as("pk"))
+        // base snapshots + a mixed changeset carved deterministically:
+        // R: k%10==7 inserted, k%10==4 deleted, k%10==2 updated (cents*2)
+        // S: pk%10==3 inserted, pk%10==6 deleted, pk%10==1 updated (qty+5)
+        val r0 = r.filter(col("k") % 10 =!= 7)
+        val dr = r.filter(col("k") % 10 === 7).withColumn("m", lit(1L))
+          .unionByName(r0.filter(col("k") % 10 === 4).withColumn("m", lit(-1L)))
+          .unionByName(r0.filter(col("k") % 10 === 2).withColumn("m", lit(-1L)))
+          .unionByName(r0.filter(col("k") % 10 === 2)
+            .withColumn("r_cents", col("r_cents") * 2).withColumn("m", lit(1L)))
+        val s0 = sl.filter(col("pk") % 10 =!= 3).drop("pk")
+        val ds = sl.filter(col("pk") % 10 === 3).drop("pk").withColumn("m", lit(1L))
+          .unionByName(sl.filter(col("pk") % 10 === 6).drop("pk")
+            .withColumn("m", lit(-1L)))
+          .unionByName(sl.filter(col("pk") % 10 === 1).drop("pk")
+            .withColumn("m", lit(-1L)))
+          .unionByName(sl.filter(col("pk") % 10 === 1)
+            .withColumn("qty", col("qty") + 5).drop("pk").withColumn("m", lit(1L)))
+        val h = expr("CAST(conv(substring(md5(concat(CAST(k AS STRING), ',', " +
+          "CAST(r_cents AS STRING), ',', CAST(qty AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+        val j0 = r0.join(s0, "k")
+        val delta = Ivm.joinDeltaCdc(r0, dr, s0, ds, "k")
+        val maintained = j0.withColumn("m", lit(1L)).unionByName(delta)
+          .agg(sum(col("m")).as("maintained_rows"),
+            sum(col("m") * h).as("maintained_sum"))
+        // ground truth: full join of the final table states
+        val r1 = r.filter(col("k") % 10 =!= 4).withColumn("r_cents",
+          when(col("k") % 10 === 2, col("r_cents") * 2).otherwise(col("r_cents")))
+        val s1 = sl.filter(col("pk") % 10 =!= 6).withColumn("qty",
+          when(col("pk") % 10 === 1, col("qty") + 5).otherwise(col("qty"))).drop("pk")
+        val recomputed = r1.join(s1, "k")
+          .agg(count(lit(1)).as("recomputed_rows"), sum(h).as("recomputed_sum"))
+        j0.agg(count(lit(1)).as("base_rows"))
+          .crossJoin(maintained).crossJoin(recomputed)
+          .select(col("base_rows"), col("maintained_rows"), col("recomputed_rows"),
+            col("maintained_sum"), col("recomputed_sum"),
+            when(col("maintained_rows") === col("recomputed_rows") &&
+              col("maintained_sum") === col("recomputed_sum"), 1L).otherwise(0L)
+              .as("match_ok"))
+      },
+      Some("""WITH r0 AS (SELECT o_orderkey AS k,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS r_cents
+             |  FROM orders WHERE o_orderkey % 10 <> 7),
+             |s0 AS (SELECT l_orderkey AS k,
+             |    CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty
+             |  FROM lineitem WHERE l_partkey % 10 <> 3),
+             |r1 AS (SELECT o_orderkey AS k,
+             |    CAST(CASE WHEN o_orderkey % 10 = 2 THEN round(o_totalprice * 100) * 2
+             |         ELSE round(o_totalprice * 100) END AS BIGINT) AS r_cents
+             |  FROM orders WHERE o_orderkey % 10 <> 4),
+             |s1 AS (SELECT l_orderkey AS k,
+             |    CAST(CAST(l_quantity AS INT) +
+             |         CASE WHEN l_partkey % 10 = 1 THEN 5 ELSE 0 END AS BIGINT) AS qty
+             |  FROM lineitem WHERE l_partkey % 10 <> 6),
+             |j1 AS (SELECT r1.k AS k, r_cents, qty FROM r1 JOIN s1 ON r1.k = s1.k),
+             |hh AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(('0x' || substr(md5(k || ',' || r_cents || ',' || qty),
+             |      1, 8))::BIGINT) AS BIGINT) AS hsum FROM j1),
+             |b AS (SELECT CAST(count(*) AS BIGINT) AS base_rows
+             |  FROM r0 JOIN s0 ON r0.k = s0.k)
+             |SELECT b.base_rows, hh.n AS maintained_rows, hh.n AS recomputed_rows,
+             |       hh.hsum AS maintained_sum, hh.hsum AS recomputed_sum,
+             |       CAST(1 AS BIGINT) AS match_ok
+             |FROM b, hh""".stripMargin)
+    ),
+
     // Deterministic three-way train/val/test split: pure map expression
     // on the q61 key-hash — a key lands in one split forever.
     QueryDef(

@@ -285,6 +285,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(planLines < 60, s"plan depth grew with iterations: $planLines lines")
   }
 
+  test("CDC join delta with retractions matches full recompute as a multiset") {
+    // R: delete k=1, update k=2 (10->99), insert k=4
+    val r0 = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("k", "rv")
+    val dr = Seq((1L, 10L, -1L), (2L, 10L, -1L), (2L, 99L, 1L), (4L, 40L, 1L))
+      .toDF("k", "rv", "m")
+    // S is a multiset (duplicate (2,7) payload); delete ONE copy of (2,7),
+    // insert (1,8) (lands on a deleted R key -> must not resurrect), (4,9)
+    val s0 = Seq((2L, 7L), (2L, 7L), (2L, 5L), (3L, 6L)).toDF("k", "sv")
+    val ds = Seq((2L, 7L, -1L), (1L, 8L, 1L), (4L, 9L, 1L)).toDF("k", "sv", "m")
+    val j0 = r0.join(s0, "k")
+    val delta = graft.operators.Ivm.joinDeltaCdc(r0, dr, s0, ds, "k")
+    val maintained = graft.operators.Ivm.applyDelta(j0, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // final states: r1 = {(2,99),(3,30),(4,40)}, s1 = {(2,7),(2,5),(3,6),(1,8),(4,9)}
+    val expected = Set(
+      (2L, 99L, 7L, 1L), (2L, 99L, 5L, 1L), // k=2: new rv joins surviving copies
+      (3L, 30L, 6L, 1L), (4L, 40L, 9L, 1L)) // deleted k=1 never resurrects
+    assert(maintained == expected)
+  }
+
   test("star contraction matches union-find labels on mixed graph shapes") {
     // chain + triangle + pair + two bridged stars, plus deterministic
     // pseudo-random edges — every shape must agree with driver union-find
