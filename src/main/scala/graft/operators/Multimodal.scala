@@ -1663,33 +1663,8 @@ object Multimodal {
                   k += 1
                 }
               }
-              // -- separable IDCT: rows (over u) then columns (over v)
-              var v = 0
-              while (v < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0; var u = 0
-                  while (u < 8) { acc += JpegIdctCos(x)(u) * coef(v * 8 + u); u += 1 }
-                  tmp(v * 8 + x) = acc
-                  x += 1
-                }
-                v += 1
-              }
-              val px0 = (mx * compH(c) + bx) * 8
-              val py0 = (my * compV(c) + by) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0; var vv = 0
-                  while (vv < 8) { acc += JpegIdctCos(y)(vv) * tmp(vv * 8 + x); vv += 1 }
-                  val s = math.round(acc).toInt + 128 // level shift
-                  val cl = if (s < 0) 0 else if (s > 255) 255 else s
-                  planes(c)((py0 + y) * planeW(c) + px0 + x) = cl.toByte
-                  x += 1
-                }
-                y += 1
-              }
+              jpegIdctBlock(coef, tmp, planes(c), planeW(c),
+                (mx * compH(c) + bx) * 8, (my * compV(c) + by) * 8)
               bx += 1
             }
             by += 1
@@ -1709,7 +1684,46 @@ object Multimodal {
       (bytes(ep + 1) & 0xff) == 0xff) ep += 1
     if (ep + 2 > bytes.length || (bytes(ep) & 0xff) != 0xff ||
       (bytes(ep + 1) & 0xff) != 0xd9) return None
-    // upsample (sample replication) + JFIF YCbCr→RGB into the output frame
+    Some((w, h, nComp, jpegPlanesToRgb(w, h, nComp, planes, planeW, compH, compV,
+      maxH, maxV)))
+  }
+
+  /** One dequantized 8×8 block through the separable inverse DCT (rows over
+    * u, then columns over v), level-shifted and clamped into a component
+    * plane at (px0, py0). `tmp` is caller-owned 64-slot scratch. */
+  private def jpegIdctBlock(coef: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], planeW: Int, px0: Int, py0: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0; var u = 0
+        while (u < 8) { acc += JpegIdctCos(x)(u) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0; var vv = 0
+        while (vv < 8) { acc += JpegIdctCos(y)(vv) * tmp(vv * 8 + x); vv += 1 }
+        val s = math.round(acc).toInt + 128 // level shift
+        val cl = if (s < 0) 0 else if (s > 255) 255 else s
+        plane((py0 + y) * planeW + px0 + x) = cl.toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Upsample (sample replication) + JFIF YCbCr→RGB into the output frame;
+    * grayscale replicates the single plane across all three channels. */
+  private def jpegPlanesToRgb(w: Int, h: Int, nComp: Int,
+      planes: Array[Array[Byte]], planeW: Array[Int],
+      compH: Array[Int], compV: Array[Int], maxH: Int, maxV: Int): Array[Byte] = {
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -1735,7 +1749,7 @@ object Multimodal {
       }
       y += 1
     }
-    Some((w, h, nComp, rgb))
+    rgb
   }
 
   /** Feature frame over a [[decodeJpegPixels]] pass — the mixed-corpus
