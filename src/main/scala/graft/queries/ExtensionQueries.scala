@@ -3940,12 +3940,11 @@ object ExtensionQueries {
     QueryDef(
       "q180_burstiness",
       (s, dir) => {
-        // raw nanos div 1000, NOT the events() timestamp reconstruction:
-        // that helper's double division is lossy at 1.7e18 ns and the low
-        // digits are exactly what gap moments aggregate
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val e = t(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000").as("eus"))
+        // integer-exact micros axis (eventsUs), NOT the events() timestamp
+        // reconstruction: the low digits are exactly what gap moments
+        // aggregate
+        val e = eventsUs(s, dir)
+          .select(col("user_id"), col("ts_us").as("eus"))
         canonOut(Stats.interArrivalStats(e, "user_id", "eus", minEvents = 3))
           .orderBy("entity")
       },
@@ -4182,9 +4181,8 @@ object ExtensionQueries {
     QueryDef(
       "q188_rapid_repeats",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val e = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("eus"))
+        val e = eventsUs(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_us").as("eus"))
         Dedup.flagRapidRepeats(e, Seq("user_id", "event_type"), "eus", 300000000L)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_total"), sum("is_repeat").as("n_repeats"))
@@ -4230,9 +4228,8 @@ object ExtensionQueries {
     QueryDef(
       "q190_token_bucket",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        t(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000").as("eus"))
+        eventsUs(s, dir)
+          .select(col("user_id"), col("ts_us").as("eus"))
           .groupBy("user_id")
           .agg(sort_array(collect_list("eus")).as("ts"))
           .withColumn("st", expr(
@@ -4338,9 +4335,8 @@ object ExtensionQueries {
     QueryDef(
       "q193_funnel_window",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val e = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("eus"))
+        val e = eventsUs(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_us").as("eus"))
         Stats.funnelWithin(e, "user_id", "event_type", "eus",
           Seq("view", "click", "purchase"), maxGap = 86400000000L)
       },
@@ -4432,13 +4428,12 @@ object ExtensionQueries {
     QueryDef(
       "q196_bollinger",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("eus"))
           .rowsBetween(-4, Window.currentRow)
         def d(c: Column) = c.cast("decimal(38,0)")
-        t(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000").as("eus"),
+        eventsUs(s, dir)
+          .select(col("user_id"), col("ts_us").as("eus"),
             round(col("value") * 100).cast("long").as("v"))
           .withColumn("n", count(lit(1)).over(w))
           .withColumn("s1", sum("v").over(w))
@@ -4682,10 +4677,9 @@ object ExtensionQueries {
     QueryDef(
       "q202_multitouch",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val L = 86400000000L // 24 h in micros
-        val e = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("eus"))
+        val e = eventsUs(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_us").as("eus"))
         val purch = e.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("eus").as("pt"), expr("eus div 86400000000").as("band"))
         val touch = e.filter(col("event_type").isin("click", "view"))

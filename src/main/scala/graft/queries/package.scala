@@ -54,14 +54,41 @@ package object queries {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default; read `ts` as raw nanos (legacy conf) and surface it
-    * as a microsecond TimestampType column. DuckDB reads the same file as
-    * TIMESTAMP_NS — hour/day truncations agree on both. */
+  /** events.parquet's `ts` physical type has varied across driver-generated
+    * testdata versions: TIMESTAMP(NANOS) (which Spark's parquet reader
+    * surfaces as raw Long nanos under the legacy conf), TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (TimestampNTZType), or a plain TimestampType.
+    * Normalize all three to a microsecond TimestampType column so every
+    * downstream query sees one shape. All sessions here run with
+    * spark.sql.session.timeZone=UTC (Verify/Bench/SparkTestBase), so the
+    * NTZ→instant cast is the identity on wall-clock values and agrees with
+    * DuckDB's naive read of the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
+  /** events with `ts` additionally surfaced as an exact epoch-micros Long
+    * column `ts_us` — the tie-free integer time axis the window/debounce/
+    * funnel queries aggregate on. Integer-exact in every schema branch
+    * (`div`, not floating division, for the nanos-as-Long case). */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000"))
+      case TimestampType => raw.withColumn("ts_us", unix_micros(col("ts")))
+      case _ =>
+        raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+    }
   }
 }
