@@ -1467,17 +1467,22 @@ object Multimodal {
     c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
 
-  /** REAL baseline JPEG decoder from pure public knowledge (ITU-T T.81 +
-    * JFIF): marker walk (SOI / APPn / COM / DQT / DHT / SOF0 / DRI / SOS),
+  /** REAL JPEG decoder from pure public knowledge (ITU-T T.81 + JFIF):
+    * marker walk (SOI / APPn / COM / DQT / DHT / SOF0 / SOF2 / DRI / SOS),
     * canonical Huffman entropy decode with byte unstuffing and restart
     * markers, dequantization, separable 8×8 inverse DCT, per-component
     * sample-replication upsampling for subsampled chroma (4:2:0 / 4:2:2 /
     * arbitrary h,v ≤ 4), and JFIF YCbCr→RGB. Accepts baseline sequential
-    * (SOF0) grayscale and 3-component scans — the shapes web corpora
-    * overwhelmingly carry. Progressive (SOF2), arithmetic coding,
-    * hierarchical, 12-bit precision, and truncated/malformed streams
-    * return None: the same malformed→null contract as the PPM/WAV/PNG/BMP
-    * family. Returns (width, height, nComponents, RGB interleaved). */
+    * (SOF0) AND progressive (SOF2) grayscale and 3-component streams — the
+    * two shapes web corpora overwhelmingly carry. Baseline decodes its
+    * single scan block-by-block; progressive accumulates DCT coefficients
+    * across scans (T.81 Annex G: spectral selection Ss..Se, successive
+    * approximation Ah/Al with DC bit-refinement and the AC
+    * correction-bit algorithm, EOB runs shared across blocks) and runs
+    * dequant+IDCT once at EOI. Arithmetic coding, hierarchical, 12-bit
+    * precision, and truncated/malformed streams return None: the same
+    * malformed→null contract as the PPM/WAV/PNG/BMP family. Returns
+    * (width, height, nComponents, RGB interleaved). */
   def decodeJpegPixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < 4) return None
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
@@ -1491,6 +1496,14 @@ object Multimodal {
     var compId: Array[Int] = null; var compH: Array[Int] = null
     var compV: Array[Int] = null; var compQ: Array[Int] = null
     var restartInterval = 0
+    // progressive (SOF2) state: per-component coefficient planes filled
+    // across scans, reconstructed at EOI
+    var progressive = false
+    var anyScan = false
+    var coefs: Array[Array[Int]] = null
+    var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
+    var compBW: Array[Int] = null; var compBH: Array[Int] = null
+    var mcusX = 0; var mcusY = 0
     var pos = 2
     while (true) {
       // marker: FF (fill FFs allowed) + code
@@ -1500,7 +1513,12 @@ object Multimodal {
       if (pos >= bytes.length) return None
       val marker = bytes(pos) & 0xff; pos += 1
       marker match {
-        case 0xd9 => return None // EOI before any scan decoded
+        case 0xd9 => // EOI: progressive reconstructs here; baseline never arrives
+          if (!progressive || !anyScan) return None
+          var c = 0
+          while (c < nComp) { if (!quantSeen(compQ(c))) return None; c += 1 }
+          return reconstructProgressiveJpeg(w, h, nComp, compH, compV, compQ,
+            quant, coefs, blocksW, blocksH)
         case m if m >= 0xe0 && m <= 0xef || m == 0xfe => // APPn / COM
           if (pos + 2 > bytes.length) return None
           val len = u16(pos); if (len < 2 || pos + len > bytes.length) return None
@@ -1542,7 +1560,9 @@ object Multimodal {
             p += 16 + total
           }
           pos = end
-        case 0xc0 => // SOF0 baseline sequential
+        case m if m == 0xc0 || m == 0xc2 => // SOF0 baseline / SOF2 progressive
+          if (compId != null) return None // one frame header only
+          progressive = m == 0xc2
           if (pos + 2 > bytes.length) return None
           val len = u16(pos); if (len < 8 || pos + len > bytes.length) return None
           if ((bytes(pos + 2) & 0xff) != 8) return None // precision
@@ -1564,35 +1584,89 @@ object Multimodal {
             c += 1
           }
           pos += len
-        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) ||
+        case m if m == 0xc1 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) ||
           (m >= 0xc9 && m <= 0xcb) || (m >= 0xcd && m <= 0xcf) =>
-          return None // progressive/extended/arithmetic/hierarchical: not baseline
+          return None // extended/arithmetic/hierarchical: outside the contract
         case 0xdd => // DRI
           if (pos + 4 > bytes.length || u16(pos) != 4) return None
           restartInterval = u16(pos + 2)
           pos += 4
-        case 0xda => // SOS: single interleaved scan, then entropy data
+        case 0xda => // SOS: baseline decodes and returns; progressive accumulates
           if (compId == null) return None
           if (pos + 2 > bytes.length) return None
           val len = u16(pos); if (pos + len > bytes.length) return None
           val ns = bytes(pos + 2) & 0xff
-          if (ns != nComp || len != 6 + 2 * ns) return None
-          val scanDc = new Array[JpegHuff](nComp)
-          val scanAc = new Array[JpegHuff](nComp)
+          if (ns < 1 || ns > nComp || len != 6 + 2 * ns) return None
+          val scanComp = new Array[Int](ns)
+          val scanTd = new Array[Int](ns); val scanTa = new Array[Int](ns)
           var c = 0
           while (c < ns) {
             val cs = bytes(pos + 3 + 2 * c) & 0xff
             val ci = compId.indexOf(cs); if (ci < 0) return None
-            val td = (bytes(pos + 4 + 2 * c) & 0xff) >> 4
-            val ta = bytes(pos + 4 + 2 * c) & 0x0f
-            if (td > 3 || ta > 3) return None
-            scanDc(ci) = huffDc(td); scanAc(ci) = huffAc(ta)
-            if (scanDc(ci) == null || scanAc(ci) == null || !quantSeen(compQ(ci)))
-              return None
+            scanComp(c) = ci
+            scanTd(c) = (bytes(pos + 4 + 2 * c) & 0xff) >> 4
+            scanTa(c) = bytes(pos + 4 + 2 * c) & 0x0f
+            if (scanTd(c) > 3 || scanTa(c) > 3) return None
             c += 1
           }
-          return decodeJpegScan(bytes, pos + len, w, h, nComp,
-            compH, compV, compQ, quant, scanDc, scanAc, restartInterval)
+          val ss = bytes(pos + 3 + 2 * ns) & 0xff
+          val se = bytes(pos + 4 + 2 * ns) & 0xff
+          val ahal = bytes(pos + 5 + 2 * ns) & 0xff
+          val ah = ahal >> 4; val al = ahal & 15
+          if (!progressive) {
+            // baseline: one interleaved full-band scan (T.81 B.2.3)
+            if (ns != nComp || ss != 0 || se != 63 || ah != 0 || al != 0)
+              return None
+            val scanDc = new Array[JpegHuff](nComp)
+            val scanAc = new Array[JpegHuff](nComp)
+            c = 0
+            while (c < ns) {
+              val ci = scanComp(c)
+              scanDc(ci) = huffDc(scanTd(c)); scanAc(ci) = huffAc(scanTa(c))
+              if (scanDc(ci) == null || scanAc(ci) == null || !quantSeen(compQ(ci)))
+                return None
+              c += 1
+            }
+            return decodeJpegScan(bytes, pos + len, w, h, nComp,
+              compH, compV, compQ, quant, scanDc, scanAc, restartInterval)
+          }
+          // progressive scan-header validity (T.81 G.1.1.1): a DC band scan
+          // (Ss=0) carries Se=0 and may interleave; an AC band scan is a
+          // single component with 1 <= Ss <= Se <= 63
+          if (ss == 0) { if (se != 0) return None }
+          else if (se < ss || se > 63 || ns != 1) return None
+          if (ah > 13 || al > 13) return None
+          if (coefs == null) {
+            // allocate coefficient planes on the first scan, padded to
+            // whole MCUs; same forged-dimension guards as the sample path
+            val maxH = compH.max; val maxV = compV.max
+            mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            if (compH.indices.map(i => compH(i) * compV(i)).sum > 10) return None
+            blocksW = Array.tabulate(nComp)(i => mcusX * compH(i))
+            blocksH = Array.tabulate(nComp)(i => mcusY * compV(i))
+            // non-interleaved scans cover the component's OWN block grid
+            // (ceil of its true sample size), not the MCU-padded one
+            compBW = Array.tabulate(nComp)(i =>
+              (w * compH(i) + 8 * maxH - 1) / (8 * maxH))
+            compBH = Array.tabulate(nComp)(i =>
+              (h * compV(i) + 8 * maxV - 1) / (8 * maxV))
+            val totalCoefs = (0 until nComp)
+              .map(i => blocksW(i).toLong * blocksH(i) * 64).sum
+            if (totalCoefs > 64L * 1024 * 1024) return None
+            coefs = Array.tabulate(nComp)(i =>
+              new Array[Int](blocksW(i) * blocksH(i) * 64))
+          }
+          val dcT = Array.tabulate(ns)(i => huffDc(scanTd(i)))
+          val acT = Array.tabulate(ns)(i => huffAc(scanTa(i)))
+          if (ss == 0 && ah == 0 && dcT.exists(_ == null)) return None
+          if (ss > 0 && acT(0) == null) return None
+          decodeProgressiveJpegScan(bytes, pos + len, scanComp, dcT, acT,
+            ss, se, ah, al, restartInterval, coefs, blocksW, compBW, compBH,
+            compH, compV, nComp, mcusX, mcusY) match {
+            case Some(np) => pos = np; anyScan = true
+            case None     => return None
+          }
         case _ => return None // TEM/DNL/JPG/unknown: outside the baseline contract
       }
     }
@@ -1686,6 +1760,242 @@ object Multimodal {
       (bytes(ep + 1) & 0xff) != 0xd9) return None
     Some((w, h, nComp, jpegPlanesToRgb(w, h, nComp, planes, planeW, compH, compV,
       maxH, maxV)))
+  }
+
+  /** One progressive (SOF2) scan decoded into the per-component coefficient
+    * planes (T.81 Annex G). Four band/pass shapes share this loop:
+    *   - DC first (Ss=0, Ah=0): Huffman diff decode, value << Al;
+    *   - DC refinement (Ss=0, Ah>0): one raw bit per block, OR'd at Al;
+    *   - AC first (Ss>0, Ah=0): run/size pairs inside [Ss,Se] with EOB runs
+    *     (EOBn codes r<4:r<15) shared across blocks;
+    *   - AC refinement (Ss>0, Ah>0): the correction-bit algorithm — every
+    *     already-nonzero coefficient visited consumes one bit, zero-history
+    *     runs place new ±(1<<Al) coefficients, EOB runs refine the band tail.
+    * DC scans may interleave components over MCUs; AC scans are single-
+    * component over that component's own block raster. Restart markers
+    * byte-align, reset predictors AND the EOB run. Returns the position of
+    * the next marker's FF, or None on any malformed shape — never throws. */
+  private def decodeProgressiveJpegScan(bytes: Array[Byte], start: Int,
+      scanComp: Array[Int], dcT: Array[JpegHuff], acT: Array[JpegHuff],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int,
+      coefs: Array[Array[Int]], blocksW: Array[Int],
+      compBW: Array[Int], compBH: Array[Int],
+      compH: Array[Int], compV: Array[Int], nComp: Int,
+      mcusX: Int, mcusY: Int): Option[Int] = {
+    val in = new JpegBits(bytes, start)
+    val pred = new Array[Int](scanComp.length)
+    var eobrun = 0
+    var nextRst = 0
+
+    def restart(unitIdx: Int): Boolean = {
+      if (restartInterval > 0 && unitIdx > 0 && unitIdx % restartInterval == 0) {
+        in.byteAlign()
+        val p = in.pos
+        if (p + 1 >= bytes.length || (bytes(p) & 0xff) != 0xff ||
+          (bytes(p + 1) & 0xff) != 0xd0 + nextRst) return false
+        in.pos = p + 2
+        nextRst = (nextRst + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    def dcBlock(si: Int, arr: Array[Int], off: Int): Boolean = {
+      if (ah == 0) {
+        val t = dcT(si).decode(in); if (t < 0 || t > 11) return false
+        val dv = in.receive(t); if (dv == Int.MinValue) return false
+        pred(si) += jpegExtend(dv, t)
+        arr(off) = pred(si) << al
+      } else {
+        val b = in.readBit(); if (b < 0) return false
+        if (b == 1) arr(off) |= 1 << al
+      }
+      true
+    }
+
+    def acFirst(arr: Array[Int], off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      var done = false
+      while (k <= se && !done) {
+        val rs = acT(0).decode(in); if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: this block ends; (1<<r)-1+bits more follow empty
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val e = in.receive(r); if (e == Int.MinValue) return false
+              eobrun += e
+            }
+            done = true
+          }
+        } else {
+          k += r
+          if (k > se) return false // coefficient outside the spectral band
+          val v = in.receive(s); if (v == Int.MinValue) return false
+          arr(off + JpegZigzag(k)) = jpegExtend(v, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefine(arr: Array[Int], off: Int): Boolean = {
+      val p1 = 1 << al
+      // one correction bit on an already-nonzero coefficient: a 1-bit grows
+      // the magnitude by 1<<Al iff that bit isn't already set
+      def correct(idx: Int): Boolean = {
+        val b = in.readBit(); if (b < 0) return false
+        if (b == 1 && (arr(idx) & p1) == 0)
+          arr(idx) += (if (arr(idx) >= 0) p1 else -p1)
+        true
+      }
+      var k = ss
+      if (eobrun > 0) {
+        while (k <= se) {
+          val idx = off + JpegZigzag(k)
+          if (arr(idx) != 0 && !correct(idx)) return false
+          k += 1
+        }
+        eobrun -= 1
+        return true
+      }
+      while (k <= se) {
+        val rs = acT(0).decode(in); if (rs < 0) return false
+        var r = rs >> 4; val s = rs & 15
+        var newval = 0
+        if (s == 0) {
+          if (r < 15) { // EOBn: refine the rest of the band, then done
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val e = in.receive(r); if (e == Int.MinValue) return false
+              eobrun += e
+            }
+            while (k <= se) {
+              val idx = off + JpegZigzag(k)
+              if (arr(idx) != 0 && !correct(idx)) return false
+              k += 1
+            }
+            return true
+          }
+          // r == 15: skip 16 zero-history positions, refining along the way
+        } else {
+          if (s != 1) return false // refinement codes only ±1 magnitudes
+          val b = in.readBit(); if (b < 0) return false
+          newval = if (b == 1) p1 else -p1
+        }
+        // advance r zero-history positions (nonzero ones just take a
+        // correction bit and don't count), then place the new coefficient
+        var placed = false
+        while (k <= se && !placed) {
+          val idx = off + JpegZigzag(k)
+          if (arr(idx) != 0) {
+            if (!correct(idx)) return false
+          } else if (r == 0) {
+            if (newval != 0) arr(idx) = newval
+            placed = true
+          } else r -= 1
+          k += 1
+        }
+        if (!placed && newval != 0) return false // no slot for a coded coef
+      }
+      true
+    }
+
+    if (scanComp.length > 1) {
+      // interleaved DC scan: MCU raster, compH×compV blocks per component
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (!restart(my * mcusX + mx)) return None
+          var si = 0
+          while (si < scanComp.length) {
+            val c = scanComp(si)
+            var v = 0
+            while (v < compV(c)) {
+              var u = 0
+              while (u < compH(c)) {
+                val off = ((my * compV(c) + v) * blocksW(c) +
+                  mx * compH(c) + u) * 64
+                if (!dcBlock(si, coefs(c), off)) return None
+                u += 1
+              }
+              v += 1
+            }
+            si += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: raster over the component's own block grid
+      val c = scanComp(0)
+      val arr = coefs(c)
+      val bw = compBW(c); val bh = compBH(c)
+      var by = 0; var bi = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (!restart(bi)) return None
+          val off = (by * blocksW(c) + bx) * 64
+          val ok =
+            if (ss == 0) dcBlock(0, arr, off)
+            else if (ah == 0) acFirst(arr, off)
+            else acRefine(arr, off)
+          if (!ok) return None
+          bx += 1; bi += 1
+        }
+        by += 1
+      }
+    }
+    in.byteAlign()
+    Some(in.pos)
+  }
+
+  /** Progressive reconstruction at EOI: dequantize every accumulated block
+    * (quant tables are stored in transmitted zigzag order, coefficients in
+    * natural order) and IDCT into component planes, then the same
+    * upsample + YCbCr→RGB tail as the baseline path. */
+  private def reconstructProgressiveJpeg(w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      quant: Array[Array[Int]], coefs: Array[Array[Int]],
+      blocksW: Array[Int], blocksH: Array[Int]): Option[(Int, Int, Int, Array[Byte])] = {
+    val maxH = compH.max; val maxV = compV.max
+    val planeW = Array.tabulate(nComp)(c => blocksW(c) * 8)
+    val planeH = Array.tabulate(nComp)(c => blocksH(c) * 8)
+    if (planeW.indices.exists(c => planeW(c).toLong * planeH(c) > 96L * 1024 * 1024))
+      return None
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * planeH(c)))
+    val deq = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var c = 0
+    while (c < nComp) {
+      val q = quant(compQ(c))
+      val arr = coefs(c)
+      var by = 0
+      while (by < blocksH(c)) {
+        var bx = 0
+        while (bx < blocksW(c)) {
+          val off = (by * blocksW(c) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            val nat = JpegZigzag(k)
+            deq(nat) = arr(off + nat) * q(k)
+            k += 1
+          }
+          jpegIdctBlock(deq, tmp, planes(c), planeW(c), bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    Some((w, h, nComp, jpegPlanesToRgb(w, h, nComp, planes, planeW, compH,
+      compV, maxH, maxV)))
   }
 
   /** One dequantized 8×8 block through the separable inverse DCT (rows over
@@ -1863,6 +2173,163 @@ object Multimodal {
     flushBits()
     marker(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** Progressive (SOF2) twin of [[encodeJpegFromText]]: the same constant-
+    * tile grayscale scheme (tile k = codepoint k of the cycled text, all-ones
+    * quant → DC-only content is LOSSLESS) emitted as a genuine four-scan
+    * progressive stream exercising every Annex G pass shape the decoder
+    * implements:
+    *   1. DC first scan at Al=1 (successive-approximation coarse pass),
+    *   2. AC first scan (Ss=1..63, Al=1) coded entirely as EOB runs,
+    *   3. DC refinement (Ah=1→Al=0): one appended bit per block,
+    *   4. AC refinement (Ah=1→Al=0): EOB runs over zero-history bands.
+    * With restartInterval > 0 every scan carries RSTn markers (predictors
+    * and EOB runs reset), matching T.81's per-scan restart numbering. The
+    * oracle can re-derive each decoded pixel from the text alone. */
+  def encodeProgressiveJpegFromText(text: String, widthBlocks: Int,
+      heightBlocks: Int, restartInterval: Int = 0): Array[Byte] = {
+    require(widthBlocks > 0 && heightBlocks > 0, "block grid must be positive")
+    val w = widthBlocks * 8; val h = heightBlocks * 8
+    val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
+    def vk(k: Int): Int = if (cps.isEmpty) 0 else cps(k % cps.length) & 0xff
+    // Annex K.3.1 luminance DC table; AC table = EOBn symbols r=0..6 (EOB
+    // runs up to 127 blocks), 7 codes at length 3, all-ones code unused
+    val dcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcSymbols = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+    val acCounts = Array(0, 0, 7, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acSymbols = Array(0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60)
+    def codes(counts: Array[Int], n: Int): (Array[Int], Array[Int]) = {
+      val code = new Array[Int](n); val size = new Array[Int](n)
+      var c = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < counts(l - 1)) { code(k) = c; size(k) = l; c += 1; k += 1; i += 1 }
+        c <<= 1; l += 1
+      }
+      (code, size)
+    }
+    val (dcCode, dcSize) = codes(dcCounts, 12)
+    val (acCode, acSize) = codes(acCounts, 7)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 } // all-ones: lossless DC round-trip
+    marker(0xc2); u16(8 + 3) // SOF2: 8-bit, 1 component, no subsampling
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xc4); u16(2 + (1 + 16 + 12) + (1 + 16 + 7)) // DHT: DC0 + AC0
+    out.write(0x00); dcCounts.foreach(out.write); dcSymbols.foreach(out.write)
+    out.write(0x10); acCounts.foreach(out.write); acSymbols.foreach(out.write)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    val nBlocks = widthBlocks * heightBlocks
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(code: Int, size: Int): Unit = {
+      var s = size - 1
+      while (s >= 0) {
+        bitBuf = (bitBuf << 1) | ((code >>> s) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) out.write(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        s -= 1
+      }
+    }
+    def flushBits(): Unit =
+      if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
+    def sosHeader(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); u16(6 + 2)
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    // restart boundary shared by all four scans: numbering restarts at 0
+    // in each scan, predictors/EOB runs reset on the decode side
+    var nextRst = 0
+    def rstBoundary(k: Int)(onReset: => Unit): Unit =
+      if (restartInterval > 0 && k > 0 && k % restartInterval == 0) {
+        flushBits()
+        marker(0xd0 + nextRst); nextRst = (nextRst + 1) % 8
+        onReset
+      }
+    def dc(k: Int): Int = 8 * (vk(k) - 128) // DCT DC of a constant block
+    // scan 1: DC first pass in the Al=1 shifted domain (dc is a multiple
+    // of 8, so no precision is lost across the approximation split)
+    sosHeader(0, 0, 0, 1)
+    nextRst = 0
+    var pred = 0
+    var k = 0
+    while (k < nBlocks) {
+      rstBoundary(k) { pred = 0 }
+      val v = dc(k) >> 1
+      val diff = v - pred; pred = v
+      var s = 0; var m = math.abs(diff)
+      while (m > 0) { s += 1; m >>= 1 }
+      putBits(dcCode(s), dcSize(s))
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      k += 1
+    }
+    flushBits()
+    // AC scans: all 63 AC coefficients are zero, so each restart segment is
+    // one (or a few, >127 blocks) EOBn codes — the run covers the current
+    // block plus (run-1) following blocks
+    def acScan(ah: Int, al: Int): Unit = {
+      sosHeader(1, 63, ah, al)
+      nextRst = 0
+      var k = 0
+      while (k < nBlocks) {
+        rstBoundary(k) {}
+        val seg =
+          if (restartInterval > 0)
+            math.min(nBlocks - k, restartInterval - (k % restartInterval))
+          else nBlocks - k
+        var n = seg
+        while (n > 0) {
+          val run = math.min(n, 127)
+          var r = 0
+          while ((1 << (r + 1)) <= run) r += 1 // r = floor(log2 run)
+          putBits(acCode(r), acSize(r))
+          if (r > 0) putBits(run - (1 << r), r)
+          n -= run
+        }
+        k += seg
+      }
+      flushBits()
+    }
+    acScan(0, 1)
+    // scan 3: DC refinement appends bit 0 of each DC (always 0 here)
+    sosHeader(0, 0, 1, 0)
+    nextRst = 0
+    k = 0
+    while (k < nBlocks) {
+      rstBoundary(k) {}
+      putBits(dc(k) & 1, 1)
+      k += 1
+    }
+    flushBits()
+    // scan 4: AC refinement — zero-history bands, EOB runs consume no
+    // correction bits
+    acScan(1, 0)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Attach a synthesized progressive-JPEG payload column
+    * (see [[encodeProgressiveJpegFromText]]). */
+  def withProgressiveJpegPayload(df: DataFrame, idCol: String, textCol: String,
+      widthBlocks: Int, heightBlocks: Int, restartInterval: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, encodeProgressiveJpegFromText(text, widthBlocks, heightBlocks,
+          restartInterval))
+      }
+      .toDF(idCol, "payload")
   }
 
   /** Attach a synthesized JPEG payload column (see [[encodeJpegFromText]]). */

@@ -6416,6 +6416,35 @@ object ExtensionQueries {
              |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Progressive (SOF2) JPEG decode — the dominant real-world web JPEG
+    // shape q137's baseline path couldn't reach. Payloads are genuine
+    // four-scan progressive streams (DC successive approximation Al=1→0,
+    // AC spectral band as EOB runs, restart markers every 2 blocks), and
+    // the constant-tile/all-ones-quant scheme keeps the lossy codec
+    // lossless — so the oracle re-derives every decoded pixel from the
+    // text alone while the Spark side runs the full multi-scan
+    // coefficient-accumulation decode.
+    QueryDef(
+      "q242_mm_jpeg_progressive",
+      (s, dir) => {
+        val withPayload = Multimodal.withProgressiveJpegPayload(
+          t(s, dir, "documents"), "doc_id", "text",
+          widthBlocks = 2, heightBlocks = 3, restartInterval = 2)
+        Multimodal.jpegStats(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |  list_transform(range(6),
+             |    k -> ascii(substr(text, CAST(k % length(text) + 1 AS INT), 1)) % 256) AS p
+             |  FROM documents)
+             |SELECT doc_id, CAST(16 AS INT) AS width, CAST(24 AS INT) AS height,
+             |       CAST(384 AS BIGINT) AS n_pixels, CAST(1 AS INT) AS n_components,
+             |       CAST(list_min(p) AS INT) AS r_min, CAST(list_max(p) AS INT) AS r_max,
+             |       CAST(list_min(p) AS INT) AS g_min, CAST(list_max(p) AS INT) AS g_max,
+             |       CAST(list_min(p) AS INT) AS b_min, CAST(list_max(p) AS INT) AS b_max,
+             |       CAST(192 * list_sum(p) AS BIGINT) AS bright_sum
+             |FROM px ORDER BY doc_id""".stripMargin)
     )
   )
 }

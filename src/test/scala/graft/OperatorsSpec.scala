@@ -1257,7 +1257,8 @@ class OperatorsSpec extends SparkTestBase {
     assert(decodeJpeg("notajpeg".getBytes("US-ASCII")).isEmpty)
     // truncation at EVERY prefix length: header walk, entropy data, EOI
     (1 until ok.length).foreach(n => assert(decodeJpeg(ok.take(n).toArray).isEmpty, s"len $n"))
-    // progressive DCT (SOF2) is outside the baseline contract
+    // a baseline stream with its SOF marker flipped to SOF2 is corrupt, not
+    // progressive: a DC-band progressive scan (Ss=0) cannot carry Se=63
     val sof = ok.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
     val prog = ok.clone(); prog(sof + 1) = 0xc2.toByte
     assert(decodeJpeg(prog).isEmpty)
@@ -1321,6 +1322,99 @@ class OperatorsSpec extends SparkTestBase {
     }
     val meanDiff = sumDiff.toDouble / (cw * ch * 3)
     assert(meanDiff <= 3.0, s"mean channel diff $meanDiff")
+    assert(maxDiff <= 32, s"max channel diff $maxDiff")
+  }
+
+  test("progressive jpeg: four-scan constant tiles round-trip exactly, restarts honored") {
+    import Multimodal._
+    // same lossless constant-tile scheme as the baseline fixture, emitted as
+    // a genuine SOF2 stream (DC Al=1 → AC EOB-runs → DC refine → AC refine)
+    val text = "Spark!"
+    val vs = (0 until 6).map(k => text.codePointAt(k % text.length) & 0xff)
+    for (rst <- Seq(0, 3)) {
+      val payload = encodeProgressiveJpegFromText(text, 2, 3, restartInterval = rst)
+      // it really is progressive: SOF2 marker present, SOF0 absent
+      assert(payload.indexOfSlice(Seq(0xff.toByte, 0xc2.toByte)) > 0)
+      assert(payload.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte)) < 0)
+      val (w, h, nc, rgb) = decodeJpegPixels(payload).get
+      assert(w == 16 && h == 24 && nc == 1)
+      for (by <- 0 until 3; bx <- 0 until 2; y <- 0 until 8; x <- 0 until 8) {
+        val px = rgb(((by * 8 + y) * 16 + bx * 8 + x) * 3) & 0xff
+        assert(px == vs(by * 2 + bx), s"tile ($bx,$by) at ($x,$y) rst=$rst")
+      }
+      val s = decodeJpeg(payload).get
+      assert(s.nPixels == 384L && s.rMin == vs.min && s.rMax == vs.max)
+      assert(s.brightSum == 3L * 64 * vs.sum)
+      // truncation at EVERY prefix: scan accumulation must still demand EOI
+      (1 until payload.length).foreach(n =>
+        assert(decodeJpeg(payload.take(n).toArray).isEmpty, s"len $n rst=$rst"))
+    }
+    // a wide grid forces EOB-run chunking (>127 blocks per segment)
+    val wide = encodeProgressiveJpegFromText("wide", 40, 4)
+    val sw = decodeJpeg(wide).get
+    val wvs = (0 until 160).map(k => "wide".codePointAt(k % 4) & 0xff)
+    assert(sw.width == 320 && sw.height == 32)
+    assert(sw.brightSum == 3L * 64 * wvs.sum)
+    // byte-flip fuzz across the whole stream: corruption landing anywhere
+    // in the multi-scan state machine must yield None or a decoded frame,
+    // never an exception (the corpus-scale never-throw contract)
+    val fz = encodeProgressiveJpegFromText(text, 2, 3, restartInterval = 2)
+    for (i <- fz.indices; b <- Seq(0x00, 0xff, (fz(i) ^ 0x10) & 0xff)) {
+      val mut = fz.clone(); mut(i) = b.toByte
+      decodeJpeg(mut) // must not throw
+    }
+  }
+
+  test("progressive jpeg matches ImageIO on real multi-scan encoder output") {
+    import Multimodal._
+    import java.awt.image.BufferedImage
+    import javax.imageio.{ImageIO, ImageWriteParam}
+    // ImageIO's progressive mode emits a real scan script (spectral
+    // selection + successive approximation with AC correction bits) this
+    // library did not author — the strongest cross-check of the Annex G
+    // paths, exactly like the baseline ImageIO test above
+    def encodeProgressive(img: BufferedImage): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val gw = 40; val gh = 25 // non-MCU-multiple partial blocks
+    val gray = new BufferedImage(gw, gh, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw)
+      gray.getRaster.setSample(x, y, 0, (x * 6 + y * 4) % 256)
+    val gBytes = encodeProgressive(gray)
+    assert(gBytes.indexOfSlice(Seq(0xff.toByte, 0xc2.toByte)) > 0, "SOF2 written")
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    val (w1, h1, nc1, px1) = decodeJpegPixels(gBytes).get
+    assert(w1 == gw && h1 == gh && nc1 == 1)
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val ours = px1((y * gw + x) * 3) & 0xff
+      val theirs = ref.getRaster.getSample(x, y, 0)
+      assert(math.abs(ours - theirs) <= 2, s"gray ($x,$y): $ours vs $theirs")
+    }
+    val cw = 64; val ch = 48
+    val color = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until ch; x <- 0 until cw)
+      color.setRGB(x, y, (x * 255 / (cw - 1) << 16) | (y * 255 / (ch - 1) << 8) |
+        ((x + y) * 255 / (cw + ch - 2)))
+    val cBytes = encodeProgressive(color)
+    val cRef = ImageIO.read(new java.io.ByteArrayInputStream(cBytes))
+    val (w2, h2, nc2, px2) = decodeJpegPixels(cBytes).get
+    assert(w2 == cw && h2 == ch && nc2 == 3)
+    var sumDiff = 0L; var maxDiff = 0
+    for (y <- 0 until ch; x <- 0 until cw; c <- 0 until 3) {
+      val ours = px2((y * cw + x) * 3 + c) & 0xff
+      val theirs = (cRef.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs(ours - theirs)
+      sumDiff += d; if (d > maxDiff) maxDiff = d
+    }
+    assert(sumDiff.toDouble / (cw * ch * 3) <= 3.0, "mean channel diff")
     assert(maxDiff <= 32, s"max channel diff $maxDiff")
   }
 
