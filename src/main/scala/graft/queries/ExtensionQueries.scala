@@ -6026,16 +6026,27 @@ object ExtensionQueries {
             concat(expr("substring(ta, 1, length(ta) * 7 div 10)"), lit(" "),
               expr("substring(tb, length(tb) * 3 div 10 + 1)")).as("text"))
         val docs = base.unionByName(bridges)
+        // materialize the band-capped pair list ONCE: it feeds three
+        // consumers (component computation, the bounded enumeration's
+        // membership, and the direct-edge flag join) and would otherwise
+        // re-run the whole shingle->minhash->band pipeline per consumer
         val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-          numHashes = 8, bandSize = 2, shingleK = 3)
+          numHashes = 8, bandSize = 2, shingleK = 3).localCheckpoint()
         val cc = Dedup.connectedComponents(pairs, "a_doc_id", "b_doc_id")
         // bounded enumeration: a degenerate cluster (boilerplate family)
         // can't turn this audit quadratic — oversize components are
         // deterministically sampled and flagged exact=0 in the output
         val intra = Dedup.boundedIntraPairs(cc, maxMembers = 64)
+          .localCheckpoint() // small (capped) — reused by ids + both joins
         // verify on SHINGLE jaccard — the granularity the LSH hashes;
-        // token-set jaccard is too loose (fixture docs share vocabulary)
-        val ws = docs.select(col("doc_id"),
+        // token-set jaccard is too loose (fixture docs share vocabulary).
+        // Shingle ONLY cluster members that survived the bound: the
+        // expensive per-doc transform+sort never runs for the (vast at
+        // corpus scale) majority of docs outside any near-dup cluster
+        val memberIds = intra.select(col("a_id").as("doc_id"))
+          .unionByName(intra.select(col("b_id").as("doc_id"))).distinct()
+        val ws = docs.join(memberIds, Seq("doc_id"), "leftsemi")
+          .select(col("doc_id"),
             sort_array(array_distinct(expr(
               """transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
                 |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))""".stripMargin)))
