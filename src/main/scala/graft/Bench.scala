@@ -76,15 +76,29 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's log capture keeps only the tail of stdout, which nulled
-    // the r04 and r05 per-query records — persist the full line to a file
-    // so round-over-round comparisons never depend on that capture. FULL
-    // runs only: a BENCH_ONLY subset must never overwrite the suite record.
+    // the driver's log capture keeps only the LAST 2000 chars of stdout —
+    // a 240-query line can never survive it (r04–r07 all recorded
+    // parsed:null). Persist the full record to BENCHOUT.json, and print a
+    // compact HEADLINE line (one representative query per operator family,
+    // guaranteed under the capture window) as the final stdout line so the
+    // driver's own BENCH_r{N}.json parses again. `value` stays the
+    // full-suite total; `n_queries` says how many ran.
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCHOUT.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
+    val headline = Seq(
+      "q01_scan_filter_project", "q09_diff_changed", "q11_diff_summary",
+      "q16_workload_agg", "q23_profile_melt", "q26_dedup_clusters",
+      "q32_dedup_minhash_lsh", "q36_ann_brute_topk", "q40_token_stats",
+      "q88_curate_pipeline", "q98_mm_png_decode", "q111_bm25_topk",
+      "q137_mm_jpeg_decode", "q138_trained_langid", "q153_incremental_agg",
+      "q206_diff_by_segments", "q236_transitive_contamination",
+      "q240_global_quantiles", "q242_mm_jpeg_progressive")
+    val resultMap = results.toMap
+    val hq = headline.flatMap(k => resultMap.get(k).map(v => "\"" + k + "\":" + f(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
