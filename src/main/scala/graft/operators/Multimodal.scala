@@ -195,6 +195,96 @@ object Multimodal {
       .toDF(idCol, "ahash_hi", "ahash_lo")
   }
 
+  /** Fixed-point (Q14) 8-point DCT-II basis, row-major C(u*8+x) =
+    * round(16384·cos((2x+1)uπ/16)). Integer so the perceptual hash is
+    * bit-exact across engines — the same reason real codecs ship
+    * fixed-point DCTs. */
+  private val PHashDctQ14: Array[Long] = Array(
+    16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L,
+    16069L, 13623L, 9102L, 3196L, -3196L, -9102L, -13623L, -16069L,
+    15137L, 6270L, -6270L, -15137L, -15137L, -6270L, 6270L, 15137L,
+    13623L, -3196L, -16069L, -9102L, 9102L, 16069L, 3196L, -13623L,
+    11585L, -11585L, -11585L, 11585L, 11585L, -11585L, -11585L, 11585L,
+    9102L, -16069L, 3196L, 13623L, -13623L, -3196L, 16069L, -9102L,
+    6270L, -15137L, 15137L, -6270L, -6270L, 15137L, -15137L, 6270L,
+    3196L, -9102L, 13623L, -16069L, 16069L, -13623L, 9102L, -3196L)
+
+  /** DCT perceptual hash (pHash): NN-sample an 8×8 gray grid (same grid
+    * convention as [[aHashPpm]]), run an integer 2-D DCT-II, and set bit
+    * j−1 iff AC coefficient j exceeds the median of the 63 ACs (strict,
+    * median = 32nd-smallest — integer-exact on every engine). Unlike
+    * aHash's brightness-mean bits, pHash keys on the spectrum's SHAPE: a
+    * constant brightness shift moves only the DC term, so re-encodes and
+    * exposure tweaks that flip aHash leave pHash fixed — the standard
+    * second signal an image near-dup pipeline runs beside aHash. Returns
+    * (hi, lo): bits 32..62 and 0..31 of the 63-bit hash. */
+  def pHashPpm(bytes: Array[Byte]): Option[(Long, Long)] = {
+    ppmHeader(bytes).map { case (w, h, pos) =>
+      val gray = new Array[Long](64)
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * h / 8).toInt
+        var x = 0
+        while (x < 8) {
+          val sx = (x.toLong * w / 8).toInt
+          val j = pos + 3 * (sy * w + sx)
+          gray(y * 8 + x) =
+            (bytes(j) & 0xff) + (bytes(j + 1) & 0xff) + (bytes(j + 2) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      // F(u,v) = Σ_y Σ_x C(u,y)·C(v,x)·g(y,x); |F| ≤ 765·2^28·64 < 2^63
+      val f = new Array[Long](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L
+          var yy = 0
+          while (yy < 8) {
+            val cu = PHashDctQ14(u * 8 + yy)
+            var xx = 0
+            while (xx < 8) {
+              acc += cu * PHashDctQ14(v * 8 + xx) * gray(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          f(u * 8 + v) = acc
+          v += 1
+        }
+        u += 1
+      }
+      val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+      java.util.Arrays.sort(ac)
+      val med = ac(31)
+      var hi = 0L; var lo = 0L
+      var j = 1
+      while (j < 64) {
+        if (f(j) > med) {
+          if (j <= 32) lo |= 1L << (j - 1) else hi |= 1L << (j - 33)
+        }
+        j += 1
+      }
+      (hi, lo)
+    }
+  }
+
+  /** [[pHashPpm]] as a DataFrame pass — shuffle-free `mapPartitions`;
+    * malformed payloads become null halves, never task failures. */
+  def ppmPHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val h = pHashPpm(payload)
+        (id, h.map(_._1), h.map(_._2))
+      })
+      .toDF(idCol, "phash_hi", "phash_lo")
+  }
+
   /** Image near-dup candidate pairs by BANDED Hamming distance on aHash:
     * split the 64-bit hash into four 16-bit bands; any pair within Hamming
     * distance 3 of each other must agree on at least one whole band

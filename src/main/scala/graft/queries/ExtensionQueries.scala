@@ -6456,6 +6456,45 @@ object ExtensionQueries {
              |       CAST(list_min(p) AS INT) AS b_min, CAST(list_max(p) AS INT) AS b_max,
              |       CAST(192 * list_sum(p) AS BIGINT) AS bright_sum
              |FROM px ORDER BY doc_id""".stripMargin)
+    ),
+
+    // DCT perceptual hash (pHash) over real decoded P6 pixels — the
+    // spectrum-shape near-dup signal run beside q114's brightness aHash
+    // (a constant exposure shift moves only the DC term, so pHash holds
+    // where aHash flips). The DCT is fixed-point Q14 integer, so every
+    // coefficient, the 63-AC median, and all 63 hash bits are bit-exact
+    // across engines; the oracle replays the identical integer transform.
+    QueryDef(
+      "q243_mm_phash",
+      (s, dir) => {
+        val withPayload = Multimodal.withPpmPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 8, height = 8)
+        Multimodal.ppmPHash(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some("""WITH ct AS (SELECT [16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384,
+             |  16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069,
+             |  15137, 6270, -6270, -15137, -15137, -6270, 6270, 15137,
+             |  13623, -3196, -16069, -9102, 9102, 16069, 3196, -13623,
+             |  11585, -11585, -11585, 11585, 11585, -11585, -11585, 11585,
+             |  9102, -16069, 3196, 13623, -13623, -3196, 16069, -9102,
+             |  6270, -15137, 15137, -6270, -6270, 15137, -15137, 6270,
+             |  3196, -9102, 13623, -16069, 16069, -13623, 9102, -3196]::BIGINT[] AS c),
+             |px AS (SELECT doc_id,
+             |    list_transform(range(192), b -> ascii(substr(text, CAST(b % length(text) + 1 AS INT), 1)) % 256) AS p
+             |  FROM documents),
+             |cg AS (SELECT doc_id, list_transform(range(64),
+             |    j -> CAST(p[3*j+1] + p[3*j+2] + p[3*j+3] AS BIGINT)) AS g FROM px),
+             |f AS (SELECT doc_id, list_transform(range(64), j ->
+             |    list_sum(list_transform(range(64), xy ->
+             |      c[(j//8)*8 + (xy//8) + 1] * c[(j%8)*8 + (xy%8) + 1] * g[xy+1]))) AS fc
+             |  FROM cg, ct),
+             |m AS (SELECT doc_id, fc, list_sort(fc[2:64])[32] AS med FROM f)
+             |SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(33, 64),
+             |    j -> CASE WHEN fc[j+1] > med THEN CAST(1 AS BIGINT) << (j-33) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash_hi,
+             |  CAST(list_sum(list_transform(range(1, 33),
+             |    j -> CASE WHEN fc[j+1] > med THEN CAST(1 AS BIGINT) << (j-1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash_lo
+             |FROM m ORDER BY doc_id""".stripMargin)
     )
   )
 }

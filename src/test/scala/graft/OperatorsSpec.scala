@@ -2968,6 +2968,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(4L) == ((0L, 0L, None)))
   }
 
+  test("phash: DCT reference match, brightness-shift invariance, corrupt payloads") {
+    import Multimodal._
+    def ppm8(gray: Int => Int): Array[Byte] =
+      ("P6\n8 8\n255\n".getBytes("US-ASCII") ++
+        (0 until 64).flatMap(i => Seq(gray(i), gray(i), gray(i))).map(_.toByte))
+    // reference check: recompute bits with a double-precision DCT — the
+    // fixed-point Q14 basis must agree on every bit for this fixture
+    val img = ppm8(i => (i * 37 + (i % 8) * 11) % 256)
+    val (hi, lo) = pHashPpm(img).get
+    val g = (0 until 64).map(i => 3.0 * ((i * 37 + (i % 8) * 11) % 256))
+    def cos(u: Int, x: Int) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    val f = for (u <- 0 until 8; v <- 0 until 8) yield
+      (for (y <- 0 until 8; x <- 0 until 8) yield cos(u, y) * cos(v, x) * g(y * 8 + x)).sum
+    val med = f.drop(1).sorted.apply(31)
+    val (ehi, elo) = (1 until 64).foldLeft((0L, 0L)) { case ((h, l), j) =>
+      if (f(j) > med) { if (j <= 32) (h, l | (1L << (j - 1))) else (h | (1L << (j - 33)), l) }
+      else (h, l)
+    }
+    assert((hi, lo) == ((ehi, elo)), "fixed-point DCT bits match the float reference")
+    // a constant brightness shift moves only the DC coefficient: pHash
+    // is invariant where aHash flips (its mean moves with the shift)
+    val shifted = ppm8(i => ((i * 37 + (i % 8) * 11) % 256 + 40).min(255))
+    val base = ppm8(i => ((i * 37 + (i % 8) * 11) % 256).min(215)) // no clipping
+    val shift2 = ppm8(i => ((i * 37 + (i % 8) * 11) % 256).min(215) + 40)
+    assert(pHashPpm(base).get == pHashPpm(shift2).get, "AC spectrum unchanged")
+    assert(pHashPpm(img).isDefined && pHashPpm(shifted).isDefined)
+    // identical payloads agree; corrupt/truncated decode to None
+    assert(pHashPpm(img).get == pHashPpm(img.clone()).get)
+    assert(pHashPpm("P6\n8 8\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(pHashPpm(null).isEmpty && pHashPpm(Array[Byte]()).isEmpty)
+    import spark.implicits._
+    val frames = Seq((1L, img), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val got = ppmPHash(frames, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!got(1L) && got(2L))
+  }
+
   test("ahash: golden bits, non-square NN mapping, corrupt payloads, hamming pairs") {
     // hand-computed golden: 2x2 image, grid 2 (identity map). Pixels'
     // gray values 3, 6, 9, 300 -> sum 318, mean 79 -> only cell 3 above
