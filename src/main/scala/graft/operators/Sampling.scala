@@ -259,4 +259,31 @@ object Sampling {
         expr("w_sqrt * 10000 div __wtot").as("temp_share_bp"),
         expr("w_sqrt * 10000 div __wtot - cnt * 10000 div __tot").as("boost_bp"))
   }
+
+  /** Deterministic per-epoch training-order shuffle: every key lands in a
+    * shard and a position decided ONLY by `md5(seed:key)` — any engine,
+    * any partitioning, any cluster size reproduces the identical order,
+    * and changing the seed re-permutes globally (the per-epoch reshuffle
+    * pretraining loaders need, without ever materializing a random
+    * permutation driver-side).
+    *
+    * `shard` = hash mod `nShards`; `pos` = 1-based rank of the hash
+    * within the shard (key as tie-break — total order even on hash
+    * collisions). The sort is PER SHARD: at scale each shard's window
+    * sorts its own hash-partition slice, so no global single-task sort
+    * exists; readers consume shards independently in (shard, pos) order.
+    * Shard sizes concentrate at n/nShards (multinomial, O(√) deviation) —
+    * emit a size audit alongside if balance must be certified. */
+  def epochShuffle(df: DataFrame, keyCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = expr(s"cast(conv(substring(md5(concat('$seed', ':', " +
+      s"cast($keyCol as string))), 1, 8), 16, 10) as bigint)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -966,4 +966,47 @@ object TextAnalysis {
         .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
   }
+
+  /** Vocabulary growth curve (Heaps-law datasheet row): walk the corpus in
+    * `idCol` order split into `nBuckets` equal id-range buckets and report,
+    * per bucket, the token occurrences it contributes and how many tokens
+    * appear there for the FIRST time. A flattening `new_tokens` column
+    * says more data is mostly re-seeing known vocabulary; a linear one
+    * says the corpus keeps introducing novelty (or rot: OCR noise and
+    * boilerplate mutations show up as unbounded vocabulary growth).
+    *
+    * Exact and integer: first occurrence = min position over one
+    * token-keyed aggregate; positions are `id·2^20 + token_idx` (callers
+    * guarantee docs under 2^20 tokens — enforced here with a require on
+    * the observed max). Two linear shuffles (token agg, bucket agg); the
+    * id→bucket split uses the corpus max id from a 1-row broadcast, so
+    * bucket boundaries never need a global sort. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = df
+      .select(col(idCol).cast("long").as("__id"),
+        posexplode(tokens(textCol)).as(Seq("__ti", "__tok")))
+    val bounds = toks.agg(max("__ti").as("__maxTi"), max("__id").as("__maxId"))
+    // the 2^20 packing guard lives INSIDE the position expression so
+    // column pruning can never drop it
+    val positioned = toks.crossJoin(broadcast(bounds))
+      .withColumn("__pos", expr(
+        """CASE WHEN __maxTi < 1048576 THEN __id * 1048576 + __ti
+          |ELSE CAST(raise_error('vocabGrowth: a doc exceeds 2^20 tokens') AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("bucket",
+        expr(s"least(__id * $nBuckets div (__maxId + 1), ${nBuckets - 1})"))
+    val firsts = positioned.groupBy(col("__tok"))
+      .agg(min("__pos").as("__fpos"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        s"least((__fpos div 1048576) * $nBuckets div (__maxId + 1), ${nBuckets - 1})"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+    positioned.groupBy("bucket")
+      .agg(count(lit(1)).as("token_occurrences"),
+        countDistinct("__id").as("docs"))
+      .join(firsts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_tokens"))
+  }
 }

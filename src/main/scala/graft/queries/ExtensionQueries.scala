@@ -6495,6 +6495,56 @@ object ExtensionQueries {
              |  CAST(list_sum(list_transform(range(1, 33),
              |    j -> CASE WHEN fc[j+1] > med THEN CAST(1 AS BIGINT) << (j-1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash_lo
              |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Deterministic per-epoch training-order shuffle: shard and in-shard
+    // position decided only by md5(seed:key) — any engine, partitioning,
+    // or cluster size reproduces the identical order, and a new seed
+    // re-permutes globally without ever materializing a permutation
+    // driver-side. The sort is per shard (no global single-task sort);
+    // loaders consume shards independently in (shard, pos) order.
+    QueryDef(
+      "q244_epoch_shuffle",
+      (s, dir) =>
+        Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", seed = 7L,
+            nShards = 8)
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+             |    ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+             |  FROM documents)
+             |SELECT doc_id, hv % 8 AS shard,
+             |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+             |FROM h ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Vocabulary growth curve (Heaps-law datasheet row): corpus split into
+    // 10 id-range buckets; per bucket, the token occurrences contributed
+    // and the tokens seen for the FIRST time there. Flattening new_tokens
+    // = more data mostly re-sees known vocabulary; linear = the corpus
+    // keeps introducing novelty (or OCR/boilerplate rot). First occurrence
+    // is one token-keyed min over packed (id, idx) positions — exact,
+    // integer, two linear shuffles.
+    QueryDef(
+      "q245_vocab_growth",
+      (s, dir) =>
+        TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+            nBuckets = 10)
+          .orderBy("bucket"),
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+             |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS ti FROM d),
+             |b AS (SELECT max(doc_id) AS mid FROM toks),
+             |pos AS (SELECT doc_id, tok, doc_id * 1048576 + ti AS p,
+             |    least(doc_id * 10 // (mid + 1), 9) AS bucket FROM toks, b),
+             |f AS (SELECT tok, min(p) AS fp FROM pos GROUP BY tok),
+             |fb AS (SELECT least((fp // 1048576) * 10 // (mid + 1), 9) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS new_tokens FROM f, b GROUP BY 1),
+             |occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS token_occurrences,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS docs FROM pos GROUP BY 1)
+             |SELECT occ.bucket, token_occurrences, docs,
+             |       CAST(coalesce(new_tokens, 0) AS BIGINT) AS new_tokens
+             |FROM occ LEFT JOIN fb ON occ.bucket = fb.bucket
+             |ORDER BY occ.bucket""".stripMargin)
     )
   )
 }

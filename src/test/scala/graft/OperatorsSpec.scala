@@ -1446,6 +1446,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(doms.sameElements(Array("example.com", "example.com", null)))
   }
 
+  test("epochShuffle: exact partition, per-shard contiguous ranks, seed re-permutes") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 500L).toDF("id")
+    val s1 = Sampling.epochShuffle(df, "id", seed = 7L, nShards = 8).collect()
+    // every row exactly once, shard in range, pos contiguous 1..size
+    assert(s1.length == 500 && s1.map(_.getLong(0)).toSet.size == 500)
+    val byShard = s1.groupBy(_.getLong(1))
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.sameElements(1L to rows.length.toLong))
+    }
+    // deterministic under repartitioning (the df.sample() failure mode)
+    val s1b = Sampling.epochShuffle(df.repartition(13), "id", 7L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s1b == s1.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // a different seed re-permutes: same keys, different order assignment
+    val s2 = Sampling.epochShuffle(df, "id", seed = 8L, nShards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m1 = s1.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert((1L to 500L).count(k => m1(k) != s2(k)) > 400, "seed change moves most keys")
+  }
+
+  test("vocabGrowth: golden buckets, first-occurrence attribution, empty docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (0L, "a b"),   // bucket 0: introduces a, b
+      (1L, "a c"),   // bucket 1: re-sees a, introduces c
+      (2L, "c d"),   // bucket 2: re-sees c, introduces d
+      (3L, "")       // no tokens: contributes nothing anywhere
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabGrowth(df, "doc_id", "text", nBuckets = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(0L -> ((2L, 1L, 2L)), 1L -> ((2L, 1L, 1L)), 2L -> ((2L, 1L, 1L))))
+    // within-doc order decides first occurrence: "b a" attributes b (idx 0)
+    // and a (idx 1) both to doc 0 regardless of later repeats
+    val r2 = TextAnalysis.vocabGrowth(
+      Seq((0L, "b a"), (1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r2 == Map(0L -> 2L, 1L -> 0L))
+  }
+
   test("capPerGroup: unbiased hash-chosen cap, small groups intact, deterministic") {
     import spark.implicits._
     val df = (for (g <- Seq("a", "b"); i <- 1 to 50) yield (g, s"$g$i", i)).toDF("g", "id", "payload")
