@@ -2054,6 +2054,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(!proxPlan.contains("CartesianProduct") &&
       !proxPlan.contains("BroadcastNestedLoopJoin"),
       s"cell join degenerated:\n$proxPlan")
+    // epoch shuffle: the ONLY hash exchange is the per-shard rank window —
+    // no global sort, no second shuffle at any scale
+    val shufPlan = graft.operators.Sampling.epochShuffle(df, "id", 7L, 8)
+      .queryExecution.executedPlan.toString
+    val shufEx = "Exchange hashpartitioning".r.findAllIn(shufPlan).size
+    assert(shufEx == 1 && !shufPlan.contains("Exchange rangepartitioning"),
+      s"epochShuffle must shuffle once, by shard:\n$shufPlan")
+    // vocab growth: the 1-row bounds frames ride broadcasts; the corpus
+    // must never plan a cartesian product
+    val vgPlan = graft.operators.TextAnalysis.vocabGrowth(
+      Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!vgPlan.contains("CartesianProduct"), s"vocabGrowth cartesian:\n$vgPlan")
   }
 
   test("sssp: cheaper long path beats direct edge, negatives rejected") {
