@@ -95,10 +95,15 @@ object Bench {
       "q137_mm_jpeg_decode", "q138_trained_langid", "q153_incremental_agg",
       "q206_diff_by_segments", "q236_transitive_contamination",
       "q240_global_quantiles", "q242_mm_jpeg_progressive")
-    val resultMap = results.toMap
-    val hq = headline.flatMap(k => resultMap.get(k).map(v => "\"" + k + "\":" + f(v)))
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
+    // BENCH_ONLY iteration prints the full (small) line; driver-mode full
+    // runs print the headline subset that fits the capture window
+    if (only.nonEmpty) println(line)
+    else {
+      val resultMap = results.toMap
+      val hq = headline.flatMap(k => resultMap.get(k).map(v => "\"" + k + "\":" + f(v)))
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
