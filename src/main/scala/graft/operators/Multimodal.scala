@@ -2152,6 +2152,96 @@ object Multimodal {
     rgb
   }
 
+  /** ITU-T T.81 Annex K.1 luminance quantization table (zigzag order) —
+    * the reference most encoders scale by the IJG quality factor; public
+    * constants. */
+  private val JpegAnnexKLuma: Array[Int] = Array(
+    16, 11, 12, 14, 12, 10, 16, 14,
+    13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37,
+    29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68,
+    87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113,
+    121, 112, 100, 120, 92, 101, 103, 99)
+
+  /** IJG quality→scale mapping (libjpeg `jpeg_quality_scaling`, public):
+    * q<50 → 5000/q, else 200−2q; table entry = clamp((K·s+50)/100, 1, 255). */
+  private def jpegQualityToScale(q: Int): Int =
+    if (q < 50) 5000 / math.max(1, q) else 200 - 2 * math.min(100, q)
+
+  /** Estimate the IJG quality factor a JPEG was encoded at from its
+    * LUMINANCE quantization table — the standard corpus-datasheet signal
+    * for dropping heavily re-encoded images. Walks markers to the first
+    * DQT with table id 0 (both baseline and progressive streams; stops at
+    * SOS — tables after the first scan can't describe the encode), then
+    * inverts the IJG scaling in pure integers: scale% = round of
+    * 100·ΣT/ΣK (sum-ratio — robust to per-entry clamping at 1), quality =
+    * scale ≤ 100 ? (200−scale)/2 : round(5000/scale). Returns
+    * (estimated quality 1..100, ΣT) or None when no luma DQT exists
+    * before SOS / the stream is malformed. Never throws. */
+  def jpegQualityEstimate(bytes: Array[Byte]): Option[(Int, Long)] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    var pos = 2
+    while (pos + 1 < bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      while (pos < bytes.length && (bytes(pos) & 0xff) == 0xff) pos += 1
+      if (pos >= bytes.length) return None
+      val marker = bytes(pos) & 0xff; pos += 1
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no luma DQT seen
+      if (marker >= 0xd0 && marker <= 0xd7) () // RSTn: no length segment
+      else {
+        if (pos + 2 > bytes.length) return None
+        val len = u16(pos); if (len < 2 || pos + len > bytes.length) return None
+        if (marker == 0xdb) {
+          val end = pos + len; var p = pos + 2
+          while (p < end) {
+            val pq = (bytes(p) & 0xff) >> 4; val tq = bytes(p) & 0x0f
+            if (tq > 3 || pq > 1) return None
+            p += 1
+            val step = if (pq == 0) 1 else 2
+            if (p + 64 * step > end) return None
+            if (tq == 0) {
+              var sumT = 0L
+              var k = 0
+              while (k < 64) {
+                sumT += (if (pq == 0) bytes(p + k) & 0xff else u16(p + 2 * k))
+                k += 1
+              }
+              val sumK = JpegAnnexKLuma.sum.toLong // 3688
+              val scale = ((100L * sumT + sumK / 2) / sumK).toInt
+              val q =
+                if (scale <= 0) 100
+                else if (scale <= 100) (200 - scale) / 2
+                else ((5000 + scale / 2) / scale).toInt
+              return Some((math.max(1, math.min(100, q)), sumT))
+            }
+            p += 64 * step
+          }
+        }
+        pos += len
+      }
+    }
+    None
+  }
+
+  /** [[jpegQualityEstimate]] as a DataFrame pass — shuffle-free
+    * `mapPartitions`; malformed / luma-table-less payloads become null
+    * rows. */
+  def jpegQuality(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val e = try jpegQualityEstimate(payload) catch { case _: Throwable => None }
+        (id, e.map(_._1), e.map(_._2))
+      })
+      .toDF(idCol, "est_quality", "quant_sum")
+  }
+
   /** Feature frame over a [[decodeJpegPixels]] pass — the mixed-corpus
     * [[ImageStats]] shape, all integers for exact cross-engine checks. */
   def decodeJpeg(bytes: Array[Byte]): Option[JpegStats] =
@@ -2186,11 +2276,24 @@ object Multimodal {
     * subset). DC Huffman is T.81 Annex K.3.1; AC is a minimal 1-entry
     * table (only EOB is ever coded). */
   def encodeJpegFromText(text: String, widthBlocks: Int, heightBlocks: Int,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0, quality: Int = 0): Array[Byte] = {
     require(widthBlocks > 0 && heightBlocks > 0, "block grid must be positive")
+    require(quality <= 100, "quality is 1..100, or <=0 for the all-ones table")
     val w = widthBlocks * 8; val h = heightBlocks * 8
     val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
     def vk(k: Int): Int = if (cps.isEmpty) 0 else cps(k % cps.length) & 0xff
+    // quality <= 0 keeps the legacy all-ones table (lossless constant
+    // tiles); quality 1..100 writes the IJG-scaled Annex K luma table —
+    // the realistic shape [[jpegQualityEstimate]] inverts. DC is then
+    // properly quantized (round-half-away) so the stream stays a sane
+    // image, not just a valid container.
+    val quantTab: Array[Int] =
+      if (quality <= 0) Array.fill(64)(1)
+      else {
+        val s = jpegQualityToScale(quality)
+        Array.tabulate(64)(i =>
+          math.max(1, math.min(255, (JpegAnnexKLuma(i) * s + 50) / 100)))
+      }
     // Annex K.3.1 luminance DC: counts per length 1..16, symbols 0..11
     val dcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
     val dcSymbols = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
@@ -2216,7 +2319,7 @@ object Multimodal {
     marker(0xd8) // SOI
     marker(0xdb); u16(2 + 1 + 64); out.write(0x00) // DQT: pq=0 tq=0
     var i = 0
-    while (i < 64) { out.write(1); i += 1 } // all-ones: lossless DC round-trip
+    while (i < 64) { out.write(quantTab(i)); i += 1 }
     marker(0xc0); u16(8 + 3) // SOF0: 8-bit, 1 component, no subsampling
     out.write(8); u16(h); u16(w); out.write(1)
     out.write(1); out.write(0x11); out.write(0)
@@ -2251,7 +2354,10 @@ object Multimodal {
         marker(0xd0 + nextRst); nextRst = (nextRst + 1) % 8
         pred = 0
       }
-      val dc = 8 * (vk(k) - 128) // DCT DC of a constant (level-shifted) block
+      val dcRaw = 8 * (vk(k) - 128) // DCT DC of a constant (level-shifted) block
+      val t0 = quantTab(0)
+      val dc = // quantized coefficient, round half away from zero
+        if (dcRaw >= 0) (dcRaw + t0 / 2) / t0 else -((-dcRaw + t0 / 2) / t0)
       val diff = dc - pred; pred = dc
       var s = 0; var m = math.abs(diff)
       while (m > 0) { s += 1; m >>= 1 } // category = magnitude bit-length
@@ -2431,6 +2537,22 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, encodeJpegFromText(text, widthBlocks, heightBlocks, restartInterval))
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** [[withJpegPayload]] with a per-row IJG quality factor derived from
+    * the id — a corpus whose encode quality varies row to row, the shape
+    * [[jpegQuality]] audits. */
+  def withJpegPayloadAtQuality(df: DataFrame, idCol: String, textCol: String,
+      widthBlocks: Int, heightBlocks: Int)(qualityOf: Long => Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, encodeJpegFromText(text, widthBlocks, heightBlocks,
+          restartInterval = 0, quality = qualityOf(id)))
       }
       .toDF(idCol, "payload")
   }

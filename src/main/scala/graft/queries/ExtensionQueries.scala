@@ -6545,6 +6545,43 @@ object ExtensionQueries {
              |       CAST(coalesce(new_tokens, 0) AS BIGINT) AS new_tokens
              |FROM occ LEFT JOIN fb ON occ.bucket = fb.bucket
              |ORDER BY occ.bucket""".stripMargin)
+    ),
+
+    // JPEG encode-quality audit: estimate the IJG quality factor from each
+    // payload's luminance quantization table (scale% = round 100·ΣT/ΣK
+    // against the Annex K reference, then the inverse IJG mapping — all
+    // integer). The corpus-datasheet signal for dropping heavily
+    // re-encoded images. Payloads carry a per-doc quality 35 + doc_id%61
+    // (covers both the <50 reciprocal and >=50 linear branches), and the
+    // oracle replays scaling + inversion from doc_id alone.
+    QueryDef(
+      "q246_jpeg_quality",
+      (s, dir) => {
+        val withPayload = Multimodal.withJpegPayloadAtQuality(
+          t(s, dir, "documents"), "doc_id", "text",
+          widthBlocks = 2, heightBlocks = 2)(id => (35 + id % 61).toInt)
+        Multimodal.jpegQuality(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some("""WITH kt AS (SELECT [16, 11, 12, 14, 12, 10, 16, 14,
+             |  13, 14, 18, 17, 16, 19, 24, 40, 26, 24, 22, 22, 24, 49, 35, 37,
+             |  29, 40, 58, 51, 61, 60, 57, 51, 56, 55, 64, 72, 92, 78, 64, 68,
+             |  87, 69, 55, 56, 80, 109, 81, 87, 95, 98, 103, 104, 103, 62, 77, 113,
+             |  121, 112, 100, 120, 92, 101, 103, 99]::BIGINT[] AS kk),
+             |q AS (SELECT doc_id, 35 + doc_id % 61 AS qf FROM documents),
+             |sc AS (SELECT doc_id, qf,
+             |    CASE WHEN qf < 50 THEN 5000 // qf ELSE 200 - 2 * qf END AS s FROM q),
+             |st AS (SELECT doc_id, s,
+             |    list_sum(list_transform(kk, k ->
+             |      greatest(1, least(255, (k * s + 50) // 100)))) AS sum_t
+             |  FROM sc, kt),
+             |est AS (SELECT doc_id, sum_t,
+             |    (100 * sum_t + 1844) // 3688 AS se FROM st)
+             |SELECT doc_id,
+             |       CAST(greatest(1, least(100, CASE WHEN se <= 0 THEN 100
+             |         WHEN se <= 100 THEN (200 - se) // 2
+             |         ELSE (5000 + se // 2) // se END)) AS INT) AS est_quality,
+             |       CAST(sum_t AS BIGINT) AS quant_sum
+             |FROM est ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -1325,6 +1325,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(maxDiff <= 32, s"max channel diff $maxDiff")
   }
 
+  test("jpeg quality estimate: IJG inverse within 1 above saturation, corrupt refused") {
+    import Multimodal._
+    // the estimator inverts the IJG table scaling by sum ratio: exact to
+    // ±1 wherever the 255-clamp hasn't saturated the table (q >= 17 —
+    // below that every tool's inverse is biased the same way)
+    var prevSum = Long.MaxValue
+    for (q <- 1 to 100) {
+      val payload = encodeJpegFromText("quality", 2, 2, quality = q)
+      val (est, sumT) = jpegQualityEstimate(payload).get
+      if (q >= 17) assert(math.abs(est - q) <= 1, s"q=$q est=$est")
+      assert(sumT <= prevSum, s"quant mass must not grow with quality (q=$q)")
+      prevSum = sumT
+      // the scaled-table stream still decodes (lossy but valid)
+      assert(decodeJpeg(payload).isDefined, s"q=$q stream must stay decodable")
+    }
+    // legacy all-ones table reads as (near-)lossless: estimate 99+
+    val ones = encodeJpegFromText("x", 1, 1)
+    assert(jpegQualityEstimate(ones).get._1 >= 99)
+    // progressive streams carry their DQT before SOS too
+    val prog = encodeProgressiveJpegFromText("x", 2, 2)
+    assert(jpegQualityEstimate(prog).get._1 >= 99)
+    // corrupt / table-less: None, never a throw
+    assert(jpegQualityEstimate(null).isEmpty)
+    assert(jpegQualityEstimate("nope".getBytes("US-ASCII")).isEmpty)
+    val noDqt = ones.clone()
+    val dqt = noDqt.indexOfSlice(Seq(0xff.toByte, 0xdb.toByte))
+    noDqt(dqt + 1) = 0xfe.toByte // DQT -> COM: no luma table before SOS
+    assert(jpegQualityEstimate(noDqt).isEmpty)
+    (1 until 20).foreach(n =>
+      assert(jpegQualityEstimate(ones.take(n).toArray).isEmpty, s"len $n"))
+  }
+
   test("progressive jpeg: four-scan constant tiles round-trip exactly, restarts honored") {
     import Multimodal._
     // same lossless constant-tile scheme as the baseline fixture, emitted as
