@@ -67,13 +67,17 @@ object Main {
       maxSpanDocs: Long = 2,
       minWords: Int = 50,
       shards: Int = 1,
-      jsonlIn: Boolean = false)
+      jsonlIn: Boolean = false,
+      // advise-layout subcommand
+      candidates: Seq[String] = Nil,
+      valueCol: Option[String] = None,
+      bucketRows: Int = 1000)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -122,6 +126,11 @@ object Main {
         case "--min-words" => a = a.copy(minWords = need("--min-words").toInt)
         case "--shards" => a = a.copy(shards = need("--shards").toInt)
         case "--jsonl" => a = a.copy(jsonlIn = true)
+        case "--candidates" =>
+          a = a.copy(candidates =
+            need("--candidates").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "--value-col" => a = a.copy(valueCol = Some(need("--value-col")))
+        case "--bucket-rows" => a = a.copy(bucketRows = need("--bucket-rows").toInt)
         case "--format" =>
           val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
@@ -143,6 +152,10 @@ object Main {
       case "curate" =>
         require(positional.length >= 2, "curate requires <inPath> <outPath>")
         a.copy(basePath = positional(0), headPath = positional(1), model = "curate")
+      case "advise-layout" =>
+        require(positional.nonEmpty, "advise-layout requires a <tablePath> argument")
+        require(a.candidates.nonEmpty, "advise-layout requires --candidates c1[,c2,...]")
+        a.copy(basePath = positional.head, model = "advise-layout")
     }
   }
 
@@ -499,6 +512,69 @@ object Main {
     } finally { curated.unpersist(); () }
   }
 
+  /** `advise-layout <tablePath> --candidates c1,c2` — the q204/q216/q232
+    * trio wired into one decision report: per-column NDV/encoding verdicts,
+    * then for the natural order plus each candidate sort key the RLE run
+    * total and the zone-map scan amplification for an interquartile probe
+    * on `--value-col` (default: the first integral/numeric column outside
+    * the candidate list). Emits ONE JSON line (machine-consumable, same
+    * contract as `curate`); `recommended_sort` is the layout minimizing
+    * amplification, ties broken by fewer runs then name — `natural`
+    * winning means "keep the current order, a re-sort buys nothing". */
+  def runAdviseLayout(spark: SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(a.basePath)
+    val fields = df.schema.fields
+    for (c <- a.candidates)
+      require(fields.exists(_.name == c),
+        s"candidate column '$c' not in table schema (${fields.map(_.name).mkString(", ")})")
+    def numeric(dt: DataType) = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val valueCol = a.valueCol.getOrElse {
+      fields.find(f => numeric(f.dataType) && !a.candidates.contains(f.name))
+        .orElse(fields.find(f => numeric(f.dataType)))
+        .getOrElse(throw new IllegalArgumentException(
+          "no numeric column for the zone-map probe; pass --value-col"))
+        .name
+    }
+    require(fields.exists(_.name == valueCol), s"value column '$valueCol' not in table schema")
+    // interquartile probe: exact 25th/75th percentiles of the value column
+    // (1-row bounded collect) — the "typical selective range scan" the
+    // zone-map certificate prunes against
+    val q = df.agg(expr(
+      s"percentile(CAST(`$valueCol` AS BIGINT), array(0.25, 0.75))")).head().getSeq[Double](0)
+    val (lo, hi) = (q(0).floor.toLong, q(1).ceil.toLong)
+    val enc = graft.operators.Layout.encodingAdvice(df, a.candidates).collect()
+    val rep = graft.operators.Layout
+      .adviseLayout(df, a.candidates, valueCol, a.bucketRows, lo, hi)
+      .collect()
+    val best = rep.minBy(r => (r.getAs[Long]("amplification_bp"),
+      r.getAs[Long]("total_runs"), r.getAs[String]("layout")))
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val colsJson = enc.map(r =>
+      s"""{"column": ${jstr(r.getAs[String]("column_name"))}, "ndv": ${r.getAs[Long]("ndv")}, """ +
+        s""""ndv_bp": ${r.getAs[Long]("ndv_bp")}, "encoding": ${jstr(r.getAs[String]("encoding"))}}""")
+      .mkString("[", ", ", "]")
+    val layoutsJson = rep.map(r =>
+      s"""{"layout": ${jstr(r.getAs[String]("layout"))}, "total_runs": ${r.getAs[Long]("total_runs")}, """ +
+        s""""n_buckets": ${r.getAs[Long]("n_buckets")}, "buckets_scanned": ${r.getAs[Long]("buckets_scanned")}, """ +
+        s""""rows_scanned": ${r.getAs[Long]("rows_scanned")}, "rows_matching": ${r.getAs[Long]("rows_matching")}, """ +
+        s""""amplification_bp": ${r.getAs[Long]("amplification_bp")}}""")
+      .mkString("[", ", ", "]")
+    println(
+      s"""{"table": ${jstr(a.basePath)}, "value_col": ${jstr(valueCol)}, "probe_lo": $lo, "probe_hi": $hi, """ +
+        s""""bucket_rows": ${a.bucketRows}, "columns": $colsJson, "layouts": $layoutsJson, """ +
+        s""""recommended_sort": ${jstr(best.getAs[String]("layout"))}}""")
+  }
+
   /** `--drift col1,col2`: exact per-value TV contributions per requested
     * column, top-50 by contribution (bounded collect — drift columns are
     * low-cardinality dimensions by contract; see DiffEngine.categoricalDrift).
@@ -553,7 +629,9 @@ object Main {
       |            (with a postgres/redshift/jdbc profile target, basePath/headPath
       |             are warehouse relations read over JDBC)
       |       curate <inPath> <outPath> [--jsonl] [--min-words N] [--span-words N]
-      |            [--max-span-docs N] [--budget N] [--shards N]""".stripMargin
+      |            [--max-span-docs N] [--budget N] [--shards N]
+      |       advise-layout <tablePath> --candidates c1[,c2,...]
+      |            [--value-col COL] [--bucket-rows N]""".stripMargin
 
   /** Map a profiles.yml target onto Spark session settings. The reference
     * uses conn_info to pick its warehouse connection (cli.py:110-117); this
@@ -615,6 +693,7 @@ object Main {
     }
     try {
       if (a.command == "curate") { runCurate(spark, a); return }
+      if (a.command == "advise-layout") { runAdviseLayout(spark, a); return }
       val jdbcConn = conn.filter(JdbcSource.isJdbc)
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a, jdbcConn)

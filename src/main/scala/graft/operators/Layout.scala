@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout — Z-order (Morton) clustering, the
@@ -99,6 +100,117 @@ object Layout {
         col("rows_total"), col("rows_scanned"), col("rows_matching"),
         expr("rows_scanned * 10000 div greatest(rows_matching, 1)")
           .as("amplification_bp"))
+  }
+
+  /** RLE run counts for every column in `cols` under the ordering `ordCol`,
+    * measured inside `bucketRows`-row "row groups" (runs don't span row-group
+    * boundaries, matching how Parquet encodes). Fewer runs = tighter RLE /
+    * dictionary-RLE encoding AND better min/max locality — the integer that
+    * ranks candidate sort keys. One range shuffle for the global rank
+    * (Packing prefix sum — never a single-task window), then per-bucket lag
+    * windows that parallelize across buckets.
+    *
+    * Rows tied on `ordCol` count runs in an unspecified (but
+    * Spark-deterministic per plan) tie order — same caveat as any
+    * ORDER BY on a non-unique key; pass a composite ordering to pin it. */
+  def rleRuns(df: DataFrame, ordCol: Column, cols: Seq[String],
+      bucketRows: Int, label: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one measured column")
+    require(bucketRows > 0, "bucketRows must be positive")
+    val keyed = df.select(ordCol.as("__ord") +:
+      cols.map(c => col(c).cast("string").as(s"__c_$c")): _*)
+      .withColumn("__one", lit(1L))
+    val ranked = Packing.withRunningTotal(keyed, "__ord", "__one", "__rn")
+      .withColumn("__b", expr(s"(__rn - 1) div ${bucketRows}L"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__rn"))
+    val flagged = cols.foldLeft(ranked) { (acc, c) =>
+      val v = col(s"__c_$c")
+      // row 1 of each bucket always opens a run; after that a run opens
+      // exactly when the value differs null-safely from its predecessor
+      acc.withColumn(s"__chg_$c",
+        when(row_number().over(w) === 1, 1L)
+          .otherwise(when(!(v <=> lag(v, 1).over(w)), 1L).otherwise(0L)))
+    }
+    val aggs = cols.map(c => sum(col(s"__chg_$c")).as(s"runs_$c"))
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    cols.map(c => one.select(lit(label).as("layout"),
+        lit(c).as("column_name"), col(s"runs_$c").as("runs")))
+      .reduce(_ unionByName _)
+  }
+
+  /** Dictionary-vs-plain encoding verdict per column from ONE aggregate
+    * pass: exact NDV against row count; below `dictThresholdBp` basis
+    * points of distinct values the column dictionary-encodes well. */
+  def encodingAdvice(df: DataFrame, cols: Seq[String],
+      dictThresholdBp: Long = 500L): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = count(lit(1)).as("n") +:
+      cols.map(c => countDistinct(col(c)).as(s"__ndv_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      one.select(lit(c).as("column_name"), col("n"),
+        col(s"__ndv_$c").as("ndv"),
+        expr(s"`__ndv_$c` * 10000 div n").as("ndv_bp"),
+        when(expr(s"`__ndv_$c` * 10000 div n") < dictThresholdBp, "dictionary")
+          .otherwise("plain").as("encoding"))
+    }.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  /** Compaction plan over a file inventory — the "small files problem"
+    * planner: within each table partition, files under `smallThreshold`
+    * pack contiguously (ascending file id — rewrite locality, adjacent
+    * files merge together) into target-size output bins, `bin_id` =
+    * bytes-before div `targetSize`. Files at/over the threshold are left
+    * alone (rewriting them is pure write amplification). Returns the small
+    * files with their assigned `bin_id`.
+    *
+    * Scale shape: a file inventory is METADATA — one row per file, ~10⁶
+    * rows for a 100 TB table — so the per-partition prefix-sum window is
+    * safe (partitions parallelize; no partition holds more files than its
+    * own directory). The data itself is never touched here; the plan is
+    * what a rewrite job consumes. */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, smallThreshold: Long, targetSize: Long): DataFrame = {
+    require(smallThreshold > 0, "smallThreshold must be positive")
+    require(targetSize > 0, "targetSize must be positive")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.filter(col(sizeCol) < smallThreshold)
+      .withColumn("__cum", sum(col(sizeCol).cast("long")).over(w))
+      .withColumn("bin_id",
+        expr(s"(__cum - CAST(`$sizeCol` AS BIGINT)) div ${targetSize}L"))
+      .drop("__cum")
+  }
+
+  /** Combined layout advice — the decision frame behind the `advise-layout`
+    * CLI: for the natural input order plus one candidate layout per sort
+    * column, measure (a) total RLE runs across ALL candidate columns
+    * ([[rleRuns]]) and (b) zone-map scan amplification ([[zoneMapScan]])
+    * for the `lo..hi` probe on `valueCol` — rows a min/max-pruning reader
+    * fetches per matching row. Sorting by a candidate uses the OTHER
+    * candidates as tie-breakers (the multi-column sort a writer would
+    * actually emit). One row per layout; lower runs + lower amplification
+    * = the layout to pick. Everything is bucketed aggregate algebra — no
+    * all-pairs, no driver loop; per-layout passes scale linearly and there
+    * are |candidates|+1 of them. */
+  def adviseLayout(df: DataFrame, candidates: Seq[String], valueCol: String,
+      bucketRows: Int, lo: Long, hi: Long): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate sort column")
+    val layouts: Seq[(String, Column)] =
+      ("natural", monotonically_increasing_id()) +:
+        candidates.map { c =>
+          val tiebreak = candidates.filterNot(_ == c).map(col)
+          (s"sort:$c", struct(col(c) +: tiebreak: _*))
+        }
+    layouts.map { case (label, ord) =>
+      val runs = rleRuns(df, ord, candidates, bucketRows, label)
+        .groupBy("layout").agg(sum("runs").as("total_runs"))
+      val zone = zoneMapScan(df, ord, col(valueCol), bucketRows, lo, hi, label)
+      runs.join(zone, Seq("layout"))
+        .select(col("layout"), col("total_runs"), col("n_buckets"),
+          col("buckets_scanned"), col("rows_total"), col("rows_scanned"),
+          col("rows_matching"), col("amplification_bp"))
+    }.reduce(_ unionByName _).orderBy("layout")
   }
 
   def rendezvousShard(keyCol: String, nShards: Int): Column = {

@@ -151,6 +151,53 @@ class CliSpec extends SparkTestBase {
     assert(back(1L)._3 == 0L && back(2L)._3 == 0L && back(3L)._3 == 0L)
   }
 
+  test("advise-layout subcommand: q204/q216/q232 trio as one golden JSON report") {
+    // parse surface
+    val a = Main.parseArgs(Seq("advise-layout", "/t", "--candidates", "status,id",
+      "--value-col", "cents", "--bucket-rows", "500"))
+    assert(a.command == "advise-layout" && a.basePath == "/t")
+    assert(a.candidates == Seq("status", "id") && a.valueCol.contains("cents") &&
+      a.bucketRows == 500)
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("advise-layout", "/t")))
+
+    // fixture: 4000 rows, id-order natural layout; status cycles every row
+    // (worst RLE case), cents = statusBand*10000 + id div 4 so the bands are
+    // disjoint — sorting by status aligns bands exactly to 1000-row buckets.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_advise_")
+    val df = (1 to 4000).map { id =>
+      (id.toLong, s"s${id % 4}", (id % 4).toLong * 10000L + id / 4)
+    }.toDF("id", "status", "cents")
+    val in = dir.resolve("t").toString
+    df.orderBy("id").coalesce(1).write.parquet(in)
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.runAdviseLayout(spark, Main.parseArgs(Seq("advise-layout", in,
+        "--candidates", "status", "--value-col", "cents")))
+    }
+    val json = out.toString("UTF-8").trim
+    // probe: exact IQR of cents — p25 interpolates 1000→10000 at .75 (7750),
+    //        p75 interpolates 20999→30000 at .25 (ceil 23250)
+    assert(json.contains(""""value_col": "cents""""))
+    assert(json.contains(""""probe_lo": 7750"""))
+    assert(json.contains(""""probe_hi": 23250"""))
+    // encoding: status NDV 4 over 4000 rows = 10bp -> dictionary
+    assert(json.contains(
+      """{"column": "status", "ndv": 4, "ndv_bp": 10, "encoding": "dictionary"}"""))
+    // natural: status flips every row -> 4000 runs; every bucket spans the
+    // probe -> reads all 4000 rows for 2000 matches = 20000bp
+    assert(json.contains("""{"layout": "natural", "total_runs": 4000, "n_buckets": 4, """ +
+      """"buckets_scanned": 4, "rows_scanned": 4000, "rows_matching": 2000, """ +
+      """"amplification_bp": 20000}"""))
+    // sort:status: one run per bucket (4); only the s1/s2 band buckets
+    // overlap the probe -> perfect pruning, 10000bp
+    assert(json.contains("""{"layout": "sort:status", "total_runs": 4, "n_buckets": 4, """ +
+      """"buckets_scanned": 2, "rows_scanned": 2000, "rows_matching": 2000, """ +
+      """"amplification_bp": 10000}"""))
+    assert(json.contains(""""recommended_sort": "sort:status""""))
+  }
+
   test("--scope-partition diffs only changed partitions with identical row-diff counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_scope_")
