@@ -867,6 +867,66 @@ object TextAnalysis {
       .toDF(idCol, "raw_bytes", "compression_pct")
   }
 
+  /** Occurrences of literal `pat` inside an arbitrary Column (the Column
+    * twin of [[substrCount]]): (len − len(remove)) / len(pat), portable
+    * integer arithmetic in any engine. */
+  private def occurrences(c: Column, pat: String): Column =
+    ((length(c) - length(regexp_replace(c,
+      java.util.regex.Pattern.quote(pat), ""))) / lit(pat.length)).cast("long")
+
+  /** Encoding-artifact audit per document — the mojibake triage a crawl
+    * corpus needs before training: UTF-8 text decoded as Latin-1 and
+    * re-encoded (the classic double-decode) leaves 'Ã' lead characters
+    * and the 'â€' punctuation family; lossy decodes leave U+FFFD
+    * replacement characters; binary bleed-through leaves C0 control
+    * characters. Each is a per-row counter — pure map-side scan, no
+    * shuffle, no UDF; every counter is engine-portable length arithmetic.
+    * `artifact` flags any non-zero counter (the drop/requeue signal). */
+  def encodingArtifacts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val moji = (occurrences(t0, "\u00c3") + occurrences(t0, "\u00e2\u20ac")).as("moji_marks")
+    val repl = occurrences(t0, "\ufffd").as("repl_chars")
+    val ctrl = (length(t0) - length(regexp_replace(t0,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long").as("ctrl_chars")
+    df.select(col(idCol), moji, repl, ctrl)
+      .withColumn("artifact",
+        (col("moji_marks") + col("repl_chars") + col("ctrl_chars") > 0L).cast("int"))
+  }
+
+  /** Exact phrase (bigram) occurrence counts via a positional-postings
+    * adjacency join — the search-index formulation: postings (doc, pos,
+    * token) from ONE tokenize pass; occurrences of "w1 w2" are the
+    * equi-join of w1-postings with w2-postings shifted one position.
+    * BOTH sides are filtered to the phrase vocabulary BEFORE the shuffle,
+    * so at corpus scale the join moves only the queried terms' postings —
+    * never the full index. Requested phrases absent from the corpus
+    * report 0 (left join against the phrase list, which is query-sized
+    * and broadcast). */
+  def phraseOccurrences(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(String, String)]): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val postings = df.select(col(idCol).as("__doc"),
+      posexplode(tokens(s"lower(`$textCol`)")).as(Seq("__pos", "__tok")))
+    val firsts = phrases.map(_._1).distinct
+    val seconds = phrases.map(_._2).distinct
+    val p1 = postings.filter(col("__tok").isin(firsts: _*))
+      .select(col("__doc"), col("__pos"), col("__tok").as("__w1"))
+    val p2 = postings.filter(col("__tok").isin(seconds: _*))
+      .select(col("__doc"), (col("__pos") - 1).as("__pos"), col("__tok").as("__w2"))
+    val wanted = phrases.map { case (a, b) => s"$a $b" }.distinct
+    val hits = p1.join(p2, Seq("__doc", "__pos"))
+      .select(col("__doc"), concat_ws(" ", col("__w1"), col("__w2")).as("phrase"))
+      .filter(col("phrase").isin(wanted: _*))
+      .groupBy("phrase")
+      .agg(countDistinct("__doc").as("n_docs"), count(lit(1)).as("n_occ"))
+    wanted.toDF("phrase").join(hits, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+  }
+
   /** Per-source ingest quality report — the monitoring aggregate a corpus
     * pipeline runs on every batch: document and token mass per source plus
     * the Gopher-gate pass rate, all integer (rate in basis points). One

@@ -6582,6 +6582,195 @@ object ExtensionQueries {
              |         ELSE (5000 + se // 2) // se END)) AS INT) AS est_quality,
              |       CAST(sum_t AS BIGINT) AS quant_sum
              |FROM est ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Compaction planner: the small-files problem as a metadata query.
+    // File inventory simulated from orders (50-key files per priority
+    // partition); files under 40 rows pack contiguously into 100-row
+    // bins (bin = rows-before div target — Layout.compactionPlan);
+    // report per partition: inventory before, small-file mass, bins
+    // planned, and the file count after the rewrite. The plan is pure
+    // metadata algebra — the 100 TB of data below it is never read.
+    QueryDef(
+      "q247_compaction_plan",
+      (s, dir) => {
+        val files = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("part"),
+            expr("o_orderkey div 50").as("file_id"))
+          .agg(count(lit(1)).as("sz"))
+        val plan = Layout.compactionPlan(files, "part", "file_id", "sz",
+          smallThreshold = 40L, targetSize = 100L)
+        val smallAgg = plan.groupBy("part").agg(
+          count(lit(1)).as("files_small"), sum("sz").as("rows_small"),
+          countDistinct("bin_id").as("bins_planned"))
+        val tot = files.groupBy("part")
+          .agg(count(lit(1)).as("files_total"), sum("sz").as("rows_total"))
+        tot.join(smallAgg, Seq("part"), "left")
+          .select(col("part"), col("files_total"), col("rows_total"),
+            coalesce(col("files_small"), lit(0L)).as("files_small"),
+            coalesce(col("rows_small"), lit(0L)).as("rows_small"),
+            coalesce(col("bins_planned"), lit(0L)).as("bins_planned"),
+            (col("files_total") - coalesce(col("files_small"), lit(0L))
+              + coalesce(col("bins_planned"), lit(0L))).as("files_after"))
+          .orderBy("part")
+      },
+      Some("""WITH f AS (SELECT o_orderpriority AS part, o_orderkey // 50 AS file_id,
+             |    CAST(count(*) AS BIGINT) AS sz FROM orders GROUP BY 1, 2),
+             |sm AS (SELECT part, file_id, sz,
+             |    sum(sz) OVER (PARTITION BY part ORDER BY file_id) AS cum
+             |  FROM f WHERE sz < 40),
+             |b AS (SELECT part, CAST(count(*) AS BIGINT) AS files_small,
+             |    CAST(sum(sz) AS BIGINT) AS rows_small,
+             |    CAST(count(DISTINCT (cum - sz) // 100) AS BIGINT) AS bins_planned
+             |  FROM sm GROUP BY 1),
+             |tot AS (SELECT part, CAST(count(*) AS BIGINT) AS files_total,
+             |    CAST(sum(sz) AS BIGINT) AS rows_total FROM f GROUP BY 1)
+             |SELECT tot.part, files_total, rows_total,
+             |       CAST(coalesce(files_small, 0) AS BIGINT) AS files_small,
+             |       CAST(coalesce(rows_small, 0) AS BIGINT) AS rows_small,
+             |       CAST(coalesce(bins_planned, 0) AS BIGINT) AS bins_planned,
+             |       CAST(files_total - coalesce(files_small, 0)
+             |            + coalesce(bins_planned, 0) AS BIGINT) AS files_after
+             |FROM tot LEFT JOIN b ON tot.part = b.part
+             |ORDER BY tot.part""".stripMargin)
+    ),
+
+    // Encoding-artifact (mojibake) audit: per-source counts of double-
+    // decoded UTF-8 markers ('Ã', 'â€'), U+FFFD replacement characters,
+    // and C0 control bleed-through — planted deterministically (doc_id
+    // mod 7/11/13) so both engines measure a corpus with known rot. Pure
+    // map-side length arithmetic + one keyed aggregate.
+    QueryDef(
+      "q248_encoding_artifacts",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").withColumn("text2",
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              lit("\u00c3\u00a9\u00e2\u20ac")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit("\ufffd")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit("\u0007")).otherwise(lit(""))))
+        val art = TextAnalysis.encodingArtifacts(planted, "doc_id", "text2")
+        art.join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source").agg(
+            count(lit(1)).as("docs"),
+            sum("artifact").as("flagged_docs"),
+            sum("moji_marks").as("moji_marks"),
+            sum("repl_chars").as("repl_chars"),
+            sum("ctrl_chars").as("ctrl_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (SELECT doc_id, source,
+             |    text || CASE WHEN doc_id % 7 = 0
+             |              THEN chr(195)||chr(169)||chr(226)||chr(8364) ELSE '' END
+             |         || CASE WHEN doc_id % 11 = 0 THEN chr(65533) ELSE '' END
+             |         || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END AS t2
+             |  FROM documents),
+             |m AS (SELECT doc_id, source,
+             |    (length(t2) - length(replace(t2, chr(195), '')))
+             |      + (length(t2) - length(replace(t2, chr(226)||chr(8364), ''))) // 2 AS moji,
+             |    length(t2) - length(replace(t2, chr(65533), '')) AS repl,
+             |    length(t2) - length(regexp_replace(t2,
+             |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS ctrl
+             |  FROM p)
+             |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             |       CAST(sum(CASE WHEN moji + repl + ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+             |       CAST(sum(moji) AS BIGINT) AS moji_marks,
+             |       CAST(sum(repl) AS BIGINT) AS repl_chars,
+             |       CAST(sum(ctrl) AS BIGINT) AS ctrl_chars
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Exact phrase search via positional postings: "w1 w2" occurrences
+    // from the adjacency equi-join of the two terms' postings — both
+    // sides vocabulary-filtered BEFORE the shuffle, so only the queried
+    // terms' postings move. One absent phrase exercises the zero path.
+    // The oracle recomputes each phrase directly over the token lists.
+    QueryDef(
+      "q249_phrase_postings",
+      (s, dir) =>
+        TextAnalysis.phraseOccurrences(t(s, dir, "documents"), "doc_id", "text",
+            Seq("data" -> "stream", "graft" -> "engine",
+              "slow" -> "scan", "the" -> "table"))
+          .orderBy("phrase"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents),
+             |p AS (
+             |  SELECT 'data stream' AS phrase, doc_id,
+             |    len(list_filter(range(1, len(ts)), i -> ts[i] = 'data' AND ts[i+1] = 'stream')) AS c FROM d
+             |  UNION ALL SELECT 'graft engine', doc_id,
+             |    len(list_filter(range(1, len(ts)), i -> ts[i] = 'graft' AND ts[i+1] = 'engine')) FROM d
+             |  UNION ALL SELECT 'slow scan', doc_id,
+             |    len(list_filter(range(1, len(ts)), i -> ts[i] = 'slow' AND ts[i+1] = 'scan')) FROM d
+             |  UNION ALL SELECT 'the table', doc_id,
+             |    len(list_filter(range(1, len(ts)), i -> ts[i] = 'the' AND ts[i+1] = 'table')) FROM d)
+             |SELECT phrase,
+             |       CAST(count(DISTINCT CASE WHEN c > 0 THEN doc_id END) AS BIGINT) AS n_docs,
+             |       CAST(sum(c) AS BIGINT) AS n_occ
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Split-leakage audit: train/val/test assignment keyed per document
+    // vs per duplicate-cluster (md5 of the text), over a corpus with
+    // planted exact duplicates (doc_id mod 5 re-appears under a new id).
+    // Per-doc hashing scatters a duplicate pair across splits —
+    // train/test contamination; keying the SAME split hash by the
+    // cluster fingerprint drives leakage to zero by construction. The
+    // audit certifies both counts.
+    QueryDef(
+      "q250_split_leakage",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = d.unionByName(
+            d.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+          .withColumn("grp", md5(col("text")))
+        def report(scheme: String, keyCol: String) = {
+          val sp = Sampling.threeWaySplit(corpus, keyCol, valPct = 10, testPct = 10)
+          val sizes = sp.agg(
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+          val leaked = sp.groupBy("grp")
+            .agg(countDistinct("split").as("ns"))
+            .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("groups_leaked"))
+          sizes.crossJoin(leaked).select(lit(scheme).as("scheme"),
+            col("n_train"), col("n_val"), col("n_test"), col("groups_leaked"))
+        }
+        report("a_per_doc", "doc_id")
+          .unionByName(report("b_per_group", "grp"))
+          .orderBy("scheme")
+      },
+      Some("""WITH d0 AS (SELECT doc_id, text FROM documents),
+             |c AS (SELECT doc_id, text FROM d0
+             |      UNION ALL SELECT doc_id + 10000, text FROM d0 WHERE doc_id % 5 = 0),
+             |g AS (SELECT doc_id, md5(text) AS grp FROM c),
+             |b AS (SELECT doc_id, grp,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bd,
+             |    ('0x' || substr(md5(grp), 1, 8))::BIGINT % 100 AS bg
+             |  FROM g),
+             |s AS (SELECT grp,
+             |    CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'val' ELSE 'test' END AS sd,
+             |    CASE WHEN bg < 80 THEN 'train' WHEN bg < 90 THEN 'val' ELSE 'test' END AS sg
+             |  FROM b),
+             |rep AS (
+             |  SELECT 'a_per_doc' AS scheme,
+             |    CAST(sum(CASE WHEN sd = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             |    CAST(sum(CASE WHEN sd = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             |    CAST(sum(CASE WHEN sd = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+             |    (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |     FROM (SELECT grp, count(DISTINCT sd) AS ns FROM s GROUP BY 1)) AS groups_leaked
+             |  FROM s
+             |  UNION ALL
+             |  SELECT 'b_per_group',
+             |    CAST(sum(CASE WHEN sg = 'train' THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN sg = 'val' THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN sg = 'test' THEN 1 ELSE 0 END) AS BIGINT),
+             |    (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |     FROM (SELECT grp, count(DISTINCT sg) AS ns FROM s GROUP BY 1))
+             |  FROM s)
+             |SELECT scheme, n_train, n_val, n_test, groups_leaked
+             |FROM rep ORDER BY scheme""".stripMargin)
     )
   )
 }

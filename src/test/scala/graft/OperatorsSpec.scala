@@ -3531,4 +3531,47 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(x => (Option(x.getString(0)), x.getLong(1)))
     assert(r2.contains((None, 1L)))
   }
+
+  test("compaction plan: small files pack contiguously per partition, big files untouched") {
+    // partition p: files 10,20,30,90,35 in file order; threshold 40, target 50
+    val files = Seq(
+      ("p", 1L, 10L), ("p", 2L, 20L), ("p", 3L, 30L), ("p", 4L, 90L), ("p", 5L, 35L),
+      ("q", 1L, 39L), ("q", 2L, 40L)
+    ).toDF("part", "file_id", "sz")
+    val plan = Layout.compactionPlan(files, "part", "file_id", "sz",
+      smallThreshold = 40L, targetSize = 50L)
+      .orderBy("part", "file_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // p smalls: 10,20,30,35 -> cum-before 0,10,30,60 -> bins 0,0,0,1
+    // q smalls: 39 -> bin 0; q/2 at exactly the threshold is NOT small
+    assert(plan.toSeq == Seq(
+      ("p", 1L, 10L, 0L), ("p", 2L, 20L, 0L), ("p", 3L, 30L, 0L), ("p", 5L, 35L, 1L),
+      ("q", 1L, 39L, 0L)))
+  }
+
+  test("encoding artifacts: mojibake pair counting, replacement and control chars, clean zero") {
+    val df = Seq(
+      (1L, "clean text here"),
+      (2L, "bad Ã© double â€œ decode"), // 2 moji marks
+      (3L, "lossy �� read"), // 2 replacement chars
+      (4L, "bell\u0007 and tab\t ok") // 1 control (tab NOT counted)
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.encodingArtifacts(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 0), (2L, 2L, 0L, 0L, 1), (3L, 0L, 2L, 0L, 1), (4L, 0L, 0L, 1L, 1)))
+  }
+
+  test("phrase postings: adjacency join counts, repeats, absent phrase zero, case folded") {
+    val df = Seq(
+      (1L, "The quick fox and the quick fox again"),
+      (2L, "quick fox"),
+      (3L, "fox quick") // reversed order must NOT match
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.phraseOccurrences(df, "doc_id", "text",
+        Seq("quick" -> "fox", "missing" -> "phrase"))
+      .orderBy("phrase").collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("missing phrase", 0L, 0L), ("quick fox", 2L, 3L)))
+  }
 }
