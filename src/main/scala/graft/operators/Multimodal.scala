@@ -2580,4 +2580,186 @@ object Multimodal {
       .toDF(idCol, "width", "height", "n_pixels", "n_components",
         "r_min", "r_max", "g_min", "g_max", "b_min", "b_max", "bright_sum")
   }
+
+  // ---- EXIF (APP1 / TIFF IFD) metadata --------------------------------
+
+  /** Synthesized APP1 Exif segment (marker + length + payload): a TIFF
+    * header in BOTH byte orders (id parity picks II little-endian vs MM
+    * big-endian — the field real parsers get wrong), IFD0 with
+    * Orientation (SHORT, inline), XResolution (RATIONAL, offset-valued),
+    * DateTime (ASCII, offset-valued) and an Exif sub-IFD holding
+    * PixelXDimension (LONG) — one of each TIFF value-placement shape.
+    * `corruptMagic` flips the TIFF magic 42 → 43 (the malformed branch a
+    * parser must reject without throwing). Layout per TIFF 6.0 §2 / Exif
+    * 2.32 §4.6. */
+  def buildExifApp1(id: Long, pixelX: Int, corruptMagic: Boolean): Array[Byte] = {
+    val le = id % 2 == 0
+    val tiff = new Array[Byte](108)
+    def put16(p: Int, v: Int): Unit =
+      if (le) { tiff(p) = (v & 0xff).toByte; tiff(p + 1) = ((v >> 8) & 0xff).toByte }
+      else { tiff(p) = ((v >> 8) & 0xff).toByte; tiff(p + 1) = (v & 0xff).toByte }
+    def put32(p: Int, v: Long): Unit =
+      if (le) { var i = 0; while (i < 4) { tiff(p + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 } }
+      else { var i = 0; while (i < 4) { tiff(p + 3 - i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 } }
+    tiff(0) = (if (le) 'I' else 'M').toByte; tiff(1) = tiff(0)
+    put16(2, if (corruptMagic) 43 else 42)
+    put32(4, 8L) // IFD0 directly after the header
+    // IFD0: 4 entries (tags ascending), next-IFD = 0; data area at 62
+    put16(8, 4)
+    def entry(p: Int, tag: Int, typ: Int, cnt: Long)(value: Int => Unit): Unit = {
+      put16(p, tag); put16(p + 2, typ); put32(p + 4, cnt); value(p + 8)
+    }
+    entry(10, 0x0112, 3, 1L)(v => put16(v, (1 + (id % 8)).toInt)) // Orientation, inline SHORT
+    entry(22, 0x011a, 5, 1L)(v => put32(v, 62L)) // XResolution -> RATIONAL at 62
+    entry(34, 0x0132, 2, 20L)(v => put32(v, 70L)) // DateTime -> ASCII at 70
+    entry(46, 0x8769, 4, 1L)(v => put32(v, 90L)) // Exif sub-IFD at 90
+    put32(58, 0L) // no IFD1
+    put32(62, 72L); put32(66, 1L) // 72/1 dpi
+    val dt = f"2026:01:01 00:00:${id % 60}%02d"
+    System.arraycopy(dt.getBytes("US-ASCII"), 0, tiff, 70, 19) // +NUL already zeroed
+    put16(90, 1) // sub-IFD: 1 entry
+    entry(92, 0xa002, 4, 1L)(v => put32(v, pixelX.toLong)) // PixelXDimension, inline LONG
+    put32(104, 0L)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xe1)
+    val payloadLen = 6 + tiff.length // "Exif\0\0" + TIFF
+    out.write(((payloadLen + 2) >> 8) & 0xff); out.write((payloadLen + 2) & 0xff)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(tiff)
+    out.toByteArray
+  }
+
+  /** [[withJpegPayload]] plus an APP1 Exif segment spliced after SOI —
+    * id parity varies the TIFF byte order, id % 17 == 0 plants a corrupt
+    * TIFF magic (the stream stays a decodable JPEG; only the metadata is
+    * rotten — exactly how real corpora break). */
+  def withExifJpegPayload(df: DataFrame, idCol: String, textCol: String,
+      widthBlocks: Int, heightBlocks: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val jpeg = encodeJpegFromText(text, widthBlocks, heightBlocks)
+        val app1 = buildExifApp1(id, widthBlocks * 8, corruptMagic = id % 17 == 0)
+        val out = new Array[Byte](jpeg.length + app1.length)
+        out(0) = jpeg(0); out(1) = jpeg(1) // SOI
+        System.arraycopy(app1, 0, out, 2, app1.length)
+        System.arraycopy(jpeg, 2, out, 2 + app1.length, jpeg.length - 2)
+        (id, out)
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** Parsed Exif fields: TIFF byte order plus the four synthesized tags.
+    * Every field is optional — absent tags stay None. */
+  final case class ExifMeta(byteOrder: String, orientation: Option[Int],
+      xresNum: Option[Long], xresDen: Option[Long], dateTime: Option[String],
+      pixelX: Option[Long])
+
+  /** Parse the first APP1 Exif segment of a JPEG stream: marker walk to
+    * APP1 ("Exif\0\0" identifier), then a bounds-checked TIFF read —
+    * byte-order handshake (II/MM), magic 42, IFD0 entry walk with all
+    * four value placements (inline SHORT/LONG, offset RATIONAL/ASCII),
+    * and one level of Exif sub-IFD. Any malformation (bad magic, offset
+    * past the segment, truncated entry) → None; never throws — the same
+    * contract every decoder here honors. Sub-IFD recursion is exactly one
+    * level deep, so a cyclic pointer chain cannot loop. */
+  def parseExif(bytes: Array[Byte]): Option[ExifMeta] = {
+    try {
+      if (bytes == null || bytes.length < 4) return None
+      if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+      def ju16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+      // locate APP1/Exif among the pre-SOS segments
+      var p = 2
+      var tiffStart = -1; var tiffLimit = -1
+      while (tiffStart < 0 && p + 4 <= bytes.length && (bytes(p) & 0xff) == 0xff) {
+        val m = bytes(p + 1) & 0xff
+        if (m == 0xd9 || m == 0xda) p = bytes.length // EOI / SOS: no Exif ahead
+        else {
+          val len = ju16(p + 2)
+          if (len < 2 || p + 2 + len > bytes.length) return None
+          if (m == 0xe1 && len >= 8 &&
+            bytes(p + 4) == 'E' && bytes(p + 5) == 'x' && bytes(p + 6) == 'i' &&
+            bytes(p + 7) == 'f' && bytes(p + 8) == 0 && bytes(p + 9) == 0) {
+            tiffStart = p + 10; tiffLimit = p + 2 + len
+          }
+          p += 2 + len
+        }
+      }
+      if (tiffStart < 0 || tiffLimit - tiffStart < 8) return None
+      val b0 = bytes(tiffStart) & 0xff; val b1 = bytes(tiffStart + 1) & 0xff
+      val le =
+        if (b0 == 'I' && b1 == 'I') true
+        else if (b0 == 'M' && b1 == 'M') false
+        else return None
+      def u16(p: Int): Int = {
+        if (p < tiffStart || p + 2 > tiffLimit) throw new IndexOutOfBoundsException
+        if (le) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+      }
+      def u32(p: Int): Long = {
+        if (p < tiffStart || p + 4 > tiffLimit) throw new IndexOutOfBoundsException
+        if (le) (0 until 4).map(i => (bytes(p + i) & 0xffL) << (8 * i)).sum
+        else (0 until 4).map(i => (bytes(p + 3 - i) & 0xffL) << (8 * i)).sum
+      }
+      if (u16(tiffStart + 2) != 42) return None
+      var orientation: Option[Int] = None
+      var xresNum: Option[Long] = None; var xresDen: Option[Long] = None
+      var dateTime: Option[String] = None; var pixelX: Option[Long] = None
+      def walkIfd(off: Long, depth: Int): Unit = {
+        if (depth > 1) return
+        val base = tiffStart + off.toInt
+        val n = u16(base)
+        var i = 0
+        while (i < n) {
+          val e = base + 2 + 12 * i
+          val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+          tag match {
+            case 0x0112 if typ == 3 && cnt == 1 => orientation = Some(u16(e + 8))
+            case 0x011a if typ == 5 && cnt == 1 =>
+              val v = tiffStart + u32(e + 8).toInt
+              xresNum = Some(u32(v)); xresDen = Some(u32(v + 4))
+            case 0x0132 if typ == 2 && cnt >= 1 && cnt <= 64 =>
+              val v = tiffStart + u32(e + 8).toInt
+              if (v < tiffStart || v + cnt.toInt > tiffLimit) throw new IndexOutOfBoundsException
+              val raw = new String(bytes, v, cnt.toInt - 1, "US-ASCII")
+              dateTime = Some(raw.takeWhile(_ != '\u0000'))
+            case 0xa002 if (typ == 3 || typ == 4) && cnt == 1 =>
+              pixelX = Some(if (typ == 3) u16(e + 8).toLong else u32(e + 8))
+            case 0x8769 if typ == 4 && cnt == 1 => walkIfd(u32(e + 8), depth + 1)
+            case _ => ()
+          }
+          i += 1
+        }
+      }
+      walkIfd(u32(tiffStart + 4), 0)
+      Some(ExifMeta(if (le) "II" else "MM", orientation, xresNum, xresDen,
+        dateTime, pixelX))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-image Exif metadata frame — shuffle-free mapPartitions like
+    * [[jpegStats]]; images without parseable Exif become all-null rows.
+    * This is the header-only scale path: cataloging orientation/timestamp
+    * across 100 TB of images reads a few hundred bytes per file and never
+    * touches entropy-coded data. */
+  def jpegExif(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseExif(bytes) match {
+          case Some(e) =>
+            (id, Option(e.byteOrder), e.orientation, e.xresNum, e.xresDen,
+              e.dateTime, e.pixelX)
+          case None =>
+            (id, None: Option[String], None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[String], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "byte_order", "orientation", "xres_num", "xres_den",
+        "exif_datetime", "pixel_x")
+  }
 }

@@ -6771,6 +6771,35 @@ object ExtensionQueries {
              |  FROM s)
              |SELECT scheme, n_train, n_val, n_test, groups_leaked
              |FROM rep ORDER BY scheme""".stripMargin)
+    ),
+
+    // EXIF metadata scan: APP1/TIFF IFD walk — byte-order handshake in
+    // BOTH endiannesses (doc parity picks II vs MM), inline SHORT
+    // (orientation), offset RATIONAL (resolution), offset ASCII
+    // (datetime), and a sub-IFD LONG (pixel dimension); doc_id mod 17
+    // plants a corrupt TIFF magic that must null out cleanly. The
+    // header-only catalog path: at 100 TB this reads a few hundred bytes
+    // per image and never touches entropy-coded data.
+    QueryDef(
+      "q251_jpeg_exif",
+      (s, dir) => {
+        val withPayload = Multimodal.withExifJpegPayload(
+          t(s, dir, "documents"), "doc_id", "text",
+          widthBlocks = 2, heightBlocks = 2)
+        Multimodal.jpegExif(withPayload, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 17 = 0 THEN NULL
+             |       WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+             |  CASE WHEN doc_id % 17 = 0 THEN NULL
+             |       ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation,
+             |  CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 72 END AS BIGINT) AS xres_num,
+             |  CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 1 END AS BIGINT) AS xres_den,
+             |  CASE WHEN doc_id % 17 = 0 THEN NULL
+             |       ELSE '2026:01:01 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             |       END AS exif_datetime,
+             |  CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 16 END AS BIGINT) AS pixel_x
+             |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }

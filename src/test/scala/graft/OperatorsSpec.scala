@@ -3563,6 +3563,33 @@ class OperatorsSpec extends SparkTestBase {
       (1L, 0L, 0L, 0L, 0), (2L, 2L, 0L, 0L, 1), (3L, 0L, 2L, 0L, 1), (4L, 0L, 0L, 1L, 1)))
   }
 
+  test("jpeg exif: both byte orders, offset values, sub-IFD, corrupt magic nulls, never throws") {
+    val df = Seq((2L, "ab"), (3L, "cd"), (17L, "ef")).toDF("doc_id", "text")
+    val payloads = Multimodal.withExifJpegPayload(df, "doc_id", "text", 2, 2)
+    val r = Multimodal.jpegExif(payloads, "doc_id", "payload").orderBy("doc_id").collect()
+    // id 2: little-endian, orientation 1+2%8=3, 72/1 dpi, second 02, 16px wide
+    assert(r(0).getString(1) == "II" && r(0).getInt(2) == 3 &&
+      r(0).getLong(3) == 72L && r(0).getLong(4) == 1L &&
+      r(0).getString(5) == "2026:01:01 00:00:02" && r(0).getLong(6) == 16L)
+    // id 3: big-endian path reads the same values
+    assert(r(1).getString(1) == "MM" && r(1).getInt(2) == 4 &&
+      r(1).getString(5) == "2026:01:01 00:00:03")
+    // id 17: corrupt TIFF magic -> metadata nulls out, nothing thrown
+    assert(r(2).isNullAt(1) && r(2).isNullAt(2) && r(2).isNullAt(6))
+    // the APP1 splice must not break pixel decoding
+    val px = Multimodal.jpegStats(payloads, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(px.forall(!_.isNullAt(1)) && px(0).getInt(1) == 16)
+    // junk in, None out — same contract as every decoder
+    assert(Multimodal.parseExif(null).isEmpty)
+    assert(Multimodal.parseExif(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseExif(
+      Array(0xff, 0xd8, 0xff, 0xe1, 0x00, 0x03).map(_.toByte)).isEmpty)
+    // plain JPEG without APP1: no Exif, cleanly absent
+    val plain = Multimodal.encodeJpegFromText("xy", 1, 1)
+    assert(Multimodal.parseExif(plain).isEmpty)
+  }
+
   test("phrase postings: adjacency join counts, repeats, absent phrase zero, case folded") {
     val df = Seq(
       (1L, "The quick fox and the quick fox again"),
