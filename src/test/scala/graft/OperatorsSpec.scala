@@ -2099,6 +2099,24 @@ class OperatorsSpec extends SparkTestBase {
       Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text"), "doc_id", "text", 2)
       .queryExecution.executedPlan.toString
     assert(!vgPlan.contains("CartesianProduct"), s"vocabGrowth cartesian:\n$vgPlan")
+    // compaction plan: ONE hash exchange (the per-partition prefix window)
+    // and no range partitioning — the inventory never globally sorts
+    val inv = (0L until 200L).map(i => (s"p${i % 4}", i, i % 60))
+      .toDF("part", "file_id", "sz").repartition(8)
+    val cpPlan = graft.operators.Layout.compactionPlan(inv, "part", "file_id", "sz", 40L, 100L)
+      .queryExecution.executedPlan.toString
+    val cpEx = "Exchange hashpartitioning".r.findAllIn(cpPlan).size
+    assert(cpEx == 1 && !cpPlan.contains("Exchange rangepartitioning"),
+      s"compactionPlan must shuffle once, by partition:\n$cpPlan")
+    // phrase postings: the only joins are the (doc,pos) adjacency equi-join
+    // and the broadcast phrase-list join — never a cartesian blast
+    val docs2 = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val phPlan = graft.operators.TextAnalysis.phraseOccurrences(
+        docs2, "doc_id", "text", Seq("a" -> "b"))
+      .queryExecution.executedPlan.toString
+    assert(!phPlan.contains("CartesianProduct") &&
+      !phPlan.contains("BroadcastNestedLoopJoin"),
+      s"phrase join degenerated:\n$phPlan")
   }
 
   test("sssp: cheaper long path beats direct edge, negatives rejected") {
