@@ -516,6 +516,33 @@ object Stats {
     * UPPER bound of bucket i, matching percentile_disc boundaries). A pure
     * when-sum map stage — no global sort, no shuffle; thresholds come from
     * [[exactThresholds]] (oracle-exact) or [[approxThresholds]] (scale). */
+  /** Time-weighted mean (TWAP) per key: each observation holds its value
+    * until the next one, so the mean weights each value by its holding
+    * duration — Σ(vᵢ·gapᵢ) div Σ(gapᵢ) over consecutive-event gaps, the
+    * canonical time-series aggregate an evenly-spaced AVG silently gets
+    * wrong on irregular sampling. The product sum rides DECIMAL(38,0)
+    * (a long value × a multi-day micros gap overflows int64; Spark's
+    * long sum wraps SILENTLY — the decimal is the correctness, not
+    * pedantry), final division back to BIGINT. Keys with a single
+    * observation (no gap) drop out. One keyed window + one keyed
+    * aggregate — two linear shuffles, no global sort. Ties on the
+    * timestamp order by `tieCol` so both engines weight the same event. */
+  def timeWeightedMean(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__tie"))
+    df.select(col(keyCol), col(tsCol).cast("long").as("__ts"),
+        col(valCol).cast("long").as("__v"), col(tieCol).as("__tie"))
+      .withColumn("__gap", lead(col("__ts"), 1).over(w) - col("__ts"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("span_us"),
+        sum(col("__gap").cast("decimal(38,0)") * col("__v")).as("__wsum"))
+      .filter(col("span_us") > 0)
+      .select(col(keyCol), col("n_gaps"), col("span_us"),
+        expr("CAST(__wsum div span_us AS BIGINT)").as("twap"))
+  }
+
   def bucketByThresholds(df: DataFrame, scoreCol: String, thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted,
       "thresholds must be non-empty ascending")

@@ -6800,6 +6800,35 @@ object ExtensionQueries {
              |       END AS exif_datetime,
              |  CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 16 END AS BIGINT) AS pixel_x
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Time-weighted mean (TWAP) per user: each observation holds its
+    // value until the next, so irregular sampling can't bias the mean —
+    // Σ(v·gap) div Σ(gap) with the product sum in DECIMAL(38,0) (a
+    // cents value × a multi-day micros gap overflows int64; Spark's
+    // long sum would wrap SILENTLY). The evenly-spaced-AVG-vs-TWAP
+    // delta is the whole point of the operator.
+    QueryDef(
+      "q252_twap",
+      (s, dir) =>
+        Stats.timeWeightedMean(
+          eventsUs(s, dir).select(col("user_id"), col("ts_us"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+            col("event_id")),
+          "user_id", "ts_us", "cents", "event_id").orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_id
+             |  FROM events),
+             |g AS (SELECT user_id, cents,
+             |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS gap
+             |  FROM e),
+             |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    CAST(sum(gap) AS BIGINT) AS span_us,
+             |    sum(CAST(gap AS HUGEINT) * cents) AS wsum
+             |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT user_id, n_gaps, span_us,
+             |       CAST(wsum // span_us AS BIGINT) AS twap
+             |FROM a WHERE span_us > 0 ORDER BY user_id""".stripMargin)
     )
   )
 }

@@ -3581,6 +3581,20 @@ class OperatorsSpec extends SparkTestBase {
       (1L, 0L, 0L, 0L, 0), (2L, 2L, 0L, 0L, 1), (3L, 0L, 2L, 0L, 1), (4L, 0L, 0L, 1L, 1)))
   }
 
+  test("twap: holding-duration weights, truncating division, degenerate keys drop") {
+    val df = Seq(
+      // u1: v=10 held 10us, v=20 held 30us -> (100+600)/40 = 17 (trunc)
+      ("u1", 0L, 10L, 1L), ("u1", 10L, 20L, 2L), ("u1", 40L, 99L, 3L),
+      ("u2", 5L, 7L, 4L), // single observation: no gap -> dropped
+      ("u3", 9L, 1L, 5L), ("u3", 9L, 2L, 6L) // zero span -> dropped
+    ).toDF("u", "ts", "v", "id")
+    val r = Stats.timeWeightedMean(df, "u", "ts", "v", "id")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("u1", 2L, 40L, 17L)))
+    // the naive AVG over the same observations is (10+20+99)/3 = 43 —
+    // the irregular-sampling bias TWAP removes
+  }
+
   test("jpeg exif: both byte orders, offset values, sub-IFD, corrupt magic nulls, never throws") {
     val df = Seq((2L, "ab"), (3L, "cd"), (17L, "ef")).toDF("doc_id", "text")
     val payloads = Multimodal.withExifJpegPayload(df, "doc_id", "text", 2, 2)
