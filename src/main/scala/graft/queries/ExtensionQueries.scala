@@ -6718,7 +6718,7 @@ object ExtensionQueries {
     // cluster fingerprint drives leakage to zero by construction. The
     // audit certifies both counts.
     QueryDef(
-      "q250_split_leakage",
+      "q250_cluster_split",
       (s, dir) => {
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val corpus = d.unionByName(
