@@ -2762,4 +2762,143 @@ object Multimodal {
       .toDF(idCol, "byte_order", "orientation", "xres_num", "xres_den",
         "exif_datetime", "pixel_x")
   }
+
+  // ---- video: MP4 (ISO BMFF) container metadata ------------------------
+
+  /** Synthesized minimal MP4 (ISO/IEC 14496-12 box structure): `ftyp`
+    * (brand cycles four common majors), `moov` containing a version-0
+    * `mvhd` (timescale/duration derived from the id) and `1 + id%3` empty
+    * `trak` children, then an 8-byte `mdat`. `corrupt` writes an
+    * oversized moov box length (runs past EOF — the truncated-download
+    * shape) that a parser must reject cleanly. */
+  def buildMp4(id: Long, corrupt: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = { var i = 3; while (i >= 0) { out.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 } }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val brand = Mp4Brands((id % 4).toInt)
+    u32(20L); cc("ftyp"); cc(brand); u32(512L); cc("mp41")
+    val nTracks = (1 + id % 3).toInt
+    val timescale = 1000L + id % 9000L
+    val duration = timescale * (5L + id % 120L) + id % timescale
+    val moovSize = 8L + 108L + 8L * nTracks
+    u32(if (corrupt) moovSize + 1000000L else moovSize); cc("moov")
+    u32(108L); cc("mvhd")
+    u32(0L) // version 0 + flags
+    u32(0L); u32(0L) // creation / modification
+    u32(timescale); u32(duration)
+    u32(0x00010000L); u32(0x01000000L) // rate 1.0, volume 1.0 + reserved u16
+    u32(0L); u32(0L) // reserved 8 bytes
+    Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(u32) // identity matrix
+    (0 until 6).foreach(_ => u32(0L)) // pre_defined
+    u32(nTracks + 1L) // next_track_ID
+    (0 until nTracks).foreach { _ => u32(8L); cc("trak") }
+    u32(8L + 4L); cc("mdat"); u32(0L)
+    out.toByteArray
+  }
+
+  private val Mp4Brands = Array("isom", "mp41", "mp42", "avc1")
+
+  /** Parse top-level MP4 box structure: `ftyp` major brand, `mvhd`
+    * timescale/duration (version 0; version-1 64-bit streams and
+    * `size==1` largesize boxes are rejected cleanly, not mis-read), and
+    * the `moov`'s `trak` child count. Every box length is bounds-checked
+    * against its parent — an oversized or truncated box yields None, never
+    * a throw. Header-only at any scale: the walk stops at `mdat` without
+    * reading it, so cataloging 100 TB of video costs bytes-per-file, not
+    * the corpus. */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(String, Long, Long, Int)] = {
+    try {
+      if (bytes == null || bytes.length < 16) return None
+      def u32(p: Int): Long = {
+        if (p < 0 || p + 4 > bytes.length) throw new IndexOutOfBoundsException
+        (0 until 4).map(i => (bytes(p + 3 - i) & 0xffL) << (8 * i)).sum
+      }
+      def cc(p: Int): String = {
+        if (p < 0 || p + 4 > bytes.length) throw new IndexOutOfBoundsException
+        new String(bytes, p, 4, "US-ASCII")
+      }
+      var brand: Option[String] = None
+      var timescale = -1L; var duration = -1L; var nTracks = 0
+      var sawMoov = false
+      var p = 0
+      while (p + 8 <= bytes.length) {
+        val size = u32(p); val typ = cc(p + 4)
+        if (size < 8 || p + size > bytes.length) return None // largesize (1) / runaway
+        typ match {
+          case "ftyp" => brand = Some(cc(p + 8))
+          case "moov" =>
+            sawMoov = true
+            var q = p + 8
+            val lim = p + size.toInt
+            while (q + 8 <= lim) {
+              val cs = u32(q); val ct = cc(q + 4)
+              if (cs < 8 || q + cs > lim) return None
+              ct match {
+                case "mvhd" =>
+                  if ((bytes(q + 8) & 0xff) != 0) return None // version 1: 64-bit fields
+                  timescale = u32(q + 20); duration = u32(q + 24)
+                case "trak" => nTracks += 1
+                case _ => ()
+              }
+              q += cs.toInt
+            }
+          case _ => () // mdat and friends: skipped, never read
+        }
+        p += size.toInt
+      }
+      if (brand.isEmpty || !sawMoov || timescale <= 0 || duration < 0) None
+      else Some((brand.get, timescale, duration, nTracks))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Attach a synthesized MP4 payload (id-derived; `id % 19 == 0` plants
+    * the oversized-moov corrupt branch). */
+  def withMp4Payload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, buildMp4(id, corrupt = id % 19 == 0)))
+      .toDF(idCol, "payload")
+  }
+
+  /** Per-video container metadata frame — duration_ms is the integer
+    * `duration·1000 div timescale`; corrupt/truncated containers null out. */
+  def mp4Meta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseMp4Meta(bytes) match {
+          case Some((brand, ts, dur, n)) =>
+            (id, Option(brand), Option(ts), Option(dur), Option(dur * 1000L / ts), Option(n))
+          case None =>
+            (id, None: Option[String], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Int])
+        }
+      })
+      .toDF(idCol, "brand", "timescale", "duration_units", "duration_ms", "n_tracks")
+  }
+
+  /** Deterministic frame-sampling work queue: one row per frame to
+    * extract — every `everyMs` milliseconds from 0 through the video's
+    * duration, capped at `maxFrames` per video (`slice` of the generated
+    * sequence: the cap is enforced INSIDE the row expression, before the
+    * explode, so a 10-hour outlier can't blast rows). This is the
+    * fan-out a frame-extraction fleet consumes; the decode step itself is
+    * out of scope by mandate (no codec libs in this container) — the
+    * Spark-side plumbing (schema, per-video bound, explode shape) is the
+    * real, tested surface. Null-duration (corrupt) videos emit no work. */
+  def frameSamplePlan(df: DataFrame, idCol: String, durationMsCol: String,
+      everyMs: Long, maxFrames: Int): DataFrame = {
+    require(everyMs > 0 && maxFrames > 0, "everyMs and maxFrames must be positive")
+    df.filter(col(durationMsCol).isNotNull)
+      .select(col(idCol),
+        explode(expr(
+          s"slice(sequence(0L, CAST(`$durationMsCol` AS BIGINT), ${everyMs}L), 1, $maxFrames)"))
+          .as("ts_ms"))
+      .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("long"))
+      .select(col(idCol), col("frame_idx"), col("ts_ms"))
+  }
 }

@@ -6829,6 +6829,64 @@ object ExtensionQueries {
              |SELECT user_id, n_gaps, span_us,
              |       CAST(wsum // span_us AS BIGINT) AS twap
              |FROM a WHERE span_us > 0 ORDER BY user_id""".stripMargin)
+    ),
+
+    // Video container metadata (ISO BMFF / MP4 box walk): ftyp major
+    // brand, mvhd timescale/duration, trak count — header-only (the walk
+    // skips mdat without reading it), so cataloging 100 TB of video costs
+    // bytes per file. doc_id mod 19 plants an oversized moov (truncated-
+    // download shape) that must null out cleanly; the oracle replays
+    // every field from doc_id.
+    QueryDef(
+      "q253_mp4_meta",
+      (s, dir) =>
+        Multimodal.mp4Meta(
+          Multimodal.withMp4Payload(t(s, dir, "documents"), "doc_id"),
+          "doc_id", "payload").orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+             |    1000 + doc_id % 9000 AS ts,
+             |    (1000 + doc_id % 9000) * (5 + doc_id % 120)
+             |      + doc_id % (1000 + doc_id % 9000) AS dur,
+             |    CAST(1 + doc_id % 3 AS INT) AS nt,
+             |    ['isom', 'mp41', 'mp42', 'avc1'][CAST(doc_id % 4 AS INT) + 1] AS br
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE br END AS brand,
+             |  CAST(CASE WHEN doc_id % 19 = 0 THEN NULL ELSE ts END AS BIGINT) AS timescale,
+             |  CAST(CASE WHEN doc_id % 19 = 0 THEN NULL ELSE dur END AS BIGINT) AS duration_units,
+             |  CAST(CASE WHEN doc_id % 19 = 0 THEN NULL ELSE dur * 1000 // ts END AS BIGINT) AS duration_ms,
+             |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE nt END AS n_tracks
+             |FROM b ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Frame-sampling work queue from parsed video durations: one row per
+    // frame to extract (1 fps, capped at 32 frames per video INSIDE the
+    // row expression, before the explode — a 10-hour outlier can't blast
+    // rows). The decode step is out of scope by mandate (no codec libs
+    // here); this is the Spark-side fan-out an extraction fleet consumes.
+    // Corrupt containers (null duration) emit no work items.
+    QueryDef(
+      "q254_frame_plan",
+      (s, dir) => {
+        val meta = Multimodal.mp4Meta(
+          Multimodal.withMp4Payload(
+            t(s, dir, "documents").filter(col("doc_id") % 25 === 0), "doc_id"),
+          "doc_id", "payload")
+        Multimodal.frameSamplePlan(meta, "doc_id", "duration_ms",
+            everyMs = 1000L, maxFrames = 32)
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    1000 + doc_id % 9000 AS ts,
+             |    (1000 + doc_id % 9000) * (5 + doc_id % 120)
+             |      + doc_id % (1000 + doc_id % 9000) AS dur
+             |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 19 <> 0),
+             |d AS (SELECT doc_id, dur * 1000 // ts AS dms FROM b),
+             |n AS (SELECT doc_id, least(dms // 1000 + 1, 32) AS nf FROM d),
+             |f AS (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM n)
+             |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |       CAST(frame_idx * 1000 AS BIGINT) AS ts_ms
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
     )
   )
 }

@@ -3581,6 +3581,31 @@ class OperatorsSpec extends SparkTestBase {
       (1L, 0L, 0L, 0L, 0), (2L, 2L, 0L, 0L, 1), (3L, 0L, 2L, 0L, 1), (4L, 0L, 0L, 1L, 1)))
   }
 
+  test("mp4 meta: box-walk goldens, oversized moov nulls, truncation never throws, frame cap binds") {
+    import graft.operators.Multimodal
+    // id 1: brand mp41, ts 1001, dur 1001*6+1=6007, 2 tracks
+    assert(Multimodal.parseMp4Meta(Multimodal.buildMp4(1L, corrupt = false))
+      .contains(("mp41", 1001L, 6007L, 2)))
+    // id 4: brand isom (4%4=0), ts 1004, dur 1004*9+4, 2 tracks
+    assert(Multimodal.parseMp4Meta(Multimodal.buildMp4(4L, corrupt = false))
+      .contains(("isom", 1004L, 1004L * 9 + 4, 2)))
+    // oversized moov (truncated download) -> clean None
+    assert(Multimodal.parseMp4Meta(Multimodal.buildMp4(1L, corrupt = true)).isEmpty)
+    // every truncation prefix parses to None or Some, never throws
+    val full = Multimodal.buildMp4(7L, corrupt = false)
+    (0 until full.length).foreach(k => Multimodal.parseMp4Meta(full.take(k)))
+    assert(Multimodal.parseMp4Meta(Array[Byte](1, 2, 3)).isEmpty)
+    // frame plan: 5500ms at 1fps -> 6 frames; 100000ms caps at 32
+    val meta = Seq((1L, Some(5500L)), (2L, Some(100000L)), (3L, None: Option[Long]))
+      .toDF("id", "duration_ms")
+    val plan = Multimodal.frameSamplePlan(meta, "id", "duration_ms", 1000L, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val by = plan.groupBy(_._1)
+    assert(by(1L).length == 6 && by(1L).map(_._3).max == 5000L)
+    assert(by(2L).length == 32 && by(2L).map(_._3).max == 31000L)
+    assert(!by.contains(3L)) // corrupt video emits no work
+  }
+
   test("twap: holding-duration weights, truncating division, degenerate keys drop") {
     val df = Seq(
       // u1: v=10 held 10us, v=20 held 30us -> (100+600)/40 = 17 (trunc)
