@@ -489,6 +489,66 @@ object Multimodal {
       .toDF(idCol, "patch_row", "patch_col", "luma_sum")
   }
 
+  /** Integer area-average downscale of a P6 payload by `factor`: target
+    * pixel = truncating mean of its factor×factor source block, per
+    * channel — and the output is a REAL P6 payload again, so the resized
+    * image round-trips through every decoder/feature operator here (the
+    * mandate's resize step, not just patch-sum features: [[ppmPatchGrid]]
+    * measures, this produces). Dimensions not divisible by the factor, or
+    * a truncated payload, yield None — no partial-edge invention, the
+    * caller sees the drop. */
+  def ppmResize(bytes: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    if (factor <= 0) return None
+    ppmHeader(bytes) match {
+      case Some((w, h, pos))
+          if w > 0 && h > 0 && w % factor == 0 && h % factor == 0 &&
+            pos + 3L * w * h <= bytes.length =>
+        val tw = w / factor; val th = h / factor
+        val head = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
+        val out = new Array[Byte](head.length + 3 * tw * th)
+        System.arraycopy(head, 0, out, 0, head.length)
+        val area = factor * factor
+        var ty = 0
+        while (ty < th) {
+          var tx = 0
+          while (tx < tw) {
+            var c = 0
+            while (c < 3) {
+              var sum = 0
+              var dy = 0
+              while (dy < factor) {
+                var dx = 0
+                while (dx < factor) {
+                  sum += bytes(pos + 3 * ((ty * factor + dy) * w + tx * factor + dx) + c) & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              out(head.length + 3 * (ty * tw + tx) + c) = (sum / area).toByte
+              c += 1
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /** Map a payload column through [[ppmResize]]; unresizable payloads
+    * become null payloads (downstream feature operators null them out —
+    * the same lineage-visible drop every decoder uses). */
+  def withResizedPpm(df: DataFrame, idCol: String, payloadCol: String,
+      factor: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => (id, ppmResize(bytes, factor).orNull) }
+      .toDF(idCol, "payload")
+  }
+
   // ---- audio: RIFF/WAVE PCM16 ------------------------------------------
 
   final case class AudioFeatures(

@@ -6887,6 +6887,41 @@ object ExtensionQueries {
              |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
              |       CAST(frame_idx * 1000 AS BIGINT) AS ts_ms
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+    ),
+
+    // Image resize (mandate's resize step): 8×8 P6 payloads downscaled
+    // 2× by integer area averaging into REAL 4×4 P6 payloads, then
+    // decoded by the ordinary feature operator — the resize output
+    // round-trips through the same decode path as any ingested image.
+    // The oracle replays source pixels from text and re-derives every
+    // averaged byte (truncating mean of each 2×2 block, per channel).
+    QueryDef(
+      "q255_ppm_resize",
+      (s, dir) => {
+        val payload = Multimodal.withPpmPayload(
+          t(s, dir, "documents"), "doc_id", "text", width = 8, height = 8)
+        val resized = Multimodal.withResizedPpm(payload, "doc_id", "payload", factor = 2)
+        Multimodal.ppmFeatures(resized, "doc_id", "payload").orderBy("doc_id")
+      },
+      Some {
+        // resized byte k (0..47): pixel k/3 at (y=pix/4, x=pix%4), channel
+        // k%3; source block rows 2y/2y+1, cols 2x/2x+1 of the 8-wide image
+        def src(dy: Int, dx: Int) =
+          s"p[3*((k//3//4*2 + $dy)*8 + (k//3%4)*2 + $dx) + k%3 + 1]"
+        def channel(c: Int) =
+          s"CAST(list_sum(list_transform(range(16), i -> q[3*i + ${c + 1}])) AS BIGINT)"
+        s"""WITH px AS (SELECT doc_id,
+           |  list_transform(range(192),
+           |    j -> ascii(substr(text, CAST(j % length(text) + 1 AS INT), 1)) % 256) AS p
+           |  FROM documents),
+           |rz AS (SELECT doc_id, list_transform(range(48),
+           |    k -> (${src(0, 0)} + ${src(0, 1)} + ${src(1, 0)} + ${src(1, 1)}) // 4) AS q
+           |  FROM px)
+           |SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           |       CAST(16 AS BIGINT) AS n_pixels,
+           |       ${channel(0)} AS r_sum, ${channel(1)} AS g_sum, ${channel(2)} AS b_sum
+           |FROM rz ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

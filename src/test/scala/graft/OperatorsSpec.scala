@@ -3606,6 +3606,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(!by.contains(3L)) // corrupt video emits no work
   }
 
+  test("ppm resize: exact block means, real P6 round-trip, non-divisible and corrupt null") {
+    import graft.operators.Multimodal
+    // 2x2 -> 1x1: channel means of the four pixels, truncating
+    val src = ("P6\n2 2\n255\n").getBytes("US-ASCII") ++
+      Array(10, 20, 30, 11, 21, 31, 12, 22, 32, 14, 25, 37).map(_.toByte)
+    val out = Multimodal.ppmResize(src, 2).get
+    val hdr = "P6\n1 1\n255\n".getBytes("US-ASCII")
+    assert(out.take(hdr.length).sameElements(hdr))
+    assert(out.drop(hdr.length).toSeq == Seq[Byte](11, 22, 32)) // (10+11+12+14)/4=11 ...
+    // the resized payload is a decodable image again
+    val feats = Multimodal.decodePpm(out).get
+    assert(feats.width == 1 && feats.height == 1 &&
+      feats.rSum == 11L && feats.gSum == 22L && feats.bSum == 32L)
+    // non-divisible factor, junk, truncation: clean None
+    assert(Multimodal.ppmResize(src, 3).isEmpty)
+    assert(Multimodal.ppmResize(src.take(12), 2).isEmpty)
+    assert(Multimodal.ppmResize(Array[Byte](1, 2), 2).isEmpty)
+    assert(Multimodal.ppmResize(src, 0).isEmpty)
+  }
+
   test("twap: holding-duration weights, truncating division, degenerate keys drop") {
     val df = Seq(
       // u1: v=10 held 10us, v=20 held 30us -> (100+600)/40 = 17 (trunc)
