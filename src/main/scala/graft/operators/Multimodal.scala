@@ -494,9 +494,10 @@ object Multimodal {
     * channel — and the output is a REAL P6 payload again, so the resized
     * image round-trips through every decoder/feature operator here (the
     * mandate's resize step, not just patch-sum features: [[ppmPatchGrid]]
-    * measures, this produces). Dimensions not divisible by the factor, or
-    * a truncated payload, yield None — no partial-edge invention, the
-    * caller sees the drop. */
+    * measures, [[resizePpm]] nearest-neighbor-samples straight to
+    * features, this PRODUCES the resized image). Dimensions not
+    * divisible by the factor, or a truncated payload, yield None — no
+    * partial-edge invention, the caller sees the drop. */
   def ppmResize(bytes: Array[Byte], factor: Int): Option[Array[Byte]] = {
     if (factor <= 0) return None
     ppmHeader(bytes) match {

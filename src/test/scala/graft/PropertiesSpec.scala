@@ -344,6 +344,8 @@ class PropertiesSpec extends SparkTestBase {
       Multimodal.decodePpmStats(raw); Multimodal.aHashPpm(raw)
       Multimodal.decodeWav(raw); Multimodal.decodeBmp(raw); Multimodal.decodePng(raw)
       Multimodal.decodeJpeg(raw); Multimodal.decodeGif(raw)
+      Multimodal.parseExif(raw); Multimodal.parseMp4Meta(raw)
+      Multimodal.ppmResize(raw, 2)
       Warc.parseWarc(raw)
       Robots.parse(new String(raw, "ISO-8859-1"), "bot")
     }
@@ -356,6 +358,9 @@ class PropertiesSpec extends SparkTestBase {
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
       Array(0xff, 0xd8, 0xff).map(_.toByte),
       "GIF89a".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 20) ++ "ftypisom".getBytes("US-ASCII"),
+      Array(0xff, 0xd8, 0xff, 0xe1, 0x00, 0x40).map(_.toByte) ++
+        "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0),
       "WARC/1.0\r\n".getBytes("US-ASCII"))
     forAll(bytesGen) { tail =>
       magics.foreach { m =>
@@ -364,6 +369,8 @@ class PropertiesSpec extends SparkTestBase {
         Multimodal.decodeBmp(payload); Multimodal.decodeWav(payload)
         Multimodal.decodePng(payload); Multimodal.decodeJpeg(payload)
         Multimodal.decodeGif(payload)
+        Multimodal.parseExif(payload); Multimodal.parseMp4Meta(payload)
+        Multimodal.ppmResize(payload, 2)
         Warc.parseWarc(payload)
       }
     }
