@@ -213,6 +213,41 @@ object Layout {
     }.reduce(_ unionByName _).orderBy("layout")
   }
 
+  /** Consistent-hash ring positions: `vnodes` virtual nodes per shard at
+    * the md5-fold of `ring:shard:vnode`, sorted by position (shard index
+    * breaks the astronomically-unlikely position tie). Pure driver-side
+    * arithmetic on the SHARD LIST — never on data — so the ring is a
+    * plan-time literal a few KB large. */
+  def consistentHashRing(nShards: Int, vnodes: Int): Seq[(Long, Int)] = {
+    require(nShards >= 1 && vnodes >= 1, "need at least one shard and vnode")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ring = for { s <- 0 until nShards; v <- 0 until vnodes } yield {
+      val hex = md.digest(s"ring:$s:$v".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16), s)
+    }
+    ring.sortBy(identity)
+  }
+
+  /** Consistent-hash shard assignment: the key's shard is the first ring
+    * vnode at or clockwise-after md5-fold(`key:k`), wrapping to the ring
+    * start. The property this buys (the OTHER classic minimal-movement
+    * scheme next to [[rendezvousShard]]): adding shard n+1 only inserts
+    * that shard's vnodes, so keys can only move TO the new shard — old
+    * shards never trade keys with each other. Pure scan-fused codegen'd
+    * expression over a literal array; no shuffle, no UDF, no driver data
+    * access. */
+  def consistentShard(keyCol: String, nShards: Int, vnodes: Int): Column = {
+    val ring = consistentHashRing(nShards, vnodes)
+    val arr = ring.map { case (p, s) => s"struct(${p}L AS pos, $s AS shard)" }
+      .mkString("array(", ", ", ")")
+    val kh = s"cast(conv(substring(md5(concat('key:', cast(`$keyCol` as string))), 1, 8), 16, 10) as bigint)"
+    // CASE guards the empty-filter branch (ANSI element_at would throw)
+    expr(s"""CASE WHEN size(filter($arr, r -> r.pos >= $kh)) > 0
+            |     THEN element_at(filter($arr, r -> r.pos >= $kh), 1).shard
+            |     ELSE ${ring.head._2} END""".stripMargin)
+  }
+
   def rendezvousShard(keyCol: String, nShards: Int): Column = {
     require(nShards >= 1, "nShards must be >= 1")
     expr(

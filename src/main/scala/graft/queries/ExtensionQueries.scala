@@ -6922,6 +6922,60 @@ object ExtensionQueries {
            |       ${channel(0)} AS r_sum, ${channel(1)} AS g_sum, ${channel(2)} AS b_sum
            |FROM rz ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    // Consistent-hash ring (the OTHER minimal-movement sharding scheme,
+    // next to q215's rendezvous): 16 vnodes per shard, key -> first
+    // vnode clockwise. The certificate grows the fleet 4 -> 5 and
+    // tabulates per-shard movement: keys may only ARRIVE at the new
+    // shard — arrivals at shards 0-3 and departures from shard 4 must
+    // both read 0, and that's visible in the output, not asserted on
+    // faith. Assignment is a scan-fused expression over a plan-time
+    // ring literal; the one shuffle is the tiny (s4, s5) pair count.
+    QueryDef(
+      "q256_consistent_hash",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("s4", Layout.consistentShard("doc_id", 4, 16))
+          .withColumn("s5", Layout.consistentShard("doc_id", 5, 16))
+        val pairs = d.groupBy("s4", "s5").agg(count(lit(1)).as("n")).localCheckpoint()
+        val moved = pairs.filter(col("s4") =!= col("s5"))
+        val shards = s.range(5).select(col("id").cast("int").as("shard"))
+        shards
+          .join(pairs.groupBy(col("s4").as("shard")).agg(sum("n").as("n_before")), Seq("shard"), "left")
+          .join(pairs.groupBy(col("s5").as("shard")).agg(sum("n").as("n_after")), Seq("shard"), "left")
+          .join(moved.groupBy(col("s5").as("shard")).agg(sum("n").as("arrivals")), Seq("shard"), "left")
+          .join(moved.groupBy(col("s4").as("shard")).agg(sum("n").as("departures")), Seq("shard"), "left")
+          .select(col("shard"),
+            coalesce(col("n_before"), lit(0L)).as("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"),
+            coalesce(col("arrivals"), lit(0L)).as("arrivals"),
+            coalesce(col("departures"), lit(0L)).as("departures"))
+          .orderBy("shard")
+      },
+      Some("""WITH r4 AS (SELECT s, ('0x' || substr(md5('ring:' || s || ':' || vn), 1, 8))::BIGINT AS pos
+             |  FROM range(4) t(s), range(16) u(vn)),
+             |r5 AS (SELECT s, ('0x' || substr(md5('ring:' || s || ':' || vn), 1, 8))::BIGINT AS pos
+             |  FROM range(5) t(s), range(16) u(vn)),
+             |k AS (SELECT doc_id, ('0x' || substr(md5('key:' || doc_id), 1, 8))::BIGINT AS kh
+             |  FROM documents),
+             |a AS (SELECT doc_id,
+             |    coalesce(min_by(r4.s, r4.pos) FILTER (WHERE r4.pos >= kh),
+             |             min_by(r4.s, r4.pos)) AS s4
+             |  FROM k CROSS JOIN r4 GROUP BY doc_id, kh),
+             |b AS (SELECT doc_id,
+             |    coalesce(min_by(r5.s, r5.pos) FILTER (WHERE r5.pos >= kh),
+             |             min_by(r5.s, r5.pos)) AS s5
+             |  FROM k CROSS JOIN r5 GROUP BY doc_id, kh),
+             |p AS (SELECT s4, s5, CAST(count(*) AS BIGINT) AS n
+             |  FROM a JOIN b USING (doc_id) GROUP BY 1, 2),
+             |sh AS (SELECT unnest(range(5)) AS shard)
+             |SELECT CAST(shard AS INT) AS shard,
+             |  CAST(coalesce((SELECT sum(n) FROM p WHERE s4 = shard), 0) AS BIGINT) AS n_before,
+             |  CAST(coalesce((SELECT sum(n) FROM p WHERE s5 = shard), 0) AS BIGINT) AS n_after,
+             |  CAST(coalesce((SELECT sum(n) FROM p WHERE s5 = shard AND s4 <> s5), 0) AS BIGINT) AS arrivals,
+             |  CAST(coalesce((SELECT sum(n) FROM p WHERE s4 = shard AND s4 <> s5), 0) AS BIGINT) AS departures
+             |FROM sh ORDER BY shard""".stripMargin)
     )
   )
 }

@@ -3581,6 +3581,32 @@ class OperatorsSpec extends SparkTestBase {
       (1L, 0L, 0L, 0L, 0), (2L, 2L, 0L, 0L, 1), (3L, 0L, 2L, 0L, 1), (4L, 0L, 0L, 1L, 1)))
   }
 
+  test("consistent hash: ring matches reference impl, growth moves keys only to the new shard") {
+    import graft.operators.Layout
+    // ring positions are collision-free for the query's parameters
+    val r5 = Layout.consistentHashRing(5, 16)
+    assert(r5.map(_._1).distinct.size == r5.size)
+    // expression assignment == plain-Scala reference binary search
+    def ref(key: Long, ring: Seq[(Long, Int)]): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val kh = java.lang.Long.parseLong(
+        md.digest(s"key:$key".getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+      ring.find(_._1 >= kh).getOrElse(ring.head)._2
+    }
+    val keys = (0L until 200L).toDF("k")
+    val got = keys.withColumn("s", Layout.consistentShard("k", 5, 16))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 200L).foreach(k => assert(got(k) == ref(k, r5), s"key $k"))
+    // minimal movement: growing 4 -> 5 shards never moves a key between old shards
+    val r4 = Layout.consistentHashRing(4, 16)
+    var moved = 0
+    (0L until 200L).foreach { k =>
+      val (a, b) = (ref(k, r4), ref(k, r5))
+      if (a != b) { moved += 1; assert(b == 4, s"key $k moved $a->$b, not to the new shard") }
+    }
+    assert(moved > 0 && moved < 200 / 2) // some movement, far less than re-mod-ing
+  }
+
   test("mp4 meta: box-walk goldens, oversized moov nulls, truncation never throws, frame cap binds") {
     import graft.operators.Multimodal
     // id 1: brand mp41, ts 1001, dur 1001*6+1=6007, 2 tracks
