@@ -312,6 +312,76 @@ object Dedup {
         (col("a_n") + col("b_n") - col("inter_n")).as("union_n"))
   }
 
+  /** Prefix-filtering set-similarity join — PPJoin's candidate generation,
+    * the EXACT-threshold complement to MinHash-LSH: tokens order globally
+    * rare-first (document frequency asc, token asc — fully deterministic),
+    * and two documents can reach Jaccard ≥ t only if they share a token
+    * within their first `n − ⌈t·n⌉ + 1` tokens in that order (the prefix
+    * lemma). Candidates come from an equi-join on PREFIX tokens only —
+    * rare-first ordering makes those the lowest-fanout tokens in the
+    * corpus, and a `maxBucket` cap (smallest doc ids win, the house
+    * bucket discipline) bounds any residual hot token. Verify is the
+    * exact sorted-merge intersect on hashed token arrays — no estimate
+    * anywhere in the path, unlike LSH this CANNOT miss a qualifying pair
+    * (only the explicit cap can, and the cap is visible). Shuffles: token
+    * df, per-doc rank window, prefix self-join, two array joins — all
+    * keyed, no cartesian. */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPct: Int, maxBucket: Int = 500, shingleWords: Int = 1): DataFrame = {
+    require(minJaccardPct >= 1 && minJaccardPct <= 100, "minJaccardPct must be 1..100")
+    require(maxBucket >= 1 && shingleWords >= 1, "maxBucket/shingleWords must be positive")
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // `shingleWords` > 1 joins on word n-gram sets — unigram Jaccard
+    // saturates on small-vocabulary corpora (everything resembles
+    // everything, the output itself goes quadratic); shingles restore a
+    // sparse similarity space, exactly why the MinHash path shingles too.
+    // __w is MATERIALIZED before the shingle transform (the documented
+    // HOF trap: an inlined split would re-run per element), and the token
+    // sets are checkpointed so candidate generation and verify share ONE
+    // tokenize pass.
+    val words = df.select(col(idCol).as("__doc"),
+      expr(s"filter(split($textCol, ' '), x -> x != '')").as("__w"))
+    val setCol =
+      if (shingleWords <= 1) expr("array_distinct(__w)")
+      else expr(
+        s"""CASE WHEN size(__w) >= $shingleWords
+           |  THEN array_distinct(transform(sequence(0, size(__w) - $shingleWords),
+           |    i -> array_join(slice(__w, i + 1, $shingleWords), ' ')))
+           |  ELSE array() END""".stripMargin)
+    val sets = words.select(col("__doc"), setCol.as("__ts")).localCheckpoint()
+    val toks = sets.select(col("__doc"), explode(col("__ts")).as("__tok"))
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val ranked = toks.join(dfreq, "__tok")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__doc").orderBy(col("__df"), col("__tok"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__doc")))
+    val prefix = ranked.filter(
+      col("__rn") <= col("__n") - expr(s"(__n * $minJaccardPct + 99) div 100") + 1)
+    val capped = prefix.withColumn("__brn", row_number().over(
+        Window.partitionBy("__tok").orderBy(col("__doc"))))
+      .filter(col("__brn") <= maxBucket)
+    val cands = capped.select(col("__tok"), col("__doc").as("a"))
+      .join(capped.select(col("__tok"), col("__doc").as("b")), "__tok")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val arrs = sets.select(col("__doc"), expr(
+        """sort_array(array_distinct(transform(__ts,
+          |  t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))))""".stripMargin)
+        .as("__ws"))
+      .withColumn("__wn", size(col("__ws")).cast("long"))
+    cands
+      .join(arrs.select(col("__doc").as("a"), col("__ws").as("a_ws"), col("__wn").as("a_n")), "a")
+      .join(arrs.select(col("__doc").as("b"), col("__ws").as("b_ws"), col("__wn").as("b_n")), "b")
+      .filter(least(col("a_n"), col("b_n")) * 100 >= greatest(col("a_n"), col("b_n")) * minJaccardPct)
+      .select(col("a").as(s"a_$idCol"), col("b").as(s"b_$idCol"), col("a_n"), col("b_n"),
+        graft.functions.GraftFunctions.sortedIntersectCount(col("a_ws"), col("b_ws"))
+          .as("inter_n"))
+      .filter(col("inter_n") * (100 + minJaccardPct) >= (col("a_n") + col("b_n")) * minJaccardPct)
+      .withColumn("union_n", col("a_n") + col("b_n") - col("inter_n"))
+      .withColumn("jaccard_pct", expr("inter_n * 100 div union_n"))
+  }
+
   /** [[jaccardPairs]] over HASHED token sets: each distinct token folds to a
     * 32-bit integer via its md5 prefix (the engine-portable
     * `('0x'||substr(md5(t),1,8))::BIGINT` fold the MinHash path already

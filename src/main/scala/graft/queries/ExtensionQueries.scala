@@ -6976,6 +6976,56 @@ object ExtensionQueries {
              |  CAST(coalesce((SELECT sum(n) FROM p WHERE s5 = shard AND s4 <> s5), 0) AS BIGINT) AS arrivals,
              |  CAST(coalesce((SELECT sum(n) FROM p WHERE s4 = shard AND s4 <> s5), 0) AS BIGINT) AS departures
              |FROM sh ORDER BY shard""".stripMargin)
+    ),
+
+    // Prefix-filtering set-similarity join (PPJoin candidate generation):
+    // the EXACT Jaccard-threshold join — rare-first token order, prefix
+    // lemma candidates, sorted-merge verify. The exact complement to
+    // q32's MinHash-LSH (which trades recall for blocking) and q34/q58's
+    // attribute-blocked joins (which miss cross-block pairs): this one
+    // provably cannot miss a qualifying pair, only the visible bucket
+    // cap can. Joins on 3-word shingle sets — unigram Jaccard saturates
+    // on this corpus's small vocabulary (the output itself would go
+    // quadratic); shingles keep the similarity space sparse (max shingle
+    // df 25 at sf0.1), which is also why q32's MinHash shingles.
+    QueryDef(
+      "q257_prefix_filter_join",
+      (s, dir) =>
+        orderedOut(Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
+            minJaccardPct = 50, maxBucket = 500, shingleWords = 3),
+          "a_doc_id", "b_doc_id"),
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+             |  FROM documents),
+             |sets AS (SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(w) - 1),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+             |  FROM w WHERE len(w) >= 3),
+             |toks AS (SELECT doc_id, unnest(ts) AS tok FROM sets),
+             |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM toks GROUP BY 1),
+             |rk AS (SELECT doc_id, tok,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM toks JOIN dfreq USING (tok)),
+             |pre AS (SELECT doc_id, tok FROM rk WHERE rn <= n - (n * 50 + 99) // 100 + 1),
+             |cap AS (SELECT doc_id, tok FROM (
+             |    SELECT doc_id, tok, row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS brn
+             |    FROM pre) WHERE brn <= 500),
+             |cand AS (SELECT DISTINCT a.doc_id AS ad, b.doc_id AS bd
+             |  FROM cap a JOIN cap b USING (tok) WHERE a.doc_id < b.doc_id),
+             |ws AS (SELECT doc_id,
+             |    list_sort(list_distinct(list_transform(ts,
+             |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT))) AS ws
+             |  FROM sets),
+             |w2 AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM ws),
+             |v AS (SELECT ad, bd, x.n AS a_n, y.n AS b_n,
+             |    CAST(len(list_intersect(x.ws, y.ws)) AS BIGINT) AS inter_n
+             |  FROM cand JOIN w2 x ON x.doc_id = ad JOIN w2 y ON y.doc_id = bd
+             |  WHERE least(x.n, y.n) * 100 >= greatest(x.n, y.n) * 50)
+             |SELECT ad AS a_doc_id, bd AS b_doc_id, a_n, b_n, inter_n,
+             |  CAST(a_n + b_n - inter_n AS BIGINT) AS union_n,
+             |  CAST(inter_n * 100 // (a_n + b_n - inter_n) AS BIGINT) AS jaccard_pct
+             |FROM v WHERE inter_n * 150 >= (a_n + b_n) * 50
+             |ORDER BY a_doc_id, b_doc_id""".stripMargin)
     )
   )
 }

@@ -3581,6 +3581,33 @@ class OperatorsSpec extends SparkTestBase {
       (1L, 0L, 0L, 0L, 0), (2L, 2L, 0L, 0L, 1), (3L, 0L, 2L, 0L, 1), (4L, 0L, 0L, 1L, 1)))
   }
 
+  test("prefix filter join: complete vs brute force at the threshold, caps visible") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), // J = 3/5 = 60%
+      (3L, "a b x y"), // vs 1: J = 2/6 = 33% -> out
+      (4L, "p q r s"), (5L, "p q r s"), // J = 100%
+      (6L, "z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text", 50, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(6))).toSet
+    // brute-force truth at J >= 50%: exactly (1,2) and (4,5)
+    assert(got == Set((1L, 2L, 3L, 60L), (4L, 5L, 4L, 100L)))
+    // threshold raised to 70%: the 60% pair drops, the exact dup survives
+    val hi = Dedup.prefixFilterPairs(docs, "doc_id", "text", 70, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi == Set((4L, 5L)))
+    // shingle mode: 3-gram sets {one two three, two three four, three four X}
+    // intersect in 2 of 4 -> exactly 50%; sub-3-word docs drop out
+    val shDocs = Seq(
+      (1L, "one two three four five"), (2L, "one two three four six"),
+      (3L, "totally different words here now"), (4L, "ab")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.prefixFilterPairs(shDocs, "doc_id", "text", 50, 500, shingleWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(6))).toSet
+    assert(sh == Set((1L, 2L, 2L, 50L)))
+  }
+
   test("consistent hash: ring matches reference impl, growth moves keys only to the new shard") {
     import graft.operators.Layout
     // ring positions are collision-free for the query's parameters
