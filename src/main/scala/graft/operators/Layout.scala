@@ -213,6 +213,65 @@ object Layout {
     }.reduce(_ unionByName _).orderBy("layout")
   }
 
+  /** REAL Parquet footer statistics — the physical layer behind every
+    * zone-map argument in this file: reads each file's footer via
+    * `ParquetFileReader` (metadata only — row groups × columns rows, the
+    * data pages are never touched) and aggregates per requested column
+    * across row groups: total value count, typed global min/max (compared
+    * as their Parquet types, THEN rendered — string-comparing "9" vs "10"
+    * would invert the order). The q216 certificate simulates row-group
+    * pruning; this reads the stats a pruning reader actually consults.
+    * Caveat for callers: Parquet may truncate binary min/max for long
+    * strings — restrict to short-string/integral columns when comparing
+    * against exact data aggregates. */
+  def parquetFooterStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      columns: Seq[String]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    require(columns.nonEmpty, "need at least one column")
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet")).sortBy(_.toString)
+      else Array(p)
+    def render(v: Any): String = v match {
+      case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+      case x => String.valueOf(x)
+    }
+    val acc = scala.collection.mutable.LinkedHashMap[String, (Long, Any, Any)]()
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (columns.contains(name) && cc.getStatistics != null &&
+            cc.getStatistics.hasNonNullValue) {
+            val mn = cc.getStatistics.genericGetMin
+            val mx = cc.getStatistics.genericGetMax
+            acc.get(name) match {
+              case None => acc(name) = (cc.getValueCount, mn, mx)
+              case Some((nv, omn, omx)) =>
+                def lt(a: Any, b: Any) =
+                  a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+                acc(name) = (nv + cc.getValueCount,
+                  if (lt(mn, omn)) mn else omn,
+                  if (lt(omx, mx)) mx else omx)
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    import spark.implicits._
+    columns.sorted.flatMap(c => acc.get(c).map { case (nv, mn, mx) =>
+      (c, nv, render(mn), render(mx))
+    }).toDF("column_name", "num_values", "min_value", "max_value")
+  }
+
   /** Consistent-hash ring positions: `vnodes` virtual nodes per shard at
     * the md5-fold of `ring:shard:vnode`, sorted by position (shard index
     * breaks the astronomically-unlikely position tie). Pure driver-side

@@ -7026,6 +7026,35 @@ object ExtensionQueries {
              |  CAST(inter_n * 100 // (a_n + b_n - inter_n) AS BIGINT) AS jaccard_pct
              |FROM v WHERE inter_n * 150 >= (a_n + b_n) * 50
              |ORDER BY a_doc_id, b_doc_id""".stripMargin)
+    ),
+
+    // Parquet footer trust certificate: the row-group statistics a
+    // zone-map-pruning reader actually consults (read via the real
+    // ParquetFileReader, metadata only — data pages untouched) must
+    // equal the exact data aggregates. q216 simulates pruning buckets;
+    // this audits the physical stats pruning depends on — a footer that
+    // lied here would make min/max skipping silently drop rows. Columns
+    // restricted to integral/short-string (Parquet may truncate long
+    // binary stats; that caveat is the operator's documented contract).
+    QueryDef(
+      "q258_parquet_footer",
+      (s, dir) =>
+        Layout.parquetFooterStats(s, s"$dir/orders.parquet",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      Some("""SELECT * FROM (
+             |  SELECT 'o_custkey' AS column_name, CAST(count(*) AS BIGINT) AS num_values,
+             |    CAST(min(o_custkey) AS VARCHAR) AS min_value,
+             |    CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+             |    CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+             |    min(o_orderpriority), max(o_orderpriority) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+             |    min(o_orderstatus), max(o_orderstatus) FROM orders)
+             |ORDER BY column_name""".stripMargin)
     )
   )
 }

@@ -3581,6 +3581,20 @@ class OperatorsSpec extends SparkTestBase {
       (1L, 0L, 0L, 0L, 0), (2L, 2L, 0L, 0L, 1), (3L, 0L, 2L, 0L, 1), (4L, 0L, 0L, 1L, 1)))
   }
 
+  test("parquet footer stats: typed min/max across files equals data truth") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_footer_").toString + "/t"
+    // 4 files: some file's local max is a 3-digit 9xx while the global max
+    // is 1000 — a string-compared merge would pick "999" over "1000"
+    val df = (1 to 1000).map(i => (i.toLong, s"v${i % 7}")).toDF("k", "s")
+    df.repartition(4).write.parquet(dir)
+    val r = Layout.parquetFooterStats(spark, dir, Seq("k", "s"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getString(3)))
+    assert(r.toSeq == Seq(("k", 1000L, "1", "1000"), ("s", 1000L, "v0", "v6")))
+    // absent column: no row, no throw
+    assert(Layout.parquetFooterStats(spark, dir, Seq("nope")).collect().isEmpty)
+  }
+
   test("prefix filter join: complete vs brute force at the threshold, caps visible") {
     import graft.operators.Dedup
     val docs = Seq(
