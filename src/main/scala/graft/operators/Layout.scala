@@ -214,62 +214,89 @@ object Layout {
   }
 
   /** REAL Parquet footer statistics — the physical layer behind every
-    * zone-map argument in this file: reads each file's footer via
-    * `ParquetFileReader` (metadata only — row groups × columns rows, the
-    * data pages are never touched) and aggregates per requested column
-    * across row groups: total value count, typed global min/max (compared
-    * as their Parquet types, THEN rendered — string-comparing "9" vs "10"
-    * would invert the order). The q216 certificate simulates row-group
-    * pruning; this reads the stats a pruning reader actually consults.
-    * Caveat for callers: Parquet may truncate binary min/max for long
-    * strings — restrict to short-string/integral columns when comparing
-    * against exact data aggregates. */
+    * zone-map argument in this file: footers open ON EXECUTORS (the
+    * driver only lists file names), each yielding row-group × column
+    * metadata rows, then one small keyed aggregate merges per-column
+    * value counts and typed global min/max (integral stats merge on a
+    * long lane, UTF8 binary on a string lane — string-comparing "9" vs
+    * "10" would invert the order, and the spec plants that trap). The
+    * q216 certificate simulates row-group pruning; this reads the stats
+    * a pruning reader actually consults. Caveats: Parquet may truncate
+    * binary min/max for long strings, and float/INT96 stat types are
+    * skipped rather than rendered unportably — restrict to
+    * short-string/integral columns when comparing against exact data
+    * aggregates. */
   def parquetFooterStats(spark: org.apache.spark.sql.SparkSession, path: String,
       columns: Seq[String]): DataFrame = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.hadoop.fs.Path
-    import scala.jdk.CollectionConverters._
     require(columns.nonEmpty, "need at least one column")
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files =
+    // the driver only LISTS (names are cheap at any file count); every
+    // footer OPEN happens on executors — at 10⁶ files a driver-side
+    // footer loop would be the bottleneck, exactly the pattern this
+    // repo's no-driver-loops discipline forbids
+    val files: Seq[String] =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).map(_.getPath)
-          .filter(f => f.getName.endsWith(".parquet")).sortBy(_.toString)
-      else Array(p)
-    def render(v: Any): String = v match {
-      case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-      case x => String.valueOf(x)
+          .filter(f => f.getName.endsWith(".parquet"))
+          .map(_.toString).sorted.toSeq
+      else Seq(p.toString)
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
     }
-    val acc = scala.collection.mutable.LinkedHashMap[String, (Long, Any, Any)]()
-    files.foreach { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-      try reader.getFooter.getBlocks.asScala.foreach { block =>
-        block.getColumns.asScala.foreach { cc =>
-          val name = cc.getPath.toDotString
-          if (columns.contains(name) && cc.getStatistics != null &&
-            cc.getStatistics.hasNonNullValue) {
-            val mn = cc.getStatistics.genericGetMin
-            val mx = cc.getStatistics.genericGetMax
-            acc.get(name) match {
-              case None => acc(name) = (cc.getValueCount, mn, mx)
-              case Some((nv, omn, omx)) =>
-                def lt(a: Any, b: Any) =
-                  a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-                acc(name) = (nv + cc.getValueCount,
-                  if (lt(mn, omn)) mn else omn,
-                  if (lt(omx, mx)) mx else omx)
-            }
-          }
-        }
-      } finally reader.close()
-    }
+    val bc = spark.sparkContext.broadcast(confEntries)
+    val wanted = columns.toSet
     import spark.implicits._
-    columns.sorted.flatMap(c => acc.get(c).map { case (nv, mn, mx) =>
-      (c, nv, render(mn), render(mx))
-    }).toDF("column_name", "num_values", "min_value", "max_value")
+    val perChunk = spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism).max(1))
+      .mapPartitions { it =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import scala.jdk.CollectionConverters._
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bc.value.foreach { case (k, v) => c.set(k, v) }
+        it.flatMap { fp =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(fp), c))
+          // footers only: row-group × column metadata rows, data pages
+          // are never read. Integral stats ride the long lane, UTF8
+          // binary the string lane (ASCII-safe lexicographic merge);
+          // float/INT96/other stat types are skipped — rendering them
+          // portably is the caller's problem, not silently wrong here.
+          try reader.getFooter.getBlocks.asScala.flatMap { block =>
+            block.getColumns.asScala.flatMap { cc =>
+              val name = cc.getPath.toDotString
+              val st = cc.getStatistics
+              if (!wanted.contains(name) || st == null || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((name, cc.getValueCount, Some(mn.longValue), Some(mx.longValue),
+                    None: Option[String], None: Option[String]))
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some((name, cc.getValueCount, Some(mn.longValue), Some(mx.longValue),
+                    None: Option[String], None: Option[String]))
+                case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+                  Some((name, cc.getValueCount, None: Option[Long], None: Option[Long],
+                    Some(mn.toStringUsingUTF8), Some(mx.toStringUsingUTF8)))
+                case _ => None
+              }
+            }
+          }.toList
+          finally reader.close()
+        }
+      }
+      .toDF("column_name", "num_values", "min_l", "max_l", "min_s", "max_s")
+    perChunk.groupBy("column_name")
+      .agg(sum("num_values").as("num_values"),
+        min("min_l").as("min_l"), max("max_l").as("max_l"),
+        min("min_s").as("min_s"), max("max_s").as("max_s"))
+      .select(col("column_name"), col("num_values"),
+        coalesce(col("min_l").cast("string"), col("min_s")).as("min_value"),
+        coalesce(col("max_l").cast("string"), col("max_s")).as("max_value"))
+      .orderBy("column_name")
   }
 
   /** Consistent-hash ring positions: `vnodes` virtual nodes per shard at
