@@ -322,7 +322,13 @@ object Layout {
     * that shard's vnodes, so keys can only move TO the new shard — old
     * shards never trade keys with each other. Pure scan-fused codegen'd
     * expression over a literal array; no shuffle, no UDF, no driver data
-    * access. */
+    * access.
+    *
+    * Cost note: the filter scans the ring linearly per row —
+    * O(nShards·vnodes) work per key, fine through ~10³ vnodes total.
+    * A 1000-shard fleet should pre-bucket the ring by hash high bits
+    * (one extra CASE level) before reaching for this expression; the
+    * assignment SEMANTICS (first vnode clockwise) stay identical. */
   def consistentShard(keyCol: String, nShards: Int, vnodes: Int): Column = {
     val ring = consistentHashRing(nShards, vnodes)
     val arr = ring.map { case (p, s) => s"struct(${p}L AS pos, $s AS shard)" }
