@@ -71,13 +71,16 @@ object Main {
       // advise-layout subcommand
       candidates: Seq[String] = Nil,
       valueCol: Option[String] = None,
-      bucketRows: Int = 1000)
+      bucketRows: Int = 1000,
+      // compact-plan subcommand (bytes)
+      smallThreshold: Long = 32L * 1024 * 1024,
+      targetSize: Long = 128L * 1024 * 1024)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate" | "advise-layout") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -131,6 +134,8 @@ object Main {
             need("--candidates").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "--value-col" => a = a.copy(valueCol = Some(need("--value-col")))
         case "--bucket-rows" => a = a.copy(bucketRows = need("--bucket-rows").toInt)
+        case "--small-threshold" => a = a.copy(smallThreshold = need("--small-threshold").toLong)
+        case "--target-size" => a = a.copy(targetSize = need("--target-size").toLong)
         case "--format" =>
           val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
@@ -156,6 +161,10 @@ object Main {
         require(positional.nonEmpty, "advise-layout requires a <tablePath> argument")
         require(a.candidates.nonEmpty, "advise-layout requires --candidates c1[,c2,...]")
         a.copy(basePath = positional.head, model = "advise-layout")
+      case "compact-plan" =>
+        require(positional.nonEmpty, "compact-plan requires a <tablePath> argument")
+        require(a.smallThreshold > 0 && a.targetSize > 0, "sizes must be positive")
+        a.copy(basePath = positional.head, model = "compact-plan")
     }
   }
 
@@ -575,6 +584,67 @@ object Main {
         s""""recommended_sort": ${jstr(best.getAs[String]("layout"))}}""")
   }
 
+  /** `compact-plan <tablePath>` — q247's planner over the table's REAL
+    * file inventory: recursively list the parquet files (driver listing,
+    * metadata only — the data is never read), group by partition
+    * directory, pack files under `--small-threshold` contiguously
+    * (file-name order) into `--target-size` bins via
+    * `Layout.compactionPlan`, and emit ONE JSON line a rewrite job can
+    * consume: per-partition before/after file counts, small-file byte
+    * mass, and bins planned. */
+  def runCompactPlan(spark: SparkSession, a: Args): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val root = new Path(a.basePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootStr = fs.getFileStatus(root).getPath.toString
+    val listing = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val parent = st.getPath.getParent.toString
+        val part =
+          if (parent == rootStr) "." else parent.stripPrefix(rootStr).stripPrefix("/")
+        listing += ((part, st.getPath.getName, st.getLen))
+      }
+    }
+    import spark.implicits._
+    val files = listing.toSeq.toDF("part", "file_name", "bytes")
+    val plan = graft.operators.Layout.compactionPlan(files, "part", "file_name",
+      "bytes", a.smallThreshold, a.targetSize)
+    val rep = files.groupBy("part")
+      .agg(count(lit(1)).as("files_total"), sum("bytes").as("bytes_total"))
+      .join(plan.groupBy("part").agg(count(lit(1)).as("files_small"),
+        sum("bytes").as("bytes_small"), countDistinct("bin_id").as("bins_planned")),
+        Seq("part"), "left")
+      .select(col("part"), col("files_total"), col("bytes_total"),
+        coalesce(col("files_small"), lit(0L)).as("files_small"),
+        coalesce(col("bytes_small"), lit(0L)).as("bytes_small"),
+        coalesce(col("bins_planned"), lit(0L)).as("bins_planned"),
+        (col("files_total") - coalesce(col("files_small"), lit(0L))
+          + coalesce(col("bins_planned"), lit(0L))).as("files_after"))
+      .orderBy("part")
+      .collect()
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val parts = rep.map(r =>
+      s"""{"partition": ${jstr(r.getAs[String]("part"))}, "files_total": ${r.getAs[Long]("files_total")}, """ +
+        s""""bytes_total": ${r.getAs[Long]("bytes_total")}, "files_small": ${r.getAs[Long]("files_small")}, """ +
+        s""""bytes_small": ${r.getAs[Long]("bytes_small")}, "bins_planned": ${r.getAs[Long]("bins_planned")}, """ +
+        s""""files_after": ${r.getAs[Long]("files_after")}}""").mkString("[", ", ", "]")
+    val (ft, fa) = (rep.map(_.getAs[Long]("files_total")).sum,
+      rep.map(_.getAs[Long]("files_after")).sum)
+    println(
+      s"""{"table": ${jstr(a.basePath)}, "small_threshold": ${a.smallThreshold}, """ +
+        s""""target_size": ${a.targetSize}, "files_total": $ft, "files_after": $fa, """ +
+        s""""partitions": $parts}""")
+  }
+
   /** `--drift col1,col2`: exact per-value TV contributions per requested
     * column, top-50 by contribution (bounded collect — drift columns are
     * low-cardinality dimensions by contract; see DiffEngine.categoricalDrift).
@@ -631,7 +701,8 @@ object Main {
       |       curate <inPath> <outPath> [--jsonl] [--min-words N] [--span-words N]
       |            [--max-span-docs N] [--budget N] [--shards N]
       |       advise-layout <tablePath> --candidates c1[,c2,...]
-      |            [--value-col COL] [--bucket-rows N]""".stripMargin
+      |            [--value-col COL] [--bucket-rows N]
+      |       compact-plan <tablePath> [--small-threshold BYTES] [--target-size BYTES]""".stripMargin
 
   /** Map a profiles.yml target onto Spark session settings. The reference
     * uses conn_info to pick its warehouse connection (cli.py:110-117); this
@@ -694,6 +765,7 @@ object Main {
     try {
       if (a.command == "curate") { runCurate(spark, a); return }
       if (a.command == "advise-layout") { runAdviseLayout(spark, a); return }
+      if (a.command == "compact-plan") { runCompactPlan(spark, a); return }
       val jdbcConn = conn.filter(JdbcSource.isJdbc)
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a, jdbcConn)

@@ -198,6 +198,38 @@ class CliSpec extends SparkTestBase {
     assert(json.contains(""""recommended_sort": "sort:status""""))
   }
 
+  test("compact-plan subcommand: real file listing, per-partition bins, conservation laws") {
+    val a = Main.parseArgs(Seq("compact-plan", "/t",
+      "--small-threshold", "1000000", "--target-size", "4000000"))
+    assert(a.command == "compact-plan" && a.basePath == "/t" &&
+      a.smallThreshold == 1000000L && a.targetSize == 4000000L)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/t"
+    (1 to 2000).map(i => (i.toLong, s"p${i % 2}", s"pad-$i-" + "x" * 50))
+      .toDF("id", "pt", "payload")
+      .repartition(6).write.partitionBy("pt").parquet(dir)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      // threshold far above the tiny fixture files: everything is small
+      Main.runCompactPlan(spark, Main.parseArgs(Seq("compact-plan", dir,
+        "--small-threshold", "10000000", "--target-size", "20000000")))
+    }
+    val json = out.toString("UTF-8").trim
+    assert(json.startsWith("{") && json.contains(""""partitions": ["""))
+    assert(json.contains(""""partition": "pt=p0"""") && json.contains(""""partition": "pt=p1""""))
+    // 6 files per partition, all small, fitting one target bin each
+    assert(json.contains(""""files_total": 6, "bytes_total""""))
+    assert(json.contains(""""bins_planned": 1, "files_after": 1"""))
+    assert(json.contains(""""files_total": 12, "files_after": 2"""))
+    // threshold 0-ish: nothing qualifies, plan leaves the table alone
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      Main.runCompactPlan(spark, Main.parseArgs(Seq("compact-plan", dir,
+        "--small-threshold", "1", "--target-size", "20000000")))
+    }
+    assert(out2.toString("UTF-8").contains(""""files_total": 12, "files_after": 12"""))
+  }
+
   test("--scope-partition diffs only changed partitions with identical row-diff counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_scope_")
