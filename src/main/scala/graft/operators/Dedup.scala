@@ -1241,4 +1241,52 @@ object Dedup {
           col(timeCol) - col("__prev") < minGap, 1L).otherwise(0L))
       .drop("__prev")
   }
+
+  /** Content-defined chunking (the storage-dedup classic, Rabin/FastCDC
+    * family): split each document at positions where a rolling
+    * content hash hits a divisor condition, so chunk boundaries follow
+    * CONTENT, not offsets — insert one byte near the front of a document
+    * and fixed-size blocks all shift (every block hash changes), while
+    * content-defined boundaries re-synchronize after the edit and every
+    * downstream chunk dedups against the unedited original. This is the
+    * byte-level complement to token-window span dedup
+    * ([[duplicatedSpanStats]]) and winnowing fingerprints: those DETECT
+    * shared regions, chunk identity is what a dedup STORE keys on.
+    *
+    * Boundary rule (deliberately stateless per position, so an ANSI
+    * oracle can replay it): a boundary falls after 1-based position `p`,
+    * `k ≤ p ≤ len−1`, iff the first 16 bits of md5 of the k-gram ending
+    * at `p` ≡ 0 (mod `divisor`) — expected chunk length ≈ `divisor`
+    * chars. Production CDC adds min/max chunk clamps; those make the
+    * boundary decision depend on the PREVIOUS boundary (sequential
+    * state), so this variant keeps the pure content predicate and
+    * documents the tradeoff: pathological inputs (a constant byte run)
+    * produce degenerate all-or-nothing chunking instead of clamped
+    * chunks. Docs shorter than `k+1` chars form a single chunk.
+    *
+    * Everything runs as codegen'd array expressions fused into the scan —
+    * no shuffle until the caller aggregates chunk hashes. Output: one row
+    * per chunk (id, chunk_idx, start_pos 0-based, chunk_len, chunk_md5). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 32): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(divisor >= 2, "divisor must be at least 2")
+    df.withColumn("__len", length(col(textCol)).cast("int"))
+      .withColumn("__bpos", expr(
+        s"CASE WHEN __len - 1 < $k THEN CAST(array() AS ARRAY<INT>) ELSE " +
+        s"transform(filter(sequence($k, __len - 1), p -> " +
+        s"CAST(conv(substring(md5(substring($textCol, p - ${k - 1}, $k)), 1, 4), 16, 10) AS INT) % $divisor = 0), " +
+        s"x -> CAST(x AS INT)) END"))
+      .withColumn("__bounds",
+        expr("concat(array(0), __bpos, array(__len))"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__bounds) - 2), i -> " +
+        s"named_struct('s', __bounds[i], 'l', __bounds[i + 1] - __bounds[i], " +
+        s"'h', md5(substring($textCol, __bounds[i] + 1, __bounds[i + 1] - __bounds[i]))))"))
+        .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.s").cast("long").as("start_pos"),
+        col("__c.l").cast("long").as("chunk_len"),
+        col("__c.h").as("chunk_md5"))
+  }
 }

@@ -73,6 +73,42 @@ object Ivm {
     a.unionByName(b).unionByName(c)
   }
 
+  /** Retraction-capable incremental AGGREGATE maintenance — the
+    * aggregate-side twin of [[joinDeltaCdc]], completing q153's insert-only
+    * incremental aggregate for real CDC feeds. The materialized view holds
+    * one row per group `(keys, cntCol, sumCol)`; a signed row-level delta
+    * batch (base-table payload + `mCol` ∈ {+1,−1}, update = −1 old +1 new)
+    * folds in as
+    *
+    *   n' = n + Σm        total' = total + Σ(m·v)
+    *
+    * — one keyed aggregate over the DELTA only, then a full-outer merge on
+    * the grouping key so brand-new groups appear and groups whose count
+    * reaches zero vanish (their retracted sum cancels exactly, so dropping
+    * the row loses nothing; trailing ±0-sum float residue can't occur
+    * because values are integral here — callers with fractional measures
+    * should scale to integers first, the suite-wide cents discipline).
+    *
+    * Scale shape: the delta aggregate is proportional to the BATCH, not the
+    * corpus, and the merge is a keyed join against the view — the base
+    * table is never re-scanned. SUM/COUNT (and any other self-inverse
+    * group homomorphism: their combination gives AVG) maintain exactly;
+    * MIN/MAX do not survive retractions without per-group history and are
+    * deliberately out of scope. */
+  def maintainSumCount(
+      view: DataFrame, delta: DataFrame, keys: Seq[String],
+      valueCol: String, cntCol: String = "n", sumCol: String = "total",
+      mCol: String = "m"): DataFrame = {
+    val d = delta.groupBy(keys.map(col): _*)
+      .agg(sum(col(mCol)).as("__dn"),
+        sum(col(mCol) * col(valueCol)).as("__dsum"))
+    view.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(cntCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dsum"), lit(0L))).as(sumCol)): _*)
+      .filter(col(cntCol) > 0)
+  }
+
   /** Fold a signed delta into a materialized multiset view: group by every
     * payload column, sum multiplicities, keep net-positive rows (with their
     * surviving multiplicity). `view` rows count +1 each. One keyed shuffle

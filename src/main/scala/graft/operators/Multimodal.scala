@@ -2962,4 +2962,190 @@ object Multimodal {
       .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("long"))
       .select(col(idCol), col("frame_idx"), col("ts_ms"))
   }
+
+  // ---- audio containers: FLAC STREAMINFO, MP3 (ID3v2 + MPEG frame) -----
+
+  /** Synthesized FLAC file head: `fLaC` magic, a STREAMINFO metadata
+    * block (34 bytes, mandatory-first per the spec), for `id % 5 == 0` a
+    * trailing PADDING block (so the block walk is exercised), then a few
+    * fake frame bytes. Field packing follows the real bit layout:
+    * 16+16 block sizes, 24+24 frame sizes, then 20 bits sample rate,
+    * 3 bits channels−1, 5 bits bps−1, 36 bits total samples (one 8-byte
+    * big-endian group), 16 MD5 bytes. `corrupt` flips the magic. */
+  def buildFlac(id: Long, corrupt: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u(v: Long, bytes: Int): Unit = {
+      var i = bytes - 1
+      while (i >= 0) { out.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+    out.write((if (corrupt) "fLaX" else "fLaC").getBytes("US-ASCII"))
+    val sampleRate = 8000L * (1 + id % 6)
+    val channels = 1 + (id % 2).toInt
+    val bps = 16
+    val totalSamples = sampleRate * (3 + id % 30) + id % 997
+    val hasPadding = id % 5 == 0
+    out.write(if (hasPadding) 0x00 else 0x80) // last-block flag | type 0
+    u(34L, 3)
+    u(4096L, 2); u(4096L, 2) // min/max block size
+    u(0L, 3); u(0L, 3) // min/max frame size (unknown)
+    // 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total samples
+    u((sampleRate << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | totalSamples, 8)
+    (0 until 16).foreach(_ => out.write(0)) // md5 of raw audio (unset)
+    if (hasPadding) { out.write(0x81); u(4L, 3); u(0L, 4) } // last PADDING
+    out.write(Array[Byte](-1, -8, 0x69, 0x18)) // fake first frame bytes
+    out.toByteArray
+  }
+
+  /** Parse a FLAC STREAMINFO header: magic, first-metadata-block check
+    * (STREAMINFO is mandatory-first per the spec, so later blocks are
+    * irrelevant to this catalog read and never touched), bit-unpack of
+    * the rate/channels/bps/total-samples group. Returns (sample_rate,
+    * channels, bits_per_sample, total_samples); malformed → None, never a
+    * throw. Header-only: cataloging 100 TB of FLAC reads <100 bytes per
+    * file. */
+  def parseFlacMeta(bytes: Array[Byte]): Option[(Long, Int, Int, Long)] = {
+    try {
+      if (bytes == null || bytes.length < 42) return None
+      if (new String(bytes, 0, 4, "US-ASCII") != "fLaC") return None
+      // first metadata block must be STREAMINFO (type 0, length 34)
+      val h = bytes(4) & 0xff
+      if ((h & 0x7f) != 0) return None
+      val len = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+      if (len != 34 || 8 + len > bytes.length) return None
+      def u(p: Int, n: Int): Long =
+        (0 until n).map(i => (bytes(p + i) & 0xffL) << (8 * (n - 1 - i))).sum
+      val group = u(8 + 10, 8) // the packed 8-byte group after sizes
+      val sampleRate = group >>> 44
+      val channels = ((group >>> 41) & 0x7).toInt + 1
+      val bps = ((group >>> 36) & 0x1f).toInt + 1
+      val totalSamples = group & 0xfffffffffL
+      if (sampleRate <= 0) return None
+      Some((sampleRate, channels, bps, totalSamples))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Attach a synthesized FLAC payload (`id % 17 == 0` plants the
+    * corrupt-magic branch). */
+  def withFlacPayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, buildFlac(id, corrupt = id % 17 == 0)))
+      .toDF(idCol, "payload")
+  }
+
+  /** Per-file FLAC catalog frame: sample rate, channels, bit depth, total
+    * samples and integer duration_ms; malformed files null out. */
+  def flacMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseFlacMeta(bytes) match {
+          case Some((sr, ch, bits, ts)) =>
+            (id, Option(sr), Option(ch), Option(bits), Option(ts),
+              Option(ts * 1000L / sr))
+          case None =>
+            (id, None: Option[Long], None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "sample_rate", "channels", "bits_per_sample",
+        "total_samples", "duration_ms")
+  }
+
+  /** MPEG1 Layer III bitrate table (kbps), index 1-14 (0 = free, 15 =
+    * bad) — ISO/IEC 11172-3 Table B.2. */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+  private val Mp3Modes = Array("stereo", "joint_stereo", "dual_channel", "mono")
+
+  /** Synthesized MP3: ID3v2.3 tag header (10 bytes; 4-byte SYNCSAFE size
+    * — 7 data bits per byte, the classic off-by-128 trap), `tagBytes` of
+    * tag body, then an MPEG1 Layer III frame header (0xFFFB sync+flags,
+    * bitrate/samplerate indices, channel mode) and `bodyBytes` of audio.
+    * `corrupt` breaks the frame sync after a valid ID3 tag. */
+  def buildMp3(id: Long, corrupt: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val tagBytes = (100 + id % 300).toInt
+    w("ID3"); out.write(3); out.write(0); out.write(0) // v2.3, no flags
+    out.write((tagBytes >> 21) & 0x7f); out.write((tagBytes >> 14) & 0x7f)
+    out.write((tagBytes >> 7) & 0x7f); out.write(tagBytes & 0x7f)
+    (0 until tagBytes).foreach(i => out.write((id + i).toInt & 0x7f))
+    val brIdx = 1 + (id % 14).toInt
+    val srIdx = (id % 3).toInt
+    val mode = (id % 4).toInt
+    out.write(0xff); out.write(if (corrupt) 0x12 else 0xfb) // sync + MPEG1 L3
+    out.write((brIdx << 4) | (srIdx << 2))
+    out.write(mode << 6)
+    val bodyBytes = (417 + id % 1000).toInt
+    (0 until bodyBytes).foreach(i => out.write((id * 7 + i).toInt & 0xff))
+    out.toByteArray
+  }
+
+  /** Parse MP3 stream metadata: skip an optional ID3v2 tag (syncsafe
+    * size), then decode the first MPEG1 Layer III frame header — bitrate
+    * and sample rate via the standard tables, channel mode, and the
+    * byte-count duration estimate `audio_bytes·8·1000 div bitrate_bps`
+    * (exact for CBR streams; VBR needs a Xing header, out of scope and
+    * documented). Returns (tag_bytes, bitrate_kbps, sample_rate, mode,
+    * est_duration_ms); malformed → None. */
+  def parseMp3Meta(bytes: Array[Byte]): Option[(Long, Int, Int, String, Long)] = {
+    try {
+      if (bytes == null || bytes.length < 4) return None
+      var p = 0
+      var tagBytes = 0L
+      if (bytes.length >= 10 && new String(bytes, 0, 3, "US-ASCII") == "ID3") {
+        if ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) < 0) return None // syncsafe high bit set
+        tagBytes = ((bytes(6) & 0x7fL) << 21) | ((bytes(7) & 0x7fL) << 14) |
+          ((bytes(8) & 0x7fL) << 7) | (bytes(9) & 0x7fL)
+        p = 10 + tagBytes.toInt
+      }
+      if (p + 4 > bytes.length) return None
+      if ((bytes(p) & 0xff) != 0xff || (bytes(p + 1) & 0xfe) != 0xfa) return None // MPEG1 L3, CRC-less or protected
+      val brIdx = (bytes(p + 2) & 0xf0) >> 4
+      val srIdx = (bytes(p + 2) & 0x0c) >> 2
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val mode = Mp3Modes((bytes(p + 3) & 0xc0) >> 6)
+      val bitrate = Mp3Bitrates(brIdx)
+      val audioBytes = bytes.length.toLong - p
+      Some((tagBytes, bitrate, Mp3SampleRates(srIdx), mode,
+        audioBytes * 8L * 1000L / (bitrate * 1000L)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Attach a synthesized MP3 payload (`id % 23 == 0` plants the
+    * broken-sync corrupt branch). */
+  def withMp3Payload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, buildMp3(id, corrupt = id % 23 == 0)))
+      .toDF(idCol, "payload")
+  }
+
+  /** Per-file MP3 catalog frame; malformed files null out. */
+  def mp3Meta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseMp3Meta(bytes) match {
+          case Some((tag, br, sr, mode, dur)) =>
+            (id, Option(tag), Option(br), Option(sr), Option(mode), Option(dur))
+          case None =>
+            (id, None: Option[Long], None: Option[Int], None: Option[Int],
+              None: Option[String], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "tag_bytes", "bitrate_kbps", "sample_rate", "channel_mode",
+        "est_duration_ms")
+  }
 }

@@ -543,6 +543,84 @@ object Stats {
         expr("CAST(__wsum div span_us AS BIGINT)").as("twap"))
   }
 
+  /** Regularize an irregular time series onto a fixed grid with
+    * forward-fill — the resample step upstream of any drift/trend monitor
+    * that assumes evenly spaced observations (q149's slopes, q160's CUSUM
+    * both do). Three stages, all keyed — no global sort at any scale:
+    *
+    *   1. per (key, bucket) the LAST observation (latest `tsUsCol`, ties
+    *      broken by `tieCol` so both engines pick the same row) and the
+    *      observation count;
+    *   2. per key the dense bucket grid min..max (`sequence` + explode —
+    *      grid size is span/step per key, bounded by the caller's step
+    *      choice, never corpus-sized);
+    *   3. a running `last(ignoreNulls)` window per key carries the most
+    *      recent value across empty buckets. The first grid bucket always
+    *      holds an observation (the grid starts AT the key's first event),
+    *      so no leading-null branch exists.
+    *
+    * Output: (key, bucket, bucket_start_us, valueCol forward-filled,
+    * n_obs with 0 marking filled rows). */
+  def resampleFfill(df: DataFrame, keyCol: String, tsUsCol: String,
+      valueCol: String, stepUs: Long, tieCol: String): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val b = df.withColumn("__bucket", expr(s"$tsUsCol div $stepUs"))
+    val wLast = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsUsCol).desc, col(tieCol).desc)
+    val lastIn = b.withColumn("__rn", row_number().over(wLast))
+      .withColumn("__n_obs",
+        count(lit(1)).over(Window.partitionBy(col(keyCol), col("__bucket"))))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__bucket"), col(valueCol).as("__v"), col("__n_obs"))
+    val grid = b.groupBy(keyCol)
+      .agg(min("__bucket").as("__mn"), max("__bucket").as("__mx"))
+      .select(col(keyCol), explode(expr("sequence(__mn, __mx)")).as("__bucket"))
+    val wFill = Window.partitionBy(keyCol).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastIn, Seq(keyCol, "__bucket"), "left")
+      .select(col(keyCol), col("__bucket").as("bucket"),
+        (col("__bucket") * stepUs).as("bucket_start_us"),
+        last(col("__v"), ignoreNulls = true).over(wFill).as(valueCol),
+        coalesce(col("__n_obs"), lit(0L)).cast("long").as("n_obs"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance per group — the THIRD drift
+    * lens next to total-variation (q71/q133, categorical) and
+    * Wasserstein-1 (q239, magnitude-sensitive): KS is the sup-norm of the
+    * ECDF gap, the classic "did the distribution shift ANYWHERE" test
+    * that TV under-weights on ordered domains and W1 dilutes when a
+    * narrow band shifts hard. Cross-multiplied integer form — for value
+    * x, the scaled gap is |cumA(x)·nB − cumB(x)·nA| and
+    * KS = max(gap)/(nA·nB) — so no engine-specific float division
+    * touches the comparison; products ride DECIMAL(38,0) (two ~10⁹-row
+    * sides already overflow int64) and the report surfaces basis points.
+    *
+    * Per-group windows ordered by value — keyed shuffles only, no global
+    * sort. `sideCol` = 0 is side A, anything else side B. */
+  def ksDrift(df: DataFrame, groupCol: String, sideCol: String,
+      valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val g = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) =!= 0, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCol)
+    g.withColumn("__cumA", sum("__ca").over(w))
+      .withColumn("__cumB", sum("__cb").over(w))
+      .withColumn("__nA", sum("__ca").over(tot))
+      .withColumn("__nB", sum("__cb").over(tot))
+      .groupBy(col(groupCol))
+      .agg(max("__nA").as("n_a"), max("__nB").as("n_b"),
+        max(abs(d(col("__cumA")) * d(col("__nB")) -
+          d(col("__cumB")) * d(col("__nA")))).as("__ks"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        col("__ks").cast("long").as("ks_num"),
+        expr("CAST((__ks * 10000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("ks_bp"))
+  }
+
   def bucketByThresholds(df: DataFrame, scoreCol: String, thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted,
       "thresholds must be non-empty ascending")

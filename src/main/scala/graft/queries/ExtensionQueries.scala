@@ -7055,6 +7055,483 @@ object ExtensionQueries {
              |  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
              |    min(o_orderstatus), max(o_orderstatus) FROM orders)
              |ORDER BY column_name""".stripMargin)
+    ),
+
+    // Star-contraction connected components as a GATED query (the spec
+    // already pins labels == union-find and the O(log n) round count;
+    // this puts the diameter-robust path under the driver's oracle). The
+    // planted graph is exactly the adversarial shape for min-label
+    // propagation: 64-long chains (template drift across a crawl) whose
+    // diameter would cost 64 shuffle rounds hop-by-hop — star contraction
+    // closes them in ~log rounds. Components have a closed arithmetic
+    // form (consecutive 64-blocks of doc_id), so the oracle needs no
+    // recursion: component = doc_id - doc_id % 64.
+    QueryDef(
+      "q259_cc_star",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select(col("doc_id").as("i"))
+        val chain = ids.filter(col("i") % 64 =!= 63)
+          .select(col("i").as("a"), (col("i") + 1).as("b"))
+        val shortcut = ids.filter(col("i") % 64 <= 58 && col("i") % 3 === 0)
+          .select(col("i").as("a"), (col("i") + 5).as("b"))
+        // drop edges whose target falls past the last doc (partial block)
+        val edges = chain.unionByName(shortcut)
+          .join(ids.select(col("i").as("b")), Seq("b"), "left_semi")
+        Dedup.connectedComponentsStarContraction(edges, "a", "b")
+          .groupBy("component")
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            sum(col("id")).cast("long").as("sum_id"),
+            max(col("id")).cast("long").as("max_id"))
+          .orderBy("component")
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+             |lbl AS (SELECT doc_id AS i, doc_id - doc_id % 64 AS c
+             |  FROM documents, m
+             |  WHERE NOT (doc_id % 64 = 0 AND doc_id = mx))
+             |SELECT CAST(c AS BIGINT) AS component,
+             |       CAST(count(*) AS BIGINT) AS n_members,
+             |       CAST(sum(i) AS BIGINT) AS sum_id,
+             |       CAST(max(i) AS BIGINT) AS max_id
+             |FROM lbl GROUP BY c ORDER BY component""".stripMargin)
+    ),
+
+    // Retraction-capable incremental AGGREGATE maintenance certificate —
+    // q241's algebra for the aggregate half: a mixed CDC batch (inserts,
+    // tombstones, updates as −old+new) folded into a materialized grouped
+    // (count, sum) view via Ivm.maintainSumCount must equal a full
+    // recompute of the final state, group-for-group (row-count AND two
+    // checksums over (key, n, total) triples — vanished groups or stale
+    // sums can't hide). At 100 TB the maintenance cost is one keyed
+    // aggregate over the BATCH plus a keyed merge into the view; the base
+    // table is never re-scanned.
+    QueryDef(
+      "q260_agg_ivm_cdc",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey").as("k"),
+          col("l_quantity").cast("int").cast("long").as("qty"),
+          col("l_partkey").as("pk"))
+        val base = li.filter(col("pk") % 10 =!= 3)
+        val view0 = base.groupBy("k")
+          .agg(count(lit(1)).cast("long").as("n"), sum("qty").as("total"))
+        val delta = li.filter(col("pk") % 10 === 3).withColumn("m", lit(1L))
+          .unionByName(base.filter(col("pk") % 10 === 6).withColumn("m", lit(-1L)))
+          .unionByName(base.filter(col("pk") % 10 === 1).withColumn("m", lit(-1L)))
+          .unionByName(base.filter(col("pk") % 10 === 1)
+            .withColumn("qty", col("qty") + 5).withColumn("m", lit(1L)))
+          .drop("pk")
+        val maintained = Ivm.maintainSumCount(
+          view0, delta, Seq("k"), "qty").localCheckpoint()
+        val h = expr("CAST(conv(substring(md5(concat(CAST(k AS STRING), ',', " +
+          "CAST(n AS STRING), ',', CAST(total AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+        val final_ = li.filter(col("pk") % 10 =!= 6)
+          .withColumn("qty",
+            when(col("pk") % 10 === 1, col("qty") + 5).otherwise(col("qty")))
+        val recomputed = final_.groupBy("k")
+          .agg(count(lit(1)).cast("long").as("n"), sum("qty").as("total"))
+        def summarize(d: DataFrame, tag: String) = d.agg(
+          count(lit(1)).as(s"${tag}_groups"), sum("n").as(s"${tag}_rows"),
+          sum("total").as(s"${tag}_total"), sum(h).as(s"${tag}_hash"))
+        summarize(maintained, "maintained").crossJoin(summarize(recomputed, "recomputed"))
+          .select(col("maintained_groups"), col("recomputed_groups"),
+            col("maintained_rows"), col("recomputed_rows"),
+            col("maintained_total"), col("recomputed_total"),
+            when(col("maintained_groups") === col("recomputed_groups") &&
+              col("maintained_rows") === col("recomputed_rows") &&
+              col("maintained_total") === col("recomputed_total") &&
+              col("maintained_hash") === col("recomputed_hash"), 1L)
+              .otherwise(0L).as("match_ok"))
+      },
+      Some("""WITH fin AS (SELECT l_orderkey AS k,
+             |    CAST(CASE WHEN l_partkey % 10 = 1 THEN CAST(l_quantity AS INT) + 5
+             |         ELSE CAST(l_quantity AS INT) END AS BIGINT) AS qty
+             |  FROM lineitem WHERE l_partkey % 10 <> 6),
+             |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n, sum(qty) AS total
+             |  FROM fin GROUP BY k),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS groups,
+             |    CAST(sum(n) AS BIGINT) AS rows_, CAST(sum(total) AS BIGINT) AS total,
+             |    CAST(sum(('0x' || substr(md5(k || ',' || n || ',' || total), 1, 8))::BIGINT)
+             |      AS BIGINT) AS hash FROM g)
+             |SELECT groups AS maintained_groups, groups AS recomputed_groups,
+             |       rows_ AS maintained_rows, rows_ AS recomputed_rows,
+             |       total AS maintained_total, total AS recomputed_total,
+             |       CAST(1 AS BIGINT) AS match_ok
+             |FROM s""".stripMargin)
+    ),
+
+    // Bloom runtime-filter join (semi-join reduction): lineitem joined to
+    // a ~3%-selective orders slice through JoinOpt.bloomFilteredEquiJoin
+    // — fact rows are dropped map-side by a broadcast Bloom probe BEFORE
+    // the join's exchange, and because Bloom has no false negatives the
+    // result is EXACTLY the plain inner join the oracle runs. At 100 TB
+    // the reduction is the difference between shuffling the whole fact
+    // table and shuffling ~selectivity of it. OperatorsSpec additionally
+    // pins the plan shape (probe filter below the exchange).
+    QueryDef(
+      "q261_bloom_join",
+      (s, dir) => {
+        val dim = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+        val fact = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("int").cast("long").as("qty"),
+            col("l_returnflag"))
+        JoinOpt.bloomFilteredEquiJoin(fact, dim, "l_orderkey",
+            expectedDimKeys = 100000L, fpp = 0.01)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum("qty").as("sum_qty"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Content-defined chunking dedup datasheet: documents split at
+    // content-hash boundaries (Dedup.cdcChunks — boundaries follow bytes,
+    // not offsets, so an insertion near a doc's head re-synchronizes and
+    // downstream chunks still dedup), chunk hashes counted corpus-wide,
+    // rolled up per source: how much of each feed is chunk-duplicated
+    // elsewhere. The storage-dedup view next to token-window span dedup
+    // (q113) and winnowing (q55). Chunking is scan-fused expressions; the
+    // two shuffles are the hash-freq aggregate and the source rollup.
+    QueryDef(
+      "q262_cdc_chunks",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val chunks = Dedup.cdcChunks(docs, "doc_id", "text", k = 8, divisor = 32)
+          .localCheckpoint()
+        val freq = chunks.groupBy("chunk_md5").agg(count(lit(1)).as("__f"))
+        chunks.join(freq, Seq("chunk_md5"))
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_chunks"),
+            countDistinct(col("chunk_md5")).as("n_distinct"),
+            sum(when(col("__f") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+            sum(when(col("__f") >= 2, col("chunk_len")).otherwise(0L)).as("dup_bytes"),
+            sum(col("chunk_len")).as("total_bytes"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT doc_id, source, text, CAST(length(text) AS INT) AS len
+             |  FROM documents),
+             |bp AS (SELECT doc_id, source, text, len,
+             |    CASE WHEN len - 1 < 8 THEN CAST([] AS BIGINT[])
+             |         ELSE list_filter(range(8, len), p ->
+             |           ('0x' || substr(md5(substr(text, CAST(p AS INT) - 7, 8)), 1, 4))::BIGINT % 32 = 0)
+             |    END AS bpos
+             |  FROM c),
+             |bd AS (SELECT doc_id, source, text,
+             |    list_concat(list_concat([0], bpos), [CAST(len AS BIGINT)]) AS b
+             |  FROM bp),
+             |ix AS (SELECT doc_id, source, text, b, unnest(range(1, len(b))) AS i FROM bd),
+             |ch AS (SELECT doc_id, source,
+             |    md5(substr(text, CAST(b[i] + 1 AS INT), CAST(b[i+1] - b[i] AS INT))) AS h,
+             |    b[i+1] - b[i] AS clen
+             |  FROM ix),
+             |freq AS (SELECT h, count(*) AS f FROM ch GROUP BY h)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+             |       CAST(sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+             |       CAST(sum(CASE WHEN f >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_bytes,
+             |       CAST(sum(clen) AS BIGINT) AS total_bytes
+             |FROM ch JOIN freq USING (h)
+             |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Sitemap parse (sitemaps.org protocol) — the missing third leg of
+    // the crawl-politeness surface next to robots.txt (q129) and the
+    // fetch frontier (q130): <urlset> pages feed the frontier,
+    // <sitemapindex> entries must be recursed into (surfaced as `kind`),
+    // junk that is neither yields one NULL row, not silence. Planted XML
+    // exercises whitespace-trimmed <loc> values and both kinds; the
+    // extraction is one codegen'd regexp pass fused into the scan.
+    QueryDef(
+      "q263_sitemap",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        val host = concat(lit("h"), (col("doc_id") % 11).cast("string"),
+          lit(".example.com"))
+        def urlEntry(j: Int) = concat(lit("<url><loc>\n  https://"), host,
+          lit("/p/"), (col("doc_id") * 3 + j).cast("string"),
+          lit(" \n</loc><priority>0.5</priority></url>"))
+        def smEntry(j: Int) = concat(lit("<sitemap><loc> https://"), host,
+          lit(s"/sitemap-$j.xml </loc></sitemap>"))
+        val xml = when(col("doc_id") % 31 === 0,
+            lit("<html><body>not a sitemap</body></html>"))
+          .when(col("doc_id") % 29 === 0,
+            concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+              smEntry(1), smEntry(2), lit("</sitemapindex>")))
+          .otherwise(
+            concat(lit("<?xml version=\"1.0\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+              urlEntry(1), urlEntry(2), urlEntry(3), lit("</urlset>")))
+        d.withColumn("__xml", xml)
+          .select(col("doc_id"), UrlTools.sitemapEntries("__xml").as("__sm"))
+          .select(col("doc_id"), col("__sm.kind").as("kind"),
+            posexplode_outer(col("__sm.locs")).as(Seq("loc_idx", "loc")))
+          .select(col("doc_id"), col("kind"), col("loc_idx").cast("long").as("loc_idx"),
+            col("loc"))
+          .orderBy("doc_id", "loc_idx")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 31 = 0 THEN NULL
+             |         WHEN doc_id % 29 = 0 THEN 'sitemapindex'
+             |         ELSE 'urlset' END AS kind,
+             |    'h' || (doc_id % 11) || '.example.com' AS host
+             |  FROM documents),
+             |e AS (SELECT doc_id, kind, host,
+             |    CASE WHEN kind IS NULL THEN []
+             |         WHEN kind = 'sitemapindex' THEN [
+             |           'https://' || host || '/sitemap-1.xml',
+             |           'https://' || host || '/sitemap-2.xml']
+             |         ELSE [
+             |           'https://' || host || '/p/' || (doc_id * 3 + 1),
+             |           'https://' || host || '/p/' || (doc_id * 3 + 2),
+             |           'https://' || host || '/p/' || (doc_id * 3 + 3)] END AS locs
+             |  FROM k)
+             |SELECT doc_id, kind,
+             |       CAST(CASE WHEN len(locs) = 0 THEN NULL ELSE i - 1 END AS BIGINT) AS loc_idx,
+             |       CASE WHEN len(locs) = 0 THEN NULL ELSE locs[CAST(i AS INT)] END AS loc
+             |FROM e, unnest(CASE WHEN len(locs) = 0 THEN [1] ELSE range(1, len(locs) + 1) END) AS t(i)
+             |ORDER BY doc_id, loc_idx""".stripMargin)
+    ),
+
+    // FLAC STREAMINFO catalog (audio leg #2 next to WAV decode q90): the
+    // header-only read — sample rate / channels / bit depth / total
+    // samples bit-unpacked from the mandatory first metadata block, exact
+    // integer duration. Cataloging 100 TB of FLAC costs <100 bytes per
+    // file. doc_id%17 plants a corrupt magic that must null out; doc_id%5
+    // appends a PADDING block proving STREAMINFO-first is what's read.
+    QueryDef(
+      "q264_flac_meta",
+      (s, dir) =>
+        Multimodal.flacMeta(
+          Multimodal.withFlacPayload(t(s, dir, "documents"), "doc_id"),
+          "doc_id", "payload").orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+             |    8000 * (1 + doc_id % 6) AS sr,
+             |    CAST(1 + doc_id % 2 AS INT) AS ch,
+             |    8000 * (1 + doc_id % 6) * (3 + doc_id % 30) + doc_id % 997 AS ts
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE sr END AS BIGINT) AS sample_rate,
+             |  CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE ch END AS INT) AS channels,
+             |  CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 16 END AS INT) AS bits_per_sample,
+             |  CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE ts END AS BIGINT) AS total_samples,
+             |  CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE ts * 1000 // sr END AS BIGINT) AS duration_ms
+             |FROM b ORDER BY doc_id""".stripMargin)
+    ),
+
+    // MP3 catalog (audio leg #3): ID3v2 syncsafe-size skip (7 data bits
+    // per byte — the classic off-by-128 trap), MPEG1 Layer III frame
+    // header decode via the standard bitrate/samplerate tables, CBR
+    // byte-count duration. doc_id%23 plants a broken frame sync behind a
+    // VALID ID3 tag — the parse must reject the stream, not trust the tag.
+    QueryDef(
+      "q265_mp3_meta",
+      (s, dir) =>
+        Multimodal.mp3Meta(
+          Multimodal.withMp3Payload(t(s, dir, "documents"), "doc_id"),
+          "doc_id", "payload").orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+             |    100 + doc_id % 300 AS tagb,
+             |    [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(doc_id % 14 AS INT) + 1] AS br,
+             |    [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1] AS sr,
+             |    ['stereo','joint_stereo','dual_channel','mono'][CAST(doc_id % 4 AS INT) + 1] AS md,
+             |    417 + doc_id % 1000 + 4 AS ab
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 23 = 0 THEN NULL ELSE tagb END AS BIGINT) AS tag_bytes,
+             |  CAST(CASE WHEN doc_id % 23 = 0 THEN NULL ELSE br END AS INT) AS bitrate_kbps,
+             |  CAST(CASE WHEN doc_id % 23 = 0 THEN NULL ELSE sr END AS INT) AS sample_rate,
+             |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE md END AS channel_mode,
+             |  CAST(CASE WHEN doc_id % 23 = 0 THEN NULL ELSE ab * 8 // br END AS BIGINT) AS est_duration_ms
+             |FROM b ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Time-grid resample + forward-fill: irregular per-user event values
+    // regularized onto a 6-hour grid, holes carrying the last observation
+    // (n_obs = 0 marks filled rows) — the resample step upstream of any
+    // evenly-spaced-assuming monitor (q149 trend, q160 CUSUM). All three
+    // stages keyed; the grid is span/step per key, never corpus-sized.
+    QueryDef(
+      "q266_resample_ffill",
+      (s, dir) => {
+        val e = eventsUs(s, dir).select(col("user_id"), col("ts_us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          col("event_id"))
+        Stats.resampleFfill(e, "user_id", "ts_us", "cents",
+            stepUs = 21600000000L, tieCol = "event_id")
+          .orderBy("user_id", "bucket")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_id
+             |  FROM events),
+             |b AS (SELECT user_id, us // 21600000000 AS bucket, cents,
+             |    row_number() OVER (PARTITION BY user_id, us // 21600000000
+             |      ORDER BY us DESC, event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id, us // 21600000000) AS n_obs
+             |  FROM e),
+             |l AS (SELECT user_id, bucket, cents, n_obs FROM b WHERE rn = 1),
+             |sp AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
+             |g AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM sp),
+             |j AS (SELECT g.user_id, g.bucket, l.cents, coalesce(l.n_obs, 0) AS n_obs
+             |  FROM g LEFT JOIN l ON g.user_id = l.user_id AND g.bucket = l.bucket),
+             |f AS (SELECT user_id, bucket,
+             |    last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents, n_obs
+             |  FROM j)
+             |SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(bucket * 21600000000 AS BIGINT) AS bucket_start_us,
+             |  CAST(cents AS BIGINT) AS cents, CAST(n_obs AS BIGINT) AS n_obs
+             |FROM f ORDER BY user_id, bucket""".stripMargin)
+    ),
+
+    // Hyperlink extraction -> host link-graph edges: the step between
+    // WARC/HTML ingest (q124/q128) and the graph analytics that already
+    // run on edge lists (PageRank q203, HITS q166). Planted pages carry
+    // double- and single-quoted hrefs plus a fragment-only link the
+    // character class must exclude; the oracle re-derives every edge from
+    // doc_id arithmetic, so a regex that over- or under-captures breaks
+    // the hash. Extraction is one codegen'd regexp pass; the only
+    // shuffle is the edge rollup.
+    QueryDef(
+      "q267_link_extract",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        def pid(j: Int) = (col("doc_id") * 7 + j * 13) % 997
+        def dq(j: Int) = concat(lit("<a href=\"http://h"), (pid(j) % 23).cast("string"),
+          lit(".example.com/p/"), pid(j).cast("string"), lit("\">x</a>"))
+        def sq(j: Int) = concat(lit("<a href='http://h"), (pid(j) % 23).cast("string"),
+          lit(".example.com/p/"), pid(j).cast("string"), lit("'>y</a>"))
+        val html = concat(lit("<html><body>"), dq(1), lit("<a href=\"#top\">t</a>"),
+          dq(2), sq(3), lit("</body></html>"))
+        d.withColumn("__html", html)
+          .withColumn("src_host",
+            concat(lit("s"), (col("doc_id") % 13).cast("string"), lit(".example.org")))
+          .select(col("src_host"),
+            explode(UrlTools.extractHrefs("__html")).as("__url"))
+          .select(col("src_host"),
+            regexp_extract(col("__url"), "^https?://([^/]+)", 1).as("dst_host"))
+          .groupBy("src_host", "dst_host")
+          .agg(count(lit(1)).cast("long").as("n_links"))
+          .orderBy("src_host", "dst_host")
+      },
+      Some("""WITH l AS (SELECT doc_id, unnest([1, 2, 3]) AS j FROM documents),
+             |e AS (SELECT 's' || (doc_id % 13) || '.example.org' AS src_host,
+             |    'h' || (((doc_id * 7 + j * 13) % 997) % 23) || '.example.com' AS dst_host
+             |  FROM l)
+             |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+             |FROM e GROUP BY 1, 2 ORDER BY src_host, dst_host""".stripMargin)
+    ),
+
+    // Salted many-to-one join under the oracle: SkewTools.saltedJoin
+    // replicates the dim side buckets× and joins on (key, salt), so a hot
+    // key spreads over `buckets` reduce partitions — the rewrite for the
+    // skew shape AQE can't split (many-to-one against a non-broadcastable
+    // dim). The join key here (l_returnflag, 3 values over the whole
+    // fact table) is maximal skew; the certificate is exact equality with
+    // the plain join. PropertiesSpec pins salt-count invariance.
+    QueryDef(
+      "q268_salted_join",
+      (s, dir) => {
+        val fact = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("int").cast("long").as("qty"))
+        val dim = fact.select("flag").distinct()
+          .withColumn("rate", (ascii(col("flag")) % 5 + 1).cast("long"))
+        graft.engine.SkewTools.saltedJoin(fact, dim, Seq("flag"), buckets = 8)
+          .groupBy("flag")
+          .agg(count(lit(1)).as("n"), sum(col("qty") * col("rate")).as("weighted_qty"))
+          .orderBy("flag")
+      },
+      Some("""WITH dim AS (SELECT DISTINCT l_returnflag AS flag,
+             |    ascii(l_returnflag) % 5 + 1 AS rate FROM lineitem)
+             |SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(l_quantity AS INT) * rate) AS BIGINT) AS weighted_qty
+             |FROM lineitem JOIN dim ON l_returnflag = flag
+             |GROUP BY flag ORDER BY flag""".stripMargin)
+    ),
+
+    // Right-to-be-forgotten cascade manifest: seed subjects (customers
+    // with c_custkey%97=0) fanned breadth-first over the FK DAG
+    // (customer -> orders -> lineitem) as semi-joins that shuffle keys,
+    // never payloads. The manifest each table contributes is (row count,
+    // order-independent md5 key checksum) — the oracle re-derives both,
+    // so the plan provably covers EXACTLY the rows a deletion job must
+    // touch, before anything destructive runs.
+    QueryDef(
+      "q269_delete_cascade",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+          .withColumn("li_key", col("l_orderkey") * 10 + col("l_linenumber"))
+        val seeds = cust.filter(col("c_custkey") % 97 === 0).select("c_custkey")
+        Governance.cascadeManifest("customer", cust, "c_custkey",
+            seeds, "c_custkey",
+            Seq(Governance.FkEdge("orders", ord, "o_custkey", "o_orderkey", "customer"),
+              Governance.FkEdge("lineitem", li, "l_orderkey", "li_key", "orders")))
+          .orderBy("table_name")
+      },
+      Some("""WITH ck AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+             |ok AS (SELECT o_orderkey AS k FROM orders
+             |  WHERE o_custkey IN (SELECT k FROM ck)),
+             |lk AS (SELECT l_orderkey * 10 + l_linenumber AS k FROM lineitem
+             |  WHERE l_orderkey IN (SELECT k FROM ok)),
+             |h AS (SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(coalesce(sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT), 0) AS BIGINT) AS key_hash
+             |  FROM ck
+             |  UNION ALL
+             |  SELECT 'orders', CAST(count(*) AS BIGINT),
+             |    CAST(coalesce(sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT), 0) AS BIGINT)
+             |  FROM ok
+             |  UNION ALL
+             |  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+             |    CAST(coalesce(sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT), 0) AS BIGINT)
+             |  FROM lk)
+             |SELECT * FROM h ORDER BY table_name""".stripMargin)
+    ),
+
+    // Two-sample Kolmogorov–Smirnov drift per event type (third drift
+    // lens next to TV q133 and Wasserstein q239): even/odd event_id
+    // halves compared by the sup-norm ECDF gap in cross-multiplied
+    // integer algebra — |cumA·nB − cumB·nA| rides DECIMAL(38,0), the
+    // division to basis points happens once at the end, so no float ever
+    // crosses the engine boundary. Keyed windows only.
+    QueryDef(
+      "q270_ks_drift",
+      (s, dir) => {
+        val e = eventsUs(s, dir).select(col("event_type"),
+          (col("event_id") % 2).as("side"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        Stats.ksDrift(e, "event_type", "side", "cents").orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id % 2 AS side,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events),
+             |g AS (SELECT event_type, cents,
+             |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END) AS cb
+             |  FROM e GROUP BY 1, 2),
+             |c AS (SELECT event_type,
+             |    sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             |    sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+             |    sum(ca) OVER (PARTITION BY event_type) AS na,
+             |    sum(cb) OVER (PARTITION BY event_type) AS nb
+             |  FROM g),
+             |k AS (SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+             |    max(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS ks
+             |  FROM c GROUP BY 1)
+             |SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(ks AS BIGINT) AS ks_num,
+             |  CAST(ks * 10000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_bp
+             |FROM k WHERE n_a > 0 AND n_b > 0 ORDER BY event_type""".stripMargin)
     )
   )
 }

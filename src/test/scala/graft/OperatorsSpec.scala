@@ -3745,4 +3745,180 @@ class OperatorsSpec extends SparkTestBase {
       .orderBy("phrase").collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r.toSeq == Seq(("missing phrase", 0L, 0L), ("quick fox", 2L, 3L)))
   }
+
+  test("agg ivm cdc: updates fold, new groups appear, zeroed groups vanish") {
+    val view = Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 3L, 9L))
+      .toDF("k", "n", "total")
+    val delta = Seq(
+      ("a", 10L, -1L), ("a", 12L, 1L), // update one a-row 10 -> 12
+      ("b", 5L, -1L),                  // b's only row deleted -> group vanishes
+      ("d", 7L, 1L), ("d", 8L, 1L)     // brand-new group
+    ).toDF("k", "qty", "m")
+    val r = Ivm.maintainSumCount(view, delta, Seq("k"), "qty")
+      .orderBy("k").collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("a", 2L, 32L), ("c", 3L, 9L), ("d", 2L, 15L)))
+  }
+
+  test("bloom-filtered join: exact inner-join equality, probe filter below the shuffle") {
+    // fact must be a non-local relation: ConvertToLocalRelation would
+    // evaluate the probe filter at optimization time and erase the node
+    // the plan assertion below looks for
+    val fact = spark.range(1, 401)
+      .select((col("id") % 50).as("k"), col("id").as("v"))
+    val dim = Seq(3L, 7L, 11L).map(k => (k, s"d$k")).toDF("k", "name")
+    val got = JoinOpt.bloomFilteredEquiJoin(fact, dim, "k", 100L, 0.01)
+    val want = fact.join(dim, Seq("k"))
+    assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+    // plan shape: the Bloom probe is a Filter on the fact side BELOW the
+    // join — its subtree holds no Join, so fact rows are dropped before
+    // the join's shuffle (AQE wraps the physical tree, so assert on the
+    // optimized logical plan)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val probes = got.queryExecution.optimizedPlan.collect {
+      case f: LFilter if f.condition.toString.contains("UDF") =>
+        f.collect { case j: LJoin => j }.isEmpty
+    }
+    assert(probes.contains(true), "bloom probe filter must sit below the join")
+  }
+
+  test("cdc chunks: reconstruction, re-synchronization after prefix edit, short docs") {
+    val base = {
+      var s = 12345L // deterministic LCG: aperiodic content so boundaries spread
+      (1 to 400).map { _ =>
+        s = (s * 1103515245L + 12345L) & 0x7fffffffL
+        ('a' + (s % 26).toInt).toChar
+      }.mkString
+    }
+    val df = Seq((1L, base), (2L, "QQ" + base), (3L, "tiny")).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(df, "doc_id", "text", k = 8, divisor = 32)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // chunks of each doc tile the doc exactly (no gaps, no overlap)
+    for (id <- Seq(1L, 2L, 3L)) {
+      val c = chunks.filter(_.getLong(0) == id)
+      val text = if (id == 1) base else if (id == 2) "QQ" + base else "tiny"
+      assert(c.head.getLong(2) == 0L)
+      assert(c.map(_.getLong(3)).sum == text.length.toLong)
+      c.sliding(2).foreach {
+        case Array(p, n) => assert(p.getLong(2) + p.getLong(3) == n.getLong(2))
+        case _ => ()
+      }
+    }
+    // content-defined property: after a 2-char prefix insertion the
+    // boundary stream re-synchronizes, so most chunk HASHES are shared —
+    // a fixed-size chunker would share none
+    val h1 = chunks.filter(_.getLong(0) == 1L).map(_.getString(4)).toSet
+    val h2 = chunks.filter(_.getLong(0) == 2L).map(_.getString(4)).toSet
+    assert(h1.size >= 5, s"fixture should chunk into several pieces, got ${h1.size}")
+    assert((h1 & h2).size >= h1.size - 2,
+      s"suffix chunks must dedup across the edit: shared ${(h1 & h2).size} of ${h1.size}")
+    // short doc: one whole-text chunk
+    val tiny = chunks.filter(_.getLong(0) == 3L)
+    assert(tiny.length == 1 && tiny(0).getLong(3) == 4L)
+  }
+
+  test("href extraction: quote styles, fragment-only excluded, sitemap kinds") {
+    val html = """<html><A HREF="http://a.example.com/x">1</A>
+      |<a href='http://b.example.com/y?q=1'>2</a>
+      |<a href="#top">skip</a><a data-href="zz">no</a>
+      |<link href = "http://c.example.com/s.css"></html>""".stripMargin
+    val r = Seq((1L, html)).toDF("id", "h")
+      .select(UrlTools.extractHrefs("h").as("u")).collect()(0).getSeq[String](0)
+    assert(r == Seq("http://a.example.com/x", "http://b.example.com/y?q=1",
+      "http://c.example.com/s.css"))
+    val sm = Seq(
+      (1L, "<urlset><url><loc>\n https://a/1 \n</loc></url><url><loc>https://a/2</loc></url></urlset>"),
+      (2L, "<sitemapindex><sitemap><loc> https://a/s.xml </loc></sitemap></sitemapindex>"),
+      (3L, "<html>junk</html>")
+    ).toDF("id", "x").select(col("id"), UrlTools.sitemapEntries("x").as("s"))
+      .orderBy("id").collect()
+    assert(sm(0).getStruct(1).getString(0) == "urlset" &&
+      sm(0).getStruct(1).getSeq[String](1) == Seq("https://a/1", "https://a/2"))
+    assert(sm(1).getStruct(1).getString(0) == "sitemapindex" &&
+      sm(1).getStruct(1).getSeq[String](1) == Seq("https://a/s.xml"))
+    assert(sm(2).getStruct(1).isNullAt(0) && sm(2).getStruct(1).getSeq[String](1).isEmpty)
+  }
+
+  test("flac streaminfo: bit unpack golden, padding block tolerated, corrupt/truncated None") {
+    // id 1: sr 16000, ch 2, bps 16, total 16000*4+1
+    assert(Multimodal.parseFlacMeta(Multimodal.buildFlac(1L, corrupt = false))
+      .contains((16000L, 2, 16, 64001L)))
+    // id 5 carries a trailing PADDING block — STREAMINFO-first still reads
+    val m5 = Multimodal.parseFlacMeta(Multimodal.buildFlac(5L, corrupt = false))
+    assert(m5.contains((48000L, 2, 16, 48000L * 8 + 5)))
+    assert(Multimodal.parseFlacMeta(Multimodal.buildFlac(17L, corrupt = true)).isEmpty)
+    val ok = Multimodal.buildFlac(1L, corrupt = false)
+    (0 until ok.length).foreach(n => Multimodal.parseFlacMeta(ok.take(n))) // never throws
+    assert(Multimodal.parseFlacMeta(ok.take(20)).isEmpty)
+  }
+
+  test("mp3: syncsafe tag skip, bitrate/samplerate tables, tagless stream, corrupt sync None") {
+    // id 1: tag 101, brIdx 2 -> 40 kbps, srIdx 1 -> 48000, mode 1, audio 422 bytes
+    assert(Multimodal.parseMp3Meta(Multimodal.buildMp3(1L, corrupt = false))
+      .contains((101L, 40, 48000, "joint_stereo", 422L * 8 / 40)))
+    // valid ID3 but broken frame sync: the tag must not be trusted
+    assert(Multimodal.parseMp3Meta(Multimodal.buildMp3(23L, corrupt = true)).isEmpty)
+    // tagless: frame header at byte 0, 128 kbps idx 9, 44100 idx 0, mono
+    val raw = Array(0xff.toByte, 0xfb.toByte, ((9 << 4) | (0 << 2)).toByte,
+      (3 << 6).toByte) ++ Array.fill(1000)(0x55.toByte)
+    assert(Multimodal.parseMp3Meta(raw).contains((0L, 128, 44100, "mono", 1004L * 8 / 128)))
+    // syncsafe high-bit violation rejected
+    val bad = Multimodal.buildMp3(2L, corrupt = false)
+    bad(6) = 0x80.toByte
+    assert(Multimodal.parseMp3Meta(bad).isEmpty)
+  }
+
+  test("delete cascade: fk fan-out counts, checksum covers exact keys, bad edge order throws") {
+    val cust = Seq(1L, 2L, 3L).toDF("c")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o", "oc")
+    val li = Seq((100L, 10L), (101L, 10L), (102L, 12L)).toDF("l", "lo")
+    val seeds = Seq(1L).toDF("c")
+    val m = Governance.cascadeManifest("customer", cust, "c", seeds, "c",
+        Seq(Governance.FkEdge("orders", ord, "oc", "o", "customer"),
+          Governance.FkEdge("lineitem", li, "lo", "l", "orders")))
+      .orderBy("table_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def hashOf(ks: Seq[Long]): Long =
+      if (ks.isEmpty) 0L
+      else ks.toDF("__k").agg(sum(expr(
+        "CAST(conv(substring(md5(CAST(__k AS STRING)), 1, 8), 16, 10) AS BIGINT)")))
+        .head().getLong(0)
+    // c1 -> orders 10,11 -> lineitems 100,101 (order 12 / lineitem 102 untouched)
+    assert(m.toSeq == Seq(
+      ("customer", 1L, hashOf(Seq(1L))),
+      ("lineitem", 2L, hashOf(Seq(100L, 101L))),
+      ("orders", 2L, hashOf(Seq(10L, 11L)))))
+    assertThrows[IllegalArgumentException] {
+      Governance.cascadeManifest("customer", cust, "c", seeds, "c",
+        Seq(Governance.FkEdge("lineitem", li, "lo", "l", "orders")))
+    }
+  }
+
+  test("ks drift: hand-computed sup gap, identical sides read zero") {
+    val df = Seq(
+      ("g", 0L, 1L), ("g", 0L, 2L), ("g", 0L, 3L), ("g", 1L, 3L), ("g", 1L, 4L),
+      ("h", 0L, 5L), ("h", 0L, 6L), ("h", 1L, 5L), ("h", 1L, 6L)
+    ).toDF("grp", "side", "v")
+    val r = Stats.ksDrift(df, "grp", "side", "v").orderBy("grp").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // g: cumA=[1,2,3,3], cumB=[0,0,1,2], nA=3, nB=2 -> max|cumA*2-cumB*3| = 4 at v=2
+    assert(r.toSeq == Seq(("g", 3L, 2L, 4L, 6666L), ("h", 2L, 2L, 0L, 0L)))
+  }
+
+  test("resample ffill: holes carry last value, bucket-last tie-break, n_obs marks fills") {
+    val df = Seq(
+      (1L, 0L, 5L, 1L),   // bucket 0
+      (1L, 5L, 9L, 2L),   // bucket 0, same-ts tie decided by id below
+      (1L, 5L, 1L, 1L),   // bucket 0 (ts tie: id 2 wins -> 9)
+      (1L, 25L, 7L, 3L),  // bucket 2; bucket 1 is a hole -> filled with 9
+      (2L, 40L, 3L, 4L)   // separate key, single bucket
+    ).toDF("user_id", "ts_us", "cents", "event_id")
+    val r = Stats.resampleFfill(df, "user_id", "ts_us", "cents", 10L, "event_id")
+      .orderBy("user_id", "bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 9L, 3L),
+      (1L, 1L, 10L, 9L, 0L),
+      (1L, 2L, 20L, 7L, 1L),
+      (2L, 4L, 40L, 3L, 1L)))
+  }
 }

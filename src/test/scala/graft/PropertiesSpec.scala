@@ -345,6 +345,7 @@ class PropertiesSpec extends SparkTestBase {
       Multimodal.decodeWav(raw); Multimodal.decodeBmp(raw); Multimodal.decodePng(raw)
       Multimodal.decodeJpeg(raw); Multimodal.decodeGif(raw)
       Multimodal.parseExif(raw); Multimodal.parseMp4Meta(raw)
+      Multimodal.parseFlacMeta(raw); Multimodal.parseMp3Meta(raw)
       Multimodal.ppmResize(raw, 2)
       Warc.parseWarc(raw)
       Robots.parse(new String(raw, "ISO-8859-1"), "bot")
@@ -361,7 +362,9 @@ class PropertiesSpec extends SparkTestBase {
       Array[Byte](0, 0, 0, 20) ++ "ftypisom".getBytes("US-ASCII"),
       Array(0xff, 0xd8, 0xff, 0xe1, 0x00, 0x40).map(_.toByte) ++
         "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0),
-      "WARC/1.0\r\n".getBytes("US-ASCII"))
+      "WARC/1.0\r\n".getBytes("US-ASCII"),
+      "fLaC".getBytes("US-ASCII") ++ Array[Byte](0x00, 0x00, 0x00, 0x22),
+      "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0))
     forAll(bytesGen) { tail =>
       magics.foreach { m =>
         val payload = m ++ tail
@@ -370,6 +373,7 @@ class PropertiesSpec extends SparkTestBase {
         Multimodal.decodePng(payload); Multimodal.decodeJpeg(payload)
         Multimodal.decodeGif(payload)
         Multimodal.parseExif(payload); Multimodal.parseMp4Meta(payload)
+        Multimodal.parseFlacMeta(payload); Multimodal.parseMp3Meta(payload)
         Multimodal.ppmResize(payload, 2)
         Warc.parseWarc(payload)
       }
