@@ -21,12 +21,14 @@ object Verify {
     // iterating on one query; unset = full suite (driver mode)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage).take(300)
       }
       // drop storage pinned by the query (localCheckpoints etc.) so 80+
       // queries in one session don't accumulate block-manager pressure
@@ -47,6 +49,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a query that THREW leaves no result dir and silently vanishes from
+    // the driver's per-query report (the round-7 events-schema breakage
+    // hid 38 queries this way) — persist the failure roster so a partial
+    // run is visible as data, not only in scrolled-away stderr
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -7532,6 +7532,45 @@ object ExtensionQueries {
              |  CAST(ks AS BIGINT) AS ks_num,
              |  CAST(ks * 10000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_bp
              |FROM k WHERE n_a > 0 AND n_b > 0 ORDER BY event_type""".stripMargin)
+    ),
+
+    // Hilbert-curve index under the oracle: the locality-tighter layout
+    // key next to z-order q139 — Morton order jumps diagonally at
+    // power-of-two boundaries, Hilbert moves in unit steps, so a box
+    // predicate touches fewer zone-map windows at the same sort cost.
+    // The Spark side folds the classic xy2d loop as ONE aggregate HOF
+    // (codegen'd CASE/xor/shift algebra); the oracle unrolls the SAME
+    // eight bit levels as chained CTEs — any divergence in any level's
+    // rotate/flip breaks every row's key. OperatorsSpec additionally
+    // pins the order-1/2 golden curves and the unit-step locality win
+    // over Morton.
+    QueryDef(
+      "q271_hilbert",
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") % 37 === 0)
+          .select(col("o_orderkey").as("id"),
+            (col("o_custkey") % 256).as("x"), (col("o_orderkey") % 256).as("y"))
+          .withColumn("hilbert", Layout.hilbertIndex("x", "y", 8))
+          .orderBy("id"),
+      Some {
+        val bits = 8
+        val m = (1L << bits) - 1
+        val steps = (0 until bits).map { i =>
+          val s0 = 1L << (bits - 1 - i)
+          s"l${i + 1} AS (SELECT id, x0, y0, " +
+            s"d + ${s0 * s0} * xor(CASE WHEN (x & $s0) > 0 THEN 3 ELSE 0 END, " +
+            s"CASE WHEN (y & $s0) > 0 THEN 1 ELSE 0 END) AS d, " +
+            s"CASE WHEN (y & $s0) > 0 THEN x WHEN (x & $s0) > 0 THEN $m - y ELSE y END AS x, " +
+            s"CASE WHEN (y & $s0) > 0 THEN y WHEN (x & $s0) > 0 THEN $m - x ELSE x END AS y " +
+            s"FROM l$i)"
+        }
+        "WITH l0 AS (SELECT o_orderkey AS id, o_custkey % 256 AS x0, " +
+          "o_orderkey % 256 AS y0, 0 AS d, o_custkey % 256 AS x, " +
+          "o_orderkey % 256 AS y FROM orders WHERE o_orderkey % 37 = 0),\n" +
+          steps.mkString(",\n") + "\n" +
+          s"SELECT id, CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y, " +
+          s"CAST(d AS BIGINT) AS hilbert FROM l$bits ORDER BY id"
+      }
     )
   )
 }

@@ -3904,6 +3904,58 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.toSeq == Seq(("g", 3L, 2L, 4L, 6666L), ("h", 2L, 2L, 0L, 0L)))
   }
 
+  test("hilbert index: reference match, bijective, unit-step curve, beats morton locality") {
+    val grid = for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong)
+    val rows = grid.toDF("x", "y")
+      .withColumn("h", Layout.hilbertIndex("x", "y", 3))
+      .withColumn("z", Layout.zOrderKey(Seq(col("x"), col("y")), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent imperative xy2d (Hamilton's loop, full-grid flips)
+    def xy2d(order: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << order
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n >> 1
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    rows.foreach { case (x, y, h, _) => assert(h == xy2d(3, x, y), s"($x,$y)") }
+    assert(rows.map(_._3).toSet == (0L until 64L).toSet) // bijection over the grid
+    // THE Hilbert property: consecutive curve positions are grid neighbors
+    rows.sortBy(_._3).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1,
+          s"curve jump ${a} -> ${b}")
+      case _ => ()
+    }
+    // locality (the zone-map argument, quantified the way Moon et al.
+    // quantify it): a box predicate maps to contiguous runs of the sort
+    // key; fewer runs = fewer windows touched. Over every 4x4 box of a
+    // 16x16 grid, hilbert must need strictly fewer runs than morton
+    // (computed off-plan: 628 vs 1000)
+    val big = (for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .withColumn("h", Layout.hilbertIndex("x", "y", 4))
+      .withColumn("z", Layout.zOrderKey(Seq(col("x"), col("y")), 4))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    def runsTotal(key: ((Long, Long)) => Long): Long =
+      (for { x0 <- 0 to 12; y0 <- 0 to 12 } yield {
+        val ks = (for { x <- x0 until x0 + 4; y <- y0 until y0 + 4 }
+          yield key(big((x.toLong, y.toLong)))).sorted
+        1L + ks.zip(ks.tail).count { case (a, b) => b - a > 1 }
+      }).sum
+    val (hr, zr) = (runsTotal(_._1), runsTotal(_._2))
+    assert(hr < zr, s"hilbert $hr runs should beat morton $zr")
+  }
+
   test("resample ffill: holes carry last value, bucket-last tie-break, n_obs marks fills") {
     val df = Seq(
       (1L, 0L, 5L, 1L),   // bucket 0

@@ -65,5 +65,14 @@ for name in sorted(os.listdir(out)):
     else:
         print(f"{name:28s} OK ({len(s)} rows)")
 
+# queries that THREW during the dump never produce a result dir — surface
+# Verify's failure roster so a partial run can't read as a clean one
+err_path = os.path.join(out, "_verify_errors.json")
+if os.path.exists(err_path):
+    errs = json.load(open(err_path))
+    for name, msg in sorted(errs.items()):
+        print(f"{name:28s} VERIFY THREW: {msg}")
+        fails.append(name)
+
 print(f"\n{len(fails)} failures: {fails}" if fails else "\nALL OK")
 sys.exit(1 if fails else 0)
