@@ -54,4 +54,40 @@ object Governance {
         .select(lit(name).as("table_name"), col("n_rows"), col("key_hash"))
     }.reduce(_ unionByName _)
   }
+
+  /** Randomized-response (Warner) privacy mechanism with a debiasing
+    * certificate — the local-DP counting primitive: each row reports its
+    * sensitive bit truthfully with probability 3/4, otherwise reports a
+    * fair coin, so NO individual row's report reveals its true bit (every
+    * report is consistent with either value at 2:1 odds — ln 3 local ε),
+    * yet group totals debias exactly:
+    *
+    *   E[yes] = (3/4)·t + (1/8)·n   ⟹   t̂ = (8·yes − n) / 6
+    *
+    * Coins derive from md5(seed:key) hex digits — deterministic, engine-
+    * portable, and per-row independent in the Bernoulli-audit sense the
+    * sketch certificates (q148) established; a REAL deployment would use a
+    * non-replayable entropy source, which is exactly what an oracle-checked
+    * suite cannot (and here deliberately does not) have. Output per group:
+    * n, the true count (certificate side — the deployment would not emit
+    * it), the reported count, the debiased estimate at ×scale fixed point,
+    * and its absolute error. One map-side scan + one keyed aggregate; the
+    * estimate's error concentrates as O(√n) so at corpus scale the noisy
+    * census is tight while any single row stays deniable. */
+  def randomizedResponseCounts(df: DataFrame, groupCol: String,
+      keyCol: String, bitCol: String, seed: String,
+      scale: Int = 1000): DataFrame = {
+    val h = s"md5(concat('$seed', ':', CAST($keyCol AS STRING)))"
+    val c1 = s"CAST(conv(substring($h, 1, 1), 16, 10) AS INT)"
+    val c2 = s"CAST(conv(substring($h, 2, 1), 16, 10) AS INT) % 2"
+    val reported = expr(s"CASE WHEN $c1 < 12 THEN $bitCol ELSE $c2 END")
+    df.withColumn("__rep", reported)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(bitCol).cast("long")).as("yes_true"),
+        sum(col("__rep").cast("long")).as("yes_reported"))
+      .withColumn("est_fp",
+        expr(s"CAST(((8 * yes_reported - n) * $scale) div 6 AS BIGINT)"))
+      .withColumn("err_fp", abs(col("est_fp") - col("yes_true") * scale))
+  }
 }

@@ -109,6 +109,46 @@ object Ivm {
       .filter(col(cntCol) > 0)
   }
 
+  /** Distinct-count view maintenance under retractions — the
+    * NON-invertible aggregate [[maintainSumCount]] deliberately excludes.
+    * COUNT(DISTINCT v) per group cannot be maintained from the count alone:
+    * deleting one copy of a value that still has other copies must NOT
+    * decrement the distinct count, and whether it does depends on state the
+    * scalar view discarded. The standard fix is an auxiliary multiplicity
+    * table — one row per (group, value) with its net copy count — against
+    * which both deletes and inserts resolve exactly:
+    *
+    *   mult' = collapse(mult ∪ Δ)   — group by (keys, value), Σm, keep > 0
+    *   view(g) = |{v : mult'(g,v) > 0}|
+    *
+    * Inputs: `mult` is the maintained multiplicity state
+    * `(keys…, valueCol, mCol)` with net-positive `mCol`; `delta` carries
+    * signed rows (`mCol` ∈ {+1,−1}, update = −1 old +1 new). Returns the
+    * merged multiplicity state; derive the distinct-count view with
+    * [[distinctCounts]].
+    *
+    * Scale shape: the collapse is ONE keyed aggregate on (keys, value) —
+    * proportional to |state| + |batch|, and because the state is keyed by
+    * (group, value) the merge co-partitions with any bucketed layout of the
+    * same key. The auxiliary state is the price of exactness; the sketch
+    * alternative (HLL per group) is mergeable but cannot retract at all. */
+  def maintainDistinct(
+      mult: DataFrame, delta: DataFrame, keys: Seq[String],
+      valueCol: String, mCol: String = "m"): DataFrame = {
+    val grp = (keys :+ valueCol).map(col)
+    mult.select((keys :+ valueCol :+ mCol).map(col): _*)
+      .unionByName(delta.select((keys :+ valueCol :+ mCol).map(col): _*))
+      .groupBy(grp: _*)
+      .agg(sum(col(mCol)).as(mCol))
+      .filter(col(mCol) > 0)
+  }
+
+  /** The distinct-count view over a multiplicity state: one row per group
+    * with the number of values whose net multiplicity is positive. */
+  def distinctCounts(mult: DataFrame, keys: Seq[String],
+      outCol: String = "n_distinct"): DataFrame =
+    mult.groupBy(keys.map(col): _*).agg(count(lit(1)).cast("long").as(outCol))
+
   /** Fold a signed delta into a materialized multiset view: group by every
     * payload column, sum multiplicities, keep net-positive rows (with their
     * surviving multiplicity). `view` rows count +1 each. One keyed shuffle

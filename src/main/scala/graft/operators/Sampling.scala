@@ -286,4 +286,27 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Stratified k-fold assignment — cross-validation folds that preserve
+    * label proportions EXACTLY, not in expectation. Within each stratum
+    * rows are ordered by md5(key) (the engine-independent deterministic
+    * shuffle every split in this suite uses) and dealt round-robin:
+    * fold = (rank − 1) mod k, so per (stratum, fold) counts differ by at
+    * most one BY CONSTRUCTION — unlike hash-mod-k assignment, whose
+    * per-stratum imbalance is binomial (a rare stratum can land entirely
+    * in one fold and zero a validation split).
+    *
+    * Deterministic: same keys → same folds on any engine, partitioning, or
+    * cluster size. Scale shape: one window rank per stratum — strata order
+    * independently in parallel; no global sort. For cluster-aware splits
+    * (near-dup leakage) feed the CLUSTER fingerprint as `keyCol` — the
+    * q250 lesson composes. */
+  def stratifiedKFold(df: DataFrame, keyCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol))
+      .orderBy(expr(s"md5(cast($keyCol as string))"), col(keyCol))
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+  }
 }

@@ -628,4 +628,100 @@ object Stats {
       .reduce(_ + _)
     df.withColumn("bucket", (lit(1) + over).cast("int"))
   }
+
+  /** Grouped TWO-feature least squares — the multiple-regression step up
+    * from [[groupedTrend]]'s single slope, in the same exact integer
+    * algebra. Solving the centered normal equations by Cramer's rule needs
+    * only the nine power sums (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y,
+    * Σx₂y), so the whole fit is ONE aggregate pass — no feature matrix is
+    * ever materialized and no iteration runs. With the n-scaled central
+    * moments S_ab = n·Σab − Σa·Σb:
+    *
+    *   β₁ = (S₂₂·S₁y − S₁₂·S₂y) / det,   β₂ = (S₁₁·S₂y − S₁₂·S₁y) / det,
+    *   det = S₁₁·S₂₂ − S₁₂²,             α  = (Σy − β₁Σx₁ − β₂Σx₂) / n
+    *
+    * All products ride DECIMAL(38,0): inputs must be pre-quantized to
+    * integers (the suite-wide cents/basis-point discipline). Headroom
+    * audit for the shipped q272 shape (n ≤ 3·10⁵ rows/group, |x₁| ≤ 50,
+    * |x₂| ≤ 10, |y| ≤ 1.1·10⁷ cents): numerators ≤ ~5·10³², ×scale(10³)
+    * ≤ 5·10³⁵ < 10³⁸. Numerators grow ~n³, so the cents quantization holds
+    * to n ≈ 10⁶ per group; beyond that quantize y one decade coarser per
+    * decade of n (dollars buy n ≈ 10⁷) — overflow is loud, not silent:
+    * Spark nulls the cast and the certificate hash breaks. Both engines
+    * truncate integer division toward zero, so the fixed-point render is
+    * engine-exact including negative slopes.
+    *
+    * Collinear groups (det = 0) surface as NULL coefficients rather than a
+    * throw — degenerate strata are data, not errors. Output per group:
+    * n, b1/b2 at ×scale fixed point, intercept at ×scale (derived from the
+    * already-truncated b1/b2 so both engines agree bit-for-bit). */
+  def ols2(df: DataFrame, groupCol: String, x1Col: String, x2Col: String,
+      yCol: String, scale: Int = 1000): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val agg0 = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(d(col(x1Col))).as("sx1"), sum(d(col(x2Col))).as("sx2"),
+      sum(d(col(yCol))).as("sy"),
+      sum(d(col(x1Col)) * d(col(x1Col))).as("sx1x1"),
+      sum(d(col(x2Col)) * d(col(x2Col))).as("sx2x2"),
+      sum(d(col(x1Col)) * d(col(x2Col))).as("sx1x2"),
+      sum(d(col(x1Col)) * d(col(yCol))).as("sx1y"),
+      sum(d(col(x2Col)) * d(col(yCol))).as("sx2y"))
+    val nn = d(col("n"))
+    val s11 = nn * col("sx1x1") - col("sx1") * col("sx1")
+    val s22 = nn * col("sx2x2") - col("sx2") * col("sx2")
+    val s12 = nn * col("sx1x2") - col("sx1") * col("sx2")
+    val s1y = nn * col("sx1y") - col("sx1") * col("sy")
+    val s2y = nn * col("sx2y") - col("sx2") * col("sy")
+    agg0
+      .withColumn("__det", s11 * s22 - s12 * s12)
+      .withColumn("__n1", s22 * s1y - s12 * s2y)
+      .withColumn("__n2", s11 * s2y - s12 * s1y)
+      .select(col(groupCol), col("n"),
+        when(col("__det") =!= 0,
+          expr(s"CAST((__n1 * $scale) div __det AS BIGINT)")).as("b1_fp"),
+        when(col("__det") =!= 0,
+          expr(s"CAST((__n2 * $scale) div __det AS BIGINT)")).as("b2_fp"),
+        when(col("__det") =!= 0,
+          expr(s"CAST((sy * $scale - CAST((__n1 * $scale) div __det AS DECIMAL(38,0)) * sx1" +
+            s" - CAST((__n2 * $scale) div __det AS DECIMAL(38,0)) * sx2) div CAST(n AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("a_fp"))
+  }
+
+  /** Truncated-EWMA anomaly flags in exact integer algebra — the
+    * exponentially-weighted complement to [[madOutliers]] (global robust
+    * scale) and [[slotResidualOutliers]] (calendar baseline): here the
+    * baseline is each key's OWN recent level, so a user whose spend drifts
+    * up slowly never alarms while a sudden jump does.
+    *
+    * α = 1/2 EWMA truncated to the last `window` observations: weights
+    * 2^(w−1) … 2^0 over the trailing frame (newest heaviest), denominator
+    * 2^w − 1. Everything stays scaled by the denominator — the flag
+    * compares |x·(2^w−1) − Σ 2^i·x_i| > threshold·(2^w−1), so no division
+    * happens before the comparison and both engines agree bit-for-bit.
+    * Truncation error vs the infinite EWMA is ≤ max|x|/2^w — below one
+    * cent for w=16 at any realistic magnitude, and the bounded frame is
+    * what makes the operator a WINDOW (one keyed sort, O(w) per row via
+    * the in-frame fold) instead of an unbounded running state.
+    *
+    * Rows need ≥ `window` predecessors to be judged (cold keys are
+    * baseline-less, not anomalous). Returns only flagged rows with the
+    * scaled-down EWMA and deviation for the report. */
+  def ewmaAnomalies(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int = 16, threshold: Long = 20000L): DataFrame = {
+    require(window >= 2 && window <= 62, "window must be in 2..62")
+    val den = (1L << window) - 1
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-window, -1)
+    df.withColumn("__hist", collect_list(col(valueCol)).over(w))
+      .filter(size(col("__hist")) === window)
+      .withColumn("__wsum",
+        expr(s"aggregate(transform(__hist, (v, i) -> v * shiftleft(1L, i)), 0L, (a, x) -> a + x)"))
+      .withColumn("__dev", col(valueCol) * den - col("__wsum"))
+      .filter(abs(col("__dev")) > threshold * den)
+      .select(col(keyCol) +: orderCols.map(col) :+ col(valueCol) :+
+        expr(s"CAST(__wsum div $den AS BIGINT)").as("ewma") :+
+        expr(s"CAST(__dev div $den AS BIGINT)").as("deviation"): _*)
+  }
 }

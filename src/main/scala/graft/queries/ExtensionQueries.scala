@@ -7571,6 +7571,221 @@ object ExtensionQueries {
           s"SELECT id, CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y, " +
           s"CAST(d AS BIGINT) AS hilbert FROM l$bits ORDER BY id"
       }
+    ),
+
+    // Grouped TWO-feature least squares (Stats.ols2) — multiple regression
+    // as ONE aggregate pass: Cramer's rule over the nine power sums in
+    // DECIMAL(38,0), fixed-point ×1000 coefficients, truncation-toward-zero
+    // division on both engines. Per return flag: extended price (cents)
+    // regressed on quantity and discount (basis points ÷10) — the fitted
+    // slope b1 recovers the per-unit price and b2 the (negative) discount
+    // effect, with no float ever crossing the engine boundary.
+    QueryDef(
+      "q272_ols2",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("grp"),
+          col("l_quantity").cast("decimal(18,2)").cast("long").as("x1"),
+          (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("x2"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+        Stats.ols2(li, "grp", "x1", "x2", "y", scale = 1000).orderBy("grp")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS grp,
+             |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x1,
+             |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+             |  FROM lineitem),
+             |a AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(x2) AS HUGEINT) AS sx2,
+             |    CAST(sum(y) AS HUGEINT) AS sy,
+             |    CAST(sum(x1*x1) AS HUGEINT) AS sx1x1, CAST(sum(x2*x2) AS HUGEINT) AS sx2x2,
+             |    CAST(sum(x1*x2) AS HUGEINT) AS sx1x2, CAST(sum(x1*y) AS HUGEINT) AS sx1y,
+             |    CAST(sum(x2*y) AS HUGEINT) AS sx2y
+             |  FROM b GROUP BY grp),
+             |m AS (SELECT grp, n, sx1, sx2, sy,
+             |    n*sx1x1 - sx1*sx1 AS s11, n*sx2x2 - sx2*sx2 AS s22,
+             |    n*sx1x2 - sx1*sx2 AS s12, n*sx1y - sx1*sy AS s1y,
+             |    n*sx2y - sx2*sy AS s2y
+             |  FROM a),
+             |r AS (SELECT grp, n, sx1, sx2, sy,
+             |    s11*s22 - s12*s12 AS det,
+             |    s22*s1y - s12*s2y AS n1, s11*s2y - s12*s1y AS n2
+             |  FROM m),
+             |f AS (SELECT grp, n,
+             |    CASE WHEN det <> 0 THEN (n1 * 1000) // det END AS b1,
+             |    CASE WHEN det <> 0 THEN (n2 * 1000) // det END AS b2,
+             |    sx1, sx2, sy, det
+             |  FROM r)
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  CAST(b1 AS BIGINT) AS b1_fp, CAST(b2 AS BIGINT) AS b2_fp,
+             |  CAST(CASE WHEN det <> 0 THEN (sy * 1000 - b1 * sx1 - b2 * sx2) // n END
+             |    AS BIGINT) AS a_fp
+             |FROM f ORDER BY grp""".stripMargin)
+    ),
+
+    // Distinct-count view maintenance under retractions (Ivm
+    // .maintainDistinct): COUNT(DISTINCT supplier) per part kept exact
+    // through a mixed insert/delete CDC batch via the auxiliary
+    // (part, supplier, multiplicity) state — deleting one copy of a
+    // supplier that ships the part through other rows must NOT decrement
+    // the distinct count, which no scalar counter can decide. Certificate:
+    // the maintained view equals a full recompute group-for-group (count,
+    // sum and per-row md5 checksum), while the base table is never
+    // re-scanned — at 100 TB maintenance costs |state|+|batch|, not the
+    // corpus.
+    QueryDef(
+      "q273_distinct_ivm",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_partkey").as("k"), col("l_suppkey").as("v"),
+          (col("l_orderkey") % 10).as("slice"))
+        val base = li.filter(col("slice") =!= 3)
+        val state0 = base.groupBy("k", "v")
+          .agg(count(lit(1)).cast("long").as("m"))
+        val delta = li.filter(col("slice") === 3)
+          .select(col("k"), col("v"), lit(1L).as("m"))
+          .unionByName(base.filter(col("slice") === 7)
+            .select(col("k"), col("v"), lit(-1L).as("m")))
+        val maintained = Ivm.distinctCounts(
+          Ivm.maintainDistinct(state0, delta, Seq("k"), "v"), Seq("k"))
+        val recomputed = li.filter(col("slice") =!= 7)
+          .groupBy("k").agg(countDistinct("v").cast("long").as("n_distinct"))
+        val h = expr("CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', " +
+          "CAST(n_distinct AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+        def summarize(d: DataFrame, tag: String) = d.agg(
+          count(lit(1)).as(s"${tag}_groups"),
+          sum("n_distinct").as(s"${tag}_sum"),
+          sum(h).as(s"${tag}_hash"))
+        summarize(maintained, "maintained").crossJoin(summarize(recomputed, "recomputed"))
+          .select(col("maintained_groups"), col("recomputed_groups"),
+            col("maintained_sum"), col("recomputed_sum"),
+            when(col("maintained_groups") === col("recomputed_groups") &&
+              col("maintained_sum") === col("recomputed_sum") &&
+              col("maintained_hash") === col("recomputed_hash"), 1L)
+              .otherwise(0L).as("match_ok"))
+      },
+      Some("""WITH fin AS (SELECT l_partkey AS k, l_suppkey AS v
+             |  FROM lineitem WHERE l_orderkey % 10 <> 7),
+             |g AS (SELECT k, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+             |  FROM fin GROUP BY k),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS groups,
+             |    CAST(sum(n_distinct) AS BIGINT) AS total
+             |  FROM g)
+             |SELECT groups AS maintained_groups, groups AS recomputed_groups,
+             |       total AS maintained_sum, total AS recomputed_sum,
+             |       CAST(1 AS BIGINT) AS match_ok
+             |FROM s""".stripMargin)
+    ),
+
+    // Stratified k-fold assignment (Sampling.stratifiedKFold): per-language
+    // round-robin deal over the md5-shuffled stratum order, so per
+    // (lang, fold) counts differ by AT MOST ONE by construction — the
+    // lang_spread column carries that bound into the output and the
+    // assign_hash checksums the exact (doc → fold) mapping, so an
+    // off-by-one in either engine's rank arithmetic cannot hide behind
+    // matching counts. Hash-mod-k splitting has binomial per-stratum
+    // imbalance instead; for near-dup-safe folds feed the q250 cluster
+    // fingerprint as the key.
+    QueryDef(
+      "q274_kfold",
+      (s, dir) => {
+        val folded = Sampling.stratifiedKFold(
+          t(s, dir, "documents"), "doc_id", "lang", k = 5)
+        val g = folded.groupBy("lang", "fold")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+              "CAST(fold AS STRING))), 1, 8), 16, 10) AS BIGINT)")).as("assign_hash"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        g.withColumn("lang_spread", (max("n_rows").over(w) - min("n_rows").over(w)))
+          .select(col("lang"), col("fold"), col("n_rows"),
+            col("lang_spread"), col("assign_hash"))
+          .orderBy("lang", "fold")
+      },
+      Some("""WITH f AS (SELECT doc_id, lang,
+             |    CAST((row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS INT) AS fold
+             |  FROM documents),
+             |g AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(('0x' || substr(md5(doc_id || ':' || fold), 1, 8))::BIGINT)
+             |      AS BIGINT) AS assign_hash
+             |  FROM f GROUP BY 1, 2)
+             |SELECT lang, fold, n_rows,
+             |  CAST(max(n_rows) OVER (PARTITION BY lang)
+             |     - min(n_rows) OVER (PARTITION BY lang) AS BIGINT) AS lang_spread,
+             |  assign_hash
+             |FROM g ORDER BY lang, fold""".stripMargin)
+    ),
+
+    // Truncated-EWMA anomaly flags (Stats.ewmaAnomalies): per-user spend
+    // judged against the user's OWN exponentially-weighted recent level
+    // (α=1/2, last 16 observations, weights 2^15…2^0) entirely in scaled
+    // integers — |x·(2^16−1) − Σ2^i·x_i| > $200·(2^16−1), no division
+    // before the comparison. The self-baseline complement to MAD (q160,
+    // global scale) and calendar-slot residuals (q183): a slow drift never
+    // alarms, a jump does. One keyed window sort; O(w) in-frame fold.
+    QueryDef(
+      "q275_ewma_anomaly",
+      (s, dir) => {
+        val e = eventsUs(s, dir).select(col("event_id"), col("user_id"),
+          col("ts_us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        Stats.ewmaAnomalies(e, "user_id", Seq("ts_us", "event_id"), "cents",
+            window = 16, threshold = 20000L)
+          .select(col("user_id"), col("event_id"), col("cents"),
+            col("ewma"), col("deviation"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |    CAST(epoch_us(ts) AS BIGINT) AS ts_us
+             |  FROM events),
+             |h AS (SELECT event_id, user_id, cents,
+             |    list(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |      ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) AS l
+             |  FROM e),
+             |f AS (SELECT event_id, user_id, cents,
+             |    list_sum(list_transform(range(16), i -> l[i+1] * (1::BIGINT << i))) AS wsum
+             |  FROM h WHERE len(l) = 16)
+             |SELECT user_id, event_id, cents,
+             |  CAST(wsum // 65535 AS BIGINT) AS ewma,
+             |  CAST((cents * 65535 - wsum) // 65535 AS BIGINT) AS deviation
+             |FROM f WHERE abs(cents * 65535 - wsum) > 20000 * 65535
+             |ORDER BY user_id, event_id""".stripMargin)
+    ),
+
+    // Randomized-response privacy census (Governance
+    // .randomizedResponseCounts): each document reports its sensitive bit
+    // truthfully only with p=3/4 (else a fair coin), so every individual
+    // report is deniable at 2:1 odds (ln 3 local ε), yet the per-language
+    // debiased estimate t̂ = (8·yes − n)/6 lands within O(√n) of the true
+    // count — both sides of that tradeoff are IN the output (est_fp vs
+    // yes_true). Coins are md5-derived for engine-replayability; the
+    // deployment swaps in real entropy and drops the yes_true column.
+    QueryDef(
+      "q276_rr_privacy",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("bit", (col("n_chars") % 2 === 0).cast("int"))
+        Governance.randomizedResponseCounts(d, "lang", "doc_id", "bit",
+            seed = "rr1", scale = 1000)
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (SELECT lang, doc_id,
+             |    CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 0 END AS bit,
+             |    md5('rr1:' || doc_id) AS h
+             |  FROM documents),
+             |r AS (SELECT lang, bit,
+             |    CASE WHEN ('0x' || substr(h, 1, 1))::INT < 12 THEN bit
+             |         ELSE ('0x' || substr(h, 2, 1))::INT % 2 END AS rep
+             |  FROM b),
+             |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(bit) AS BIGINT) AS yes_true,
+             |    CAST(sum(rep) AS BIGINT) AS yes_reported
+             |  FROM r GROUP BY lang)
+             |SELECT lang, n, yes_true, yes_reported,
+             |  CAST(((8 * yes_reported - n) * 1000) // 6 AS BIGINT) AS est_fp,
+             |  CAST(abs(((8 * yes_reported - n) * 1000) // 6 - yes_true * 1000) AS BIGINT) AS err_fp
+             |FROM g ORDER BY lang""".stripMargin)
     )
   )
 }

@@ -3973,4 +3973,93 @@ class OperatorsSpec extends SparkTestBase {
       (1L, 2L, 20L, 7L, 1L),
       (2L, 4L, 40L, 3L, 1L)))
   }
+
+  test("ols2: exact-fit plane recovered, collinear group nulls, negative slope") {
+    // y = 7 + 3*x1 - 2*x2 exactly: integer coefficients survive the ×1000
+    // fixed point untouched, including the NEGATIVE b2 (truncation toward
+    // zero on a signed numerator).
+    val exact = Seq((1L, 0L, 10L), (2L, 1L, 11L), (3L, 0L, 16L), (4L, 2L, 15L),
+      (1L, 3L, 4L), (5L, 1L, 20L)).map { case (x1, x2, y) => ("g", x1, x2, y) }
+    // x2 = 2*x1 everywhere: det = 0, coefficients must be NULL, not a throw
+    val collinear = Seq(("c", 1L, 2L, 5L), ("c", 2L, 4L, 7L), ("c", 3L, 6L, 9L))
+    val r = Stats.ols2((exact ++ collinear).toDF("grp", "x1", "x2", "y"),
+      "grp", "x1", "x2", "y", scale = 1000)
+      .orderBy("grp").collect()
+    val c = r(0)
+    assert(c.getString(0) == "c" && c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4))
+    val g = r(1)
+    assert((g.getLong(2), g.getLong(3), g.getLong(4)) == (3000L, -2000L, 7000L))
+  }
+
+  test("distinct-count ivm: partial delete keeps value, full delete drops it, insert adds") {
+    val state0 = Seq((1L, 10L, 2L), (1L, 11L, 1L), (2L, 20L, 1L))
+      .toDF("k", "v", "m")
+    val delta = Seq(
+      (1L, 10L, -1L), // one of two copies: value 10 must SURVIVE
+      (1L, 11L, -1L), // last copy: value 11 vanishes
+      (2L, 21L, 1L),  // new value for existing group
+      (3L, 30L, 1L)   // brand-new group
+    ).toDF("k", "v", "m")
+    val merged = Ivm.maintainDistinct(state0, delta, Seq("k"), "v")
+    val counts = Ivm.distinctCounts(merged, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+    val m10 = merged.filter(col("k") === 1L && col("v") === 10L)
+      .collect().map(_.getAs[Long]("m"))
+    assert(m10.toSeq == Seq(1L)) // surviving multiplicity decremented, not dropped
+  }
+
+  test("stratified k-fold: per-stratum counts differ by at most one, deterministic") {
+    val df = (1L to 23L).map(i => (i, if (i % 5 == 0) "rare" else "common"))
+      .toDF("id", "label")
+    val folded = Sampling.stratifiedKFold(df, "id", "label", k = 3)
+    val byFold = folded.groupBy("label", "fold").count()
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    // common: 19 rows over 3 folds -> 7/6/6; rare: 4 rows -> 2/1/1
+    assert(Seq(0, 1, 2).map(f => byFold(("common", f))).sorted == Seq(6L, 6L, 7L))
+    assert(Seq(0, 1, 2).map(f => byFold(("rare", f))).sorted == Seq(1L, 1L, 2L))
+    // determinism: recomputation yields the identical assignment
+    val a1 = folded.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val a2 = Sampling.stratifiedKFold(df, "id", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(a1 == a2)
+  }
+
+  test("ewma anomaly: spike over flat history flags exactly, drift and cold keys don't") {
+    val flat = (1L to 16L).map(i => (1L, i, 100L))          // constant history
+    val spike = Seq((1L, 17L, 100100L))                     // jump: must flag
+    val calm = Seq((1L, 18L, 100L))                         // post-spike: ewma dragged but within $200? no — spike in history
+    val drift = (1L to 40L).map(i => (2L, i, 100L + i * 50)) // +50c/step: never > $200 off
+    val cold = (1L to 10L).map(i => (3L, i, 100L)) :+ (3L, 11L, 999999L) // <16 history
+    val df = (flat ++ spike ++ calm ++ drift ++ cold).toDF("k", "o", "cents")
+    val r = Stats.ewmaAnomalies(df, "k", Seq("o"), "cents",
+      window = 16, threshold = 20000L)
+      .orderBy("k", "o").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // flat→spike: ewma = 100 exactly, deviation = 100000
+    assert(r.contains((1L, 17L, 100100L, 100L, 100000L)))
+    // the row after the spike: ewma jumped to ~50150, |100−50150| > 20000 → also flagged
+    assert(r.exists(t => t._1 == 1L && t._2 == 18L))
+    // drift key and cold key: no flags at all
+    assert(!r.exists(t => t._1 == 2L || t._1 == 3L))
+  }
+
+  test("randomized response: md5-replayed reports exact, debias formula pinned") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = (1L to 40L).map(i => (i, "g", (i % 2).toInt))
+    val expectedReported = rows.map { case (i, _, bit) =>
+      val h = md5hex(s"s1:$i")
+      val c1 = Integer.parseInt(h.substring(0, 1), 16)
+      if (c1 < 12) bit else Integer.parseInt(h.substring(1, 2), 16) % 2
+    }.sum.toLong
+    val r = Governance.randomizedResponseCounts(
+      rows.toDF("id", "grp", "bit"), "grp", "id", "bit", seed = "s1")
+      .collect().head
+    assert(r.getAs[Long]("n") == 40L && r.getAs[Long]("yes_true") == 20L)
+    assert(r.getAs[Long]("yes_reported") == expectedReported)
+    assert(r.getAs[Long]("est_fp") == (8 * expectedReported - 40L) * 1000L / 6L)
+  }
 }
