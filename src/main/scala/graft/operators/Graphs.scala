@@ -329,4 +329,55 @@ object Graphs {
       }) { i += 1 }
     deg
   }
+
+  /** Synchronous label propagation — COMMUNITIES, not components: each
+    * round every node adopts the most frequent label among its neighbors
+    * (ties broken by MIN label), so a single bridge edge between two dense
+    * blocks cannot relabel either side — the mode is robust where
+    * connected components (any of the three CC walks here) would merge the
+    * blocks outright. That robustness is exactly what near-dup cluster
+    * hygiene wants: boilerplate families stay separate communities even
+    * when one chain document touches both.
+    *
+    * Deterministic by construction: synchronous rounds (all updates read
+    * the PREVIOUS round's labels), count-desc-then-min-label tie-break,
+    * init label = node id. A fixed small `rounds` is the right contract —
+    * LPA is known to oscillate under synchronous update on bipartite-ish
+    * structures, so callers pin rounds (dense communities settle in 2–3)
+    * rather than chase an unstable fixpoint.
+    *
+    * Scale shape per round: one keyed join (labels onto incidence), one
+    * (node, label) aggregate, one per-node window pick — linear keyed
+    * shuffles, no all-pairs term; `localCheckpoint` per round caps lineage
+    * like every iterative walk in this module. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds out of range")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val inc = und.select(col("a").as("node"), col("b").as("other"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("other")))
+      .localCheckpoint()
+    val nodes = inc.select("node").distinct().localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    val w = Window.partitionBy("node").orderBy(col("__c").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      val picked = inc
+        .join(labels.select(col("node").as("other"), col("lbl")), Seq("other"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("node", "lbl")
+      labels = nodes
+        .join(picked, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

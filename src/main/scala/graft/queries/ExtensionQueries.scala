@@ -24,6 +24,15 @@ object ExtensionQueries {
 
   private val stopwords = TextAnalysis.DefaultStopwords
 
+  /** nDCG@10 discount table, ×10⁶ fixed point: floor(10⁶ / log₂(i+1)) for
+    * rank i = 1..10 — pinned as integer literals so BOTH engines share the
+    * exact values and no transcendental evaluates at query time (the spec
+    * re-derives them from math.log). `NdcgPre` is its prefix sum (the
+    * binary-relevance ideal DCG at min(R, 10)). */
+  private[graft] val NdcgDisc = Seq(1000000L, 630929L, 500000L, 430676L,
+    386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+  private[graft] val NdcgPre = NdcgDisc.scanLeft(0L)(_ + _).tail
+
   // ---- shared DuckDB SQL fragments -------------------------------------
 
   private val duckToks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -7786,6 +7795,139 @@ object ExtensionQueries {
              |  CAST(((8 * yes_reported - n) * 1000) // 6 AS BIGINT) AS est_fp,
              |  CAST(abs(((8 * yes_reported - n) * 1000) // 6 - yes_true * 1000) AS BIGINT) AS err_fp
              |FROM g ORDER BY lang""".stripMargin)
+    ),
+
+    // Synchronous label propagation (Graphs.labelPropagation) —
+    // COMMUNITIES, not components: 10-clique blocks over doc_ids with a
+    // bridge edge between every 5th pair of adjacent blocks. Two rounds
+    // settle every block on its base label, and the bridges change
+    // NOTHING — the neighbor-label mode outvotes a single cross edge,
+    // exactly where any CC walk (q26/q93/q259) would merge the bridged
+    // blocks into one component. The oracle replays both synchronous
+    // rounds (count-desc/min-label tie-break) as chained CTEs, so the
+    // update rule itself is what's certified, not just the final shape.
+    QueryDef(
+      "q277_lpa_communities",
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").as("i"), (col("doc_id") - col("doc_id") % 10).as("blk"))
+          .localCheckpoint()
+        val clique = ids.as("x").join(ids.as("y"),
+            col("x.blk") === col("y.blk") && col("x.i") < col("y.i"))
+          .select(col("x.i").as("a"), col("y.i").as("b"))
+        val bridge = ids.filter(col("i") % 10 === 9 &&
+            (col("blk") / 10).cast("long") % 5 === 0)
+          .select(col("i").as("a"), (col("i") + 1).as("b"))
+          .join(ids.select(col("i").as("b")), Seq("b"), "left_semi")
+        Graphs.labelPropagation(clique.unionByName(bridge), "a", "b", rounds = 2)
+          .groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            min("node").as("min_id"), max("node").as("max_id"))
+          .orderBy("community")
+      },
+      Some {
+        def round(prev: String, n: Int) =
+          s"""r${n}c AS (SELECT u.d AS i, l.lbl, count(*) AS c
+             |  FROM und u JOIN $prev l ON u.s = l.i GROUP BY 1, 2),
+             |r${n}p AS (SELECT i, lbl FROM (SELECT i, lbl,
+             |    row_number() OVER (PARTITION BY i ORDER BY c DESC, lbl) AS rn
+             |  FROM r${n}c) WHERE rn = 1),
+             |l$n AS (SELECT nodes.i, COALESCE(p.lbl, nodes.i) AS lbl
+             |  FROM nodes LEFT JOIN r${n}p p ON nodes.i = p.i)""".stripMargin
+        s"""WITH ids AS (SELECT doc_id AS i, doc_id - doc_id % 10 AS blk FROM documents),
+           |ed AS (SELECT x.i AS a, y.i AS b FROM ids x JOIN ids y
+           |    ON x.blk = y.blk AND x.i < y.i
+           |  UNION ALL
+           |  SELECT x.i, x.i + 1 FROM ids x JOIN ids y ON y.i = x.i + 1
+           |  WHERE x.i % 10 = 9 AND (x.blk // 10) % 5 = 0),
+           |und AS (SELECT a AS s, b AS d FROM ed UNION ALL SELECT b AS s, a AS d FROM ed),
+           |nodes AS (SELECT DISTINCT s AS i FROM und),
+           |l0 AS (SELECT i, i AS lbl FROM nodes),
+           |${round("l0", 1)},
+           |${round("l1", 2)}
+           |SELECT CAST(lbl AS BIGINT) AS community,
+           |  CAST(count(*) AS BIGINT) AS n_members,
+           |  CAST(min(i) AS BIGINT) AS min_id, CAST(max(i) AS BIGINT) AS max_id
+           |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin
+      }
+    ),
+
+    // Retrieval-quality certificate: nDCG@10 of exact cosine retrieval
+    // against the embedding labels as binary relevance — the evaluation
+    // harness the whole ANN family (q36–q75, q105/q106, q220) reports
+    // into, in pure integer algebra: the log2 discount table is pinned as
+    // ×10⁶ literals IDENTICAL in both engines (floor(10⁶/log₂(i+1))), so
+    // no transcendental ever evaluates at query time. Probes are every
+    // 50th vector; DCG sums the discount where the neighbor's label
+    // matches, IDCG is the prefix-sum literal at min(R,10), and the final
+    // basis-point render divides once.
+    QueryDef(
+      "q278_ndcg",
+      (s, dir) => {
+        val disc = NdcgDisc
+        val pre = NdcgPre
+        val e = t(s, dir, "embeddings")
+        val ranked = Similarity.knnJoin(e, "vec_id", "embedding",
+            col("vec_id") % 50 === 0, k = 10)
+          .join(e.select(col("vec_id").as("probe_id"), col("label").as("probe_label")),
+            Seq("probe_id"))
+          .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nbr_label")),
+            Seq("neighbor_id"))
+        val discCase = disc.zipWithIndex
+          .map { case (d, i) => s"WHEN rank = ${i + 1} THEN ${d}L" }
+          .mkString("CASE ", " ", " ELSE 0L END")
+        val dcg = ranked.groupBy("probe_id", "probe_label")
+          .agg(sum(when(col("nbr_label") === col("probe_label"), 1L).otherwise(0L))
+              .as("n_rel_at10"),
+            sum(when(col("nbr_label") === col("probe_label"),
+              expr(discCase)).otherwise(0L)).as("dcg_fp"))
+        val totals = e.groupBy(col("label").as("probe_label"))
+          .agg(count(lit(1)).cast("long").as("n_label"))
+        val preCase = pre.zipWithIndex
+          .map { case (p, i) => s"WHEN least(n_label - 1, 10) = ${i + 1} THEN ${p}L" }
+          .mkString("CASE ", " ", " ELSE 0L END")
+        dcg.join(totals, Seq("probe_label"))
+          .withColumn("idcg_fp", expr(preCase))
+          .select(col("probe_id"), col("probe_label"), col("n_rel_at10"),
+            col("dcg_fp"), col("idcg_fp"),
+            when(col("idcg_fp") > 0,
+              expr("CAST((dcg_fp * 10000) div idcg_fp AS BIGINT)")).as("ndcg_bp"))
+          .orderBy("probe_id")
+      },
+      Some {
+        val disc = NdcgDisc
+        val pre = NdcgPre
+        val discCase = disc.zipWithIndex
+          .map { case (d, i) => s"WHEN rank = ${i + 1} THEN $d" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        val preCase = pre.zipWithIndex
+          .map { case (p, i) => s"WHEN least(n_label - 1, 10) = ${i + 1} THEN $p" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv, label AS probe_label
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |sc AS (SELECT p.probe_id, p.probe_label, e.vec_id AS neighbor_id,
+           |    e.label AS nbr_label, ${cos("e.embedding", "p.pv")} AS cs
+           |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+           |rk AS (SELECT probe_id, probe_label, nbr_label,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+           |  FROM sc),
+           |top AS (SELECT * FROM rk WHERE rank <= 10),
+           |d AS (SELECT probe_id, probe_label,
+           |    CAST(sum(CASE WHEN nbr_label = probe_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at10,
+           |    CAST(sum(CASE WHEN nbr_label = probe_label
+           |      THEN $discCase ELSE 0 END) AS BIGINT) AS dcg_fp
+           |  FROM top GROUP BY 1, 2),
+           |t AS (SELECT label AS probe_label, CAST(count(*) AS BIGINT) AS n_label
+           |  FROM embeddings GROUP BY 1)
+           |SELECT probe_id, probe_label, n_rel_at10, dcg_fp,
+           |  CAST($preCase AS BIGINT) AS idcg_fp,
+           |  CAST(CASE WHEN $preCase > 0 THEN (dcg_fp * 10000) // ($preCase) END AS BIGINT) AS ndcg_bp
+           |FROM d JOIN t USING (probe_label) ORDER BY probe_id""".stripMargin
+      }
     )
   )
 }

@@ -4062,4 +4062,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getAs[Long]("yes_reported") == expectedReported)
     assert(r.getAs[Long]("est_fp") == (8 * expectedReported - 40L) * 1000L / 6L)
   }
+
+  test("label propagation: dense blocks keep their labels, one bridge can't merge them") {
+    // two 4-cliques bridged by a single edge — one connected COMPONENT,
+    // but two COMMUNITIES: the neighbor-label mode outvotes the bridge.
+    val cliqueA = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
+    val cliqueB = for { a <- 5 to 8; b <- (a + 1) to 8 } yield (a.toLong, b.toLong)
+    val edges = (cliqueA ++ cliqueB :+ (4L, 5L)).toDF("a", "b")
+    val labels = Graphs.labelPropagation(edges, "a", "b", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 4L).forall(labels(_) == 1L))
+    assert((5L to 8L).forall(labels(_) == 5L))
+    // sanity: the same edge list is ONE connected component
+    val cc = Dedup.connectedComponentsStarContraction(edges, "a", "b")
+      .select("component").distinct().count()
+    assert(cc == 1L)
+  }
+
+  test("ndcg discount table matches floor(1e6/log2(i+1)) and its prefix sum") {
+    val expected = (1 to 10).map(i => (1e6 / (math.log(i + 1) / math.log(2))).toLong)
+    assert(graft.queries.ExtensionQueries.NdcgDisc == expected)
+    assert(graft.queries.ExtensionQueries.NdcgPre == expected.scanLeft(0L)(_ + _).tail)
+  }
 }
