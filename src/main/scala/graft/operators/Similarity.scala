@@ -718,4 +718,87 @@ object Similarity {
     * term, the same key the postings join shuffles on anyway. */
   private def termDf(term: Column): Column =
     count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(term))
+
+  /** Graph-expanded ANN recall certificate — the NN-descent idea as one
+    * deterministic refinement round: build a kNN GRAPH whose edges draw on
+    * TWO independent hyperplane tables (top-`kGraph` among the union of a
+    * vector's two buckets), then expand each probe's candidate set with
+    * its neighbors' neighbors. The two tables are what make expansion
+    * non-trivial: a graph built from one bucketing can never leave the
+    * probe's own bucket (neighbors' neighbors share it by construction —
+    * measured exactly that way in an earlier cut of this operator), while
+    * two-hop paths through a second table compose DIFFERENT bucket
+    * boundaries and reach true neighbors the baseline bucket cut off —
+    * "my neighbor's neighbor is probably my neighbor", the recall move
+    * HNSW/NN-descent iterate to convergence.
+    *
+    * Output per probe (every `probeMod`-th id): candidate-set sizes and
+    * top-`k` hit counts against exact brute-force truth, for the
+    * single-bucket baseline vs the expanded set — recall@k before/after,
+    * as integers, with the truth restricted to probes so the exact pass
+    * stays LINEAR in the corpus (never all-pairs).
+    *
+    * Scale shape: the bucket self-joins are the usual LSH blast (Σ
+    * per-bucket n²; `bits` sizes buckets), the graph is n·kGraph edges,
+    * the two-hop expansion touches only probe rows × kGraph², and every
+    * stage is a keyed join + per-probe window. `localCheckpoint` on the
+    * bucketed frame and the graph caps the multi-consumer re-computation. */
+  def graphExpandedRecall(df: DataFrame, idCol: String, vecCol: String,
+      probeMod: Long, bits: Int, kGraph: Int, k: Int,
+      seed2: Int = 1337): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bktA",
+        GraftFunctions.hyperplaneBucket(col("v"), bits, DefaultPlaneSeed))
+      .withColumn("bktB",
+        GraftFunctions.hyperplaneBucket(col("v"), bits, seed2))
+      .localCheckpoint()
+    def mates(bkt: String) = base.as("x").join(base.as("y"),
+        col(s"x.$bkt") === col(s"y.$bkt") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+    val wg = Window.partitionBy("src").orderBy(col("cs").desc, col("dst"))
+    val graph = mates("bktA").unionByName(mates("bktB")).distinct()
+      .join(base.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
+      .join(base.select(col("id").as("dst"), col("v").as("dv")), Seq("dst"))
+      .select(col("src"), col("dst"), cosine("sv", "dv").as("cs"))
+      .withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= kGraph)
+      .select("src", "dst")
+      .localCheckpoint()
+    val c0 = mates("bktA").filter(col("src") % probeMod === 0)
+      .select(col("src").as("pid"), col("dst").as("cid"))
+    val twoHop = graph.as("g1")
+      .join(graph.as("g2"), col("g1.dst") === col("g2.src"))
+      .filter(col("g1.src") % probeMod === 0 && col("g1.src") =!= col("g2.dst"))
+      .select(col("g1.src").as("pid"), col("g2.dst").as("cid"))
+    val c1 = c0.unionByName(twoHop).distinct().localCheckpoint()
+    def topK(cand: DataFrame): DataFrame = cand
+      .join(base.select(col("id").as("pid"), col("v").as("pv")), Seq("pid"))
+      .join(base.select(col("id").as("cid"), col("v").as("cv")), Seq("cid"))
+      .select(col("pid"), col("cid"), cosine("pv", "cv").as("cs"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))))
+      .filter(col("__rn") <= k)
+      .select("pid", "cid")
+    val bruteTop = knnJoin(df, idCol, vecCol, col(idCol) % probeMod === 0, k)
+      .select(col("probe_id").as("pid"), col("neighbor_id").as("cid"))
+      .localCheckpoint()
+    def hits(top: DataFrame, name: String): DataFrame = top
+      .join(bruteTop, Seq("pid", "cid"), "left_semi")
+      .groupBy("pid").agg(count(lit(1)).as(name))
+    val counts = Seq(
+      c0.groupBy("pid").agg(count(lit(1)).as("n_base_cand")),
+      c1.groupBy("pid").agg(count(lit(1)).as("n_exp_cand")),
+      hits(topK(c0), "base_hits"), hits(topK(c1), "expanded_hits"))
+    counts.foldLeft(
+        base.filter(col("id") % probeMod === 0).select(col("id").as("pid"))) {
+        (acc, d) => acc.join(d, Seq("pid"), "left_outer")
+      }
+      .select(col("pid").as("probe_id"),
+        coalesce(col("n_base_cand"), lit(0L)).as("n_base_cand"),
+        coalesce(col("n_exp_cand"), lit(0L)).as("n_exp_cand"),
+        coalesce(col("base_hits"), lit(0L)).as("base_hits"),
+        coalesce(col("expanded_hits"), lit(0L)).as("expanded_hits"))
+  }
 }

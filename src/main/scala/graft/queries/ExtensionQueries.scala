@@ -7928,6 +7928,97 @@ object ExtensionQueries {
            |  CAST(CASE WHEN $preCase > 0 THEN (dcg_fp * 10000) // ($preCase) END AS BIGINT) AS ndcg_bp
            |FROM d JOIN t USING (probe_label) ORDER BY probe_id""".stripMargin
       }
+    ),
+
+    // Graph-expanded ANN recall certificate (Similarity
+    // .graphExpandedRecall): the NN-descent move as one deterministic
+    // round — a kNN graph drawing on TWO independent hyperplane tables
+    // (top-5 among the union of each vector's two buckets), probes
+    // additionally search their neighbors' neighbors. Two tables are the
+    // point: a one-table graph can never leave the probe's own bucket
+    // (neighbors' neighbors share it by construction — an earlier cut of
+    // this query measured exactly 0 expansion), while two-hop paths
+    // through the second table compose different bucket boundaries and
+    // recover true neighbors the baseline bucket cut off. The certificate
+    // carries recall@10 against exact brute-force truth BEFORE and AFTER
+    // expansion per probe; the oracle replays both plane tables, the
+    // union graph, the expansion, both top-10s, and the brute truth.
+    QueryDef(
+      "q279_ann_graph_expand",
+      (s, dir) =>
+        Similarity.graphExpandedRecall(t(s, dir, "embeddings"),
+            "vec_id", "embedding", probeMod = 50L, bits = 4, kGraph = 5, k = 10,
+            seed2 = 1337)
+          .orderBy("probe_id"),
+      Some {
+        def planeVals(seed: Int) =
+          graft.functions.HyperplaneBucket.table(4, 64, seed).zipWithIndex
+            .map { case (row, p) =>
+              s"($p, ${row.map(b => if (b) "1" else "-1").mkString("[", ", ", "]")})"
+            }.mkString(",\n  ")
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        def bucket(planes: String, out: String) =
+          s"""pr$out AS (SELECT e.vec_id, p.idx,
+             |    list_reduce(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * p.w[i+1]), (x,y) -> x + y) AS proj
+             |  FROM embeddings e CROSS JOIN $planes p),
+             |bk$out AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS bkt
+             |  FROM pr$out GROUP BY vec_id)""".stripMargin
+        s"""WITH planesA(idx, w) AS (VALUES
+           |  ${planeVals(Similarity.DefaultPlaneSeed)}),
+           |planesB(idx, w) AS (VALUES
+           |  ${planeVals(1337)}),
+           |${bucket("planesA", "A")},
+           |${bucket("planesB", "B")},
+           |v AS (SELECT e.vec_id AS id, e.embedding AS vec, a.bkt AS ba, b.bkt AS bb
+           |  FROM embeddings e JOIN bkA a USING (vec_id) JOIN bkB b USING (vec_id)),
+           |mt AS (SELECT x.id AS src, y.id AS dst, ${cos("x.vec", "y.vec")} AS cs
+           |  FROM v x JOIN v y ON x.id <> y.id AND (x.ba = y.ba OR x.bb = y.bb)),
+           |g AS (SELECT src, dst FROM (SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn FROM mt)
+           |  WHERE rn <= 5),
+           |c0 AS (SELECT x.id AS pid, y.id AS cid
+           |  FROM v x JOIN v y ON x.ba = y.ba AND x.id <> y.id
+           |  WHERE x.id % 50 = 0),
+           |th AS (SELECT g1.src AS pid, g2.dst AS cid
+           |  FROM g g1 JOIN g g2 ON g1.dst = g2.src
+           |  WHERE g1.src % 50 = 0 AND g1.src <> g2.dst),
+           |c1 AS (SELECT DISTINCT pid, cid FROM
+           |  (SELECT pid, cid FROM c0 UNION ALL SELECT pid, cid FROM th)),
+           |tk0 AS (SELECT pid, cid FROM (SELECT c.pid, c.cid,
+           |    row_number() OVER (PARTITION BY c.pid
+           |      ORDER BY ${cos("p.embedding", "e.embedding")} DESC, c.cid) AS rn
+           |  FROM c0 c JOIN embeddings p ON p.vec_id = c.pid
+           |    JOIN embeddings e ON e.vec_id = c.cid) WHERE rn <= 10),
+           |tk1 AS (SELECT pid, cid FROM (SELECT c.pid, c.cid,
+           |    row_number() OVER (PARTITION BY c.pid
+           |      ORDER BY ${cos("p.embedding", "e.embedding")} DESC, c.cid) AS rn
+           |  FROM c1 c JOIN embeddings p ON p.vec_id = c.pid
+           |    JOIN embeddings e ON e.vec_id = c.cid) WHERE rn <= 10),
+           |br AS (SELECT pid, cid FROM (SELECT p.vec_id AS pid, e.vec_id AS cid,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY ${cos("p.embedding", "e.embedding")} DESC, e.vec_id) AS rn
+           |  FROM embeddings e CROSS JOIN
+           |    (SELECT * FROM embeddings WHERE vec_id % 50 = 0) p
+           |  WHERE e.vec_id <> p.vec_id) WHERE rn <= 10),
+           |nb AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_base_cand FROM c0 GROUP BY 1),
+           |ne AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_exp_cand FROM c1 GROUP BY 1),
+           |bh AS (SELECT t.pid, CAST(count(*) AS BIGINT) AS base_hits
+           |  FROM tk0 t JOIN br USING (pid, cid) GROUP BY 1),
+           |eh AS (SELECT t.pid, CAST(count(*) AS BIGINT) AS expanded_hits
+           |  FROM tk1 t JOIN br USING (pid, cid) GROUP BY 1),
+           |p0 AS (SELECT vec_id AS pid FROM embeddings WHERE vec_id % 50 = 0)
+           |SELECT p0.pid AS probe_id,
+           |  COALESCE(nb.n_base_cand, 0) AS n_base_cand,
+           |  COALESCE(ne.n_exp_cand, 0) AS n_exp_cand,
+           |  COALESCE(bh.base_hits, 0) AS base_hits,
+           |  COALESCE(eh.expanded_hits, 0) AS expanded_hits
+           |FROM p0 LEFT JOIN nb USING (pid) LEFT JOIN ne USING (pid)
+           |  LEFT JOIN bh USING (pid) LEFT JOIN eh USING (pid)
+           |ORDER BY probe_id""".stripMargin
+      }
     )
   )
 }

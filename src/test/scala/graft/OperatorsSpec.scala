@@ -4079,6 +4079,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(cc == 1L)
   }
 
+  test("graph-expanded ann: superset candidates never lose hits; one table expands nothing") {
+    // fixed-seed random vectors — enough spread that buckets split real
+    // neighborhoods (a lattice-structured fixture made buckets A and B
+    // coincide and hid the expansion)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 120L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.graphExpandedRecall(vecs, "vec_id", "embedding",
+      probeMod = 20L, bits = 3, kGraph = 4, k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.length == 6)
+    // C0 ⊆ C1 and truth is the global top-k, so expansion can only add hits
+    assert(r.forall { case (_, nb, ne, bh, eh) => ne >= nb && eh >= bh })
+    // the second table must actually widen at least one probe's frontier
+    assert(r.exists { case (_, nb, ne, _, _) => ne > nb })
+    // NEGATIVE CONTROL: same seed for both tables = a one-table graph, and
+    // a one-table graph's two-hop neighbourhood IS the bucket — expansion
+    // must add exactly nothing (the failure mode an earlier cut had)
+    val same = Similarity.graphExpandedRecall(vecs, "vec_id", "embedding",
+      probeMod = 20L, bits = 3, kGraph = 4, k = 5,
+      seed2 = Similarity.DefaultPlaneSeed)
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(same.forall { case (nb, ne) => ne == nb })
+  }
+
   test("ndcg discount table matches floor(1e6/log2(i+1)) and its prefix sum") {
     val expected = (1 to 10).map(i => (1e6 / (math.log(i + 1) / math.log(2))).toLong)
     assert(graft.queries.ExtensionQueries.NdcgDisc == expected)
