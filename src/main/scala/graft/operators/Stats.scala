@@ -688,6 +688,96 @@ object Stats {
           .as("a_fp"))
   }
 
+  /** Sample autocorrelation at lags 1..`maxLag` in exact integer algebra —
+    * the self-similarity diagnostic next to [[interArrivalStats]]
+    * (burstiness) and [[groupedTrend]] (drift): does a series remember
+    * itself one step back, two, three? Expanding the mean-centered products
+    * algebraically removes the two-pass mean:
+    *
+    *   c_k = n²·Σx_t·x_{t+k} − n·S·(Σ_head + Σ_tail) + cnt_k·S²
+    *   c_0 = n²·Σx² − n·S²,        acf_k = c_k / c_0   (rendered ×10⁴)
+    *
+    * where S = Σx and Σ_head/Σ_tail are the lag-clipped partial sums — so
+    * ONE keyed window (the `lead`s) plus ONE aggregate computes every lag,
+    * values pre-quantized to integers and products on DECIMAL(38,0).
+    * Truncation-toward-zero division on both engines; negative
+    * autocorrelation renders exactly.
+    *
+    * Scale: the window sorts per group (parallel across groups); headroom
+    * n²·Σx² ≤ 10³⁸ holds to n ≈ 10⁷ rows/group at cents magnitudes. */
+  def acf(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12, "maxLag out of range")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
+    val withLeads = (1 to maxLag).foldLeft(
+      df.select((groupCol +: valueCol +: orderCols).distinct.map(col): _*)) {
+      (acc, k) => acc.withColumn(s"__lead$k", lead(col(valueCol), k).over(w))
+    }
+    val aggs = Seq(
+      count(lit(1)).cast("long").as("n"),
+      sum(d(col(valueCol))).as("s"),
+      sum(d(col(valueCol)) * d(col(valueCol))).as("sxx")) ++
+      (1 to maxLag).flatMap { k =>
+        val lk = col(s"__lead$k")
+        Seq(
+          sum(when(lk.isNotNull, d(col(valueCol)) * d(lk)).otherwise(lit(0))).as(s"sxy$k"),
+          sum(when(lk.isNotNull, d(col(valueCol))).otherwise(lit(0))).as(s"sh$k"),
+          sum(when(lk.isNotNull, d(lk)).otherwise(lit(0))).as(s"st$k"),
+          sum(when(lk.isNotNull, 1L).otherwise(0L)).as(s"cnt$k"))
+      }
+    val g = withLeads.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__c0", expr("CAST(n AS DECIMAL(38,0)) * n * sxx - CAST(n AS DECIMAL(38,0)) * s * s"))
+    (1 to maxLag).map { k =>
+      g.select(col(groupCol), lit(k).as("lag"), col("n"),
+        when(col("__c0") > 0, expr(
+          s"CAST(((CAST(n AS DECIMAL(38,0)) * n * sxy$k" +
+            s" - CAST(n AS DECIMAL(38,0)) * s * (sh$k + st$k)" +
+            s" + CAST(cnt$k AS DECIMAL(38,0)) * s * s) * 10000) div __c0 AS BIGINT)"))
+          .as("acf_fp"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact trimmed mean — the outlier-robust location estimate between the
+    * plain mean (breaks on one wild value) and the median (throws away all
+    * magnitude information): drop the bottom and top `trimPct`% BY RANK
+    * (floor(n·pct/100) rows each side, tie-broken on `tieCol` so both
+    * engines cut the identical rows) and average the rest at ×`scale`
+    * fixed point. One keyed window rank + one aggregate; integer division
+    * truncates identically cross-engine. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, trimPct: Int, scale: Int = 1000): DataFrame = {
+    require(trimPct >= 1 && trimPct < 50, "trimPct in 1..49")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val n = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("__cut", expr(s"CAST(__n * $trimPct div 100 AS INT)"))
+      .filter(col("__rn") > col("__cut") && col("__rn") <= col("__n") - col("__cut"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        expr(s"CAST(sum(CAST($valueCol AS DECIMAL(38,0))) * $scale div count(*) AS BIGINT)")
+          .as("trimmed_mean_fp"))
+  }
+
+  /** Per-group rank normalization to basis points — the distribution-free
+    * feature transform (the rank half of rank-gauss): value →
+    * floor((rank−1)·10⁴/(n−1)) ∈ [0, 10000], tie-broken on `tieCol` so
+    * the mapping is a bijection both engines agree on. Constant groups
+    * (n = 1) map to 0. One keyed window; no global sort. */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val n = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("rank_bp",
+        when(col("__n") > 1,
+          expr("CAST((__rn - 1) * 10000 div (__n - 1) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .drop("__rn", "__n")
+  }
+
   /** Truncated-EWMA anomaly flags in exact integer algebra — the
     * exponentially-weighted complement to [[madOutliers]] (global robust
     * scale) and [[slotResidualOutliers]] (calendar baseline): here the

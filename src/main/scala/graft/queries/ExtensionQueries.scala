@@ -8019,6 +8019,108 @@ object ExtensionQueries {
            |  LEFT JOIN bh USING (pid) LEFT JOIN eh USING (pid)
            |ORDER BY probe_id""".stripMargin
       }
+    ),
+
+    // Sample autocorrelation at lags 1..3 (Stats.acf): does per-type spend
+    // remember itself? The mean-centered products expand algebraically
+    // (c_k = n²Σxy − nS(Σh+Σt) + cnt·S²) so ONE window + ONE aggregate
+    // covers every lag with no separate mean pass; everything rides
+    // DECIMAL(38,0)/HUGEINT and the ×10⁴ render divides once. The
+    // self-memory lens next to burstiness (q180) and trend (q149).
+    QueryDef(
+      "q280_acf",
+      (s, dir) => {
+        val e = eventsUs(s, dir).select(col("event_type"), col("ts_us"),
+          col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        Stats.acf(e, "event_type", Seq("ts_us", "event_id"), "cents", maxLag = 3)
+          .orderBy("event_type", "lag")
+      },
+      Some {
+        def lagSel(k: Int) =
+          s"""sum(CASE WHEN l$k IS NOT NULL THEN x * l$k ELSE 0 END) AS sxy$k,
+             |    sum(CASE WHEN l$k IS NOT NULL THEN x ELSE 0 END) AS sh$k,
+             |    sum(CASE WHEN l$k IS NOT NULL THEN l$k ELSE 0 END) AS st$k,
+             |    sum(CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END) AS cnt$k""".stripMargin
+        def lagOut(k: Int) =
+          s"""SELECT event_type, CAST($k AS INT) AS lag, CAST(n AS BIGINT) AS n,
+             |  CAST(CASE WHEN c0 > 0 THEN
+             |    ((n*n*sxy$k - n*s*(sh$k + st$k) + cnt$k*s*s) * 10000) // c0 END
+             |    AS BIGINT) AS acf_fp
+             |FROM c""".stripMargin
+        s"""WITH e AS (SELECT event_type, event_id,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           |    epoch_us(ts) AS ts_us
+           |  FROM events),
+           |l AS (SELECT event_type, x,
+           |    lead(x, 1) OVER w AS l1, lead(x, 2) OVER w AS l2, lead(x, 3) OVER w AS l3
+           |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+           |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x*x) AS HUGEINT) AS sxx,
+           |    ${lagSel(1)},
+           |    ${lagSel(2)},
+           |    ${lagSel(3)}
+           |  FROM l GROUP BY event_type),
+           |c AS (SELECT *, n*n*sxx - n*s*s AS c0 FROM g)
+           |SELECT * FROM (${lagOut(1)} UNION ALL ${lagOut(2)} UNION ALL ${lagOut(3)})
+           |ORDER BY event_type, lag""".stripMargin
+      }
+    ),
+
+    // Exact trimmed mean (Stats.trimmedMean): per-type spend with the top
+    // and bottom 5% BY RANK removed — the robust location estimate between
+    // mean and median, cut rows pinned by (value, event_id) tie-break so
+    // both engines drop the identical rows. Certificate includes the kept
+    // count, so an off-by-one at either cut surfaces as a row diff.
+    QueryDef(
+      "q281_trimmed_mean",
+      (s, dir) => {
+        val e = eventsUs(s, dir).select(col("event_type"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        Stats.trimmedMean(e, "event_type", "cents", "event_id", trimPct = 5)
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events),
+             |r AS (SELECT event_type, cents,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM e),
+             |k AS (SELECT event_type, cents FROM r
+             |  WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(CAST(sum(cents) AS HUGEINT) * 1000 // count(*) AS BIGINT) AS trimmed_mean_fp
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Per-group rank normalization to basis points (Stats.rankNormalize):
+    // the distribution-free feature transform — value → (rank−1)·10⁴ div
+    // (n−1), a bijection pinned by the (value, event_id) tie-break. Ranks
+    // are computed over the FULL group; the output samples every 199th
+    // event so the dump stays small while any rank shift anywhere in the
+    // group moves some sampled row's basis points.
+    QueryDef(
+      "q282_rank_normalize",
+      (s, dir) => {
+        val e = eventsUs(s, dir).select(col("event_type"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        Stats.rankNormalize(e, "event_type", "cents", "event_id")
+          .filter(col("event_id") % 199 === 0)
+          .select(col("event_type"), col("event_id"), col("cents"), col("rank_bp"))
+          .orderBy("event_type", "event_id")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events),
+             |r AS (SELECT event_type, event_id, cents,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM e)
+             |SELECT event_type, event_id, cents,
+             |  CAST(CASE WHEN n > 1 THEN (rn - 1) * 10000 // (n - 1) ELSE 0 END AS BIGINT) AS rank_bp
+             |FROM r WHERE event_id % 199 = 0
+             |ORDER BY event_type, event_id""".stripMargin)
     )
   )
 }

@@ -4105,6 +4105,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(same.forall { case (nb, ne) => ne == nb })
   }
 
+  test("acf: alternating series gives exact ±(n-k)/n ladder, constant series nulls") {
+    val alt = (1L to 10L).map(i => ("alt", i, if (i % 2 == 0) 7L else -7L))
+    val const = (1L to 10L).map(i => ("const", i, 5L))
+    val r = Stats.acf((alt ++ const).toDF("g", "o", "x"), "g", Seq("o"), "x", maxLag = 3)
+      .collect().map(x => ((x.getString(0), x.getInt(1)),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+    // S = 0: acf_k = ±(n−k)·10⁴ div n, sign (−1)^k
+    assert(r(("alt", 1)) == Some(-9000L))
+    assert(r(("alt", 2)) == Some(8000L))
+    assert(r(("alt", 3)) == Some(-7000L))
+    // zero variance → c0 = 0 → NULL, not a division blowup
+    assert(Seq(1, 2, 3).forall(k => r(("const", k)).isEmpty))
+  }
+
+  test("trimmed mean: rank cuts drop exactly the wild rows, kept count in output") {
+    val df = ((1L to 10L).map(v => ("g", v * 100L, v)) ++
+      Seq(("g", 100000L, 11L), ("g", -100000L, 12L))).toDF("g", "cents", "id")
+    val r = Stats.trimmedMean(df, "g", "cents", "id", trimPct = 10).collect().head
+    // n=12, cut = floor(12·10/100) = 1 each side → both outliers gone
+    assert(r.getAs[Long]("n_kept") == 10L)
+    assert(r.getAs[Long]("trimmed_mean_fp") == 550000L) // mean 550 cents ×1000
+  }
+
+  test("rank normalize: bijection to basis points with tie-break, singleton maps to 0") {
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 20L, 3L), ("a", 30L, 4L),
+      ("b", 99L, 5L)).toDF("g", "v", "id")
+    val r = Stats.rankNormalize(df, "g", "v", "id")
+      .collect().map(x => (x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(1L -> 0L, 2L -> 3333L, 3L -> 6666L, 4L -> 10000L, 5L -> 0L))
+  }
+
   test("ndcg discount table matches floor(1e6/log2(i+1)) and its prefix sum") {
     val expected = (1 to 10).map(i => (1e6 / (math.log(i + 1) / math.log(2))).toLong)
     assert(graft.queries.ExtensionQueries.NdcgDisc == expected)
