@@ -90,4 +90,36 @@ object Governance {
         expr(s"CAST(((8 * yes_reported - n) * $scale) div 6 AS BIGINT)"))
       .withColumn("err_fp", abs(col("est_fp") - col("yes_true") * scale))
   }
+
+  /** k-anonymity with a two-level local-generalization ladder — the
+    * release-side privacy primitive next to [[randomizedResponseCounts]]
+    * (collection-side): a quasi-identifier combination shared by fewer
+    * than k rows re-identifies; the fix is not to drop those rows but to
+    * GENERALIZE until each survives in a crowd of ≥ k:
+    *
+    *   level 0 — (qi1, qi2) combos with ≥ k rows release at full detail;
+    *   level 1 — rows of failing combos regroup on qi1 alone ('*' for
+    *             qi2); qi1 groups that now reach k release generalized;
+    *   level 2 — the remainder is suppressed outright.
+    *
+    * Output: one row per ORIGINAL combo with its row count and assigned
+    * level — the reviewable release plan (the same plan-as-data contract
+    * as [[cascadeManifest]]). Two keyed aggregates + one keyed join; the
+    * level-1 recount runs over failing rows only. Levels are monotone in
+    * k and deterministic — no tie-breaking exists to get wrong. */
+  def kAnonymityLevels(df: DataFrame, qi1: String, qi2: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val g0 = df.groupBy(col(qi1), col(qi2))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val failing = g0.filter(col("n_rows") < k)
+    val g1 = failing.groupBy(col(qi1))
+      .agg(sum("n_rows").as("__n1"))
+    g0.join(g1, Seq(qi1), "left_outer")
+      .withColumn("level",
+        when(col("n_rows") >= k, 0)
+          .when(col("__n1") >= k, 1)
+          .otherwise(2))
+      .select(col(qi1), col(qi2), col("n_rows"), col("level"))
+  }
 }

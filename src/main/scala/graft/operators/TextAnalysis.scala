@@ -1069,4 +1069,33 @@ object TextAnalysis {
       .join(firsts, Seq("bucket"), "left")
       .na.fill(0L, Seq("new_tokens"))
   }
+
+  /** Flesch reading-ease in ×1000 fixed point — the readability lens next
+    * to the Gopher gates (q83) and LM fluency (q112): a curation signal
+    * that needs no trained model and no floats. The three counts are all
+    * single regexp passes: words = whitespace-split tokens, sentences =
+    * maximal [.!?] runs, syllables = maximal vowel-group runs over the
+    * lowercased text (whitespace breaks groups, so the text-global count
+    * equals the per-word sum). The classic 206.835 − 1.015·w/s −
+    * 84.6·syl/w lands as
+    *
+    *   flesch_fp = 206835 − (1015·w) div s − (84600·syl) div w
+    *
+    * with truncation-toward-zero on both divisions — a documented ≤1
+    * fixed-point-unit quantization both engines replay identically.
+    * Degenerate docs (no words or no sentences) yield NULL, not a
+    * division error. Pure map-side scan. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol),
+        expr(s"size(filter(split($textCol, '\\\\s+'), x -> x <> ''))")
+          .cast("long").as("n_words"),
+        expr(s"size(regexp_extract_all($textCol, '[.!?]+', 0))")
+          .cast("long").as("n_sentences"),
+        expr(s"size(regexp_extract_all(lower($textCol), '[aeiouy]+', 0))")
+          .cast("long").as("n_syllables"))
+      .withColumn("flesch_fp",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(206835L) - expr("(1015 * n_words) div n_sentences") -
+            expr("(84600 * n_syllables) div n_words")))
+  }
 }

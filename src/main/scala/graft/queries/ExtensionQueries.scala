@@ -8121,6 +8121,92 @@ object ExtensionQueries {
              |  CAST(CASE WHEN n > 1 THEN (rn - 1) * 10000 // (n - 1) ELSE 0 END AS BIGINT) AS rank_bp
              |FROM r WHERE event_id % 199 = 0
              |ORDER BY event_type, event_id""".stripMargin)
+    ),
+
+    // Flesch reading-ease datasheet (TextAnalysis.readability): the
+    // trained-nothing readability lens next to Gopher gates (q83) and LM
+    // fluency (q112) — three regexp counts (words, [.!?]+ sentence runs,
+    // vowel-group syllables) and the classic formula at ×1000 fixed point
+    // with truncating divisions both engines replay. Map-side scan only.
+    QueryDef(
+      "q283_readability",
+      (s, dir) =>
+        TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+             |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CAST(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+             |    206835 - (1015 * n_words) // n_sentences - (84600 * n_syllables) // n_words
+             |  END AS BIGINT) AS flesch_fp
+             |FROM c ORDER BY doc_id""".stripMargin)
+    ),
+
+    // k-anonymity release plan (Governance.kAnonymityLevels): the
+    // (lang, source) quasi-identifier lattice over documents at k=5 —
+    // combos with ≥5 rows release at full detail (level 0), failing
+    // combos regroup on lang alone and release generalized if the crowd
+    // reaches 5 (level 1), the rest are suppressed (level 2). The
+    // collection-side twin q276 adds noise; this is the release-side
+    // crowd requirement, emitted as the reviewable plan-as-data contract.
+    QueryDef(
+      "q284_k_anonymity",
+      (s, dir) =>
+        Governance.kAnonymityLevels(t(s, dir, "documents"), "lang", "source", k = 5)
+          .orderBy("lang", "source"),
+      Some("""WITH g0 AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows
+             |  FROM documents GROUP BY 1, 2),
+             |g1 AS (SELECT lang, sum(n_rows) AS n1 FROM g0 WHERE n_rows < 5 GROUP BY 1)
+             |SELECT g0.lang, g0.source, g0.n_rows,
+             |  CAST(CASE WHEN g0.n_rows >= 5 THEN 0
+             |       WHEN g1.n1 >= 5 THEN 1 ELSE 2 END AS INT) AS level
+             |FROM g0 LEFT JOIN g1 ON g0.lang = g1.lang
+             |ORDER BY g0.lang, g0.source""".stripMargin)
+    ),
+
+    // Identity stitching (cross-device entity resolution): users and
+    // device-ids from event props form a bipartite graph (edge = user
+    // seen on device ≥4 times — the damping that keeps casual overlap
+    // from wiring everyone together), connected components stitch the
+    // identities. Spark runs the O(log n) star contraction; the oracle
+    // computes the SAME components from first principles via a recursive
+    // transitive closure — a data-driven CC certified without planted
+    // structure, where q259's closed-form oracle couldn't reach.
+    QueryDef(
+      "q285_identity_stitch",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val edges = e.groupBy("user_id", "k")
+          .agg(count(lit(1)).as("__c")).filter(col("__c") >= 4)
+          .select(col("user_id").as("a"), (col("k") + 1000000L).as("b"))
+        Dedup.connectedComponentsStarContraction(edges, "a", "b")
+          .groupBy("component")
+          .agg(sum(when(col("id") < 1000000L, 1L).otherwise(0L)).as("n_users"),
+            sum(when(col("id") >= 1000000L, 1L).otherwise(0L)).as("n_devices"),
+            min(when(col("id") < 1000000L, col("id"))).as("min_user"),
+            max(when(col("id") < 1000000L, col("id"))).as("max_user"))
+          .orderBy("component")
+      },
+      Some("""WITH RECURSIVE
+             |e AS (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events),
+             |g AS (SELECT user_id, k FROM e GROUP BY user_id, k HAVING count(*) >= 4),
+             |ed AS (SELECT user_id AS a, k + 1000000 AS b FROM g),
+             |und AS (SELECT a AS s, b AS d FROM ed UNION SELECT b, a FROM ed),
+             |nodes AS (SELECT DISTINCT s AS n FROM und),
+             |reach(a, b) AS (SELECT n, n FROM nodes
+             |  UNION SELECT r.a, u.d FROM reach r JOIN und u ON r.b = u.s),
+             |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+             |SELECT CAST(component AS BIGINT) AS component,
+             |  CAST(sum(CASE WHEN id < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+             |  CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_devices,
+             |  CAST(min(CASE WHEN id < 1000000 THEN id END) AS BIGINT) AS min_user,
+             |  CAST(max(CASE WHEN id < 1000000 THEN id END) AS BIGINT) AS max_user
+             |FROM comp GROUP BY component ORDER BY component""".stripMargin)
     )
   )
 }

@@ -4136,6 +4136,65 @@ class OperatorsSpec extends SparkTestBase {
     assert(r == Map(1L -> 0L, 2L -> 3333L, 3L -> 6666L, 4L -> 10000L, 5L -> 0L))
   }
 
+  test("plan shape: partitioned snapshots get dynamic partition pruning on dim-filtered joins") {
+    // the payoff partitioned snapshots buy at 100 TB: a join against a
+    // selectively-filtered dim plans a runtime partition-pruning subquery
+    // on the fact scan, so only the matching partition DIRECTORIES are
+    // read — the fact side never lists, let alone scans, the rest
+    val tmp = java.nio.file.Files.createTempDirectory("dpp").toString
+    (0L until 20000L).map(i => (i, i % 20, i * 3 % 1000))
+      .toDF("id", "p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // two disqualifiers found the hard way, both silent: (1) partition
+    // directories read back as INT, so a BIGINT dim key inserts a cast on
+    // the join key and the scan no longer qualifies; (2) an in-memory dim
+    // gets its Filter constant-folded into the LocalRelation before the
+    // PartitionPruning rule runs, leaving no "selective predicate" — the
+    // dim must be a file source for the filter to survive to that batch
+    val dimPath = java.nio.file.Files.createTempDirectory("dppdim").toString
+    (0 until 20).map(i => (i, if (i < 2) "keep" else "drop"))
+      .toDF("p", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter(col("tag") === "keep"), Seq("p"))
+      .groupBy("p").agg(sum("v").as("sv"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-partition-pruning subquery on the fact scan:\n$plan")
+    assert(joined.collect().length == 2) // 2 of 20 partitions survive
+  }
+
+  test("readability: hand-counted flesch fixed point, degenerate docs null") {
+    val df = Seq(
+      (1L, "The cat sat. It ran!"),
+      (2L, ""),            // no words, no sentences -> NULL score
+      (3L, "word word")    // words but no sentence marks -> NULL score
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, "doc_id", "text").orderBy("doc_id").collect()
+    // 5 words, 2 sentence runs, 5 vowel groups:
+    // 206835 - (1015*5) div 2 - (84600*5) div 5 = 206835 - 2537 - 84600
+    assert(r(0).getAs[Long]("n_words") == 5L &&
+      r(0).getAs[Long]("n_sentences") == 2L &&
+      r(0).getAs[Long]("n_syllables") == 5L &&
+      r(0).getAs[Long]("flesch_fp") == 119698L)
+    assert(r(1).isNullAt(4) && r(2).isNullAt(4))
+  }
+
+  test("k-anonymity ladder: full-detail, generalized, and suppressed levels assigned exactly") {
+    val rows =
+      (1 to 6).map(i => ("en", "s1", i)) ++   // combo >= 5   -> level 0
+      (1 to 3).map(i => ("en", "s2", i)) ++   // fails alone...
+      (1 to 2).map(i => ("en", "s3", i)) ++   // ...but en-failing rows = 5 -> level 1
+      (1 to 4).map(i => ("de", "s4", i))      // de-failing rows = 4 < 5    -> level 2
+    val r = Governance.kAnonymityLevels(rows.toDF("lang", "source", "x"),
+      "lang", "source", k = 5)
+      .collect().map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getInt(3)))).toMap
+    assert(r(("en", "s1")) == (6L, 0))
+    assert(r(("en", "s2")) == (3L, 1))
+    assert(r(("en", "s3")) == (2L, 1))
+    assert(r(("de", "s4")) == (4L, 2))
+  }
+
   test("ndcg discount table matches floor(1e6/log2(i+1)) and its prefix sum") {
     val expected = (1 to 10).map(i => (1e6 / (math.log(i + 1) / math.log(2))).toLong)
     assert(graft.queries.ExtensionQueries.NdcgDisc == expected)
