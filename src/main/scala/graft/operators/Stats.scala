@@ -255,6 +255,57 @@ object Stats {
         expr("n * 1000000 div __tot").as("p_x1m"))
   }
 
+  /** Chapman–Kolmogorov Markovianity certificate: is one step of memory
+    * enough? If the state sequence is first-order Markov, the two-step
+    * transition matrix must equal the one-step matrix squared — so the
+    * certificate computes BOTH sides empirically and reports the gap:
+    *
+    *   model:     P²(i,k) = Σ_j P(i,j)·P(j,k)   (lag-1 estimates)
+    *   empirical: P̂₂(i,k) from direct lag-2 counts
+    *
+    * in ×10⁶ fixed point (the [[markovTransitions]] convention): the
+    * matrix product sums p·p products (≤ 10¹²·|states| — long-safe) and
+    * divides by 10⁶ once at the end; both engines truncate identically.
+    * A large diff on some (i,k) is evidence the chain remembers more than
+    * one step — the modeling-assumption audit next to the ACF's linear
+    * memory lens.
+    *
+    * One keyed window supplies both lags; the matrix product is a
+    * |states|²-sized self-join — states are categorical (handfuls), so
+    * the join is a broadcast triviality at any corpus size. */
+  def markovChapmanKolmogorov(df: DataFrame, entityCol: String,
+      stateCol: String, orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+    val base = df
+      .select(col(entityCol) +: col(stateCol).as("s0") +: orderCols.map(col): _*)
+      .withColumn("s1", lead(col("s0"), 1).over(w))
+      .withColumn("s2", lead(col("s0"), 2).over(w))
+      .localCheckpoint()
+    def probs(toCol: String): DataFrame = {
+      val pairs = base.filter(col(toCol).isNotNull)
+        .groupBy(col("s0").as("from_state"), col(toCol).as("to_state"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("from_state").agg(sum("n").as("__tot"))
+      pairs.join(tot, "from_state")
+        .select(col("from_state"), col("to_state"),
+          expr("n * 1000000 div __tot").as("p_fp"))
+    }
+    val p1 = probs("s1").localCheckpoint()
+    val model = p1.select(col("from_state").as("i"), col("to_state").as("j"),
+        col("p_fp").as("pij"))
+      .join(p1.select(col("from_state").as("j"), col("to_state").as("k"),
+        col("p_fp").as("pjk")), Seq("j"))
+      .groupBy(col("i").as("from_state"), col("k").as("to_state"))
+      .agg(expr("CAST(sum(pij * pjk) div 1000000 AS BIGINT)").as("p2_model_fp"))
+    val emp = probs("s2")
+      .select(col("from_state"), col("to_state"), col("p_fp").as("p2_emp_fp"))
+    model.join(emp, Seq("from_state", "to_state"), "full_outer")
+      .select(col("from_state"), col("to_state"),
+        coalesce(col("p2_model_fp"), lit(0L)).as("p2_model_fp"),
+        coalesce(col("p2_emp_fp"), lit(0L)).as("p2_emp_fp"))
+      .withColumn("diff_fp", col("p2_model_fp") - col("p2_emp_fp"))
+  }
+
   /** Peak concurrency per group via the classic sweep line: each interval
     * `[start, end)` contributes a +1 event at `start` and a -1 event at
     * `end`; the running sum of events in time order is the number of

@@ -8207,6 +8207,96 @@ object ExtensionQueries {
              |  CAST(min(CASE WHEN id < 1000000 THEN id END) AS BIGINT) AS min_user,
              |  CAST(max(CASE WHEN id < 1000000 THEN id END) AS BIGINT) AS max_user
              |FROM comp GROUP BY component ORDER BY component""".stripMargin)
+    ),
+
+    // Column-level lineage from the ANALYZED Catalyst plan (tools
+    // .Lineage): which source columns can influence each output column of
+    // a pipeline — the impact-analysis / PII-reachability answer read off
+    // the attribute graph BEFORE anything executes (zero jobs run; the
+    // result frame is built from the plan). The pipeline under audit
+    // joins orders to customer, derives a flag, and aggregates; the
+    // oracle pins the hand-derived truth: the weighted sum must trace to
+    // o_totalprice ONLY (through the derived flag), the count to no
+    // column at all.
+    QueryDef(
+      "q286_column_lineage",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val pipe = o.join(c, o("o_custkey") === c("c_custkey"))
+          .withColumn("big", col("o_totalprice") > 100000)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(sum(col("o_totalprice") *
+              when(col("big"), 2).otherwise(1)).as("weighted"),
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"))
+        graft.tools.Lineage.columnLineageDf(s, pipe)
+          .orderBy("out_column", "src_table", "src_column")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('n_customers', 'orders', 'o_custkey'),
+             |  ('n_orders', '(literal)', '(literal)'),
+             |  ('segment', 'customer', 'c_mktsegment'),
+             |  ('weighted', 'orders', 'o_totalprice'))
+             |AS t(out_column, src_table, src_column)
+             |ORDER BY out_column, src_table, src_column""".stripMargin)
+    ),
+
+    // Chapman–Kolmogorov Markovianity certificate (Stats
+    // .markovChapmanKolmogorov): if per-user event sequences were
+    // first-order Markov, the two-step transition matrix would equal the
+    // one-step matrix squared — both sides computed empirically in ×10⁶
+    // fixed point, their gap per (from, to) cell IS the output. The
+    // modeling-assumption audit on top of q161's transition matrix.
+    QueryDef(
+      "q287_markov_ck",
+      (s, dir) => {
+        val e = eventsUs(s, dir)
+        Stats.markovChapmanKolmogorov(e, "user_id", "event_type",
+            Seq("ts_us", "event_id"))
+          .orderBy("from_state", "to_state")
+      },
+      Some("""WITH b AS (SELECT user_id, event_type AS s0,
+             |    lead(event_type, 1) OVER w AS s1, lead(event_type, 2) OVER w AS s2
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+             |n1 AS (SELECT s0 AS f, s1 AS t, count(*) AS n FROM b WHERE s1 IS NOT NULL GROUP BY 1, 2),
+             |p1 AS (SELECT f, t, n * 1000000 // sum(n) OVER (PARTITION BY f) AS p FROM n1),
+             |md AS (SELECT a.f, b2.t, CAST(sum(a.p * b2.p) // 1000000 AS BIGINT) AS p2m
+             |  FROM p1 a JOIN p1 b2 ON a.t = b2.f GROUP BY 1, 2),
+             |n2 AS (SELECT s0 AS f, s2 AS t, count(*) AS n FROM b WHERE s2 IS NOT NULL GROUP BY 1, 2),
+             |p2 AS (SELECT f, t, CAST(n * 1000000 // sum(n) OVER (PARTITION BY f) AS BIGINT) AS p2e FROM n2)
+             |SELECT COALESCE(md.f, p2.f) AS from_state, COALESCE(md.t, p2.t) AS to_state,
+             |  COALESCE(p2m, 0) AS p2_model_fp, COALESCE(p2e, 0) AS p2_emp_fp,
+             |  COALESCE(p2m, 0) - COALESCE(p2e, 0) AS diff_fp
+             |FROM md FULL OUTER JOIN p2 ON md.f = p2.f AND md.t = p2.t
+             |ORDER BY from_state, to_state""".stripMargin)
+    ),
+
+    // Sliding-window distinct users — the native Spark `window()` sliding
+    // window (1 h length, 15 min slide: every event lands in exactly 4
+    // windows) with exact distinct-user counts per window; the oracle
+    // re-derives the same epoch-aligned window starts by integer
+    // arithmetic and explodes the 4 memberships. The batch twin of the
+    // streaming windowed-agg path, under the driver's oracle.
+    QueryDef(
+      "q288_sliding_distinct",
+      (s, dir) => {
+        val e = events(s, dir)
+        e.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("n_events"), col("n_users"))
+          .orderBy("window_start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS u FROM events),
+             |m AS (SELECT user_id, u,
+             |    (u // 900000000) * 900000000 - unnest(range(4)) * 900000000 AS ws
+             |  FROM e)
+             |SELECT CAST(ws AS BIGINT) AS window_start_us,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM m GROUP BY ws ORDER BY window_start_us""".stripMargin)
     )
   )
 }

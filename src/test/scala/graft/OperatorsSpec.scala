@@ -4195,6 +4195,54 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(("de", "s4")) == (4L, 2))
   }
 
+  test("column lineage: union merges positionally, window and explode trace their inputs") {
+    import graft.tools.Lineage
+    val a = Seq((1L, "x")).toDF("id", "tag")
+    val b = Seq((2L, "y")).toDF("id", "tag")
+    // the true leaves of an in-memory tuple relation are _1/_2 — the
+    // toDF renames are Projects ABOVE the LocalRelation, and the walker
+    // reports leaves, not aliases
+    val unioned = a.unionByName(b).select(col("id").as("uid"))
+    assert(Lineage.columnLineage(unioned).toSet ==
+      Set(("uid", "(inline)", "_1")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("tag").orderBy("id")
+    val windowed = a.withColumn("rk", row_number().over(w))
+      .select("rk")
+    // row_number reads no value column, but its window references tag+id
+    assert(Lineage.columnLineage(windowed).toSet ==
+      Set(("rk", "(inline)", "_1"), ("rk", "(inline)", "_2")))
+    val exploded = Seq((1L, "p q")).toDF("id", "text")
+      .select(col("id"), explode(split(col("text"), " ")).as("tok"))
+    assert(Lineage.columnLineage(exploded).toSet ==
+      Set(("id", "(inline)", "_1"), ("tok", "(inline)", "_2")))
+  }
+
+  test("chapman-kolmogorov: deterministic cycle matches its square, period-2 chain exposed") {
+    // perfect 3-cycle: first-order Markov, so model == empirical on every cell
+    val cyc = (0 until 9).map(i => ("u", i.toLong, Seq("A", "B", "C")(i % 3)))
+      .toDF("ent", "o", "s")
+    val rc = Stats.markovChapmanKolmogorov(cyc, "ent", "s", Seq("o"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4)))
+    assert(rc.nonEmpty && rc.forall(_._2 == 0L))
+    // AABB-repeating chain: lag-1 says 50/50, lag-2 is deterministic —
+    // the certificate must expose the hidden second-order memory
+    val per2 = (0 until 9).map(i => ("u", i.toLong, Seq("A", "A", "B", "B")(i % 4)))
+      .toDF("ent", "o", "s")
+    val r2 = Stats.markovChapmanKolmogorov(per2, "ent", "s", Seq("o"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(r2(("A", "B")) == (500000L, 1000000L)) // model 1/2, reality always
+    assert(r2(("A", "A")) == (500000L, 0L))
+  }
+
+  test("sliding windows: one event lands in exactly len/slide windows") {
+    val df = Seq((java.sql.Timestamp.valueOf("2026-01-01 10:07:00"), 1L))
+      .toDF("ts", "user_id")
+    val r = df.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .count().collect()
+    assert(r.length == 4 && r.forall(_.getLong(1) == 1L))
+  }
+
   test("ndcg discount table matches floor(1e6/log2(i+1)) and its prefix sum") {
     val expected = (1 to 10).map(i => (1e6 / (math.log(i + 1) / math.log(2))).toLong)
     assert(graft.queries.ExtensionQueries.NdcgDisc == expected)
