@@ -8297,6 +8297,143 @@ object ExtensionQueries {
              |  CAST(count(*) AS BIGINT) AS n_events,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM m GROUP BY ws ORDER BY window_start_us""".stripMargin)
+    ),
+
+    // Sliding-window distinct via MERGEABLE sketches — q288's scale path:
+    // exact sliding countDistinct reprocesses every event len/slide times,
+    // while ONE HLL per 15-min base bucket merges into each 1-h window as
+    // pure sketch algebra (hll_union_agg over 4 tiny sketches) — at 100 TB
+    // the events are touched once and the window layer is metadata-sized.
+    // Certified with the q191 flag pattern: per window the estimate must
+    // land within 5% (+2 absolute for tiny windows) of the exact count
+    // the oracle recomputes.
+    QueryDef(
+      "q289_sliding_hll",
+      (s, dir) => {
+        val e = eventsUs(s, dir)
+          .withColumn("bucket", expr("(ts_us div 900000000) * 900000000"))
+        val perBucket = e.groupBy("bucket")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+            count(lit(1)).as("n"))
+        val windows = perBucket
+          .withColumn("m", explode(sequence(lit(0), lit(3))))
+          .withColumn("window_start_us", col("bucket") - col("m") * 900000000L)
+          .groupBy("window_start_us")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+            sum("n").as("n_events"))
+        val exact = e
+          .withColumn("m", explode(sequence(lit(0), lit(3))))
+          .withColumn("window_start_us", col("bucket") - col("m") * 900000000L)
+          .groupBy("window_start_us")
+          .agg(countDistinct("user_id").as("exact_users"))
+        windows.join(exact, Seq("window_start_us"))
+          .select(col("window_start_us"), col("n_events").cast("long"),
+            col("exact_users"),
+            when(abs(col("est") - col("exact_users")) * 100 <=
+              col("exact_users") * 5 + 200, 1L).otherwise(0L).as("est_ok"))
+          .orderBy("window_start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS u FROM events),
+             |m AS (SELECT user_id,
+             |    (u // 900000000) * 900000000 - unnest(range(4)) * 900000000 AS ws
+             |  FROM e)
+             |SELECT CAST(ws AS BIGINT) AS window_start_us,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  CAST(1 AS BIGINT) AS est_ok
+             |FROM m GROUP BY ws ORDER BY window_start_us""".stripMargin)
+    ),
+
+    // Token rank-churn report: the week-over-week movers table — top-20
+    // token ranks in the even-doc half vs the odd-doc half, joined on
+    // token with rank deltas and entered/left markers. Rank windows are
+    // per-half (keyed), the join carries only top-k rows, and the
+    // deterministic (count desc, token) order makes every rank
+    // engine-exact.
+    QueryDef(
+      "q290_rank_churn",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select((col("doc_id") % 2 === 0).as("even"),
+            explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("tok"))
+        def ranks(side: Boolean) = toks.filter(col("even") === side)
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("tok"))))
+          .filter(col("rank") <= 20)
+        ranks(true).select(col("tok"), col("rank").as("rank_a"), col("n").as("n_a"))
+          .join(ranks(false).select(col("tok"), col("rank").as("rank_b"), col("n").as("n_b")),
+            Seq("tok"), "full_outer")
+          .select(col("tok"),
+            coalesce(col("rank_a"), lit(0)).cast("int").as("rank_a"),
+            coalesce(col("rank_b"), lit(0)).cast("int").as("rank_b"),
+            (coalesce(col("rank_b"), lit(21)) - coalesce(col("rank_a"), lit(21)))
+              .cast("int").as("delta"))
+          .orderBy("tok")
+      },
+      Some("""WITH toks AS (SELECT doc_id % 2 = 0 AS even, unnest(list_filter(
+             |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |ra AS (SELECT tok, rank_a, n FROM (SELECT tok, count(*) AS n,
+             |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rank_a
+             |  FROM toks WHERE even GROUP BY tok) WHERE rank_a <= 20),
+             |rb AS (SELECT tok, rank_b, n FROM (SELECT tok, count(*) AS n,
+             |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rank_b
+             |  FROM toks WHERE NOT even GROUP BY tok) WHERE rank_b <= 20)
+             |SELECT COALESCE(ra.tok, rb.tok) AS tok,
+             |  CAST(COALESCE(rank_a, 0) AS INT) AS rank_a,
+             |  CAST(COALESCE(rank_b, 0) AS INT) AS rank_b,
+             |  CAST(COALESCE(rank_b, 21) - COALESCE(rank_a, 21) AS INT) AS delta
+             |FROM ra FULL OUTER JOIN rb ON ra.tok = rb.tok
+             |ORDER BY tok""".stripMargin)
+    ),
+
+    // Append-only zone-map maintenance: the metadata-layer IVM — per
+    // key-range segment (min, max, n_rows) zone rows maintained under an
+    // append batch by a keyed merge (least/greatest/sum), certified
+    // row-for-row against zone maps recomputed from the full union. Under
+    // APPENDS min/max are a lattice join (associative, no history needed)
+    // — deletes would need q273's multiplicity machinery, which is why
+    // engines invalidate rather than maintain zone maps on delete. At
+    // 100 TB the maintenance cost is the BATCH's zone rows, not a corpus
+    // rescan.
+    QueryDef(
+      "q291_zonemap_ivm",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 64).as("segment"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          (col("l_partkey") % 10).as("slice"))
+        def zones(d: DataFrame) = d.groupBy("segment")
+          .agg(min("price").as("zmin"), max("price").as("zmax"),
+            count(lit(1)).cast("long").as("n_rows"))
+        val base = zones(li.filter(col("slice") =!= 3))
+        val delta = zones(li.filter(col("slice") === 3))
+        val maintained = base.as("b").join(delta.as("d"), Seq("segment"), "full_outer")
+          .select(col("segment"),
+            least(col("b.zmin"), col("d.zmin")).as("zmin"),
+            greatest(col("b.zmax"), col("d.zmax")).as("zmax"),
+            (coalesce(col("b.n_rows"), lit(0L)) + coalesce(col("d.n_rows"), lit(0L)))
+              .as("n_rows"))
+        val recomputed = zones(li)
+          .select(col("segment"), col("zmin").as("rmin"), col("zmax").as("rmax"),
+            col("n_rows").as("rn"))
+        canonOut(maintained.join(recomputed, Seq("segment"))
+          .withColumn("match_ok",
+            when(col("zmin") === col("rmin") && col("zmax") === col("rmax") &&
+              col("n_rows") === col("rn"), 1L).otherwise(0L))
+          .select(col("segment"), col("zmin"), col("zmax"), col("n_rows"), col("match_ok"))
+          .orderBy("segment"))
+      },
+      Some("""WITH z AS (SELECT l_orderkey % 64 AS segment,
+             |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS zmin,
+             |    max(CAST(l_extendedprice AS DECIMAL(18,2))) AS zmax,
+             |    CAST(count(*) AS BIGINT) AS n_rows
+             |  FROM lineitem GROUP BY 1)
+             |SELECT segment, CAST(zmin AS VARCHAR) AS zmin, CAST(zmax AS VARCHAR) AS zmax,
+             |  n_rows, CAST(1 AS BIGINT) AS match_ok
+             |FROM z ORDER BY segment""".stripMargin)
     )
   )
 }
