@@ -8434,6 +8434,108 @@ object ExtensionQueries {
              |SELECT segment, CAST(zmin AS VARCHAR) AS zmin, CAST(zmax AS VARCHAR) AS zmax,
              |  n_rows, CAST(1 AS BIGINT) AS match_ok
              |FROM z ORDER BY segment""".stripMargin)
+    ),
+
+    // Decile lift chart: users ranked by total spend, dealt into 10
+    // ntile() deciles (SQL-standard sizing both engines implement
+    // identically: earlier tiles one row bigger), each decile reporting
+    // its share of purchases in basis points — the campaign-targeting
+    // "does the top decile carry the purchases" table. One user rollup,
+    // one global rank window, integer shares.
+    QueryDef(
+      "q292_decile_lift",
+      (s, dir) => {
+        val perUser = eventsUs(s, dir).groupBy("user_id")
+          .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .as("spend_cents"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("purchases"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("spend_cents").desc, col("user_id"))
+        val tot = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        perUser.withColumn("decile", ntile(10).over(w))
+          .groupBy("decile")
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum("spend_cents").as("spend_cents"),
+            sum("purchases").as("purchases"))
+          .withColumn("purchase_share_bp",
+            expr("purchases * 10000 div sum(purchases) over ()"))
+          .select(col("decile"), col("n_users"), col("spend_cents"),
+            col("purchases"), col("purchase_share_bp").cast("long"))
+          .orderBy("decile")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS spend_cents,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+             |  FROM events GROUP BY 1),
+             |d AS (SELECT ntile(10) OVER (ORDER BY spend_cents DESC, user_id) AS decile,
+             |    spend_cents, purchases FROM u),
+             |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(spend_cents) AS BIGINT) AS spend_cents,
+             |    CAST(sum(purchases) AS BIGINT) AS purchases
+             |  FROM d GROUP BY 1)
+             |SELECT decile, n_users, spend_cents, purchases,
+             |  CAST(purchases * 10000 // sum(purchases) OVER () AS BIGINT) AS purchase_share_bp
+             |FROM g ORDER BY decile""".stripMargin)
+    ),
+
+    // Foreign-key discovery by inclusion-dependency mining: for candidate
+    // (child.col → parent.col) pairs, the share of the child's DISTINCT
+    // values contained in the parent's key set — the schema-inference
+    // complement to key-candidate ranking (q158) and FD audit (q184). All
+    // probes are key-only distinct semi-joins (values shuffle once,
+    // payloads never), and a deliberately-wrong candidate shows partial
+    // containment so the flag actually discriminates.
+    QueryDef(
+      "q293_fk_discovery",
+      (s, dir) => {
+        def probe(childName: String, child: DataFrame, childCol: String,
+            parentName: String, parent: DataFrame, parentCol: String) = {
+          val cd = child.select(col(childCol).as("v")).filter(col("v").isNotNull)
+            .distinct()
+          val pd = parent.select(col(parentCol).as("v")).distinct()
+          cd.join(pd.withColumn("__in_parent", lit(1L)), Seq("v"), "left_outer")
+            .agg(count(lit(1)).cast("long").as("n_child_distinct"),
+              coalesce(sum("__in_parent"), lit(0L)).as("n_contained"))
+            .select(
+              lit(s"$childName.$childCol").as("child"),
+              lit(s"$parentName.$parentCol").as("parent"),
+              col("n_child_distinct"), col("n_contained"),
+              expr("n_contained * 10000 div n_child_distinct").as("containment_bp"),
+              when(col("n_contained") === col("n_child_distinct"), 1L)
+                .otherwise(0L).as("is_fk"))
+        }
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+        Seq(
+          probe("lineitem", li, "l_orderkey", "orders", o, "o_orderkey"),
+          probe("lineitem", li, "l_suppkey", "supplier", su, "s_suppkey"),
+          probe("orders", o, "o_custkey", "customer", c, "c_custkey"),
+          // the discriminating negative: order keys are NOT customer keys
+          probe("orders", o, "o_orderkey", "customer", c, "c_custkey")
+        ).reduce(_ unionByName _).orderBy("child", "parent")
+      },
+      Some {
+        def probe(cTab: String, cCol: String, pTab: String, pCol: String) =
+          s"""SELECT '$cTab.$cCol' AS child, '$pTab.$pCol' AS parent,
+             |  CAST(count(*) AS BIGINT) AS n_child_distinct,
+             |  CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+             |  CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS containment_bp,
+             |  CAST(CASE WHEN sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) = count(*)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_fk
+             |FROM (SELECT DISTINCT $cCol AS v FROM $cTab WHERE $cCol IS NOT NULL) c
+             |LEFT JOIN (SELECT DISTINCT $pCol AS v FROM $pTab) p USING (v)""".stripMargin
+        s"""SELECT * FROM (
+           |${probe("lineitem", "l_orderkey", "orders", "o_orderkey")}
+           |UNION ALL
+           |${probe("lineitem", "l_suppkey", "supplier", "s_suppkey")}
+           |UNION ALL
+           |${probe("orders", "o_custkey", "customer", "c_custkey")}
+           |UNION ALL
+           |${probe("orders", "o_orderkey", "customer", "c_custkey")})
+           |ORDER BY child, parent""".stripMargin
+      }
     )
   )
 }
