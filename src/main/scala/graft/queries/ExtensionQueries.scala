@@ -8536,6 +8536,358 @@ object ExtensionQueries {
            |${probe("orders", "o_orderkey", "customer", "c_custkey")})
            |ORDER BY child, parent""".stripMargin
       }
+    ),
+
+    // Schema evolution across snapshot files: a v1 writer (no discount
+    // column) and a v2 writer (adds it) land files in the SAME table
+    // directory; `mergeSchema` reconciles the footers and v1 rows surface
+    // the new column as NULL — the append-only column-add path every
+    // long-lived warehouse table walks. The audit reports the merged
+    // field list and per-column presence counts; the oracle re-derives
+    // them from the writer rules, so a reader that dropped v1 rows (or
+    // defaulted instead of NULLing) breaks the counts.
+    QueryDef(
+      "q294_schema_evolution",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("price"))
+          .write.mode("overwrite").parquet(tmp)
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("price"),
+            lit(42L).as("discount_cents"))
+          .write.mode("append").parquet(tmp)
+        val merged = s.read.option("mergeSchema", "true").parquet(tmp)
+        merged.agg(
+            count(lit(1)).cast("long").as("n_rows"),
+            count(col("price")).cast("long").as("n_with_price"),
+            count(col("discount_cents")).cast("long").as("n_with_discount"))
+          .withColumn("merged_schema",
+            lit(merged.schema.fieldNames.sorted.mkString(",")))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_with_price,
+             |  CAST(sum(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_discount,
+             |  'discount_cents,o_orderkey,price' AS merged_schema
+             |FROM orders""".stripMargin)
+    ),
+
+    // Plan-shape audit UNDER THE DRIVER GATE: the executed plan of a
+    // pinned pipeline (fact scan ⋈ broadcast dim → one aggregate)
+    // summarized as feature counts — hash exchanges, broadcast joins,
+    // parquet scans, cartesian absence — and compared against the
+    // hand-derived VALUES truth. The OperatorsSpec plan gates protect
+    // these shapes in CI; this row makes a representative one visible to
+    // the round's correctness report, so a Spark upgrade or conf drift
+    // that silently adds an exchange fails the ROUND, not just the local
+    // suite. (Counts are features of the plan, not timings — stable for
+    // a pinned Spark version and conf.)
+    QueryDef(
+      "q295_plan_audit",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val dim = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"))
+        val pipe = li.join(broadcast(dim), "l_orderkey")
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+        val plan = pipe.queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(plan).size.toLong
+        Seq((
+          n("Exchange hashpartitioning"),
+          n("BroadcastHashJoin"),
+          n("Scan parquet|FileScan parquet"),
+          if (plan.contains("CartesianProduct")) 1L else 0L
+        )).toDF("n_hash_exchanges", "n_broadcast_joins", "n_parquet_scans",
+          "has_cartesian")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS n_hash_exchanges,
+             |  CAST(1 AS BIGINT) AS n_broadcast_joins,
+             |  CAST(2 AS BIGINT) AS n_parquet_scans,
+             |  CAST(0 AS BIGINT) AS has_cartesian""".stripMargin)
+    ),
+
+    // Market-basket lift: parts co-purchased within an order, scored by
+    // lift = co·N / (c_A·c_B) at ×1000 fixed point, top-3 partners per
+    // part — the recommender-side co-occurrence twin of the text
+    // collocations (q147). The in-order pair blast is bounded by basket
+    // size (≤ C(7,2) per order), the support floor (co ≥ 2) kills noise
+    // pairs before the rank window, and N rides a 1-row broadcast.
+    QueryDef(
+      "q296_market_basket",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct().localCheckpoint()
+        val n = items.select(countDistinct("ok").as("n_orders"))
+        val co = items.as("a").join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("pa")
+          .orderBy(col("co").desc, col("lift_fp").desc, col("pb"))
+        co.join(cnt.select(col("pk").as("pa"), col("c").as("ca")), Seq("pa"))
+          .join(cnt.select(col("pk").as("pb"), col("c").as("cb")), Seq("pb"))
+          .crossJoin(broadcast(n))
+          .withColumn("lift_fp",
+            expr("co * n_orders * 1000 div (ca * cb)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("pa"), col("pb"), col("co").cast("long"),
+            col("lift_fp").cast("long"), col("rank").cast("int"))
+          .orderBy("pa", "rank")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+             |co AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS co
+             |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |cnt AS (SELECT pk, count(*) AS c FROM items GROUP BY 1),
+             |sc AS (SELECT pa, pb, co, co * n_orders * 1000 // (ca.c * cb.c) AS lift_fp
+             |  FROM co JOIN cnt ca ON ca.pk = co.pa JOIN cnt cb ON cb.pk = co.pb, n),
+             |r AS (SELECT pa, pb, co, lift_fp,
+             |    row_number() OVER (PARTITION BY pa ORDER BY co DESC, lift_fp DESC, pb) AS rank
+             |  FROM sc)
+             |SELECT pa, pb, CAST(co AS BIGINT) AS co, CAST(lift_fp AS BIGINT) AS lift_fp,
+             |  CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 3 ORDER BY pa, rank""".stripMargin)
+    ),
+
+    // Session path mining: 30-min-gap sessionization (running sum of
+    // gap flags — the q24 semantics) then event-type trigrams WITHIN a
+    // session, global top-20 paths — the "how do users actually move"
+    // table. One keyed window builds sessions and leads in the same
+    // sort; the trigram rollup is a keyed aggregate; only the top-20
+    // rank is global (20 rows).
+    QueryDef(
+      "q297_path_mining",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        val e = eventsUs(s, dir)
+          .withColumn("gap",
+            when(col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1L)
+              .otherwise(lit(0L)))
+          .withColumn("session",
+            sum(when(lag("ts_us", 1).over(w).isNull, 1L).otherwise(col("gap"))).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("user_id").orderBy("ts_us", "event_id")
+                .rowsBetween(
+                  org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                  org.apache.spark.sql.expressions.Window.currentRow)))
+        val sw = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "session").orderBy("ts_us", "event_id")
+        val paths = e
+          .withColumn("s1", lead("event_type", 1).over(sw))
+          .withColumn("s2", lead("event_type", 2).over(sw))
+          .filter(col("s1").isNotNull && col("s2").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("s1"), col("s2")).as("path"))
+          .groupBy("path").agg(count(lit(1)).cast("long").as("n"))
+        paths.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("path"))))
+          .filter(col("rank") <= 20)
+          .select(col("rank").cast("int"), col("path"), col("n"))
+          .orderBy("rank")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) AS u FROM events),
+             |g AS (SELECT *, CASE WHEN u - lag(u) OVER w > 1800000000 THEN 1
+             |    WHEN lag(u) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY u, event_id)),
+             |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY u, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+             |  FROM g),
+             |p AS (SELECT event_type || '>' || lead(event_type, 1) OVER sw
+             |    || '>' || lead(event_type, 2) OVER sw AS path
+             |  FROM s WINDOW sw AS (PARTITION BY user_id, session ORDER BY u, event_id)),
+             |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+             |  WHERE path IS NOT NULL GROUP BY 1),
+             |r AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank FROM c)
+             |SELECT CAST(rank AS INT) AS rank, path, n FROM r
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin)
+    ),
+
+    // RFM segmentation: per-user recency / frequency / monetary quintiles
+    // (ntile(5), deterministic user_id tie-break; recency tile inverted so
+    // 5 always means "best"), rolled up per segment — the classic
+    // customer-base census, all integer. The anchor "now" is the corpus
+    // max timestamp (a 1-row window aggregate), so the query is
+    // reproducible rather than wall-clock-dependent.
+    QueryDef(
+      "q298_rfm",
+      (s, dir) => {
+        val perUser = eventsUs(s, dir).groupBy("user_id")
+          .agg(max("ts_us").as("last_us"),
+            count(lit(1)).cast("long").as("freq"),
+            sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .as("spend_cents"))
+          .withColumn("recency_days",
+            expr("(max(last_us) over () - last_us) div 86400000000"))
+        def tile(c: String, asc: Boolean) = ntile(5).over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            (if (asc) col(c).asc else col(c).desc), col("user_id")))
+        val scored = perUser
+          .withColumn("r_score", (lit(6) - tile("recency_days", asc = true)).cast("int"))
+          .withColumn("f_score", tile("freq", asc = true).cast("int"))
+          .withColumn("m_score", tile("spend_cents", asc = true).cast("int"))
+        scored.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum("spend_cents").as("segment_cents"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some("""WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+             |    CAST(count(*) AS BIGINT) AS freq,
+             |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS spend_cents
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT *, (max(last_us) OVER () - last_us) // 86400000000 AS recency_days
+             |  FROM u),
+             |sc AS (SELECT user_id, spend_cents,
+             |    6 - ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+             |    ntile(5) OVER (ORDER BY freq ASC, user_id) AS f_score,
+             |    ntile(5) OVER (ORDER BY spend_cents ASC, user_id) AS m_score
+             |  FROM r)
+             |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+             |  CAST(m_score AS INT) AS m_score,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(spend_cents) AS BIGINT) AS segment_cents
+             |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    ),
+
+    // Cohort LTV curve: users cohorted by first-active day, cumulative
+    // spend per cohort-age divided by cohort size at ×1000 fixed point —
+    // the monetary twin of the q155 retention table. One user rollup
+    // fixes cohorts, one keyed (cohort, age) aggregate, one per-cohort
+    // running-sum window; cohort sizes join back keyed.
+    QueryDef(
+      "q299_cohort_ltv",
+      (s, dir) => {
+        val e = eventsUs(s, dir)
+          .withColumn("day", expr("ts_us div 86400000000"))
+          .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        val firstDay = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val sizes = firstDay.groupBy("cohort_day")
+          .agg(countDistinct("user_id").as("cohort_users"))
+        val byAge = e.join(firstDay, Seq("user_id"))
+          .withColumn("age", col("day") - col("cohort_day"))
+          .groupBy("cohort_day", "age")
+          .agg(sum("cents").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cohort_day").orderBy("age")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        byAge.withColumn("cum_cents", sum("cents").over(w))
+          .join(sizes, Seq("cohort_day"))
+          .select(col("cohort_day"), col("age"),
+            col("cum_cents").cast("long"),
+            col("cohort_users"),
+            expr("CAST(cum_cents * 1000 div cohort_users AS BIGINT)").as("ltv_fp"))
+          .orderBy("cohort_day", "age")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+             |sz AS (SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_users
+             |  FROM f GROUP BY 1),
+             |a AS (SELECT f.cohort_day, e.day - f.cohort_day AS age, sum(e.cents) AS cents
+             |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+             |c AS (SELECT cohort_day, age,
+             |    sum(cents) OVER (PARTITION BY cohort_day ORDER BY age
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+             |  FROM a)
+             |SELECT c.cohort_day, c.age, CAST(c.cum_cents AS BIGINT) AS cum_cents,
+             |  sz.cohort_users,
+             |  CAST(c.cum_cents * 1000 // sz.cohort_users AS BIGINT) AS ltv_fp
+             |FROM c JOIN sz USING (cohort_day)
+             |ORDER BY cohort_day, age""".stripMargin)
+    ),
+
+    // The 300th gate: a corpus RELEASE MANIFEST — the whole curation
+    // pipeline (exact dedup → quality gate → benchmark decontamination →
+    // md5 three-way split → token budget) run end-to-end, with every
+    // stage emitting (docs, tokens, order-independent id-checksum) into
+    // ONE table the oracle replays stage-for-stage. The checksum column
+    // is what makes this a release CONTRACT rather than a dashboard: a
+    // single doc surviving a stage it shouldn't (or vanishing from one
+    // it shouldn't) moves the checksum even when the counts happen to
+    // collide. Every stage is a keyed shuffle or anti-join on hashes —
+    // texts never shuffle; at 100 TB the manifest costs one corpus scan
+    // plus hash-keyed metadata passes.
+    QueryDef(
+      "q300_release_manifest",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .withColumn("toks",
+            expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))").cast("long"))
+          .withColumn("h", md5(col("text")))
+          .localCheckpoint()
+        val dedup = d.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("h").orderBy("doc_id")))
+          .filter(col("__rn") === 1).drop("__rn")
+        val quality = dedup.filter(col("n_chars") >= 200 && col("toks") >= 30)
+        val evalH = d.filter(col("doc_id") % 97 === 0).select("h").distinct()
+        val decontam = quality.filter(col("doc_id") % 97 =!= 0)
+          .join(evalH, Seq("h"), "left_anti")
+        val split = decontam.withColumn("bucket",
+            expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+          .withColumn("split",
+            when(col("bucket") < 80, "split:train")
+              .when(col("bucket") < 90, "split:val").otherwise("split:test"))
+        val ck = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+        def stage(df: DataFrame, name: String) = df.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum("toks"), lit(0L)).as("n_tokens"),
+          coalesce(sum(ck), lit(0L)).as("id_checksum"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+            col("id_checksum"))
+        Seq(stage(d, "1_raw"), stage(dedup, "2_dedup"),
+          stage(quality, "3_quality"), stage(decontam, "4_decontam"))
+          .reduce(_ unionByName _)
+          .unionByName(split.groupBy(col("split").as("stage"))
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum("toks").as("n_tokens"), sum(ck).as("id_checksum")))
+          .orderBy("stage")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks,
+             |    md5(text) AS h,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS ck
+             |  FROM documents),
+             |dd AS (SELECT * FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM d)
+             |  WHERE rn = 1),
+             |q AS (SELECT * FROM dd WHERE n_chars >= 200 AND toks >= 30),
+             |ev AS (SELECT DISTINCT h FROM d WHERE doc_id % 97 = 0),
+             |dc AS (SELECT q.* FROM q WHERE doc_id % 97 <> 0
+             |  AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.h = q.h)),
+             |sp AS (SELECT *, CASE
+             |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+             |      THEN 'split:train'
+             |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+             |      THEN 'split:val' ELSE 'split:test' END AS stage
+             |  FROM dc)
+             |SELECT * FROM (
+             |  SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(COALESCE(sum(toks), 0) AS BIGINT) AS n_tokens,
+             |    CAST(COALESCE(sum(ck), 0) AS BIGINT) AS id_checksum FROM d
+             |  UNION ALL SELECT '2_dedup', CAST(count(*) AS BIGINT),
+             |    CAST(COALESCE(sum(toks), 0) AS BIGINT), CAST(COALESCE(sum(ck), 0) AS BIGINT) FROM dd
+             |  UNION ALL SELECT '3_quality', CAST(count(*) AS BIGINT),
+             |    CAST(COALESCE(sum(toks), 0) AS BIGINT), CAST(COALESCE(sum(ck), 0) AS BIGINT) FROM q
+             |  UNION ALL SELECT '4_decontam', CAST(count(*) AS BIGINT),
+             |    CAST(COALESCE(sum(toks), 0) AS BIGINT), CAST(COALESCE(sum(ck), 0) AS BIGINT) FROM dc
+             |  UNION ALL SELECT stage, CAST(count(*) AS BIGINT),
+             |    CAST(sum(toks) AS BIGINT), CAST(sum(ck) AS BIGINT) FROM sp GROUP BY stage)
+             |ORDER BY stage""".stripMargin)
     )
   )
 }
