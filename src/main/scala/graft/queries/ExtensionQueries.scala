@@ -8888,6 +8888,100 @@ object ExtensionQueries {
              |  UNION ALL SELECT stage, CAST(count(*) AS BIGINT),
              |    CAST(sum(toks) AS BIGINT), CAST(sum(ck) AS BIGINT) FROM sp GROUP BY stage)
              |ORDER BY stage""".stripMargin)
+    ),
+
+    // Bucketed co-located join under the driver gate: both sides snapshot
+    // as 8-bucket tables on the join key, and the join plans with ZERO
+    // hash exchanges — the q145 zero-Exchange result as a VALUES-checked
+    // row (the only Exchange left is the final 1-row aggregate's
+    // SinglePartition, deliberately not counted). n_rows ties the plan
+    // claim to real semantics: the bucketed join must still produce
+    // exactly the plain join's row count the oracle computes. At 100 TB
+    // this is THE diff-engine layout story: snapshot once bucketed, every
+    // subsequent diff/join skips its shuffle entirely.
+    QueryDef(
+      "q301_bucketed_join_plan",
+      (s, dir) => {
+        import s.implicits._
+        s.sql("DROP TABLE IF EXISTS graft_q301_li")
+        s.sql("DROP TABLE IF EXISTS graft_q301_ord")
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_q301_li")
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_q301_ord")
+        val joined = s.table("graft_q301_li")
+          .join(s.table("graft_q301_ord"), "l_orderkey")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val plan = joined.groupBy().count().queryExecution.executedPlan.toString
+        val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size.toLong
+        val nRows = joined.count()
+        Seq((nHash, nRows)).toDF("n_hash_exchanges", "n_rows")
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS n_hash_exchanges,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+    ),
+
+    // PII span-conflict resolution: two detectors emit overlapping spans
+    // with priorities (the card detector outranks the generic number
+    // detector); a lower-priority span is suppressed when ANY
+    // higher-priority span overlaps it [s1 < e2 ∧ s2 < e1). The overlap
+    // probe is a per-document self-join — bounded by spans-per-doc,
+    // never corpus² — and the census counts survivors, suppressions and
+    // surviving covered chars per detector. Span geometry synthesizes
+    // deterministically from doc_id so the oracle replays it exactly.
+    QueryDef(
+      "q302_span_resolve",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        val a = d.withColumn("k", explode(array(lit(0), lit(1), lit(2))))
+          .select(col("doc_id"), lit("card").as("det"), lit(2).as("prio"),
+            (col("doc_id") % 7 + col("k") * 10).as("s"),
+            (col("doc_id") % 7 + col("k") * 10 + 8).as("e"))
+        val b = d.withColumn("k", explode(array(lit(0), lit(1), lit(2), lit(3))))
+          .select(col("doc_id"), lit("num").as("det"), lit(1).as("prio"),
+            (col("doc_id") % 11 % 10 + col("k") * 8).as("s"),
+            (col("doc_id") % 11 % 10 + col("k") * 8 + 5).as("e"))
+        val spans = a.unionByName(b).localCheckpoint()
+        val flagged = spans.as("x").join(spans.as("h"),
+            col("x.doc_id") === col("h.doc_id") &&
+              col("h.prio") > col("x.prio") &&
+              col("x.s") < col("h.e") && col("h.s") < col("x.e"),
+            "left_outer")
+          .groupBy(col("x.doc_id"), col("x.det"), col("x.s"), col("x.e"))
+          .agg(max(when(col("h.prio").isNotNull, 1L).otherwise(0L)).as("suppressed"))
+          .select(col("det"), col("s"), col("e"), col("suppressed"))
+        flagged.groupBy("det")
+          .agg(count(lit(1)).cast("long").as("n_spans"),
+            sum(when(col("suppressed") === 0L, 1L).otherwise(0L)).as("n_survivors"),
+            sum(col("suppressed")).as("n_suppressed"),
+            sum(when(col("suppressed") === 0L, col("e") - col("s")).otherwise(0L))
+              .cast("long").as("covered_chars"))
+          .orderBy("det")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+             |a AS (SELECT doc_id, 'card' AS det, 2 AS prio,
+             |    doc_id % 7 + k * 10 AS s, doc_id % 7 + k * 10 + 8 AS e
+             |  FROM d, (SELECT unnest(range(3)) AS k)),
+             |b AS (SELECT doc_id, 'num' AS det, 1 AS prio,
+             |    doc_id % 11 % 10 + k * 8 AS s, doc_id % 11 % 10 + k * 8 + 5 AS e
+             |  FROM d, (SELECT unnest(range(4)) AS k)),
+             |sp AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+             |f AS (SELECT sp.doc_id, sp.det, sp.s, sp.e,
+             |    max(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) AS suppressed
+             |  FROM sp LEFT JOIN sp h ON h.doc_id = sp.doc_id
+             |    AND h.prio > sp.prio AND sp.s < h.e AND h.s < sp.e
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT det, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(CASE WHEN suppressed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+             |  CAST(sum(suppressed) AS BIGINT) AS n_suppressed,
+             |  CAST(sum(CASE WHEN suppressed = 0 THEN e - s ELSE 0 END) AS BIGINT) AS covered_chars
+             |FROM f GROUP BY det ORDER BY det""".stripMargin)
     )
   )
 }

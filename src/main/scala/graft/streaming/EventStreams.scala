@@ -51,6 +51,24 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Sliding-window distinct users for unbounded streams — the stream side
+    * of the q288/q289 duality: exact `countDistinct` is not allowed in a
+    * streaming aggregation (it would need the full per-window user SET in
+    * state), so the streaming form carries `approx_count_distinct`
+    * (HyperLogLog++ — a few KB of bounded state per open window, same
+    * sketch family the batch q289 merges). The watermark closes windows
+    * and frees their state; `rsd` trades state size against the relative
+    * error the batch-parity spec asserts. */
+  def slidingDistinctUsers(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", lateness: String = "30 minutes",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("approx_users"))
+
   /** Event-time sessionization with custom state:
     * `flatMapGroupsWithState` keyed by user, closing a session after
     * `gapMillis` of event-time silence (checked via the event-time timeout).

@@ -54,6 +54,28 @@ class StreamingSpec extends SparkTestBase {
     assert(native == arithmetic)
   }
 
+  test("sliding distinct users: stream sketch lands on batch exact per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.slidingDistinctUsers(mem.toDF(), "1 hour", "15 minutes"),
+      "sliding_distinct_test")
+      .collect().map(r => (r.getTimestamp(0), (r.getLong(1), r.getLong(2)))).toMap
+    val exact = fixture.toDF()
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("d"))
+      .collect().map(r => (r.getStruct(0).getTimestamp(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed.keySet == exact.keySet)
+    exact.foreach { case (w, (n, d)) =>
+      val (sn, sd) = streamed(w)
+      assert(sn == n, s"event count drifted in window $w")
+      // 5 users max — HLL++ at rsd=0.02 is exact at this cardinality
+      assert(sd == d, s"distinct estimate off in window $w: $sd vs $d")
+    }
+  }
+
   test("streaming diff accumulates added/changed and finds removed at completion") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingDiff
