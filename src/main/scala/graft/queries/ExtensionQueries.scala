@@ -8982,6 +8982,171 @@ object ExtensionQueries {
              |  CAST(sum(suppressed) AS BIGINT) AS n_suppressed,
              |  CAST(sum(CASE WHEN suppressed = 0 THEN e - s ELSE 0 END) AS BIGINT) AS covered_chars
              |FROM f GROUP BY det ORDER BY det""".stripMargin)
+    ),
+
+    // Reorder-invariant duplicate candidates: docs sharing the md5 of
+    // their SORTED DISTINCT token set — the blocking lens for shuffled /
+    // re-templated reposts, which exact content hash (q30) misses on any
+    // reordering and which repetition differences hide from the bag
+    // (multiset) hash. Vocabulary-as-identity is deliberately coarse:
+    // it's a CANDIDATE generator feeding the exact verifiers (q34
+    // Jaccard, q257 prefix-filter), reported with its lang/source spread.
+    // One map-side sort-within-row + one hash-keyed group; bodies never
+    // shuffle — at 100 TB the fingerprint column is the only wide thing
+    // in flight, and it's 32 hex chars.
+    QueryDef(
+      "q303_tokenset_dups",
+      (s, dir) => {
+        val fp = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            md5(expr("array_join(array_sort(array_distinct(" +
+              "filter(split(text, '\\\\s+'), x -> x <> ''))), ' ')")).as("fingerprint"))
+        fp.groupBy("fingerprint")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            countDistinct("lang").as("n_langs"),
+            countDistinct("source").as("n_sources"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("fingerprint")
+      },
+      Some("""WITH fp AS (SELECT doc_id, lang, source,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''))), ' ')) AS fingerprint
+             |  FROM documents)
+             |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             |FROM fp GROUP BY fingerprint HAVING count(*) >= 2
+             |ORDER BY fingerprint""".stripMargin)
+    ),
+
+    // Split-conformal regression certificate: the q272 linear model made
+    // honest. Fit on the train half (even order keys), take the
+    // ceil((n+1)·0.9)-th smallest absolute residual on the calibration
+    // half as q̂ — the distribution-free 90% prediction-interval radius —
+    // then MEASURE the coverage that interval actually achieves on the
+    // held-out test rows. Everything (fit by integer Cramer, residuals,
+    // the rank that picks q̂, coverage basis points) is exact integer
+    // algebra, so the coverage number is a certified property of the
+    // data + model, not a float artifact. One aggregate fits, one window
+    // ranks, one scan measures.
+    QueryDef(
+      "q304_conformal",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 4).as("fold"), // 0,2 train; 1 cal; 3 test
+          col("l_quantity").cast("decimal(18,2)").cast("long").as("x1"),
+          (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("x2"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+          .localCheckpoint()
+        val fit = Stats.ols2(
+          li.filter(col("fold") % 2 === 0).withColumn("grp", lit("all")),
+          "grp", "x1", "x2", "y", scale = 1000)
+        // residual ×1000: r = |1000·y − (a + b1·x1 + b2·x2)|
+        def withResid(d: DataFrame) = d.crossJoin(broadcast(fit))
+          .withColumn("r", abs(col("y") * 1000L -
+            (col("a_fp") + col("b1_fp") * col("x1") + col("b2_fp") * col("x2"))))
+        val cal = withResid(li.filter(col("fold") === 1))
+        val nCal = cal.count()
+        val rank = ((nCal + 1) * 9 + 9) / 10 // ceil((n+1)·0.9)
+        val qhat = cal.select(col("r"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("r"))))
+          .filter(col("rn") === math.min(rank, nCal))
+          .select(col("r").as("qhat"))
+        val test = withResid(li.filter(col("fold") === 3))
+          .crossJoin(broadcast(qhat))
+        test.agg(
+            count(lit(1)).cast("long").as("n_test"),
+            max("qhat").as("qhat_fp"),
+            sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+          .withColumn("n_cal", lit(nCal))
+          .select(col("n_cal"), col("n_test"), col("qhat_fp").cast("long"),
+            col("n_covered"),
+            expr("n_covered * 10000 div n_test").as("coverage_bp"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey % 4 AS fold,
+             |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x1,
+             |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+             |  FROM lineitem),
+             |tr AS (SELECT * FROM li WHERE fold % 2 = 0),
+             |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(x2) AS HUGEINT) AS sx2,
+             |    CAST(sum(y) AS HUGEINT) AS sy,
+             |    CAST(sum(x1*x1) AS HUGEINT) AS sx1x1, CAST(sum(x2*x2) AS HUGEINT) AS sx2x2,
+             |    CAST(sum(x1*x2) AS HUGEINT) AS sx1x2, CAST(sum(x1*y) AS HUGEINT) AS sx1y,
+             |    CAST(sum(x2*y) AS HUGEINT) AS sx2y
+             |  FROM tr),
+             |m AS (SELECT n, sx1, sx2, sy,
+             |    n*sx1x1 - sx1*sx1 AS s11, n*sx2x2 - sx2*sx2 AS s22,
+             |    n*sx1x2 - sx1*sx2 AS s12, n*sx1y - sx1*sy AS s1y, n*sx2y - sx2*sy AS s2y
+             |  FROM a),
+             |f AS (SELECT ((s22*s1y - s12*s2y) * 1000) // (s11*s22 - s12*s12) AS b1,
+             |    ((s11*s2y - s12*s1y) * 1000) // (s11*s22 - s12*s12) AS b2,
+             |    n, sx1, sx2, sy, s11, s22, s12 FROM m),
+             |ab AS (SELECT b1, b2,
+             |    (sy * 1000 - b1 * sx1 - b2 * sx2) // n AS a0 FROM f),
+             |cal AS (SELECT abs(y * 1000 - (a0 + b1 * x1 + b2 * x2)) AS r
+             |  FROM li, ab WHERE fold = 1),
+             |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+             |qh AS (SELECT r AS qhat FROM (SELECT r,
+             |    row_number() OVER (ORDER BY r) AS rn FROM cal) rk, nc
+             |  WHERE rn = least((n_cal + 1) * 9 // 10 + CASE WHEN (n_cal + 1) * 9 % 10 > 0 THEN 1 ELSE 0 END, n_cal)),
+             |tst AS (SELECT abs(y * 1000 - (a0 + b1 * x1 + b2 * x2)) AS r
+             |  FROM li, ab WHERE fold = 3)
+             |SELECT nc.n_cal, CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(max(qhat) AS BIGINT) AS qhat_fp,
+             |  CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |  CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS coverage_bp
+             |FROM tst, qh, nc GROUP BY nc.n_cal""".stripMargin)
+    ),
+
+    // Per-label embedding outliers by centroid distance — the "wrong
+    // cluster / mislabeled vector" QA pass next to the norm audit (q96):
+    // per-dimension label centroids (avg CAST TO REAL — the q74 float
+    // trick that absorbs cross-engine summation-order differences), each
+    // vector's squared L2 to its own centroid through the codegen'd
+    // native expression, top-3 farthest per label. Centroids are
+    // labels×dims tiny and broadcast; the scan stays map-side.
+    QueryDef(
+      "q305_embed_outliers",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+        val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos").agg(avg("v").cast("float").as("mv"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ps"))
+          .select(col("label"), expr("transform(ps, x -> x.mv)").as("centroid"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+          .orderBy(col("d2").desc, col("vec_id"))
+        canonOut(e.join(broadcast(cent), Seq("label"))
+          .select(col("label"), col("vec_id"),
+            graft.functions.GraftFunctions.squaredL2(col("embedding"), col("centroid"))
+              .as("d2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("label"), col("vec_id"), col("rank").cast("int"),
+            col("d2").cast("decimal(20,8)").as("dist_sq"))
+          .orderBy("label", "rank"))
+      },
+      Some("""WITH px AS (SELECT label, i, CAST(avg(embedding[i+1]::DOUBLE) AS REAL) AS mv
+             |  FROM embeddings, (SELECT unnest(range(64)) AS i) ix GROUP BY label, i),
+             |c AS (SELECT label, list(mv ORDER BY i) AS centroid FROM px GROUP BY label),
+             |d AS (SELECT e.label, e.vec_id,
+             |    list_reduce(list_transform(range(64),
+             |      i -> (e.embedding[i+1]::DOUBLE - c.centroid[i+1]::DOUBLE)
+             |         * (e.embedding[i+1]::DOUBLE - c.centroid[i+1]::DOUBLE)),
+             |      (x, y) -> x + y) AS d2
+             |  FROM embeddings e JOIN c USING (label)),
+             |r AS (SELECT label, vec_id, d2,
+             |    row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rank
+             |  FROM d)
+             |SELECT label, vec_id, CAST(rank AS INT) AS rank,
+             |  CAST(CAST(d2 AS DECIMAL(20,8)) AS VARCHAR) AS dist_sq
+             |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin)
     )
   )
 }
