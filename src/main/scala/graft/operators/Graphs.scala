@@ -330,6 +330,57 @@ object Graphs {
     deg
   }
 
+  /** Kahn topological layers — the dependency-scheduling primitive under
+    * every dbt-style model DAG (the reference's own world: models build in
+    * waves, and wave k is exactly the set of models whose longest
+    * dependency chain has length k). Iteratively peel in-degree-0 nodes:
+    * peeled set = wave, remove their outgoing edges, repeat. Nodes still
+    * standing after `maxIters` waves are in (or downstream of) a CYCLE and
+    * come back with level −1 — surfaced as data, never silently dropped,
+    * because a cyclic model graph is a bug the scheduler must refuse.
+    *
+    * Each wave is one anti-join (current roots) + one semi-join (edge
+    * removal) — keyed shuffles, no all-pairs; `localCheckpoint` caps
+    * lineage per wave like every iterative walk here. Wave count = DAG
+    * depth, the same bound any scheduler pays. */
+  def topoLayers(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 256, "maxIters out of range")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val allNodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var remainingNodes = allNodes
+    var remainingEdges = e0
+    var layers = List.empty[DataFrame]
+    var level = 0
+    var done = false
+    while (level < maxIters && !done) {
+      val roots = remainingNodes
+        .join(remainingEdges.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (roots.isEmpty) { done = true } // only cycles remain
+      else {
+        layers ::= roots.withColumn("level", lit(level))
+        remainingNodes = remainingNodes.join(roots, Seq("node"), "left_anti")
+          .localCheckpoint()
+        // an edge stays live only while its SOURCE is unpeeled — peeling a
+        // root consumes its outgoing edges and may free its targets
+        remainingEdges = e0
+          .join(remainingNodes.select(col("node").as("src")), Seq("src"), "left_semi")
+          .localCheckpoint()
+        level += 1
+        if (remainingNodes.isEmpty) done = true
+      }
+    }
+    val cyclic = remainingNodes.withColumn("level", lit(-1))
+    (cyclic :: layers).reduce(_ unionByName _)
+  }
+
   /** Synchronous label propagation — COMMUNITIES, not components: each
     * round every node adopts the most frequent label among its neighbors
     * (ties broken by MIN label), so a single bridge edge between two dense

@@ -9147,6 +9147,100 @@ object ExtensionQueries {
              |SELECT label, vec_id, CAST(rank AS INT) AS rank,
              |  CAST(CAST(d2 AS DECIMAL(20,8)) AS VARCHAR) AS dist_sq
              |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin)
+    ),
+
+    // Model-DAG build scheduling (Graphs.topoLayers) — the reference's own
+    // world made distributed: dbt models build in dependency waves, and
+    // wave k is the set whose longest dependency chain is k. The synthetic
+    // DAG chains docs within 16-blocks (i→i+1, plus i→i+2 shortcuts every
+    // 5th), so the Kahn peeling Spark actually runs must land every model
+    // at level = id mod 16 — the closed form the oracle checks, with a
+    // per-wave census and an id checksum. Cycles would surface as level
+    // −1 rows, never silently vanish.
+    QueryDef(
+      "q306_model_dag_waves",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select(col("doc_id").as("i"))
+          .localCheckpoint()
+        val chain = ids.filter(col("i") % 16 =!= 15)
+          .select(col("i").as("a"), (col("i") + 1).as("b"))
+        val short = ids.filter(col("i") % 16 <= 13 && col("i") % 5 === 0)
+          .select(col("i").as("a"), (col("i") + 2).as("b"))
+        val edges = chain.unionByName(short)
+          .join(ids.select(col("i").as("b")), Seq("b"), "left_semi")
+        Graphs.topoLayers(edges, "a", "b", maxIters = 32)
+          .groupBy("level")
+          .agg(count(lit(1)).cast("long").as("n_models"),
+            min("node").as("first_model"), max("node").as("last_model"),
+            sum("node").cast("long").as("id_sum"))
+          .orderBy("level")
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+             |-- a block base with no successor is an isolated node (no edges
+             |-- at all) and therefore absent from the graph's node set
+             |lv AS (SELECT doc_id AS i, doc_id % 16 AS level FROM documents, m
+             |  WHERE NOT (doc_id % 16 = 0 AND doc_id = mx))
+             |SELECT CAST(level AS INT) AS level,
+             |  CAST(count(*) AS BIGINT) AS n_models,
+             |  CAST(min(i) AS BIGINT) AS first_model,
+             |  CAST(max(i) AS BIGINT) AS last_model,
+             |  CAST(sum(i) AS BIGINT) AS id_sum
+             |FROM lv GROUP BY level ORDER BY level""".stripMargin)
+    ),
+
+    // Pseudonymization with referential integrity: customer keys replaced
+    // by salted-md5 surrogates in BOTH orders and customer, then the
+    // certificate re-runs the join on the pseudonym — row count and
+    // revenue must equal the original join exactly, and the surrogate
+    // must be collision-free (distinct in == distinct out). The
+    // release-side governance step after q284's k-anonymity: analytic
+    // joins keep working on data that no longer carries the real key.
+    QueryDef(
+      "q307_pseudonymize",
+      (s, dir) => {
+        def pseudo(c: Column) =
+          expr(s"substring(md5(concat('gsalt1:', CAST(${c.toString} AS STRING))), 1, 16)")
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val before = o.join(c, o("o_custkey") === c("c_custkey"))
+          .agg(count(lit(1)).cast("long").as("n_before"),
+            sum("cents").as("rev_before"))
+        val op = o.withColumn("p", pseudo(col("o_custkey"))).drop("o_custkey")
+        val cp = c.withColumn("p", pseudo(col("c_custkey")))
+        val after = op.join(cp.select("p"), "p")
+          .agg(count(lit(1)).cast("long").as("n_after"),
+            sum("cents").as("rev_after"))
+        val card = c.agg(countDistinct("c_custkey").as("distinct_orig"))
+          .crossJoin(cp.agg(countDistinct("p").as("distinct_pseudo")))
+        before.crossJoin(after).crossJoin(card)
+          .select(col("n_before"), col("n_after"),
+            col("rev_before").cast("long"), col("rev_after").cast("long"),
+            col("distinct_orig"), col("distinct_pseudo"),
+            when(col("n_before") === col("n_after") &&
+              col("rev_before") === col("rev_after") &&
+              col("distinct_orig") === col("distinct_pseudo"), 1L)
+              .otherwise(0L).as("intact"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders),
+             |b AS (SELECT CAST(count(*) AS BIGINT) AS n_before,
+             |    CAST(sum(cents) AS BIGINT) AS rev_before
+             |  FROM o JOIN customer ON o_custkey = c_custkey),
+             |op AS (SELECT substr(md5('gsalt1:' || o_custkey), 1, 16) AS p, cents FROM o),
+             |cp AS (SELECT substr(md5('gsalt1:' || c_custkey), 1, 16) AS p, c_custkey
+             |  FROM customer),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_after,
+             |    CAST(sum(cents) AS BIGINT) AS rev_after
+             |  FROM op JOIN cp USING (p)),
+             |k AS (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_orig,
+             |    CAST(count(DISTINCT p) AS BIGINT) AS distinct_pseudo FROM cp)
+             |SELECT n_before, n_after, rev_before, rev_after,
+             |  distinct_orig, distinct_pseudo,
+             |  CAST(CASE WHEN n_before = n_after AND rev_before = rev_after
+             |    AND distinct_orig = distinct_pseudo THEN 1 ELSE 0 END AS BIGINT) AS intact
+             |FROM b, a, k""".stripMargin)
     )
   )
 }

@@ -4243,6 +4243,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.length == 4 && r.forall(_.getLong(1) == 1L))
   }
 
+  test("topo layers: longest-chain levels, diamond converges, cycle surfaces as -1") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (4L, 5L), // diamond: 5 waits for BOTH
+      (10L, 11L), (11L, 10L), (11L, 12L)                // cycle + its hostage
+    ).toDF("a", "b")
+    val r = Graphs.topoLayers(edges, "a", "b", maxIters = 10)
+      .collect().map(x => (x.getLong(0), x.getInt(1))).toMap
+    assert(r(1L) == 0 && r(2L) == 1 && r(3L) == 2 && r(4L) == 2)
+    assert(r(5L) == 3) // longest chain 1-2-3-5, not the short arm
+    assert(r(10L) == -1 && r(11L) == -1 && r(12L) == -1) // cycle + downstream
+  }
+
   test("ndcg discount table matches floor(1e6/log2(i+1)) and its prefix sum") {
     val expected = (1 to 10).map(i => (1e6 / (math.log(i + 1) / math.log(2))).toLong)
     assert(graft.queries.ExtensionQueries.NdcgDisc == expected)
