@@ -9241,6 +9241,95 @@ object ExtensionQueries {
              |  CAST(CASE WHEN n_before = n_after AND rev_before = rev_after
              |    AND distinct_orig = distinct_pseudo THEN 1 ELSE 0 END AS BIGINT) AS intact
              |FROM b, a, k""".stripMargin)
+    ),
+
+    // MinHash-LSH parameter advisor: the S-curve p(s) = 1 − (1 − s^r)^b
+    // evaluated for every (bands, rows) split of a 64-hash signature at
+    // five Jaccard levels — entirely in ×10⁶ integer fixed point (each
+    // power step is acc·s div 10⁶; both engines replay the identical
+    // truncation chain, so no pow() ever runs). The `pick` flag marks
+    // the split whose curve passes closest to p=0.5 at s=0.7 — the
+    // threshold the suite's MinHash queries (q32, q122, q148) target.
+    // Tuning the index becomes a certified query instead of a notebook.
+    QueryDef(
+      "q308_lsh_advisor",
+      (s, dir) => {
+        import s.implicits._
+        val cands = Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32), (1, 64))
+          .toDF("b", "r")
+        val svals = Seq(500000L, 600000L, 700000L, 800000L, 900000L).toDF("s_fp")
+        def foldPow(base: String, times: String) =
+          s"aggregate(sequence(1, $times), CAST(1000000 AS BIGINT), (acc, i) -> acc * $base div 1000000)"
+        val curve = cands.crossJoin(svals)
+          .withColumn("sr", expr(foldPow("s_fp", "r")))
+          .withColumn("p_fp", expr(
+            s"1000000 - ${foldPow("(1000000 - sr)", "b")}"))
+        val dev = curve.filter(col("s_fp") === 700000L)
+          .select(col("b").as("pb"), col("r").as("pr"),
+            abs(col("p_fp") - 500000L).as("dev"))
+        val best = dev.orderBy(col("dev"), col("pb")).limit(1)
+          .select(col("pb"), col("pr"), lit(1L).as("pick"))
+        curve.join(best, col("b") === col("pb") && col("r") === col("pr"), "left_outer")
+          .select(col("b").cast("int"), col("r").cast("int"), col("s_fp"),
+            col("p_fp").cast("long"), coalesce(col("pick"), lit(0L)).as("pick"))
+          .orderBy("b", "s_fp")
+      },
+      Some {
+        def foldPow(base: String, times: String) =
+          s"list_reduce(list_concat([CAST(1000000 AS BIGINT)], " +
+            s"list_transform(range($times), i -> CAST($base AS BIGINT))), (a, x) -> a * x // 1000000)"
+        s"""WITH cands(b, r) AS (VALUES (64, 1), (32, 2), (16, 4), (8, 8),
+           |  (4, 16), (2, 32), (1, 64)),
+           |sv(s_fp) AS (VALUES (500000), (600000), (700000), (800000), (900000)),
+           |c AS (SELECT b, r, CAST(s_fp AS BIGINT) AS s_fp,
+           |    ${foldPow("s_fp", "r")} AS sr
+           |  FROM cands, sv),
+           |p AS (SELECT b, r, s_fp,
+           |    1000000 - ${foldPow("(1000000 - sr)", "b")} AS p_fp
+           |  FROM c),
+           |d AS (SELECT b AS pb, r AS pr, abs(p_fp - 500000) AS dev
+           |  FROM p WHERE s_fp = 700000),
+           |best AS (SELECT pb, pr, CAST(1 AS BIGINT) AS pick FROM d
+           |  ORDER BY dev, pb LIMIT 1)
+           |SELECT CAST(p.b AS INT) AS b, CAST(p.r AS INT) AS r, p.s_fp,
+           |  CAST(p.p_fp AS BIGINT) AS p_fp,
+           |  COALESCE(best.pick, 0) AS pick
+           |FROM p LEFT JOIN best ON p.b = best.pb AND p.r = best.pr
+           |ORDER BY b, s_fp""".stripMargin
+      }
+    ),
+
+    // Persistent heavy hitters: tokens that stay frequent across MANY
+    // corpus deciles (≥ threshold occurrences in ≥ 6 of 10 id-range
+    // windows) — persistence separates structural vocabulary from bursty
+    // spikes, the distinction a single global top-k (q81/q174) cannot
+    // make. Two keyed aggregates; the per-window threshold bounds what
+    // reaches the persistence rollup.
+    QueryDef(
+      "q309_persistent_hitters",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select((col("doc_id") % 10).as("w"),
+            explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("tok"))
+        val perWindow = toks.groupBy("w", "tok")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 20)
+        perWindow.groupBy("tok")
+          .agg(count(lit(1)).cast("long").as("windows_present"),
+            sum("n").cast("long").as("total_n"),
+            min("n").cast("long").as("min_n"), max("n").cast("long").as("max_n"))
+          .filter(col("windows_present") >= 6)
+          .orderBy("tok")
+      },
+      Some("""WITH toks AS (SELECT doc_id % 10 AS w, unnest(list_filter(
+             |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |pw AS (SELECT w, tok, count(*) AS n FROM toks GROUP BY 1, 2
+             |  HAVING count(*) >= 20)
+             |SELECT tok, CAST(count(*) AS BIGINT) AS windows_present,
+             |  CAST(sum(n) AS BIGINT) AS total_n,
+             |  CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n
+             |FROM pw GROUP BY tok HAVING count(*) >= 6 ORDER BY tok""".stripMargin)
     )
   )
 }
