@@ -9330,6 +9330,73 @@ object ExtensionQueries {
              |  CAST(sum(n) AS BIGINT) AS total_n,
              |  CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n
              |FROM pw GROUP BY tok HAVING count(*) >= 6 ORDER BY tok""".stripMargin)
+    ),
+
+    // Compaction EXECUTED: q247 planned; this runs the plan against real
+    // files and certifies the rewrite. A partitioned table is written
+    // with ~10 small files per partition, the planner bins them (target
+    // sized so each partition packs to ONE bin), the executor reads each
+    // bin's file set and writes it back coalesced into the same
+    // partition layout — and the certificate checks what a compaction
+    // must preserve: every row (count equality), the partition column
+    // (recovered from directory names), and the promised file count
+    // (one per partition). The bin loop is DRIVER-side over plan rows —
+    // metadata-sized by construction, the same contract as the CLI.
+    QueryDef(
+      "q310_compaction_execute",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.hadoop.fs.Path
+        val src = java.nio.file.Files.createTempDirectory("graft_cx_src").toString
+        val out = java.nio.file.Files.createTempDirectory("graft_cx_out").toString
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"))
+        li.repartition(10).write.mode("overwrite")
+          .partitionBy("l_returnflag").parquet(src)
+        val fs = new Path(src).getFileSystem(s.sessionState.newHadoopConf())
+        def list(root: String): Seq[(String, String, Long)] = {
+          val rootStr = fs.getFileStatus(new Path(root)).getPath.toString
+          val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+          val it = fs.listFiles(new Path(root), true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+              val part = st.getPath.getParent.toString
+                .stripPrefix(rootStr).stripPrefix("/")
+              buf += ((part, st.getPath.getName, st.getLen))
+            }
+          }
+          buf.toSeq
+        }
+        val files = list(src).toDF("part", "file_name", "bytes")
+        val plan = Layout.compactionPlan(files, "part", "file_name", "bytes",
+          smallThreshold = Long.MaxValue / 4, targetSize = Long.MaxValue / 4)
+        val binRows = plan.select("part", "bin_id", "file_name").collect()
+        binRows.groupBy(r => (r.getString(0), r.getLong(1))).foreach {
+          case ((part, _), rows) =>
+            val paths = rows.map(r => s"$src/$part/${r.getString(2)}")
+            s.read.parquet(paths.toIndexedSeq: _*).coalesce(1)
+              .write.mode("append").parquet(s"$out/$part")
+        }
+        val after = s.read.parquet(out)
+        val rowsBefore = li.count()
+        val rowsAfter = after.count()
+        val partsAfter = after.select("l_returnflag").distinct().count()
+        val filesAfter = list(out).size.toLong
+        val binsPlanned = binRows.map(r => (r.getString(0), r.getLong(1))).distinct.length.toLong
+        Seq((rowsBefore, rowsAfter, partsAfter, binsPlanned, filesAfter,
+          if (rowsBefore == rowsAfter && filesAfter == binsPlanned) 1L else 0L))
+          .toDF("rows_before", "rows_after", "n_partitions", "bins_planned",
+            "files_after", "compaction_ok")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS rows_before,
+             |  CAST(count(*) AS BIGINT) AS rows_after,
+             |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_partitions,
+             |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS bins_planned,
+             |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS files_after,
+             |  CAST(1 AS BIGINT) AS compaction_ok
+             |FROM lineitem""".stripMargin)
     )
   )
 }
