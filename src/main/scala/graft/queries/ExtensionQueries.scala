@@ -8905,6 +8905,14 @@ object ExtensionQueries {
         import s.implicits._
         s.sql("DROP TABLE IF EXISTS graft_q301_li")
         s.sql("DROP TABLE IF EXISTS graft_q301_ord")
+        // a FRESH session's in-memory catalog has forgotten these tables,
+        // but the warehouse DIRECTORY survives the process — saveAsTable
+        // then refuses the "new" name over the orphaned location, so the
+        // physical paths must go too (found by the round's own re-run)
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val whFs = wh.getFileSystem(s.sessionState.newHadoopConf())
+        Seq("graft_q301_li", "graft_q301_ord")
+          .foreach(n => whFs.delete(new org.apache.hadoop.fs.Path(wh, n), true))
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
