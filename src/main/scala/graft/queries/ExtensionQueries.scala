@@ -9522,6 +9522,138 @@ object ExtensionQueries {
              |FROM f LEFT JOIN w ON f.day = w.day LEFT JOIN mo ON f.day = mo.day
              |WHERE f.keep_daily + COALESCE(w.keep_weekly, 0) + COALESCE(mo.keep_monthly, 0) > 0
              |ORDER BY f.day""".stripMargin)
+    ),
+
+    // WebDataset-style shard export manifest: documents assigned to
+    // ~5000-token shards by the distributed two-phase prefix sum
+    // (Packing.packByTokenBudget — no single-task global sort at any
+    // scale), docs never split across shards (assignment is by first
+    // token's offset; shards tolerate the overflow of their last doc).
+    // The manifest row per shard — doc count, token total, id range — is
+    // what a training-data exporter publishes next to the tar files; the
+    // q300 release manifest says WHAT ships, this says WHERE each doc
+    // physically lands.
+    QueryDef(
+      "q313_shard_manifest",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))")
+              .cast("long").as("toks"))
+        Packing.packByTokenBudget(d, "doc_id", "toks", budget = 5000L)
+          .groupBy(col("bin_id").as("shard"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("toks").cast("long").as("tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+             |  FROM documents),
+             |c AS (SELECT doc_id, toks,
+             |    sum(toks) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS strt
+             |  FROM d)
+             |SELECT CAST(strt // 5000 AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(toks) AS BIGINT) AS tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY 1 ORDER BY shard""".stripMargin)
+    ),
+
+    // Semi-structured ingest contract: declarative rules over the props
+    // JSON blob (required key, integer-typed, in business range, policy
+    // rule) evaluated in ONE scan with per-rule violation census and the
+    // earliest offending event as the debugging handle — the
+    // DataQuality.audit (q169) idea extended to the schemaless column
+    // every event pipeline carries.
+    QueryDef(
+      "q314_props_contract",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("kstr"))
+          .withColumn("k", col("kstr").cast("long"))
+        val rules = Seq(
+          ("r1_has_k", col("kstr").isNull),
+          ("r2_k_is_int", col("kstr").isNotNull && col("k").isNull),
+          ("r3_k_in_0_89", col("k").isNotNull && (col("k") < 0 || col("k") > 89)),
+          ("r4_k_even", col("k").isNotNull && col("k") % 2 =!= 0))
+        rules.map { case (name, violated) =>
+          e.agg(count(lit(1)).cast("long").as("n_checked"),
+            sum(when(violated, 1L).otherwise(0L)).as("n_violations"),
+            min(when(violated, col("event_id"))).as("first_bad_event"))
+            .select(lit(name).as("rule"), col("n_checked"),
+              col("n_violations"), col("first_bad_event"))
+        }.reduce(_ unionByName _).orderBy("rule")
+      },
+      Some("""WITH e AS (SELECT event_id,
+             |    json_extract_string(props, '$.k') AS kstr,
+             |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events)
+             |SELECT * FROM (
+             |  SELECT 'r1_has_k' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+             |    CAST(sum(CASE WHEN kstr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             |    min(CASE WHEN kstr IS NULL THEN event_id END) AS first_bad_event FROM e
+             |  UNION ALL
+             |  SELECT 'r2_k_is_int', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN kstr IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    min(CASE WHEN kstr IS NOT NULL AND k IS NULL THEN event_id END) FROM e
+             |  UNION ALL
+             |  SELECT 'r3_k_in_0_89', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN k IS NOT NULL AND (k < 0 OR k > 89) THEN 1 ELSE 0 END) AS BIGINT),
+             |    min(CASE WHEN k IS NOT NULL AND (k < 0 OR k > 89) THEN event_id END) FROM e
+             |  UNION ALL
+             |  SELECT 'r4_k_even', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN k IS NOT NULL AND k % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT),
+             |    min(CASE WHEN k IS NOT NULL AND k % 2 <> 0 THEN event_id END) FROM e)
+             |ORDER BY rule""".stripMargin)
+    ),
+
+    // Monotonicity audit — the calibration sanity check on ranked
+    // buckets: spend deciles (q292's ntile) SHOULD carry monotonically
+    // non-increasing purchase rates from decile 1 down; each adjacent
+    // inversion is a violation row with its magnitude in basis points.
+    // The lift chart says what each decile does; this says whether the
+    // ranking itself is trustworthy.
+    QueryDef(
+      "q315_monotonicity_audit",
+      (s, dir) => {
+        val perUser = eventsUs(s, dir).groupBy("user_id")
+          .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .as("spend_cents"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("purchases"),
+            count(lit(1)).cast("long").as("n_events"))
+        val deciles = perUser.withColumn("decile", ntile(10).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("spend_cents").desc, col("user_id"))))
+          .groupBy("decile")
+          .agg(sum("purchases").as("purch"), sum("n_events").as("n"))
+          .withColumn("rate_bp", expr("purch * 10000 div n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+        deciles.withColumn("next_rate_bp", lead("rate_bp", 1).over(w))
+          .select(col("decile").cast("int"), col("rate_bp").cast("long"),
+            coalesce(col("next_rate_bp"), lit(-1L)).cast("long").as("next_rate_bp"),
+            when(col("next_rate_bp").isNotNull && col("next_rate_bp") > col("rate_bp"),
+              col("next_rate_bp") - col("rate_bp")).otherwise(0L)
+              .cast("long").as("inversion_bp"))
+          .orderBy("decile")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS spend_cents,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+             |    count(*) AS n_events
+             |  FROM events GROUP BY 1),
+             |d AS (SELECT ntile(10) OVER (ORDER BY spend_cents DESC, user_id) AS decile,
+             |    purchases, n_events FROM u),
+             |g AS (SELECT decile, sum(purchases) AS purch, sum(n_events) AS n
+             |  FROM d GROUP BY 1),
+             |r AS (SELECT decile, purch * 10000 // n AS rate_bp FROM g),
+             |x AS (SELECT decile, rate_bp, lead(rate_bp) OVER (ORDER BY decile) AS nxt FROM r)
+             |SELECT CAST(decile AS INT) AS decile, CAST(rate_bp AS BIGINT) AS rate_bp,
+             |  CAST(COALESCE(nxt, -1) AS BIGINT) AS next_rate_bp,
+             |  CAST(CASE WHEN nxt IS NOT NULL AND nxt > rate_bp
+             |    THEN nxt - rate_bp ELSE 0 END AS BIGINT) AS inversion_bp
+             |FROM x ORDER BY decile""".stripMargin)
     )
   )
 }
