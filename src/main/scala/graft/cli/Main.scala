@@ -74,13 +74,18 @@ object Main {
       bucketRows: Int = 1000,
       // compact-plan subcommand (bytes)
       smallThreshold: Long = 32L * 1024 * 1024,
-      targetSize: Long = 128L * 1024 * 1024)
+      targetSize: Long = 128L * 1024 * 1024,
+      // release-manifest subcommand
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minChars: Int = 200,
+      evalMod: Int = 97)
 
   def parseArgs(argv: Seq[String]): Args = {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -136,6 +141,10 @@ object Main {
         case "--bucket-rows" => a = a.copy(bucketRows = need("--bucket-rows").toInt)
         case "--small-threshold" => a = a.copy(smallThreshold = need("--small-threshold").toLong)
         case "--target-size" => a = a.copy(targetSize = need("--target-size").toLong)
+        case "--id-col" => a = a.copy(idCol = need("--id-col"))
+        case "--text-col" => a = a.copy(textCol = need("--text-col"))
+        case "--min-chars" => a = a.copy(minChars = need("--min-chars").toInt)
+        case "--eval-mod" => a = a.copy(evalMod = need("--eval-mod").toInt)
         case "--format" =>
           val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
           require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
@@ -165,6 +174,11 @@ object Main {
         require(positional.nonEmpty, "compact-plan requires a <tablePath> argument")
         require(a.smallThreshold > 0 && a.targetSize > 0, "sizes must be positive")
         a.copy(basePath = positional.head, model = "compact-plan")
+      case "release-manifest" =>
+        require(positional.nonEmpty, "release-manifest requires a <docsPath> argument")
+        require(a.minChars >= 0 && a.minWords >= 0 && a.evalMod >= 2,
+          "min-chars/min-words must be >= 0 and eval-mod >= 2")
+        a.copy(basePath = positional.head, model = "release-manifest")
     }
   }
 
@@ -645,6 +659,37 @@ object Main {
         s""""partitions": $parts}""")
   }
 
+  /** `release-manifest <docsPath> [--id-col c --text-col c --min-chars N
+    * --min-words N --eval-mod N]` — the q300 corpus release contract
+    * (exact dedup → quality gate → decontamination → 80/10/10 split →
+    * token budget) over a parquet document table, emitted as ONE JSON
+    * line with per-stage (docs, tokens, id-checksum). The checksum is
+    * what downstream attestation re-verifies: counts can collide, the
+    * order-independent id hash cannot (see
+    * [[graft.operators.Pipelines.releaseManifest]]). */
+  def runReleaseManifest(spark: SparkSession, a: Args): Unit = {
+    val docs = spark.read.parquet(a.basePath)
+    require(docs.columns.contains(a.idCol) && docs.columns.contains(a.textCol),
+      s"columns '${a.idCol}'/'${a.textCol}' not in table (${docs.columns.mkString(", ")})")
+    val rep = graft.operators.Pipelines
+      .releaseManifest(docs, a.idCol, a.textCol, a.minChars, a.minWords, a.evalMod)
+      .orderBy("stage")
+      .collect()
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val stages = rep.map(r =>
+      s"""{"stage": ${jstr(r.getAs[String]("stage"))}, "n_docs": ${r.getAs[Long]("n_docs")}, """ +
+        s""""n_tokens": ${r.getAs[Long]("n_tokens")}, "id_checksum": ${r.getAs[Long]("id_checksum")}}""")
+      .mkString("[", ", ", "]")
+    println(
+      s"""{"table": ${jstr(a.basePath)}, "min_chars": ${a.minChars}, """ +
+        s""""min_words": ${a.minWords}, "eval_mod": ${a.evalMod}, "stages": $stages}""")
+  }
+
   /** `--drift col1,col2`: exact per-value TV contributions per requested
     * column, top-50 by contribution (bounded collect — drift columns are
     * low-cardinality dimensions by contract; see DiffEngine.categoricalDrift).
@@ -766,6 +811,7 @@ object Main {
       if (a.command == "curate") { runCurate(spark, a); return }
       if (a.command == "advise-layout") { runAdviseLayout(spark, a); return }
       if (a.command == "compact-plan") { runCompactPlan(spark, a); return }
+      if (a.command == "release-manifest") { runReleaseManifest(spark, a); return }
       val jdbcConn = conn.filter(JdbcSource.isJdbc)
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a, jdbcConn)

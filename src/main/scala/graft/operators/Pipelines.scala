@@ -99,4 +99,56 @@ object Pipelines {
       ("tokens_total", lg(1))
     ).toDF("metric", "value")
   }
+
+  /** Corpus RELEASE MANIFEST — the whole curation pipeline (exact dedup →
+    * quality gate → benchmark decontamination → md5 three-way split →
+    * token budget) with every stage emitting (docs, tokens,
+    * order-independent id-checksum) into one table. The checksum column
+    * makes it a release CONTRACT, not a dashboard: one document surviving
+    * a stage it shouldn't (or vanishing from one it shouldn't) moves the
+    * checksum even when the counts happen to collide.
+    *
+    * Stages: `1_raw` everything; `2_dedup` min-id winner per md5(text);
+    * `3_quality` length/word floor; `4_decontam` drops the held-out eval
+    * slice (id ≡ 0 mod `evalMod`) AND any doc exactly matching an eval
+    * doc's text hash; `split:*` the 80/10/10 md5 split of the survivors.
+    * Every stage is a keyed shuffle or anti-join on 32-hex hashes — text
+    * bodies never shuffle; at 100 TB the manifest costs one corpus scan
+    * plus hash-keyed metadata passes. */
+  def releaseManifest(docs: DataFrame, idCol: String, textCol: String,
+      minChars: Int, minWords: Int, evalMod: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__chars", length(col("__text")).cast("long"))
+      .withColumn("__toks",
+        expr("size(filter(split(__text, '\\\\s+'), x -> x <> ''))").cast("long"))
+      .withColumn("__h", md5(col("__text")))
+      .localCheckpoint()
+    val dedup = d.withColumn("__rn",
+        row_number().over(Window.partitionBy("__h").orderBy("__id")))
+      .filter(col("__rn") === 1).drop("__rn")
+    val quality = dedup.filter(col("__chars") >= minChars && col("__toks") >= minWords)
+    val evalH = d.filter(col("__id") % evalMod === 0).select("__h").distinct()
+    val decontam = quality.filter(col("__id") % evalMod =!= 0)
+      .join(evalH, Seq("__h"), "left_anti")
+    val split = decontam.withColumn("__bucket",
+        expr("CAST(conv(substring(md5(CAST(__id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("__split",
+        when(col("__bucket") < 80, "split:train")
+          .when(col("__bucket") < 90, "split:val").otherwise("split:test"))
+    val ck = expr("CAST(conv(substring(md5(CAST(__id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    def stage(df: DataFrame, name: String) = df.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum("__toks"), lit(0L)).as("n_tokens"),
+      coalesce(sum(ck), lit(0L)).as("id_checksum"))
+      .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+        col("id_checksum"))
+    Seq(stage(d, "1_raw"), stage(dedup, "2_dedup"),
+      stage(quality, "3_quality"), stage(decontam, "4_decontam"))
+      .reduce(_ unionByName _)
+      .unionByName(split.groupBy(col("__split").as("stage"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("__toks").as("n_tokens"), sum(ck).as("id_checksum")))
+  }
 }

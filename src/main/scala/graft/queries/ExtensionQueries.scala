@@ -8822,41 +8822,10 @@ object ExtensionQueries {
     // plus hash-keyed metadata passes.
     QueryDef(
       "q300_release_manifest",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-          .select(col("doc_id"), col("text"), col("n_chars"))
-          .withColumn("toks",
-            expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))").cast("long"))
-          .withColumn("h", md5(col("text")))
-          .localCheckpoint()
-        val dedup = d.withColumn("__rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("h").orderBy("doc_id")))
-          .filter(col("__rn") === 1).drop("__rn")
-        val quality = dedup.filter(col("n_chars") >= 200 && col("toks") >= 30)
-        val evalH = d.filter(col("doc_id") % 97 === 0).select("h").distinct()
-        val decontam = quality.filter(col("doc_id") % 97 =!= 0)
-          .join(evalH, Seq("h"), "left_anti")
-        val split = decontam.withColumn("bucket",
-            expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
-          .withColumn("split",
-            when(col("bucket") < 80, "split:train")
-              .when(col("bucket") < 90, "split:val").otherwise("split:test"))
-        val ck = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
-        def stage(df: DataFrame, name: String) = df.agg(
-          count(lit(1)).cast("long").as("n_docs"),
-          coalesce(sum("toks"), lit(0L)).as("n_tokens"),
-          coalesce(sum(ck), lit(0L)).as("id_checksum"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
-            col("id_checksum"))
-        Seq(stage(d, "1_raw"), stage(dedup, "2_dedup"),
-          stage(quality, "3_quality"), stage(decontam, "4_decontam"))
-          .reduce(_ unionByName _)
-          .unionByName(split.groupBy(col("split").as("stage"))
-            .agg(count(lit(1)).cast("long").as("n_docs"),
-              sum("toks").as("n_tokens"), sum(ck).as("id_checksum")))
-          .orderBy("stage")
-      },
+      (s, dir) =>
+        Pipelines.releaseManifest(t(s, dir, "documents"), "doc_id", "text",
+            minChars = 200, minWords = 30, evalMod = 97)
+          .orderBy("stage"),
       Some("""WITH d AS (SELECT doc_id, n_chars,
              |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks,
              |    md5(text) AS h,
@@ -9654,6 +9623,97 @@ object ExtensionQueries {
              |  CAST(CASE WHEN nxt IS NOT NULL AND nxt > rate_bp
              |    THEN nxt - rate_bp ELSE 0 END AS BIGINT) AS inversion_bp
              |FROM x ORDER BY decile""".stripMargin)
+    ),
+
+    // Strided (overlapping) retrieval chunking — the RAG counterpart of
+    // the exact tiling in q46: 100-token chunks every 50 tokens, so
+    // context never falls on a boundary; per-source duplication of chunk
+    // hashes then measures template repetition at retrieval granularity
+    // (overlap itself never collides — adjacent chunks share only half).
+    // One explode bounded by n_toks/stride per doc; hashes shuffle,
+    // chunk text never leaves the map side.
+    QueryDef(
+      "q316_strided_chunks",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") > 0)
+        val chunks = d
+          .withColumn("start", explode(expr("sequence(0, n - 1, 50)")))
+          .select(col("doc_id"), col("source"), col("start"),
+            md5(expr("array_join(slice(toks, start + 1, 100), ' ')")).as("chunk_md5"))
+        chunks.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_chunks"),
+            countDistinct("chunk_md5").as("n_unique"))
+          .withColumn("dup_bp",
+            expr("(n_chunks - n_unique) * 10000 div n_chunks"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, source, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+             |c AS (SELECT doc_id, source,
+             |    md5(array_to_string(toks[s+1:s+100], ' ')) AS chunk_md5
+             |  FROM n, unnest(range(0, n, 50)) AS t(s)),
+             |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             |    CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_unique
+             |  FROM c GROUP BY source)
+             |SELECT source, n_chunks, n_unique,
+             |  CAST((n_chunks - n_unique) * 10000 // n_chunks AS BIGINT) AS dup_bp
+             |FROM g ORDER BY source""".stripMargin)
+    ),
+
+    // Hard-negative mining for contrastive training: per anchor (every
+    // 50th vector), the 3 nearest neighbors with a DIFFERENT label —
+    // exactly the examples a contrastive loss learns most from, and the
+    // complement of q278's same-label relevance. Anchors broadcast
+    // (probe set is small by design); ranks are (cosine desc, id)
+    // deterministic; the exact scan stays linear in the corpus.
+    QueryDef(
+      "q317_hard_negatives",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+        val anchors = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+            col("label").as("anchor_label"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("anchor_id")
+          .orderBy(col("cos_sim").desc, col("neg_id"))
+        canonOut(e.crossJoin(broadcast(anchors))
+          .filter(col("vec_id") =!= col("anchor_id") &&
+            col("label") =!= col("anchor_label"))
+          .select(col("anchor_id"), col("anchor_label"),
+            col("vec_id").as("neg_id"), col("label").as("neg_label"),
+            Similarity.cosine("embedding", "av").as("cos_sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+            col("neg_label"), col("rank").cast("int"),
+            col("cos_sim").cast("decimal(16,12)"))
+          .orderBy("anchor_id", "rank"))
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |sc AS (SELECT a.anchor_id, a.anchor_label, e.vec_id AS neg_id,
+           |    e.label AS neg_label, ${cos("e.embedding", "a.av")} AS cs
+           |  FROM embeddings e CROSS JOIN a
+           |  WHERE e.vec_id <> a.anchor_id AND e.label <> a.anchor_label),
+           |r AS (SELECT anchor_id, anchor_label, neg_id, neg_label, cs,
+           |    row_number() OVER (PARTITION BY anchor_id ORDER BY cs DESC, neg_id) AS rank
+           |  FROM sc)
+           |SELECT anchor_id, anchor_label, neg_id, neg_label,
+           |  CAST(rank AS INT) AS rank,
+           |  CAST(CAST(cs AS DECIMAL(16,12)) AS VARCHAR) AS cos_sim
+           |FROM r WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin
+      }
     )
   )
 }

@@ -230,6 +230,36 @@ class CliSpec extends SparkTestBase {
     assert(out2.toString("UTF-8").contains(""""files_total": 12, "files_after": 12"""))
   }
 
+  test("release-manifest subcommand: stage ladder golden on a handcrafted corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rel_").toString + "/docs"
+    Seq(
+      (0L, "held out eval document text here"),   // eval slice (id % 5 == 0)
+      (1L, "held out eval document text here"),   // exact dup of the eval text
+      (2L, "tiny"),                               // fails the quality floor
+      (3L, "one two three four five six seven"),
+      (4L, "eight nine ten eleven twelve thirteen fourteen"),
+      (5L, "another eval only doc words here"),   // eval slice
+      (6L, "plain good document with enough words here")
+    ).toDF("doc_id", "text").write.parquet(dir)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.runReleaseManifest(spark, Main.parseArgs(Seq("release-manifest", dir,
+        "--min-chars", "10", "--min-words", "3", "--eval-mod", "5")))
+    }
+    val json = out.toString("UTF-8").trim
+    // raw 7 → dedup 6 (doc 1 folds into 0) → quality 5 (doc 2 out) →
+    // decontam 3 (eval ids 0 and 5 out; nothing else shares their hashes)
+    assert(json.contains(""""stage": "1_raw", "n_docs": 7"""))
+    assert(json.contains(""""stage": "2_dedup", "n_docs": 6"""))
+    assert(json.contains(""""stage": "3_quality", "n_docs": 5"""))
+    assert(json.contains(""""stage": "4_decontam", "n_docs": 3"""))
+    // the three splits partition the decontaminated set exactly
+    val splitDocs = """"stage": "split:\w+", "n_docs": (\d+)""".r
+      .findAllMatchIn(json).map(_.group(1).toLong).toSeq
+    assert(splitDocs.sum == 3L)
+  }
+
   test("--scope-partition diffs only changed partitions with identical row-diff counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_scope_")
