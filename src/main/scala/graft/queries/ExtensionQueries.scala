@@ -9714,6 +9714,204 @@ object ExtensionQueries {
            |  CAST(CAST(cs AS DECIMAL(16,12)) AS VARCHAR) AS cos_sim
            |FROM r WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin
       }
+    ),
+
+    // Dedup-threshold sensitivity sweep: exact Jaccard over
+    // (lang, length-bucket)-blocked candidate pairs, bucketed into the
+    // similarity bands the MinHash S-curve (q308) tunes against — how
+    // many pairs would each threshold actually merge? Cross-multiplied
+    // integer comparisons (|∩|·10 vs k·|∪|), 3-word shingle sets, and a
+    // blocking scheme whose blast is bounded by block size — the
+    // tuning-curve empirical twin of q308's analytic curve.
+    QueryDef(
+      "q318_threshold_sweep",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") / 50).cast("long").as("lb"),
+            // CASE guard: sequence(0, -1) would produce a DESCENDING pair,
+            // not an empty list — short docs must yield an empty set
+            expr("CASE WHEN size(toks) >= 4 THEN array_sort(array_distinct(" +
+              "transform(sequence(0, size(toks) - 4), " +
+              "i -> array_join(slice(toks, i + 1, 3), ' ')))) " +
+              "ELSE slice(toks, 1, 0) END").as("sh"))
+          .filter(size(col("sh")) > 0)
+          .localCheckpoint()
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(
+            expr("size(array_intersect(a.sh, b.sh))").cast("long").as("inter"),
+            (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("szsum"))
+          .withColumn("uni", col("szsum") - col("inter"))
+        pairs.agg(
+            count(lit(1)).cast("long").as("n_candidates"),
+            sum(when(col("inter") * 10 >= col("uni") * 9, 1L).otherwise(0L)).as("ge_090"),
+            sum(when(col("inter") * 10 >= col("uni") * 7, 1L).otherwise(0L)).as("ge_070"),
+            sum(when(col("inter") * 2 >= col("uni"), 1L).otherwise(0L)).as("ge_050"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, CAST(n_chars // 50 AS BIGINT) AS lb,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, lang, lb,
+             |    list_sort(list_distinct(list_transform(
+             |      range(greatest(len(w) - 3, 0)),
+             |      i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+             |  FROM d),
+             |f AS (SELECT * FROM sh WHERE len(sh) > 0),
+             |p AS (SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+             |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+             |  FROM f a JOIN f b ON a.lang = b.lang AND a.lb = b.lb
+             |    AND a.doc_id < b.doc_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             |  CAST(sum(CASE WHEN inter * 10 >= uni * 9 THEN 1 ELSE 0 END) AS BIGINT) AS ge_090,
+             |  CAST(sum(CASE WHEN inter * 10 >= uni * 7 THEN 1 ELSE 0 END) AS BIGINT) AS ge_070,
+             |  CAST(sum(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END) AS BIGINT) AS ge_050
+             |FROM p""".stripMargin)
+    ),
+
+    // Ensemble quality score: four independent integer signals (word
+    // floor, mean word length band, Flesch floor, type/token diversity
+    // floor) summed into a 0–4 score, censused per source — the
+    // one-number curation gate a mixture plan consumes, built ONLY from
+    // components whose algebra both engines already replay.
+    QueryDef(
+      "q319_quality_ensemble",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+          .withColumn("w", size(col("toks")).cast("long"))
+          .withColumn("chars", expr("CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS BIGINT)"))
+          .withColumn("uniq", expr("size(array_distinct(toks))").cast("long"))
+          .withColumn("syl",
+            expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").cast("long"))
+          .withColumn("sen", expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"))
+        val scored = d
+          .withColumn("s1", when(col("w") >= 30, 1L).otherwise(0L))
+          .withColumn("s2", when(col("w") > 0 &&
+            col("chars") * 10 >= col("w") * 30 && col("chars") * 10 <= col("w") * 100, 1L)
+            .otherwise(0L))
+          .withColumn("s3", when(col("w") > 0 && col("sen") > 0 &&
+            lit(206835L) - expr("(1015 * w) div sen") - expr("(84600 * syl) div w") >= 50000L, 1L)
+            .otherwise(0L))
+          .withColumn("s4", when(col("w") > 0 && col("uniq") * 10 >= col("w") * 3, 1L)
+            .otherwise(0L))
+          .withColumn("score", col("s1") + col("s2") + col("s3") + col("s4"))
+        scored.groupBy("source", "score")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .orderBy("source", "score")
+      },
+      Some("""WITH d AS (SELECT source, text,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT source,
+             |    CAST(len(toks) AS BIGINT) AS w,
+             |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS chars,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS uniq,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl,
+             |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sen
+             |  FROM d),
+             |sc AS (SELECT source,
+             |    (CASE WHEN w >= 30 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN w > 0 AND chars * 10 >= w * 30 AND chars * 10 <= w * 100 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN w > 0 AND sen > 0 AND
+             |       206835 - (1015 * w) // sen - (84600 * syl) // w >= 50000 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN w > 0 AND uniq * 10 >= w * 3 THEN 1 ELSE 0 END) AS score
+             |  FROM m)
+             |SELECT source, CAST(score AS BIGINT) AS score,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM sc GROUP BY 1, 2 ORDER BY source, score""".stripMargin)
+    ),
+
+    // Survivorship-policy dedup: within each reorder-invariant dup group
+    // (q303's token-set fingerprint), keep the LONGEST member (tie → min
+    // id) instead of the min-id default — the policy choice a curation
+    // pipeline actually wants (keep the most complete copy), with the
+    // kept/dropped char ledger per group so the policy's effect is
+    // auditable.
+    QueryDef(
+      "q320_survivorship",
+      (s, dir) => {
+        val fp = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            md5(expr("array_join(array_sort(array_distinct(" +
+              "filter(split(text, '\\\\s+'), x -> x <> ''))), ' ')")).as("fingerprint"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        fp.withColumn("__rn", row_number().over(w))
+          .groupBy("fingerprint")
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            max(when(col("__rn") === 1, col("doc_id"))).as("keep_id"),
+            max(when(col("__rn") === 1, col("n_chars"))).cast("long").as("kept_chars"),
+            sum(when(col("__rn") =!= 1, col("n_chars")).otherwise(0L))
+              .cast("long").as("dropped_chars"))
+          .filter(col("n_members") >= 2)
+          .orderBy("fingerprint")
+      },
+      Some("""WITH fp AS (SELECT doc_id, n_chars,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''))), ' ')) AS fingerprint
+             |  FROM documents),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY fingerprint
+             |    ORDER BY n_chars DESC, doc_id) AS rn FROM fp)
+             |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_members,
+             |  max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+             |  CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+             |  CAST(sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+             |FROM r GROUP BY fingerprint HAVING count(*) >= 2
+             |ORDER BY fingerprint""".stripMargin)
+    ),
+
+    // Embedding-space drift: per-label centroid shift between the
+    // even-id and odd-id halves — the representation-drift lens
+    // completing the drift family (TV q133, KS q270, Wasserstein q239,
+    // quantile q207, vocabulary q133): a retrained encoder that moved a
+    // class's region shows up here before any scalar statistic moves.
+    // Centroids via the avg-CAST-REAL discipline (q74), distance through
+    // the codegen'd squared-L2 expression.
+    QueryDef(
+      "q321_embedding_drift",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .withColumn("half", (col("vec_id") % 2).cast("int"))
+        val cent = e.select(col("label"), col("half"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "half", "pos").agg(avg("v").cast("float").as("mv"))
+          .groupBy("label", "half")
+          .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ps"))
+          .select(col("label"), col("half"), expr("transform(ps, x -> x.mv)").as("c"))
+        val a = cent.filter(col("half") === 0).select(col("label"), col("c").as("ca"))
+        val b = cent.filter(col("half") === 1).select(col("label"), col("c").as("cb"))
+        val n = e.groupBy("label").agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_even"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_odd"))
+        canonOut(a.join(b, Seq("label")).join(n, Seq("label"))
+          .select(col("label"), col("n_even"), col("n_odd"),
+            graft.functions.GraftFunctions.squaredL2(col("ca"), col("cb"))
+              .cast("decimal(20,10)").as("centroid_shift_sq"))
+          .orderBy("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding,
+             |    CAST(vec_id % 2 AS INT) AS half FROM embeddings),
+             |px AS (SELECT label, half, i,
+             |    CAST(avg(embedding[i+1]::DOUBLE) AS REAL) AS mv
+             |  FROM e, (SELECT unnest(range(64)) AS i) ix GROUP BY label, half, i),
+             |c AS (SELECT label, half, list(mv ORDER BY i) AS cv FROM px GROUP BY label, half),
+             |n AS (SELECT label,
+             |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+             |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+             |  FROM e GROUP BY label),
+             |d AS (SELECT a.label,
+             |    list_reduce(list_transform(range(64),
+             |      i -> (a.cv[i+1]::DOUBLE - b.cv[i+1]::DOUBLE)
+             |         * (a.cv[i+1]::DOUBLE - b.cv[i+1]::DOUBLE)),
+             |      (x, y) -> x + y) AS d2
+             |  FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1)
+             |SELECT d.label, n.n_even, n.n_odd,
+             |  CAST(CAST(d.d2 AS DECIMAL(20,10)) AS VARCHAR) AS centroid_shift_sq
+             |FROM d JOIN n USING (label) ORDER BY label""".stripMargin)
     )
   )
 }
