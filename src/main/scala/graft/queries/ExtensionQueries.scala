@@ -9912,6 +9912,148 @@ object ExtensionQueries {
              |SELECT d.label, n.n_even, n.n_odd,
              |  CAST(CAST(d.d2 AS DECIMAL(20,10)) AS VARCHAR) AS centroid_shift_sq
              |FROM d JOIN n USING (label) ORDER BY label""".stripMargin)
+    ),
+
+    // Cohen's kappa between the marker-based language classifier (q42)
+    // and the ground-truth lang column — inter-annotator agreement
+    // corrected for chance, in exact rational algebra:
+    //
+    //   κ = (a·n − Σ_c r_c·k_c) / (n² − Σ_c r_c·k_c)    (×10⁴ render)
+    //
+    // where a = agreements and r/k are the two marginals. Raw accuracy
+    // flatters any classifier on a skewed label mix; kappa is the label-QA
+    // number an annotation pipeline actually tracks. One scan for the
+    // confusion marginals, integer division once.
+    QueryDef(
+      "q322_kappa",
+      (s, dir) => {
+        val pred = TextAnalysis.languageId(
+            t(s, dir, "documents"), "doc_id", "text", langMarkers)
+          .select(col("doc_id"), col("pred_lang"))
+        val both = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+          .join(pred, "doc_id")
+        val marg = both.groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .localCheckpoint()
+        val n = marg.agg(sum("c")).head.getLong(0)
+        val agree = marg.filter(col("lang") === col("pred_lang"))
+          .agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+        val peNum = marg.groupBy("lang").agg(sum("c").as("r"))
+          .join(marg.groupBy("pred_lang").agg(sum("c").as("k"))
+            .withColumnRenamed("pred_lang", "lang"), Seq("lang"), "inner")
+          .agg(coalesce(sum(col("r") * col("k")), lit(0L))).head.getLong(0)
+        import s.implicits._
+        Seq((n, agree, peNum,
+          (agree * n - peNum) * 10000L / (n * n - peNum)))
+          .toDF("n", "agree_n", "pe_num", "kappa_fp")
+      },
+      Some {
+        val scores = langMarkers
+          .map { case (l, ws) => s"CAST(${duckMarkerScore(ws)} AS BIGINT) AS score_$l" }
+          .mkString(",\n  ")
+        val g = langMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+        val predCase = langMarkers
+          .map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
+          .mkString("CASE ", " ", " ELSE 'unknown' END")
+        s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents),
+           |p AS (SELECT doc_id, lang, $predCase AS pred FROM s),
+           |m AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN lang = pred THEN c ELSE 0 END) AS BIGINT) AS agree_n
+           |  FROM m),
+           |pe AS (SELECT CAST(COALESCE(sum(r.rc * k.kc), 0) AS BIGINT) AS pe_num
+           |  FROM (SELECT lang, sum(c) AS rc FROM m GROUP BY 1) r
+           |  JOIN (SELECT pred, sum(c) AS kc FROM m GROUP BY 1) k ON r.lang = k.pred)
+           |SELECT n, agree_n, pe_num,
+           |  CAST((agree_n * n - pe_num) * 10000 // (n * n - pe_num) AS BIGINT) AS kappa_fp
+           |FROM tot, pe""".stripMargin
+      }
+    ),
+
+    // Kaplan–Meier time-to-conversion: duration = days from a user's
+    // first event to their first PURCHASE, censored at the corpus horizon
+    // for users who never convert. The product-limit estimator runs as a
+    // ×10⁶ integer truncation chain over BIGINT-ENCODED (t, survivors,
+    // at-risk) steps — t·10¹⁰ + (n−d)·10⁵ + n — so BOTH engines fold the
+    // identical (acc·(n−d)) div n arithmetic step-for-step with no struct
+    // folds and no floats; probes read the chain at 1/3/7 days plus the
+    // full horizon. The first genuinely time-to-event lens in the suite —
+    // and the estimator that stays HONEST under censoring, where a naive
+    // mean of observed delays would bias low.
+    QueryDef(
+      "q323_kaplan_meier",
+      (s, dir) => {
+        val per = eventsUs(s, dir)
+          .withColumn("day", expr("ts_us div 86400000000"))
+          .groupBy("user_id").agg(min("day").as("f"),
+            min(when(col("event_type") === "purchase", col("day"))).as("p"),
+            max("day").as("l"))
+          .localCheckpoint()
+        val m = per.agg(max("l")).head.getLong(0)
+        val u = per
+          .withColumn("censored", when(col("p").isNull, 1).otherwise(0))
+          .withColumn("t",
+            when(col("p").isNull, lit(m) - col("f")).otherwise(col("p") - col("f")))
+        val byT = u.groupBy("t").agg(
+            count(lit(1)).cast("long").as("all_t"),
+            sum(when(col("censored") === 0, 1L).otherwise(0L)).as("d"))
+          .localCheckpoint()
+        val total = u.count()
+        val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val steps = byT
+          .withColumn("n_risk", lit(total) - coalesce(sum("all_t").over(w), lit(0L)))
+          .filter(col("d") > 0)
+          .select((col("t") * 10000000000L +
+            (col("n_risk") - col("d")) * 100000L + col("n_risk")).as("enc"), col("t"))
+        val arr = steps.agg(array_sort(collect_list("enc")).as("a"))
+        def surv(probe: Long) = expr(
+          s"aggregate(a, CAST(1000000 AS BIGINT), (acc, x) -> " +
+            s"CASE WHEN x div 10000000000 <= $probe THEN " +
+            s"(acc * ((x % 10000000000) div 100000)) div (x % 100000) ELSE acc END)")
+        val censoredN = u.agg(sum("censored")).head.getLong(0)
+        arr.select(lit(total).as("n_users"), lit(censoredN).as("n_censored"),
+          surv(1L).as("s1_fp"), surv(3L).as("s3_fp"),
+          surv(7L).as("s7_fp"), surv(Long.MaxValue / 20000000000L).as("s_final_fp"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    epoch_us(ts) // 86400000000 AS day FROM events),
+             |per AS (SELECT user_id, min(day) AS f,
+             |    min(CASE WHEN event_type = 'purchase' THEN day END) AS p,
+             |    max(day) AS l FROM e GROUP BY 1),
+             |mx AS (SELECT max(l) AS m FROM per),
+             |u AS (SELECT user_id,
+             |    CASE WHEN p IS NULL THEN 1 ELSE 0 END AS censored,
+             |    CASE WHEN p IS NULL THEN m - f ELSE p - f END AS t
+             |  FROM per, mx),
+             |bt AS (SELECT t, CAST(count(*) AS BIGINT) AS all_t,
+             |    CAST(sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+             |  FROM u GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS total,
+             |    CAST(sum(censored) AS BIGINT) AS n_censored FROM u),
+             |st AS (SELECT t,
+             |    total - COALESCE(sum(all_t) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk, d
+             |  FROM bt, tot),
+             |enc AS (SELECT list_sort(list(t * 10000000000 + (n_risk - d) * 100000 + n_risk)) AS a
+             |  FROM st WHERE d > 0),
+             |f AS (SELECT
+             |  list_reduce(list_prepend(CAST(1000000 AS BIGINT), a), (acc, x) ->
+             |    CASE WHEN x // 10000000000 <= 1 THEN (acc * ((x % 10000000000) // 100000)) // (x % 100000)
+             |         ELSE acc END) AS s1,
+             |  list_reduce(list_prepend(CAST(1000000 AS BIGINT), a), (acc, x) ->
+             |    CASE WHEN x // 10000000000 <= 3 THEN (acc * ((x % 10000000000) // 100000)) // (x % 100000)
+             |         ELSE acc END) AS s3,
+             |  list_reduce(list_prepend(CAST(1000000 AS BIGINT), a), (acc, x) ->
+             |    CASE WHEN x // 10000000000 <= 7 THEN (acc * ((x % 10000000000) // 100000)) // (x % 100000)
+             |         ELSE acc END) AS s7,
+             |  list_reduce(list_prepend(CAST(1000000 AS BIGINT), a), (acc, x) ->
+             |    (acc * ((x % 10000000000) // 100000)) // (x % 100000)) AS sf
+             |  FROM enc)
+             |SELECT tot.total AS n_users, tot.n_censored,
+             |  CAST(f.s1 AS BIGINT) AS s1_fp, CAST(f.s3 AS BIGINT) AS s3_fp,
+             |  CAST(f.s7 AS BIGINT) AS s7_fp, CAST(f.sf AS BIGINT) AS s_final_fp
+             |FROM f, tot""".stripMargin)
     )
   )
 }
