@@ -55,14 +55,14 @@ object Governance {
     }.reduce(_ unionByName _)
   }
 
-  /** Randomized-response (Warner) privacy mechanism with a debiasing
+  /** Randomized-response (Warner 1965) privacy mechanism with a debiasing
     * certificate — the local-DP counting primitive: each row reports its
-    * sensitive bit truthfully with probability 3/4, otherwise reports a
-    * fair coin, so NO individual row's report reveals its true bit (every
-    * report is consistent with either value at 2:1 odds — ln 3 local ε),
-    * yet group totals debias exactly:
+    * sensitive bit truthfully with probability 1/2, otherwise reports a
+    * fair coin. P(report=b | true=b) = 3/4 vs P(report=b | true=¬b) = 1/4,
+    * a 3:1 likelihood ratio — the classic ln 3 local ε, so NO individual
+    * report reveals its true bit, yet group totals debias exactly:
     *
-    *   E[yes] = (3/4)·t + (1/8)·n   ⟹   t̂ = (8·yes − n) / 6
+    *   E[yes] = (1/2)·t + (1/4)·n   ⟹   t̂ = (4·yes − n) / 2
     *
     * Coins derive from md5(seed:key) hex digits — deterministic, engine-
     * portable, and per-row independent in the Bernoulli-audit sense the
@@ -73,21 +73,23 @@ object Governance {
     * it), the reported count, the debiased estimate at ×scale fixed point,
     * and its absolute error. One map-side scan + one keyed aggregate; the
     * estimate's error concentrates as O(√n) so at corpus scale the noisy
-    * census is tight while any single row stays deniable. */
+    * census is tight while any single row stays deniable. The hash is
+    * built with Column APIs (not string-interpolated SQL), so a seed
+    * containing quotes or SQL metacharacters is just data. */
   def randomizedResponseCounts(df: DataFrame, groupCol: String,
       keyCol: String, bitCol: String, seed: String,
       scale: Int = 1000): DataFrame = {
-    val h = s"md5(concat('$seed', ':', CAST($keyCol AS STRING)))"
-    val c1 = s"CAST(conv(substring($h, 1, 1), 16, 10) AS INT)"
-    val c2 = s"CAST(conv(substring($h, 2, 1), 16, 10) AS INT) % 2"
-    val reported = expr(s"CASE WHEN $c1 < 12 THEN $bitCol ELSE $c2 END")
+    val h = md5(concat(lit(seed), lit(":"), col(keyCol).cast("string")))
+    val c1 = conv(substring(h, 1, 1), 16, 10).cast("int")
+    val c2 = conv(substring(h, 2, 1), 16, 10).cast("int") % 2
+    val reported = when(c1 < 8, col(bitCol)).otherwise(c2)
     df.withColumn("__rep", reported)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col(bitCol).cast("long")).as("yes_true"),
         sum(col("__rep").cast("long")).as("yes_reported"))
       .withColumn("est_fp",
-        expr(s"CAST(((8 * yes_reported - n) * $scale) div 6 AS BIGINT)"))
+        expr(s"CAST(((4 * yes_reported - n) * $scale) div 2 AS BIGINT)"))
       .withColumn("err_fp", abs(col("est_fp") - col("yes_true") * scale))
   }
 

@@ -334,10 +334,14 @@ object Graphs {
     * every dbt-style model DAG (the reference's own world: models build in
     * waves, and wave k is exactly the set of models whose longest
     * dependency chain has length k). Iteratively peel in-degree-0 nodes:
-    * peeled set = wave, remove their outgoing edges, repeat. Nodes still
-    * standing after `maxIters` waves are in (or downstream of) a CYCLE and
-    * come back with level −1 — surfaced as data, never silently dropped,
-    * because a cyclic model graph is a bug the scheduler must refuse.
+    * peeled set = wave, remove their outgoing edges, repeat. Nodes that
+    * can never peel — in (or downstream of) a CYCLE — come back with
+    * level −1: surfaced as data, never silently dropped, because a cyclic
+    * model graph is a bug the scheduler must refuse. A deep-but-ACYCLIC
+    * graph whose depth exceeds `maxIters` is a different condition (the
+    * caller's budget is wrong, not the graph) and must not masquerade as
+    * a cycle — if the wave budget runs out while peelable roots still
+    * exist, the walk throws instead of mislabeling a valid DAG.
     *
     * Each wave is one anti-join (current roots) + one semi-join (edge
     * removal) — keyed shuffles, no all-pairs; `localCheckpoint` caps
@@ -376,6 +380,20 @@ object Graphs {
         level += 1
         if (remainingNodes.isEmpty) done = true
       }
+    }
+    if (!done) {
+      // budget exhausted with nodes unpeeled: roots still exist iff the
+      // graph is acyclic-but-deeper-than-maxIters — refuse loudly rather
+      // than stamping a valid DAG with the cycle sentinel
+      val rootsLeft = !remainingNodes
+        .join(remainingEdges.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .isEmpty
+      if (rootsLeft)
+        throw new IllegalStateException(
+          s"topoLayers: wave budget maxIters=$maxIters exhausted but the graph " +
+            "still has peelable roots — the DAG is deeper than maxIters, not cyclic; " +
+            "raise maxIters")
     }
     val cyclic = remainingNodes.withColumn("level", lit(-1))
     (cyclic :: layers).reduce(_ unionByName _)

@@ -840,6 +840,13 @@ object Stats {
     * 2^w − 1. Everything stays scaled by the denominator — the flag
     * compares |x·(2^w−1) − Σ 2^i·x_i| > threshold·(2^w−1), so no division
     * happens before the comparison and both engines agree bit-for-bit.
+    * The weighted terms, their sum, and both comparison sides run in
+    * DECIMAL(38,0): for ANY Long-valued x and window ≤ 62 the largest
+    * intermediate is < 2^63·2^62 ≈ 4.3e37 < 10^38, so the algebra is
+    * exact with no silent Long wraparound (plain LONG would wrap for
+    * window ≳ 48 at cent-scale magnitudes), and a hypothetical
+    * out-of-contract overflow fails loudly under ANSI decimal discipline
+    * instead of producing wrong flags.
     * Truncation error vs the infinite EWMA is ≤ max|x|/2^w — below one
     * cent for w=16 at any realistic magnitude, and the bounded frame is
     * what makes the operator a WINDOW (one keyed sort, O(w) per row via
@@ -858,9 +865,12 @@ object Stats {
     df.withColumn("__hist", collect_list(col(valueCol)).over(w))
       .filter(size(col("__hist")) === window)
       .withColumn("__wsum",
-        expr(s"aggregate(transform(__hist, (v, i) -> v * shiftleft(1L, i)), 0L, (a, x) -> a + x)"))
-      .withColumn("__dev", col(valueCol) * den - col("__wsum"))
-      .filter(abs(col("__dev")) > threshold * den)
+        expr("aggregate(transform(__hist, (v, i) -> " +
+          "CAST(v AS DECIMAL(38,0)) * CAST(shiftleft(1L, i) AS DECIMAL(38,0))), " +
+          "CAST(0 AS DECIMAL(38,0)), (a, x) -> CAST(a + x AS DECIMAL(38,0)))"))
+      .withColumn("__dev",
+        col(valueCol).cast("decimal(38,0)") * den - col("__wsum"))
+      .filter(abs(col("__dev")) > lit(threshold).cast("decimal(38,0)") * den)
       .select(col(keyCol) +: orderCols.map(col) :+ col(valueCol) :+
         expr(s"CAST(__wsum div $den AS BIGINT)").as("ewma") :+
         expr(s"CAST(__dev div $den AS BIGINT)").as("deviation"): _*)

@@ -7764,12 +7764,13 @@ object ExtensionQueries {
 
     // Randomized-response privacy census (Governance
     // .randomizedResponseCounts): each document reports its sensitive bit
-    // truthfully only with p=3/4 (else a fair coin), so every individual
-    // report is deniable at 2:1 odds (ln 3 local ε), yet the per-language
-    // debiased estimate t̂ = (8·yes − n)/6 lands within O(√n) of the true
-    // count — both sides of that tradeoff are IN the output (est_fp vs
-    // yes_true). Coins are md5-derived for engine-replayability; the
-    // deployment swaps in real entropy and drops the yes_true column.
+    // truthfully only with p=1/2 (else a fair coin) — the classic Warner
+    // mechanism, a 3:1 likelihood ratio per report (ln 3 local ε) — yet
+    // the per-language debiased estimate t̂ = (4·yes − n)/2 lands within
+    // O(√n) of the true count; both sides of that tradeoff are IN the
+    // output (est_fp vs yes_true). Coins are md5-derived for engine-
+    // replayability; the deployment swaps in real entropy and drops the
+    // yes_true column.
     QueryDef(
       "q276_rr_privacy",
       (s, dir) => {
@@ -7784,7 +7785,7 @@ object ExtensionQueries {
              |    md5('rr1:' || doc_id) AS h
              |  FROM documents),
              |r AS (SELECT lang, bit,
-             |    CASE WHEN ('0x' || substr(h, 1, 1))::INT < 12 THEN bit
+             |    CASE WHEN ('0x' || substr(h, 1, 1))::INT < 8 THEN bit
              |         ELSE ('0x' || substr(h, 2, 1))::INT % 2 END AS rep
              |  FROM b),
              |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
@@ -7792,8 +7793,8 @@ object ExtensionQueries {
              |    CAST(sum(rep) AS BIGINT) AS yes_reported
              |  FROM r GROUP BY lang)
              |SELECT lang, n, yes_true, yes_reported,
-             |  CAST(((8 * yes_reported - n) * 1000) // 6 AS BIGINT) AS est_fp,
-             |  CAST(abs(((8 * yes_reported - n) * 1000) // 6 - yes_true * 1000) AS BIGINT) AS err_fp
+             |  CAST(((4 * yes_reported - n) * 1000) // 2 AS BIGINT) AS est_fp,
+             |  CAST(abs(((4 * yes_reported - n) * 1000) // 2 - yes_true * 1000) AS BIGINT) AS err_fp
              |FROM g ORDER BY lang""".stripMargin)
     ),
 

@@ -4044,6 +4044,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(!r.exists(t => t._1 == 2L || t._1 == 3L))
   }
 
+  test("ewma anomaly: window=50 at 1e7 magnitudes is exact (no Long wrap in the weighted sum)") {
+    // 2^49 * 1e7 ≈ 5.6e21 overflows a plain LONG term; the DECIMAL(38,0)
+    // fold must still produce ewma == the flat level and flag the spike
+    val flat = (1L to 50L).map(i => (1L, i, 10000000L))
+    val spike = Seq((1L, 51L, 20000000L))
+    val df = (flat ++ spike).toDF("k", "o", "cents")
+    val r = Stats.ewmaAnomalies(df, "k", Seq("o"), "cents",
+      window = 50, threshold = 1000000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq((1L, 51L, 10000000L, 10000000L)))
+  }
+
   test("randomized response: md5-replayed reports exact, debias formula pinned") {
     import java.security.MessageDigest
     def md5hex(s: String): String =
@@ -4053,14 +4065,19 @@ class OperatorsSpec extends SparkTestBase {
     val expectedReported = rows.map { case (i, _, bit) =>
       val h = md5hex(s"s1:$i")
       val c1 = Integer.parseInt(h.substring(0, 1), 16)
-      if (c1 < 12) bit else Integer.parseInt(h.substring(1, 2), 16) % 2
+      if (c1 < 8) bit else Integer.parseInt(h.substring(1, 2), 16) % 2
     }.sum.toLong
     val r = Governance.randomizedResponseCounts(
       rows.toDF("id", "grp", "bit"), "grp", "id", "bit", seed = "s1")
       .collect().head
     assert(r.getAs[Long]("n") == 40L && r.getAs[Long]("yes_true") == 20L)
     assert(r.getAs[Long]("yes_reported") == expectedReported)
-    assert(r.getAs[Long]("est_fp") == (8 * expectedReported - 40L) * 1000L / 6L)
+    assert(r.getAs[Long]("est_fp") == (4 * expectedReported - 40L) * 1000L / 2L)
+    // a seed containing SQL metacharacters is plain data, not SQL
+    val rq = Governance.randomizedResponseCounts(
+      rows.toDF("id", "grp", "bit"), "grp", "id", "bit", seed = "it's; a' seed")
+      .collect().head
+    assert(rq.getAs[Long]("n") == 40L)
   }
 
   test("label propagation: dense blocks keep their labels, one bridge can't merge them") {
@@ -4253,6 +4270,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(1L) == 0 && r(2L) == 1 && r(3L) == 2 && r(4L) == 2)
     assert(r(5L) == 3) // longest chain 1-2-3-5, not the short arm
     assert(r(10L) == -1 && r(11L) == -1 && r(12L) == -1) // cycle + downstream
+  }
+
+  test("topo layers: deep-but-acyclic chain past maxIters throws, never fakes a cycle") {
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b") // depth 8 > budget 3
+    val e = intercept[IllegalStateException] {
+      Graphs.topoLayers(chain, "a", "b", maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("deeper than maxIters"))
+    // a genuine cycle under the same budget still reports -1, no throw
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    val r = Graphs.topoLayers(cyc, "a", "b", maxIters = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(1))).toMap
+    assert(r(1L) == -1 && r(2L) == -1)
   }
 
   test("ndcg discount table matches floor(1e6/log2(i+1)) and its prefix sum") {
