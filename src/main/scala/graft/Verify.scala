@@ -30,9 +30,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures += name -> String.valueOf(e.getMessage).take(300)
       }
-      // drop storage pinned by the query (localCheckpoints etc.) so 80+
+      // drop storage pinned by the query (localCheckpoints etc.) so 300+
       // queries in one session don't accumulate block-manager pressure
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      graft.tools.Hygiene.unpersistAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
