@@ -61,6 +61,11 @@ object Main {
       // keyed diffs bucket both snapshots on the diff keys by default so
       // the row-diff joins plan with zero Exchange
       bucketSnapshots: Boolean = true,
+      // Some(buckets): run the row diff on salted per-key digests
+      // (DiffEngine.saltedDigestFrame) — the one-flag fix for a hot diff
+      // key (SURVEY §7.3 risk 7); row counts stay exact, `changed` counts
+      // keys (≡ rows under the unique-key contract), --by-column is off
+      saltSkew: Option[Int] = None,
       // curate subcommand
       budget: Long = 256,
       spanWords: Int = 5,
@@ -128,6 +133,10 @@ object Main {
         case "--publish-jdbc" => a = a.copy(publishJdbc = Some(need("--publish-jdbc")))
         case "--bucket-by-keys" => a = a.copy(bucketSnapshots = true)
         case "--no-bucket-by-keys" => a = a.copy(bucketSnapshots = false)
+        case "--salt-skew" =>
+          val b = need("--salt-skew").toInt
+          require(b > 0, "--salt-skew buckets must be positive")
+          a = a.copy(saltSkew = Some(b))
         case "--budget" => a = a.copy(budget = need("--budget").toLong)
         case "--span-words" => a = a.copy(spanWords = need("--span-words").toInt)
         case "--max-span-docs" => a = a.copy(maxSpanDocs = need("--max-span-docs").toLong)
@@ -321,9 +330,9 @@ object Main {
       val hits = hot(base, "base") ++ hot(head, "head")
       if (hits.isEmpty) None
       else Some(s"WARNING: diff key (${keys.mkString(", ")}) is skewed — ${hits.mkString("; ")}. " +
-        "AQE skew-split (on by default) rebalances the sort-merge row-diff join; for " +
-        "aggregation-heavy follow-up queries salt deterministically with " +
-        "SkewTools.saltedJoin/saltedSumCount.")
+        "Re-run with --salt-skew N to diff via salted per-key digests (row-exact counts, " +
+        "no hot-partition join); AQE skew-split (on by default) also rebalances the " +
+        "sort-merge row-diff join when keys are unique.")
     }
   }
 
@@ -376,7 +385,8 @@ object Main {
       }
       val res = DiffEngine.diff(baseIn, headIn, a.keys, a.where, a.sample,
         approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
-        model = a.model, baseRef = a.baseRef, headRef = a.headRef)
+        model = a.model, baseRef = a.baseRef, headRef = a.headRef,
+        saltSkewBuckets = a.saltSkew)
       // record the ACTUAL snapshot namespace/tables in meta (diff_flow.py:87-88)
       res.copy(
         meta = res.meta.copy(
@@ -421,7 +431,8 @@ object Main {
       skewWarning(base, head, a.keys).foreach(Console.err.println)
       DiffEngine.diff(base, head, a.keys, a.where, a.sample,
         approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
-        model = a.model, baseRef = a.basePath, headRef = a.headPath)
+        model = a.model, baseRef = a.basePath, headRef = a.headPath,
+        saltSkewBuckets = a.saltSkew)
         .copy(drift = computeDrift(base, head, a.driftCols, a.where),
           driftNumeric = computeNumericDrift(base, head, a.driftNumericCols, a.where))
   }
@@ -471,7 +482,8 @@ object Main {
       // snapshots inside diff() is a no-op on rows and keeps one code path
       val res = DiffEngine.diff(base, head, a.keys, a.where, a.sample,
         approxDistinct = a.approxDistinct, computeProfiles = a.colStats, computeByColumn = a.byColumn,
-        model = a.model, baseRef = a.basePath, headRef = a.headPath)
+        model = a.model, baseRef = a.basePath, headRef = a.headPath,
+        saltSkewBuckets = a.saltSkew)
         .copy(drift = computeDrift(base, head, a.driftCols, a.where),
           driftNumeric = computeNumericDrift(base, head, a.driftNumericCols, a.where))
       res.copy(meta = res.meta.copy(
@@ -738,7 +750,7 @@ object Main {
       |            [--col-stats|--no-col-stats] [--approx] [--by-column]
       |            [--scope-partition COL] [--drift col1,col2] [--drift-numeric col1,col2]
       |            [--jdbc-partition-col COL] [--jdbc-partitions N] [--publish-jdbc TABLE]
-      |            [--bucket-by-keys|--no-bucket-by-keys]
+      |            [--bucket-by-keys|--no-bucket-by-keys] [--salt-skew N]
       |            [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]
       |            (with a postgres/redshift/jdbc profile target, basePath/headPath

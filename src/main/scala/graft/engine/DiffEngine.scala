@@ -478,6 +478,44 @@ object DiffEngine {
     h.join(b, keys, "full_outer")
   }
 
+  /** Hot-key (skew) form of [[rowDiffFrame]] — the `--salt-skew` path
+    * (SURVEY §7.3 risk 7): a key value holding a large share of rows makes
+    * the plain full-outer row join concentrate one shuffle partition, and
+    * when the hot key is DUPLICATED on both sides the join output
+    * multiplies (n_base×n_head rows for that key) — no AQE split fixes a
+    * semantic blow-up. This variant never joins rows at all: each side is
+    * collapsed per key into (row count, order-independent content digest)
+    * by a TWO-PHASE salted aggregate — partial on (key, salt) where the
+    * salt derives from the row hash, final on the key — so a hot key's
+    * partials spread over `buckets` reduce tasks, then the full-outer join
+    * runs on single-row-per-key digests: structurally skew-free.
+    *
+    * Output schema matches [[rowDiffFrame]] (`__base_hash`/`__head_hash`,
+    * null ⇔ side absent) plus exact per-side row counts `__base_n`/
+    * `__head_n`, so added/removed/base/head counts stay ROW-exact even
+    * with duplicate keys; `changed` becomes key-level (a key counts once
+    * when its multiset of row contents differs) — identical to the default
+    * path under the unique-key contract. Digest = md5(count ":" Σ 32-bit
+    * md5 prefixes): commutative, collision odds ~2⁻³² per key, exact for
+    * up to 2³¹ rows per key before the Long sum could wrap. */
+  def saltedDigestFrame(base: DataFrame, head: DataFrame, keys: Seq[String],
+      nonKeyCols: Seq[String], buckets: Int): DataFrame = {
+    require(buckets > 0, "salt buckets must be positive")
+    val hashCol = if (nonKeyCols.isEmpty) md5(lit("")) else rowHash(nonKeyCols)
+    def side(df: DataFrame, n: String, h: String): DataFrame =
+      df.select(keys.map(col) :+ hashCol.as("__h"): _*)
+        .withColumn("__salt", pmod(xxhash64(col("__h")), lit(buckets.toLong)))
+        .withColumn("__h32",
+          expr("CAST(conv(substring(__h, 1, 8), 16, 10) AS BIGINT)"))
+        .groupBy((keys :+ "__salt").map(col): _*)
+        .agg(count(lit(1)).as("__pn"), sum(col("__h32")).as("__ps"))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("__pn")).cast("long").as(n),
+          md5(concat_ws(":", sum(col("__pn")), sum(col("__ps")))).as(h))
+    side(head, "__head_n", "__head_hash")
+      .join(side(base, "__base_n", "__base_hash"), keys, "full_outer")
+  }
+
   /** Full diff — the reference's `run_diff` comparison stages
     * (diff_flow.py:124-257) as one orchestrated Spark program.
     *
@@ -510,7 +548,11 @@ object DiffEngine {
       baseRef: String = "base",
       headRef: String = "head",
       coerceTypes: Boolean = true,
-      computeByColumn: Boolean = false
+      computeByColumn: Boolean = false,
+      // Some(buckets) ⇒ row diff runs on salted per-key digests
+      // ([[saltedDigestFrame]]) — the hot-key escape hatch; counts stay
+      // row-exact, `changed` becomes key-level (≡ default under unique keys)
+      saltSkewBuckets: Option[Int] = None
   ): DiffResult = {
     val base = where.fold(baseIn)(p => baseIn.filter(expr(p)))
     val head = where.fold(headIn)(p => headIn.filter(expr(p)))
@@ -575,23 +617,43 @@ object DiffEngine {
         }
         (coerce(base), coerce(head))
       }
-    val joined = rowDiffFrame(baseJ, headJ, keys, nonKey).persist(StorageLevel.MEMORY_AND_DISK)
+    val salted = saltSkewBuckets.isDefined
+    val joined = (saltSkewBuckets match {
+      case Some(b) => saltedDigestFrame(baseJ, headJ, keys, nonKey, b)
+      case None    => rowDiffFrame(baseJ, headJ, keys, nonKey)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val stats = joined.agg(
-        sum(when(col("__base_hash").isNull, 1L).otherwise(0L)).as("added"),
-        sum(when(col("__head_hash").isNull, 1L).otherwise(0L)).as("removed"),
-        sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
-          col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed"),
-        sum(when(col("__base_hash").isNotNull, 1L).otherwise(0L)).as("base_rows"),
-        sum(when(col("__head_hash").isNotNull, 1L).otherwise(0L)).as("head_rows"),
-        // duplicate-key detection: under the PK contract the full-outer join
-        // emits each key exactly once, so join rows == distinct keys; any
-        // dup key on either side multiplies join rows past that. (Unmatched
-        // null-key rows also trip this — and those equally break the
-        // hash-count shortcut, so the exact-count fallback is right there too.)
-        count(lit(1)).as("join_rows"),
-        countDistinct(struct(keys.map(col): _*)).as("distinct_keys")
-      ).head()
+      // Same stat layout both modes (added, removed, changed, base_rows,
+      // head_rows, then a dup-key signal pair read as stat(5) > stat(6)).
+      val stats = (if (salted)
+        joined.agg(
+          // digests are one row per key, so row-level added/removed come
+          // from the carried per-side counts, exact even with dup keys
+          sum(when(col("__base_hash").isNull, col("__head_n")).otherwise(0L)).as("added"),
+          sum(when(col("__head_hash").isNull, col("__base_n")).otherwise(0L)).as("removed"),
+          sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
+            col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed"),
+          sum(coalesce(col("__base_n"), lit(0L))).as("base_rows"),
+          sum(coalesce(col("__head_n"), lit(0L))).as("head_rows"),
+          count(lit(1)).as("join_rows"),
+          (count(lit(1)) - sum(when(greatest(coalesce(col("__base_n"), lit(0L)),
+            coalesce(col("__head_n"), lit(0L))) > 1, 1L).otherwise(0L))).as("keys_without_dups"))
+      else
+        joined.agg(
+          sum(when(col("__base_hash").isNull, 1L).otherwise(0L)).as("added"),
+          sum(when(col("__head_hash").isNull, 1L).otherwise(0L)).as("removed"),
+          sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
+            col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L)).as("changed"),
+          sum(when(col("__base_hash").isNotNull, 1L).otherwise(0L)).as("base_rows"),
+          sum(when(col("__head_hash").isNotNull, 1L).otherwise(0L)).as("head_rows"),
+          // duplicate-key detection: under the PK contract the full-outer join
+          // emits each key exactly once, so join rows == distinct keys; any
+          // dup key on either side multiplies join rows past that. (Unmatched
+          // null-key rows also trip this — and those equally break the
+          // hash-count shortcut, so the exact-count fallback is right there too.)
+          count(lit(1)).as("join_rows"),
+          countDistinct(struct(keys.map(col): _*)).as("distinct_keys")
+        )).head()
       def stat(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
       val keysNotUnique = stat(5) > stat(6)
       val changedRows = joined.filter(
@@ -608,7 +670,9 @@ object DiffEngine {
       }).toSet
       val rd = RowDiff(stat(0), stat(1), stat(2), sampleKeys, integralKeys, keysNotUnique)
       val byCol =
-        if (computeByColumn && nonKey.nonEmpty)
+        // by-column attribution pairs rows 1:1 — exactly what the salted
+        // digest path avoids for hot dup keys, so the two are exclusive
+        if (computeByColumn && nonKey.nonEmpty && !salted)
           Some(changedByColumn(baseJ, headJ, keys, nonKey).collect().toSeq
             .map(r => (r.getString(0), r.getLong(1))))
         else None
@@ -616,9 +680,10 @@ object DiffEngine {
         // --no-col-stats: zero per-side scans beyond the join — UNLESS keys
         // turned out non-unique, where join-row multiplication makes the
         // hash counts over-count and two plain count() jobs are the only
-        // exact answer (matching the reference's separate COUNT queries)
+        // exact answer (matching the reference's separate COUNT queries).
+        // Salted digests carry exact per-side row counts, dup keys or not.
         val rc =
-          if (keysNotUnique) RowCounts(base.count(), head.count())
+          if (keysNotUnique && !salted) RowCounts(base.count(), head.count())
           else RowCounts(stat(3), stat(4))
         DiffResult(meta, rc, sd, Nil, Some(rd), byCol)
       }

@@ -10081,6 +10081,46 @@ object ExtensionQueries {
              |  CAST(f.s1 AS BIGINT) AS s1_fp, CAST(f.s3 AS BIGINT) AS s3_fp,
              |  CAST(f.s7 AS BIGINT) AS s7_fp, CAST(f.sf AS BIGINT) AS s_final_fp
              |FROM f, tot""".stripMargin)
+    ),
+
+    // HLL++ approx-profile CERTIFICATE (retires q05's no_oracle — the
+    // q120/q140/q148 sketch-certificate pattern applied to the profile's
+    // approx mode): `approx_count_distinct` promises relative standard
+    // error rsd = 0.05, so per profiled column the LIVE estimate must land
+    // within 3σ of the exact distinct count — |est − exact|·100 ≤ 15·exact,
+    // integer algebra, no doubles. Exact nulls/distincts ride along, so the
+    // oracle re-derives the whole frame and pins certified = 1: a broken
+    // sketch (or a silently changed default rsd) flips the bit and fails
+    // the hash. The multi-countDistinct Expand here is certificate-only
+    // machinery; the 100 TB profile paths remain q23's melt (exact) and
+    // q05's sketches (approx).
+    QueryDef(
+      "q324_profile_approx_certificate",
+      (s, dir) => {
+        val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+        val o = t(s, dir, "orders")
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}__nulls"),
+          countDistinct(col(c)).cast("long").as(s"${c}__exact"),
+          approx_count_distinct(col(c)).cast("long").as(s"${c}__approx")))
+        val row = o.agg(aggs.head, aggs.tail: _*)
+        cols.map { c =>
+          row.select(lit(c).as("col_name"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__exact").as("n_distinct"),
+            (abs(col(s"${c}__approx") - col(s"${c}__exact")) * 100 <=
+              col(s"${c}__exact") * 15).cast("long").as("certified"))
+        }.reduce(_ unionByName _).orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(1 AS BIGINT) AS certified FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }
     )
   )
 }

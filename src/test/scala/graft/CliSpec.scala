@@ -292,6 +292,27 @@ class CliSpec extends SparkTestBase {
     assert(r.rowDiff.get.added == 1 && r.rowDiff.get.removed == 0 && r.rowDiff.get.changed == 0)
   }
 
+  test("--salt-skew: planted hot key via CLI — warning fires, digest diff reports planted truth") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_skew_")
+    // hot key 9 holds 400 of 402 rows (>20% share -> skewWarning) on both sides
+    val hot = (1 to 400).map(i => (9, s"p$i"))
+    val base = (hot ++ Seq((1, "a"), (2, "b"))).toDF("k", "v")
+    val head = (hot.map { case (k, v) => (k, if (v == "p7") "Z" else v) } ++
+      Seq((1, "a"), (3, "c"))).toDF("k", "v")
+    base.write.parquet(s"$dir/base"); head.write.parquet(s"$dir/head")
+    assert(Main.skewWarning(base, head, Seq("k"), minRows = 100)
+      .exists(_.contains("--salt-skew")))
+    val a = Main.parseArgs(Seq("diff-tables", s"$dir/base", s"$dir/head",
+      "--keys", "k", "--salt-skew", "8", "--no-col-stats", "--format", "json"))
+    assert(a.saltSkew.contains(8))
+    val r = Main.runDiffTables(spark, a)
+    val rd = r.rowDiff.get
+    // planted truth: key 3 added (1 row), key 2 removed (1 row), keys 9 changed
+    assert(rd.added == 1 && rd.removed == 1 && rd.changed == 1 && rd.keysNotUnique)
+    assert(r.rowcounts.base == 402 && r.rowcounts.head == 402)
+  }
+
   private def git(cwd: Path, args: String*): Unit = {
     val pb = new ProcessBuilder(("git" +: args): _*)
     pb.directory(cwd.toFile)

@@ -124,6 +124,40 @@ class DiffEngineSpec extends SparkTestBase {
     assert(!graft.formatters.JsonFormatter.render(clean).contains("keys_not_unique"))
   }
 
+  test("salt-skew: hot dup key diffs via salted digests — row-exact counts, no row-pair join") {
+    // planted truth: hot key 7 duplicated 500x on both sides (one row's
+    // content mutated in head); unique keys with one changed, one removed,
+    // one added
+    val hotB = (1 to 500).map(i => (7, s"v$i"))
+    val hotH = (1 to 500).map(i => (7, if (i == 250) "MUTANT" else s"v$i"))
+    val base = (hotB ++ Seq((1, "a"), (2, "b"), (3, "c"))).toDF("k", "v")
+    val head = (hotH ++ Seq((1, "a"), (2, "B"), (4, "d"))).toDF("k", "v")
+    val r = DiffEngine.diff(base, head, keys = Seq("k"), computeProfiles = false,
+      saltSkewBuckets = Some(8))
+    val rd = r.rowDiff.get
+    assert(rd.added == 1 && rd.removed == 1) // key 4 added, key 3 removed (row-exact)
+    assert(rd.changed == 2)                  // keys 2 and 7 (key-level)
+    assert(r.rowcounts.base == 503 && r.rowcounts.head == 503) // exact despite dups
+    assert(rd.keysNotUnique)
+    assert(rd.sampleChangedKeys.map(_("k")).toSet == Set("2", "7"))
+    // the default row-pair join on the same input multiplies the hot key
+    // (500x500) — exactly the blow-up the digest path never materializes
+    assert(DiffEngine.rowDiffFrame(base, head, Seq("k"), Seq("v")).count() > 250000L)
+    // plan shape: partial aggregate keyed on (k, __salt), so the hot key
+    // spreads over the salt buckets before any per-key row exists
+    val plan = DiffEngine.saltedDigestFrame(base, head, Seq("k"), Seq("v"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+    // unique-key equivalence: salted and default modes agree exactly
+    val ub = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val uh = Seq((1, "a"), (2, "B"), (4, "d")).toDF("k", "v")
+    val s1 = DiffEngine.diff(ub, uh, keys = Seq("k"), computeProfiles = false,
+      saltSkewBuckets = Some(8)).rowDiff.get
+    val s0 = DiffEngine.diff(ub, uh, keys = Seq("k"), computeProfiles = false).rowDiff.get
+    assert((s1.added, s1.removed, s1.changed) == ((s0.added, s0.removed, s0.changed)))
+    assert(s1.sampleChangedKeys == s0.sampleChangedKeys && !s1.keysNotUnique)
+  }
+
   test("null-key diagnostic counts rows that can never match") {
     val base = Seq((Some(1), "a"), (None, "b"), (Some(3), "c")).toDF("k", "v")
     val head = Seq((Some(1), "a"), (None, "x"), (None, "y")).toDF("k", "v")
