@@ -66,6 +66,10 @@ object Main {
       // key (SURVEY §7.3 risk 7); row counts stay exact, `changed` counts
       // keys (≡ rows under the unique-key contract), --by-column is off
       saltSkew: Option[Int] = None,
+      // reproduce the reference Redshift adapter's boolean-column exclusion
+      // (adapters/redshift.py:69) on JDBC-sourced diffs, for users A/B-ing
+      // outputs against the reference on Redshift
+      redshiftCompat: Boolean = false,
       // curate subcommand
       budget: Long = 256,
       spanWords: Int = 5,
@@ -133,6 +137,7 @@ object Main {
         case "--publish-jdbc" => a = a.copy(publishJdbc = Some(need("--publish-jdbc")))
         case "--bucket-by-keys" => a = a.copy(bucketSnapshots = true)
         case "--no-bucket-by-keys" => a = a.copy(bucketSnapshots = false)
+        case "--redshift-compat" => a = a.copy(redshiftCompat = true)
         case "--salt-skew" =>
           val b = need("--salt-skew").toInt
           require(b > 0, "--salt-skew buckets must be positive")
@@ -469,7 +474,7 @@ object Main {
     try {
       def snap(rel: String, side: String): DataFrame = {
         val df = JdbcSource.read(spark, conn, rel, a.where,
-          a.jdbcPartitionCol, a.jdbcPartitions)
+          a.jdbcPartitionCol, a.jdbcPartitions, redshiftCompat = a.redshiftCompat)
         snapshotForDiff(store, df, s"${a.model}__$side", a.keys, a.bucketSnapshots)
       }
       val (b0, h0) = (snap(a.basePath, "base"), snap(a.headPath, "head"))
@@ -750,7 +755,7 @@ object Main {
       |            [--col-stats|--no-col-stats] [--approx] [--by-column]
       |            [--scope-partition COL] [--drift col1,col2] [--drift-numeric col1,col2]
       |            [--jdbc-partition-col COL] [--jdbc-partitions N] [--publish-jdbc TABLE]
-      |            [--bucket-by-keys|--no-bucket-by-keys] [--salt-skew N]
+      |            [--bucket-by-keys|--no-bucket-by-keys] [--salt-skew N] [--redshift-compat]
       |            [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]
       |            (with a postgres/redshift/jdbc profile target, basePath/headPath

@@ -72,7 +72,8 @@ object JdbcSource {
       table: String,
       where: Option[String] = None,
       partitionColumn: Option[String] = None,
-      numPartitions: Int = 8): DataFrame = {
+      numPartitions: Int = 8,
+      redshiftCompat: Boolean = false): DataFrame = {
     val qualified = if (table.contains(".")) table else s"${conn.schema}.$table"
     val reader = partitionColumn match {
       case Some(pc) =>
@@ -98,10 +99,29 @@ object JdbcSource {
     val lowered = raw.columns.map(_.toLowerCase)
     require(lowered.distinct.length == lowered.length,
       s"case-folded column collision reading $qualified: ${lowered.mkString(", ")}")
-    val df = raw.toDF(lowered.toIndexedSeq: _*)
+    val df0 = raw.toDF(lowered.toIndexedSeq: _*)
+    // --redshift-compat: the reference's Redshift adapter introspects via
+    // svv_columns and EXCLUDES boolean columns from every comparison
+    // (adapters/redshift.py:64-74, the `data_type !='boolean'` predicate at
+    // :69) — so a user A/B-ing this engine against the reference on
+    // Redshift sees boolean columns ignored there. SURVEY §1.2 deliberately
+    // does NOT replicate that quirk by default (booleans diff fine here);
+    // this opt-in reproduces the reference's column list bit-for-bit.
+    // Column pruning reaches the JDBC scan, so excluded booleans are never
+    // transferred.
     // filter on the JDBC frame (not post-snapshot) so it compiles into the
-    // remote query — assert `PushedFilters` in the plan, not hope
-    where.fold(df)(df.filter)
+    // remote query — assert `PushedFilters` in the plan, not hope. The
+    // filter runs BEFORE the compat drop: the reference interpolates
+    // `where` into warehouse SQL where boolean columns still exist, so a
+    // predicate on an excluded boolean must keep working here too.
+    val filtered = where.fold(df0)(df0.filter)
+    if (!redshiftCompat) filtered
+    else filtered.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.BooleanType => f.name
+    } match {
+      case Array() => filtered
+      case bools   => filtered.drop(bools.toIndexedSeq: _*)
+    }
   }
 
   /** True when the physical plan's JDBC scan carries at least one pushed

@@ -292,6 +292,73 @@ class CliSpec extends SparkTestBase {
     assert(r.rowDiff.get.added == 1 && r.rowDiff.get.removed == 0 && r.rowDiff.get.changed == 0)
   }
 
+  test("markdown golden: full render pinned, section order matches the reference PR-comment shape") {
+    import graft.model._
+    // hand-built result with every section populated — deterministic input,
+    // so the WHOLE rendered document is a golden string: any formatter edit
+    // that moves a section or renames a header fails this test, not a user's
+    // pasted PR comment
+    val r = DiffResult(
+      meta = DiffMeta("dim_customers", "main", "feature", "FULL_DIFF", None,
+        Seq("customer_id")),
+      rowcounts = RowCounts(3, 4),
+      schemaDiff = SchemaDiff(Seq("customer_id", "name"), Seq("email"), Nil),
+      columnProfiles = Seq(ColumnProfile("customer_id",
+        SideProfile(0, 3, 0.0, 100.0), SideProfile(0, 4, 0.0, 100.0))),
+      rowDiff = Some(RowDiff(1, 0, 0, Seq(Map("customer_id" -> "4")),
+        Set("customer_id"))))
+    val md = graft.formatters.MarkdownFormatter.render(r)
+    val golden =
+      """# dbt-model-diff: dim_customers
+        |
+        |`main` → `feature` (mode: FULL_DIFF)
+        |
+        |## Row counts
+        |
+        || side | rows |
+        || --- | --- |
+        || base | 3 |
+        || head | 4 |
+        |
+        |## Schema diff
+        |
+        || status | columns |
+        || --- | --- |
+        || common | customer_id, name |
+        || only_in_head | email |
+        || only_in_base |  |
+        || type_changes |  |
+        |
+        |## Column profiles
+        |
+        || column | base_nulls | head_nulls | base_distinct | head_distinct | base_null_pct | head_null_pct | base_uniq_pct | head_uniq_pct |
+        || --- | --- | --- | --- | --- | --- | --- | --- | --- |
+        || customer_id | 0 | 0 | 3 | 4 | 0.00 | 0.00 | 100.00 | 100.00 |
+        |
+        |## Row diff
+        |
+        || metric | count |
+        || --- | --- |
+        || added | 1 |
+        || removed | 0 |
+        || changed | 0 |
+        |
+        |### Sample changed keys
+        |
+        || customer_id |
+        || --- |
+        || 4 |
+        |""".stripMargin
+    assert(md == golden, s"markdown drifted:\n$md")
+    // section ORDER mirrors the reference's markdown_fmt.py:60-119 document:
+    // title/meta → rowcounts → schema differences → column profile →
+    // row-level diff → sample changed keys
+    val order = Seq("# dbt-model-diff:", "## Row counts", "## Schema diff",
+      "## Column profiles", "## Row diff", "### Sample changed keys")
+      .map(md.indexOf)
+    assert(order == order.sorted && order.forall(_ >= 0))
+  }
+
   test("--salt-skew: planted hot key via CLI — warning fires, digest diff reports planted truth") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_skew_")

@@ -90,6 +90,38 @@ class JdbcSourceSpec extends SparkTestBase {
     assert(r.meta.tables.contains(("dim_customers__base", "dim_customers__head")))
   }
 
+  test("--redshift-compat excludes boolean columns like adapters/redshift.py:69; default keeps them") {
+    val c = DriverManager.getConnection(derbyUrl)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("create table flags_t(id int not null primary key, " +
+        "active boolean, vip boolean, name varchar(32))")
+      st.executeUpdate("insert into flags_t values (1, true, false, 'a')")
+      st.executeUpdate("insert into flags_t values (2, false, true, 'b')")
+      st.close()
+    } finally c.close()
+    val cc = conn(derbyUrl)
+    // default: booleans are ordinary columns (SURVEY §1.2 divergence)
+    assert(JdbcSource.read(spark, cc, "flags_t").columns.toSeq ==
+      Seq("id", "active", "vip", "name"))
+    // compat: the reference's svv_columns list drops data_type='boolean'
+    val compat = JdbcSource.read(spark, cc, "flags_t", redshiftCompat = true)
+    assert(compat.columns.toSeq == Seq("id", "name"))
+    assert(compat.count() == 2)
+    // a --where on an excluded boolean still works (the reference applies
+    // `where` in warehouse SQL where the column exists)
+    val w = JdbcSource.read(spark, cc, "flags_t", where = Some("active"),
+      redshiftCompat = true)
+    assert(w.columns.toSeq == Seq("id", "name") && w.count() == 1)
+    // e2e: the diff's profile/hash surface under the flag has no booleans
+    val a = Main.parseArgs(Seq("diff-tables", "flags_t", "flags_t",
+      "--keys", "id", "--redshift-compat", "--format", "json")).copy(model = "flags")
+    assert(a.redshiftCompat)
+    val r = Main.runDiffTables(spark, a, Some(cc))
+    assert(r.columnProfiles.map(_.column).toSet == Set("id", "name"))
+    assert(r.rowDiff.get.changed == 0)
+  }
+
   test("--where compiles into the remote JDBC scan as a pushed filter") {
     val df = JdbcSource.read(spark, conn(derbyUrl), "customers_head",
       where = Some("customer_id <= 3"))

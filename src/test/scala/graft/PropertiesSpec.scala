@@ -389,6 +389,54 @@ class PropertiesSpec extends SparkTestBase {
     assert(Multimodal.decodeBmp(evil.array()).isEmpty)
   }
 
+  test("property: sniffMime dispatch table enumerated — every branch classified and fuzzed") {
+    import graft.operators.Multimodal
+    // the FULL dispatch table of Multimodal.sniffMime, one row per `when`
+    // branch variant (both GIF signatures, all four PPM whitespace forms),
+    // each paired with the decoder that branch routes to — so a new
+    // signature added to sniffMime without a row here fails the count check
+    val wavMagic = "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII")
+    val table: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("image/png", Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte), Multimodal.decodePng(_)),
+      ("image/jpeg", Array(0xff, 0xd8, 0xff).map(_.toByte), Multimodal.decodeJpeg(_)),
+      ("image/gif", "GIF87a".getBytes("US-ASCII"), Multimodal.decodeGif(_)),
+      ("image/gif", "GIF89a".getBytes("US-ASCII"), Multimodal.decodeGif(_)),
+      ("image/bmp", "BM".getBytes("US-ASCII"), Multimodal.decodeBmp(_)),
+      ("audio/wav", wavMagic, Multimodal.decodeWav(_)),
+      ("image/x-portable-pixmap", "P6\n".getBytes("US-ASCII"), Multimodal.decodePpm(_)),
+      ("image/x-portable-pixmap", "P6\r".getBytes("US-ASCII"), Multimodal.decodePpm(_)),
+      ("image/x-portable-pixmap", "P6\t".getBytes("US-ASCII"), Multimodal.decodePpm(_)),
+      ("image/x-portable-pixmap", "P6 ".getBytes("US-ASCII"), Multimodal.decodePpm(_)))
+    // the sniffer has exactly these non-default outcomes — a dispatch-table
+    // drift (new mime, dropped mime) breaks this enumeration loudly
+    assert(table.map(_._1).distinct.sorted ==
+      Seq("audio/wav", "image/bmp", "image/gif", "image/jpeg", "image/png",
+        "image/x-portable-pixmap"))
+    // 1) classification: every branch's magic (padded) hits its mime
+    val rows = table.zipWithIndex.map { case ((mime, magic, _), i) =>
+      (i, mime, magic ++ Array.fill[Byte](16)(0x41)) }
+    rows.toDF("i", "want", "payload")
+      .select(col("i"), col("want"), Multimodal.sniffMime(col("payload")).as("got"))
+      .collect().foreach(r =>
+        assert(r.getString(1) == r.getString(2), s"branch ${r.getInt(0)}"))
+    // null payload and near-miss magics fall through to octet-stream
+    val nearMiss = Seq(Array[Byte](), "P6X".getBytes("US-ASCII"),
+      "RIFF0000JUNK".getBytes("US-ASCII"), "GIF88a".getBytes("US-ASCII"),
+      Array(0x89, 0x50, 0x4e, 0x48).map(_.toByte))
+    nearMiss.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "payload")
+      .union(Seq((99, null.asInstanceOf[Array[Byte]])).toDF("i", "payload"))
+      .select(Multimodal.sniffMime(col("payload")).as("m")).collect()
+      .foreach(r => assert(r.getString(0) == "application/octet-stream"))
+    // 2) fuzz: each branch's decoder must survive its magic + arbitrary tail
+    val tailGen = Gen.choose(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+    forAll(tailGen) { tail =>
+      table.foreach { case (_, magic, dec) => dec(magic ++ tail) }
+    }
+  }
+
   test("property: misra-gries never overcounts and keeps every heavy item") {
     import graft.functions.HeavyHitters
     val gen = Gen.listOfN(200, Gen.choose(0, 15))
