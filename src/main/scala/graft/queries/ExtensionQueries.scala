@@ -10121,6 +10121,64 @@ object ExtensionQueries {
              |  CAST(1 AS BIGINT) AS certified FROM orders""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }
+    ),
+
+    // Salted-digest diff under the oracle (the --salt-skew mechanism,
+    // DiffEngine.saltedDigestFrame): keys are DELIBERATELY non-unique
+    // (o_orderkey % 1000 → ~15 rows/key at sf0.01) — exactly the regime
+    // where the plain full-outer row join multiplies (n_base×n_head per
+    // key) and one hot partition eats the stage. The digest path
+    // collapses each side per key into (row count, Σ 32-bit row-hash
+    // prefixes) via the two-phase salted aggregate, joins one row per
+    // key, and still reports ROW-exact added/removed/base/head counts
+    // plus key-level changed. The oracle replays count+hash-sum per key
+    // and states the same five numbers — planted deletes (k%101),
+    // mutations (cents%89), and appends (k%103) must all surface. */
+    QueryDef(
+      "q325_salted_digest_diff",
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(
+          (col("o_orderkey") % 1000).as("k"),
+          col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val head = base.filter(col("k") % 101 =!= 0)
+          .withColumn("cents",
+            when(col("cents") % 89 === 0, col("cents") + 1).otherwise(col("cents")))
+          .unionByName(base.filter(col("k") % 103 === 0)
+            .select((col("k") + 1000000).as("k"), col("st"), col("cents")))
+        val j = graft.engine.DiffEngine
+          .saltedDigestFrame(base, head, Seq("k"), Seq("st", "cents"), buckets = 8)
+        j.agg(
+          sum(when(col("__base_hash").isNull, col("__head_n")).otherwise(0L))
+            .cast("long").as("added"),
+          sum(when(col("__head_hash").isNull, col("__base_n")).otherwise(0L))
+            .cast("long").as("removed"),
+          sum(when(col("__base_hash").isNotNull && col("__head_hash").isNotNull &&
+            col("__base_hash") =!= col("__head_hash"), 1L).otherwise(0L))
+            .cast("long").as("changed_keys"),
+          sum(coalesce(col("__base_n"), lit(0L))).cast("long").as("base_rows"),
+          sum(coalesce(col("__head_n"), lit(0L))).cast("long").as("head_rows"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey % 1000 AS k, o_orderstatus AS st,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |head AS (SELECT k, st,
+             |    CASE WHEN cents % 89 = 0 THEN cents + 1 ELSE cents END AS cents
+             |    FROM base WHERE k % 101 <> 0
+             |  UNION ALL SELECT k + 1000000, st, cents FROM base WHERE k % 103 = 0),
+             |db AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+             |    sum(('0x' || substr(md5(st || '|' || cents), 1, 8))::BIGINT) AS s
+             |  FROM base GROUP BY k),
+             |dh AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+             |    sum(('0x' || substr(md5(st || '|' || cents), 1, 8))::BIGINT) AS s
+             |  FROM head GROUP BY k)
+             |SELECT
+             |  CAST(COALESCE(sum(CASE WHEN db.n IS NULL THEN dh.n END), 0) AS BIGINT) AS added,
+             |  CAST(COALESCE(sum(CASE WHEN dh.n IS NULL THEN db.n END), 0) AS BIGINT) AS removed,
+             |  CAST(COALESCE(sum(CASE WHEN db.n IS NOT NULL AND dh.n IS NOT NULL
+             |       AND (db.n <> dh.n OR db.s <> dh.s) THEN 1 END), 0) AS BIGINT) AS changed_keys,
+             |  CAST(COALESCE(sum(db.n), 0) AS BIGINT) AS base_rows,
+             |  CAST(COALESCE(sum(dh.n), 0) AS BIGINT) AS head_rows
+             |FROM db FULL OUTER JOIN dh USING (k)""".stripMargin)
     )
   )
 }
