@@ -64,9 +64,12 @@ object ScaleRehearsal {
   }
 
   /** Standalone entry for iterating on the rehearsal without a full bench
-    * sweep: generates (if needed) and runs the flagships at sf0.1 and 10×,
-    * printing one JSON line per query with the ratio. */
+    * sweep: generates (if needed) and runs the flagships at sf0.1 and
+    * `SPARK_GRAFT_REHEARSAL_COPIES`× (default 10), printing one JSON line
+    * per query with the ratio. A 100× run (~15M orders / 500k docs) is the
+    * deeper one-off evidence pass; each copy count gets its own dir. */
   def main(args: Array[String]): Unit = {
+    val copies = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_COPIES", "10").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -77,12 +80,14 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = ensureData(spark, sfDir, "target/testdata-sf1")
+    val dir = ensureData(spark, sfDir,
+      if (copies == 10) "target/testdata-sf1" else s"target/testdata-x$copies",
+      copies)
     val base = run(spark, sfDir).toMap
     val big = run(spark, dir)
     big.foreach { case (n, s) =>
       val b = base(n)
-      println(f"""{"query":"$n","sf01":$b%.3f,"sf1":$s%.3f,"ratio":${s / b}%.2f}""")
+      println(f"""{"query":"$n","copies":$copies,"sf01":$b%.3f,"scaled":$s%.3f,"ratio":${s / b}%.2f}""")
     }
     spark.stop()
   }
