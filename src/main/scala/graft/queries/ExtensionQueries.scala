@@ -10179,6 +10179,71 @@ object ExtensionQueries {
              |  CAST(COALESCE(sum(db.n), 0) AS BIGINT) AS base_rows,
              |  CAST(COALESCE(sum(dh.n), 0) AS BIGINT) AS head_rows
              |FROM db FULL OUTER JOIN dh USING (k)""".stripMargin)
+    ),
+
+    // Reliability diagram + expected calibration error (ECE) — the
+    // quality-classifier audit a curation pipeline runs before trusting a
+    // score as a keep-probability: bucket the score into deciles and
+    // compare each bucket's mean predicted probability against its
+    // EMPIRICAL pass rate; ECE is the n-weighted mean absolute gap. Here
+    // the "classifier" is the cheap min(n_words,100)% proxy and ground
+    // truth is the full Gopher verdict (q83's rules) — deliberately
+    // miscalibrated, which is exactly what the diagram must expose. All
+    // ×10⁴ fixed point, integer div only; the unpartitioned window runs
+    // over ≤10 bucket rows, never data. One corpus pass + one 10-row agg.
+    QueryDef(
+      "q326_ece_calibration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = TextAnalysis.gopherQualityRules(t(s, dir, "documents"),
+          "doc_id", "text", stopwords, minWords = 50)
+        g.select(
+            least(col("n_words"), lit(100L)).cast("long").as("score_x100"),
+            col("passes_all").cast("long").as("pos"))
+          .withColumn("bucket",
+            least(expr("score_x100 div 10"), lit(9L)).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("score_x100").cast("long").as("__sum_score"),
+            sum("pos").cast("long").as("__n_pos"))
+          .withColumn("mean_pred_x10000",
+            expr("__sum_score * 100 div n").cast("long"))
+          .withColumn("emp_rate_x10000",
+            expr("__n_pos * 10000 div n").cast("long"))
+          .withColumn("gap_x10000",
+            abs(col("mean_pred_x10000") - col("emp_rate_x10000")))
+          .withColumn("__wg",
+            sum(expr("n * gap_x10000")).over(Window.partitionBy(lit(1))))
+          .withColumn("__wn", sum(col("n")).over(Window.partitionBy(lit(1))))
+          .withColumn("ece_x10000", expr("__wg div __wn").cast("long"))
+          .select("bucket", "n", "mean_pred_x10000", "emp_rate_x10000",
+            "gap_x10000", "ece_x10000")
+          .orderBy("bucket")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS nw,
+              |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a,b) -> a + b) AS BIGINT) AS swc,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[#@]|\\.{3}$$'))) AS BIGINT) AS sy,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS al,
+              |  CAST(len(list_filter(toks, x -> list_contains(${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS st
+              |FROM t),
+              |v AS (SELECT LEAST(nw, 100) AS score,
+              |  CASE WHEN nw BETWEEN 50 AND 100000 AND swc BETWEEN nw * 3 AND nw * 10
+              |        AND sy * 100 <= nw * 10 AND al * 100 >= nw * 80 AND st >= 2
+              |       THEN 1 ELSE 0 END AS pos FROM m),
+              |b AS (SELECT LEAST(score // 10, 9) AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(score) AS BIGINT) AS sum_score,
+              |  CAST(sum(pos) AS BIGINT) AS n_pos FROM v GROUP BY 1),
+              |g AS (SELECT bucket, n,
+              |  CAST(sum_score * 100 // n AS BIGINT) AS mean_pred_x10000,
+              |  CAST(n_pos * 10000 // n AS BIGINT) AS emp_rate_x10000 FROM b)
+              |SELECT CAST(bucket AS BIGINT) AS bucket, n, mean_pred_x10000, emp_rate_x10000,
+              |  CAST(abs(mean_pred_x10000 - emp_rate_x10000) AS BIGINT) AS gap_x10000,
+              |  CAST(sum(n * abs(mean_pred_x10000 - emp_rate_x10000)) OVER ()
+              |       // sum(n) OVER () AS BIGINT) AS ece_x10000
+              |FROM g ORDER BY bucket""".stripMargin)
     )
   )
 }

@@ -11,10 +11,16 @@ the p50 table is what a regression claim should cite.
 import json, sys
 
 threshold = 1.3
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-for i, a in enumerate(sys.argv):
-    if a == "--threshold":
-        threshold = float(sys.argv[i + 1])
+argv = sys.argv[1:]
+args = []
+i = 0
+while i < len(argv):
+    if argv[i] == "--threshold":
+        threshold = float(argv[i + 1])
+        i += 2
+    else:
+        args.append(argv[i])
+        i += 1
 if len(args) != 2:
     sys.exit(__doc__)
 
