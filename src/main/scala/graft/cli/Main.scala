@@ -70,6 +70,9 @@ object Main {
       // (adapters/redshift.py:69) on JDBC-sourced diffs, for users A/B-ing
       // outputs against the reference on Redshift
       redshiftCompat: Boolean = false,
+      // --vars k=v,k2=v2: overrides for {{ var(...) }} in native model
+      // builds (dbt precedence: CLI beats dbt_project.yml vars:)
+      vars: Map[String, String] = Map.empty,
       // curate subcommand
       budget: Long = 256,
       spanWords: Int = 5,
@@ -138,6 +141,14 @@ object Main {
         case "--bucket-by-keys" => a = a.copy(bucketSnapshots = true)
         case "--no-bucket-by-keys" => a = a.copy(bucketSnapshots = false)
         case "--redshift-compat" => a = a.copy(redshiftCompat = true)
+        case "--vars" =>
+          val pairs = need("--vars").split(",").map(_.trim).filter(_.nonEmpty)
+            .map { kv =>
+              val eq = kv.indexOf('=')
+              require(eq > 0, s"--vars expects k=v pairs, got '$kv'")
+              kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
+            }
+          a = a.copy(vars = a.vars ++ pairs)
         case "--salt-skew" =>
           val b = need("--salt-skew").toInt
           require(b > 0, "--salt-skew buckets must be positive")
@@ -234,9 +245,10 @@ object Main {
 
   /** Build the project's model DAG inside one worktree and return the diffed
     * model's frame (replaces stages 5-7 of the reference lifecycle). */
-  private def buildModelNative(spark: SparkSession, worktree: String, model: String): DataFrame = {
+  private def buildModelNative(spark: SparkSession, worktree: String, model: String,
+      vars: Map[String, String] = Map.empty): DataFrame = {
     ModelRunner.loadSeeds(spark, worktree)
-    val models = ModelRunner.loadProject(worktree)
+    val models = ModelRunner.loadProject(worktree, vars)
     val frames = ModelRunner.run(spark, models)
     frames.getOrElse(model,
       throw new IllegalArgumentException(
@@ -289,9 +301,9 @@ object Main {
         } catch {
           case e: DbtBuild.DbtUnavailable =>
             log(a, s"WARNING: ${e.message} — falling back to the native model runner")
-            buildModelNative(spark, worktree, a.model)
+            buildModelNative(spark, worktree, a.model, a.vars)
         }
-      case _ => buildModelNative(spark, worktree, a.model)
+      case _ => buildModelNative(spark, worktree, a.model, a.vars)
     }
 
   /** `--scope-partition COL`: compare partition fingerprints first (two
@@ -756,6 +768,7 @@ object Main {
       |            [--scope-partition COL] [--drift col1,col2] [--drift-numeric col1,col2]
       |            [--jdbc-partition-col COL] [--jdbc-partitions N] [--publish-jdbc TABLE]
       |            [--bucket-by-keys|--no-bucket-by-keys] [--salt-skew N] [--redshift-compat]
+      |            [--vars k=v,k2=v2]
       |            [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]
       |            (with a postgres/redshift/jdbc profile target, basePath/headPath

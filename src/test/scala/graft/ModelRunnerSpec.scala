@@ -22,12 +22,44 @@ class ModelRunnerSpec extends SparkTestBase {
   }
 
   test("unsupported jinja fails fast with a --build-mode dbt pointer") {
-    val e1 = intercept[IllegalArgumentException](ModelRunner.parse("m",
-      "select * from {{ ref('a') }} where id <= {{ var('limit', 3) }}"))
-    assert(e1.getMessage.contains("--build-mode dbt") && e1.getMessage.contains("var("))
     val e2 = intercept[IllegalArgumentException](ModelRunner.parse("m",
       "{% set x = 1 %}\nselect {{ x }} as v"))
     assert(e2.getMessage.contains("--build-mode dbt"))
+    val e3 = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "select {{ my_macro('a') }} as v"))
+    assert(e3.getMessage.contains("--build-mode dbt"))
+  }
+
+  test("var(): defaults, supplied values, CLI-over-project precedence, missing fails like dbt") {
+    // literal default renders unquoted (dbt semantics); supplied value wins
+    val dflt = ModelRunner.parse("m",
+      "select * from {{ ref('a') }} where id <= {{ var('limit', 3) }}")
+    assert(dflt.sql.contains("id <= 3") && dflt.deps == Set("a"))
+    val strDflt = ModelRunner.parse("m",
+      "select * from t where lang = '{{ var(\"lang\", \"en\") }}'")
+    assert(strDflt.sql.contains("lang = 'en'"))
+    val supplied = ModelRunner.parse("m",
+      "select * from t where id <= {{ var('limit', 3) }}", Map("limit" -> "7"))
+    assert(supplied.sql.contains("id <= 7"))
+    // no default + not supplied -> loud failure naming the var
+    val e = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "select {{ var('missing') }} as v"))
+    assert(e.getMessage.contains("required var 'missing'"))
+    // project-file vars feed loadProject; CLI extraVars override them
+    val dir = Files.createTempDirectory("graft_vars_")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("dbt_project.yml"),
+      "name: demo\nvars:\n  cutoff: 5\n  lang: en\n")
+    Files.writeString(dir.resolve("models/m.sql"),
+      "select {{ var('cutoff') }} as cutoff, '{{ var('lang') }}' as lang")
+    assert(ModelRunner.projectVars(dir.toString) == Map("cutoff" -> "5", "lang" -> "en"))
+    val fromFile = ModelRunner.loadProject(dir.toString).head
+    assert(fromFile.sql.contains("select 5 as cutoff") && fromFile.sql.contains("'en' as lang"))
+    val overridden = ModelRunner.loadProject(dir.toString, Map("cutoff" -> "9")).head
+    assert(overridden.sql.contains("select 9 as cutoff") && overridden.sql.contains("'en'"))
+    // end to end through spark.sql
+    val out = ModelRunner.run(spark, Seq(overridden))("m").collect().head
+    assert(out.getInt(0) == 9 && out.getString(1) == "en")
   }
 
   test("topo order respects dependencies and detects cycles") {
