@@ -377,17 +377,20 @@ object Main {
       log(a, s"creating worktrees for ${a.baseRef}..${a.headRef}")
       git(repoRoot, "worktree", "add", "--detach", baseWt, a.baseRef)
       git(repoRoot, "worktree", "add", "--detach", headWt, a.headRef)
-      log(a, s"building model '${a.model}' in both worktrees")
       val projRel = Paths.get(repoRoot).relativize(Paths.get(a.projectDir).toAbsolutePath.normalize).toString
-      // build-then-snapshot one side at a time (reference order,
-      // diff_flow.py:107-122): in dbt mode both builds materialize the SAME
-      // warehouse relation, so base must be copied out before head builds
+      // build-then-snapshot one side at a time (reference order AND
+      // per-side progress lines, diff_flow.py:107-122): in dbt mode both
+      // builds materialize the SAME warehouse relation, so base must be
+      // copied out before head builds
+      log(a, s"build (base: ${a.baseRef})")
       val baseSnap = snapshotForDiff(store,
         buildModelAt(spark, Paths.get(baseWt, projRel).toString, a, jdbc), s"${a.model}__base",
         a.keys, a.bucketSnapshots)
+      log(a, s"build (head: ${a.headRef})")
       val headSnap = snapshotForDiff(store,
         buildModelAt(spark, Paths.get(headWt, projRel).toString, a, jdbc), s"${a.model}__head",
         a.keys, a.bucketSnapshots)
+      log(a, "comparing snapshots")
       if (a.keys.nonEmpty) {
         val (bn, hn) = DiffEngine.nullKeyCounts(baseSnap, headSnap, a.keys)
         if (bn + hn > 0)

@@ -415,6 +415,20 @@ class CliSpec extends SparkTestBase {
     assert(r.schemaDiff.onlyInBase == Seq("city"))
     // hash over common non-key columns only: both names changed by upper()
     assert(r.rowDiff.get.changed == 2 && r.rowDiff.get.added == 0 && r.rowDiff.get.removed == 0)
+
+    // rich mode prints the reference's staged progress lines
+    // (diff_flow.py:107-122: per-side build lines, then the compare stage);
+    // json mode above kept stdout clean for machines
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.runDiff(spark, Main.parseArgs(Seq("diff", "dim", "--keys", "id",
+        "--base", "main", "--head", "feature/drift",
+        "--project-dir", repo.toString, "--format", "rich")))
+    }
+    val rich = out.toString("UTF-8")
+    Seq("creating worktrees", "build (base: main)",
+      "build (head: feature/drift)", "comparing snapshots")
+      .foreach(stage => assert(rich.contains(stage), s"missing staged line: $stage"))
   }
 
   test("--build-mode dbt: macro model builds via external dbt + manifest alias resolution") {

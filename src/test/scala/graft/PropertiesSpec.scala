@@ -51,6 +51,36 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: salted-digest diff equals the default diff on unique keys; row-exact on dups") {
+    // unique keys: identical (added, removed, changed, rowcounts) for any
+    // random base/head derivation
+    forAll(rowsGen, Gen.choose(1, 20)) { (rows, pivot) =>
+      val df = rows.toDF("k", "v", "o")
+      val base = df.filter($"k" <= pivot)
+      val head = df.filter($"k" % 2 === 0)
+        .withColumn("v", when($"k" % 3 === 0, concat($"v", lit("!"))).otherwise($"v"))
+      val d0 = DiffEngine.diff(base, head, keys = Seq("k"), computeProfiles = false)
+      val d1 = DiffEngine.diff(base, head, keys = Seq("k"), computeProfiles = false,
+        saltSkewBuckets = Some(4))
+      val (r0, r1) = (d0.rowDiff.get, d1.rowDiff.get)
+      assert((r0.added, r0.removed, r0.changed) == ((r1.added, r1.removed, r1.changed)))
+      assert(d0.rowcounts == d1.rowcounts)
+      assert(r0.sampleChangedKeys == r1.sampleChangedKeys)
+    }
+    // duplicated keys: added/removed/rowcounts stay ROW-exact (vs driver-
+    // computed truth); changed counts keys whose content multiset moved
+    forAll(Gen.listOfN(30, for {
+      k <- Gen.choose(1, 6); v <- Gen.alphaLowerStr.map(_.take(3))
+    } yield (k, v)), Gen.choose(1, 6)) { (rows, cut) =>
+      val base = rows.toDF("k", "v")
+      val head = rows.filter(_._1 != cut).toDF("k", "v")
+      val d = DiffEngine.diff(base, head, keys = Seq("k"), computeProfiles = false,
+        saltSkewBuckets = Some(4)).rowDiff.get
+      assert(d.removed == rows.count(_._1 == cut)) // every dropped ROW counted
+      assert(d.added == 0 && d.changed == 0)
+    }
+  }
+
   test("property: rowcounts partition into removed + matched; added symmetric") {
     forAll(rowsGen, Gen.choose(1, 20)) { (rows, pivot) =>
       val df = rows.toDF("k", "v", "o")
