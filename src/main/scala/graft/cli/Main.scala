@@ -266,7 +266,7 @@ object Main {
     a.buildMode match {
       case "dbt" =>
         try {
-          DbtBuild.build(worktree, a.profilesDir, a.model, a.target)
+          DbtBuild.build(worktree, a.profilesDir, a.model, a.target, vars = a.vars)
           val node = DbtBuild.modelNode(worktree, a.model)
           val (schema, ident) = DbtBuild.relation(node)
           log(a, s"dbt built ${node.uniqueId} -> $schema.$ident")

@@ -44,13 +44,23 @@ object DbtBuild {
       profilesDir: Option[String],
       model: String,
       target: Option[String],
-      bin: String = dbtBin): Unit = {
+      bin: String = dbtBin,
+      vars: Map[String, String] = Map.empty): Unit = {
     require(Files.exists(Paths.get(projectDir, "dbt_project.yml")),
       s"dbt_project.yml not found in: $projectDir") // dbt_runner.py:24
+    // --vars forwards as dbt's YAML-dict form, so native and dbt build
+    // modes honor the same CLI overrides; values quote as YAML strings
+    // (dbt coerces numerics itself)
+    val varsArg =
+      if (vars.isEmpty) Nil
+      else Seq("--vars",
+        vars.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k: ${'"'}${v.replace("\\", "\\\\").replace("\"", "\\\"")}${'"'}" }
+          .mkString("{", ", ", "}"))
     val cmd = Seq(bin, "build", "--project-dir", projectDir) ++
       profilesDir.toSeq.flatMap(d => Seq("--profiles-dir", d)) ++
       Seq("--select", model) ++
-      target.toSeq.flatMap(t => Seq("--target", t))
+      target.toSeq.flatMap(t => Seq("--target", t)) ++ varsArg
     val pb = new ProcessBuilder(cmd: _*)
     pb.directory(new java.io.File(projectDir))
     pb.redirectErrorStream(true)

@@ -29,11 +29,15 @@ import org.apache.spark.sql.functions._
   * pointed at the rehearsal dir. */
 object ScaleRehearsal {
 
-  /** Flagship paths per VERDICT r8 next-round item 2: full keyed diff,
-    * LSH dedup, curation pipeline, digest-narrowed diff. */
+  /** Flagship paths per VERDICT r8 next-round item 2 — full keyed diff,
+    * LSH dedup, curation pipeline, digest-narrowed diff — plus the suite's
+    * two most expensive document operators (trained langid's fused corpus
+    * trigram pass; transitive contamination's bounded cluster enumeration),
+    * so the scaling claim covers the heaviest text paths, not just joins. */
   val Flagships: Seq[String] = Seq(
     "q11_diff_summary", "q32_dedup_minhash_lsh",
-    "q88_curate_pipeline", "q206_diff_by_segments")
+    "q88_curate_pipeline", "q206_diff_by_segments",
+    "q138_trained_langid", "q236_transitive_contamination")
 
   /** Build (once) the `copies`× dataset under `outDir`; returns outDir. */
   def ensureData(spark: SparkSession, srcDir: String, outDir: String,

@@ -470,9 +470,11 @@ class CliSpec extends SparkTestBase {
     Files.writeString(target.resolve("manifest.json"), manifest("rel_head"))
     git(repo, "add", "."); git(repo, "commit", "-m", "head")
 
-    // stub dbt executable: the warehouse relations already exist (exit 0)
+    // stub dbt executable: the warehouse relations already exist (exit 0);
+    // it records its argv so flag forwarding is assertable
     val fakeDbt = repo.resolve("fake_dbt.sh")
-    Files.writeString(fakeDbt, "#!/bin/sh\nexit 0\n")
+    val argLog = Files.createTempFile("graft_dbt_args_", ".txt")
+    Files.writeString(fakeDbt, s"#!/bin/sh\necho \"$$@\" >> $argLog\nexit 0\n")
     fakeDbt.toFile.setExecutable(true)
     sys.props("graft.dbt.bin") = fakeDbt.toString
     try {
@@ -483,9 +485,12 @@ class CliSpec extends SparkTestBase {
         Main.runDiff(spark, Main.parseArgs(Seq("diff", "dim_customers",
           "--keys", "customer_id", "--base", "main", "--head", "feature/dbt",
           "--project-dir", repo.toString, "--build-mode", "dbt", "--format", "json",
-          "--keep-schemas")))
+          "--vars", "limit=5", "--keep-schemas")))
       }
       assert(r.rowcounts.base == 3 && r.rowcounts.head == 4)
+      // --vars forwards to the external dbt as its YAML-dict form
+      val dbtArgs = Files.readString(argLog)
+      assert(dbtArgs.contains("--vars {limit: \"5\"}"), s"vars not forwarded: $dbtArgs")
       val rd = r.rowDiff.get
       assert(rd.added == 1 && rd.removed == 0 && rd.changed == 0)
       val kept = errBuf.toString
