@@ -7226,12 +7226,16 @@ object ExtensionQueries {
             sum(col("chunk_len")).as("total_bytes"))
           .orderBy("source")
       },
-      Some("""WITH c AS (SELECT doc_id, source, text, CAST(length(text) AS INT) AS len
+      Some("""WITH c AS (SELECT doc_id, source, text, CAST(length(text) AS INT) AS len,
+             |    list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS codes
              |  FROM documents),
              |bp AS (SELECT doc_id, source, text, len,
              |    CASE WHEN len - 1 < 8 THEN CAST([] AS BIGINT[])
              |         ELSE list_filter(range(8, len), p ->
-             |           ('0x' || substr(md5(substr(text, CAST(p AS INT) - 7, 8)), 1, 4))::BIGINT % 32 = 0)
+             |           ((codes[CAST(p AS INT) - 7] * 27512614111 + codes[CAST(p AS INT) - 6] * 887503681
+             |           + codes[CAST(p AS INT) - 5] * 28629151 + codes[CAST(p AS INT) - 4] * 923521
+             |           + codes[CAST(p AS INT) - 3] * 29791 + codes[CAST(p AS INT) - 2] * 961
+             |           + codes[CAST(p AS INT) - 1] * 31 + codes[CAST(p AS INT)]) % 1000000007) % 32 = 0)
              |    END AS bpos
              |  FROM c),
              |bd AS (SELECT doc_id, source, text,
