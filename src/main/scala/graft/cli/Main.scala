@@ -73,6 +73,9 @@ object Main {
       // --vars k=v,k2=v2: overrides for {{ var(...) }} in native model
       // builds (dbt precedence: CLI beats dbt_project.yml vars:)
       vars: Map[String, String] = Map.empty,
+      // diff-tables input format: parquet (default) | orc | csv | jsonl;
+      // "auto" sniffs from the path/file extension
+      inFormat: String = "auto",
       // curate subcommand
       budget: Long = 256,
       spanWords: Int = 5,
@@ -141,6 +144,11 @@ object Main {
         case "--bucket-by-keys" => a = a.copy(bucketSnapshots = true)
         case "--no-bucket-by-keys" => a = a.copy(bucketSnapshots = false)
         case "--redshift-compat" => a = a.copy(redshiftCompat = true)
+        case "--in-format" =>
+          val f = need("--in-format").toLowerCase.trim
+          require(Set("auto", "parquet", "orc", "csv", "jsonl", "json")(f),
+            s"unsupported --in-format '$f' (auto|parquet|orc|csv|jsonl)")
+          a = a.copy(inFormat = if (f == "json") "jsonl" else f)
         case "--vars" =>
           val pairs = need("--vars").split(",").map(_.trim).filter(_.nonEmpty)
             .map { kv =>
@@ -441,8 +449,38 @@ object Main {
       jdbc: Option[Profiles.ConnInfo] = None): DiffResult = jdbc match {
     case Some(conn) => runDiffJdbc(spark, a, conn)
     case None =>
+      // path inputs read as parquet/orc/csv/jsonl (--in-format, or sniffed
+      // from the path's or its first data file's extension); anything not a
+      // filesystem path resolves as a catalog table. csv reads header +
+      // inferSchema so a reference user can diff warehouse CSV exports
+      // directly; jsonl is Spark's native json-lines reader.
       def load(p: String): DataFrame =
-        if (Files.exists(Paths.get(p))) spark.read.parquet(p) else spark.table(p)
+        if (!Files.exists(Paths.get(p))) spark.table(p)
+        else {
+          def ext(n: String): Option[String] = n.lastIndexOf('.') match {
+            case i if i > 0 => Some(n.substring(i + 1).toLowerCase)
+            case _ => None
+          }
+          val fmt = a.inFormat match {
+            case "auto" =>
+              val f = new java.io.File(p)
+              val fromDir =
+                if (!f.isDirectory) None
+                else Option(f.listFiles).getOrElse(Array.empty)
+                  .iterator.filter(_.isFile).flatMap(c => ext(c.getName))
+                  .find(Set("parquet", "orc", "csv", "json", "jsonl"))
+              ext(f.getName).filter(Set("orc", "csv", "json", "jsonl"))
+                .orElse(fromDir).getOrElse("parquet")
+            case f => f
+          }
+          fmt match {
+            case "orc" => spark.read.orc(p)
+            case "csv" =>
+              spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+            case "json" | "jsonl" => spark.read.json(p)
+            case _ => spark.read.parquet(p)
+          }
+        }
       val (b0, h0) = (load(a.basePath), load(a.headPath))
       val (base, head) = a.scopePartition match {
         case Some(pc) => scopeByChangedPartitions(spark, b0, h0, pc)
@@ -771,7 +809,7 @@ object Main {
       |            [--scope-partition COL] [--drift col1,col2] [--drift-numeric col1,col2]
       |            [--jdbc-partition-col COL] [--jdbc-partitions N] [--publish-jdbc TABLE]
       |            [--bucket-by-keys|--no-bucket-by-keys] [--salt-skew N] [--redshift-compat]
-      |            [--vars k=v,k2=v2]
+      |            [--vars k=v,k2=v2] [--in-format auto|parquet|orc|csv|jsonl]
       |            [--format rich|json|markdown]
       |       diff-tables <basePath> <headPath> [same options]
       |            (with a postgres/redshift/jdbc profile target, basePath/headPath

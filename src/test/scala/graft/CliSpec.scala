@@ -292,6 +292,35 @@ class CliSpec extends SparkTestBase {
     assert(r.rowDiff.get.added == 1 && r.rowDiff.get.removed == 0 && r.rowDiff.get.changed == 0)
   }
 
+  test("diff-tables reads orc/csv/jsonl sources (sniffed and forced), same diff result") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fmt_")
+    val base = Seq((1L, "Alice"), (2L, "Bob"), (3L, "Chandra")).toDF("customer_id", "name")
+    val head = Seq((1L, "Alice"), (2L, "Bobby"), (4L, "Deepak")).toDF("customer_id", "name")
+    // golden on this fixture: added 1 (key 4), removed 1 (key 3), changed 1 (key 2)
+    def check(b: String, h: String, extra: Seq[String] = Nil): Unit = {
+      val r = Main.runDiffTables(spark, Main.parseArgs(
+        Seq("diff-tables", b, h, "--keys", "customer_id", "--format", "json") ++ extra))
+      val rd = r.rowDiff.get
+      assert((rd.added, rd.removed, rd.changed) == ((1L, 1L, 1L)), s"$b vs $h")
+      assert(r.rowcounts.base == 3 && r.rowcounts.head == 3)
+    }
+    base.write.orc(s"$dir/base_orc"); head.write.orc(s"$dir/head_orc")
+    check(s"$dir/base_orc", s"$dir/head_orc") // sniffed from the dir's files
+    base.coalesce(1).write.option("header", "true").csv(s"$dir/base_csv")
+    head.coalesce(1).write.option("header", "true").csv(s"$dir/head_csv")
+    check(s"$dir/base_csv", s"$dir/head_csv", Seq("--in-format", "csv"))
+    base.coalesce(1).write.json(s"$dir/base_jsonl")
+    head.coalesce(1).write.json(s"$dir/head_jsonl")
+    check(s"$dir/base_jsonl", s"$dir/head_jsonl") // sniffed .json part files
+    // cross-format: csv base vs parquet head still agrees (inferSchema
+    // lands the same long/string types this fixture uses)
+    head.write.parquet(s"$dir/head_pq")
+    check(s"$dir/base_csv", s"$dir/head_pq", Seq("--in-format", "auto"))
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("diff-tables", "a", "b", "--in-format", "avro")))
+  }
+
   test("markdown golden: full render pinned, section order matches the reference PR-comment shape") {
     import graft.model._
     // hand-built result with every section populated — deterministic input,
