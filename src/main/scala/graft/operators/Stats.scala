@@ -875,4 +875,61 @@ object Stats {
         expr(s"CAST(__wsum div $den AS BIGINT)").as("ewma") :+
         expr(s"CAST(__dev div $den AS BIGINT)").as("deviation"): _*)
   }
+
+  /** Weighted isotonic regression over bounded integer score levels — the
+    * production calibrator for a quality-classifier score (Zadrozny &
+    * Elkan 2002's PAV recipe): fit the monotone-non-decreasing step
+    * function closest (weighted L2) to each level's empirical positive
+    * rate, so the calibrated value can be READ as a keep-probability.
+    *
+    * Instead of the sequential pool-adjacent-violators walk, this uses the
+    * minimax identity ŷ_i = min_{t ≥ i} max_{s ≤ i} avg(y_s..y_t) — pure
+    * joins/windows over the LEVEL table, so both engines replay it exactly:
+    * per-level (n, n_pos) aggregate → prefix sums → all (s ≤ t) interval
+    * averages at ×`scale` fixed point → running max over s within t →
+    * min over t per i. Monotone for ANY value matrix (the min/max nesting
+    * alone forces ŷ_i ≤ ŷ_{i+1}), so `is_monotone` is a structural
+    * certificate, emitted per row for the oracle to pin at 1.
+    *
+    * Scale shape: the corpus pass is ONE aggregate down to ≤`maxLevels`
+    * rows; everything after runs on the level table (≤ maxLevels² interval
+    * rows — 5151 at the default 101 levels). scoreCol must be integral
+    * with bounded cardinality (require-checked), which a decile/percent
+    * bucketing upstream guarantees. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, posCol: String,
+      scale: Long = 1000000L, maxLevels: Int = 256): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val lv = df.groupBy(col(scoreCol).cast("long").as("level"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(posCol).cast("long")).as("n_pos"))
+    val nLevels = lv.count()
+    require(nLevels <= maxLevels,
+      s"isotonicCalibration: $nLevels distinct score levels exceed maxLevels=$maxLevels — bucket the score first")
+    // prefix sums over the tiny level table (single partition by design)
+    val wCum = Window.orderBy("level").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = lv
+      .withColumn("cp", sum("n_pos").over(wCum))
+      .withColumn("cn", sum("n").over(wCum))
+      .localCheckpoint()
+    val sSide = cum.select(col("level").as("s"),
+      (col("cp") - col("n_pos")).as("cp_prev"), (col("cn") - col("n")).as("cn_prev"))
+    val tSide = cum.select(col("level").as("t"), col("cp").as("cp_t"), col("cn").as("cn_t"))
+    val pairs = sSide.join(tSide, col("s") <= col("t"))
+      .withColumn("avg_fp",
+        expr(s"((cp_t - cp_prev) * ${scale}L) div (cn_t - cn_prev)"))
+    // M(i,t) = max_{s ≤ i} avg(s,t): running max over s inside each t
+    val wMax = Window.partitionBy("t").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val m = pairs.withColumn("m", max("avg_fp").over(wMax))
+      .select(col("s").as("level"), col("t"), col("m"))
+    // ŷ_i = min_{t ≥ i} M(i,t); pair rows exist exactly for t ≥ i
+    val fit = m.groupBy("level").agg(min("m").as("calibrated_fp"))
+    val wMono = Window.orderBy("level")
+    lv.join(fit, Seq("level"))
+      .withColumn("emp_rate_fp", expr(s"(n_pos * ${scale}L) div n"))
+      .withColumn("is_monotone",
+        when(lag(col("calibrated_fp"), 1).over(wMono).isNull ||
+          lag(col("calibrated_fp"), 1).over(wMono) <= col("calibrated_fp"), 1L)
+          .otherwise(0L))
+  }
 }

@@ -10248,6 +10248,58 @@ object ExtensionQueries {
               |  CAST(sum(n * abs(mean_pred_x10000 - emp_rate_x10000)) OVER ()
               |       // sum(n) OVER () AS BIGINT) AS ece_x10000
               |FROM g ORDER BY bucket""".stripMargin)
+    ),
+
+    // Isotonic calibration (Stats.isotonicCalibration) — PAV via the
+    // minimax identity ŷ_i = min_{t≥i} max_{s≤i} avg(s..t), so the fit is
+    // pure joins/windows over the ≤101-level table and the oracle replays
+    // it verbatim: q326 DIAGNOSED the raw score's miscalibration, this
+    // query REPAIRS it into the closest monotone keep-probability, with
+    // the monotonicity certificate pinned to 1 on every row. Corpus cost
+    // is one aggregate; the minimax runs on ≤ levels² ≈ 5k interval rows.
+    QueryDef(
+      "q327_isotonic_calibration",
+      (s, dir) => {
+        val g = TextAnalysis.gopherQualityRules(t(s, dir, "documents"),
+          "doc_id", "text", stopwords, minWords = 50)
+        val scored = g.select(
+          least(col("n_words"), lit(100L)).cast("long").as("score"),
+          col("passes_all").cast("long").as("pos"))
+        Stats.isotonicCalibration(scored, "score", "pos")
+          .select(col("level"), col("n"), col("n_pos"), col("emp_rate_fp"),
+            col("calibrated_fp"), col("is_monotone"))
+          .orderBy("level")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS nw,
+              |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a,b) -> a + b) AS BIGINT) AS swc,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[#@]|\\.{3}$$'))) AS BIGINT) AS sy,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS al,
+              |  CAST(len(list_filter(toks, x -> list_contains(${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS st
+              |FROM t),
+              |v AS (SELECT LEAST(nw, 100) AS level,
+              |  CASE WHEN nw BETWEEN 50 AND 100000 AND swc BETWEEN nw * 3 AND nw * 10
+              |        AND sy * 100 <= nw * 10 AND al * 100 >= nw * 80 AND st >= 2
+              |       THEN 1 ELSE 0 END AS pos FROM m),
+              |lv AS (SELECT level, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(pos) AS BIGINT) AS n_pos FROM v GROUP BY 1),
+              |cum AS (SELECT level, n, n_pos,
+              |  sum(n_pos) OVER (ORDER BY level) AS cp,
+              |  sum(n) OVER (ORDER BY level) AS cn FROM lv),
+              |pairs AS (SELECT s.level AS s, t.level AS t,
+              |    ((t.cp - (s.cp - s.n_pos)) * 1000000) // (t.cn - (s.cn - s.n)) AS avg_fp
+              |  FROM cum s JOIN cum t ON s.level <= t.level),
+              |mm AS (SELECT s AS level, t, max(avg_fp) OVER (PARTITION BY t ORDER BY s
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM pairs),
+              |fit AS (SELECT level, CAST(min(m) AS BIGINT) AS calibrated_fp FROM mm GROUP BY level)
+              |SELECT CAST(lv.level AS BIGINT) AS level, lv.n, lv.n_pos,
+              |  CAST((lv.n_pos * 1000000) // lv.n AS BIGINT) AS emp_rate_fp,
+              |  fit.calibrated_fp,
+              |  CAST(CASE WHEN lag(calibrated_fp) OVER (ORDER BY lv.level) IS NULL
+              |         OR lag(calibrated_fp) OVER (ORDER BY lv.level) <= calibrated_fp
+              |        THEN 1 ELSE 0 END AS BIGINT) AS is_monotone
+              |FROM lv JOIN fit USING (level) ORDER BY level""".stripMargin)
     )
   )
 }

@@ -4044,6 +4044,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(!r.exists(t => t._1 == 2L || t._1 == 3L))
   }
 
+  test("isotonic calibration: PAV golden, monotone certificate, level-cap guard") {
+    // rates per level [0.8, 0.2, 0.5, 0.9] (10 obs each): PAV pools the
+    // 0.8→0.2 violation (and the resulting 0.5,0.5 tie) into a flat 0.5
+    // prefix and leaves 0.9 alone
+    val rows = Seq(8, 2, 5, 9).zipWithIndex.flatMap { case (p, l) =>
+      (1 to 10).map(i => (l.toLong, if (i <= p) 1L else 0L))
+    }
+    val r = Stats.isotonicCalibration(rows.toDF("score", "pos"), "score", "pos")
+      .orderBy("level").collect()
+    assert(r.map(_.getAs[Long]("calibrated_fp")).toSeq ==
+      Seq(500000L, 500000L, 500000L, 900000L))
+    assert(r.map(_.getAs[Long]("emp_rate_fp")).toSeq ==
+      Seq(800000L, 200000L, 500000L, 900000L))
+    assert(r.forall(_.getAs[Long]("is_monotone") == 1L))
+    // already-monotone input passes through unchanged
+    val mono = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 1L)).toDF("score", "pos")
+    val rm = Stats.isotonicCalibration(mono, "score", "pos").orderBy("level").collect()
+    assert(rm.map(_.getAs[Long]("calibrated_fp")).toSeq == Seq(500000L, 1000000L))
+    // unbounded score cardinality is refused, not silently ground through
+    val big = (1 to 300).map(i => (i.toLong, 0L)).toDF("score", "pos")
+    val e = intercept[IllegalArgumentException](
+      Stats.isotonicCalibration(big, "score", "pos"))
+    assert(e.getMessage.contains("bucket the score"))
+  }
+
   test("ewma anomaly: window=50 at 1e7 magnitudes is exact (no Long wrap in the weighted sum)") {
     // 2^49 * 1e7 ≈ 5.6e21 overflows a plain LONG term; the DECIMAL(38,0)
     // fold must still produce ewma == the flat level and flag the spike
