@@ -9745,10 +9745,18 @@ object ExtensionQueries {
             (col("n_chars") / 20).cast("long").as("lb"),
             // CASE guard: sequence(0, -1) would produce a DESCENDING pair,
             // not an empty list — short docs must yield an empty set
+            // shingles hash to 60-bit longs (15 md5 hex digits): the
+            // pairwise sorted-merge compares 8-byte ints instead of
+            // ~20-char strings and drops the string-collation surface.
+            // Measured wash at sf0.1 (the one-md5-per-shingle linear cost
+            // offsets the cheaper merge at cap-150 blocks), but the hash
+            // is linear while the merge is quadratic-in-block — at the
+            // block cap on real corpora the int merge is the right side
+            // of the trade
             expr("CASE WHEN size(toks) >= 4 THEN array_sort(array_distinct(" +
               "transform(sequence(0, size(toks) - 4), " +
-              "i -> array_join(slice(toks, i + 1, 3), ' ')))) " +
-              "ELSE slice(toks, 1, 0) END").as("sh"))
+              "i -> CAST(conv(substring(md5(array_join(slice(toks, i + 1, 3), ' ')), 1, 15), 16, 10) AS BIGINT)))) " +
+              "ELSE CAST(slice(toks, 1, 0) AS ARRAY<BIGINT>) END").as("sh"))
           .filter(size(col("sh")) > 0)
           .withColumn("__bc", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("lang", "lb")))
@@ -9780,7 +9788,7 @@ object ExtensionQueries {
              |sh AS (SELECT doc_id, lang, lb,
              |    list_sort(list_distinct(list_transform(
              |      range(greatest(len(w) - 3, 0)),
-             |      i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+             |      i -> ('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')), 1, 15))::BIGINT))) AS sh
              |  FROM d),
              |f AS (SELECT * FROM sh WHERE len(sh) > 0),
              |bc AS (SELECT lang, lb, count(*) AS c FROM f GROUP BY 1, 2),
