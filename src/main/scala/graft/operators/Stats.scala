@@ -876,6 +876,46 @@ object Stats {
         expr(s"CAST(__dev div $den AS BIGINT)").as("deviation"): _*)
   }
 
+  /** Krippendorff's alpha for m binary raters, no missing values — the
+    * multi-rater agreement certificate next to Cohen's kappa (q322, two
+    * raters): when several automatic judges (quality gates, heuristic
+    * labelers) rate every document, alpha says how much of their agreement
+    * exceeds chance, with the same "raw accuracy flatters skewed label
+    * mixes" correction kappa gives two raters.
+    *
+    * For binary values the nominal-alpha algebra collapses to exact
+    * integers: with per-item ones-count n1ᵢ of m raters, total ones n1 of
+    * n_total = m·N ratings,
+    *
+    *   Do/De = (Σᵢ n1ᵢ·(m−n1ᵢ)) · (n_total−1) / ((m−1) · n1·(n_total−n1))
+    *   α     = 1 − Do/De,   emitted ×scale via one integer div
+    *
+    * so both engines fold identical arithmetic — no floats. Degenerate
+    * marginals (all ratings equal ⇒ De = 0) return alpha_fp NULL rather
+    * than a fake 1.0 — Krippendorff defines alpha as indeterminate there.
+    * One row out: n_items, m, n1, disagree_sum, alpha_fp. Cost: one
+    * map-side per-row sum + one global aggregate. */
+  def krippendorffAlphaBinary(df: DataFrame, raterCols: Seq[String],
+      scale: Long = 1000000L): DataFrame = {
+    require(raterCols.size >= 2, "need at least two rater columns")
+    require(scale > 0, "scale must be positive")
+    val m = raterCols.size
+    val n1i = raterCols.map(c => col(c).cast("long")).reduce(_ + _)
+    df.select(n1i.as("__n1i"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("__n1i")).cast("long").as("n1"),
+        sum(col("__n1i") * (lit(m.toLong) - col("__n1i"))).cast("long")
+          .as("disagree_sum"))
+      .withColumn("m", lit(m.toLong))
+      .withColumn("__ntot", col("n_items") * m)
+      .withColumn("alpha_fp",
+        when(col("n1") === 0 || col("n1") === col("__ntot"), lit(null).cast("long"))
+          .otherwise(lit(scale) -
+            expr(s"(disagree_sum * (__ntot - 1) * ${scale}L) div " +
+              s"((${m - 1}) * n1 * (__ntot - n1))")))
+      .select("n_items", "m", "n1", "disagree_sum", "alpha_fp")
+  }
+
   /** Weighted isotonic regression over bounded integer score levels — the
     * production calibrator for a quality-classifier score (Zadrozny &
     * Elkan 2002's PAV recipe): fit the monotone-non-decreasing step

@@ -10308,6 +10308,44 @@ object ExtensionQueries {
               |         OR lag(calibrated_fp) OVER (ORDER BY lv.level) <= calibrated_fp
               |        THEN 1 ELSE 0 END AS BIGINT) AS is_monotone
               |FROM lv JOIN fit USING (level) ORDER BY level""".stripMargin)
+    ),
+
+    // Krippendorff's alpha across THREE automatic judges (word-count
+    // floor, mean-word-length band, stopword floor — the q83 rule flags
+    // acting as independent raters of the same documents): the
+    // multi-rater completion of the agreement family (q322 = Cohen's
+    // kappa, two raters). Binary nominal alpha collapses to one exact
+    // rational — Do/De = S·(n_tot−1) / ((m−1)·n1·(n_tot−n1)) with
+    // S = Σᵢ n1ᵢ(m−n1ᵢ) — so the whole certificate is one corpus
+    // aggregate and one integer division, no floats anywhere.
+    QueryDef(
+      "q328_krippendorff_alpha",
+      (s, dir) => {
+        val g = TextAnalysis.gopherQualityRules(t(s, dir, "documents"),
+          "doc_id", "text", stopwords, minWords = 50)
+          .select(col("ok_word_count").cast("long").as("r1"),
+            col("ok_mean_len").cast("long").as("r2"),
+            col("ok_stopwords").cast("long").as("r3"))
+        Stats.krippendorffAlphaBinary(g, Seq("r1", "r2", "r3"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS nw,
+              |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a,b) -> a + b) AS BIGINT) AS swc,
+              |  CAST(len(list_filter(toks, x -> list_contains(${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS st
+              |FROM t),
+              |v AS (SELECT
+              |  (CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+              |   + CASE WHEN swc BETWEEN nw * 3 AND nw * 10 THEN 1 ELSE 0 END
+              |   + CASE WHEN st >= 2 THEN 1 ELSE 0 END) AS n1i FROM m),
+              |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+              |  CAST(sum(n1i) AS BIGINT) AS n1,
+              |  CAST(sum(n1i * (3 - n1i)) AS BIGINT) AS disagree_sum FROM v)
+              |SELECT n_items, CAST(3 AS BIGINT) AS m, n1, disagree_sum,
+              |  CASE WHEN n1 = 0 OR n1 = n_items * 3 THEN NULL
+              |       ELSE 1000000 - (disagree_sum * (n_items * 3 - 1) * 1000000)
+              |            // (2 * n1 * (n_items * 3 - n1)) END AS alpha_fp
+              |FROM a""".stripMargin)
     )
   )
 }

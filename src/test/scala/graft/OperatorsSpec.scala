@@ -4044,6 +4044,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(!r.exists(t => t._1 == 2L || t._1 == 3L))
   }
 
+  test("krippendorff alpha: hand-computed goldens, m=2 cross-check, degenerate marginals null") {
+    // m=3, per-item ones [3,0,2,1]: S=4, n1=6, n_tot=12
+    // alpha = 1 - 4*11/(2*6*6) = 1 - 44/72 -> 1e6 - floor(44e6/72) = 388889
+    val df3 = Seq((1L, 1L, 1L), (0L, 0L, 0L), (1L, 1L, 0L), (1L, 0L, 0L))
+      .toDF("r1", "r2", "r3")
+    val r3 = Stats.krippendorffAlphaBinary(df3, Seq("r1", "r2", "r3")).collect().head
+    assert(r3.getAs[Long]("n_items") == 4 && r3.getAs[Long]("m") == 3)
+    assert(r3.getAs[Long]("n1") == 6 && r3.getAs[Long]("disagree_sum") == 4)
+    assert(r3.getAs[Long]("alpha_fp") == 388889L)
+    // m=2 cross-check vs the textbook pair computation: items {(1,1),(0,0),(1,0)}
+    // -> Do=1/3, De=3/5... alpha = 4/9 -> floor form 1e6 - floor(5e6/9) = 444445
+    val df2 = Seq((1L, 1L), (0L, 0L), (1L, 0L)).toDF("a", "b")
+    val r2 = Stats.krippendorffAlphaBinary(df2, Seq("a", "b")).collect().head
+    assert(r2.getAs[Long]("alpha_fp") == 444445L)
+    // perfect agreement with mixed marginals: S=0 -> alpha exactly 1
+    val perfect = Seq((1L, 1L), (0L, 0L)).toDF("a", "b")
+    assert(Stats.krippendorffAlphaBinary(perfect, Seq("a", "b"))
+      .collect().head.getAs[Long]("alpha_fp") == 1000000L)
+    // degenerate marginals (every rating 1): alpha indeterminate -> NULL
+    val allOnes = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(Stats.krippendorffAlphaBinary(allOnes, Seq("a", "b"))
+      .collect().head.isNullAt(4))
+  }
+
   test("isotonic calibration: PAV golden, monotone certificate, level-cap guard") {
     // rates per level [0.8, 0.2, 0.5, 0.9] (10 obs each): PAV pools the
     // 0.8→0.2 violation (and the resulting 0.5,0.5 tie) into a flat 0.5
