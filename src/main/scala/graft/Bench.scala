@@ -76,11 +76,16 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // fixture table sizes, once per run — the "did the input grow?" half of
-    // regression attribution (parquet-footer counts, no data scan)
-    val fixtures: Seq[(String, Long)] =
-      new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
-        .toSeq.map(_.getName.stripSuffix(".parquet")).sorted
+    // regression attribution (parquet-footer counts, no data scan).
+    // listFiles is null for a missing dir — fail naming sfDir instead of
+    // an anonymous NPE before the first query
+    val fixtures: Seq[(String, Long)] = {
+      val files = Option(new java.io.File(sfDir)
+        .listFiles((_, n) => n.endsWith(".parquet")))
+        .getOrElse(sys.error(s"SPARK_GRAFT_SF_DIR '$sfDir' is not a readable directory"))
+      files.toSeq.map(_.getName.stripSuffix(".parquet")).sorted
         .map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet").count())
+    }
 
     // warmup: touch each input format + codegen paths once, untimed
     try SparkEntry.queries("q03_rowcount")(spark, sfDir).foreach(_ => ())

@@ -188,6 +188,12 @@ object Main {
       }
       i += 1
     }
+    // flag-combination validation: by-column attribution pairs rows 1:1,
+    // which is exactly what the salted digest path avoids — rejecting the
+    // combination loudly beats silently dropping the section the user
+    // asked for
+    require(!(a.byColumn && a.saltSkew.isDefined),
+      "--by-column requires row pairing and cannot combine with --salt-skew; drop one")
     cmd match {
       case "diff" =>
         require(positional.nonEmpty, "diff requires a <model> argument")

@@ -890,11 +890,14 @@ object Stats {
     *   Do/De = (Σᵢ n1ᵢ·(m−n1ᵢ)) · (n_total−1) / ((m−1) · n1·(n_total−n1))
     *   α     = 1 − Do/De,   emitted ×scale via one integer div
     *
-    * so both engines fold identical arithmetic — no floats. Degenerate
-    * marginals (all ratings equal ⇒ De = 0) return alpha_fp NULL rather
-    * than a fake 1.0 — Krippendorff defines alpha as indeterminate there.
-    * One row out: n_items, m, n1, disagree_sum, alpha_fp. Cost: one
-    * map-side per-row sum + one global aggregate. */
+    * so both engines fold identical arithmetic — no floats. The ratio is
+    * evaluated in DECIMAL(38,0): the numerator S·(n_tot−1)·scale would
+    * overflow a plain Long around 2M items (m=3, scale=1e6), and at 1e12
+    * items it still sits near 1e31 — comfortably exact in 38 digits.
+    * Degenerate marginals (all ratings equal ⇒ De = 0) return alpha_fp
+    * NULL rather than a fake 1.0 — Krippendorff defines alpha as
+    * indeterminate there. One row out: n_items, m, n1, disagree_sum,
+    * alpha_fp. Cost: one map-side per-row sum + one global aggregate. */
   def krippendorffAlphaBinary(df: DataFrame, raterCols: Seq[String],
       scale: Long = 1000000L): DataFrame = {
     require(raterCols.size >= 2, "need at least two rater columns")
@@ -911,8 +914,9 @@ object Stats {
       .withColumn("alpha_fp",
         when(col("n1") === 0 || col("n1") === col("__ntot"), lit(null).cast("long"))
           .otherwise(lit(scale) -
-            expr(s"(disagree_sum * (__ntot - 1) * ${scale}L) div " +
-              s"((${m - 1}) * n1 * (__ntot - n1))")))
+            expr("(CAST(disagree_sum AS DECIMAL(38,0)) * (__ntot - 1) * " +
+              s"CAST($scale AS DECIMAL(38,0))) div " +
+              s"(CAST(${m - 1} AS DECIMAL(38,0)) * n1 * (__ntot - n1))")))
       .select("n_items", "m", "n1", "disagree_sum", "alpha_fp")
   }
 
@@ -939,9 +943,14 @@ object Stats {
   def isotonicCalibration(df: DataFrame, scoreCol: String, posCol: String,
       scale: Long = 1000000L, maxLevels: Int = 256): DataFrame = {
     require(scale > 0, "scale must be positive")
+    // the corpus aggregate runs ONCE: the level table is materialized
+    // eagerly (localCheckpoint) and every later frame — cardinality
+    // check, prefix sums, final join — reads the checkpoint, never the
+    // corpus again
     val lv = df.groupBy(col(scoreCol).cast("long").as("level"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col(posCol).cast("long")).as("n_pos"))
+      .localCheckpoint()
     val nLevels = lv.count()
     require(nLevels <= maxLevels,
       s"isotonicCalibration: $nLevels distinct score levels exceed maxLevels=$maxLevels — bucket the score first")
@@ -950,7 +959,6 @@ object Stats {
     val cum = lv
       .withColumn("cp", sum("n_pos").over(wCum))
       .withColumn("cn", sum("n").over(wCum))
-      .localCheckpoint()
     val sSide = cum.select(col("level").as("s"),
       (col("cp") - col("n_pos")).as("cp_prev"), (col("cn") - col("n")).as("cn_prev"))
     val tSide = cum.select(col("level").as("t"), col("cp").as("cp_t"), col("cn").as("cn_t"))

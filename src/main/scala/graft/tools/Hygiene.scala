@@ -16,12 +16,16 @@ import org.apache.spark.sql.SparkSession
   * RDD warnings elsewhere in the run still surface. */
 object Hygiene {
   def unpersistAll(spark: SparkSession): Unit = {
-    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator
     val pkg = "org.apache.spark.rdd"
+    // restore the logger's PRIOR effective level, not a hardcoded WARN —
+    // a developer who set the package to DEBUG to chase storage issues
+    // keeps their diagnostics after the cleanup
+    val prior: Level = LogManager.getLogger(pkg).getLevel
     Configurator.setLevel(pkg, Level.ERROR)
     try spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
-    finally Configurator.setLevel(pkg, Level.WARN)
+    finally Configurator.setLevel(pkg, prior)
   }
 }

@@ -39,11 +39,19 @@ object ScaleRehearsal {
     "q88_curate_pipeline", "q206_diff_by_segments",
     "q138_trained_langid", "q236_transitive_contamination")
 
-  /** Build (once) the `copies`× dataset under `outDir`; returns outDir. */
+  /** Build (once per source-fixture state) the `copies`× dataset under
+    * `outDir`; returns outDir. The done-marker carries a fingerprint of
+    * the SOURCE tables (row counts), so a driver-regenerated or grown
+    * sf0.1 invalidates the derived data instead of silently producing
+    * ratios against a stale rehearsal set. */
   def ensureData(spark: SparkSession, srcDir: String, outDir: String,
       copies: Int = 10): String = {
     val done = java.nio.file.Paths.get(outDir, "_REHEARSAL_READY")
-    if (java.nio.file.Files.exists(done)) return outDir
+    val fingerprint = Seq("orders", "documents").map { t =>
+      s"$t=${spark.read.parquet(s"$srcDir/$t.parquet").count()}"
+    }.mkString(s"copies=$copies;", ";", "")
+    if (java.nio.file.Files.exists(done) &&
+      java.nio.file.Files.readString(done).trim == fingerprint) return outDir
     val off = 1000000000L
 
     val o = spark.read.parquet(s"$srcDir/orders.parquet")
@@ -63,7 +71,7 @@ object ScaleRehearsal {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    java.nio.file.Files.createFile(done)
+    java.nio.file.Files.writeString(done, fingerprint + "\n")
     outDir
   }
 

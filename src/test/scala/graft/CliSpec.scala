@@ -402,6 +402,11 @@ class CliSpec extends SparkTestBase {
     val a = Main.parseArgs(Seq("diff-tables", s"$dir/base", s"$dir/head",
       "--keys", "k", "--salt-skew", "8", "--no-col-stats", "--format", "json"))
     assert(a.saltSkew.contains(8))
+    // by-column needs row pairing - combining it with the digest path is
+    // rejected at parse time, not silently dropped from the output
+    val conflict = intercept[IllegalArgumentException](Main.parseArgs(
+      Seq("diff-tables", "b", "h", "--keys", "k", "--salt-skew", "8", "--by-column")))
+    assert(conflict.getMessage.contains("--by-column"))
     val r = Main.runDiffTables(spark, a)
     val rd = r.rowDiff.get
     // planted truth: key 3 added (1 row), key 2 removed (1 row), keys 9 changed

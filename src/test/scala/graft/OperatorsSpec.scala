@@ -4066,6 +4066,14 @@ class OperatorsSpec extends SparkTestBase {
     val allOnes = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
     assert(Stats.krippendorffAlphaBinary(allOnes, Seq("a", "b"))
       .collect().head.isNullAt(4))
+    // 2.1M items, m=3: the numerator S*(ntot-1)*1e6 ~ 2.6e19 would wrap a
+    // plain Long — the DECIMAL(38,0) path must stay exact and non-null
+    val big = spark.range(2100000L).selectExpr(
+      "CAST(id % 2 AS BIGINT) AS r1", "CAST(id % 3 = 0 AS BIGINT) AS r2",
+      "CAST(id % 5 = 0 AS BIGINT) AS r3")
+    val rb = Stats.krippendorffAlphaBinary(big, Seq("r1", "r2", "r3")).collect().head
+    val alpha = rb.getAs[Long]("alpha_fp")
+    assert(alpha > -1000000L && alpha < 1000000L, s"implausible alpha $alpha")
   }
 
   test("isotonic calibration: PAV golden, monotone certificate, level-cap guard") {
