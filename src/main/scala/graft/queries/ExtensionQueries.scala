@@ -10346,6 +10346,40 @@ object ExtensionQueries {
               |       ELSE 1000000 - (disagree_sum * (n_items * 3 - 1) * 1000000)
               |            // (2 * n1 * (n_items * 3 - n1)) END AS alpha_fp
               |FROM a""".stripMargin)
+    ),
+
+    // Mann–Whitney AUC (Stats.mannWhitneyAuc): does the word-count score
+    // actually separate English from non-English documents? AUC =
+    // P(random en doc outscores random non-en doc) + ½·ties — the
+    // distribution-free discrimination audit run before a score routes or
+    // gates sources. Computed WITHOUT the textbook global rank sort: over
+    // bounded integer levels, U₁×2 = Σ_v n1(v)·(2·cum_n0(<v) + n0(v)), so
+    // the corpus pass is one aggregate to ≤101 rows and the prefix sum
+    // runs on the level table; products in DECIMAL(38,0).
+    QueryDef(
+      "q329_mannwhitney_auc",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+          .select((col("lang") === "en").cast("long").as("g"),
+            least(size(col("toks")).cast("long"), lit(100L)).as("v"))
+        Stats.mannWhitneyAuc(d, "g", "v")
+      },
+      Some(s"""WITH t AS (SELECT lang, $duckToks AS toks FROM documents),
+              |v AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+              |  LEAST(CAST(len(toks) AS BIGINT), 100) AS level FROM t),
+              |lv AS (SELECT level, CAST(sum(g) AS BIGINT) AS n1v,
+              |  CAST(sum(1 - g) AS BIGINT) AS n0v FROM v GROUP BY 1),
+              |cum AS (SELECT level, n1v, n0v,
+              |  COALESCE(sum(n0v) OVER (ORDER BY level
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+              |  FROM lv)
+              |SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n0v) AS BIGINT) AS n0,
+              |  CAST(sum(n1v * (2 * c0 + n0v)) AS BIGINT) AS u1_x2,
+              |  CASE WHEN sum(n1v) = 0 OR sum(n0v) = 0 THEN NULL
+              |       ELSE CAST((sum(n1v * (2 * c0 + n0v)) * 1000000)
+              |            // (2 * sum(n1v) * sum(n0v)) AS BIGINT) END AS auc_fp
+              |FROM cum""".stripMargin)
     )
   )
 }

@@ -4044,6 +4044,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(!r.exists(t => t._1 == 2L || t._1 == 3L))
   }
 
+  test("mann-whitney auc: perfect separation, ties, reversal, empty group null") {
+    def auc(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      Stats.mannWhitneyAuc(rows.toDF("g", "v"), "g", "v").collect().head
+    // group1 strictly above group0 -> AUC = 1
+    val sep = auc(Seq((1L, 3L), (1L, 4L), (0L, 1L), (0L, 2L)))
+    assert(sep.getAs[Long]("u1_x2") == 8L && sep.getAs[Long]("auc_fp") == 1000000L)
+    // identical distributions -> AUC = 1/2 exactly (tie half-credit)
+    val tie = auc(Seq((1L, 1L), (1L, 2L), (0L, 1L), (0L, 2L)))
+    assert(tie.getAs[Long]("u1_x2") == 4L && tie.getAs[Long]("auc_fp") == 500000L)
+    // group1 strictly below -> AUC = 0
+    assert(auc(Seq((1L, 1L), (1L, 2L), (0L, 3L), (0L, 4L))).getAs[Long]("auc_fp") == 0L)
+    // one-sided data: AUC undefined -> NULL, not a fake 0 or 1
+    assert(auc(Seq((1L, 1L), (1L, 2L))).isNullAt(3))
+    // cross-check vs the textbook global-rank formula on a mixed case:
+    // g1 = [2,5,5], g0 = [1,2,7]: pairs won = (2>1) + (5>1,5>2) + (5>1,5>2)
+    // = 5, ties = (2,2) -> 0.5 -> U1 = 5.5, AUC = 5.5/9
+    val mixed = auc(Seq((1L, 2L), (1L, 5L), (1L, 5L), (0L, 1L), (0L, 2L), (0L, 7L)))
+    assert(mixed.getAs[Long]("u1_x2") == 11L)
+    assert(mixed.getAs[Long]("auc_fp") == (11L * 1000000L) / 18L)
+    // unbounded level cardinality refused
+    val big = (1 to 2000).map(i => (i.toLong % 2, i.toLong)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException](
+      Stats.mannWhitneyAuc(big, "g", "v").collect())
+    assert(e.getMessage.contains("bucket the score"))
+  }
+
   test("krippendorff alpha: hand-computed goldens, m=2 cross-check, degenerate marginals null") {
     // m=3, per-item ones [3,0,2,1]: S=4, n1=6, n_tot=12
     // alpha = 1 - 4*11/(2*6*6) = 1 - 44/72 -> 1e6 - floor(44e6/72) = 388889
