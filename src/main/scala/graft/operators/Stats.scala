@@ -876,6 +876,61 @@ object Stats {
         expr(s"CAST(__dev div $den AS BIGINT)").as("deviation"): _*)
   }
 
+  /** Kendall's τ-a between two integer-leveled scores — the rank-
+    * correlation certificate for "do two quality signals agree in
+    * ORDERING" (a cheap proxy score vs an expensive gate): τ-a =
+    * (concordant − discordant) / (N(N−1)/2) over all document pairs,
+    * which — unlike Spearman or τ-b — needs NO square root, so the whole
+    * statistic is one exact rational both engines replay.
+    *
+    * Never materializes document pairs: the corpus collapses to the
+    * bounded (x-level, y-level) grid in ONE aggregate, and concordant/
+    * discordant pair counts fall out of the grid's self-join
+    * (≤ maxCells² cell pairs, trivially small) — C = Σ n_a·n_b over cell
+    * pairs with x and y strictly increasing, D with x increasing and y
+    * decreasing; ties on either axis count as neither (τ-a). Products
+    * run in DECIMAL(38,0) (n_a·n_b and N(N−1)/2 approach N²).
+    *
+    * The magnitude and sign emit separately (tau_abs_fp ×scale, sign
+    * ∈ {−1,0,1}): integral division of a NEGATIVE numerator truncates
+    * toward zero in Spark but floors in DuckDB/ANSI `//` — dividing the
+    * absolute value is the only form both engines fold identically. */
+  def kendallTauA(df: DataFrame, xCol: String, yCol: String,
+      scale: Long = 1000000L, maxCells: Int = 4096): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val cells = df.groupBy(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint()
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTauA: $nCells distinct (x, y) level cells exceed maxCells=$maxCells — bucket the scores first")
+    val a = cells.select(col("x").as("ax"), col("y").as("ay"), col("n").as("an"))
+    val b = cells.select(col("x").as("bx"), col("y").as("by"), col("n").as("bn"))
+    val pairs = a.join(b, col("ax") < col("bx"))
+      .select(expr("CAST(an AS DECIMAL(38,0)) * bn").as("w"),
+        when(col("by") > col("ay"), lit(1)).when(col("by") < col("ay"), lit(-1))
+          .otherwise(lit(0)).as("dir"))
+    val stats = pairs.agg(
+      sum(when(col("dir") === 1, col("w")).otherwise(lit(0))).as("__c"),
+      sum(when(col("dir") === -1, col("w")).otherwise(lit(0))).as("__d"))
+      .crossJoin(cells.agg(sum("n").cast("long").as("n_total")))
+    stats
+      .withColumn("n_concordant", expr("CAST(coalesce(__c, 0) AS DECIMAL(38,0))"))
+      .withColumn("n_discordant", expr("CAST(coalesce(__d, 0) AS DECIMAL(38,0))"))
+      .withColumn("sign",
+        expr("CAST(sign(n_concordant - n_discordant) AS BIGINT)"))
+      .withColumn("tau_abs_fp",
+        when(col("n_total") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(abs(n_concordant - n_discordant) * $scale) div " +
+              "((CAST(n_total AS DECIMAL(38,0)) * (n_total - 1)) div 2)")))
+      .select(col("n_total"),
+        expr("CAST(n_concordant AS BIGINT)").as("n_concordant"),
+        expr("CAST(n_discordant AS BIGINT)").as("n_discordant"),
+        col("sign"), col("tau_abs_fp"))
+  }
+
   /** Mann–Whitney U / AUC between two groups of an integer-leveled score —
     * the distribution-free "does the score separate the groups" audit
     * (AUC = P(random group-1 score > random group-0 score) + ½ ties): the

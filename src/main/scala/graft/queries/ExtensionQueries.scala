@@ -10380,6 +10380,58 @@ object ExtensionQueries {
               |       ELSE CAST((sum(n1v * (2 * c0 + n0v)) * 1000000)
               |            // (2 * sum(n1v) * sum(n0v)) AS BIGINT) END AS auc_fp
               |FROM cum""".stripMargin)
+    ),
+
+    // Kendall's τ-a between the raw word-count score and the 0–5 Gopher
+    // rule-verdict count (Stats.kendallTauA): do the cheap signal and the
+    // full gate agree in ORDERING? τ-a needs no square root (unlike
+    // Spearman/τ-b), so the whole rank correlation is one exact rational.
+    // No document pairs ever materialize — the corpus collapses to the
+    // ≤101×6 level grid in one aggregate and concordant/discordant counts
+    // come from the grid self-join. Sign and |τ| emit separately: negative
+    // integral division truncates in Spark but floors in DuckDB, so the
+    // absolute form is the only one both engines fold identically.
+    QueryDef(
+      "q330_kendall_tau",
+      (s, dir) => {
+        val g = TextAnalysis.gopherQualityRules(t(s, dir, "documents"),
+          "doc_id", "text", stopwords, minWords = 50)
+        val scored = g.select(
+          least(col("n_words"), lit(100L)).cast("long").as("x"),
+          (col("ok_word_count").cast("long") + col("ok_mean_len").cast("long") +
+            col("ok_symbols").cast("long") + col("ok_alpha").cast("long") +
+            col("ok_stopwords").cast("long")).as("y"))
+        Stats.kendallTauA(scored, "x", "y")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS nw,
+              |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a,b) -> a + b) AS BIGINT) AS swc,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[#@]|\\.{3}$$'))) AS BIGINT) AS sy,
+              |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS al,
+              |  CAST(len(list_filter(toks, x -> list_contains(${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS st
+              |FROM t),
+              |v AS (SELECT LEAST(nw, 100) AS x,
+              |  (CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+              |   + CASE WHEN swc BETWEEN nw * 3 AND nw * 10 THEN 1 ELSE 0 END
+              |   + CASE WHEN sy * 100 <= nw * 10 THEN 1 ELSE 0 END
+              |   + CASE WHEN al * 100 >= nw * 80 THEN 1 ELSE 0 END
+              |   + CASE WHEN st >= 2 THEN 1 ELSE 0 END) AS y FROM m),
+              |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2),
+              |p AS (SELECT sum(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS c,
+              |             sum(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS d
+              |      FROM cells a JOIN cells b ON a.x < b.x),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+              |SELECT tot.n_total,
+              |  CAST(COALESCE(p.c, 0) AS BIGINT) AS n_concordant,
+              |  CAST(COALESCE(p.d, 0) AS BIGINT) AS n_discordant,
+              |  CAST(CASE WHEN COALESCE(p.c, 0) > COALESCE(p.d, 0) THEN 1
+              |            WHEN COALESCE(p.c, 0) < COALESCE(p.d, 0) THEN -1
+              |            ELSE 0 END AS BIGINT) AS sign,
+              |  CASE WHEN tot.n_total < 2 THEN NULL
+              |       ELSE CAST((abs(COALESCE(p.c, 0) - COALESCE(p.d, 0)) * 1000000)
+              |            // ((tot.n_total * (tot.n_total - 1)) // 2) AS BIGINT) END AS tau_abs_fp
+              |FROM p, tot""".stripMargin)
     )
   )
 }

@@ -4044,6 +4044,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(!r.exists(t => t._1 == 2L || t._1 == 3L))
   }
 
+  test("kendall tau-a: perfect order, reversal, ties neither, textbook mixed case") {
+    def tau(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      Stats.kendallTauA(rows.toDF("x", "y"), "x", "y").collect().head
+    // perfectly concordant: C = 3 pairs, denom = 3 -> tau = +1
+    val up = tau(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(up.getAs[Long]("n_concordant") == 3 && up.getAs[Long]("sign") == 1L)
+    assert(up.getAs[Long]("tau_abs_fp") == 1000000L)
+    // perfectly reversed -> sign -1, |tau| = 1
+    val down = tau(Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    assert(down.getAs[Long]("sign") == -1L && down.getAs[Long]("tau_abs_fp") == 1000000L)
+    // textbook mixed case with ties on both axes:
+    // points (1,1),(1,2),(2,1),(2,2): pairs with x strictly increasing = 4,
+    // of which concordant (1,1)-(2,2) = 1, discordant (1,2)-(2,1) = 1,
+    // y-ties 2 -> C=D=1, denom = 6 -> tau = 0
+    val mixed = tau(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+    assert(mixed.getAs[Long]("n_concordant") == 1 && mixed.getAs[Long]("n_discordant") == 1)
+    assert(mixed.getAs[Long]("sign") == 0L && mixed.getAs[Long]("tau_abs_fp") == 0L)
+    // weighted cells: duplicate points multiply pair counts (n_a*n_b)
+    val dup = tau(Seq((1L, 1L), (1L, 1L), (2L, 2L)))
+    assert(dup.getAs[Long]("n_concordant") == 2) // 2x1 cross-cell pairs
+    assert(dup.getAs[Long]("tau_abs_fp") == (2L * 1000000L) / 3L)
+    // single row: undefined -> NULL
+    assert(tau(Seq((1L, 1L))).isNullAt(4))
+  }
+
   test("mann-whitney auc: perfect separation, ties, reversal, empty group null") {
     def auc(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
       Stats.mannWhitneyAuc(rows.toDF("g", "v"), "g", "v").collect().head
