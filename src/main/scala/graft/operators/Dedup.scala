@@ -1276,6 +1276,15 @@ object Dedup {
     * identity stays md5 (one digest per chunk, collision-safe for a dedup
     * store); only the boundary probe is the cheap hash. Output: one row
     * per chunk (id, chunk_idx, start_pos 0-based, chunk_len, chunk_md5). */
+  /* Unit-consistency note (ADVICE r9 flagged a suspected UTF-16/code-point
+   * mismatch here): Spark's `split(text, '')` yields one element PER CODE
+   * POINT (a supplementary-plane char stays one element) and `ascii` of
+   * that element returns the full code point (e.g. U+1D54F -> 120143) —
+   * verified against Spark 4.1.2 — so `__codes`, `length()` positions and
+   * `substring()` chunk extraction all speak code points, matching the
+   * DuckDB oracle's string_split('')+ord. OperatorsSpec ("cdc chunks:
+   * supplementary-plane ...") pins this with U+1D54F-bearing input
+   * against a plain-Scala code-point reference. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, divisor: Int = 32): DataFrame = {
     // k ≤ 9 keeps the largest polynomial term (max code point 0x10FFFF ×

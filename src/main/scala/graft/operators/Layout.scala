@@ -370,10 +370,17 @@ object Layout {
     val arr = ring.map { case (p, s) => s"struct(${p}L AS pos, $s AS shard)" }
       .mkString("array(", ", ", ")")
     val kh = s"cast(conv(substring(md5(concat('key:', cast(`$keyCol` as string))), 1, 8), 16, 10) as bigint)"
-    // CASE guards the empty-filter branch (ANSI element_at would throw)
-    expr(s"""CASE WHEN size(filter($arr, r -> r.pos >= $kh)) > 0
-            |     THEN element_at(filter($arr, r -> r.pos >= $kh), 1).shard
-            |     ELSE ${ring.head._2} END""".stripMargin)
+    // ONE aggregate() fold over the (sorted) ring: the zero element carries
+    // the key hash, so md5 runs once per row — the earlier two-filter CASE
+    // embedded the hash inside each lambda body, where HOF codegen
+    // re-evaluated it per vnode comparison (2·vnodes md5 calls per row).
+    // The first vnode at/after the hash wins; shard = -1 is the "none yet"
+    // sentinel, resolved to the ring start (wrap) in the finish lambda.
+    expr(s"""aggregate($arr,
+            |  named_struct('kh', $kh, 'shard', -1),
+            |  (acc, r) -> IF(acc.shard = -1 AND r.pos >= acc.kh,
+            |                 named_struct('kh', acc.kh, 'shard', r.shard), acc),
+            |  acc -> IF(acc.shard = -1, ${ring.head._2}, acc.shard))""".stripMargin)
   }
 
   def rendezvousShard(keyCol: String, nShards: Int): Column = {

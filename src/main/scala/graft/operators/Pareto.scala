@@ -35,8 +35,9 @@ object Pareto {
     * pruning is void, so choose `bucketWidth` from the column's range, not
     * a constant. */
   def skyline2D(df: DataFrame, minCol: String, maxCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxSurvivors: Long = 1000000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxSurvivors > 0, "maxSurvivors must be positive")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -54,10 +55,25 @@ object Pareto {
     val lowerBest = slices.map(_._1).zip(stairs.map(_._2)).toSeq
       .toDF("__b", "__lower_best")
 
+    // localCheckpoint: the count below must not re-run the corpus filter
+    // when the windows read the survivors a second time
     val survivors = df.withColumn("__b", bucket)
       .join(broadcast(lowerBest), "__b")
       .filter(col(maxCol) > col("__lower_best"))
       .drop("__b", "__lower_best")
+      .localCheckpoint()
+    // the single-partition exact sweep below is safe only BECAUSE the
+    // staircase pruned; on an all-skyline anti-chain (every row strictly
+    // better on one axis, worse on the other) the pruning is void and the
+    // sweep would sort the whole corpus in one task. Fail loudly with the
+    // escape hatch instead of hanging: refine bucketWidth (more staircase
+    // steps), or pre-partition by a coarse minCol range and skyline each
+    // range before a final merge pass over the per-range frontiers.
+    val nSurv = survivors.count()
+    require(nSurv <= maxSurvivors,
+      s"skyline2D: $nSurv rows survive the staircase pruning (> maxSurvivors=$maxSurvivors) — " +
+        "anti-chain-shaped data or too-coarse bucketWidth; refine bucketWidth or pre-partition by " +
+        s"$minCol range and merge per-range frontiers")
 
     val wStrict = Window.orderBy(col(minCol))
       .rangeBetween(Window.unboundedPreceding, -1)

@@ -1002,11 +1002,25 @@ object Stats {
     require(scale > 0, "scale must be positive")
     val m = raterCols.size
     val n1i = raterCols.map(c => col(c).cast("long")).reduce(_ + _)
-    df.select(n1i.as("__n1i"))
+    // domain guard: a NULL rating would NULL the whole row's __n1i (the
+    // item silently vanishes from the sums) and a 2 would corrupt the
+    // binary algebra without failing — so the out-of-domain count rides
+    // the SAME aggregate (no second pass) and trips raise_error at
+    // execution, attached to n_items so column pruning can't drop it
+    val badRow = raterCols.map(c =>
+      when(col(c).isNull || (col(c).cast("long") =!= 0L &&
+        col(c).cast("long") =!= 1L), 1L).otherwise(0L)).reduce(_ + _)
+    df.select(n1i.as("__n1i"), badRow.as("__bad_row"))
       .agg(count(lit(1)).cast("long").as("n_items"),
         sum(col("__n1i")).cast("long").as("n1"),
         sum(col("__n1i") * (lit(m.toLong) - col("__n1i"))).cast("long")
-          .as("disagree_sum"))
+          .as("disagree_sum"),
+        sum(col("__bad_row")).cast("long").as("__bad"))
+      .withColumn("n_items",
+        when(col("__bad") > 0, raise_error(concat(
+          lit("krippendorffAlphaBinary: "), col("__bad").cast("string"),
+          lit(" rating(s) NULL or outside {0,1} — rater columns must be non-null binary"))))
+          .otherwise(col("n_items")).cast("long"))
       .withColumn("m", lit(m.toLong))
       .withColumn("__ntot", col("n_items") * m)
       .withColumn("alpha_fp",

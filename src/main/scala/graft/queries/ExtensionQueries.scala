@@ -10361,7 +10361,11 @@ object ExtensionQueries {
       (s, dir) => {
         val d = t(s, dir, "documents")
           .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
-          .select((col("lang") === "en").cast("long").as("g"),
+          // when/otherwise, not `(lang === 'en').cast(long)`: the boolean
+          // cast sends a NULL lang to NULL (row silently dropped from both
+          // groups) while the oracle's CASE WHEN buckets it into group 0 —
+          // NULL lang must mean "not English", on both engines
+          .select(when(col("lang") === "en", 1L).otherwise(0L).as("g"),
             least(size(col("toks")).cast("long"), lit(100L)).as("v"))
         Stats.mannWhitneyAuc(d, "g", "v")
       },

@@ -4398,4 +4398,82 @@ class OperatorsSpec extends SparkTestBase {
     assert(graft.queries.ExtensionQueries.NdcgDisc == expected)
     assert(graft.queries.ExtensionQueries.NdcgPre == expected.scanLeft(0L)(_ + _).tail)
   }
+
+  test("krippendorff alpha: NULL or out-of-domain rating fails loudly, not silently") {
+    // a NULL rating NULLs the whole item's ones-count (the row would
+    // silently vanish from every sum); a 2 would corrupt the binary
+    // algebra without failing — both must raise, naming the domain
+    val withNull = Seq((Some(1L), Some(1L)), (None, Some(0L))).toDF("a", "b")
+    val e1 = intercept[Exception](
+      Stats.krippendorffAlphaBinary(withNull, Seq("a", "b")).collect())
+    assert(e1.getMessage.contains("non-null binary"), e1.getMessage)
+    val outOfDomain = Seq((1L, 1L), (2L, 0L)).toDF("a", "b")
+    val e2 = intercept[Exception](
+      Stats.krippendorffAlphaBinary(outOfDomain, Seq("a", "b")).collect())
+    assert(e2.getMessage.contains("non-null binary"), e2.getMessage)
+    // in-domain data is untouched by the guard (golden from the main spec)
+    val df2 = Seq((1L, 1L), (0L, 0L), (1L, 0L)).toDF("a", "b")
+    assert(Stats.krippendorffAlphaBinary(df2, Seq("a", "b"))
+      .collect().head.getAs[Long]("alpha_fp") == 444445L)
+  }
+
+  test("skyline: all-skyline anti-chain trips the survivor guard with the escape hint") {
+    import graft.operators.Pareto
+    // (i, i): every row strictly better on one axis, worse on the other —
+    // nothing dominates anything, the staircase prunes zero rows, and the
+    // single-task exact sweep would eat the whole input: the guard must
+    // fire BEFORE the window executes
+    val anti = (1L to 100L).map(i => (i, i)).toDF("cost", "good")
+    val e = intercept[IllegalArgumentException](
+      Pareto.skyline2D(anti, "cost", "good", bucketWidth = 1L, maxSurvivors = 10L).collect())
+    assert(e.getMessage.contains("maxSurvivors") && e.getMessage.contains("bucketWidth"))
+    // same data under the default cap: all 100 rows ARE the frontier
+    assert(Pareto.skyline2D(anti, "cost", "good", bucketWidth = 1L).count() == 100L)
+  }
+
+  test("cdc chunks: supplementary-plane input stays code-point aligned end to end") {
+    // plain-Scala reference of the boundary rule over CODE POINTS: base-31
+    // polynomial of the k code points ending at 1-based position p,
+    // boundary iff (poly % 1e9+7) % divisor == 0 — pins that Spark's
+    // split('')+ascii+length+substring all speak code points (ADVICE r9
+    // suspected a UTF-16 code-unit mismatch here; Spark 4 has none)
+    val k = 8; val divisor = 8 // denser boundaries than the default 32
+    def refChunks(text: String): Seq[(Long, Long, String)] = {
+      val codes = text.codePoints().toArray
+      val len = codes.length
+      val bounds =
+        if (len - 1 < k) Seq.empty[Int]
+        else (k to len - 1).filter { p =>
+          var h = 0L
+          (p - k until p).foreach(j => h = h * 31L + codes(j))
+          (h % 1000000007L) % divisor == 0
+        }
+      val bs = 0 +: bounds :+ len
+      val md = java.security.MessageDigest.getInstance("MD5")
+      bs.sliding(2).collect { case Seq(a, b) =>
+        val s0 = text.offsetByCodePoints(0, a)
+        val e0 = text.offsetByCodePoints(s0, b - a)
+        md.reset()
+        val h = md.digest(text.substring(s0, e0).getBytes("UTF-8"))
+          .map(x => f"${x & 0xff}%02x").mkString
+        (a.toLong, (b - a).toLong, h)
+      }.toSeq
+    }
+    val supp = Array(0x1D54F, 0x1F600, 0x10348, 0x1D11E) // 4 supplementary-plane cps
+    var s = 98765L
+    val text = (1 to 300).map { i =>
+      s = (s * 1103515245L + 12345L) & 0x7fffffffL
+      if (i % 5 == 0) new String(Character.toChars(supp((s % 4).toInt)))
+      else ('a' + (s % 26).toInt).toChar.toString
+    }.mkString
+    assert(text.length > text.codePointCount(0, text.length), "fixture must contain surrogate pairs")
+    val got = Dedup.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", k = k, divisor = divisor)
+      .orderBy("chunk_idx")
+      .select("start_pos", "chunk_len", "chunk_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val want = refChunks(text)
+    assert(want.size >= 4, s"fixture should produce several chunks, got ${want.size}")
+    assert(got == want)
+  }
 }

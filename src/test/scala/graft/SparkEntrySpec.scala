@@ -33,4 +33,23 @@ class SparkEntrySpec extends SparkTestBase {
     val metrics = rows.map(_.getString(0)).toSet
     assert(metrics == Set("base_rows", "head_rows", "added", "removed", "changed"))
   }
+
+  test("q329: a NULL-lang document counts as non-English (group 0), like the oracle's CASE") {
+    // ADVICE r9: `(lang === 'en').cast(long)` sent NULL lang to NULL —
+    // the row silently left BOTH groups while DuckDB's CASE WHEN bucketed
+    // it into group 0. Fixture: en "a b c" (g=1,v=3), de "a b" (g=0,v=2),
+    // NULL-lang "a b c d" (g=0,v=4). With the null row in group 0:
+    // n1=1, n0=2, U1x2 = 1*(2*1+0) at level 3 = 2, auc = 2e6/(2*1*2).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q329fix").toString
+    Seq((1L, "a b c", Option("en")), (2L, "a b", Option("de")),
+      (3L, "a b c d", None: Option[String]))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q329_mannwhitney_auc")(spark, dir).collect().head
+    assert(r.getAs[Long]("n1") == 1L, "en group")
+    assert(r.getAs[Long]("n0") == 2L, "NULL lang must land in group 0, not vanish")
+    assert(r.getAs[Long]("u1_x2") == 2L)
+    assert(r.getAs[Long]("auc_fp") == 500000L)
+  }
 }
