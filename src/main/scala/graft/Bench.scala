@@ -19,7 +19,17 @@ import org.apache.spark.sql.SparkSession
   * The record therefore carries, per query, the INPUT actually read on the
   * first rep (source records + bytes, via a task-metrics listener) and the
   * shuffle bytes written, plus the row count of every fixture table once
-  * per run — so the next regression claim starts from data. */
+  * per run — so the next regression claim starts from data.
+  *
+  * Load guard (VERDICT r9/r10 #2): min-of-N is blind to a load window that
+  * covers ALL N reps of a query — r10 measured byte-identical code 4-5x
+  * slower on three adjacent query ids, with clean spread. So after the
+  * sweep, any query whose fresh min exceeds the prior committed
+  * BENCHOUT.json min by >2x with unchanged input rows is re-measured
+  * `reps` more times (a later, independent time window) and the overall
+  * min published; the `reran` block records prior/rerun minima and `load`
+  * records /proc/loadavg at sweep start+end, so contamination is
+  * attributable from the record alone. */
 object Bench {
 
   /** Task-metrics tap: input records/bytes + shuffle write, accumulated
@@ -65,8 +75,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.tools.Hygiene.silenceBoundedWindowWarn()
     val tap = new MetricsTap
     spark.sparkContext.addSparkListener(tap)
+
+    // Load guard inputs (VERDICT r9/r10 #2): the prior committed
+    // BENCHOUT.json supplies per-query {min, in_rows} to compare fresh
+    // minima against, and /proc/loadavg snapshots bracket the sweep so a
+    // contaminated record is attributable from the record alone. r10
+    // proved the need on byte-identical code: one host-load window
+    // inflated three ADJACENT query ids 4-5x (q257/q258/q259) — invisible
+    // to min-of-3 and to the max/min spread flag, because every rep sat
+    // inside the window.
+    val prior: Map[String, (Double, Long)] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get("BENCHOUT.json")
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else JsonMethods.parse(java.nio.file.Files.readString(p)) \ "detail" match {
+        case JObject(fields) => fields.collect { case (name, q: JObject) =>
+          val m = q.obj.toMap
+          val mn = m.get("min").collect { case JDouble(d) => d; case JInt(i) => i.toDouble }
+          val ir = m.get("in_rows").collect { case JInt(i) => i.toLong; case JLong(l) => l }
+          (name, mn, ir)
+        }.collect { case (n, Some(mn), Some(ir)) => n -> (mn, ir) }.toMap
+        case _ => Map.empty
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] prior BENCHOUT.json unreadable, load guard off: ${e.getMessage}")
+      Map.empty
+    }
+    def loadavg(): String = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "" }
+    val loadStart = loadavg()
 
     // SPARK_GRAFT_BENCH_ONLY=q23_profile_melt,q24_sessionize limits the run
     // while iterating on one query; unset = full suite (driver mode).
@@ -111,7 +154,7 @@ object Bench {
     }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val inputs = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
-    val results = all.map { case (name, fn) =>
+    val firstPass = all.map { case (name, fn) =>
       val before = tap.settle()
       val first = timeOnce(name, fn)
       val after = tap.settle()
@@ -120,6 +163,32 @@ object Bench {
       val times = first +: (2 to reps).map(_ => timeOnce(name, fn))
       samples(name) = times.toVector
       name -> times.min
+    }
+    // Load guard, pass 2: a fresh min >2x the prior record's min ON THE
+    // SAME INPUT (in_rows within 1% — if the fixture grew, it's a real
+    // workload change, not load) is presumed host-load contamination and
+    // re-measured `reps` more times AFTER the sweep, outside the
+    // contamination window; the overall min across both passes is
+    // published. A 0.25 s absolute floor keeps micro-queries (10-70 ms,
+    // where JIT/GC jitter alone spans 2x) from triggering re-runs. The
+    // re-run list + prior minima are recorded so a regression claim can be
+    // audited from the record alone.
+    val rerunNote = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val fnByName = all.toMap
+    val results = firstPass.map { case (name, freshMin) =>
+      val verdict = prior.get(name) match {
+        case Some((priorMin, priorRows))
+          if freshMin > priorMin * 2 && freshMin - priorMin > 0.25 &&
+            inputs.get(name).exists { case (ir, _, _) =>
+              math.abs(ir - priorRows) * 100 <= priorRows } =>
+          val again = (1 to reps).map(_ => timeOnce(name, fnByName(name)))
+          samples(name) = samples(name) ++ again
+          val finalMin = math.min(freshMin, again.min)
+          rerunNote(name) = (priorMin, finalMin)
+          finalMin
+        case _ => freshMin
+      }
+      name -> verdict
     }
     def p50(xs: Vector[Double]): Double = xs.sorted.apply(xs.length / 2)
     def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -169,7 +238,42 @@ object Bench {
         ""
       }
 
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"fixtures":$fixturesJson$sf1Json,"sf":"$sfDir"}"""
+    // 100x scale rehearsal (VERDICT r9/r10 "what's missing"): the 100 TB
+    // posture's measured evidence, persisted as an artifact instead of
+    // PLANS.md prose. Single rep — the claim is the SCALING SHAPE (ratio
+    // vs this run's sf0.1 minima, ~linear in rows), not a stable absolute;
+    // generation is one-time under target/testdata-x100 (fingerprinted
+    // against the source fixtures), so later rounds pay only the queries.
+    val sf10Json =
+      if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_SKIP_SF10")) ""
+      else try {
+        val dir = graft.tools.ScaleRehearsal
+          .ensureData(spark, sfDir, "target/testdata-x100", copies = 100)
+        val t0 = System.nanoTime()
+        val sf10 = graft.tools.ScaleRehearsal.run(spark, dir, reps = 1)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val resultMap = results.toMap
+        val entries = sf10.map { case (n, s) =>
+          val base = resultMap.getOrElse(n, 0.0)
+          "\"" + n + "\":{\"sf01\":" + f(base) + ",\"sf10\":" + f(s) +
+            ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + "}"
+        }.mkString("{", ",", "}")
+        s""","sf10":{"copies":100,"wall":${f(wall)},"queries":$entries}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf10 rehearsal failed: ${e.getMessage}")
+        ""
+      }
+
+    val loadEnd = loadavg()
+    val loadJson = s""""load":{"start":"$loadStart","end":"$loadEnd"}"""
+    // reran: per re-measured query, the prior-record min it tripped over
+    // and the min after the post-sweep re-runs — "rerun_min ≈ prior_min"
+    // reads as confirmed contamination, "rerun_min ≈ first-pass min" as a
+    // real regression that survived re-measurement
+    val reranJson = rerunNote.toSeq.sortBy(_._1).map { case (k, (pm, fm)) =>
+      "\"" + k + "\":{\"prior_min\":" + f(pm) + ",\"rerun_min\":" + f(fm) + "}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"reran":$reranJson,$loadJson,"fixtures":$fixturesJson$sf1Json$sf10Json,"sf":"$sfDir"}"""
     // the driver's log capture keeps only the LAST 2000 chars of stdout —
     // a 300-query line can never survive it (r04–r07 all recorded
     // parsed:null). Persist the full record to BENCHOUT.json, and print a
@@ -196,7 +300,7 @@ object Bench {
       val resultMap = results.toMap
       val hq = headline.flatMap(k => resultMap.get(k).map(v => "\"" + k + "\":" + f(v)))
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq$sf1Json,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,$loadJson$sf1Json$sf10Json,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
     }
     spark.stop()
   }

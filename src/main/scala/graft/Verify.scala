@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.tools.Hygiene.silenceBoundedWindowWarn()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q129_robots_check,q137_x limits the dump while
     // iterating on one query; unset = full suite (driver mode)

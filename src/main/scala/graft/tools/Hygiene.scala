@@ -15,6 +15,28 @@ import org.apache.spark.sql.SparkSession
   * the duration of the unpersist loop and restores it after, so genuine
   * RDD warnings elsewhere in the run still surface. */
 object Hygiene {
+
+  /** Scope the WindowExec "No Partition Defined ... single partition" WARN
+    * out of suite runs (Bench/Verify/ScaleRehearsal mains and the test
+    * session). Every partition-less window in this codebase sits on a
+    * require-bounded level grid (≤1k rows by construction — mannWhitneyAuc
+    * / isotonicCalibration level tables, skyline survivors behind the
+    * maxSurvivors guard, rank fusion over ≤2·pool rows, the budget
+    * allocator's ≤|domains| rows), so the warning describes a hazard that
+    * cannot arise and r8–r10 bench tails were hundreds of copies of it,
+    * burying real errors. `partitionBy(lit(0))` does NOT silence it —
+    * Catalyst strips foldable partition keys before WindowExec sees them
+    * (verified on Spark 4.1.2) — so the CLASS logger (not the package) is
+    * set to ERROR: genuine WindowExec errors still surface, and every
+    * other execution-layer warning is untouched. Library consumers who
+    * build their own session keep the default logging. */
+  def silenceBoundedWindowWarn(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+  }
+
   def unpersistAll(spark: SparkSession): Unit = {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator

@@ -92,6 +92,7 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.tools.Hygiene.silenceBoundedWindowWarn()
     val dir = ensureData(spark, sfDir,
       if (copies == 10) "target/testdata-sf1" else s"target/testdata-x$copies",
       copies)

@@ -19,6 +19,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.tools.Hygiene.silenceBoundedWindowWarn()
     s
   }
 }
