@@ -62,6 +62,80 @@ class ModelRunnerSpec extends SparkTestBase {
     assert(out.getInt(0) == 9 && out.getString(1) == "en")
   }
 
+  test("{% if %}: var()-driven branches render both ways, elif/else/nesting, ==/!=/not") {
+    val sql = """select id from {{ ref('a') }}
+                |{% if var('incremental', false) %}where id > {{ var('cutoff', 0) }}
+                |{% else %}-- full refresh
+                |{% endif %}""".stripMargin
+    val on = ModelRunner.parse("m", sql, Map("incremental" -> "true", "cutoff" -> "42"))
+    assert(on.sql.contains("where id > 42") && !on.sql.contains("full refresh"))
+    val off = ModelRunner.parse("m", sql) // default false -> else branch
+    assert(!off.sql.contains("where id >") && off.sql.contains("full refresh"))
+    // == / != / not, elif chain
+    val chain = """select {% if var('env') == 'prod' %}1{% elif var('env') != 'dev' %}2{% else %}3{% endif %} as v"""
+    assert(ModelRunner.parse("m", chain, Map("env" -> "prod")).sql.contains("select 1 as v"))
+    assert(ModelRunner.parse("m", chain, Map("env" -> "staging")).sql.contains("select 2 as v"))
+    assert(ModelRunner.parse("m", chain, Map("env" -> "dev")).sql.contains("select 3 as v"))
+    val neg = "select {% if not var('skip', false) %}included{% endif %} from t"
+    assert(ModelRunner.parse("m", neg).sql.contains("included"))
+    assert(!ModelRunner.parse("m", neg, Map("skip" -> "true")).sql.contains("included"))
+    // nested if inside if: outer true, inner false -> exactly "a"
+    val nested = "{% if var('a', true) %}{% if var('b', false) %}ab{% else %}a{% endif %}{% endif %}"
+    val nr = ModelRunner.parse("m", "select 1 -- " + nested)
+    assert(nr.sql.trim.endsWith("-- a") && !nr.sql.contains("ab"))
+    // ref()s inside a dead branch must NOT become dependencies
+    val deadRef = "select * from {% if var('x', false) %}{{ ref('live') }}{% else %}{{ ref('fallback') }}{% endif %}"
+    assert(ModelRunner.parse("m", deadRef).deps == Set("fallback"))
+  }
+
+  test("{% for %}: inline lists, var()-fed lists, loop-var substitution, end to end") {
+    // inline literal list, {{ s }} substituted per iteration
+    val union = """{% for s in ['web', 'app'] %}select '{{ s }}' as src from {{ ref('stg_{{ s }}') }}
+                  |{% endfor %}""".stripMargin
+    val m = ModelRunner.parse("m", union)
+    assert(m.deps == Set("stg_web", "stg_app"))
+    assert(m.sql.contains("'web' as src from stg_web") && m.sql.contains("'app' as src from stg_app"))
+    // var()-fed list: comma-separated value from --vars
+    val fed = ModelRunner.parse("m",
+      "select id{% for c in var('cols') %}, {{ c }}{% endfor %} from t",
+      Map("cols" -> "name, city"))
+    assert(fed.sql.contains("select id, name, city from t"))
+    // inline-list-shaped var value
+    val shaped = ModelRunner.parse("m",
+      "select id{% for c in var('cols') %}, {{ c }}{% endfor %} from t",
+      Map("cols" -> "['x', 'y']"))
+    assert(shaped.sql.contains("select id, x, y from t"))
+    // if nested in for
+    val mixed = ModelRunner.parse("m",
+      "select 1{% for c in ['a', 'b'] %}{% if c == 'a' %}, {{ c }}{% endif %}{% endfor %}")
+    assert(mixed.sql.replaceAll("\\s+", " ").contains("select 1, a"))
+    assert(!mixed.sql.contains(", b"))
+    // end to end through spark.sql: a for-generated UNION ALL
+    val u = ModelRunner.parse("m",
+      "{% for v in [1, 2, 3] %}select {{ v }} as n {% if v != 3 %}union all {% endif %}{% endfor %}")
+    val got = ModelRunner.run(spark, Seq(u))("m").collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == Seq(1, 2, 3))
+  }
+
+  test("block rendering failure modes: unbalanced, unknown tags, bad expressions") {
+    val e1 = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "select 1 {% if var('x', true) %} from t"))
+    assert(e1.getMessage.contains("endif") && e1.getMessage.contains("--build-mode dbt"))
+    val e2 = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "{% for x in ['a'] %}select '{{ x }}'"))
+    assert(e2.getMessage.contains("endfor"))
+    val e3 = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "{% macro foo() %}{% endmacro %}select 1"))
+    assert(e3.getMessage.contains("--build-mode dbt"))
+    val e4 = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "select 1 {% if len(x) > 2 %}a{% endif %}"))
+    assert(e4.getMessage.contains("--build-mode dbt"))
+    // a required var missing inside a condition names the var
+    val e5 = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "{% if var('nope') %}a{% endif %}"))
+    assert(e5.getMessage.contains("required var 'nope'"))
+  }
+
   test("topo order respects dependencies and detects cycles") {
     val models = Seq(
       ModelRunner.Model("c", "select * from b", Set("b")),
