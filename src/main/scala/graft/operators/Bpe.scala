@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   * boundaries), the classic word-BPE formulation. */
 object Bpe {
 
+  /** Initial symbol split of one word: one symbol PER CODE POINT (a
+    * supplementary-plane char stays one symbol). `w.map(_.toString)` would
+    * split UTF-16 code units — self-consistent but it would break the
+    * q107 certificate's `n_bpe_tokens <= code-point word length` bound on
+    * supplementary-plane input, and it disagrees with how every other
+    * operator here (cdcChunks, length(), substring()) counts characters. */
+  private def codePointSyms(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Train `numMerges` merges on up to `sampleDocs` documents (collected —
     * the documented bounded sample). Returns merges in rank order. */
   def train(df: DataFrame, textCol: String, numMerges: Int, sampleDocs: Int = 10000): Seq[(String, String)] = {
@@ -39,7 +56,7 @@ object Bpe {
     // word -> frequency, words as symbol sequences (single chars initially)
     var words: Map[Vector[String], Long] = texts.iterator
       .flatMap(_.split("\\s+")).filter(_.nonEmpty)
-      .map(w => w.map(_.toString).toVector)
+      .map(codePointSyms)
       .foldLeft(Map.empty[Vector[String], Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
     val merges = Vector.newBuilder[(String, String)]
     var it = 0
@@ -104,7 +121,7 @@ object Bpe {
         .flatMap(_.split("\\s+").iterator.filter(_.nonEmpty))
         .groupBy(col("value")).agg(count(lit(1)).as("n"))
         .as[(String, Long)]
-        .map { case (w, n) => (w.map(_.toString): Seq[String], n) }
+        .map { case (w, n) => (codePointSyms(w): Seq[String], n) }
         .localCheckpoint()
     val merges = Vector.newBuilder[(String, String)]
     var it = 0
@@ -142,7 +159,7 @@ object Bpe {
   /** Encode one word with a rank map: repeatedly apply the lowest-rank
     * applicable merge (leftmost occurrence first) until none applies. */
   private[graft] def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = codePointSyms(word)
     var hit = true
     while (hit && syms.length > 1) {
       var bestRank = Int.MaxValue

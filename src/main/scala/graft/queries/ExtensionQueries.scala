@@ -1835,22 +1835,43 @@ object ExtensionQueries {
       }
     ),
 
-    // Real BPE token counting: merges trained deterministically on the
-    // corpus sample, encode distributed via broadcast rank map. No SQL
-    // engine can replay the iterative merge loop — like q05, the driver
-    // records the weaker rows-only check; the algebraic gates (exact
-    // merges on a hand-computed corpus, losslessness, rank-first encode
-    // order, determinism) live in OperatorsSpec.
+    // Real BPE token counting, CERTIFICATE form (retires the r9 no_oracle
+    // the way q324 retired q05's): no SQL engine replays the iterative
+    // merge loop, but two claims about the REAL encoder's output are
+    // oracle-checkable per document. (a) Round trip: the token stream
+    // concatenated back equals the whitespace-stripped text — Spark emits
+    // md5 of the concatenated BPE tokens, DuckDB computes md5 of the
+    // regexp-stripped text directly; equal hashes prove the distributed
+    // encode lost nothing, doc by doc. (b) Count sandwich: every word is
+    // at least one token and merges only ever shrink, so
+    // n_words <= n_bpe_tokens <= stripped code-point length — emitted as
+    // certified bits the oracle pins at 1 (q324 pattern: Spark COMPUTES
+    // the inequality from live encoder output, the oracle states it must
+    // hold). Exact merge algebra stays spec-gated (OperatorsSpec:
+    // hand-computed corpus, rank-first order, determinism).
     QueryDef(
       "q107_bpe_tokens",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val merges = Bpe.train(docs, "text", numMerges = 30)
         Bpe.encodeTokens(docs, "doc_id", "text", merges)
-          .select(col("doc_id"), col("n_bpe_tokens"))
+          .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("text")),
+            Seq("doc_id"))
+          .select(col("doc_id"),
+            md5(concat_ws("", col("bpe_tokens"))).as("roundtrip_md5"),
+            (col("n_bpe_tokens") >=
+              size(expr("filter(split(coalesce(text, ''), '\\\\s+'), x -> x <> '')")))
+              .cast("long").as("ge_words"),
+            (col("n_bpe_tokens") <=
+              length(regexp_replace(coalesce(col("text"), lit("")), "\\s+", "")))
+              .cast("long").as("le_wordchars"))
           .orderBy("doc_id")
       },
-      None
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  md5(coalesce(regexp_replace(text, '\s+', '', 'g'), '')) AS roundtrip_md5,
+             |  CAST(1 AS BIGINT) AS ge_words,
+             |  CAST(1 AS BIGINT) AS le_wordchars
+             |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
     // Count-based bigram LM table: top-3 next tokens per prefix with
@@ -1873,15 +1894,73 @@ object ExtensionQueries {
     ),
 
     // Compression-ratio quality signal (RedPajama/CCNet-style repetition
-    // detector): real Deflater bytes — engine-specific stream, so like
-    // q05/q107 the driver records the rows-only check; the ordering
-    // property (repetitive << prose << incompressible) is spec-gated.
+    // detector), now oracle-gated (retires the r9 no_oracle): the exact
+    // Deflater stream is engine-specific, but three claims are checkable.
+    // Per real document: raw_bytes (UTF-8 length — DuckDB strlen replays
+    // it exactly) and comp_ok = compression_pct within the zlib worst-case
+    // bound floor((raw + raw/3276 + 13)·100 / raw) (deflateBound algebra:
+    // deflate can only inflate by ~raw/4096 + raw/16384 + 13 bytes of
+    // framing), pinned at 1. Plus three in-query literal fixtures — a
+    // repeated-bigram run, LCG-drawn common-word prose, LCG printable
+    // noise — whose EXACT Deflater percentages are pinned as a VALUES
+    // oracle (0 < 35 < 83): the repetitive << prose << incompressible
+    // ordering the operator exists to detect, now hash-gated instead of
+    // spec-only. Per-doc compression_pct itself is not SQL-replayable and
+    // is emitted NULL on document rows; the fixture rows carry it.
     QueryDef(
       "q109_compression_ratio",
-      (s, dir) =>
-        TextAnalysis.compressionRatio(t(s, dir, "documents"), "doc_id", "text")
-          .orderBy("doc_id"),
-      None
+      (s, dir) => {
+        val real = TextAnalysis.compressionRatio(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id").cast("long").as("doc_id"), col("raw_bytes"),
+            lit(null).cast("long").as("compression_pct"),
+            when(col("compression_pct").isNull, 1L)
+              .otherwise((col("compression_pct") <=
+                expr("(raw_bytes * 100 + (raw_bytes div 3276) * 100 + 1300) div raw_bytes"))
+                .cast("long")).as("comp_ok"))
+        val sp = real.sparkSession
+        import sp.implicits._
+        val vocab = Vector("the", "of", "and", "to", "a", "in", "is", "was",
+          "he", "for", "it", "with", "as", "his", "on", "be", "at", "by",
+          "had", "not", "are", "but", "from", "or", "have", "an", "they",
+          "which", "one", "you", "were", "her", "all", "she", "there",
+          "would", "their", "we", "him", "been", "has", "when", "who",
+          "will", "more", "no", "if", "out", "so", "said", "what", "up",
+          "its", "about", "into", "than", "them", "can", "only", "other",
+          "new", "some", "could", "time")
+        var st = 7L
+        val prose = (1 to 800).map { _ =>
+          st = st * 6364136223846793005L + 1442695040888963407L
+          vocab(math.floorMod(st >>> 16, 64L).toInt)
+        }.mkString(" ")
+        var sn = 42L
+        val noise = {
+          val sb = new StringBuilder
+          while (sb.length < 4096) {
+            sn = sn * 6364136223846793005L + 1442695040888963407L
+            sb.append((33 + math.floorMod(sn >>> 16, 94L).toInt).toChar)
+          }
+          sb.take(4096).toString
+        }
+        val fixt = TextAnalysis.compressionRatio(
+          Seq((-3L, noise), (-2L, prose), (-1L, "ab" * 2048)).toDF("doc_id", "text"),
+          "doc_id", "text")
+          .select(col("doc_id"), col("raw_bytes"), col("compression_pct"),
+            lit(1L).as("comp_ok"))
+        real.unionByName(fixt).orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CASE WHEN text IS NULL OR text = '' THEN NULL
+             |       ELSE CAST(strlen(text) AS BIGINT) END AS raw_bytes,
+             |  CAST(NULL AS BIGINT) AS compression_pct,
+             |  CAST(1 AS BIGINT) AS comp_ok
+             |FROM documents
+             |UNION ALL
+             |SELECT * FROM (VALUES
+             |  (CAST(-3 AS BIGINT), CAST(4096 AS BIGINT), CAST(83 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (CAST(-2 AS BIGINT), CAST(3380 AS BIGINT), CAST(35 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (CAST(-1 AS BIGINT), CAST(4096 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
+             |  AS fixt(doc_id, raw_bytes, compression_pct, comp_ok)
+             |ORDER BY doc_id""".stripMargin)
     ),
 
     // Bloom-prefiltered incremental dedup: identical semantics (and

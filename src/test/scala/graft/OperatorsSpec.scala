@@ -1677,6 +1677,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("bpe: supplementary-plane chars are single symbols (code points, not UTF-16 units)") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val x = new String(Character.toChars(0x1D54F)) // one code point, two chars
+    // no merges: the initial split IS the token stream — 3 tokens for
+    // a+X+b, not 4 (a split by UTF-16 units would shear the surrogate pair
+    // and break the q107 certificate's tokens <= code-point-length bound)
+    val w = "a" + x + "b"
+    val toks = Bpe.encodeWord(w, Map.empty)
+    assert(toks == Vector("a", x, "b"))
+    assert(toks.mkString == w) // lossless through the pair
+    assert(toks.length == w.codePointCount(0, w.length))
+    // training on supplementary-plane words merges whole code points
+    val corpus = Seq((1L, s"$x$x $x$x $x${x}y")).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, "text", numMerges = 1)
+    assert(merges == Seq((x, x)))
+    assert(Bpe.encodeWord(x + x + "y", merges.zipWithIndex.toMap) == Vector(x + x, "y"))
+  }
+
   test("pagerank: uniform on rings, concentrates on hubs, deterministic") {
     import spark.implicits._
     import graft.operators.Graphs
