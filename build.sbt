@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (box has 128 GiB): 8g fit the 330-query sweep and fit the
+  // 100x rehearsal run standalone, but not both in one JVM — the sweep's
+  // broadcast/codegen remnants plus the rehearsal's aggregation state
+  // OOM'd the sf10 block at 8g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

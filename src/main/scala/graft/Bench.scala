@@ -247,6 +247,12 @@ object Bench {
     val sf10Json =
       if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_SKIP_SF10")) ""
       else try {
+        // the 330-query sweep + sf1 block leave broadcast/cache remnants
+        // in the shared heap; drop them before the run's largest-memory
+        // stage (first observed as an AGGREGATE_OUT_OF_MEMORY here)
+        spark.catalog.clearCache()
+        graft.tools.Hygiene.unpersistAll(spark)
+        System.gc()
         val dir = graft.tools.ScaleRehearsal
           .ensureData(spark, sfDir, "target/testdata-x100", copies = 100)
         val t0 = System.nanoTime()

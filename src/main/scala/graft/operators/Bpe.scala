@@ -148,11 +148,11 @@ object Bpe {
           }
           (out.result(), n)
         }.localCheckpoint()
-        prev.unpersist(blocking = false)
+        graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
         it += 1
       }
     }
-    words.unpersist(blocking = false)
+    graft.tools.Hygiene.quietly(words.unpersist(blocking = false))
     merges.result()
   }
 

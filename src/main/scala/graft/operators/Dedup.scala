@@ -990,7 +990,7 @@ object Dedup {
         .localCheckpoint()
       stable = next.count() == edges.count() &&
         next.except(edges).isEmpty
-      lastRdd.foreach(_.unpersist(blocking = false))
+      graft.tools.Hygiene.quietly(lastRdd.foreach(_.unpersist(blocking = false)))
       lastRdd = ckptRdd(next)
       edges = next
       rounds += 1
@@ -1045,7 +1045,7 @@ object Dedup {
       val next =
         if ((iter + 1) % checkpointEvery == 0) {
           val d = stepped.localCheckpoint() // eager: materializes + truncates lineage
-          lastCkptRdd.foreach(_.unpersist(blocking = false))
+          graft.tools.Hygiene.quietly(lastCkptRdd.foreach(_.unpersist(blocking = false)))
           lastCkptRdd = d.queryExecution.analyzed.collectFirst {
             case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
           }

@@ -65,7 +65,7 @@ object Graphs {
         .select(col("node"),
           (lit(basePart) + coalesce(col("in_mass"), lit(0L))).as("rank_x1m"))
         .localCheckpoint()
-      prev.unpersist(blocking = false)
+      graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
       it += 1
     }
     ranks

@@ -10515,6 +10515,84 @@ object ExtensionQueries {
               |       ELSE CAST((abs(COALESCE(p.c, 0) - COALESCE(p.d, 0)) * 1000000)
               |            // ((tot.n_total * (tot.n_total - 1)) // 2) AS BIGINT) END AS tau_abs_fp
               |FROM p, tot""".stripMargin)
+    ),
+
+    // EXACT BPE oracle (upgrades q107's certificate to a value-exact gate):
+    // the full 30-round greedy merge training AND the rank-order encode
+    // replayed in SQL, so the oracle pins every document's n_bpe_tokens to
+    // the digit — no SQL engine "can't replay the iterative loop" excuse
+    // left. Word state = chr(1)-joined symbol string with guard
+    // separators; replace() scans left-to-right over non-overlapping
+    // occurrences, which IS the trainer's greedy rewrite, and applying
+    // merges in rank order each-everywhere equals the encoder's
+    // lowest-rank-first loop (a later merge's components cannot contain a
+    // symbol an earlier merge creates — rank r+1 was trained after rank r
+    // existed, so rank-order application never re-enables a lower rank).
+    // Training runs on the distinct-word/frequency table (vocabulary-
+    // sized), mirroring Bpe.train; tie-breaks are (count DESC, a, b) in
+    // binary order on both engines. q107 keeps the certificate form (md5
+    // round trip + count sandwich); this query pins the exact counts.
+    QueryDef(
+      "q331_bpe_exact_oracle",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Bpe.train(docs, "text", numMerges = 30)
+        Bpe.encodeTokens(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(bpeReplaySql(30))
     )
   )
+
+  /** Generate the q331 oracle: `numMerges` chained CTE stages, each
+    * re-deriving pair counts from the current vocabulary state, picking
+    * the (count DESC, a ASC, b ASC) winner and rewriting states via
+    * guarded `replace`; then a single encode expression nesting one
+    * replace per merge in rank order. All stages are MATERIALIZED — each
+    * w{s}/m{s} is referenced twice and must not be re-inlined. Assumes
+    * every document participates in training (true whenever ndocs <=
+    * Bpe.train's sampleDocs cap, which holds for every gate fixture; a
+    * 100 TB run trains on a sample and would not use this gate query). */
+  private def bpeReplaySql(numMerges: Int): String = {
+    val S = "chr(1)"
+    val words = "SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word\n" +
+      "        FROM documents WHERE text IS NOT NULL AND text <> ''"
+    val parts = Vector.newBuilder[String]
+    parts += s"""w0 AS MATERIALIZED (
+                |  SELECT $S || array_to_string(string_split(word, ''), $S) || $S AS state,
+                |         CAST(count(*) AS BIGINT) AS n
+                |  FROM ($words)
+                |  GROUP BY 1)""".stripMargin
+    for (i <- 1 to numMerges) {
+      val p = i - 1
+      parts += s"""m$i AS MATERIALIZED (
+                  |  SELECT a, b FROM (
+                  |    SELECT syms[j] AS a, syms[j+1] AS b, sum(n) AS cnt
+                  |    FROM (SELECT string_split(state, $S) AS syms, n FROM w$p),
+                  |         LATERAL (SELECT unnest(range(2, len(syms) - 1)) AS j)
+                  |    GROUP BY 1, 2)
+                  |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      parts += s"""w$i AS MATERIALIZED (
+                  |  SELECT replace(state, $S || m.a || $S || m.b || $S, $S || m.a || m.b || $S) AS state,
+                  |         CAST(sum(n) AS BIGINT) AS n
+                  |  FROM w$p, m$i m GROUP BY 1)""".stripMargin
+    }
+    val encExpr = (1 to numMerges).foldLeft(
+      s"$S || array_to_string(string_split(word, ''), $S) || $S") { (acc, i) =>
+      s"replace($acc, $S || m$i.a || $S || m$i.b || $S, $S || m$i.a || m$i.b || $S)"
+    }
+    val mJoin = (1 to numMerges).map(i => s"m$i").mkString(", ")
+    parts += s"""wordtok AS MATERIALIZED (
+                |  SELECT word, CAST(len(string_split($encExpr, $S)) - 2 AS BIGINT) AS ntok
+                |  FROM (SELECT DISTINCT word FROM ($words)), $mJoin)""".stripMargin
+    "WITH " + parts.result().mkString(",\n") + s"""
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |       CAST(coalesce(sum(t.ntok), 0) AS BIGINT) AS n_bpe_tokens
+      |FROM documents d
+      |LEFT JOIN (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+      |           FROM documents) w ON d.doc_id = w.doc_id
+      |LEFT JOIN wordtok t ON w.word = t.word
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -37,17 +37,27 @@ object Hygiene {
       "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
   }
 
-  def unpersistAll(spark: SparkSession): Unit = {
+  /** Run `body` with `org.apache.spark.rdd` scoped to ERROR, restoring the
+    * PRIOR effective level after (not a hardcoded WARN — a developer who
+    * set the package to DEBUG to chase storage issues keeps their
+    * diagnostics). For unpersisting a handle the caller has fully
+    * materialized and is dropping: RDD.unpersist logs its
+    * "cannot be recomputed after unpersisting" warning synchronously at
+    * the call, so the scope is exact — iterative operators (star-
+    * contraction CC, pagerank, distributed BPE training) drop their
+    * previous round's checkpoint every round, and each drop is safe by
+    * construction but would otherwise WARN once per iteration per query
+    * across a 330-query sweep. */
+  def quietly[A](body: => A): A = {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator
     val pkg = "org.apache.spark.rdd"
-    // restore the logger's PRIOR effective level, not a hardcoded WARN —
-    // a developer who set the package to DEBUG to chase storage issues
-    // keeps their diagnostics after the cleanup
     val prior: Level = LogManager.getLogger(pkg).getLevel
     Configurator.setLevel(pkg, Level.ERROR)
-    try spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
-    finally Configurator.setLevel(pkg, prior)
+    try body finally Configurator.setLevel(pkg, prior)
   }
+
+  def unpersistAll(spark: SparkSession): Unit =
+    quietly(spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false)))
 }
