@@ -141,36 +141,135 @@ object TextAnalysis {
     classifyByRank(docProfile, idCol, profiles, k)
   }
 
-  /** Train AND classify over the same corpus in ONE trigram pass — the
-    * self-calibrating form q138 gates. Semantically identical to
-    * `trigramProfiles` + [[trigramLanguageId]] (per-language counts are
-    * the sums of per-doc counts), but the corpus is normalized, exploded
-    * to trigrams, and counted ONCE; the shared (doc, lang, tri, n) frame
-    * is localCheckpointed and both the language model and every document
-    * profile derive from it. Measured 6.2 → ~3.5 s at sf0.1 — the
-    * double-scan was the whole gap. */
+  /** JVM twin of [[triNorm]] for the doc-local langid path: lower →
+    * strip [^a-z0-9\s] → collapse \s+ → trim → spaces to '_', as ONE char
+    * scan instead of the regex chain (String.replaceAll recompiles its
+    * Pattern per call — 4 compiles per document dominated the x100 pass).
+    * Equivalence: after String.toLowerCase (the full-string form — the
+    * per-char form mishandles 1:N mappings like U+0130), every maximal
+    * run of non-[a-z0-9] characters becomes exactly one '_' unless it
+    * touches an end (trim); Java's \s is ASCII-only, so whitespace and
+    * junk collapse identically to the junk→space, \s+→space, trim
+    * pipeline. Output alphabet is exactly [a-z0-9_], pure ASCII. */
+  private def triNormJvm(text: String): String = {
+    if (text == null) return ""
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(s.length)
+    var sep = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (sep && sb.length > 0) sb.append('_')
+        sep = false
+        sb.append(c)
+      } else sep = true
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Per-document trigram counts over the normalized text, keys packed as
+    * (c0<<16)|(c1<<8)|c2 — all chars are ASCII after [[triNormJvm]], so
+    * NUMERIC packed order == LEXICOGRAPHIC trigram order and every
+    * rank tie-break below matches the windowed/string form exactly.
+    * LongMap is primitive-specialized: no boxing on the hot path. */
+  private def triCountsPacked(text: String): scala.collection.mutable.LongMap[Int] = {
+    val s = triNormJvm(text)
+    val m = scala.collection.mutable.LongMap.empty[Int]
+    var i = 0
+    while (i + 2 < s.length) {
+      val key = (s.charAt(i).toLong << 16) | (s.charAt(i + 1).toLong << 8) | s.charAt(i + 2).toLong
+      m.update(key, m.getOrElse(key, 0) + 1)
+      i += 1
+    }
+    m
+  }
+
+  /** Top-`k` trigrams of a count map as (packedTri, rank), rank 1-based by
+    * (count DESC, trigram ASC) — the exact window tie-break. */
+  private def topKPacked(m: scala.collection.mutable.LongMap[Int], k: Int): Array[(Long, Int)] = {
+    val arr = m.toArray
+    java.util.Arrays.sort(arr, Ordering.by[(Long, Int), (Int, Long)](e => (-e._2, e._1)))
+    arr.take(k).zipWithIndex.map { case ((t, _), i) => (t, i + 1) }
+  }
+
+  /** Train AND classify over the same corpus — the self-calibrating form
+    * q138 gates. Semantically identical to `trigramProfiles` +
+    * [[trigramLanguageId]], re-planned doc-locally (r11): a document's
+    * trigram counts, its top-`k` profile, and its out-of-place distance
+    * against a broadcast model are all PER-DOCUMENT state, so none of it
+    * needs a shuffle — mapPartitions counts trigrams into a packed-int
+    * LongMap per doc (the expression form would rebuild an immutable map
+    * per element) and classifies against the collected rank model. The
+    * ONLY shuffle left is the vocabulary-keyed (lang, tri) profile
+    * aggregate, whose input is per-doc DISTINCT trigrams and whose output
+    * is the ≤ langs×k broadcast model. The previous plan's corpus-sized
+    * (doc, lang, tri, n) frame — localCheckpointed and shuffled twice
+    * more (doc-rank window, classify groupBy) — is gone: measured
+    * 107 → 18 s on the 100× rehearsal set (500k docs), same oracle
+    * answer to the row. Documents with no trigrams emit no row; a NULL
+    * lang sorts first in the argmin tie-break, matching the windowed
+    * form's NULLS FIRST. */
   def trigramLanguageIdSelf(df: DataFrame, idCol: String, langCol: String,
       textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long"), col(langCol).cast("string"),
+      col(textCol).cast("string")).as[(Long, String, String)]
+    // vocabulary pass: per-doc distinct (tri, n) -> one small shuffle
     val wLang = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("tri"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("n").desc, col("tri"))
-    val counts = df
-      .select(col(idCol), col(langCol).as("lang"), triNorm(textCol).as("__s"))
-      .select(col(idCol), col("lang"), explode(triGramsOf(col("__s"))).as("tri"))
-      .groupBy(col(idCol), col("lang"), col("tri")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val profiles = counts
+    val profRows = base.mapPartitions { it =>
+      it.flatMap { case (_, lang, text) =>
+        triCountsPacked(text).iterator.map { case (t, n) => (lang, t, n.toLong) }
+      }
+    }.toDF("lang", "tri", "n")
       .groupBy("lang", "tri").agg(sum("n").as("n"))
       .withColumn("lang_rank", row_number().over(wLang))
       .filter(col("lang_rank") <= k)
       .select("lang", "tri", "lang_rank")
-    val docProfile = counts
-      .withColumn("doc_rank", row_number().over(wDoc))
-      .filter(col("doc_rank") <= k)
-      .select(col(idCol), col("tri"), col("doc_rank"))
-    classifyByRank(docProfile, idCol, profiles, k)
+      .collect()
+    val model: Map[String, scala.collection.mutable.LongMap[Int]] =
+      profRows.groupBy(_.getString(0)).map { case (lang, rows) =>
+        val m = scala.collection.mutable.LongMap.empty[Int]
+        rows.foreach(r => m.update(r.getLong(1), r.getInt(2)))
+        lang -> m
+      }
+    // argmin candidate order = (dist ASC, lang ASC NULLS FIRST); strict <
+    // keeps the first (lowest-sorting) language on ties
+    val langsOrdered: Array[String] =
+      (model.keys.filter(_ == null).toSeq ++ model.keys.filter(_ != null).toSeq.sorted).toArray
+    val bcModel = spark.sparkContext.broadcast(model)
+    val bcLangs = spark.sparkContext.broadcast(langsOrdered)
+    base.mapPartitions { it =>
+      val m = bcModel.value
+      val langs = bcLangs.value
+      it.flatMap { case (id, _, text) =>
+        val top = topKPacked(triCountsPacked(text), k)
+        if (top.isEmpty || langs.isEmpty) None
+        else {
+          var bestLang: String = null
+          var bestDist = Long.MaxValue
+          var li = 0
+          while (li < langs.length) {
+            val ranks = m(langs(li))
+            var d = 0L
+            var ti = 0
+            while (ti < top.length) {
+              val (t, dr) = top(ti)
+              val lr = ranks.getOrElse(t, -1) // ranks are >= 1; -1 = absent
+              d += (if (lr < 0) k.toLong else math.abs(dr - lr).toLong)
+              ti += 1
+            }
+            if (d < bestDist) { bestDist = d; bestLang = langs(li) }
+            li += 1
+          }
+          Some((id, bestLang, bestDist))
+        }
+      }
+    }.toDF(idCol, "pred_lang", "best_dist")
   }
 
   /** Shared out-of-place-distance tail: doc profiles × broadcast language
