@@ -130,16 +130,37 @@ object TextAnalysis {
   def trigramLanguageId(df: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("n").desc, col("tri"))
-    val docProfile = df
-      .select(col(idCol), triNorm(textCol).as("__s"))
-      .select(col(idCol), explode(triGramsOf(col("__s"))).as("tri"))
-      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("n"))
-      .withColumn("doc_rank", row_number().over(wDoc))
-      .filter(col("doc_rank") <= k)
-    classifyByRank(docProfile, idCol, profiles, k)
+    // doc-local plan (r11, same shape as [[trigramLanguageIdSelf]]): the
+    // model is broadcast-sized by construction (≤ langs×k rows), so
+    // collect it once and classify each document in place — zero
+    // doc-keyed shuffles. A profile trigram that is not 3 ASCII chars can
+    // never match a normalized doc trigram (the normalized alphabet is
+    // [a-z0-9_]); dropping it changes no distance, since the absence
+    // penalty is charged per DOC trigram.
+    val model: Map[String, scala.collection.mutable.LongMap[Int]] =
+      profiles.select(col("lang").cast("string"), col("tri").cast("string"),
+        col("lang_rank").cast("int")).collect()
+        .groupBy(_.getString(0)).map { case (lang, rows) =>
+          val m = scala.collection.mutable.LongMap.empty[Int]
+          rows.foreach { r =>
+            val t = packTri(r.getString(1))
+            if (t >= 0) m.update(t, r.getInt(2))
+          }
+          lang -> m
+        }
+    val spark = df.sparkSession
+    import spark.implicits._
+    classifyAgainstModel(
+      df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)], idCol, model, k)
   }
+
+  /** (c0<<16)|(c1<<8)|c2 of a 3-char ASCII trigram, -1 if not packable. */
+  private def packTri(t: String): Long =
+    if (t != null && t.length == 3 &&
+      t.charAt(0) < 128 && t.charAt(1) < 128 && t.charAt(2) < 128)
+      (t.charAt(0).toLong << 16) | (t.charAt(1).toLong << 8) | t.charAt(2).toLong
+    else -1L
 
   /** JVM twin of [[triNorm]] for the doc-local langid path: lower →
     * strip [^a-z0-9\s] → collapse \s+ → trim → spaces to '_', as ONE char
@@ -237,16 +258,29 @@ object TextAnalysis {
         rows.foreach(r => m.update(r.getLong(1), r.getInt(2)))
         lang -> m
       }
+    classifyAgainstModel(base.map { case (id, _, text) => (id, text) },
+      idCol, model, k)
+  }
+
+  /** Doc-local out-of-place-distance classification against a collected
+    * rank model (shared by both langid forms): each document's top-`k`
+    * profile and its distance to every language are computed in place —
+    * no shuffle. Documents with no trigrams emit no row. */
+  private def classifyAgainstModel(
+      docs: org.apache.spark.sql.Dataset[(Long, String)], idCol: String,
+      model: Map[String, scala.collection.mutable.LongMap[Int]], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // argmin candidate order = (dist ASC, lang ASC NULLS FIRST); strict <
     // keeps the first (lowest-sorting) language on ties
     val langsOrdered: Array[String] =
       (model.keys.filter(_ == null).toSeq ++ model.keys.filter(_ != null).toSeq.sorted).toArray
     val bcModel = spark.sparkContext.broadcast(model)
     val bcLangs = spark.sparkContext.broadcast(langsOrdered)
-    base.mapPartitions { it =>
+    docs.mapPartitions { it =>
       val m = bcModel.value
       val langs = bcLangs.value
-      it.flatMap { case (id, _, text) =>
+      it.flatMap { case (id, text) =>
         val top = topKPacked(triCountsPacked(text), k)
         if (top.isEmpty || langs.isEmpty) None
         else {
@@ -270,28 +304,6 @@ object TextAnalysis {
         }
       }
     }.toDF(idCol, "pred_lang", "best_dist")
-  }
-
-  /** Shared out-of-place-distance tail: doc profiles × broadcast language
-    * model → argmin rank distance. */
-  private def classifyByRank(docProfile: DataFrame, idCol: String,
-      profiles: DataFrame, k: Int): DataFrame = {
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("dist"), col("lang"))
-    // the model frame is used twice (language list + rank join) and is
-    // broadcast-sized by construction — materialize once so the training
-    // aggregation never re-executes per consumer
-    val prof = profiles.localCheckpoint()
-    val langs = prof.select("lang").distinct()
-    docProfile
-      .crossJoin(broadcast(langs))
-      .join(broadcast(prof), Seq("lang", "tri"), "left")
-      .groupBy(col(idCol), col("lang"))
-      .agg(sum(coalesce(abs(col("doc_rank") - col("lang_rank")).cast("long"),
-        lit(k.toLong))).as("dist"))
-      .withColumn("__rn", row_number().over(wBest))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("lang").as("pred_lang"), col("dist").as("best_dist"))
   }
 
   /** Canonical document fingerprint: md5 over the sorted distinct token set —
