@@ -9823,18 +9823,20 @@ object ExtensionQueries {
           .select(col("doc_id"), col("lang"),
             (col("n_chars") / 20).cast("long").as("lb"),
             // CASE guard: sequence(0, -1) would produce a DESCENDING pair,
-            // not an empty list — short docs must yield an empty set
-            // shingles hash to 60-bit longs (15 md5 hex digits): the
-            // pairwise sorted-merge compares 8-byte ints instead of
-            // ~20-char strings and drops the string-collation surface.
-            // Measured wash at sf0.1 (the one-md5-per-shingle linear cost
-            // offsets the cheaper merge at cap-150 blocks), but the hash
-            // is linear while the merge is quadratic-in-block — at the
-            // block cap on real corpora the int merge is the right side
-            // of the trade
+            // not an empty list — short docs must yield an empty set.
+            // Shingles hash to ints via a base-31 polynomial mod the
+            // prime 2^57-13 (r9 moved md5-prefix strings -> 60-bit ints
+            // for the cheaper sorted merge — a measured wash because the
+            // md5 itself dominated; r11 replaces the digest with the
+            // same polynomial family cdcChunks/q324 already fold, a few
+            // integer ops per char instead of a digest+hex+conv chain).
+            // Both engines fold the identical polynomial, so collisions
+            // (birthday-bounded by the ~1.4e17 space, same envelope as
+            // the old 2^60 prefix) affect both sides identically.
             expr("CASE WHEN size(toks) >= 4 THEN array_sort(array_distinct(" +
               "transform(sequence(0, size(toks) - 4), " +
-              "i -> CAST(conv(substring(md5(array_join(slice(toks, i + 1, 3), ' ')), 1, 15), 16, 10) AS BIGINT)))) " +
+              "i -> aggregate(split(array_join(slice(toks, i + 1, 3), ' '), ''), 0L, " +
+              "(a, c) -> (a * 31 + ascii(c)) % 144115188075855859L)))) " +
               "ELSE CAST(slice(toks, 1, 0) AS ARRAY<BIGINT>) END").as("sh"))
           .filter(size(col("sh")) > 0)
           .withColumn("__bc", count(lit(1)).over(
@@ -9843,6 +9845,12 @@ object ExtensionQueries {
         val blocks = sh.groupBy("lang", "lb").agg(max("__bc").as("c"))
           .agg(count(lit(1)).cast("long").as("n_blocks"),
             sum(when(col("c") > blockCap, 1L).otherwise(0L)).as("n_skipped_blocks"))
+        // pair census stays the PAIR-GRAINED self-join: an r11 experiment
+        // moved it to per-block collect_list + local loops (one task per
+        // block, arrays loaded once) and measured ~25% SLOWER at sf0.1 —
+        // ~50 blocks over 32 cores is straggler-bound, while the join
+        // spreads pairs evenly across every partition. The array copies
+        // per candidate row are the price of even parallelism.
         val inBlock = sh.filter(col("__bc") <= blockCap)
         val pairs = inBlock.as("a").join(inBlock.as("b"),
             col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
@@ -9867,7 +9875,10 @@ object ExtensionQueries {
              |sh AS (SELECT doc_id, lang, lb,
              |    list_sort(list_distinct(list_transform(
              |      range(greatest(len(w) - 3, 0)),
-             |      i -> ('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')), 1, 15))::BIGINT))) AS sh
+             |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |             list_transform(string_split(array_to_string(w[i+1:i+3], ' '), ''),
+             |               c -> CAST(ord(c) AS BIGINT))),
+             |             (a, b) -> (a * 31 + b) % 144115188075855859)))) AS sh
              |  FROM d),
              |f AS (SELECT * FROM sh WHERE len(sh) > 0),
              |bc AS (SELECT lang, lb, count(*) AS c FROM f GROUP BY 1, 2),
