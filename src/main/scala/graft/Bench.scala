@@ -32,6 +32,16 @@ import org.apache.spark.sql.SparkSession
   * attributable from the record alone. */
 object Bench {
 
+  /** The load-guard trigger, factored pure for its spec: re-measure iff
+    * the fresh min exceeds the prior record's min by >2x AND by >0.25 s
+    * absolute (micro-queries jitter 2x on JIT/GC alone) AND the input row
+    * count is unchanged within 1% (a grown fixture is a real workload
+    * change to report, not load to launder away). */
+  private[graft] def shouldRerun(freshMin: Double, priorMin: Double,
+      freshRows: Long, priorRows: Long): Boolean =
+    freshMin > priorMin * 2 && freshMin - priorMin > 0.25 &&
+      math.abs(freshRows - priorRows) * 100 <= priorRows
+
   /** Task-metrics tap: input records/bytes + shuffle write, accumulated
     * across all tasks; per-query deltas are read around rep 1. Listener
     * events arrive asynchronously after an action returns, so snapshots go
@@ -178,9 +188,8 @@ object Bench {
     val results = firstPass.map { case (name, freshMin) =>
       val verdict = prior.get(name) match {
         case Some((priorMin, priorRows))
-          if freshMin > priorMin * 2 && freshMin - priorMin > 0.25 &&
-            inputs.get(name).exists { case (ir, _, _) =>
-              math.abs(ir - priorRows) * 100 <= priorRows } =>
+          if inputs.get(name).exists { case (ir, _, _) =>
+            shouldRerun(freshMin, priorMin, ir, priorRows) } =>
           val again = (1 to reps).map(_ => timeOnce(name, fnByName(name)))
           samples(name) = samples(name) ++ again
           val finalMin = math.min(freshMin, again.min)

@@ -34,6 +34,20 @@ class SparkEntrySpec extends SparkTestBase {
     assert(metrics == Set("base_rows", "head_rows", "added", "removed", "changed"))
   }
 
+  test("bench load guard: trips only on >2x same-input regressions above the jitter floor") {
+    // 3x slowdown, same input -> re-measure
+    assert(Bench.shouldRerun(3.0, 1.0, 1000L, 1000L))
+    // within 2x -> normal variance, no re-run
+    assert(!Bench.shouldRerun(1.9, 1.0, 1000L, 1000L))
+    // micro-query: 5x but only +40ms — JIT/GC jitter, not load
+    assert(!Bench.shouldRerun(0.05, 0.01, 1000L, 1000L))
+    // input grew 50%: a real workload change to report, never re-measured away
+    assert(!Bench.shouldRerun(3.0, 1.0, 1500L, 1000L))
+    // input within the 1% tolerance still counts as unchanged
+    assert(Bench.shouldRerun(3.0, 1.0, 1009L, 1000L))
+    assert(!Bench.shouldRerun(3.0, 1.0, 1011L, 1000L))
+  }
+
   test("q329: a NULL-lang document counts as non-English (group 0), like the oracle's CASE") {
     // ADVICE r9: `(lang === 'en').cast(long)` sent NULL lang to NULL —
     // the row silently left BOTH groups while DuckDB's CASE WHEN bucketed
