@@ -78,7 +78,7 @@ object TextAnalysis {
   /** Normalized text with word boundaries marked for n-gram profiling:
     * [[normalizeText]] then spaces → `_` (Cavnar–Trenkle's padding), so
     * trigrams straddle word edges deterministically in pure ASCII. */
-  private def triNorm(textCol: String): Column =
+  private[graft] def triNorm(textCol: String): Column =
     translate(normalizeText(textCol), " ", "_")
 
   /** All character trigrams of an ALREADY-MATERIALIZED normalized-text
@@ -172,7 +172,7 @@ object TextAnalysis {
     * touches an end (trim); Java's \s is ASCII-only, so whitespace and
     * junk collapse identically to the junk→space, \s+→space, trim
     * pipeline. Output alphabet is exactly [a-z0-9_], pure ASCII. */
-  private def triNormJvm(text: String): String = {
+  private[graft] def triNormJvm(text: String): String = {
     if (text == null) return ""
     val s = text.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(s.length)
@@ -195,7 +195,7 @@ object TextAnalysis {
     * NUMERIC packed order == LEXICOGRAPHIC trigram order and every
     * rank tie-break below matches the windowed/string form exactly.
     * LongMap is primitive-specialized: no boxing on the hot path. */
-  private def triCountsPacked(text: String): scala.collection.mutable.LongMap[Int] = {
+  private[graft] def triCountsPacked(text: String): scala.collection.mutable.LongMap[Int] = {
     val s = triNormJvm(text)
     val m = scala.collection.mutable.LongMap.empty[Int]
     var i = 0

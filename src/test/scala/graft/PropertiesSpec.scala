@@ -525,4 +525,37 @@ class PropertiesSpec extends SparkTestBase {
       assert(logs.select(sum(col("parsed"))).collect().head.getLong(0) >= 0)
     }
   }
+
+  test("property: JVM langid normalization and trigram counts match the SQL twins on hostile unicode") {
+    import graft.operators.TextAnalysis
+    // the doc-local langid re-plan (r11) rests on triNormJvm ==
+    // triNorm(Column) — exercise the divergence surface deliberately:
+    // 1:N lowercase mappings (U+0130 -> i + combining dot), combining
+    // marks, supplementary-plane chars, every ASCII whitespace class,
+    // runs of junk at the ends (trim), and digits/underscores
+    val piece: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(" ", "\t", "\n", "\r", "", "\f", "  ", " \t "),
+      Gen.oneOf("é", "Ü", "ß", "İ", "ı", "Ñ", "Ω", "з", "̇"),
+      Gen.oneOf(new String(Character.toChars(0x1D54F)), new String(Character.toChars(0x1F600)),
+        new String(Character.toChars(0x10348))),
+      Gen.oneOf(".", ",", "!", "#", "@", "_", "-", "'", "\"", "()"))
+    val textGen: Gen[String] = Gen.listOfN(60, piece).map(_.mkString)
+    forAll(Gen.listOfN(12, textGen)) { strs =>
+      val sqlNorm = strs.toDF("t")
+        .select(TextAnalysis.triNorm("t").as("n")).collect().map(_.getString(0))
+      strs.zip(sqlNorm).foreach { case (s, viaSql) =>
+        val viaJvm = TextAnalysis.triNormJvm(s)
+        assert(viaJvm == viaSql, s"norm diverged on ${s.take(40).map(c => f"\\u${c.toInt}%04x").mkString}")
+        // packed trigram counts == a direct sliding-window recount
+        val expected = (if (viaJvm.length >= 3) viaJvm.sliding(3).toSeq else Seq.empty)
+          .groupBy(identity).map { case (t, g) => t -> g.size }
+        val got = TextAnalysis.triCountsPacked(s).map { case (k, n) =>
+          val t = new String(Array(((k >> 16) & 0x7f).toChar, ((k >> 8) & 0x7f).toChar, (k & 0x7f).toChar))
+          t -> n
+        }.toMap
+        assert(got == expected, s"counts diverged on '$viaJvm'")
+      }
+    }
+  }
 }
