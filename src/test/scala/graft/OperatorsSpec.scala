@@ -2082,6 +2082,13 @@ class OperatorsSpec extends SparkTestBase {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(fused == twoPass && fused.size == 4)
     assert(fused.forall(r => r(1) == (if (r(0).asInstanceOf[Long] <= 2) "en" else "xx")))
+    // plan shape (r11 doc-local re-plan): the returned classification
+    // frame must be Exchange-FREE — every per-document step (normalize,
+    // count, top-k, distance argmin) fuses into the scan stage; the
+    // vocabulary aggregate already ran eagerly into the broadcast model
+    val plan = TextAnalysis.trigramLanguageIdSelf(docs, "doc_id", "lang", "text", 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classify stage must not shuffle, plan:\n$plan")
   }
 
   test("plan shape: top-k shuffles once, proximity join hashes on cell only") {
