@@ -101,12 +101,14 @@ object TextAnalysis {
     * corpus ranked by frequency (count DESC, trigram ASC tie-break — fully
     * deterministic). Output (lang, tri, lang_rank), at most `langs × k`
     * rows — a BROADCAST-sized model no matter how large the training
-    * corpus, produced by one count aggregate + one per-language window. */
+    * corpus, produced by one count aggregate + one per-language window.
+    * NULL-lang rows train no class (a NULL label is not a language). */
   def trigramProfiles(df: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("tri"))
-    df.select(col(langCol).as("lang"), triNorm(textCol).as("__s"))
+    df.filter(col(langCol).isNotNull)
+      .select(col(langCol).as("lang"), triNorm(textCol).as("__s"))
       .select(col("lang"), explode(triGramsOf(col("__s"))).as("tri"))
       .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
       .withColumn("lang_rank", row_number().over(w))
@@ -136,10 +138,15 @@ object TextAnalysis {
     // doc-keyed shuffles. A profile trigram that is not 3 ASCII chars can
     // never match a normalized doc trigram (the normalized alphabet is
     // [a-z0-9_]); dropping it changes no distance, since the absence
-    // penalty is charged per DOC trigram.
+    // penalty is charged per DOC trigram. NULL-lang profile rows are
+    // dropped too (r12): a NULL label is not a language class, and no SQL
+    // oracle can score one — `lang = NULL` never matches, so a NULL class
+    // would silently degenerate to the all-absent penalty there while
+    // scoring normally here.
     val model: Map[String, scala.collection.mutable.LongMap[Int]] =
-      profiles.select(col("lang").cast("string"), col("tri").cast("string"),
-        col("lang_rank").cast("int")).collect()
+      profiles.filter(col("lang").isNotNull)
+        .select(col("lang").cast("string"), col("tri").cast("string"),
+          col("lang_rank").cast("int")).collect()
         .groupBy(_.getString(0)).map { case (lang, rows) =>
           val m = scala.collection.mutable.LongMap.empty[Int]
           rows.foreach { r =>
@@ -148,11 +155,8 @@ object TextAnalysis {
           }
           lang -> m
         }
-    val spark = df.sparkSession
-    import spark.implicits._
     classifyAgainstModel(
-      df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-        .as[(Long, String)], idCol, model, k)
+      df.select(col(idCol), col(textCol).cast("string")), idCol, model, k)
   }
 
   /** (c0<<16)|(c1<<8)|c2 of a 3-char ASCII trigram, -1 if not packable. */
@@ -229,24 +233,26 @@ object TextAnalysis {
     * (doc, lang, tri, n) frame — localCheckpointed and shuffled twice
     * more (doc-rank window, classify groupBy) — is gone: measured
     * 107 → 18 s on the 100× rehearsal set (500k docs), same oracle
-    * answer to the row. Documents with no trigrams emit no row; a NULL
-    * lang sorts first in the argmin tie-break, matching the windowed
-    * form's NULLS FIRST. */
+    * answer to the row. Documents with no trigrams emit no row; NULL-lang
+    * documents train NO class (a NULL label is not a language — see
+    * [[trigramLanguageId]]) but are still classified against the named
+    * languages. */
   def trigramLanguageIdSelf(df: DataFrame, idCol: String, langCol: String,
       textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol).cast("long"), col(langCol).cast("string"),
-      col(textCol).cast("string")).as[(Long, String, String)]
     // vocabulary pass: per-doc distinct (tri, n) -> one small shuffle
     val wLang = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("tri"))
-    val profRows = base.mapPartitions { it =>
-      it.flatMap { case (_, lang, text) =>
-        triCountsPacked(text).iterator.map { case (t, n) => (lang, t, n.toLong) }
-      }
-    }.toDF("lang", "tri", "n")
+    val profRows = df.select(col(langCol).cast("string"), col(textCol).cast("string"))
+      .filter(col(langCol).isNotNull)
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (lang, text) =>
+          triCountsPacked(text).iterator.map { case (t, n) => (lang, t, n.toLong) }
+        }
+      }.toDF("lang", "tri", "n")
       .groupBy("lang", "tri").agg(sum("n").as("n"))
       .withColumn("lang_rank", row_number().over(wLang))
       .filter(col("lang_rank") <= k)
@@ -258,29 +264,41 @@ object TextAnalysis {
         rows.foreach(r => m.update(r.getLong(1), r.getInt(2)))
         lang -> m
       }
-    classifyAgainstModel(base.map { case (id, _, text) => (id, text) },
-      idCol, model, k)
+    classifyAgainstModel(
+      df.select(col(idCol), col(textCol).cast("string")), idCol, model, k)
   }
 
   /** Doc-local out-of-place-distance classification against a collected
     * rank model (shared by both langid forms): each document's top-`k`
     * profile and its distance to every language are computed in place —
-    * no shuffle. Documents with no trigrams emit no row. */
-  private def classifyAgainstModel(
-      docs: org.apache.spark.sql.Dataset[(Long, String)], idCol: String,
+    * no shuffle. Documents with no trigrams emit no row. `docs` must be
+    * a two-column (id, text) projection; the id column passes through in
+    * its ORIGINAL type — the pre-r12 path cast ids to long, silently
+    * NULL-collapsing string ids (ADVICE r11). Model keys are non-null by
+    * construction (both trainers drop NULL-lang rows), so the plain JVM
+    * string sort matches the oracle's `ORDER BY dist, lang` with no
+    * NULL-placement divergence (Spark orders NULL first, DuckDB last). */
+  private def classifyAgainstModel(docs: DataFrame, idCol: String,
       model: Map[String, scala.collection.mutable.LongMap[Int]], k: Int): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    // argmin candidate order = (dist ASC, lang ASC NULLS FIRST); strict <
-    // keeps the first (lowest-sorting) language on ties
-    val langsOrdered: Array[String] =
-      (model.keys.filter(_ == null).toSeq ++ model.keys.filter(_ != null).toSeq.sorted).toArray
+    require(model.keysIterator.forall(_ != null),
+      "langid model keys must be non-null (NULL-lang rows are dropped at training)")
+    // argmin candidate order = (dist ASC, lang ASC); strict < keeps the
+    // first (lowest-sorting) language on ties
+    val langsOrdered: Array[String] = model.keys.toArray.sorted
     val bcModel = spark.sparkContext.broadcast(model)
     val bcLangs = spark.sparkContext.broadcast(langsOrdered)
-    docs.mapPartitions { it =>
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      docs.schema.head.copy(name = idCol),
+      org.apache.spark.sql.types.StructField("pred_lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("best_dist",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    docs.mapPartitions { (it: Iterator[org.apache.spark.sql.Row]) =>
       val m = bcModel.value
       val langs = bcLangs.value
-      it.flatMap { case (id, text) =>
+      it.flatMap { row =>
+        val text = if (row.isNullAt(1)) null else row.getString(1)
         val top = topKPacked(triCountsPacked(text), k)
         if (top.isEmpty || langs.isEmpty) None
         else {
@@ -300,10 +318,10 @@ object TextAnalysis {
             if (d < bestDist) { bestDist = d; bestLang = langs(li) }
             li += 1
           }
-          Some((id, bestLang, bestDist))
+          Some(org.apache.spark.sql.Row(row.get(0), bestLang, bestDist))
         }
       }
-    }.toDF(idCol, "pred_lang", "best_dist")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Canonical document fingerprint: md5 over the sorted distinct token set —

@@ -1919,48 +1919,43 @@ object ExtensionQueries {
                 .cast("long")).as("comp_ok"))
         val sp = real.sparkSession
         import sp.implicits._
-        val vocab = Vector("the", "of", "and", "to", "a", "in", "is", "was",
-          "he", "for", "it", "with", "as", "his", "on", "be", "at", "by",
-          "had", "not", "are", "but", "from", "or", "have", "an", "they",
-          "which", "one", "you", "were", "her", "all", "she", "there",
-          "would", "their", "we", "him", "been", "has", "when", "who",
-          "will", "more", "no", "if", "out", "so", "said", "what", "up",
-          "its", "about", "into", "than", "them", "can", "only", "other",
-          "new", "some", "could", "time")
-        var st = 7L
-        val prose = (1 to 800).map { _ =>
-          st = st * 6364136223846793005L + 1442695040888963407L
-          vocab(math.floorMod(st >>> 16, 64L).toInt)
-        }.mkString(" ")
-        var sn = 42L
-        val noise = {
-          val sb = new StringBuilder
-          while (sb.length < 4096) {
-            sn = sn * 6364136223846793005L + 1442695040888963407L
-            sb.append((33 + math.floorMod(sn >>> 16, 94L).toInt).toChar)
-          }
-          sb.take(4096).toString
-        }
         val fixt = TextAnalysis.compressionRatio(
-          Seq((-3L, noise), (-2L, prose), (-1L, "ab" * 2048)).toDF("doc_id", "text"),
-          "doc_id", "text")
+          q109Fixtures.toDF("doc_id", "text"), "doc_id", "text")
           .select(col("doc_id"), col("raw_bytes"), col("compression_pct"),
             lit(1L).as("comp_ok"))
         real.unionByName(fixt).orderBy("doc_id")
       },
-      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             |  CASE WHEN text IS NULL OR text = '' THEN NULL
-             |       ELSE CAST(strlen(text) AS BIGINT) END AS raw_bytes,
-             |  CAST(NULL AS BIGINT) AS compression_pct,
-             |  CAST(1 AS BIGINT) AS comp_ok
-             |FROM documents
-             |UNION ALL
-             |SELECT * FROM (VALUES
-             |  (CAST(-3 AS BIGINT), CAST(4096 AS BIGINT), CAST(83 AS BIGINT), CAST(1 AS BIGINT)),
-             |  (CAST(-2 AS BIGINT), CAST(3380 AS BIGINT), CAST(35 AS BIGINT), CAST(1 AS BIGINT)),
-             |  (CAST(-1 AS BIGINT), CAST(4096 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
-             |  AS fixt(doc_id, raw_bytes, compression_pct, comp_ok)
-             |ORDER BY doc_id""".stripMargin)
+      Some {
+        // The fixture rows' expected Deflater(6) percentages are COMPUTED
+        // HERE, at oracle-generation time, with the same java.util.zip the
+        // Spark side runs — deflate byte counts are an implementation
+        // detail of the JDK's bundled zlib, not a stable contract, so
+        // hard-coded literals would break on a JDK update with no code
+        // change (ADVICE r11). The repetitive << prose << incompressible
+        // ordering — the discrimination the operator exists to provide —
+        // stays a hard assertion, so a zlib that stopped separating the
+        // classes fails loudly at generation instead of silently passing.
+        val vals = q109Fixtures.map { case (id, text) =>
+          (id, text.getBytes("UTF-8").length.toLong, deflatePct(text))
+        }
+        val byId = vals.map(v => v._1 -> v._3).toMap
+        require(byId(-1L) < byId(-2L) && byId(-2L) < byId(-3L),
+          s"q109 fixtures must order repetitive < prose < incompressible, got $byId")
+        val rows = vals.map { case (id, raw, pct) =>
+          s"(CAST($id AS BIGINT), CAST($raw AS BIGINT), CAST($pct AS BIGINT), CAST(1 AS BIGINT))"
+        }.mkString(",\n             |  ")
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE WHEN text IS NULL OR text = '' THEN NULL
+           |       ELSE CAST(strlen(text) AS BIGINT) END AS raw_bytes,
+           |  CAST(NULL AS BIGINT) AS compression_pct,
+           |  CAST(1 AS BIGINT) AS comp_ok
+           |FROM documents
+           |UNION ALL
+           |SELECT * FROM (VALUES
+           |  $rows)
+           |  AS fixt(doc_id, raw_bytes, compression_pct, comp_ok)
+           |ORDER BY doc_id""".stripMargin
+      }
     ),
 
     // Bloom-prefiltered incremental dedup: identical semantics (and
@@ -2749,7 +2744,7 @@ object ExtensionQueries {
              |  FROM norm WHERE length(s) >= 3),
              |lp AS (SELECT lang, tri,
              |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri) AS lang_rank
-             |  FROM tri GROUP BY lang, tri QUALIFY lang_rank <= 40),
+             |  FROM tri WHERE lang IS NOT NULL GROUP BY lang, tri QUALIFY lang_rank <= 40),
              |dp AS (SELECT doc_id, tri,
              |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, tri) AS doc_rank
              |  FROM tri GROUP BY doc_id, tri QUALIFY doc_rank <= 40),
@@ -10532,13 +10527,19 @@ object ExtensionQueries {
     // the full 30-round greedy merge training AND the rank-order encode
     // replayed in SQL, so the oracle pins every document's n_bpe_tokens to
     // the digit — no SQL engine "can't replay the iterative loop" excuse
-    // left. Word state = chr(1)-joined symbol string with guard
-    // separators; replace() scans left-to-right over non-overlapping
-    // occurrences, which IS the trainer's greedy rewrite, and applying
-    // merges in rank order each-everywhere equals the encoder's
-    // lowest-rank-first loop (a later merge's components cannot contain a
-    // symbol an earlier merge creates — rank r+1 was trained after rank r
-    // existed, so rank-order application never re-enables a lower rank).
+    // left. Word state = symbol string with DOUBLED chr(1) separators and
+    // a single-guard merge pattern (␁a␁␁b␁ → ␁ab␁): each adjacent pair
+    // occurrence owns one guard char per side, so replace()'s left-to-
+    // right non-overlapping scan merges ADJACENT occurrences too —
+    // 'banana' under merge (a,n) gives [b,an,an,a] exactly like the
+    // trainer's greedy rewrite (a SINGLE shared separator would be
+    // consumed by the first match and leave the second unmerged; r12 fix,
+    // pinned by BpeSpec's hostile-adjacency corpus). Applying merges in
+    // rank order each-everywhere equals the encoder's lowest-rank-first
+    // loop: merging a later pair replaces two symbols with one and never
+    // deletes a symbol, so it can never make an EARLIER rank's components
+    // newly adjacent — rank-order application never re-enables a lower
+    // rank.
     // Training runs on the distinct-word/frequency table (vocabulary-
     // sized), mirroring Bpe.train; tie-breaks are (count DESC, a, b) in
     // binary order on both engines. q107 keeps the certificate form (md5
@@ -10565,13 +10566,59 @@ object ExtensionQueries {
     * every document participates in training (true whenever ndocs <=
     * Bpe.train's sampleDocs cap, which holds for every gate fixture; a
     * 100 TB run trains on a sample and would not use this gate query). */
+  /** q109's three literal fixtures — LCG printable noise, LCG common-word
+    * prose, a repeated bigram run — shared by the query lambda and the
+    * oracle generator so the pinned percentages and the measured ones are
+    * computed from the SAME strings. */
+  private[queries] lazy val q109Fixtures: Seq[(Long, String)] = {
+    val vocab = Vector("the", "of", "and", "to", "a", "in", "is", "was",
+      "he", "for", "it", "with", "as", "his", "on", "be", "at", "by",
+      "had", "not", "are", "but", "from", "or", "have", "an", "they",
+      "which", "one", "you", "were", "her", "all", "she", "there",
+      "would", "their", "we", "him", "been", "has", "when", "who",
+      "will", "more", "no", "if", "out", "so", "said", "what", "up",
+      "its", "about", "into", "than", "them", "can", "only", "other",
+      "new", "some", "could", "time")
+    var st = 7L
+    val prose = (1 to 800).map { _ =>
+      st = st * 6364136223846793005L + 1442695040888963407L
+      vocab(math.floorMod(st >>> 16, 64L).toInt)
+    }.mkString(" ")
+    var sn = 42L
+    val noise = {
+      val sb = new StringBuilder
+      while (sb.length < 4096) {
+        sn = sn * 6364136223846793005L + 1442695040888963407L
+        sb.append((33 + math.floorMod(sn >>> 16, 94L).toInt).toChar)
+      }
+      sb.take(4096).toString
+    }
+    Seq((-3L, noise), (-2L, prose), (-1L, "ab" * 2048))
+  }
+
+  /** Deflater level-6 compressed size as a percentage of raw — the exact
+    * loop [[TextAnalysis.compressionRatio]] runs per row, evaluated on the
+    * driver to pin the q109 fixture oracle against THIS JVM's zlib. */
+  private[queries] def deflatePct(text: String): Long = {
+    val raw = text.getBytes("UTF-8")
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new Array[Byte](64 * 1024)
+    var compressed = 0L
+    while (!deflater.finished()) compressed += deflater.deflate(buf)
+    deflater.end()
+    compressed * 100L / raw.length
+  }
+
   private def bpeReplaySql(numMerges: Int): String = {
     val S = "chr(1)"
+    val SS = s"$S || $S" // doubled separator: adjacent matches never share a guard
     val words = "SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word\n" +
       "        FROM documents WHERE text IS NOT NULL AND text <> ''"
     val parts = Vector.newBuilder[String]
     parts += s"""w0 AS MATERIALIZED (
-                |  SELECT $S || array_to_string(string_split(word, ''), $S) || $S AS state,
+                |  SELECT $SS || array_to_string(string_split(word, ''), $SS) || $SS AS state,
                 |         CAST(count(*) AS BIGINT) AS n
                 |  FROM ($words)
                 |  GROUP BY 1)""".stripMargin
@@ -10580,22 +10627,22 @@ object ExtensionQueries {
       parts += s"""m$i AS MATERIALIZED (
                   |  SELECT a, b FROM (
                   |    SELECT syms[j] AS a, syms[j+1] AS b, sum(n) AS cnt
-                  |    FROM (SELECT string_split(state, $S) AS syms, n FROM w$p),
+                  |    FROM (SELECT string_split(state, $SS) AS syms, n FROM w$p),
                   |         LATERAL (SELECT unnest(range(2, len(syms) - 1)) AS j)
                   |    GROUP BY 1, 2)
                   |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
       parts += s"""w$i AS MATERIALIZED (
-                  |  SELECT replace(state, $S || m.a || $S || m.b || $S, $S || m.a || m.b || $S) AS state,
+                  |  SELECT replace(state, $S || m.a || $SS || m.b || $S, $S || m.a || m.b || $S) AS state,
                   |         CAST(sum(n) AS BIGINT) AS n
                   |  FROM w$p, m$i m GROUP BY 1)""".stripMargin
     }
     val encExpr = (1 to numMerges).foldLeft(
-      s"$S || array_to_string(string_split(word, ''), $S) || $S") { (acc, i) =>
-      s"replace($acc, $S || m$i.a || $S || m$i.b || $S, $S || m$i.a || m$i.b || $S)"
+      s"$SS || array_to_string(string_split(word, ''), $SS) || $SS") { (acc, i) =>
+      s"replace($acc, $S || m$i.a || $SS || m$i.b || $S, $S || m$i.a || m$i.b || $S)"
     }
     val mJoin = (1 to numMerges).map(i => s"m$i").mkString(", ")
     parts += s"""wordtok AS MATERIALIZED (
-                |  SELECT word, CAST(len(string_split($encExpr, $S)) - 2 AS BIGINT) AS ntok
+                |  SELECT word, CAST(len(string_split($encExpr, $SS)) - 2 AS BIGINT) AS ntok
                 |  FROM (SELECT DISTINCT word FROM ($words)), $mJoin)""".stripMargin
     "WITH " + parts.result().mkString(",\n") + s"""
       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,

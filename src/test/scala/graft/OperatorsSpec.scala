@@ -1696,6 +1696,60 @@ class OperatorsSpec extends SparkTestBase {
     assert(Bpe.encodeWord(x + x + "y", merges.zipWithIndex.toMap) == Vector(x + x, "y"))
   }
 
+  test("bpe: q331 oracle replace semantics equal the greedy trainer on adjacent occurrences") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // The q331 DuckDB oracle rewrites word states with replace() over
+    // doubled-chr(1)-separated symbol strings and a single-guard pattern
+    // (␁a␁␁b␁ → ␁ab␁). java.lang.String.replace has the same leftmost
+    // non-overlapping scan as DuckDB's replace, so this spec replays the
+    // oracle's EXACT string algebra on the JVM against Bpe itself, on a
+    // corpus engineered for adjacent pair occurrences — the case where the
+    // pre-r12 single-separator scheme diverged (ADVICE r11 high).
+    val S = 1.toChar.toString; val SS = S + S // chr(1), as the oracle builds it
+    def initState(w: String): String = SS + w.map(_.toString).mkString(SS) + SS
+    def toSyms(st: String): Vector[String] =
+      st.split(java.util.regex.Pattern.quote(SS), -1).toVector.filter(_.nonEmpty)
+    def mergeReplace(st: String, a: String, b: String): String =
+      st.replace(S + a + SS + b + S, S + a + b + S)
+    val texts = Seq("banana bandana ananas", "ababab abab ab banana",
+      "aaaa aaa aa a", "mississippi missing mission")
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val nMerges = 12
+    val merges = Bpe.train(corpus, "text", numMerges = nMerges)
+    // the first three learned pairs all have adjacent occurrences in-corpus
+    assert(merges.take(3).toSet == Set(("a", "n"), ("a", "b"), ("a", "a")), s"merges=$merges")
+    val allWords = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    // 1. TRAINING replay: the oracle's per-round pair-count + guarded
+    //    replace reproduces Bpe.train's merge table pair-for-pair
+    var states: Map[String, Long] = allWords.groupBy(initState).map { case (s, ws) => s -> ws.length.toLong }
+    val replayed = Vector.newBuilder[(String, String)]
+    (1 to nMerges).foreach { _ =>
+      val pairCounts = states.toSeq.flatMap { case (st, n) =>
+        val syms = toSyms(st)
+        syms.zip(syms.drop(1)).map(p => p -> n)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val best = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+      replayed += best
+      states = states.toSeq.map { case (st, n) => mergeReplace(st, best._1, best._2) -> n }
+        .groupBy(_._1).map { case (st, xs) => st -> xs.map(_._2).sum }
+    }
+    assert(replayed.result() == merges)
+    // 2. ENCODE replay: rank-order guarded replace == lowest-rank-first loop
+    val ranks = merges.zipWithIndex.toMap
+    allWords.distinct.foreach { w =>
+      val st = merges.foldLeft(initState(w)) { case (s, (a, b)) => mergeReplace(s, a, b) }
+      assert(toSyms(st) == Bpe.encodeWord(w, ranks), s"word '$w'")
+    }
+    // 3. the bug the doubled separator fixes: a SINGLE shared separator
+    //    leaves the second of two adjacent (a,n) occurrences unmerged
+    val single = (S + "banana".map(_.toString).mkString(S) + S)
+      .replace(S + "a" + S + "n" + S, S + "an" + S)
+    assert(single.split(java.util.regex.Pattern.quote(S), -1).toVector.filter(_.nonEmpty)
+      == Vector("b", "an", "a", "n", "a")) // ≠ greedy [b, an, an, a]
+    assert(Bpe.encodeWord("banana", Map(("a", "n") -> 0)) == Vector("b", "an", "an", "a"))
+  }
+
   test("pagerank: uniform on rings, concentrates on hubs, deterministic") {
     import spark.implicits._
     import graft.operators.Graphs
@@ -2089,6 +2143,39 @@ class OperatorsSpec extends SparkTestBase {
     val plan = TextAnalysis.trigramLanguageIdSelf(docs, "doc_id", "lang", "text", 20)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"classify stage must not shuffle, plan:\n$plan")
+  }
+
+  test("langid: string doc ids pass through untouched; NULL langs train no class") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // ADVICE r11: the r11 doc-local re-plan cast idCol to long, silently
+    // NULLing string ids (every doc collapsed onto one id). The id column
+    // must come back in its ORIGINAL type and values.
+    val docs = Seq(
+      ("doc-a", "en", "the quick brown fox jumps over the lazy dog again and again"),
+      ("doc-b", "en", "the dog sleeps while the fox runs through the brown field"),
+      ("doc-c", "xx", "zzzt bzzzt krrrk zzzt vrrrm bzzzt zzzt krrrk vrrrm zzzt"),
+      ("doc-d", null, "krrrk vrrrm zzzt bzzzt krrrk zzzt vrrrm krrrk bzzzt"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.trigramLanguageIdSelf(docs, "doc_id", "lang", "text", 20)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("doc-a", "doc-b", "doc-c", "doc-d"))
+    // NULL lang trains NO class: doc-d's trigrams never become a "null"
+    // language, but doc-d itself is still classified — its gibberish
+    // matches the xx profile
+    assert(out.map(_.getString(1)).toSeq == Seq("en", "en", "xx", "xx"))
+    // same through the explicit two-pass form: a NULL-lang profile row is
+    // dropped rather than scored (DuckDB's lang = NULL join arm never
+    // matches — a NULL class cannot be replayed by any SQL oracle)
+    val profiles = TextAnalysis.trigramProfiles(docs, "lang", "text", 20)
+    assert(profiles.filter(col("lang").isNull).count() == 0)
+    val twoPass = TextAnalysis.trigramLanguageId(docs, "doc_id", "text", profiles, 20)
+      .orderBy("doc_id").collect()
+    assert(twoPass.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      out.map(r => (r.getString(0), r.getString(1))).toSeq)
+    // output schema carries the original id type (string), not long
+    assert(TextAnalysis.trigramLanguageIdSelf(docs, "doc_id", "lang", "text", 20)
+      .schema("doc_id").dataType == org.apache.spark.sql.types.StringType)
   }
 
   test("plan shape: top-k shuffles once, proximity join hashes on cell only") {
