@@ -42,6 +42,37 @@ object Bench {
     freshMin > priorMin * 2 && freshMin - priorMin > 0.25 &&
       math.abs(freshRows - priorRows) * 100 <= priorRows
 
+  /** Best-known-prior merge (r12, VERDICT r11 #2): the guard's comparison
+    * floor must never RATCHET upward off a contaminated intermediate
+    * record — r11 published two real ≥2.1× drifts (q233, q74) un-rerun
+    * because the working-tree BENCHOUT they were compared against was
+    * itself inflated. Rule: when both entries measured the same input
+    * (rows within 1%), keep the LOWER min — host load only ever inflates
+    * a minimum, so a min is trustworthy downward, never upward. When the
+    * input changed by >1%, the newer entry wins outright (the old min
+    * measured different work). */
+  private[graft] def bestPrior(older: Option[(Double, Long)],
+      newer: Option[(Double, Long)]): Option[(Double, Long)] =
+    (older, newer) match {
+      case (Some((om, or)), Some((nm, nr))) =>
+        if (math.abs(nr - or) * 100 <= or) Some((math.min(om, nm), nr))
+        else Some((nm, nr))
+      case (a, b) => b.orElse(a)
+    }
+
+  /** Rehearsal-block contamination trigger (r12, VERDICT r11 #1): a block
+    * whose per-query wall ratio exceeds 1.5× the copy factor is physically
+    * implausible — every rehearsed workload measures SUB-linear in rows
+    * (r11 sf10: 5–18× for 100× rows), so even linear-plus-overhead stays
+    * far under 1.5× copies. The r11 sf1 block published 21–43× for 10×
+    * rows (host load 1.3→19.4 during the sweep) while the SAME record's
+    * sf10 block showed 7.5–17× for 100× — a reader would conclude the
+    * exact opposite of the truth. Rehearsals were single-shot and sat
+    * outside the main-sweep guard; now an implausible block re-runs once
+    * in a later window and the per-query min of both passes publishes. */
+  private[graft] def rehearsalContaminated(ratios: Iterable[Double], copies: Int): Boolean =
+    ratios.exists(_ > 1.5 * copies)
+
   /** Task-metrics tap: input records/bytes + shuffle write, accumulated
     * across all tasks; per-query deltas are read around rep 1. Listener
     * events arrive asynchronously after an action returns, so snapshots go
@@ -89,18 +120,21 @@ object Bench {
     val tap = new MetricsTap
     spark.sparkContext.addSparkListener(tap)
 
-    // Load guard inputs (VERDICT r9/r10 #2): the prior committed
-    // BENCHOUT.json supplies per-query {min, in_rows} to compare fresh
-    // minima against, and /proc/loadavg snapshots bracket the sweep so a
-    // contaminated record is attributable from the record alone. r10
-    // proved the need on byte-identical code: one host-load window
-    // inflated three ADJACENT query ids 4-5x (q257/q258/q259) — invisible
-    // to min-of-3 and to the max/min spread flag, because every rep sat
-    // inside the window.
-    val prior: Map[String, (Double, Long)] = try {
+    // Load guard inputs (VERDICT r9/r10 #2, de-ratcheted r11 #2): fresh
+    // minima are compared against the BEST KNOWN committed minimum per
+    // query — the rolling bench_best.json (updated only with post-guard
+    // minima, min() only ever lowers it, seeded from the full committed
+    // BENCHOUT history) merged with the last committed BENCHOUT.json via
+    // [[bestPrior]] — not against the last write alone, which can itself
+    // be a contaminated intermediate (the r11 ratchet: q233/q74 published
+    // 2.1–2.2× their r10 minima un-rerun because the in-round BENCHOUT
+    // they were compared against was already inflated). /proc/loadavg
+    // snapshots bracket the sweep so contamination is attributable from
+    // the record alone.
+    def parsePriorFile(path: String): Map[String, (Double, Long)] = try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
-      val p = java.nio.file.Paths.get("BENCHOUT.json")
+      val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.isRegularFile(p)) Map.empty
       else JsonMethods.parse(java.nio.file.Files.readString(p)) \ "detail" match {
         case JObject(fields) => fields.collect { case (name, q: JObject) =>
@@ -112,9 +146,15 @@ object Bench {
         case _ => Map.empty
       }
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] prior BENCHOUT.json unreadable, load guard off: ${e.getMessage}")
+      System.err.println(s"[bench] prior $path unreadable, skipping: ${e.getMessage}")
       Map.empty
     }
+    val priorBest = parsePriorFile("bench_best.json")
+    val priorLast = parsePriorFile("BENCHOUT.json")
+    val prior: Map[String, (Double, Long)] =
+      (priorBest.keySet ++ priorLast.keySet).iterator.flatMap { n =>
+        Bench.bestPrior(priorBest.get(n), priorLast.get(n)).map(n -> _)
+      }.toMap
     def loadavg(): String = try {
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split("\\s+").take(3).mkString(" ")
@@ -224,60 +264,62 @@ object Bench {
       .map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // 10x scale rehearsal (driver mode only): flagship paths re-run on the
-    // derived sf1 dataset; ratio vs this run's own sf0.1 numbers is the
-    // measured near-linearity claim (see ScaleRehearsal scaladoc).
-    val sf1Json =
-      if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_SKIP_SF1")) ""
+    // Scale rehearsals (driver mode only): flagship paths re-run on the
+    // derived 10×/100× datasets; ratio vs this run's own sf0.1 numbers is
+    // the measured near-linearity claim (see ScaleRehearsal scaladoc).
+    // Each block is LOAD-GUARDED since r12 (VERDICT r11 #1): per-block
+    // loadavg snapshots, and a block any of whose ratios is physically
+    // implausible (>1.5× copies — see [[rehearsalContaminated]]) re-runs
+    // once in a later window, publishing per-query minima of both passes
+    // with both walls in the record. Single-shot blocks previously sat
+    // OUTSIDE the guard and the r11 record published a 43×-per-10× sf1
+    // block that its own sf10 block (7.5× per 100×) disproved.
+    def rehearsalBlock(key: String, copies: Int, outDir: String,
+        skipEnv: String, reps: Int): String =
+      if (only.nonEmpty || sys.env.contains(skipEnv)) ""
       else try {
-        val dir = graft.tools.ScaleRehearsal
-          .ensureData(spark, sfDir, "target/testdata-sf1")
-        val t0 = System.nanoTime()
-        val sf1 = graft.tools.ScaleRehearsal.run(spark, dir)
-        val wall = (System.nanoTime() - t0) / 1e9
-        val resultMap = results.toMap
-        val entries = sf1.map { case (n, s) =>
-          val base = resultMap.getOrElse(n, 0.0)
-          "\"" + n + "\":{\"sf01\":" + f(base) + ",\"sf1\":" + f(s) +
-            ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + "}"
-        }.mkString("{", ",", "}")
-        s""","sf1":{"copies":10,"wall":${f(wall)},"queries":$entries}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] sf1 rehearsal failed: ${e.getMessage}")
-        ""
-      }
-
-    // 100x scale rehearsal (VERDICT r9/r10 "what's missing"): the 100 TB
-    // posture's measured evidence, persisted as an artifact instead of
-    // PLANS.md prose. Single rep — the claim is the SCALING SHAPE (ratio
-    // vs this run's sf0.1 minima, ~linear in rows), not a stable absolute;
-    // generation is one-time under target/testdata-x100 (fingerprinted
-    // against the source fixtures), so later rounds pay only the queries.
-    val sf10Json =
-      if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_SKIP_SF10")) ""
-      else try {
-        // the 330-query sweep + sf1 block leave broadcast/cache remnants
-        // in the shared heap; drop them before the run's largest-memory
-        // stage (first observed as an AGGREGATE_OUT_OF_MEMORY here)
+        // the 330-query sweep + earlier blocks leave broadcast/cache
+        // remnants in the shared heap; drop them before the run's
+        // largest-memory stage (first observed as AGGREGATE_OUT_OF_MEMORY)
         spark.catalog.clearCache()
         graft.tools.Hygiene.unpersistAll(spark)
         System.gc()
         val dir = graft.tools.ScaleRehearsal
-          .ensureData(spark, sfDir, "target/testdata-x100", copies = 100)
-        val t0 = System.nanoTime()
-        val sf10 = graft.tools.ScaleRehearsal.run(spark, dir, reps = 1)
-        val wall = (System.nanoTime() - t0) / 1e9
+          .ensureData(spark, sfDir, outDir, copies)
         val resultMap = results.toMap
-        val entries = sf10.map { case (n, s) =>
+        val loadBefore = loadavg()
+        val t0 = System.nanoTime()
+        var scaled = graft.tools.ScaleRehearsal.run(spark, dir, reps = reps)
+        val wall = (System.nanoTime() - t0) / 1e9
+        def ratios(sc: Seq[(String, Double)]): Seq[Double] = sc.flatMap { case (n, s) =>
+          resultMap.get(n).filter(_ > 0).map(s / _)
+        }
+        val contaminated = rehearsalContaminated(ratios(scaled), copies)
+        var wallRerun = -1.0
+        if (contaminated) {
+          System.err.println(s"[bench] $key block implausible (ratios " +
+            ratios(scaled).map(r => f"$r%.1f").mkString(",") +
+            s" vs copies=$copies); re-running in a later window")
+          val t1 = System.nanoTime()
+          val again = graft.tools.ScaleRehearsal.run(spark, dir, reps = reps).toMap
+          wallRerun = (System.nanoTime() - t1) / 1e9
+          scaled = scaled.map { case (n, s) => n -> math.min(s, again.getOrElse(n, s)) }
+        }
+        val loadAfter = loadavg()
+        val entries = scaled.map { case (n, s) =>
           val base = resultMap.getOrElse(n, 0.0)
-          "\"" + n + "\":{\"sf01\":" + f(base) + ",\"sf10\":" + f(s) +
+          "\"" + n + "\":{\"sf01\":" + f(base) + ",\"" + key + "\":" + f(s) +
             ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + "}"
         }.mkString("{", ",", "}")
-        s""","sf10":{"copies":100,"wall":${f(wall)},"queries":$entries}"""
+        val rerunField =
+          if (wallRerun >= 0) s""","wall_rerun":${f(wallRerun)},"reran":true""" else ""
+        s""","$key":{"copies":$copies,"wall":${f(wall)}$rerunField,"load":{"start":"$loadBefore","end":"$loadAfter"},"queries":$entries}"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] sf10 rehearsal failed: ${e.getMessage}")
+        System.err.println(s"[bench] $key rehearsal failed: ${e.getMessage}")
         ""
       }
+    val sf1Json = rehearsalBlock("sf1", 10, "target/testdata-sf1", "SPARK_GRAFT_SKIP_SF1", reps = 2)
+    val sf10Json = rehearsalBlock("sf10", 100, "target/testdata-x100", "SPARK_GRAFT_SKIP_SF10", reps = 1)
 
     val loadEnd = loadavg()
     val loadJson = s""""load":{"start":"$loadStart","end":"$loadEnd"}"""
@@ -296,10 +338,29 @@ object Bench {
     // guaranteed under the capture window) as the final stdout line so the
     // driver's own BENCH_r{N}.json parses again. `value` stays the
     // full-suite total; `n_queries` says how many ran.
-    if (only.isEmpty)
+    if (only.isEmpty) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCHOUT.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
+      // refresh the rolling best-known minima (the de-ratcheted guard
+      // prior): post-guard minima only, merged downward via [[bestPrior]]
+      // — contamination can only inflate a min, so min() keeps the file
+      // clean; an input change (>1% rows) rebases that query's floor.
+      // Committed alongside BENCHOUT.json; next sweep's guard reads both.
+      try {
+        val best = results.map { case (name, finalMin) =>
+          val fresh = Some((finalMin, inputs.get(name).map(_._1).getOrElse(0L)))
+          name -> Bench.bestPrior(prior.get(name), fresh).get
+        }
+        val bestJson = best.map { case (n, (mn, ir)) =>
+          "\"" + n + "\":{\"min\":" + f(mn) + ",\"in_rows\":" + ir + "}"
+        }.mkString("{\"detail\":{", ",", "}}\n")
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_best.json"),
+          bestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_best.json write failed: ${e.getMessage}")
+      }
+    }
     val headline = Seq(
       "q01_scan_filter_project", "q09_diff_changed", "q11_diff_summary",
       "q16_workload_agg", "q23_profile_melt", "q26_dedup_clusters",

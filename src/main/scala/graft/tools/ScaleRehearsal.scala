@@ -33,11 +33,18 @@ object ScaleRehearsal {
     * LSH dedup, curation pipeline, digest-narrowed diff — plus the suite's
     * two most expensive document operators (trained langid's fused corpus
     * trigram pass; transitive contamination's bounded cluster enumeration),
-    * so the scaling claim covers the heaviest text paths, not just joins. */
+    * so the scaling claim covers the heaviest text paths, not just joins.
+    * r12 (VERDICT r11 #5) adds the three most expensive clean-record
+    * queries — threshold sweep (capped per-block all-pairs), model-DAG
+    * Kahn waves (iterative left_anti peel), identity stitch
+    * (star-contraction connected components over events) — so their
+    * sub-linear claims are measured, not plan-shape reasoning. */
   val Flagships: Seq[String] = Seq(
     "q11_diff_summary", "q32_dedup_minhash_lsh",
     "q88_curate_pipeline", "q206_diff_by_segments",
-    "q138_trained_langid", "q236_transitive_contamination")
+    "q138_trained_langid", "q236_transitive_contamination",
+    "q318_threshold_sweep", "q306_model_dag_waves",
+    "q285_identity_stitch")
 
   /** Build (once per source-fixture state) the `copies`× dataset under
     * `outDir`; returns outDir. The done-marker carries a fingerprint of
@@ -47,7 +54,7 @@ object ScaleRehearsal {
   def ensureData(spark: SparkSession, srcDir: String, outDir: String,
       copies: Int = 10): String = {
     val done = java.nio.file.Paths.get(outDir, "_REHEARSAL_READY")
-    val fingerprint = Seq("orders", "documents").map { t =>
+    val fingerprint = Seq("orders", "documents", "events").map { t =>
       s"$t=${spark.read.parquet(s"$srcDir/$t.parquet").count()}"
     }.mkString(s"copies=$copies;", ";", "")
     if (java.nio.file.Files.exists(done) &&
@@ -70,6 +77,26 @@ object ScaleRehearsal {
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // events (q285 identity stitch): the bipartite user↔device graph must
+    // keep its component structure PER REPLICA — replicating user_id alone
+    // would attach every replica's users to the SAME shared device keys
+    // and collapse the whole corpus into a few giant components (graph
+    // density artifact, not engine scaling). So both endpoints shift per
+    // replica: user_id by 2000 (source band 0–1499) and props.k by 200
+    // (source band 0–99), keeping max user 100×2000+1499 < the 1e6 device
+    // offset q285 assumes even at 100 copies. props is rebuilt from the
+    // extracted k — the fixture's props are exactly {"k": N}.
+    val e = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until copies).map { i =>
+      e.withColumn("event_id", col("event_id") + lit(i * off))
+        .withColumn("user_id", col("user_id") + lit(i * 2000L))
+        .withColumn("props",
+          concat(lit("{\"k\": "),
+            get_json_object(col("props"), "$.k").cast("long") + lit(i * 200L),
+            lit("}")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     java.nio.file.Files.writeString(done, fingerprint + "\n")
     outDir

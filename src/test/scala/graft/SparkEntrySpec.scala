@@ -48,6 +48,43 @@ class SparkEntrySpec extends SparkTestBase {
     assert(!Bench.shouldRerun(3.0, 1.0, 1011L, 1000L))
   }
 
+  test("bench guard prior is the best known min, not the last write (de-ratchet, r12)") {
+    // The r11 ratchet: q233 published 1.222s = 2.16x its r10 committed min
+    // (0.565s) un-rerun, because the intermediate working-tree BENCHOUT it
+    // was compared against was itself inflated (1.1s-ish). With bestPrior,
+    // the committed best (bench_best.json) keeps the floor at the clean
+    // minimum and the same fresh 1.222s DOES trip the guard.
+    val best = Some((0.565, 2895050L)) // clean committed minimum
+    val doctoredIntermediate = Some((1.1, 2895050L)) // load-inflated last write
+    val merged = Bench.bestPrior(best, doctoredIntermediate)
+    assert(merged.contains((0.565, 2895050L)))
+    assert(Bench.shouldRerun(1.222, merged.get._1, 2895050L, merged.get._2),
+      "2.16x over the clean floor must re-measure even when the last write was inflated")
+    // the old behavior (prior = last write alone) would NOT have tripped
+    assert(!Bench.shouldRerun(1.222, doctoredIntermediate.get._1, 2895050L, 2895050L))
+    // a LOWER fresh min always lowers the floor (min only trusts downward)
+    assert(Bench.bestPrior(Some((0.5, 1000L)), Some((0.4, 1000L))).contains((0.4, 1000L)))
+    assert(Bench.bestPrior(Some((0.4, 1000L)), Some((0.5, 1000L))).contains((0.4, 1000L)))
+    // input changed >1%: the newer entry wins outright — an old min for
+    // different work must not suppress (or trigger) re-runs
+    assert(Bench.bestPrior(Some((0.4, 1000L)), Some((0.9, 2000L))).contains((0.9, 2000L)))
+    // one-sided cases pass through
+    assert(Bench.bestPrior(None, Some((0.7, 10L))).contains((0.7, 10L)))
+    assert(Bench.bestPrior(Some((0.7, 10L)), None).contains((0.7, 10L)))
+    assert(Bench.bestPrior(None, None).isEmpty)
+  }
+
+  test("rehearsal blocks re-run when a ratio is physically implausible (r12)") {
+    // r11's contaminated sf1 block: q88 ratio 43.4x for 10 copies -> trip
+    assert(Bench.rehearsalContaminated(Seq(5.2, 43.4, 21.0), 10))
+    // r11's honest sf10 block: 5-18x for 100 copies -> clean
+    assert(!Bench.rehearsalContaminated(Seq(18.4, 16.8, 7.5, 7.4, 5.1, 9.9), 100))
+    // boundary: exactly 1.5x copies is still plausible (linear + overhead)
+    assert(!Bench.rehearsalContaminated(Seq(15.0), 10))
+    assert(Bench.rehearsalContaminated(Seq(15.01), 10))
+    assert(!Bench.rehearsalContaminated(Nil, 10))
+  }
+
   test("q329: a NULL-lang document counts as non-English (group 0), like the oracle's CASE") {
     // ADVICE r9: `(lang === 'en').cast(long)` sent NULL lang to NULL —
     // the row silently left BOTH groups while DuckDB's CASE WHEN bucketed
