@@ -73,6 +73,20 @@ object Bench {
   private[graft] def rehearsalContaminated(ratios: Iterable[Double], copies: Int): Boolean =
     ratios.exists(_ > 1.5 * copies)
 
+  /** Rehearsal best-min drift trigger (r12, second blind spot): the
+    * implausibility bar above is structural (it needs no history) but
+    * coarse — a 100× block entry at 27× passes it even when the same
+    * query's best-known 100× minimum is 4× lower (q138 published 32.0 s
+    * in a post-sweep JVM while an isolated min-of-3 measured 4.76 s).
+    * So rehearsal minima join bench_best.json (keyed `sf10:qname`,
+    * min-only-downward like the main-sweep floor) and an entry >2× its
+    * best-known same-copies minimum — with a 1 s absolute floor so
+    * sub-second jitter can't re-run a four-minute block — re-runs the
+    * block once in a later window. */
+  private[graft] def rehearsalDrifted(scaled: Seq[(String, Double)], key: String,
+      best: Map[String, Double]): Seq[String] =
+    scaled.collect { case (n, s) if best.get(s"$key:$n").exists(b => s > 2 * b && s - b > 1.0) => n }
+
   /** Task-metrics tap: input records/bytes + shuffle write, accumulated
     * across all tasks; per-query deltas are read around rep 1. Listener
     * events arrive asynchronously after an action returns, so snapshots go
@@ -155,6 +169,26 @@ object Bench {
       (priorBest.keySet ++ priorLast.keySet).iterator.flatMap { n =>
         Bench.bestPrior(priorBest.get(n), priorLast.get(n)).map(n -> _)
       }.toMap
+    // rehearsal best-known minima (keyed "sf10:qname") with the fixture
+    // dir they were measured against; the drift guard compares only
+    // same-sfDir entries, the writer carries the rest through untouched
+    val rehearsalBestAll: Map[String, (Double, String)] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get("bench_best.json")
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else JsonMethods.parse(java.nio.file.Files.readString(p)) \ "rehearsal" match {
+        case JObject(fields) => fields.collect { case (name, q: JObject) =>
+          val m = q.obj.toMap
+          val mn = m.get("min").collect { case JDouble(d) => d; case JInt(i) => i.toDouble }
+          val sf = m.get("sf").collect { case JString(s) => s }
+          (name, mn, sf)
+        }.collect { case (n, Some(mn), Some(sf)) => n -> (mn, sf) }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+    val rehearsalBest: Map[String, Double] =
+      rehearsalBestAll.collect { case (n, (mn, sf)) if sf == sfDir => n -> mn }
     def loadavg(): String = try {
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split("\\s+").take(3).mkString(" ")
@@ -274,6 +308,7 @@ object Bench {
     // with both walls in the record. Single-shot blocks previously sat
     // OUTSIDE the guard and the r11 record published a 43×-per-10× sf1
     // block that its own sf10 block (7.5× per 100×) disproved.
+    val rehearsalFinal = scala.collection.mutable.Map.empty[String, Double]
     def rehearsalBlock(key: String, copies: Int, outDir: String,
         skipEnv: String, reps: Int): String =
       if (only.nonEmpty || sys.env.contains(skipEnv)) ""
@@ -294,31 +329,39 @@ object Bench {
         def ratios(sc: Seq[(String, Double)]): Seq[Double] = sc.flatMap { case (n, s) =>
           resultMap.get(n).filter(_ > 0).map(s / _)
         }
-        val contaminated = rehearsalContaminated(ratios(scaled), copies)
+        val implausible = rehearsalContaminated(ratios(scaled), copies)
+        val drifted = rehearsalDrifted(scaled, key, rehearsalBest)
         var wallRerun = -1.0
-        if (contaminated) {
-          System.err.println(s"[bench] $key block implausible (ratios " +
-            ratios(scaled).map(r => f"$r%.1f").mkString(",") +
-            s" vs copies=$copies); re-running in a later window")
+        if (implausible || drifted.nonEmpty) {
+          val why = if (implausible) s"implausible ratios (${ratios(scaled).map(r => f"$r%.1f").mkString(",")} vs copies=$copies)"
+            else s"best-min drift (${drifted.mkString(",")})"
+          System.err.println(s"[bench] $key block $why; re-running in a later window")
           val t1 = System.nanoTime()
           val again = graft.tools.ScaleRehearsal.run(spark, dir, reps = reps).toMap
           wallRerun = (System.nanoTime() - t1) / 1e9
           scaled = scaled.map { case (n, s) => n -> math.min(s, again.getOrElse(n, s)) }
         }
         val loadAfter = loadavg()
+        scaled.foreach { case (n, s) => rehearsalFinal(s"$key:$n") = s }
         val entries = scaled.map { case (n, s) =>
           val base = resultMap.getOrElse(n, 0.0)
           "\"" + n + "\":{\"sf01\":" + f(base) + ",\"" + key + "\":" + f(s) +
             ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + "}"
         }.mkString("{", ",", "}")
         val rerunField =
-          if (wallRerun >= 0) s""","wall_rerun":${f(wallRerun)},"reran":true""" else ""
+          if (wallRerun >= 0) {
+            val why = if (implausible) "implausible" else "best-min-drift"
+            s""","wall_rerun":${f(wallRerun)},"reran":true,"rerun_reason":"$why""""
+          } else ""
         s""","$key":{"copies":$copies,"wall":${f(wall)}$rerunField,"load":{"start":"$loadBefore","end":"$loadAfter"},"queries":$entries}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $key rehearsal failed: ${e.getMessage}")
         ""
       }
     val sf1Json = rehearsalBlock("sf1", 10, "target/testdata-sf1", "SPARK_GRAFT_SKIP_SF1", reps = 2)
+    // sf10 stays single-rep: one pass costs ~4 min and the best-min guard
+    // re-runs the block only when an entry actually drifted — min-of-N
+    // every round would pay the contamination tax up front, always.
     val sf10Json = rehearsalBlock("sf10", 100, "target/testdata-x100", "SPARK_GRAFT_SKIP_SF10", reps = 1)
 
     val loadEnd = loadavg()
@@ -330,7 +373,16 @@ object Bench {
     val reranJson = rerunNote.toSeq.sortBy(_._1).map { case (k, (pm, fm)) =>
       "\"" + k + "\":{\"prior_min\":" + f(pm) + ",\"rerun_min\":" + f(fm) + "}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"reran":$reranJson,$loadJson,"fixtures":$fixturesJson$sf1Json$sf10Json,"sf":"$sfDir"}"""
+    // best_total: BASELINE.md's pinned clean-total — per-query min of this
+    // run and the best-known committed floor on unchanged input. `value`
+    // stays THIS run's measured total; best_total is the load-insensitive
+    // comparison figure, computable from committed history alone (the
+    // record reads clean without cross-referencing verdicts).
+    val bestTotal = results.map { case (name, finalMin) =>
+      val fresh = Some((finalMin, inputs.get(name).map(_._1).getOrElse(0L)))
+      Bench.bestPrior(prior.get(name), fresh).map(_._1).getOrElse(finalMin)
+    }.sum
+    val line = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"reran":$reranJson,$loadJson,"fixtures":$fixturesJson$sf1Json$sf10Json,"sf":"$sfDir"}"""
     // the driver's log capture keeps only the LAST 2000 chars of stdout —
     // a 300-query line can never survive it (r04–r07 all recorded
     // parsed:null). Persist the full record to BENCHOUT.json, and print a
@@ -354,9 +406,20 @@ object Bench {
         }
         val bestJson = best.map { case (n, (mn, ir)) =>
           "\"" + n + "\":{\"min\":" + f(mn) + ",\"in_rows\":" + ir + "}"
-        }.mkString("{\"detail\":{", ",", "}}\n")
+        }.mkString("{\"detail\":{", ",", "},")
+        // rehearsal floors: same min-only-downward rule, keyed "sf10:qname";
+        // carried entries for OTHER sfDirs pass through untouched
+        val rehearsalMerged = (rehearsalBestAll.keySet ++ rehearsalFinal.keySet).toSeq.sorted.map { k =>
+          val (mn, sf) = (rehearsalBestAll.get(k), rehearsalFinal.get(k)) match {
+            case (Some((pm, psf)), Some(fm)) if psf == sfDir => (math.min(pm, fm), psf)
+            case (Some((_, psf)), Some(fm)) if psf != sfDir => (fm, sfDir) // rebased fixture dir
+            case (Some((pm, psf)), None) => (pm, psf) // not rehearsed this run: untouched
+            case (None, fm) => (fm.get, sfDir)
+          }
+          "\"" + k + "\":{\"min\":" + f(mn) + ",\"sf\":\"" + sf + "\"}"
+        }.mkString("\"rehearsal\":{", ",", "}}\n")
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_best.json"),
-          bestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (bestJson + rehearsalMerged).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bench_best.json write failed: ${e.getMessage}")
       }

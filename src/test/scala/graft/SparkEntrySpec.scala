@@ -74,6 +74,25 @@ class SparkEntrySpec extends SparkTestBase {
     assert(Bench.bestPrior(None, None).isEmpty)
   }
 
+  test("rehearsal blocks re-run when an entry drifts >2x its best-known floor (r12)") {
+    // The implausibility bar alone let q138 publish 32.0s at 100x while an
+    // isolated min-of-3 measured 4.76s (ratio 27 < the 150 bar). With a
+    // committed floor the same entry trips the drift guard.
+    val best = Map("sf10:q138_trained_langid" -> 4.7623)
+    assert(Bench.rehearsalDrifted(Seq("q138_trained_langid" -> 32.05), "sf10", best)
+      == Seq("q138_trained_langid"))
+    // honest variance below 2x floor: clean
+    assert(Bench.rehearsalDrifted(Seq("q138_trained_langid" -> 8.4), "sf10", best).isEmpty)
+    // sub-second jitter never re-runs a four-minute block (1s absolute floor)
+    assert(Bench.rehearsalDrifted(Seq("q" -> 0.9), "sf10", Map("sf10:q" -> 0.3)).isEmpty)
+    assert(Bench.rehearsalDrifted(Seq("q" -> 1.4), "sf10", Map("sf10:q" -> 0.3))
+      == Seq("q"))
+    // no floor (first round for a new flagship): nothing to compare
+    assert(Bench.rehearsalDrifted(Seq("q_new" -> 99.0), "sf10", best).isEmpty)
+    // keys are block-scoped: an sf1 floor must not judge an sf10 entry
+    assert(Bench.rehearsalDrifted(Seq("q138_trained_langid" -> 32.05), "sf1", best).isEmpty)
+  }
+
   test("rehearsal blocks re-run when a ratio is physically implausible (r12)") {
     // r11's contaminated sf1 block: q88 ratio 43.4x for 10 copies -> trip
     assert(Bench.rehearsalContaminated(Seq(5.2, 43.4, 21.0), 10))
