@@ -439,7 +439,7 @@ object Bench {
       val resultMap = results.toMap
       val hq = headline.flatMap(k => resultMap.get(k).map(v => "\"" + k + "\":" + f(v)))
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,$loadJson$sf1Json$sf10Json,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,$loadJson$sf1Json$sf10Json,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
     }
     spark.stop()
   }

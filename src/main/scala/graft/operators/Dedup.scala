@@ -129,7 +129,7 @@ object Dedup {
     * shingle folded to its first 8 hex chars — the value both the
     * signature aggregate and the exact-Jaccard set build on. */
   private def hashedShingleFrame(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int): DataFrame = df
+      shingleK: Int): DataFrame = Par.ensureParallel(df)
     .select(col(idCol), explode(shingles(textCol, shingleK)).as("__sh"))
     .select(col(idCol),
       expr("cast(conv(substring(md5(__sh), 1, 8), 16, 10) as bigint)").as("__h"))
@@ -241,6 +241,10 @@ object Dedup {
     * words (ties → 1). Computed via explode + 32 integer sums in one
     * aggregation — fully codegen'd, one shuffle on the id. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Deliberately NOT Par.ensureParallel'd: A/B at sf0.1 measured the
+    // round-robin exchange a consistent +0.5 s on q231 — simHash's per-row
+    // stage (space-split + per-word md5) is light enough that the scan
+    // task finishes before the shuffle pays for itself.
     val words = df.select(
       col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("__w"))
@@ -280,7 +284,7 @@ object Dedup {
       minJaccardPct: Int,
       maxBlockSize: Int = Int.MaxValue
   ): DataFrame = {
-    val withBlock0 = df.select(
+    val withBlock0 = Par.ensureParallel(df).select(
       col(idCol),
       sort_array(array_distinct(split(col(textCol), " "))).as("__ws"),
       struct(blockExprs: _*).as("__blk"))
@@ -340,7 +344,7 @@ object Dedup {
     // HOF trap: an inlined split would re-run per element), and the token
     // sets are checkpointed so candidate generation and verify share ONE
     // tokenize pass.
-    val words = df.select(col(idCol).as("__doc"),
+    val words = Par.ensureParallel(df).select(col(idCol).as("__doc"),
       expr(s"filter(split($textCol, ' '), x -> x != '')").as("__w"))
     val setCol =
       if (shingleWords <= 1) expr("array_distinct(__w)")
@@ -402,7 +406,7 @@ object Dedup {
     val hashedTokens = expr(
       s"""sort_array(array_distinct(transform(split($textCol, ' '),
          |  t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))))""".stripMargin)
-    val withBlock = df.select(
+    val withBlock = Par.ensureParallel(df).select(
       col(idCol),
       hashedTokens.as("__ws"),
       struct(blockExprs: _*).as("__blk"))
@@ -506,7 +510,7 @@ object Dedup {
       .select(col(probeIdCol), col(probeTokensCol),
         size(col(probeTokensCol)).cast("long").as("probe_n"))
       .filter(col("probe_n") >= minProbeTokens)
-    corpus.select(col(idCol), col(tokensCol))
+    Par.ensureParallel(corpus).select(col(idCol), col(tokensCol))
       .crossJoin(broadcast(p))
       .select(col(probeIdCol), col(idCol),
         graft.functions.GraftFunctions
@@ -606,7 +610,7 @@ object Dedup {
     // CASE-guard: sequence(0, len-n) with len < n would generate a
     // DESCENDING sequence (Spark defaults step to -1), not an empty one;
     // short docs must instead surface one null gram via explode_outer
-    val grams = df
+    val grams = Par.ensureParallel(df)
       .withColumn("__t", expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
       .select(col(idCol), explode_outer(expr(
         s"""CASE WHEN size(__t) < $n THEN cast(null as array<string>)
@@ -653,7 +657,7 @@ object Dedup {
   ): DataFrame = {
     require(n >= 1, "n must be at least 1")
     require(minDocs >= 2, "minDocs below 2 would scrub every token")
-    val toks = df
+    val toks = Par.ensureParallel(df)
       .withColumn("__t", expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
       .select(col(idCol), col("__t"), size(col("__t")).cast("long").as("n_tokens"))
     val grams = toks.filter(size(col("__t")) >= n)
@@ -704,7 +708,7 @@ object Dedup {
       n: Int
   ): DataFrame = {
     require(n >= 1, "n must be at least 1")
-    def gramsOf(d: DataFrame) = d
+    def gramsOf(d: DataFrame) = Par.ensureParallel(d)
       .withColumn("__t", expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
       .filter(size(col("__t")) >= n)
       .select(col(idCol), explode(expr(
@@ -858,7 +862,7 @@ object Dedup {
       maxPostingsPerShingle: Int = 1000
   ): DataFrame = {
     def postings(df: DataFrame, id: String, text: String, outId: String) =
-      df.select(col(id).as(outId), explode(shingles(text, shingleK)).as("__sh"))
+      Par.ensureParallel(df).select(col(id).as(outId), explode(shingles(text, shingleK)).as("__sh"))
         .select(col(outId),
           expr("cast(conv(substring(md5(__sh), 1, 8), 16, 10) as bigint)").as("__h"))
         .distinct()

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-parallelism guard for expensive per-row operator stages.
+  *
+  * A single-file, single-row-group parquet input plans as ONE partition, so
+  * an operator whose first stage is heavy per-row work (shingle explode +
+  * md5, media decode, per-doc trigram folds) runs that stage on one core no
+  * matter how many the session has — q318 measured 6.0 → 1.0 s and q32's
+  * LSH banding carries the same shape. At cluster scale a table splits into
+  * at least `maxPartitionBytes`-sized partitions and the guard is a no-op,
+  * so the round-robin shuffle is only ever paid on inputs small enough for
+  * it to be trivial (it shuffles the input ONCE, before the per-row
+  * amplification — never the exploded rows).
+  *
+  * Plan caveats, verified on Spark 4.1.2 (see also `queries.tParallel`):
+  * the optimizer will collapse a deterministic Project pair through the
+  * round-robin exchange when a Project sits directly under it, and will
+  * push a deterministic Filter below it wholesale — so guard the RAW input
+  * frame and keep pushable predicates cheap; a filter referencing a heavy
+  * derived column re-runs the whole expression below the exchange.
+  */
+object Par {
+  /** `df`, round-robin repartitioned up to the session's shuffle
+    * parallelism iff its current plan yields fewer partitions.
+    * `spark.graft.scanParallel=false` disables the guard (A/B lever). */
+  def ensureParallel(df: DataFrame): DataFrame = {
+    if (sys.env.get("GRAFT_SCAN_PARALLEL").contains("false") ||
+      df.sparkSession.conf.get("spark.graft.scanParallel", "true") == "false") return df
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

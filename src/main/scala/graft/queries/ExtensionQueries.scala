@@ -9813,12 +9813,19 @@ object ExtensionQueries {
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
         val blockCap = 150L
-        val sh = t(s, dir, "documents")
+        // tParallel + the CHEAP short-doc prefilter are the r12 plan fix
+        // (6.0 -> 1.0 s): the fixture scans as one partition, and the old
+        // post-hoc `filter(size(sh) > 0)` was PUSHED below the exchange
+        // into the scan, re-evaluating the entire shingle expression on
+        // that one task. `size(toks) >= 4` is provably equivalent (the
+        // shingle list is sequence(0, size-4), empty exactly when
+        // size < 4) and pushes down at regex cost, leaving the heavy
+        // fold parallel above the exchange.
+        val sh = tParallel(s, dir, "documents")
+          .filter(expr("size(filter(split(text, '\\\\s+'), x -> x <> '')) >= 4"))
           .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
           .select(col("doc_id"), col("lang"),
             (col("n_chars") / 20).cast("long").as("lb"),
-            // CASE guard: sequence(0, -1) would produce a DESCENDING pair,
-            // not an empty list — short docs must yield an empty set.
             // Shingles hash to ints via a base-31 polynomial mod the
             // prime 2^57-13 (r9 moved md5-prefix strings -> 60-bit ints
             // for the cheaper sorted merge — a measured wash because the
@@ -9828,12 +9835,12 @@ object ExtensionQueries {
             // Both engines fold the identical polynomial, so collisions
             // (birthday-bounded by the ~1.4e17 space, same envelope as
             // the old 2^60 prefix) affect both sides identically.
-            expr("CASE WHEN size(toks) >= 4 THEN array_sort(array_distinct(" +
+            // sequence(0, size-4) is safe here: the prefilter guarantees
+            // size >= 4 (sequence(0,-1) would yield a DESCENDING pair).
+            expr("array_sort(array_distinct(" +
               "transform(sequence(0, size(toks) - 4), " +
               "i -> aggregate(split(array_join(slice(toks, i + 1, 3), ' '), ''), 0L, " +
-              "(a, c) -> (a * 31 + ascii(c)) % 144115188075855859L)))) " +
-              "ELSE CAST(slice(toks, 1, 0) AS ARRAY<BIGINT>) END").as("sh"))
-          .filter(size(col("sh")) > 0)
+              "(a, c) -> (a * 31 + ascii(c)) % 144115188075855859L))))").as("sh"))
           .withColumn("__bc", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("lang", "lb")))
           .localCheckpoint()

@@ -54,6 +54,26 @@ package object queries {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Load a table guaranteeing at least the session's shuffle parallelism
+    * for downstream per-row work. A single-file, single-row-group fixture
+    * scans as ONE partition, so an expensive projection right above the
+    * scan (shingle hashing, media decode) runs on one core of 32 — q318
+    * measured 6.0 → 1.0 s from exactly this. At cluster scale a table has
+    * at least `maxPartitionBytes`-many splits and the guard makes this a
+    * no-op, so the round-robin shuffle cost is only ever paid on inputs
+    * small enough for it to be trivial. Two plan caveats, both verified on
+    * Spark 4.1.2: the optimizer collapses a deterministic Project pair
+    * THROUGH the exchange when another Project sits between repartition
+    * and scan (so repartition the scan itself, as here, not a projection
+    * of it), and a pushable Filter referencing the heavy column re-runs
+    * the whole expression below the exchange on the one scan task (so
+    * pre-filter on a cheap equivalent predicate instead — see q318). */
+  def tParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val target = spark.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** events.parquet's `ts` physical type has varied across driver-generated
     * testdata versions: TIMESTAMP(NANOS) (which Spark's parquet reader
     * surfaces as raw Long nanos under the legacy conf), TIMESTAMP(MICROS)
