@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * counting as a per-round Spark aggregation (full-corpus training, no
   * sample cap). ENCODING is the hot path and runs distributed: merges
   * broadcast as a rank map, each document encoded independently in
-  * `mapPartitions` — embarrassingly parallel, no shuffle, no per-row
-  * driver contact.
+  * `mapPartitions` — embarrassingly parallel, no data-keyed shuffle, no
+  * per-row driver contact.
   *
   * Determinism: the trainer breaks pair-frequency ties lexicographically
   * and the encoder always applies the LOWEST-RANK applicable merge first
@@ -178,14 +178,18 @@ object Bpe {
   }
 
   /** Distributed encode: per-document BPE token count and the token list —
-    * merges broadcast as a rank map, `mapPartitions`, shuffle-free. */
+    * merges broadcast as a rank map, `mapPartitions`, no data-keyed
+    * shuffle ([[Par.ensureParallel]] may round-robin a small
+    * single-partition input once so the encode loop uses every core —
+    * a no-op at scale, where the scan already splits). */
   def encodeTokens(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ranks = merges.zipWithIndex.toMap
     val bc = spark.sparkContext.broadcast(ranks)
-    df.select(col(idCol).cast("long"), col(textCol))
+    Par.ensureParallel(df)
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val r = bc.value

@@ -1196,9 +1196,14 @@ object Dedup {
   ): DataFrame = {
     require(spanWords > 0, "spanWords must be positive")
     require(maxDocs >= 1, "maxDocs must be at least 1")
-    val spans = df
+    // null-guard as a CHEAP pushable predicate: `size(split(text)) > 0`
+    // is true for every non-null text (split of "" is [""], size 1) and
+    // false only for null, so `text IS NOT NULL` is equivalent — and
+    // unlike the size form it pushes below the [[Par.ensureParallel]]
+    // exchange at zero cost instead of re-running the split there.
+    val spans = Par.ensureParallel(df)
+      .filter(col(textCol).isNotNull)
       .withColumn("__w", split(col(textCol), " "))
-      .filter(size(col("__w")) > 0)
       // (len + spanWords - 1) div spanWords spans; integer arithmetic so
       // both engines agree without float ceil
       .select(col(idCol),
@@ -1276,7 +1281,9 @@ object Dedup {
     * chunks. Docs shorter than `k+1` chars form a single chunk.
     *
     * Everything runs as codegen'd array expressions fused into the scan —
-    * no shuffle until the caller aggregates chunk hashes. Chunk CONTENT
+    * no data-keyed shuffle until the caller aggregates chunk hashes (the
+    * [[Par.ensureParallel]] guard may round-robin a small single-partition
+    * input once so the boundary scan uses every core; no-op at scale). Chunk CONTENT
     * identity stays md5 (one digest per chunk, collision-safe for a dedup
     * store); only the boundary probe is the cheap hash. Output: one row
     * per chunk (id, chunk_idx, start_pos 0-based, chunk_len, chunk_md5). */
@@ -1299,7 +1306,8 @@ object Dedup {
     val poly = (0 until k)
       .map(j => s"element_at(__codes, p - ${k - 1 - j}) * ${weights(j)}L")
       .mkString(" + ")
-    df.withColumn("__len", length(col(textCol)).cast("int"))
+    Par.ensureParallel(df)
+      .withColumn("__len", length(col(textCol)).cast("int"))
       .withColumn("__codes", expr(s"transform(split($textCol, ''), ch -> ascii(ch))"))
       .withColumn("__bpos", expr(
         s"CASE WHEN __len - 1 < $k THEN CAST(array() AS ARRAY<INT>) ELSE " +

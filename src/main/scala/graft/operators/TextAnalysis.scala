@@ -541,7 +541,8 @@ object TextAnalysis {
   def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), explode(tokens(textCol)).as("token"))
+    val toks = Par.ensureParallel(df)
+      .select(col(idCol), explode(tokens(textCol)).as("token"))
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.select(col(idCol), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -910,14 +911,9 @@ object TextAnalysis {
     require(n >= 2, "need n >= 2 (a prefix and a next token)")
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val grams = df
+    val grams = Par.ensureParallel(df)
       .select(tokens(textCol).as("__toks"))
-      .filter(size(col("__toks")) >= n) // sequence() must not see a negative end
-      .select(explode(expr(
-        s"""transform(sequence(0, size(__toks) - $n),
-           |  i -> named_struct(
-           |    'prefix', array_join(slice(__toks, i + 1, ${n - 1}), ' '),
-           |    'next', element_at(__toks, i + $n)))""".stripMargin)).as("g"))
+      .select(explode(expr(gramStructsSql(n))).as("g"))
       .select(col("g.prefix"), col("g.next"))
     val counted = grams.groupBy("prefix", "next").agg(count(lit(1)).as("cnt"))
     counted
@@ -926,6 +922,22 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("prefix"), col("rank").cast("long").as("rank"), col("next"), col("cnt"))
   }
+
+  /** Adjacent n-gram (prefix, next) structs of `__toks`, as one array
+    * expression. The short-doc guard lives INSIDE the expression (CASE →
+    * empty array, explode drops the row) rather than as a `.filter`: the
+    * gram stage sits above a [[Par.ensureParallel]] exchange, and a
+    * pushable `size(__toks) >= n` predicate would be substituted through
+    * the Project and pushed below the exchange, re-running the whole
+    * tokenize on the single scan task (the q318 trap). The CASE also
+    * keeps `sequence()` from seeing a negative end (which would yield a
+    * DESCENDING range, not an empty one). */
+  private def gramStructsSql(n: Int): String =
+    s"""CASE WHEN size(__toks) >= $n THEN transform(sequence(0, size(__toks) - $n),
+       |  i -> named_struct(
+       |    'prefix', array_join(slice(__toks, i + 1, ${n - 1}), ' '),
+       |    'next', element_at(__toks, i + $n)))
+       |ELSE CAST(array() AS ARRAY<STRUCT<prefix: STRING, next: STRING>>) END""".stripMargin
 
   /** Count-LM fluency score — [[rarityScore]] lifted from unigrams to the
     * [[ngramModel]] table: every document's adjacent n-grams are looked up
@@ -946,14 +958,9 @@ object TextAnalysis {
     require(n >= 2, "need n >= 2")
     require(k > 0, "k must be positive")
     val model = ngramModel(df, textCol, n, k).select(col("prefix"), col("next"), col("rank"))
-    val grams = df
+    val grams = Par.ensureParallel(df)
       .select(col(idCol), tokens(textCol).as("__toks"))
-      .filter(size(col("__toks")) >= n)
-      .select(col(idCol), explode(expr(
-        s"""transform(sequence(0, size(__toks) - $n),
-           |  i -> named_struct(
-           |    'prefix', array_join(slice(__toks, i + 1, ${n - 1}), ' '),
-           |    'next', element_at(__toks, i + $n)))""".stripMargin)).as("g"))
+      .select(col(idCol), explode(expr(gramStructsSql(n))).as("g"))
       .select(col(idCol), col("g.prefix"), col("g.next"))
     grams.join(model, Seq("prefix", "next"), "left")
       .groupBy(col(idCol))

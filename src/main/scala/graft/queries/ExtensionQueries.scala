@@ -4208,7 +4208,7 @@ object ExtensionQueries {
     QueryDef(
       "q186_keywords",
       (s, dir) => {
-        val tf = t(s, dir, "documents")
+        val tf = tParallel(s, dir, "documents")
           .select(col("doc_id"), explode(TextAnalysis.tokens("text")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
