@@ -99,6 +99,44 @@ object DiffEngine {
     }.toMap
   }
 
+  /** REPLAYABLE approximate profile — [[profileDf]]'s approx mode with the
+    * opaque HLL++ swapped for the [[graft.functions.KmvAggregator]] KMV
+    * sketch over a pinned md5 fold. Same single-pass, bounded-memory,
+    * map-side-partial contract as `approx_count_distinct` (O(k) per
+    * column instead of O(2^p) registers), but the estimate is a pure
+    * function of the input SET through a plain SQL hash — so another
+    * engine replays it VALUE-exactly (`ORDER BY hash LIMIT k` over the
+    * distinct folds), where HLL++ register states are certifiable only
+    * within sketch error (q324). Output schema matches [[profileDf]]:
+    * `<col>__nulls`, `<col>__distinct` per column, one row.
+    *
+    * Estimate: distinct < k ⇒ exact (the sketch IS the distinct hash
+    * set); else (k−1)·2^48 div m_k — integer algebra both engines share.
+    * Hash: first 12 md5 hex chars of the CAST-to-STRING value (48 bits:
+    * every intermediate fits BIGINT in Spark AND DuckDB; the cast is the
+    * same canonical text boundary the row hash uses). */
+  def profileKmvDf(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val kmv = udaf(new graft.functions.KmvAggregator(k))
+    val aggs = cols.flatMap { c =>
+      val h = expr(
+        s"coalesce(CAST(conv(substring(md5(CAST(`$c` AS STRING)), 1, 12), 16, 10) AS BIGINT), -1L)")
+      Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as(s"${c}__nulls"),
+        kmv(h).as(s"${c}__kmv"))
+    }
+    val big = (k - 1).toLong * (1L << 48) // (k−1)·2^48, the KMV numerator
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(cols.flatMap { c =>
+        Seq(
+          col(s"${c}__nulls"),
+          expr(s"""CAST(CASE WHEN size(`${c}__kmv`) < $k THEN size(`${c}__kmv`)
+                  |ELSE $big div greatest(element_at(`${c}__kmv`, $k), 1) END AS BIGINT)"""
+            .stripMargin).as(s"${c}__distinct"))
+      }: _*)
+  }
+
   /** null% / uniq% derivation (core/util.py:35-37). */
   def pct(n: Long, d: Long): Double = if (d == 0L) 0.0 else n.toDouble / d.toDouble * 100.0
 

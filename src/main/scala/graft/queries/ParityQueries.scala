@@ -152,17 +152,42 @@ object ParityQueries {
       }
     ),
 
-    // A3 at 100 TB: HLL++ sketch profile — no Expand, constant memory.
-    // DuckDB's approx_count_distinct uses a different sketch, so no value
-    // oracle is possible: driver records the weaker rows-only check.
+    // A3 at 100 TB: sketch-based approx profile — single pass, bounded
+    // memory per column, no Expand. Gated on the REPLAYABLE estimator
+    // (KMV over a pinned md5 fold, DiffEngine.profileKmvDf): the sketch
+    // is a pure function of the input SET through a plain SQL hash, so
+    // DuckDB replays the estimate VALUE-exactly (ORDER BY hash LIMIT k
+    // over the distinct folds) — retiring this query's r1-r11 no_oracle.
+    // The HLL++ mode (approx_count_distinct — better constants at equal
+    // memory, but opaque register state no other engine reproduces)
+    // remains the profile default and is certified within 3σ by q324;
+    // the mergeable-sketch path is profileSketchDf.
     QueryDef(
       "q05_profile_approx",
       (s, dir) =>
-        DiffEngine.profileDf(
+        DiffEngine.profileKmvDf(
           t(s, dir, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
-          approx = true),
-      None
+          k = 256),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        val k = 256
+        val big = (k - 1).toLong * (1L << 48)
+        val sketches = cols.map { c =>
+          s"""k_$c AS (SELECT h FROM (SELECT DISTINCT
+             |    ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 12))::BIGINT AS h
+             |    FROM orders WHERE $c IS NOT NULL) ORDER BY h LIMIT $k)""".stripMargin
+        }.mkString("WITH ", ",\n", "")
+        val selects = cols.flatMap { c =>
+          Seq(
+            s"""(SELECT CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               |   FROM orders) AS ${c}__nulls""".stripMargin,
+            s"""(SELECT CAST(CASE WHEN count(*) < $k THEN count(*)
+               |   ELSE $big // greatest(max(h), 1) END AS BIGINT)
+               |   FROM k_$c) AS ${c}__distinct""".stripMargin)
+        }.mkString(",\n")
+        s"$sketches\nSELECT\n$selects"
+      }
     ),
 
     // A3 exact mode at scale: melt + two-phase distinct (no Expand) — same

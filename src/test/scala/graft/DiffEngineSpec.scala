@@ -710,4 +710,37 @@ class DiffEngineSpec extends SparkTestBase {
     assert(state(4L, 15L) == Map(1L -> "B"))            // key 2 retro-deleted
     assert(state(4L, 5L) == Map.empty)                  // before any validity
   }
+
+  test("kmv profile: below-k exact, nulls excluded, layout-invariant, estimate in 4-sigma") {
+    import spark.implicits._
+    // 40 distinct values + nulls + duplicates, k=64 > distinct: the sketch
+    // IS the distinct hash set, so the count is EXACT and nulls never count
+    val small = ((0L until 40L) ++ (0L until 40L)).map(Option(_))
+      .++(Seq(None, None)).toDF("v")
+    val smallRow = DiffEngine.profileKmvDf(small, Seq("v"), k = 64).head()
+    assert(smallRow.getLong(0) == 2L, "nulls")
+    assert(smallRow.getLong(1) == 40L, "below-k must be exact")
+    // 10k distinct at k=256: estimate within 4 sigma (rse ~ 1/sqrt(k-2))
+    val big = (0L until 10000L).toDF("v")
+    val est = DiffEngine.profileKmvDf(big, Seq("v"), k = 256).head().getLong(1)
+    val tol = (4.0 * 10000.0 / math.sqrt(254.0)).toLong // ~2511
+    assert(math.abs(est - 10000L) <= tol, s"estimate $est out of 4-sigma band")
+    // the sketch is a pure function of the input SET: physical layout,
+    // row order, and duplication cannot move the estimate by one unit
+    val shuffled = big.union(big).repartition(13)
+    assert(DiffEngine.profileKmvDf(shuffled, Seq("v"), k = 256).head().getLong(1) == est)
+  }
+
+  test("kmv aggregator: merge is sorted-dedup-truncate at every boundary") {
+    val agg = new graft.functions.KmvAggregator(4)
+    val a = Array(1L, 5L, 9L)
+    val b = Array(1L, 3L, 9L, 11L)
+    assert(agg.merge(a, b).toSeq == Seq(1L, 3L, 5L, 9L))
+    assert(agg.merge(Array.emptyLongArray, b).toSeq == b.toSeq)
+    assert(agg.merge(a, Array.emptyLongArray).toSeq == a.toSeq)
+    // reduce: null sentinel skipped, duplicate skipped, max displaced
+    var buf = Array.emptyLongArray
+    Seq(7L, -1L, 3L, 7L, 9L, 5L, 2L).foreach(x => buf = agg.reduce(buf, x))
+    assert(buf.toSeq == Seq(2L, 3L, 5L, 7L))
+  }
 }
