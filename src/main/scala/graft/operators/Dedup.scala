@@ -439,7 +439,16 @@ object Dedup {
     *
     * Plan shape: build positions aggregate to ≤ mBits rows (broadcast);
     * the probe side explodes to kHashes rows per probe, one broadcast-hash
-    * join, no shuffle of the probe table itself. */
+    * join, no shuffle of the probe table itself.
+    *
+    * Certifying SEVERAL sizes (q224) deliberately runs this whole pass
+    * once per size rather than sharing the size-independent md5 fold: two
+    * shared-fold shapes were A/B-measured and rejected (r12) — per-key
+    * row-count reweighting (adds a probe shuffle + a non-broadcast join,
+    * 2.9→4.4 s) and a map<size,pass> pivot (collect_list + map-typed
+    * broadcast, 2.9→5.9 s). The ~kHashes·|keys| md5 calls saved are worth
+    * less than ANY extra exchange over the probe side; the all-broadcast
+    * probe-stays-map-side shape is the measured optimum. */
   def bloomJoinPruneStats(
       probe: DataFrame,
       probeKey: String,
@@ -961,7 +970,15 @@ object Dedup {
   /** [[connectedComponentsStarContraction]] plus the number of
     * (large-star, small-star) rounds it took to converge — the O(log n)
     * claim is testable, so the spec asserts the round count, not just the
-    * labels. */
+    * labels.
+    *
+    * Round shape is the measured optimum, not the fewest-exchanges one: a
+    * window-min rewrite (`min(v) over (partition by u)` replacing each
+    * groupBy+join, intermediate distinct dropped, ~3 exchanges/round vs
+    * ~6) measured q259 3.6→5.1 s and q285 4.0→6.0 s in an isolated
+    * same-conditions A/B (r12) — WindowExec's per-round full sort of the
+    * symmetrized edge list costs more than the hash-aggregate + SMJ it
+    * replaces. Keep the groupBy+join form. */
   def starContractionWithRounds(
       pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
