@@ -558,4 +558,22 @@ class PropertiesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: kmv sketch is a pure function of the input set across any split") {
+    // merge(fold(A), fold(B)) == fold(A ++ B) == fold(shuffled, deduped) —
+    // the invariant that makes the estimate layout/order/dup-independent
+    val hashGen: Gen[List[Long]] =
+      Gen.listOfN(60, Gen.choose(0L, 1L << 20)) // dense: forces duplicates
+    forAll(hashGen, hashGen) { (a, b) =>
+      val agg = new graft.functions.KmvAggregator(8)
+      def fold(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(fold(a), fold(b))
+      val direct = fold(a ++ b)
+      val viaSet = fold(scala.util.Random.shuffle((a ++ b).distinct))
+      assert(merged.toSeq == direct.toSeq, "merge != sequential fold")
+      assert(viaSet.toSeq == direct.toSeq, "order/dup sensitivity")
+      assert(direct.toSeq == direct.toSeq.distinct.sorted && direct.length <= 8,
+        "buffer must stay sorted, distinct, bounded")
+    }
+  }
 }
