@@ -412,7 +412,7 @@ object Bench {
         val rehearsalMerged = (rehearsalBestAll.keySet ++ rehearsalFinal.keySet).toSeq.sorted.map { k =>
           val (mn, sf) = (rehearsalBestAll.get(k), rehearsalFinal.get(k)) match {
             case (Some((pm, psf)), Some(fm)) if psf == sfDir => (math.min(pm, fm), psf)
-            case (Some((_, psf)), Some(fm)) if psf != sfDir => (fm, sfDir) // rebased fixture dir
+            case (Some(_), Some(fm)) => (fm, sfDir) // other fixture dir: rebased
             case (Some((pm, psf)), None) => (pm, psf) // not rehearsed this run: untouched
             case (None, fm) => (fm.get, sfDir)
           }

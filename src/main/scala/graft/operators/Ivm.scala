@@ -157,8 +157,8 @@ object Ivm {
   def applyDelta(view: DataFrame, delta: DataFrame, mCol: String = "m"): DataFrame = {
     val payload = view.columns.filterNot(_ == mCol)
     view.withColumn(mCol, lit(1L))
-      .unionByName(delta.select(view.columns.filterNot(_ == mCol).map(col) :+ col(mCol): _*))
-      .groupBy(payload.map(col): _*)
+      .unionByName(delta.select((view.columns.filterNot(_ == mCol).map(col) :+ col(mCol)).toIndexedSeq: _*))
+      .groupBy(payload.map(col).toIndexedSeq: _*)
       .agg(sum(col(mCol)).as(mCol))
       .filter(col(mCol) > 0)
   }

@@ -305,7 +305,9 @@ object Layout {
           try reader.getFooter.getBlocks.asScala.flatMap { block =>
             block.getColumns.asScala.flatMap { cc =>
               val name = cc.getPath.toDotString
-              val st = cc.getStatistics
+              // wildcard ascription: the raw getter infers an existential
+              // Statistics[T forSome ...] the compiler warns about
+              val st: org.apache.parquet.column.statistics.Statistics[_] = cc.getStatistics
               if (!wanted.contains(name) || st == null || !st.hasNonNullValue) None
               else (st.genericGetMin, st.genericGetMax) match {
                 case (mn: java.lang.Long, mx: java.lang.Long) =>

@@ -10066,13 +10066,13 @@ object ExtensionQueries {
         val marg = both.groupBy("lang", "pred_lang")
           .agg(count(lit(1)).cast("long").as("c"))
           .localCheckpoint()
-        val n = marg.agg(sum("c")).head.getLong(0)
+        val n = marg.agg(sum("c")).head().getLong(0)
         val agree = marg.filter(col("lang") === col("pred_lang"))
-          .agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+          .agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
         val peNum = marg.groupBy("lang").agg(sum("c").as("r"))
           .join(marg.groupBy("pred_lang").agg(sum("c").as("k"))
             .withColumnRenamed("pred_lang", "lang"), Seq("lang"), "inner")
-          .agg(coalesce(sum(col("r") * col("k")), lit(0L))).head.getLong(0)
+          .agg(coalesce(sum(col("r") * col("k")), lit(0L))).head().getLong(0)
         import s.implicits._
         Seq((n, agree, peNum,
           (agree * n - peNum) * 10000L / (n * n - peNum)))
@@ -10120,7 +10120,7 @@ object ExtensionQueries {
             min(when(col("event_type") === "purchase", col("day"))).as("p"),
             max("day").as("l"))
           .localCheckpoint()
-        val m = per.agg(max("l")).head.getLong(0)
+        val m = per.agg(max("l")).head().getLong(0)
         val u = per
           .withColumn("censored", when(col("p").isNull, 1).otherwise(0))
           .withColumn("t",
@@ -10142,7 +10142,7 @@ object ExtensionQueries {
           s"aggregate(a, CAST(1000000 AS BIGINT), (acc, x) -> " +
             s"CASE WHEN x div 10000000000 <= $probe THEN " +
             s"(acc * ((x % 10000000000) div 100000)) div (x % 100000) ELSE acc END)")
-        val censoredN = u.agg(sum("censored")).head.getLong(0)
+        val censoredN = u.agg(sum("censored")).head().getLong(0)
         arr.select(lit(total).as("n_users"), lit(censoredN).as("n_censored"),
           surv(1L).as("s1_fp"), surv(3L).as("s3_fp"),
           surv(7L).as("s7_fp"), surv(Long.MaxValue / 20000000000L).as("s_final_fp"))
