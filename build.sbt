@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Warning-clean as of r12 (deprecations, existentials, inexhaustive
+// matches all fixed) — keep the flags on so regressions surface in
+// every compile instead of accumulating silently.
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-feature")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

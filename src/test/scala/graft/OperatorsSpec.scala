@@ -1554,7 +1554,7 @@ class OperatorsSpec extends SparkTestBase {
     assert(edge(0L) == 1 && edge(1L) == 2)
     // approx thresholds: rank error <= n/accuracy (here n=100, acc=10000 -> exact)
     val ta = graft.operators.Stats.approxThresholds(df, "score", Seq(25, 50, 75))
-    (t, ta).zipped.foreach((e, a) => assert(math.abs(e - a) <= 1, s"approx $a vs exact $e"))
+    t.lazyZip(ta).foreach((e, a) => assert(math.abs(e - a) <= 1, s"approx $a vs exact $e"))
     intercept[IllegalArgumentException](
       graft.operators.Stats.bucketByThresholds(df, "score", Seq(50L, 25L)))
   }
