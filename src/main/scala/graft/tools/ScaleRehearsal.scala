@@ -38,8 +38,11 @@ object ScaleRehearsal {
     * queries — threshold sweep (capped per-block all-pairs), model-DAG
     * Kahn waves (iterative left_anti peel), identity stitch
     * (star-contraction connected components over events) — so their
-    * sub-linear claims are measured, not plan-shape reasoning. */
+    * sub-linear claims are measured, not plan-shape reasoning. The KMV
+    * replayable profile (q05, new r12) rides along: its O(k)-per-column
+    * bounded-sketch claim should show near-flat scaling per row. */
   val Flagships: Seq[String] = Seq(
+    "q05_profile_approx",
     "q11_diff_summary", "q32_dedup_minhash_lsh",
     "q88_curate_pipeline", "q206_diff_by_segments",
     "q138_trained_langid", "q236_transitive_contamination",
