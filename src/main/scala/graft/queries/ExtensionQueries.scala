@@ -10561,6 +10561,54 @@ object ExtensionQueries {
           .orderBy("doc_id")
       },
       Some(bpeReplaySql(30))
+    ),
+
+    // DSIR-style data selection (Xie et al. 2023) under the oracle: fit
+    // hashed unigram+bigram bucket models for a target distribution
+    // (lang='zh' — the minority class with real frequency signal) vs the
+    // raw corpus, score every document by its average per-feature
+    // half-bit-quantized log-likelihood ratio, and select the top 100.
+    // The whole model fit replays in SQL because every log is the exact
+    // integer floor(2*log2 n) = length(bin(n^2))-1 (see Dsir scaladoc for
+    // why float log2 is NOT cross-engine safe, and why the +256-halfbit
+    // offset precedes the integer division). Enrichment is real, not
+    // just replayed algebra: DsirSpec pins >= 3x over base rate.
+    QueryDef(
+      "q332_dsir_select",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dsir.importanceWeights(docs, "doc_id", "text",
+            targetCol = col("lang") === "zh", buckets = 8192)
+          .orderBy(col("weight_x1000").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang = 'zh' AS tgt,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+             |feats AS (SELECT doc_id, tgt, unnest(list_concat(t,
+             |      list_transform(range(greatest(len(t) - 1, 0)),
+             |        i -> t[i+1] || ' ' || t[i+2]))) AS f FROM toks),
+             |fb AS (SELECT doc_id, tgt,
+             |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 8192 AS b FROM feats),
+             |cnt AS (SELECT b,
+             |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+             |  FROM fb GROUP BY b),
+             |llr AS (SELECT b,
+             |    CAST((length(to_base((ct+1)*(ct+1), 2)) - 1)
+             |       - (length(to_base((cr+1)*(cr+1), 2)) - 1) AS BIGINT) AS l FROM cnt),
+             |tot AS (SELECT CAST(sum(ct) + 8192 AS BIGINT) AS tt,
+             |    CAST(sum(cr) + 8192 AS BIGINT) AS tr FROM cnt),
+             |norm AS (SELECT
+             |    CAST((length(to_base(tt*tt, 2)) - 1)
+             |       - (length(to_base(tr*tr, 2)) - 1) AS BIGINT) AS nl FROM tot),
+             |doc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+             |    CAST(sum(l) AS BIGINT) AS s
+             |  FROM fb JOIN llr USING (b) GROUP BY fb.doc_id)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_features,
+             |  CAST((s - n_features * nl + 256 * n_features) * 1000 // n_features
+             |       - 256000 AS BIGINT) AS weight_x1000
+             |FROM doc, norm
+             |ORDER BY weight_x1000 DESC, doc_id LIMIT 100""".stripMargin)
     )
   )
 
