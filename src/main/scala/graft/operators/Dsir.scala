@@ -39,9 +39,14 @@ import org.apache.spark.sql.functions._
   * B; the n² trick needs counts ≤ ~3.0e9, so at extreme scale raise
   * `buckets` (the paper uses 10k-100k) — the model stays broadcastable.
   *
-  * Hash parity: bucket = fold of the first 8 md5 hex chars of the feature
-  * string mod B — the same md5-fold both engines share everywhere else in
-  * this library (bloom certificates, diff segments, KMV).
+  * Hash parity: bucket = base-31 code-point polynomial of the feature
+  * string mod the prime 2^57−13, then mod B — the same fold q318's
+  * shingles and cdcChunks use (Spark `ascii` ≡ DuckDB `ord`, both
+  * code-point based on Spark 4). A few integer ops per character beat the
+  * md5+hex+conv chain ~5× on the feature-hash-dominated profile (r12:
+  * the md5 form measured 12.5 s at 10×, near-linear in rows — the only
+  * super-linear-looking rehearsal entry — because per-row hashing, not
+  * the data motion, was the whole cost).
   */
 object Dsir {
 
@@ -67,26 +72,26 @@ object Dsir {
   ): DataFrame = {
     require(buckets > 1, "need at least 2 hash buckets")
     val spark = df.sparkSession
-    // features = unigrams ++ adjacent bigrams, as ONE array expression
-    // with the short-doc guard INSIDE it (a pushable size-filter would be
-    // pushed below the Par guard exchange and re-run the tokenize on the
-    // single scan task — the q318 trap; see TextAnalysis.gramStructsSql)
+    // the token array binds ONCE in a projection above the guard exchange
+    // (the q318-proven shape: only pushable-FILTER reuse re-runs heavy
+    // expressions below the exchange; the cheap IS NOT NULL prefilter is
+    // the one predicate allowed to push). Features = unigrams ++ adjacent
+    // bigrams, the short-doc CASE inside the expression.
     val featuresSql =
-      s"""concat(
-         |  filter(split($textCol, '\\\\s+'), x -> x != ''),
-         |  CASE WHEN size(filter(split($textCol, '\\\\s+'), x -> x != '')) >= 2
-         |    THEN transform(
-         |      sequence(0, size(filter(split($textCol, '\\\\s+'), x -> x != '')) - 2),
-         |      i -> concat(element_at(filter(split($textCol, '\\\\s+'), x -> x != ''), i + 1),
-         |                  ' ',
-         |                  element_at(filter(split($textCol, '\\\\s+'), x -> x != ''), i + 2)))
+      s"""concat(__toks,
+         |  CASE WHEN size(__toks) >= 2
+         |    THEN transform(sequence(0, size(__toks) - 2),
+         |      i -> concat(element_at(__toks, i + 1), ' ', element_at(__toks, i + 2)))
          |    ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin
     def exploded = Par.ensureParallel(df)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         coalesce(targetCol, lit(false)).as("__tgt"),
-        explode(expr(featuresSql)).as("__f"))
+        expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__toks"))
+      .select(col("__id"), col("__tgt"), explode(expr(featuresSql)).as("__f"))
       .select(col("__id"), col("__tgt"),
-        (expr("CAST(conv(substring(md5(__f), 1, 8), 16, 10) AS BIGINT)") % buckets).as("__b"))
+        (expr("aggregate(split(__f, ''), 0L, " +
+          "(a, c) -> (a * 31 + ascii(c)) % 144115188075855859L)") % buckets).as("__b"))
     // pass 1: the B-bucket model (target and raw occurrence counts) —
     // checkpointed at ≤ B rows, it feeds the per-bucket LLRs AND the
     // corpus totals, so the normalizer costs no extra corpus pass

@@ -10588,7 +10588,9 @@ object ExtensionQueries {
              |      list_transform(range(greatest(len(t) - 1, 0)),
              |        i -> t[i+1] || ' ' || t[i+2]))) AS f FROM toks),
              |fb AS (SELECT doc_id, tgt,
-             |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 8192 AS b FROM feats),
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(f, ''), c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 144115188075855859) % 8192 AS b FROM feats),
              |cnt AS (SELECT b,
              |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
              |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr

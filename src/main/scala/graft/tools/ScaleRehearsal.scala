@@ -42,7 +42,7 @@ object ScaleRehearsal {
     * replayable profile (q05, new r12) rides along: its O(k)-per-column
     * bounded-sketch claim should show near-flat scaling per row. */
   val Flagships: Seq[String] = Seq(
-    "q05_profile_approx",
+    "q05_profile_approx", "q332_dsir_select",
     "q11_diff_summary", "q32_dedup_minhash_lsh",
     "q88_curate_pipeline", "q206_diff_by_segments",
     "q138_trained_langid", "q236_transitive_contamination",
