@@ -60,6 +60,27 @@ object Bench {
       case (a, b) => b.orElse(a)
     }
 
+  /** Stale-floor pressure valve (r12): a floor the code can no longer
+    * reach (a deliberate operator change on unchanged input — q05's KMV
+    * swap — or a one-off lucky min) would otherwise trip the load guard
+    * EVERY sweep forever, drowning real drift signals in perpetual
+    * `reran` noise. A re-measurement happens OUTSIDE the contamination
+    * window, so a rerun that still lands over the trigger is evidence
+    * against the floor, not against the host; after `misses` reaches 3
+    * consecutive such sweeps the floor REBASES to the re-measured min —
+    * recorded in the published record's `rebased` field, never silent.
+    * Any sweep that gets back under the trigger resets the counter, so a
+    * merely-unlucky floor survives. Input: the persisted consecutive-miss
+    * count and whether this sweep's post-rerun min still exceeded the
+    * trigger (None = the guard never fired). Output: (new count, rebase
+    * now?). */
+  private[graft] def missUpdate(before: Int, rerunStillOver: Option[Boolean]): (Int, Boolean) =
+    rerunStillOver match {
+      case Some(true) if before >= 2 => (0, true) // 3rd consecutive miss
+      case Some(true) => (before + 1, false)
+      case _ => (0, false)
+    }
+
   /** Rehearsal-block contamination trigger (r12, VERDICT r11 #1): a block
     * whose per-query wall ratio exceeds 1.5× the copy factor is physically
     * implausible — every rehearsed workload measures SUB-linear in rows
@@ -169,6 +190,23 @@ object Bench {
       (priorBest.keySet ++ priorLast.keySet).iterator.flatMap { n =>
         Bench.bestPrior(priorBest.get(n), priorLast.get(n)).map(n -> _)
       }.toMap
+    // consecutive guard-miss counts per query (the stale-floor valve's
+    // persisted state; see [[Bench.missUpdate]]) — bench_best.json only
+    val priorMisses: Map[String, Int] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get("bench_best.json")
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else JsonMethods.parse(java.nio.file.Files.readString(p)) \ "detail" match {
+        case JObject(fields) => fields.collect { case (name, q: JObject) =>
+          q.obj.toMap.get("misses").collect {
+            case JInt(i) => name -> i.toInt
+            case JLong(l) => name -> l.toInt
+          }
+        }.flatten.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
     // rehearsal best-known minima (keyed "sf10:qname") with the fixture
     // dir they were measured against; the drift guard compares only
     // same-sfDir entries, the writer carries the rest through untouched
@@ -373,16 +411,36 @@ object Bench {
     val reranJson = rerunNote.toSeq.sortBy(_._1).map { case (k, (pm, fm)) =>
       "\"" + k + "\":{\"prior_min\":" + f(pm) + ",\"rerun_min\":" + f(fm) + "}"
     }.mkString("{", ",", "}")
+    // stale-floor valve ([[Bench.missUpdate]]): a floor missed by three
+    // consecutive OUT-OF-WINDOW re-measurements is unattainable (a
+    // deliberate operator change, or a one-off lucky min) and rebases to
+    // the re-measured evidence — published in `rebased`, never silent
+    val rebaseNote = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val missesOut = scala.collection.mutable.Map.empty[String, Int]
+    results.foreach { case (name, finalMin) =>
+      val stillOver = rerunNote.get(name).map { case (pm, fm) =>
+        fm > pm * 2 && fm - pm > 0.25 }
+      val (nm, rebase) = Bench.missUpdate(priorMisses.getOrElse(name, 0), stillOver)
+      if (nm > 0) missesOut(name) = nm
+      if (rebase) rebaseNote(name) = (rerunNote(name)._1, finalMin)
+    }
+    val rebasedJson = rebaseNote.toSeq.sortBy(_._1).map { case (k, (o, n)) =>
+      "\"" + k + "\":{\"old_floor\":" + f(o) + ",\"new_floor\":" + f(n) + "}"
+    }.mkString("{", ",", "}")
     // best_total: BASELINE.md's pinned clean-total — per-query min of this
-    // run and the best-known committed floor on unchanged input. `value`
-    // stays THIS run's measured total; best_total is the load-insensitive
-    // comparison figure, computable from committed history alone (the
-    // record reads clean without cross-referencing verdicts).
+    // run and the best-known committed floor on unchanged input (a floor
+    // rebased THIS run counts at its new value). `value` stays THIS run's
+    // measured total; best_total is the load-insensitive comparison
+    // figure, computable from committed history alone (the record reads
+    // clean without cross-referencing verdicts).
     val bestTotal = results.map { case (name, finalMin) =>
-      val fresh = Some((finalMin, inputs.get(name).map(_._1).getOrElse(0L)))
-      Bench.bestPrior(prior.get(name), fresh).map(_._1).getOrElse(finalMin)
+      if (rebaseNote.contains(name)) finalMin
+      else {
+        val fresh = Some((finalMin, inputs.get(name).map(_._1).getOrElse(0L)))
+        Bench.bestPrior(prior.get(name), fresh).map(_._1).getOrElse(finalMin)
+      }
     }.sum
-    val line = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"reran":$reranJson,$loadJson,"fixtures":$fixturesJson$sf1Json$sf10Json,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"reran":$reranJson,"rebased":$rebasedJson,$loadJson,"fixtures":$fixturesJson$sf1Json$sf10Json,"sf":"$sfDir"}"""
     // the driver's log capture keeps only the LAST 2000 chars of stdout —
     // a 300-query line can never survive it (r04–r07 all recorded
     // parsed:null). Persist the full record to BENCHOUT.json, and print a
@@ -402,10 +460,12 @@ object Bench {
       try {
         val best = results.map { case (name, finalMin) =>
           val fresh = Some((finalMin, inputs.get(name).map(_._1).getOrElse(0L)))
-          name -> Bench.bestPrior(prior.get(name), fresh).get
+          name -> (if (rebaseNote.contains(name)) fresh.get
+            else Bench.bestPrior(prior.get(name), fresh).get)
         }
         val bestJson = best.map { case (n, (mn, ir)) =>
-          "\"" + n + "\":{\"min\":" + f(mn) + ",\"in_rows\":" + ir + "}"
+          val miss = missesOut.get(n).map(v => ",\"misses\":" + v).getOrElse("")
+          "\"" + n + "\":{\"min\":" + f(mn) + ",\"in_rows\":" + ir + miss + "}"
         }.mkString("{\"detail\":{", ",", "},")
         // rehearsal floors: same min-only-downward rule, keyed "sf10:qname";
         // carried entries for OTHER sfDirs pass through untouched
@@ -439,7 +499,7 @@ object Bench {
       val resultMap = results.toMap
       val hq = headline.flatMap(k => resultMap.get(k).map(v => "\"" + k + "\":" + f(v)))
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,$loadJson$sf1Json$sf10Json,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Json$sf10Json,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -68,6 +68,20 @@ class SparkEntrySpec extends SparkTestBase {
     // input changed >1%: the newer entry wins outright — an old min for
     // different work must not suppress (or trigger) re-runs
     assert(Bench.bestPrior(Some((0.4, 1000L)), Some((0.9, 2000L))).contains((0.9, 2000L)))
+  }
+
+  test("stale-floor valve: three consecutive out-of-window misses rebase, any hit resets") {
+    // the q05 shape: a deliberate operator change leaves the old floor
+    // permanently unreachable — sweep 1 and 2 count misses, sweep 3 rebases
+    assert(Bench.missUpdate(0, Some(true)) == (1, false))
+    assert(Bench.missUpdate(1, Some(true)) == (2, false))
+    assert(Bench.missUpdate(2, Some(true)) == (0, true)) // rebase now
+    // a rerun that got back under the trigger is a load story, not a stale
+    // floor: counter resets however high it was
+    assert(Bench.missUpdate(2, Some(false)) == (0, false))
+    // the guard never fired this sweep (fresh min under threshold): reset
+    assert(Bench.missUpdate(2, None) == (0, false))
+    assert(Bench.missUpdate(0, None) == (0, false))
     // one-sided cases pass through
     assert(Bench.bestPrior(None, Some((0.7, 10L))).contains((0.7, 10L)))
     assert(Bench.bestPrior(Some((0.7, 10L)), None).contains((0.7, 10L)))
