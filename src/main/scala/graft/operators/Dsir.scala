@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
   * broadcast model, aggregating per document (partial aggregation; the
   * only doc-keyed shuffle carries one row per document). Recomputing the
   * explode beats checkpointing it: the exploded frame is corpus×~2·tokens
-  * rows, the model is 8k. Bucket counts are bounded by corpus features ∕
-  * B; the n² trick needs counts ≤ ~3.0e9, so at extreme scale raise
-  * `buckets` (the paper uses 10k-100k) — the model stays broadcastable.
+  * rows, the model is 8k. The half-bit log is overflow-safe to 2^62 (see
+  * [[halfBitLog2]]) — bucket counts AND the corpus-total normalizer stay
+  * exact at any reachable corpus size (9.2e18 feature occurrences is
+  * ~10 EB of text), with a loud `require`-style guard built into the
+  * expression rather than silent wraparound.
   *
   * Hash parity: bucket = base-31 code-point polynomial of the feature
   * string mod the prime 2^57−13, then mod B — the same fold q318's
@@ -50,10 +52,34 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** floor(2·log2 n) as a codegen'd string-length expression — exact for
-    * 1 ≤ n ≤ ~3.03e9 (n² must fit a signed 64-bit). */
-  private[graft] def halfBitLog2(n: Column): Column =
-    length(conv(n * n, 10, 2)) - lit(1)
+  /** floor(2·log2 n) as a codegen'd string/integer expression, safe for
+    * all 1 ≤ n < 2^62 — no intermediate ever overflows signed 64-bit.
+    *
+    * Two regimes, both pure integer algebra an oracle replays verbatim:
+    *   - n < 2^31: the exact form `length(bin(n²)) − 1` (n² ≤ 2^62).
+    *   - n ≥ 2^31 (where n² would overflow — the r12 form wrapped here,
+    *     reachable once corpus-total feature occurrences pass ~3.03e9, a
+    *     few GB of text): floor(2·log2 n) = 2·(bitlen(n)−1) + extra,
+    *     where extra tests whether n crosses the half-power 2^(b+0.5).
+    *     The test squares only the TOP-31-BIT mantissa m (read straight
+    *     off the binary string, so no shift-by-column is needed):
+    *     m ∈ [2^30, 2^31), m² < 2^62, compared against the constant
+    *     2^61 = (2^30.5)². m² ≥ 2^61 ⟹ n² ≥ 2^(2b+1) exactly (n ≥
+    *     m·2^s); the converse can miss only when m = ⌊2^30.5⌋ =
+    *     1518500249 and the discarded low bits of n decide the crossing
+    *     — a ±1 half-bit knife edge on one mantissa in 2^31. Both
+    *     engines evaluate the IDENTICAL formula (DuckDB folds the same
+    *     binary-prefix string back to m), so oracle parity is exact
+    *     everywhere, including the knife edge; DsirSpec pins the formula
+    *     against BigInt truth across both regimes and the edge. */
+  private[graft] def halfBitLog2(n: Column): Column = {
+    val bs = conv(n, 10, 2)
+    val b = length(bs) - lit(1)
+    val m = conv(substring(bs, 1, 31), 2, 10).cast("long")
+    when(n < lit(2147483648L), length(conv(n * n, 10, 2)) - lit(1))
+      .otherwise(b * lit(2) +
+        when(m * m >= lit(2305843009213693952L), lit(1)).otherwise(lit(0)))
+  }
 
   /** Per-document importance weights against a target distribution.
     *

@@ -10569,10 +10569,13 @@ object ExtensionQueries {
     // raw corpus, score every document by its average per-feature
     // half-bit-quantized log-likelihood ratio, and select the top 100.
     // The whole model fit replays in SQL because every log is the exact
-    // integer floor(2*log2 n) = length(bin(n^2))-1 (see Dsir scaladoc for
-    // why float log2 is NOT cross-engine safe, and why the +256-halfbit
-    // offset precedes the integer division). Enrichment is real, not
-    // just replayed algebra: DsirSpec pins >= 3x over base rate.
+    // integer floor(2*log2 n) — length(bin(n^2))-1 below 2^31, the
+    // top-31-bit mantissa form above it (see Dsir.halfBitLog2 for why
+    // float log2 is NOT cross-engine safe, why n^2 must never be taken
+    // on a corpus-scale total, and why the +256-halfbit offset precedes
+    // the integer division). `dsirQlSql` replays the identical two-regime
+    // formula in DuckDB. Enrichment is real, not just replayed algebra:
+    // DsirSpec pins >= 3x over base rate.
     QueryDef(
       "q332_dsir_select",
       (s, dir) => {
@@ -10582,7 +10585,7 @@ object ExtensionQueries {
           .orderBy(col("weight_x1000").desc, col("doc_id"))
           .limit(100)
       },
-      Some("""WITH toks AS (SELECT doc_id, lang = 'zh' AS tgt,
+      Some(raw"""WITH toks AS (SELECT doc_id, lang = 'zh' AS tgt,
              |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
              |feats AS (SELECT doc_id, tgt, unnest(list_concat(t,
              |      list_transform(range(greatest(len(t) - 1, 0)),
@@ -10596,13 +10599,13 @@ object ExtensionQueries {
              |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
              |  FROM fb GROUP BY b),
              |llr AS (SELECT b,
-             |    CAST((length(to_base((ct+1)*(ct+1), 2)) - 1)
-             |       - (length(to_base((cr+1)*(cr+1), 2)) - 1) AS BIGINT) AS l FROM cnt),
+             |    CAST(${dsirQlSql("ct+1")}
+             |       - ${dsirQlSql("cr+1")} AS BIGINT) AS l FROM cnt),
              |tot AS (SELECT CAST(sum(ct) + 8192 AS BIGINT) AS tt,
              |    CAST(sum(cr) + 8192 AS BIGINT) AS tr FROM cnt),
              |norm AS (SELECT
-             |    CAST((length(to_base(tt*tt, 2)) - 1)
-             |       - (length(to_base(tr*tr, 2)) - 1) AS BIGINT) AS nl FROM tot),
+             |    CAST(${dsirQlSql("tt")}
+             |       - ${dsirQlSql("tr")} AS BIGINT) AS nl FROM tot),
              |doc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
              |    CAST(sum(l) AS BIGINT) AS s
              |  FROM fb JOIN llr USING (b) GROUP BY fb.doc_id)
@@ -10667,6 +10670,25 @@ object ExtensionQueries {
     deflater.end()
     compressed * 100L / raw.length
   }
+
+  /** DuckDB replay of [[graft.operators.Dsir.halfBitLog2]] — the SAME
+    * two-regime floor(2·log2 n): exact `length(bin(n²))−1` below 2^31;
+    * above it, 2·(bitlen−1) plus the top-31-bit-mantissa half-power test
+    * against 2^61 (the mantissa folds back from the binary-string prefix
+    * exactly like the Spark side's `conv(substring(bin(n),1,31),2,10)`).
+    * Formula-identical on both engines, so parity holds at any n < 2^62,
+    * including the one-in-2^31 mantissa knife edge. `e` must be a
+    * BIGINT-typed SQL expression (cast HUGEINT sums first). */
+  private def dsirQlSql(e: String): String =
+    s"""(CASE WHEN ($e) < 2147483648
+       |  THEN length(to_base(($e)*($e), 2)) - 1
+       |  ELSE 2 * (length(to_base($e, 2)) - 1)
+       |    + (CASE WHEN power_m.m * power_m.m >= 2305843009213693952
+       |       THEN 1 ELSE 0 END) END)""".stripMargin
+      .replace("power_m.m",
+        s"list_reduce(list_transform(string_split(substr(to_base($e, 2), 1, 31), ''), " +
+          s"c -> CAST(c AS BIGINT)), (a, d) -> a * 2 + d)")
+      .replaceAll("\\s+", " ")
 
   private def bpeReplaySql(numMerges: Int): String = {
     val S = "chr(1)"

@@ -10,19 +10,52 @@ import graft.operators.Dsir
 class DsirSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("halfBitLog2 equals floor(2*log2 n) across the boundary cases") {
+  test("halfBitLog2 equals floor(2*log2 n) across both regimes up to 2^62") {
+    // small regime (n < 2^31): EXACT, including every power-of-two edge.
+    // large regime (the r12 n^2 form silently wrapped here): exact
+    // except a documented one-in-2^31 mantissa knife edge, where the
+    // formula may sit exactly 1 half-bit low — never high, never throws.
+    val knife = 1518500249L // floor(2^30.5): the only under-reporting mantissa
     val ns = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, 1025L,
-      (1L << 31) - 1, 1L << 31, 3000000000L)
+      (1L << 31) - 1, 1L << 31, (1L << 31) + 1, 3000000000L, 3100000000L,
+      (1L << 40) - 1, 1L << 40, 987654321987L,
+      (1L << 61) - 1, 1L << 61, (1L << 62) - 1,
+      // knife-edge neighborhood at several shifts: mantissa == floor(2^30.5)
+      knife << 8, (knife << 8) + 255L, (knife + 1) << 8, (knife - 1) << 8)
     val got = ns.toDF("n")
       .select(Dsir.halfBitLog2(col("n")).cast("long")).as[Long].collect()
-    val expected = ns.map(n => java.lang.Long.toBinaryString(n * n).length - 1L)
-    assert(got.toSeq == expected,
-      s"halfBitLog2 diverged: got ${got.toSeq} expected $expected")
-    // the float form this replaces is NOT safe: floor(2*log2 n) via
-    // doubles must still agree here, but the STRING form is the contract
-    expected.zip(ns).foreach { case (e, n) =>
-      assert(e == math.floor(2.0 * math.log(n.toDouble) / math.log(2.0) + 1e-9).toLong)
+    def mantissa31(n: Long): Long = {
+      val bits = java.lang.Long.toBinaryString(n)
+      java.lang.Long.parseLong(bits.take(31), 2)
     }
+    ns.zip(got).foreach { case (n, g) =>
+      val truth = (BigInt(n) * BigInt(n)).bitLength - 1L
+      if (n < (1L << 31) || mantissa31(n) != knife)
+        assert(g == truth, s"n=$n: got $g expected $truth")
+      else // knife edge: low bits decide; formula may be 1 low by design
+        assert(g == truth || g == truth - 1, s"n=$n knife: got $g truth $truth")
+    }
+    // the float form this replaces is NOT safe cross-engine; in the small
+    // regime it must still agree (the STRING form is the contract)
+    ns.filter(_ < (1L << 31)).foreach { n =>
+      assert((BigInt(n) * BigInt(n)).bitLength - 1L ==
+        math.floor(2.0 * math.log(n.toDouble) / math.log(2.0) + 1e-9).toLong)
+    }
+  }
+
+  test("halfBitLog2 replays value-identically in the DuckDB oracle form") {
+    // the q332 oracle's dsirQlSql must be formula-identical: pin the
+    // Spark expression's outputs here so the oracle generator's spec in
+    // the verify gate (q332 hash match) is anchored by explicit values
+    // spanning the regime switch — these constants were cross-checked
+    // against DuckDB's to_base/list_reduce form when the formula landed
+    val pinned = Seq(
+      1L -> 0L, 3L -> 3L, 2147483647L -> 61L, 2147483648L -> 62L,
+      3000000000L -> 62L, (1L << 40) -> 80L, ((1L << 62) - 1) -> 123L)
+    val got = pinned.map(_._1).toDF("n")
+      .select(Dsir.halfBitLog2(col("n")).cast("long")).as[Long].collect()
+    assert(got.toSeq == pinned.map(_._2),
+      s"pinned ql values moved: ${pinned.map(_._1).zip(got.toSeq)}")
   }
 
   test("weights: deterministic across layout, short docs follow the token contract") {
