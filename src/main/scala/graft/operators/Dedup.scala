@@ -326,42 +326,24 @@ object Dedup {
     * corpus, and a `maxBucket` cap (smallest doc ids win, the house
     * bucket discipline) bounds any residual hot token. Verify is the
     * exact sorted-merge intersect on hashed token arrays — no estimate
-    * anywhere in the path, unlike LSH this CANNOT miss a qualifying pair
-    * (only the explicit cap can, and the cap is visible). Shuffles: token
-    * df, per-doc rank window, prefix self-join, two array joins — all
-    * keyed, no cartesian. */
+    * anywhere in the path, so unlike LSH the PREFIX INDEX cannot miss a
+    * qualifying pair; only the explicit cap can. RECALL CONDITION: a
+    * qualifying pair is missed iff EVERY prefix token the two documents
+    * share sits in a bucket of more than `maxBucket` docs AND neither doc
+    * is among that bucket's `maxBucket` smallest ids — rare-first
+    * ordering makes overflowing prefix tokens the corpus's most common
+    * shingles, so exposure is measurable, and
+    * [[prefixFilterCapReport]] quantifies it from the SAME postings
+    * build (truncated-token + foregone-posting counts; q334 gates it,
+    * OperatorsSpec proves a cap-induced miss is counted, never silent).
+    * Shuffles: token df, per-doc rank window, prefix self-join, two
+    * array joins — all keyed, no cartesian. */
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccardPct: Int, maxBucket: Int = 500, shingleWords: Int = 1): DataFrame = {
-    require(minJaccardPct >= 1 && minJaccardPct <= 100, "minJaccardPct must be 1..100")
-    require(maxBucket >= 1 && shingleWords >= 1, "maxBucket/shingleWords must be positive")
+    require(maxBucket >= 1, "maxBucket must be positive")
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // `shingleWords` > 1 joins on word n-gram sets — unigram Jaccard
-    // saturates on small-vocabulary corpora (everything resembles
-    // everything, the output itself goes quadratic); shingles restore a
-    // sparse similarity space, exactly why the MinHash path shingles too.
-    // __w is MATERIALIZED before the shingle transform (the documented
-    // HOF trap: an inlined split would re-run per element), and the token
-    // sets are checkpointed so candidate generation and verify share ONE
-    // tokenize pass.
-    val words = Par.ensureParallel(df).select(col(idCol).as("__doc"),
-      expr(s"filter(split($textCol, ' '), x -> x != '')").as("__w"))
-    val setCol =
-      if (shingleWords <= 1) expr("array_distinct(__w)")
-      else expr(
-        s"""CASE WHEN size(__w) >= $shingleWords
-           |  THEN array_distinct(transform(sequence(0, size(__w) - $shingleWords),
-           |    i -> array_join(slice(__w, i + 1, $shingleWords), ' ')))
-           |  ELSE array() END""".stripMargin)
-    val sets = words.select(col("__doc"), setCol.as("__ts")).localCheckpoint()
-    val toks = sets.select(col("__doc"), explode(col("__ts")).as("__tok"))
-    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val ranked = toks.join(dfreq, "__tok")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__doc").orderBy(col("__df"), col("__tok"))))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__doc")))
-    val prefix = ranked.filter(
-      col("__rn") <= col("__n") - expr(s"(__n * $minJaccardPct + 99) div 100") + 1)
+    val (sets, prefix) = prefixPostings(df, idCol, textCol, minJaccardPct, shingleWords)
     val capped = prefix.withColumn("__brn", row_number().over(
         Window.partitionBy("__tok").orderBy(col("__doc"))))
       .filter(col("__brn") <= maxBucket)
@@ -384,6 +366,68 @@ object Dedup {
       .filter(col("inter_n") * (100 + minJaccardPct) >= (col("a_n") + col("b_n")) * minJaccardPct)
       .withColumn("union_n", col("a_n") + col("b_n") - col("inter_n"))
       .withColumn("jaccard_pct", expr("inter_n * 100 div union_n"))
+  }
+
+  /** Shared postings build for [[prefixFilterPairs]] and
+    * [[prefixFilterCapReport]]: (token sets, UNCAPPED prefix postings).
+    *
+    * `shingleWords` > 1 joins on word n-gram sets — unigram Jaccard
+    * saturates on small-vocabulary corpora (everything resembles
+    * everything, the output itself goes quadratic); shingles restore a
+    * sparse similarity space, exactly why the MinHash path shingles too.
+    * __w is MATERIALIZED before the shingle transform (the documented
+    * HOF trap: an inlined split would re-run per element), and the token
+    * sets are checkpointed so candidate generation and verify share ONE
+    * tokenize pass. */
+  private def prefixPostings(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPct: Int, shingleWords: Int): (DataFrame, DataFrame) = {
+    require(minJaccardPct >= 1 && minJaccardPct <= 100, "minJaccardPct must be 1..100")
+    require(shingleWords >= 1, "shingleWords must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val words = Par.ensureParallel(df).select(col(idCol).as("__doc"),
+      expr(s"filter(split($textCol, ' '), x -> x != '')").as("__w"))
+    val setCol =
+      if (shingleWords <= 1) expr("array_distinct(__w)")
+      else expr(
+        s"""CASE WHEN size(__w) >= $shingleWords
+           |  THEN array_distinct(transform(sequence(0, size(__w) - $shingleWords),
+           |    i -> array_join(slice(__w, i + 1, $shingleWords), ' ')))
+           |  ELSE array() END""".stripMargin)
+    val sets = words.select(col("__doc"), setCol.as("__ts")).localCheckpoint()
+    val toks = sets.select(col("__doc"), explode(col("__ts")).as("__tok"))
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val ranked = toks.join(dfreq, "__tok")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__doc").orderBy(col("__df"), col("__tok"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__doc")))
+    val prefix = ranked.filter(
+      col("__rn") <= col("__n") - expr(s"(__n * $minJaccardPct + 99) div 100") + 1)
+    (sets, prefix)
+  }
+
+  /** The accounting [[prefixFilterPairs]]' `maxBucket` cap owes: one row —
+    * (n_prefix_tokens, n_prefix_postings, n_truncated_tokens,
+    * n_foregone_postings) — over the SAME uncapped postings the join
+    * builds. `n_truncated_tokens` counts prefix tokens whose bucket
+    * overflows `maxBucket`; `n_foregone_postings` sums the postings the
+    * cap drops (each a doc the candidate join will never pair through
+    * that token). Zero truncation ⇒ the join is provably complete at the
+    * threshold; non-zero bounds the exposure (a pair is missed only if
+    * ALL its shared prefix tokens truncated it away — see the recall
+    * condition on [[prefixFilterPairs]]). The q318 skipped-block pattern:
+    * a cap is a contract, so it reports what it declined, never silently.
+    * Scale: the postings build's keyed shuffles plus one global agg row. */
+  def prefixFilterCapReport(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPct: Int, maxBucket: Int = 500, shingleWords: Int = 1): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be positive")
+    val (_, prefix) = prefixPostings(df, idCol, textCol, minJaccardPct, shingleWords)
+    prefix.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .agg(
+        count(lit(1)).cast("long").as("n_prefix_tokens"),
+        sum(col("__c")).cast("long").as("n_prefix_postings"),
+        sum(when(col("__c") > maxBucket, 1L).otherwise(0L)).as("n_truncated_tokens"),
+        sum(when(col("__c") > maxBucket, col("__c") - maxBucket).otherwise(0L))
+          .cast("long").as("n_foregone_postings"))
   }
 
   /** [[jaccardPairs]] over HASHED token sets: each distinct token folds to a

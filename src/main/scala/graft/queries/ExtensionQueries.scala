@@ -10614,6 +10614,70 @@ object ExtensionQueries {
              |       - 256000 AS BIGINT) AS weight_x1000
              |FROM doc, norm
              |ORDER BY weight_x1000 DESC, doc_id LIMIT 100""".stripMargin)
+    ),
+
+    // The accounting q257's maxBucket cap owes (the "no silent caps"
+    // rule): truncated-prefix-token and foregone-posting counts from the
+    // SAME uncapped postings build the join runs, for two configs — the
+    // exact config q257 ships (3-word shingles, cap 500: zero truncation
+    // at this scale, certifying that join COMPLETE at its threshold) and
+    // a deliberately hot one (unigrams, cap 10: the corpus's common words
+    // overflow, so the non-zero counting path is exercised on real data,
+    // not just the spec fixture). A qualifying pair can be missed only
+    // via postings counted here — see Dedup.prefixFilterPairs's recall
+    // condition; OperatorsSpec proves the miss-is-counted property on an
+    // overflowing fixture.
+    QueryDef(
+      "q334_prefix_cap_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.prefixFilterCapReport(docs, "doc_id", "text",
+            minJaccardPct = 50, maxBucket = 500, shingleWords = 3)
+          .withColumn("config", lit("q257_3gram_cap500"))
+          .unionByName(
+            Dedup.prefixFilterCapReport(docs, "doc_id", "text",
+                minJaccardPct = 50, maxBucket = 10, shingleWords = 1)
+              .withColumn("config", lit("unigram_cap10")))
+          .select(col("config"), col("n_prefix_tokens"), col("n_prefix_postings"),
+            col("n_truncated_tokens"), col("n_foregone_postings"))
+          .orderBy("config")
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+             |  FROM documents),
+             |s3 AS (SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(w) - 1),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+             |  FROM w WHERE len(w) >= 3),
+             |t3 AS (SELECT doc_id, unnest(ts) AS tok FROM s3),
+             |d3 AS (SELECT tok, count(*) AS dfc FROM t3 GROUP BY 1),
+             |r3 AS (SELECT doc_id, tok,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM t3 JOIN d3 USING (tok)),
+             |p3 AS (SELECT tok FROM r3 WHERE rn <= n - (n * 50 + 99) // 100 + 1),
+             |b3 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM p3 GROUP BY 1),
+             |s1 AS (SELECT doc_id, list_distinct(w) AS ts FROM w),
+             |t1 AS (SELECT doc_id, unnest(ts) AS tok FROM s1),
+             |d1 AS (SELECT tok, count(*) AS dfc FROM t1 GROUP BY 1),
+             |r1 AS (SELECT doc_id, tok,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM t1 JOIN d1 USING (tok)),
+             |p1 AS (SELECT tok FROM r1 WHERE rn <= n - (n * 50 + 99) // 100 + 1),
+             |b1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM p1 GROUP BY 1)
+             |SELECT 'q257_3gram_cap500' AS config,
+             |  CAST(count(*) AS BIGINT) AS n_prefix_tokens,
+             |  CAST(sum(c) AS BIGINT) AS n_prefix_postings,
+             |  CAST(sum(CASE WHEN c > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated_tokens,
+             |  CAST(sum(CASE WHEN c > 500 THEN c - 500 ELSE 0 END) AS BIGINT) AS n_foregone_postings
+             |FROM b3
+             |UNION ALL
+             |SELECT 'unigram_cap10',
+             |  CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+             |  CAST(sum(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(sum(CASE WHEN c > 10 THEN c - 10 ELSE 0 END) AS BIGINT)
+             |FROM b1
+             |ORDER BY config""".stripMargin)
     )
   )
 

@@ -3733,6 +3733,27 @@ class OperatorsSpec extends SparkTestBase {
     val sh = Dedup.prefixFilterPairs(shDocs, "doc_id", "text", 50, 500, shingleWords = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(6))).toSet
     assert(sh == Set((1L, 2L, 2L, 50L)))
+    // cap accounting: the report must count every posting the cap drops.
+    // Five identical docs, maxBucket=2: both prefix tokens bucket to 5
+    // docs, the cap keeps ids {1,2} per token, so of the 10 qualifying
+    // pairs only (1,2) survives — and the report books exactly that loss
+    val hot = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a b"), (5L, "a b"))
+      .toDF("doc_id", "text")
+    val capPairs = Dedup.prefixFilterPairs(hot, "doc_id", "text", 50, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capPairs == Set((1L, 2L)), s"cap should keep only the smallest ids: $capPairs")
+    val rep = Dedup.prefixFilterCapReport(hot, "doc_id", "text", 50, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // 2 prefix tokens ("a","b"; J=50% keeps the full 2-token prefix),
+    // 10 postings, both tokens truncated, 3 postings foregone per token
+    assert(rep == ((2L, 10L, 2L, 6L)), s"cap report must count the misses: $rep")
+    // same input, cap that fits: complete pair set, zeroed accounting
+    val okPairs = Dedup.prefixFilterPairs(hot, "doc_id", "text", 50, maxBucket = 5)
+      .collect().length
+    assert(okPairs == 10, s"uncapped run must emit all C(5,2) pairs: $okPairs")
+    val repOk = Dedup.prefixFilterCapReport(hot, "doc_id", "text", 50, maxBucket = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(repOk == ((0L, 0L)), s"fitting cap must report zero truncation: $repOk")
   }
 
   test("consistent hash: ring matches reference impl, growth moves keys only to the new shard") {
