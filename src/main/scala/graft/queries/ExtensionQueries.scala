@@ -10585,35 +10585,74 @@ object ExtensionQueries {
           .orderBy(col("weight_x1000").desc, col("doc_id"))
           .limit(100)
       },
-      Some(raw"""WITH toks AS (SELECT doc_id, lang = 'zh' AS tgt,
-             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
-             |feats AS (SELECT doc_id, tgt, unnest(list_concat(t,
-             |      list_transform(range(greatest(len(t) - 1, 0)),
-             |        i -> t[i+1] || ' ' || t[i+2]))) AS f FROM toks),
-             |fb AS (SELECT doc_id, tgt,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(f, ''), c -> CAST(ord(c) AS BIGINT))),
-             |      (a, c) -> (a * 31 + c) % 144115188075855859) % 8192 AS b FROM feats),
-             |cnt AS (SELECT b,
-             |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-             |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
-             |  FROM fb GROUP BY b),
-             |llr AS (SELECT b,
-             |    CAST(${dsirQlSql("ct+1")}
-             |       - ${dsirQlSql("cr+1")} AS BIGINT) AS l FROM cnt),
-             |tot AS (SELECT CAST(sum(ct) + 8192 AS BIGINT) AS tt,
-             |    CAST(sum(cr) + 8192 AS BIGINT) AS tr FROM cnt),
-             |norm AS (SELECT
-             |    CAST(${dsirQlSql("tt")}
-             |       - ${dsirQlSql("tr")} AS BIGINT) AS nl FROM tot),
-             |doc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
-             |    CAST(sum(l) AS BIGINT) AS s
-             |  FROM fb JOIN llr USING (b) GROUP BY fb.doc_id)
-             |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_features,
-             |  CAST((s - n_features * nl + 256 * n_features) * 1000 // n_features
-             |       - 256000 AS BIGINT) AS weight_x1000
-             |FROM doc, norm
+      Some(s"""WITH $dsirWeightsCtes
+             |SELECT doc_id, n_features, weight_x1000 FROM weights
              |ORDER BY weight_x1000 DESC, doc_id LIMIT 100""".stripMargin)
+    ),
+
+    // DSIR end-to-end: weights -> importance RESAMPLE -> token-budgeted
+    // training mix (closes the r12 "stops at weights" gap). The paper's
+    // selection composition, each stage the library's own operator:
+    // importanceWeights scores every doc; the score maps to an integer
+    // keep-probability (clamped affine -- the negative-side div engine
+    // divergence is hidden by the 0-clamp, see the keep_pct comment);
+    // Sampling.weightedSample keeps each doc by its md5 key-hash (the
+    // sampled SET is target-enriched, not just the top-k -- DsirSpec
+    // pins >= 2x base rate); the sampled pool is cut to a 5000-token
+    // budget in weight order via Sampling.selectByTokenBudget (two-phase
+    // distributed prefix sum, no global window); output is the per-lang
+    // mixture share of the final training mix. Every stage is integer/
+    // md5-deterministic, so DuckDB replays the whole pipeline to the row.
+    QueryDef(
+      "q333_dsir_resample_mix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val w = Dsir.importanceWeights(docs, "doc_id", "text",
+          targetCol = col("lang") === "zh", buckets = 8192)
+        val d = docs.select(col("doc_id"), col("lang"),
+          expr("cast(size(filter(split(text, '\\\\s+'), x -> x != '')) as long)").as("n_toks"))
+        // keep_pct: affine squash of weight into [0,100]. Spark `div`
+        // truncates toward zero, DuckDB `//` floors -- they differ only
+        // below zero, where greatest(0, _) clamps both to 0 identically.
+        val enr = w.join(d, Seq("doc_id"))
+          .withColumn("keep_pct", least(lit(100L),
+            greatest(lit(0L), expr("(weight_x1000 + 2000) div 6"))))
+        val samp = Sampling.weightedSample(enr, "doc_id", "keep_pct", maxWeight = 100)
+        // weight-desc order with doc_id tiebreak, composed into the one
+        // unique ascending key selectByTokenBudget requires (doc_id is
+        // far below the 1e8 stride at any gate scale)
+        val ord = samp.withColumn("__ord",
+          col("weight_x1000") * lit(-100000000L) + col("doc_id"))
+        val cut = Sampling.selectByTokenBudget(ord, "__ord", "n_toks", budget = 5000L)
+        val tot = cut.agg(sum("n_toks").as("__t"))
+        cut.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+          .crossJoin(broadcast(tot))
+          .select(col("lang"),
+            col("n_docs").cast("long").as("n_docs"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            expr("n_tokens * 10000 div __t").cast("long").as("token_share_x10000"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $dsirWeightsCtes,
+             |d AS (SELECT doc_id, lang,
+             |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+             |  FROM documents),
+             |enr AS (SELECT w.doc_id, d.lang, d.n_toks, w.weight_x1000,
+             |    least(100, greatest(0, (w.weight_x1000 + 2000) // 6)) AS keep_pct
+             |  FROM weights w JOIN d USING (doc_id)),
+             |samp AS (SELECT * FROM enr
+             |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 100
+             |        < keep_pct * 4294967296),
+             |ord AS (SELECT *, -weight_x1000 * 100000000 + doc_id AS o FROM samp),
+             |run AS (SELECT *, sum(n_toks) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM ord),
+             |cut AS (SELECT * FROM run WHERE cum <= 5000),
+             |tot2 AS (SELECT sum(n_toks) AS t FROM cut)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             |  CAST(sum(n_toks) * 10000 // (SELECT t FROM tot2) AS BIGINT) AS token_share_x10000
+             |FROM cut GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
     // The accounting q257's maxBucket cap owes (the "no silent caps"
@@ -10753,6 +10792,41 @@ object ExtensionQueries {
         s"list_reduce(list_transform(string_split(substr(to_base($e, 2), 1, 31), ''), " +
           s"c -> CAST(c AS BIGINT)), (a, d) -> a * 2 + d)")
       .replaceAll("\\s+", " ")
+
+  /** The DSIR weight-fit replay shared by q332 and q333: the full CTE
+    * chain from tokens to a `weights(doc_id, n_features, weight_x1000)`
+    * relation, formula-identical to [[graft.operators.Dsir
+    * .importanceWeights]] (base-31 feature hash, 8192 buckets, two-regime
+    * half-bit logs via [[dsirQlSql]], +256-halfbit positivity offset). */
+  private lazy val dsirWeightsCtes: String =
+    raw"""toks AS (SELECT doc_id, lang = 'zh' AS tgt,
+         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+         |feats AS (SELECT doc_id, tgt, unnest(list_concat(t,
+         |      list_transform(range(greatest(len(t) - 1, 0)),
+         |        i -> t[i+1] || ' ' || t[i+2]))) AS f FROM toks),
+         |fb AS (SELECT doc_id, tgt,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(f, ''), c -> CAST(ord(c) AS BIGINT))),
+         |      (a, c) -> (a * 31 + c) % 144115188075855859) % 8192 AS b FROM feats),
+         |cnt AS (SELECT b,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+         |  FROM fb GROUP BY b),
+         |llr AS (SELECT b,
+         |    CAST(${dsirQlSql("ct+1")}
+         |       - ${dsirQlSql("cr+1")} AS BIGINT) AS l FROM cnt),
+         |tot AS (SELECT CAST(sum(ct) + 8192 AS BIGINT) AS tt,
+         |    CAST(sum(cr) + 8192 AS BIGINT) AS tr FROM cnt),
+         |norm AS (SELECT
+         |    CAST(${dsirQlSql("tt")}
+         |       - ${dsirQlSql("tr")} AS BIGINT) AS nl FROM tot),
+         |doc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         |    CAST(sum(l) AS BIGINT) AS s
+         |  FROM fb JOIN llr USING (b) GROUP BY fb.doc_id),
+         |weights AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, n_features,
+         |  CAST((s - n_features * nl + 256 * n_features) * 1000 // n_features
+         |       - 256000 AS BIGINT) AS weight_x1000
+         |FROM doc, norm)""".stripMargin
 
   private def bpeReplaySql(numMerges: Int): String = {
     val S = "chr(1)"

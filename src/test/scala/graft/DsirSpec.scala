@@ -95,4 +95,27 @@ class DsirSpec extends SparkTestBase {
     assert(hits >= math.ceil(3 * 100 * baseRate).toLong,
       s"top-100 target hits $hits under 3x base rate $baseRate")
   }
+
+  test("resample composition: the SAMPLED set (not just the top-k) is target-enriched") {
+    import graft.operators.Sampling
+    // q333's exact pipeline up to the sample stage: weights -> clamped
+    // affine keep_pct -> md5-hash weighted sample. The enrichment claim
+    // must hold on the whole resampled POOL, which is what trains;
+    // measured 53/141 zh (37.6%) at the 15% base rate on sf0.01
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "zh", buckets = 8192)
+    val enr = w.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("keep_pct", least(lit(100L),
+        greatest(lit(0L), expr("(weight_x1000 + 2000) div 6"))))
+    val samp = Sampling.weightedSample(enr, "doc_id", "keep_pct", maxWeight = 100)
+      .select(col("doc_id"), col("lang")).collect()
+    val n = samp.length.toLong
+    val zh = samp.count(_.getString(1) == "zh").toLong
+    val total = docs.count()
+    val baseRate = docs.filter(col("lang") === "zh").count().toDouble / total
+    assert(n > 50 && n < total / 2, s"sample must subsample meaningfully: $n of $total")
+    assert(zh.toDouble / n >= 2 * baseRate,
+      s"sampled pool zh rate ${zh.toDouble / n} under 2x base rate $baseRate")
+  }
 }
