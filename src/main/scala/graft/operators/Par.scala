@@ -22,12 +22,40 @@ import org.apache.spark.sql.DataFrame
   * derived column re-runs the whole expression below the exchange.
   */
 object Par {
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    Filter => LFilter, LeafNode, LogicalPlan, Project, Repartition, SubqueryAlias, Union}
+
+  /** True iff `plan` is a bare relation (scan, local data, checkpointed
+    * RDD) under nothing but narrow row-wise wrappers — the only shape
+    * whose partition count is safe to inspect EAGERLY. Anything that
+    * plans an exchange (join, aggregate, window, distinct,
+    * repartition-by-expression) is excluded: under AQE, `.rdd` on such a
+    * plan materializes every upstream query stage at composition time,
+    * and that work is thrown away when the returned Dataset re-plans.
+    * Plain `Repartition` (repartition(n)/coalesce(n)) stays transparent —
+    * its child is re-checked, so a coalesced scan is still guarded. */
+  private def scanRooted(plan: LogicalPlan): Boolean = plan match {
+    case _: LeafNode      => true
+    case p: Project       => scanRooted(p.child)
+    case f: LFilter       => scanRooted(f.child)
+    case s: SubqueryAlias => scanRooted(s.child)
+    case r: Repartition   => scanRooted(r.child)
+    case u: Union         => u.children.forall(scanRooted)
+    case _                => false
+  }
+
   /** `df`, round-robin repartitioned up to the session's shuffle
-    * parallelism iff its current plan yields fewer partitions.
+    * parallelism iff it is scan-rooted AND its current plan yields fewer
+    * partitions. Non-scan-rooted inputs pass through untouched (reference-
+    * identical): a shuffled/aggregated frame already carries session
+    * parallelism, and probing its partition count would eagerly run its
+    * upstream stages (see [[scanRooted]]) — the guard exists for the
+    * single-file-scan shape, not for mid-pipeline frames.
     * `spark.graft.scanParallel=false` disables the guard (A/B lever). */
   def ensureParallel(df: DataFrame): DataFrame = {
     if (sys.env.get("GRAFT_SCAN_PARALLEL").contains("false") ||
       df.sparkSession.conf.get("spark.graft.scanParallel", "true") == "false") return df
+    if (!scanRooted(df.queryExecution.analyzed)) return df
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

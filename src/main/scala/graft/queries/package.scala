@@ -69,6 +69,9 @@ package object queries {
     * the whole expression below the exchange on the one scan task (so
     * pre-filter on a cheap equivalent predicate instead — see q318). */
   def tParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // raw-scan-only by construction (t() is always a bare parquet scan),
+    // so the eager .rdd partition probe below is safe here — the general
+    // guard with the scan-rooted check is Par.ensureParallel
     val df = t(spark, dir, name)
     val target = spark.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

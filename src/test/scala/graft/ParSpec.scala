@@ -33,6 +33,26 @@ class ParSpec extends SparkTestBase {
       .findAllIn(out.queryExecution.executedPlan.toString).size <= 1)
   }
 
+  test("ensureParallel: non-scan-rooted plans pass through reference-identical") {
+    // probing .rdd on an exchange-bearing plan under AQE materializes its
+    // upstream stages at composition time, discarded on re-plan — so the
+    // guard must not even LOOK at partition counts of such frames. The
+    // eq-assertions prove the short-circuit fires before any probe.
+    val agg = spark.range(100).toDF("id").groupBy("id").count()
+    assert(Par.ensureParallel(agg) eq agg)
+    val joined = spark.range(10).toDF("a")
+      .join(spark.range(10).toDF("a"), "a")
+    assert(Par.ensureParallel(joined) eq joined)
+    // but narrow wrappers over a scan stay guarded: a coalesced, projected,
+    // filtered scan is still the single-file fixture shape
+    val wrapped = spark.range(100).toDF("id").coalesce(1)
+      .select((col("id") * 2).as("x")).filter(col("x") >= 0)
+    assert(Par.ensureParallel(wrapped).rdd.getNumPartitions == target)
+    // and a localCheckpoint (LeafNode) keeps its guard too
+    val cp = spark.range(100).toDF("id").coalesce(1).localCheckpoint()
+    assert(Par.ensureParallel(cp).rdd.getNumPartitions == target)
+  }
+
   test("ensureParallel: spark.graft.scanParallel=false disables the guard") {
     spark.conf.set("spark.graft.scanParallel", "false")
     try {
