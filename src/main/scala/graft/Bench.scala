@@ -81,6 +81,36 @@ object Bench {
       case _ => (0, false)
     }
 
+  /** Permanent rebase-history merge (r13, ADVICE): the stale-floor valve
+    * absorbs a floor after 3 missed reruns, and BENCHOUT's `rebased`
+    * field survives only the round that wrote it — a regression laundered
+    * through the valve would lose its audit trail one sweep later. So
+    * bench_best.json accumulates every rebase as
+    * `{old_floor, new_floor, commit}` forever: `prior` is the query's
+    * existing compact JSON array (carried verbatim), `entry` this sweep's
+    * rebase object if any. Pure string surgery on the closing bracket —
+    * the file is append-only history, never re-modeled. */
+  private[graft] def appendRebase(prior: Option[String], entry: Option[String]): Option[String] =
+    (prior.filter(_ != "[]"), entry) match {
+      case (Some(arr), Some(e)) => Some(arr.dropRight(1) + "," + e + "]")
+      case (a, None)            => a
+      case (None, Some(e))      => Some("[" + e + "]")
+    }
+
+  /** Sub-trigger contamination marker (r13, VERDICT r12 finding #2): a
+    * published min can sit well over its best-known clean floor without
+    * tripping the 2× rerun guard — r12 published q257 at 1.85× its floor
+    * with spread 2.25 and q197 at 1.67×, and a reader of BENCHOUT alone
+    * would book regressions that the committed floors disprove. The
+    * record now carries each query's same-input floor and flags an entry
+    * `hot` when its own reps disagree >2× (spread — the record's
+    * self-contained contamination marker) OR the min runs >1.5× the
+    * floor with >0.1 s absolute excess (the sub-trigger band; the 2×+
+    * band already reran). A hot entry reads as "compare against `floor`,
+    * not `min`", standalone. */
+  private[graft] def hotEntry(min: Double, spread: Double, floor: Option[Double]): Boolean =
+    spread > 2.0 || floor.exists(b => min > 1.5 * b && min - b > 0.1)
+
   /** Rehearsal-block contamination trigger (r12, VERDICT r11 #1): a block
     * whose per-query wall ratio exceeds 1.5× the copy factor is physically
     * implausible — every rehearsed workload measures SUB-linear in rows
@@ -207,6 +237,28 @@ object Bench {
         case _ => Map.empty
       }
     } catch { case _: Throwable => Map.empty }
+    // permanent per-query rebase history ([[Bench.appendRebase]]): carried
+    // verbatim as compact JSON arrays, appended on this sweep's rebases
+    val priorRebases: Map[String, String] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get("bench_best.json")
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else JsonMethods.parse(java.nio.file.Files.readString(p)) \ "detail" match {
+        case JObject(fields) => fields.collect { case (name, q: JObject) =>
+          q.obj.toMap.get("rebases").collect { case arr: JArray =>
+            name -> JsonMethods.compact(JsonMethods.render(arr)) }
+        }.flatten.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+    // rebase provenance: the commit the rebased floor was measured at
+    val headCommit: String = try {
+      val pr = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
+      val out = new String(pr.getInputStream.readAllBytes()).trim
+      pr.waitFor()
+      if (out.matches("[0-9a-f]{4,40}")) out else ""
+    } catch { case _: Throwable => "" }
     // rehearsal best-known minima (keyed "sf10:qname") with the fixture
     // dir they were measured against; the drift guard compares only
     // same-sfDir entries, the writer carries the rest through untouched
@@ -324,10 +376,18 @@ object Bench {
     val detail = results.map { case (k, _) =>
       val xs = samples(k)
       val (ir, ib, sb) = inputs(k)
+      // floor: the best-known committed same-input min (guard prior); the
+      // hot flag marks sub-trigger drift so the record reads correctly
+      // standalone (see [[hotEntry]])
+      val floor = prior.get(k).collect {
+        case (pm, pr) if math.abs(ir - pr) * 100 <= pr => pm }
+      val spread = if (xs.min > 0) xs.max / xs.min else 1.0
+      val floorField = floor.map(b => ",\"floor\":" + f(b)).getOrElse("")
+      val hotField = if (hotEntry(xs.min, spread, floor)) ",\"hot\":true" else ""
       "\"" + k + "\":{\"min\":" + f(xs.min) + ",\"p50\":" + f(p50(xs)) +
-        ",\"spread\":" + f(if (xs.min > 0) xs.max / xs.min else 1.0) +
+        ",\"spread\":" + f(spread) +
         ",\"in_rows\":" + ir + ",\"in_mb\":" + fmb(ib) +
-        ",\"shuf_mb\":" + fmb(sb) + "}"
+        ",\"shuf_mb\":" + fmb(sb) + floorField + hotField + "}"
     }.mkString("{", ",", "}")
     val noisy = results.collect {
       case (k, _) if samples(k).min > 0 && samples(k).max / samples(k).min > 2.0 => "\"" + k + "\""
@@ -347,9 +407,16 @@ object Bench {
     // OUTSIDE the guard and the r11 record published a 43×-per-10× sf1
     // block that its own sf10 block (7.5× per 100×) disproved.
     val rehearsalFinal = scala.collection.mutable.Map.empty[String, Double]
-    def rehearsalBlock(key: String, copies: Int, outDir: String,
-        skipEnv: String, reps: Int): String =
-      if (only.nonEmpty || sys.env.contains(skipEnv)) ""
+    val resultMap = results.toMap
+    def rehearsalRatios(sc: Seq[(String, Double)]): Seq[Double] =
+      sc.flatMap { case (n, s) => resultMap.get(n).filter(_ > 0).map(s / _) }
+    final case class RehearsalPass(key: String, copies: Int, dir: String,
+      reps: Int, scaled: Seq[(String, Double)], wall: Double,
+      loadBefore: String, loadAfterFirst: String,
+      implausible: Boolean, drifted: Seq[String])
+    def rehearsalFirst(key: String, copies: Int, outDir: String,
+        skipEnv: String, reps: Int): Option[RehearsalPass] =
+      if (only.nonEmpty || sys.env.contains(skipEnv)) None
       else try {
         // the 330-query sweep + earlier blocks leave broadcast/cache
         // remnants in the shared heap; drop them before the run's
@@ -359,48 +426,67 @@ object Bench {
         System.gc()
         val dir = graft.tools.ScaleRehearsal
           .ensureData(spark, sfDir, outDir, copies)
-        val resultMap = results.toMap
         val loadBefore = loadavg()
         val t0 = System.nanoTime()
-        var scaled = graft.tools.ScaleRehearsal.run(spark, dir, reps = reps)
+        val scaled = graft.tools.ScaleRehearsal.run(spark, dir, reps = reps)
         val wall = (System.nanoTime() - t0) / 1e9
-        def ratios(sc: Seq[(String, Double)]): Seq[Double] = sc.flatMap { case (n, s) =>
-          resultMap.get(n).filter(_ > 0).map(s / _)
-        }
-        val implausible = rehearsalContaminated(ratios(scaled), copies)
+        val implausible = rehearsalContaminated(rehearsalRatios(scaled), copies)
         val drifted = rehearsalDrifted(scaled, key, rehearsalBest)
-        var wallRerun = -1.0
         if (implausible || drifted.nonEmpty) {
-          val why = if (implausible) s"implausible ratios (${ratios(scaled).map(r => f"$r%.1f").mkString(",")} vs copies=$copies)"
-            else s"best-min drift (${drifted.mkString(",")})"
-          System.err.println(s"[bench] $key block $why; re-running in a later window")
-          val t1 = System.nanoTime()
-          val again = graft.tools.ScaleRehearsal.run(spark, dir, reps = reps).toMap
-          wallRerun = (System.nanoTime() - t1) / 1e9
-          scaled = scaled.map { case (n, s) => n -> math.min(s, again.getOrElse(n, s)) }
+          val why = if (implausible)
+            s"implausible ratios (${rehearsalRatios(scaled).map(r => f"$r%.1f").mkString(",")} vs copies=$copies)"
+          else s"best-min drift (${drifted.mkString(",")})"
+          System.err.println(s"[bench] $key block $why; deferring re-run past the remaining blocks")
         }
-        val loadAfter = loadavg()
-        scaled.foreach { case (n, s) => rehearsalFinal(s"$key:$n") = s }
-        val entries = scaled.map { case (n, s) =>
-          val base = resultMap.getOrElse(n, 0.0)
-          "\"" + n + "\":{\"sf01\":" + f(base) + ",\"" + key + "\":" + f(s) +
-            ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + "}"
-        }.mkString("{", ",", "}")
-        val rerunField =
-          if (wallRerun >= 0) {
-            val why = if (implausible) "implausible" else "best-min-drift"
-            s""","wall_rerun":${f(wallRerun)},"reran":true,"rerun_reason":"$why""""
-          } else ""
-        s""","$key":{"copies":$copies,"wall":${f(wall)}$rerunField,"load":{"start":"$loadBefore","end":"$loadAfter"},"queries":$entries}"""
+        Some(RehearsalPass(key, copies, dir, reps, scaled, wall,
+          loadBefore, loadavg(), implausible, drifted))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $key rehearsal failed: ${e.getMessage}")
-        ""
+        None
       }
-    val sf1Json = rehearsalBlock("sf1", 10, "target/testdata-sf1", "SPARK_GRAFT_SKIP_SF1", reps = 2)
-    // sf10 stays single-rep: one pass costs ~4 min and the best-min guard
-    // re-runs the block only when an entry actually drifted — min-of-N
-    // every round would pay the contamination tax up front, always.
-    val sf10Json = rehearsalBlock("sf10", 100, "target/testdata-x100", "SPARK_GRAFT_SKIP_SF10", reps = 1)
+    // First passes run back to back; a TRIPPED block's re-run is DEFERRED
+    // until every block's first pass is done (ADVICE r13: an adjacent
+    // rerun shares its trigger's load spike — the sf1 rerun now lands
+    // after the ~4 min sf10 block, a genuinely later window, mirroring
+    // the main sweep's after-the-sweep pass-2 ordering).
+    val firstPasses = Seq(
+      rehearsalFirst("sf1", 10, "target/testdata-sf1", "SPARK_GRAFT_SKIP_SF1", reps = 2),
+      // sf10 stays single-rep: one pass costs ~4 min and the best-min
+      // guard re-runs the block only when an entry actually drifted —
+      // min-of-N every round would pay the contamination tax up front.
+      rehearsalFirst("sf10", 100, "target/testdata-x100", "SPARK_GRAFT_SKIP_SF10", reps = 1)
+    ).flatten
+    val blockJson: Map[String, String] = firstPasses.map { st =>
+      var scaled = st.scaled
+      var wallRerun = -1.0
+      if (st.implausible || st.drifted.nonEmpty) try {
+        spark.catalog.clearCache()
+        graft.tools.Hygiene.unpersistAll(spark)
+        System.gc()
+        val t1 = System.nanoTime()
+        val again = graft.tools.ScaleRehearsal.run(spark, st.dir, reps = st.reps).toMap
+        wallRerun = (System.nanoTime() - t1) / 1e9
+        scaled = scaled.map { case (n, s) => n -> math.min(s, again.getOrElse(n, s)) }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${st.key} deferred re-run failed: ${e.getMessage}")
+      }
+      val loadAfter = if (wallRerun >= 0) loadavg() else st.loadAfterFirst
+      scaled.foreach { case (n, s) => rehearsalFinal(s"${st.key}:$n") = s }
+      val entries = scaled.map { case (n, s) =>
+        val base = resultMap.getOrElse(n, 0.0)
+        "\"" + n + "\":{\"sf01\":" + f(base) + ",\"" + st.key + "\":" + f(s) +
+          ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + "}"
+      }.mkString("{", ",", "}")
+      val rerunField =
+        if (wallRerun >= 0) {
+          val why = if (st.implausible) "implausible" else "best-min-drift"
+          s""","wall_rerun":${f(wallRerun)},"reran":true,"rerun_reason":"$why","rerun_deferred":true"""
+        } else ""
+      st.key ->
+        s""","${st.key}":{"copies":${st.copies},"wall":${f(st.wall)}$rerunField,"load":{"start":"${st.loadBefore}","end":"$loadAfter"},"queries":$entries}"""
+    }.toMap
+    val sf1Json = blockJson.getOrElse("sf1", "")
+    val sf10Json = blockJson.getOrElse("sf10", "")
 
     val loadEnd = loadavg()
     val loadJson = s""""load":{"start":"$loadStart","end":"$loadEnd"}"""
@@ -465,7 +551,12 @@ object Bench {
         }
         val bestJson = best.map { case (n, (mn, ir)) =>
           val miss = missesOut.get(n).map(v => ",\"misses\":" + v).getOrElse("")
-          "\"" + n + "\":{\"min\":" + f(mn) + ",\"in_rows\":" + ir + miss + "}"
+          val entry = rebaseNote.get(n).map { case (o, nn) =>
+            "{\"old_floor\":" + f(o) + ",\"new_floor\":" + f(nn) +
+              ",\"commit\":\"" + headCommit + "\"}" }
+          val rebases = Bench.appendRebase(priorRebases.get(n), entry)
+            .map(h => ",\"rebases\":" + h).getOrElse("")
+          "\"" + n + "\":{\"min\":" + f(mn) + ",\"in_rows\":" + ir + miss + rebases + "}"
         }.mkString("{\"detail\":{", ",", "},")
         // rehearsal floors: same min-only-downward rule, keyed "sf10:qname";
         // carried entries for OTHER sfDirs pass through untouched

@@ -9441,6 +9441,11 @@ object ExtensionQueries {
         val partsAfter = after.select("l_returnflag").distinct().count()
         val filesAfter = list(out).size.toLong
         val binsPlanned = binRows.map(r => (r.getString(0), r.getLong(1))).distinct.length.toLong
+        // everything above is computed eagerly (counts/collects), so the
+        // temp table dirs can go now — at rehearsal scale each run would
+        // otherwise strand 2x the replicated lineitem in /tmp
+        fs.delete(new Path(src), true)
+        fs.delete(new Path(out), true)
         Seq((rowsBefore, rowsAfter, partsAfter, binsPlanned, filesAfter,
           if (rowsBefore == rowsAfter && filesAfter == binsPlanned) 1L else 0L))
           .toDF("rows_before", "rows_after", "n_partitions", "bins_planned",

@@ -47,7 +47,15 @@ object ScaleRehearsal {
     "q88_curate_pipeline", "q206_diff_by_segments",
     "q138_trained_langid", "q236_transitive_contamination",
     "q318_threshold_sweep", "q306_model_dag_waves",
-    "q285_identity_stitch")
+    "q285_identity_stitch",
+    // r13 (VERDICT r12 #5, second tranche): the remaining clean floors
+    // >= 1.9 s without 100x evidence — prefix-filter join (capped
+    // buckets), star-contraction CC over documents, executed compaction
+    // (real row rewrite; expected the set's most linear entry — the
+    // work IS proportional to rows), and the bloom-prune certificate
+    // (fixed mBits; the probe scan scales, the sketch does not)
+    "q257_prefix_filter_join", "q259_cc_star",
+    "q310_compaction_execute", "q224_bloom_join_prune")
 
   /** Build (once per source-fixture state) the `copies`× dataset under
     * `outDir`; returns outDir. The done-marker carries a fingerprint of
@@ -57,7 +65,7 @@ object ScaleRehearsal {
   def ensureData(spark: SparkSession, srcDir: String, outDir: String,
       copies: Int = 10): String = {
     val done = java.nio.file.Paths.get(outDir, "_REHEARSAL_READY")
-    val fingerprint = Seq("orders", "documents", "events").map { t =>
+    val fingerprint = Seq("orders", "documents", "events", "lineitem").map { t =>
       s"$t=${spark.read.parquet(s"$srcDir/$t.parquet").count()}"
     }.mkString(s"copies=$copies;", ";", "")
     if (java.nio.file.Files.exists(done) &&
@@ -69,6 +77,15 @@ object ScaleRehearsal {
       o.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // lineitem (q224 bloom prune, q310 compaction): the fact side of the
+    // orders join — l_orderkey shifts by the SAME per-replica offset as
+    // o_orderkey, so every replica keeps the source join cardinalities
+    val l = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until copies).map { i =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     val d = spark.read.parquet(s"$srcDir/documents.parquet")
     (0 until copies).map { i =>

@@ -88,6 +88,38 @@ class SparkEntrySpec extends SparkTestBase {
     assert(Bench.bestPrior(None, None).isEmpty)
   }
 
+  test("hot flag: sub-trigger drift over the committed floor is marked in the record (r13)") {
+    // the r12 blind spot: q257 published min 3.44 vs clean floor 1.86
+    // (1.85x, spread 2.25) — under the 2x rerun trigger, so no `reran`
+    // entry, and BENCHOUT alone read as a regression the floors disprove
+    assert(Bench.hotEntry(3.4359, 2.2509, Some(1.8600)))
+    // q197's shape: 0.30 vs floor 0.18 = 1.67x with clean spread
+    assert(Bench.hotEntry(0.30, 1.2, Some(0.18)))
+    // clean entry at its floor: not hot
+    assert(!Bench.hotEntry(1.90, 1.3, Some(1.86)))
+    // 1.5x band needs >0.1s absolute excess — micro-query jitter stays cold
+    assert(!Bench.hotEntry(0.09, 1.4, Some(0.05)))
+    // spread alone marks heat even with no committed floor (first round)
+    assert(Bench.hotEntry(1.0, 2.5, None))
+    assert(!Bench.hotEntry(1.0, 1.9, None))
+  }
+
+  test("rebase history accumulates in bench_best.json, never overwritten (r13)") {
+    val e1 = """{"old_floor":0.36,"new_floor":1.01,"commit":"1a73220"}"""
+    val e2 = """{"old_floor":1.01,"new_floor":2.20,"commit":"deadbee"}"""
+    // first rebase opens the array
+    assert(Bench.appendRebase(None, Some(e1)).contains(s"[$e1]"))
+    // second rebase APPENDS — the prior entry survives (the ADVICE gap:
+    // BENCHOUT's `rebased` field lives one round; the history must not)
+    assert(Bench.appendRebase(Some(s"[$e1]"), Some(e2)).contains(s"[$e1,$e2]"))
+    // no rebase this sweep: history carried verbatim
+    assert(Bench.appendRebase(Some(s"[$e1]"), None).contains(s"[$e1]"))
+    assert(Bench.appendRebase(None, None).isEmpty)
+    // a degenerate empty array never produces malformed JSON
+    assert(Bench.appendRebase(Some("[]"), Some(e1)).contains(s"[$e1]"))
+    assert(Bench.appendRebase(Some("[]"), None).isEmpty)
+  }
+
   test("rehearsal blocks re-run when an entry drifts >2x its best-known floor (r12)") {
     // The implausibility bar alone let q138 publish 32.0s at 100x while an
     // isolated min-of-3 measured 4.76s (ratio 27 < the 150 bar). With a
