@@ -41,8 +41,13 @@ PATTERNS = {
     "internal-env": re.compile(r"\b(?:AXON|ANTHROPIC)_[A-Z0-9_]+\b"),
 }
 
-# fixture allowances: reserved-domain test data is not a leak
+# fixture allowances: reserved-domain test data is not a leak — but the
+# allowance is scoped to the families where a reserved domain can BE the
+# match (URLs/buckets). Credential-shaped families are never allowed: an
+# API key co-located on a line with an example.com fixture reference must
+# still report (ADVICE r13).
 ALLOW_LINE = re.compile(r"example\.(?:org|com|net)")
+ALLOWABLE_FAMILIES = {"internal-url", "bucket", "go-link"}
 
 
 def iter_files():
@@ -69,7 +74,8 @@ def main():
                 for ln, line in enumerate(f, 1):
                     for cat, pat in PATTERNS.items():
                         m = pat.search(line)
-                        if m and not ALLOW_LINE.search(line):
+                        if m and not (cat in ALLOWABLE_FAMILIES
+                                      and ALLOW_LINE.search(line)):
                             hits[cat].append(f"{path}:{ln}: {m.group(0)[:80]}")
         except OSError:
             continue
