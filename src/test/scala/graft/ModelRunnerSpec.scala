@@ -21,13 +21,25 @@ class ModelRunnerSpec extends SparkTestBase {
     assert(withCfg.deps == Set("a") && !withCfg.sql.contains("config"))
   }
 
-  test("unsupported jinja fails fast with a --build-mode dbt pointer") {
+  test("unsupported jinja fails fast, NAMING the construct, with a --build-mode dbt pointer") {
+    // VERDICT r12 #7: the refusal must tell the user WHICH construct the
+    // native runner refused, not just that something did — '{% set %}'
+    // and the macro call are the two shapes real projects hit first
     val e2 = intercept[IllegalArgumentException](ModelRunner.parse("m",
       "{% set x = 1 %}\nselect {{ x }} as v"))
     assert(e2.getMessage.contains("--build-mode dbt"))
+    assert(e2.getMessage.contains("{% set"),
+      s"refusal must name the '{% set %}' block: ${e2.getMessage}")
     val e3 = intercept[IllegalArgumentException](ModelRunner.parse("m",
       "select {{ my_macro('a') }} as v"))
     assert(e3.getMessage.contains("--build-mode dbt"))
+    assert(e3.getMessage.contains("my_macro"),
+      s"refusal must echo the unrendered macro call: ${e3.getMessage}")
+    val e4 = intercept[IllegalArgumentException](ModelRunner.parse("m",
+      "{% macro foo() %}select 1{% endmacro %}"))
+    assert(e4.getMessage.contains("{% macro") &&
+      e4.getMessage.contains("--build-mode dbt"),
+      s"refusal must name the macro definition block: ${e4.getMessage}")
   }
 
   test("var(): defaults, supplied values, CLI-over-project precedence, missing fails like dbt") {
