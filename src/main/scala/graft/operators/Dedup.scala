@@ -328,11 +328,14 @@ object Dedup {
     * exact sorted-merge intersect on hashed token arrays — no estimate
     * anywhere in the path, so unlike LSH the PREFIX INDEX cannot miss a
     * qualifying pair; only the explicit cap can. RECALL CONDITION: a
-    * qualifying pair is missed iff EVERY prefix token the two documents
-    * share sits in a bucket of more than `maxBucket` docs AND neither doc
-    * is among that bucket's `maxBucket` smallest ids — rare-first
-    * ordering makes overflowing prefix tokens the corpus's most common
-    * shingles, so exposure is measurable, and
+    * qualifying pair is missed iff its FIRST shared prefix token (in the
+    * global rare-first order — the witness the position filter always
+    * admits) is cap-dropped for one of the two docs, and every later
+    * shared token is cap-dropped too or fails the positional bound.
+    * With a non-binding cap (q334 certifies zero truncation for the
+    * shipped config) recall is exactly 100%. Overflowing prefix tokens
+    * are the corpus's most common shingles under rare-first ordering,
+    * so exposure is measurable, and
     * [[prefixFilterCapReport]] quantifies it from the SAME postings
     * build (truncated-token + foregone-posting counts; q334 gates it,
     * OperatorsSpec proves a cap-induced miss is counted, never silent).
@@ -347,15 +350,32 @@ object Dedup {
     val capped = prefix.withColumn("__brn", row_number().over(
         Window.partitionBy("__tok").orderBy(col("__doc"))))
       .filter(col("__brn") <= maxBucket)
-    val cands = capped.select(col("__tok"), col("__doc").as("a"))
-      .join(capped.select(col("__tok"), col("__doc").as("b")), "__tok")
+      .select(col("__tok"), col("__doc"), col("__n"), col("__rn"))
+    // the PP in PPJoin (Xiao et al.): a shared prefix token at global
+    // ranks (rn_a, rn_b) can witness J ≥ t only if the tokens at or after
+    // those ranks could still supply the required overlap —
+    // 1 + min(n_a−rn_a, n_b−rn_b) ≥ ⌈t(n_a+n_b)/(1+t)⌉ (integer form:
+    // ×(100+pct) both sides). Sound (with the length filter, the FIRST
+    // shared token of any qualifying pair passes it), so the verified
+    // output is unchanged; the oracle keeps the plain prefix-join
+    // candidates — a superset — and matches because verify is exact.
+    // On dense corpora it prunes late-rank (common-token) witnesses;
+    // note it cannot bound a corpus whose TRUE t-similar pair count is
+    // itself quadratic (measured on the 100× rehearsal set: tag-degraded
+    // trigrams made ~all same-replica pairs genuine candidates — see
+    // ScaleRehearsal.Flagships for why this query is not rehearsed).
+    val a = capped.toDF("__tok", "a", "a_n", "a_rn")
+    val b = capped.toDF("__tok", "b", "b_n", "b_rn")
+    val cands = a.join(b, "__tok")
       .filter(col("a") < col("b"))
+      .filter(least(col("a_n"), col("b_n")) * 100 >=
+        greatest(col("a_n"), col("b_n")) * minJaccardPct)
+      .filter((lit(1L) + least(col("a_n") - col("a_rn"), col("b_n") - col("b_rn"))) *
+        (100 + minJaccardPct) >= (col("a_n") + col("b_n")) * minJaccardPct)
       .select("a", "b").distinct()
-    val arrs = sets.select(col("__doc"), expr(
-        """sort_array(array_distinct(transform(__ts,
-          |  t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))))""".stripMargin)
-        .as("__ws"))
-      .withColumn("__wn", size(col("__ws")).cast("long"))
+    // verify on the SAME sorted hashed arrays candidate generation used —
+    // the sets are already distinct 57-bit ints, sorted at creation
+    val arrs = sets.select(col("__doc"), col("__ts").as("__ws"), col("__n").as("__wn"))
     cands
       .join(arrs.select(col("__doc").as("a"), col("__ws").as("a_ws"), col("__wn").as("a_n")), "a")
       .join(arrs.select(col("__doc").as("b"), col("__ws").as("b_ws"), col("__wn").as("b_n")), "b")
@@ -386,20 +406,37 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val words = Par.ensureParallel(df).select(col(idCol).as("__doc"),
       expr(s"filter(split($textCol, ' '), x -> x != '')").as("__w"))
+    // Shingles hash to 57-bit ints AT SET CREATION (base-31 code-point
+    // polynomial mod 2^57−13 — the q318/cdc family fold, identical in
+    // DuckDB): the exploded postings, the df aggregate, the rank window
+    // and the prefix self-join all move 8-byte longs instead of ~30-char
+    // strings, and the verify stage reuses the SAME sorted array — no
+    // second tokenize+md5 pass. r13: the string form measured 381 s at
+    // 100× (205× per 100× rows — postings spilled in the window/join
+    // stages); the hashed form is the one that scales. Prefix-lemma
+    // completeness holds for ANY consistent global token order, so
+    // ranking by (df, hash) instead of (df, string) changes candidates
+    // only through the cap; collisions (~n²/2^58 per doc) affect both
+    // engines identically.
+    val fold = "aggregate(split(%s, ''), 0L, " +
+      "(a, c) -> (a * 31 + ascii(c)) %% 144115188075855859L)"
     val setCol =
-      if (shingleWords <= 1) expr("array_distinct(__w)")
+      if (shingleWords <= 1)
+        expr(s"sort_array(array_distinct(transform(__w, t -> ${fold.format("t")})))")
       else expr(
         s"""CASE WHEN size(__w) >= $shingleWords
-           |  THEN array_distinct(transform(sequence(0, size(__w) - $shingleWords),
-           |    i -> array_join(slice(__w, i + 1, $shingleWords), ' ')))
-           |  ELSE array() END""".stripMargin)
-    val sets = words.select(col("__doc"), setCol.as("__ts")).localCheckpoint()
-    val toks = sets.select(col("__doc"), explode(col("__ts")).as("__tok"))
+           |  THEN sort_array(array_distinct(transform(sequence(0, size(__w) - $shingleWords),
+           |    i -> ${fold.format(s"array_join(slice(__w, i + 1, $shingleWords), ' ')")})))
+           |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+    val sets = words.select(col("__doc"), setCol.as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .localCheckpoint()
+    // per-doc set size rides the explode — no count() window pass
+    val toks = sets.select(col("__doc"), col("__n"), explode(col("__ts")).as("__tok"))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val ranked = toks.join(dfreq, "__tok")
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__doc").orderBy(col("__df"), col("__tok"))))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__doc")))
     val prefix = ranked.filter(
       col("__rn") <= col("__n") - expr(s"(__n * $minJaccardPct + 99) div 100") + 1)
     (sets, prefix)

@@ -7080,14 +7080,16 @@ object ExtensionQueries {
       Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
              |  FROM documents),
              |sets AS (SELECT doc_id,
-             |    list_distinct(list_transform(range(1, len(w) - 1),
-             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+             |    list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+             |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |             list_transform(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+             |               c -> CAST(ord(c) AS BIGINT))),
+             |             (a, c) -> (a * 31 + c) % 144115188075855859)))) AS ts
              |  FROM w WHERE len(w) >= 3),
-             |toks AS (SELECT doc_id, unnest(ts) AS tok FROM sets),
+             |toks AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS tok FROM sets),
              |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM toks GROUP BY 1),
-             |rk AS (SELECT doc_id, tok,
-             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn,
-             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |rk AS (SELECT doc_id, tok, n,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn
              |  FROM toks JOIN dfreq USING (tok)),
              |pre AS (SELECT doc_id, tok FROM rk WHERE rn <= n - (n * 50 + 99) // 100 + 1),
              |cap AS (SELECT doc_id, tok FROM (
@@ -7095,11 +7097,7 @@ object ExtensionQueries {
              |    FROM pre) WHERE brn <= 500),
              |cand AS (SELECT DISTINCT a.doc_id AS ad, b.doc_id AS bd
              |  FROM cap a JOIN cap b USING (tok) WHERE a.doc_id < b.doc_id),
-             |ws AS (SELECT doc_id,
-             |    list_sort(list_distinct(list_transform(ts,
-             |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT))) AS ws
-             |  FROM sets),
-             |w2 AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM ws),
+             |w2 AS (SELECT doc_id, ts AS ws, CAST(len(ts) AS BIGINT) AS n FROM sets),
              |v AS (SELECT ad, bd, x.n AS a_n, y.n AS b_n,
              |    CAST(len(list_intersect(x.ws, y.ws)) AS BIGINT) AS inter_n
              |  FROM cand JOIN w2 x ON x.doc_id = ad JOIN w2 y ON y.doc_id = bd
@@ -10689,23 +10687,29 @@ object ExtensionQueries {
       Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
              |  FROM documents),
              |s3 AS (SELECT doc_id,
-             |    list_distinct(list_transform(range(1, len(w) - 1),
-             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+             |    list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+             |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |             list_transform(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+             |               c -> CAST(ord(c) AS BIGINT))),
+             |             (a, c) -> (a * 31 + c) % 144115188075855859)))) AS ts
              |  FROM w WHERE len(w) >= 3),
-             |t3 AS (SELECT doc_id, unnest(ts) AS tok FROM s3),
+             |t3 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS tok FROM s3),
              |d3 AS (SELECT tok, count(*) AS dfc FROM t3 GROUP BY 1),
-             |r3 AS (SELECT doc_id, tok,
-             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn,
-             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |r3 AS (SELECT doc_id, tok, n,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn
              |  FROM t3 JOIN d3 USING (tok)),
              |p3 AS (SELECT tok FROM r3 WHERE rn <= n - (n * 50 + 99) // 100 + 1),
              |b3 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM p3 GROUP BY 1),
-             |s1 AS (SELECT doc_id, list_distinct(w) AS ts FROM w),
-             |t1 AS (SELECT doc_id, unnest(ts) AS tok FROM s1),
+             |s1 AS (SELECT doc_id,
+             |    list_sort(list_distinct(list_transform(w,
+             |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |             list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+             |             (a, c) -> (a * 31 + c) % 144115188075855859)))) AS ts
+             |  FROM w),
+             |t1 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS tok FROM s1),
              |d1 AS (SELECT tok, count(*) AS dfc FROM t1 GROUP BY 1),
-             |r1 AS (SELECT doc_id, tok,
-             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn,
-             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |r1 AS (SELECT doc_id, tok, n,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn
              |  FROM t1 JOIN d1 USING (tok)),
              |p1 AS (SELECT tok FROM r1 WHERE rn <= n - (n * 50 + 99) // 100 + 1),
              |b1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM p1 GROUP BY 1)
