@@ -21,11 +21,13 @@ cd "$(dirname "$0")/.."
 python3 tools/leakcheck.py
 
 shopt -s nullglob
+# COPYCHECK.json / PROGRESS.jsonl are .gitignore'd by the driver and stay so
 to_add=(BENCHOUT.json bench_best.json LEAKCHECK_LOCAL.json LEAKCHECK.json \
-        COPYCHECK.json BENCH_r*.json CORRECTNESS_r*.json PROGRESS.jsonl \
-        ADVICE.md VERDICT.md)
+        BENCH_r*.json CORRECTNESS_r*.json ADVICE.md VERDICT.md)
 existing=()
-for f in "${to_add[@]}"; do [[ -e "$f" ]] && existing+=("$f"); done
+for f in "${to_add[@]}"; do
+  [[ -e "$f" ]] && ! git check-ignore -q "$f" && existing+=("$f")
+done
 git add -- "${existing[@]}"
 
 if git diff --cached --quiet; then
