@@ -10622,10 +10622,13 @@ object ExtensionQueries {
             greatest(lit(0L), expr("(weight_x1000 + 2000) div 6"))))
         val samp = Sampling.weightedSample(enr, "doc_id", "keep_pct", maxWeight = 100)
         // weight-desc order with doc_id tiebreak, composed into the one
-        // unique ascending key selectByTokenBudget requires (doc_id is
-        // far below the 1e8 stride at any gate scale)
+        // unique ascending key selectByTokenBudget requires. Stride 1e12:
+        // |weight_x1000| stays under ~1e5 (a ±100-bit average is already
+        // extreme), so |__ord| < 1e17 cannot overflow, and doc_ids are
+        // unique below 1e12 — a corpus beyond that recomposes with a
+        // struct order, not a bigger stride
         val ord = samp.withColumn("__ord",
-          col("weight_x1000") * lit(-100000000L) + col("doc_id"))
+          col("weight_x1000") * lit(-1000000000000L) + col("doc_id"))
         val cut = Sampling.selectByTokenBudget(ord, "__ord", "n_toks", budget = 5000L)
         val tot = cut.agg(sum("n_toks").as("__t"))
         cut.groupBy("lang")
@@ -10647,7 +10650,7 @@ object ExtensionQueries {
              |samp AS (SELECT * FROM enr
              |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 100
              |        < keep_pct * 4294967296),
-             |ord AS (SELECT *, -weight_x1000 * 100000000 + doc_id AS o FROM samp),
+             |ord AS (SELECT *, -weight_x1000 * 1000000000000 + doc_id AS o FROM samp),
              |run AS (SELECT *, sum(n_toks) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING) AS cum
              |  FROM ord),
              |cut AS (SELECT * FROM run WHERE cum <= 5000),
