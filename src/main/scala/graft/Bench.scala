@@ -481,8 +481,12 @@ object Bench {
       scaled.foreach { case (n, s) => rehearsalFinal(s"${st.key}:$n") = s }
       val entries = scaled.map { case (n, s) =>
         val base = resultMap.getOrElse(n, 0.0)
+        // committed same-copies floor, same transparency rule as the main
+        // sweep's detail: sub-trigger drift must read correctly standalone
+        val floorField = rehearsalBest.get(s"${st.key}:$n")
+          .map(b => ",\"floor\":" + f(b)).getOrElse("")
         "\"" + n + "\":{\"sf01\":" + f(base) + ",\"" + st.key + "\":" + f(s) +
-          ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + "}"
+          ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + floorField + "}"
       }.mkString("{", ",", "}")
       val rerunField =
         if (wallRerun >= 0) {
