@@ -97,6 +97,26 @@ object Bench {
       case (None, Some(e))      => Some("[" + e + "]")
     }
 
+  /** Rehearsal-block rerun annotation, pure for its spec. A block that
+    * TRIPPED a guard must say so even when its re-run threw (r13 review
+    * finding: a thrown deferred re-run previously published the
+    * contaminated first pass with no marker at all — contamination was
+    * only visible on stderr). `wallRerun < 0` = the re-run did not
+    * complete; the record then carries `rerun_failed` plus the trigger
+    * reason so the block's numbers are read as UNCONFIRMED first-pass
+    * values, never as a clean block. */
+  private[graft] def rehearsalRerunField(tripped: Boolean, wallRerun: Double,
+      implausible: Boolean, adjacent: Boolean, fmt: Double => String): String =
+    if (!tripped) ""
+    else {
+      val why = if (implausible) "implausible" else "best-min-drift"
+      if (wallRerun >= 0) {
+        val windowing =
+          if (adjacent) "\"rerun_adjacent\":true" else "\"rerun_deferred\":true"
+        s""","wall_rerun":${fmt(wallRerun)},"reran":true,"rerun_reason":"$why",$windowing"""
+      } else s""","reran":false,"rerun_failed":true,"rerun_reason":"$why""""
+    }
+
   /** Sub-trigger contamination marker (r13, VERDICT r12 finding #2): a
     * published min can sit well over its best-known clean floor without
     * tripping the 2× rerun guard — r12 published q257 at 1.85× its floor
@@ -214,44 +234,44 @@ object Bench {
       System.err.println(s"[bench] prior $path unreadable, skipping: ${e.getMessage}")
       Map.empty
     }
-    val priorBest = parsePriorFile("bench_best.json")
+    // ONE parse of bench_best.json's detail yields the guard floors, the
+    // stale-floor valve's miss counters AND the permanent rebase
+    // histories — previously three separate read+parse passes of the
+    // same file (r13 review cleanup)
+    final case class BestEntry(min: Option[(Double, Long)], misses: Int,
+      rebases: Option[String])
+    def parseBestDetail(path: String): Map[String, BestEntry] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else JsonMethods.parse(java.nio.file.Files.readString(p)) \ "detail" match {
+        case JObject(fields) => fields.collect { case (name, q: JObject) =>
+          val m = q.obj.toMap
+          val mn = m.get("min").collect { case JDouble(d) => d; case JInt(i) => i.toDouble }
+          val ir = m.get("in_rows").collect { case JInt(i) => i.toLong; case JLong(l) => l }
+          val miss = m.get("misses").collect {
+            case JInt(i) => i.toInt; case JLong(l) => l.toInt }.getOrElse(0)
+          val reb = m.get("rebases").collect {
+            case a: JArray => JsonMethods.compact(JsonMethods.render(a)) }
+          name -> BestEntry(mn zip ir, miss, reb)
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] prior $path unreadable, skipping: ${e.getMessage}")
+      Map.empty
+    }
+    val bestDetail = parseBestDetail("bench_best.json")
+    val priorBest = bestDetail.flatMap { case (n, e) => e.min.map(n -> _) }
     val priorLast = parsePriorFile("BENCHOUT.json")
     val prior: Map[String, (Double, Long)] =
       (priorBest.keySet ++ priorLast.keySet).iterator.flatMap { n =>
         Bench.bestPrior(priorBest.get(n), priorLast.get(n)).map(n -> _)
       }.toMap
-    // consecutive guard-miss counts per query (the stale-floor valve's
-    // persisted state; see [[Bench.missUpdate]]) — bench_best.json only
-    val priorMisses: Map[String, Int] = try {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      val p = java.nio.file.Paths.get("bench_best.json")
-      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
-      else JsonMethods.parse(java.nio.file.Files.readString(p)) \ "detail" match {
-        case JObject(fields) => fields.collect { case (name, q: JObject) =>
-          q.obj.toMap.get("misses").collect {
-            case JInt(i) => name -> i.toInt
-            case JLong(l) => name -> l.toInt
-          }
-        }.flatten.toMap
-        case _ => Map.empty
-      }
-    } catch { case _: Throwable => Map.empty }
-    // permanent per-query rebase history ([[Bench.appendRebase]]): carried
-    // verbatim as compact JSON arrays, appended on this sweep's rebases
-    val priorRebases: Map[String, String] = try {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      val p = java.nio.file.Paths.get("bench_best.json")
-      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
-      else JsonMethods.parse(java.nio.file.Files.readString(p)) \ "detail" match {
-        case JObject(fields) => fields.collect { case (name, q: JObject) =>
-          q.obj.toMap.get("rebases").collect { case arr: JArray =>
-            name -> JsonMethods.compact(JsonMethods.render(arr)) }
-        }.flatten.toMap
-        case _ => Map.empty
-      }
-    } catch { case _: Throwable => Map.empty }
+    val priorMisses: Map[String, Int] = bestDetail.map { case (n, e) => n -> e.misses }
+    val priorRebases: Map[String, String] =
+      bestDetail.flatMap { case (n, e) => e.rebases.map(n -> _) }
     // rebase provenance: the commit the rebased floor was measured at
     val headCommit: String = try {
       val pr = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
@@ -488,12 +508,8 @@ object Bench {
         "\"" + n + "\":{\"sf01\":" + f(base) + ",\"" + st.key + "\":" + f(s) +
           ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + floorField + "}"
       }.mkString("{", ",", "}")
-      val rerunField =
-        if (wallRerun >= 0) {
-          val why = if (st.implausible) "implausible" else "best-min-drift"
-          val windowing = if (adjacent) "\"rerun_adjacent\":true" else "\"rerun_deferred\":true"
-          s""","wall_rerun":${f(wallRerun)},"reran":true,"rerun_reason":"$why",$windowing"""
-        } else ""
+      val rerunField = Bench.rehearsalRerunField(
+        st.implausible || st.drifted.nonEmpty, wallRerun, st.implausible, adjacent, f)
       st.key ->
         s""","${st.key}":{"copies":${st.copies},"wall":${f(st.wall)}$rerunField,"load":{"start":"${st.loadBefore}","end":"$loadAfter"},"queries":$entries}"""
     }.toMap

@@ -355,10 +355,13 @@ object Dedup {
     // ranks (rn_a, rn_b) can witness J ≥ t only if the tokens at or after
     // those ranks could still supply the required overlap —
     // 1 + min(n_a−rn_a, n_b−rn_b) ≥ ⌈t(n_a+n_b)/(1+t)⌉ (integer form:
-    // ×(100+pct) both sides). Sound (with the length filter, the FIRST
-    // shared token of any qualifying pair passes it), so the verified
-    // output is unchanged; the oracle keeps the plain prefix-join
-    // candidates — a superset — and matches because verify is exact.
+    // ×(100+pct) both sides). With an UNCAPPED (or non-binding) bucket
+    // the filter is sound — the first shared token of any qualifying
+    // pair passes it; when the cap binds, cap and position filter can
+    // interact (the surviving witness may be position-pruned), so the
+    // q257 oracle applies the IDENTICAL length+position bounds to its
+    // candidates — parity is formula-level, not
+    // superset-plus-exact-verify (r13 review finding).
     // On dense corpora it prunes late-rank (common-token) witnesses;
     // note it cannot bound a corpus whose TRUE t-similar pair count is
     // itself quadratic (measured on the 100× rehearsal set: tag-degraded
@@ -449,9 +452,10 @@ object Dedup {
     * overflows `maxBucket`; `n_foregone_postings` sums the postings the
     * cap drops (each a doc the candidate join will never pair through
     * that token). Zero truncation ⇒ the join is provably complete at the
-    * threshold; non-zero bounds the exposure (a pair is missed only if
-    * ALL its shared prefix tokens truncated it away — see the recall
-    * condition on [[prefixFilterPairs]]). The q318 skipped-block pattern:
+    * threshold; non-zero bounds the exposure (a truncated first witness
+    * can also strand a pair on position-pruned later witnesses — the
+    * full recall condition is on [[prefixFilterPairs]], and every miss
+    * path starts with a posting counted here). The q318 skipped-block pattern:
     * a cap is a contract, so it reports what it declined, never silently.
     * Scale: the postings build's keyed shuffles plus one global agg row. */
   def prefixFilterCapReport(df: DataFrame, idCol: String, textCol: String,

@@ -47,10 +47,15 @@ object Par {
   /** `df`, round-robin repartitioned up to the session's shuffle
     * parallelism iff it is scan-rooted AND its current plan yields fewer
     * partitions. Non-scan-rooted inputs pass through untouched (reference-
-    * identical): a shuffled/aggregated frame already carries session
-    * parallelism, and probing its partition count would eagerly run its
-    * upstream stages (see [[scanRooted]]) — the guard exists for the
-    * single-file-scan shape, not for mid-pipeline frames.
+    * identical): probing their partition count would eagerly run the
+    * upstream stages (see [[scanRooted]]), and their final parallelism
+    * is not even knowable pre-execution under AQE. CALLER CONTRACT for
+    * exchange-rooted frames: a shuffled/aggregated frame normally carries
+    * session parallelism, but AQE coalesces a SMALL shuffle output
+    * (under the advisory partition size) down to few partitions — if you
+    * feed such a frame into a row-exploding stage, add an explicit
+    * `repartition` yourself; this guard deliberately will not touch it
+    * (every in-repo call site passes raw scans or localCheckpoints).
     * `spark.graft.scanParallel=false` disables the guard (A/B lever). */
   def ensureParallel(df: DataFrame): DataFrame = {
     if (sys.env.get("GRAFT_SCAN_PARALLEL").contains("false") ||

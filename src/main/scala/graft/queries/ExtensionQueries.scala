@@ -7091,12 +7091,15 @@ object ExtensionQueries {
              |rk AS (SELECT doc_id, tok, n,
              |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn
              |  FROM toks JOIN dfreq USING (tok)),
-             |pre AS (SELECT doc_id, tok FROM rk WHERE rn <= n - (n * 50 + 99) // 100 + 1),
-             |cap AS (SELECT doc_id, tok FROM (
-             |    SELECT doc_id, tok, row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS brn
+             |pre AS (SELECT doc_id, tok, n, rn FROM rk WHERE rn <= n - (n * 50 + 99) // 100 + 1),
+             |cap AS (SELECT doc_id, tok, n, rn FROM (
+             |    SELECT doc_id, tok, n, rn,
+             |      row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS brn
              |    FROM pre) WHERE brn <= 500),
              |cand AS (SELECT DISTINCT a.doc_id AS ad, b.doc_id AS bd
-             |  FROM cap a JOIN cap b USING (tok) WHERE a.doc_id < b.doc_id),
+             |  FROM cap a JOIN cap b USING (tok) WHERE a.doc_id < b.doc_id
+             |    AND least(a.n, b.n) * 100 >= greatest(a.n, b.n) * 50
+             |    AND (1 + least(a.n - a.rn, b.n - b.rn)) * 150 >= (a.n + b.n) * 50),
              |w2 AS (SELECT doc_id, ts AS ws, CAST(len(ts) AS BIGINT) AS n FROM sets),
              |v AS (SELECT ad, bd, x.n AS a_n, y.n AS b_n,
              |    CAST(len(list_intersect(x.ws, y.ws)) AS BIGINT) AS inter_n
@@ -10729,6 +10732,53 @@ object ExtensionQueries {
              |  CAST(sum(CASE WHEN c > 10 THEN c - 10 ELSE 0 END) AS BIGINT)
              |FROM b1
              |ORDER BY config""".stripMargin)
+    ),
+
+    // Prefix-filter pairs under a BINDING cap: the cap/position-filter
+    // interplay certified value-exact, not argued (r13 review: when the
+    // cap binds, the position filter is no longer a sound superset
+    // reduction, so engine and oracle must apply IDENTICAL candidate
+    // bounds — this config makes the cap bind on 17 of 24 prefix tokens
+    // at sf0.01, and the oracle replays cap, length bound and positional
+    // bound formula-identically). Complements q334 (which certifies the
+    // shipped q257 config never truncates) and the OperatorsSpec fixture
+    // (which pins the miss-is-counted property).
+    QueryDef(
+      "q335_prefix_binding_cap",
+      (s, dir) =>
+        orderedOut(Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
+            minJaccardPct = 60, maxBucket = 10, shingleWords = 1),
+          "a_doc_id", "b_doc_id"),
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+             |  FROM documents),
+             |sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(w,
+             |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 144115188075855859)))) AS ts FROM w),
+             |toks AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS tok FROM sets),
+             |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM toks GROUP BY 1),
+             |rk AS (SELECT doc_id, tok, n,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn
+             |  FROM toks JOIN dfreq USING (tok)),
+             |pre AS (SELECT doc_id, tok, n, rn FROM rk WHERE rn <= n - (n * 60 + 99) // 100 + 1),
+             |cap AS (SELECT doc_id, tok, n, rn FROM (
+             |    SELECT doc_id, tok, n, rn,
+             |      row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS brn
+             |    FROM pre) WHERE brn <= 10),
+             |cand AS (SELECT DISTINCT a.doc_id AS ad, b.doc_id AS bd
+             |  FROM cap a JOIN cap b USING (tok) WHERE a.doc_id < b.doc_id
+             |    AND least(a.n, b.n) * 100 >= greatest(a.n, b.n) * 60
+             |    AND (1 + least(a.n - a.rn, b.n - b.rn)) * 160 >= (a.n + b.n) * 60),
+             |w2 AS (SELECT doc_id, ts AS ws, CAST(len(ts) AS BIGINT) AS n FROM sets),
+             |v AS (SELECT ad, bd, x.n AS a_n, y.n AS b_n,
+             |    CAST(len(list_intersect(x.ws, y.ws)) AS BIGINT) AS inter_n
+             |  FROM cand JOIN w2 x ON x.doc_id = ad JOIN w2 y ON y.doc_id = bd
+             |  WHERE least(x.n, y.n) * 100 >= greatest(x.n, y.n) * 60)
+             |SELECT ad AS a_doc_id, bd AS b_doc_id, a_n, b_n, inter_n,
+             |  CAST(a_n + b_n - inter_n AS BIGINT) AS union_n,
+             |  CAST(inter_n * 100 // (a_n + b_n - inter_n) AS BIGINT) AS jaccard_pct
+             |FROM v WHERE inter_n * 160 >= (a_n + b_n) * 60
+             |ORDER BY a_doc_id, b_doc_id""".stripMargin)
     )
   )
 

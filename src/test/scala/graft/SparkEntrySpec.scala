@@ -139,6 +139,28 @@ class SparkEntrySpec extends SparkTestBase {
     assert(Bench.rehearsalDrifted(Seq("q138_trained_langid" -> 32.05), "sf1", best).isEmpty)
   }
 
+  test("a tripped rehearsal block is NEVER published clean, even when its re-run fails (r13)") {
+    val fmt = (d: Double) => f"$d%.4f"
+    // untripped block: no annotation
+    assert(Bench.rehearsalRerunField(tripped = false, 12.0, implausible = false,
+      adjacent = false, fmt) == "")
+    // tripped + deferred re-run completed
+    val ok = Bench.rehearsalRerunField(tripped = true, 12.5, implausible = true,
+      adjacent = false, fmt)
+    assert(ok.contains("\"reran\":true") && ok.contains("\"rerun_reason\":\"implausible\"")
+      && ok.contains("\"rerun_deferred\":true") && ok.contains("\"wall_rerun\":12.5000"))
+    // tripped, last-block-only case: adjacency stated, not a later-window claim
+    assert(Bench.rehearsalRerunField(tripped = true, 12.5, implausible = false,
+      adjacent = true, fmt).contains("\"rerun_adjacent\":true"))
+    // tripped but the re-run THREW (wallRerun < 0): the trigger must still
+    // surface — the old code emitted nothing and the contaminated first
+    // pass read as a clean block
+    val failed = Bench.rehearsalRerunField(tripped = true, -1.0, implausible = false,
+      adjacent = false, fmt)
+    assert(failed.contains("\"rerun_failed\":true") && failed.contains("\"reran\":false")
+      && failed.contains("\"rerun_reason\":\"best-min-drift\""))
+  }
+
   test("rehearsal blocks re-run when a ratio is physically implausible (r12)") {
     // r11's contaminated sf1 block: q88 ratio 43.4x for 10 copies -> trip
     assert(Bench.rehearsalContaminated(Seq(5.2, 43.4, 21.0), 10))

@@ -17,8 +17,14 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-# refresh the self-evidencing leak scan at the exact state being committed
-python3 tools/leakcheck.py
+# refresh the self-evidencing leak scan at the exact state being committed.
+# A hit must NOT abort the close-out (r13 review: set -e would kill the
+# script before anything was staged, leaving the tree dirty at judging —
+# the exact failure this script exists to prevent). Commit the records,
+# hits and all (LEAKCHECK_LOCAL.json carries them, auditable), then fail
+# LOUDLY at the end.
+leak_rc=0
+python3 tools/leakcheck.py || leak_rc=$?
 
 shopt -s nullglob
 # COPYCHECK.json / PROGRESS.jsonl are .gitignore'd by the driver and stay so
@@ -39,3 +45,7 @@ Staged by tools/closeout.sh so the round's measurement artifacts are
 tracked at judging time instead of sitting dirty in the working tree."
 fi
 git status --short
+if [[ $leak_rc -ne 0 ]]; then
+  echo "closeout: FAILED — leakcheck reported hits (see LEAKCHECK_LOCAL.json, committed above); fix and re-run" >&2
+  exit "$leak_rc"
+fi
