@@ -87,15 +87,25 @@ object Bench {
     * through the valve would lose its audit trail one sweep later. So
     * bench_best.json accumulates every rebase as
     * `{old_floor, new_floor, commit}` forever: `prior` is the query's
-    * existing compact JSON array (carried verbatim), `entry` this sweep's
-    * rebase object if any. Pure string surgery on the closing bracket —
-    * the file is append-only history, never re-modeled. */
-  private[graft] def appendRebase(prior: Option[String], entry: Option[String]): Option[String] =
-    (prior.filter(_ != "[]"), entry) match {
-      case (Some(arr), Some(e)) => Some(arr.dropRight(1) + "," + e + "]")
-      case (a, None)            => a
-      case (None, Some(e))      => Some("[" + e + "]")
-    }
+    * existing JSON array, `entry` this sweep's rebase object if any.
+    * Appended at the JValue level (r13 ADVICE closed the string-surgery
+    * form: concatenating at the closing bracket emitted malformed JSON
+    * for any prior whose text wasn't exactly compact-rendered, and the
+    * next sweep's whole-file parse failure then silently dropped every
+    * floor/miss/history). A prior that doesn't parse as an array throws,
+    * so the caller's per-file catch stays the only failure path. */
+  private[graft] def appendRebase(prior: Option[String], entry: Option[String]): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val priorArr: List[JValue] = prior.map(JsonMethods.parse(_)).map {
+      case JArray(xs) => xs
+      case other => throw new IllegalArgumentException(
+        s"rebases history must be a JSON array, got: ${JsonMethods.compact(JsonMethods.render(other))}")
+    }.getOrElse(Nil)
+    val merged = priorArr ++ entry.map(JsonMethods.parse(_)).toList
+    if (merged.isEmpty) None
+    else Some(JsonMethods.compact(JsonMethods.render(JArray(merged))))
+  }
 
   /** Rehearsal-block rerun annotation, pure for its spec. A block that
     * TRIPPED a guard must say so even when its re-run threw (r13 review
@@ -272,12 +282,21 @@ object Bench {
     val priorMisses: Map[String, Int] = bestDetail.map { case (n, e) => n -> e.misses }
     val priorRebases: Map[String, String] =
       bestDetail.flatMap { case (n, e) => e.rebases.map(n -> _) }
-    // rebase provenance: the commit the rebased floor was measured at
+    // rebase provenance: the commit the rebased floor was measured at.
+    // A dirty working tree gets a "-dirty" marker (r13 ADVICE): without
+    // it, a rebase measured on uncommitted code is attributed to a
+    // commit that does not contain that code.
     val headCommit: String = try {
       val pr = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
       val out = new String(pr.getInputStream.readAllBytes()).trim
       pr.waitFor()
-      if (out.matches("[0-9a-f]{4,40}")) out else ""
+      if (!out.matches("[0-9a-f]{4,40}")) ""
+      else {
+        val st = new ProcessBuilder("git", "status", "--porcelain").start()
+        val dirty = new String(st.getInputStream.readAllBytes()).trim.nonEmpty
+        st.waitFor()
+        if (dirty) out + "-dirty" else out
+      }
     } catch { case _: Throwable => "" }
     // rehearsal best-known minima (keyed "sf10:qname") with the fixture
     // dir they were measured against; the drift guard compares only
@@ -477,7 +496,8 @@ object Bench {
       rehearsalFirst("sf10", 100, "target/testdata-x100", "SPARK_GRAFT_SKIP_SF10", reps = 1)
     ).flatten
     var rerunsSoFar = 0
-    val blockJson: Map[String, String] = firstPasses.zipWithIndex.map { case (st, i) =>
+    // per block: (full JSON fragment for BENCHOUT, compact twin for stdout)
+    val blockJson: Map[String, (String, String)] = firstPasses.zipWithIndex.map { case (st, i) =>
       var scaled = st.scaled
       var wallRerun = -1.0
       // the deferral is real except one unavoidable case: when the LAST
@@ -510,11 +530,24 @@ object Bench {
       }.mkString("{", ",", "}")
       val rerunField = Bench.rehearsalRerunField(
         st.implausible || st.drifted.nonEmpty, wallRerun, st.implausible, adjacent, f)
+      // compact twin for the stdout headline line: the full per-query
+      // block re-bloated that line past the driver's 2000-char tail
+      // capture in r12 AND r13 (both recorded parsed:null) — the summary
+      // keeps block health (copies, wall, rerun state, worst ratio)
+      // visible to the driver while BENCHOUT.json carries the detail
+      val ratios = scaled.flatMap { case (n, s) =>
+        resultMap.get(n).filter(_ > 0).map(s / _) }
+      val maxRatio = if (ratios.nonEmpty) ratios.max else -1.0
+      val compact =
+        s""","${st.key}":{"copies":${st.copies},"wall":${f(st.wall)}$rerunField,"n_queries":${scaled.size},"max_ratio":${f(maxRatio)}}"""
       st.key ->
-        s""","${st.key}":{"copies":${st.copies},"wall":${f(st.wall)}$rerunField,"load":{"start":"${st.loadBefore}","end":"$loadAfter"},"queries":$entries}"""
+        (s""","${st.key}":{"copies":${st.copies},"wall":${f(st.wall)}$rerunField,"load":{"start":"${st.loadBefore}","end":"$loadAfter"},"queries":$entries}""",
+          compact)
     }.toMap
-    val sf1Json = blockJson.getOrElse("sf1", "")
-    val sf10Json = blockJson.getOrElse("sf10", "")
+    val sf1Json = blockJson.get("sf1").map(_._1).getOrElse("")
+    val sf10Json = blockJson.get("sf10").map(_._1).getOrElse("")
+    val sf1Head = blockJson.get("sf1").map(_._2).getOrElse("")
+    val sf10Head = blockJson.get("sf10").map(_._2).getOrElse("")
 
     val loadEnd = loadavg()
     val loadJson = s""""load":{"start":"$loadStart","end":"$loadEnd"}"""
@@ -618,7 +651,15 @@ object Bench {
       val resultMap = results.toMap
       val hq = headline.flatMap(k => resultMap.get(k).map(v => "\"" + k + "\":" + f(v)))
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Json$sf10Json,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
+      // sf1Head/sf10Head, not the full blocks: r12/r13 appended the
+      // per-query rehearsal detail here and the line outgrew the
+      // driver's 2000-char tail again (parsed:null both rounds). Belt
+      // and braces: if some future field regrows the line past the
+      // window, drop the queries map — a parseable summary beats a
+      // truncated detailed one.
+      val full = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
+      if (full.length <= 1800) println(full)
+      else println(s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
     }
     spark.stop()
   }

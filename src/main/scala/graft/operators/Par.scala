@@ -25,6 +25,8 @@ object Par {
   import org.apache.spark.sql.catalyst.plans.logical.{
     Filter => LFilter, LeafNode, LogicalPlan, Project, Repartition, SubqueryAlias, Union}
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** True iff `plan` is a bare relation (scan, local data, checkpointed
     * RDD) under nothing but narrow row-wise wrappers — the only shape
     * whose partition count is safe to inspect EAGERLY. Anything that
@@ -60,7 +62,17 @@ object Par {
   def ensureParallel(df: DataFrame): DataFrame = {
     if (sys.env.get("GRAFT_SCAN_PARALLEL").contains("false") ||
       df.sparkSession.conf.get("spark.graft.scanParallel", "true") == "false") return df
-    if (!scanRooted(df.queryExecution.analyzed)) return df
+    if (!scanRooted(df.queryExecution.analyzed)) {
+      // r13 ADVICE: the decline is deliberate (see CALLER CONTRACT above)
+      // but was invisible — a library caller feeding an AQE-coalesced
+      // aggregate into a row-exploding stage lost the guard with no
+      // signal. One debug line makes the regression diagnosable.
+      log.debug(
+        "ensureParallel: non-scan-rooted plan ({}) passed through unguarded; " +
+          "add an explicit repartition if this feeds a row-exploding stage",
+        df.queryExecution.analyzed.nodeName)
+      return df
+    }
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

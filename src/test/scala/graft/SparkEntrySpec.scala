@@ -106,7 +106,10 @@ class SparkEntrySpec extends SparkTestBase {
 
   test("rebase history accumulates in bench_best.json, never overwritten (r13)") {
     val e1 = """{"old_floor":0.36,"new_floor":1.01,"commit":"1a73220"}"""
-    val e2 = """{"old_floor":1.01,"new_floor":2.20,"commit":"deadbee"}"""
+    // numeric literals in canonical (shortest round-trip) form: the
+    // JValue-level append re-renders numbers, so 2.20 would normalize
+    // to 2.2 — values, not fixed-point rendering, are the history
+    val e2 = """{"old_floor":1.01,"new_floor":2.2,"commit":"deadbee"}"""
     // first rebase opens the array
     assert(Bench.appendRebase(None, Some(e1)).contains(s"[$e1]"))
     // second rebase APPENDS — the prior entry survives (the ADVICE gap:
@@ -118,6 +121,14 @@ class SparkEntrySpec extends SparkTestBase {
     // a degenerate empty array never produces malformed JSON
     assert(Bench.appendRebase(Some("[]"), Some(e1)).contains(s"[$e1]"))
     assert(Bench.appendRebase(Some("[]"), None).isEmpty)
+    // r13 ADVICE: a hand-edited prior with stray whitespace must append
+    // cleanly (the old closing-bracket string surgery emitted "...} ,{...]"
+    // -level garbage and the NEXT round's whole-file parse then dropped
+    // every floor) — JValue-level append normalizes it
+    assert(Bench.appendRebase(Some(s"[ $e1 ]\n"), Some(e2)).contains(s"[$e1,$e2]"))
+    // a prior that isn't an array is corruption: throw to the caller's
+    // per-file catch rather than silently re-modeling the history
+    assertThrows[Exception](Bench.appendRebase(Some("""{"not":"an array"}"""), Some(e1)))
   }
 
   test("rehearsal blocks re-run when an entry drifts >2x its best-known floor (r12)") {

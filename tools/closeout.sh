@@ -34,7 +34,12 @@ existing=()
 for f in "${to_add[@]}"; do
   [[ -e "$f" ]] && ! git check-ignore -q "$f" && existing+=("$f")
 done
-git add -- "${existing[@]}"
+# bash <4.4 under `set -u` treats an empty-array expansion as an unbound
+# variable (r13 ADVICE) — an empty list would abort the close-out this
+# script exists to guarantee, so only expand when non-empty.
+if [[ ${#existing[@]} -gt 0 ]]; then
+  git add -- "${existing[@]}"
+fi
 
 if git diff --cached --quiet; then
   echo "closeout: records already committed; nothing to do"
