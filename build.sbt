@@ -12,7 +12,10 @@ libraryDependencies ++= Seq(
 // Warning-clean as of r12 (deprecations, existentials, inexhaustive
 // matches all fixed) — keep the flags on so regressions surface in
 // every compile instead of accumulating silently.
-ThisBuild / scalacOptions ++= Seq("-deprecation", "-feature")
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-feature",
+  // non-ASCII source (Cyrillic confusable fixtures in q225's oracle) must
+  // not depend on the JVM's platform charset
+  "-encoding", "UTF-8")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -1234,4 +1234,84 @@ object TextAnalysis {
           lit(206835L) - expr("(1015 * n_words) div n_sentences") -
             expr("(84600 * n_syllables) div n_words")))
   }
+
+  /** Blocklist filter — the C4-style "bad words" gate (C4 drops any page
+    * containing a term from a fixed blocklist; RefinedWeb and FineWeb run
+    * the same shape with curated lists). Phrases of one or two tokens are
+    * matched case-insensitively against whitespace tokens / adjacent
+    * token pairs. Per doc: unigram hits, bigram hits, and the drop flag.
+    *
+    * Scale: the list ships as a LITERAL array inside the codegen'd
+    * filter — for the real lists (hundreds of terms) this is still a
+    * constant-time-per-token `array_contains` with zero shuffle and zero
+    * broadcast machinery; the whole operator is map-side, so it composes
+    * with the scan and survives any fan-out. (A list big enough to need
+    * a broadcast join stops being a blocklist and becomes q236's
+    * contamination check.) Bigrams come from `zip_with(toks,
+    * slice(toks, 2, ...))` — no explode, no per-token rows. */
+  def blocklistHits(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.forall(p => p.split(" ").length <= 2 && p.trim.nonEmpty),
+      "blocklist phrases must be one or two space-separated tokens")
+    val (bigrams, unigrams) = phrases.map(_.toLowerCase).partition(_.contains(" "))
+    def litArr(ws: Seq[String]) =
+      if (ws.isEmpty) "array('')" else ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val toks = s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')"
+    val bigs = s"zip_with($toks, slice($toks, 2, greatest(size($toks) - 1, 0)), " +
+      "(x, y) -> concat(x, ' ', y))"
+    df.select(
+      col(idCol),
+      size(expr(s"filter($toks, t -> array_contains(${litArr(unigrams)}, t))"))
+        .cast("long").as("n_uni_hits"),
+      // zip_with pads the shorter side with NULL; concat(x, NULL) is NULL
+      // and array_contains never matches it, so the trailing pair is inert
+      size(expr(s"filter($bigs, b -> array_contains(${litArr(bigrams)}, b))"))
+        .cast("long").as("n_bi_hits"))
+      .withColumn("blocked",
+        (col("n_uni_hits") + col("n_bi_hits") > 0).cast("long"))
+  }
+
+  /** Character-level Shannon entropy in HALF-BITS — the true-entropy
+    * upgrade of q149's Gini–Simpson diversity (which went log-free
+    * because float log2 is not cross-engine exact). r13's integer
+    * half-bit log (floor(2·log2 n) = length(bin(n²))−1, see
+    * [[Dsir.halfBitLog2]]) makes real entropy engine-exact: with run
+    * counts c over N codepoints,
+    *   numer = N·hb(N) − Σ c·hb(c)  (= Σ c·(hb(N)−hb(c)) ≥ 0, monotone),
+    *   entropy ≈ numer / (2N) bits/char; we publish numer and
+    *   `ent_halfbits` = numer div N. English text sits near 8 halfbits
+    *   (4 bits/char); base64/random runs ≥ 11; "aaaa…" ≥ 0 — the
+    * gibberish/boilerplate screen quality pipelines run alongside the
+    * Gopher rules. The simple hb regime suffices: c ≤ N = one document's
+    * codepoint count, far under the 2^31 regime boundary.
+    *
+    * Scale: one codegen'd `aggregate` over the SORTED codepoint array
+    * computes all run counts map-side — no per-character explode, no
+    * (doc, char) shuffle, nothing leaves the row. The sort is per-row
+    * over one document's characters (n log n on a few KB), the same
+    * cost class every shingle operator here already pays. */
+  def charEntropyHalfBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // run-length accumulator over the sorted codepoints: (prev, run, acc);
+    // each run boundary folds run·hb(run) into acc, the finisher flushes
+    // the last run. hb(run) inline: length(bin(run²))−1 (run ≥ 1 always).
+    val hb = (n: String) => s"CAST(length(bin($n * $n)) - 1 AS BIGINT)"
+    val sumChb = s"""aggregate(
+      array_sort(filter(split($textCol, ''), c -> c != '')),
+      named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+      (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+        named_struct('prev', x, 'run', s.run + CAST(1 AS BIGINT), 'acc', s.acc),
+        named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+          'acc', s.acc + IF(s.prev IS NULL, CAST(0 AS BIGINT), s.run * ${hb("s.run")}))),
+      s -> s.acc + IF(s.prev IS NULL, CAST(0 AS BIGINT), s.run * ${hb("s.run")}))"""
+    df.select(
+      col(idCol),
+      size(expr(s"filter(split($textCol, ''), c -> c != '')")).cast("long").as("n_cp"),
+      expr(sumChb).as("sum_chb"))
+      .withColumn("ent_numer_hb",
+        when(col("n_cp") === 0, lit(0L))
+          .otherwise(col("n_cp") * expr(hb("n_cp")) - col("sum_chb")))
+      // div: both operands non-negative, so Spark div ≡ DuckDB //
+      .withColumn("ent_halfbits",
+        when(col("n_cp") === 0, lit(0L)).otherwise(expr("ent_numer_hb div n_cp")))
+  }
 }

@@ -5604,7 +5604,7 @@ object ExtensionQueries {
       }
     ),
 
-    // Mixed-script (confusable) token audit: Cyrillic а/е/о planted into
+    // Mixed-script (confusable) token audit: Cyrillic \u0430/\u0435/\u043e planted into
     // every 11th doc via translate, detected as tokens carrying BOTH Latin
     // letters and Cyrillic vowels — the homoglyph-spoof gate a security-
     // aware text pipeline runs. Scan-fused projections, one aggregate.
@@ -5613,7 +5613,7 @@ object ExtensionQueries {
       (s, dir) => {
         val base = t(s, dir, "documents")
         val d = base.select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, translate(col("text"), "aeo", "аео"))
+          when(col("doc_id") % 11 === 0, translate(col("text"), "aeo", "\u0430\u0435\u043e"))
             .otherwise(col("text")).as("t2"))
         val toks = d.select(col("doc_id"),
           explode(expr("filter(split(t2, '\\\\s+'), x -> x != '')")).as("tok"))
@@ -5622,7 +5622,7 @@ object ExtensionQueries {
         // two rlike evaluations per token; same result, ~2x the scan)
         val latin = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
         val hasLatin = length(translate(col("tok"), latin, "")) < length(col("tok"))
-        val hasCyr = length(translate(col("tok"), "аео", "")) < length(col("tok"))
+        val hasCyr = length(translate(col("tok"), "\u0430\u0435\u043e", "")) < length(col("tok"))
         val agg = toks.groupBy("doc_id").agg(
           count(lit(1)).as("n_tokens"),
           sum(when(hasLatin && hasCyr, 1L).otherwise(0L)).as("n_mixed"))
@@ -10779,6 +10779,70 @@ object ExtensionQueries {
              |  CAST(inter_n * 100 // (a_n + b_n - inter_n) AS BIGINT) AS jaccard_pct
              |FROM v WHERE inter_n * 160 >= (a_n + b_n) * 60
              |ORDER BY a_doc_id, b_doc_id""".stripMargin)
+    ),
+
+    // C4-style blocklist gate (r14): C4 drops any page containing a term
+    // from its fixed "bad words" list; RefinedWeb/FineWeb run the same
+    // shape with curated lists. One- and two-token phrases, matched
+    // case-insensitively — entirely map-side (literal-array contains in
+    // the codegen'd filter, bigrams via zip_with — no explode, no join,
+    // no shuffle), so the gate composes with the scan at any corpus size.
+    // Terms chosen from the fixture vocabulary so both hit kinds occur.
+    QueryDef(
+      "q336_blocklist_filter",
+      (s, dir) =>
+        orderedOut(
+          TextAnalysis.blocklistHits(tParallel(s, dir, "documents"), "doc_id", "text",
+            phrases = Seq("dup", "fast", "table hash", "merge group")),
+          "doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |hits AS (SELECT doc_id,
+             |    CAST(len(list_filter(toks, t -> list_contains(['dup', 'fast'], t))) AS BIGINT) AS n_uni_hits,
+             |    CAST(len(list_filter(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+             |      b -> list_contains(['table hash', 'merge group'], b))) AS BIGINT) AS n_bi_hits
+             |  FROM tk)
+             |SELECT doc_id, n_uni_hits, n_bi_hits,
+             |  CAST(n_uni_hits + n_bi_hits > 0 AS BIGINT) AS blocked
+             |FROM hits ORDER BY doc_id""".stripMargin)
+    ),
+
+    // True character-level Shannon entropy in half-bits (r14) — the
+    // gibberish/boilerplate screen, upgrading q149's log-free Gini–Simpson
+    // diversity now that r13's integer half-bit log (floor(2·log2 n) =
+    // length(bin(n²))−1, cross-engine exact) makes real entropy gateable:
+    // numer = N·hb(N) − Σ c·hb(c) over run counts c of N codepoints,
+    // entropy ≈ numer/2N bits/char. Spark computes every run count
+    // MAP-SIDE via one codegen'd aggregate over the sorted codepoint
+    // array (no per-character explode, no (doc,char) shuffle — nothing
+    // leaves the row); the oracle replays the identical formula the
+    // relational way (unnest + GROUP BY), so the gate also certifies the
+    // HOF run-length fold against the set-semantics definition.
+    QueryDef(
+      "q337_entropy_halfbit",
+      (s, dir) =>
+        orderedOut(
+          TextAnalysis.charEntropyHalfBits(tParallel(s, dir, "documents"), "doc_id", "text"),
+          "doc_id"),
+      Some("""WITH chars AS (SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+             |  FROM documents),
+             |counts AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+             |  FROM chars GROUP BY 1, 2),
+             |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_cp,
+             |    CAST(sum(c * (length(to_base(CAST(c * c AS BIGINT), 2)) - 1)) AS BIGINT) AS sum_chb
+             |  FROM counts GROUP BY 1),
+             |num AS (SELECT d.doc_id,
+             |    CAST(coalesce(p.n_cp, 0) AS BIGINT) AS n_cp,
+             |    CAST(coalesce(p.sum_chb, 0) AS BIGINT) AS sum_chb,
+             |    CAST(CASE WHEN coalesce(p.n_cp, 0) = 0 THEN 0
+             |      ELSE p.n_cp * (length(to_base(CAST(p.n_cp * p.n_cp AS BIGINT), 2)) - 1) - p.sum_chb
+             |      END AS BIGINT) AS ent_numer_hb
+             |  FROM documents d LEFT JOIN per p USING (doc_id))
+             |SELECT doc_id, n_cp, sum_chb, ent_numer_hb,
+             |  CAST(CASE WHEN n_cp = 0 THEN 0 ELSE ent_numer_hb // n_cp END AS BIGINT) AS ent_halfbits
+             |FROM num ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -4610,4 +4610,52 @@ class OperatorsSpec extends SparkTestBase {
     assert(want.size >= 4, s"fixture should produce several chunks, got ${want.size}")
     assert(got == want)
   }
+
+  test("blocklist: unigram/bigram hits, case-insensitive, trailing pair inert, 3-token phrase refused") {
+    val d = Seq(
+      (1L, "Fast BADGER runs fast"),      // 'fast' twice (case-folded), no bigram
+      (2L, "a red fox and a red herring"), // bigram 'red fox' once; 'red herring' also listed
+      (3L, "clean text only"),
+      (4L, ""),                            // empty: zero everything
+      (5L, "fox")                          // single token: bigram list must not NPE on the padded pair
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistHits(d, "doc_id", "text",
+        Seq("fast", "red fox", "red herring"))
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r(0) == ((1L, 2L, 0L, 1L)))
+    assert(r(1) == ((2L, 0L, 2L, 1L)))
+    assert(r(2) == ((3L, 0L, 0L, 0L)))
+    assert(r(3) == ((4L, 0L, 0L, 0L)))
+    assert(r(4) == ((5L, 0L, 0L, 0L)))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.blocklistHits(d, "doc_id", "text", Seq("one two three")))
+  }
+
+  test("char entropy halfbits: run-length HOF fold equals the histogram definition, constant text scores zero") {
+    val d = Seq(
+      (1L, "zzzz"),       // constant: entropy exactly 0
+      (2L, "aab ba x"),   // runs (sorted): ' 'x2, a x3, b x2, x x1
+      (3L, ""),           // empty: all zeros, no div-by-zero
+      (4L, "ab")          // two singletons: numer = 2*hb(2) = 4
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropyHalfBits(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_cp", "sum_chb", "ent_numer_hb", "ent_halfbits")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // hb(n) = floor(2*log2 n): hb(2)=2, hb(3)=3, hb(4)=4, hb(8)=6
+    assert(r(0) == ((4L, 16L, 0L, 0L)))          // 4*hb(4) - 4*hb(4)
+    assert(r(1) == ((8L, 17L, 31L, 3L)))         // 8*6 - (2*2 + 3*3 + 2*2 + 0)
+    assert(r(2) == ((0L, 0L, 0L, 0L)))
+    assert(r(3) == ((2L, 0L, 4L, 2L)))
+    // the half-bit floor approximation stays within 1 bit of true Shannon
+    // entropy on the mixed fixture: true H("aab ba x") = 1.906 bits/char,
+    // halfbit score 3 => 1.5 bits/char
+    val trueH = {
+      val cs = "aab ba x".groupBy(identity).map(_._2.length.toDouble)
+      val n = cs.sum
+      cs.map(c => -c / n * math.log(c / n) / math.log(2)).sum
+    }
+    assert(math.abs(trueH - r(1)._4 / 2.0) <= 1.0)
+  }
 }
