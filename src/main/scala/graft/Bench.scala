@@ -535,8 +535,7 @@ object Bench {
       // capture in r12 AND r13 (both recorded parsed:null) — the summary
       // keeps block health (copies, wall, rerun state, worst ratio)
       // visible to the driver while BENCHOUT.json carries the detail
-      val ratios = scaled.flatMap { case (n, s) =>
-        resultMap.get(n).filter(_ > 0).map(s / _) }
+      val ratios = rehearsalRatios(scaled)
       val maxRatio = if (ratios.nonEmpty) ratios.max else -1.0
       val compact =
         s""","${st.key}":{"copies":${st.copies},"wall":${f(st.wall)}$rerunField,"n_queries":${scaled.size},"max_ratio":${f(maxRatio)}}"""
@@ -655,11 +654,13 @@ object Bench {
       // per-query rehearsal detail here and the line outgrew the
       // driver's 2000-char tail again (parsed:null both rounds). Belt
       // and braces: if some future field regrows the line past the
-      // window, drop the queries map — a parseable summary beats a
-      // truncated detailed one.
+      // window, drop ONLY the headline queries map — reran/rebased stay
+      // (rebases are "published, never silent" — a rebase-heavy sweep is
+      // exactly the kind that bloats the line) and a parseable summary
+      // beats a truncated detailed one.
       val full = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
       if (full.length <= 1800) println(full)
-      else println(s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
+      else println(s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
     }
     spark.stop()
   }

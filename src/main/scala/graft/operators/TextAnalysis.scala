@@ -1251,11 +1251,25 @@ object TextAnalysis {
     * slice(toks, 2, ...))` — no explode, no per-token rows. */
   def blocklistHits(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
-    require(phrases.forall(p => p.split(" ").length <= 2 && p.trim.nonEmpty),
-      "blocklist phrases must be one or two space-separated tokens")
-    val (bigrams, unigrams) = phrases.map(_.toLowerCase).partition(_.contains(" "))
+    // normalize BEFORE classifying: real lists arrive with stray/odd
+    // whitespace ("fast ", "table\thash"), and raw contains(" ") would
+    // misclassify those into silently-inert patterns. Locale.ROOT so a
+    // tr-TR JVM's dotless-I mapping can't diverge from Spark's
+    // locale-insensitive lower() on the document side.
+    val norm = phrases.map(_.trim.split("\\s+").toSeq
+      .map(_.toLowerCase(java.util.Locale.ROOT)))
+    require(norm.forall(t => t.nonEmpty && t.length <= 2 && t.forall(_.nonEmpty)),
+      "blocklist phrases must be one or two whitespace-separated tokens")
+    val (bigrams, unigrams) = {
+      val (b, u) = norm.partition(_.length == 2)
+      (b.map(_.mkString(" ")), u.map(_.head))
+    }
+    // SQL string-literal escaping: real blocklists contain quotes
+    // ("don't") and the occasional backslash — unescaped they break or
+    // silently reinterpret the generated expression
+    def sqlLit(w: String) = "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
     def litArr(ws: Seq[String]) =
-      if (ws.isEmpty) "array('')" else ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+      if (ws.isEmpty) "array('')" else ws.map(sqlLit).mkString("array(", ", ", ")")
     val toks = s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')"
     val bigs = s"zip_with($toks, slice($toks, 2, greatest(size($toks) - 1, 0)), " +
       "(x, y) -> concat(x, ' ', y))"

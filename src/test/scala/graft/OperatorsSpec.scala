@@ -4630,6 +4630,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(4) == ((5L, 0L, 0L, 0L)))
     assertThrows[IllegalArgumentException](
       TextAnalysis.blocklistHits(d, "doc_id", "text", Seq("one two three")))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.blocklistHits(d, "doc_id", "text", Seq("   ")))
+    // review findings (r14): stray whitespace normalizes instead of going
+    // silently inert ("fast " is a unigram, "red\tfox" a bigram), and a
+    // phrase with a quote/backslash survives the SQL literal boundary
+    val d2 = Seq((1L, "don't stop fast"), (2L, "a red fox")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.blocklistHits(d2, "doc_id", "text",
+        Seq(" fast ", "red\tfox", "don't"))
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r2(0) == ((1L, 2L, 0L, 1L))) // 'fast' + escaped "don't"
+    assert(r2(1) == ((2L, 0L, 1L, 1L))) // tab-separated pair matched as bigram
   }
 
   test("char entropy halfbits: run-length HOF fold equals the histogram definition, constant text scores zero") {
