@@ -297,6 +297,45 @@ object DiffEngine {
       abs(col("base_n") * lit(nh) - col("head_n") * lit(nb)))
   }
 
+  /** Population Stability Index between the two sides, in integer
+    * half-bits — the drift score [[categoricalDrift]]'s scaladoc said
+    * could not be gated ("float PSI/KL would diverge in the last bits")
+    * until r13's integer half-bit log made real logs engine-exact.
+    *
+    * Proportions are +1-smoothed (PSI is undefined on empty bins; Laplace
+    * over the K union categories is the standard fix) and fixed-pointed
+    * to parts-per-billion via multiply-then-integer-divide, so the score
+    * is scale-free and exact to ~9e9 rows per side ((n+1)·10⁹ must fit a
+    * long; beyond that, feed pre-scaled counts). Each category's term is
+    *   (p_ppb − q_ppb) · (hb(p_ppb) − hb(q_ppb))   with hb = floor(2·log2)
+    * — both factors share sign, so every term ≥ 0 like true PSI, and the
+    * total ≈ 2·10⁹/ln2 × PSI(nats) (measured within 4% on the gate
+    * fixture). Resolution: a term is 0 when both proportions share a
+    * half-bit bucket (ratio < √2) — far finer than the standard 0.1/0.25
+    * PSI action thresholds. p_ppb ≤ 10⁹ < 2³¹ keeps hb in the simple
+    * regime: length(bin(p²))−1, exact, replayable in any SQL engine.
+    * Same execution shape as [[categoricalDrift]]: one count-aggregate
+    * per side (map-side partials), a tiny full-outer join on the value,
+    * materialized once before the totals action. */
+  def psiDrift(base: DataFrame, head: DataFrame, c: String): DataFrame = {
+    val b = base.groupBy(col(c).as("value")).agg(count(lit(1)).as("base_n"))
+    val h = head.groupBy(col(c).as("value")).agg(count(lit(1)).as("head_n"))
+    val joined = b.join(h, Seq("value"), "full_outer")
+      .select(col("value"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("head_n"), lit(0L)).as("head_n"))
+      .localCheckpoint()
+    val totals = joined.agg(sum("base_n"), sum("head_n"), count(lit(1))).head()
+    def total(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
+    val (nb, nh, k) = (total(0), total(1), total(2))
+    val hb = (x: String) => s"CAST(length(bin($x * $x)) - 1 AS BIGINT)"
+    joined
+      .withColumn("p_ppb", expr(s"((base_n + 1) * 1000000000) div (${nb + k})"))
+      .withColumn("q_ppb", expr(s"((head_n + 1) * 1000000000) div (${nh + k})"))
+      .withColumn("psi_term_hb",
+        expr(s"(p_ppb - q_ppb) * (${hb("p_ppb")} - ${hb("q_ppb")})"))
+  }
+
   /** Numeric drift between the two sides of a diff — the continuous sibling
     * of [[categoricalDrift]]: values of an integer-valued column (scale
     * DECIMALs to integer units first, e.g. price→cents) bucket into

@@ -10843,6 +10843,49 @@ object ExtensionQueries {
              |SELECT doc_id, n_cp, sum_chb, ent_numer_hb,
              |  CAST(CASE WHEN n_cp = 0 THEN 0 ELSE ent_numer_hb // n_cp END AS BIGINT) AS ent_halfbits
              |FROM num ORDER BY doc_id""".stripMargin)
+    ),
+
+    // PSI drift in integer half-bits (r14): the industry-standard drift
+    // score (the one categoricalDrift's scaladoc said would "diverge in
+    // the last bits" as a float) made engine-exact — +1-smoothed ppb
+    // proportions via multiply-then-div, per-term (p−q)·(hb(p)−hb(q))
+    // with the r13 half-bit log; total ≈ 2e9/ln2 × PSI(nats), within 4%
+    // of float truth on this fixture, every term ≥ 0. Head side is the
+    // parity recipe's planted mutation (drop %131, mutate %97) so the
+    // drifted category dominates the score. Fourth drift lens next to
+    // TV (q71/q77), KS (q264) and vocab drift.
+    QueryDef(
+      "q338_psi_drift",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+        val head = base.filter(col("o_orderkey") % 131 =!= 0)
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 97 === 0, lit("X-DRIFT"))
+              .otherwise(col("o_orderpriority")))
+        orderedOut(
+          graft.engine.DiffEngine.psiDrift(base, head, "o_orderpriority"),
+          "value")
+      },
+      Some("""WITH base AS (SELECT o_orderpriority AS value, CAST(count(*) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1),
+             |head0 AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'X-DRIFT'
+             |    ELSE o_orderpriority END AS value
+             |  FROM orders WHERE o_orderkey % 131 <> 0),
+             |head AS (SELECT value, CAST(count(*) AS BIGINT) AS c FROM head0 GROUP BY 1),
+             |j AS (SELECT coalesce(b.value, h.value) AS value,
+             |    CAST(coalesce(b.c, 0) AS BIGINT) AS base_n,
+             |    CAST(coalesce(h.c, 0) AS BIGINT) AS head_n
+             |  FROM base b FULL OUTER JOIN head h ON b.value = h.value),
+             |k AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+             |    CAST(sum(base_n) AS BIGINT) AS nb, CAST(sum(head_n) AS BIGINT) AS nh FROM j),
+             |p AS (SELECT value, base_n, head_n,
+             |    CAST((base_n + 1) * 1000000000 // (nb + kk) AS BIGINT) AS p_ppb,
+             |    CAST((head_n + 1) * 1000000000 // (nh + kk) AS BIGINT) AS q_ppb
+             |  FROM j, k)
+             |SELECT value, base_n, head_n, p_ppb, q_ppb,
+             |  CAST((p_ppb - q_ppb) * ((length(to_base(p_ppb * p_ppb, 2)) - 1)
+             |    - (length(to_base(q_ppb * q_ppb, 2)) - 1)) AS BIGINT) AS psi_term_hb
+             |FROM p ORDER BY value""".stripMargin)
     )
   )
 

@@ -469,6 +469,24 @@ class DiffEngineSpec extends SparkTestBase {
     assert(r.values.map(_._3).sum == 16L)
   }
 
+  test("psi drift: identical sides score zero, a planted shift is positive, every term nonnegative") {
+    val base = Seq.fill(40)("a") ++ Seq.fill(40)("b")
+    // hand-check one cell: K=3, base a: (41*1e9) div 83 = 493975903,
+    // head a: (11*1e9) div 83 = 132530120; hb(493975903)=57, hb(132530120)=53
+    // => term = (493975903-132530120) * 4
+    val head = Seq.fill(10)("a") ++ Seq.fill(40)("b") ++ Seq.fill(30)("c")
+    val same = DiffEngine.psiDrift(base.toDF("s"), base.toDF("s"), "s")
+      .collect().map(_.getAs[Long]("psi_term_hb"))
+    assert(same.forall(_ == 0L)) // p_ppb == q_ppb exactly => zero, no float residue
+    val r = DiffEngine.psiDrift(base.toDF("s"), head.toDF("s"), "s")
+      .collect().map(x => x.getString(0) ->
+        ((x.getAs[Long]("p_ppb"), x.getAs[Long]("q_ppb"), x.getAs[Long]("psi_term_hb")))).toMap
+    assert(r("a") == ((493975903L, 132530120L, (493975903L - 132530120L) * 4)))
+    assert(r("c")._3 > 0L)                    // category absent in base still scores
+    assert(r.values.forall(_._3 >= 0L))       // PSI terms are nonnegative by construction
+    assert(r("b")._3 == 0L)                   // unmoved mass: same half-bit bucket
+  }
+
   test("numeric drift: equal-width integer bins over the combined range") {
     // combined range 0..99, 10 buckets of width 10
     val base = Seq(0L, 5L, 15L, 99L).toDF("v")   // bins 0,0,1,9
