@@ -276,23 +276,35 @@ object DiffEngine {
     * value (absent values count 0). Intended for low-cardinality
     * dimension/status columns; for high-cardinality columns profile
     * distincts instead. */
-  def categoricalDrift(base: DataFrame, head: DataFrame, c: String): DataFrame = {
+  /** Shared count/join/materialize stage of the categorical drift lenses:
+    * per-value counts of both sides, full-outer joined NULL-SAFELY (`<=>` —
+    * a NULL category is one category, not an unmatched row per side; plain
+    * equality split it in two, inflating K and breaking the "identical
+    * sides score zero" invariant), absent values coalesced to 0.
+    *
+    * MATERIALIZES the per-value table (tiny — one row per distinct value)
+    * before the totals action: without it, the totals head() and the
+    * returned frame each re-execute both side pipelines and the join —
+    * measured 4.1 s → 1.0 s on the q71 gate at sf0.1, and at 100 TB the
+    * sides are full table scans that must not run twice.
+    * Returns (joined, Nb, Nh, K). */
+  private def driftCounts(base: DataFrame, head: DataFrame, c: String)
+      : (DataFrame, Long, Long, Long) = {
     val b = base.groupBy(col(c).as("value")).agg(count(lit(1)).as("base_n"))
-    val h = head.groupBy(col(c).as("value")).agg(count(lit(1)).as("head_n"))
-    // MATERIALIZE the per-value table (tiny — one row per distinct value)
-    // before the totals action: without it, the totals head() and the
-    // returned frame each re-execute both side pipelines and the join —
-    // measured 4.1 s → 1.0 s on the q71 gate at sf0.1, and at 100 TB the
-    // sides are full table scans that must not run twice
-    val joined = b.join(h, Seq("value"), "full_outer")
-      .select(col("value"),
+    val h = head.groupBy(col(c).as("h_value")).agg(count(lit(1)).as("head_n"))
+    val joined = b.join(h, col("value") <=> col("h_value"), "full_outer")
+      .select(coalesce(col("value"), col("h_value")).as("value"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("head_n"), lit(0L)).as("head_n"))
       .localCheckpoint()
-    val totals = joined.agg(sum("base_n"), sum("head_n")).head()
+    val totals = joined.agg(sum("base_n"), sum("head_n"), count(lit(1))).head()
     // sum over zero rows is null — empty sides mean zero totals, not an NPE
     def total(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
-    val (nb, nh) = (total(0), total(1))
+    (joined, total(0), total(1), total(2))
+  }
+
+  def categoricalDrift(base: DataFrame, head: DataFrame, c: String): DataFrame = {
+    val (joined, nb, nh, _) = driftCounts(base, head, c)
     joined.withColumn("tv_contrib",
       abs(col("base_n") * lit(nh) - col("head_n") * lit(nb)))
   }
@@ -305,8 +317,14 @@ object DiffEngine {
     * Proportions are +1-smoothed (PSI is undefined on empty bins; Laplace
     * over the K union categories is the standard fix) and fixed-pointed
     * to parts-per-billion via multiply-then-integer-divide, so the score
-    * is scale-free and exact to ~9e9 rows per side ((n+1)·10⁹ must fit a
-    * long; beyond that, feed pre-scaled counts). Each category's term is
+    * is scale-free. Bounds, both explicit: the arithmetic is guarded to
+    * ~9.2e9 rows per side ((n+1)·10⁹ must fit a long — beyond it the
+    * wrap would be silent garbage, so the operator REFUSES; feed
+    * pre-scaled counts instead), and ppb RESOLUTION floors a
+    * rarer-than-1-in-1e9 category's proportion to 0 (hb(0) ≡ hb(1·e−9) as
+    * far as the score can see) — past ~1e9 rows per side the stated
+    * float-PSI correspondence degrades for ultra-rare categories before
+    * the guard trips. Each category's term is
     *   (p_ppb − q_ppb) · (hb(p_ppb) − hb(q_ppb))   with hb = floor(2·log2)
     * — both factors share sign, so every term ≥ 0 like true PSI, and the
     * total ≈ 2·10⁹/ln2 × PSI(nats) (measured within 4% on the gate
@@ -318,16 +336,14 @@ object DiffEngine {
     * per side (map-side partials), a tiny full-outer join on the value,
     * materialized once before the totals action. */
   def psiDrift(base: DataFrame, head: DataFrame, c: String): DataFrame = {
-    val b = base.groupBy(col(c).as("value")).agg(count(lit(1)).as("base_n"))
-    val h = head.groupBy(col(c).as("value")).agg(count(lit(1)).as("head_n"))
-    val joined = b.join(h, Seq("value"), "full_outer")
-      .select(col("value"),
-        coalesce(col("base_n"), lit(0L)).as("base_n"),
-        coalesce(col("head_n"), lit(0L)).as("head_n"))
-      .localCheckpoint()
-    val totals = joined.agg(sum("base_n"), sum("head_n"), count(lit(1))).head()
-    def total(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
-    val (nb, nh, k) = (total(0), total(1), total(2))
+    val (joined, nb, nh, k) = driftCounts(base, head, c)
+    // (n+1)*1e9 must fit a long on every per-category numerator, whose
+    // max is bounded by the side total — refuse rather than wrap silently
+    // (Spark's non-ANSI mode would hand bin() a negative product and
+    // fabricate hb=63 where the DuckDB replay errors)
+    require(nb + k <= 9223372035L && nh + k <= 9223372035L,
+      s"psiDrift ppb fixed-point overflows beyond ~9.2e9 rows per side " +
+        s"(Nb=$nb, Nh=$nh, K=$k) — pre-scale the counts")
     val hb = (x: String) => s"CAST(length(bin($x * $x)) - 1 AS BIGINT)"
     joined
       .withColumn("p_ppb", expr(s"((base_n + 1) * 1000000000) div (${nb + k})"))

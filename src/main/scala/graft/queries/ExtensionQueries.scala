@@ -10875,7 +10875,7 @@ object ExtensionQueries {
              |j AS (SELECT coalesce(b.value, h.value) AS value,
              |    CAST(coalesce(b.c, 0) AS BIGINT) AS base_n,
              |    CAST(coalesce(h.c, 0) AS BIGINT) AS head_n
-             |  FROM base b FULL OUTER JOIN head h ON b.value = h.value),
+             |  FROM base b FULL OUTER JOIN head h ON b.value IS NOT DISTINCT FROM h.value),
              |k AS (SELECT CAST(count(*) AS BIGINT) AS kk,
              |    CAST(sum(base_n) AS BIGINT) AS nb, CAST(sum(head_n) AS BIGINT) AS nh FROM j),
              |p AS (SELECT value, base_n, head_n,

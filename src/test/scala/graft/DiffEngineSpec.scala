@@ -485,6 +485,13 @@ class DiffEngineSpec extends SparkTestBase {
     assert(r("c")._3 > 0L)                    // category absent in base still scores
     assert(r.values.forall(_._3 >= 0L))       // PSI terms are nonnegative by construction
     assert(r("b")._3 == 0L)                   // unmoved mass: same half-bit bucket
+    // review finding (r14): a NULL category is ONE category — plain join
+    // equality split it into an unmatched row per side, inflating K and
+    // scoring byte-identical sides as drifted
+    val withNull = Seq(Some("a"), None, None).toDF("s")
+    val nullSame = DiffEngine.psiDrift(withNull, withNull, "s").collect()
+    assert(nullSame.length == 2)
+    assert(nullSame.forall(_.getAs[Long]("psi_term_hb") == 0L))
   }
 
   test("numeric drift: equal-width integer bins over the combined range") {
