@@ -10886,6 +10886,74 @@ object ExtensionQueries {
              |  CAST((p_ppb - q_ppb) * ((length(to_base(p_ppb * p_ppb, 2)) - 1)
              |    - (length(to_base(q_ppb * q_ppb, 2)) - 1)) AS BIGINT) AS psi_term_hb
              |FROM p ORDER BY value""".stripMargin)
+    ),
+
+    // AQE skew-join gate (r14): the third AQE mechanism the 100 TB story
+    // leans on, made visible to the round report like the DPP gate
+    // (q286) and the bucketed-join gate (q30x). A planted 2/3-hot key
+    // forces a skewed sort-merge join (broadcast disabled, thresholds
+    // scaled to fixture bytes, forceOptimizeSkewedJoin because the
+    // downstream aggregate would otherwise veto the extra shuffle); the
+    // output carries the join's DATA truth per event_type (DuckDB
+    // replays it) plus the executed-plan markers pinned to 1 — a Spark
+    // upgrade or conf drift that stops splitting the hot partition
+    // fails the ROUND. Found while building this: skew split operates
+    // on per-MAPPER shuffle blocks, so a single-file scan (one mapper)
+    // leaves the hot partition one unsplittable block and AQE stays
+    // silent — the same single-file hazard Par.ensureParallel guards,
+    // resurfacing at the AQE layer; the explicit repartition(32) below
+    // is what makes the skew splittable. Session confs are saved and
+    // restored in a finally so the gate cannot leak its thresholds into
+    // the rest of the sweep.
+    QueryDef(
+      "q339_aqe_skew_gate",
+      (s, dir) => {
+        import s.implicits._
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.forceOptimizeSkewedJoin")
+        val prev = keys.map(k => k -> s.conf.getOption(k))
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+          s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+          s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+          val fact = t(s, dir, "events").repartition(32)
+            .select(
+              when(col("user_id") % 3 =!= 0, lit(0L))
+                .otherwise(col("user_id")).as("k"),
+              col("event_type"))
+          val dim = s.range(0, 4000).select(col("id").as("k"))
+            .withColumn("w", (col("k") % 7 + 1).cast("long"))
+          val pipe = fact.join(dim, "k")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+          val rows = pipe.collect()
+          val plan = pipe.queryExecution.executedPlan.toString
+          val skewJoin = if (plan.contains("skew=true")) 1L else 0L
+          val skewRead = if (plan.contains("skewed")) 1L else 0L
+          rows.map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("sw"),
+              skewJoin, skewRead)).toSeq
+            .toDF("event_type", "n", "sw", "skew_join_marked", "skewed_read_marked")
+            .orderBy("event_type")
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(k % 7 + 1) AS BIGINT) AS sw,
+             |  CAST(1 AS BIGINT) AS skew_join_marked,
+             |  CAST(1 AS BIGINT) AS skewed_read_marked
+             |FROM (SELECT CASE WHEN user_id % 3 <> 0 THEN 0 ELSE user_id END AS k, event_type
+             |      FROM events) f
+             |JOIN range(0, 4000) r ON f.k = r.range
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 
