@@ -141,6 +141,28 @@ object UrlTools {
   def extractHrefs(htmlCol: String): Column =
     expr(s"""regexp_extract_all($htmlCol, '(?i)(?<![\\\\w-])href\\\\s*=\\\\s*["\\']([^"\\'#][^"\\']*)', 1)""")
 
+  /** (href, anchor-text) pairs of a page — the WAT-style link-context
+    * field next to [[extractHrefs]]'s bare targets: anchor text is the
+    * classic query-document relevance signal (it describes the TARGET,
+    * not the page it sits on) and the crawl-side input to title/keyword
+    * indexing. Same regex-over-markup scale tradeoff as extractHrefs
+    * (one linear pass, no DOM): `(?is)` covers multi-line anchors, the
+    * lazy body stops at the first `</a>`, fragment-only links are
+    * excluded by the href character class. Inner markup (`<b>`, spans)
+    * is stripped and whitespace collapsed, so `read\n <b>more</b>` and
+    * `read more` normalize identically. Two extraction passes over the
+    * same pattern (regexp_extract_all binds ONE group per call) zipped
+    * positionally — both passes match the identical span sequence, so
+    * the pairing is exact. Returns array<struct<href, anchor>>. */
+  def extractAnchors(htmlCol: String): Column = {
+    val pat = "(?is)<a\\\\s[^>]*?href\\\\s*=\\\\s*[\"\\']([^\"\\'#][^\"\\']*)[\"\\'][^>]*>(.*?)</a\\\\s*>"
+    expr(s"""zip_with(
+      regexp_extract_all($htmlCol, '$pat', 1),
+      regexp_extract_all($htmlCol, '$pat', 2),
+      (h, t) -> named_struct('href', h,
+        'anchor', trim(regexp_replace(regexp_replace(t, '<[^>]+>', ' '), '\\\\s+', ' '))))""")
+  }
+
   /** XML sitemap entries (sitemaps.org protocol): the `<loc>` values of a
     * `<urlset>` (page sitemap) or `<sitemapindex>` (index of further
     * sitemaps — a crawler must recurse, not fetch as pages, so the kind

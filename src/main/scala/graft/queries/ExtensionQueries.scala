@@ -10954,6 +10954,46 @@ object ExtensionQueries {
              |      FROM events) f
              |JOIN range(0, 4000) r ON f.k = r.range
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Anchor-text extraction (r14): the WAT-style link-context field —
+    // q267 extracts the bare href targets, this pairs each with its
+    // anchor TEXT, the classic query-document relevance signal (anchor
+    // text describes the TARGET page). Planted markup exercises the
+    // normalization contract: nested inline tags stripped, multi-line
+    // whitespace collapsed (`read\n <b>more</b>` ≡ `read more`), a
+    // fragment-only link excluded, an empty-bodied anchor kept with ''
+    // text. One codegen'd regex pass per capture group, zipped
+    // positionally (both passes match the identical span sequence);
+    // map-side until the final count. Oracle replays the planted
+    // arithmetic, like every crawl-family gate.
+    QueryDef(
+      "q340_anchor_text",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        def pid(j: Int) = (col("doc_id") * 7 + j * 13) % 997
+        def host(j: Int) = concat(lit("h"), (pid(j) % 23).cast("string"), lit(".example.com"))
+        def a1 = concat(lit("<a href=\"http://"), host(1), lit("/p/"), pid(1).cast("string"),
+          lit("\">read\n <b>more</b>  p"), pid(1).cast("string"), lit("</a>"))
+        def a2 = concat(lit("<a class='x' href='http://"), host(2), lit("/q/"), pid(2).cast("string"),
+          lit("'></a>"))
+        val html = concat(lit("<html><body>"), a1,
+          lit("<a href=\"#top\">skip</a>"), a2, lit("</body></html>"))
+        d.withColumn("__html", html)
+          .select(explode(UrlTools.extractAnchors("__html")).as("__a"))
+          .select(
+            regexp_extract(col("__a.href"), "^https?://([^/]+)", 1).as("dst_host"),
+            col("__a.anchor").as("anchor"))
+          .groupBy("dst_host", "anchor")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy("dst_host", "anchor")
+      },
+      Some("""WITH l AS (SELECT doc_id, unnest([1, 2]) AS j FROM documents),
+             |e AS (SELECT 'h' || (((doc_id * 7 + j * 13) % 997) % 23) || '.example.com' AS dst_host,
+             |    CASE WHEN j = 1 THEN 'read more p' || ((doc_id * 7 + 13) % 997) ELSE '' END AS anchor
+             |  FROM l)
+             |SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
+             |FROM e GROUP BY 1, 2 ORDER BY dst_host, anchor""".stripMargin)
     )
   )
 

@@ -3972,6 +3972,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(sm(2).getStruct(1).isNullAt(0) && sm(2).getStruct(1).getSeq[String](1).isEmpty)
   }
 
+  test("anchor extraction: nested markup stripped, multi-line collapsed, fragment excluded, empty kept") {
+    val html = """<html><A HREF="http://a.example.com/x" class=y>read
+      | <b>more</b>  here</A><a href="#top">skip</a>
+      |<a class='z' href='http://b.example.com/y'></a>
+      |<a href="http://c.example.com/z">c <i>1</i></a
+      |></html>""".stripMargin
+    val r = Seq((1L, html)).toDF("id", "h")
+      .select(explode(UrlTools.extractAnchors("h")).as("a"))
+      .select(col("a.href"), col("a.anchor")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(r == Seq(
+      ("http://a.example.com/x", "read more here"), // case-insensitive tag, \n + tags normalized
+      ("http://b.example.com/y", ""),               // empty body kept as ''
+      ("http://c.example.com/z", "c 1")))           // whitespace inside </a > close tolerated
+  }
+
   test("flac streaminfo: bit unpack golden, padding block tolerated, corrupt/truncated None") {
     // id 1: sr 16000, ch 2, bps 16, total 16000*4+1
     assert(Multimodal.parseFlacMeta(Multimodal.buildFlac(1L, corrupt = false))
