@@ -1328,4 +1328,64 @@ object TextAnalysis {
       .withColumn("ent_halfbits",
         when(col("n_cp") === 0, lit(0L)).otherwise(expr("ent_numer_hb div n_cp")))
   }
+
+  /** TextTiling-style semantic boundary detection (Hearst 1997), in the
+    * integer-exact variant this engine can gate: fixed-size pseudo-
+    * sentence blocks of `blockTokens` tokens, adjacent-block lexical
+    * cohesion as JACCARD ×10⁶ (Hearst's cosine needs a sqrt no SQL
+    * engine reproduces bit-exactly; Jaccard over the same bags is the
+    * standard set-overlap substitute), gap depth from the immediate
+    * neighbors (depth_g = max(0, s_{g−1}−s_g) + max(0, s_{g+1}−s_g) —
+    * Hearst climbs to the nearest peaks; the one-step form is the
+    * documented simplification that stays window-free), and a boundary
+    * wherever depth > 0 AND 4·depth ≥ 3·max_depth (a fixed fraction of
+    * the doc's own strongest depth, replacing the mean−σ/2 cutoff whose
+    * σ needs the same non-gateable sqrt). The use case is semantic
+    * chunking — RAG/context splits at topic shifts instead of q144's
+    * fixed offsets.
+    *
+    * Entirely map-side: blocks, scores, depths and flags are one chain
+    * of codegen'd HOFs over the token array — nothing leaves the row,
+    * no explode, no shuffle before the output sort. Every array index
+    * is CASE-guarded (ANSI mode throws on out-of-bounds element_at) and
+    * the degenerate single-block document short-circuits to zero gaps.
+    * Output per doc: n_tokens, n_blocks, n_gaps, max_depth ×10⁶-scaled,
+    * n_boundaries, first_boundary (1-based gap index, −1 if none). */
+  def semanticBoundaries(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 20): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val bt = blockTokens
+    val M = "CAST(1000000 AS BIGINT)"
+    df.select(col(idCol),
+        expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__toks"))
+      .withColumn("__nt", size(col("__toks")).cast("long"))
+      .withColumn("__nb", expr(s"(__nt + ${bt - 1}) div $bt"))
+      // sequence(1, 0) DESCENDS in Spark — the nb<=1 guard is load-bearing
+      .withColumn("__sets", expr(s"""CASE WHEN __nb = 0 THEN array()
+        ELSE transform(sequence(1, CAST(__nb AS INT)),
+          b -> array_distinct(slice(__toks, (b - 1) * $bt + 1, $bt))) END"""))
+      .withColumn("__scores", expr(s"""CASE WHEN __nb <= 1 THEN CAST(array() AS ARRAY<BIGINT>)
+        ELSE transform(sequence(1, CAST(__nb AS INT) - 1),
+          g -> CAST(size(array_intersect(element_at(__sets, g), element_at(__sets, g + 1))) AS BIGINT) * $M
+               div CAST(size(array_union(element_at(__sets, g), element_at(__sets, g + 1))) AS BIGINT)) END"""))
+      .withColumn("__ng", size(col("__scores")).cast("long"))
+      .withColumn("__depths", expr(s"""CASE WHEN __ng = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+        ELSE transform(sequence(1, CAST(__ng AS INT)),
+          g -> greatest(CAST(0 AS BIGINT), CASE WHEN g > 1
+                 THEN element_at(__scores, g - 1) - element_at(__scores, g) ELSE CAST(0 AS BIGINT) END)
+             + greatest(CAST(0 AS BIGINT), CASE WHEN g < CAST(__ng AS INT)
+                 THEN element_at(__scores, g + 1) - element_at(__scores, g) ELSE CAST(0 AS BIGINT) END)) END"""))
+      .withColumn("max_depth",
+        expr("CASE WHEN __ng = 0 THEN CAST(0 AS BIGINT) ELSE array_max(__depths) END"))
+      .withColumn("n_boundaries",
+        expr("CAST(size(filter(__depths, d -> d > 0 AND 4 * d >= 3 * max_depth)) AS BIGINT)"))
+      .withColumn("first_boundary", expr("""CASE WHEN n_boundaries = 0 THEN CAST(-1 AS BIGINT)
+        ELSE element_at(filter(transform(sequence(1, CAST(__ng AS INT)),
+          g -> CASE WHEN element_at(__depths, g) > 0
+                     AND 4 * element_at(__depths, g) >= 3 * max_depth
+                    THEN CAST(g AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+          x -> x > 0), 1) END"""))
+      .select(col(idCol), col("__nt").as("n_tokens"), col("__nb").as("n_blocks"),
+        col("__ng").as("n_gaps"), col("max_depth"), col("n_boundaries"), col("first_boundary"))
+  }
 }

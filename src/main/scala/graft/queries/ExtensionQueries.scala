@@ -10994,6 +10994,53 @@ object ExtensionQueries {
              |  FROM l)
              |SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
              |FROM e GROUP BY 1, 2 ORDER BY dst_host, anchor""".stripMargin)
+    ),
+
+    // TextTiling-style semantic boundaries (r14): Hearst's topic-shift
+    // detector in the integer-exact variant this engine can gate —
+    // Jaccard ×1e6 adjacent-block cohesion (cosine needs a sqrt no two
+    // engines reproduce bit-exactly), one-step neighbor depths, boundary
+    // at ≥3/4 of the doc's max depth. Semantic chunking for RAG/context
+    // splits, next to q144's fixed-offset chunker. Entirely map-side
+    // HOF chain (no explode, no shuffle before the sort); the oracle
+    // replays block sets, scores, depths and flags list-op by list-op.
+    QueryDef(
+      "q341_semantic_chunking",
+      (s, dir) =>
+        orderedOut(
+          TextAnalysis.semanticBoundaries(tParallel(s, dir, "documents"),
+            "doc_id", "text", blockTokens = 20),
+          "doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt,
+             |    CAST((len(toks) + 19) // 20 AS BIGINT) AS nb FROM tk),
+             |s2 AS (SELECT doc_id, nt, nb,
+             |    list_transform(range(1, CAST(nb AS INT) + 1),
+             |      b -> list_distinct(toks[(b-1)*20 + 1 : b*20])) AS sets FROM s1),
+             |s3 AS (SELECT doc_id, nt, nb,
+             |    CASE WHEN nb <= 1 THEN CAST([] AS BIGINT[])
+             |         ELSE list_transform(range(1, CAST(nb AS INT)),
+             |           g -> CAST(len(list_intersect(sets[g], sets[g+1])) AS BIGINT) * 1000000
+             |                // CAST(len(list_distinct(list_concat(sets[g], sets[g+1]))) AS BIGINT)) END AS scores
+             |  FROM s2),
+             |s4 AS (SELECT doc_id, nt, nb, scores, CAST(len(scores) AS BIGINT) AS ng FROM s3),
+             |s5 AS (SELECT doc_id, nt, nb, ng,
+             |    CASE WHEN ng = 0 THEN CAST([] AS BIGINT[])
+             |         ELSE list_transform(range(1, CAST(ng AS INT) + 1),
+             |           g -> greatest(0, CASE WHEN g > 1 THEN scores[CAST(g AS INT)-1] - scores[CAST(g AS INT)] ELSE 0 END)
+             |              + greatest(0, CASE WHEN g < ng THEN scores[CAST(g AS INT)+1] - scores[CAST(g AS INT)] ELSE 0 END)) END AS depths
+             |  FROM s4),
+             |s6 AS (SELECT doc_id, nt, nb, ng, depths,
+             |    CASE WHEN ng = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE CAST(list_max(depths) AS BIGINT) END AS max_depth FROM s5)
+             |SELECT doc_id, nt AS n_tokens, nb AS n_blocks, ng AS n_gaps, max_depth,
+             |  CAST(len(list_filter(depths, dd -> dd > 0 AND 4 * dd >= 3 * max_depth)) AS BIGINT) AS n_boundaries,
+             |  CAST(coalesce(list_filter(list_transform(range(1, CAST(ng AS INT) + 1),
+             |    g -> CASE WHEN depths[CAST(g AS INT)] > 0 AND 4 * depths[CAST(g AS INT)] >= 3 * max_depth
+             |              THEN g ELSE -1 END), x -> x > 0)[1], -1) AS BIGINT) AS first_boundary
+             |FROM s6 ORDER BY doc_id""".stripMargin)
     )
   )
 

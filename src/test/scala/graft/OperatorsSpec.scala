@@ -3988,6 +3988,24 @@ class OperatorsSpec extends SparkTestBase {
       ("http://c.example.com/z", "c 1")))           // whitespace inside </a > close tolerated
   }
 
+  test("semantic boundaries: hand-computed jaccard depths, single-block and empty docs degenerate cleanly") {
+    val d = Seq(
+      (1L, "a b c d a b x y p q r s"), // blocks {a,b,c,d},{a,b,x,y},{p,q,r,s}
+      (2L, "a b"),                     // one block: no gaps
+      (3L, "")                         // empty: all zeros
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.semanticBoundaries(d, "doc_id", "text", blockTokens = 4)
+      .orderBy("doc_id")
+      .select("n_tokens", "n_blocks", "n_gaps", "max_depth", "n_boundaries", "first_boundary")
+      .collect().map(x => (0 to 5).map(x.getLong).toList)
+    // doc 1: score1 = |{a,b}| * 1e6 div |{a,b,c,d,x,y}| = 333333, score2 = 0;
+    // depth1 = 0 (next is lower), depth2 = 333333 (drop from the left) =>
+    // the topic shift lands at gap 2, exactly where {p,q,r,s} begins
+    assert(r(0) == List(12L, 3L, 2L, 333333L, 1L, 2L))
+    assert(r(1) == List(2L, 1L, 0L, 0L, 0L, -1L))
+    assert(r(2) == List(0L, 0L, 0L, 0L, 0L, -1L))
+  }
+
   test("flac streaminfo: bit unpack golden, padding block tolerated, corrupt/truncated None") {
     // id 1: sr 16000, ch 2, bps 16, total 16000*4+1
     assert(Multimodal.parseFlacMeta(Multimodal.buildFlac(1L, corrupt = false))
