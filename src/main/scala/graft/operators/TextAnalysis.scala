@@ -1356,8 +1356,7 @@ object TextAnalysis {
     require(blockTokens > 0, "blockTokens must be positive")
     val bt = blockTokens
     val M = "CAST(1000000 AS BIGINT)"
-    df.select(col(idCol),
-        expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__toks"))
+    df.select(col(idCol), expr(toksSql(textCol)).as("__toks"))
       .withColumn("__nt", size(col("__toks")).cast("long"))
       .withColumn("__nb", expr(s"(__nt + ${bt - 1}) div $bt"))
       // sequence(1, 0) DESCENDS in Spark — the nb<=1 guard is load-bearing
@@ -1377,14 +1376,17 @@ object TextAnalysis {
                  THEN element_at(__scores, g + 1) - element_at(__scores, g) ELSE CAST(0 AS BIGINT) END)) END"""))
       .withColumn("max_depth",
         expr("CASE WHEN __ng = 0 THEN CAST(0 AS BIGINT) ELSE array_max(__depths) END"))
-      .withColumn("n_boundaries",
-        expr("CAST(size(filter(__depths, d -> d > 0 AND 4 * d >= 3 * max_depth)) AS BIGINT)"))
-      .withColumn("first_boundary", expr("""CASE WHEN n_boundaries = 0 THEN CAST(-1 AS BIGINT)
-        ELSE element_at(filter(transform(sequence(1, CAST(__ng AS INT)),
+      // ONE boundary-index array feeds both outputs — the predicate
+      // written twice could drift into mutually-inconsistent counts
+      .withColumn("__bidx", expr("""CASE WHEN __ng = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+        ELSE filter(transform(sequence(1, CAST(__ng AS INT)),
           g -> CASE WHEN element_at(__depths, g) > 0
                      AND 4 * element_at(__depths, g) >= 3 * max_depth
                     THEN CAST(g AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-          x -> x > 0), 1) END"""))
+          x -> x > 0) END"""))
+      .withColumn("n_boundaries", expr("CAST(size(__bidx) AS BIGINT)"))
+      .withColumn("first_boundary",
+        expr("CASE WHEN size(__bidx) = 0 THEN CAST(-1 AS BIGINT) ELSE element_at(__bidx, 1) END"))
       .select(col(idCol), col("__nt").as("n_tokens"), col("__nb").as("n_blocks"),
         col("__ng").as("n_gaps"), col("max_depth"), col("n_boundaries"), col("first_boundary"))
   }

@@ -148,7 +148,15 @@ object UrlTools {
     * indexing. Same regex-over-markup scale tradeoff as extractHrefs
     * (one linear pass, no DOM): `(?is)` covers multi-line anchors, the
     * lazy body stops at the first `</a>`, fragment-only links are
-    * excluded by the href character class. Inner markup (`<b>`, spans)
+    * excluded by the href character class. Malformed-markup contract,
+    * weaker than extractHrefs': an UNCLOSED `<a>` swallows the next
+    * anchor into its body (that link's href is lost — extractHrefs
+    * would still find it), and a page whose tail lacks `</a>` costs a
+    * scan-to-EOF per remaining anchor attempt (bounded by page size,
+    * not pathological backtracking — the engine is still linear per
+    * attempt). Crawl pipelines that need every href from broken markup
+    * should take targets from extractHrefs and anchors from here.
+    * Inner markup (`<b>`, spans)
     * is stripped and whitespace collapsed, so `read\n <b>more</b>` and
     * `read more` normalize identically. Two extraction passes over the
     * same pattern (regexp_extract_all binds ONE group per call) zipped

@@ -11034,13 +11034,16 @@ object ExtensionQueries {
              |  FROM s4),
              |s6 AS (SELECT doc_id, nt, nb, ng, depths,
              |    CASE WHEN ng = 0 THEN CAST(0 AS BIGINT)
-             |         ELSE CAST(list_max(depths) AS BIGINT) END AS max_depth FROM s5)
+             |         ELSE CAST(list_max(depths) AS BIGINT) END AS max_depth FROM s5),
+             |s7 AS (SELECT doc_id, nt, nb, ng, max_depth,
+             |    list_filter(list_transform(range(1, CAST(ng AS INT) + 1),
+             |      g -> CASE WHEN depths[CAST(g AS INT)] > 0 AND 4 * depths[CAST(g AS INT)] >= 3 * max_depth
+             |                THEN g ELSE -1 END), x -> x > 0) AS bidx
+             |  FROM s6)
              |SELECT doc_id, nt AS n_tokens, nb AS n_blocks, ng AS n_gaps, max_depth,
-             |  CAST(len(list_filter(depths, dd -> dd > 0 AND 4 * dd >= 3 * max_depth)) AS BIGINT) AS n_boundaries,
-             |  CAST(coalesce(list_filter(list_transform(range(1, CAST(ng AS INT) + 1),
-             |    g -> CASE WHEN depths[CAST(g AS INT)] > 0 AND 4 * depths[CAST(g AS INT)] >= 3 * max_depth
-             |              THEN g ELSE -1 END), x -> x > 0)[1], -1) AS BIGINT) AS first_boundary
-             |FROM s6 ORDER BY doc_id""".stripMargin)
+             |  CAST(len(bidx) AS BIGINT) AS n_boundaries,
+             |  CAST(coalesce(bidx[1], -1) AS BIGINT) AS first_boundary
+             |FROM s7 ORDER BY doc_id""".stripMargin)
     )
   )
 
