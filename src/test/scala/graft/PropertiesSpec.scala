@@ -576,4 +576,82 @@ class PropertiesSpec extends SparkTestBase {
         "buffer must stay sorted, distinct, bounded")
     }
   }
+
+  test("property: char entropy HOF fold equals an independent JVM histogram on arbitrary text") {
+    // the oracle gate certifies the fold against DuckDB on the fixture
+    // corpus; this pins it against a SECOND independent truth (JVM-side
+    // codepoint histogram) on arbitrary generated text incl. whitespace
+    // runs and repeated chars
+    val textGen: Gen[String] = Gen.listOfN(80,
+      Gen.frequency(6 -> Gen.alphaLowerChar, 2 -> Gen.const(' '),
+        1 -> Gen.const('z'), 1 -> Gen.numChar)).map(_.mkString)
+    def hb(n: Long): Long = java.lang.Long.toBinaryString(n * n).length - 1L
+    forAll(textGen) { text =>
+      val counts = text.codePoints().toArray.groupBy(identity)
+        .map(_._2.length.toLong)
+      val n = counts.sum
+      val expNumer = if (n == 0) 0L else n * hb(n) - counts.map(c => c * hb(c)).sum
+      val row = graft.operators.TextAnalysis
+        .charEntropyHalfBits(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect()(0)
+      assert(row.getAs[Long]("n_cp") == n)
+      assert(row.getAs[Long]("ent_numer_hb") == expNumer, s"text=$text")
+      assert(row.getAs[Long]("ent_numer_hb") >= 0L)
+    }
+  }
+
+  test("property: blocklist hits equal brute-force membership counts on random token streams") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val toksGen: Gen[List[String]] = Gen.listOfN(14, Gen.oneOf(vocab))
+    val phrases = Seq("bb", "ee", "aa cc", "dd dd")
+    forAll(toksGen) { toks =>
+      val text = toks.mkString(" ")
+      val uni = toks.count(t => t == "bb" || t == "ee").toLong
+      val bi = toks.sliding(2).count(p =>
+        p.length == 2 && (p.mkString(" ") == "aa cc" || p.mkString(" ") == "dd dd")).toLong
+      val r = graft.operators.TextAnalysis
+        .blocklistHits(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", phrases)
+        .collect()(0)
+      assert(r.getAs[Long]("n_uni_hits") == uni, s"uni on '$text'")
+      assert(r.getAs[Long]("n_bi_hits") == bi, s"bi on '$text'")
+      assert(r.getAs[Long]("blocked") == (if (uni + bi > 0) 1L else 0L))
+    }
+  }
+
+  test("property: semantic boundary outputs respect their structural invariants") {
+    val textGen: Gen[String] = Gen.listOfN(30,
+      Gen.oneOf("ant", "bee", "cat", "dog", "eel", "fox")).map(_.mkString(" "))
+    forAll(textGen) { text =>
+      val bt = 4
+      val nt = text.split("\\s+").count(_.nonEmpty).toLong
+      val r = graft.operators.TextAnalysis
+        .semanticBoundaries(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", bt)
+        .collect()(0)
+      val (nb, ng) = (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_gaps"))
+      assert(nb == (nt + bt - 1) / bt)
+      assert(ng == math.max(nb - 1, 0L))
+      assert(r.getAs[Long]("max_depth") >= 0L)
+      val k = r.getAs[Long]("n_boundaries")
+      assert(k >= 0L && k <= ng)
+      val first = r.getAs[Long]("first_boundary")
+      assert((k == 0L) == (first == -1L))
+      if (k > 0L) assert(first >= 1L && first <= ng)
+    }
+  }
+
+  test("property: psiDrift(x, x) is exactly zero and terms stay nonnegative on random pairs") {
+    val catGen: Gen[List[Option[String]]] = Gen.listOfN(20,
+      Gen.option(Gen.oneOf("a", "b", "c", "d")))
+    forAll(catGen, catGen) { (xs, ys) =>
+      val dx = xs.toDF("s")
+      val same = DiffEngine.psiDrift(dx, dx, "s").collect()
+      assert(same.forall(_.getAs[Long]("psi_term_hb") == 0L),
+        "identical sides (incl. NULL categories) must score zero")
+      val cross = DiffEngine.psiDrift(dx, ys.toDF("s"), "s").collect()
+      assert(cross.forall(_.getAs[Long]("psi_term_hb") >= 0L))
+      // one row per distinct category across BOTH sides, NULL counted once
+      val union = (xs ++ ys).distinct.size
+      assert(cross.length == union)
+    }
+  }
 }
