@@ -107,6 +107,25 @@ object Bench {
     else Some(JsonMethods.compact(JsonMethods.render(JArray(merged))))
   }
 
+  /** [[appendRebase]] with the blast radius contained to ONE query (r14
+    * advice): a corrupted per-query rebases history previously threw out
+    * of the whole bench_best.json build, so one bad entry froze every
+    * query's floors until hand-fixed. Here corruption is quarantined —
+    * the bad history is preserved verbatim under `rebases_corrupt` (a
+    * JSON string, so the file stays parseable and the evidence stays
+    * auditable) and a fresh `rebases` array starts from this sweep's
+    * entry; every other query refreshes normally. */
+  private[graft] def rebasesField(prior: Option[String], entry: Option[String]): String =
+    try appendRebase(prior, entry).map(h => ",\"rebases\":" + h).getOrElse("")
+    catch {
+      case _: Exception =>
+        val quarantined = "\"" + prior.getOrElse("")
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+        appendRebase(None, entry).map(h => ",\"rebases\":" + h).getOrElse("") +
+          ",\"rebases_corrupt\":" + quarantined
+    }
+
   /** Rehearsal-block rerun annotation, pure for its spec. A block that
     * TRIPPED a guard must say so even when its re-run threw (r13 review
     * finding: a thrown deferred re-run previously published the
@@ -614,8 +633,7 @@ object Bench {
           val entry = rebaseNote.get(n).map { case (o, nn) =>
             "{\"old_floor\":" + f(o) + ",\"new_floor\":" + f(nn) +
               ",\"commit\":\"" + headCommit + "\"}" }
-          val rebases = Bench.appendRebase(priorRebases.get(n), entry)
-            .map(h => ",\"rebases\":" + h).getOrElse("")
+          val rebases = Bench.rebasesField(priorRebases.get(n), entry)
           "\"" + n + "\":{\"min\":" + f(mn) + ",\"in_rows\":" + ir + miss + rebases + "}"
         }.mkString("{\"detail\":{", ",", "},")
         // rehearsal floors: same min-only-downward rule, keyed "sf10:qname";
@@ -659,8 +677,16 @@ object Bench {
       // exactly the kind that bloats the line) and a parseable summary
       // beats a truncated detailed one.
       val full = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
+      val noQueries = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
+      // last-resort floor (r14 advice): reran/rebased detail is unbounded,
+      // so a rebase-heavy sweep could push even the no-queries fallback
+      // past the driver's 2000-char tail — collapse them to COUNTS then
+      // (detail lives in BENCHOUT.json either way); this line's length is
+      // bounded by construction.
+      val countsOnly = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"n_reran":${rerunNote.size},"n_rebased":${rebaseNote.size},$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
       if (full.length <= 1800) println(full)
-      else println(s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}""")
+      else if (noQueries.length <= 1800) println(noQueries)
+      else println(countsOnly)
     }
     spark.stop()
   }

@@ -1253,11 +1253,14 @@ object TextAnalysis {
       phrases: Seq[String]): DataFrame = {
     // normalize BEFORE classifying: real lists arrive with stray/odd
     // whitespace ("fast ", "table\thash"), and raw contains(" ") would
-    // misclassify those into silently-inert patterns. Locale.ROOT so a
-    // tr-TR JVM's dotless-I mapping can't diverge from Spark's
-    // locale-insensitive lower() on the document side.
-    val norm = phrases.map(_.trim.split("\\s+").toSeq
-      .map(_.toLowerCase(java.util.Locale.ROOT)))
+    // misclassify those into silently-inert patterns. Case-folding is
+    // NOT done here: JVM toLowerCase (any locale) and Spark's lower()
+    // disagree on non-ASCII edge cases ('İ', 'ẞ', final sigma — r14
+    // advice), which would leave such terms silently inert. Instead the
+    // generated SQL wraps each phrase literal in the ENGINE's own
+    // lower(), so both sides fold identically by construction (Catalyst
+    // constant-folds the literal, so the match stays codegen'd).
+    val norm = phrases.map(_.trim.split("\\s+").toSeq)
     require(norm.forall(t => t.nonEmpty && t.length <= 2 && t.forall(_.nonEmpty)),
       "blocklist phrases must be one or two whitespace-separated tokens")
     val (bigrams, unigrams) = {
@@ -1267,7 +1270,8 @@ object TextAnalysis {
     // SQL string-literal escaping: real blocklists contain quotes
     // ("don't") and the occasional backslash — unescaped they break or
     // silently reinterpret the generated expression
-    def sqlLit(w: String) = "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def sqlLit(w: String) = "lower('" +
+      w.replace("\\", "\\\\").replace("'", "\\'") + "')"
     def litArr(ws: Seq[String]) =
       if (ws.isEmpty) "array('')" else ws.map(sqlLit).mkString("array(", ", ", ")")
     val toks = s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')"

@@ -163,7 +163,10 @@ object UrlTools {
     * positionally — both passes match the identical span sequence, so
     * the pairing is exact. Returns array<struct<href, anchor>>. */
   def extractAnchors(htmlCol: String): Column = {
-    val pat = "(?is)<a\\\\s[^>]*?href\\\\s*=\\\\s*[\"\\']([^\"\\'#][^\"\\']*)[\"\\'][^>]*>(.*?)</a\\\\s*>"
+    // (?<![\w-]) guards the attribute name exactly like extractHrefs:
+    // without it the lazy [^>]*? scan binds to data-href/xlink:href first
+    // and pairs the anchor text with the WRONG target URL (r14 advice).
+    val pat = "(?is)<a\\\\s[^>]*?(?<![\\\\w-])href\\\\s*=\\\\s*[\"\\']([^\"\\'#][^\"\\']*)[\"\\'][^>]*>(.*?)</a\\\\s*>"
     expr(s"""zip_with(
       regexp_extract_all($htmlCol, '$pat', 1),
       regexp_extract_all($htmlCol, '$pat', 2),

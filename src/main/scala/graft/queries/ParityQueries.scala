@@ -472,7 +472,7 @@ object ParityQueries {
               |      FROM ($ordersHeadSql) hh GROUP BY 1),
               |j AS (SELECT coalesce(b.value, h.value) AS value,
               |             coalesce(base_n, 0) AS base_n, coalesce(head_n, 0) AS head_n
-              |      FROM b FULL OUTER JOIN h ON b.value = h.value),
+              |      FROM b FULL OUTER JOIN h ON b.value IS NOT DISTINCT FROM h.value),
               |t AS (SELECT CAST(sum(base_n) AS BIGINT) AS nb, CAST(sum(head_n) AS BIGINT) AS nh FROM j)
               |SELECT value, base_n, head_n,
               |       CAST(abs(base_n * nh - head_n * nb) AS BIGINT) AS tv_contrib

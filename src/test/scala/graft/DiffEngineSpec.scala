@@ -467,6 +467,13 @@ class DiffEngineSpec extends SparkTestBase {
     assert(r("c") == ((0L, 1L, 4L)))  // value only in head
     // TV = sum/(2*Nb*Nh) = 16/32 = 0.5: half the mass moved
     assert(r.values.map(_._3).sum == 16L)
+    // NULL is ONE category (null-safe join): byte-identical sides with a
+    // NULL value must produce one matched row contributing zero, not two
+    // unmatched rows scoring phantom drift (r14 advice: the q71 oracle now
+    // joins IS NOT DISTINCT FROM to match).
+    val withNull = Seq(Some("a"), None, None).toDF("s")
+    val rn = DiffEngine.categoricalDrift(withNull, withNull, "s").collect()
+    assert(rn.length == 2 && rn.forall(_.getLong(3) == 0L))
   }
 
   test("psi drift: identical sides score zero, a planted shift is positive, every term nonnegative") {

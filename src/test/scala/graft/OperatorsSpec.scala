@@ -3975,7 +3975,7 @@ class OperatorsSpec extends SparkTestBase {
   test("anchor extraction: nested markup stripped, multi-line collapsed, fragment excluded, empty kept") {
     val html = """<html><A HREF="http://a.example.com/x" class=y>read
       | <b>more</b>  here</A><a href="#top">skip</a>
-      |<a class='z' href='http://b.example.com/y'></a>
+      |<a class='z' data-href='http://decoy.example.net/d' href='http://b.example.com/y'></a>
       |<a href="http://c.example.com/z">c <i>1</i></a
       |></html>""".stripMargin
     val r = Seq((1L, html)).toDF("id", "h")
@@ -4676,6 +4676,19 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(r2(0) == ((1L, 2L, 0L, 1L))) // 'fast' + escaped "don't"
     assert(r2(1) == ((2L, 0L, 1L, 1L))) // tab-separated pair matched as bigram
+    // r14 advice: non-ASCII phrases fold through the ENGINE's lower(), so
+    // phrase-side and document-side case mappings agree by construction
+    // ('İ'/'ẞ' were silently inert when the JVM folded the phrase side).
+    val turkishI = new String(Character.toChars(0x130)) // 'İ'
+    val capSharpS = new String(Character.toChars(0x1E9E)) // 'ẞ'
+    val d3 = Seq((1L, s"ein ${capSharpS}trase text"), (2L, s"word $turkishI here"))
+      .toDF("doc_id", "text")
+    val r3 = TextAnalysis.blocklistHits(d3, "doc_id", "text",
+        Seq(s"${capSharpS}trase", turkishI))
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3)))
+    assert(r3(0) == ((1L, 1L, 1L)))
+    assert(r3(1) == ((2L, 1L, 1L)))
   }
 
   test("char entropy halfbits: run-length HOF fold equals the histogram definition, constant text scores zero") {

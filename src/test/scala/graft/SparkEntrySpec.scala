@@ -129,6 +129,20 @@ class SparkEntrySpec extends SparkTestBase {
     // a prior that isn't an array is corruption: throw to the caller's
     // per-file catch rather than silently re-modeling the history
     assertThrows[Exception](Bench.appendRebase(Some("""{"not":"an array"}"""), Some(e1)))
+    // r14 advice: rebasesField contains that corruption to ONE query —
+    // the bad history is quarantined verbatim (escaped JSON string) and a
+    // fresh array starts from this sweep's entry, so the rest of
+    // bench_best.json still refreshes instead of aborting the whole write
+    val qf = Bench.rebasesField(Some("""{"not":"an array"}"""), Some(e1))
+    assert(qf.contains(s""","rebases":[$e1]"""))
+    assert(qf.contains(""","rebases_corrupt":"{\"not\":\"an array\"}""""))
+    assert(org.json4s.jackson.JsonMethods.parse(s"{${qf.drop(1)}}") != org.json4s.JNothing)
+    // unparseable garbage (not even JSON) quarantines the same way
+    val qg = Bench.rebasesField(Some("not json at all"), None)
+    assert(qg == ""","rebases_corrupt":"not json at all"""")
+    // clean histories pass through identically to appendRebase
+    assert(Bench.rebasesField(Some(s"[$e1]"), Some(e2)) == s""","rebases":[$e1,$e2]""")
+    assert(Bench.rebasesField(None, None) == "")
   }
 
   test("rehearsal blocks re-run when an entry drifts >2x its best-known floor (r12)") {
