@@ -346,7 +346,7 @@ object Dedup {
     require(maxBucket >= 1, "maxBucket must be positive")
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val (sets, prefix) = prefixPostings(df, idCol, textCol, minJaccardPct, shingleWords)
+    val (sets, prefix, _) = prefixPostings(df, idCol, textCol, minJaccardPct, shingleWords)
     val capped = prefix.withColumn("__brn", row_number().over(
         Window.partitionBy("__tok").orderBy(col("__doc"))))
       .filter(col("__brn") <= maxBucket)
@@ -391,8 +391,9 @@ object Dedup {
       .withColumn("jaccard_pct", expr("inter_n * 100 div union_n"))
   }
 
-  /** Shared postings build for [[prefixFilterPairs]] and
-    * [[prefixFilterCapReport]]: (token sets, UNCAPPED prefix postings).
+  /** Shared postings build for [[prefixFilterPairs]],
+    * [[prefixFilterCapReport]] and [[similarityJoinAdvisor]]:
+    * (token sets, UNCAPPED prefix postings, global token df).
     *
     * `shingleWords` > 1 joins on word n-gram sets — unigram Jaccard
     * saturates on small-vocabulary corpora (everything resembles
@@ -403,7 +404,7 @@ object Dedup {
     * sets are checkpointed so candidate generation and verify share ONE
     * tokenize pass. */
   private def prefixPostings(df: DataFrame, idCol: String, textCol: String,
-      minJaccardPct: Int, shingleWords: Int): (DataFrame, DataFrame) = {
+      minJaccardPct: Int, shingleWords: Int): (DataFrame, DataFrame, DataFrame) = {
     require(minJaccardPct >= 1 && minJaccardPct <= 100, "minJaccardPct must be 1..100")
     require(shingleWords >= 1, "shingleWords must be positive")
     import org.apache.spark.sql.expressions.Window
@@ -442,7 +443,7 @@ object Dedup {
         Window.partitionBy("__doc").orderBy(col("__df"), col("__tok"))))
     val prefix = ranked.filter(
       col("__rn") <= col("__n") - expr(s"(__n * $minJaccardPct + 99) div 100") + 1)
-    (sets, prefix)
+    (sets, prefix, dfreq)
   }
 
   /** The accounting [[prefixFilterPairs]]' `maxBucket` cap owes: one row —
@@ -461,7 +462,7 @@ object Dedup {
   def prefixFilterCapReport(df: DataFrame, idCol: String, textCol: String,
       minJaccardPct: Int, maxBucket: Int = 500, shingleWords: Int = 1): DataFrame = {
     require(maxBucket >= 1, "maxBucket must be positive")
-    val (_, prefix) = prefixPostings(df, idCol, textCol, minJaccardPct, shingleWords)
+    val (_, prefix, _) = prefixPostings(df, idCol, textCol, minJaccardPct, shingleWords)
     prefix.groupBy("__tok").agg(count(lit(1)).as("__c"))
       .agg(
         count(lit(1)).cast("long").as("n_prefix_tokens"),
@@ -469,6 +470,74 @@ object Dedup {
         sum(when(col("__c") > maxBucket, 1L).otherwise(0L)).as("n_truncated_tokens"),
         sum(when(col("__c") > maxBucket, col("__c") - maxBucket).otherwise(0L))
           .cast("long").as("n_foregone_postings"))
+  }
+
+  /** Routes a planned similarity self-join BEFORE it runs — the missing
+    * guard rail in front of [[prefixFilterPairs]]: on a low-diversity
+    * corpus the TRUE t-similar pair count is itself quadratic (the r13
+    * probe measured 548M genuine candidates on tag-degraded trigrams —
+    * PPJoin's position filter pruned nothing and the exact join ran
+    * 618 s/OOM at 100×), so at 100 TB the launch decision must be made
+    * from a stats pass, not discovered from a dead executor. One
+    * postings-stats pass over the SAME uncapped build the join would run
+    * (shared [[prefixPostings]]) emits one row:
+    *
+    *   - `n_docs`, `n_distinct_tokens`, `max_df` — corpus shape;
+    *   - `pred_pairs_index` — Σ df·(df−1)/2 over ALL tokens: the
+    *     candidate mass of a plain inverted-index join (no prefix
+    *     filter), the naive-plan cost;
+    *   - `n_prefix_tokens`, `n_prefix_postings`, `max_prefix_df`,
+    *     `pred_pairs_prefix` — the same mass over the PREFIX postings:
+    *     exactly the pairs [[prefixFilterPairs]]' candidate self-join
+    *     will generate (before the length/position filters, which cannot
+    *     save a corpus whose genuine matches are quadratic);
+    *   - `pair_budget` = n_docs × maxPairsPerDoc and the `verdict`:
+    *     'prefix_filter' when the predicted mass fits the budget,
+    *     'minhash_lsh' otherwise (LSH's banded candidates are bounded by
+    *     collision design, not corpus diversity — the safe path).
+    *
+    * Integer algebra end to end, DuckDB-replayable (q342). Per-token df
+    * is CLAMPED at 3e9 before squaring: below the clamp the mass is
+    * exact (3e9·(3e9−1) < 2^63, no ANSI overflow); a token past the
+    * clamp already contributes ~4.5e18 pairs, orders of magnitude over
+    * any realistic budget, so the ROUTING decision is invariant under
+    * the clamp — the advisor refuses to under-report, never wraps. The
+    * mass totals are summed as DECIMAL(38,0) and published as strings
+    * (1e12 distinct shingles × 4.5e18 ≈ 1e30 still fits), because the
+    * one place this operator must not fail is on the corpus that needs
+    * the LSH verdict.
+    *
+    * Scale: the postings build's keyed shuffles (the same ones the join
+    * itself would pay) plus three one-row aggregates cross-joined — the
+    * advisor costs one stats pass and saves a quadratic join. */
+  def similarityJoinAdvisor(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPct: Int, maxPairsPerDoc: Long = 100L,
+      shingleWords: Int = 1): DataFrame = {
+    require(maxPairsPerDoc >= 1 && maxPairsPerDoc <= 1000000L,
+      "maxPairsPerDoc must be in 1..1e6 (the budget must fit a long at any corpus size)")
+    val (sets, prefix, dfreq) = prefixPostings(df, idCol, textCol, minJaccardPct, shingleWords)
+    def mass(c: String) =
+      s"sum(CAST(least($c, 3000000000L) * (least($c, 3000000000L) - 1) div 2 AS DECIMAL(38,0)))"
+    val docsAgg = sets.agg(count(lit(1)).cast("long").as("n_docs"))
+    val idxAgg = dfreq.agg(
+      count(lit(1)).cast("long").as("n_distinct_tokens"),
+      coalesce(max(col("__df")), lit(0L)).cast("long").as("max_df"),
+      coalesce(expr(mass("__df")), lit(0).cast("decimal(38,0)")).as("__ppi"))
+    val preAgg = prefix.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .agg(
+        count(lit(1)).cast("long").as("n_prefix_tokens"),
+        coalesce(sum(col("__c")), lit(0L)).cast("long").as("n_prefix_postings"),
+        coalesce(max(col("__c")), lit(0L)).cast("long").as("max_prefix_df"),
+        coalesce(expr(mass("__c")), lit(0).cast("decimal(38,0)")).as("__ppp"))
+    docsAgg.crossJoin(broadcast(idxAgg)).crossJoin(broadcast(preAgg))
+      .withColumn("pair_budget", col("n_docs") * lit(maxPairsPerDoc))
+      .select(col("n_docs"), col("n_distinct_tokens"), col("max_df"),
+        col("__ppi").cast("string").as("pred_pairs_index"),
+        col("n_prefix_tokens"), col("n_prefix_postings"), col("max_prefix_df"),
+        col("__ppp").cast("string").as("pred_pairs_prefix"),
+        col("pair_budget"),
+        when(col("__ppp") <= col("pair_budget"), lit("prefix_filter"))
+          .otherwise(lit("minhash_lsh")).as("verdict"))
   }
 
   /** [[jaccardPairs]] over HASHED token sets: each distinct token folds to a

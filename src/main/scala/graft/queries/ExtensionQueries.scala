@@ -11047,6 +11047,97 @@ object ExtensionQueries {
              |  CAST(len(bidx) AS BIGINT) AS n_boundaries,
              |  CAST(coalesce(bidx[1], -1) AS BIGINT) AS first_boundary
              |FROM s7 ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Similarity-join router (r15, VERDICT r13 #1 / r14 #2): the launch
+    // decision for a 100 TB near-dup job, made from one postings-stats
+    // pass instead of a dead executor. Two configs on the REAL corpus:
+    // q257's shipped 3-gram t=50 (diverse shingle space, predicted mass
+    // 1.6k pairs, well under the 100/doc budget -> 'prefix_filter') and
+    // unigrams at the same threshold (the fixture's 31-word vocabulary is
+    // exactly the degenerate regime the r13 probe measured at 100x:
+    // predicted mass 1.13M pairs for 500 docs -> 'minhash_lsh'). The
+    // oracle replays the postings build, both clamped quadratic masses
+    // and the verdict CASE formula-identically; the masses publish as
+    // strings (engine side sums DECIMAL(38,0), oracle HUGEINT — the one
+    // operator that must not overflow is the one sizing the overflow).
+    QueryDef(
+      "q342_similarity_join_advisor",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cols = Seq("n_docs", "n_distinct_tokens", "max_df", "pred_pairs_index",
+          "n_prefix_tokens", "n_prefix_postings", "max_prefix_df",
+          "pred_pairs_prefix", "pair_budget", "verdict")
+        Dedup.similarityJoinAdvisor(docs, "doc_id", "text",
+            minJaccardPct = 50, maxPairsPerDoc = 100, shingleWords = 3)
+          .withColumn("config", lit("q257_3gram_t50"))
+          .unionByName(
+            Dedup.similarityJoinAdvisor(docs, "doc_id", "text",
+                minJaccardPct = 50, maxPairsPerDoc = 100, shingleWords = 1)
+              .withColumn("config", lit("unigram_t50")))
+          .select((col("config") +: cols.map(col)): _*)
+          .orderBy("config")
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+             |  FROM documents),
+             |s3 AS (SELECT doc_id,
+             |    list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+             |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |             list_transform(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+             |               c -> CAST(ord(c) AS BIGINT))),
+             |             (a, c) -> (a * 31 + c) % 144115188075855859)))) AS ts
+             |  FROM w WHERE len(w) >= 3),
+             |t3 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS tok FROM s3),
+             |d3 AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM t3 GROUP BY 1),
+             |r3 AS (SELECT doc_id, tok, n,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn
+             |  FROM t3 JOIN d3 USING (tok)),
+             |p3 AS (SELECT tok FROM r3 WHERE rn <= n - (n * 50 + 99) // 100 + 1),
+             |b3 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM p3 GROUP BY 1),
+             |s1 AS (SELECT doc_id,
+             |    list_sort(list_distinct(list_transform(w,
+             |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |             list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+             |             (a, c) -> (a * 31 + c) % 144115188075855859)))) AS ts
+             |  FROM w),
+             |t1 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS tok FROM s1),
+             |d1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM t1 GROUP BY 1),
+             |r1 AS (SELECT doc_id, tok, n,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn
+             |  FROM t1 JOIN d1 USING (tok)),
+             |p1 AS (SELECT tok FROM r1 WHERE rn <= n - (n * 50 + 99) // 100 + 1),
+             |b1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM p1 GROUP BY 1),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+             |i3 AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+             |    CAST(max(dfc) AS BIGINT) AS max_df,
+             |    sum(least(dfc, 3000000000) * (least(dfc, 3000000000) - 1) // 2) AS ppi FROM d3),
+             |g3 AS (SELECT CAST(count(*) AS BIGINT) AS n_prefix_tokens,
+             |    CAST(sum(c) AS BIGINT) AS n_prefix_postings,
+             |    CAST(max(c) AS BIGINT) AS max_prefix_df,
+             |    sum(least(c, 3000000000) * (least(c, 3000000000) - 1) // 2) AS ppp FROM b3),
+             |i1 AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+             |    CAST(max(dfc) AS BIGINT) AS max_df,
+             |    sum(least(dfc, 3000000000) * (least(dfc, 3000000000) - 1) // 2) AS ppi FROM d1),
+             |g1 AS (SELECT CAST(count(*) AS BIGINT) AS n_prefix_tokens,
+             |    CAST(sum(c) AS BIGINT) AS n_prefix_postings,
+             |    CAST(max(c) AS BIGINT) AS max_prefix_df,
+             |    sum(least(c, 3000000000) * (least(c, 3000000000) - 1) // 2) AS ppp FROM b1)
+             |SELECT 'q257_3gram_t50' AS config, n_docs, n_distinct_tokens, max_df,
+             |  CAST(ppi AS VARCHAR) AS pred_pairs_index,
+             |  n_prefix_tokens, n_prefix_postings, max_prefix_df,
+             |  CAST(ppp AS VARCHAR) AS pred_pairs_prefix,
+             |  CAST(n_docs * 100 AS BIGINT) AS pair_budget,
+             |  CASE WHEN ppp <= n_docs * 100 THEN 'prefix_filter' ELSE 'minhash_lsh' END AS verdict
+             |FROM nd, i3, g3
+             |UNION ALL
+             |SELECT 'unigram_t50', n_docs, n_distinct_tokens, max_df,
+             |  CAST(ppi AS VARCHAR),
+             |  n_prefix_tokens, n_prefix_postings, max_prefix_df,
+             |  CAST(ppp AS VARCHAR),
+             |  CAST(n_docs * 100 AS BIGINT),
+             |  CASE WHEN ppp <= n_docs * 100 THEN 'prefix_filter' ELSE 'minhash_lsh' END
+             |FROM nd, i1, g1
+             |ORDER BY config""".stripMargin)
     )
   )
 

@@ -3756,6 +3756,59 @@ class OperatorsSpec extends SparkTestBase {
     assert(repOk == ((0L, 0L)), s"fitting cap must report zero truncation: $repOk")
   }
 
+  test("similarity-join advisor: degraded corpus routes to LSH, diverse to prefix filter, mass exact") {
+    import graft.operators.Dedup
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getAs[Long]("n_docs"), r.getAs[String]("pred_pairs_prefix").toLong,
+        r.getAs[Long]("pair_budget"), r.getAs[String]("verdict"))
+    }
+    // the r13 regime: tag-degraded low-diversity corpus — every doc drawn
+    // from a 4-word vocabulary, so ~every pair is a genuine candidate and
+    // the TRUE pair count is quadratic. 80 docs, budget 10/doc = 800:
+    // predicted mass must overflow the budget and route to LSH.
+    val degraded = (1L to 80L).map(i =>
+      (i, s"alpha beta gamma delta tag${i % 2}")).toDF("doc_id", "text")
+    val (nd, ppd, bud, vd) = row(Dedup.similarityJoinAdvisor(
+      degraded, "doc_id", "text", minJaccardPct = 50, maxPairsPerDoc = 10))
+    assert(nd == 80L && bud == 800L)
+    assert(ppd > bud && vd == "minhash_lsh",
+      s"quadratic corpus must route to LSH: pred=$ppd budget=$bud")
+    // diverse corpus: per-doc unique vocabulary — prefix postings are all
+    // singletons, predicted mass 0, the exact join is safe
+    val diverse = (1L to 80L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d")).toDF("doc_id", "text")
+    val (nd2, ppd2, _, vd2) = row(Dedup.similarityJoinAdvisor(
+      diverse, "doc_id", "text", minJaccardPct = 50, maxPairsPerDoc = 10))
+    assert(nd2 == 80L && ppd2 == 0L && vd2 == "prefix_filter")
+    // hand-exact mass: 5 identical 2-token docs, t=50 keeps the full
+    // 2-token prefix -> two tokens with 5 postings each: 2 * C(5,2) = 20;
+    // budget boundary is INCLUSIVE (pred == budget stays on the exact path)
+    val five = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a b"), (5L, "a b"))
+      .toDF("doc_id", "text")
+    val (_, pp5, bud5, v5) = row(Dedup.similarityJoinAdvisor(
+      five, "doc_id", "text", minJaccardPct = 50, maxPairsPerDoc = 4))
+    assert(pp5 == 20L && bud5 == 20L && v5 == "prefix_filter",
+      s"boundary must be inclusive: pred=$pp5 budget=$bud5 verdict=$v5")
+    val (_, _, _, v5over) = row(Dedup.similarityJoinAdvisor(
+      five, "doc_id", "text", minJaccardPct = 50, maxPairsPerDoc = 3))
+    assert(v5over == "minhash_lsh")
+    // the advisor predicts the work the join then actually does: the
+    // degraded corpus's REAL qualifying pair count is itself quadratic
+    // (the prediction is a candidate superset, never an undercount)
+    val real = Dedup.prefixFilterPairs(degraded, "doc_id", "text", 50, maxBucket = 500)
+      .count()
+    assert(real.toDouble >= 0.4 * (80.0 * 79 / 2) && ppd >= real,
+      s"degraded corpus: real=$real predicted=$ppd")
+    // empty corpus degenerates cleanly: zero row, prefix_filter verdict
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (nd0, pp0, _, v0) = row(Dedup.similarityJoinAdvisor(
+      empty, "doc_id", "text", minJaccardPct = 50))
+    assert(nd0 == 0L && pp0 == 0L && v0 == "prefix_filter")
+    assertThrows[IllegalArgumentException](Dedup.similarityJoinAdvisor(
+      five, "doc_id", "text", minJaccardPct = 50, maxPairsPerDoc = 0))
+  }
+
   test("consistent hash: ring matches reference impl, growth moves keys only to the new shard") {
     import graft.operators.Layout
     // ring positions are collision-free for the query's parameters
