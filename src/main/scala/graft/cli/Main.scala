@@ -83,6 +83,15 @@ object Main {
       minWords: Int = 50,
       shards: Int = 1,
       jsonlIn: Boolean = false,
+      // --near-dup-mode off|auto|exact|lsh: near-duplicate removal ahead
+      // of the curate pipeline. 'auto' routes through
+      // Dedup.similarityJoinAdvisor — the stats pass that keeps a 100 TB
+      // run from silently launching a quadratic exact join on a
+      // low-diversity corpus (the r13 probe's 548M-candidate regime);
+      // 'exact'/'lsh' force a path, 'off' (default) preserves the
+      // pre-r15 pipeline byte-for-byte
+      nearDupMode: String = "off",
+      nearDupPct: Int = 50,
       // advise-layout subcommand
       candidates: Seq[String] = Nil,
       valueCol: Option[String] = None,
@@ -167,6 +176,15 @@ object Main {
         case "--min-words" => a = a.copy(minWords = need("--min-words").toInt)
         case "--shards" => a = a.copy(shards = need("--shards").toInt)
         case "--jsonl" => a = a.copy(jsonlIn = true)
+        case "--near-dup-mode" =>
+          val m = need("--near-dup-mode")
+          require(Set("off", "auto", "exact", "lsh")(m),
+            s"--near-dup-mode must be off|auto|exact|lsh, got '$m'")
+          a = a.copy(nearDupMode = m)
+        case "--near-dup-pct" =>
+          val p = need("--near-dup-pct").toInt
+          require(p >= 1 && p <= 100, "--near-dup-pct must be 1..100")
+          a = a.copy(nearDupPct = p)
         case "--candidates" =>
           a = a.copy(candidates =
             need("--candidates").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -568,7 +586,11 @@ object Main {
     * ([[graft.operators.Pipelines.curateAndPack]]) from the shell — quality
     * gate, boilerplate scrub, dedup on cleaned text, sequence packing —
     * reading parquet (or `--jsonl`) with (doc_id, text) columns and writing
-    * range-sharded JSONL plus a one-line JSON summary on stdout. */
+    * range-sharded JSONL plus a one-line JSON summary on stdout.
+    * `--near-dup-mode auto` prepends advisor-routed near-dup removal
+    * ([[graft.operators.Dedup.similarityJoinAdvisor]]); the summary then
+    * carries the resolved path, predicted candidate mass, budget and
+    * removal count. */
   def runCurate(spark: SparkSession, a: Args): Unit = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     // parsed is the cached JSONL frame (partitionCorrupt's contract) — it
@@ -588,8 +610,40 @@ object Main {
         clean
       } else spark.read.parquet(a.basePath)
     val inDocs = df.count()
+    // near-dup stage (r15): runs on the RAW text ahead of the pipeline
+    // (the pipeline's own dedup is exact-on-clean-text; this one catches
+    // reworded/banner-variant copies). Survivorship is min-id per pair —
+    // same contract as the pipeline's exact stage. 'auto' pays one
+    // advisor stats pass (the same keyed shuffles the exact join would
+    // start with) to pick the path that terminates: prefix_filter when
+    // the predicted candidate mass fits n_docs*100, minhash_lsh when the
+    // corpus itself is quadratic at the threshold.
+    val (nearDupJson, deduped) =
+      if (a.nearDupMode == "off") ("", df)
+      else {
+        import org.apache.spark.sql.functions.col
+        val adv = graft.operators.Dedup.similarityJoinAdvisor(
+          df, "doc_id", "text", minJaccardPct = a.nearDupPct, shingleWords = 3).head()
+        val path = a.nearDupMode match {
+          case "auto" => adv.getAs[String]("verdict")
+          case "exact" => "prefix_filter"
+          case _ => "minhash_lsh"
+        }
+        val pairs = path match {
+          case "prefix_filter" => graft.operators.Dedup.prefixFilterPairs(
+            df, "doc_id", "text", a.nearDupPct, shingleWords = 3)
+          case _ => graft.operators.Dedup.minHashLshPairs(df, "doc_id", "text")
+        }
+        val drops = pairs.select(col("b_doc_id").as("doc_id")).distinct()
+        val removed = drops.count()
+        val kept = df.join(drops, Seq("doc_id"), "left_anti")
+        (s""", "near_dup_mode": "${a.nearDupMode}", "near_dup_path": "$path"""" +
+          s""", "pred_pairs_prefix": "${adv.getAs[String]("pred_pairs_prefix")}"""" +
+          s""", "pair_budget": ${adv.getAs[Long]("pair_budget")}""" +
+          s""", "near_dup_removed": $removed""", kept)
+      }
     val curated = graft.operators.Pipelines.curateAndPack(
-      df, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,
+      deduped, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,
       minWords = a.minWords, spanWords = a.spanWords,
       maxSpanDocs = a.maxSpanDocs, budget = a.budget, keepText = true)
       .persist()
@@ -607,7 +661,7 @@ object Main {
         case c => c.toString
       } + "\""
       println(
-        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}, "out": ${jstr(a.headPath)}}""")
+        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}$nearDupJson, "out": ${jstr(a.headPath)}}""")
     } finally { curated.unpersist(); () }
   }
 
@@ -822,6 +876,7 @@ object Main {
       |             are warehouse relations read over JDBC)
       |       curate <inPath> <outPath> [--jsonl] [--min-words N] [--span-words N]
       |            [--max-span-docs N] [--budget N] [--shards N]
+      |            [--near-dup-mode off|auto|exact|lsh] [--near-dup-pct N]
       |       advise-layout <tablePath> --candidates c1[,c2,...]
       |            [--value-col COL] [--bucket-rows N]
       |       compact-plan <tablePath> [--small-threshold BYTES] [--target-size BYTES]""".stripMargin

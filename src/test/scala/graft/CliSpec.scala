@@ -151,6 +151,71 @@ class CliSpec extends SparkTestBase {
     assert(back(1L)._3 == 0L && back(2L)._3 == 0L && back(3L)._3 == 0L)
   }
 
+  test("curate --near-dup-mode auto: advisor verdict routes the path and lands in the summary JSON") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_neardup_")
+    // parse surface
+    val ap = Main.parseArgs(Seq("curate", "/in", "/out", "--near-dup-mode", "auto",
+      "--near-dup-pct", "60"))
+    assert(ap.nearDupMode == "auto" && ap.nearDupPct == 60)
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("curate", "/in", "/out", "--near-dup-mode", "fuzzy")))
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("curate", "/in", "/out", "--near-dup-pct", "0")))
+    // diverse corpus: advisor must route to the exact prefix-filter join.
+    // Docs 1/2 share a 17-word body (with stopwords, so the Gopher gate
+    // keeps them) plus 2 unique tail words each -> 17 trigrams/doc, 15
+    // shared: Jaccard 15/19 = 78% >= 50% -> a genuine pair, min-id wins
+    val body = "the quick brown fox and the lazy dog of the north went to the market in town"
+    val docs = Seq(
+      (1L, s"$body uniqoneaa uniqonebb"),
+      (2L, s"$body uniqtwoaa uniqtwobb"),
+      (3L, "a wholly different document with its very own twenty words of content " +
+        "spread over several phrases to pass the gate")
+    ).toDF("doc_id", "text")
+    val in = dir.resolve("in").toString
+    docs.write.mode("overwrite").parquet(in)
+    val out1 = dir.resolve("out1").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.runCurate(spark, Main.parseArgs(Seq("curate", in, out1,
+        "--min-words", "3", "--span-words", "50", "--budget", "64",
+        "--near-dup-mode", "auto", "--near-dup-pct", "50")))
+    }
+    val line = buf.toString("UTF-8").trim
+    // golden shape: auto mode resolved to the exact path on this corpus,
+    // exactly one doc removed (doc 2, the larger id of the near-dup pair)
+    assert(line.contains(""""near_dup_mode": "auto""""), line)
+    assert(line.contains(""""near_dup_path": "prefix_filter""""), line)
+    assert(line.contains(""""near_dup_removed": 1"""), line)
+    assert(line.contains(""""pair_budget": 300"""), line)
+    assert(line.contains(""""in_docs": 3""") && line.contains(""""kept_docs": 2"""), line)
+    // the removed doc is the LARGER id: doc 1 survives into the export
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType)))
+    val ids = graft.engine.CorpusIO.partitionCorrupt(
+      graft.engine.CorpusIO.readJsonl(spark, out1, schema))._1
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), s"doc 2 must be the near-dup casualty: $ids")
+    // forced LSH on the same corpus: path pinned regardless of the verdict
+    val out2 = dir.resolve("out2").toString
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2, true, "UTF-8")) {
+      Main.runCurate(spark, Main.parseArgs(Seq("curate", in, out2,
+        "--min-words", "3", "--span-words", "50", "--budget", "64",
+        "--near-dup-mode", "lsh")))
+    }
+    assert(buf2.toString("UTF-8").contains(""""near_dup_path": "minhash_lsh""""))
+    // off (default): summary shape unchanged from pre-r15 — no near-dup keys
+    val out3 = dir.resolve("out3").toString
+    val buf3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf3, true, "UTF-8")) {
+      Main.runCurate(spark, Main.parseArgs(Seq("curate", in, out3,
+        "--min-words", "3", "--span-words", "50", "--budget", "64")))
+    }
+    assert(!buf3.toString("UTF-8").contains("near_dup"))
+  }
+
   test("advise-layout subcommand: q204/q216/q232 trio as one golden JSON report") {
     // parse surface
     val a = Main.parseArgs(Seq("advise-layout", "/t", "--candidates", "status,id",
