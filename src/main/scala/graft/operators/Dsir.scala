@@ -148,4 +148,98 @@ object Dsir {
         (expr("(__s - n_features * __nl + 256L * n_features) * 1000 div n_features")
           - lit(256000L)).cast("long").as("weight_x1000"))
   }
+
+  /** K per-domain DSIR weights plus an integer-mixture composite — the
+    * multi-domain upgrade of [[importanceWeights]] (VERDICT r13 #5 /
+    * r14 #6). Real training mixes are multi-target ("40% code, 30%
+    * encyclopedic, 30% dialogue"); fitting K single-target models with K
+    * calls would pay 2K corpus passes. This fits ALL K per-bucket models
+    * from ONE shared feature pass (per bucket: total occurrences plus K
+    * target sums — each domain's raw side is total − target, exactly the
+    * contrast [[importanceWeights]] computes, so `w_<name>_x1000` equals
+    * the single-target output column-for-column, a property DsirSpec
+    * pins) and scores every document against all K broadcast models in
+    * ONE doc-keyed shuffle: 2 corpus passes regardless of K.
+    *
+    * `mixX1000` are integer mixture weights (parts, not necessarily
+    * summing to 1000); the composite is
+    *   mix = Σ_k mix_k·(w_k + 256000) div Σ_k mix_k − 256000,
+    * the same positivity-offset trick as the per-feature average: w_k ≥
+    * −124000 > −256000 keeps every dividend non-negative, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree (they diverge on
+    * negatives — the documented engine boundary). Bounds: K ≤ 16 and
+    * mix_k ≤ 1e6 keep the dividend under ~6.2e12, far inside a long.
+    *
+    * Scale: identical shape to [[importanceWeights]] — the K-column
+    * bucket model is still ≤ B rows (broadcast), nothing document-sized
+    * shuffles, and the per-doc aggregate carries K longs instead of 1. */
+  def multiDomainWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      domains: Seq[(String, Column)],
+      mixX1000: Seq[Long],
+      buckets: Int = 8192
+  ): DataFrame = {
+    require(buckets > 1, "need at least 2 hash buckets")
+    require(domains.nonEmpty && domains.size <= 16,
+      "domains must be 1..16 (the model broadcast carries K columns per bucket)")
+    require(domains.map(_._1).distinct.size == domains.size, "domain names must be unique")
+    require(domains.forall(_._1.matches("[A-Za-z][A-Za-z0-9_]*")),
+      "domain names must be identifier-safe (they become output columns)")
+    require(mixX1000.size == domains.size, "one mixture weight per domain")
+    require(mixX1000.forall(m => m >= 0 && m <= 1000000L) && mixX1000.sum >= 1,
+      "mixture weights must be in 0..1e6 with a positive sum")
+    val ks = domains.indices
+    val featuresSql =
+      s"""concat(__toks,
+         |  CASE WHEN size(__toks) >= 2
+         |    THEN transform(sequence(0, size(__toks) - 2),
+         |      i -> concat(element_at(__toks, i + 1), ' ', element_at(__toks, i + 2)))
+         |    ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin
+    def exploded = Par.ensureParallel(df)
+      .filter(col(textCol).isNotNull)
+      .select((col(idCol).as("__id") +:
+        domains.zipWithIndex.map { case ((_, p), k) =>
+          coalesce(p, lit(false)).as(s"__t$k") }) :+
+        expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__toks"): _*)
+      .select((col("__id") +: ks.map(k => col(s"__t$k"))) :+
+        explode(expr(featuresSql)).as("__f"): _*)
+      .select((col("__id") +: ks.map(k => col(s"__t$k"))) :+
+        (expr("aggregate(split(__f, ''), 0L, " +
+          "(a, c) -> (a * 31 + ascii(c)) % 144115188075855859L)") % buckets).as("__b"): _*)
+    val model = exploded
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__call"),
+        ks.map(k => sum(when(col(s"__t$k"), 1L).otherwise(0L)).as(s"__ct$k")): _*)
+      .localCheckpoint()
+    val llrByBucket = model.select(col("__b") +: ks.map { k =>
+      (halfBitLog2(col(s"__ct$k") + 1) -
+        halfBitLog2(col("__call") - col(s"__ct$k") + 1)).cast("long").as(s"__l$k")
+    }: _*)
+    val norm = model
+      .agg(sum(col("__call")).as("__all"),
+        ks.map(k => sum(col(s"__ct$k")).as(s"__tt$k")): _*)
+      .select(ks.map { k =>
+        (halfBitLog2(col(s"__tt$k") + buckets) -
+          halfBitLog2(col("__all") - col(s"__tt$k") + buckets))
+          .cast("long").as(s"__nl$k")
+      }: _*)
+    val scored = exploded
+      .join(broadcast(llrByBucket), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_features"), ks.map(k => sum(col(s"__l$k")).as(s"__s$k")): _*)
+      .crossJoin(broadcast(norm))
+    val base = scored.select(
+      col("__id").as(idCol) +: col("n_features").cast("long").as("n_features") +:
+        domains.zipWithIndex.map { case ((name, _), k) =>
+          (expr(s"(__s$k - n_features * __nl$k + 256L * n_features) * 1000 div n_features")
+            - lit(256000L)).cast("long").as(s"w_${name}_x1000")
+        }: _*)
+    val mixSql = domains.zipWithIndex
+      .map { case ((n, _), k) => s"${mixX1000(k)}L * (w_${n}_x1000 + 256000L)" }
+      .mkString(" + ")
+    base.withColumn("mix_weight_x1000",
+      expr(s"($mixSql) div ${mixX1000.sum}L - 256000L").cast("long"))
+  }
 }

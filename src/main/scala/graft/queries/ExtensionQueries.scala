@@ -11138,6 +11138,38 @@ object ExtensionQueries {
              |  CASE WHEN ppp <= n_docs * 100 THEN 'prefix_filter' ELSE 'minhash_lsh' END
              |FROM nd, i1, g1
              |ORDER BY config""".stripMargin)
+    ),
+
+    // DSIR multi-domain mixture (r15, VERDICT r13 #5 / r14 #6): two
+    // per-domain importance models (zh, en) fitted from ONE shared
+    // feature pass, composed with integer mixture weights 700:300 — the
+    // "40% code, 30% encyclopedic..." training-mix recipe as exact
+    // integer algebra. Every per-domain weight equals the single-target
+    // operator's output (DsirSpec pins the equality); the mixture is
+    // positivity-offset integer division, so Spark div == DuckDB //.
+    // The oracle runs one prefixed weights-CTE chain per domain (the
+    // q332/q333 chain parameterized) and joins them; gated on the
+    // doc_id % 17 slice to keep the dump bounded while still covering
+    // every lang and length band.
+    QueryDef(
+      "q343_dsir_multidomain",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dsir.multiDomainWeights(docs, "doc_id", "text",
+            domains = Seq("zh" -> (col("lang") === "zh"), "en" -> (col("lang") === "en")),
+            mixX1000 = Seq(700L, 300L))
+          .filter(col("doc_id") % 17 === 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${dsirDomainCtes("z_", "lang = 'zh'")},
+             |${dsirDomainCtes("e_", "lang = 'en'")}
+             |SELECT z.doc_id, z.n_features,
+             |  z.weight_x1000 AS w_zh_x1000, e.weight_x1000 AS w_en_x1000,
+             |  CAST((700 * (z.weight_x1000 + 256000) + 300 * (e.weight_x1000 + 256000)) // 1000
+             |       - 256000 AS BIGINT) AS mix_weight_x1000
+             |FROM z_weights z JOIN e_weights e USING (doc_id)
+             |WHERE doc_id % 17 = 0
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 
@@ -11214,40 +11246,45 @@ object ExtensionQueries {
           s"c -> CAST(c AS BIGINT)), (a, d) -> a * 2 + d)")
       .replaceAll("\\s+", " ")
 
-  /** The DSIR weight-fit replay shared by q332 and q333: the full CTE
-    * chain from tokens to a `weights(doc_id, n_features, weight_x1000)`
-    * relation, formula-identical to [[graft.operators.Dsir
-    * .importanceWeights]] (base-31 feature hash, 8192 buckets, two-regime
-    * half-bit logs via [[dsirQlSql]], +256-halfbit positivity offset). */
-  private lazy val dsirWeightsCtes: String =
-    raw"""toks AS (SELECT doc_id, lang = 'zh' AS tgt,
+  /** The DSIR weight-fit replay shared by q332, q333 and (per domain)
+    * q343: the full CTE chain from tokens to a
+    * `<p>weights(doc_id, n_features, weight_x1000)` relation,
+    * formula-identical to [[graft.operators.Dsir.importanceWeights]]
+    * (base-31 feature hash, 8192 buckets, two-regime half-bit logs via
+    * [[dsirQlSql]], +256-halfbit positivity offset). `p` prefixes every
+    * CTE name so K domain chains coexist in one WITH; `tgtSql` is the
+    * domain's membership predicate. */
+  private def dsirDomainCtes(p: String, tgtSql: String): String =
+    raw"""${p}toks AS (SELECT doc_id, $tgtSql AS tgt,
          |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
-         |feats AS (SELECT doc_id, tgt, unnest(list_concat(t,
+         |${p}feats AS (SELECT doc_id, tgt, unnest(list_concat(t,
          |      list_transform(range(greatest(len(t) - 1, 0)),
-         |        i -> t[i+1] || ' ' || t[i+2]))) AS f FROM toks),
-         |fb AS (SELECT doc_id, tgt,
+         |        i -> t[i+1] || ' ' || t[i+2]))) AS f FROM ${p}toks),
+         |${p}fb AS (SELECT doc_id, tgt,
          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      list_transform(string_split(f, ''), c -> CAST(ord(c) AS BIGINT))),
-         |      (a, c) -> (a * 31 + c) % 144115188075855859) % 8192 AS b FROM feats),
-         |cnt AS (SELECT b,
+         |      (a, c) -> (a * 31 + c) % 144115188075855859) % 8192 AS b FROM ${p}feats),
+         |${p}cnt AS (SELECT b,
          |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
          |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
-         |  FROM fb GROUP BY b),
-         |llr AS (SELECT b,
+         |  FROM ${p}fb GROUP BY b),
+         |${p}llr AS (SELECT b,
          |    CAST(${dsirQlSql("ct+1")}
-         |       - ${dsirQlSql("cr+1")} AS BIGINT) AS l FROM cnt),
-         |tot AS (SELECT CAST(sum(ct) + 8192 AS BIGINT) AS tt,
-         |    CAST(sum(cr) + 8192 AS BIGINT) AS tr FROM cnt),
-         |norm AS (SELECT
+         |       - ${dsirQlSql("cr+1")} AS BIGINT) AS l FROM ${p}cnt),
+         |${p}tot AS (SELECT CAST(sum(ct) + 8192 AS BIGINT) AS tt,
+         |    CAST(sum(cr) + 8192 AS BIGINT) AS tr FROM ${p}cnt),
+         |${p}norm AS (SELECT
          |    CAST(${dsirQlSql("tt")}
-         |       - ${dsirQlSql("tr")} AS BIGINT) AS nl FROM tot),
-         |doc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         |       - ${dsirQlSql("tr")} AS BIGINT) AS nl FROM ${p}tot),
+         |${p}doc AS (SELECT ${p}fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
          |    CAST(sum(l) AS BIGINT) AS s
-         |  FROM fb JOIN llr USING (b) GROUP BY fb.doc_id),
-         |weights AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, n_features,
+         |  FROM ${p}fb JOIN ${p}llr USING (b) GROUP BY ${p}fb.doc_id),
+         |${p}weights AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, n_features,
          |  CAST((s - n_features * nl + 256 * n_features) * 1000 // n_features
          |       - 256000 AS BIGINT) AS weight_x1000
-         |FROM doc, norm)""".stripMargin
+         |FROM ${p}doc, ${p}norm)""".stripMargin
+
+  private lazy val dsirWeightsCtes: String = dsirDomainCtes("", "lang = 'zh'")
 
   private def bpeReplaySql(numMerges: Int): String = {
     val S = "chr(1)"

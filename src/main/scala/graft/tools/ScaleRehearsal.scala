@@ -69,7 +69,19 @@ object ScaleRehearsal {
     // q257 here would measure the tag artifact, so its scale evidence
     // is the r13 probe record (PLANS.md) instead of a block ratio.
     "q259_cc_star",
-    "q310_compaction_execute", "q224_bloom_join_prune")
+    "q310_compaction_execute", "q224_bloom_join_prune",
+    // r15 (VERDICT r14 #4): the four ops whose 100× story previously
+    // rested on isolated PLANS.md notes, promoted into the auditable
+    // block. q333 = the DSIR weight→resample→budget chain (per-row
+    // feature hashing, the q332 family's heaviest composition); q334 =
+    // the uncapped prefix-postings accounting — NOTE it rehearses the
+    // POSTINGS BUILD (linear: explode + per-doc window + token agg),
+    // not a pair join, so the tag-degraded corpus that excludes q257
+    // does not go quadratic here (no candidate enumeration in its
+    // plan); q336/q337 = the two heaviest r14 map-side text passes
+    // (literal-array blocklist; sorted-codepoint entropy fold).
+    "q333_dsir_resample_mix", "q334_prefix_cap_report",
+    "q336_blocklist_filter", "q337_entropy_halfbit")
 
   /** Build (once per source-fixture state) the `copies`× dataset under
     * `outDir`; returns outDir. The done-marker carries a fingerprint of

@@ -118,4 +118,55 @@ class DsirSpec extends SparkTestBase {
     assert(zh.toDouble / n >= 2 * baseRate,
       s"sampled pool zh rate ${zh.toDouble / n} under 2x base rate $baseRate")
   }
+
+  test("multi-domain: each per-domain weight equals the single-target fit, mixture exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val domains = Seq("zh" -> (col("lang") === "zh"), "en" -> (col("lang") === "en"))
+    val multi = Dsir.multiDomainWeights(docs, "doc_id", "text", domains, Seq(700L, 300L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_features"), r.getAs[Long]("w_zh_x1000"),
+          r.getAs[Long]("w_en_x1000"), r.getAs[Long]("mix_weight_x1000")))).toMap
+    // equality with K independent single-target fits: the shared-pass
+    // model (ct_k, total - ct_k) IS the single-target contrast, so the
+    // column must match row-for-row — the property that makes the
+    // 2-passes-for-any-K design trustworthy
+    for ((name, pred) <- domains) {
+      val single = Dsir.importanceWeights(docs, "doc_id", "text", pred)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("n_features"), r.getAs[Long]("weight_x1000")))).toMap
+      assert(single.keySet == multi.keySet)
+      for ((id, (nf, w)) <- single) {
+        val m = multi(id)
+        assert(m._1 == nf, s"doc $id n_features: multi ${m._1} vs single $nf")
+        val mw = if (name == "zh") m._2 else m._3
+        assert(mw == w, s"doc $id domain $name: multi $mw vs single $w")
+      }
+    }
+    // mixture is the exact offset integer formula on the published columns
+    for ((id, (_, wz, we, mix)) <- multi) {
+      val want = (700L * (wz + 256000L) + 300L * (we + 256000L)) / 1000L - 256000L
+      assert(mix == want, s"doc $id mixture: got $mix want $want")
+    }
+    // per-domain enrichment: each domain's top-100 beats 2x its base rate
+    val total = docs.count()
+    for ((name, pred) <- domains) {
+      val baseRate = docs.filter(pred).count().toDouble / total
+      val colName = s"w_${name}_x1000"
+      val top = Dsir.multiDomainWeights(docs, "doc_id", "text", domains, Seq(500L, 500L))
+        .orderBy(col(colName).desc, col("doc_id")).limit(100)
+        .join(docs.select(col("doc_id"), pred.as("t")), Seq("doc_id"))
+      val hits = top.filter(col("t")).count()
+      assert(hits >= math.ceil(2 * 100 * baseRate).toLong,
+        s"domain $name top-100 hits $hits under 2x base rate $baseRate")
+    }
+    // argument contract
+    assertThrows[IllegalArgumentException](Dsir.multiDomainWeights(
+      docs, "doc_id", "text", domains, Seq(700L)))
+    assertThrows[IllegalArgumentException](Dsir.multiDomainWeights(
+      docs, "doc_id", "text", domains, Seq(0L, 0L)))
+    assertThrows[IllegalArgumentException](Dsir.multiDomainWeights(
+      docs, "doc_id", "text", Seq("a b" -> lit(true)), Seq(1L)))
+    assertThrows[IllegalArgumentException](Dsir.multiDomainWeights(
+      docs, "doc_id", "text", Seq("d" -> lit(true), "d" -> lit(false)), Seq(1L, 1L)))
+  }
 }
