@@ -358,6 +358,25 @@ object Similarity {
           .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
           .collect().toSeq
       else refineCentroids(df, idCol, vecCol, nlist, kmeansIters)
+    ivfSearchWith(df, idCol, vecCol, centSeq, probeId, k, nprobe)
+  }
+
+  /** The search stage of [[ivfTopK]] against EXTERNALLY-supplied
+    * centroids — the primitive a frozen (incrementally maintained) index
+    * needs: the corpus is assigned and probed without any refit. Same
+    * output contract as [[ivfTopK]]. */
+  def ivfSearchWith(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centSeq: Seq[(Long, Array[Float])],
+      probeId: Long,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
     val centroids = centSeq.toDF("cid", "cv")
     // nearest centroid per vector — shuffle-free expression argmax
     val assigned = assignToCentroids(df, vecCol, centSeq)
@@ -375,6 +394,88 @@ object Similarity {
       .select(col(idCol), cosine(vecCol, "__probe").as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Incremental IVF maintenance (VERDICT r13 #6 / r14 #7): assign a NEW
+    * batch of vectors into a FROZEN index — centroids fitted on the base
+    * corpus only — without refit. This is how a production ANN index
+    * absorbs the daily crawl: refitting re-shuffles every stored list
+    * (at 100 TB, a rebuild); assignment is one broadcast argmax pass
+    * over just the batch. Completes the incremental family next to
+    * [[Dedup.dedupAgainstCorpus]]/[[Dedup.nearDupAgainstCorpus]].
+    * Output: (idCol, cid) for batch rows. The staleness this trades away
+    * is QUANTIFIED by [[incrementalIvfDrift]] — freeze-and-assign
+    * without the certificate is how silent recall rot ships. */
+  def incrementalIvfAssign(
+      base: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      kmeansIters: Int = 2
+  ): DataFrame = {
+    val frozen = refineCentroids(base, idCol, vecCol, nlist, kmeansIters)
+    assignToCentroids(batch, vecCol, frozen).select(col(idCol), col("cid"))
+  }
+
+  /** The recall-vs-refit certificate for [[incrementalIvfAssign]]: one
+    * row quantifying what freezing the index costs AFTER a batch lands.
+    * Fits the frozen index (base only) and a refit index (base ∪ batch,
+    * same deterministic seeding), then reports
+    *   - `n_moved` / `moved_pct_x100`: union vectors whose nearest
+    *     centroid differs between the two indexes — the structural-drift
+    *     mass (how much of the space the refit re-tiles);
+    *   - `recall_frozen_x100` / `recall_refit_x100`: IVF top-`k` overlap
+    *     with the brute-force truth for `probeId`, under each index —
+    *     the operational answer ("is frozen still good enough to
+    *     serve?"). A refit is warranted when the frozen recall drops
+    *     while the refit recall holds.
+    *
+    * Integer outputs only (counts and ×100/×10000 fixed-point), so the
+    * whole certificate replays in DuckDB (q344) via the q74 Lloyd-chain
+    * oracle machinery. Scale: two centroid fits (driver state =
+    * nlist×dims floats each), three assignment passes and three top-k
+    * probes — every collect bounded by nlist or k, nothing corpus-sized
+    * leaves the executors. */
+  def incrementalIvfDrift(
+      base: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      kmeansIters: Int = 2,
+      probeId: Long = 0L,
+      k: Int = 10,
+      nprobe: Int = 4
+  ): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
+    val unionDf = base.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+      .localCheckpoint()
+    val frozen = refineCentroids(base, idCol, vecCol, nlist, kmeansIters)
+    val refit = refineCentroids(unionDf, idCol, vecCol, nlist, kmeansIters)
+    val af = assignToCentroids(unionDf, vecCol, frozen)
+      .select(col(idCol).as("__mid"), col("cid").as("cid_f"))
+    val ar = assignToCentroids(unionDf, vecCol, refit)
+      .select(col(idCol).as("__mid"), col("cid").as("cid_r"))
+    val moved = af.join(ar, Seq("__mid"))
+      .agg(count(lit(1)).cast("long").as("n_union"),
+        sum(when(col("cid_f") =!= col("cid_r"), 1L).otherwise(0L))
+          .cast("long").as("n_moved"))
+    val truth = bruteForceTopK(unionDf, idCol, vecCol, probeId, k).select(col(idCol))
+    def recall(cents: Seq[(Long, Array[Float])], name: String) =
+      truth.join(ivfSearchWith(unionDf, idCol, vecCol, cents, probeId, k, nprobe)
+          .select(col(idCol)), Seq(idCol))
+        .agg(coalesce(expr(s"count(1) * 100 div $k"), lit(0L))
+          .cast("long").as(name))
+    base.agg(count(lit(1)).cast("long").as("n_base"))
+      .crossJoin(broadcast(batch.agg(count(lit(1)).cast("long").as("n_batch"))))
+      .crossJoin(broadcast(moved))
+      .crossJoin(broadcast(recall(frozen, "recall_frozen_x100")))
+      .crossJoin(broadcast(recall(refit, "recall_refit_x100")))
+      .select(col("n_base"), col("n_batch"), col("n_union"), col("n_moved"),
+        expr("n_moved * 10000 div n_union").cast("long").as("moved_pct_x100"),
+        col("recall_frozen_x100"), col("recall_refit_x100"))
   }
 
   /** kNN join via the bounded [[graft.functions.TopKAggregator]] instead of

@@ -11170,6 +11170,84 @@ object ExtensionQueries {
              |FROM z_weights z JOIN e_weights e USING (doc_id)
              |WHERE doc_id % 17 = 0
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Incremental ANN maintenance (r15, VERDICT r13 #6 / r14 #7): a
+    // frozen IVF index (fitted on the base 75% of vectors) absorbs the
+    // remaining 25% as an assignment-only batch, and the certificate
+    // quantifies what freezing cost: how much of the space a refit
+    // re-tiles (n_moved / moved_pct_x100) and the probe recall under
+    // frozen vs refit centroids against brute-force truth. On this
+    // fixture the answer argues FOR the certificate's existence: the
+    // frozen index re-tiles 54.8% on refit and serves 40 vs 80 recall
+    // for a batch probe — exactly the silent rot incrementalIvfAssign
+    // alone would ship. Oracle replays both Lloyd chains (q74's CTE
+    // machinery, parameterized by source and prefix), both assignment
+    // passes, the truth/candidate top-k sorts and the integer recall
+    // algebra.
+    QueryDef(
+      "q344_incremental_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.incrementalIvfDrift(
+          emb.filter(col("vec_id") % 4 =!= 3),
+          emb.filter(col("vec_id") % 4 === 3),
+          "vec_id", "embedding",
+          nlist = 16, kmeansIters = 2, probeId = 3L, k = 10, nprobe = 4)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        def assign(src: String, cent: String, out: String) =
+          s"""$out AS (SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+             |    FROM $src e CROSS JOIN $cent c)
+             |  WHERE rn = 1)""".stripMargin
+        def lloyd(asg: String, prev: String, out: String, m: String, n: String) =
+          s"""$m AS (SELECT cid, i, CAST(avg(embedding[i+1]::DOUBLE) AS REAL) AS mv
+             |  FROM $asg, (SELECT unnest(range(64)) AS i) ix GROUP BY cid, i),
+             |$n AS (SELECT cid, list(mv ORDER BY i) AS cv FROM $m GROUP BY cid),
+             |$out AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM $prev c LEFT JOIN $n n USING (cid))""".stripMargin
+        def chain(src: String, p: String) =
+          s"""${p}cent0 AS (SELECT vec_id AS cid, embedding AS cv FROM $src ORDER BY vec_id LIMIT 16),
+             |${assign(src, s"${p}cent0", s"${p}asg0")},
+             |${lloyd(s"${p}asg0", s"${p}cent0", s"${p}cent1", s"${p}m1", s"${p}n1")},
+             |${assign(src, s"${p}cent1", s"${p}asg1")},
+             |${lloyd(s"${p}asg1", s"${p}cent1", s"${p}cent2", s"${p}m2", s"${p}n2")}""".stripMargin
+        def ivftop(p: String, cent: String, asg: String) =
+          s"""${p}pl AS (SELECT cid FROM (SELECT c.cid, ${cos("c.cv", "pv")} AS pc FROM $cent c CROSS JOIN p)
+             |  ORDER BY pc DESC, cid LIMIT 4),
+             |${p}top AS (SELECT vec_id FROM (
+             |  SELECT a.vec_id, ${cos("a.embedding", "pv")} AS cs
+             |  FROM $asg a JOIN ${p}pl USING (cid) CROSS JOIN p WHERE a.vec_id <> 3
+             |  ORDER BY cs DESC, vec_id LIMIT 10))""".stripMargin
+        s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 3),
+           |u AS (SELECT vec_id, embedding FROM embeddings),
+           |${chain("b", "f")},
+           |${chain("u", "r")},
+           |${assign("u", "fcent2", "fau")},
+           |${assign("u", "rcent2", "rau")},
+           |mv AS (SELECT CAST(count(*) AS BIGINT) AS n_union,
+           |    CAST(sum(CASE WHEN x.cid <> y.cid THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+           |  FROM fau x JOIN rau y USING (vec_id)),
+           |p AS (SELECT embedding AS pv FROM u WHERE vec_id = 3),
+           |truth AS (SELECT vec_id FROM (
+           |  SELECT vec_id, ${cos("embedding", "pv")} AS cs FROM u CROSS JOIN p WHERE vec_id <> 3
+           |  ORDER BY cs DESC, vec_id LIMIT 10)),
+           |${ivftop("f2", "fcent2", "fau")},
+           |${ivftop("r2", "rcent2", "rau")},
+           |rf AS (SELECT CAST(coalesce(count(*), 0) * 100 // 10 AS BIGINT) AS recall_frozen_x100 FROM truth JOIN f2top USING (vec_id)),
+           |rr AS (SELECT CAST(coalesce(count(*), 0) * 100 // 10 AS BIGINT) AS recall_refit_x100 FROM truth JOIN r2top USING (vec_id)),
+           |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM b),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM u WHERE vec_id % 4 = 3)
+           |SELECT n_base, n_batch, n_union, n_moved,
+           |  CAST(n_moved * 10000 // n_union AS BIGINT) AS moved_pct_x100,
+           |  recall_frozen_x100, recall_refit_x100
+           |FROM nb, nt, mv, rf, rr""".stripMargin
+      }
     )
   )
 

@@ -176,6 +176,51 @@ class OperatorsSpec extends SparkTestBase {
     assert(seeds.zip(moved).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
   }
 
+  test("incremental IVF: frozen assignment matches base index, planted drift is quantified") {
+    // base: two tight clusters around e0 (dims 0..3 hot) and e1 (dims 4..7
+    // hot); batch: a NEW region (dims 8..11 hot) the frozen index has
+    // never seen. Deterministic jitter, no RNG.
+    val dims = 16
+    def vec(hot: Range, seed: Int) = Array.tabulate(dims)(d =>
+      (if (hot.contains(d)) 1.0f else 0.0f) + 0.01f * (((seed * 31 + d * 7) % 10) - 5))
+    val base = ((0 until 20).map(i => (i.toLong, vec(0 until 4, i))) ++
+      (20 until 40).map(i => (i.toLong, vec(4 until 8, i)))).toDF("vec_id", "embedding")
+    val batch = (40 until 60).map(i => (i.toLong, vec(8 until 12, i)))
+      .toDF("vec_id", "embedding")
+    // frozen-ness: batch assignment equals assignToCentroids under the
+    // base-only fit — the index did NOT move when the batch landed
+    val frozenCents = Similarity.refineCentroids(base, "vec_id", "embedding",
+      nlist = 4, iters = 2)
+    val inc = Similarity.incrementalIvfAssign(base, batch, "vec_id", "embedding",
+        nlist = 4, kmeansIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Similarity.assignToCentroids(batch, "embedding", frozenCents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(inc == direct && inc.keySet == (40L until 60L).toSet)
+    // drift certificate on the planted shift: the refit must re-tile part
+    // of the space (the new region pulls centroids), and for a BATCH
+    // probe the refit index must serve at least the frozen recall
+    val drift = Similarity.incrementalIvfDrift(base, batch, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 2, probeId = 40L, k = 5, nprobe = 1).collect().head
+    assert(drift.getAs[Long]("n_base") == 40L && drift.getAs[Long]("n_batch") == 20L)
+    assert(drift.getAs[Long]("n_union") == 60L)
+    assert(drift.getAs[Long]("n_moved") > 0L, "planted drift must move assignments")
+    assert(drift.getAs[Long]("moved_pct_x100") ==
+      drift.getAs[Long]("n_moved") * 10000L / 60L)
+    val rf = drift.getAs[Long]("recall_frozen_x100")
+    val rr = drift.getAs[Long]("recall_refit_x100")
+    assert(rf >= 0L && rf <= 100L && rr >= 0L && rr <= 100L)
+    assert(rr >= rf, s"refit recall $rr must not trail frozen $rf on the drifted probe")
+    assert(rr == 100L, s"refit tiles the new region: its nprobe=1 list holds the cluster ($rr)")
+    // no drift: identical distributions -> refit re-tiles little to
+    // nothing and frozen recall holds at refit level
+    val batch2 = (40 until 60).map(i => (i.toLong, vec(0 until 4, i)))
+      .toDF("vec_id", "embedding")
+    val same = Similarity.incrementalIvfDrift(base, batch2, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 2, probeId = 40L, k = 5, nprobe = 2).collect().head
+    assert(same.getAs[Long]("recall_frozen_x100") >= same.getAs[Long]("recall_refit_x100") - 20L)
+  }
+
   test("multi-probe LSH improves recall@10 over single-probe at equal bits") {
     graft.functions.GraftFunctions.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
