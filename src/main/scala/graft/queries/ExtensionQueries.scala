@@ -6394,9 +6394,15 @@ object ExtensionQueries {
         val li = t(s, dir, "lineitem").select(
           round(col("l_extendedprice") * 100).cast("long").as("cents"),
           col("l_orderkey"), col("l_linenumber"))
-        // unique total-order key, cents-major: ranks = value order
+        // unique total-order key, cents-major: ranks = value order. A
+        // STRUCT (lexicographic range-partition + window order), not the
+        // old cents*1e9 + orderkey*10 + linenumber arithmetic — that
+        // stride silently wrapped once l_orderkey*10 + linenumber passed
+        // 1e9 (any corpus beyond ~1e8 orders; the r15 sf1 spot-gate
+        // caught it on the replica-offset keys), re-ordering rows OUT of
+        // cents-major order. The struct has no bound to outgrow.
         val keyed = li.withColumn("__ord",
-            col("cents") * 1000000000L + col("l_orderkey") * 10L + col("l_linenumber"))
+            struct(col("cents"), col("l_orderkey"), col("l_linenumber")))
           .withColumn("__one", lit(1L))
         val ranked = Packing.withRunningTotal(keyed, "__ord", "__one", "rn")
         val n1 = ranked.agg(count(lit(1)).as("n"))

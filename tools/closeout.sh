@@ -26,10 +26,22 @@ cd "$(dirname "$0")/.."
 leak_rc=0
 python3 tools/leakcheck.py || leak_rc=$?
 
+# sf1 oracle spot-gate (VERDICT r14 #8): third-scale DuckDB parity for the
+# ~20-query certificate/profile subset, recorded in SF1GATE.json and
+# committed with the round's records. Same never-abort discipline as the
+# leak scan: a parity failure is REPORTED (and fails the script at the
+# end), not allowed to leave the tree dirty. SKIP_SF1GATE=1 skips (e.g.
+# when sf1 data would have to regenerate mid-closeout).
+sf1_rc=0
+if [[ "${SKIP_SF1GATE:-0}" != "1" ]]; then
+  bash tools/sf1gate.sh || sf1_rc=$?
+  [[ $sf1_rc -eq 2 ]] && { echo "closeout: sf1 data absent, gate skipped"; sf1_rc=0; }
+fi
+
 shopt -s nullglob
 # COPYCHECK.json / PROGRESS.jsonl are .gitignore'd by the driver and stay so
 to_add=(BENCHOUT.json bench_best.json LEAKCHECK_LOCAL.json LEAKCHECK.json \
-        BENCH_r*.json CORRECTNESS_r*.json ADVICE.md VERDICT.md)
+        SF1GATE.json BENCH_r*.json CORRECTNESS_r*.json ADVICE.md VERDICT.md)
 existing=()
 for f in "${to_add[@]}"; do
   [[ -e "$f" ]] && ! git check-ignore -q "$f" && existing+=("$f")
@@ -53,4 +65,8 @@ git status --short
 if [[ $leak_rc -ne 0 ]]; then
   echo "closeout: FAILED — leakcheck reported hits (see LEAKCHECK_LOCAL.json, committed above); fix and re-run" >&2
   exit "$leak_rc"
+fi
+if [[ $sf1_rc -ne 0 ]]; then
+  echo "closeout: FAILED — sf1 spot-gate parity failures (see SF1GATE.json, committed above); fix and re-run" >&2
+  exit "$sf1_rc"
 fi
