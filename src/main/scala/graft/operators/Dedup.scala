@@ -540,6 +540,53 @@ object Dedup {
           .otherwise(lit("minhash_lsh")).as("verdict"))
   }
 
+  /** The accounting [[minHashLshPairs]]' `maxBucketSize` cap owes — the
+    * LSH-side twin of [[prefixFilterCapReport]], and the second half of
+    * the routing story [[similarityJoinAdvisor]] starts: the advisor
+    * predicts the EXACT join's candidate mass; this one row prices the
+    * LSH alternative from the same corpus — per (band, band_hash) bucket
+    * of size sz, the in-bucket emission is C(sz, 2), and
+    * [[minHashLshPairs]] DROPS buckets above the cap entirely
+    * (`between(2, maxBucketSize)`), so:
+    *   - `n_buckets` / `n_pair_buckets` — occupancy shape;
+    *   - `pred_pairs_emitted` — Σ C(sz,2) over surviving buckets: the
+    *     join work LSH will actually do (an upper bound on distinct
+    *     pairs — multi-band duplicates collapse later);
+    *   - `n_capped_buckets` / `pairs_skipped_capped` — what the cap
+    *     declined, the recall exposure (a real pair is missed only if
+    *     EVERY band it collides in overflowed — each such collision is
+    *     a posting counted here). The q318/q334 rule: a cap is a
+    *     contract, so it reports what it dropped, never silently.
+    * Same 3e9 clamp + DECIMAL(38,0)-sum + string-publish discipline as
+    * the advisor (the corpus that needs this report is the one whose
+    * masses overflow). Scale: the signature build's doc-keyed aggregate
+    * plus one bucket-keyed count — no pair is ever materialized. */
+  def lshCandidateMass(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 2, shingleK: Int = 3,
+      maxBucketSize: Int = 500): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must divide into bands")
+    require(maxBucketSize >= 2, "maxBucketSize must be at least 2")
+    val sizes = sigBands(df, idCol, textCol, numHashes, bandSize, shingleK)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__sz"))
+    val mass =
+      "CAST(least(__sz, 3000000000L) * (least(__sz, 3000000000L) - 1) div 2 AS DECIMAL(38,0))"
+    val zero = lit(0).cast("decimal(38,0)")
+    sizes.agg(
+        count(lit(1)).cast("long").as("n_buckets"),
+        coalesce(sum(when(col("__sz").between(2, maxBucketSize), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_pair_buckets"),
+        coalesce(sum(when(col("__sz") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_capped_buckets"),
+        coalesce(sum(when(col("__sz").between(2, maxBucketSize), expr(mass)).otherwise(zero)), zero)
+          .as("__em"),
+        coalesce(sum(when(col("__sz") > maxBucketSize, expr(mass)).otherwise(zero)), zero)
+          .as("__sk"))
+      .select(col("n_buckets"), col("n_pair_buckets"), col("n_capped_buckets"),
+        col("__em").cast("string").as("pred_pairs_emitted"),
+        col("__sk").cast("string").as("pairs_skipped_capped"))
+  }
+
   /** [[jaccardPairs]] over HASHED token sets: each distinct token folds to a
     * 32-bit integer via its md5 prefix (the engine-portable
     * `('0x'||substr(md5(t),1,8))::BIGINT` fold the MinHash path already

@@ -46,7 +46,9 @@ object ExtensionQueries {
   private def duckMinhashPairsSqlOver(table: String): String =
     duckMinhashPairsSql.replace("FROM documents)", s"FROM $table)")
 
-  private lazy val duckMinhashPairsSql: String = {
+  /** The signature/band CTE prefix of [[duckMinhashPairsSql]] — reused by
+    * q345's bucket-mass accounting so both oracles derive the SAME bands. */
+  private lazy val duckMinhashBandsCtes: String = {
     val p = Dedup.MinHashP
     val sigs = Dedup.minHashCoeffs(8).zipWithIndex
       .map { case ((a, b), s) => s"min((h * $a + $b) % $p) AS s$s" }
@@ -54,15 +56,18 @@ object ExtensionQueries {
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band_idx, md5(s${2 * b}::VARCHAR || ',' || s${2 * b + 1}::VARCHAR) AS band_hash FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH shing AS ($duckShingles),
+    s"""shing AS ($duckShingles),
        |hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing),
        |sig AS (SELECT doc_id, $sigs FROM hashed GROUP BY doc_id),
-       |bands AS ($bands),
+       |bands AS ($bands)""".stripMargin
+  }
+
+  private lazy val duckMinhashPairsSql: String =
+    s"""WITH $duckMinhashBandsCtes,
        |ok AS (SELECT band_idx, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 500)
        |SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
        |FROM bands a JOIN ok USING (band_idx, band_hash) JOIN bands b USING (band_idx, band_hash)
        |WHERE a.doc_id < b.doc_id""".stripMargin
-  }
 
   /** DuckDB subquery computing each doc's 32-bit SimHash — the same bit
     * algebra q33's oracle builds inline, reusable as a CTE body (q231). */
@@ -11253,6 +11258,53 @@ object ExtensionQueries {
            |  CAST(n_moved * 10000 // n_union AS BIGINT) AS moved_pct_x100,
            |  recall_frozen_x100, recall_refit_x100
            |FROM nb, nt, mv, rf, rr""".stripMargin
+      }
+    ),
+
+    // LSH candidate-mass accounting (r15): the q334-shaped "no silent
+    // caps" report for the OTHER near-dup path, and the second half of
+    // q342's routing story — the advisor prices the exact join, this
+    // prices the LSH join from the same corpus (per-bucket C(sz,2) over
+    // the band buckets q32 actually joins). Two configs: q32's shipped
+    // cap (nothing truncated at this scale — the certificate that the
+    // pair set is the UNCAPPED one) and a deliberately binding cap=2
+    // (the skipped-mass path exercised on real data). Oracle reuses the
+    // exact band CTEs of q32's oracle, so both reports derive from the
+    // same signatures.
+    QueryDef(
+      "q345_lsh_candidate_mass",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.lshCandidateMass(docs, "doc_id", "text",
+            numHashes = 8, bandSize = 2, shingleK = 3, maxBucketSize = 500)
+          .withColumn("config", lit("q32_cap500"))
+          .unionByName(
+            Dedup.lshCandidateMass(docs, "doc_id", "text",
+                numHashes = 8, bandSize = 2, shingleK = 3, maxBucketSize = 2)
+              .withColumn("config", lit("cap2_binding")))
+          .select(col("config"), col("n_buckets"), col("n_pair_buckets"),
+            col("n_capped_buckets"), col("pred_pairs_emitted"),
+            col("pairs_skipped_capped"))
+          .orderBy("config")
+      },
+      Some {
+        def block(cap: Int, label: String) =
+          s"""SELECT '$label' AS config,
+             |  CAST(count(*) AS BIGINT) AS n_buckets,
+             |  CAST(sum(CASE WHEN sz BETWEEN 2 AND $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_pair_buckets,
+             |  CAST(sum(CASE WHEN sz > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_buckets,
+             |  CAST(sum(CASE WHEN sz BETWEEN 2 AND $cap
+             |       THEN least(sz, 3000000000) * (least(sz, 3000000000) - 1) // 2 ELSE 0 END) AS VARCHAR) AS pred_pairs_emitted,
+             |  CAST(sum(CASE WHEN sz > $cap
+             |       THEN least(sz, 3000000000) * (least(sz, 3000000000) - 1) // 2 ELSE 0 END) AS VARCHAR) AS pairs_skipped_capped
+             |FROM sizes""".stripMargin
+        s"""WITH $duckMinhashBandsCtes,
+           |sizes AS (SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS sz
+           |  FROM bands GROUP BY 1, 2)
+           |${block(500, "q32_cap500")}
+           |UNION ALL
+           |${block(2, "cap2_binding")}
+           |ORDER BY config""".stripMargin
       }
     )
   )

@@ -3801,6 +3801,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(repOk == ((0L, 0L)), s"fitting cap must report zero truncation: $repOk")
   }
 
+  test("lsh candidate mass: hand-exact bucket algebra, cap skips are counted never silent") {
+    import graft.operators.Dedup
+    // five identical docs: every band's bucket holds all 5 -> 4 buckets,
+    // C(5,2)=10 per band = 40 emitted under a fitting cap
+    val five = (1L to 5L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_pair_buckets"),
+        r.getAs[Long]("n_capped_buckets"), r.getAs[String]("pred_pairs_emitted").toLong,
+        r.getAs[String]("pairs_skipped_capped").toLong)
+    }
+    assert(row(Dedup.lshCandidateMass(five, "doc_id", "text")) == ((4L, 4L, 0L, 40L, 0L)))
+    // binding cap: every bucket overflows -> all mass moves to the skipped
+    // column, and the pair join itself emits nothing (the cap contract)
+    assert(row(Dedup.lshCandidateMass(five, "doc_id", "text", maxBucketSize = 2)) ==
+      ((4L, 0L, 4L, 0L, 40L)))
+    assert(Dedup.minHashLshPairs(five, "doc_id", "text", maxBucketSize = 2).count() == 0L)
+    // emitted mass bounds the DISTINCT pair output (multi-band collapse)
+    val pairs = Dedup.minHashLshPairs(five, "doc_id", "text").count()
+    assert(pairs == 10L && 40L >= pairs)
+    // fully diverse corpus: singleton buckets only — zero pair mass
+    val solo = (1L to 6L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text")
+    val (nb, npb, ncb, em, sk) = row(Dedup.lshCandidateMass(solo, "doc_id", "text"))
+    assert(npb == 0L && ncb == 0L && em == 0L && sk == 0L && nb == 24L)
+    assertThrows[IllegalArgumentException](
+      Dedup.lshCandidateMass(five, "doc_id", "text", maxBucketSize = 1))
+  }
+
   test("similarity-join advisor: degraded corpus routes to LSH, diverse to prefix filter, mass exact") {
     import graft.operators.Dedup
     def row(df: org.apache.spark.sql.DataFrame) = {
