@@ -971,6 +971,54 @@ object TextAnalysis {
       .withColumn("mean_rank_x100", expr("sum_rank * 100 div n_grams").cast("long"))
   }
 
+  /** TRUE bigram cross-entropy in HALF-BITS — the CCNet/Wikipedia-LM
+    * perplexity filter as exact integer algebra, upgrading the two rank
+    * stand-ins ([[rarityScore]] q103, [[lmFluencyScore]] q112) the same
+    * way q337's [[charEntropyHalfBits]] upgraded the log-free diversity
+    * score: [[Dsir.halfBitLog2]] makes the actual −log₂ p computable
+    * identically on both engines. Per document,
+    *   xent = mean over bigrams of [hb(c(w1·) + V) − hb(c(w1,w2) + 1)]
+    * where c(w1,w2) is the corpus bigram count, c(w1·) the context
+    * total (Σ_w c(w1,w)), and V the continuation vocabulary
+    * (distinct w2 types) — add-one smoothing, so the term is
+    * floor-quantized 2·log₂(1/p̂(w2|w1)) and ALWAYS ≥ 0 (c12+1 ≤ c1+V
+    * and hb is monotone). Fluent in-distribution prose scores low;
+    * shuffled/garbled/OOV-heavy text scores near 2·log₂ V — the signal
+    * CCNet thresholds on, with no float log to break cross-engine
+    * hashing. Quantization is ±0.25 bit per bigram and averages out
+    * across a document, the q332-measured behavior of this estimator
+    * family.
+    *
+    * Scale shape: the bigram model is ONE count aggregate over the gram
+    * explode (map-side combine; output = distinct bigrams); context
+    * totals and V derive from that bounded table, NOT a second corpus
+    * pass. Scoring re-derives the grams (recomputing the explode beats
+    * checkpointing corpus×tokens rows — the [[Dsir]] measurement) and
+    * joins the model on its key: keyed shuffles only, nothing
+    * broadcast-sized but the 1-row V. Docs with <2 tokens have no
+    * bigrams and are absent (nothing to score), like [[lmFluencyScore]].
+    * Counts are safe to 2^62 via the two-regime hb. */
+  def lmCrossEntropyHalfBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def grams = Par.ensureParallel(df)
+      .select(col(idCol), tokens(textCol).as("__toks"))
+      .select(col(idCol), explode(expr(gramStructsSql(2))).as("g"))
+      .select(col(idCol), col("g.prefix").as("__w1"), col("g.next").as("__w2"))
+    val c12 = grams.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val c1 = c12.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    val v = c12.agg(countDistinct(col("__w2")).cast("long").as("__v"))
+    grams
+      .join(c12, Seq("__w1", "__w2"))
+      .join(c1, Seq("__w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(Dsir.halfBitLog2(col("__c1") + col("__v")) -
+            Dsir.halfBitLog2(col("__c12") + 1))
+          .cast("long").as("xent_num_hb"))
+      .withColumn("xent_halfbits", expr("xent_num_hb div n_bigrams").cast("long"))
+  }
+
   /** Compression-ratio quality signal: `deflated bytes ×100 / raw bytes`
     * per document (UTF-8, `java.util.zip.Deflater` level 6) — the
     * RedPajama/CCNet-style repetition detector: boilerplate and template

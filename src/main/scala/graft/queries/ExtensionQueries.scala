@@ -11306,6 +11306,37 @@ object ExtensionQueries {
            |${block(2, "cap2_binding")}
            |ORDER BY config""".stripMargin
       }
+    ),
+
+    // True bigram cross-entropy in half-bits (r15): the CCNet-style LM
+    // perplexity gate as exact integer algebra — the half-bit log that
+    // made q332's LLR and q337's entropy engine-exact now computes the
+    // real −2·log2 p̂(w2|w1) with add-one smoothing, replacing rank
+    // stand-ins (q103/q112) with the actual quantity pipelines threshold
+    // on. Oracle replays gram explode, bigram/context counts, the
+    // continuation vocabulary and the two-regime hb formula term by term.
+    QueryDef(
+      "q346_lm_cross_entropy",
+      (s, dir) =>
+        orderedOut(
+          TextAnalysis.lmCrossEntropyHalfBits(tParallel(s, dir, "documents"),
+            "doc_id", "text"),
+          "doc_id"),
+      Some(raw"""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+             |bg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+             |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix),
+             |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+             |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12),
+             |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(${dsirQlSql("c1 + v")}
+             |       - ${dsirQlSql("c12 + 1")}) AS BIGINT) AS xent_num_hb
+             |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+             |  GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, xent_num_hb,
+             |  CAST(xent_num_hb // n_bigrams AS BIGINT) AS xent_halfbits
+             |FROM s ORDER BY doc_id""".stripMargin)
     )
   )
 

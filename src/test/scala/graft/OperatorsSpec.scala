@@ -3194,6 +3194,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(1L) > r(2L))
   }
 
+  test("lm cross-entropy halfbits: hand-exact add-one terms, fluent under garbled, short docs absent") {
+    // corpus bigram counts: c(a,b)=3 c(b,a)=2 (doc 1), c(x,y)=1 (doc 2);
+    // contexts a.=3 b.=2 x.=1; V = |{b,a,y}| = 3. Terms:
+    //   (a,b): hb(6)-hb(4) = 5-4 = 1;  (b,a): hb(5)-hb(3) = 4-3 = 1;
+    //   (x,y): hb(4)-hb(2) = 4-2 = 2
+    // doc 1: 5 bigrams, sum 3*1+2*1 = 5 -> mean 1; doc 2: 1 bigram, 2.
+    val d = Seq((1L, "a b a b a b"), (2L, "x y"), (3L, "a"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lmCrossEntropyHalfBits(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 5L, 5L, 1L), (2L, 1L, 2L, 2L))) // docs 3/4: no bigrams, absent
+    // the CCNet ordering on one corpus: text built from the corpus's own
+    // common phrasing scores BELOW word salad over the same vocabulary
+    val phrase = "the model reads the data and the model writes the result"
+    val fluent = (1L to 8L).map(i => (i, phrase))
+    val salad = Seq((9L, "result the and writes data model the reads the the model"))
+    val scored = TextAnalysis.lmCrossEntropyHalfBits(
+        (fluent ++ salad).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(scored(1L) < scored(9L),
+      s"fluent ${scored(1L)} must undercut garbled ${scored(9L)}")
+  }
+
   test("lm fluency: in-model text scores low, beyond-top-k continuations score k+1") {
     // prefix 'a' fans out to 5 continuations; k=3 keeps b (cnt 8) then the
     // count-1 ties c, d (token asc) — e and z fall OFF the model even
