@@ -119,9 +119,16 @@ object Bench {
     try appendRebase(prior, entry).map(h => ",\"rebases\":" + h).getOrElse("")
     catch {
       case _: Exception =>
-        val quarantined = "\"" + prior.getOrElse("")
-          .replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+        // escape EVERY control char (not just \n\r\t): raw < 0x20 bytes
+        // are illegal inside a JSON string, and a torn-write prior with a
+        // stray \0 would otherwise make the quarantine itself unparseable
+        // — re-poisoning the whole file this branch exists to protect
+        val quarantined = "\"" + prior.getOrElse("").flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
         appendRebase(None, entry).map(h => ",\"rebases\":" + h).getOrElse("") +
           ",\"rebases_corrupt\":" + quarantined
     }

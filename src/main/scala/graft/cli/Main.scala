@@ -622,25 +622,40 @@ object Main {
       if (a.nearDupMode == "off") ("", df)
       else {
         import org.apache.spark.sql.functions.col
-        val adv = graft.operators.Dedup.similarityJoinAdvisor(
-          df, "doc_id", "text", minJaccardPct = a.nearDupPct, shingleWords = 3).head()
+        // the advisor stats pass runs ONLY when its verdict decides the
+        // route (r15 review: a forced --near-dup-mode lsh was paying the
+        // full postings build just to decorate the summary — on exactly
+        // the corpora users force lsh on)
+        val adv = if (a.nearDupMode == "auto")
+          Some(graft.operators.Dedup.similarityJoinAdvisor(
+            df, "doc_id", "text", minJaccardPct = a.nearDupPct, shingleWords = 3).head())
+        else None
         val path = a.nearDupMode match {
-          case "auto" => adv.getAs[String]("verdict")
+          case "auto" => adv.get.getAs[String]("verdict")
           case "exact" => "prefix_filter"
           case _ => "minhash_lsh"
         }
+        // BOTH paths verify exact Jaccard >= pct before anything is
+        // dropped (r15 review: raw LSH band collisions fire well below
+        // the threshold — removal on an unverified candidate is silent
+        // data loss). Removal is min-id survivorship per verified pair.
         val pairs = path match {
           case "prefix_filter" => graft.operators.Dedup.prefixFilterPairs(
             df, "doc_id", "text", a.nearDupPct, shingleWords = 3)
-          case _ => graft.operators.Dedup.minHashLshPairs(df, "doc_id", "text")
+          case _ => graft.operators.Dedup.minHashLshVerifiedPairs(
+            df, "doc_id", "text", a.nearDupPct)
         }
+        // ids only, bounded: pin so the count and the anti-join share ONE
+        // execution of the pair join instead of running it twice
         val drops = pairs.select(col("b_doc_id").as("doc_id")).distinct()
+          .localCheckpoint()
         val removed = drops.count()
         val kept = df.join(drops, Seq("doc_id"), "left_anti")
+        val advJson = adv.map(r =>
+          s""", "pred_pairs_prefix": "${r.getAs[String]("pred_pairs_prefix")}"""" +
+            s""", "pair_budget": ${r.getAs[Long]("pair_budget")}""").getOrElse("")
         (s""", "near_dup_mode": "${a.nearDupMode}", "near_dup_path": "$path"""" +
-          s""", "pred_pairs_prefix": "${adv.getAs[String]("pred_pairs_prefix")}"""" +
-          s""", "pair_budget": ${adv.getAs[Long]("pair_budget")}""" +
-          s""", "near_dup_removed": $removed""", kept)
+          advJson + s""", "near_dup_removed": $removed""", kept)
       }
     val curated = graft.operators.Pipelines.curateAndPack(
       deduped, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,

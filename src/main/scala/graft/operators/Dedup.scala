@@ -195,6 +195,54 @@ object Dedup {
           1L).otherwise(0L))
   }
 
+  /** [[minHashLshPairs]] candidates passed through an EXACT Jaccard
+    * verify at `minJaccardPct` — the destructive-decision form (r15
+    * review finding): raw band collisions fire with probability
+    * 1−(1−J^bands)^… even for pairs far below the threshold, so a
+    * pipeline that REMOVES documents must verify, exactly like
+    * [[prefixFilterPairs]] does natively. Same one-pass build as
+    * [[minHashCertificate]]: signatures and sorted hashed shingle sets
+    * come out of a single groupBy, bands derive from the signatures, and
+    * the verify is a per-row sorted-merge over the (bounded) pair list —
+    * the shingle stream never re-shuffles. Output contract matches
+    * [[prefixFilterPairs]]: (a_id, b_id, a_n, b_n, inter_n, union_n,
+    * jaccard_pct). Recall is LSH's, by collision design (a true pair
+    * missed by every band stays missed — that is the path's contract);
+    * precision is exact. */
+  def minHashLshVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccardPct: Int,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      shingleK: Int = 3,
+      maxBucketSize: Int = 500
+  ): DataFrame = {
+    require(minJaccardPct >= 1 && minJaccardPct <= 100, "minJaccardPct must be 1..100")
+    require(numHashes % bandSize == 0, "numHashes must divide into bands")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sigAggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), s) =>
+      min((col("__h") * a + b) % MinHashP).as(s"sig_$s")
+    }
+    val perDoc = hashedShingleFrame(df, idCol, textCol, shingleK)
+      .groupBy(col(idCol))
+      .agg(sigAggs.head, (sigAggs.tail :+ sort_array(collect_set(col("__h"))).as("__set")): _*)
+      .localCheckpoint()
+    val pairs = pairsFromBands(
+      bandsFromSigs(perDoc, idCol, numHashes, bandSize), idCol, maxBucketSize)
+    def side(p: String) = perDoc.select(col(idCol).as(s"${p}_$idCol"),
+      col("__set").as(s"${p}_ws"), size(col("__set")).cast("long").as(s"${p}_n"))
+    pairs
+      .join(side("a"), s"a_$idCol").join(side("b"), s"b_$idCol")
+      .select(col(s"a_$idCol"), col(s"b_$idCol"), col("a_n"), col("b_n"),
+        graft.functions.GraftFunctions.sortedIntersectCount(col("a_ws"), col("b_ws"))
+          .as("inter_n"))
+      .filter(col("inter_n") * (100 + minJaccardPct) >= (col("a_n") + col("b_n")) * minJaccardPct)
+      .withColumn("union_n", col("a_n") + col("b_n") - col("inter_n"))
+      .withColumn("jaccard_pct", expr("inter_n * 100 div union_n"))
+  }
+
   /** Incremental NEAR-dup against a frozen corpus — the MinHash-LSH twin
     * of [[dedupAgainstCorpusBloom]]'s exact check, and the op a crawl
     * pipeline actually runs nightly: band the arriving batch, join its

@@ -460,7 +460,7 @@ object Similarity {
       .select(col(idCol).as("__mid"), col("cid").as("cid_r"))
     val moved = af.join(ar, Seq("__mid"))
       .agg(count(lit(1)).cast("long").as("n_union"),
-        sum(when(col("cid_f") =!= col("cid_r"), 1L).otherwise(0L))
+        coalesce(sum(when(col("cid_f") =!= col("cid_r"), 1L).otherwise(0L)), lit(0L))
           .cast("long").as("n_moved"))
     val truth = bruteForceTopK(unionDf, idCol, vecCol, probeId, k).select(col(idCol))
     def recall(cents: Seq[(Long, Array[Float])], name: String) =
@@ -474,7 +474,11 @@ object Similarity {
       .crossJoin(broadcast(recall(frozen, "recall_frozen_x100")))
       .crossJoin(broadcast(recall(refit, "recall_refit_x100")))
       .select(col("n_base"), col("n_batch"), col("n_union"), col("n_moved"),
-        expr("n_moved * 10000 div n_union").cast("long").as("moved_pct_x100"),
+        // empty-corpus guard: a no-doc day must report zeros, not throw
+        // ANSI DIVIDE_BY_ZERO out of the maintenance job
+        when(col("n_union") === 0, 0L)
+          .otherwise(expr("n_moved * 10000 div n_union"))
+          .cast("long").as("moved_pct_x100"),
         col("recall_frozen_x100"), col("recall_refit_x100"))
   }
 

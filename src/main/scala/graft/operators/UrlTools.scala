@@ -139,7 +139,7 @@ object UrlTools {
     * (CommonCrawl's own WAT pipeline included) accepts missing
     * javascript-constructed links. */
   def extractHrefs(htmlCol: String): Column =
-    expr(s"""regexp_extract_all($htmlCol, '(?i)(?<![\\\\w-])href\\\\s*=\\\\s*["\\']([^"\\'#][^"\\']*)', 1)""")
+    expr(s"""regexp_extract_all($htmlCol, '(?i)(?<![\\\\w:-])href\\\\s*=\\\\s*["\\']([^"\\'#][^"\\']*)', 1)""")
 
   /** (href, anchor-text) pairs of a page — the WAT-style link-context
     * field next to [[extractHrefs]]'s bare targets: anchor text is the
@@ -163,10 +163,11 @@ object UrlTools {
     * positionally — both passes match the identical span sequence, so
     * the pairing is exact. Returns array<struct<href, anchor>>. */
   def extractAnchors(htmlCol: String): Column = {
-    // (?<![\w-]) guards the attribute name exactly like extractHrefs:
+    // (?<![\w:-]) guards the attribute name exactly like extractHrefs:
     // without it the lazy [^>]*? scan binds to data-href/xlink:href first
-    // and pairs the anchor text with the WRONG target URL (r14 advice).
-    val pat = "(?is)<a\\\\s[^>]*?(?<![\\\\w-])href\\\\s*=\\\\s*[\"\\']([^\"\\'#][^\"\\']*)[\"\\'][^>]*>(.*?)</a\\\\s*>"
+    // and pairs the anchor text with the WRONG target URL (r14 advice;
+    // ':' joined the class in r15 — xlink:href slipped the original).
+    val pat = "(?is)<a\\\\s[^>]*?(?<![\\\\w:-])href\\\\s*=\\\\s*[\"\\']([^\"\\'#][^\"\\']*)[\"\\'][^>]*>(.*?)</a\\\\s*>"
     expr(s"""zip_with(
       regexp_extract_all($htmlCol, '$pat', 1),
       regexp_extract_all($htmlCol, '$pat', 2),

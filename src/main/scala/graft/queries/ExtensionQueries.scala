@@ -10986,10 +10986,13 @@ object ExtensionQueries {
         def host(j: Int) = concat(lit("h"), (pid(j) % 23).cast("string"), lit(".example.com"))
         def a1 = concat(lit("<a href=\"http://"), host(1), lit("/p/"), pid(1).cast("string"),
           lit("\">read\n <b>more</b>  p"), pid(1).cast("string"), lit("</a>"))
-        // a2 plants a data-href BEFORE the real href: the attribute-name
-        // lookbehind must skip it or the pair binds to the wrong URL and
-        // the oracle hash breaks (r14 advice, gated here).
-        def a2 = concat(lit("<a class='x' data-href='http://decoy.example.net/d' href='http://"),
+        // a2 plants data-href AND xlink:href BEFORE the real href: the
+        // attribute-name lookbehind must skip both or the pair binds to
+        // the wrong URL and the oracle hash breaks (r14 advice + the r15
+        // review's ':' hole, both gated here).
+        def a2 = concat(
+          lit("<a class='x' data-href='http://decoy.example.net/d' " +
+            "xlink:href='http://decoy2.example.net/e' href='http://"),
           host(2), lit("/q/"), pid(2).cast("string"), lit("'></a>"))
         val html = concat(lit("<html><body>"), a1,
           lit("<a href=\"#top\">skip</a>"), a2, lit("</body></html>"))

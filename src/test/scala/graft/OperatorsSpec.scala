@@ -3825,6 +3825,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(repOk == ((0L, 0L)), s"fitting cap must report zero truncation: $repOk")
   }
 
+  test("verified LSH pairs: exact precision at the threshold, subset of candidates, same contract as prefix join") {
+    import graft.operators.Dedup
+    // docs 1/2: 3-gram Jaccard 78% (17-word shared body, 2-word tails);
+    // docs 3/4 share a short phrase — band-collision-possible but FAR
+    // below 50%; doc 5 standalone
+    val body = "the quick brown fox and the lazy dog of the north went to the market in town"
+    val d = Seq(
+      (1L, s"$body uniqoneaa uniqonebb"),
+      (2L, s"$body uniqtwoaa uniqtwobb"),
+      (3L, "shared phrase here then totally different continuation words apple banana"),
+      (4L, "shared phrase here but another ending entirely carrot dill edamame fig"),
+      (5L, "nothing in common with anybody else at all whatsoever")
+    ).toDF("doc_id", "text")
+    val verified = Dedup.minHashLshVerifiedPairs(d, "doc_id", "text", minJaccardPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("jaccard_pct")))
+    // precision is exact: ONLY the genuine >= 50% pair survives the verify
+    assert(verified.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(verified.head._3 >= 50L)
+    // verified pairs are a subset of the raw candidates at every threshold
+    val cands = Dedup.minHashLshPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.map(t => (t._1, t._2)).toSet.subsetOf(cands))
+    // threshold raised past the pair's jaccard: nothing survives
+    assert(Dedup.minHashLshVerifiedPairs(d, "doc_id", "text", 90).count() == 0L)
+    // column contract matches prefixFilterPairs (the CLI treats them uniformly)
+    assert(Dedup.minHashLshVerifiedPairs(d, "doc_id", "text", 50).columns.toSeq ==
+      Dedup.prefixFilterPairs(d, "doc_id", "text", 50).columns.toSeq)
+  }
+
   test("lsh candidate mass: hand-exact bucket algebra, cap skips are counted never silent") {
     import graft.operators.Dedup
     // five identical docs: every band's bucket holds all 5 -> 4 buckets,
@@ -4105,6 +4134,7 @@ class OperatorsSpec extends SparkTestBase {
     val html = """<html><A HREF="http://a.example.com/x">1</A>
       |<a href='http://b.example.com/y?q=1'>2</a>
       |<a href="#top">skip</a><a data-href="zz">no</a>
+      |<use xlink:href="uu"/>
       |<link href = "http://c.example.com/s.css"></html>""".stripMargin
     val r = Seq((1L, html)).toDF("id", "h")
       .select(UrlTools.extractHrefs("h").as("u")).collect()(0).getSeq[String](0)
@@ -4126,7 +4156,7 @@ class OperatorsSpec extends SparkTestBase {
   test("anchor extraction: nested markup stripped, multi-line collapsed, fragment excluded, empty kept") {
     val html = """<html><A HREF="http://a.example.com/x" class=y>read
       | <b>more</b>  here</A><a href="#top">skip</a>
-      |<a class='z' data-href='http://decoy.example.net/d' href='http://b.example.com/y'></a>
+      |<a class='z' data-href='http://decoy.example.net/d' xlink:href='http://decoy2.example.net/e' href='http://b.example.com/y'></a>
       |<a href="http://c.example.com/z">c <i>1</i></a
       |></html>""".stripMargin
     val r = Seq((1L, html)).toDF("id", "h")

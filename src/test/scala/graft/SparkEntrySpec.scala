@@ -140,6 +140,12 @@ class SparkEntrySpec extends SparkTestBase {
     // unparseable garbage (not even JSON) quarantines the same way
     val qg = Bench.rebasesField(Some("not json at all"), None)
     assert(qg == ""","rebases_corrupt":"not json at all"""")
+    // control chars in a torn-write prior are \\u-escaped so the
+    // quarantine string itself stays legal JSON (r15 review)
+    val torn = "torn write" + "\n" + "here"
+    val qc = Bench.rebasesField(Some(torn), None)
+    assert(qc == ""","rebases_corrupt":"torn write""" + "\\" + "u000ahere\"")
+    assert(org.json4s.jackson.JsonMethods.parse(s"{${qc.drop(1)}}") != org.json4s.JNothing)
     // clean histories pass through identically to appendRebase
     assert(Bench.rebasesField(Some(s"[$e1]"), Some(e2)) == s""","rebases":[$e1,$e2]""")
     assert(Bench.rebasesField(None, None) == "")

@@ -47,14 +47,19 @@ per = {}
 for line in res:
     parts = line.split()
     if len(parts) >= 2 and parts[0].startswith("q"):
-        per[parts[0]] = "OK" if parts[1] == "OK" else "FAIL"
+        # 'rows-only:' = query without an oracle entry — its own status,
+        # NOT a FAIL (selfcheck doesn't count it either; recording it as
+        # FAIL beside all_ok:true made the record self-contradictory)
+        per[parts[0]] = ("OK" if parts[1] == "OK"
+                         else "ROWS_ONLY" if parts[1].startswith("rows-only")
+                         else "FAIL")
 rec = {
     "commit": subprocess.check_output(["git", "rev-parse", "HEAD"]).decode().strip(),
     "dirty": bool(subprocess.check_output(["git", "status", "--porcelain"]).decode().strip()),
     "ts_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
     "sf_dir": os.environ["SF1_DIR"],
     "n_queries": len(per),
-    "n_fail": sum(1 for v in per.values() if v != "OK"),
+    "n_fail": sum(1 for v in per.values() if v == "FAIL"),
     "queries": per,
     "all_ok": os.environ["RC"] == "0",
 }
