@@ -654,4 +654,88 @@ class PropertiesSpec extends SparkTestBase {
       assert(cross.length == union)
     }
   }
+
+  test("property: advisor prefix mass equals a JVM brute-force over the same postings definition") {
+    // independent truth: rebuild the rare-first prefix postings in plain
+    // Scala (df order by (df, tokenHash)) and sum c*(c-1)/2 per token
+    val docsGen: Gen[List[List[String]]] = Gen.listOfN(10,
+      Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")))
+    val pct = 50
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 144115188075855859L)
+    forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val sets = docs.map(_.map(tokHash).distinct.sorted)
+      val dfreq = sets.flatten.groupBy(identity).map { case (h, xs) => h -> xs.size }
+      val prefixPost = sets.flatMap { ts =>
+        val n = ts.size
+        val keep = n - (n * pct + 99) / 100 + 1
+        ts.sortBy(h => (dfreq(h), h)).take(keep)
+      }.groupBy(identity).map(_._2.size.toLong)
+      val expected = prefixPost.map(c => c * (c - 1) / 2).sum
+      val row = graft.operators.Dedup
+        .similarityJoinAdvisor(df, "doc_id", "text", pct).collect()(0)
+      assert(row.getAs[String]("pred_pairs_prefix").toLong == expected,
+        s"docs=$docs")
+      assert(row.getAs[Long]("n_prefix_postings") == prefixPost.sum)
+    }
+  }
+
+  test("property: lsh mass conservation — emitted + skipped is cap-invariant and bounds distinct pairs") {
+    import graft.operators.Dedup
+    val docsGen: Gen[List[List[String]]] = Gen.listOfN(8,
+      Gen.listOfN(5, Gen.oneOf("tok1", "tok2", "tok3", "tok4")))
+    forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def massAt(cap: Int) = {
+        val r = Dedup.lshCandidateMass(df, "doc_id", "text", maxBucketSize = cap).collect()(0)
+        (r.getAs[String]("pred_pairs_emitted").toLong,
+          r.getAs[String]("pairs_skipped_capped").toLong)
+      }
+      val (e500, s500) = massAt(500)
+      val (e2, s2) = massAt(2)
+      // total bucket mass is a property of the corpus, not the cap
+      assert(e500 + s500 == e2 + s2, s"docs=$docs")
+      // emitted mass bounds the distinct pair output at the same cap
+      assert(Dedup.minHashLshPairs(df, "doc_id", "text").count() <= e500)
+      assert(Dedup.minHashLshPairs(df, "doc_id", "text", maxBucketSize = 2).count() <= e2)
+    }
+  }
+
+  test("property: lm cross-entropy equals an independent JVM model on random corpora") {
+    def hb(n: Long): Long = (BigInt(n) * BigInt(n)).bitLength - 1L
+    val docsGen: Gen[List[List[String]]] = Gen.listOfN(6,
+      Gen.listOfN(8, Gen.oneOf("u", "v", "w", "x", "y", "z")))
+    forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val bigrams = docs.flatMap(ws => ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      val c12 = bigrams.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val c1 = bigrams.groupBy(_._1).map { case (k, xs) => k -> xs.size.toLong }
+      val v = bigrams.map(_._2).distinct.size.toLong
+      val got = graft.operators.TextAnalysis
+        .lmCrossEntropyHalfBits(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        val bg = ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toList
+        val num = bg.map { b => hb(c1(b._1) + v) - hb(c12(b) + 1) }.sum
+        assert(got(i.toLong) == ((bg.size.toLong, num)), s"doc $i of $docs")
+        assert(num >= 0L)
+      }
+    }
+  }
+
+  test("property: multi-domain mixture with K=1 degrades to the single weight for any mix scale") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (mix <- Seq(1L, 250L, 1000000L)) {
+      val m = graft.operators.Dsir.multiDomainWeights(docs, "doc_id", "text",
+          Seq("zh" -> (col("lang") === "zh")), Seq(mix))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("w_zh_x1000"), r.getAs[Long]("mix_weight_x1000")))).toMap
+      // mix = (mix * (w + 256000)) div mix - 256000 == w exactly, any scale
+      m.foreach { case (id, (w, mx)) => assert(mx == w, s"doc $id mix=$mix") }
+    }
+  }
 }
