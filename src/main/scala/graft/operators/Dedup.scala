@@ -635,6 +635,82 @@ object Dedup {
         col("__sk").cast("string").as("pairs_skipped_capped"))
   }
 
+  /** Cross-source exact-duplication matrix — the datasheet axis q131's
+    * per-source dup rate can't see: how much of feed A's content is ALSO
+    * in feed B. Per unordered source pair: the number of distinct texts
+    * present in both, the cross-source doc-pair mass (Σ cnt_A·cnt_B over
+    * shared hashes — the rows an exact cross-dedup would reconcile), and
+    * each side's shared doc counts. A licensing/provenance review and an
+    * ingest-rationalization pass ("feed B is 80% a mirror of feed A —
+    * drop it") both read this table.
+    *
+    * Scale: one (hash, source) aggregate with map-side combine is the
+    * only corpus-sized shuffle; the self-join keys on the content hash,
+    * whose bucket width is the number of DISTINCT SOURCES sharing that
+    * text (≤ #sources, never the doc count — per-source multiplicity is
+    * already collapsed into `cnt`), so the join is linear in distinct
+    * (hash, source) rows. The final aggregate groups on source pairs —
+    * at most C(#sources, 2) rows. No pair of documents is ever
+    * materialized. */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val g = df.groupBy(md5(col(textCol)).as("__h"), col(srcCol).as("__src"))
+      .agg(count(lit(1)).as("__cnt"))
+    val a = g.toDF("__h", "src_a", "__cnt_a")
+    val b = g.toDF("__h", "src_b", "__cnt_b")
+    a.join(b, "__h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(
+        count(lit(1)).cast("long").as("n_shared_texts"),
+        sum(col("__cnt_a") * col("__cnt_b")).cast("long").as("cross_doc_pairs"),
+        sum(col("__cnt_a")).cast("long").as("docs_a_shared"),
+        sum(col("__cnt_b")).cast("long").as("docs_b_shared"))
+  }
+
+  /** Measured MinHash-LSH recall against the exact similarity join — the
+    * certificate that closes the routing loop: [[similarityJoinAdvisor]]
+    * picks a path on predicted COST (q342), [[prefixFilterCapReport]] /
+    * [[lshCandidateMass]] price each path's candidate mass (q334/q345);
+    * this measures what the cheap path actually GIVES UP on this corpus.
+    * Ground truth is [[prefixFilterPairs]] (exact at a non-binding cap —
+    * q334 certifies zero truncation for the shipped config); the measured
+    * side is [[minHashLshVerifiedPairs]] at the same threshold and
+    * shingle width. Output: both pair counts, the intersection, recall
+    * ×1000, and `n_lsh_only` — pairs the LSH path admits that the exact
+    * join does not. The two paths hash shingles through different
+    * families (57-bit polynomial vs md5-prefix), so boundary pairs CAN
+    * disagree in either direction; the certificate reports both sides
+    * honestly instead of assuming containment.
+    *
+    * Scale: both inputs are the operators' own (shuffle-bounded,
+    * cap-reported) plans; the comparison adds one full-outer join keyed
+    * on the pair ids — linear in emitted pairs, which both caps bound.
+    * Run it on a SAMPLE at 100 TB (recall is a corpus-shape property;
+    * the q318 census samples the same way) — the exact side is the
+    * expensive one, and that is exactly what the advisor's verdict says
+    * when it routes away from it. */
+  def lshRecallCertificate(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPct: Int, numHashes: Int = 8, bandSize: Int = 2,
+      shingleK: Int = 3, maxBucket: Int = 500): DataFrame = {
+    val exact = prefixFilterPairs(df, idCol, textCol, minJaccardPct,
+        maxBucket, shingleWords = shingleK)
+      .select(col(s"a_$idCol"), col(s"b_$idCol"), lit(1L).as("__e"))
+    val lsh = minHashLshVerifiedPairs(df, idCol, textCol, minJaccardPct,
+        numHashes, bandSize, shingleK, maxBucket)
+      .select(col(s"a_$idCol"), col(s"b_$idCol"), lit(1L).as("__l"))
+    exact.join(lsh, Seq(s"a_$idCol", s"b_$idCol"), "full_outer")
+      .agg(
+        coalesce(sum(col("__e")), lit(0L)).cast("long").as("n_exact_pairs"),
+        coalesce(sum(col("__l")), lit(0L)).cast("long").as("n_lsh_pairs"),
+        coalesce(sum(col("__e") * col("__l")), lit(0L)).cast("long").as("n_common"))
+      .withColumn("n_lsh_only", col("n_lsh_pairs") - col("n_common"))
+      // div guard: an exact-pair-free corpus yields recall 1000 by
+      // convention (nothing to recall), not a division by zero
+      .withColumn("recall_x1000",
+        when(col("n_exact_pairs") === 0, 1000L)
+          .otherwise(expr("n_common * 1000 div n_exact_pairs")))
+  }
+
   /** [[jaccardPairs]] over HASHED token sets: each distinct token folds to a
     * 32-bit integer via its md5 prefix (the engine-portable
     * `('0x'||substr(md5(t),1,8))::BIGINT` fold the MinHash path already

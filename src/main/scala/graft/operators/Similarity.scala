@@ -906,4 +906,66 @@ object Similarity {
         coalesce(col("base_hits"), lit(0L)).as("base_hits"),
         coalesce(col("expanded_hits"), lit(0L)).as("expanded_hits"))
   }
+
+  /** Margin-based bitext/pair mining (the ratio margin of Artetxe &
+    * Schwenk 2019, the ccMatrix/LASER criterion): a candidate pair (x, y)
+    * across two corpora is a mined pair when its similarity stands out
+    * against BOTH sides' neighborhoods — raw cosine thresholds miss that
+    * hubs score high against everything. Scoring is over the candidate
+    * cross `a × b` the caller supplies (at 100 TB the sides arrive
+    * ANN-blocked — IVF cells via [[ivfSearchWith]] or hyperplane buckets
+    * — exactly like q318's blocked pair census; the margin algebra is
+    * block-local either way, since neighborhoods come from the same
+    * candidate set).
+    *
+    * Engine-exact integer variant: cosines quantize to ×10⁶ (the fused
+    * [[graft.functions.CosineSimilarity]] double is bit-identical to a
+    * sequential SQL fold, so the floor is too), and the margin uses
+    * SHIFTED cosines s = cos_x1m + 10⁶ ≥ 0, margin ×1000 =
+    * 2000·s·kₓ·k_y div (Sₓ·k_y + S_y·kₓ) with Sₓ = Σ top-k shifted cos of
+    * x's neighborhood. The affine shift keeps every operand non-negative
+    * (Spark `div` ≡ DuckDB `//` only there) and CANCELS at the decision
+    * boundary: shifted margin > 1000 ⟺ 2·cos(x,y) > avgA + avgB ⟺
+    * unshifted ratio margin > 1 — the mining threshold is exactly the
+    * published criterion; only magnitudes away from 1 differ.
+    *
+    * One cross join (caller-bounded), two windowed top-k passes over it,
+    * one rank per x — no corpus-sized state. Output: per x, its best y by
+    * (margin, then y) with cos ×10⁶ and margin ×1000, filtered to
+    * `minMarginX1k`. Zero-norm vectors are dropped on both sides (their
+    * cosine is NULL by [[graft.functions.CosineSimilarity]]'s contract). */
+  def marginBitextPairs(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMarginX1k: Long = 1000L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(a.sparkSession)
+    def side(df: DataFrame, p: String) = df
+      .filter(norm2(vecCol) > 0.0)
+      .select(col(idCol).as(s"${p}_id"), col(vecCol).as(s"__v$p"))
+    val pairs = side(a, "a").crossJoin(side(b, "b"))
+      .select(col("a_id"), col("b_id"),
+        (floor(GraftFunctions.cosineSim(col("__va"), col("__vb")) * 1000000d)
+          .cast("long") + 1000000L).as("__s"))
+      .localCheckpoint() // scored once; both windows and the final rank reuse it
+    def neighborhood(key: String, other: String, out: String, cnt: String) =
+      pairs
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(key).orderBy(col("__s").desc, col(other))))
+        .filter(col("__rn") <= k)
+        .groupBy(key)
+        .agg(sum(col("__s")).as(out), count(lit(1)).as(cnt))
+    pairs
+      .join(neighborhood("a_id", "b_id", "__sa", "__ka"), "a_id")
+      .join(neighborhood("b_id", "a_id", "__sb", "__kb"), "b_id")
+      // shifted sums are ≥ 0 and zero only when every neighborhood cosine
+      // is exactly −1 — degenerate, but ANSI div-by-zero would throw
+      .filter(col("__sa") + col("__sb") > 0)
+      .withColumn("margin_x1k",
+        expr("2000 * __s * __ka * __kb div (__sa * __kb + __sb * __ka)"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("margin_x1k").desc, col("b_id"))))
+      .filter(col("__rk") === 1 && col("margin_x1k") >= minMarginX1k)
+      .select(col("a_id"), col("b_id"),
+        (col("__s") - 1000000L).as("cos_x1m"), col("margin_x1k"))
+  }
 }

@@ -1381,6 +1381,85 @@ object TextAnalysis {
         when(col("n_cp") === 0, lit(0L)).otherwise(expr("ent_numer_hb div n_cp")))
   }
 
+  /** Planted-canary leakage audit — the memorization-risk gate a training
+    * pipeline runs over its OWN split assignment: extract every canary
+    * token (`pattern`, e.g. the GUID markers planted by a privacy canary
+    * campaign, Carlini et al.'s secret-sharer setup) and report, per
+    * canary, how many documents carry it and across how many splits it
+    * leaked. A canary present in more than one split means the held-out
+    * evaluation can no longer certify non-memorization for it — `leaked`
+    * is the row a release gate fails on.
+    *
+    * Scale: extraction is one codegen'd `regexp_extract_all` at the scan
+    * (no pre-tokenize pass), the explode is bounded by actual matches
+    * (zero rows for canary-free documents — the overwhelming majority),
+    * and the single shuffle groups on the canary string whose cardinality
+    * is the PLANTED SET's size, not the corpus's. `collect_set(split)` is
+    * bounded by the number of splits (here ≤ a handful) — never a
+    * corpus-sized driver or executor list. */
+  def canaryLeakage(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, pattern: String): DataFrame =
+    df.select(col(idCol), col(splitCol).as("__split"),
+        explode(expr(s"regexp_extract_all($textCol, '$pattern', 0)")).as("canary"))
+      .groupBy("canary")
+      .agg(
+        countDistinct(col(idCol)).cast("long").as("n_docs"),
+        countDistinct(col("__split")).cast("long").as("n_splits"),
+        concat_ws(",", sort_array(collect_set(col("__split")))).as("splits"))
+      .withColumn("leaked", when(col("n_splits") > 1, 1L).otherwise(0L))
+
+  /** Vocabulary coverage curve — the tokenizer-sizing datasheet: for each
+    * coverage target (basis points of total token mass), the SMALLEST
+    * frequency-ranked vocabulary whose cumulative mass reaches the
+    * target, with the exact mass it covers and the boundary frequency.
+    * "How big must the vocab be to cover 99% of tokens" is the first
+    * question a BPE/unigram tokenizer build asks of a corpus.
+    *
+    * Scale: the token histogram is the only corpus-sized shuffle
+    * (map-side combined). Everything downstream aggregates the
+    * FREQUENCY-OF-FREQUENCIES histogram — one row per distinct frequency
+    * value, O(√total_tokens) rows (d distinct positive frequencies sum to
+    * ≥ d(d+1)/2) — so the global cumulative window runs over a provably
+    * tiny relation. A vocab-ordered global window would single-partition
+    * a 100M-type corpus; this never ranks individual types. Within the
+    * boundary frequency f* every type contributes exactly f*, so the
+    * minimal vocab is n_above + ⌈(need − mass_above)/f*⌉ — exact integer
+    * algebra, Spark `div` ≡ DuckDB `//` (all operands non-negative: the
+    * boundary row is the FIRST whose cumulative mass reaches `need`, so
+    * need − mass_above ≥ 1). Long-safe to ~9·10¹⁴ total tokens
+    * (total × 10⁴ must fit in a signed 64-bit). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      targetsBp: Seq[Int] = Seq(5000, 9000, 9500, 9900)): DataFrame = {
+    require(targetsBp.nonEmpty && targetsBp.forall(t => t >= 1 && t <= 10000),
+      "coverage targets must be 1..10000 basis points")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Par.ensureParallel(df)
+      .select(explode(tokens(textCol)).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val fh = vocab.groupBy("__c").agg(count(lit(1)).cast("long").as("__nt"))
+    val w = Window.orderBy(col("__c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = fh.select(col("__c"), col("__nt"),
+      sum(col("__c") * col("__nt")).over(w).as("__cm"),
+      sum(col("__nt")).over(w).as("__ct"))
+    val total = fh.agg(sum(col("__c") * col("__nt")).cast("long").as("__total"))
+    val targets = df.sparkSession.range(1)
+      .select(explode(lit(targetsBp.map(_.toLong).toArray)).as("target_bp"))
+    targets.crossJoin(total)
+      .withColumn("__need", expr("(__total * target_bp + 9999) div 10000"))
+      .join(cum, col("__cm") >= col("__need"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("target_bp").orderBy("__cm")))
+      .filter(col("__rn") === 1)
+      .withColumn("__above", col("__cm") - col("__c") * col("__nt"))
+      .withColumn("__extra", expr("(__need - __above + __c - 1) div __c"))
+      .select(col("target_bp"),
+        (col("__ct") - col("__nt") + col("__extra")).cast("long").as("vocab_size"),
+        (col("__above") + col("__extra") * col("__c")).cast("long").as("cum_tokens"),
+        col("__total").as("total_tokens"),
+        col("__c").cast("long").as("boundary_freq"))
+  }
+
   /** TextTiling-style semantic boundary detection (Hearst 1997), in the
     * integer-exact variant this engine can gate: fixed-size pseudo-
     * sentence blocks of `blockTokens` tokens, adjacent-block lexical

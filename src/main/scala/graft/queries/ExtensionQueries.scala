@@ -11340,6 +11340,227 @@ object ExtensionQueries {
              |SELECT doc_id, n_bigrams, xent_num_hb,
              |  CAST(xent_num_hb // n_bigrams AS BIGINT) AS xent_halfbits
              |FROM s ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Planted-canary leakage across train/val/test (r15b): the
+    // memorization-risk gate — canary markers (the secret-sharer setup)
+    // planted into docs with doc_id%7<2 (canary id = doc_id%23, so most
+    // canaries recur across docs and SOME straddle the q115 hash split),
+    // then audited per canary: doc count, split count, the split list,
+    // and the leaked flag a release gate fails on. Extraction is one
+    // regexp at the scan; the only shuffle groups on the (tiny, planted)
+    // canary vocabulary.
+    QueryDef(
+      "q347_canary_leakage",
+      (s, dir) => {
+        val planted = t(s, dir, "documents")
+          .withColumn("__t", when(col("doc_id") % 7 < 2,
+              concat(col("text"), lit(" CANARY-"), (col("doc_id") % 23).cast("string")))
+            .otherwise(col("text")))
+        TextAnalysis.canaryLeakage(
+          Sampling.threeWaySplit(planted, "doc_id", valPct = 10, testPct = 10),
+          "doc_id", "__t", "split", "CANARY-[0-9]+")
+          .orderBy("canary")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 7 < 2
+             |         THEN text || ' CANARY-' || CAST(doc_id % 23 AS VARCHAR) ELSE text END AS t,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, text,
+             |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+             |        FROM documents)),
+             |c AS (SELECT doc_id, split,
+             |    unnest(regexp_extract_all(t, 'CANARY-[0-9]+')) AS canary FROM d)
+             |SELECT canary, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+             |  array_to_string(list_sort(list_distinct(list(split))), ',') AS splits,
+             |  CAST(CASE WHEN count(DISTINCT split) > 1 THEN 1 ELSE 0 END AS BIGINT) AS leaked
+             |FROM c GROUP BY canary ORDER BY canary""".stripMargin)
+    ),
+
+    // Cross-source exact-duplication matrix (r15b): how much of feed A is
+    // ALSO in feed B — the provenance/licensing datasheet q131's
+    // per-source dup rate can't see. The base fixture has zero exact dups
+    // (q30), so the gate runs on a planted mirror corpus (groups of 4
+    // consecutive doc_ids share the leader's text, sources mix within a
+    // group); the OPERATOR is corpus-agnostic. No doc pair is ever
+    // materialized — the join buckets on content hash with width ≤
+    // #sources.
+    QueryDef(
+      "q348_cross_source_dups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs
+          .select(col("doc_id"), col("source"),
+            (col("doc_id") - col("doc_id") % 4).as("__lid"))
+          .join(docs.select(col("doc_id").as("__lid"), col("text").as("__lt")), "__lid")
+          .select(col("doc_id"), col("source"), col("__lt").as("text"))
+        Dedup.crossSourceDupMatrix(corpus, "text", "source")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH c AS (SELECT d.doc_id, d.source, l.text
+             |  FROM documents d JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 4),
+             |g AS (SELECT md5(text) AS h, source, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM c GROUP BY 1, 2)
+             |SELECT a.source AS src_a, b.source AS src_b,
+             |  CAST(count(*) AS BIGINT) AS n_shared_texts,
+             |  CAST(sum(a.cnt * b.cnt) AS BIGINT) AS cross_doc_pairs,
+             |  CAST(sum(a.cnt) AS BIGINT) AS docs_a_shared,
+             |  CAST(sum(b.cnt) AS BIGINT) AS docs_b_shared
+             |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Vocabulary coverage curve (r15b): the tokenizer-sizing datasheet —
+    // smallest frequency-ranked vocab reaching 50/90/95/99% of token
+    // mass. The global cumulative window runs over the frequency-of-
+    // frequencies histogram (O(√total) rows), never the vocabulary; the
+    // boundary-frequency remainder is exact integer algebra (see
+    // TextAnalysis.vocabCoverage).
+    QueryDef(
+      "q349_vocab_coverage",
+      (s, dir) =>
+        TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text")
+          .orderBy("target_bp"),
+      Some(raw"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+             |    x -> x <> '')) AS t FROM documents),
+             |v AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+             |fh AS (SELECT c, CAST(count(*) AS BIGINT) AS nt FROM v GROUP BY c),
+             |cum AS (SELECT c, nt,
+             |    CAST(sum(c * nt) OVER (ORDER BY c DESC) AS BIGINT) AS cm,
+             |    CAST(sum(nt) OVER (ORDER BY c DESC) AS BIGINT) AS ct FROM fh),
+             |tot AS (SELECT CAST(sum(c * nt) AS BIGINT) AS total FROM fh),
+             |tg AS (SELECT CAST(unnest([5000, 9000, 9500, 9900]) AS BIGINT) AS target_bp),
+             |nd AS (SELECT target_bp, total,
+             |    CAST((total * target_bp + 9999) // 10000 AS BIGINT) AS need FROM tg, tot),
+             |sel AS (SELECT * FROM (
+             |    SELECT target_bp, total, need, c, nt, cm, ct,
+             |      row_number() OVER (PARTITION BY target_bp ORDER BY cm) AS rn
+             |    FROM nd JOIN cum ON cm >= need) WHERE rn = 1)
+             |SELECT target_bp,
+             |  CAST(ct - nt + (need - (cm - c * nt) + c - 1) // c AS BIGINT) AS vocab_size,
+             |  CAST((cm - c * nt) + ((need - (cm - c * nt) + c - 1) // c) * c AS BIGINT) AS cum_tokens,
+             |  total AS total_tokens, CAST(c AS BIGINT) AS boundary_freq
+             |FROM sel ORDER BY target_bp""".stripMargin)
+    ),
+
+    // Measured LSH recall vs the exact similarity join (r15b): the
+    // certificate that closes the q342/q334/q345 routing loop — the
+    // advisor prices both paths; this measures what the cheap path GIVES
+    // UP on this corpus at the same threshold and shingle width. The two
+    // paths hash shingles through different families (57-bit polynomial
+    // vs md5 prefix), so boundary pairs can disagree in either direction
+    // and the report carries both (recall AND n_lsh_only). Oracle replays
+    // BOTH chains — q257's prefix-filter formulas and q32's band+verify —
+    // and full-outer-joins the pair sets.
+    QueryDef(
+      "q350_lsh_recall",
+      // deterministic 1/3 sample — the certificate's documented usage
+      // mode (recall is a corpus-shape property; the exact side is the
+      // one the advisor routes AWAY from at scale, so the gate runs it
+      // the way a 100 TB job would: on a sample). Full-corpus cost was
+      // measured 9.6 s at sf0.1 — all in verifying the degenerate
+      // corpus's band candidates, exactly the regime q342 flags.
+      (s, dir) =>
+        Dedup.lshRecallCertificate(
+          t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", minJaccardPct = 50),
+      Some(s"""WITH sdocs AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+             |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+             |  FROM sdocs),
+             |psets AS (SELECT doc_id,
+             |    list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+             |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |             list_transform(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+             |               c -> CAST(ord(c) AS BIGINT))),
+             |             (a, c) -> (a * 31 + c) % 144115188075855859)))) AS ts
+             |  FROM w WHERE len(w) >= 3),
+             |ptoks AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS tok FROM psets),
+             |pdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM ptoks GROUP BY 1),
+             |prk AS (SELECT doc_id, tok, n,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn
+             |  FROM ptoks JOIN pdf USING (tok)),
+             |ppre AS (SELECT doc_id, tok, n, rn FROM prk WHERE rn <= n - (n * 50 + 99) // 100 + 1),
+             |pcap AS (SELECT doc_id, tok, n, rn FROM (
+             |    SELECT doc_id, tok, n, rn,
+             |      row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS brn
+             |    FROM ppre) WHERE brn <= 500),
+             |pcand AS (SELECT DISTINCT a.doc_id AS ad, b.doc_id AS bd
+             |  FROM pcap a JOIN pcap b USING (tok) WHERE a.doc_id < b.doc_id
+             |    AND least(a.n, b.n) * 100 >= greatest(a.n, b.n) * 50
+             |    AND (1 + least(a.n - a.rn, b.n - b.rn)) * 150 >= (a.n + b.n) * 50),
+             |pw AS (SELECT doc_id, ts AS ws, CAST(len(ts) AS BIGINT) AS n FROM psets),
+             |pv AS (SELECT ad, bd, x.n AS a_n, y.n AS b_n,
+             |    CAST(len(list_intersect(x.ws, y.ws)) AS BIGINT) AS inter_n
+             |  FROM pcand JOIN pw x ON x.doc_id = ad JOIN pw y ON y.doc_id = bd
+             |  WHERE least(x.n, y.n) * 100 >= greatest(x.n, y.n) * 50),
+             |ep AS (SELECT ad AS a, bd AS b FROM pv WHERE inter_n * 150 >= (a_n + b_n) * 50),
+             |${duckMinhashBandsCtes.replace("FROM documents)", "FROM sdocs)")},
+             |lok AS (SELECT band_idx, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 500),
+             |lcand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+             |  FROM bands a JOIN lok USING (band_idx, band_hash)
+             |  JOIN bands b USING (band_idx, band_hash) WHERE a.doc_id < b.doc_id),
+             |msets AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS hs
+             |  FROM hashed GROUP BY doc_id),
+             |lv AS (SELECT a, b FROM lcand
+             |  JOIN msets xa ON xa.doc_id = a JOIN msets xb ON xb.doc_id = b
+             |  WHERE len(list_intersect(xa.hs, xb.hs)) * 150 >= (len(xa.hs) + len(xb.hs)) * 50),
+             |j AS (SELECT CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END AS ee,
+             |             CASE WHEN l.a IS NOT NULL THEN 1 ELSE 0 END AS ll
+             |  FROM ep e FULL OUTER JOIN lv l ON e.a = l.a AND e.b = l.b),
+             |tl AS (SELECT CAST(coalesce(sum(ee), 0) AS BIGINT) AS n_exact_pairs,
+             |    CAST(coalesce(sum(ll), 0) AS BIGINT) AS n_lsh_pairs,
+             |    CAST(coalesce(sum(ee * ll), 0) AS BIGINT) AS n_common FROM j)
+             |SELECT n_exact_pairs, n_lsh_pairs, n_common,
+             |  CAST(n_lsh_pairs - n_common AS BIGINT) AS n_lsh_only,
+             |  CAST(CASE WHEN n_exact_pairs = 0 THEN 1000
+             |       ELSE n_common * 1000 // n_exact_pairs END AS BIGINT) AS recall_x1000
+             |FROM tl""".stripMargin)
+    ),
+
+    // Margin-based bitext mining (r15b): the ccMatrix/LASER ratio-margin
+    // criterion over two embedding corpora (label parity splits the
+    // fixture; vec_id%5 bounds the candidate cross the way a real run's
+    // ANN blocking does). Shifted-cosine integer margin — the threshold
+    // at 1000 is EXACTLY the published margin>1 criterion (the affine
+    // shift cancels at the boundary; see Similarity.marginBitextPairs).
+    QueryDef(
+      "q351_bitext_margin",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+        Similarity.marginBitextPairs(
+          emb.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 =!= 0),
+          "vec_id", "embedding", k = 4, minMarginX1k = 1000L)
+          .orderBy("a_id")
+      },
+      Some {
+        def fold(a: String, b: String) =
+          s"list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)"
+        s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
+           |av AS (SELECT vec_id AS a_id, embedding AS va FROM e
+           |  WHERE label % 2 = 0 AND ${fold("embedding", "embedding")} > 0),
+           |bv AS (SELECT vec_id AS b_id, embedding AS vb FROM e
+           |  WHERE label % 2 <> 0 AND ${fold("embedding", "embedding")} > 0),
+           |p AS (SELECT a_id, b_id,
+           |    CAST(floor((${fold("va", "vb")}
+           |      / (sqrt(${fold("va", "va")}) * sqrt(${fold("vb", "vb")}))) * 1000000.0) AS BIGINT)
+           |      + 1000000 AS s
+           |  FROM av CROSS JOIN bv),
+           |na AS (SELECT a_id, CAST(sum(s) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS ka FROM (
+           |    SELECT a_id, s, row_number() OVER (PARTITION BY a_id ORDER BY s DESC, b_id) AS rn
+           |    FROM p) WHERE rn <= 4 GROUP BY a_id),
+           |nb AS (SELECT b_id, CAST(sum(s) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS kb FROM (
+           |    SELECT b_id, s, row_number() OVER (PARTITION BY b_id ORDER BY s DESC, a_id) AS rn
+           |    FROM p) WHERE rn <= 4 GROUP BY b_id),
+           |m AS (SELECT p.a_id, p.b_id, p.s,
+           |    CAST(2000 * p.s * ka * kb // (sa * kb + sb * ka) AS BIGINT) AS margin_x1k
+           |  FROM p JOIN na USING (a_id) JOIN nb USING (b_id) WHERE sa + sb > 0),
+           |r AS (SELECT a_id, b_id, CAST(s - 1000000 AS BIGINT) AS cos_x1m, margin_x1k,
+           |    row_number() OVER (PARTITION BY a_id ORDER BY margin_x1k DESC, b_id) AS rk FROM m)
+           |SELECT a_id, b_id, cos_x1m, margin_x1k
+           |FROM r WHERE rk = 1 AND margin_x1k >= 1000 ORDER BY a_id""".stripMargin
+      }
     )
   )
 

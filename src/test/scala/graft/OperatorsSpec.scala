@@ -4898,4 +4898,113 @@ class OperatorsSpec extends SparkTestBase {
     }
     assert(math.abs(trueH - r(1)._4 / 2.0) <= 1.0)
   }
+
+  test("canary leakage: cross-split canaries flag, single-split stay clean, canary-free docs vanish") {
+    val d = Seq(
+      (1L, "plain text CANARY-7 more", "train"),
+      (2L, "CANARY-7 appears again", "test"),     // leaks train+test
+      (3L, "only CANARY-9 here", "train"),
+      (4L, "CANARY-9 again same split", "train"), // two docs, ONE split: clean
+      (5L, "no markers at all", "val"),
+      (6L, "two CANARY-7 CANARY-7 in one doc", "train") // distinct doc counted once
+    ).toDF("doc_id", "text", "split")
+    val r = TextAnalysis.canaryLeakage(d, "doc_id", "text", "split", "CANARY-[0-9]+")
+      .orderBy("canary").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getString(3), x.getLong(4)))
+    assert(r.length == 2) // doc 5 contributes nothing
+    assert(r(0) == (("CANARY-7", 3L, 2L, "test,train", 1L)))
+    assert(r(1) == (("CANARY-9", 2L, 1L, "train", 0L)))
+  }
+
+  test("cross-source dup matrix: shared texts count per source pair, multiplicity multiplies") {
+    val d = Seq(
+      (1L, "shared alpha", "A"), (2L, "shared alpha", "B"), (3L, "shared alpha", "B"),
+      (4L, "shared beta", "A"), (5L, "shared beta", "C"),
+      (6L, "only in a", "A"), (7L, "only in c", "C")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.crossSourceDupMatrix(d, "text", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(x => ((x.getString(0), x.getString(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // alpha: A has 1 copy, B has 2 -> 1 shared text, 1*2 cross pairs
+    assert(r(("A", "B")) == ((1L, 2L, 1L, 2L)))
+    assert(r(("A", "C")) == ((1L, 1L, 1L, 1L)))
+    assert(!r.contains(("B", "C"))) // no text shared between B and C
+  }
+
+  test("vocab coverage: boundary-frequency remainder is the minimal vocab, exact masses") {
+    // freqs: 'x' 6, 'y' 3, 'z' 3, 'w' 2, 'v' 1  -> total 15
+    val d = Seq((1L, "x x x y y z w v"), (2L, "x x x y z z w")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(d, "text", targetsBp = Seq(4000, 8000, 10000))
+      .orderBy("target_bp").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // 40%: need 6 -> 'x' alone (freq 6) covers exactly
+    assert(r(0) == ((4000L, 1L, 6L, 15L, 6L)))
+    // 80%: need 12 -> x(6) + BOTH freq-3 types (y,z) = 12 exactly
+    assert(r(1) == ((8000L, 3L, 12L, 15L, 3L)))
+    // 100%: need 15 -> all five types, boundary frequency 1
+    assert(r(2) == ((10000L, 5L, 15L, 15L, 1L)))
+  }
+
+  test("lsh recall certificate: planted near-dups are found by both paths, counts reconcile") {
+    // 3-gram-overlapping pairs (i, i+1) for even i; odd-even distant docs disjoint
+    val d = (0L until 20L).map { i =>
+      val base = i - i % 2
+      (i, s"block$base token$base alpha$base beta$base gamma$base " +
+        (if (i % 2 == 0) "even tail here" else "even tail here too"))
+    }.toDF("doc_id", "text")
+    val r = Dedup.lshRecallCertificate(d, "doc_id", "text", minJaccardPct = 50).head()
+    val (ex, lsh, common, lshOnly, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(ex == 10L)              // the ten planted (even, odd) pairs
+    assert(common <= math.min(ex, lsh))
+    assert(lshOnly == lsh - common)
+    assert(recall == common * 1000 / ex)
+    assert(recall >= 500)          // 8 hashes x 4 bands on ~0.6-Jaccard pairs
+  }
+
+  test("margin mining: the hub loses to the true pair, threshold matches the unshifted criterion") {
+    // a0's true partner is b0 (identical direction); b9 is a HUB equidistant
+    // from everything — raw cosine ties/ranks it high, margin demotes it.
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val a = Seq(
+      (0L, v(1, 0, 0)), (1L, v(0, 1, 0)), (2L, v(0, 0, 1))
+    ).toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, v(0.9, 0.1, 0)),   // near-parallel to a0
+      (11L, v(0.1, 0.9, 0)),   // near-parallel to a1
+      (19L, v(0.58, 0.58, 0.58)) // hub: cos ~0.577 to every axis
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.marginBitextPairs(a, b, "vec_id", "embedding", k = 2,
+        minMarginX1k = 0L)
+      .orderBy("a_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(r(0)._2 == 10L) // not the hub
+    assert(r(1)._2 == 11L)
+    assert(r(2)._2 == 19L) // a2 has no axis partner; hub is genuinely best
+    // threshold semantics: margin >= 1000 iff 2*s >= ceil-free avg sums —
+    // verify against a JVM recomputation from the quantized cosines
+    val pairs = for {
+      (aid, av) <- Seq((0L, v(1, 0, 0)), (1L, v(0, 1, 0)), (2L, v(0, 0, 1)))
+      (bid, bv) <- Seq((10L, v(0.9, 0.1, 0)), (11L, v(0.1, 0.9, 0)), (19L, v(0.58, 0.58, 0.58)))
+    } yield {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until 3) {
+        dot += av(i).toDouble * bv(i).toDouble
+        na += av(i).toDouble * av(i).toDouble; nb += bv(i).toDouble * bv(i).toDouble
+      }
+      (aid, bid, math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000).toLong + 1000000L)
+    }
+    def topk(xs: Seq[Long]) = xs.sorted(Ordering[Long].reverse).take(2)
+    for ((aid, bid, s) <- pairs) {
+      val sa = topk(pairs.filter(_._1 == aid).map(_._3)).sum
+      val ka = math.min(2, pairs.count(_._1 == aid)).toLong
+      val sb = topk(pairs.filter(_._2 == bid).map(_._3)).sum
+      val kb = math.min(2, pairs.count(_._2 == bid)).toLong
+      val expect = 2000L * s * ka * kb / (sa * kb + sb * ka)
+      val got = r.find(p => p._1 == aid && p._2 == bid)
+      got.foreach(g => assert(g._4 == expect, s"margin mismatch for ($aid,$bid)"))
+    }
+  }
 }
