@@ -727,6 +727,145 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: vocab coverage equals a brute-force frequency walk on random corpora") {
+    import graft.operators.TextAnalysis
+    val docsGen: Gen[List[List[String]]] = Gen.listOfN(7,
+      Gen.listOfN(9, Gen.oneOf("a", "b", "c", "d", "e", "f", "g")))
+    val targets = Seq(3000, 7500, 10000)
+    forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val freqs = docs.flatten.groupBy(identity).map(_._2.size.toLong).toSeq
+        .sorted(Ordering[Long].reverse)
+      val total = freqs.sum
+      val got = TextAnalysis.vocabCoverage(df, "text", targets)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      targets.foreach { bp =>
+        val need = (total * bp + 9999) / 10000
+        // within-frequency ties are interchangeable, so ANY desc walk
+        // reaches the same minimal k and the same covered mass
+        var cum = 0L; var k = 0L
+        while (cum < need) { cum += freqs(k.toInt); k += 1 }
+        assert(got(bp.toLong) == ((k, cum, total)), s"bp=$bp docs=$docs")
+      }
+    }
+  }
+
+  test("property: canary leakage equals the set model for random plants and splits") {
+    import graft.operators.TextAnalysis
+    val gen: Gen[List[(Long, Int, String)]] = Gen.listOfN(10, for {
+      c <- Gen.choose(0, 3) // canary id
+      s <- Gen.oneOf("train", "val", "test")
+    } yield (c, s)).map(_.zipWithIndex.map { case ((c, s), i) => (i.toLong, c, s) })
+    forAll(gen) { rows =>
+      val df = rows.map { case (id, c, s) => (id, s"filler C-$c text", s) }
+        .toDF("doc_id", "text", "split")
+      val got = TextAnalysis.canaryLeakage(df, "doc_id", "text", "split", "C-[0-9]+")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+      rows.groupBy(_._2).foreach { case (c, rs) =>
+        val splits = rs.map(_._3).distinct.sorted
+        assert(got(s"C-$c") == ((rs.map(_._1).distinct.size.toLong,
+          splits.size.toLong, splits.mkString(","),
+          if (splits.size > 1) 1L else 0L)), s"canary $c of $rows")
+      }
+      assert(got.size == rows.map(_._2).distinct.size)
+    }
+  }
+
+  test("property: cross-source dup matrix equals brute-force pair counting") {
+    import graft.operators.Dedup
+    val gen: Gen[List[(String, String)]] = Gen.listOfN(14, for {
+      t <- Gen.oneOf("t1", "t2", "t3", "t4")
+      s <- Gen.oneOf("A", "B", "C")
+    } yield (t, s))
+    forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+        .toDF("doc_id", "text", "source")
+      val got = Dedup.crossSourceDupMatrix(df, "text", "source")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val bySrc = rows.groupBy(identity).toSeq
+        .map { case ((t, s), xs) => (t, s) -> xs.size.toLong }
+      val expected = (for {
+        ((ta, sa), ca) <- bySrc; ((tb, sb), cb) <- bySrc
+        if ta == tb && sa < sb
+      } yield ((sa, sb), (1L, ca * cb, ca, cb)))
+        .groupBy(_._1).map { case (k, vs) =>
+          k -> vs.map(_._2).reduce[(Long, Long, Long, Long)] {
+            case ((a1, b1, c1, d1), (a2, b2, c2, d2)) => (a1 + a2, b1 + b2, c1 + c2, d1 + d2)
+          }
+        }
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("property: lsh recall certificate's exact side equals brute-force shingle jaccard; counts reconcile") {
+    import graft.operators.Dedup
+    val P = 144115188075855859L
+    def shingleSet(ws: List[String]): Set[Long] =
+      ws.sliding(3).filter(_.size == 3).map { tri =>
+        tri.mkString(" ").foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+      }.toSet
+    val docsGen: Gen[List[List[String]]] = Gen.listOfN(9,
+      Gen.listOfN(6, Gen.oneOf("p", "q", "r", "s")))
+    forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val sets = docs.zipWithIndex.map { case (ws, i) => i.toLong -> shingleSet(ws) }
+      val truth = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size.toLong
+        if inter * 150 >= (sa.size + sb.size) * 50
+      } yield (ia, ib)).size.toLong
+      val r = Dedup.lshRecallCertificate(df, "doc_id", "text", minJaccardPct = 50).head()
+      val (ex, lsh, common, only, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ex == truth, s"docs=$docs") // prefix-filter completeness, tested
+      assert(common <= math.min(ex, lsh) && only == lsh - common)
+      assert(recall == (if (ex == 0) 1000L else common * 1000 / ex))
+    }
+  }
+
+  test("property: margin mining equals the JVM quantized-cosine model on random vectors") {
+    import graft.operators.Similarity
+    val vecGen: Gen[List[Array[Float]]] = Gen.listOfN(5,
+      Gen.listOfN(4, Gen.choose(-4, 4)).map(_.map(_.toFloat).toArray))
+        .suchThat(_.forall(_.exists(_ != 0f)))
+    val k = 2
+    forAll(vecGen, vecGen) { (as, bs) =>
+      val a = as.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val b = bs.zipWithIndex.map { case (v, i) => (100L + i, v) }.toDF("vec_id", "embedding")
+      val got = Similarity.marginBitextPairs(a, b, "vec_id", "embedding", k, minMarginX1k = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def q(x: Array[Float], y: Array[Float]): Long = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        for (i <- x.indices) {
+          dot += x(i).toDouble * y(i).toDouble
+          nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble
+        }
+        math.floor(dot / (math.sqrt(nx) * math.sqrt(ny)) * 1000000).toLong + 1000000L
+      }
+      val pairs = for { (av, i) <- as.zipWithIndex; (bv, j) <- bs.zipWithIndex }
+        yield (i.toLong, 100L + j, q(av, bv))
+      def topSum(xs: Seq[Long]) =
+        (xs.sorted(Ordering[Long].reverse).take(k).sum, math.min(k, xs.size).toLong)
+      val expected = pairs.groupBy(_._1).flatMap { case (aid, ps) =>
+        val scored = ps.map { case (_, bid, s) =>
+          val (sa, ka) = topSum(pairs.filter(_._1 == aid).map(_._3))
+          val (sb, kb) = topSum(pairs.filter(_._2 == bid).map(_._3))
+          (bid, s, 2000L * s * ka * kb / (sa * kb + sb * ka))
+        }
+        // best by (margin desc, b_id asc) — the operator's rank order
+        val best = scored.minBy { case (bid, _, m) => (-m, bid) }
+        Some((aid, best._1, best._2 - 1000000L, best._3))
+      }.toSet
+      assert(got == expected, s"as=${as.map(_.toList)} bs=${bs.map(_.toList)}")
+    }
+  }
+
   test("property: multi-domain mixture with K=1 degrades to the single weight for any mix scale") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (mix <- Seq(1L, 250L, 1000000L)) {
