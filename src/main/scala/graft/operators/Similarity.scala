@@ -942,10 +942,17 @@ object Similarity {
     def side(df: DataFrame, p: String) = df
       .filter(norm2(vecCol) > 0.0)
       .select(col(idCol).as(s"${p}_id"), col(vecCol).as(s"__v$p"))
+    // greatest(·, 0): the fused cosine does not clamp, and an exact
+    // antiparallel pair can compute cos = −1 − ε (sqrt rounding), whose
+    // floor lands at −1,000,001 and would push the shifted value to −1 —
+    // breaking the non-negative-operand invariant the div parity and the
+    // zero-denominator guard both rest on (self-review r15b finding).
+    // The symmetric +1+ε case needs no clamp: floor caps it at the same
+    // 2,000,000 a clamped cosine produces.
     val pairs = side(a, "a").crossJoin(side(b, "b"))
       .select(col("a_id"), col("b_id"),
-        (floor(GraftFunctions.cosineSim(col("__va"), col("__vb")) * 1000000d)
-          .cast("long") + 1000000L).as("__s"))
+        greatest(floor(GraftFunctions.cosineSim(col("__va"), col("__vb")) * 1000000d)
+          .cast("long") + 1000000L, lit(0L)).as("__s"))
       .localCheckpoint() // scored once; both windows and the final rank reuse it
     def neighborhood(key: String, other: String, out: String, cnt: String) =
       pairs

@@ -1396,11 +1396,14 @@ object TextAnalysis {
     * and the single shuffle groups on the canary string whose cardinality
     * is the PLANTED SET's size, not the corpus's. `collect_set(split)` is
     * bounded by the number of splits (here ≤ a handful) — never a
-    * corpus-sized driver or executor list. */
+    * corpus-sized driver or executor list. The pattern goes through the
+    * Column API (never spliced into SQL text), so regex metacharacters,
+    * backslashes and quotes arrive at the matcher verbatim — `\\d+`
+    * means digits, not a literal 'd' (self-review r15b finding). */
   def canaryLeakage(df: DataFrame, idCol: String, textCol: String,
       splitCol: String, pattern: String): DataFrame =
     df.select(col(idCol), col(splitCol).as("__split"),
-        explode(expr(s"regexp_extract_all($textCol, '$pattern', 0)")).as("canary"))
+        explode(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("canary"))
       .groupBy("canary")
       .agg(
         countDistinct(col(idCol)).cast("long").as("n_docs"),
@@ -1427,7 +1430,10 @@ object TextAnalysis {
     * algebra, Spark `div` ≡ DuckDB `//` (all operands non-negative: the
     * boundary row is the FIRST whose cumulative mass reaches `need`, so
     * need − mass_above ≥ 1). Long-safe to ~9·10¹⁴ total tokens
-    * (total × 10⁴ must fit in a signed 64-bit). */
+    * (total × 10⁴ must fit in a signed 64-bit). A token-free corpus
+    * yields ZERO rows by contract — there is no boundary frequency to
+    * report, and both engines agree on the empty result (the oracle's
+    * inequality join is empty too). */
   def vocabCoverage(df: DataFrame, textCol: String,
       targetsBp: Seq[Int] = Seq(5000, 9000, 9500, 9900)): DataFrame = {
     require(targetsBp.nonEmpty && targetsBp.forall(t => t >= 1 && t <= 10000),

@@ -11543,9 +11543,9 @@ object ExtensionQueries {
            |bv AS (SELECT vec_id AS b_id, embedding AS vb FROM e
            |  WHERE label % 2 <> 0 AND ${fold("embedding", "embedding")} > 0),
            |p AS (SELECT a_id, b_id,
-           |    CAST(floor((${fold("va", "vb")}
+           |    greatest(CAST(floor((${fold("va", "vb")}
            |      / (sqrt(${fold("va", "va")}) * sqrt(${fold("vb", "vb")}))) * 1000000.0) AS BIGINT)
-           |      + 1000000 AS s
+           |      + 1000000, 0) AS s
            |  FROM av CROSS JOIN bv),
            |na AS (SELECT a_id, CAST(sum(s) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS ka FROM (
            |    SELECT a_id, s, row_number() OVER (PARTITION BY a_id ORDER BY s DESC, b_id) AS rn

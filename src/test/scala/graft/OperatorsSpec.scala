@@ -4994,7 +4994,8 @@ class OperatorsSpec extends SparkTestBase {
         dot += av(i).toDouble * bv(i).toDouble
         na += av(i).toDouble * av(i).toDouble; nb += bv(i).toDouble * bv(i).toDouble
       }
-      (aid, bid, math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000).toLong + 1000000L)
+      (aid, bid,
+        math.max(math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000).toLong + 1000000L, 0L))
     }
     def topk(xs: Seq[Long]) = xs.sorted(Ordering[Long].reverse).take(2)
     for ((aid, bid, s) <- pairs) {
@@ -5006,5 +5007,43 @@ class OperatorsSpec extends SparkTestBase {
       val got = r.find(p => p._1 == aid && p._2 == bid)
       got.foreach(g => assert(g._4 == expect, s"margin mismatch for ($aid,$bid)"))
     }
+  }
+
+  test("canary leakage: regex metacharacters survive — backslash classes and quotes reach the matcher verbatim") {
+    // r15b self-review finding: the pattern used to be spliced into SQL
+    // text, where '\\d' unescaped to a literal 'd' and a quote broke the
+    // parse — the release gate then reported zero leaks and PASSED falsely
+    val d = Seq((1L, raw"id GUID-42 here", "train"), (2L, raw"GUID-42 again", "test"),
+      (3L, "don't match 'quoted'", "val")).toDF("doc_id", "text", "split")
+    val r = TextAnalysis.canaryLeakage(d, "doc_id", "text", "split", raw"GUID-\d+")
+      .collect().map(x => (x.getString(0), x.getLong(4)))
+    assert(r.toSeq == Seq(("GUID-42", 1L))) // \d matched digits, leak flagged
+    val q = TextAnalysis.canaryLeakage(d, "doc_id", "text", "split", "'[a-z]+'")
+      .collect().map(_.getString(0))
+    assert(q.toSeq == Seq("'quoted'")) // quotes don't break anything
+  }
+
+  test("vocab coverage: token-free corpus yields zero rows without throwing (documented contract)") {
+    val d = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(TextAnalysis.vocabCoverage(d, "text").count() == 0L)
+  }
+
+  test("margin mining: exact antiparallel float pairs clamp at shifted zero instead of breaking div parity") {
+    // cos computes to -1 - epsilon through sqrt rounding on this pair; the
+    // unclamped floor would land at shifted -1 (r15b self-review finding)
+    val a = Seq((0L, Array(1f, 2f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq((10L, Array(-2f, -4f, 0f)), (11L, Array(1f, 2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.marginBitextPairs(a, b, "vec_id", "embedding", k = 2,
+        minMarginX1k = 0L)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.length == 1)
+    assert(r(0)._1 == 11L)            // the parallel twin wins
+    // the antiparallel cosine clamps to shifted 0, so a0's neighborhood
+    // sum is s11 + 0 with ka=2 and b11's is s11 with kb=1: margin =
+    // 2000·s11·2·1 / (s11·1 + s11·2) = 4000/3 = 1333 for ANY s11 > 0 —
+    // the clamp, not the parallel pair's exact rounding, fixes the value
+    assert(r(0)._3 == 1333L)
+    assert(r(0)._2 >= 999999L)        // cos of the identical-direction pair
   }
 }

@@ -846,7 +846,8 @@ class PropertiesSpec extends SparkTestBase {
           dot += x(i).toDouble * y(i).toDouble
           nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble
         }
-        math.floor(dot / (math.sqrt(nx) * math.sqrt(ny)) * 1000000).toLong + 1000000L
+        math.max(
+          math.floor(dot / (math.sqrt(nx) * math.sqrt(ny)) * 1000000).toLong + 1000000L, 0L)
       }
       val pairs = for { (av, i) <- as.zipWithIndex; (bv, j) <- bs.zipWithIndex }
         yield (i.toLong, 100L + j, q(av, bv))
