@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: fused cosine similarity over two
   * `Array[Float]` columns in ONE pass.
@@ -87,6 +88,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
 
   val CosineName = "graft_cosine_similarity"
+  val TokenSetHitsName = "graft_token_set_hits"
   val SqL2Name = "graft_squared_l2_distance"
   val SortedIntersectName = "graft_sorted_intersect_count"
   val WinnowingName = "graft_winnowing_fingerprints"
@@ -107,6 +109,19 @@ object GraftFunctions {
     registerOne(spark, CosineName, classOf[CosineSimilarity], { children =>
       require(children.length == 2, s"$CosineName expects 2 arguments")
       CosineSimilarity(children.head, children(1))
+    })
+    registerOne(spark, TokenSetHitsName, classOf[TokenSetHits], { children =>
+      require(children.length == 3, s"$TokenSetHitsName expects (text, unigrams, bigrams)")
+      def strArr(e: Expression, what: String): Seq[String] = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            d: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(StringType, _)) =>
+          d.toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"$TokenSetHitsName $what must be an array<string> literal, got $other")
+      }
+      TokenSetHits(children.head,
+        new TokenSetMatcher(strArr(children(1), "unigrams"), strArr(children(2), "bigrams")))
     })
     registerOne(spark, SqL2Name, classOf[SquaredL2Distance], { children =>
       require(children.length == 2, s"$SqL2Name expects 2 arguments")
@@ -147,6 +162,13 @@ object GraftFunctions {
 
   /** Column DSL for the fused squared-L2 distance. */
   def squaredL2(a: Column, b: Column): Column = call_function(SqL2Name, a, b)
+
+  /** Column DSL for the native large-blocklist matcher: packed
+    * (n_uni_hits << 32) | n_bi_hits over whitespace tokens. */
+  def tokenSetHits(text: Column, unigrams: Seq[String], bigrams: Seq[String]): Column =
+    call_function(TokenSetHitsName, text,
+      org.apache.spark.sql.functions.lit(unigrams.toArray),
+      org.apache.spark.sql.functions.lit(bigrams.toArray))
 
   /** Column DSL for the sorted-merge intersection count. */
   def sortedIntersectCount(a: Column, b: Column): Column =

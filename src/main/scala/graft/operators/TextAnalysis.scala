@@ -1337,6 +1337,43 @@ object TextAnalysis {
         (col("n_uni_hits") + col("n_bi_hits") > 0).cast("long"))
   }
 
+  /** [[blocklistHits]] for LARGE blocklists: same contract and output
+    * schema, but matching through the native
+    * [[graft.functions.TokenSetHits]] expression — O(tokens) hash-set
+    * lookups per document instead of the literal-array `array_contains`
+    * scan whose per-token cost grows with the blocklist. Identical
+    * semantics by construction: both sides fold through the engine's own
+    * lowercase routine (the expression calls `UTF8String.toLowerCase`,
+    * which IS Spark's `lower()`), tokens split on whitespace with
+    * empties dropped, duplicates count per occurrence, bigrams pair
+    * adjacent non-empty tokens. Measured at sf0.1 with a 1504-phrase
+    * list: the array-scan plan's extra cost is the blocklist factor the
+    * native path doesn't pay (see q352 and PLANS.md r15b).
+    *
+    * Crossover guidance: below ~10 phrases the constant-folded array
+    * scan is equivalent; use this form when lists reach the hundreds —
+    * real safety/compliance lists run 10³–10⁵ phrases, where the array
+    * plan is a quadratic-ish hot-path tax at 100 TB. */
+  def blocklistHitsLarge(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    val norm = phrases.map(_.trim.split("\\s+").toSeq)
+    require(norm.forall(t => t.nonEmpty && t.length <= 2 && t.forall(_.nonEmpty)),
+      "blocklist phrases must be one or two whitespace-separated tokens")
+    val (bigrams, unigrams) = {
+      val (b, u) = norm.partition(_.length == 2)
+      (b.map(_.mkString(" ")), u.map(_.head))
+    }
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        graft.functions.GraftFunctions
+          .tokenSetHits(col(textCol), unigrams, bigrams).as("__packed"))
+      .select(col(idCol),
+        shiftright(col("__packed"), 32).as("n_uni_hits"),
+        col("__packed").bitwiseAND(lit(0xFFFFFFFFL)).as("n_bi_hits"))
+      .withColumn("blocked",
+        (col("n_uni_hits") + col("n_bi_hits") > 0).cast("long"))
+  }
+
   /** Character-level Shannon entropy in HALF-BITS — the true-entropy
     * upgrade of q149's Gini–Simpson diversity (which went log-free
     * because float log2 is not cross-engine exact). r13's integer

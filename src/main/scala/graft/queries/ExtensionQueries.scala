@@ -11561,8 +11561,59 @@ object ExtensionQueries {
            |SELECT a_id, b_id, cos_x1m, margin_x1k
            |FROM r WHERE rk = 1 AND margin_x1k >= 1000 ORDER BY a_id""".stripMargin
       }
+    ),
+
+    // Large-blocklist gate (r15b): q336's semantics through the native
+    // TokenSetHits expression — O(tokens) hash-set lookups instead of the
+    // per-token array scan, the form a 10³–10⁵-phrase compliance list
+    // needs at 100 TB. The list is q336's four PRESENT phrases plus 1500
+    // generated absent ones (1204 unigrams + 302 bigrams total), so the
+    // expected hits equal q336's while the matcher demonstrably carries
+    // the full list. The oracle is list-size-independent TOO (unnest +
+    // hash join membership), so it is a genuinely different evaluation
+    // strategy from both Spark plans.
+    QueryDef(
+      "q352_blocklist_large",
+      (s, dir) =>
+        orderedOut(
+          TextAnalysis.blocklistHitsLarge(tParallel(s, dir, "documents"),
+            "doc_id", "text", q352Phrases),
+          "doc_id"),
+      Some {
+        val uniLits = q352Phrases.filterNot(_.contains(" "))
+          .map(p => s"'$p'").mkString("[", ", ", "]")
+        val biLits = q352Phrases.filter(_.contains(" "))
+          .map(p => s"'$p'").mkString("[", ", ", "]")
+        raw"""WITH tk AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |ul AS (SELECT lower(unnest($uniLits)) AS p),
+           |bl AS (SELECT lower(unnest($biLits)) AS p),
+           |ut AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+           |bt AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b
+           |  FROM tk),
+           |uh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ut JOIN ul ON t = p GROUP BY doc_id),
+           |bh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bt JOIN bl ON b = p GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(uh.n, 0) AS BIGINT) AS n_uni_hits,
+           |  CAST(coalesce(bh.n, 0) AS BIGINT) AS n_bi_hits,
+           |  CAST(coalesce(uh.n, 0) + coalesce(bh.n, 0) > 0 AS BIGINT) AS blocked
+           |FROM documents d LEFT JOIN uh ON d.doc_id = uh.doc_id
+           |LEFT JOIN bh ON d.doc_id = bh.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }
     )
   )
+
+  /** q352's blocklist: q336's four present phrases plus 1500 generated
+    * absent entries — large enough that an array-scan plan pays a
+    * visible per-token factor while the native hash-set path does not.
+    * Shared with the specs so the perf A/B and the gate use ONE list. */
+  private[graft] lazy val q352Phrases: Seq[String] =
+    Seq("dup", "fast", "table hash", "merge group") ++
+      (0 until 1200).map(i => s"blk$i") ++
+      (0 until 300).map(i => s"blk$i blk${i + 1}")
 
   /** Generate the q331 oracle: `numMerges` chained CTE stages, each
     * re-deriving pair counts from the current vocabulary state, picking

@@ -5046,4 +5046,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(0)._3 == 1333L)
     assert(r(0)._2 >= 999999L)        // cos of the identical-direction pair
   }
+
+  test("native blocklist: equals the array-scan path on unicode folds, quotes, duplicates and adjacency") {
+    val turkishI = new String(Character.toChars(0x130))   // 'İ'
+    val capSharpS = new String(Character.toChars(0x1E9E)) // 'ẞ'
+    val d = Seq(
+      (1L, s"ein ${capSharpS}trase text don't stop"),
+      (2L, s"word $turkishI here don't don't"),           // duplicate phrase counts twice
+      (3L, "  leading space table hash pair"),            // empty token must not break adjacency
+      (4L, raw"a back\slash token")
+    ).toDF("doc_id", "text")
+    val phrases = Seq(s"${capSharpS}trase", turkishI, "don't", raw"back\slash",
+      "table hash", "space table")
+    val small = TextAnalysis.blocklistHits(d, "doc_id", "text", phrases)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val large = TextAnalysis.blocklistHitsLarge(d, "doc_id", "text", phrases)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(small.toSeq == large.toSeq)
+    // and the values are the expected ones, not just mutually wrong
+    assert(large(1) == Seq(2L, 3L, 0L, 1L)) // 'İ' folded + don't twice
+    assert(large(2) == Seq(3L, 0L, 2L, 1L)) // both bigrams straddle the space
+  }
 }

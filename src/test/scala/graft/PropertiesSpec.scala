@@ -867,6 +867,23 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: native token-set blocklist equals the array-scan plan on random corpora and lists") {
+    import graft.operators.TextAnalysis
+    val word = Gen.oneOf("dup", "fast", "table", "hash", "x1", "x2", "İ")
+    val docsGen: Gen[List[List[String]]] = Gen.listOfN(6, Gen.listOfN(7, word))
+    val listGen: Gen[List[String]] = Gen.listOfN(5, Gen.oneOf(
+      "dup", "fast", "table hash", "x1 x2", "İ", "absent", "no where"))
+    forAll(docsGen, listGen) { (docs, phrases) =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val a = TextAnalysis.blocklistHits(df, "doc_id", "text", phrases.distinct)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.blocklistHitsLarge(df, "doc_id", "text", phrases.distinct)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(a == b, s"docs=$docs phrases=$phrases")
+    }
+  }
+
   test("property: multi-domain mixture with K=1 degrades to the single weight for any mix scale") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (mix <- Seq(1L, 250L, 1000000L)) {
