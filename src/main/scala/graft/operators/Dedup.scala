@@ -312,6 +312,48 @@ object Dedup {
     agged.select(col(idCol), simhash.as("simhash"))
   }
 
+  /** Banded SimHash near-dup JOIN — the scale path q33/q231 lacked: those
+    * emit fingerprints and measure their quality inside externally-chosen
+    * blocks, but a 100 TB dedup needs candidate generation from the hash
+    * ITSELF. Pigeonhole banding does it exactly: split the 32-bit hash
+    * into 4 bytes; two hashes within Hamming distance ≤ 3 differ in at
+    * most 3 bytes, so AT LEAST ONE byte matches — a candidate join on
+    * (band_idx, band_byte) has 100% recall for `maxHamming` ≤ 3 (the
+    * operator refuses larger bounds rather than silently losing pairs).
+    * The verify is one codegen'd `bit_count(xor)` per candidate — no
+    * arrays move, the cheapest verify of any near-dup path here.
+    *
+    * Per-bucket postings are capped like [[minHashLshPairs]]'s (an
+    * over-common band byte is boilerplate/skew, not near-dup signal;
+    * smallest ids win, deterministic). Shuffles: the simhash aggregate,
+    * one band explode (4 short rows/doc), the banded self-join — all
+    * keyed, never cartesian. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
+    require(maxBucketSize >= 2, "maxBucketSize must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val sh = simHash(df, idCol, textCol).localCheckpoint()
+    val bands = sh.select(col(idCol), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band_idx"))
+      .withColumn("band_byte",
+        expr("(simhash >> ((3 - band_idx) * 8)) & 255").cast("int"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_byte")).orderBy(col(idCol))))
+      .filter(col("__rn") <= maxBucketSize)
+    val a = bands.select(col(idCol).as(s"a_$idCol"), col("simhash").as("a_sh"),
+      col("band_idx"), col("band_byte"))
+    val b = bands.select(col(idCol).as(s"b_$idCol"), col("simhash").as("b_sh"),
+      col("band_idx"), col("band_byte"))
+    a.join(b, Seq("band_idx", "band_byte"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        expr("bit_count(a_sh ^ b_sh)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** N-gram (word-set) Jaccard near-dup pairs within blocks.
     * Blocking keys bound candidate pairs; the verify step computes exact
     * |A∩B| / |A∪B| on distinct-word arrays. Integer outputs (inter/union

@@ -933,9 +933,14 @@ object Similarity {
     * one rank per x — no corpus-sized state. Output: per x, its best y by
     * (margin, then y) with cos ×10⁶ and margin ×1000, filtered to
     * `minMarginX1k`. Zero-norm vectors are dropped on both sides (their
-    * cosine is NULL by [[graft.functions.CosineSimilarity]]'s contract). */
+    * cosine is NULL by [[graft.functions.CosineSimilarity]]'s contract).
+    * `mutual = true` keeps only pairs that are each other's best — the
+    * forward∩backward intersection the published mining pipelines apply
+    * as the final precision filter (one more windowed rank over the same
+    * scored pairs, no extra scoring pass). */
   def marginBitextPairs(a: DataFrame, b: DataFrame, idCol: String,
-      vecCol: String, k: Int = 4, minMarginX1k: Long = 1000L): DataFrame = {
+      vecCol: String, k: Int = 4, minMarginX1k: Long = 1000L,
+      mutual: Boolean = false): DataFrame = {
     require(k >= 1, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(a.sparkSession)
@@ -971,7 +976,10 @@ object Similarity {
         expr("2000 * __s * __ka * __kb div (__sa * __kb + __sb * __ka)"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("a_id").orderBy(col("margin_x1k").desc, col("b_id"))))
-      .filter(col("__rk") === 1 && col("margin_x1k") >= minMarginX1k)
+      .withColumn("__rkb", if (!mutual) lit(1) else row_number().over(
+        Window.partitionBy("b_id").orderBy(col("margin_x1k").desc, col("a_id"))))
+      .filter(col("__rk") === 1 && col("__rkb") === 1 &&
+        col("margin_x1k") >= minMarginX1k)
       .select(col("a_id"), col("b_id"),
         (col("__s") - 1000000L).as("cos_x1m"), col("margin_x1k"))
   }

@@ -11603,6 +11603,98 @@ object ExtensionQueries {
            |LEFT JOIN bh ON d.doc_id = bh.doc_id
            |ORDER BY d.doc_id""".stripMargin
       }
+    ),
+
+    // Banded SimHash near-dup join (r15b): candidate generation from the
+    // hash ITSELF via pigeonhole byte-banding (Hamming ≤ 3 over 32 bits ⇒
+    // one of 4 bytes equal — exact recall), closing the gap where q33
+    // computed fingerprints and q231 graded them but nothing JOINED on
+    // them at scale. Planted twins (doc + " zz" under id+500000) give the
+    // corpus real low-Hamming pairs; verify is one bit_count(xor) per
+    // candidate — no arrays move. The low-diversity fixture is DENSE at
+    // Hamming ≤ 3 (56k pairs at sf0.01 — the word-salad simhashes
+    // concentrate), so the gate publishes the per-Hamming census with
+    // id-sum checksums instead of the pair dump; the full pair set still
+    // flows through the aggregate on both engines.
+    QueryDef(
+      "q353_simhash_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(docs.select((col("doc_id") + 500000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+        Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
+          .groupBy("hamming")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(col("a_doc_id")).cast("long").as("sum_a"),
+            sum(col("b_doc_id")).cast("long").as("sum_b"))
+          .orderBy("hamming")
+      },
+      Some {
+        val sub = duckSimhashSub.replace("FROM documents)", "FROM pc)")
+        s"""WITH pc AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 500000, text || ' zz' FROM documents),
+           |sh AS ($sub),
+           |bands AS (SELECT doc_id, simhash, band_idx,
+           |    CAST((simhash >> ((3 - band_idx) * 8)) & 255 AS INT) AS band_byte
+           |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+           |capped AS (SELECT doc_id, simhash, band_idx, band_byte FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_byte ORDER BY doc_id) AS rn
+           |    FROM bands) WHERE rn <= 500),
+           |p AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+           |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |  FROM capped a JOIN capped b USING (band_idx, band_byte)
+           |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+           |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(a_doc_id) AS BIGINT) AS sum_a, CAST(sum(b_doc_id) AS BIGINT) AS sum_b
+           |FROM p GROUP BY hamming ORDER BY hamming""".stripMargin
+      }
+    ),
+
+    // Mutual (forward∩backward) margin mining (r15b): the published
+    // pipelines' final precision filter — keep (x, y) only when y is x's
+    // best AND x is y's best under the same shifted-cosine margin. One
+    // more windowed rank over q351's scored pairs; the output is a strict
+    // subset of q351's rows (MiningSpec pins the subset relation).
+    QueryDef(
+      "q354_mutual_margin",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+        Similarity.marginBitextPairs(
+          emb.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 =!= 0),
+          "vec_id", "embedding", k = 4, minMarginX1k = 1000L, mutual = true)
+          .orderBy("a_id")
+      },
+      Some {
+        def fold(a: String, b: String) =
+          s"list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)"
+        s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
+           |av AS (SELECT vec_id AS a_id, embedding AS va FROM e
+           |  WHERE label % 2 = 0 AND ${fold("embedding", "embedding")} > 0),
+           |bv AS (SELECT vec_id AS b_id, embedding AS vb FROM e
+           |  WHERE label % 2 <> 0 AND ${fold("embedding", "embedding")} > 0),
+           |p AS (SELECT a_id, b_id,
+           |    greatest(CAST(floor((${fold("va", "vb")}
+           |      / (sqrt(${fold("va", "va")}) * sqrt(${fold("vb", "vb")}))) * 1000000.0) AS BIGINT)
+           |      + 1000000, 0) AS s
+           |  FROM av CROSS JOIN bv),
+           |na AS (SELECT a_id, CAST(sum(s) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS ka FROM (
+           |    SELECT a_id, s, row_number() OVER (PARTITION BY a_id ORDER BY s DESC, b_id) AS rn
+           |    FROM p) WHERE rn <= 4 GROUP BY a_id),
+           |nb AS (SELECT b_id, CAST(sum(s) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS kb FROM (
+           |    SELECT b_id, s, row_number() OVER (PARTITION BY b_id ORDER BY s DESC, a_id) AS rn
+           |    FROM p) WHERE rn <= 4 GROUP BY b_id),
+           |m AS (SELECT p.a_id, p.b_id, p.s,
+           |    CAST(2000 * p.s * ka * kb // (sa * kb + sb * ka) AS BIGINT) AS margin_x1k
+           |  FROM p JOIN na USING (a_id) JOIN nb USING (b_id) WHERE sa + sb > 0),
+           |r AS (SELECT a_id, b_id, CAST(s - 1000000 AS BIGINT) AS cos_x1m, margin_x1k,
+           |    row_number() OVER (PARTITION BY a_id ORDER BY margin_x1k DESC, b_id) AS rk,
+           |    row_number() OVER (PARTITION BY b_id ORDER BY margin_x1k DESC, a_id) AS rkb
+           |  FROM m)
+           |SELECT a_id, b_id, cos_x1m, margin_x1k
+           |FROM r WHERE rk = 1 AND rkb = 1 AND margin_x1k >= 1000 ORDER BY a_id""".stripMargin
+      }
     )
   )
 

@@ -5067,4 +5067,47 @@ class OperatorsSpec extends SparkTestBase {
     assert(large(1) == Seq(2L, 3L, 0L, 1L)) // 'İ' folded + don't twice
     assert(large(2) == Seq(3L, 0L, 2L, 1L)) // both bigrams straddle the space
   }
+
+  test("simhash pairs: banded join finds every pair a brute-force hamming scan finds (pigeonhole recall)") {
+    val d = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((10L, "the cat sat on the mat today"), (11L, "words entirely different here")))
+      .toDF("doc_id", "text")
+    val hs = Dedup.simHash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    val banded = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute) // complete AND nothing extra (cap non-binding)
+    assert(brute.contains((1L, 2L, 0L))) // the exact dups are in there
+    // the operator refuses bounds the banding cannot guarantee
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
+  test("mutual margin mining is the forward-backward intersection of the one-directional output") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // b20 is the best match of BOTH a0 and a1; mutuality keeps it only for
+    // the one whose margin wins the backward direction
+    val a = Seq((0L, v(1, 0.1, 0)), (1L, v(1, 0.3, 0)), (2L, v(0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((20L, v(1, 0.2, 0)), (21L, v(0, 0.1, 1))).toDF("vec_id", "embedding")
+    val fwd = Similarity.marginBitextPairs(a, b, "vec_id", "embedding", k = 2, minMarginX1k = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val mut = Similarity.marginBitextPairs(a, b, "vec_id", "embedding", k = 2, minMarginX1k = 0L,
+        mutual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(mut.subsetOf(fwd))
+    // every a had a forward best; contested b20 must appear at most once
+    assert(fwd.size == 3)
+    assert(mut.count(_._2 == 20L) <= 1)
+    // necessary condition for mutuality: no other forward winner beats a
+    // mutual pair on its own b (the operator ranks over ALL scored pairs)
+    mut.foreach { case (aid, bid, m) =>
+      assert(!fwd.exists(p => p._2 == bid && p._1 != aid && p._3 > m))
+    }
+  }
 }
