@@ -1393,12 +1393,16 @@ object TextAnalysis {
     * (doc, char) shuffle, nothing leaves the row. The sort is per-row
     * over one document's characters (n log n on a few KB), the same
     * cost class every shingle operator here already pays. */
-  def charEntropyHalfBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // run-length accumulator over the sorted codepoints: (prev, run, acc);
-    // each run boundary folds run·hb(run) into acc, the finisher flushes
-    // the last run. hb(run) inline: length(bin(run²))−1 (run ≥ 1 always).
-    val hb = (n: String) => s"CAST(length(bin($n * $n)) - 1 AS BIGINT)"
-    val sumChb = s"""aggregate(
+  // run-length accumulator over the sorted codepoints: (prev, run, acc);
+  // each run boundary folds run·hb(run) into acc, the finisher flushes
+  // the last run. hb(run) inline: length(bin(run²))−1 (run ≥ 1 always).
+  // Shared by charEntropyHalfBits and the Column form (q356's cascade
+  // filter) so the two can never drift.
+  private def entropyHb(n: String): String =
+    s"CAST(length(bin($n * $n)) - 1 AS BIGINT)"
+  private def entropySumChbSql(textCol: String): String = {
+    val hb = entropyHb _
+    s"""aggregate(
       array_sort(filter(split($textCol, ''), c -> c != '')),
       named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
       (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
@@ -1406,6 +1410,22 @@ object TextAnalysis {
         named_struct('prev', x, 'run', CAST(1 AS BIGINT),
           'acc', s.acc + IF(s.prev IS NULL, CAST(0 AS BIGINT), s.run * ${hb("s.run")}))),
       s -> s.acc + IF(s.prev IS NULL, CAST(0 AS BIGINT), s.run * ${hb("s.run")}))"""
+  }
+
+  /** [[charEntropyHalfBits]]'s `ent_halfbits` as a single Column — for
+    * use as a predicate inside other operators (e.g. [[filterOrderAdvisor]]
+    * cascades). Recomputes the codepoint count inline; a standalone scan
+    * should prefer the DataFrame form, which shares one split pass. */
+  def charEntropyHalfBitsCol(textCol: String): Column = {
+    val n = s"size(filter(split($textCol, ''), c -> c != ''))"
+    expr(s"""CASE WHEN $n = 0 THEN CAST(0 AS BIGINT)
+      ELSE (CAST($n AS BIGINT) * ${entropyHb(s"CAST($n AS BIGINT)")}
+            - ${entropySumChbSql(textCol)}) div CAST($n AS BIGINT) END""")
+  }
+
+  def charEntropyHalfBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hb = entropyHb _
+    val sumChb = entropySumChbSql(textCol)
     df.select(
       col(idCol),
       size(expr(s"filter(split($textCol, ''), c -> c != '')")).cast("long").as("n_cp"),
@@ -1472,14 +1492,26 @@ object TextAnalysis {
     * report, and both engines agree on the empty result (the oracle's
     * inequality join is empty too). */
   def vocabCoverage(df: DataFrame, textCol: String,
-      targetsBp: Seq[Int] = Seq(5000, 9000, 9500, 9900)): DataFrame = {
+      targetsBp: Seq[Int] = Seq(5000, 9000, 9500, 9900)): DataFrame =
+    vocabCoverageFromCounts(
+      Par.ensureParallel(df)
+        .select(explode(tokens(textCol)).as("__t"))
+        .groupBy("__t").agg(count(lit(1)).as("__c")),
+      "__t", "__c", targetsBp)
+
+  /** [[vocabCoverage]]'s algebra over a PRE-BUILT token histogram
+    * `(tokenCol, countCol)` — the maintenance-friendly entry point: a
+    * nightly pipeline keeps the histogram incrementally (merge = groupBy
+    * sum of per-batch histograms, exact by additivity of counts) and
+    * re-derives the coverage curve from it without re-tokenizing the
+    * corpus. q355 gates maintained ≡ recomputed. */
+  def vocabCoverageFromCounts(counts: DataFrame, tokenCol: String,
+      countCol: String, targetsBp: Seq[Int] = Seq(5000, 9000, 9500, 9900)): DataFrame = {
     require(targetsBp.nonEmpty && targetsBp.forall(t => t >= 1 && t <= 10000),
       "coverage targets must be 1..10000 basis points")
     import org.apache.spark.sql.expressions.Window
-    val vocab = Par.ensureParallel(df)
-      .select(explode(tokens(textCol)).as("__t"))
-      .groupBy("__t").agg(count(lit(1)).as("__c"))
-    val fh = vocab.groupBy("__c").agg(count(lit(1)).cast("long").as("__nt"))
+    val df = counts.select(col(tokenCol).as("__t"), col(countCol).as("__c"))
+    val fh = df.groupBy("__c").agg(count(lit(1)).cast("long").as("__nt"))
     val w = Window.orderBy(col("__c").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = fh.select(col("__c"), col("__nt"),
@@ -1501,6 +1533,47 @@ object TextAnalysis {
         (col("__above") + col("__extra") * col("__c")).cast("long").as("cum_tokens"),
         col("__total").as("total_tokens"),
         col("__c").cast("long").as("boundary_freq"))
+  }
+
+  /** Filter-cascade ordering advisor — a curation pipeline runs many
+    * gates (language, length, blocklist, entropy, model scores) and the
+    * ORDER matters enormously at 100 TB: every document a cheap filter
+    * rejects never reaches the expensive ones. For independent
+    * predicates the classic greedy rule is optimal: run filters in
+    * descending (rejected fraction)/cost. This measures each filter's
+    * pass rate in ONE aggregate pass over the corpus (or a sample — the
+    * rates are corpus-shape properties), prices rejection per cost unit
+    * in exact integers, and emits the recommended position.
+    *
+    * `filters` = (name, predicate, costX1000) with caller-pinned cost
+    * proxies (relative units; only ratios matter). Output per filter:
+    * pass_bp (basis points), drop_per_cost = (10000−pass_bp)·1000 div
+    * cost, position = rank by (drop_per_cost desc, name). An empty
+    * corpus reports pass_bp = 10000 (nothing rejected) by convention.
+    * Scale: one map-side-combined aggregate computes every indicator sum
+    * in a single corpus pass; everything after runs on |filters| rows. */
+  def filterOrderAdvisor(df: DataFrame,
+      filters: Seq[(String, Column, Long)]): DataFrame = {
+    require(filters.nonEmpty, "at least one filter required")
+    require(filters.forall(_._3 > 0), "filter costs must be positive")
+    require(filters.map(_._1).distinct.size == filters.size, "filter names must be unique")
+    import org.apache.spark.sql.expressions.Window
+    val aggs = count(lit(1)).as("__n") +:
+      filters.zipWithIndex.map { case ((_, p, _), i) =>
+        sum(when(p, 1L).otherwise(0L)).as(s"__p$i")
+      }
+    val structs = filters.zipWithIndex.map { case ((name, _, cost), i) =>
+      struct(lit(name).as("filter"), lit(cost).as("cost_x1000"),
+        expr(s"CASE WHEN __n = 0 THEN CAST(10000 AS BIGINT) " +
+          s"ELSE __p$i * 10000 div __n END").as("pass_bp"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("__f"))
+      .select(col("__f.filter").as("filter"), col("__f.cost_x1000").as("cost_x1000"),
+        col("__f.pass_bp").as("pass_bp"))
+      .withColumn("drop_per_cost", expr("(10000 - pass_bp) * 1000 div cost_x1000"))
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("drop_per_cost").desc, col("filter"))).cast("long"))
   }
 
   /** TextTiling-style semantic boundary detection (Hearst 1997), in the

@@ -11695,6 +11695,129 @@ object ExtensionQueries {
            |SELECT a_id, b_id, cos_x1m, margin_x1k
            |FROM r WHERE rk = 1 AND rkb = 1 AND margin_x1k >= 1000 ORDER BY a_id""".stripMargin
       }
+    ),
+
+    // Vocab-coverage IVM twin (r15b): the tokenizer-sizing curve
+    // maintained from per-batch token histograms (merge = groupBy sum,
+    // exact by count additivity) equals the full recompute — the
+    // nightly-maintenance path joins the IVM family (q153/q226/q241/
+    // q260/q273/q291). Both sides run the SAME coverage algebra
+    // (vocabCoverageFromCounts), so the gate pins the merge, and the
+    // match columns make any drift a visible 0.
+    QueryDef(
+      "q355_vocab_coverage_ivm",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def hist(side: DataFrame) =
+          side.select(explode(TextAnalysis.tokens("text")).as("t"))
+            .groupBy("t").agg(count(lit(1)).as("c"))
+        val merged = hist(docs.filter(col("doc_id") % 5 =!= 0))
+          .unionByName(hist(docs.filter(col("doc_id") % 5 === 0)))
+          .groupBy("t").agg(sum(col("c")).as("c"))
+        val m = TextAnalysis.vocabCoverageFromCounts(merged, "t", "c")
+          .select(col("target_bp"), col("vocab_size").as("maintained_vocab"),
+            col("cum_tokens").as("maintained_cum"))
+        val r = TextAnalysis.vocabCoverage(docs, "text")
+          .select(col("target_bp"), col("vocab_size").as("recomputed_vocab"),
+            col("cum_tokens").as("recomputed_cum"), col("total_tokens"))
+        m.join(r, "target_bp")
+          .withColumn("match_ok",
+            (col("maintained_vocab") === col("recomputed_vocab") &&
+              col("maintained_cum") === col("recomputed_cum")).cast("long"))
+          .orderBy("target_bp")
+      },
+      Some {
+        def cov(p: String, counts: String) =
+          s"""${p}fh AS (SELECT c, CAST(count(*) AS BIGINT) AS nt FROM $counts GROUP BY c),
+             |${p}cum AS (SELECT c, nt,
+             |    CAST(sum(c * nt) OVER (ORDER BY c DESC) AS BIGINT) AS cm,
+             |    CAST(sum(nt) OVER (ORDER BY c DESC) AS BIGINT) AS ct FROM ${p}fh),
+             |${p}tot AS (SELECT CAST(sum(c * nt) AS BIGINT) AS total FROM ${p}fh),
+             |${p}nd AS (SELECT target_bp, total,
+             |    CAST((total * target_bp + 9999) // 10000 AS BIGINT) AS need FROM tg, ${p}tot),
+             |${p}sel AS (SELECT * FROM (
+             |    SELECT nd.target_bp, nd.total, nd.need, c, nt, cm, ct,
+             |      row_number() OVER (PARTITION BY nd.target_bp ORDER BY cm) AS rn
+             |    FROM ${p}nd nd JOIN ${p}cum ON cm >= nd.need)
+             |  WHERE rn = 1),
+             |${p}out AS (SELECT target_bp,
+             |    CAST(ct - nt + (need - (cm - c * nt) + c - 1) // c AS BIGINT) AS vocab_size,
+             |    CAST((cm - c * nt) + ((need - (cm - c * nt) + c - 1) // c) * c AS BIGINT) AS cum_tokens,
+             |    total FROM ${p}sel)""".stripMargin
+        raw"""WITH tg AS (SELECT CAST(unnest([5000, 9000, 9500, 9900]) AS BIGINT) AS target_bp),
+           |tokb AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+           |  FROM documents WHERE doc_id % 5 <> 0),
+           |tokd AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |hb AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tokb GROUP BY t),
+           |hd AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tokd GROUP BY t),
+           |mc AS (SELECT t, CAST(sum(c) AS BIGINT) AS c
+           |  FROM (SELECT * FROM hb UNION ALL SELECT * FROM hd) GROUP BY t),
+           |tokf AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+           |  FROM documents),
+           |fc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tokf GROUP BY t),
+           |${cov("m_", "mc")},
+           |${cov("r_", "fc")}
+           |SELECT m.target_bp,
+           |  m.vocab_size AS maintained_vocab, m.cum_tokens AS maintained_cum,
+           |  r.vocab_size AS recomputed_vocab, r.cum_tokens AS recomputed_cum,
+           |  r.total AS total_tokens,
+           |  CAST(CASE WHEN m.vocab_size = r.vocab_size AND m.cum_tokens = r.cum_tokens
+           |       THEN 1 ELSE 0 END AS BIGINT) AS match_ok
+           |FROM m_out m JOIN r_out r USING (target_bp)
+           |ORDER BY m.target_bp""".stripMargin
+      }
+    ),
+
+    // Filter-cascade ordering advisor (r15b): the greedy
+    // rejected-fraction/cost rule that decides which curation gate runs
+    // FIRST at 100 TB (every doc a cheap filter rejects never reaches
+    // the expensive ones). Four real gates with pinned relative costs:
+    // metadata equality (1), token count (5), blocklist (20), char
+    // entropy (50). One aggregate pass measures every pass rate; the
+    // oracle replays the indicators (including the q337 entropy chain)
+    // and the integer ranking.
+    QueryDef(
+      "q356_filter_order",
+      (s, dir) =>
+        TextAnalysis.filterOrderAdvisor(tParallel(s, dir, "documents"), Seq(
+          ("lang_en", col("lang") === "en", 1L),
+          ("min_tokens", TextAnalysis.tokenCount("text") >= 20, 5L),
+          ("blocklist_clean",
+            expr("size(filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), " +
+              "t -> array_contains(array('dup', 'fast'), t))) = 0"), 20L),
+          ("entropy_ge_8hb", TextAnalysis.charEntropyHalfBitsCol("text") >= 8, 50L)
+        )).orderBy("position"),
+      Some(raw"""WITH tk AS (SELECT doc_id, lang,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |chars AS (SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+             |  FROM documents),
+             |counts AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2),
+             |ent AS (SELECT doc_id,
+             |    (sum(c) * (length(to_base(CAST(sum(c) * sum(c) AS BIGINT), 2)) - 1)
+             |     - sum(c * (length(to_base(CAST(c * c AS BIGINT), 2)) - 1))) // sum(c) AS hb
+             |  FROM counts GROUP BY doc_id),
+             |ind AS (SELECT tk.doc_id,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f_lang,
+             |    CASE WHEN len(toks) >= 20 THEN 1 ELSE 0 END AS f_len,
+             |    CASE WHEN len(list_filter(toks, t -> list_contains(['dup', 'fast'], t))) = 0
+             |         THEN 1 ELSE 0 END AS f_blk,
+             |    CASE WHEN coalesce(ent.hb, 0) >= 8 THEN 1 ELSE 0 END AS f_ent
+             |  FROM tk LEFT JOIN ent ON tk.doc_id = ent.doc_id),
+             |rates AS (
+             |  SELECT 'lang_en' AS filter, CAST(1 AS BIGINT) AS cost_x1000,
+             |    CAST(sum(f_lang) * 10000 // count(*) AS BIGINT) AS pass_bp FROM ind
+             |  UNION ALL SELECT 'min_tokens', 5, CAST(sum(f_len) * 10000 // count(*) AS BIGINT) FROM ind
+             |  UNION ALL SELECT 'blocklist_clean', 20, CAST(sum(f_blk) * 10000 // count(*) AS BIGINT) FROM ind
+             |  UNION ALL SELECT 'entropy_ge_8hb', 50, CAST(sum(f_ent) * 10000 // count(*) AS BIGINT) FROM ind),
+             |ranked AS (SELECT *,
+             |    CAST((10000 - pass_bp) * 1000 // cost_x1000 AS BIGINT) AS drop_per_cost,
+             |    CAST(row_number() OVER (
+             |      ORDER BY (10000 - pass_bp) * 1000 // cost_x1000 DESC, filter) AS BIGINT) AS position
+             |  FROM rates)
+             |SELECT filter, cost_x1000, pass_bp, drop_per_cost, position
+             |FROM ranked ORDER BY position""".stripMargin)
     )
   )
 

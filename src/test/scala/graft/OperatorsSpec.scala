@@ -5110,4 +5110,44 @@ class OperatorsSpec extends SparkTestBase {
       assert(!fwd.exists(p => p._2 == bid && p._1 != aid && p._3 > m))
     }
   }
+
+  test("filter order advisor: greedy rejected-per-cost ranking, exact basis points, contract checks") {
+    val d = Seq((1L, "en", 10L), (2L, "en", 100L), (3L, "de", 100L), (4L, "fr", 100L))
+      .toDF("id", "lang", "n")
+    val r = TextAnalysis.filterOrderAdvisor(d, Seq(
+        ("cheap_half", col("lang") === "en", 1L),     // passes 2/4 -> drop 5000/1
+        ("pricey_most", col("n") >= 100L, 100L),      // passes 3/4 -> drop 2500/100
+        ("mid", col("n") >= 1000L, 10L)               // passes 0/4 -> drop 10000/10
+      )).orderBy("position").collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      ("cheap_half", 5000L, 5000000L, 1L),
+      ("mid", 0L, 1000000L, 2L),
+      ("pricey_most", 7500L, 25000L, 3L)))
+    // empty corpus: pass_bp 10000 by convention, no division error
+    val e = TextAnalysis.filterOrderAdvisor(d.filter(col("n") < 0),
+        Seq(("any", col("n") > 0, 1L))).collect()
+    assert(e.length == 1 && e(0).getLong(2) == 10000L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterOrderAdvisor(d, Seq(("a", col("n") > 0, 0L)))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterOrderAdvisor(d, Seq(("a", col("n") > 0, 1L), ("a", col("n") > 1, 2L)))
+    }
+  }
+
+  test("vocab coverage from maintained histograms equals the direct computation") {
+    val d = Seq((1L, "x x x y y z w v"), (2L, "x x x y z z w")).toDF("doc_id", "text")
+    def hist(side: org.apache.spark.sql.DataFrame) =
+      side.select(explode(TextAnalysis.tokens("text")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+    val merged = hist(d.filter(col("doc_id") === 1L))
+      .unionByName(hist(d.filter(col("doc_id") === 2L)))
+      .groupBy("t").agg(sum(col("c")).as("c"))
+    val m = TextAnalysis.vocabCoverageFromCounts(merged, "t", "c", Seq(4000, 8000, 10000))
+      .orderBy("target_bp").collect().map(_.toSeq)
+    val full = TextAnalysis.vocabCoverage(d, "text", Seq(4000, 8000, 10000))
+      .orderBy("target_bp").collect().map(_.toSeq)
+    assert(m.toSeq == full.toSeq)
+  }
 }

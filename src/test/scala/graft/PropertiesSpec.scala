@@ -884,6 +884,58 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: histogram-merge vocab coverage equals the full recompute under any split") {
+    import graft.operators.TextAnalysis
+    val docsGen: Gen[List[List[String]]] = Gen.listOfN(8,
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e")))
+    forAll(docsGen, Gen.choose(0, 7)) { (docs, pivot) =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def hist(side: org.apache.spark.sql.DataFrame) =
+        side.select(explode(TextAnalysis.tokens("text")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+      val merged = hist(df.filter($"doc_id" <= pivot))
+        .unionByName(hist(df.filter($"doc_id" > pivot)))
+        .groupBy("t").agg(sum($"c").as("c"))
+      val m = TextAnalysis.vocabCoverageFromCounts(merged, "t", "c", Seq(5000, 9900))
+        .orderBy("target_bp").collect().map(_.toSeq).toSeq
+      val full = TextAnalysis.vocabCoverage(df, "text", Seq(5000, 9900))
+        .orderBy("target_bp").collect().map(_.toSeq).toSeq
+      assert(m == full, s"docs=$docs pivot=$pivot")
+    }
+  }
+
+  test("property: filter order advisor equals the JVM greedy model on random predicates") {
+    import graft.operators.TextAnalysis
+    val gen: Gen[List[(Long, Long)]] = Gen.listOfN(10,
+      for { a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) } yield (a, b))
+    forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "a", "b")
+      val preds: Seq[(String, Long, (Long, Long) => Boolean)] = Seq(
+        ("f_a_even", 3L, (a, _) => a % 2 == 0),
+        ("f_b_big", 7L, (_, b) => b >= 5),
+        ("f_sum", 2L, (a, b) => a + b >= 9))
+      val got = TextAnalysis.filterOrderAdvisor(df,
+          preds.map { case (n, c, _) => (n, expr(n match {
+            case "f_a_even" => "a % 2 = 0"
+            case "f_b_big"  => "b >= 5"
+            case "f_sum"    => "a + b >= 9"
+          }), c) })
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val n = rows.size.toLong
+      val model = preds.map { case (name, cost, p) =>
+        val passBp = rows.count(r => p(r._1, r._2)).toLong * 10000 / n
+        (name, cost, passBp, (10000 - passBp) * 1000 / cost)
+      }
+      val ranked = model.sortBy { case (name, _, _, dpc) => (-dpc, name) }.zipWithIndex
+      ranked.foreach { case ((name, _, passBp, dpc), i) =>
+        assert(got(name) == ((passBp, dpc, i + 1L)), s"$name of $rows")
+      }
+    }
+  }
+
   test("property: multi-domain mixture with K=1 degrades to the single weight for any mix scale") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (mix <- Seq(1L, 250L, 1000000L)) {
