@@ -354,6 +354,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Boundary-overlap pairs — the crawl-pagination stitcher: page 2 of a
+    * paginated article begins with the same tokens page 1 ends with, and
+    * a curation pipeline wants those re-joined (or the overlap scrubbed)
+    * BEFORE dedup sees two half-documents. Emits (a, b, boundary) where
+    * a's last `k` tokens equal b's first `k` exactly — the join key IS
+    * the k-token string, so there is no hash-collision caveat to verify
+    * away.
+    *
+    * Scale: one token pass per doc (head/tail slices only — the body is
+    * never carried), one keyed join on the boundary string. Boilerplate
+    * boundaries (site headers shared by thousands of pages) would make a
+    * hot key quadratic, so each side's postings per boundary are capped
+    * (smallest ids win, deterministic) — the q318/q334 rule: the cap is
+    * a contract, sized so genuine pagination (a handful of pages per
+    * boundary) never hits it while header boilerplate does. */
+  def boundaryOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, maxBucket: Int = 100): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxBucket >= 1, "maxBucket must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = Par.ensureParallel(df)
+      .select(col(idCol),
+        expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__w"))
+      .filter(size(col("__w")) >= k)
+    val heads = base
+      .select(col(idCol).as("b_id"), array_join(slice(col("__w"), 1, k), " ").as("boundary"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("boundary").orderBy(col("b_id"))))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val tails = base
+      .select(col(idCol).as("a_id"), array_join(slice(col("__w"), -k, k), " ").as("boundary"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("boundary").orderBy(col("a_id"))))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    tails.join(heads, "boundary")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("boundary"))
+  }
+
   /** N-gram (word-set) Jaccard near-dup pairs within blocks.
     * Blocking keys bound candidate pairs; the verify step computes exact
     * |A∩B| / |A∪B| on distinct-word arrays. Integer outputs (inter/union

@@ -11818,6 +11818,54 @@ object ExtensionQueries {
              |  FROM rates)
              |SELECT filter, cost_x1000, pass_bp, drop_per_cost, position
              |FROM ranked ORDER BY position""".stripMargin)
+    ),
+
+    // Boundary-overlap stitching (r15b): paginated-crawl repair — page 2
+    // begins with the tokens page 1 ends with, and the stitcher finds
+    // those pairs by joining on the exact k-token boundary string (no
+    // hash, no verify step). The gate splits every ≥10-token doc into
+    // two pages sharing a planted 5-token overlap; the operator must
+    // recover every (2i, 2i+1) pair (plus any genuine accidental
+    // boundary matches the low-vocab corpus produces — the oracle
+    // replays those identically).
+    QueryDef(
+      "q357_boundary_overlap",
+      (s, dir) => {
+        val w1 = t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, '\\\\s+'), x -> x != '')").as("w"))
+          .filter(size(col("w")) >= 10)
+        val pages = w1.select((col("doc_id") * 2).as("doc_id"),
+            array_join(expr("slice(w, 1, size(w) div 2 + 5)"), " ").as("text"))
+          .unionByName(w1.select((col("doc_id") * 2 + 1).as("doc_id"),
+            array_join(expr("slice(w, size(w) div 2 + 1, size(w))"), " ").as("text")))
+        orderedOut(Dedup.boundaryOverlapPairs(pages, "doc_id", "text", k = 5),
+          "a_id", "b_id")
+      },
+      Some(raw"""WITH w0 AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+             |w1 AS (SELECT * FROM w0 WHERE len(w) >= 10),
+             |pages AS (
+             |  SELECT doc_id * 2 AS doc_id,
+             |    array_to_string(w[1 : len(w) // 2 + 5], ' ') AS text FROM w1
+             |  UNION ALL
+             |  SELECT doc_id * 2 + 1,
+             |    array_to_string(w[len(w) // 2 + 1 : len(w)], ' ') FROM w1),
+             |pw AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM pages),
+             |pk AS (SELECT doc_id, w FROM pw WHERE len(w) >= 5),
+             |heads AS (SELECT b_id, boundary FROM (
+             |    SELECT doc_id AS b_id, array_to_string(w[1:5], ' ') AS boundary,
+             |      row_number() OVER (PARTITION BY array_to_string(w[1:5], ' ')
+             |        ORDER BY doc_id) AS rn FROM pk) WHERE rn <= 100),
+             |tails AS (SELECT a_id, boundary FROM (
+             |    SELECT doc_id AS a_id, array_to_string(w[len(w)-4 : len(w)], ' ') AS boundary,
+             |      row_number() OVER (PARTITION BY array_to_string(w[len(w)-4 : len(w)], ' ')
+             |        ORDER BY doc_id) AS rn FROM pk) WHERE rn <= 100)
+             |SELECT a_id, b_id, boundary
+             |FROM tails JOIN heads USING (boundary)
+             |WHERE a_id <> b_id
+             |ORDER BY a_id, b_id""".stripMargin)
     )
   )
 

@@ -5150,4 +5150,22 @@ class OperatorsSpec extends SparkTestBase {
       .orderBy("target_bp").collect().map(_.toSeq)
     assert(m.toSeq == full.toSeq)
   }
+
+  test("boundary overlap: recovers planted pagination, caps boilerplate, never pairs a doc with itself") {
+    val d = Seq(
+      (1L, "a b c d e X1 X2 X3 X4 X5"),     // tail = X1..X5
+      (2L, "X1 X2 X3 X4 X5 f g h"),         // head = X1..X5 -> (1, 2)
+      (3L, "short doc"),                    // < k tokens: dropped
+      (4L, "p q r s t u v w y z")           // no overlap with anything
+    ).toDF("doc_id", "text")
+    val r = Dedup.boundaryOverlapPairs(d, "doc_id", "text", k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.toSeq == Seq((1L, 2L, "X1 X2 X3 X4 X5")))
+    // boilerplate cap: 30 docs ending AND starting with one shared header
+    // would be 30x30 pairs; cap 3 bounds each side
+    val boiler = (1L to 30L).map(i =>
+      (i, s"H1 H2 H3 H4 H5 body$i tail$i H1 H2 H3 H4 H5")).toDF("doc_id", "text")
+    val capped = Dedup.boundaryOverlapPairs(boiler, "doc_id", "text", k = 5, maxBucket = 3)
+    assert(capped.count() == 6L) // 3 tails x 3 heads minus the 3 self-pairs
+  }
 }
