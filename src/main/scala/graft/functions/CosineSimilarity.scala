@@ -112,13 +112,24 @@ object GraftFunctions {
     })
     registerOne(spark, TokenSetHitsName, classOf[TokenSetHits], { children =>
       require(children.length == 3, s"$TokenSetHitsName expects (text, unigrams, bigrams)")
-      def strArr(e: Expression, what: String): Seq[String] = e match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(
-            d: org.apache.spark.sql.catalyst.util.ArrayData,
-            org.apache.spark.sql.types.ArrayType(StringType, _)) =>
-          d.toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
-        case other => throw new IllegalArgumentException(
-          s"$TokenSetHitsName $what must be an array<string> literal, got $other")
+      // accept ANY foldable array<string> child (constant folding runs
+      // AFTER function resolution, so SQL's array('a','b') arrives as
+      // CreateArray, not Literal — eval'ing the foldable expression makes
+      // the registered name callable from SQL too, r15b review finding)
+      def strArr(e: Expression, what: String): Seq[String] = e.dataType match {
+        case org.apache.spark.sql.types.ArrayType(StringType, _) if e.foldable =>
+          e.eval(null) match {
+            case d: org.apache.spark.sql.catalyst.util.ArrayData =>
+              d.toObjectArray(StringType).map {
+                case null => throw new IllegalArgumentException(
+                  s"$TokenSetHitsName $what must not contain NULL phrases")
+                case s => s.asInstanceOf[UTF8String].toString
+              }.toSeq
+            case _ => throw new IllegalArgumentException(
+              s"$TokenSetHitsName $what must not be NULL")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"$TokenSetHitsName $what must be a foldable array<string>, got $e")
       }
       TokenSetHits(children.head,
         new TokenSetMatcher(strArr(children(1), "unigrams"), strArr(children(2), "bigrams")))

@@ -374,17 +374,24 @@ object Dedup {
     require(k >= 1, "k must be positive")
     require(maxBucket >= 1, "maxBucket must be positive")
     import org.apache.spark.sql.expressions.Window
+    // checkpointed: heads and tails both read it — without this the
+    // corpus would scan + re-tokenize twice (r15b review finding), and
+    // only the two k-token slices are materialized, never the body
     val base = Par.ensureParallel(df)
       .select(col(idCol),
         expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__w"))
       .filter(size(col("__w")) >= k)
+      .select(col(idCol),
+        array_join(slice(col("__w"), 1, k), " ").as("__head"),
+        array_join(slice(col("__w"), -k, k), " ").as("__tail"))
+      .localCheckpoint()
     val heads = base
-      .select(col(idCol).as("b_id"), array_join(slice(col("__w"), 1, k), " ").as("boundary"))
+      .select(col(idCol).as("b_id"), col("__head").as("boundary"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("boundary").orderBy(col("b_id"))))
       .filter(col("__rn") <= maxBucket).drop("__rn")
     val tails = base
-      .select(col(idCol).as("a_id"), array_join(slice(col("__w"), -k, k), " ").as("boundary"))
+      .select(col(idCol).as("a_id"), col("__tail").as("boundary"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("boundary").orderBy(col("a_id"))))
       .filter(col("__rn") <= maxBucket).drop("__rn")

@@ -1297,6 +1297,19 @@ object TextAnalysis {
     * a broadcast join stops being a blocklist and becomes q236's
     * contamination check.) Bigrams come from `zip_with(toks,
     * slice(toks, 2, ...))` — no explode, no per-token rows. */
+  /** Shared phrase normalization for BOTH blocklist paths — one
+    * definition so the "identical semantics by construction" contract
+    * between [[blocklistHits]] and [[blocklistHitsLarge]] cannot drift
+    * (r15b review finding): trim, whitespace-split, partition into
+    * unigrams and space-rejoined bigrams, refuse anything longer. */
+  private def normalizePhrases(phrases: Seq[String]): (Seq[String], Seq[String]) = {
+    val norm = phrases.map(_.trim.split("\\s+").toSeq)
+    require(norm.forall(t => t.nonEmpty && t.length <= 2 && t.forall(_.nonEmpty)),
+      "blocklist phrases must be one or two whitespace-separated tokens")
+    val (b, u) = norm.partition(_.length == 2)
+    (b.map(_.mkString(" ")), u.map(_.head))
+  }
+
   def blocklistHits(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     // normalize BEFORE classifying: real lists arrive with stray/odd
@@ -1308,13 +1321,7 @@ object TextAnalysis {
     // generated SQL wraps each phrase literal in the ENGINE's own
     // lower(), so both sides fold identically by construction (Catalyst
     // constant-folds the literal, so the match stays codegen'd).
-    val norm = phrases.map(_.trim.split("\\s+").toSeq)
-    require(norm.forall(t => t.nonEmpty && t.length <= 2 && t.forall(_.nonEmpty)),
-      "blocklist phrases must be one or two whitespace-separated tokens")
-    val (bigrams, unigrams) = {
-      val (b, u) = norm.partition(_.length == 2)
-      (b.map(_.mkString(" ")), u.map(_.head))
-    }
+    val (bigrams, unigrams) = normalizePhrases(phrases)
     // SQL string-literal escaping: real blocklists contain quotes
     // ("don't") and the occasional backslash — unescaped they break or
     // silently reinterpret the generated expression
@@ -1356,13 +1363,7 @@ object TextAnalysis {
     * plan is a quadratic-ish hot-path tax at 100 TB. */
   def blocklistHitsLarge(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
-    val norm = phrases.map(_.trim.split("\\s+").toSeq)
-    require(norm.forall(t => t.nonEmpty && t.length <= 2 && t.forall(_.nonEmpty)),
-      "blocklist phrases must be one or two whitespace-separated tokens")
-    val (bigrams, unigrams) = {
-      val (b, u) = norm.partition(_.length == 2)
-      (b.map(_.mkString(" ")), u.map(_.head))
-    }
+    val (bigrams, unigrams) = normalizePhrases(phrases)
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
         graft.functions.GraftFunctions
@@ -1510,7 +1511,12 @@ object TextAnalysis {
     require(targetsBp.nonEmpty && targetsBp.forall(t => t >= 1 && t <= 10000),
       "coverage targets must be 1..10000 basis points")
     import org.apache.spark.sql.expressions.Window
+    // zero-count rows (tombstones from a maintained histogram that also
+    // applies deletions) are by definition outside the vocabulary — and
+    // admitting them would divide by the boundary frequency 0 (r15b
+    // review finding). Negative counts are equally non-vocabulary.
     val df = counts.select(col(tokenCol).as("__t"), col(countCol).as("__c"))
+      .filter(col("__c") > 0)
     val fh = df.groupBy("__c").agg(count(lit(1)).cast("long").as("__nt"))
     val w = Window.orderBy(col("__c").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -11567,7 +11567,7 @@ object ExtensionQueries {
     // TokenSetHits expression — O(tokens) hash-set lookups instead of the
     // per-token array scan, the form a 10³–10⁵-phrase compliance list
     // needs at 100 TB. The list is q336's four PRESENT phrases plus 1500
-    // generated absent ones (1204 unigrams + 302 bigrams total), so the
+    // generated absent ones (1202 unigrams + 302 bigrams total), so the
     // expected hits equal q336's while the matcher demonstrably carries
     // the full list. The oracle is list-size-independent TOO (unnest +
     // hash join membership), so it is a genuinely different evaluation

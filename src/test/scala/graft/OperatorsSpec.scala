@@ -5168,4 +5168,29 @@ class OperatorsSpec extends SparkTestBase {
     val capped = Dedup.boundaryOverlapPairs(boiler, "doc_id", "text", k = 5, maxBucket = 3)
     assert(capped.count() == 6L) // 3 tails x 3 heads minus the 3 self-pairs
   }
+
+  test("token set hits is callable from SQL (foldable CreateArray children), rejects null phrases") {
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("tsh_docs")
+    val r = spark.sql(
+      "SELECT doc_id, graft_token_set_hits(text, array('cat', 'mat'), array('the mat')) AS p " +
+        "FROM tsh_docs ORDER BY doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1) >> 32, x.getLong(1) & 0xFFFFFFFFL))
+    assert(r(0) == ((1L, 2L, 1L))) // cat + mat, 'the mat' once
+    intercept[Exception] {
+      spark.sql("SELECT graft_token_set_hits(text, array('a', CAST(NULL AS STRING)), array()) FROM tsh_docs")
+        .collect()
+    }
+  }
+
+  test("vocab coverage from counts: zero-count tombstones are outside the vocabulary") {
+    val withTombstones = Seq(("x", 6L), ("y", 3L), ("gone", 0L), ("neg", -2L))
+      .toDF("t", "c")
+    val clean = Seq(("x", 6L), ("y", 3L)).toDF("t", "c")
+    val a = TextAnalysis.vocabCoverageFromCounts(withTombstones, "t", "c", Seq(9000))
+      .collect().map(_.toSeq)
+    val b = TextAnalysis.vocabCoverageFromCounts(clean, "t", "c", Seq(9000))
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }
