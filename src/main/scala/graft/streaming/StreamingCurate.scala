@@ -40,6 +40,31 @@ object StreamingCurate {
       .withColumn("n_tokens", size(TextAnalysis.tokens(textCol)).cast("long"))
   }
 
+  /** Streaming blocklist/compliance gate — the large-list phrase screen
+    * run ON THE FIREHOSE so blocked documents never land: one call to the
+    * native [[graft.functions.TokenSetHits]] expression per document
+    * (stateless, O(tokens) regardless of list size, fuses into the
+    * stream's map stage exactly like the Gopher gate — no watermark, no
+    * state). Output schema matches the batch
+    * [[graft.operators.TextAnalysis.blocklistHitsLarge]] plus the
+    * pass-through columns; StreamingSpec pins stream ≡ batch row-for-row.
+    * `keepBlocked = false` drops flagged docs at the door (the intake
+    * form); `true` keeps them annotated (the audit form). */
+  def blocklistGate(
+      docs: DataFrame, // <idCol>, <textCol>, ...
+      idCol: String,
+      textCol: String,
+      phrases: Seq[String],
+      keepBlocked: Boolean = false
+  ): DataFrame = {
+    val scored = TextAnalysis.blocklistHitsLarge(
+      docs.withColumn("__row", struct(docs.columns.map(col).toIndexedSeq: _*)),
+      "__row", textCol, phrases)
+    val flat = scored.select(col("__row.*") +:
+      Seq("n_uni_hits", "n_bi_hits", "blocked").map(col): _*)
+    if (keepBlocked) flat else flat.filter(col("blocked") === 0)
+  }
+
   /** Streaming ASSET intake — the multimodal twin of [[intake]]: binary
     * payloads come off the firehose, are routed by CONTENT
     * ([[graft.operators.Multimodal.sniffMime]] — a stateless codegen'd

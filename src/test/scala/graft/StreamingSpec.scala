@@ -468,4 +468,42 @@ class StreamingSpec extends SparkTestBase {
       assert((gt.ids, gt.values) == batch(g), s"group $g")
     }
   }
+
+  test("streaming blocklist gate: native expression on the firehose equals the batch screen row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCurate
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "a dup appears in this one"),
+      (3L, "table hash in the middle"),
+      (4L, "dup dup and table hash both"),
+      (5L, "nothing flagged again"))
+    val phrases = Seq("dup", "table hash") ++ (0 until 500).map(i => s"abs$i")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.take(3): _*)
+    mem.addData(docs.drop(3): _*)
+    val q = StreamingCurate.blocklistGate(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", phrases, keepBlocked = true)
+      .writeStream.format("memory").queryName("blk_gate_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stream = spark.table("blk_gate_test")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis
+      .blocklistHitsLarge(docs.toDF("doc_id", "text"), "doc_id", "text", phrases)
+      .join(docs.toDF("doc_id", "text"), "doc_id")
+      .select("doc_id", "text", "n_uni_hits", "n_bi_hits", "blocked")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+    // intake form: flagged docs never land
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData(docs: _*)
+    val q2 = StreamingCurate.blocklistGate(
+        mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", phrases)
+      .writeStream.format("memory").queryName("blk_gate_drop_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("blk_gate_drop_test").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+  }
 }
