@@ -354,6 +354,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-source dedup-savings datasheet — what exact dedup actually BUYS,
+    * in the unit budgets are written in (tokens): per source, doc and
+    * token totals before/after min-id exact dedup and the saved fraction
+    * in basis points. q131 reports the dup RATE; this prices it — "feed
+    * B contributes 2M docs but only 40k post-dedup tokens" is the row an
+    * ingest review acts on.
+    *
+    * Scale: one (content-hash) aggregate for the keeper ids, one keyed
+    * join back (hash-bucketed, group width = duplicate multiplicity),
+    * one per-source aggregate. Token counting is map-side at the scan;
+    * bodies never shuffle (only the 32-hex key and the count move). */
+  def dedupSavings(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val base = Par.ensureParallel(df).select(col(idCol), col(srcCol).as("__src"),
+      md5(col(textCol)).as("__h"),
+      size(expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')")).cast("long").as("__nt"))
+    val keepers = base.groupBy("__h").agg(min(col(idCol)).as("__keep"))
+    base.join(keepers, "__h")
+      .withColumn("__kept", when(col(idCol) === col("__keep"), 1L).otherwise(0L))
+      .groupBy(col("__src").as("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__kept")).cast("long").as("n_kept"),
+        sum(col("__nt")).cast("long").as("tokens_total"),
+        sum(col("__nt") * col("__kept")).cast("long").as("tokens_kept"))
+      .withColumn("saved_bp",
+        when(col("tokens_total") === 0, 0L)
+          .otherwise(expr("(tokens_total - tokens_kept) * 10000 div tokens_total")))
+  }
+
   /** Boundary-overlap pairs — the crawl-pagination stitcher: page 2 of a
     * paginated article begins with the same tokens page 1 ends with, and
     * a curation pipeline wants those re-joined (or the overlap scrubbed)

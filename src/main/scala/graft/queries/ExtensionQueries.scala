@@ -11866,6 +11866,44 @@ object ExtensionQueries {
              |FROM tails JOIN heads USING (boundary)
              |WHERE a_id <> b_id
              |ORDER BY a_id, b_id""".stripMargin)
+    ),
+
+    // Per-source dedup-savings datasheet (r15b): what exact dedup BUYS in
+    // tokens — q131 reports the dup rate, this prices it per feed. Runs
+    // on q348's planted mirror corpus (the base fixture has zero exact
+    // dups), so every source shows real savings; the oracle replays the
+    // keeper join and the basis-point algebra.
+    QueryDef(
+      "q358_dedup_savings",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs
+          .select(col("doc_id"), col("source"),
+            (col("doc_id") - col("doc_id") % 4).as("__lid"))
+          .join(docs.select(col("doc_id").as("__lid"), col("text").as("__lt")), "__lid")
+          .select(col("doc_id"), col("source"), col("__lt").as("text"))
+        Dedup.dedupSavings(corpus, "doc_id", "text", "source")
+          .orderBy("source")
+      },
+      Some(raw"""WITH c AS (SELECT d.doc_id, d.source, l.text
+             |  FROM documents d JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 4),
+             |tk AS (SELECT doc_id, source, md5(text) AS h,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt
+             |  FROM c),
+             |k AS (SELECT h, min(doc_id) AS keep FROM tk GROUP BY h),
+             |j AS (SELECT tk.source, tk.nt,
+             |    CASE WHEN k.keep = tk.doc_id THEN 1 ELSE 0 END AS kept
+             |  FROM tk JOIN k USING (h)),
+             |agg AS (SELECT source,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(kept) AS BIGINT) AS n_kept,
+             |    CAST(sum(nt) AS BIGINT) AS tokens_total,
+             |    CAST(sum(nt * kept) AS BIGINT) AS tokens_kept
+             |  FROM j GROUP BY source)
+             |SELECT source, n_docs, n_kept, tokens_total, tokens_kept,
+             |  CAST(CASE WHEN tokens_total = 0 THEN 0
+             |       ELSE (tokens_total - tokens_kept) * 10000 // tokens_total END AS BIGINT) AS saved_bp
+             |FROM agg ORDER BY source""".stripMargin)
     )
   )
 

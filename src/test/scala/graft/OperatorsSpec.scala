@@ -5193,4 +5193,23 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("dedup savings: min-id keeper accounting per source, token-exact basis points") {
+    val d = Seq(
+      (1L, "A", "one two three"),       // keeper of the 3-copy group (3 tokens)
+      (2L, "A", "one two three"),
+      (3L, "B", "one two three"),
+      (4L, "B", "unique four tokens here"), // keeper, 4 tokens
+      (5L, "C", "")                     // zero tokens: saved_bp guard
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.dedupSavings(d, "doc_id", "text", "source")
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    // A: 2 docs, 1 kept, 6 tokens -> 3 kept -> 5000 bp saved
+    assert(r(0) == (("A", 2L, 1L, 6L, 3L, 5000L)))
+    // B: doc 3 is a dup of A's keeper (cross-source), doc 4 unique
+    assert(r(1) == (("B", 2L, 1L, 7L, 4L, 4285L)))
+    // C: empty doc, no division error
+    assert(r(2) == (("C", 1L, 1L, 0L, 0L, 0L)))
+  }
 }
