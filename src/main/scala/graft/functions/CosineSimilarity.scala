@@ -131,8 +131,7 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           s"$TokenSetHitsName $what must be a foldable array<string>, got $e")
       }
-      TokenSetHits(children.head,
-        new TokenSetMatcher(strArr(children(1), "unigrams"), strArr(children(2), "bigrams")))
+      TokenSetHits(children.head, strArr(children(1), "unigrams"), strArr(children(2), "bigrams"))
     })
     registerOne(spark, SqL2Name, classOf[SquaredL2Distance], { children =>
       require(children.length == 2, s"$SqL2Name expects 2 arguments")

@@ -68,9 +68,20 @@ final class TokenSetMatcher(unigrams: Seq[String], bigrams: Seq[String])
   * is the difference between one pass over the text and a quadratic-ish
   * blowup on the 100 TB hot path. Participates in whole-stage codegen —
   * the generated consume path calls the shared matcher through a
-  * referenced object, so the plan stays a single fused scan stage. */
-case class TokenSetHits(child: Expression, matcher: TokenSetMatcher)
+  * referenced object, so the plan stays a single fused scan stage.
+  *
+  * The expression carries the phrase SEQS (not the matcher) so case-class
+  * equality is structural over the lists: two `token_set_hits` calls built
+  * from the same phrases compare equal and canonicalize together, keeping
+  * common-subexpression elimination, plan caching and exchange reuse alive
+  * for plans that invoke the matcher twice (r15 advice — a
+  * `TokenSetMatcher` field had reference equality only, which silently
+  * defeated all three). The matcher itself is a `@transient lazy val`,
+  * built once per JVM from the folded sets. */
+case class TokenSetHits(child: Expression, unigrams: Seq[String], bigrams: Seq[String])
     extends UnaryExpression {
+
+  @transient private lazy val matcher = new TokenSetMatcher(unigrams, bigrams)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -312,46 +312,113 @@ object Dedup {
     agged.select(col(idCol), simhash.as("simhash"))
   }
 
+  /** 64-bit SimHash over distinct words — the banding-grade fingerprint
+    * [[simHashPairs]] joins on. Bit b (MSB-first) comes from bit (3−b%4)
+    * of hex digit b/4 of md5(word) — the same digit algebra as the 32-bit
+    * [[simHash]], extended across all 16 leading hex digits; the document
+    * bit is the majority vote across words (ties → 1). 64 integer sums in
+    * one aggregation — fully codegen'd, one shuffle on the id. 32 bits is
+    * plenty for per-block QUALITY grading (q33/q231); candidate
+    * GENERATION needs the wider hash so the band keyspace doesn't
+    * saturate (see [[simHashPairs]]). */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(
+      col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("__w"))
+      .withColumn("__h", md5(col("__w")))
+    val bitCols = (0 until 64).map { b =>
+      val j = b / 4 // hex digit index
+      val k = 3 - (b % 4) // bit within digit, msb first
+      val d = expr(s"cast(conv(substring(__h, ${j + 1}, 1), 16, 10) as int)")
+      sum((d.divide(lit(1 << k)).cast("int") % 2)).as(s"__b$b")
+    }
+    val agged = words
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), bitCols: _*)
+    // bit 0 carries the sign (1L << 63 = Long.MinValue); building the word
+    // by addition is exact two's complement since each bit contributes once
+    val simhash = (0 until 64)
+      .map { b => when(col(s"__b$b") * 2 >= col("__n"), lit(1L << (63 - b))).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    agged.select(col(idCol), simhash.as("simhash64"))
+  }
+
   /** Banded SimHash near-dup JOIN — the scale path q33/q231 lacked: those
     * emit fingerprints and measure their quality inside externally-chosen
     * blocks, but a 100 TB dedup needs candidate generation from the hash
-    * ITSELF. Pigeonhole banding does it exactly: split the 32-bit hash
-    * into 4 bytes; two hashes within Hamming distance ≤ 3 differ in at
-    * most 3 bytes, so AT LEAST ONE byte matches — a candidate join on
-    * (band_idx, band_byte) has 100% recall for `maxHamming` ≤ 3 (the
-    * operator refuses larger bounds rather than silently losing pairs).
-    * The verify is one codegen'd `bit_count(xor)` per candidate — no
-    * arrays move, the cheapest verify of any near-dup path here.
+    * ITSELF. Pigeonhole banding does it: split the 64-bit [[simHash64]]
+    * into 4×16-bit bands; two hashes within Hamming distance ≤ 3 differ
+    * in at most 3 bands, so AT LEAST ONE band matches — a candidate join
+    * on (band_idx, band_key) finds every such pair (the operator refuses
+    * larger bounds rather than silently losing pairs). The verify is one
+    * codegen'd `bit_count(xor)` per candidate — no arrays move, the
+    * cheapest verify of any near-dup path here.
     *
     * Per-bucket postings are capped like [[minHashLshPairs]]'s (an
-    * over-common band byte is boilerplate/skew, not near-dup signal;
-    * smallest ids win, deterministic). Shuffles: the simhash aggregate,
-    * one band explode (4 short rows/doc), the banded self-join — all
-    * keyed, never cartesian. */
+    * over-common band key is boilerplate/skew, not near-dup signal;
+    * smallest ids win, deterministic) — so recall is exact WHEN THE CAP
+    * IS NON-BINDING, and the 16-bit keyspace is what keeps it
+    * non-binding at scale: 65,536 buckets per band carry up to
+    * ~maxBucketSize·65,536 docs (3.3e7 at the default cap) before ANY
+    * bucket can saturate even in the adversarial all-docs-one-key case;
+    * uniform hashes stretch that by orders of magnitude. (An 8-bit band
+    * key — 256 buckets — saturated at ~1.3e5 docs and silently dropped
+    * true pairs exactly on the 100 TB corpora this operator exists for;
+    * r15 advice.) When caps DO bind, [[simHashCapReport]] prices what
+    * was foregone — run it alongside any destructive use. Shuffles: the
+    * simhash aggregate, one band explode (4 short rows/doc), the banded
+    * self-join — all keyed, never cartesian. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
     require(maxBucketSize >= 2, "maxBucketSize must be at least 2")
     import org.apache.spark.sql.expressions.Window
-    val sh = simHash(df, idCol, textCol).localCheckpoint()
-    val bands = sh.select(col(idCol), col("simhash"),
-        explode(expr("sequence(0, 3)")).as("band_idx"))
-      .withColumn("band_byte",
-        expr("(simhash >> ((3 - band_idx) * 8)) & 255").cast("int"))
+    val bands = simHashBands(df, idCol, textCol)
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("band_idx"), col("band_byte")).orderBy(col(idCol))))
+        Window.partitionBy(col("band_idx"), col("band_key")).orderBy(col(idCol))))
       .filter(col("__rn") <= maxBucketSize)
-    val a = bands.select(col(idCol).as(s"a_$idCol"), col("simhash").as("a_sh"),
-      col("band_idx"), col("band_byte"))
-    val b = bands.select(col(idCol).as(s"b_$idCol"), col("simhash").as("b_sh"),
-      col("band_idx"), col("band_byte"))
-    a.join(b, Seq("band_idx", "band_byte"))
+    val a = bands.select(col(idCol).as(s"a_$idCol"), col("simhash64").as("a_sh"),
+      col("band_idx"), col("band_key"))
+    val b = bands.select(col(idCol).as(s"b_$idCol"), col("simhash64").as("b_sh"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
       .select(col(s"a_$idCol"), col(s"b_$idCol"),
         expr("bit_count(a_sh ^ b_sh)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Shared banded frame for [[simHashPairs]] / [[simHashCapReport]]:
+    * (id, simhash64, band_idx ∈ 0..3, band_key ∈ 0..65535). */
+  private def simHashBands(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHash64(df, idCol, textCol).localCheckpoint()
+      .select(col(idCol), col("simhash64"),
+        explode(expr("sequence(0, 3)")).as("band_idx"))
+      .withColumn("band_key",
+        expr("(simhash64 >> ((3 - band_idx) * 16)) & 65535").cast("int"))
+
+  /** Cap accounting for [[simHashPairs]] — the [[prefixFilterCapReport]]
+    * twin: one row pricing what the per-bucket postings cap forgoes.
+    * `n_buckets`/`n_postings` give the band-key occupancy (4·n_docs
+    * postings over ≤ 262,144 buckets), `n_capped_buckets` the buckets
+    * past `maxBucketSize`, and `n_foregone_postings` the postings the cap
+    * drops — when it is 0 the pair join's pigeonhole recall is exact, and
+    * a destructive pipeline should gate on exactly that. Same shuffles as
+    * the join's build (simhash aggregate + one keyed count); no pair is
+    * materialized. */
+  def simHashCapReport(df: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int = 500): DataFrame = {
+    require(maxBucketSize >= 2, "maxBucketSize must be at least 2")
+    simHashBands(df, idCol, textCol)
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("__c"))
+      .agg(
+        count(lit(1)).cast("long").as("n_buckets"),
+        sum(col("__c")).cast("long").as("n_postings"),
+        sum(when(col("__c") > maxBucketSize, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(when(col("__c") > maxBucketSize, col("__c") - maxBucketSize).otherwise(0L))
+          .cast("long").as("n_foregone_postings"))
   }
 
   /** Per-source dedup-savings datasheet — what exact dedup actually BUYS,

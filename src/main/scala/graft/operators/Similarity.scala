@@ -954,11 +954,21 @@ object Similarity {
     // zero-denominator guard both rest on (self-review r15b finding).
     // The symmetric +1+ε case needs no clamp: floor caps it at the same
     // 2,000,000 a clamped cosine produces.
+    // persist (NOT localCheckpoint): the scored cross is computed once and
+    // reused by both windows and the final rank, but lazily — construction
+    // schedules no job, spill goes to disk, and a lost executor RECOMPUTES
+    // its partitions from lineage instead of failing the job (r15 advice:
+    // localCheckpoint's unreplicated blocks made executor loss fatal and
+    // made building the frame itself eager). Size bound: the caller
+    // supplies the candidate cross — at 100 TB that means ANN-blocked
+    // sides (IVF cells / hyperplane buckets, see scaladoc), so the
+    // persisted frame is Σ|block_a|·|block_b| id-pair rows, never the
+    // corpus square.
     val pairs = side(a, "a").crossJoin(side(b, "b"))
       .select(col("a_id"), col("b_id"),
         greatest(floor(GraftFunctions.cosineSim(col("__va"), col("__vb")) * 1000000d)
           .cast("long") + 1000000L, lit(0L)).as("__s"))
-      .localCheckpoint() // scored once; both windows and the final rank reuse it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def neighborhood(key: String, other: String, out: String, cnt: String) =
       pairs
         .withColumn("__rn", row_number().over(

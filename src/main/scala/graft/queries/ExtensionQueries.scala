@@ -85,6 +85,25 @@ object ExtensionQueries {
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  /** DuckDB subquery computing each doc's 64-bit [[graft.operators.Dedup.simHash64]]
+    * — the same digit algebra as [[duckSimhashSub]] across all 16 leading
+    * md5 hex digits; bit 0 is the BIGINT sign bit, so its contribution is
+    * the (negative) Long.MinValue literal and recombination by addition is
+    * exact two's complement. */
+  private lazy val duckSimhash64Sub: String = {
+    val bitSums = (0 until 64).map { b =>
+      val j = b / 4; val k = 3 - (b % 4)
+      s"SUM(((strpos('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) - 1) // ${1 << k}) % 2) AS b$b"
+    }.mkString(", ")
+    val recombine = (0 until 64)
+      .map(b => s"CASE WHEN 2 * b$b >= n THEN CAST(${1L << (63 - b)} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($recombine AS BIGINT) AS simhash64 FROM (
+       |  SELECT doc_id, count(*) AS n, $bitSums
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
   /** q210 peeling parameters, shared with KcoreSpec's fixpoint assertion. */
   val KcoreK = 5
   val KcoreRounds = 8
@@ -11605,17 +11624,16 @@ object ExtensionQueries {
       }
     ),
 
-    // Banded SimHash near-dup join (r15b): candidate generation from the
-    // hash ITSELF via pigeonhole byte-banding (Hamming ≤ 3 over 32 bits ⇒
-    // one of 4 bytes equal — exact recall), closing the gap where q33
-    // computed fingerprints and q231 graded them but nothing JOINED on
-    // them at scale. Planted twins (doc + " zz" under id+500000) give the
-    // corpus real low-Hamming pairs; verify is one bit_count(xor) per
-    // candidate — no arrays move. The low-diversity fixture is DENSE at
-    // Hamming ≤ 3 (56k pairs at sf0.01 — the word-salad simhashes
-    // concentrate), so the gate publishes the per-Hamming census with
-    // id-sum checksums instead of the pair dump; the full pair set still
-    // flows through the aggregate on both engines.
+    // Banded SimHash near-dup join (r15b; widened r16 per advice):
+    // candidate generation from the hash ITSELF via pigeonhole banding —
+    // Hamming ≤ 3 over the 64-bit simHash64 ⇒ one of 4 16-bit bands equal
+    // (exact recall while the bucket cap is non-binding; the 16-bit
+    // keyspace is what keeps it non-binding at corpus scale, where the
+    // original 8-bit bands saturated at ~1.3e5 docs). Planted twins
+    // (doc + " zz" under id+500000) give the corpus real low-Hamming
+    // pairs; verify is one bit_count(xor) per candidate — no arrays move.
+    // The gate publishes the per-Hamming census with id-sum checksums;
+    // the full pair set still flows through the aggregate on both engines.
     QueryDef(
       "q353_simhash_pairs",
       (s, dir) => {
@@ -11631,20 +11649,20 @@ object ExtensionQueries {
           .orderBy("hamming")
       },
       Some {
-        val sub = duckSimhashSub.replace("FROM documents)", "FROM pc)")
+        val sub = duckSimhash64Sub.replace("FROM documents)", "FROM pc)")
         s"""WITH pc AS (SELECT doc_id, text FROM documents
            |  UNION ALL SELECT doc_id + 500000, text || ' zz' FROM documents),
            |sh AS ($sub),
-           |bands AS (SELECT doc_id, simhash, band_idx,
-           |    CAST((simhash >> ((3 - band_idx) * 8)) & 255 AS INT) AS band_byte
+           |bands AS (SELECT doc_id, simhash64, band_idx,
+           |    CAST((simhash64 >> ((3 - band_idx) * 16)) & 65535 AS INT) AS band_key
            |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
-           |capped AS (SELECT doc_id, simhash, band_idx, band_byte FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_byte ORDER BY doc_id) AS rn
+           |capped AS (SELECT doc_id, simhash64, band_idx, band_key FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn
            |    FROM bands) WHERE rn <= 500),
            |p AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
-           |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-           |  FROM capped a JOIN capped b USING (band_idx, band_byte)
-           |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+           |    CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+           |  FROM capped a JOIN capped b USING (band_idx, band_key)
+           |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash64, b.simhash64)) <= 3)
            |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
            |  CAST(sum(a_doc_id) AS BIGINT) AS sum_a, CAST(sum(b_doc_id) AS BIGINT) AS sum_b
            |FROM p GROUP BY hamming ORDER BY hamming""".stripMargin
@@ -11904,6 +11922,39 @@ object ExtensionQueries {
              |  CAST(CASE WHEN tokens_total = 0 THEN 0
              |       ELSE (tokens_total - tokens_kept) * 10000 // tokens_total END AS BIGINT) AS saved_bp
              |FROM agg ORDER BY source""".stripMargin)
+    ),
+
+    // SimHash cap accounting (r16, per advice): the simHashPairs bucket
+    // cap is a skew defense, and this prices what it forgoes — at a
+    // binding cap (5) the word-salad fixture's concentrated band keys
+    // show real foregone postings; at the default (500) the report's
+    // zeros CERTIFY the q353 join's pigeonhole recall is exact. The
+    // destructive-pipeline contract: gate on n_foregone_postings = 0 (or
+    // route to a wider hash) before removing documents on banded
+    // candidates.
+    QueryDef(
+      "q359_simhash_cap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Seq(5, 500).map { cap =>
+          Dedup.simHashCapReport(docs, "doc_id", "text", maxBucketSize = cap)
+            .withColumn("cap", lit(cap.toLong))
+        }.reduce(_ unionByName _).orderBy("cap")
+      },
+      Some(
+        s"""WITH sh AS ($duckSimhash64Sub),
+           |bands AS (SELECT doc_id, band_idx,
+           |    CAST((simhash64 >> ((3 - band_idx) * 16)) & 65535 AS INT) AS band_key
+           |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+           |occ AS (SELECT band_idx, band_key, CAST(count(*) AS BIGINT) AS c
+           |  FROM bands GROUP BY 1, 2),
+           |caps(cap) AS (VALUES (5), (500))
+           |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(sum(c) AS BIGINT) AS n_postings,
+           |  CAST(sum(CASE WHEN c > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_buckets,
+           |  CAST(sum(CASE WHEN c > cap THEN c - cap ELSE 0 END) AS BIGINT) AS n_foregone_postings,
+           |  CAST(cap AS BIGINT) AS cap
+           |FROM occ, caps GROUP BY cap ORDER BY cap""".stripMargin)
     )
   )
 

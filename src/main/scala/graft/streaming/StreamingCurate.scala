@@ -57,6 +57,15 @@ object StreamingCurate {
       phrases: Seq[String],
       keepBlocked: Boolean = false
   ): DataFrame = {
+    // the gate packs the input into a "__row" struct and appends the three
+    // score columns; a stream already carrying any of those names would be
+    // silently clobbered by the withColumn / flattening select (r15
+    // advice) — refuse loudly, the operators' standard __-prefix contract
+    val reserved = Seq("__row", "n_uni_hits", "n_bi_hits", "blocked")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"blocklistGate reserves column names ${reserved.mkString(", ")}; " +
+        s"input already carries ${clash.mkString(", ")} — rename before gating")
     val scored = TextAnalysis.blocklistHitsLarge(
       docs.withColumn("__row", struct(docs.columns.map(col).toIndexedSeq: _*)),
       "__row", textCol, phrases)

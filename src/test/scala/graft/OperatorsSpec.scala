@@ -5068,11 +5068,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(large(2) == Seq(3L, 0L, 2L, 1L)) // both bigrams straddle the space
   }
 
+  test("token_set_hits expressions built from the same phrase lists canonicalize together") {
+    import graft.functions.TokenSetHits
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    // structural equality over the phrase seqs (not the matcher object) is
+    // what keeps CSE / plan caching / exchange reuse alive when the same
+    // screen appears twice in a plan (r16, per advice)
+    val ref = BoundReference(0, StringType, nullable = true)
+    val e1 = TokenSetHits(ref, Seq("a", "b"), Seq("a b"))
+    val e2 = TokenSetHits(ref, Seq("a", "b"), Seq("a b"))
+    assert(e1 == e2)
+    assert(e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    assert(e1.canonicalized == e2.canonicalized)
+    val e3 = TokenSetHits(ref, Seq("a", "c"), Seq("a b"))
+    assert(e1 != e3 && !e1.semanticEquals(e3))
+    // and the deduplicated expression still evaluates correctly
+    // tokens a,b,a: three unigram hits (a twice + b), one bigram ("a b")
+    val r = e1.eval(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b a")))
+    assert(r == ((3L << 32) | 1L))
+  }
+
   test("simhash pairs: banded join finds every pair a brute-force hamming scan finds (pigeonhole recall)") {
     val d = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
       Seq((10L, "the cat sat on the mat today"), (11L, "words entirely different here")))
       .toDF("doc_id", "text")
-    val hs = Dedup.simHash(d, "doc_id", "text").collect()
+    val hs = Dedup.simHash64(d, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val brute = (for {
       (a, ha) <- hs; (b, hb) <- hs
@@ -5086,6 +5109,36 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 4)
     }
+  }
+
+  test("simhash64 widens simhash: top 32 bits replay the 32-bit fingerprint bit-for-bit") {
+    // the first 8 md5 hex digits drive BOTH simHash and simHash64's bits
+    // 0..31, so the wide hash's top word must equal the narrow hash — the
+    // two fingerprints are one family, not two algorithms
+    val h32 = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h64 = Dedup.simHash64(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h32.keySet == h64.keySet)
+    h32.foreach { case (id, h) => assert((h64(id) >>> 32) == h, s"doc $id") }
+  }
+
+  test("simhash cap report prices exactly the postings a binding cap drops from the pair join") {
+    val free = Dedup.simHashCapReport(docs, "doc_id", "text", maxBucketSize = 500).head()
+    assert(free.getAs[Long]("n_postings") == 4L * docs.count())
+    assert(free.getAs[Long]("n_capped_buckets") == 0L)
+    assert(free.getAs[Long]("n_foregone_postings") == 0L)
+    // force the cap to bind: every doc identical text → all 4 buckets hold
+    // all 30 postings; cap 2 keeps 2 per bucket
+    val same = (0L until 30L).map(i => (i, "same words every doc")).toDF("doc_id", "text")
+    val bound = Dedup.simHashCapReport(same, "doc_id", "text", maxBucketSize = 2).head()
+    assert(bound.getAs[Long]("n_buckets") == 4L)
+    assert(bound.getAs[Long]("n_capped_buckets") == 4L)
+    assert(bound.getAs[Long]("n_foregone_postings") == 4L * (30L - 2L))
+    // and the capped join keeps only the survivors' pair (ids 0 and 1)
+    val pairs = Dedup.simHashPairs(same, "doc_id", "text", maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
   }
 
   test("mutual margin mining is the forward-backward intersection of the one-directional output") {

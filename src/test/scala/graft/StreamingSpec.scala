@@ -506,4 +506,18 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("blk_gate_drop_test").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
   }
+
+  test("blocklist gate refuses inputs that already carry its reserved column names") {
+    import graft.streaming.StreamingCurate
+    // a stream already carrying `blocked` (or `__row` etc.) would be
+    // silently clobbered by the gate's struct-pack/flatten — the operator
+    // must refuse loudly instead (r16, per advice)
+    for (bad <- Seq("__row", "n_uni_hits", "blocked")) {
+      val df = Seq((1L, "text here", 0L)).toDF("doc_id", "text", bad)
+      val e = intercept[IllegalArgumentException] {
+        StreamingCurate.blocklistGate(df, "doc_id", "text", Seq("dup"))
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
 }
