@@ -639,11 +639,23 @@ object Main {
         // dropped (r15 review: raw LSH band collisions fire well below
         // the threshold — removal on an unverified candidate is silent
         // data loss). Removal is min-id survivorship per verified pair.
+        // The LSH leg's banding is DERIVED from the threshold (r16,
+        // verdict top item): a fixed 4×2 split has its S-curve midpoint
+        // at J≈0.5, so a user asking --near-dup-pct 30 silently lost
+        // candidate recall no verify could restore; the resolved split
+        // is pinned in the summary JSON for attribution.
+        val lshParams =
+          if (path == "minhash_lsh")
+            Some(graft.operators.Dedup.lshParamsForThreshold(a.nearDupPct))
+          else None
         val pairs = path match {
           case "prefix_filter" => graft.operators.Dedup.prefixFilterPairs(
             df, "doc_id", "text", a.nearDupPct, shingleWords = 3)
-          case _ => graft.operators.Dedup.minHashLshVerifiedPairs(
-            df, "doc_id", "text", a.nearDupPct)
+          case _ =>
+            val (bands, rows) = lshParams.get
+            graft.operators.Dedup.minHashLshVerifiedPairs(
+              df, "doc_id", "text", a.nearDupPct,
+              numHashes = bands * rows, bandSize = rows)
         }
         // ids only, bounded: pin so the count and the anti-join share ONE
         // execution of the pair join instead of running it twice
@@ -654,8 +666,10 @@ object Main {
         val advJson = adv.map(r =>
           s""", "pred_pairs_prefix": "${r.getAs[String]("pred_pairs_prefix")}"""" +
             s""", "pair_budget": ${r.getAs[Long]("pair_budget")}""").getOrElse("")
+        val lshJson = lshParams.map { case (bands, rows) =>
+          s""", "lsh_bands": $bands, "lsh_rows": $rows""" }.getOrElse("")
         (s""", "near_dup_mode": "${a.nearDupMode}", "near_dup_path": "$path"""" +
-          advJson + s""", "near_dup_removed": $removed""", kept)
+          advJson + lshJson + s""", "near_dup_removed": $removed""", kept)
       }
     val curated = graft.operators.Pipelines.curateAndPack(
       deduped, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,

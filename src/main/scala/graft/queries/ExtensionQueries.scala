@@ -11955,6 +11955,56 @@ object ExtensionQueries {
            |  CAST(sum(CASE WHEN c > cap THEN c - cap ELSE 0 END) AS BIGINT) AS n_foregone_postings,
            |  CAST(cap AS BIGINT) AS cap
            |FROM occ, caps GROUP BY cap ORDER BY cap""".stripMargin)
+    ),
+
+    // Threshold-derived LSH banding (r16, verdict top item): q308 tunes a
+    // 64-hash signature at the suite's fixed s=0.7; the CLI needs the
+    // pick AT THE USER'S THRESHOLD over its 8-hash signature. Same ×10⁶
+    // fixed-point fold (both engines replay the identical truncation
+    // chain — no pow()), pick = the split whose curve passes closest to
+    // p=1/2 at s=pct (ties → fewer bands). LshParamsSpec pins this gate
+    // row-for-row against the driver-side pure function the CLI actually
+    // calls, so the wired path and the certified algebra cannot drift.
+    QueryDef(
+      "q360_lsh_params",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cands = Seq((8, 1), (4, 2), (2, 4), (1, 8)).toDF("b", "r")
+        val pcts = Seq(30L, 50L, 70L, 85L).toDF("pct")
+        def foldPow(base: String, times: String) =
+          s"aggregate(sequence(1, $times), CAST(1000000 AS BIGINT), (acc, i) -> acc * $base div 1000000)"
+        cands.crossJoin(pcts)
+          .withColumn("s_fp", col("pct") * 10000L)
+          .withColumn("sr", expr(foldPow("s_fp", "r")))
+          .withColumn("p_fp", expr(s"1000000 - ${foldPow("(1000000 - sr)", "b")}"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("pct").orderBy(abs(col("p_fp") - 500000L), col("b"))))
+          .select(col("pct"), col("b").cast("int"), col("r").cast("int"),
+            col("p_fp").cast("long"),
+            when(col("__rk") === 1, 1L).otherwise(0L).as("pick"))
+          .orderBy("pct", "b")
+      },
+      Some {
+        def foldPow(base: String, times: String) =
+          s"list_reduce(list_concat([CAST(1000000 AS BIGINT)], " +
+            s"list_transform(range($times), i -> CAST($base AS BIGINT))), (a, x) -> a * x // 1000000)"
+        s"""WITH cands(b, r) AS (VALUES (8, 1), (4, 2), (2, 4), (1, 8)),
+           |pcts(pct) AS (VALUES (30), (50), (70), (85)),
+           |c AS (SELECT b, r, CAST(pct AS BIGINT) AS pct,
+           |    CAST(pct AS BIGINT) * 10000 AS s_fp,
+           |    ${foldPow("s_fp", "r")} AS sr
+           |  FROM cands, pcts),
+           |p AS (SELECT b, r, pct,
+           |    1000000 - ${foldPow("(1000000 - sr)", "b")} AS p_fp
+           |  FROM c),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY pct
+           |    ORDER BY abs(p_fp - 500000), b) AS rn FROM p)
+           |SELECT pct, CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+           |  CAST(p_fp AS BIGINT) AS p_fp,
+           |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS pick
+           |FROM rk ORDER BY pct, b""".stripMargin
+      }
     )
   )
 

@@ -206,6 +206,23 @@ class CliSpec extends SparkTestBase {
         "--near-dup-mode", "lsh")))
     }
     assert(buf2.toString("UTF-8").contains(""""near_dup_path": "minhash_lsh""""))
+    // the LSH leg's banding is derived from --near-dup-pct (r16) and the
+    // resolved split is pinned in the summary: default pct 50 -> 4x2
+    assert(buf2.toString("UTF-8").contains(""""lsh_bands": 4, "lsh_rows": 2"""),
+      buf2.toString("UTF-8"))
+    // a low threshold resolves to the wide-recall single-row banding
+    val out2b = dir.resolve("out2b").toString
+    val buf2b = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2b, true, "UTF-8")) {
+      Main.runCurate(spark, Main.parseArgs(Seq("curate", in, out2b,
+        "--min-words", "3", "--span-words", "50", "--budget", "64",
+        "--near-dup-mode", "lsh", "--near-dup-pct", "20")))
+    }
+    assert(buf2b.toString("UTF-8").contains(""""lsh_bands": 8, "lsh_rows": 1"""),
+      buf2b.toString("UTF-8"))
+    // exact path carries no lsh keys (the split only describes the leg
+    // that ran)
+    assert(!buf.toString("UTF-8").contains("lsh_bands"))
     // off (default): summary shape unchanged from pre-r15 — no near-dup keys
     val out3 = dir.resolve("out3").toString
     val buf3 = new java.io.ByteArrayOutputStream()

@@ -5068,6 +5068,56 @@ class OperatorsSpec extends SparkTestBase {
     assert(large(2) == Seq(3L, 0L, 2L, 1L)) // both bigrams straddle the space
   }
 
+  test("lsh params derived from the threshold: q308 pick, and recall holds at two thresholds") {
+    // hand-checked S-curve picks over the 8-hash signature
+    assert(Dedup.lshParamsForThreshold(50) == (4, 2)) // reproduces today's default at the old midpoint
+    assert(Dedup.lshParamsForThreshold(20) == (8, 1)) // low threshold -> wide-recall banding
+    assert(Dedup.lshParamsForThreshold(85) == (1, 8)) // high threshold -> the precise single band
+    // bands never increase as the threshold rises (the S-curve midpoint
+    // (1/b)^(1/r) is monotone in the split)
+    val bandPicks = (1 to 100).map(p => Dedup.lshParamsForThreshold(p)._1)
+    assert(bandPicks.zip(bandPicks.tail).forall { case (hi, lo) => hi >= lo })
+
+    // planted fixture: 30 bases (16 LCG words), an A-twin at J=0.4 (last 6
+    // words replaced; 8 of 20 distinct trigrams shared) and a B-twin at
+    // J=0.75 (last 2 words replaced; 12 of 16 shared)
+    val docs = (0 until 30).flatMap { i =>
+      def w(j: Int) = s"v${(i * 37 + j * 13) % 997}"
+      val base = (0 until 16).map(w)
+      val twinA = base.take(10) ++ (0 until 6).map(j => s"ua${i}x$j")
+      val twinB = base.take(14) ++ (0 until 2).map(j => s"ub${i}x$j")
+      Seq((i.toLong, base.mkString(" ")),
+        (i + 1000L, twinA.mkString(" ")),
+        (i + 2000L, twinB.mkString(" ")))
+    }.toDF("doc_id", "text")
+    def recall(pct: Int, bands: Int, rows: Int): Long =
+      Dedup.lshRecallCertificate(docs, "doc_id", "text", pct,
+        numHashes = bands * rows, bandSize = rows).head().getAs[Long]("recall_x1000")
+    for (pct <- Seq(20, 50)) {
+      val (b, r) = Dedup.lshParamsForThreshold(pct)
+      // measured 980 (pct 20) / 941 (pct 50) on this fixture — the bound
+      // is the contract ("recall holds"), the measurements are golden
+      assert(recall(pct, b, r) >= 900L, s"derived banding at pct=$pct")
+    }
+    // and at the low threshold the derivation is load-bearing: the old
+    // fixed 4x2 misses a large share of genuine J=0.4 pairs that no
+    // verify-before-drop could restore
+    val fixedAt20 = recall(20, 4, 2)
+    val derivedAt20 = recall(20, 8, 1)
+    assert(derivedAt20 >= fixedAt20 + 100L,
+      s"derived $derivedAt20 vs fixed $fixedAt20 at pct=20")
+
+    // the gated q360 curve and the driver-side function the CLI calls are
+    // the same algebra: every picked split matches the pure function
+    val picked = SparkEntry.queries("q360_lsh_params")(spark, "unused")
+      .filter(col("pick") === 1L).collect()
+      .map(r => r.getAs[Long]("pct") -> ((r.getAs[Int]("b"), r.getAs[Int]("r")))).toMap
+    assert(picked == Map(30L -> ((4, 2)), 50L -> ((4, 2)), 70L -> ((2, 4)), 85L -> ((1, 8))))
+    picked.foreach { case (pct, br) =>
+      assert(Dedup.lshParamsForThreshold(pct.toInt) == br, s"pct=$pct")
+    }
+  }
+
   test("token_set_hits expressions built from the same phrase lists canonicalize together") {
     import graft.functions.TokenSetHits
     import org.apache.spark.sql.catalyst.expressions.BoundReference
