@@ -954,21 +954,29 @@ object Similarity {
     // zero-denominator guard both rest on (self-review r15b finding).
     // The symmetric +1+ε case needs no clamp: floor caps it at the same
     // 2,000,000 a clamped cosine produces.
-    // persist (NOT localCheckpoint): the scored cross is computed once and
-    // reused by both windows and the final rank, but lazily — construction
-    // schedules no job, spill goes to disk, and a lost executor RECOMPUTES
-    // its partitions from lineage instead of failing the job (r15 advice:
-    // localCheckpoint's unreplicated blocks made executor loss fatal and
-    // made building the frame itself eager). Size bound: the caller
-    // supplies the candidate cross — at 100 TB that means ANN-blocked
-    // sides (IVF cells / hyperplane buckets, see scaladoc), so the
-    // persisted frame is Σ|block_a|·|block_b| id-pair rows, never the
-    // corpus square.
     val pairs = side(a, "a").crossJoin(side(b, "b"))
       .select(col("a_id"), col("b_id"),
         greatest(floor(GraftFunctions.cosineSim(col("__va"), col("__vb")) * 1000000d)
           .cast("long") + 1000000L, lit(0L)).as("__s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    marginRank(pairs, k, minMarginX1k, mutual)
+  }
+
+  /** The margin-ranking stage of [[marginBitextPairs]] over PRE-SCORED
+    * candidate pairs (a_id, b_id, __s shifted cosine ×10⁶) — factored out
+    * so the full-cross and the ANN-blocked path share ONE margin algebra
+    * and cannot drift. Persist (NOT localCheckpoint): the scored frame is
+    * reused by both windows and the final rank, but lazily — construction
+    * schedules no job, spill goes to disk, and a lost executor RECOMPUTES
+    * its partitions from lineage instead of failing the job (r15 advice:
+    * localCheckpoint's unreplicated blocks made executor loss fatal and
+    * made building the frame itself eager). Size bound: the candidate set
+    * is caller-bounded — at 100 TB that means ANN-blocked sides, so the
+    * persisted frame is Σ|block_a|·|block_b| id-pair rows, never the
+    * corpus square. */
+  private def marginRank(scored: DataFrame, k: Int, minMarginX1k: Long,
+      mutual: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def neighborhood(key: String, other: String, out: String, cnt: String) =
       pairs
         .withColumn("__rn", row_number().over(
@@ -992,5 +1000,93 @@ object Similarity {
         col("margin_x1k") >= minMarginX1k)
       .select(col("a_id"), col("b_id"),
         (col("__s") - 1000000L).as("cos_x1m"), col("margin_x1k"))
+  }
+
+  /** Both sides of a bitext mine assigned into ONE coarse quantizer — the
+    * blocking stage of [[marginBitextPairsBlocked]]: `nlist` centroids
+    * Lloyd-fit on side a (the indexed corpus; deterministic smallest-id
+    * seeding via [[refineCentroids]]), both sides assigned by the shared
+    * [[assignToCentroids]] argmax. Zero-norm vectors are dropped exactly
+    * like [[marginBitextPairs]] does. */
+  private def blockedSides(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
+    GraftFunctions.register(a.sparkSession)
+    def side(df: DataFrame, p: String) = df
+      .filter(norm2(vecCol) > 0.0)
+      .select(col(idCol).as(s"${p}_id"), col(vecCol).as(s"__v$p"))
+    val af = side(a, "a")
+    val cents = refineCentroids(
+      af.select(col("a_id").as(idCol), col("__va").as(vecCol)),
+      idCol, vecCol, nlist, kmeansIters)
+    val aa = assignToCentroids(af, "__va", cents)
+      .select(col("a_id"), col("__va"), col("cid").as("__cid"))
+    val ba = assignToCentroids(side(b, "b"), "__vb", cents)
+      .select(col("b_id"), col("__vb"), col("cid").as("__cid"))
+    (aa, ba)
+  }
+
+  /** ANN-BLOCKED margin bitext mining — the scale mode
+    * [[marginBitextPairs]]' scaladoc promises, composed and gated (r16,
+    * verdict #4): candidates are same-IVF-cell pairs instead of the full
+    * a×b cross, so the scored mass is Σ|aᵢ|·|bᵢ| over `nlist` cells
+    * (~1/nlist of the square for balanced cells) and each side shuffles
+    * once on its cell id. The margin algebra runs block-locally through
+    * the SAME [[marginRank]] stage as the full cross — neighborhoods come
+    * from the cell's candidate set, exactly the published blocked-mining
+    * setup (LASER/ccMatrix mine within FAISS cells). What blocking costs
+    * in recall is not guessed: [[marginBitextBlockedCertificate]] prices
+    * it against the full cross on the same inputs, in-output. */
+  def marginBitextPairsBlocked(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMarginX1k: Long = 1000L,
+      mutual: Boolean = false, nlist: Int = 8, kmeansIters: Int = 1): DataFrame = {
+    require(nlist >= 1 && kmeansIters >= 0, "nlist must be >= 1, kmeansIters >= 0")
+    val (aa, ba) = blockedSides(a, b, idCol, vecCol, nlist, kmeansIters)
+    val pairs = aa.join(ba, Seq("__cid"))
+      .select(col("a_id"), col("b_id"),
+        greatest(floor(GraftFunctions.cosineSim(col("__va"), col("__vb")) * 1000000d)
+          .cast("long") + 1000000L, lit(0L)).as("__s"))
+    marginRank(pairs, k, minMarginX1k, mutual)
+  }
+
+  /** Recall-vs-full-cross certificate for [[marginBitextPairsBlocked]] —
+    * one row pricing the blocking, the q344/q350 pattern (measure the
+    * approximation, never assume it): mined-pair overlap between the
+    * blocked and full paths plus the scored-mass saving that paid for it.
+    *   - `n_full` / `n_blocked` / `n_common`: mined pairs on each path
+    *     and their intersection (pairs are (a_id, best b) rows, so
+    *     n_common counts a-sides whose mined partner survives blocking);
+    *   - `recall_x1000` = n_common·1000 div n_full (1000 when the full
+    *     path mines nothing — nothing to recall);
+    *   - `scored_full` = |a|·|b| vs `scored_blocked` = Σ|aᵢ|·|bᵢ|: the
+    *     candidate mass each path scores (zero-norm-filtered sides) —
+    *     the 100 TB argument in the same row as its price.
+    * Runs the full cross ON THE CERTIFICATE'S INPUT — size it like any
+    * brute-force truth pass (a sample at scale), exactly as
+    * [[Dedup.lshRecallCertificate]]'s scaladoc prescribes. */
+  def marginBitextBlockedCertificate(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMarginX1k: Long = 1000L,
+      mutual: Boolean = false, nlist: Int = 8, kmeansIters: Int = 1): DataFrame = {
+    val full = marginBitextPairs(a, b, idCol, vecCol, k, minMarginX1k, mutual)
+      .select(col("a_id"), col("b_id"), lit(1L).as("__f"))
+    val blocked = marginBitextPairsBlocked(a, b, idCol, vecCol, k, minMarginX1k,
+        mutual, nlist, kmeansIters)
+      .select(col("a_id"), col("b_id"), lit(1L).as("__b"))
+    val overlap = full.join(blocked, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("__f")), lit(0L)).cast("long").as("n_full"),
+        coalesce(sum(col("__b")), lit(0L)).cast("long").as("n_blocked"),
+        coalesce(sum(col("__f") * col("__b")), lit(0L)).cast("long").as("n_common"))
+      .withColumn("recall_x1000",
+        when(col("n_full") === 0, 1000L)
+          .otherwise(expr("n_common * 1000 div n_full")))
+    val (aa, ba) = blockedSides(a, b, idCol, vecCol, nlist, kmeansIters)
+    val mass = aa.groupBy("__cid").agg(count(lit(1)).as("__na"))
+      .join(ba.groupBy("__cid").agg(count(lit(1)).as("__nb")), "__cid")
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).cast("long")
+        .as("scored_blocked"))
+    val fullMass = aa.agg(count(lit(1)).as("__ca"))
+      .crossJoin(ba.agg(count(lit(1)).as("__cb")))
+      .select((col("__ca") * col("__cb")).cast("long").as("scored_full"))
+    overlap.crossJoin(broadcast(fullMass)).crossJoin(broadcast(mass))
   }
 }

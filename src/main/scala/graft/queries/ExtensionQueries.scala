@@ -12005,6 +12005,87 @@ object ExtensionQueries {
            |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS pick
            |FROM rk ORDER BY pct, b""".stripMargin
       }
+    ),
+
+    // ANN-blocked bitext mining, gated (r16, verdict #4): q351/q354
+    // documented IVF blocking as the scale mode but only the full cross
+    // was oracle-checked — this runs BOTH paths through the shared margin
+    // algebra and publishes the recall-vs-full-cross delta next to the
+    // scored-mass saving that paid for it. The oracle replays the whole
+    // composition: the side-a Lloyd fit (q344's chain machinery, nlist=4,
+    // one round), both assignments, the block-local margin, the full
+    // cross margin, and the overlap/mass arithmetic.
+    QueryDef(
+      "q361_bitext_blocked",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+        Similarity.marginBitextBlockedCertificate(
+          emb.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 =!= 0),
+          "vec_id", "embedding", k = 4, minMarginX1k = 1000L,
+          mutual = false, nlist = 4, kmeansIters = 1)
+      },
+      Some {
+        def fold(a: String, b: String) =
+          s"list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)"
+        def cos(a: String, b: String) =
+          s"(${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})))"
+        // the q351/q354 margin chain over an arbitrary scored-pairs CTE;
+        // non-mutual mining: per a_id best b by (margin DESC, b_id)
+        def margin(p: String, pairs: String) =
+          s"""${p}na AS (SELECT a_id, CAST(sum(s) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS ka FROM (
+             |    SELECT a_id, s, row_number() OVER (PARTITION BY a_id ORDER BY s DESC, b_id) AS rn
+             |    FROM $pairs) WHERE rn <= 4 GROUP BY a_id),
+             |${p}nb AS (SELECT b_id, CAST(sum(s) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS kb FROM (
+             |    SELECT b_id, s, row_number() OVER (PARTITION BY b_id ORDER BY s DESC, a_id) AS rn
+             |    FROM $pairs) WHERE rn <= 4 GROUP BY b_id),
+             |${p}m AS (SELECT q.a_id, q.b_id,
+             |    CAST(2000 * q.s * ka * kb // (sa * kb + sb * ka) AS BIGINT) AS margin_x1k
+             |  FROM $pairs q JOIN ${p}na USING (a_id) JOIN ${p}nb USING (b_id) WHERE sa + sb > 0),
+             |${p}f AS (SELECT a_id, b_id FROM (
+             |    SELECT a_id, b_id, margin_x1k,
+             |      row_number() OVER (PARTITION BY a_id ORDER BY margin_x1k DESC, b_id) AS rk
+             |    FROM ${p}m) WHERE rk = 1 AND margin_x1k >= 1000)""".stripMargin
+        def assign(src: String, vc: String, idc: String, cent: String, out: String) =
+          s"""$out AS (SELECT $idc, $vc, cid FROM (
+             |    SELECT e.$idc, e.$vc, c.cid,
+             |      row_number() OVER (PARTITION BY e.$idc ORDER BY ${cos(s"e.$vc", "c.cv")} DESC, c.cid) AS rn
+             |    FROM $src e CROSS JOIN $cent c)
+             |  WHERE rn = 1)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
+           |av AS (SELECT vec_id AS a_id, embedding AS va FROM e
+           |  WHERE label % 2 = 0 AND ${fold("embedding", "embedding")} > 0),
+           |bv AS (SELECT vec_id AS b_id, embedding AS vb FROM e
+           |  WHERE label % 2 <> 0 AND ${fold("embedding", "embedding")} > 0),
+           |p AS (SELECT a_id, b_id,
+           |    greatest(CAST(floor(${cos("va", "vb")} * 1000000.0) AS BIGINT) + 1000000, 0) AS s
+           |  FROM av CROSS JOIN bv),
+           |${margin("x", "p")},
+           |cent0 AS (SELECT a_id AS cid, va AS cv FROM av ORDER BY a_id LIMIT 4),
+           |${assign("av", "va", "a_id", "cent0", "asg0")},
+           |m1 AS (SELECT cid, i, CAST(avg(va[i+1]::DOUBLE) AS REAL) AS mv
+           |  FROM asg0, (SELECT unnest(range(64)) AS i) ix GROUP BY cid, i),
+           |n1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY cid),
+           |cent1 AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM cent0 c LEFT JOIN n1 n USING (cid)),
+           |${assign("av", "va", "a_id", "cent1", "aa")},
+           |${assign("bv", "vb", "b_id", "cent1", "ba")},
+           |pb AS (SELECT a.a_id, b.b_id,
+           |    greatest(CAST(floor(${cos("a.va", "b.vb")} * 1000000.0) AS BIGINT) + 1000000, 0) AS s
+           |  FROM aa a JOIN ba b USING (cid)),
+           |${margin("y", "pb")},
+           |ov AS (SELECT
+           |    CAST((SELECT count(*) FROM xf) AS BIGINT) AS n_full,
+           |    CAST((SELECT count(*) FROM yf) AS BIGINT) AS n_blocked,
+           |    CAST((SELECT count(*) FROM xf JOIN yf USING (a_id, b_id)) AS BIGINT) AS n_common),
+           |mass AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS scored_blocked FROM
+           |    (SELECT cid, count(*) AS na FROM aa GROUP BY cid) x
+           |    JOIN (SELECT cid, count(*) AS nb FROM ba GROUP BY cid) y USING (cid)),
+           |fm AS (SELECT CAST((SELECT count(*) FROM av) * (SELECT count(*) FROM bv) AS BIGINT) AS scored_full)
+           |SELECT n_full, n_blocked, n_common,
+           |  CAST(CASE WHEN n_full = 0 THEN 1000 ELSE n_common * 1000 // n_full END AS BIGINT) AS recall_x1000,
+           |  scored_full, scored_blocked
+           |FROM ov, fm, mass""".stripMargin
+      }
     )
   )
 

@@ -5047,6 +5047,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(0)._2 >= 999999L)        // cos of the identical-direction pair
   }
 
+  test("blocked bitext mining: block-local margins, certificate prices recall and scored mass") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // two orthogonal clusters; a_ids 0 and 1 sit in different clusters so
+    // the deterministic smallest-id seeding starts one centroid in each
+    val a = Seq(
+      (0L, v(1, 0.05, 0)), (1L, v(0, 0.05, 1)),
+      (2L, v(1, 0.10, 0)), (3L, v(0, 0.10, 1)),
+      (4L, v(1, 0.15, 0)), (5L, v(0, 0.15, 1))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (20L, v(1, 0.08, 0)), (21L, v(0, 0.08, 1)),
+      (22L, v(1, 0.12, 0)), (23L, v(0, 0.12, 1))).toDF("vec_id", "embedding")
+    val full = Similarity.marginBitextPairs(a, b, "vec_id", "embedding",
+        k = 3, minMarginX1k = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.marginBitextPairsBlocked(a, b, "vec_id", "embedding",
+        k = 3, minMarginX1k = 0L, nlist = 2, kmeansIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // orthogonal clusters: every mined partner is within-cluster, so
+    // blocking loses nothing here — and the certificate must SAY so
+    assert(blocked == full)
+    val cert = Similarity.marginBitextBlockedCertificate(a, b, "vec_id", "embedding",
+      k = 3, minMarginX1k = 0L, nlist = 2, kmeansIters = 1).head()
+    assert(cert.getAs[Long]("n_full") == full.size.toLong)
+    assert(cert.getAs[Long]("n_blocked") == blocked.size.toLong)
+    assert(cert.getAs[Long]("n_common") == full.size.toLong)
+    assert(cert.getAs[Long]("recall_x1000") == 1000L)
+    // the mass saving that paid for it: 6*4 = 24 full vs 3*2 + 3*2 = 12
+    assert(cert.getAs[Long]("scored_full") == 24L)
+    assert(cert.getAs[Long]("scored_blocked") == 12L)
+  }
+
   test("native blocklist: equals the array-scan path on unicode folds, quotes, duplicates and adjacency") {
     val turkishI = new String(Character.toChars(0x130))   // 'İ'
     val capSharpS = new String(Character.toChars(0x1E9E)) // 'ẞ'
