@@ -482,6 +482,130 @@ object Similarity {
         col("recall_frozen_x100"), col("recall_refit_x100"))
   }
 
+  /** The ACT-ON-DRIFT half of [[incrementalIvfDrift]] (r16, verdict #5):
+    * partial refit — re-center ONLY the tiles the landed batch actually
+    * moved and re-assign only THEIR members; every quiet tile keeps its
+    * centroid and postings byte-for-byte. At 100 TB this is the
+    * difference between touching the drifted fraction of the index
+    * (rewrite cost ∝ moved rows) and the full rebuild
+    * [[incrementalIvfDrift]] prices.
+    *
+    * Tile drift signal: assign base ∪ batch into the frozen (base-only)
+    * index; each tile's member MEAN is one local Lloyd step, and the tile
+    * refits when floor((1 − cos(frozen_cv, mean))·10⁶) > `driftX1m` — an
+    * integer fixed-point decision both engines replay exactly (the dot
+    * products fold in index order on float inputs). A tile with no
+    * members or a zero-norm mean keeps its centroid (nothing to re-center
+    * on). Members of refitted tiles re-argmax over the PATCHED centroid
+    * table (they may migrate into quiet tiles; quiet members never move).
+    *
+    * Output: ONE certificate row —
+    * (n_union, n_tiles, n_tiles_refit, n_touched, touched_pct_x100,
+    * recall_frozen_x100, recall_partial_x100, recall_refit_x100): the
+    * before/after/full-rebuild recall for `probeId` against brute truth,
+    * next to how little of the corpus the partial path touched. Scale:
+    * the frozen + full-refit fits (driver state nlist×dims each), the
+    * member-mean aggregate (≤ nlist×dims rows collected), assignment
+    * passes, three bounded top-k probes — nothing corpus-sized leaves
+    * the executors. */
+  def incrementalIvfPartialRefit(
+      base: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      kmeansIters: Int = 2,
+      driftX1m: Long = 1000L,
+      probeId: Long = 0L,
+      k: Int = 10,
+      nprobe: Int = 4
+  ): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
+    require(driftX1m >= 0L, "driftX1m must be non-negative")
+    GraftFunctions.register(base.sparkSession)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val unionDf = base.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+      .localCheckpoint()
+    val frozen = refineCentroids(base, idCol, vecCol, nlist, kmeansIters)
+    val assigned = assignToCentroids(unionDf, vecCol, frozen)
+      .select(col(idCol), col(vecCol), col("cid"))
+      .localCheckpoint()
+    // per-tile member means — one keyed aggregate, collect bounded by
+    // nlist×dims
+    val means: Map[Long, Array[Float]] = assigned
+      .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("cid"), col("__pos"))
+      .agg(avg(col("__v")).as("__m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) => cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat) }
+    // index-order double fold — the exact arithmetic DuckDB's list_reduce
+    // replays, so the drift threshold is an engine-exact decision
+    def dot(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+    val patched = frozen.map { case (cid, cv) =>
+      val refit = means.get(cid).exists { m =>
+        val n2 = dot(m, m)
+        val c2 = dot(cv, cv)
+        n2 > 0.0 && c2 > 0.0 && {
+          val cos = dot(cv, m) / (math.sqrt(c2) * math.sqrt(n2))
+          math.floor((1.0 - cos) * 1000000.0).toLong > driftX1m
+        }
+      }
+      (cid, if (refit) means(cid) else cv, refit)
+    }
+    val refitIds = patched.collect { case (cid, _, true) => cid }
+    val patchedCents = patched.map { case (cid, cv, _) => (cid, cv) }
+    val touched =
+      if (refitIds.isEmpty) assigned.limit(0)
+      else assigned.filter(col("cid").isin(refitIds: _*))
+    val partialAsg =
+      if (refitIds.isEmpty) assigned
+      else assigned.filter(!col("cid").isin(refitIds: _*))
+        .unionByName(
+          assignToCentroids(touched.drop("cid"), vecCol, patchedCents)
+            .select(col(idCol), col(vecCol), col("cid")))
+    val refitCents = refineCentroids(unionDf, idCol, vecCol, nlist, kmeansIters)
+    val refitAsg = assignToCentroids(unionDf, vecCol, refitCents)
+      .select(col(idCol), col(vecCol), col("cid"))
+    // bounded IVF probe over an EXISTING assignment (ivfSearchWith would
+    // re-assign — here the assignment IS the thing under test)
+    val truth = bruteForceTopK(unionDf, idCol, vecCol, probeId, k).select(col(idCol))
+    val probeVec = unionDf.filter(col(idCol) === probeId).select(col(vecCol).as("__probe"))
+    def recallOf(asg: DataFrame, cents: Seq[(Long, Array[Float])], name: String) = {
+      val lists = cents.toDF("cid", "cv").crossJoin(broadcast(probeVec))
+        .select(col("cid"), GraftFunctions.cosineSim(col("cv"), col("__probe")).as("__c"))
+        .orderBy(col("__c").desc, col("cid"))
+        .limit(nprobe)
+        .select("cid")
+      val top = asg.join(broadcast(lists), "cid")
+        .crossJoin(broadcast(probeVec))
+        .filter(col(idCol) =!= probeId)
+        .select(col(idCol), cosine(vecCol, "__probe").as("__cs"))
+        .orderBy(col("__cs").desc, col(idCol))
+        .limit(k)
+        .select(col(idCol))
+      truth.join(top, Seq(idCol))
+        .agg(coalesce(expr(s"count(1) * 100 div $k"), lit(0L)).cast("long").as(name))
+    }
+    unionDf.agg(count(lit(1)).cast("long").as("n_union"))
+      .crossJoin(broadcast(touched.agg(count(lit(1)).cast("long").as("n_touched"))))
+      .crossJoin(broadcast(recallOf(assigned, frozen, "recall_frozen_x100")))
+      .crossJoin(broadcast(recallOf(partialAsg, patchedCents, "recall_partial_x100")))
+      .crossJoin(broadcast(recallOf(refitAsg, refitCents, "recall_refit_x100")))
+      .select(col("n_union"),
+        lit(frozen.size.toLong).as("n_tiles"),
+        lit(refitIds.size.toLong).as("n_tiles_refit"),
+        col("n_touched"),
+        when(col("n_union") === 0, 0L)
+          .otherwise(expr("n_touched * 10000 div n_union"))
+          .cast("long").as("touched_pct_x100"),
+        col("recall_frozen_x100"), col("recall_partial_x100"),
+        col("recall_refit_x100"))
+  }
+
   /** kNN join via the bounded [[graft.functions.TopKAggregator]] instead of
     * a window sort: each partition reduces to ≤k candidates per probe BEFORE
     * the shuffle, so the exchange carries k·probes rows rather than every

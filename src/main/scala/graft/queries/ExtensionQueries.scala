@@ -12086,6 +12086,99 @@ object ExtensionQueries {
            |  scored_full, scored_blocked
            |FROM ov, fm, mass""".stripMargin
       }
+    ),
+
+    // Incremental-ANN partial refit (r16, verdict #5 — the act-on-drift
+    // half q344 left open): a planted batch (label<3 copies shifted +0.5
+    // on dims 0..7, ids +100000) drags SOME tiles past the drift
+    // threshold; only those re-center and only their members re-assign.
+    // The certificate shows partial ≈ full-refit recall while touching a
+    // fraction of the corpus. Probe = the shifted copy of vec 0 (label 2
+    // at both scales). Oracle replays the full policy: frozen Lloyd
+    // chain, member means, the fixed-point drift decision, the patched
+    // table, selective reassignment, three bounded IVF probes.
+    QueryDef(
+      "q362_ivf_partial_refit",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.select(col("vec_id"), col("embedding"))
+        val batch = emb.filter(col("label") < 3)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            expr("""transform(embedding,
+                   |  (x, i) -> CASE WHEN i < 8 THEN CAST(x + CAST(0.5 AS FLOAT) AS FLOAT) ELSE x END)
+                   |""".stripMargin).as("embedding"))
+        Similarity.incrementalIvfPartialRefit(base, batch, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 2, driftX1m = 100000L,
+          probeId = 100000L, k = 10, nprobe = 4)
+      },
+      Some {
+        def fold(a: String, b: String) =
+          s"list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)"
+        def cos(a: String, b: String) =
+          s"(${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})))"
+        def assign(src: String, cent: String, out: String) =
+          s"""$out AS (SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+             |    FROM $src e CROSS JOIN $cent c)
+             |  WHERE rn = 1)""".stripMargin
+        def lloyd(asg: String, prev: String, out: String, m: String, n: String) =
+          s"""$m AS (SELECT cid, i, CAST(avg(embedding[i+1]::DOUBLE) AS REAL) AS mv
+             |  FROM $asg, (SELECT unnest(range(64)) AS i) ix GROUP BY cid, i),
+             |$n AS (SELECT cid, list(mv ORDER BY i) AS cv FROM $m GROUP BY cid),
+             |$out AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM $prev c LEFT JOIN $n n USING (cid))""".stripMargin
+        def chain(src: String, p: String) =
+          s"""${p}cent0 AS (SELECT vec_id AS cid, embedding AS cv FROM $src ORDER BY vec_id LIMIT 16),
+             |${assign(src, s"${p}cent0", s"${p}asg0")},
+             |${lloyd(s"${p}asg0", s"${p}cent0", s"${p}cent1", s"${p}m1", s"${p}n1")},
+             |${assign(src, s"${p}cent1", s"${p}asg1")},
+             |${lloyd(s"${p}asg1", s"${p}cent1", s"${p}cent2", s"${p}m2", s"${p}n2")}""".stripMargin
+        def ivftop(p: String, cent: String, asg: String) =
+          s"""${p}pl AS (SELECT cid FROM (SELECT c.cid, ${cos("c.cv", "pv")} AS pc FROM $cent c CROSS JOIN pq)
+             |  ORDER BY pc DESC, cid LIMIT 4),
+             |${p}top AS (SELECT vec_id FROM (
+             |  SELECT a.vec_id, ${cos("a.embedding", "pv")} AS cs
+             |  FROM $asg a JOIN ${p}pl USING (cid) CROSS JOIN pq WHERE a.vec_id <> 100000
+             |  ORDER BY cs DESC, vec_id LIMIT 10)),
+             |${p}rc AS (SELECT CAST(coalesce(count(*), 0) * 100 // 10 AS BIGINT) AS v FROM truth JOIN ${p}top USING (vec_id))""".stripMargin
+        s"""WITH b AS (SELECT vec_id, embedding FROM embeddings),
+           |bt AS (SELECT vec_id + 100000 AS vec_id,
+           |    list_transform(range(len(embedding)),
+           |      i -> CASE WHEN i < 8 THEN CAST(embedding[i+1] + 0.5 AS REAL) ELSE embedding[i+1] END) AS embedding
+           |  FROM embeddings WHERE label < 3),
+           |u AS (SELECT * FROM b UNION ALL SELECT * FROM bt),
+           |${chain("b", "f")},
+           |${assign("u", "fcent2", "fau")},
+           |mm AS (SELECT cid, i, CAST(avg(embedding[i+1]::DOUBLE) AS REAL) AS mv
+           |  FROM fau, (SELECT unnest(range(64)) AS i) ix GROUP BY cid, i),
+           |mn AS (SELECT cid, list(mv ORDER BY i) AS mcv FROM mm GROUP BY cid),
+           |dt AS (SELECT c.cid, c.cv, n.mcv,
+           |    CASE WHEN n.mcv IS NULL OR ${fold("n.mcv", "n.mcv")} = 0 OR ${fold("c.cv", "c.cv")} = 0 THEN 0
+           |         ELSE CAST(floor((1 - ${cos("c.cv", "n.mcv")}) * 1000000.0) AS BIGINT) END AS drift
+           |  FROM fcent2 c LEFT JOIN mn n USING (cid)),
+           |pcent AS (SELECT cid, CASE WHEN drift > 100000 THEN mcv ELSE cv END AS cv FROM dt),
+           |ref AS (SELECT cid FROM dt WHERE drift > 100000),
+           |tch AS (SELECT vec_id, embedding FROM fau WHERE cid IN (SELECT cid FROM ref)),
+           |${assign("tch", "pcent", "re")},
+           |pasg AS (SELECT vec_id, embedding, cid FROM fau WHERE cid NOT IN (SELECT cid FROM ref)
+           |  UNION ALL SELECT vec_id, embedding, cid FROM re),
+           |${chain("u", "r")},
+           |${assign("u", "rcent2", "rau")},
+           |pq AS (SELECT embedding AS pv FROM u WHERE vec_id = 100000),
+           |truth AS (SELECT vec_id FROM (
+           |  SELECT vec_id, ${cos("embedding", "pv")} AS cs FROM u CROSS JOIN pq WHERE vec_id <> 100000
+           |  ORDER BY cs DESC, vec_id LIMIT 10)),
+           |${ivftop("f2", "fcent2", "fau")},
+           |${ivftop("p2", "pcent", "pasg")},
+           |${ivftop("r2", "rcent2", "rau")},
+           |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_union FROM u),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_touched FROM tch),
+           |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_tiles_refit FROM ref)
+           |SELECT n_union, CAST(16 AS BIGINT) AS n_tiles, n_tiles_refit, n_touched,
+           |  CAST(CASE WHEN n_union = 0 THEN 0 ELSE n_touched * 10000 // n_union END AS BIGINT) AS touched_pct_x100,
+           |  f2rc.v AS recall_frozen_x100, p2rc.v AS recall_partial_x100, r2rc.v AS recall_refit_x100
+           |FROM nu, nt, nr, f2rc, p2rc, r2rc""".stripMargin
+      }
     )
   )
 

@@ -221,6 +221,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(same.getAs[Long]("recall_frozen_x100") >= same.getAs[Long]("recall_refit_x100") - 20L)
   }
 
+  test("partial refit: only drifted tiles re-center and re-assign, recall matches the full refit") {
+    val dims = 16
+    def vec(hot: Range, seed: Int) = Array.tabulate(dims)(d =>
+      (if (hot.contains(d)) 1.0f else 0.0f) + 0.01f * (((seed * 31 + d * 7) % 10) - 5))
+    val base = ((0 until 20).map(i => (i.toLong, vec(0 until 4, i))) ++
+      (20 until 40).map(i => (i.toLong, vec(4 until 8, i)))).toDF("vec_id", "embedding")
+    val batch = (40 until 60).map(i => (i.toLong, vec(8 until 12, i)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.incrementalIvfPartialRefit(base, batch, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 2, driftX1m = 100000L,
+      probeId = 40L, k = 5, nprobe = 1).head()
+    // the new region lands in few tiles: those (and ONLY those) refit,
+    // so the partial path touches a fraction of the corpus...
+    val refitTiles = r.getAs[Long]("n_tiles_refit")
+    assert(refitTiles >= 1L && refitTiles < 4L, s"refit tiles = $refitTiles")
+    assert(r.getAs[Long]("n_touched") < r.getAs[Long]("n_union"),
+      "partial refit must not touch the whole corpus")
+    assert(r.getAs[Long]("touched_pct_x100") ==
+      r.getAs[Long]("n_touched") * 10000L / r.getAs[Long]("n_union"))
+    // ...while recovering most of the full refit's recall gain: golden
+    // values on this deterministic fixture — frozen 20 (the new region is
+    // untiled), partial 80 after re-centering ONE tile's 20 members,
+    // full refit 100 after re-tiling all 60
+    assert(r.getAs[Long]("recall_frozen_x100") == 20L)
+    assert(r.getAs[Long]("recall_partial_x100") == 80L)
+    assert(r.getAs[Long]("recall_refit_x100") == 100L)
+    // quiet corpus: a batch from the SAME distribution drifts no tile —
+    // the policy correctly does nothing and partial degenerates to frozen
+    val batch2 = (40 until 60).map(i => (i.toLong, vec(0 until 4, i)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.incrementalIvfPartialRefit(base, batch2, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 2, driftX1m = 100000L,
+      probeId = 40L, k = 5, nprobe = 2).head()
+    assert(q.getAs[Long]("n_tiles_refit") == 0L)
+    assert(q.getAs[Long]("n_touched") == 0L)
+    assert(q.getAs[Long]("recall_partial_x100") == q.getAs[Long]("recall_frozen_x100"))
+  }
+
   test("multi-probe LSH improves recall@10 over single-probe at equal bits") {
     graft.functions.GraftFunctions.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
