@@ -92,6 +92,15 @@ object Main {
       // pre-r15 pipeline byte-for-byte
       nearDupMode: String = "off",
       nearDupPct: Int = 50,
+      // --dsir-targets name=path[,...]: DSIR multi-domain resample ahead
+      // of the pipeline's budget cut — each path is a parquet target
+      // corpus (text column) whose distribution defines one domain;
+      // --dsir-mix m1[,m2...] are the ×1000 mixture weights (default
+      // equal). The resolved shares land in the summary JSON.
+      dsirTargets: Seq[(String, String)] = Nil,
+      dsirMix: Seq[Long] = Nil,
+      // datasheet subcommand
+      sourceCol: String = "source",
       // advise-layout subcommand
       candidates: Seq[String] = Nil,
       valueCol: Option[String] = None,
@@ -109,7 +118,7 @@ object Main {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -185,6 +194,24 @@ object Main {
           val p = need("--near-dup-pct").toInt
           require(p >= 1 && p <= 100, "--near-dup-pct must be 1..100")
           a = a.copy(nearDupPct = p)
+        case "--dsir-targets" =>
+          val pairs = need("--dsir-targets").split(",").map(_.trim).filter(_.nonEmpty)
+            .map { kv =>
+              val eq = kv.indexOf('=')
+              require(eq > 0, s"--dsir-targets expects name=path pairs, got '$kv'")
+              val n = kv.substring(0, eq).trim
+              require(n.matches("[A-Za-z][A-Za-z0-9_]*"),
+                s"dsir domain name '$n' must be identifier-safe")
+              n -> kv.substring(eq + 1).trim
+            }.toSeq
+          require(pairs.map(_._1).distinct.size == pairs.size, "dsir domain names must be unique")
+          a = a.copy(dsirTargets = pairs)
+        case "--dsir-mix" =>
+          val m = need("--dsir-mix").split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+          require(m.forall(v => v >= 0 && v <= 1000000L) && m.sum >= 1,
+            "--dsir-mix weights must be x1000 values in 0..1e6 with a positive sum")
+          a = a.copy(dsirMix = m)
+        case "--source-col" => a = a.copy(sourceCol = need("--source-col"))
         case "--candidates" =>
           a = a.copy(candidates =
             need("--candidates").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -222,7 +249,12 @@ object Main {
           model = if (positional.length > 2) positional(2) else "tables")
       case "curate" =>
         require(positional.length >= 2, "curate requires <inPath> <outPath>")
+        require(a.dsirMix.isEmpty || a.dsirMix.size == a.dsirTargets.size,
+          "--dsir-mix needs one weight per --dsir-targets domain")
         a.copy(basePath = positional(0), headPath = positional(1), model = "curate")
+      case "datasheet" =>
+        require(positional.nonEmpty, "datasheet requires an <inPath> argument")
+        a.copy(basePath = positional.head, model = "datasheet")
       case "advise-layout" =>
         require(positional.nonEmpty, "advise-layout requires a <tablePath> argument")
         require(a.candidates.nonEmpty, "advise-layout requires --candidates c1[,c2,...]")
@@ -671,8 +703,75 @@ object Main {
         (s""", "near_dup_mode": "${a.nearDupMode}", "near_dup_path": "$path"""" +
           advJson + lshJson + s""", "near_dup_removed": $removed""", kept)
       }
+    // DSIR multi-domain resample (r16, verdict #8): importance-weight the
+    // corpus against external TARGET distributions (one parquet per
+    // domain) and keep each doc with probability ∝ its mixture weight —
+    // the q333 composition through the shell, BEFORE the pipeline's
+    // budget cut. Targets join the model fit tagged by a (src, id)
+    // struct id, so corpus ids can never collide with target rows (their
+    // per-doc scores are discarded; only the bucket models they train
+    // matter, so the targets' synthetic ids carry no semantics).
+    val (dsirJson, selected) =
+      if (a.dsirTargets.isEmpty) ("", deduped)
+      else {
+        import org.apache.spark.sql.functions._
+        val names = a.dsirTargets.map(_._1)
+        val mix = if (a.dsirMix.nonEmpty) a.dsirMix else Seq.fill(names.size)(1000L)
+        val ks = names.indices
+        val fitCorpus = deduped.select(
+          struct(lit(0).as("src"), col("doc_id").as("id")).as("__fid") +:
+            col("text").as("__txt") +:
+            ks.map(k => lit(false).as(s"__d$k")): _*)
+        val fit = a.dsirTargets.zipWithIndex.foldLeft(fitCorpus) {
+          case (acc, ((name, path), k)) =>
+            val tgt = spark.read.parquet(path)
+            require(tgt.columns.contains("text"),
+              s"dsir target '$name' ($path) needs a text column")
+            acc.unionByName(tgt.select(
+              struct(lit(k + 1).as("src"), monotonically_increasing_id().as("id")).as("__fid") +:
+                col("text").as("__txt") +:
+                ks.map(j => lit(j == k).as(s"__d$j")): _*))
+        }
+        val w = graft.operators.Dsir.multiDomainWeights(fit, "__fid", "__txt",
+            domains = names.zipWithIndex.map { case (n, k) => n -> col(s"__d$k") },
+            mixX1000 = mix)
+          .filter(col("__fid.src") === 0)
+          .select(col("__fid.id").as("doc_id") +: col("mix_weight_x1000") +:
+            names.map(n => col(s"w_${n}_x1000")): _*)
+        val d = deduped.select(col("doc_id"),
+          expr("cast(size(filter(split(text, '\\\\s+'), x -> x != '')) as long)").as("__nt"))
+        // q333's affine keep-probability squash (div/'//' parity holds
+        // because greatest(0, _) clamps the only divergent region)
+        val enr = w.join(d, Seq("doc_id"))
+          .withColumn("keep_pct", least(lit(100L),
+            greatest(lit(0L), expr("(mix_weight_x1000 + 2000) div 6"))))
+        val samp = graft.operators.Sampling
+          .weightedSample(enr, "doc_id", "keep_pct", maxWeight = 100)
+          .localCheckpoint()
+        val nIn = d.count()
+        val kept = samp.count()
+        // dominant-domain token shares of the kept pool (argmax weight,
+        // ties -> first-listed domain) — the mixture the shell user asked
+        // for, reported as measured
+        val pick = array_max(array(names.zipWithIndex.map { case (n, k) =>
+          struct(col(s"w_${n}_x1000").as("w"), lit(-k).as("nk"))
+        }: _*))
+        val shareRows = samp
+          .withColumn("__dom", element_at(
+            typedLit(names), (lit(1) - pick.getField("nk")).cast("int")))
+          .groupBy("__dom").agg(sum(col("__nt")).as("__t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totT = math.max(1L, shareRows.values.sum)
+        val shares = names.map(n =>
+          s""""$n": ${shareRows.getOrElse(n, 0L) * 10000L / totT}""").mkString("{", ", ", "}")
+        val json = s""", "dsir_targets": ${names.map(n => s""""$n"""").mkString("[", ", ", "]")}""" +
+          s""", "dsir_mix": ${mix.mkString("[", ", ", "]")}""" +
+          s""", "dsir_kept": $kept, "dsir_removed": ${nIn - kept}""" +
+          s""", "dsir_shares_x10000": $shares"""
+        (json, deduped.join(samp.select("doc_id"), Seq("doc_id"), "left_semi"))
+      }
     val curated = graft.operators.Pipelines.curateAndPack(
-      deduped, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,
+      selected, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,
       minWords = a.minWords, spanWords = a.spanWords,
       maxSpanDocs = a.maxSpanDocs, budget = a.budget, keepText = true)
       .persist()
@@ -690,8 +789,83 @@ object Main {
         case c => c.toString
       } + "\""
       println(
-        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}$nearDupJson, "out": ${jstr(a.headPath)}}""")
+        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}$nearDupJson$dsirJson, "out": ${jstr(a.headPath)}}""")
     } finally { curated.unpersist(); () }
+  }
+
+  /** JSON string escape shared by the machine-line subcommands. */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** `datasheet <inPath>` — the corpus intake review as ONE machine
+    *-readable JSON line (r16, verdict #6): the library's datasheet family
+    * wired to the shell so a pipeline operator can consume it without
+    * writing Scala. Sections:
+    *   - `sources`: per-source dedup savings ([[graft.operators.Dedup.dedupSavings]],
+    *     q358) — present when `--source-col` exists;
+    *   - `cross_source`: content-hash overlap matrix
+    *     ([[graft.operators.Dedup.crossSourceDupMatrix]], q348), same guard;
+    *   - `filter_order`: the cascade-ordering advisor
+    *     ([[graft.operators.TextAnalysis.filterOrderAdvisor]], q356) over a
+    *     standard four-gate cascade (length cap 1 / min-tokens 5 /
+    *     stopword presence 10 / entropy 50 cost units);
+    *   - `lsh_recall`: the measured LSH-vs-exact recall certificate
+    *     ([[graft.operators.Dedup.lshRecallCertificate]], q350) at
+    *     `--near-dup-pct`, under the SAME threshold-derived banding the
+    *     curate LSH leg would run (q360). The exact-join truth side makes
+    *     this the datasheet's expensive row — on a 100 TB corpus run it
+    *     on a sample, exactly like the operator's scaladoc prescribes.
+    * Every collect here is bounded: #sources, #source-pairs, 4 gates,
+    * one certificate row. */
+  def runDatasheet(spark: SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis}
+    val df = spark.read.parquet(a.basePath)
+    require(df.columns.contains(a.idCol) && df.columns.contains(a.textCol),
+      s"datasheet needs '${a.idCol}' and '${a.textCol}' columns (saw ${df.columns.mkString(", ")})")
+    val hasSrc = df.columns.contains(a.sourceCol)
+    val inDocs = df.count()
+    val srcJson =
+      if (!hasSrc) ""
+      else {
+        val rows = Dedup.dedupSavings(df, a.idCol, a.textCol, a.sourceCol)
+          .orderBy("source").collect().map { r =>
+            s"""{"source": ${jsonStr(String.valueOf(r.get(0)))}, "n_docs": ${r.getAs[Long]("n_docs")}, """ +
+              s""""n_kept": ${r.getAs[Long]("n_kept")}, "tokens_total": ${r.getAs[Long]("tokens_total")}, """ +
+              s""""tokens_kept": ${r.getAs[Long]("tokens_kept")}, "saved_bp": ${r.getAs[Long]("saved_bp")}}"""
+          }
+        val cross = Dedup.crossSourceDupMatrix(df, a.textCol, a.sourceCol)
+          .orderBy("src_a", "src_b").collect().map { r =>
+            s"""{"src_a": ${jsonStr(String.valueOf(r.get(0)))}, "src_b": ${jsonStr(String.valueOf(r.get(1)))}, """ +
+              s""""n_shared_texts": ${r.getAs[Long]("n_shared_texts")}, "cross_doc_pairs": ${r.getAs[Long]("cross_doc_pairs")}}"""
+          }
+        s""", "sources": ${rows.mkString("[", ", ", "]")}""" +
+          s""", "cross_source": ${cross.mkString("[", ", ", "]")}"""
+      }
+    val gates = Seq(
+      ("max_chars", length(col(a.textCol)) <= 1000000, 1L),
+      ("min_tokens", TextAnalysis.tokenCount(a.textCol) >= a.minWords, 5L),
+      ("has_stopword", arrays_overlap(TextAnalysis.tokens(a.textCol),
+        typedLit(TextAnalysis.DefaultStopwords)), 10L),
+      ("entropy_ge_8hb", TextAnalysis.charEntropyHalfBitsCol(a.textCol) >= 8, 50L))
+    val order = TextAnalysis.filterOrderAdvisor(df, gates)
+      .orderBy("position").collect().map { r =>
+        s"""{"filter": ${jsonStr(r.getAs[String]("filter"))}, "cost_x1000": ${r.getAs[Long]("cost_x1000")}, """ +
+          s""""pass_bp": ${r.getAs[Long]("pass_bp")}, "drop_per_cost": ${r.getAs[Long]("drop_per_cost")}, """ +
+          s""""position": ${r.getAs[Long]("position")}}"""
+      }
+    val (bands, rows) = Dedup.lshParamsForThreshold(a.nearDupPct)
+    val cert = Dedup.lshRecallCertificate(df, a.idCol, a.textCol, a.nearDupPct,
+      numHashes = bands * rows, bandSize = rows).head()
+    val lsh = s"""{"pct": ${a.nearDupPct}, "lsh_bands": $bands, "lsh_rows": $rows, """ +
+      s""""n_exact_pairs": ${cert.getAs[Long]("n_exact_pairs")}, "n_lsh_pairs": ${cert.getAs[Long]("n_lsh_pairs")}, """ +
+      s""""n_common": ${cert.getAs[Long]("n_common")}, "recall_x1000": ${cert.getAs[Long]("recall_x1000")}}"""
+    println(s"""{"in_docs": $inDocs$srcJson, "filter_order": ${order.mkString("[", ", ", "]")}, """ +
+      s""""lsh_recall": $lsh, "in": ${jsonStr(a.basePath)}}""")
   }
 
   /** `advise-layout <tablePath> --candidates c1,c2` — the q204/q216/q232
@@ -906,6 +1080,9 @@ object Main {
       |       curate <inPath> <outPath> [--jsonl] [--min-words N] [--span-words N]
       |            [--max-span-docs N] [--budget N] [--shards N]
       |            [--near-dup-mode off|auto|exact|lsh] [--near-dup-pct N]
+      |            [--dsir-targets name=path[,name=path]] [--dsir-mix m1[,m2]]
+      |       datasheet <inPath> [--id-col COL] [--text-col COL] [--source-col COL]
+      |            [--near-dup-pct N] [--min-words N]
       |       advise-layout <tablePath> --candidates c1[,c2,...]
       |            [--value-col COL] [--bucket-rows N]
       |       compact-plan <tablePath> [--small-threshold BYTES] [--target-size BYTES]""".stripMargin
@@ -973,6 +1150,7 @@ object Main {
       if (a.command == "advise-layout") { runAdviseLayout(spark, a); return }
       if (a.command == "compact-plan") { runCompactPlan(spark, a); return }
       if (a.command == "release-manifest") { runReleaseManifest(spark, a); return }
+      if (a.command == "datasheet") { runDatasheet(spark, a); return }
       val jdbcConn = conn.filter(JdbcSource.isJdbc)
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a, jdbcConn)

@@ -233,6 +233,90 @@ class CliSpec extends SparkTestBase {
     assert(!buf3.toString("UTF-8").contains("near_dup"))
   }
 
+  test("curate --dsir-targets: multi-domain resample enriches toward the target, shares in the summary") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dmix_cli_")
+    // style A shares content words with the target; style B is disjoint
+    def styleA(i: Int) = s"the quick stone river mountain of sky alpha$i"
+    def styleB(i: Int) = s"zebra wombat parrot falcon otter of the nox$i"
+    val docs = ((0 until 30).map(i => (i.toLong, styleA(i))) ++
+      (30 until 60).map(i => (i.toLong, styleB(i)))).toDF("doc_id", "text")
+    val in = dir.resolve("in").toString
+    docs.write.parquet(in)
+    val tgt = (0 until 20).map(i => (1000L + i, styleA(i + 100))).toDF("doc_id", "text")
+    val tp = dir.resolve("tgtA").toString
+    tgt.write.parquet(tp)
+    // parse surface
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("curate", "/i", "/o",
+      "--dsir-targets", "badname!", "--dsir-mix", "1000")))
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("curate", "/i", "/o",
+      "--dsir-targets", s"a=$tp", "--dsir-mix", "600,400")))
+    val out = dir.resolve("out").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.runCurate(spark, Main.parseArgs(Seq("curate", in, out,
+        "--min-words", "3", "--span-words", "50", "--budget", "100000",
+        "--dsir-targets", s"lit=$tp", "--dsir-mix", "1000")))
+    }
+    val line = buf.toString("UTF-8").trim
+    assert(line.contains(""""dsir_targets": ["lit"]"""), line)
+    assert(line.contains(""""dsir_mix": [1000]"""), line)
+    assert(line.contains(""""dsir_kept": """) && line.contains(""""dsir_shares_x10000": {"lit": """), line)
+    // enrichment THROUGH THE SHELL (the q333 pattern): the kept pool
+    // skews hard toward the target's style
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType)))
+    val ids = graft.engine.CorpusIO.partitionCorrupt(
+      graft.engine.CorpusIO.readJsonl(spark, out, schema))._1
+      .collect().map(_.getLong(0)).toSet
+    val aKept = ids.count(_ < 30L)
+    val bKept = ids.count(_ >= 30L)
+    assert(aKept > bKept, s"style A kept $aKept vs style B $bKept: $ids")
+    assert(aKept >= 15, s"most target-like docs must survive the resample ($aKept)")
+    // without the flags the summary shape is unchanged
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2, true, "UTF-8")) {
+      Main.runCurate(spark, Main.parseArgs(Seq("curate", in, dir.resolve("out2").toString,
+        "--min-words", "3", "--span-words", "50", "--budget", "100000")))
+    }
+    assert(!buf2.toString("UTF-8").contains("dsir_targets"))
+  }
+
+  test("datasheet subcommand: sources, cross-source, filter order and lsh recall in one JSON line") {
+    import spark.implicits._
+    // parse surface
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("datasheet")))
+    val ap = Main.parseArgs(Seq("datasheet", "/t", "--source-col", "feed", "--near-dup-pct", "40"))
+    assert(ap.command == "datasheet" && ap.basePath == "/t" &&
+      ap.sourceCol == "feed" && ap.nearDupPct == 40)
+    val dir = Files.createTempDirectory("graft_datasheet_")
+    val docs = Seq(
+      (1L, "the cat sat on the mat today ok", "feedA"),
+      (2L, "the cat sat on the mat today ok", "feedB"), // cross-source dup
+      (3L, "unique words entirely different here now ok", "feedA"),
+      (4L, "unique words entirely different here now ok", "feedA") // in-feed dup
+    ).toDF("doc_id", "text", "source")
+    val in = dir.resolve("t").toString
+    docs.write.parquet(in)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.runDatasheet(spark, Main.parseArgs(Seq("datasheet", in, "--min-words", "5")))
+    }
+    val line = buf.toString("UTF-8").trim
+    assert(line.startsWith("{") && line.endsWith("}") && !line.contains("\n"), line)
+    assert(line.contains(""""in_docs": 4"""), line)
+    // per-source savings: feedA keeps 2 of 3 (one in-feed dup casualty)
+    assert(line.contains(""""sources": [{"source": "feedA", "n_docs": 3, "n_kept": 2"""), line)
+    // the cross-source matrix sees exactly the shared text
+    assert(line.contains(""""cross_source": [{"src_a": "feedA", "src_b": "feedB", "n_shared_texts": 1, "cross_doc_pairs": 1}]"""), line)
+    // four gates ranked 1..4
+    assert(line.contains(""""filter_order": [{"filter": """), line)
+    (1 to 4).foreach(p => assert(line.contains(s""""position": $p"""), line))
+    // identical docs collide in every band: the certificate pins full
+    // recall under the pct-derived 4x2 banding
+    assert(line.contains(""""lsh_recall": {"pct": 50, "lsh_bands": 4, "lsh_rows": 2, "n_exact_pairs": 2, "n_lsh_pairs": 2, "n_common": 2, "recall_x1000": 1000}"""), line)
+  }
+
   test("advise-layout subcommand: q204/q216/q232 trio as one golden JSON report") {
     // parse surface
     val a = Main.parseArgs(Seq("advise-layout", "/t", "--candidates", "status,id",
