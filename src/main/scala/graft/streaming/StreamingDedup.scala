@@ -75,14 +75,14 @@ object StreamingDedup {
     * an id replayed from deeper history re-emits its candidate, so
     * downstream must `distinct()` candidates before clustering, exactly as
     * the batch path does. */
-  def lshCandidates(
-      docs: DataFrame, // columns: doc_id LONG, text STRING
-      numHashes: Int = 8,
-      bandSize: Int = 2,
-      shingleK: Int = 3,
-      idleTimeout: Option[String] = None,
-      maxBucketSize: Int = 500
-  ): Dataset[DupCandidate] = {
+  /** The stateless per-row signature/banding stage shared by
+    * [[lshCandidates]] and [[lshVerifiedCandidates]]: (doc_id, band_idx,
+    * band_hash[, __set]) with the SAME shingling/signature/banding math as
+    * [[Dedup.minHashLshPairs]]. `withSet` additionally carries the sorted
+    * distinct shingle-hash set (exactly [[Dedup]]'s `collect_set` +
+    * `sort_array` build, per-row) for the stream-side exact verify. */
+  private def bandedFrame(docs: DataFrame, numHashes: Int, bandSize: Int,
+      shingleK: Int, withSet: Boolean): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must divide into bands")
     val numBands = numHashes / bandSize
     // stateless per-row signatures: materialize the shingle array (the SAME
@@ -102,14 +102,28 @@ object StreamingDedup {
       val parts = (0 until bandSize).map(j => col(s"sig_${bnd * bandSize + j}").cast("string"))
       struct(lit(bnd).as("band_idx"), md5(concat_ws(",", parts: _*)).as("band_hash")).as(s"band_$bnd")
     }
-    val banded = docs
+    val setCol =
+      if (withSet) Seq(sort_array(array_distinct(col("__hs"))).as("__set")) else Nil
+    val carried = col("doc_id") +: (if (withSet) Seq(col("__set")) else Nil)
+    docs
       .withColumn("__shingles", Dedup.shingles("text", shingleK))
       .withColumn("__hs", hashedShingles)
       .filter(size(col("__hs")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"),
-        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+      .select((col("doc_id") +: setCol) ++ sigCols: _*)
+      .select(carried :+ explode(array(bandCols: _*)).as("band"): _*)
+      .select(carried :+ col("band.band_idx").as("band_idx") :+
+        col("band.band_hash").as("band_hash"): _*)
+  }
+
+  def lshCandidates(
+      docs: DataFrame, // columns: doc_id LONG, text STRING
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      shingleK: Int = 3,
+      idleTimeout: Option[String] = None,
+      maxBucketSize: Int = 500
+  ): Dataset[DupCandidate] = {
+    val banded = bandedFrame(docs, numHashes, bandSize, shingleK, withSet = false)
     require(maxBucketSize >= 2, "maxBucketSize must allow at least one pair")
     implicit val keyEnc = Encoders.product[(Int, String)]
     implicit val rowEnc = Encoders.product[(Int, String, Long)]
@@ -152,6 +166,104 @@ object StreamingDedup {
             // sorted ⇒ last element is this batch's max
             if (arrivals.nonEmpty) { prevLast = arrivals.last; hasPrev = true }
             state.update((keep, seen, prevLast, hasPrev))
+            idleTimeout.foreach(t => state.setTimeoutDuration(t))
+            out.result().iterator
+          }
+      }
+  }
+
+  final case class VerifiedDupCandidate(band_idx: Int, a_doc_id: Long, b_doc_id: Long,
+      a_n: Long, b_n: Long, inter_n: Long, union_n: Long, jaccard_pct: Long)
+
+  /** [[lshCandidates]] with the batch path's verify-before-drop contract
+    * ON THE STREAM (r16, verdict #7): raw band collisions fire well below
+    * the threshold, so a firehose pipeline that REMOVES documents must
+    * verify exact Jaccard first — exactly what
+    * [[Dedup.minHashLshVerifiedPairs]] gives batch. Emitted rows carry
+    * the batch verifier's full tuple (a_n, b_n, inter_n, union_n,
+    * jaccard_pct over the sorted distinct shingle-hash sets — the
+    * identical set build), filtered to `minJaccardPct`, so a pair this
+    * stream admits IS a pair the batch join admits (subset-of-batch for
+    * under-cap buckets; the same cap/replay semantics as
+    * [[lshCandidates]], see there).
+    *
+    * State: the bucket keeper's id plus its SORTED SHINGLE-HASH SET —
+    * bounded by one document's distinct shingles per occupied bucket
+    * (~8 bytes × shingles), the price of verifying against a document
+    * that left the stream long ago without a store lookup. The verify
+    * itself is a per-arrival sorted-merge intersection in the state
+    * function — no extra shuffle, no retained candidate. */
+  def lshVerifiedCandidates(
+      docs: DataFrame, // columns: doc_id LONG, text STRING
+      minJaccardPct: Int,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      shingleK: Int = 3,
+      idleTimeout: Option[String] = None,
+      maxBucketSize: Int = 500
+  ): Dataset[VerifiedDupCandidate] = {
+    require(minJaccardPct >= 1 && minJaccardPct <= 100, "minJaccardPct must be 1..100")
+    require(maxBucketSize >= 2, "maxBucketSize must allow at least one pair")
+    val banded = bandedFrame(docs, numHashes, bandSize, shingleK, withSet = true)
+    implicit val keyEnc = Encoders.product[(Int, String)]
+    implicit val rowEnc = Encoders.product[(Int, String, Long, Seq[Long])]
+    implicit val outEnc = Encoders.product[VerifiedDupCandidate]
+    implicit val stateEnc = Encoders.product[(Long, Long, Long, Boolean, Seq[Long])]
+    val timeout =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // sorted-merge intersection — the JVM twin of the batch path's native
+    // SortedIntersectCount expression (both sides are sorted distinct)
+    def interN(x: Seq[Long], y: Seq[Long]): Long = {
+      var i = 0; var j = 0; var n = 0L
+      while (i < x.length && j < y.length) {
+        val c = java.lang.Long.compare(x(i), y(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      n
+    }
+    banded
+      .selectExpr("band_idx", "band_hash", "doc_id", "__set")
+      .as[(Int, String, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Long, Long, Boolean, Seq[Long]), VerifiedDupCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
+        case ((bandIdx, _), rows, state: GroupState[(Long, Long, Long, Boolean, Seq[Long])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // sorted by id → within-batch replays adjacent; keep one set per id
+            val arrivals = rows.toSeq.sortBy(_._3)
+              .foldLeft(Vector.empty[(Long, Seq[Long])]) { (acc, r) =>
+                if (acc.nonEmpty && acc.last._1 == r._3) acc else acc :+ (r._3, r._4)
+              }
+            var (keep, seen, prevLast, hasPrev, keepSet) =
+              state.getOption.getOrElse((0L, 0L, 0L, false, Seq.empty[Long]))
+            val out = Seq.newBuilder[VerifiedDupCandidate]
+            arrivals.foreach { case (id, set) =>
+              if (seen == 0L) { keep = id; keepSet = set; seen = 1L }
+              else if (id != keep && !(hasPrev && id == prevLast)) {
+                seen += 1
+                if (seen <= maxBucketSize) {
+                  // the batch verifier's exact filter, inline: admit iff
+                  // inter·(100+pct) >= (|a|+|b|)·pct  (⇔ J >= pct)
+                  val aN = math.min(keep, id) == keep // orientation for output only
+                  val (loId, loSet, hiId, hiSet) =
+                    if (aN) (keep, keepSet, id, set) else (id, set, keep, keepSet)
+                  val inter = interN(keepSet, set)
+                  val sizes = keepSet.length.toLong + set.length.toLong
+                  if (inter * (100L + minJaccardPct) >= sizes * minJaccardPct) {
+                    val union = sizes - inter
+                    out += VerifiedDupCandidate(bandIdx, loId, hiId,
+                      loSet.length.toLong, hiSet.length.toLong, inter, union,
+                      inter * 100L / union)
+                  }
+                }
+              }
+            }
+            if (arrivals.nonEmpty) { prevLast = arrivals.last._1; hasPrev = true }
+            state.update((keep, seen, prevLast, hasPrev, keepSet))
             idleTimeout.foreach(t => state.setTimeoutDuration(t))
             out.result().iterator
           }

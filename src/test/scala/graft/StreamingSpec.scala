@@ -507,6 +507,66 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
   }
 
+  test("streaming verified near-dup: stream admits exactly the batch verifier's pairs, drops raw collisions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    // docs 1/2 exact dups (J=100), doc 3 a near dup (J=80 on word
+    // trigrams, band-collides with both), doc 4 unrelated — two batches
+    val docs = Seq(
+      (1L, "the cat sat on the warm mat near the door today"),
+      (2L, "the cat sat on the warm mat near the door today"),
+      (3L, "the cat sat on the warm mat near the door now"),
+      (4L, "completely different words entirely here now"))
+    def runStream(pct: Int, name: String): Set[(Long, Long, Long, Long, Long, Long, Long)] = {
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(docs.take(2): _*)
+      mem.addData(docs.drop(2): _*)
+      val q = StreamingDedup.lshVerifiedCandidates(
+          mem.toDF().toDF("doc_id", "text"), minJaccardPct = pct)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+        .select("a_doc_id", "b_doc_id", "a_n", "b_n", "inter_n", "union_n", "jaccard_pct")
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    }
+    def runBatch(pct: Int) = graft.operators.Dedup.minHashLshVerifiedPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", pct)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // every admitted stream pair is byte-identical to the batch verifier's
+    // row for that pair — same set build, same integer filter, same
+    // jaccard arithmetic. (Subset, not equality: a stream bucket pairs
+    // arrivals against its KEEPER only — (1,2) and (1,3) here — while the
+    // batch bucket join also emits dup-vs-dup (2,3); min-id survivorship
+    // needs exactly the keeper pairs.)
+    val s50 = runStream(50, "vnd50")
+    assert(s50.subsetOf(runBatch(50)), s"stream $s50 vs batch ${runBatch(50)}")
+    assert(s50.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L)), s"$s50")
+    assert(s50.exists(p => p._1 == 1L && p._2 == 3L && p._7 == 80L),
+      s"the J=80 near dup must be admitted at pct 50 with its exact jaccard: $s50")
+    // at pct 90 the same band collision (1,3) still FIRES but the verify
+    // drops it before any removal could act on it — the r15 silent-data-
+    // loss class, now closed on the stream side too
+    val s90 = runStream(90, "vnd90")
+    assert(s90.subsetOf(runBatch(90)))
+    assert(s90.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(!s90.exists(p => p._2 == 3L), s"unverified collision must not be admitted: $s90")
+    // and the raw candidate stream DID see the pair the verify dropped
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = StreamingDedup.lshCandidates(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("vnd_raw")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val raw = spark.table("vnd_raw").select("keep_id", "dup_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw.contains((1L, 3L)), s"fixture must band-collide the near dup: $raw")
+  }
+
   test("blocklist gate refuses inputs that already carry its reserved column names") {
     import graft.streaming.StreamingCurate
     // a stream already carrying `blocked` (or `__row` etc.) would be
