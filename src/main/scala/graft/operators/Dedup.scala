@@ -443,16 +443,30 @@ object Dedup {
     * the join's build (simhash aggregate + one keyed count); no pair is
     * materialized. */
   def simHashCapReport(df: DataFrame, idCol: String, textCol: String,
-      maxBucketSize: Int = 500): DataFrame = {
-    require(maxBucketSize >= 2, "maxBucketSize must be at least 2")
-    simHashBands(df, idCol, textCol)
+      maxBucketSize: Int = 500): DataFrame =
+    simHashCapReports(df, idCol, textCol, Seq(maxBucketSize))
+      .drop("cap")
+
+  /** Multi-cap form of [[simHashCapReport]]: ONE simhash + band-occupancy
+    * pass prices every candidate cap (a cap-sizing sweep at 100 TB costs
+    * one pass, not one per cap); one row per cap with a `cap` column,
+    * ordered by cap. */
+  def simHashCapReports(df: DataFrame, idCol: String, textCol: String,
+      caps: Seq[Int]): DataFrame = {
+    require(caps.nonEmpty && caps.forall(_ >= 2), "each cap must be at least 2")
+    require(caps.distinct.size == caps.size, "caps must be distinct")
+    val occ = simHashBands(df, idCol, textCol)
       .groupBy("band_idx", "band_key").agg(count(lit(1)).as("__c"))
-      .agg(
+    val perCap = caps.sorted.map { cap =>
+      occ.agg(
         count(lit(1)).cast("long").as("n_buckets"),
         sum(col("__c")).cast("long").as("n_postings"),
-        sum(when(col("__c") > maxBucketSize, 1L).otherwise(0L)).as("n_capped_buckets"),
-        sum(when(col("__c") > maxBucketSize, col("__c") - maxBucketSize).otherwise(0L))
+        sum(when(col("__c") > cap, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(when(col("__c") > cap, col("__c") - cap).otherwise(0L))
           .cast("long").as("n_foregone_postings"))
+        .withColumn("cap", lit(cap.toLong))
+    }
+    perCap.reduce(_ unionByName _)
   }
 
   /** Per-source dedup-savings datasheet — what exact dedup actually BUYS,

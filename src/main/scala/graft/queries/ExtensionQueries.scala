@@ -11934,13 +11934,10 @@ object ExtensionQueries {
     // candidates.
     QueryDef(
       "q359_simhash_cap",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        Seq(5, 500).map { cap =>
-          Dedup.simHashCapReport(docs, "doc_id", "text", maxBucketSize = cap)
-            .withColumn("cap", lit(cap.toLong))
-        }.reduce(_ unionByName _).orderBy("cap")
-      },
+      (s, dir) =>
+        // one simhash/occupancy pass prices both caps (multi-cap form)
+        Dedup.simHashCapReports(t(s, dir, "documents"), "doc_id", "text",
+          caps = Seq(5, 500)).orderBy("cap"),
       Some(
         s"""WITH sh AS ($duckSimhash64Sub),
            |bands AS (SELECT doc_id, band_idx,
