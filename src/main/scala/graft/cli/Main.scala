@@ -715,10 +715,15 @@ object Main {
       if (a.dsirTargets.isEmpty) ("", deduped)
       else {
         import org.apache.spark.sql.functions._
+        // pin once: the DSIR block reads this frame four times (model fit,
+        // token counts, the semi-join selection, then the pack stage) and
+        // its lineage carries the input parse + near-dup anti-join — the
+        // same pin-before-reuse rule as `drops` above (r16 self-review)
+        val pinned = deduped.localCheckpoint()
         val names = a.dsirTargets.map(_._1)
         val mix = if (a.dsirMix.nonEmpty) a.dsirMix else Seq.fill(names.size)(1000L)
         val ks = names.indices
-        val fitCorpus = deduped.select(
+        val fitCorpus = pinned.select(
           struct(lit(0).as("src"), col("doc_id").as("id")).as("__fid") +:
             col("text").as("__txt") +:
             ks.map(k => lit(false).as(s"__d$k")): _*)
@@ -738,7 +743,7 @@ object Main {
           .filter(col("__fid.src") === 0)
           .select(col("__fid.id").as("doc_id") +: col("mix_weight_x1000") +:
             names.map(n => col(s"w_${n}_x1000")): _*)
-        val d = deduped.select(col("doc_id"),
+        val d = pinned.select(col("doc_id"),
           expr("cast(size(filter(split(text, '\\\\s+'), x -> x != '')) as long)").as("__nt"))
         // q333's affine keep-probability squash (div/'//' parity holds
         // because greatest(0, _) clamps the only divergent region)
@@ -768,7 +773,7 @@ object Main {
           s""", "dsir_mix": ${mix.mkString("[", ", ", "]")}""" +
           s""", "dsir_kept": $kept, "dsir_removed": ${nIn - kept}""" +
           s""", "dsir_shares_x10000": $shares"""
-        (json, deduped.join(samp.select("doc_id"), Seq("doc_id"), "left_semi"))
+        (json, pinned.join(samp.select("doc_id"), Seq("doc_id"), "left_semi"))
       }
     val curated = graft.operators.Pipelines.curateAndPack(
       selected, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,
@@ -782,12 +787,7 @@ object Main {
         if (kept == 0) 0L
         else curated.agg(org.apache.spark.sql.functions.max("bin_id")).head().getLong(0) + 1
       graft.engine.CorpusIO.writeJsonl(curated, a.headPath, "doc_id", a.shards)
-      def jstr(s: String) = "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+      def jstr(s: String) = jsonStr(s) // shared escaper
       println(
         s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}$nearDupJson$dsirJson, "out": ${jstr(a.headPath)}}""")
     } finally { curated.unpersist(); () }
@@ -909,12 +909,7 @@ object Main {
       .collect()
     val best = rep.minBy(r => (r.getAs[Long]("amplification_bp"),
       r.getAs[Long]("total_runs"), r.getAs[String]("layout")))
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String) = jsonStr(s) // shared escaper
     val colsJson = enc.map(r =>
       s"""{"column": ${jstr(r.getAs[String]("column_name"))}, "ndv": ${r.getAs[Long]("ndv")}, """ +
         s""""ndv_bp": ${r.getAs[Long]("ndv_bp")}, "encoding": ${jstr(r.getAs[String]("encoding"))}}""")
@@ -973,12 +968,7 @@ object Main {
           + coalesce(col("bins_planned"), lit(0L))).as("files_after"))
       .orderBy("part")
       .collect()
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String) = jsonStr(s) // shared escaper
     val parts = rep.map(r =>
       s"""{"partition": ${jstr(r.getAs[String]("part"))}, "files_total": ${r.getAs[Long]("files_total")}, """ +
         s""""bytes_total": ${r.getAs[Long]("bytes_total")}, "files_small": ${r.getAs[Long]("files_small")}, """ +
@@ -1008,12 +998,7 @@ object Main {
       .releaseManifest(docs, a.idCol, a.textCol, a.minChars, a.minWords, a.evalMod)
       .orderBy("stage")
       .collect()
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String) = jsonStr(s) // shared escaper
     val stages = rep.map(r =>
       s"""{"stage": ${jstr(r.getAs[String]("stage"))}, "n_docs": ${r.getAs[Long]("n_docs")}, """ +
         s""""n_tokens": ${r.getAs[Long]("n_tokens")}, "id_checksum": ${r.getAs[Long]("id_checksum")}}""")

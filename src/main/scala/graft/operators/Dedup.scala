@@ -391,17 +391,20 @@ object Dedup {
     * Per-bucket postings are capped like [[minHashLshPairs]]'s (an
     * over-common band key is boilerplate/skew, not near-dup signal;
     * smallest ids win, deterministic) — so recall is exact WHEN THE CAP
-    * IS NON-BINDING, and the 16-bit keyspace is what keeps it
-    * non-binding at scale: 65,536 buckets per band carry up to
-    * ~maxBucketSize·65,536 docs (3.3e7 at the default cap) before ANY
-    * bucket can saturate even in the adversarial all-docs-one-key case;
-    * uniform hashes stretch that by orders of magnitude. (An 8-bit band
-    * key — 256 buckets — saturated at ~1.3e5 docs and silently dropped
+    * IS NON-BINDING, and the 16-bit keyspace is what keeps a
+    * WELL-SPREAD corpus non-binding at scale: 65,536 buckets per band
+    * hold ~maxBucketSize·65,536 docs (3.3e7 at the default cap) at even
+    * spread before any bucket fills. (An 8-bit band key — 256 buckets —
+    * hit that even-spread ceiling at ~1.3e5 docs and silently dropped
     * true pairs exactly on the 100 TB corpora this operator exists for;
-    * r15 advice.) When caps DO bind, [[simHashCapReport]] prices what
-    * was foregone — run it alongside any destructive use. Shuffles: the
-    * simhash aggregate, one band explode (4 short rows/doc), the banded
-    * self-join — all keyed, never cartesian. */
+    * r15 advice.) No keyspace protects against CONCENTRATION — a
+    * boilerplate-skewed corpus can fill one bucket at maxBucketSize+1
+    * docs — so the non-binding claim is NEVER assumed:
+    * [[simHashCapReport]] measures it (n_foregone_postings = 0 is the
+    * certificate), and any destructive use must gate on that report, not
+    * on corpus size. Shuffles: the simhash aggregate, one band explode
+    * (4 short rows/doc), the banded self-join — all keyed, never
+    * cartesian. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,

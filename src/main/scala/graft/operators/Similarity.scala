@@ -298,6 +298,24 @@ object Similarity {
       .drop("__sa")
   }
 
+  /** Per-tile member means of an assigned frame — ONE keyed aggregate,
+    * collect bounded by nlist×dims. This is the engine-exactness-critical
+    * float→double-avg→float chain every Lloyd step and the partial-refit
+    * drift decision share (and the DuckDB oracles replay as
+    * `CAST(avg(v[i+1]::DOUBLE) AS REAL)`): one implementation so a
+    * precision or ordering change can never diverge between the cosine
+    * refiner, the L2 refiner and the refit policy. */
+  private def memberMeans(assigned: DataFrame, vecCol: String): Map[Long, Array[Float]] =
+    assigned
+      .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("cid"), col("__pos"))
+      .agg(avg(col("__v")).as("__m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+      }
+
   def refineCentroids(
       df: DataFrame,
       idCol: String,
@@ -307,21 +325,12 @@ object Similarity {
   ): Seq[(Long, Array[Float])] = {
     GraftFunctions.register(df.sparkSession)
     val spark = df.sparkSession
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     var centroids: Seq[(Long, Array[Float])] = df.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])].collect().toSeq
     var it = 0
     while (it < iters) {
-      val means = assignToCentroids(df, vecCol, centroids)
-        .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-        .groupBy(col("cid"), col("__pos"))
-        .agg(avg(col("__v")).as("__m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-        }
+      val means = memberMeans(assignToCentroids(df, vecCol, centroids), vecCol)
       centroids = centroids.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
       it += 1
     }
@@ -532,15 +541,7 @@ object Similarity {
     val assigned = assignToCentroids(unionDf, vecCol, frozen)
       .select(col(idCol), col(vecCol), col("cid"))
       .localCheckpoint()
-    // per-tile member means — one keyed aggregate, collect bounded by
-    // nlist×dims
-    val means: Map[Long, Array[Float]] = assigned
-      .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-      .groupBy(col("cid"), col("__pos"))
-      .agg(avg(col("__v")).as("__m"))
-      .collect()
-      .groupBy(_.getLong(0))
-      .map { case (cid, rows) => cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat) }
+    val means = memberMeans(assigned, vecCol)
     // index-order double fold — the exact arithmetic DuckDB's list_reduce
     // replays, so the drift threshold is an engine-exact decision
     def dot(x: Array[Float], y: Array[Float]): Double =
@@ -706,15 +707,7 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])].collect().toSeq
     var it = 0
     while (it < iters) {
-      val means = assignToCentroidsL2(df, vecCol, centroids)
-        .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-        .groupBy(col("cid"), col("__pos"))
-        .agg(avg(col("__v")).as("__m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-        }
+      val means = memberMeans(assignToCentroidsL2(df, vecCol, centroids), vecCol)
       centroids = centroids.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
       it += 1
     }
@@ -1165,6 +1158,14 @@ object Similarity {
       mutual: Boolean = false, nlist: Int = 8, kmeansIters: Int = 1): DataFrame = {
     require(nlist >= 1 && kmeansIters >= 0, "nlist must be >= 1, kmeansIters >= 0")
     val (aa, ba) = blockedSides(a, b, idCol, vecCol, nlist, kmeansIters)
+    minedFromBlocked(aa, ba, k, minMarginX1k, mutual)
+  }
+
+  /** The mining stage over already-blocked sides — shared by
+    * [[marginBitextPairsBlocked]] and the certificate so the fit runs
+    * once per call, never twice. */
+  private def minedFromBlocked(aa: DataFrame, ba: DataFrame, k: Int,
+      minMarginX1k: Long, mutual: Boolean): DataFrame = {
     val pairs = aa.join(ba, Seq("__cid"))
       .select(col("a_id"), col("b_id"),
         greatest(floor(GraftFunctions.cosineSim(col("__va"), col("__vb")) * 1000000d)
@@ -1192,8 +1193,11 @@ object Similarity {
       mutual: Boolean = false, nlist: Int = 8, kmeansIters: Int = 1): DataFrame = {
     val full = marginBitextPairs(a, b, idCol, vecCol, k, minMarginX1k, mutual)
       .select(col("a_id"), col("b_id"), lit(1L).as("__f"))
-    val blocked = marginBitextPairsBlocked(a, b, idCol, vecCol, k, minMarginX1k,
-        mutual, nlist, kmeansIters)
+    // one blocking fit serves both the mined pairs and the mass rows (the
+    // Lloyd refinement is driver-eager — running it twice doubled the
+    // certificate's cost for byte-identical results; r16 self-review)
+    val (aa, ba) = blockedSides(a, b, idCol, vecCol, nlist, kmeansIters)
+    val blocked = minedFromBlocked(aa, ba, k, minMarginX1k, mutual)
       .select(col("a_id"), col("b_id"), lit(1L).as("__b"))
     val overlap = full.join(blocked, Seq("a_id", "b_id"), "full_outer")
       .agg(
@@ -1203,7 +1207,6 @@ object Similarity {
       .withColumn("recall_x1000",
         when(col("n_full") === 0, 1000L)
           .otherwise(expr("n_common * 1000 div n_full")))
-    val (aa, ba) = blockedSides(a, b, idCol, vecCol, nlist, kmeansIters)
     val mass = aa.groupBy("__cid").agg(count(lit(1)).as("__na"))
       .join(ba.groupBy("__cid").agg(count(lit(1)).as("__nb")), "__cid")
       .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).cast("long")

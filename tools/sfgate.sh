@@ -60,9 +60,16 @@ for line in res:
         per[parts[0]] = ("OK" if parts[1] == "OK"
                          else "ROWS_ONLY" if parts[1].startswith("rows-only")
                          else "FAIL")
+# dirty = does the CODE tree differ from the recorded commit — the gate
+# records themselves are excluded, since gates write them sequentially
+# (sf1gate's fresh SF1GATE.json would otherwise mark every subsequent
+# sf10gate run dirty, defeating the attribution the flag exists for)
+status = subprocess.check_output(
+    ["git", "status", "--porcelain", "--", ".",
+     ":(exclude)SF1GATE.json", ":(exclude)SF10GATE.json"]).decode().strip()
 rec = {
     "commit": subprocess.check_output(["git", "rev-parse", "HEAD"]).decode().strip(),
-    "dirty": bool(subprocess.check_output(["git", "status", "--porcelain"]).decode().strip()),
+    "dirty": bool(status),
     "ts_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
     "sf_dir": os.environ["SF_DIR"],
     "n_queries": len(per),
