@@ -89,6 +89,31 @@ object Dsir {
     * weight_x1000 = 1000 × average per-feature half-bit LLR
     * (positive ⇒ the document looks more like the target than the raw
     * corpus). Deterministic: same input set ⇒ same weights, any layout. */
+  /** The unigram+adjacent-bigram feature expression over a token-array
+    * column — ONE definition shared by every DSIR form (fit-and-score,
+    * multi-domain, frozen fit, frozen score, the streaming gate), so the
+    * featurization can never drift between the model a pipeline fits and
+    * the gate that scores against it. */
+  private[graft] def featuresSqlOver(toksCol: String): String =
+    s"""concat($toksCol,
+       |  CASE WHEN size($toksCol) >= 2
+       |    THEN transform(sequence(0, size($toksCol) - 2),
+       |      i -> concat(element_at($toksCol, i + 1), ' ', element_at($toksCol, i + 2)))
+       |    ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin
+
+  /** The base-31 string fold onto `buckets` hash buckets, as a SQL
+    * fragment over one feature string `f` — shared like
+    * [[featuresSqlOver]]. */
+  private[graft] def bucketSqlOver(f: String, buckets: Int): String =
+    s"aggregate(split($f, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 144115188075855859L) % $buckets"
+
+  /** Per-document feature-bucket ARRAY (no explode) — the stateless
+    * per-row form the streaming gate fuses into its map stage. */
+  private[graft] def featureBucketsExpr(textCol: String, buckets: Int): Column = {
+    val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
+    expr(s"transform(${featuresSqlOver(toks)}, f -> ${bucketSqlOver("f", buckets)})")
+  }
+
   def importanceWeights(
       df: DataFrame,
       idCol: String,
@@ -103,21 +128,13 @@ object Dsir {
     // expressions below the exchange; the cheap IS NOT NULL prefilter is
     // the one predicate allowed to push). Features = unigrams ++ adjacent
     // bigrams, the short-doc CASE inside the expression.
-    val featuresSql =
-      s"""concat(__toks,
-         |  CASE WHEN size(__toks) >= 2
-         |    THEN transform(sequence(0, size(__toks) - 2),
-         |      i -> concat(element_at(__toks, i + 1), ' ', element_at(__toks, i + 2)))
-         |    ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin
     def exploded = Par.ensureParallel(df)
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         coalesce(targetCol, lit(false)).as("__tgt"),
         expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__toks"))
-      .select(col("__id"), col("__tgt"), explode(expr(featuresSql)).as("__f"))
-      .select(col("__id"), col("__tgt"),
-        (expr("aggregate(split(__f, ''), 0L, " +
-          "(a, c) -> (a * 31 + ascii(c)) % 144115188075855859L)") % buckets).as("__b"))
+      .select(col("__id"), col("__tgt"), explode(expr(featuresSqlOver("__toks"))).as("__f"))
+      .select(col("__id"), col("__tgt"), expr(bucketSqlOver("__f", buckets)).as("__b"))
     // pass 1: the B-bucket model (target and raw occurrence counts) —
     // checkpointed at ≤ B rows, it feeds the per-bucket LLRs AND the
     // corpus totals, so the normalizer costs no extra corpus pass
@@ -142,6 +159,88 @@ object Dsir {
       .join(broadcast(llrByBucket), Seq("__b"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_features"), sum(col("__l")).as("__s"))
+      .crossJoin(broadcast(norm))
+      .select(col("__id").as(idCol),
+        col("n_features").cast("long").as("n_features"),
+        (expr("(__s - n_features * __nl + 256L * n_features) * 1000 div n_features")
+          - lit(256000L)).cast("long").as("weight_x1000"))
+  }
+
+  /** The PERSISTABLE half of [[importanceWeights]] (r16 tranche H — the
+    * frozen-model family, completing the incremental story next to
+    * [[graft.operators.Dedup.dedupAgainstCorpusBloom]] /
+    * [[graft.operators.Similarity.incrementalIvfAssign]]): fit the
+    * bucket-LLR model ONCE over the reference corpus and hand back a
+    * plain DataFrame — one row per OCCUPIED bucket,
+    * (bucket, llr, norm) with the smoothing-mass normalizer repeated on
+    * every row so the model is self-contained (write it to parquet,
+    * broadcast it, ship it to the firehose gate). Integer algebra
+    * identical to [[importanceWeights]]'s fit stage ([[halfBitLog2]]
+    * half-bits), so scoring the SAME corpus against its own frozen model
+    * reproduces [[importanceWeights]] row-for-row (DsirSpec pins it).
+    * An unoccupied bucket carries llr = ql(1) − ql(1) = 0 — exactly the
+    * 0 [[scoreWithModel]] coalesces for unseen buckets, so absence and
+    * zero-count presence score identically by construction. */
+  def fitModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCol: Column,
+      buckets: Int = 8192
+  ): DataFrame = {
+    require(buckets > 1, "need at least 2 hash buckets")
+    val exploded = Par.ensureParallel(df)
+      .filter(col(textCol).isNotNull)
+      .select(coalesce(targetCol, lit(false)).as("__tgt"),
+        expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__toks"))
+      .select(col("__tgt"), explode(expr(featuresSqlOver("__toks"))).as("__f"))
+      .select(col("__tgt"), expr(bucketSqlOver("__f", buckets)).as("__b"))
+    val model = exploded
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
+      .localCheckpoint()
+    val norm = model
+      .agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
+      .select((halfBitLog2(col("__tt") + buckets) -
+        halfBitLog2(col("__tr") + buckets)).cast("long").as("norm"))
+    model.select(col("__b").cast("long").as("bucket"),
+        (halfBitLog2(col("__ct") + 1) - halfBitLog2(col("__cr") + 1))
+          .cast("long").as("llr"))
+      .crossJoin(broadcast(norm))
+  }
+
+  /** Score documents against a FROZEN [[fitModel]] model — the daily-crawl
+    * form: the model was fit on the reference corpus epoch, the arriving
+    * batch is scored without refit (how DSIR selection actually deploys —
+    * refitting per batch would let the arriving data move its own
+    * yardstick). Same per-doc formula as [[importanceWeights]]'s scoring
+    * stage; features hashing to buckets the model never saw contribute
+    * llr 0 (see [[fitModel]] — absence ≡ zero-count presence). Documents
+    * with no features (null/empty text) emit no row, exactly like
+    * [[importanceWeights]]. Scale: one feature pass over the batch, the
+    * ≤ `buckets`-row model broadcast — nothing corpus-sized shuffles. */
+  def scoreWithModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      buckets: Int = 8192
+  ): DataFrame = {
+    require(buckets > 1, "need at least 2 hash buckets")
+    val exploded = Par.ensureParallel(df)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__toks"))
+      .select(col("__id"), explode(expr(featuresSqlOver("__toks"))).as("__f"))
+      .select(col("__id"), expr(bucketSqlOver("__f", buckets)).as("__b"))
+    val llr = model.select(col("bucket").as("__b"), col("llr").as("__l"))
+    val norm = model.select(col("norm").as("__nl")).limit(1)
+    exploded
+      .join(broadcast(llr), Seq("__b"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce(col("__l"), lit(0L))).as("__s"))
       .crossJoin(broadcast(norm))
       .select(col("__id").as(idCol),
         col("n_features").cast("long").as("n_features"),
@@ -191,12 +290,6 @@ object Dsir {
     require(mixX1000.forall(m => m >= 0 && m <= 1000000L) && mixX1000.sum >= 1,
       "mixture weights must be in 0..1e6 with a positive sum")
     val ks = domains.indices
-    val featuresSql =
-      s"""concat(__toks,
-         |  CASE WHEN size(__toks) >= 2
-         |    THEN transform(sequence(0, size(__toks) - 2),
-         |      i -> concat(element_at(__toks, i + 1), ' ', element_at(__toks, i + 2)))
-         |    ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin
     def exploded = Par.ensureParallel(df)
       .filter(col(textCol).isNotNull)
       .select((col(idCol).as("__id") +:
@@ -204,10 +297,9 @@ object Dsir {
           coalesce(p, lit(false)).as(s"__t$k") }) :+
         expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__toks"): _*)
       .select((col("__id") +: ks.map(k => col(s"__t$k"))) :+
-        explode(expr(featuresSql)).as("__f"): _*)
+        explode(expr(featuresSqlOver("__toks"))).as("__f"): _*)
       .select((col("__id") +: ks.map(k => col(s"__t$k"))) :+
-        (expr("aggregate(split(__f, ''), 0L, " +
-          "(a, c) -> (a * 31 + ascii(c)) % 144115188075855859L)") % buckets).as("__b"): _*)
+        expr(bucketSqlOver("__f", buckets)).as("__b"): _*)
     val model = exploded
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("__call"),

@@ -12176,6 +12176,64 @@ object ExtensionQueries {
            |  f2rc.v AS recall_frozen_x100, p2rc.v AS recall_partial_x100, r2rc.v AS recall_refit_x100
            |FROM nu, nt, nr, f2rc, p2rc, r2rc""".stripMargin
       }
+    ),
+
+    // Frozen-model DSIR scoring (r16 tranche H): fit the bucket-LLR model
+    // on the base 75% of the corpus, score the held-out 25% WITHOUT refit
+    // — the daily-crawl deployment shape (q344's frozen-index pattern for
+    // importance weighting; refitting per batch would let the arriving
+    // data move its own yardstick). Features hashing to buckets the model
+    // never saw contribute llr 0 — exactly ql(1)−ql(1), so absence and
+    // zero-count presence are indistinguishable by construction and the
+    // oracle's LEFT JOIN + coalesce(l, 0) replays it bit-for-bit.
+    QueryDef(
+      "q363_dsir_frozen_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = Dsir.fitModel(docs.filter(col("doc_id") % 4 =!= 3),
+          "doc_id", "text", targetCol = col("lang") === "zh", buckets = 8192)
+        Dsir.scoreWithModel(docs.filter(col("doc_id") % 4 === 3),
+            "doc_id", "text", model, buckets = 8192)
+          .orderBy("doc_id")
+      },
+      Some {
+        val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(string_split(f, ''), c -> CAST(ord(c) AS BIGINT))), " +
+          "(a, c) -> (a * 31 + c) % 144115188075855859) % 8192"
+        raw"""WITH ftoks AS (SELECT doc_id, lang = 'zh' AS tgt,
+           |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           |  FROM documents WHERE doc_id % 4 <> 3),
+           |ffeats AS (SELECT doc_id, tgt, unnest(list_concat(t,
+           |      list_transform(range(greatest(len(t) - 1, 0)),
+           |        i -> t[i+1] || ' ' || t[i+2]))) AS f FROM ftoks),
+           |ffb AS (SELECT doc_id, tgt, $hash AS b FROM ffeats),
+           |fcnt AS (SELECT b,
+           |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           |  FROM ffb GROUP BY b),
+           |fllr AS (SELECT b,
+           |    CAST(${dsirQlSql("ct+1")}
+           |       - ${dsirQlSql("cr+1")} AS BIGINT) AS l FROM fcnt),
+           |ftot AS (SELECT CAST(sum(ct) + 8192 AS BIGINT) AS tt,
+           |    CAST(sum(cr) + 8192 AS BIGINT) AS tr FROM fcnt),
+           |fnorm AS (SELECT
+           |    CAST(${dsirQlSql("tt")}
+           |       - ${dsirQlSql("tr")} AS BIGINT) AS nl FROM ftot),
+           |stoks AS (SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           |  FROM documents WHERE doc_id % 4 = 3),
+           |sfeats AS (SELECT doc_id, unnest(list_concat(t,
+           |      list_transform(range(greatest(len(t) - 1, 0)),
+           |        i -> t[i+1] || ' ' || t[i+2]))) AS f FROM stoks),
+           |sfb AS (SELECT doc_id, $hash AS b FROM sfeats),
+           |sdoc AS (SELECT sfb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+           |    CAST(sum(coalesce(l, 0)) AS BIGINT) AS s
+           |  FROM sfb LEFT JOIN fllr USING (b) GROUP BY sfb.doc_id)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_features,
+           |  CAST((s - n_features * nl + 256 * n_features) * 1000 // n_features
+           |       - 256000 AS BIGINT) AS weight_x1000
+           |FROM sdoc, fnorm ORDER BY doc_id""".stripMargin
+      }
     )
   )
 

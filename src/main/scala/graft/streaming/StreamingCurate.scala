@@ -74,6 +74,56 @@ object StreamingCurate {
     if (keepBlocked) flat else flat.filter(col("blocked") === 0)
   }
 
+  /** Streaming DSIR gate — frozen-model importance scoring ON THE
+    * FIREHOSE (r16 tranche H): the bucket-LLR model is fit ONCE in batch
+    * ([[graft.operators.Dsir.fitModel]] — an epoch job over the reference
+    * corpus), collected here into a literal map (≤ `buckets` entries —
+    * a few KB), and every arriving document scores with ONE stateless
+    * per-row expression chain (featurize → map-lookup fold → the exact
+    * [[graft.operators.Dsir.importanceWeights]] weight formula) that
+    * fuses into the stream's map stage like the Gopher and blocklist
+    * gates — no state, no watermark, no join. StreamingSpec pins
+    * stream ≡ [[graft.operators.Dsir.scoreWithModel]] row-for-row.
+    *
+    * Featureless documents (empty/null text) emit no row — the batch
+    * scorer's contract. `keepRejected = true` keeps low-weight docs
+    * annotated (the audit form); false drops them at the door. */
+  def dsirGate(
+      docs: DataFrame, // <idCol>, <textCol>, ...
+      idCol: String,
+      textCol: String,
+      model: DataFrame, // Dsir.fitModel output: (bucket, llr, norm)
+      buckets: Int,
+      minWeightX1000: Long,
+      keepRejected: Boolean = false
+  ): DataFrame = {
+    val reserved = Seq("__fb", "__s", "n_features", "weight_x1000")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"dsirGate reserves column names ${reserved.mkString(", ")}; " +
+        s"input already carries ${clash.mkString(", ")} — rename before gating")
+    val rows = model.select("bucket", "llr", "norm").collect()
+    require(rows.nonEmpty, "dsirGate needs a non-empty model (Dsir.fitModel output)")
+    val normV = rows.head.getAs[Long]("norm")
+    val llrMap: Map[Long, Long] =
+      rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("llr")).toMap
+    val m = typedLit(llrMap)
+    val scored = docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("__fb", graft.operators.Dsir.featureBucketsExpr(textCol, buckets))
+      .withColumn("n_features", size(col("__fb")).cast("long"))
+      .filter(col("n_features") > 0)
+      // unseen bucket -> llr 0, the fitModel absence = zero-count contract
+      .withColumn("__s", aggregate(
+        transform(col("__fb"), b => coalesce(element_at(m, b), lit(0L))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("weight_x1000",
+        (expr(s"(__s - n_features * ${normV}L + 256L * n_features) * 1000 div n_features")
+          - lit(256000L)).cast("long"))
+      .drop("__fb", "__s")
+    if (keepRejected) scored else scored.filter(col("weight_x1000") >= minWeightX1000)
+  }
+
   /** Streaming ASSET intake — the multimodal twin of [[intake]]: binary
     * payloads come off the firehose, are routed by CONTENT
     * ([[graft.operators.Multimodal.sniffMime]] — a stateless codegen'd

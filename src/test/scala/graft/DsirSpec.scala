@@ -82,6 +82,42 @@ class DsirSpec extends SparkTestBase {
     assert(w(7L) > w(3L), s"target-vocab doc must outscore raw-vocab doc: $w")
   }
 
+  test("frozen model: same-corpus score reproduces importanceWeights; unseen vocab scores llr 0") {
+    val docs = Seq(
+      (1L, "alpha beta alpha", "t"), (2L, "alpha beta gamma delta", "r"),
+      (3L, "beta beta beta", "r"), (4L, "solo", "r"), (7L, "alpha alpha", "t")
+    ).toDF("id", "text", "grp")
+    val model = Dsir.fitModel(docs, "id", "text", col("grp") === "t", buckets = 64)
+    // model shape: one row per occupied bucket, the normalizer repeated
+    val rows = model.collect()
+    assert(rows.nonEmpty && rows.map(_.getAs[Long]("norm")).distinct.length == 1)
+    // the frozen-model contract: scoring the SAME corpus against its own
+    // model IS importanceWeights, row for row
+    def tup(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tup(Dsir.scoreWithModel(docs, "id", "text", model, buckets = 64)) ==
+      tup(Dsir.importanceWeights(docs, "id", "text", col("grp") === "t", buckets = 64)))
+    // a batch of mostly-unseen vocabulary: a feature whose bucket the
+    // model never saw coalesces to llr 0 (absence = zero-count presence);
+    // at 64 buckets other features may COLLIDE into occupied buckets, so
+    // the expected weight replays the exact lookup-and-fold from the
+    // model rows rather than assuming s = 0
+    val unseen = Seq((100L, "zq wk ej")).toDF("id", "text")
+    val u = Dsir.scoreWithModel(unseen, "id", "text", model, buckets = 64).head()
+    val norm = rows.head.getAs[Long]("norm")
+    val llrMap = rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("llr")).toMap
+    val fb = unseen.select(Dsir.featureBucketsExpr("text", 64).as("fb"))
+      .head().getSeq[Long](0)
+    assert(fb.exists(b => !llrMap.contains(b)), s"fixture must hit an unseen bucket: $fb")
+    val s = fb.map(b => llrMap.getOrElse(b, 0L)).sum
+    assert(u.getAs[Long]("n_features") == 5L)
+    assert(u.getAs[Long]("weight_x1000") ==
+      (s - 5L * norm + 256L * 5L) * 1000L / 5L - 256000L)
+    // featureless docs emit no row, like the batch scorer
+    assert(Dsir.scoreWithModel(Seq((9L, "")).toDF("id", "text"),
+      "id", "text", model, buckets = 64).count() == 0L)
+  }
+
   test("fixture enrichment: top-100 by weight holds >= 3x the base rate of the target") {
     // sf0.01 (500 docs): measured 66/100 zh hits at a 15% base rate
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

@@ -567,6 +567,57 @@ class StreamingSpec extends SparkTestBase {
     assert(raw.contains((1L, 3L)), s"fixture must band-collide the near dup: $raw")
   }
 
+  test("streaming DSIR gate: frozen-model firehose scores equal the batch scorer row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCurate
+    import graft.operators.Dsir
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "alpha beta alpha", "t"), (2L, "alpha beta gamma delta", "r"),
+      (3L, "beta beta beta", "r"), (7L, "alpha alpha", "t")).toDF("id", "text", "grp")
+    val model = Dsir.fitModel(corpus, "id", "text", col("grp") === "t", buckets = 64)
+    // batch includes seen vocab, raw-only vocab, unseen vocab, a
+    // featureless doc — delivered across two stream batches
+    val docs = Seq((10L, "alpha beta alpha"), (11L, "beta beta gamma"),
+      (12L, "zzqq wwrr unseen"), (13L, ""))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.take(2): _*)
+    mem.addData(docs.drop(2): _*)
+    val q = StreamingCurate.dsirGate(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model,
+        buckets = 64, minWeightX1000 = 0L, keepRejected = true)
+      .writeStream.format("memory").queryName("dsir_gate_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stream = spark.table("dsir_gate_test")
+      .select("doc_id", "n_features", "weight_x1000")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dsir.scoreWithModel(docs.toDF("doc_id", "text"),
+        "doc_id", "text", model, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(!stream.exists(_._1 == 13L)) // featureless doc emits no row
+    // intake form: only docs at/above the threshold land
+    val cut = batch.map(_._3).toSeq.sorted.apply(1) // drop the lowest scorer
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData(docs: _*)
+    val q2 = StreamingCurate.dsirGate(
+        mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", model,
+        buckets = 64, minWeightX1000 = cut)
+      .writeStream.format("memory").queryName("dsir_gate_drop_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val landed = spark.table("dsir_gate_drop_test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed == batch.filter(_._3 >= cut).map(_._1))
+    // reserved-name refusal, like the blocklist gate
+    val e = intercept[IllegalArgumentException] {
+      StreamingCurate.dsirGate(Seq((1L, "x", 0L)).toDF("doc_id", "text", "weight_x1000"),
+        "doc_id", "text", model, buckets = 64, minWeightX1000 = 0L)
+    }
+    assert(e.getMessage.contains("weight_x1000"))
+  }
+
   test("blocklist gate refuses inputs that already carry its reserved column names") {
     import graft.streaming.StreamingCurate
     // a stream already carrying `blocked` (or `__row` etc.) would be
