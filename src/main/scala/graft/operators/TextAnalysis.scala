@@ -1643,4 +1643,79 @@ object TextAnalysis {
       .select(col(idCol), col("__nt").as("n_tokens"), col("__nb").as("n_blocks"),
         col("__ng").as("n_gaps"), col("max_depth"), col("n_boundaries"), col("first_boundary"))
   }
+
+  /** Per-source token-distribution divergence vs the whole corpus —
+    * "which feed is distributionally WEIRD" as one datasheet row per
+    * source (r16 tranche I): the KL(source ‖ corpus) surrogate in exact
+    * integer half-bits via [[Dsir.halfBitLog2]]. Per source-token count
+    * c, corpus count C, source total Nₛ, corpus total N, the true
+    * 2·Nₛ·KL = Σ c·2·log2(c·N / (C·Nₛ)); the integer statistic replaces
+    * each log with its floor:
+    *   kl_numer = Σ c·(ql(c) + ql(N) − ql(C) − ql(Nₛ)),
+    * exact and engine-replayable (the floor-of-sums vs sum-of-floors gap
+    * is bounded by ±4 half-bits per token — that bound is also what makes
+    * the published per-token average's dividend provably non-negative:
+    * kl_x1000 = (numer + 4·Nₛ)·1000 div Nₛ − 4000, the established
+    * positivity-offset trick so Spark `div` ≡ DuckDB `//`). Skimming the
+    * table: en-like feeds cluster near the corpus mix; a synthetic or
+    * single-template feed stands out at multiples of the pack.
+    *
+    * Scale: one token pass (source-token counts, checkpointed at the
+    * aggregate — corpus counts DERIVE from it by additivity, no second
+    * pass), one keyed join on token, one per-source rollup. Nothing
+    * document-sized shuffles twice; source totals broadcast. */
+  def sourceDivergence(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    def ql(c: Column) = Dsir.halfBitLog2(c).cast("long")
+    val st = graft.operators.Par.ensureParallel(df)
+      .select(col(srcCol).as("source"), explode(tokens(textCol)).as("__t"))
+      .groupBy(col("source"), col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ct = st.groupBy(col("__t")).agg(sum(col("__c")).as("__ct"))
+    val ns = st.groupBy(col("source"))
+      .agg(sum(col("__c")).as("__ns"), count(lit(1)).as("__dt"))
+    val n = st.agg(sum(col("__c")).as("__n"))
+    st.join(ct, Seq("__t"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("__term",
+        col("__c") * (ql(col("__c")) + ql(col("__n")) - ql(col("__ct")) - ql(col("__ns"))))
+      .groupBy(col("source"))
+      .agg(first(col("__ns")).as("n_tokens"), first(col("__dt")).as("distinct_tokens"),
+        sum(col("__term")).as("__numer"))
+      .select(col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("distinct_tokens").cast("long").as("distinct_tokens"),
+        expr("(__numer + 4 * n_tokens) * 1000 div n_tokens").cast("long")
+          .minus(lit(4000L)).as("kl_x1000"))
+  }
+
+  /** Reliability curve for ANY document quality scorer — the calibration
+    * datasheet that says whether a score is safe to threshold on (r16
+    * tranche I): rank all docs by (score, id), split into `nBuckets`
+    * equal-count rank buckets, and report each bucket's size, score range
+    * and positive-label rate. A scorer worth gating on shows a monotone
+    * `pos_bp` column; a flat one is noise however good its top-k looks.
+    * Pure integer algebra (ranks, counts, basis points) — engine-exact.
+    *
+    * Scale note: the rank is ONE global sort window (the q240 posture —
+    * exact form for gates and samples); at full corpus scale compute
+    * approximate score cutpoints first and bucket by range instead. */
+  def scoreCalibration(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: Column, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val tot = df.agg(count(lit(1)).as("__n"))
+    df.select(col(idCol), col(scoreCol).cast("long").as("__score"),
+        when(coalesce(labelCol, lit(false)), 1L).otherwise(0L).as("__y"))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__score"), col(idCol))))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(__rk - 1) * $nBuckets div __n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("__score")).cast("long").as("min_score"),
+        max(col("__score")).cast("long").as("max_score"),
+        sum(col("__y")).cast("long").as("n_pos"))
+      .withColumn("pos_bp", expr("n_pos * 10000 div n_docs"))
+  }
 }

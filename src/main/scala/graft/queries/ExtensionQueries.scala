@@ -5577,7 +5577,7 @@ object ExtensionQueries {
              |    ELSE 'e_over_24h' END AS bucket FROM l)
              |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
              |       CAST(max(late) AS BIGINT) AS max_late_sec
-             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+             |FROM cal_b GROUP BY bucket ORDER BY bucket""".stripMargin)
     ),
 
     // Bloom-join pruning certificate with an engine-exact Bloom (bit array
@@ -12234,6 +12234,67 @@ object ExtensionQueries {
            |       - 256000 AS BIGINT) AS weight_x1000
            |FROM sdoc, fnorm ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    // Per-source token-distribution divergence (r16 tranche I): the
+    // "which feed is distributionally weird" datasheet row — integer
+    // half-bit KL(source || corpus) surrogate via the q332 ql machinery;
+    // corpus counts derive from the source-token aggregate by additivity
+    // (one token pass), and the positivity offset (+4 half-bits/token,
+    // the floor-gap bound) keeps the published average's dividend
+    // non-negative so div/'//' agree.
+    QueryDef(
+      "q364_source_divergence",
+      (s, dir) =>
+        TextAnalysis.sourceDivergence(tParallel(s, dir, "documents"), "text", "source")
+          .orderBy("source"),
+      Some(raw"""WITH st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+             |    FROM documents) GROUP BY source, t),
+             |ct AS (SELECT t, CAST(sum(c) AS BIGINT) AS ctot FROM st GROUP BY t),
+             |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS nsrc,
+             |    CAST(count(*) AS BIGINT) AS dt FROM st GROUP BY source),
+             |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+             |terms AS (SELECT st.source,
+             |    st.c * (${dsirQlSql("st.c")} + ${dsirQlSql("nn.n")}
+             |          - ${dsirQlSql("ct.ctot")} - ${dsirQlSql("ns.nsrc")}) AS term
+             |  FROM st JOIN ct USING (t) JOIN ns USING (source), nn),
+             |agg AS (SELECT source, CAST(sum(term) AS BIGINT) AS numer FROM terms GROUP BY source)
+             |SELECT a.source, ns.nsrc AS n_tokens, ns.dt AS distinct_tokens,
+             |  CAST((numer + 4 * nsrc) * 1000 // nsrc - 4000 AS BIGINT) AS kl_x1000
+             |FROM agg a JOIN ns ON a.source = ns.source ORDER BY a.source""".stripMargin)
+    ),
+
+    // Scorer calibration curve (r16 tranche I): rank the corpus by the
+    // DSIR zh-importance weight, split into 10 equal-count buckets, and
+    // report each bucket's positive (lang='zh') rate — the reliability
+    // diagram that says whether thresholding on the scorer is safe. A
+    // working scorer shows pos_bp rising with the bucket; the gate pins
+    // the whole curve, and the spec asserts the monotone-top property.
+    QueryDef(
+      "q365_score_calibration",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val w = Dsir.importanceWeights(docs, "doc_id", "text",
+          targetCol = col("lang") === "zh", buckets = 8192)
+        val scored = w.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        TextAnalysis.scoreCalibration(scored, "doc_id", "weight_x1000",
+            labelCol = col("lang") === "zh", nBuckets = 10)
+          .orderBy("bucket")
+      },
+      Some(s"""WITH $dsirWeightsCtes,
+             |cal_lab AS (SELECT w.doc_id, w.weight_x1000, d.lang = 'zh' AS y
+             |  FROM weights w JOIN documents d USING (doc_id)),
+             |cal_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal_lab),
+             |cal_rk AS (SELECT *, row_number() OVER (ORDER BY weight_x1000, doc_id) AS r FROM cal_lab),
+             |cal_b AS (SELECT (r - 1) * 10 // n AS bucket, weight_x1000,
+             |    CASE WHEN y THEN 1 ELSE 0 END AS yy FROM cal_rk, cal_tot)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(weight_x1000) AS BIGINT) AS min_score,
+             |  CAST(max(weight_x1000) AS BIGINT) AS max_score,
+             |  CAST(sum(yy) AS BIGINT) AS n_pos,
+             |  CAST(sum(yy) * 10000 // count(*) AS BIGINT) AS pos_bp
+             |FROM cal_b GROUP BY bucket ORDER BY bucket""".stripMargin)
     )
   )
 

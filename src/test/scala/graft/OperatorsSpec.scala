@@ -5187,6 +5187,46 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("source divergence: a template feed stands out, a corpus-mix feed sits near zero") {
+    import graft.operators.Dsir
+    // source A and B share the corpus's mixed vocabulary; source C is a
+    // single-template feed (one token repeated)
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "A"), (2L, "beta gamma delta alpha", "A"),
+      (3L, "alpha beta gamma delta", "B"), (4L, "delta gamma beta alpha", "B"),
+      (5L, "spam spam spam spam", "C"), (6L, "spam spam spam spam", "C")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceDivergence(d, "text", "source")
+      .collect().map(x => x.getString(0) ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("distinct_tokens"), x.getAs[Long]("kl_x1000")))).toMap
+    assert(r("A")._1 == 8L && r("A")._2 == 4L)
+    assert(r("C")._1 == 8L && r("C")._2 == 1L)
+    // the template feed diverges far beyond the mixed feeds
+    assert(r("C")._3 > r("A")._3 + 1000L, s"$r")
+    assert(r("A")._3 == r("B")._3) // identical distributions score identically
+    // JVM replay of the integer formula for source C: c=8 spam tokens,
+    // corpus spam count 8, Ns=8, N=24
+    def ql(n: Long) = (BigInt(n) * BigInt(n)).bitLength - 1L
+    val numerC = 8L * (ql(8) + ql(24) - ql(8) - ql(8))
+    assert(r("C")._3 == (numerC + 4 * 8) * 1000 / 8 - 4000)
+  }
+
+  test("score calibration: equal-count buckets, exact rates, monotone for a separating score") {
+    // 10 docs, score = doc id, label = top half — a perfectly separating
+    // scorer must show 0 bp in the bottom bucket and 10000 in the top
+    val d = (1L to 10L).map(i => (i, i * 100L, i > 5L)).toDF("id", "score", "y")
+    val r = TextAnalysis.scoreCalibration(d, "id", "score", col("y"), nBuckets = 2)
+      .orderBy("bucket").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_docs") == 5L && r(1).getAs[Long]("n_docs") == 5L)
+    assert(r(0).getAs[Long]("min_score") == 100L && r(0).getAs[Long]("max_score") == 500L)
+    assert(r(0).getAs[Long]("pos_bp") == 0L && r(1).getAs[Long]("pos_bp") == 10000L)
+    // uneven split: 10 docs into 3 buckets -> sizes 4/3/3 (rank algebra)
+    val r3 = TextAnalysis.scoreCalibration(d, "id", "score", col("y"), nBuckets = 3)
+      .orderBy("bucket").collect().map(_.getAs[Long]("n_docs")).toSeq
+    assert(r3 == Seq(4L, 3L, 3L), s"$r3")
+  }
+
   test("token_set_hits expressions built from the same phrase lists canonicalize together") {
     import graft.functions.TokenSetHits
     import org.apache.spark.sql.catalyst.expressions.BoundReference
