@@ -843,8 +843,14 @@ object Main {
             s"""{"src_a": ${jsonStr(String.valueOf(r.get(0)))}, "src_b": ${jsonStr(String.valueOf(r.get(1)))}, """ +
               s""""n_shared_texts": ${r.getAs[Long]("n_shared_texts")}, "cross_doc_pairs": ${r.getAs[Long]("cross_doc_pairs")}}"""
           }
+        val div = TextAnalysis.sourceDivergence(df, a.textCol, a.sourceCol)
+          .orderBy("source").collect().map { r =>
+            s"""{"source": ${jsonStr(String.valueOf(r.get(0)))}, "n_tokens": ${r.getAs[Long]("n_tokens")}, """ +
+              s""""distinct_tokens": ${r.getAs[Long]("distinct_tokens")}, "kl_x1000": ${r.getAs[Long]("kl_x1000")}}"""
+          }
         s""", "sources": ${rows.mkString("[", ", ", "]")}""" +
-          s""", "cross_source": ${cross.mkString("[", ", ", "]")}"""
+          s""", "cross_source": ${cross.mkString("[", ", ", "]")}""" +
+          s""", "source_divergence": ${div.mkString("[", ", ", "]")}"""
       }
     val gates = Seq(
       ("max_chars", length(col(a.textCol)) <= 1000000, 1L),

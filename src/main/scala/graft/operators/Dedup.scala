@@ -502,6 +502,53 @@ object Dedup {
           .otherwise(expr("(tokens_total - tokens_kept) * 10000 div tokens_total")))
   }
 
+  /** Corpus EPOCH diff — the engine's diff identity applied to the corpus
+    * itself (r16 tranche J): what changed between two crawl/curation
+    * epochs, one row per source. A nightly pipeline wants this BEFORE
+    * retraining decisions: "feed B dropped 40% of its docs and its
+    * surviving texts changed" is a stop-the-line signal no per-epoch
+    * datasheet row shows. Per source:
+    *   - `n_base` / `n_head`: doc counts on each side;
+    *   - `added` / `removed`: ids present on one side only;
+    *   - `changed` / `unchanged`: shared ids split by md5(text) equality
+    *     (the row-hash identity [[graft.engine.DiffEngine]] diffs tables
+    *     with, applied to documents);
+    *   - `token_delta`: head tokens − base tokens across the source
+    *     (signed; new text minus deleted text in the budget's unit).
+    *
+    * Scale: token counts and content hashes are map-side at each scan;
+    * ONE full-outer join keyed on the id (bodies never move — only the
+    * 32-hex hash and the counts), one per-source rollup. A doc whose
+    * SOURCE differs between epochs counts under the head side's source
+    * (head is the epoch being reviewed; base's label is history). */
+  def corpusEpochDiff(base: DataFrame, head: DataFrame, idCol: String,
+      textCol: String, srcCol: String): DataFrame = {
+    def side(df: DataFrame, p: String) = Par.ensureParallel(df).select(
+      col(idCol).as("__id"),
+      col(srcCol).as(s"${p}_src"),
+      md5(col(textCol)).as(s"${p}_h"),
+      size(expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
+        .cast("long").as(s"${p}_nt"))
+    side(base, "b").join(side(head, "h"), Seq("__id"), "full_outer")
+      .select(coalesce(col("h_src"), col("b_src")).as("source"),
+        col("b_h"), col("h_h"),
+        coalesce(col("b_nt"), lit(0L)).as("b_nt"),
+        coalesce(col("h_nt"), lit(0L)).as("h_nt"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("b_h").isNotNull, 1L).otherwise(0L)).cast("long").as("n_base"),
+        sum(when(col("h_h").isNotNull, 1L).otherwise(0L)).cast("long").as("n_head"),
+        sum(when(col("b_h").isNull && col("h_h").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("added"),
+        sum(when(col("b_h").isNotNull && col("h_h").isNull, 1L).otherwise(0L))
+          .cast("long").as("removed"),
+        sum(when(col("b_h").isNotNull && col("h_h").isNotNull &&
+          col("b_h") =!= col("h_h"), 1L).otherwise(0L)).cast("long").as("changed"),
+        sum(when(col("b_h").isNotNull && col("h_h").isNotNull &&
+          col("b_h") === col("h_h"), 1L).otherwise(0L)).cast("long").as("unchanged"),
+        sum(col("h_nt") - col("b_nt")).cast("long").as("token_delta"))
+  }
+
   /** Boundary-overlap pairs — the crawl-pagination stitcher: page 2 of a
     * paginated article begins with the same tokens page 1 ends with, and
     * a curation pipeline wants those re-joined (or the overlap scrubbed)

@@ -12295,6 +12295,50 @@ object ExtensionQueries {
              |  CAST(sum(yy) AS BIGINT) AS n_pos,
              |  CAST(sum(yy) * 10000 // count(*) AS BIGINT) AS pos_bp
              |FROM cal_b GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+
+    // Corpus epoch diff (r16 tranche J): the diff identity applied to the
+    // corpus itself — head = the next crawl epoch derived deterministically
+    // from base (docs % 7 = 0 dropped, % 5 = 0 re-crawled under id+600000,
+    // % 11 = 0 text-updated), so every column of the per-source
+    // added/removed/changed/token-delta report exercises on real data and
+    // the oracle replays the identical mutation + full-outer rollup.
+    QueryDef(
+      "q366_corpus_epoch_diff",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        val head = base.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" upd")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 600000L).as("doc_id"), col("source"), col("text")))
+        Dedup.corpusEpochDiff(base.select("doc_id", "source", "text"), head,
+            "doc_id", "text", "source")
+          .orderBy("source")
+      },
+      Some(raw"""WITH b AS (SELECT doc_id, source, md5(text) AS h,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt
+             |  FROM documents),
+             |hd0 AS (SELECT doc_id, source,
+             |    CASE WHEN doc_id % 11 = 0 THEN text || ' upd' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL SELECT doc_id + 600000, source, text FROM documents WHERE doc_id % 5 = 0),
+             |h AS (SELECT doc_id, source, md5(text) AS h,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt
+             |  FROM hd0),
+             |j AS (SELECT coalesce(h.source, b.source) AS source, b.h AS bh, h.h AS hh,
+             |    coalesce(b.nt, 0) AS bnt, coalesce(h.nt, 0) AS hnt
+             |  FROM b FULL OUTER JOIN h USING (doc_id))
+             |SELECT source,
+             |  CAST(sum(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             |  CAST(sum(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+             |  CAST(sum(CASE WHEN bh IS NULL AND hh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+             |  CAST(sum(CASE WHEN bh IS NOT NULL AND hh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+             |  CAST(sum(CASE WHEN bh IS NOT NULL AND hh IS NOT NULL AND bh <> hh THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+             |  CAST(sum(CASE WHEN bh IS NOT NULL AND hh IS NOT NULL AND bh = hh THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+             |  CAST(sum(hnt - bnt) AS BIGINT) AS token_delta
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 

@@ -309,6 +309,8 @@ class CliSpec extends SparkTestBase {
     assert(line.contains(""""sources": [{"source": "feedA", "n_docs": 3, "n_kept": 2"""), line)
     // the cross-source matrix sees exactly the shared text
     assert(line.contains(""""cross_source": [{"src_a": "feedA", "src_b": "feedB", "n_shared_texts": 1, "cross_doc_pairs": 1}]"""), line)
+    // per-source distribution divergence rides along (q364's row)
+    assert(line.contains(""""source_divergence": [{"source": "feedA", "n_tokens": """), line)
     // four gates ranked 1..4
     assert(line.contains(""""filter_order": [{"filter": """), line)
     (1 to 4).foreach(p => assert(line.contains(s""""position": $p"""), line))

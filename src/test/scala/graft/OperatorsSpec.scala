@@ -5187,6 +5187,22 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("corpus epoch diff: per-source added/removed/changed/token-delta, hand-checked") {
+    val base = Seq((1L, "a b c", "A"), (2L, "d e", "A"), (3L, "f g h i", "B"))
+      .toDF("doc_id", "text", "source")
+    val head = Seq((1L, "a b c", "A"), (2L, "d e x", "A"), (4L, "new words", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.corpusEpochDiff(base, head, "doc_id", "text", "source")
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7)))
+    // A: doc 1 unchanged, doc 2 changed (+1 token); B: doc 3 removed
+    // (-4 tokens), doc 4 added (+2 tokens)
+    assert(r.toSeq == Seq(
+      ("A", 2L, 2L, 0L, 0L, 1L, 1L, 1L),
+      ("B", 1L, 1L, 1L, 1L, 0L, 0L, -2L)), r.toSeq.toString)
+  }
+
   test("source divergence: a template feed stands out, a corpus-mix feed sits near zero") {
     import graft.operators.Dsir
     // source A and B share the corpus's mixed vocabulary; source C is a
