@@ -809,6 +809,10 @@ object Main {
     *     q358) — present when `--source-col` exists;
     *   - `cross_source`: content-hash overlap matrix
     *     ([[graft.operators.Dedup.crossSourceDupMatrix]], q348), same guard;
+    *   - `source_divergence`: per-source distribution divergence
+    *     ([[graft.operators.TextAnalysis.sourceDivergence]], q364), same
+    *     guard — note this leg is a full corpus token explode plus two
+    *     keyed shuffles, the datasheet's second-most-expensive section;
     *   - `filter_order`: the cascade-ordering advisor
     *     ([[graft.operators.TextAnalysis.filterOrderAdvisor]], q356) over a
     *     standard four-gate cascade (length cap 1 / min-tokens 5 /

@@ -523,29 +523,37 @@ object Dedup {
     * (head is the epoch being reviewed; base's label is history). */
   def corpusEpochDiff(base: DataFrame, head: DataFrame, idCol: String,
       textCol: String, srcCol: String): DataFrame = {
+    // explicit presence literals, NOT hash nullness: md5(NULL) is NULL, so
+    // a null-text doc would otherwise read as ABSENT from its epoch
+    // (counted added/removed instead of changed; r16 self-review). The
+    // hash comparison is null-safe for the same reason: null text on both
+    // sides is "unchanged", null-vs-text is "changed".
     def side(df: DataFrame, p: String) = Par.ensureParallel(df).select(
       col(idCol).as("__id"),
       col(srcCol).as(s"${p}_src"),
+      lit(1L).as(s"${p}_p"),
       md5(col(textCol)).as(s"${p}_h"),
-      size(expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
-        .cast("long").as(s"${p}_nt"))
+      coalesce(size(expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
+        .cast("long"), lit(0L)).as(s"${p}_nt"))
     side(base, "b").join(side(head, "h"), Seq("__id"), "full_outer")
       .select(coalesce(col("h_src"), col("b_src")).as("source"),
+        coalesce(col("b_p"), lit(0L)).as("b_p"),
+        coalesce(col("h_p"), lit(0L)).as("h_p"),
         col("b_h"), col("h_h"),
         coalesce(col("b_nt"), lit(0L)).as("b_nt"),
         coalesce(col("h_nt"), lit(0L)).as("h_nt"))
       .groupBy(col("source"))
       .agg(
-        sum(when(col("b_h").isNotNull, 1L).otherwise(0L)).cast("long").as("n_base"),
-        sum(when(col("h_h").isNotNull, 1L).otherwise(0L)).cast("long").as("n_head"),
-        sum(when(col("b_h").isNull && col("h_h").isNotNull, 1L).otherwise(0L))
+        sum(col("b_p")).cast("long").as("n_base"),
+        sum(col("h_p")).cast("long").as("n_head"),
+        sum(when(col("b_p") === 0 && col("h_p") === 1, 1L).otherwise(0L))
           .cast("long").as("added"),
-        sum(when(col("b_h").isNotNull && col("h_h").isNull, 1L).otherwise(0L))
+        sum(when(col("b_p") === 1 && col("h_p") === 0, 1L).otherwise(0L))
           .cast("long").as("removed"),
-        sum(when(col("b_h").isNotNull && col("h_h").isNotNull &&
-          col("b_h") =!= col("h_h"), 1L).otherwise(0L)).cast("long").as("changed"),
-        sum(when(col("b_h").isNotNull && col("h_h").isNotNull &&
-          col("b_h") === col("h_h"), 1L).otherwise(0L)).cast("long").as("unchanged"),
+        sum(when(col("b_p") === 1 && col("h_p") === 1 &&
+          !(col("b_h") <=> col("h_h")), 1L).otherwise(0L)).cast("long").as("changed"),
+        sum(when(col("b_p") === 1 && col("h_p") === 1 &&
+          (col("b_h") <=> col("h_h")), 1L).otherwise(0L)).cast("long").as("unchanged"),
         sum(col("h_nt") - col("b_nt")).cast("long").as("token_delta"))
   }
 

@@ -108,11 +108,16 @@ object Dsir {
     s"aggregate(split($f, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 144115188075855859L) % $buckets"
 
   /** Per-document feature-bucket ARRAY (no explode) — the stateless
-    * per-row form the streaming gate fuses into its map stage. */
-  private[graft] def featureBucketsExpr(textCol: String, buckets: Int): Column = {
-    val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
-    expr(s"transform(${featuresSqlOver(toks)}, f -> ${bucketSqlOver("f", buckets)})")
-  }
+    * per-row form the streaming gate fuses into its map stage. `toksCol`
+    * must name a BOUND token-array column (bind it with one withColumn
+    * first): [[featuresSqlOver]] references the token array five times,
+    * twice inside the per-bigram lambda, and HOF lambdas are interpreted
+    * with no loop-invariant hoisting — an inline filter(split(text))
+    * would re-tokenize the whole document once per bigram, O(tokens²)
+    * per row (r16 self-review; the batch paths bind __toks for the same
+    * reason). */
+  private[graft] def featureBucketsExpr(toksCol: String, buckets: Int): Column =
+    expr(s"transform(${featuresSqlOver(toksCol)}, f -> ${bucketSqlOver("f", buckets)})")
 
   def importanceWeights(
       df: DataFrame,
@@ -180,10 +185,12 @@ object Dsir {
     * reproduces [[importanceWeights]] row-for-row (DsirSpec pins it).
     * An unoccupied bucket carries llr = ql(1) − ql(1) = 0 — exactly the
     * 0 [[scoreWithModel]] coalesces for unseen buckets, so absence and
-    * zero-count presence score identically by construction. */
+    * zero-count presence score identically by construction. The model
+    * also records its own `buckets` (repeated like `norm`): scoring with
+    * a different hash width silently produces plausible garbage, so the
+    * scorer REFUSES a mismatch instead (r16 self-review). */
   def fitModel(
       df: DataFrame,
-      idCol: String,
       textCol: String,
       targetCol: Column,
       buckets: Int = 8192
@@ -208,6 +215,7 @@ object Dsir {
         (halfBitLog2(col("__ct") + 1) - halfBitLog2(col("__cr") + 1))
           .cast("long").as("llr"))
       .crossJoin(broadcast(norm))
+      .withColumn("buckets", lit(buckets.toLong))
   }
 
   /** Score documents against a FROZEN [[fitModel]] model — the daily-crawl
@@ -228,6 +236,17 @@ object Dsir {
       buckets: Int = 8192
   ): DataFrame = {
     require(buckets > 1, "need at least 2 hash buckets")
+    // one-row driver read: an EMPTY model (wrong path, schema-only frame)
+    // must refuse loudly, not annihilate every row through a crossJoin
+    // with an empty normalizer; and a hash-width mismatch with the fit
+    // must refuse too — both silently produce plausible garbage weights
+    // (r16 self-review)
+    val head = model.select(col("norm"), col("buckets")).limit(1).collect()
+    require(head.nonEmpty, "scoreWithModel needs a non-empty model (Dsir.fitModel output)")
+    val normV = head.head.getAs[Long]("norm")
+    val fitBuckets = head.head.getAs[Long]("buckets")
+    require(fitBuckets == buckets.toLong,
+      s"model was fit with buckets=$fitBuckets, scoring requested $buckets — hash widths must match")
     val exploded = Par.ensureParallel(df)
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
@@ -235,16 +254,14 @@ object Dsir {
       .select(col("__id"), explode(expr(featuresSqlOver("__toks"))).as("__f"))
       .select(col("__id"), expr(bucketSqlOver("__f", buckets)).as("__b"))
     val llr = model.select(col("bucket").as("__b"), col("llr").as("__l"))
-    val norm = model.select(col("norm").as("__nl")).limit(1)
     exploded
       .join(broadcast(llr), Seq("__b"), "left")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_features"),
         sum(coalesce(col("__l"), lit(0L))).as("__s"))
-      .crossJoin(broadcast(norm))
       .select(col("__id").as(idCol),
         col("n_features").cast("long").as("n_features"),
-        (expr("(__s - n_features * __nl + 256L * n_features) * 1000 div n_features")
+        (expr(s"(__s - n_features * ${normV}L + 256L * n_features) * 1000 div n_features")
           - lit(256000L)).cast("long").as("weight_x1000"))
   }
 

@@ -5577,7 +5577,7 @@ object ExtensionQueries {
              |    ELSE 'e_over_24h' END AS bucket FROM l)
              |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
              |       CAST(max(late) AS BIGINT) AS max_late_sec
-             |FROM cal_b GROUP BY bucket ORDER BY bucket""".stripMargin)
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
     ),
 
     // Bloom-join pruning certificate with an engine-exact Bloom (bit array
@@ -12191,7 +12191,7 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val model = Dsir.fitModel(docs.filter(col("doc_id") % 4 =!= 3),
-          "doc_id", "text", targetCol = col("lang") === "zh", buckets = 8192)
+          "text", targetCol = col("lang") === "zh", buckets = 8192)
         Dsir.scoreWithModel(docs.filter(col("doc_id") % 4 === 3),
             "doc_id", "text", model, buckets = 8192)
           .orderBy("doc_id")
@@ -12317,26 +12317,27 @@ object ExtensionQueries {
             "doc_id", "text", "source")
           .orderBy("source")
       },
-      Some(raw"""WITH b AS (SELECT doc_id, source, md5(text) AS h,
-             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt
+      Some(raw"""WITH b AS (SELECT doc_id, source, 1 AS p, md5(text) AS h,
+             |    CAST(coalesce(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 0) AS BIGINT) AS nt
              |  FROM documents),
              |hd0 AS (SELECT doc_id, source,
              |    CASE WHEN doc_id % 11 = 0 THEN text || ' upd' ELSE text END AS text
              |  FROM documents WHERE doc_id % 7 <> 0
              |  UNION ALL SELECT doc_id + 600000, source, text FROM documents WHERE doc_id % 5 = 0),
-             |h AS (SELECT doc_id, source, md5(text) AS h,
-             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt
+             |h AS (SELECT doc_id, source, 1 AS p, md5(text) AS h,
+             |    CAST(coalesce(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 0) AS BIGINT) AS nt
              |  FROM hd0),
-             |j AS (SELECT coalesce(h.source, b.source) AS source, b.h AS bh, h.h AS hh,
+             |j AS (SELECT coalesce(h.source, b.source) AS source,
+             |    coalesce(b.p, 0) AS bp, coalesce(h.p, 0) AS hp, b.h AS bh, h.h AS hh,
              |    coalesce(b.nt, 0) AS bnt, coalesce(h.nt, 0) AS hnt
              |  FROM b FULL OUTER JOIN h USING (doc_id))
              |SELECT source,
-             |  CAST(sum(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
-             |  CAST(sum(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
-             |  CAST(sum(CASE WHEN bh IS NULL AND hh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
-             |  CAST(sum(CASE WHEN bh IS NOT NULL AND hh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
-             |  CAST(sum(CASE WHEN bh IS NOT NULL AND hh IS NOT NULL AND bh <> hh THEN 1 ELSE 0 END) AS BIGINT) AS changed,
-             |  CAST(sum(CASE WHEN bh IS NOT NULL AND hh IS NOT NULL AND bh = hh THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+             |  CAST(sum(bp) AS BIGINT) AS n_base,
+             |  CAST(sum(hp) AS BIGINT) AS n_head,
+             |  CAST(sum(CASE WHEN bp = 0 AND hp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS added,
+             |  CAST(sum(CASE WHEN bp = 1 AND hp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+             |  CAST(sum(CASE WHEN bp = 1 AND hp = 1 AND bh IS DISTINCT FROM hh THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+             |  CAST(sum(CASE WHEN bp = 1 AND hp = 1 AND bh IS NOT DISTINCT FROM hh THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
              |  CAST(sum(hnt - bnt) AS BIGINT) AS token_delta
              |FROM j GROUP BY source ORDER BY source""".stripMargin)
     )

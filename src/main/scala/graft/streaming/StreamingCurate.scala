@@ -97,30 +97,44 @@ object StreamingCurate {
       minWeightX1000: Long,
       keepRejected: Boolean = false
   ): DataFrame = {
-    val reserved = Seq("__fb", "__s", "n_features", "weight_x1000")
+    val reserved = Seq("__toks", "__fb", "__s", "n_features", "weight_x1000")
     val clash = docs.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"dsirGate reserves column names ${reserved.mkString(", ")}; " +
         s"input already carries ${clash.mkString(", ")} — rename before gating")
-    val rows = model.select("bucket", "llr", "norm").collect()
+    val rows = model.select("bucket", "llr", "norm", "buckets").collect()
     require(rows.nonEmpty, "dsirGate needs a non-empty model (Dsir.fitModel output)")
     val normV = rows.head.getAs[Long]("norm")
-    val llrMap: Map[Long, Long] =
-      rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("llr")).toMap
-    val m = typedLit(llrMap)
+    val fitBuckets = rows.head.getAs[Long]("buckets")
+    require(fitBuckets == buckets.toLong,
+      s"model was fit with buckets=$fitBuckets, gate requested $buckets — hash widths must match")
+    // DENSE llr array (index = bucket, absent = 0): element_at on a map
+    // literal is a linear key scan per lookup — O(model) on the per-row
+    // hot path; the dense array is O(1) and subsumes the unseen-bucket
+    // coalesce (r16 self-review)
+    val llrArr = Array.fill(buckets)(0L)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      require(b >= 0 && b < buckets, s"model bucket $b outside [0, $buckets)")
+      llrArr(b.toInt) = r.getAs[Long]("llr")
+    }
+    val m = typedLit(llrArr.toSeq)
     val scored = docs
       .filter(col(textCol).isNotNull)
-      .withColumn("__fb", graft.operators.Dsir.featureBucketsExpr(textCol, buckets))
+      // bind the token array ONCE — featureBucketsExpr's bigram lambda
+      // references it per element, and an inline tokenize would re-split
+      // the document once per bigram (see featureBucketsExpr's scaladoc)
+      .withColumn("__toks", expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')"))
+      .withColumn("__fb", graft.operators.Dsir.featureBucketsExpr("__toks", buckets))
       .withColumn("n_features", size(col("__fb")).cast("long"))
       .filter(col("n_features") > 0)
-      // unseen bucket -> llr 0, the fitModel absence = zero-count contract
       .withColumn("__s", aggregate(
-        transform(col("__fb"), b => coalesce(element_at(m, b), lit(0L))),
+        transform(col("__fb"), b => element_at(m, (b + 1).cast("int"))),
         lit(0L), (acc, x) => acc + x))
       .withColumn("weight_x1000",
         (expr(s"(__s - n_features * ${normV}L + 256L * n_features) * 1000 div n_features")
           - lit(256000L)).cast("long"))
-      .drop("__fb", "__s")
+      .drop("__toks", "__fb", "__s")
     if (keepRejected) scored else scored.filter(col("weight_x1000") >= minWeightX1000)
   }
 

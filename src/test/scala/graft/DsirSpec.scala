@@ -87,7 +87,7 @@ class DsirSpec extends SparkTestBase {
       (1L, "alpha beta alpha", "t"), (2L, "alpha beta gamma delta", "r"),
       (3L, "beta beta beta", "r"), (4L, "solo", "r"), (7L, "alpha alpha", "t")
     ).toDF("id", "text", "grp")
-    val model = Dsir.fitModel(docs, "id", "text", col("grp") === "t", buckets = 64)
+    val model = Dsir.fitModel(docs, "text", col("grp") === "t", buckets = 64)
     // model shape: one row per occupied bucket, the normalizer repeated
     val rows = model.collect()
     assert(rows.nonEmpty && rows.map(_.getAs[Long]("norm")).distinct.length == 1)
@@ -106,7 +106,9 @@ class DsirSpec extends SparkTestBase {
     val u = Dsir.scoreWithModel(unseen, "id", "text", model, buckets = 64).head()
     val norm = rows.head.getAs[Long]("norm")
     val llrMap = rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("llr")).toMap
-    val fb = unseen.select(Dsir.featureBucketsExpr("text", 64).as("fb"))
+    val fb = unseen
+      .withColumn("__toks", expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+      .select(Dsir.featureBucketsExpr("__toks", 64).as("fb"))
       .head().getSeq[Long](0)
     assert(fb.exists(b => !llrMap.contains(b)), s"fixture must hit an unseen bucket: $fb")
     val s = fb.map(b => llrMap.getOrElse(b, 0L)).sum

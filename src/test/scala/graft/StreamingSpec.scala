@@ -575,7 +575,7 @@ class StreamingSpec extends SparkTestBase {
     val corpus = Seq(
       (1L, "alpha beta alpha", "t"), (2L, "alpha beta gamma delta", "r"),
       (3L, "beta beta beta", "r"), (7L, "alpha alpha", "t")).toDF("id", "text", "grp")
-    val model = Dsir.fitModel(corpus, "id", "text", col("grp") === "t", buckets = 64)
+    val model = Dsir.fitModel(corpus, "text", col("grp") === "t", buckets = 64)
     // batch includes seen vocab, raw-only vocab, unseen vocab, a
     // featureless doc — delivered across two stream batches
     val docs = Seq((10L, "alpha beta alpha"), (11L, "beta beta gamma"),
