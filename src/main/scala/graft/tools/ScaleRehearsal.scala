@@ -81,7 +81,13 @@ object ScaleRehearsal {
     // plan); q336/q337 = the two heaviest r14 map-side text passes
     // (literal-array blocklist; sorted-codepoint entropy fold).
     "q333_dsir_resample_mix", "q334_prefix_cap_report",
-    "q336_blocklist_filter", "q337_entropy_halfbit")
+    "q336_blocklist_filter", "q337_entropy_halfbit",
+    // r16: the 64-bit banded-SimHash cap accounting — the operator whose
+    // scale claim (16-bit band keyspace keeps caps non-binding on a
+    // well-spread corpus; saturation is measured, never assumed) the
+    // rehearsal directly evidences. One simhash pass prices both caps;
+    // measured ~flat at 10× in the r16 warm probe (3.5 → 3.1 s).
+    "q359_simhash_cap")
 
   /** Build (once per source-fixture state) the `copies`× dataset under
     * `outDir`; returns outDir. The done-marker carries a fingerprint of
