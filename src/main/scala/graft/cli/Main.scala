@@ -202,7 +202,12 @@ object Main {
               val n = kv.substring(0, eq).trim
               require(n.matches("[A-Za-z][A-Za-z0-9_]*"),
                 s"dsir domain name '$n' must be identifier-safe")
-              n -> kv.substring(eq + 1).trim
+              val p = kv.substring(eq + 1).trim
+              // refuse 'name=' at parse time (r17 advice): an empty path
+              // otherwise only fails much later inside spark.read.parquet
+              // with an opaque error, after upstream stages already ran
+              require(p.nonEmpty, s"--dsir-targets pair '$kv' has an empty path")
+              n -> p
             }.toSeq
           require(pairs.map(_._1).distinct.size == pairs.size, "dsir domain names must be unique")
           a = a.copy(dsirTargets = pairs)

@@ -453,13 +453,18 @@ object Dedup {
   /** Multi-cap form of [[simHashCapReport]]: ONE simhash + band-occupancy
     * pass prices every candidate cap (a cap-sizing sweep at 100 TB costs
     * one pass, not one per cap); one row per cap with a `cap` column,
-    * ordered by cap. */
+    * ordered by cap. The occupancy frame is localCheckpoint'd when more
+    * than one cap is asked for (r17 advice: simHashBands pins only the
+    * simhash aggregate, so without this the band explode and occupancy
+    * groupBy re-ran once per cap — one shuffle per cap, exactly what the
+    * one-pass claim denies). Bounded pin: ≤ 4·65,536 occupancy rows. */
   def simHashCapReports(df: DataFrame, idCol: String, textCol: String,
       caps: Seq[Int]): DataFrame = {
     require(caps.nonEmpty && caps.forall(_ >= 2), "each cap must be at least 2")
     require(caps.distinct.size == caps.size, "caps must be distinct")
-    val occ = simHashBands(df, idCol, textCol)
+    val occ0 = simHashBands(df, idCol, textCol)
       .groupBy("band_idx", "band_key").agg(count(lit(1)).as("__c"))
+    val occ = if (caps.size > 1) occ0.localCheckpoint() else occ0
     val perCap = caps.sorted.map { cap =>
       occ.agg(
         count(lit(1)).cast("long").as("n_buckets"),

@@ -1054,10 +1054,23 @@ object Similarity {
     * `mutual = true` keeps only pairs that are each other's best — the
     * forward∩backward intersection the published mining pipelines apply
     * as the final precision filter (one more windowed rank over the same
-    * scored pairs, no extra scoring pass). */
+    * scored pairs, no extra scoring pass).
+    *
+    * Cache lifetime: the scored-pair frame is persisted (MEMORY_AND_DISK)
+    * and — because this result is lazy — stays cached until
+    * `spark.catalog.clearCache()` / session end; a long-running service
+    * mining repeatedly should clear between calls (the one-row
+    * [[marginBitextBlockedCertificate]] cleans up after itself). */
   def marginBitextPairs(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, minMarginX1k: Long = 1000L,
-      mutual: Boolean = false): DataFrame = {
+      mutual: Boolean = false): DataFrame =
+    marginBitextPairsH(a, b, idCol, vecCol, k, minMarginX1k, mutual)._1
+
+  /** [[marginBitextPairs]] plus the persisted scored-pair handle, for
+    * callers that fully materialize and can therefore unpersist it. */
+  private def marginBitextPairsH(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int, minMarginX1k: Long,
+      mutual: Boolean): (DataFrame, DataFrame) = {
     require(k >= 1, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(a.sparkSession)
@@ -1075,7 +1088,7 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         greatest(floor(GraftFunctions.cosineSim(col("__va"), col("__vb")) * 1000000d)
           .cast("long") + 1000000L, lit(0L)).as("__s"))
-    marginRank(pairs, k, minMarginX1k, mutual)
+    marginRankH(pairs, k, minMarginX1k, mutual)
   }
 
   /** The margin-ranking stage of [[marginBitextPairs]] over PRE-SCORED
@@ -1089,9 +1102,17 @@ object Similarity {
     * made building the frame itself eager). Size bound: the candidate set
     * is caller-bounded — at 100 TB that means ANN-blocked sides, so the
     * persisted frame is Σ|block_a|·|block_b| id-pair rows, never the
-    * corpus square. */
-  private def marginRank(scored: DataFrame, k: Int, minMarginX1k: Long,
-      mutual: Boolean): DataFrame = {
+    * corpus square.
+    *
+    * LIFETIME (r17 advice): the persisted frame is returned as the second
+    * element so a caller that fully materializes the result can unpersist
+    * it ([[marginBitextBlockedCertificate]] does — its output is one row,
+    * checkpointed, so nothing lazy still references the cache). The lazy
+    * pair-mining paths ([[marginBitextPairs]] / [[marginBitextPairsBlocked]])
+    * cannot unpersist before the caller's action; their cached blocks live
+    * until `spark.catalog.clearCache()` / session end — documented on each. */
+  private def marginRankH(scored: DataFrame, k: Int, minMarginX1k: Long,
+      mutual: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val pairs = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def neighborhood(key: String, other: String, out: String, cnt: String) =
@@ -1101,7 +1122,7 @@ object Similarity {
         .filter(col("__rn") <= k)
         .groupBy(key)
         .agg(sum(col("__s")).as(out), count(lit(1)).as(cnt))
-    pairs
+    val ranked = pairs
       .join(neighborhood("a_id", "b_id", "__sa", "__ka"), "a_id")
       .join(neighborhood("b_id", "a_id", "__sb", "__kb"), "b_id")
       // shifted sums are ≥ 0 and zero only when every neighborhood cosine
@@ -1117,7 +1138,13 @@ object Similarity {
         col("margin_x1k") >= minMarginX1k)
       .select(col("a_id"), col("b_id"),
         (col("__s") - 1000000L).as("cos_x1m"), col("margin_x1k"))
+    (ranked, pairs)
   }
+
+  /** [[marginRankH]] without the cache handle — for the lazy pair-mining
+    * entry points, whose results still reference the persisted frame. */
+  private def marginRank(scored: DataFrame, k: Int, minMarginX1k: Long,
+      mutual: Boolean): DataFrame = marginRankH(scored, k, minMarginX1k, mutual)._1
 
   /** Both sides of a bitext mine assigned into ONE coarse quantizer — the
     * blocking stage of [[marginBitextPairsBlocked]]: `nlist` centroids
@@ -1165,12 +1192,17 @@ object Similarity {
     * [[marginBitextPairsBlocked]] and the certificate so the fit runs
     * once per call, never twice. */
   private def minedFromBlocked(aa: DataFrame, ba: DataFrame, k: Int,
-      minMarginX1k: Long, mutual: Boolean): DataFrame = {
+      minMarginX1k: Long, mutual: Boolean): DataFrame =
+    minedFromBlockedH(aa, ba, k, minMarginX1k, mutual)._1
+
+  /** [[minedFromBlocked]] plus the persisted scored-pair handle. */
+  private def minedFromBlockedH(aa: DataFrame, ba: DataFrame, k: Int,
+      minMarginX1k: Long, mutual: Boolean): (DataFrame, DataFrame) = {
     val pairs = aa.join(ba, Seq("__cid"))
       .select(col("a_id"), col("b_id"),
         greatest(floor(GraftFunctions.cosineSim(col("__va"), col("__vb")) * 1000000d)
           .cast("long") + 1000000L, lit(0L)).as("__s"))
-    marginRank(pairs, k, minMarginX1k, mutual)
+    marginRankH(pairs, k, minMarginX1k, mutual)
   }
 
   /** Recall-vs-full-cross certificate for [[marginBitextPairsBlocked]] —
@@ -1187,18 +1219,22 @@ object Similarity {
     *     the 100 TB argument in the same row as its price.
     * Runs the full cross ON THE CERTIFICATE'S INPUT — size it like any
     * brute-force truth pass (a sample at scale), exactly as
-    * [[Dedup.lshRecallCertificate]]'s scaladoc prescribes. */
+    * [[Dedup.lshRecallCertificate]]'s scaladoc prescribes. EAGER: the
+    * one-row result is materialized at call time (localCheckpoint) so
+    * both legs' persisted intermediates are unpersisted before return. */
   def marginBitextBlockedCertificate(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, minMarginX1k: Long = 1000L,
       mutual: Boolean = false, nlist: Int = 8, kmeansIters: Int = 1): DataFrame = {
-    val full = marginBitextPairs(a, b, idCol, vecCol, k, minMarginX1k, mutual)
-      .select(col("a_id"), col("b_id"), lit(1L).as("__f"))
+    val (fullDf, fullPairs) =
+      marginBitextPairsH(a, b, idCol, vecCol, k, minMarginX1k, mutual)
+    val full = fullDf.select(col("a_id"), col("b_id"), lit(1L).as("__f"))
     // one blocking fit serves both the mined pairs and the mass rows (the
     // Lloyd refinement is driver-eager — running it twice doubled the
     // certificate's cost for byte-identical results; r16 self-review)
     val (aa, ba) = blockedSides(a, b, idCol, vecCol, nlist, kmeansIters)
-    val blocked = minedFromBlocked(aa, ba, k, minMarginX1k, mutual)
-      .select(col("a_id"), col("b_id"), lit(1L).as("__b"))
+    val (blockedDf, blockedPairs) =
+      minedFromBlockedH(aa, ba, k, minMarginX1k, mutual)
+    val blocked = blockedDf.select(col("a_id"), col("b_id"), lit(1L).as("__b"))
     val overlap = full.join(blocked, Seq("a_id", "b_id"), "full_outer")
       .agg(
         coalesce(sum(col("__f")), lit(0L)).cast("long").as("n_full"),
@@ -1214,6 +1250,15 @@ object Similarity {
     val fullMass = aa.agg(count(lit(1)).as("__ca"))
       .crossJoin(ba.agg(count(lit(1)).as("__cb")))
       .select((col("__ca") * col("__cb")).cast("long").as("scored_full"))
-    overlap.crossJoin(broadcast(fullMass)).crossJoin(broadcast(mass))
+    // the certificate reduces to ONE row — materialize it (localCheckpoint
+    // runs the job and cuts lineage) so both mining legs' persisted
+    // scored-pair frames can be unpersisted HERE instead of accumulating
+    // across repeated certificate calls in a long-lived session (r17
+    // advice: marginRank's cache previously lived until ContextCleaner GC)
+    val out = overlap.crossJoin(broadcast(fullMass)).crossJoin(broadcast(mass))
+      .localCheckpoint()
+    graft.tools.Hygiene.quietly(fullPairs.unpersist(blocking = false))
+    graft.tools.Hygiene.quietly(blockedPairs.unpersist(blocking = false))
+    out
   }
 }
