@@ -142,16 +142,49 @@ object Bench {
     * reason so the block's numbers are read as UNCONFIRMED first-pass
     * values, never as a clean block. */
   private[graft] def rehearsalRerunField(tripped: Boolean, wallRerun: Double,
-      implausible: Boolean, adjacent: Boolean, fmt: Double => String): String =
+      implausible: Boolean, adjacent: Boolean, fmt: Double => String,
+      skippedBudget: Boolean = false): String =
     if (!tripped) ""
     else {
       val why = if (implausible) "implausible" else "best-min-drift"
-      if (wallRerun >= 0) {
+      if (skippedBudget)
+        s""","reran":false,"rerun_skipped":"budget","rerun_reason":"$why""""
+      else if (wallRerun >= 0) {
         val windowing =
           if (adjacent) "\"rerun_adjacent\":true" else "\"rerun_deferred\":true"
         s""","wall_rerun":${fmt(wallRerun)},"reran":true,"rerun_reason":"$why",$windowing"""
       } else s""","reran":false,"rerun_failed":true,"rerun_reason":"$why""""
     }
+
+  /** Record assembly, PURE so the simulated-timeout spec can assert every
+    * intermediate flush parses (r17, VERDICT r16 #1: BENCH_r16.json was
+    * rc=124/parsed:null — the sweep built its record only at the very end,
+    * so a harness timeout mid-rehearsal left NO official bench evidence).
+    * `base` is the main-sweep fragment (everything through `fixtures`, no
+    * braces), `blocks` the rehearsal fragments in completion order (each
+    * starting with ','). BENCHOUT.json is re-flushed through this after
+    * the main sweep and after EVERY rehearsal state change, so a cut at
+    * any instant leaves the completed blocks on disk, parseable. */
+  private[graft] def assembleRecord(base: String, blocks: Seq[String], sf: String): String =
+    s"""{$base${blocks.mkString},"sf":"$sf"}"""
+
+  /** Rep-cut rule (r17, VERDICT r16 #1c — wall-budget discipline): a query
+    * whose first two reps BOTH land within 1.5× its committed same-input
+    * floor is already confirmed clean — rep 3 buys nothing (min-of-2 at
+    * ≤1.5× floor can neither trip the rerun guard nor the hot flag's
+    * floor band). No floor (new query / input changed) → never cut: the
+    * first measurement of new work keeps the full rep count. */
+  private[graft] def repCut(floor: Option[Double], r1: Double, r2: Double): Boolean =
+    floor.exists(b => r1 <= 1.5 * b && r2 <= 1.5 * b)
+
+  /** Deferred-rerun wall budget (r17, VERDICT r16 #1b): a conditional
+    * rehearsal re-run only launches when the elapsed bench wall plus the
+    * block's own first-pass wall (the best available estimate of the
+    * re-run's cost) still fits `budgetS` — past it, the record carries
+    * `rerun_skipped:"budget"` instead of silently running into the
+    * harness timeout and losing the whole record. */
+  private[graft] def rerunFitsBudget(elapsedS: Double, blockWallS: Double,
+      budgetS: Double): Boolean = elapsedS + blockWallS <= budgetS
 
   /** Sub-trigger contamination marker (r13, VERDICT r12 finding #2): a
     * published min can sit well over its best-known clean floor without
@@ -349,6 +382,28 @@ object Bench {
         .trim.split("\\s+").take(3).mkString(" ")
     } catch { case _: Throwable => "" }
     val loadStart = loadavg()
+    val benchStartNanos = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchStartNanos) / 1e9
+    // external-CPU attribution (r17, VERDICT r16 wrong #3): loadavg at
+    // sweep end is dominated by the bench's own local[32] work, so the
+    // load field could not distinguish self-load from contention. Sample
+    // total-busy vs own-process jiffies; the flush-time delta yields the
+    // average OTHER-process cores over the run — the actually-diagnostic
+    // number. (USER_HZ=100 on every Linux this runs on.)
+    def cpuJiffies(): Option[(Long, Long)] = try {
+      val stat = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal
+      val busy = Seq(1, 2, 3, 6, 7, 8).map(i => stat(i).toLong).sum
+      val self = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/stat"))
+      // comm may contain spaces/parens: parse after the LAST ')'
+      val rest = self.substring(self.lastIndexOf(')') + 1).trim.split("\\s+")
+      // after-state offsets: utime=rest(11) stime=12 cutime=13 cstime=14
+      val own = Seq(11, 12, 13, 14).map(i => rest(i).toLong).sum
+      Some((busy, own))
+    } catch { case _: Throwable => None }
+    val jiff0 = cpuJiffies()
 
     // SPARK_GRAFT_BENCH_ONLY=q23_profile_melt,q24_sessionize limits the run
     // while iterating on one query; unset = full suite (driver mode).
@@ -393,14 +448,29 @@ object Bench {
     }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val inputs = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    val repCutNames = scala.collection.mutable.Set.empty[String]
     val firstPass = all.map { case (name, fn) =>
       val before = tap.settle()
       val first = timeOnce(name, fn)
       val after = tap.settle()
       inputs(name) =
         (after._1 - before._1, after._2 - before._2, after._3 - before._3)
-      val times = first +: (2 to reps).map(_ => timeOnce(name, fn))
-      samples(name) = times.toVector
+      // rep cut ([[repCut]], r17 #1c): with a committed same-input floor
+      // and the first two reps both within 1.5× of it, rep 3+ is skipped —
+      // ~1/3 off the sweep's wall for the (typical) clean majority, which
+      // is what keeps the whole record inside the harness timeout
+      val floor = prior.get(name).collect {
+        case (pm, pr) if math.abs(inputs(name)._1 - pr) * 100 <= pr => pm }
+      val times =
+        if (reps == 1) Vector(first)
+        else {
+          val second = timeOnce(name, fn)
+          if (reps >= 3 && Bench.repCut(floor, first, second)) {
+            repCutNames += name
+            Vector(first, second)
+          } else Vector(first, second) ++ (3 to reps).map(_ => timeOnce(name, fn))
+        }
+      samples(name) = times
       name -> times.min
     }
     // Load guard, pass 2: a fresh min >2x the prior record's min ON THE
@@ -449,10 +519,12 @@ object Bench {
       val spread = if (xs.min > 0) xs.max / xs.min else 1.0
       val floorField = floor.map(b => ",\"floor\":" + f(b)).getOrElse("")
       val hotField = if (hotEntry(xs.min, spread, floor)) ",\"hot\":true" else ""
+      // no silent caps: a rep-cut entry says so (its min is min-of-2)
+      val repField = if (repCutNames.contains(k)) ",\"n_reps\":2" else ""
       "\"" + k + "\":{\"min\":" + f(xs.min) + ",\"p50\":" + f(p50(xs)) +
         ",\"spread\":" + f(spread) +
         ",\"in_rows\":" + ir + ",\"in_mb\":" + fmb(ib) +
-        ",\"shuf_mb\":" + fmb(sb) + floorField + hotField + "}"
+        ",\"shuf_mb\":" + fmb(sb) + floorField + hotField + repField + "}"
     }.mkString("{", ",", "}")
     val noisy = results.collect {
       case (k, _) if samples(k).min > 0 && samples(k).max / samples(k).min > 2.0 => "\"" + k + "\""
@@ -460,6 +532,127 @@ object Bench {
     val fixturesJson = fixtures
       .map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // reran: per re-measured query, the prior-record min it tripped over
+    // and the min after the post-sweep re-runs — "rerun_min ≈ prior_min"
+    // reads as confirmed contamination, "rerun_min ≈ first-pass min" as a
+    // real regression that survived re-measurement. Computed BEFORE the
+    // rehearsals (r17 #1a): these are main-sweep facts and the FIRST flush
+    // must already carry them.
+    val reranJson = rerunNote.toSeq.sortBy(_._1).map { case (k, (pm, fm)) =>
+      "\"" + k + "\":{\"prior_min\":" + f(pm) + ",\"rerun_min\":" + f(fm) + "}"
+    }.mkString("{", ",", "}")
+    // stale-floor valve ([[Bench.missUpdate]]): a floor missed by three
+    // consecutive OUT-OF-WINDOW re-measurements is unattainable (a
+    // deliberate operator change, or a one-off lucky min) and rebases to
+    // the re-measured evidence — published in `rebased`, never silent
+    val rebaseNote = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val missesOut = scala.collection.mutable.Map.empty[String, Int]
+    results.foreach { case (name, finalMin) =>
+      val stillOver = rerunNote.get(name).map { case (pm, fm) =>
+        fm > pm * 2 && fm - pm > 0.25 }
+      val (nm, rebase) = Bench.missUpdate(priorMisses.getOrElse(name, 0), stillOver)
+      if (nm > 0) missesOut(name) = nm
+      if (rebase) rebaseNote(name) = (rerunNote(name)._1, finalMin)
+    }
+    val rebasedJson = rebaseNote.toSeq.sortBy(_._1).map { case (k, (o, n)) =>
+      "\"" + k + "\":{\"old_floor\":" + f(o) + ",\"new_floor\":" + f(n) + "}"
+    }.mkString("{", ",", "}")
+    // best_total: BASELINE.md's pinned clean-total — per-query min of this
+    // run and the best-known committed floor on unchanged input (a floor
+    // rebased THIS run counts at its new value). `value` stays THIS run's
+    // measured total; best_total is the load-insensitive comparison
+    // figure, computable from committed history alone (the record reads
+    // clean without cross-referencing verdicts).
+    val bestTotal = results.map { case (name, finalMin) =>
+      if (rebaseNote.contains(name)) finalMin
+      else {
+        val fresh = Some((finalMin, inputs.get(name).map(_._1).getOrElse(0L)))
+        Bench.bestPrior(prior.get(name), fresh).map(_._1).getOrElse(finalMin)
+      }
+    }.sum
+
+    // load field, rebuilt at every flush: `end` is the load at the
+    // record's LAST write, and `ext_cpu_cores` the average other-process
+    // CPU over the run so far — self-load vs contention, distinguishable
+    // from the record alone (r17, VERDICT r16 wrong #3)
+    def loadJson(): String = {
+      val extField = (for { (b0, s0) <- jiff0; (b1, s1) <- cpuJiffies() } yield {
+        val el = elapsedS
+        if (el <= 0) "" else {
+          val ext = ((b1 - b0) - (s1 - s0)) / el / 100.0
+          ",\"ext_cpu_cores\":" + f(math.max(ext, 0.0))
+        }
+      }).getOrElse("")
+      s""""load":{"start":"$loadStart","end":"${loadavg()}"$extField}"""
+    }
+    def mainBase(): String =
+      s""""metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"reran":$reranJson,"rebased":$rebasedJson,${loadJson()},"fixtures":$fixturesJson"""
+
+    // temp-then-ATOMIC_MOVE: a SIGKILL mid-write must leave the PREVIOUS
+    // complete record, never a torn file — the whole point of incremental
+    // flushing is that BENCHOUT.json parses at every instant
+    def atomicWrite(path: String, content: String): Unit = {
+      val tmp = java.nio.file.Paths.get(path + ".tmp")
+      java.nio.file.Files.write(tmp,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // per block key: (full JSON fragment for BENCHOUT, compact stdout twin)
+    val blockFrags = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    def flushRecord(): Unit = if (only.isEmpty) {
+      try atomicWrite("BENCHOUT.json", Bench.assembleRecord(
+        mainBase(), blockFrags.values.map(_._1).toSeq, sfDir) + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
+    }
+
+    val rehearsalFinal = scala.collection.mutable.Map.empty[String, Double]
+    // rolling best-known minima (the de-ratcheted guard prior): post-guard
+    // minima only, merged downward via [[bestPrior]] — contamination can
+    // only inflate a min, so min() keeps the file clean; an input change
+    // (>1% rows) rebases that query's floor. Committed alongside
+    // BENCHOUT.json; next sweep's guard reads both. Re-written after the
+    // main sweep and after each rehearsal block finalizes.
+    def writeBest(): Unit = if (only.isEmpty) {
+      try {
+        val best = results.map { case (name, finalMin) =>
+          val fresh = Some((finalMin, inputs.get(name).map(_._1).getOrElse(0L)))
+          name -> (if (rebaseNote.contains(name)) fresh.get
+            else Bench.bestPrior(prior.get(name), fresh).get)
+        }
+        val bestJson = best.map { case (n, (mn, ir)) =>
+          val miss = missesOut.get(n).map(v => ",\"misses\":" + v).getOrElse("")
+          val entry = rebaseNote.get(n).map { case (o, nn) =>
+            "{\"old_floor\":" + f(o) + ",\"new_floor\":" + f(nn) +
+              ",\"commit\":\"" + headCommit + "\"}" }
+          val rebases = Bench.rebasesField(priorRebases.get(n), entry)
+          "\"" + n + "\":{\"min\":" + f(mn) + ",\"in_rows\":" + ir + miss + rebases + "}"
+        }.mkString("{\"detail\":{", ",", "},")
+        // rehearsal floors: same min-only-downward rule, keyed "sf10:qname";
+        // carried entries for OTHER sfDirs pass through untouched
+        val rehearsalMerged = (rehearsalBestAll.keySet ++ rehearsalFinal.keySet).toSeq.sorted.map { k =>
+          val (mn, sf) = (rehearsalBestAll.get(k), rehearsalFinal.get(k)) match {
+            case (Some((pm, psf)), Some(fm)) if psf == sfDir => (math.min(pm, fm), psf)
+            case (Some(_), Some(fm)) => (fm, sfDir) // other fixture dir: rebased
+            case (Some((pm, psf)), None) => (pm, psf) // not rehearsed this run: untouched
+            case (None, fm) => (fm.get, sfDir)
+          }
+          "\"" + k + "\":{\"min\":" + f(mn) + ",\"sf\":\"" + sf + "\"}"
+        }.mkString("\"rehearsal\":{", ",", "}}\n")
+        atomicWrite("bench_best.json", bestJson + rehearsalMerged)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_best.json write failed: ${e.getMessage}")
+      }
+    }
+
+    // FIRST FLUSH (r17 #1a): the complete sf0.1 record is on disk before
+    // any rehearsal starts — from this instant a harness timeout can no
+    // longer erase the round's bench evidence
+    flushRecord()
+    writeBest()
 
     // Scale rehearsals (driver mode only): flagship paths re-run on the
     // derived 10×/100× datasets; ratio vs this run's own sf0.1 numbers is
@@ -471,7 +664,6 @@ object Bench {
     // with both walls in the record. Single-shot blocks previously sat
     // OUTSIDE the guard and the r11 record published a 43×-per-10× sf1
     // block that its own sf10 block (7.5× per 100×) disproved.
-    val rehearsalFinal = scala.collection.mutable.Map.empty[String, Double]
     val resultMap = results.toMap
     def rehearsalRatios(sc: Seq[(String, Double)]): Seq[Double] =
       sc.flatMap { case (n, s) => resultMap.get(n).filter(_ > 0).map(s / _) }
@@ -509,42 +701,12 @@ object Bench {
         System.err.println(s"[bench] $key rehearsal failed: ${e.getMessage}")
         None
       }
-    // First passes run back to back; a TRIPPED block's re-run is DEFERRED
-    // until every block's first pass is done (ADVICE r13: an adjacent
-    // rerun shares its trigger's load spike — the sf1 rerun now lands
-    // after the ~4 min sf10 block, a genuinely later window, mirroring
-    // the main sweep's after-the-sweep pass-2 ordering).
-    val firstPasses = Seq(
-      rehearsalFirst("sf1", 10, "target/testdata-sf1", "SPARK_GRAFT_SKIP_SF1", reps = 2),
-      // sf10 stays single-rep: one pass costs ~4 min and the best-min
-      // guard re-runs the block only when an entry actually drifted —
-      // min-of-N every round would pay the contamination tax up front.
-      rehearsalFirst("sf10", 100, "target/testdata-x100", "SPARK_GRAFT_SKIP_SF10", reps = 1)
-    ).flatten
-    var rerunsSoFar = 0
-    // per block: (full JSON fragment for BENCHOUT, compact twin for stdout)
-    val blockJson: Map[String, (String, String)] = firstPasses.zipWithIndex.map { case (st, i) =>
-      var scaled = st.scaled
-      var wallRerun = -1.0
-      // the deferral is real except one unavoidable case: when the LAST
-      // block is the only one that trips, nothing runs between its first
-      // pass and its re-run — the record says so (`rerun_adjacent`)
-      // instead of claiming a later window it didn't get
-      val adjacent = i == firstPasses.length - 1 && rerunsSoFar == 0
-      if (st.implausible || st.drifted.nonEmpty) try {
-        rerunsSoFar += 1
-        spark.catalog.clearCache()
-        graft.tools.Hygiene.unpersistAll(spark)
-        System.gc()
-        val t1 = System.nanoTime()
-        val again = graft.tools.ScaleRehearsal.run(spark, st.dir, reps = st.reps).toMap
-        wallRerun = (System.nanoTime() - t1) / 1e9
-        scaled = scaled.map { case (n, s) => n -> math.min(s, again.getOrElse(n, s)) }
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] ${st.key} deferred re-run failed: ${e.getMessage}")
-      }
-      val loadAfter = if (wallRerun >= 0) loadavg() else st.loadAfterFirst
-      scaled.foreach { case (n, s) => rehearsalFinal(s"${st.key}:$n") = s }
+    // shared fragment builder for provisional (first-pass) and final
+    // (post-rerun) block states — both go through the same JSON shape so
+    // a record cut at ANY flush reads identically to a completed one,
+    // modulo the rerun state field
+    def blockFragments(st: RehearsalPass, scaled: Seq[(String, Double)],
+        rerunField: String, loadAfter: String): (String, String) = {
       val entries = scaled.map { case (n, s) =>
         val base = resultMap.getOrElse(n, 0.0)
         // committed same-copies floor, same transparency rule as the main
@@ -554,8 +716,6 @@ object Bench {
         "\"" + n + "\":{\"sf01\":" + f(base) + ",\"" + st.key + "\":" + f(s) +
           ",\"ratio\":" + f(if (base > 0) s / base else -1.0) + floorField + "}"
       }.mkString("{", ",", "}")
-      val rerunField = Bench.rehearsalRerunField(
-        st.implausible || st.drifted.nonEmpty, wallRerun, st.implausible, adjacent, f)
       // compact twin for the stdout headline line: the full per-query
       // block re-bloated that line past the driver's 2000-char tail
       // capture in r12 AND r13 (both recorded parsed:null) — the summary
@@ -565,101 +725,83 @@ object Bench {
       val maxRatio = if (ratios.nonEmpty) ratios.max else -1.0
       val compact =
         s""","${st.key}":{"copies":${st.copies},"wall":${f(st.wall)}$rerunField,"n_queries":${scaled.size},"max_ratio":${f(maxRatio)}}"""
-      st.key ->
-        (s""","${st.key}":{"copies":${st.copies},"wall":${f(st.wall)}$rerunField,"load":{"start":"${st.loadBefore}","end":"$loadAfter"},"queries":$entries}""",
-          compact)
-    }.toMap
-    val sf1Json = blockJson.get("sf1").map(_._1).getOrElse("")
-    val sf10Json = blockJson.get("sf10").map(_._1).getOrElse("")
-    val sf1Head = blockJson.get("sf1").map(_._2).getOrElse("")
-    val sf10Head = blockJson.get("sf10").map(_._2).getOrElse("")
-
-    val loadEnd = loadavg()
-    val loadJson = s""""load":{"start":"$loadStart","end":"$loadEnd"}"""
-    // reran: per re-measured query, the prior-record min it tripped over
-    // and the min after the post-sweep re-runs — "rerun_min ≈ prior_min"
-    // reads as confirmed contamination, "rerun_min ≈ first-pass min" as a
-    // real regression that survived re-measurement
-    val reranJson = rerunNote.toSeq.sortBy(_._1).map { case (k, (pm, fm)) =>
-      "\"" + k + "\":{\"prior_min\":" + f(pm) + ",\"rerun_min\":" + f(fm) + "}"
-    }.mkString("{", ",", "}")
-    // stale-floor valve ([[Bench.missUpdate]]): a floor missed by three
-    // consecutive OUT-OF-WINDOW re-measurements is unattainable (a
-    // deliberate operator change, or a one-off lucky min) and rebases to
-    // the re-measured evidence — published in `rebased`, never silent
-    val rebaseNote = scala.collection.mutable.Map.empty[String, (Double, Double)]
-    val missesOut = scala.collection.mutable.Map.empty[String, Int]
-    results.foreach { case (name, finalMin) =>
-      val stillOver = rerunNote.get(name).map { case (pm, fm) =>
-        fm > pm * 2 && fm - pm > 0.25 }
-      val (nm, rebase) = Bench.missUpdate(priorMisses.getOrElse(name, 0), stillOver)
-      if (nm > 0) missesOut(name) = nm
-      if (rebase) rebaseNote(name) = (rerunNote(name)._1, finalMin)
+      (s""","${st.key}":{"copies":${st.copies},"wall":${f(st.wall)}$rerunField,"load":{"start":"${st.loadBefore}","end":"$loadAfter"},"queries":$entries}""",
+        compact)
     }
-    val rebasedJson = rebaseNote.toSeq.sortBy(_._1).map { case (k, (o, n)) =>
-      "\"" + k + "\":{\"old_floor\":" + f(o) + ",\"new_floor\":" + f(n) + "}"
-    }.mkString("{", ",", "}")
-    // best_total: BASELINE.md's pinned clean-total — per-query min of this
-    // run and the best-known committed floor on unchanged input (a floor
-    // rebased THIS run counts at its new value). `value` stays THIS run's
-    // measured total; best_total is the load-insensitive comparison
-    // figure, computable from committed history alone (the record reads
-    // clean without cross-referencing verdicts).
-    val bestTotal = results.map { case (name, finalMin) =>
-      if (rebaseNote.contains(name)) finalMin
-      else {
-        val fresh = Some((finalMin, inputs.get(name).map(_._1).getOrElse(0L)))
-        Bench.bestPrior(prior.get(name), fresh).map(_._1).getOrElse(finalMin)
-      }
-    }.sum
-    val line = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"queries":$qs,"detail":$detail,"noisy":$noisy,"reran":$reranJson,"rebased":$rebasedJson,$loadJson,"fixtures":$fixturesJson$sf1Json$sf10Json,"sf":"$sfDir"}"""
-    // the driver's log capture keeps only the LAST 2000 chars of stdout —
-    // a 300-query line can never survive it (r04–r07 all recorded
-    // parsed:null). Persist the full record to BENCHOUT.json, and print a
-    // compact HEADLINE line (one representative query per operator family,
-    // guaranteed under the capture window) as the final stdout line so the
-    // driver's own BENCH_r{N}.json parses again. `value` stays the
-    // full-suite total; `n_queries` says how many ran.
-    if (only.isEmpty) {
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCHOUT.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
-      // refresh the rolling best-known minima (the de-ratcheted guard
-      // prior): post-guard minima only, merged downward via [[bestPrior]]
-      // — contamination can only inflate a min, so min() keeps the file
-      // clean; an input change (>1% rows) rebases that query's floor.
-      // Committed alongside BENCHOUT.json; next sweep's guard reads both.
-      try {
-        val best = results.map { case (name, finalMin) =>
-          val fresh = Some((finalMin, inputs.get(name).map(_._1).getOrElse(0L)))
-          name -> (if (rebaseNote.contains(name)) fresh.get
-            else Bench.bestPrior(prior.get(name), fresh).get)
+    // First passes run back to back, each FLUSHED as it completes (r17
+    // #1a); a TRIPPED block's re-run is DEFERRED until every block's
+    // first pass is done (ADVICE r13: an adjacent rerun shares its
+    // trigger's load spike — the sf1 rerun lands after the ~4 min sf10
+    // block, a genuinely later window, mirroring the main sweep's
+    // after-the-sweep pass-2 ordering). A tripped block's provisional
+    // flush carries `rerun_pending:true` so a cut record never publishes
+    // a contaminated first pass as a clean block.
+    def firstAndFlush(key: String, copies: Int, outDir: String,
+        skipEnv: String, reps: Int): Option[RehearsalPass] = {
+      val st = rehearsalFirst(key, copies, outDir, skipEnv, reps)
+      st.foreach { p =>
+        val tripped = p.implausible || p.drifted.nonEmpty
+        val pending = if (tripped) ",\"rerun_pending\":true" else ""
+        blockFrags(p.key) = blockFragments(p, p.scaled, pending, p.loadAfterFirst)
+        if (!tripped) {
+          p.scaled.foreach { case (n, s) => rehearsalFinal(s"${p.key}:$n") = s }
+          writeBest()
         }
-        val bestJson = best.map { case (n, (mn, ir)) =>
-          val miss = missesOut.get(n).map(v => ",\"misses\":" + v).getOrElse("")
-          val entry = rebaseNote.get(n).map { case (o, nn) =>
-            "{\"old_floor\":" + f(o) + ",\"new_floor\":" + f(nn) +
-              ",\"commit\":\"" + headCommit + "\"}" }
-          val rebases = Bench.rebasesField(priorRebases.get(n), entry)
-          "\"" + n + "\":{\"min\":" + f(mn) + ",\"in_rows\":" + ir + miss + rebases + "}"
-        }.mkString("{\"detail\":{", ",", "},")
-        // rehearsal floors: same min-only-downward rule, keyed "sf10:qname";
-        // carried entries for OTHER sfDirs pass through untouched
-        val rehearsalMerged = (rehearsalBestAll.keySet ++ rehearsalFinal.keySet).toSeq.sorted.map { k =>
-          val (mn, sf) = (rehearsalBestAll.get(k), rehearsalFinal.get(k)) match {
-            case (Some((pm, psf)), Some(fm)) if psf == sfDir => (math.min(pm, fm), psf)
-            case (Some(_), Some(fm)) => (fm, sfDir) // other fixture dir: rebased
-            case (Some((pm, psf)), None) => (pm, psf) // not rehearsed this run: untouched
-            case (None, fm) => (fm.get, sfDir)
-          }
-          "\"" + k + "\":{\"min\":" + f(mn) + ",\"sf\":\"" + sf + "\"}"
-        }.mkString("\"rehearsal\":{", ",", "}}\n")
-        java.nio.file.Files.write(java.nio.file.Paths.get("bench_best.json"),
-          (bestJson + rehearsalMerged).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] bench_best.json write failed: ${e.getMessage}")
+        flushRecord()
+      }
+      st
+    }
+    val firstPasses = Seq(
+      firstAndFlush("sf1", 10, "target/testdata-sf1", "SPARK_GRAFT_SKIP_SF1", reps = 2),
+      // sf10 stays single-rep: one pass costs ~4 min and the best-min
+      // guard re-runs the block only when an entry actually drifted —
+      // min-of-N every round would pay the contamination tax up front.
+      firstAndFlush("sf10", 100, "target/testdata-x100", "SPARK_GRAFT_SKIP_SF10", reps = 1)
+    ).flatten
+    // Deferred re-runs, WALL-BUDGETED (r17 #1b, [[rerunFitsBudget]]): the
+    // r16 harness timeout hit exactly here — both blocks tripped on a
+    // loaded host and the conditional re-runs pushed the sweep past the
+    // driver's limit, losing the whole record. Past budget the block
+    // publishes its first pass marked `rerun_skipped:"budget"` instead.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
+    var rerunsSoFar = 0
+    firstPasses.zipWithIndex.foreach { case (st, i) =>
+      val tripped = st.implausible || st.drifted.nonEmpty
+      if (tripped) {
+        var scaled = st.scaled
+        var wallRerun = -1.0
+        // the deferral is real except one unavoidable case: when the LAST
+        // block is the only one that trips, nothing runs between its first
+        // pass and its re-run — the record says so (`rerun_adjacent`)
+        // instead of claiming a later window it didn't get
+        val adjacent = i == firstPasses.length - 1 && rerunsSoFar == 0
+        val skipped = !Bench.rerunFitsBudget(elapsedS, st.wall, budgetS)
+        if (skipped)
+          System.err.println(f"[bench] ${st.key} deferred re-run SKIPPED: elapsed $elapsedS%.0fs + block ${st.wall}%.0fs exceeds budget ${budgetS}%.0fs")
+        else try {
+          rerunsSoFar += 1
+          spark.catalog.clearCache()
+          graft.tools.Hygiene.unpersistAll(spark)
+          System.gc()
+          val t1 = System.nanoTime()
+          val again = graft.tools.ScaleRehearsal.run(spark, st.dir, reps = st.reps).toMap
+          wallRerun = (System.nanoTime() - t1) / 1e9
+          scaled = scaled.map { case (n, s) => n -> math.min(s, again.getOrElse(n, s)) }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ${st.key} deferred re-run failed: ${e.getMessage}")
+        }
+        val loadAfter = if (wallRerun >= 0) loadavg() else st.loadAfterFirst
+        scaled.foreach { case (n, s) => rehearsalFinal(s"${st.key}:$n") = s }
+        val rerunField = Bench.rehearsalRerunField(tripped = true, wallRerun,
+          st.implausible, adjacent, f, skippedBudget = skipped)
+        blockFrags(st.key) = blockFragments(st, scaled, rerunField, loadAfter)
+        writeBest()
+        flushRecord()
       }
     }
+    val sf1Head = blockFrags.get("sf1").map(_._2).getOrElse("")
+    val sf10Head = blockFrags.get("sf10").map(_._2).getOrElse("")
+
     val headline = Seq(
       "q01_scan_filter_project", "q09_diff_changed", "q11_diff_summary",
       "q16_workload_agg", "q23_profile_melt", "q26_dedup_clusters",
@@ -669,10 +811,14 @@ object Bench {
       "q206_diff_by_segments", "q236_transitive_contamination",
       "q240_global_quantiles", "q242_mm_jpeg_progressive")
     // BENCH_ONLY iteration prints the full (small) line; driver-mode full
-    // runs print the headline subset that fits the capture window
-    if (only.nonEmpty) println(line)
+    // runs print the headline subset that fits the capture window (the
+    // driver's log capture keeps only the LAST 2000 chars of stdout — a
+    // 300-query line can never survive it; r04–r07 all recorded
+    // parsed:null). The full record lives in BENCHOUT.json, flushed
+    // incrementally above.
+    if (only.nonEmpty) println(Bench.assembleRecord(
+      mainBase(), blockFrags.values.map(_._1).toSeq, sfDir))
     else {
-      val resultMap = results.toMap
       val hq = headline.flatMap(k => resultMap.get(k).map(v => "\"" + k + "\":" + f(v)))
         .mkString("{", ",", "}")
       // sf1Head/sf10Head, not the full blocks: r12/r13 appended the
@@ -683,14 +829,14 @@ object Bench {
       // (rebases are "published, never silent" — a rebase-heavy sweep is
       // exactly the kind that bloats the line) and a parseable summary
       // beats a truncated detailed one.
-      val full = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
-      val noQueries = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"reran":$reranJson,"rebased":$rebasedJson,$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"queries":$hq,"reran":$reranJson,"rebased":$rebasedJson,${loadJson()}$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
+      val noQueries = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"reran":$reranJson,"rebased":$rebasedJson,${loadJson()}$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
       // last-resort floor (r14 advice): reran/rebased detail is unbounded,
       // so a rebase-heavy sweep could push even the no-queries fallback
       // past the driver's 2000-char tail — collapse them to COUNTS then
       // (detail lives in BENCHOUT.json either way); this line's length is
       // bounded by construction.
-      val countsOnly = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"n_reran":${rerunNote.size},"n_rebased":${rebaseNote.size},$loadJson$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
+      val countsOnly = s"""{"metric":"total","value":${f(total)},"best_total":${f(bestTotal)},"unit":"sec","reps":$reps,"n_queries":${results.length},"n_reran":${rerunNote.size},"n_rebased":${rebaseNote.size},${loadJson()}$sf1Head$sf10Head,"full_record":"BENCHOUT.json","sf":"$sfDir"}"""
       if (full.length <= 1800) println(full)
       else if (noQueries.length <= 1800) println(noQueries)
       else println(countsOnly)

@@ -192,6 +192,61 @@ class SparkEntrySpec extends SparkTestBase {
       && failed.contains("\"rerun_reason\":\"best-min-drift\""))
   }
 
+  test("simulated timeout: the record parses at EVERY incremental flush state (r17 #1)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // the exact fragments Bench assembles: main-sweep base (no braces),
+    // rehearsal blocks each starting with ','
+    val base = """"metric":"total","value":251.6,"best_total":193.85,"unit":"sec","reps":3,"queries":{"q01":0.1},"detail":{"q01":{"min":0.1,"p50":0.12,"spread":1.2,"in_rows":100,"in_mb":0.5,"shuf_mb":0.0}},"noisy":[],"reran":{},"rebased":{},"load":{"start":"0.4 0.5 0.6","end":"26.0 14.0 8.0","ext_cpu_cores":0.3},"fixtures":{"lineitem":60175}"""
+    val sf1 = ""","sf1":{"copies":10,"wall":60.2,"rerun_pending":true,"load":{"start":"1.0 1.0 1.0","end":"9.0 4.0 2.0"},"queries":{"q01":{"sf01":0.1,"sf1":0.5,"ratio":5.0}}}"""
+    val sf10 = ""","sf10":{"copies":100,"wall":240.0,"reran":false,"rerun_skipped":"budget","rerun_reason":"best-min-drift","load":{"start":"1.0 1.0 1.0","end":"9.0 4.0 2.0"},"queries":{"q01":{"sf01":0.1,"sf10":1.5,"ratio":15.0}}}"""
+    // BENCH_r16 failure mode: a harness timeout at ANY instant must leave
+    // a parseable record with whatever blocks completed — cut after the
+    // main sweep, after one rehearsal, and after both
+    for (blocks <- Seq(Nil, Seq(sf1), Seq(sf1, sf10))) {
+      val rec = Bench.assembleRecord(base, blocks, "/root/testdata/sf0.1")
+      val parsed = JsonMethods.parse(rec)
+      assert(parsed \ "metric" == JString("total"), s"cut at $blocks must parse")
+      assert(parsed \ "sf" == JString("/root/testdata/sf0.1"))
+    }
+    // the two-block record carries both rehearsal states: the pending
+    // marker (provisional flush of a tripped block) and the budget skip
+    val both = JsonMethods.parse(Bench.assembleRecord(base, Seq(sf1, sf10), "sf"))
+    assert(both \ "sf1" \ "rerun_pending" == JBool(true))
+    assert(both \ "sf10" \ "rerun_skipped" == JString("budget"))
+  }
+
+  test("rep cut: only a committed floor with both reps within 1.5x skips rep 3 (r17 #1c)") {
+    // clean query at its floor: cut
+    assert(Bench.repCut(Some(1.0), 1.2, 1.1))
+    // boundary: exactly 1.5x still cuts
+    assert(Bench.repCut(Some(1.0), 1.5, 1.5))
+    // either rep over 1.5x: full reps (the guard/hot machinery needs them)
+    assert(!Bench.repCut(Some(1.0), 1.51, 1.0))
+    assert(!Bench.repCut(Some(1.0), 1.0, 1.51))
+    // no floor (new query or changed input): never cut — first
+    // measurements of new work keep the full rep count
+    assert(!Bench.repCut(None, 0.1, 0.1))
+  }
+
+  test("deferred re-run budget: skip past the wall, record says so (r17 #1b)") {
+    // elapsed 300s + block 240s fits a 600s budget
+    assert(Bench.rerunFitsBudget(300.0, 240.0, 600.0))
+    // elapsed 400s + block 240s does not
+    assert(!Bench.rerunFitsBudget(400.0, 240.0, 600.0))
+    // boundary: exactly on budget still runs
+    assert(Bench.rerunFitsBudget(360.0, 240.0, 600.0))
+    // the skipped annotation: tripped block, no rerun numbers, explicit
+    // budget marker — never publishable as a clean block
+    val fmt = (d: Double) => f"$d%.4f"
+    val skipped = Bench.rehearsalRerunField(tripped = true, -1.0,
+      implausible = true, adjacent = false, fmt, skippedBudget = true)
+    assert(skipped.contains("\"rerun_skipped\":\"budget\"")
+      && skipped.contains("\"reran\":false")
+      && skipped.contains("\"rerun_reason\":\"implausible\""))
+    assert(!skipped.contains("rerun_failed"))
+  }
+
   test("rehearsal blocks re-run when a ratio is physically implausible (r12)") {
     // r11's contaminated sf1 block: q88 ratio 43.4x for 10 copies -> trip
     assert(Bench.rehearsalContaminated(Seq(5.2, 43.4, 21.0), 10))

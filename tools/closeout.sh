@@ -56,7 +56,11 @@ wait_for_idle() {
 bench_rc=0
 if [[ "${SKIP_BENCH:-0}" != "1" ]]; then
   if wait_for_idle; then
+    # in-session sweep: we own the wall here (no harness timeout), so allow
+    # deferred re-runs a roomier budget than graft.Bench's driver-run
+    # default of 600 s (r17 #1b)
     SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+    SPARK_GRAFT_BENCH_BUDGET_S=${SPARK_GRAFT_BENCH_BUDGET_S:-1500} \
       sbt -batch "runMain graft.Bench" > /tmp/closeout_bench.log 2>&1 || bench_rc=$?
     grep '"metric"' /tmp/closeout_bench.log | tail -1 || true
     [[ $bench_rc -ne 0 ]] && echo "closeout: bench sweep FAILED (rc=$bench_rc, see /tmp/closeout_bench.log)" >&2
