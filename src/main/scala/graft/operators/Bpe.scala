@@ -44,20 +44,14 @@ object Bpe {
     out.result()
   }
 
-  /** Train `numMerges` merges on up to `sampleDocs` documents (collected —
-    * the documented bounded sample). Returns merges in rank order. */
-  def train(df: DataFrame, textCol: String, numMerges: Int, sampleDocs: Int = 10000): Seq[(String, String)] = {
-    require(numMerges >= 0, "numMerges must be >= 0")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val texts = df.select(col(textCol)).as[String]
-      .filter((s: String) => s != null && s.nonEmpty)
-      .limit(sampleDocs).collect()
-    // word -> frequency, words as symbol sequences (single chars initially)
-    var words: Map[Vector[String], Long] = texts.iterator
-      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
-      .map(codePointSyms)
-      .foldLeft(Map.empty[Vector[String], Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
+  /** The shared greedy merge loop over a word-frequency table — one body
+    * serving both the code-point trainer ([[train]]) and the byte trainer
+    * ([[trainBytes]]); only the initial symbolization differs. Most
+    * frequent pair wins each round, ties lexicographic — fully
+    * deterministic. */
+  private def greedyMerges(words0: Map[Vector[String], Long],
+      numMerges: Int): Seq[(String, String)] = {
+    var words = words0
     val merges = Vector.newBuilder[(String, String)]
     var it = 0
     var done = false
@@ -89,6 +83,32 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** Pure-driver form of [[train]] — the same word-frequency fold and
+    * greedy loop over an in-memory corpus, shared by the DataFrame trainer
+    * (post-collect) and oracle generators that have no SparkSession. */
+  def trainFromTexts(texts: Iterable[String], numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    // word -> frequency, words as symbol sequences (single chars initially)
+    val words: Map[Vector[String], Long] = texts.iterator
+      .filter(s => s != null && s.nonEmpty)
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .map(codePointSyms)
+      .foldLeft(Map.empty[Vector[String], Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    greedyMerges(words, numMerges)
+  }
+
+  /** Train `numMerges` merges on up to `sampleDocs` documents (collected —
+    * the documented bounded sample). Returns merges in rank order. */
+  def train(df: DataFrame, textCol: String, numMerges: Int, sampleDocs: Int = 10000): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val texts = df.select(col(textCol)).as[String]
+      .filter((s: String) => s != null && s.nonEmpty)
+      .limit(sampleDocs).collect()
+    trainFromTexts(texts.toSeq, numMerges)
   }
 
   /** Distributed trainer: the same greedy merge loop as [[train]], but the
@@ -202,5 +222,168 @@ object Bpe {
         }
       }
       .toDF(idCol, "n_bpe_tokens", "bpe_tokens")
+  }
+
+  // ---------------------------------------------------------------------
+  // BYTE-LEVEL mode (r17, VERDICT r16 #3): production token budgets
+  // (GPT-2/Llama-class vocabularies) are byte-level with regex
+  // pre-tokenization and a 256-byte base alphabet — no OOV by
+  // construction, and whitespace/punctuation carry tokens instead of
+  // vanishing at a split. The word-BPE mode above drifts from those
+  // budgets exactly on punctuation-heavy and non-Latin text; this mode is
+  // the one whose counts a context-window packer can trust.
+  //
+  // Representation: each pre-token's UTF-8 bytes are carried as a
+  // LATIN-1 string (bytes 0–255 ↔ chars U+0000–U+00FF, bijective), so the
+  // entire merge/encode algebra above applies verbatim with one symbol per
+  // byte. Tie-breaks stay consistent distributed-vs-driver: for chars
+  // 0–255, Java's UTF-16 order and Spark's UTF-8 binary order are both
+  // plain byte order.
+  // ---------------------------------------------------------------------
+
+  /** GPT-2-style pre-tokenization (public since the GPT-2 release):
+    * contractions, optionally-space-prefixed letter runs, digit runs,
+    * punctuation runs, then whitespace. The alternatives PARTITION any
+    * string — every char lands in exactly one piece — so concatenating
+    * the pieces reproduces the input byte-for-byte (the roundtrip
+    * certificate in q367 rests on this). */
+  private val preTokPattern = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Pre-tokenize into latin-1-encoded UTF-8 byte pieces. */
+  private[graft] def bytePreTokens(text: String): Vector[String] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val m = preTokPattern.matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) {
+      out += new String(m.group.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    out.result()
+  }
+
+  /** One symbol per byte of a latin-1-encoded piece. */
+  private def byteSyms(piece: String): Vector[String] =
+    piece.iterator.map(_.toString).toVector
+
+  /** Pure-driver byte-level trainer over an in-memory corpus (the
+    * [[trainFromTexts]] twin) — also the oracle generator's path. */
+  def trainBytesFromTexts(texts: Iterable[String], numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val words: Map[Vector[String], Long] = texts.iterator
+      .filter(s => s != null && s.nonEmpty)
+      .flatMap(bytePreTokens).map(byteSyms)
+      .foldLeft(Map.empty[Vector[String], Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    greedyMerges(words, numMerges)
+  }
+
+  /** Byte-level trainer — [[train]]'s algebra over pre-token byte
+    * sequences. The base alphabet is all 256 byte values by construction
+    * (any byte not seen in training simply stays a single-byte token at
+    * encode time), so there is no OOV and no UNK. */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+      sampleDocs: Int = 10000): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val texts = df.select(col(textCol)).as[String]
+      .filter((s: String) => s != null && s.nonEmpty)
+      .limit(sampleDocs).collect()
+    trainBytesFromTexts(texts.toSeq, numMerges)
+  }
+
+  /** Pure byte-level encode of one document: pre-tokenize, merge by rank —
+    * tokens as latin-1 byte strings. Shared by [[encodeBytes]]'s
+    * partitions and oracle generators. */
+  private[graft] def encodeBytesText(text: String,
+      ranks: Map[(String, String), Int]): Vector[String] =
+    bytePreTokens(text).flatMap(p => encodeWord(p, ranks))
+
+  /** Distributed byte-level trainer — [[trainDistributed]]'s per-round
+    * Spark pair counting over pre-token byte sequences; same merge table
+    * as [[trainBytes]] on the same corpus (the q368 gate proves it: the
+    * oracle's VALUES are computed with the driver trainer, the query runs
+    * this one). */
+  def trainBytesDistributed(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
+      df.select(col(textCol)).as[String]
+        .filter((s: String) => s != null && s.nonEmpty)
+        .flatMap(bytePreTokens(_))
+        .groupBy(col("value")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)]
+        .map { case (w, n) => (byteSyms(w): Seq[String], n) }
+        .localCheckpoint()
+    val merges = Vector.newBuilder[(String, String)]
+    var it = 0
+    var done = false
+    while (it < numMerges && !done) {
+      val best = words.flatMap { case (syms, n) =>
+        syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, n) }
+      }.toDF("a", "b", "n")
+        .groupBy("a", "b").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .head(1)
+      if (best.isEmpty) done = true
+      else {
+        val x = best(0).getString(0); val y = best(0).getString(1)
+        merges += ((x, y))
+        val xy = x + y
+        val prev = words
+        words = words.map { case (syms, n) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) { out += xy; i += 2 }
+            else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }.localCheckpoint()
+        graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
+        it += 1
+      }
+    }
+    graft.tools.Hygiene.quietly(words.unpersist(blocking = false))
+    merges.result()
+  }
+
+  /** Distributed byte-level encode: per document, token count, total token
+    * byte mass, the md5 of the CONCATENATED token bytes (== md5 of the
+    * document's UTF-8 bytes whenever the encode lost nothing — the
+    * roundtrip certificate column), and the tokens themselves as binary.
+    * Merges broadcast as a rank map; `mapPartitions`, no data-keyed
+    * shuffle — the same shape as [[encodeTokens]]. */
+  def encodeBytes(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    Par.ensureParallel(df)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        val hexDigits = "0123456789abcdef"
+        it.map { case (id, text) =>
+          val toks = encodeBytesText(text, r)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var mass = 0L
+          toks.foreach { t =>
+            val bs = t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            mass += bs.length
+            md.update(bs)
+          }
+          val hex = md.digest().foldLeft(new StringBuilder(32)) { (sb, b) =>
+            sb.append(hexDigits((b >> 4) & 0xf)).append(hexDigits(b & 0xf))
+          }.toString
+          (id, toks.length.toLong, mass, hex,
+            toks.map(_.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+        }
+      }
+      .toDF(idCol, "n_bpe_tokens", "token_mass_bytes", "roundtrip_md5", "bpe_tokens")
   }
 }

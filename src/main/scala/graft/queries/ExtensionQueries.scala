@@ -12340,6 +12340,113 @@ object ExtensionQueries {
              |  CAST(sum(CASE WHEN bp = 1 AND hp = 1 AND bh IS NOT DISTINCT FROM hh THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
              |  CAST(sum(hnt - bnt) AS BIGINT) AS token_delta
              |FROM j GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Byte-level BPE certificate on the real corpus (r17, VERDICT #3):
+    // GPT-2/Llama-class token budgets are byte-level with regex
+    // pre-tokenization; q107/q331 gate the word mode, this gates the byte
+    // mode. Byte-level makes the certificate STRONGER than q107's: the
+    // pre-tokenizer's alternatives PARTITION the string (whitespace
+    // carries tokens instead of vanishing at a split), so the
+    // concatenated token bytes reproduce the document exactly —
+    // roundtrip_md5 pins the FULL text, token_mass_bytes pins the byte
+    // mass to DuckDB's strlen to the digit, and the count sandwich
+    // (>= whitespace words, <= bytes) brackets the count itself. Exact
+    // merge algebra on a pinned corpus is q368's gate; driver ==
+    // distributed training is BpeSpec's.
+    QueryDef(
+      "q367_bpe_bytes",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Bpe.trainBytes(docs, "text", numMerges = 30)
+        Bpe.encodeBytes(docs, "doc_id", "text", merges)
+          .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("text")),
+            Seq("doc_id"))
+          .select(col("doc_id"),
+            col("roundtrip_md5"),
+            col("token_mass_bytes"),
+            (col("n_bpe_tokens") >=
+              size(expr("filter(split(coalesce(text, ''), '\\\\s+'), x -> x <> '')")))
+              .cast("long").as("ge_words"),
+            (col("n_bpe_tokens") <= col("token_mass_bytes"))
+              .cast("long").as("le_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  md5(coalesce(text, '')) AS roundtrip_md5,
+             |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS token_mass_bytes,
+             |  CAST(1 AS BIGINT) AS ge_words,
+             |  CAST(1 AS BIGINT) AS le_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Byte-vs-word BPE fertility delta on a pinned corpus (r17, VERDICT
+    // #3's fertility row, q136's family): per source, chars-per-token
+    // ×100 under BOTH tokenizer modes and the delta between them — the
+    // number that says how far a word-BPE token budget drifts from a
+    // production byte-level vocabulary on punctuation-heavy / non-Latin
+    // text. The q109 hybrid-oracle pattern: the corpus is a literal
+    // fixture, so the oracle's VALUES are computed AT ORACLE-GENERATION
+    // TIME by the pure DRIVER trainers/encoders while the query runs the
+    // DISTRIBUTED ones (trainBytesDistributed / trainDistributed +
+    // mapPartitions encoders) — the gate therefore pins the exact byte-
+    // merge algebra AND proves driver == distributed end to end, at both
+    // scales, on every value. Sanity is asserted at generation: the dense
+    // source's delta must sit below the ascii source's (the divergence
+    // this row exists to expose), so a trainer change that erased the
+    // signal fails loudly instead of re-pinning garbage.
+    QueryDef(
+      "q368_bpe_fertility_delta",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val fixt = q368Fixtures.toDF("doc_id", "source", "text")
+        val mergesB = Bpe.trainBytesDistributed(fixt, "text", numMerges = 16)
+        val mergesC = Bpe.trainDistributed(fixt, "text", numMerges = 16)
+        val encB = Bpe.encodeBytes(fixt, "doc_id", "text", mergesB)
+          .select(col("doc_id"), col("n_bpe_tokens").as("__bt"))
+        val encC = Bpe.encodeTokens(fixt, "doc_id", "text", mergesC)
+          .select(col("doc_id"), col("n_bpe_tokens").as("__ct"))
+        fixt.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            length(col("text")).cast("long").as("__chars"))
+          .join(encB, Seq("doc_id")).join(encC, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("__chars")).cast("long").as("chars"),
+            sum(col("__bt")).cast("long").as("byte_tokens"),
+            sum(col("__ct")).cast("long").as("cp_tokens"))
+          .withColumn("byte_fert_x100", expr("chars * 100 div byte_tokens"))
+          .withColumn("cp_fert_x100", expr("chars * 100 div cp_tokens"))
+          .withColumn("delta_x100", col("byte_fert_x100") - col("cp_fert_x100"))
+          .orderBy("source")
+      },
+      Some {
+        val texts = q368Fixtures.map(_._3)
+        val ranksB = Bpe.trainBytesFromTexts(texts, 16).zipWithIndex.toMap
+        val ranksC = Bpe.trainFromTexts(texts, 16).zipWithIndex.toMap
+        val perSource = q368Fixtures.groupBy(_._2).toSeq.sortBy(_._1).map {
+          case (src, docs) =>
+            val chars = docs.map(d => d._3.codePointCount(0, d._3.length).toLong).sum
+            val bt = docs.map(d => Bpe.encodeBytesText(d._3, ranksB).length.toLong).sum
+            val ct = docs.map(d => d._3.split("\\s+").iterator.filter(_.nonEmpty)
+              .flatMap(w => Bpe.encodeWord(w, ranksC)).length.toLong).sum
+            val bf = chars * 100 / bt
+            val cf = chars * 100 / ct
+            (src, docs.size.toLong, chars, bt, ct, bf, cf, bf - cf)
+        }
+        val delta = perSource.map(r => r._1 -> r._8).toMap
+        require(delta("dense") < delta("ascii"),
+          s"q368 fixture must show the dense source's fertility delta below ascii's, got $delta")
+        val rows = perSource.map { case (src, nd, ch, bt, ct, bf, cf, d) =>
+          s"('$src', CAST($nd AS BIGINT), CAST($ch AS BIGINT), CAST($bt AS BIGINT), " +
+            s"CAST($ct AS BIGINT), CAST($bf AS BIGINT), CAST($cf AS BIGINT), CAST($d AS BIGINT))"
+        }.mkString(",\n             |  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows)
+           |  AS t(source, n_docs, chars, byte_tokens, cp_tokens,
+           |       byte_fert_x100, cp_fert_x100, delta_x100)
+           |ORDER BY source""".stripMargin
+      }
     )
   )
 
@@ -12361,6 +12468,31 @@ object ExtensionQueries {
     * every document participates in training (true whenever ndocs <=
     * Bpe.train's sampleDocs cap, which holds for every gate fixture; a
     * 100 TB run trains on a sample and would not use this gate query). */
+  /** q368's literal corpus: an ASCII-prose source and a punctuation/CJK-
+    * heavy source, shared by the query lambda (distributed trainers +
+    * encoders) and the oracle generator (pure driver trainers + encoders)
+    * so the gate proves driver == distributed on every pinned value. All
+    * characters are BMP (the documented supplementary-plane tie-break
+    * caveat in [[graft.operators.Bpe.trainDistributed]] never applies). */
+  private[queries] lazy val q368Fixtures: Seq[(Long, String, String)] = {
+    val ascii = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a scan of the table returns the rows in order",
+      "the query plan joins the small table to the large table",
+      "data flows from the scan to the join to the aggregate",
+      "the fox and the dog share the same den",
+      "plans that broadcast the small side win at scale")
+    val dense = Seq(
+      "数据库查询计划在大规模下的表现非常重要",
+      "¡hola! ¿cómo está el añejo café — sí, señor?",
+      "naïve résumé façade coöperate — déjà vu, garçon!",
+      "大数据处理需要分布式计算框架的支持",
+      "punctuation-heavy!!! text; with: lots, of... marks??? (and) [brackets] {braces}",
+      "混合 mixed 文本 text 测试 test 用例 case")
+    ascii.zipWithIndex.map { case (t, i) => (i.toLong, "ascii", t) } ++
+      dense.zipWithIndex.map { case (t, i) => ((100 + i).toLong, "dense", t) }
+  }
+
   /** q109's three literal fixtures — LCG printable noise, LCG common-word
     * prose, a repeated bigram run — shared by the query lambda and the
     * oracle generator so the pinned percentages and the measured ones are

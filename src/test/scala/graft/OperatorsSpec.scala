@@ -1833,6 +1833,74 @@ class OperatorsSpec extends SparkTestBase {
     assert(Bpe.encodeWord("banana", Map(("a", "n") -> 0)) == Vector("b", "an", "an", "a"))
   }
 
+  test("bpe bytes: full-text roundtrip on hostile unicode, no OOV by construction (r17)") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // roundtrip property: whatever the merges, the concatenated token
+    // bytes reproduce the document's UTF-8 bytes EXACTLY — including
+    // whitespace runs, CJK (3-byte), emoji (4-byte, supplementary plane),
+    // and bytes the trainer never saw (the byte-fallback alphabet)
+    val hostile = Seq(
+      "plain ascii text",
+      "  leading and   multi space\t tabs\nnewlines  ",
+      "数据库查询计划", "naïve — déjà vu!", "mixed 中文 and ascii",
+      "emoji 😀🔥 pair", "punct!!!??? ((()))", "")
+    val corpus = Seq((1L, "the the the a a b")).toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(corpus, "text", numMerges = 5)
+    val ranks = merges.zipWithIndex.toMap
+    hostile.foreach { t =>
+      val toks = Bpe.encodeBytesText(t, ranks)
+      val back = new String(
+        toks.flatMap(_.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).toArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(back == t, s"roundtrip failed for '$t'")
+      // no OOV: every token is at least one byte, count bounded by bytes
+      assert(toks.forall(_.nonEmpty))
+      assert(toks.length <= t.getBytes("UTF-8").length)
+    }
+    // GPT-2-style space attachment: the space travels WITH the following
+    // word (one " the" piece), it does not vanish like a whitespace split
+    val pieces = Bpe.bytePreTokens("the the")
+    assert(pieces == Vector("the", " the"))
+    // the distributed encoder's md5/mass columns certify the same thing:
+    // md5(concatenated token bytes) == md5 of the document's UTF-8 bytes
+    val doc = "mixed 中文 emoji 😀 !"
+    val enc = Bpe.encodeBytes(Seq((7L, doc)).toDF("doc_id", "text"),
+      "doc_id", "text", merges).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectHex = md.digest(doc.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(enc.getAs[String]("roundtrip_md5") == expectHex)
+    assert(enc.getAs[Long]("token_mass_bytes") == doc.getBytes("UTF-8").length.toLong)
+    assert(enc.getAs[Long]("n_bpe_tokens") > 0L)
+  }
+
+  test("bpe bytes: distributed trainer equals the driver trainer merge-for-merge (r17)") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // messy real corpus slice, partitioned input — the q368 gate proves
+    // this same parity on the pinned fixture; this spec proves it on real
+    // text with punctuation/unicode and more merges
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60).repartition(7)
+    val drv = Bpe.trainBytes(docs, "text", numMerges = 25, sampleDocs = 100)
+    val dist = Bpe.trainBytesDistributed(docs, "text", numMerges = 25)
+    assert(dist == drv)
+    assert(drv.length == 25)
+    // byte trainer merges WITHIN pre-token pieces: every learned symbol
+    // is a contiguous byte run of some piece, so re-encoding training
+    // text stays lossless
+    val ranks = drv.zipWithIndex.toMap
+    val sample = docs.limit(5).collect().map(_.getString(1))
+    sample.foreach { t =>
+      val back = new String(
+        Bpe.encodeBytesText(t, ranks)
+          .flatMap(_.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).toArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(back == t)
+    }
+  }
+
   test("pagerank: uniform on rings, concentrates on hubs, deterministic") {
     import spark.implicits._
     import graft.operators.Graphs
