@@ -477,6 +477,43 @@ object Dedup {
     perCap.reduce(_ unionByName _)
   }
 
+  /** Incremental SimHash near-dup against a FROZEN corpus (r17, VERDICT
+    * #4) — [[nearDupAgainstCorpus]]'s twin on the [[simHashPairs]] algebra,
+    * for the nightly-crawl shape: band the corpus ONCE per epoch (at scale
+    * the banded frame is persisted bucket-partitioned on (band_idx,
+    * band_key) and reused batch after batch — 4 short rows per corpus
+    * doc), band the arriving batch, join batch bands against corpus
+    * bands, verify each candidate with one codegen'd `bit_count(xor)`.
+    * The Hamming ≤ 3 pigeonhole exactness carries over UNCHANGED: a batch
+    * doc within Hamming ≤ 3 of a corpus doc shares at least one of the 4
+    * 16-bit bands, so recall is exact while the CORPUS-side postings cap
+    * is non-binding — and that is never assumed: [[simHashCapReport]] on
+    * the corpus prices it per epoch, exactly as for the self-join. Corpus
+    * postings per bucket are capped (smallest ids win, deterministic);
+    * the batch side is never capped (a batch is bounded by construction).
+    * Output: (batch_id, corpus_id, hamming), distinct. */
+  def simHashAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, maxPostings: Int = 500): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
+    require(maxPostings >= 1, "maxPostings must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val corpusBands = simHashBands(corpus, idCol, textCol)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_key")).orderBy(col(idCol))))
+      .filter(col("__rn") <= maxPostings)
+      .select(col(idCol).as("corpus_id"), col("simhash64").as("__csh"),
+        col("band_idx"), col("band_key"))
+    simHashBands(batch, idCol, textCol)
+      .select(col(idCol).as("batch_id"), col("simhash64").as("__bsh"),
+        col("band_idx"), col("band_key"))
+      .join(corpusBands, Seq("band_idx", "band_key"))
+      .select(col("batch_id"), col("corpus_id"),
+        expr("bit_count(__bsh ^ __csh)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Per-source dedup-savings datasheet — what exact dedup actually BUYS,
     * in the unit budgets are written in (tokens): per source, doc and
     * token totals before/after min-id exact dedup and the saved fraction

@@ -12342,6 +12342,64 @@ object ExtensionQueries {
              |FROM j GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // Incremental SimHash vs a frozen corpus (r17, VERDICT #4): the
+    // nightly-crawl form of q353 — the corpus (docs with doc_id % 3 ≠ 0)
+    // is banded once per epoch, the arriving batch (% 3 = 0, plus planted
+    // " zz" twins of corpus docs under id+500000 so real low-Hamming
+    // matches exist) joins its bands against it, and every candidate
+    // verifies with one bit_count(xor). The oracle replays the whole
+    // algebra — both simhash64 builds, the 4×16-bit banding, the
+    // corpus-side postings cap, the cross join and the Hamming verify —
+    // and the gate publishes the per-Hamming census with id-sum
+    // checksums on BOTH sides of each pair. Batch∪corpus parity with the
+    // one-shot simHashPairs is OperatorsSpec's.
+    QueryDef(
+      "q369_simhash_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(corpus.filter(col("doc_id") % 9 === 1)
+            .select((col("doc_id") + 500000L).as("doc_id"),
+              concat(col("text"), lit(" zz")).as("text")))
+        Dedup.simHashAgainstCorpus(batch, corpus, "doc_id", "text", maxHamming = 3)
+          .groupBy("hamming")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(col("batch_id")).cast("long").as("sum_batch"),
+            sum(col("corpus_id")).cast("long").as("sum_corpus"))
+          .orderBy("hamming")
+      },
+      Some {
+        val subC = duckSimhash64Sub.replace("FROM documents)", "FROM corp)")
+        val subB = duckSimhash64Sub.replace("FROM documents)", "FROM bat)")
+        s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+           |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL SELECT doc_id + 500000, text || ' zz' FROM documents
+           |  WHERE doc_id % 3 <> 0 AND doc_id % 9 = 1),
+           |shc AS ($subC),
+           |shb AS ($subB),
+           |cb AS (SELECT doc_id, simhash64, band_idx,
+           |    CAST((simhash64 >> ((3 - band_idx) * 16)) & 65535 AS INT) AS band_key
+           |  FROM shc, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+           |cc AS (SELECT doc_id, simhash64, band_idx, band_key FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn
+           |    FROM cb) WHERE rn <= 500),
+           |bb AS (SELECT doc_id, simhash64, band_idx,
+           |    CAST((simhash64 >> ((3 - band_idx) * 16)) & 65535 AS INT) AS band_key
+           |  FROM shb, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+           |p AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           |    CAST(bit_count(xor(b.simhash64, c.simhash64)) AS BIGINT) AS hamming
+           |  FROM bb b JOIN cc c USING (band_idx, band_key)
+           |  WHERE bit_count(xor(b.simhash64, c.simhash64)) <= 3)
+           |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(batch_id) AS BIGINT) AS sum_batch,
+           |  CAST(sum(corpus_id) AS BIGINT) AS sum_corpus
+           |FROM p GROUP BY hamming ORDER BY hamming""".stripMargin
+      }
+    ),
+
     // Byte-level BPE certificate on the real corpus (r17, VERDICT #3):
     // GPT-2/Llama-class token budgets are byte-level with regex
     // pre-tokenization; q107/q331 gate the word mode, this gates the byte

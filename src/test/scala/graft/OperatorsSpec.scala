@@ -1901,6 +1901,39 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash incremental: batch-vs-corpus candidates equal the one-shot join's cross pairs (r17)") {
+    import graft.operators.Dedup
+    // planted fixture: real corpus slice, batch = fresh docs + one exact
+    // twin and near-twins of corpus docs — ids disjoint by construction
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 120)
+    val batch = docs.filter(col("doc_id") >= 120 && col("doc_id") < 160)
+      .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+      .unionByName(corpus.filter(col("doc_id") === 3)
+        .select(lit(990003L).as("doc_id"), col("text"))) // exact dup: Hamming 0
+    val inc = Dedup.simHashAgainstCorpus(batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the exact-dup twin must surface at Hamming 0
+    assert(inc.exists { case (b, c, h) => b == 990003L && c == 3L && h == 0L })
+    // parity: the one-shot self-join over batch ∪ corpus, restricted to
+    // cross (batch, corpus) pairs, is EXACTLY the incremental result —
+    // the frozen-epoch path loses nothing and invents nothing (caps
+    // non-binding on this fixture, so both sides are exact)
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = Dedup.simHashPairs(corpus.unionByName(batch), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect { // orient each a<b pair as (batch, corpus); drop same-side pairs
+        case (a, b, h) if corpusIds.contains(a) && !corpusIds.contains(b) => (b, a, h)
+        case (a, b, h) if !corpusIds.contains(a) && corpusIds.contains(b) => (a, b, h)
+      }.toSet
+    assert(inc == oneShot,
+      s"incremental ${inc.size} pairs vs one-shot cross ${oneShot.size}")
+    assert(inc.nonEmpty) // the fixture planted real matches
+  }
+
   test("pagerank: uniform on rings, concentrates on hubs, deterministic") {
     import spark.implicits._
     import graft.operators.Graphs
