@@ -663,6 +663,57 @@ object Similarity {
       .drop("__maxabs")
   }
 
+  /** Per-DIMENSION affine int8 quantization params from ONE min/max pass
+    * (r17, VERDICT #8) — the storage-layer complement to PQ (q105/q106)
+    * and to the per-vector symmetric [[quantizeInt8]]: per-dim (min, max)
+    * over the corpus, so dimensions with very different dynamic ranges
+    * each use the full 256-code budget (the per-vector form burns codes
+    * on the widest dim). One posexplode + groupBy(dim) aggregate; the
+    * collect is DIMS rows — bounded like every centroid read here. Null
+    * vectors are skipped. */
+  def int8DimParams(df: DataFrame, vecCol: String): Seq[(Double, Double)] =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy("__d")
+      .agg(min(col("__x").cast("double")).as("__mn"),
+        max(col("__x").cast("double")).as("__mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+
+  /** Affine per-dim int8 codes: q_d = clamp(floor((x_d − min_d)·255 /
+    * range_d), 0, 255) — zero-point = min_d, 1 byte per dim at rest (4×
+    * smaller than float32). Every step is IEEE double arithmetic + floor,
+    * so DuckDB replays it to the bit (`floor`/`least`/`greatest` over
+    * `::DOUBLE` operands — no engine-specific rounding anywhere; the
+    * int-cast-rounds trap [[quantizeInt8]] documents never arises).
+    * Appends `q8` (array<int> in 0..255). A zero-range dim codes to 0. */
+  def quantizeInt8PerDim(df: DataFrame, vecCol: String,
+      params: Seq[(Double, Double)]): DataFrame = {
+    val minsL = typedLit(params.map(_._1))
+    val rngL = typedLit(params.map(p => p._2 - p._1))
+    df.withColumn("q8", transform(col(vecCol), (x, i) => {
+      val mn = element_at(minsL, (i + 1).cast("int"))
+      val rg = element_at(rngL, (i + 1).cast("int"))
+      when(rg <= 0.0, lit(0)).otherwise(
+        greatest(lit(0.0), least(lit(255.0),
+          floor((x.cast("double") - mn) * 255.0 / rg))).cast("int"))
+    }))
+  }
+
+  /** Dequantize [[quantizeInt8PerDim]] codes back to an array<float>
+    * (x̂_d = min_d + q_d·range_d/255, then one float rounding — the
+    * vector ANN scoring actually sees from int8 storage). */
+  def dequantizeInt8PerDim(df: DataFrame, qCol: String, outCol: String,
+      params: Seq[(Double, Double)]): DataFrame = {
+    val minsL = typedLit(params.map(_._1))
+    val rngL = typedLit(params.map(p => p._2 - p._1))
+    df.withColumn(outCol, transform(col(qCol), (q, i) => {
+      val mn = element_at(minsL, (i + 1).cast("int"))
+      val rg = element_at(rngL, (i + 1).cast("int"))
+      (mn + q.cast("double") * rg / 255.0).cast("float")
+    }))
+  }
+
   // ---- product quantization (PQ) ----------------------------------------
 
   /** L2 twin of [[assignToCentroids]]: nearest centroid by SQUARED-L2

@@ -12342,6 +12342,78 @@ object ExtensionQueries {
              |FROM j GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // Int8-quantization recall certificate (r17, VERDICT #8): the q220
+    // measurement at the STORAGE layer — per-dimension affine int8
+    // (min/zero-point + range from ONE corpus pass, 4× smaller at rest
+    // than float32), then top-10 by quantized cosine vs top-10 by float
+    // cosine, overlap per probe. Every quantization step is IEEE double
+    // arithmetic + floor, so the oracle replays codes AND dequantized
+    // floats to the bit: the gate pins the exact recall delta int8
+    // storage costs, per probe, at both scales.
+    QueryDef(
+      "q370_int8_quant_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val params = Similarity.int8DimParams(e, "embedding")
+        val probeF = col("vec_id") % 50 === 0
+        val full = Similarity.knnJoin(e, "vec_id", "embedding", probeF, k = 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        val eq = Similarity.dequantizeInt8PerDim(
+            Similarity.quantizeInt8PerDim(e, "embedding", params), "q8", "embq", params)
+          .select(col("vec_id"), col("embq"))
+        val quant = Similarity.knnJoin(eq, "vec_id", "embq", probeF, k = 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        val overlap = full.join(quant, Seq("probe_id", "neighbor_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("overlap10"))
+        e.filter(probeF).select(col("vec_id").as("probe_id"))
+          .join(overlap, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("overlap10"), lit(0L)).as("overlap10"),
+            (coalesce(col("overlap10"), lit(0L)) * 10).as("recall_pct"))
+          .orderBy("probe_id")
+      },
+      Some {
+        def fold(n: String, a: String, b: String) =
+          s"list_reduce(list_transform(range($n), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)"
+        def cos(n: String, a: String, b: String) =
+          s"""CAST(${fold(n, a, b)}
+             | / (sqrt(${fold(n, a, a)}) * sqrt(${fold(n, b, b)})) AS DECIMAL(16,12))"""
+            .stripMargin
+        s"""WITH mm AS (SELECT i, CAST(min(x) AS DOUBLE) AS mn,
+           |    CAST(max(x) AS DOUBLE) - CAST(min(x) AS DOUBLE) AS rg FROM (
+           |    SELECT unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+           |    FROM embeddings WHERE embedding IS NOT NULL) GROUP BY i),
+           |mml AS (SELECT list(mn ORDER BY i) AS mins, list(rg ORDER BY i) AS rngs FROM mm),
+           |eq AS (SELECT vec_id, list_transform(range(len(embedding)), i ->
+           |    CAST(CASE WHEN rngs[i+1] <= 0 THEN mins[i+1]
+           |         ELSE mins[i+1] + least(255.0, greatest(0.0,
+           |           floor((embedding[i+1]::DOUBLE - mins[i+1]) * 255.0 / rngs[i+1])))
+           |           * rngs[i+1] / 255.0 END AS REAL)) AS embq
+           |  FROM embeddings, mml),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+           |  WHERE vec_id % 50 = 0),
+           |pq AS (SELECT vec_id AS probe_id, embq AS pq FROM eq
+           |  WHERE vec_id % 50 = 0),
+           |sf AS (SELECT probe_id, vec_id AS neighbor_id,
+           |    ${cos("len(embedding)", "embedding", "pv")} AS cs
+           |  FROM embeddings, p WHERE vec_id <> probe_id),
+           |rf AS (SELECT probe_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk FROM sf),
+           |sq AS (SELECT probe_id, vec_id AS neighbor_id,
+           |    ${cos("len(embq)", "embq", "pq")} AS cs
+           |  FROM eq, pq WHERE vec_id <> probe_id),
+           |rq AS (SELECT probe_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk FROM sq),
+           |ov AS (SELECT rf.probe_id, CAST(count(*) AS BIGINT) AS overlap10
+           |  FROM rf JOIN rq ON rf.probe_id = rq.probe_id AND rf.neighbor_id = rq.neighbor_id
+           |  WHERE rf.rk <= 10 AND rq.rk <= 10 GROUP BY 1)
+           |SELECT p.probe_id, CAST(coalesce(ov.overlap10, 0) AS BIGINT) AS overlap10,
+           |       CAST(coalesce(ov.overlap10, 0) * 10 AS BIGINT) AS recall_pct
+           |FROM p LEFT JOIN ov ON p.probe_id = ov.probe_id
+           |ORDER BY p.probe_id""".stripMargin
+      }
+    ),
+
     // Incremental SimHash vs a frozen corpus (r17, VERDICT #4): the
     // nightly-crawl form of q353 — the corpus (docs with doc_id % 3 ≠ 0)
     // is banded once per epoch, the arriving batch (% 3 = 0, plus planted

@@ -1934,6 +1934,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(inc.nonEmpty) // the fixture planted real matches
   }
 
+  test("int8 per-dim quantization: codes in range, reconstruction within one step, degenerate dims exact (r17)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // fixture: dims with wildly different ranges (the case per-vector
+    // symmetric scaling wastes codes on) + a constant dim + negatives
+    val vecs = Seq(
+      (1L, Array(0.0f, -100f, 0.001f, 7f)),
+      (2L, Array(0.0f, 50f, 0.004f, 7f)),
+      (3L, Array(0.0f, 300f, -0.002f, 7f)),
+      (4L, Array(0.0f, 0f, 0.006f, 7f))).toDF("vec_id", "v")
+    val params = Similarity.int8DimParams(vecs, "v")
+    // mins/maxes are float32 values widened to double — compare in that space
+    assert(params == Seq((0.0, 0.0), (-100.0, 300.0),
+      ((-0.002f).toDouble, 0.006f.toDouble), (7.0, 7.0)))
+    val q = Similarity.quantizeInt8PerDim(vecs, "v", params)
+    val dq = Similarity.dequantizeInt8PerDim(q, "q8", "vhat", params)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](2), r.getSeq[Float](3))).toList
+    dq.foreach { case (_, codes, _) =>
+      assert(codes.forall(c => c >= 0 && c <= 255), s"codes out of range: $codes")
+    }
+    val byId = dq.map(t => t._1 -> t).toMap
+    // extremes land on the code-range ends
+    assert(byId(1L)._2(1) == 0)    // min of dim 1 (-100)
+    assert(byId(3L)._2(1) == 255)  // max of dim 1 (300)
+    // zero-range dims (dim 0 all-zero, dim 3 constant 7) reconstruct EXACTLY
+    dq.foreach { case (_, codes, vhat) =>
+      assert(codes(0) == 0 && vhat(0) == 0.0f)
+      assert(codes(3) == 0 && vhat(3) == 7.0f)
+    }
+    // reconstruction error bounded by one quantization step per dim
+    val orig = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    dq.foreach { case (id, _, vhat) =>
+      orig(id).zip(vhat).zip(params).foreach { case ((x, xh), (mn, mx)) =>
+        val step = (mx - mn) / 255.0
+        assert(math.abs(x - xh) <= step + 1e-9,
+          s"vec $id: |$x - $xh| > step $step")
+      }
+    }
+  }
+
   test("pagerank: uniform on rings, concentrates on hubs, deterministic") {
     import spark.implicits._
     import graft.operators.Graphs
