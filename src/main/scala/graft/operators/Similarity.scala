@@ -1075,6 +1075,89 @@ object Similarity {
         coalesce(col("expanded_hits"), lit(0L)).as("expanded_hits"))
   }
 
+  /** Iterated NN-descent graph BUILD with a per-round recall certificate
+    * (r17, VERDICT #6): [[graphExpandedRecall]] certifies ONE neighbor-
+    * expansion round; a real graph index iterates the move to convergence.
+    * Round 0 builds the two-table bucket-mate kNN graph (exactly q279's);
+    * each later round re-ranks every node's edges over the union of its
+    * current edges and its neighbors' neighbors — the NN-descent update —
+    * keeping the top `kGraph` by cosine. Per-node edge quality is monotone
+    * by construction (old edges always re-enter the candidate set), so a
+    * node's overlap with its TRUE top-`kGraph` never decreases; the
+    * certificate publishes that overlap summed over probes per round, and
+    * the loop exits the first round that gains nothing (the q210 fixpoint
+    * idiom: a converged graph stops paying for itself).
+    *
+    * Output: one row per EXECUTED round — (round, hits, gained), hits =
+    * Σ_probes |edges(probe) ∩ brute-truth top-kGraph|, gained = delta vs
+    * the previous round (round 0: its own hits). The last row's gained = 0
+    * unless maxRounds cut the loop first.
+    *
+    * Scale shape: the bucket join is round 0's usual LSH blast; every
+    * later round touches n·kGraph² candidate rows (never all-pairs), one
+    * keyed self-join + one scoring join + one window each. Truth is
+    * probe-restricted brute force (linear in corpus). The per-round driver
+    * read is ONE count. `localCheckpoint` caps lineage per round exactly
+    * like the Lloyd loops. */
+  def nnDescentBuildCertificate(df: DataFrame, idCol: String, vecCol: String,
+      probeMod: Long, bits: Int, kGraph: Int, maxRounds: Int,
+      seed2: Int = 1337): DataFrame = {
+    require(maxRounds >= 0 && kGraph >= 1, "maxRounds >= 0, kGraph >= 1")
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bktA",
+        GraftFunctions.hyperplaneBucket(col("v"), bits, DefaultPlaneSeed))
+      .withColumn("bktB",
+        GraftFunctions.hyperplaneBucket(col("v"), bits, seed2))
+      .localCheckpoint()
+    val wg = Window.partitionBy("src").orderBy(col("cs").desc, col("dst"))
+    def topKGraph(scored: DataFrame): DataFrame = scored
+      .withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= kGraph)
+      .select("src", "dst")
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(base.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
+      .join(base.select(col("id").as("dst"), col("v").as("dv")), Seq("dst"))
+      .select(col("src"), col("dst"), cosine("sv", "dv").as("cs"))
+    def mates(bkt: String) = base.as("x").join(base.as("y"),
+        col(s"x.$bkt") === col(s"y.$bkt") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+    var g = topKGraph(score(mates("bktA").unionByName(mates("bktB")).distinct()))
+      .localCheckpoint()
+    val truth = knnJoin(df, idCol, vecCol, col(idCol) % probeMod === 0, kGraph)
+      .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    def hitsOf(graph: DataFrame): Long = graph
+      .filter(col("src") % probeMod === 0)
+      .join(truth, Seq("src", "dst"), "left_semi")
+      .count()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var prev = hitsOf(g)
+    rows += ((0L, prev, prev))
+    var r = 1
+    var improving = true
+    while (r <= maxRounds && improving) {
+      val twoHop = g.as("g1").join(g.as("g2"), col("g1.dst") === col("g2.src"))
+        .filter(col("g1.src") =!= col("g2.dst"))
+        .select(col("g1.src").as("src"), col("g2.dst").as("dst"))
+      val old = g
+      g = topKGraph(score(g.unionByName(twoHop).distinct())).localCheckpoint()
+      graft.tools.Hygiene.quietly(old.unpersist(blocking = false))
+      val h = hitsOf(g)
+      rows += ((r.toLong, h, h - prev))
+      improving = h > prev
+      prev = h
+      r += 1
+    }
+    graft.tools.Hygiene.quietly(g.unpersist(blocking = false))
+    graft.tools.Hygiene.quietly(truth.unpersist(blocking = false))
+    graft.tools.Hygiene.quietly(base.unpersist(blocking = false))
+    import spark.implicits._
+    rows.toSeq.toDF("round", "hits", "gained")
+  }
+
   /** Margin-based bitext/pair mining (the ratio margin of Artetxe &
     * Schwenk 2019, the ccMatrix/LASER criterion): a candidate pair (x, y)
     * across two corpora is a mined pair when its similarity stands out

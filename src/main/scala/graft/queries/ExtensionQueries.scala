@@ -12342,6 +12342,91 @@ object ExtensionQueries {
              |FROM j GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // Iterated NN-descent build (r17, VERDICT #6): q279 certifies ONE
+    // neighbor-expansion round; this gates the BUILD loop — per round,
+    // every node re-ranks its edges over current-edges ∪ neighbors'-
+    // neighbors (top-5 by cosine), and the certificate row publishes the
+    // probes' edge overlap with brute-force truth plus the gain, exiting
+    // the first round that gains nothing (q210 fixpoint idiom). Per-node
+    // edge quality is monotone by construction — old edges always re-
+    // enter the candidate set — so hits never decrease; the oracle
+    // replays every round (both plane tables, the mate graph, three
+    // unrolled NN-descent updates, truth, the per-round census) AND the
+    // early-exit emission rule itself: round r appears iff every earlier
+    // round gained.
+    QueryDef(
+      "q371_nn_descent_build",
+      (s, dir) =>
+        Similarity.nnDescentBuildCertificate(t(s, dir, "embeddings"),
+            "vec_id", "embedding", probeMod = 50L, bits = 4, kGraph = 5,
+            maxRounds = 3, seed2 = 1337)
+          .orderBy("round"),
+      Some {
+        def planeVals(seed: Int) =
+          graft.functions.HyperplaneBucket.table(4, 64, seed).zipWithIndex
+            .map { case (row, p) =>
+              s"($p, ${row.map(b => if (b) "1" else "-1").mkString("[", ", ", "]")})"
+            }.mkString(",\n  ")
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        def bucket(planes: String, out: String) =
+          s"""pr$out AS (SELECT e.vec_id, p.idx,
+             |    list_reduce(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * p.w[i+1]), (x,y) -> x + y) AS proj
+             |  FROM embeddings e CROSS JOIN $planes p),
+             |bk$out AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS bkt
+             |  FROM pr$out GROUP BY vec_id)""".stripMargin
+        // one NN-descent round: candidates = g ∪ two-hop(g), re-scored,
+        // top-5 per src — the exact update the operator loops
+        def round(r: Int) =
+          s"""c$r AS (SELECT DISTINCT src, dst FROM (
+             |    SELECT src, dst FROM g${r - 1}
+             |    UNION ALL SELECT g1.src, g2.dst FROM g${r - 1} g1
+             |      JOIN g${r - 1} g2 ON g1.dst = g2.src WHERE g1.src <> g2.dst)),
+             |s$r AS (SELECT c.src, c.dst, ${cos("x.embedding", "y.embedding")} AS cs
+             |  FROM c$r c JOIN embeddings x ON x.vec_id = c.src
+             |    JOIN embeddings y ON y.vec_id = c.dst),
+             |g$r AS (SELECT src, dst FROM (SELECT src, dst,
+             |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn FROM s$r)
+             |  WHERE rn <= 5),
+             |h$r AS (SELECT CAST(count(*) AS BIGINT) AS h FROM g$r g
+             |  JOIN br ON g.src = br.src AND g.dst = br.dst WHERE g.src % 50 = 0)""".stripMargin
+        s"""WITH planesA(idx, w) AS (VALUES
+           |  ${planeVals(Similarity.DefaultPlaneSeed)}),
+           |planesB(idx, w) AS (VALUES
+           |  ${planeVals(1337)}),
+           |${bucket("planesA", "A")},
+           |${bucket("planesB", "B")},
+           |v AS (SELECT e.vec_id AS id, e.embedding AS vec, a.bkt AS ba, b.bkt AS bb
+           |  FROM embeddings e JOIN bkA a USING (vec_id) JOIN bkB b USING (vec_id)),
+           |mt AS (SELECT x.id AS src, y.id AS dst, ${cos("x.vec", "y.vec")} AS cs
+           |  FROM v x JOIN v y ON x.id <> y.id AND (x.ba = y.ba OR x.bb = y.bb)),
+           |g0 AS (SELECT src, dst FROM (SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn FROM mt)
+           |  WHERE rn <= 5),
+           |br AS (SELECT pid AS src, cid AS dst FROM (
+           |    SELECT p.vec_id AS pid, e.vec_id AS cid,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY ${cos("p.embedding", "e.embedding")} DESC, e.vec_id) AS rn
+           |    FROM embeddings e CROSS JOIN
+           |      (SELECT * FROM embeddings WHERE vec_id % 50 = 0) p
+           |    WHERE e.vec_id <> p.vec_id) WHERE rn <= 5),
+           |h0 AS (SELECT CAST(count(*) AS BIGINT) AS h FROM g0 g
+           |  JOIN br ON g.src = br.src AND g.dst = br.dst WHERE g.src % 50 = 0),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT CAST(0 AS BIGINT) AS round, h0.h AS hits, h0.h AS gained FROM h0
+           |UNION ALL SELECT CAST(1 AS BIGINT), h1.h, h1.h - h0.h FROM h0, h1
+           |UNION ALL SELECT CAST(2 AS BIGINT), h2.h, h2.h - h1.h FROM h0, h1, h2
+           |  WHERE h1.h > h0.h
+           |UNION ALL SELECT CAST(3 AS BIGINT), h3.h, h3.h - h2.h FROM h0, h1, h2, h3
+           |  WHERE h1.h > h0.h AND h2.h > h1.h
+           |ORDER BY round""".stripMargin
+      }
+    ),
+
     // Int8-quantization recall certificate (r17, VERDICT #8): the q220
     // measurement at the STORAGE layer — per-dimension affine int8
     // (min/zero-point + range from ONE corpus pass, 4× smaller at rest

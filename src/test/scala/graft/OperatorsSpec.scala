@@ -1974,6 +1974,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
+    import graft.operators.Similarity
+    // real embedding slice: hits must be monotone nondecreasing round to
+    // round (old edges always re-enter the candidate set) and the loop
+    // must stop within maxRounds+1 rows, last row gaining 0 unless cut
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.nnDescentBuildCertificate(e, "vec_id", "embedding",
+      probeMod = 20L, bits = 3, kGraph = 4, maxRounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 6)
+    assert(rows.head._1 == 0L && rows.head._2 == rows.head._3) // round 0 gains itself
+    rows.sliding(2).foreach {
+      case Array((_, h0, _), (r, h1, g)) =>
+        assert(h1 >= h0, s"hits regressed at round $r: $h0 -> $h1")
+        assert(g == h1 - h0)
+      case _ => ()
+    }
+    // fixpoint exit: if the loop stopped before maxRounds, the last round
+    // gained nothing (that IS the exit condition)
+    if (rows.length < 6) assert(rows.last._3 == 0L)
+    // zero-round form: just the baseline census
+    val base = Similarity.nnDescentBuildCertificate(e, "vec_id", "embedding",
+      probeMod = 20L, bits = 3, kGraph = 4, maxRounds = 0).collect()
+    assert(base.length == 1 && base.head.getLong(0) == 0L)
+  }
+
   test("pagerank: uniform on rings, concentrates on hubs, deterministic") {
     import spark.implicits._
     import graft.operators.Graphs
