@@ -99,6 +99,13 @@ object Main {
       // equal). The resolved shares land in the summary JSON.
       dsirTargets: Seq[(String, String)] = Nil,
       dsirMix: Seq[Long] = Nil,
+      // --work-dir <path>: per-stage checkpoint store for curate (r17,
+      // verdict #5) — each expensive stage commits its survivor ids +
+      // summary fragment under a fingerprint-named dir; --resume replays
+      // committed stages whose fingerprints (input digest + params hash,
+      // chained) still match instead of recomputing them
+      workDir: Option[String] = None,
+      resume: Boolean = false,
       // datasheet subcommand
       sourceCol: String = "source",
       // advise-layout subcommand
@@ -216,6 +223,8 @@ object Main {
           require(m.forall(v => v >= 0 && v <= 1000000L) && m.sum >= 1,
             "--dsir-mix weights must be x1000 values in 0..1e6 with a positive sum")
           a = a.copy(dsirMix = m)
+        case "--work-dir" => a = a.copy(workDir = Some(need("--work-dir")))
+        case "--resume" => a = a.copy(resume = true)
         case "--source-col" => a = a.copy(sourceCol = need("--source-col"))
         case "--candidates" =>
           a = a.copy(candidates =
@@ -647,6 +656,42 @@ object Main {
         clean
       } else spark.read.parquet(a.basePath)
     val inDocs = df.count()
+    // ---- resumable stages (r17, verdict #5): fingerprints are computed
+    // ONLY when --work-dir is given (the digest pass is one map-side scan
+    // of the corpus — cheap next to the stages it saves, but not free, so
+    // the default pipeline stays byte-identical). Each fingerprint chains
+    // the input content digest with the stage's canonical params and every
+    // UPSTREAM stage's fingerprint, so a changed input, changed upstream
+    // params, or changed own params all refuse the stale checkpoint; DSIR
+    // target corpora are content-digested too (a re-crawled target with
+    // the same path must invalidate the stage).
+    require(!a.resume || a.workDir.isDefined, "--resume requires --work-dir")
+    val stageFps: Map[String, String] = a.workDir.map { _ =>
+      val digest = graft.engine.CurateResume.corpusDigest(df, "doc_id", "text")
+      val tgts = a.dsirTargets.map { case (n, p) =>
+        val d = graft.engine.CurateResume
+          .corpusDigest(spark.read.parquet(p), "text", "text")
+        s"$n@$p#$d"
+      }.mkString(",")
+      val mixCanon =
+        (if (a.dsirMix.nonEmpty) a.dsirMix
+         else Seq.fill(a.dsirTargets.size)(1000L)).mkString(",")
+      graft.engine.CurateResume.stageFingerprints(digest, Seq(
+        "near_dup" -> s"mode=${a.nearDupMode}|pct=${a.nearDupPct}",
+        "dsir" -> s"targets=$tgts|mix=$mixCanon"))
+        .map { case (n, _, fp) => n -> fp }.toMap
+    }.getOrElse(Map.empty)
+    val resumedStages = scala.collection.mutable.ArrayBuffer.empty[String]
+    def resumeStage(stage: String): Option[(DataFrame, String)] =
+      if (!a.resume) None
+      else for {
+        wd <- a.workDir
+        fp <- stageFps.get(stage)
+        hit <- graft.engine.CurateResume.loadStage(spark, wd, stage, fp)
+      } yield { resumedStages += stage; hit }
+    def commitStage(stage: String, ids: DataFrame, meta: String): Unit =
+      for (wd <- a.workDir; fp <- stageFps.get(stage))
+        graft.engine.CurateResume.commitStage(spark, wd, stage, fp, ids, meta)
     // near-dup stage (r15): runs on the RAW text ahead of the pipeline
     // (the pipeline's own dedup is exact-on-clean-text; this one catches
     // reworded/banner-variant copies). Survivorship is min-id per pair —
@@ -657,7 +702,13 @@ object Main {
     // corpus itself is quadratic at the threshold.
     val (nearDupJson, deduped) =
       if (a.nearDupMode == "off") ("", df)
-      else {
+      else resumeStage("near_dup") match {
+        case Some((drops, meta)) =>
+          // the committed drop-id set replays the stage: the anti-join is
+          // the only work re-done (the pair join — the expensive part —
+          // is what the checkpoint saved)
+          (meta, df.join(drops.select("doc_id"), Seq("doc_id"), "left_anti"))
+        case None =>
         import org.apache.spark.sql.functions.col
         // the advisor stats pass runs ONLY when its verdict decides the
         // route (r15 review: a forced --near-dup-mode lsh was paying the
@@ -705,8 +756,13 @@ object Main {
             s""", "pair_budget": ${r.getAs[Long]("pair_budget")}""").getOrElse("")
         val lshJson = lshParams.map { case (bands, rows) =>
           s""", "lsh_bands": $bands, "lsh_rows": $rows""" }.getOrElse("")
-        (s""", "near_dup_mode": "${a.nearDupMode}", "near_dup_path": "$path"""" +
-          advJson + lshJson + s""", "near_dup_removed": $removed""", kept)
+        val json = s""", "near_dup_mode": "${a.nearDupMode}", "near_dup_path": "$path"""" +
+          advJson + lshJson + s""", "near_dup_removed": $removed"""
+        // checkpoint: the drop ids are the stage's whole decision (tiny —
+        // one long per removed doc) and the meta fragment preserves the
+        // data-dependent advisor verdict across the resume
+        commitStage("near_dup", drops, json)
+        (json, kept)
       }
     // DSIR multi-domain resample (r16, verdict #8): importance-weight the
     // corpus against external TARGET distributions (one parquet per
@@ -718,7 +774,10 @@ object Main {
     // matter, so the targets' synthetic ids carry no semantics).
     val (dsirJson, selected) =
       if (a.dsirTargets.isEmpty) ("", deduped)
-      else {
+      else resumeStage("dsir") match {
+        case Some((keptIds, meta)) =>
+          (meta, deduped.join(keptIds.select("doc_id"), Seq("doc_id"), "left_semi"))
+        case None =>
         import org.apache.spark.sql.functions._
         // pin once: the DSIR block reads this frame four times (model fit,
         // token counts, the semi-join selection, then the pack stage) and
@@ -778,6 +837,7 @@ object Main {
           s""", "dsir_mix": ${mix.mkString("[", ", ", "]")}""" +
           s""", "dsir_kept": $kept, "dsir_removed": ${nIn - kept}""" +
           s""", "dsir_shares_x10000": $shares"""
+        commitStage("dsir", samp.select("doc_id"), json)
         (json, pinned.join(samp.select("doc_id"), Seq("doc_id"), "left_semi"))
       }
     val curated = graft.operators.Pipelines.curateAndPack(
@@ -793,8 +853,10 @@ object Main {
         else curated.agg(org.apache.spark.sql.functions.max("bin_id")).head().getLong(0) + 1
       graft.engine.CorpusIO.writeJsonl(curated, a.headPath, "doc_id", a.shards)
       def jstr(s: String) = jsonStr(s) // shared escaper
+      val resumeJson = if (!a.resume) ""
+        else s""", "resumed_stages": ${resumedStages.map(s => "\"" + s + "\"").mkString("[", ", ", "]")}"""
       println(
-        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}$nearDupJson$dsirJson, "out": ${jstr(a.headPath)}}""")
+        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}$nearDupJson$dsirJson$resumeJson, "out": ${jstr(a.headPath)}}""")
     } finally { curated.unpersist(); () }
   }
 

@@ -1,0 +1,102 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-stage checkpoint/resume for the curate pipeline (r17, VERDICT #5):
+  * at 100 TB a failure in the DSIR stage otherwise recomputes hours of
+  * near-dup work. Each expensive stage commits its (small) survivor-id
+  * frame plus its summary-JSON fragment under a fingerprint-named
+  * directory; `curate --resume` replays a stage from that directory iff
+  * its fingerprint still matches.
+  *
+  * The FINGERPRINT ALGEBRA is what makes resume safe, and it is
+  * oracle-gated (q372) because a wrong fingerprint is silent stale data:
+  *   - [[corpusDigest]]: an order-independent one-pass content digest —
+  *     per row the first 8 hex of md5("id:md5(text)") as an integer,
+  *     summed exactly (DECIMAL(38,0)) then folded into a non-negative
+  *     long by pmod 2⁶²−1 (both engines floor-mod positives identically;
+  *     a plain BIGINT sum would overflow past ~2e9 rows). Any row edit,
+  *     add, or drop moves the digest; row order and partitioning don't.
+  *   - [[stageFingerprints]]: fp₀ = md5(digest|name₀|params₀), fpₙ =
+  *     md5(fpₙ₋₁|nameₙ|paramsₙ) — CHAINED, so changing any upstream
+  *     stage's params (or the input) invalidates every later stage, while
+  *     a params change in stage n alone preserves stages 0..n−1.
+  *
+  * Commit protocol mirrors [[SnapshotStore]]: write to `<dir>.tmp`, write
+  * the meta sidecar, rename, then create the `_GRAFT_STAGE_COMMITTED`
+  * marker — a kill at ANY instant leaves either a committed stage or a
+  * refusable partial, never a half-trusted one. */
+object CurateResume {
+
+  val CommitMarker = "_GRAFT_STAGE_COMMITTED"
+  private val MetaFile = "_meta.json"
+  private val DigestMod = 4611686018427387903L // 2^62 - 1
+
+  /** Order-independent corpus content digest (one map-side pass). */
+  def corpusDigest(df: DataFrame, idCol: String, textCol: String): Long = {
+    val perRow = expr(
+      s"cast(conv(substring(md5(concat(cast($idCol as string), ':', " +
+        s"md5(coalesce($textCol, '')))), 1, 8), 16, 10) as decimal(38,0))")
+    val row = df.agg(
+      coalesce(sum(perRow), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+        .as("__s")).head()
+    row.getDecimal(0).toBigInteger
+      .mod(java.math.BigInteger.valueOf(DigestMod)).longValueExact()
+  }
+
+  /** md5 hex (lowercase) of a string — the chain link. */
+  private[graft] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Chained stage fingerprints: (name, params, fingerprint) per stage. */
+  def stageFingerprints(inputDigest: Long,
+      stages: Seq[(String, String)]): Seq[(String, String, String)] = {
+    var prev = inputDigest.toString
+    stages.map { case (name, params) =>
+      val fp = md5Hex(s"$prev|$name|$params")
+      prev = fp
+      (name, params, fp)
+    }
+  }
+
+  private def stagePath(workDir: String, stage: String, fp: String): Path =
+    new Path(workDir, s"${stage}_$fp")
+
+  /** Commit one stage: survivor/drop ids (small) + the stage's summary
+    * fragment. tmp → rename → marker, so readers never trust a torn dir. */
+  def commitStage(spark: SparkSession, workDir: String, stage: String,
+      fp: String, ids: DataFrame, metaJson: String): Unit = {
+    val dst = stagePath(workDir, stage, fp)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dst.toString + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    ids.write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, MetaFile), true)
+    out.write(metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"stage commit failed: rename $tmp -> $dst")
+    fs.create(new Path(dst, CommitMarker), true).close()
+  }
+
+  /** Load a committed stage: Some((ids, metaJson)) iff the fingerprint-
+    * named directory exists WITH its commit marker; a partial write (no
+    * marker) is refused exactly like [[SnapshotStore.read]] refuses a
+    * markerless snapshot. */
+  def loadStage(spark: SparkSession, workDir: String, stage: String,
+      fp: String): Option[(DataFrame, String)] = {
+    val dst = stagePath(workDir, stage, fp)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dst, CommitMarker))) None
+    else {
+      val in = fs.open(new Path(dst, MetaFile))
+      val meta = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      in.close()
+      Some((spark.read.parquet(dst.toString), meta))
+    }
+  }
+}

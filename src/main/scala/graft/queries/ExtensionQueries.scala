@@ -12342,6 +12342,50 @@ object ExtensionQueries {
              |FROM j GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // Curate resume-manifest algebra (r17, VERDICT #5, the q300 pattern):
+    // the fingerprint chain `curate --resume` trusts, gated value-exact —
+    // a wrong fingerprint is silent stale data, so the algebra gets an
+    // oracle, not just a spec. input_digest is the order-independent
+    // one-pass corpus content digest (per-row first-8-hex of
+    // md5("id:md5(text)"), exact DECIMAL sum, pmod 2⁶²−1 — DuckDB's
+    // HUGEINT sum replays it without overflow); each stage fingerprint
+    // md5-chains the previous one with the stage name and canonical
+    // params, so the oracle recomputing the same chain over the same
+    // corpus pins every link.
+    QueryDef(
+      "q372_curate_manifest",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val docs = t(s, dir, "documents")
+        val digest = graft.engine.CurateResume.corpusDigest(docs, "doc_id", "text")
+        val stages = graft.engine.CurateResume.stageFingerprints(digest, Seq(
+          "near_dup" -> "mode=lsh|pct=40",
+          "dsir" -> "targets=web@/t/web#123,ref@/t/ref#456|mix=700,300",
+          "pack" -> "budget=256|minWords=50|spanWords=5"))
+        stages.zipWithIndex.map { case ((n, p, fp), i) =>
+          (i.toLong, n, p, fp, digest) }
+          .toDF("stage_idx", "stage", "params", "fingerprint", "input_digest")
+          .orderBy("stage_idx")
+      },
+      Some(raw"""WITH dg AS (SELECT CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |      || ':' || md5(coalesce(text, ''))), 1, 8))::BIGINT)
+             |      % 4611686018427387903 AS BIGINT) AS d FROM documents),
+             |f0 AS (SELECT d, md5(CAST(d AS VARCHAR) || '|near_dup|mode=lsh|pct=40') AS fp FROM dg),
+             |f1 AS (SELECT d, fp,
+             |    md5(fp || '|dsir|targets=web@/t/web#123,ref@/t/ref#456|mix=700,300') AS fp1 FROM f0),
+             |f2 AS (SELECT d, fp, fp1,
+             |    md5(fp1 || '|pack|budget=256|minWords=50|spanWords=5') AS fp2 FROM f1)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'near_dup' AS stage,
+             |    'mode=lsh|pct=40' AS params, fp AS fingerprint, d AS input_digest FROM f2
+             |  UNION ALL SELECT CAST(1 AS BIGINT), 'dsir',
+             |    'targets=web@/t/web#123,ref@/t/ref#456|mix=700,300', fp1, d FROM f2
+             |  UNION ALL SELECT CAST(2 AS BIGINT), 'pack',
+             |    'budget=256|minWords=50|spanWords=5', fp2, d FROM f2)
+             |ORDER BY stage_idx""".stripMargin)
+    ),
+
     // Iterated NN-descent build (r17, VERDICT #6): q279 certifies ONE
     // neighbor-expansion round; this gates the BUILD loop — per round,
     // every node re-ranks its edges over current-edges ∪ neighbors'-

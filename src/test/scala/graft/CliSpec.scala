@@ -282,6 +282,88 @@ class CliSpec extends SparkTestBase {
     assert(!buf2.toString("UTF-8").contains("dsir_targets"))
   }
 
+  test("curate --work-dir/--resume: kill-and-resume golden — committed stages replay, stale fingerprints refuse (r17)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_resume_")
+    val body = "the quick brown fox and the lazy dog of the north went to the market in town"
+    val docs = Seq(
+      (1L, s"$body uniqoneaa uniqonebb"),
+      (2L, s"$body uniqtwoaa uniqtwobb"),
+      (3L, "a wholly different document with its very own twenty words of content " +
+        "spread over several phrases to pass the gate")
+    ).toDF("doc_id", "text")
+    val in = dir.resolve("in").toString
+    docs.write.mode("overwrite").parquet(in)
+    val tgt = Seq((1000L, s"$body target flavored")).toDF("doc_id", "text")
+    val tp = dir.resolve("tgt").toString
+    tgt.write.parquet(tp)
+    val work = dir.resolve("work").toString
+    def run(out: String, extra: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Main.runCurate(spark, Main.parseArgs(Seq("curate", in, out,
+          "--min-words", "3", "--span-words", "50", "--budget", "100000",
+          "--near-dup-mode", "lsh", "--work-dir", work,
+          "--dsir-targets", s"lit=$tp", "--dsir-mix", "1000") ++ extra))
+      }
+      buf.toString("UTF-8").trim
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def export(out: String): Set[(Long, String)] =
+      graft.engine.CorpusIO.partitionCorrupt(
+        graft.engine.CorpusIO.readJsonl(spark, out, schema))._1
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // --resume without --work-dir refused at entry
+    intercept[IllegalArgumentException] {
+      Main.runCurate(spark, Main.parseArgs(
+        Seq("curate", in, dir.resolve("x").toString, "--resume")))
+    }
+    // 1. uninterrupted run: both stages commit under fingerprint dirs
+    val line1 = run(dir.resolve("outA").toString)
+    assert(line1.contains(""""near_dup_removed": 1""") && !line1.contains("resumed_stages"), line1)
+    val workDirs = new java.io.File(work).listFiles().map(_.getName).toSet
+    assert(workDirs.exists(_.startsWith("near_dup_")) && workDirs.exists(_.startsWith("dsir_")), workDirs)
+    val ndDir = new java.io.File(work).listFiles().find(_.getName.startsWith("near_dup_")).get
+    assert(new java.io.File(ndDir, graft.engine.CurateResume.CommitMarker).exists())
+    val golden = export(dir.resolve("outA").toString)
+    // 2. kill-and-resume: the run died after the stages committed — the
+    //    resumed run must produce the SAME export without re-running the
+    //    pair join. Proof of non-execution: a sentinel planted in the
+    //    committed meta flows to the summary verbatim (a recompute would
+    //    regenerate the fragment without it).
+    val metaFile = new java.io.File(ndDir, "_meta.json")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    java.nio.file.Files.write(metaFile.toPath,
+      (meta + """, "sentinel_replayed": 7""").getBytes("UTF-8"))
+    // the raw edit above bypasses Hadoop's checksummed local FS — drop the
+    // stale .crc sidecar (test-only concern; real resumes never hand-edit)
+    new java.io.File(ndDir, "._meta.json.crc").delete()
+    val line2 = run(dir.resolve("outB").toString, "--resume")
+    assert(line2.contains(""""resumed_stages": ["near_dup", "dsir"]"""), line2)
+    assert(line2.contains(""""sentinel_replayed": 7"""), line2)
+    assert(export(dir.resolve("outB").toString) == golden)
+    // 3. changed stage params -> different fingerprint -> stage recomputed
+    //    (and the near_dup change invalidates the CHAINED dsir stage too)
+    val line3 = run(dir.resolve("outC").toString, "--resume", "--near-dup-pct", "60")
+    assert(line3.contains(""""resumed_stages": []"""), line3)
+    assert(!line3.contains("sentinel_replayed"), line3)
+    // 4. a torn commit (marker missing) is refused, not trusted
+    assert(new java.io.File(ndDir, graft.engine.CurateResume.CommitMarker).delete())
+    val line4 = run(dir.resolve("outD").toString, "--resume")
+    assert(line4.contains(""""resumed_stages": ["dsir"]""") && !line4.contains("sentinel_replayed"), line4)
+    assert(export(dir.resolve("outD").toString) == golden)
+    // the recompute re-committed the stage: marker is back
+    assert(new java.io.File(ndDir, graft.engine.CurateResume.CommitMarker).exists())
+    // 5. changed INPUT -> digest moves -> nothing resumes
+    docs.unionByName(Seq((4L, "a brand new fourth document with plenty of its own words to pass " +
+      "the quality gate easily today")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(in)
+    val line5 = run(dir.resolve("outE").toString, "--resume")
+    assert(line5.contains(""""resumed_stages": []"""), line5)
+  }
+
   test("datasheet subcommand: sources, cross-source, filter order and lsh recall in one JSON line") {
     import spark.implicits._
     // parse surface
