@@ -106,6 +106,15 @@ object Main {
       // chained) still match instead of recomputing them
       workDir: Option[String] = None,
       resume: Boolean = false,
+      // ann-maintain subcommand (r17, verdict #7)
+      outPath: String = "",
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      kmeansIters: Int = 2,
+      driftX1m: Long = 1000L,
+      probeId: Long = 0L,
+      annK: Int = 10,
+      nprobe: Int = 4,
       // datasheet subcommand
       sourceCol: String = "source",
       // advise-layout subcommand
@@ -125,7 +134,7 @@ object Main {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -235,6 +244,23 @@ object Main {
         case "--target-size" => a = a.copy(targetSize = need("--target-size").toLong)
         case "--id-col" => a = a.copy(idCol = need("--id-col"))
         case "--text-col" => a = a.copy(textCol = need("--text-col"))
+        case "--vec-col" => a = a.copy(vecCol = need("--vec-col"))
+        case "--nlist" =>
+          a = a.copy(nlist = need("--nlist").toInt)
+          require(a.nlist >= 1, "--nlist must be positive")
+        case "--kmeans-iters" =>
+          a = a.copy(kmeansIters = need("--kmeans-iters").toInt)
+          require(a.kmeansIters >= 0, "--kmeans-iters must be >= 0")
+        case "--drift-x1m" =>
+          a = a.copy(driftX1m = need("--drift-x1m").toLong)
+          require(a.driftX1m >= 0L, "--drift-x1m must be >= 0")
+        case "--probe-id" => a = a.copy(probeId = need("--probe-id").toLong)
+        case "--k" =>
+          a = a.copy(annK = need("--k").toInt)
+          require(a.annK >= 1, "--k must be positive")
+        case "--nprobe" =>
+          a = a.copy(nprobe = need("--nprobe").toInt)
+          require(a.nprobe >= 1, "--nprobe must be positive")
         case "--min-chars" => a = a.copy(minChars = need("--min-chars").toInt)
         case "--eval-mod" => a = a.copy(evalMod = need("--eval-mod").toInt)
         case "--format" =>
@@ -282,6 +308,11 @@ object Main {
         require(a.minChars >= 0 && a.minWords >= 0 && a.evalMod >= 2,
           "min-chars/min-words must be >= 0 and eval-mod >= 2")
         a.copy(basePath = positional.head, model = "release-manifest")
+      case "ann-maintain" =>
+        require(positional.length >= 3,
+          "ann-maintain requires <baseVecs> <batchVecs> <outDir>")
+        a.copy(basePath = positional(0), headPath = positional(1),
+          outPath = positional(2), model = "ann-maintain")
     }
   }
 
@@ -892,6 +923,40 @@ object Main {
     *     on a sample, exactly like the operator's scaladoc prescribes.
     * Every collect here is bounded: #sources, #source-pairs, 4 gates,
     * one certificate row. */
+  /** `ann-maintain <baseVecs> <batchVecs> <outDir> [--id-col c --vec-col c
+    * --nlist N --kmeans-iters I --drift-x1m D --probe-id P --k K
+    * --nprobe NP]` — the nightly index-maintenance operator from the shell
+    * (r17, verdict #7): check which IVF tiles the landed batch drifted,
+    * refit ONLY those, publish the patched index, and print the
+    * certificate as one JSON line. Writes `<outDir>/centroids` (cid,
+    * centroid) and `<outDir>/assignments` (id, cid); the summary carries
+    * before/after recall and how little of the corpus the partial path
+    * touched. The full-rebuild comparison stays in the q362 certificate —
+    * a nightly job does not pay a full Lloyd pass to decorate its log. */
+  def runAnnMaintain(spark: SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet(a.basePath)
+    val batch = spark.read.parquet(a.headPath)
+    Seq("base" -> base, "batch" -> batch).foreach { case (n, df) =>
+      require(df.columns.contains(a.idCol) && df.columns.contains(a.vecCol),
+        s"ann-maintain $n needs '${a.idCol}' and '${a.vecCol}' columns (saw ${df.columns.mkString(", ")})")
+    }
+    val (cents, asg, summary) = graft.operators.Similarity.annMaintain(
+      base, batch, a.idCol, a.vecCol, a.nlist, a.kmeansIters,
+      a.driftX1m, a.probeId, a.annK, a.nprobe)
+    import spark.implicits._
+    cents.toDF("cid", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"${a.outPath}/centroids")
+    asg.select(col(a.idCol), col("cid"))
+      .write.mode("overwrite").parquet(s"${a.outPath}/assignments")
+    val r = summary.head()
+    println(s"""{"n_union": ${r.getAs[Long]("n_union")}, "n_tiles": ${r.getAs[Long]("n_tiles")}, """ +
+      s""""n_tiles_refit": ${r.getAs[Long]("n_tiles_refit")}, "n_touched": ${r.getAs[Long]("n_touched")}, """ +
+      s""""touched_pct_x100": ${r.getAs[Long]("touched_pct_x100")}, """ +
+      s""""recall_before_x100": ${r.getAs[Long]("recall_before_x100")}, """ +
+      s""""recall_after_x100": ${r.getAs[Long]("recall_after_x100")}, "out": ${jsonStr(a.outPath)}}""")
+  }
+
   def runDatasheet(spark: SparkSession, a: Args): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, TextAnalysis}
@@ -1143,6 +1208,10 @@ object Main {
       |            [--max-span-docs N] [--budget N] [--shards N]
       |            [--near-dup-mode off|auto|exact|lsh] [--near-dup-pct N]
       |            [--dsir-targets name=path[,name=path]] [--dsir-mix m1[,m2]]
+      |            [--work-dir DIR] [--resume]
+      |       ann-maintain <baseVecs> <batchVecs> <outDir> [--id-col COL]
+      |            [--vec-col COL] [--nlist N] [--kmeans-iters I]
+      |            [--drift-x1m D] [--probe-id P] [--k K] [--nprobe NP]
       |       datasheet <inPath> [--id-col COL] [--text-col COL] [--source-col COL]
       |            [--near-dup-pct N] [--min-words N]
       |       advise-layout <tablePath> --candidates c1[,c2,...]
@@ -1213,6 +1282,7 @@ object Main {
       if (a.command == "compact-plan") { runCompactPlan(spark, a); return }
       if (a.command == "release-manifest") { runReleaseManifest(spark, a); return }
       if (a.command == "datasheet") { runDatasheet(spark, a); return }
+      if (a.command == "ann-maintain") { runAnnMaintain(spark, a); return }
       val jdbcConn = conn.filter(JdbcSource.isJdbc)
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a, jdbcConn)

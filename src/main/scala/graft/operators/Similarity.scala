@@ -517,6 +517,17 @@ object Similarity {
     * member-mean aggregate (≤ nlist×dims rows collected), assignment
     * passes, three bounded top-k probes — nothing corpus-sized leaves
     * the executors. */
+  /** The shared first half of the partial-refit path — everything up to
+    * (but not including) the full-rebuild comparison: frozen fit, member
+    * means, drift decisions, patched centroid table, touched rows,
+    * partial re-assignment. Factored so [[incrementalIvfPartialRefit]]
+    * (the certificate, q362) and [[annMaintain]] (the publish form the
+    * CLI runs nightly) execute ONE build instead of two. */
+  private final case class PartialRefitBuild(
+    unionDf: DataFrame, frozen: Seq[(Long, Array[Float])],
+    patchedCents: Seq[(Long, Array[Float])], refitIds: Seq[Long],
+    assigned: DataFrame, touched: DataFrame, partialAsg: DataFrame)
+
   def incrementalIvfPartialRefit(
       base: DataFrame,
       batch: DataFrame,
@@ -530,10 +541,21 @@ object Similarity {
       nprobe: Int = 4
   ): DataFrame = {
     require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
+    val b = partialRefitBuild(base, batch, idCol, vecCol, nlist, kmeansIters, driftX1m)
+    certifyPartialRefit(b, base, idCol, vecCol, nlist, kmeansIters, probeId, k, nprobe)
+  }
+
+  private def partialRefitBuild(
+      base: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      kmeansIters: Int,
+      driftX1m: Long
+  ): PartialRefitBuild = {
     require(driftX1m >= 0L, "driftX1m must be non-negative")
     GraftFunctions.register(base.sparkSession)
-    val spark = base.sparkSession
-    import spark.implicits._
     val unionDf = base.select(col(idCol), col(vecCol))
       .unionByName(batch.select(col(idCol), col(vecCol)))
       .localCheckpoint()
@@ -568,6 +590,26 @@ object Similarity {
         .unionByName(
           assignToCentroids(touched.drop("cid"), vecCol, patchedCents)
             .select(col(idCol), col(vecCol), col("cid")))
+    PartialRefitBuild(unionDf, frozen, patchedCents, refitIds,
+      assigned, touched, partialAsg)
+  }
+
+  /** The certificate second half: full-rebuild comparison + three bounded
+    * recall probes over the shared build. */
+  private def certifyPartialRefit(
+      b: PartialRefitBuild,
+      base: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      kmeansIters: Int,
+      probeId: Long,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    import b._
+    val spark = base.sparkSession
+    import spark.implicits._
     val refitCents = refineCentroids(unionDf, idCol, vecCol, nlist, kmeansIters)
     val refitAsg = assignToCentroids(unionDf, vecCol, refitCents)
       .select(col(idCol), col(vecCol), col("cid"))
@@ -575,22 +617,8 @@ object Similarity {
     // re-assign — here the assignment IS the thing under test)
     val truth = bruteForceTopK(unionDf, idCol, vecCol, probeId, k).select(col(idCol))
     val probeVec = unionDf.filter(col(idCol) === probeId).select(col(vecCol).as("__probe"))
-    def recallOf(asg: DataFrame, cents: Seq[(Long, Array[Float])], name: String) = {
-      val lists = cents.toDF("cid", "cv").crossJoin(broadcast(probeVec))
-        .select(col("cid"), GraftFunctions.cosineSim(col("cv"), col("__probe")).as("__c"))
-        .orderBy(col("__c").desc, col("cid"))
-        .limit(nprobe)
-        .select("cid")
-      val top = asg.join(broadcast(lists), "cid")
-        .crossJoin(broadcast(probeVec))
-        .filter(col(idCol) =!= probeId)
-        .select(col(idCol), cosine(vecCol, "__probe").as("__cs"))
-        .orderBy(col("__cs").desc, col(idCol))
-        .limit(k)
-        .select(col(idCol))
-      truth.join(top, Seq(idCol))
-        .agg(coalesce(expr(s"count(1) * 100 div $k"), lit(0L)).cast("long").as(name))
-    }
+    def recallOf(asg: DataFrame, cents: Seq[(Long, Array[Float])], name: String) =
+      ivfRecallOf(truth, probeVec, asg, cents, idCol, vecCol, probeId, k, nprobe, name)
     unionDf.agg(count(lit(1)).cast("long").as("n_union"))
       .crossJoin(broadcast(touched.agg(count(lit(1)).cast("long").as("n_touched"))))
       .crossJoin(broadcast(recallOf(assigned, frozen, "recall_frozen_x100")))
@@ -605,6 +633,80 @@ object Similarity {
           .cast("long").as("touched_pct_x100"),
         col("recall_frozen_x100"), col("recall_partial_x100"),
         col("recall_refit_x100"))
+  }
+
+  /** Bounded IVF recall probe over an EXISTING assignment: nprobe nearest
+    * lists to the probe vector, top-k by exact cosine within them, overlap
+    * ×100 with the caller's brute truth — shared by the q362 certificate
+    * and [[annMaintain]]. */
+  private def ivfRecallOf(truth: DataFrame, probeVec: DataFrame, asg: DataFrame,
+      cents: Seq[(Long, Array[Float])], idCol: String, vecCol: String,
+      probeId: Long, k: Int, nprobe: Int, name: String): DataFrame = {
+    val spark = asg.sparkSession
+    import spark.implicits._
+    val lists = cents.toDF("cid", "cv").crossJoin(broadcast(probeVec))
+      .select(col("cid"), GraftFunctions.cosineSim(col("cv"), col("__probe")).as("__c"))
+      .orderBy(col("__c").desc, col("cid"))
+      .limit(nprobe)
+      .select("cid")
+    val top = asg.join(broadcast(lists), "cid")
+      .crossJoin(broadcast(probeVec))
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), cosine(vecCol, "__probe").as("__cs"))
+      .orderBy(col("__cs").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
+    truth.join(top, Seq(idCol))
+      .agg(coalesce(expr(s"count(1) * 100 div $k"), lit(0L)).cast("long").as(name))
+  }
+
+  /** The nightly maintenance operator behind the `ann-maintain` CLI (r17,
+    * VERDICT #7): "check drift, refit drifted tiles, publish new index +
+    * certificate" as ONE call. Runs the SAME build as
+    * [[incrementalIvfPartialRefit]] (one frozen fit, drift decisions,
+    * patched centroids, partial re-assignment) but skips the full-rebuild
+    * comparison — that Lloyd pass is the certificate's measuring stick,
+    * not something a nightly job pays for — and returns the publishable
+    * pieces:
+    *   - patched centroid table (cid, centroid) — the new index;
+    *   - final assignments (id, vec, cid) — quiet rows byte-identical,
+    *     only drifted tiles' members re-assigned;
+    *   - a ONE-ROW summary: (n_union, n_tiles, n_tiles_refit, n_touched,
+    *     touched_pct_x100, recall_before_x100, recall_after_x100) —
+    *     before = frozen index, after = patched index, both against
+    *     brute truth for `probeId`. */
+  def annMaintain(
+      base: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      kmeansIters: Int = 2,
+      driftX1m: Long = 1000L,
+      probeId: Long = 0L,
+      k: Int = 10,
+      nprobe: Int = 4
+  ): (Seq[(Long, Array[Float])], DataFrame, DataFrame) = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
+    val b = partialRefitBuild(base, batch, idCol, vecCol, nlist, kmeansIters, driftX1m)
+    val truth = bruteForceTopK(b.unionDf, idCol, vecCol, probeId, k).select(col(idCol))
+    val probeVec = b.unionDf.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__probe"))
+    val summary = b.unionDf.agg(count(lit(1)).cast("long").as("n_union"))
+      .crossJoin(broadcast(b.touched.agg(count(lit(1)).cast("long").as("n_touched"))))
+      .crossJoin(broadcast(ivfRecallOf(truth, probeVec, b.assigned, b.frozen,
+        idCol, vecCol, probeId, k, nprobe, "recall_before_x100")))
+      .crossJoin(broadcast(ivfRecallOf(truth, probeVec, b.partialAsg, b.patchedCents,
+        idCol, vecCol, probeId, k, nprobe, "recall_after_x100")))
+      .select(col("n_union"),
+        lit(b.frozen.size.toLong).as("n_tiles"),
+        lit(b.refitIds.size.toLong).as("n_tiles_refit"),
+        col("n_touched"),
+        when(col("n_union") === 0, 0L)
+          .otherwise(expr("n_touched * 10000 div n_union"))
+          .cast("long").as("touched_pct_x100"),
+        col("recall_before_x100"), col("recall_after_x100"))
+    (b.patchedCents, b.partialAsg, summary)
   }
 
   /** kNN join via the bounded [[graft.functions.TopKAggregator]] instead of

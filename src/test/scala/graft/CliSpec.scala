@@ -364,6 +364,70 @@ class CliSpec extends SparkTestBase {
     assert(line5.contains(""""resumed_stages": []"""), line5)
   }
 
+  test("ann-maintain subcommand: drift check, partial refit, published index + certificate JSON (r17)") {
+    import spark.implicits._
+    // parse surface
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("ann-maintain", "/b", "/x")))
+    intercept[IllegalArgumentException](Main.parseArgs(
+      Seq("ann-maintain", "/b", "/x", "/o", "--nlist", "0")))
+    val ap = Main.parseArgs(Seq("ann-maintain", "/b", "/x", "/o",
+      "--id-col", "vec_id", "--vec-col", "v", "--nlist", "4", "--drift-x1m", "100000",
+      "--probe-id", "40", "--k", "5", "--nprobe", "1"))
+    assert(ap.command == "ann-maintain" && ap.outPath == "/o" &&
+      ap.vecCol == "v" && ap.nlist == 4 && ap.driftX1m == 100000L &&
+      ap.probeId == 40L && ap.annK == 5 && ap.nprobe == 1)
+    // the q362 planted-drift fixture through the shell: base tiles dims
+    // 0-3 / 4-7, the batch lands in untiled dims 8-11 — exactly one
+    // region drifts, and the golden recalls are 20 (frozen) -> 80
+    // (patched) on this deterministic corpus
+    val dims = 16
+    def vec(hot: Range, seed: Int) = Array.tabulate(dims)(d =>
+      (if (hot.contains(d)) 1.0f else 0.0f) + 0.01f * (((seed * 31 + d * 7) % 10) - 5))
+    val dir = Files.createTempDirectory("graft_annm_")
+    val basePath = dir.resolve("base").toString
+    val batchPath = dir.resolve("batch").toString
+    val out = dir.resolve("idx").toString
+    ((0 until 20).map(i => (i.toLong, vec(0 until 4, i))) ++
+      (20 until 40).map(i => (i.toLong, vec(4 until 8, i))))
+      .toDF("vec_id", "embedding").write.parquet(basePath)
+    (40 until 60).map(i => (i.toLong, vec(8 until 12, i)))
+      .toDF("vec_id", "embedding").write.parquet(batchPath)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.runAnnMaintain(spark, Main.parseArgs(Seq("ann-maintain",
+        basePath, batchPath, out, "--id-col", "vec_id", "--nlist", "4",
+        "--drift-x1m", "100000", "--probe-id", "40", "--k", "5", "--nprobe", "1")))
+    }
+    val line = buf.toString("UTF-8").trim
+    assert(line.contains(""""n_union": 60, "n_tiles": 4, "n_tiles_refit": 1"""), line)
+    assert(line.contains(""""recall_before_x100": 20"""), line)
+    assert(line.contains(""""recall_after_x100": 80"""), line)
+    assert(line.contains(""""n_touched": 20"""), line)
+    // published index: 4 centroids, one assignment per union vector, and
+    // quiet tiles' members untouched (ids 0-39 keep their frozen cid)
+    val cents = spark.read.parquet(s"$out/centroids")
+    assert(cents.count() == 4L && cents.columns.toSet == Set("cid", "centroid"))
+    val asg = spark.read.parquet(s"$out/assignments")
+    assert(asg.count() == 60L && asg.columns.toSet == Set("vec_id", "cid"))
+    val frozen = graft.operators.Similarity.refineCentroids(
+      spark.read.parquet(basePath), "vec_id", "embedding", nlist = 4, iters = 2)
+    val frozenAsg = graft.operators.Similarity.assignToCentroids(
+        spark.read.parquet(basePath).unionByName(spark.read.parquet(batchPath)),
+        "embedding", frozen)
+      .select("vec_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = asg.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    // the partial-refit invariant through the shell: every row that moved
+    // off its frozen assignment belonged (frozen) to the ONE drifted tile
+    // — summary says n_tiles_refit 1 and n_touched 20, so quiet tiles'
+    // members are byte-identical by construction
+    val moved = (0L until 60L).filter(id => got(id) != frozenAsg(id))
+    assert(moved.nonEmpty, "the drifted tile must re-assign someone")
+    val movedFrozenTiles = moved.map(frozenAsg).toSet
+    assert(movedFrozenTiles.size == 1, s"moved rows span frozen tiles $movedFrozenTiles")
+    assert(moved.size <= 20, s"only the drifted tile's 20 members may move, got ${moved.size}")
+  }
+
   test("datasheet subcommand: sources, cross-source, filter order and lsh recall in one JSON line") {
     import spark.implicits._
     // parse surface
