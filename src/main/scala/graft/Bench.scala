@@ -498,7 +498,15 @@ object Bench {
       }
       name -> verdict
     }
-    def p50(xs: Vector[Double]): Double = xs.sorted.apply(xs.length / 2)
+    // true median: even-length samples average the middle pair (self-review
+    // r17a: rep-cut entries are 2 samples, and upper-middle p50 published
+    // the COLD rep — a systematic upward shift on exactly the entries
+    // marked clean, polluting round-over-round p50 comparisons)
+    def p50(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def fmb(b: Long): String = BigDecimal(b / 1e6).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     // `queries` stays the driver-facing stable number (min across reps —
@@ -791,11 +799,17 @@ object Bench {
           System.err.println(s"[bench] ${st.key} deferred re-run failed: ${e.getMessage}")
         }
         val loadAfter = if (wallRerun >= 0) loadavg() else st.loadAfterFirst
-        scaled.foreach { case (n, s) => rehearsalFinal(s"${st.key}:$n") = s }
+        // floors are POST-GUARD minima only (self-review r17a): a skipped
+        // or failed re-run leaves the block's numbers unconfirmed — they
+        // go in the RECORD (marked) but never into bench_best.json, where
+        // a contaminated seed would blind the next sweep's drift guard
+        val confirmed = !skipped && wallRerun >= 0
+        if (confirmed)
+          scaled.foreach { case (n, s) => rehearsalFinal(s"${st.key}:$n") = s }
         val rerunField = Bench.rehearsalRerunField(tripped = true, wallRerun,
           st.implausible, adjacent, f, skippedBudget = skipped)
         blockFrags(st.key) = blockFragments(st, scaled, rerunField, loadAfter)
-        writeBest()
+        if (confirmed) writeBest()
         flushRecord()
       }
     }

@@ -291,6 +291,10 @@ object Main {
         require(positional.length >= 2, "curate requires <inPath> <outPath>")
         require(a.dsirMix.isEmpty || a.dsirMix.size == a.dsirTargets.size,
           "--dsir-mix needs one weight per --dsir-targets domain")
+        // refused at parse time (self-review r17a): runCurate's own check
+        // sat after the full input scan — an argument error must not cost
+        // a corpus pass
+        require(!a.resume || a.workDir.isDefined, "--resume requires --work-dir")
         a.copy(basePath = positional(0), headPath = positional(1), model = "curate")
       case "datasheet" =>
         require(positional.nonEmpty, "datasheet requires an <inPath> argument")
@@ -695,8 +699,8 @@ object Main {
     // UPSTREAM stage's fingerprint, so a changed input, changed upstream
     // params, or changed own params all refuse the stale checkpoint; DSIR
     // target corpora are content-digested too (a re-crawled target with
-    // the same path must invalidate the stage).
-    require(!a.resume || a.workDir.isDefined, "--resume requires --work-dir")
+    // the same path must invalidate the stage). --resume-without---work-dir
+    // is refused back in parseArgs, before any input scan.
     val stageFps: Map[String, String] = a.workDir.map { _ =>
       val digest = graft.engine.CurateResume.corpusDigest(df, "doc_id", "text")
       val tgts = a.dsirTargets.map { case (n, p) =>

@@ -34,10 +34,15 @@ object CurateResume {
   private val MetaFile = "_meta.json"
   private val DigestMod = 4611686018427387903L // 2^62 - 1
 
-  /** Order-independent corpus content digest (one map-side pass). */
+  /** Order-independent corpus content digest (one map-side pass). BOTH
+    * columns are null-coalesced (self-review r17a: concat null-propagates
+    * and sum skips nulls, so an un-coalesced id made every null-id row —
+    * and, for DSIR targets digested by their text column, every null-TEXT
+    * row — invisible to the fingerprint: a target differing only in null
+    * rows would silently resume a stale stage). */
   def corpusDigest(df: DataFrame, idCol: String, textCol: String): Long = {
     val perRow = expr(
-      s"cast(conv(substring(md5(concat(cast($idCol as string), ':', " +
+      s"cast(conv(substring(md5(concat(coalesce(cast($idCol as string), ''), ':', " +
         s"md5(coalesce($textCol, '')))), 1, 8), 16, 10) as decimal(38,0))")
     val row = df.agg(
       coalesce(sum(perRow), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))

@@ -689,14 +689,21 @@ object Similarity {
   ): (Seq[(Long, Array[Float])], DataFrame, DataFrame) = {
     require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
     val b = partialRefitBuild(base, batch, idCol, vecCol, nlist, kmeansIters, driftX1m)
-    val truth = bruteForceTopK(b.unionDf, idCol, vecCol, probeId, k).select(col(idCol))
+    // pin the two frames the caller consumes MORE than once (self-review
+    // r17a): the CLI writes partialAsg to parquet and then the summary's
+    // recall probe re-references it, and truth (a corpus-linear brute
+    // scan) sits under two crossJoin branches of one plan with no subtree
+    // reuse — without the pins each executed ~2x per nightly run
+    val partialAsg = b.partialAsg.localCheckpoint()
+    val truth = bruteForceTopK(b.unionDf, idCol, vecCol, probeId, k)
+      .select(col(idCol)).localCheckpoint()
     val probeVec = b.unionDf.filter(col(idCol) === probeId)
       .select(col(vecCol).as("__probe"))
     val summary = b.unionDf.agg(count(lit(1)).cast("long").as("n_union"))
       .crossJoin(broadcast(b.touched.agg(count(lit(1)).cast("long").as("n_touched"))))
       .crossJoin(broadcast(ivfRecallOf(truth, probeVec, b.assigned, b.frozen,
         idCol, vecCol, probeId, k, nprobe, "recall_before_x100")))
-      .crossJoin(broadcast(ivfRecallOf(truth, probeVec, b.partialAsg, b.patchedCents,
+      .crossJoin(broadcast(ivfRecallOf(truth, probeVec, partialAsg, b.patchedCents,
         idCol, vecCol, probeId, k, nprobe, "recall_after_x100")))
       .select(col("n_union"),
         lit(b.frozen.size.toLong).as("n_tiles"),
@@ -706,7 +713,7 @@ object Similarity {
           .otherwise(expr("n_touched * 10000 div n_union"))
           .cast("long").as("touched_pct_x100"),
         col("recall_before_x100"), col("recall_after_x100"))
-    (b.patchedCents, b.partialAsg, summary)
+    (b.patchedCents, partialAsg, summary)
   }
 
   /** kNN join via the bounded [[graft.functions.TopKAggregator]] instead of

@@ -12368,7 +12368,7 @@ object ExtensionQueries {
           .toDF("stage_idx", "stage", "params", "fingerprint", "input_digest")
           .orderBy("stage_idx")
       },
-      Some(raw"""WITH dg AS (SELECT CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      Some(raw"""WITH dg AS (SELECT CAST(sum(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')
              |      || ':' || md5(coalesce(text, ''))), 1, 8))::BIGINT)
              |      % 4611686018427387903 AS BIGINT) AS d FROM documents),
              |f0 AS (SELECT d, md5(CAST(d AS VARCHAR) || '|near_dup|mode=lsh|pct=40') AS fp FROM dg),
