@@ -823,6 +823,89 @@ object Similarity {
     }))
   }
 
+  // ---- binary (1-bit) quantization ---------------------------------------
+
+  /** 64-bit binary sign code for each embedding, packed as TWO u32 halves
+    * (`code_lo`, `code_hi`) — the 32×-compression storage tier below
+    * [[quantizeInt8PerDim]]'s 4×. Bit p is the sign of the vector's
+    * projection onto a deterministic balanced-Rademacher hyperplane
+    * ([[graft.functions.HyperplaneBucket]] — the codegen'd one-pass form),
+    * with two independent 32-plane tables (`seedLo`, `seedHi`) forming the
+    * 64-plane set. Two halves, not one 64-bit word, for the same reason
+    * aHash uses them: a bit-63 code exceeds what an engine-portable signed
+    * BIGINT sum can carry, and Hamming algebra splits losslessly —
+    * `bit_count(lo⊕lo′) + bit_count(hi⊕hi′)`. Pure per-row map, no
+    * shuffle; 8 bytes at rest per vector regardless of dims. */
+  def binarySignCodes(df: DataFrame, idCol: String, vecCol: String,
+      seedLo: Int = DefaultPlaneSeed, seedHi: Int = 1337): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      hyperplaneBucket(vecCol, 32, seedLo).as("code_lo"),
+      hyperplaneBucket(vecCol, 32, seedHi).as("code_hi"))
+  }
+
+  /** Binary-quantization recall certificate: the production two-stage
+    * retrieve — Hamming shortlist over 8-byte codes, float-cosine rerank —
+    * measured per probe against the exact float top-k.
+    *
+    * Stage 1 ranks every candidate by Hamming distance between
+    * [[binarySignCodes]] (ties to the smaller id — Hamming over 64 bits is
+    * coarse, so the tie-break is load-bearing for determinism) and keeps
+    * `shortlist` per probe; stage 2 joins the ORIGINAL vectors back for
+    * only those rows and reranks by exact cosine. The certificate row per
+    * probe carries the raw-Hamming top-k recall (what 1-bit codes alone
+    * buy) next to the rerank recall (what the two-stage chain restores).
+    *
+    * Scale shape: the shortlist window shuffles only (probe_id, id, two
+    * ints) — vectors join back AFTER the cut, so the wide column moves for
+    * `probes × shortlist` rows, never `probes × corpus`. With
+    * `shortlist ≥ corpus − 1` the chain degenerates to exact brute force
+    * (the spec's equivalence gate). */
+  def binaryQuantRecall(df: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column, k: Int, shortlist: Int,
+      seedLo: Int = DefaultPlaneSeed, seedHi: Int = 1337): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val codes = binarySignCodes(df, idCol, vecCol, seedLo, seedHi)
+    val probeCodes = df.filter(probeFilter).select(col(idCol))
+      .join(codes, idCol)
+      .select(col(idCol).as("probe_id"), col("code_lo").as("__plo"),
+        col("code_hi").as("__phi"))
+    val short = codes.crossJoin(broadcast(probeCodes))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        (expr("bit_count(code_lo ^ __plo)") + expr("bit_count(code_hi ^ __phi)"))
+          .cast("long").as("hamming"))
+      .withColumn("hrk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("hamming"), col("neighbor_id"))))
+      .filter(col("hrk") <= shortlist)
+    val probeVecs = df.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val reranked = short
+      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv")), "neighbor_id")
+      .join(broadcast(probeVecs), "probe_id")
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(cosine("__nv", "__pv").desc, col("neighbor_id"))))
+    val full = knnJoin(df, idCol, vecCol, probeFilter, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    def overlapOf(top: DataFrame, name: String) =
+      full.join(top, Seq("probe_id", "neighbor_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as(name))
+    val rawOv = overlapOf(short.filter(col("hrk") <= k), "overlap_raw")
+    val rrOv = overlapOf(reranked.filter(col("crk") <= k), "overlap_rerank")
+    df.filter(probeFilter).select(col(idCol).as("probe_id"))
+      .join(rawOv, Seq("probe_id"), "left")
+      .join(rrOv, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("overlap_raw", "overlap_rerank"))
+      .select(col("probe_id"), col("overlap_raw"),
+        expr(s"overlap_raw * 100 div $k").as("recall_raw_pct"),
+        col("overlap_rerank"),
+        expr(s"overlap_rerank * 100 div $k").as("recall_rerank_pct"))
+  }
+
   // ---- product quantization (PQ) ----------------------------------------
 
   /** L2 twin of [[assignToCentroids]]: nearest centroid by SQUARED-L2

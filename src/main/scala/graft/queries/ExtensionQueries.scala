@@ -12706,6 +12706,87 @@ object ExtensionQueries {
            |       byte_fert_x100, cp_fert_x100, delta_x100)
            |ORDER BY source""".stripMargin
       }
+    ),
+
+    // Binary (1-bit) quantization recall certificate (r17 continuation,
+    // I1): the 32×-compression storage tier next to q370's int8 — 64
+    // balanced-Rademacher sign bits packed as two u32 halves, Hamming
+    // shortlist (top-100 by bit_count(xor), ties to the smaller id), then
+    // the production float-cosine rerank of ONLY the shortlist. The gate
+    // pins, per probe, the raw-Hamming top-10 recall (what 8-byte codes
+    // alone buy) next to the retrieve-rerank recall (what the two-stage
+    // chain restores) against the exact float top-10. The oracle replays
+    // both 32-plane tables, the sign folds, the u32 packing, both
+    // rankings and both overlaps.
+    QueryDef(
+      "q376_binary_quant_recall",
+      (s, dir) =>
+        Similarity.binaryQuantRecall(t(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 50 === 0,
+            k = 10, shortlist = 100)
+          .orderBy("probe_id"),
+      Some {
+        def planeVals(seed: Int) =
+          graft.functions.HyperplaneBucket.table(32, 64, seed).zipWithIndex
+            .map { case (row, p) =>
+              s"($p, ${row.map(b => if (b) "1" else "-1").mkString("[", ", ", "]")})"
+            }.mkString(",\n  ")
+        def fold(a: String, b: String) =
+          s"list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)"
+        def cos(a: String, b: String) =
+          s"""CAST(${fold(a, b)}
+             | / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) AS DECIMAL(16,12))"""
+            .stripMargin
+        def code(planes: String, out: String) =
+          s"""pr$out AS (SELECT e.vec_id, p.idx,
+             |    list_reduce(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * p.w[i+1]), (x,y) -> x + y) AS proj
+             |  FROM embeddings e CROSS JOIN $planes p),
+             |ck$out AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS c
+             |  FROM pr$out GROUP BY vec_id)""".stripMargin
+        s"""WITH planesLo(idx, w) AS (VALUES
+           |  ${planeVals(Similarity.DefaultPlaneSeed)}),
+           |planesHi(idx, w) AS (VALUES
+           |  ${planeVals(1337)}),
+           |${code("planesLo", "L")},
+           |${code("planesHi", "H")},
+           |c AS (SELECT l.vec_id, l.c AS lo, h.c AS hi
+           |  FROM ckL l JOIN ckH h USING (vec_id)),
+           |pc AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi FROM c
+           |  WHERE vec_id % 50 = 0),
+           |hr AS (SELECT probe_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY
+           |      bit_count(xor(c.lo, pc.plo)) + bit_count(xor(c.hi, pc.phi)),
+           |      c.vec_id) AS hrk
+           |  FROM c, pc WHERE c.vec_id <> pc.probe_id),
+           |sh AS (SELECT probe_id, neighbor_id, hrk FROM hr WHERE hrk <= 100),
+           |pv AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+           |  WHERE vec_id % 50 = 0),
+           |rr AS (SELECT sh.probe_id, sh.neighbor_id,
+           |    row_number() OVER (PARTITION BY sh.probe_id ORDER BY
+           |      ${cos("e.embedding", "pv.pvec")} DESC, sh.neighbor_id) AS crk
+           |  FROM sh JOIN embeddings e ON e.vec_id = sh.neighbor_id
+           |    JOIN pv ON pv.probe_id = sh.probe_id),
+           |sf AS (SELECT pv.probe_id, e.vec_id AS neighbor_id,
+           |    ${cos("e.embedding", "pv.pvec")} AS cs
+           |  FROM embeddings e, pv WHERE e.vec_id <> pv.probe_id),
+           |fl AS (SELECT probe_id, neighbor_id FROM (SELECT probe_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk
+           |  FROM sf) WHERE rk <= 10),
+           |ov1 AS (SELECT fl.probe_id, CAST(count(*) AS BIGINT) AS overlap_raw
+           |  FROM fl JOIN sh ON fl.probe_id = sh.probe_id
+           |    AND fl.neighbor_id = sh.neighbor_id WHERE sh.hrk <= 10 GROUP BY 1),
+           |ov2 AS (SELECT fl.probe_id, CAST(count(*) AS BIGINT) AS overlap_rerank
+           |  FROM fl JOIN rr ON fl.probe_id = rr.probe_id
+           |    AND fl.neighbor_id = rr.neighbor_id WHERE rr.crk <= 10 GROUP BY 1)
+           |SELECT pc.probe_id,
+           |  CAST(coalesce(ov1.overlap_raw, 0) AS BIGINT) AS overlap_raw,
+           |  CAST(coalesce(ov1.overlap_raw, 0) * 100 // 10 AS BIGINT) AS recall_raw_pct,
+           |  CAST(coalesce(ov2.overlap_rerank, 0) AS BIGINT) AS overlap_rerank,
+           |  CAST(coalesce(ov2.overlap_rerank, 0) * 100 // 10 AS BIGINT) AS recall_rerank_pct
+           |FROM pc LEFT JOIN ov1 ON pc.probe_id = ov1.probe_id
+           |  LEFT JOIN ov2 ON pc.probe_id = ov2.probe_id
+           |ORDER BY pc.probe_id""".stripMargin
+      }
     )
   )
 

@@ -1974,6 +1974,64 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("binary sign codes: u32 halves match a driver-side sign-table fold (r17b)") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter("vec_id < 20")
+    val got = Similarity.binarySignCodes(e, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def codeOf(v: Array[Float], seed: Int): Long = {
+      val tab = graft.functions.HyperplaneBucket.table(32, v.length, seed)
+      (0 until 32).map { p =>
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) { // the expression's exact accumulation order
+          if (tab(p)(i)) acc += v(i).toDouble else acc -= v(i).toDouble
+          i += 1
+        }
+        if (acc > 0.0) 1L << p else 0L
+      }.sum
+    }
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == (codeOf(v, Similarity.DefaultPlaneSeed), codeOf(v, 1337)),
+        s"code mismatch for vec $id")
+      assert(got(id)._1 >= 0L && got(id)._1 < (1L << 32))
+      assert(got(id)._2 >= 0L && got(id)._2 < (1L << 32))
+    }
+  }
+
+  test("binary quant recall: exhaustive shortlist degenerates to exact brute force (r17b)") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probeF = org.apache.spark.sql.functions.col("vec_id") % 100 === 0
+    // shortlist >= corpus-1: the rerank stage sees every candidate, so the
+    // two-stage chain IS brute force — rerank recall must be 100 everywhere
+    val exhaustive = Similarity.binaryQuantRecall(e, "vec_id", "embedding",
+        probeF, k = 10, shortlist = 499)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(exhaustive.length == 5)
+    exhaustive.foreach { case (pid, raw, rr, rrPct) =>
+      assert(rr == 10L && rrPct == 100L, s"probe $pid rerank $rr/$rrPct")
+      assert(raw <= 10L)
+    }
+    // production shortlist: recall can only drop vs exhaustive, raw recall
+    // can never exceed the reranked form's candidate pool
+    val short = Similarity.binaryQuantRecall(e, "vec_id", "embedding",
+        probeF, k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toList
+    short.foreach { case (pid, raw, rr) =>
+      assert(raw >= 0L && raw <= 10L && rr >= raw,
+        s"probe $pid: raw $raw rerank $rr — rerank of a superset pool can't lose to its own top-k prefix")
+    }
+    // deterministic across partitionings
+    val again = Similarity.binaryQuantRecall(e.repartition(7), "vec_id",
+        "embedding", probeF, k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toList
+    assert(again.sortBy(_._1) == short.sortBy(_._1))
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
