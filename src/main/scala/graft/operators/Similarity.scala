@@ -906,6 +906,86 @@ object Similarity {
         expr(s"overlap_rerank * 100 div $k").as("recall_rerank_pct"))
   }
 
+  // ---- random-projection (JL) dimensionality reduction --------------------
+
+  /** Johnson–Lindenstrauss reduction to `outDims` dimensions via the same
+    * deterministic balanced-Rademacher table the LSH family uses — but
+    * keeping the projection VALUES, not just their signs: `y_p = Σ_i
+    * s(p,i)·x_i` as a sequential index-order double fold (bit-identical to
+    * any engine's ordered `list_reduce`), rounded once to float. Appends
+    * `outCol` (`array<float>`, `outDims` wide) — every downstream ANN
+    * operator in this family composes unchanged on the reduced column, at
+    * `outDims/dims` of the vector shuffle bytes. Pure per-row map, no
+    * shuffle; the sign table is a memoized driver literal, nothing ships
+    * but the plan. */
+  def randomProject(df: DataFrame, vecCol: String, outCol: String,
+      dims: Int, outDims: Int, seed: Int = DefaultPlaneSeed): DataFrame = {
+    require(outDims >= 1 && outDims < dims, s"need 1 <= outDims < dims, got $outDims/$dims")
+    val tab = graft.functions.HyperplaneBucket.table(outDims, dims, seed)
+    val ys = (0 until outDims).map { p =>
+      val signs = typedLit(tab(p).map(b => if (b) 1.0 else -1.0).toSeq)
+      aggregate(
+        zip_with(col(vecCol), signs, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v
+      ).cast("float")
+    }
+    df.withColumn(outCol, array(ys: _*))
+  }
+
+  /** JL certificate for [[randomProject]]: per probe, (a) top-k recall of
+    * cosine search on the reduced vectors vs the exact full-dimension
+    * top-k, and (b) a squared-distance distortion census — `ratio_x1k =
+    * ⌊1000·‖Δy‖²/(outDims·‖Δx‖²)⌋` concentrates at 1000 by the JL
+    * identity (E‖Δy‖² = outDims·‖Δx‖² for Rademacher projections), and
+    * the row counts pairs landing within ±10% and ±25%. Counts, not
+    * cross-row float means — so the certificate is bit-exact on any
+    * engine. Identical-vector pairs (‖Δx‖² = 0) are excluded from the
+    * census (their ratio is undefined); `pairs` carries the survivors.
+    *
+    * The census is the certificate path (probes×corpus — priced, bounded
+    * by the probe count); the production path is the map-only projection
+    * feeding the banded/blocked ANN family. */
+  def rpDistortionCertificate(df: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column, k: Int, dims: Int, outDims: Int,
+      seed: Int = DefaultPlaneSeed): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val rp = randomProject(df, vecCol, "__rp", dims, outDims, seed)
+    val reduced = rp.select(col(idCol), col("__rp"))
+    val fullTop = knnJoin(df, idCol, vecCol, probeFilter, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    // the caller's probe filter references the id column, which the reduced
+    // frame carries unchanged — the search itself runs on the 16-dim column
+    val rpTop = knnJoin(reduced, idCol, "__rp", probeFilter, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val overlap = fullTop.join(rpTop, Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("overlap"))
+    def sqDist(a: String, b: String) =
+      aggregate(
+        zip_with(col(a), col(b), (x, y) =>
+          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val probeSide = rp.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__px"), col("__rp").as("__py"))
+    val census = rp.crossJoin(broadcast(probeSide))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"),
+        sqDist(vecCol, "__px").as("__dx"), sqDist("__rp", "__py").as("__dy"))
+      .filter(col("__dx") > 0.0)
+      .select(col("probe_id"),
+        floor(col("__dy") * 1000.0 / (col("__dx") * outDims)).cast("long").as("__r"))
+      .groupBy("probe_id").agg(
+        count(lit(1)).as("pairs"),
+        sum(when(col("__r").between(900L, 1100L), 1L).otherwise(0L)).as("within_10pct"),
+        sum(when(col("__r").between(750L, 1250L), 1L).otherwise(0L)).as("within_25pct"))
+    df.filter(probeFilter).select(col(idCol).as("probe_id"))
+      .join(overlap, Seq("probe_id"), "left")
+      .join(census, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("overlap", "pairs", "within_10pct", "within_25pct"))
+      .select(col("probe_id"), col("overlap").as(s"overlap$k"),
+        expr(s"overlap * 100 div $k").as("recall_pct"),
+        col("pairs"), col("within_10pct"), col("within_25pct"))
+  }
+
   // ---- product quantization (PQ) ----------------------------------------
 
   /** L2 twin of [[assignToCentroids]]: nearest centroid by SQUARED-L2

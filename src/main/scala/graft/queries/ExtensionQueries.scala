@@ -12787,6 +12787,87 @@ object ExtensionQueries {
            |  LEFT JOIN ov2 ON pc.probe_id = ov2.probe_id
            |ORDER BY pc.probe_id""".stripMargin
       }
+    ),
+
+    // Random-projection (JL) dimensionality reduction certificate (r17
+    // continuation, I2): 64→16 dims via the deterministic balanced-
+    // Rademacher table, keeping projection VALUES (ordered double folds,
+    // one float rounding) — 4× fewer vector bytes through every downstream
+    // shuffle. The gate pins, per probe, (a) top-10 recall of cosine
+    // search on the reduced vectors vs the full-dimension exact top-10 and
+    // (b) the JL distortion census: ⌊1000·‖Δy‖²/(16·‖Δx‖²)⌋ concentrates
+    // at 1000, counted within ±10%/±25% bands (counts, never cross-row
+    // float means — bit-exact on both engines). The oracle replays the
+    // plane table, the folds, the float rounding, both searches and the
+    // census bands.
+    QueryDef(
+      "q377_rp_distortion",
+      (s, dir) =>
+        Similarity.rpDistortionCertificate(t(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 50 === 0,
+            k = 10, dims = 64, outDims = 16)
+          .orderBy("probe_id"),
+      Some {
+        val planeVals =
+          graft.functions.HyperplaneBucket.table(16, 64, Similarity.DefaultPlaneSeed)
+            .zipWithIndex.map { case (row, p) =>
+              s"($p, ${row.map(b => if (b) "1" else "-1").mkString("[", ", ", "]")})"
+            }.mkString(",\n  ")
+        def fold(n: String, a: String, b: String) =
+          s"list_reduce(list_transform(range($n), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)"
+        def cos(n: String, a: String, b: String) =
+          s"""CAST(${fold(n, a, b)}
+             | / (sqrt(${fold(n, a, a)}) * sqrt(${fold(n, b, b)})) AS DECIMAL(16,12))"""
+            .stripMargin
+        def sqFold(n: String, a: String, b: String) =
+          s"list_reduce(list_transform(range($n), i -> ($a[i+1]::DOUBLE - $b[i+1]::DOUBLE) * ($a[i+1]::DOUBLE - $b[i+1]::DOUBLE)), (x,y) -> x + y)"
+        s"""WITH planes(idx, w) AS (VALUES
+           |  $planeVals),
+           |pr AS (SELECT e.vec_id, p.idx,
+           |    list_reduce(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * p.w[i+1]), (x,y) -> x + y) AS proj
+           |  FROM embeddings e CROSS JOIN planes p),
+           |y AS (SELECT vec_id, list(CAST(proj AS REAL) ORDER BY idx) AS rp
+           |  FROM pr GROUP BY vec_id),
+           |pvf AS (SELECT vec_id AS probe_id, embedding AS px FROM embeddings
+           |  WHERE vec_id % 50 = 0),
+           |pvr AS (SELECT vec_id AS probe_id, rp AS py FROM y WHERE vec_id % 50 = 0),
+           |sf AS (SELECT pvf.probe_id, e.vec_id AS neighbor_id,
+           |    ${cos("64", "e.embedding", "pvf.px")} AS cs
+           |  FROM embeddings e, pvf WHERE e.vec_id <> pvf.probe_id),
+           |fl AS (SELECT probe_id, neighbor_id FROM (SELECT probe_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk
+           |  FROM sf) WHERE rk <= 10),
+           |sr AS (SELECT pvr.probe_id, y.vec_id AS neighbor_id,
+           |    ${cos("16", "y.rp", "pvr.py")} AS cs
+           |  FROM y, pvr WHERE y.vec_id <> pvr.probe_id),
+           |rl AS (SELECT probe_id, neighbor_id FROM (SELECT probe_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rk
+           |  FROM sr) WHERE rk <= 10),
+           |ov AS (SELECT fl.probe_id, CAST(count(*) AS BIGINT) AS overlap10
+           |  FROM fl JOIN rl ON fl.probe_id = rl.probe_id
+           |    AND fl.neighbor_id = rl.neighbor_id GROUP BY 1),
+           |pb AS (SELECT f.probe_id, f.px, r.py FROM pvf f JOIN pvr r USING (probe_id)),
+           |cen AS (SELECT s.probe_id, CAST(count(*) AS BIGINT) AS pairs,
+           |    CAST(sum(CASE WHEN r BETWEEN 900 AND 1100 THEN 1 ELSE 0 END) AS BIGINT) AS within_10pct,
+           |    CAST(sum(CASE WHEN r BETWEEN 750 AND 1250 THEN 1 ELSE 0 END) AS BIGINT) AS within_25pct
+           |  FROM (SELECT pb.probe_id,
+           |      CAST(floor(${sqFold("16", "y.rp", "pb.py")} * 1000.0
+           |        / (${sqFold("64", "e.embedding", "pb.px")} * 16)) AS BIGINT) AS r
+           |    FROM embeddings e JOIN y ON e.vec_id = y.vec_id
+           |      CROSS JOIN pb
+           |    WHERE e.vec_id <> pb.probe_id
+           |      AND ${sqFold("64", "e.embedding", "pb.px")} > 0.0) s
+           |  GROUP BY 1)
+           |SELECT pvf.probe_id,
+           |  CAST(coalesce(ov.overlap10, 0) AS BIGINT) AS overlap10,
+           |  CAST(coalesce(ov.overlap10, 0) * 100 // 10 AS BIGINT) AS recall_pct,
+           |  CAST(coalesce(cen.pairs, 0) AS BIGINT) AS pairs,
+           |  CAST(coalesce(cen.within_10pct, 0) AS BIGINT) AS within_10pct,
+           |  CAST(coalesce(cen.within_25pct, 0) AS BIGINT) AS within_25pct
+           |FROM pvf LEFT JOIN ov ON pvf.probe_id = ov.probe_id
+           |  LEFT JOIN cen ON pvf.probe_id = cen.probe_id
+           |ORDER BY pvf.probe_id""".stripMargin
+      }
     )
   )
 

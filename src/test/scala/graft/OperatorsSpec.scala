@@ -2032,6 +2032,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(again.sortBy(_._1) == short.sortBy(_._1))
   }
 
+  test("random projection: values match the driver fold, census bands nest, partition-invariant (r17b)") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rp = Similarity.randomProject(e, "embedding", "rp", dims = 64, outDims = 16)
+      .select("vec_id", "rp", "embedding")
+    val got = rp.filter("vec_id < 10").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getSeq[Float](2).toArray))
+    val tab = graft.functions.HyperplaneBucket.table(16, 64, Similarity.DefaultPlaneSeed)
+    got.foreach { case (id, y, x) =>
+      assert(y.length == 16)
+      (0 until 16).foreach { p =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { // zip_with multiplies by ±1.0, then the left fold adds
+          acc += x(i).toDouble * (if (tab(p)(i)) 1.0 else -1.0); i += 1
+        }
+        assert(y(p) == acc.toFloat, s"vec $id plane $p: ${y(p)} vs ${acc.toFloat}")
+      }
+    }
+    val cert = Similarity.rpDistortionCertificate(e, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0,
+        k = 10, dims = 64, outDims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(cert.length == 5)
+    cert.foreach { case (pid, ov, pct, pairs, w10, w25) =>
+      assert(ov >= 0L && ov <= 10L && pct == ov * 10)
+      assert(pairs == 499L, s"probe $pid: fixture has no identical vectors, pairs $pairs")
+      assert(w10 <= w25 && w25 <= pairs, s"probe $pid bands must nest: $w10/$w25/$pairs")
+      // chi-square_16 concentration: the ±25% band holds a meaningful mass
+      assert(w25 * 100 / pairs >= 30L, s"probe $pid: JL concentration broke, $w25/$pairs")
+    }
+    // deterministic across partitionings
+    val again = Similarity.rpDistortionCertificate(e.repartition(7), "vec_id",
+        "embedding", org.apache.spark.sql.functions.col("vec_id") % 100 === 0,
+        k = 10, dims = 64, outDims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).sortBy(_._1).toList
+    assert(again == cert.map(c => (c._1, c._2, c._5)).sortBy(_._1).toList)
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
