@@ -260,6 +260,98 @@ object Sampling {
         expr("w_sqrt * 10000 div __wtot - cnt * 10000 div __tot").as("boost_bp"))
   }
 
+  /** Exact-count mixture MATERIALIZATION with upsampling — the missing half
+    * of [[rebalanceToMixture]], which can only approach a mixture from
+    * above (its scaladoc says so): here every domain hits its target count
+    * EXACTLY, over- or under-represented. Domain d with n_d rows and
+    * target t_d emits ⌊t_d/n_d⌋ full copies of every row (`copy_idx`
+    * 0..copies−1 — the per-epoch repeat factor low-resource languages get
+    * in multilingual pretraining mixes) plus the t_d mod n_d rows ranked
+    * smallest by (hash32(key), key) at `copy_idx` = copies. Σ emitted ≡ t_d
+    * BY CONSTRUCTION — the property expectation-based threshold sampling
+    * cannot give a token-budgeted pipeline.
+    *
+    * The remainder selection is the rem_d smallest keys per domain under
+    * the engine-portable md5 order, computed WITHOUT a domain-sized window
+    * task: per-(domain, hash-prefix-bucket) counts (one aggregate, collect
+    * bounded by |domains|·buckets — the mixture-label cardinality contract
+    * of [[rebalanceToMixture]] applies), a driver walk picks each domain's
+    * boundary bucket and quota, full buckets pass as a pure filter, and
+    * only the boundary bucket (~1/buckets of one domain) ranks in a
+    * window. Equivalent, by bucket monotonicity in the hash, to the
+    * global per-domain rank ≤ rem — the form the oracle replays and the
+    * spec pins.
+    *
+    * Targets for absent/empty domains are shortfalls, not errors — they
+    * emit nothing; surface them by comparing targets to output counts.
+    * `keyCol` must uniquely identify a row within its domain (ranking ties
+    * between genuinely distinct rows would make the cut nondeterministic). */
+  def materializeMixture(df: DataFrame, domainCol: String, keyCol: String,
+      targets: Map[String, Long], buckets: Int = 1024): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0),
+      "targets must be non-negative")
+    require(buckets > 0 && (Two32 % buckets) == 0,
+      s"buckets must divide 2^32, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val dStr = col(domainCol).cast("string")
+    val widthL = (Two32 / buckets).toLong
+    val bucketC = expr(
+      s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint) div $widthL")
+    val counts = df.filter(dStr.isin(targets.keys.toSeq: _*))
+      .groupBy(dStr.as("__d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plan = targets.flatMap { case (d, t) =>
+      counts.get(d).filter(_ > 0).map(n => d -> (t / n, t % n))
+    }
+    val copiesLit = plan.foldLeft(lit(0L)) { case (acc, (d, (c, _))) =>
+      when(dStr === d, lit(c)).otherwise(acc)
+    }
+    val withCopies = df.withColumn("__copies", copiesLit)
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+    val remPlan = plan.filter(_._2._2 > 0)
+    if (remPlan.isEmpty) withCopies
+    else {
+      val bCounts = df.filter(dStr.isin(remPlan.keys.toSeq: _*))
+        .groupBy(dStr.as("__d"), bucketC.as("__b"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val cut: Map[String, (Long, Long)] = remPlan.map { case (d, (_, rem)) =>
+        val bs = bCounts.filter(_._1 == d).sortBy(_._2)
+        var cum = 0L
+        var boundary = -1L
+        var quota = 0L
+        var i = 0
+        while (i < bs.length && boundary < 0) {
+          val (_, b, n) = bs(i)
+          if (cum + n >= rem) { boundary = b; quota = rem - cum } else cum += n
+          i += 1
+        }
+        d -> (boundary, quota)
+      }
+      val boundaryLit = cut.foldLeft(lit(Long.MinValue)) { case (acc, (d, (b, _))) =>
+        when(dStr === d, lit(b)).otherwise(acc)
+      }
+      val quotaLit = cut.foldLeft(lit(0L)) { case (acc, (d, (_, q))) =>
+        when(dStr === d, lit(q)).otherwise(acc)
+      }
+      val base = df.filter(dStr.isin(remPlan.keys.toSeq: _*))
+        .withColumn("__b", bucketC)
+      val fullBuckets = base.filter(col("__b") < boundaryLit)
+      val w = Window.partitionBy(dStr, col("__b"))
+        .orderBy(hash32Of(keyCol), col(keyCol))
+      val boundaryRows = base.filter(col("__b") === boundaryLit)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= quotaLit)
+        .drop("__rk")
+      val remainder = fullBuckets.unionByName(boundaryRows)
+        .withColumn("copy_idx", copiesLit)
+        .drop("__b")
+      withCopies.unionByName(remainder)
+    }
+  }
+
   /** Deterministic per-epoch training-order shuffle: every key lands in a
     * shard and a position decided ONLY by `md5(seed:key)` — any engine,
     * any partitioning, any cluster size reproduces the identical order,

@@ -12868,6 +12868,79 @@ object ExtensionQueries {
            |  LEFT JOIN cen ON pvf.probe_id = cen.probe_id
            |ORDER BY pvf.probe_id""".stripMargin
       }
+    ),
+
+    // Exact-count mixture materialization WITH upsampling (r17
+    // continuation, I4): closes rebalanceToMixture's documented
+    // "approached from above only" limitation. Budget = 3·corpus + 37
+    // (computed in-query at any scale, so every domain upsamples and the
+    // 37 extra slots exercise the largest-remainder tie machinery);
+    // targets come from the Hamilton apportionment, then every domain
+    // emits ⌊t/n⌋ full copies of each doc plus the t mod n docs ranked
+    // smallest by (md5-hash, id) at copy_idx = copies — Σ emitted ≡ target
+    // BY CONSTRUCTION. The oracle replays the whole chain: counts,
+    // apportionment (base + largest-remainder rank), copy explosion,
+    // md5-rank remainder cut, and pins per-domain emitted / distinct /
+    // id-checksum / copy-weighted checksum.
+    QueryDef(
+      "q378_mixture_upsample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val total = docs.filter(col("lang").isNotNull).count()
+        val budget = 3L * total + 37L
+        val alloc = Sampling.largestRemainderAllocation(docs, "lang", budget)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+          .toList.sortBy(_._1)
+        val targets = alloc.map(a => a._1 -> a._3).toMap
+        val out = Sampling.materializeMixture(docs, "lang", "doc_id", targets)
+        val summary = out.groupBy(col("lang")).agg(
+          count(lit(1)).as("emitted"),
+          countDistinct(col("doc_id")).as("distinct_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("doc_id") * (col("copy_idx") + 1)).as("sum_weighted"))
+        val planDf = alloc.map { case (d, n, tgt) => (d, n, tgt, tgt / n, tgt % n) }
+          .toDF("lang", "n_src", "target", "full_copies", "remainder")
+        planDf.join(summary, Seq("lang"))
+          .select(col("lang"), col("n_src"), col("target"), col("full_copies"),
+            col("remainder"), col("emitted"), col("distinct_docs"),
+            col("sum_doc_id"), col("sum_weighted"))
+          .orderBy("lang")
+      },
+      Some(
+        s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+           |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS N,
+           |    CAST(3 * sum(cnt) + 37 AS BIGINT) AS B FROM c),
+           |a AS (SELECT lang, cnt, B * cnt // N AS base, B * cnt % N AS remq
+           |  FROM c, tt),
+           |lo AS (SELECT CAST((SELECT B FROM tt) - sum(base) AS BIGINT) AS L FROM a),
+           |al AS (SELECT lang, cnt,
+           |    base + CASE WHEN rk <= (SELECT L FROM lo) THEN 1 ELSE 0 END AS target
+           |  FROM (SELECT a.*, row_number() OVER (ORDER BY remq DESC, lang) AS rk
+           |        FROM a)),
+           |p AS (SELECT lang, cnt AS n_src, target,
+           |    target // cnt AS full_copies, target % cnt AS remainder FROM al),
+           |fc AS (SELECT d.doc_id, d.lang, unnest(range(p.full_copies)) AS copy_idx
+           |  FROM documents d JOIN p ON p.lang = d.lang),
+           |rk AS (SELECT d.doc_id, d.lang, row_number() OVER (PARTITION BY d.lang
+           |    ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT,
+           |      d.doc_id) AS rnk
+           |  FROM documents d JOIN p ON p.lang = d.lang),
+           |rm AS (SELECT rk.doc_id, rk.lang, p.full_copies AS copy_idx
+           |  FROM rk JOIN p ON p.lang = rk.lang WHERE rk.rnk <= p.remainder),
+           |em AS (SELECT * FROM fc UNION ALL SELECT * FROM rm),
+           |sm AS (SELECT lang, CAST(count(*) AS BIGINT) AS emitted,
+           |    CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_docs,
+           |    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           |    CAST(sum(doc_id * (copy_idx + 1)) AS BIGINT) AS sum_weighted
+           |  FROM em GROUP BY 1)
+           |SELECT p.lang, p.n_src, CAST(p.target AS BIGINT) AS target,
+           |  CAST(p.full_copies AS BIGINT) AS full_copies,
+           |  CAST(p.remainder AS BIGINT) AS remainder,
+           |  sm.emitted, sm.distinct_docs, sm.sum_doc_id, sm.sum_weighted
+           |FROM p JOIN sm USING (lang)
+           |ORDER BY lang""".stripMargin)
     )
   )
 

@@ -2072,6 +2072,55 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == cert.map(c => (c._1, c._2, c._5)).sortBy(_._1).toList)
   }
 
+  test("materialize mixture: exact per-domain counts, bucketed cut == global rank, absent domains shortfall (r17b)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (10L, "b"), (11L, "b"), (12L, "b"),
+      (20L, "c"), (21L, "c")).toDF("doc_id", "lang")
+    val targets = Map("a" -> 10L, "b" -> 3L, "c" -> 1L, "ghost" -> 5L)
+    val out = Sampling.materializeMixture(docs, "lang", "doc_id", targets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exact counts: 10 + 3 + 1; ghost is a silent shortfall (no rows)
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("a" -> 10, "b" -> 3, "c" -> 1))
+    // domain a: copies=2 (every doc twice at copy_idx 0,1), rem=2 docs get idx 2
+    val aIdx = out.filter(_._2 == "a").groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted.toList).toMap
+    assert(aIdx.values.forall(l => l.startsWith(List(0L, 1L))))
+    assert(aIdx.values.count(_ == List(0L, 1L, 2L)) == 2)
+    // domain b: copies=1 rem=0 — every doc exactly once at idx 0
+    assert(out.filter(_._2 == "b").map(_._3).toList == List(0L, 0L, 0L))
+    // domain c: pure downsample — ONE doc, at copy_idx 0, and it must be
+    // the md5-rank-smallest (the global-window reference form)
+    val cPick = out.filter(_._2 == "c").map(_._1).toList
+    val cExpected = docs.filter(col("lang") === "c")
+      .withColumn("__h", Sampling.hash32Of("doc_id"))
+      .orderBy(col("__h"), col("doc_id")).limit(1)
+      .collect().map(_.getLong(0)).toList
+    assert(cPick == cExpected)
+    // bucketed boundary cut == global rank at ANY bucket count
+    val out2 = Sampling.materializeMixture(docs, "lang", "doc_id", targets, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toList
+    val out4096 = Sampling.materializeMixture(docs.repartition(5), "lang", "doc_id",
+        targets, buckets = 4096)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toList
+    assert(out2 == out.sorted.toList && out4096 == out2)
+    // remainder selection equals the simple global per-domain window form
+    val ref = docs.withColumn("__h", Sampling.hash32Of("doc_id"))
+      .withColumn("__rk", expr(
+        "row_number() over (partition by lang order by __h, doc_id)"))
+      .filter((col("lang") === "a" && col("__rk") <= 2) ||
+        (col("lang") === "c" && col("__rk") <= 1))
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val gotRem = out.filter { case (_, l, i) =>
+      (l == "a" && i == 2L) || (l == "c" && i == 0L) }
+      .map(t => (t._1, t._2)).toSet
+    assert(gotRem == ref)
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
