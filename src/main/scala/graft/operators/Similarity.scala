@@ -986,6 +986,88 @@ object Similarity {
         col("pairs"), col("within_10pct"), col("within_25pct"))
   }
 
+  // ---- integer-exact PCA (top principal component) ------------------------
+
+  /** Top-principal-component certificate by INTEGER-EXACT power iteration —
+    * PCA whose every intermediate is an exact integer, so any engine
+    * replays it to the bit (the int8-quant "IEEE double + floor" discipline
+    * taken all the way: no floats anywhere).
+    *
+    * Pipeline: (1) quantize each dimension to 2^`scaleBits` fixed point
+    * (`floor` — engine-portable, unlike int casts whose rounding differs
+    * across engines); (2) ONE distributed Gram pass — a per-partition
+    * `mapPartitions` kernel accumulating Σq, Σqqᵀ and n in longs (the one
+    * genuinely imperative kernel in this family, the classic computeGramian
+    * shape: 4096 sum columns would defeat codegen, an explode would shuffle
+    * dims²×corpus rows; per-partition sums stay well under 2^63 for
+    * |x| ≤ ~1 embeddings and ≤ 2^31-row partitions), partials combined in
+    * BigInt on the driver — the collect is #partitions × (dims²+dims+1)
+    * longs, corpus-size-independent; (3) the scatter matrix
+    * M = n·Σqqᵀ − (Σq)(Σq)ᵀ (PSD, exact BigInt); (4) `iters` power-
+    * iteration rounds from the all-ones start vector, renormalizing each
+    * round to 2^`scaleBits` scale by TRUNCATING division (BigInt `/`
+    * truncates toward zero; a floor-division engine replays negatives via
+    * sign decomposition).
+    *
+    * Per round the certificate emits `var_explained_bp` — the exact
+    * integer Rayleigh ratio ⌊vᵀMv·10⁴/(vᵀv·tr M)⌋, monotone toward
+    * λ₁/Σλ as the iterate converges — plus the top-|component| dimension
+    * and the component's 64-bit sign fingerprint as two u32 halves. A
+    * drifting sign fingerprint between corpus epochs is an embedding-drift
+    * signal; a plateaued var_explained_bp is the convergence receipt. */
+  def pcaPowerCertificate(df: DataFrame, vecCol: String, dims: Int,
+      iters: Int = 8, scaleBits: Int = 16): DataFrame = {
+    require(dims >= 2 && iters >= 1 && scaleBits >= 1 && scaleBits <= 24,
+      s"bad pca params dims=$dims iters=$iters scaleBits=$scaleBits")
+    val spark = df.sparkSession
+    val scale = 1L << scaleBits
+    val q = df.filter(col(vecCol).isNotNull)
+      .select(transform(col(vecCol),
+        x => floor(x.cast("double") * scale.toDouble).cast("long")).as("q"))
+    val partials = q.rdd.mapPartitions { it =>
+      val g = new Array[Long](dims * dims)
+      val s = new Array[Long](dims)
+      var n = 0L
+      it.foreach { row =>
+        val v = row.getSeq[Long](0)
+        var i = 0
+        while (i < dims) {
+          val qi = v(i)
+          s(i) += qi
+          val base = i * dims
+          var j = 0
+          while (j < dims) { g(base + j) += qi * v(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      Iterator.single((n, s, g))
+    }.collect()
+    val n = BigInt(partials.map(_._1).sum)
+    require(n > 0, "pcaPowerCertificate: empty corpus")
+    val sSum = Array.tabulate(dims)(i => partials.map(p => BigInt(p._2(i))).sum)
+    val gSum = Array.tabulate(dims * dims)(k => partials.map(p => BigInt(p._3(k))).sum)
+    val m = Array.tabulate(dims, dims)((i, j) => n * gSum(i * dims + j) - sSum(i) * sSum(j))
+    val trace = (0 until dims).map(i => m(i)(i)).sum
+    require(trace > 0, "pcaPowerCertificate: degenerate corpus (zero scatter)")
+    var v = Array.fill(dims)(BigInt(scale))
+    val rows = (1 to iters).map { t =>
+      val u = Array.tabulate(dims)(i => (0 until dims).map(j => m(i)(j) * v(j)).sum)
+      val mx = u.map(_.abs).max
+      require(mx > 0, s"pcaPowerCertificate: iterate vanished at round $t")
+      v = u.map(ui => ui * scale / mx) // BigInt / truncates toward zero
+      val vmv = (for (i <- 0 until dims; j <- 0 until dims) yield v(i) * m(i)(j) * v(j)).sum
+      val vv = v.map(x => x * x).sum
+      val varBp = (vmv * 10000 / (vv * trace)).toLong
+      val topDim = (0 until dims).maxBy(i => (v(i).abs, BigInt(-i))).toLong
+      def half(lo: Int): Long =
+        (0 until 32).map(b => if (lo + b < dims && v(lo + b) > 0) 1L << b else 0L).sum
+      (t.toLong, varBp, topDim, half(0), half(32))
+    }
+    import spark.implicits._
+    rows.toDF("iter", "var_explained_bp", "top_dim", "sign_lo", "sign_hi")
+  }
+
   // ---- product quantization (PQ) ----------------------------------------
 
   /** L2 twin of [[assignToCentroids]]: nearest centroid by SQUARED-L2

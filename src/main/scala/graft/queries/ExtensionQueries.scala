@@ -12941,6 +12941,67 @@ object ExtensionQueries {
            |  sm.emitted, sm.distinct_docs, sm.sum_doc_id, sm.sum_weighted
            |FROM p JOIN sm USING (lang)
            |ORDER BY lang""".stripMargin)
+    ),
+
+    // Integer-exact PCA power iteration (r17 continuation, I3): the top
+    // principal component of the embedding corpus with NO floats anywhere
+    // — dims quantized to 2^16 fixed point by floor, ONE distributed Gram
+    // pass (per-partition long kernel, BigInt-combined; the collect is
+    // partitions × (64²+65) longs, corpus-size-independent), scatter
+    // matrix and 8 power-iteration rounds in exact big-integer
+    // arithmetic with truncating renormalization. Per round the gate pins
+    // the exact Rayleigh ratio in basis points (monotone toward λ₁/Σλ —
+    // the convergence receipt), the top-|component| dimension, and the
+    // component's sign fingerprint as two u32 halves (the epoch-drift
+    // signal next to ann-maintain). The oracle replays everything in
+    // HUGEINT with 8 unrolled CTE rounds — floor-division replays the
+    // truncating BigInt division via sign decomposition.
+    QueryDef(
+      "q379_pca_power",
+      (s, dir) =>
+        Similarity.pcaPowerCertificate(t(s, dir, "embeddings"), "embedding",
+            dims = 64, iters = 8)
+          .orderBy("iter"),
+      Some {
+        def iterSql(tt: Int): String = {
+          val pv = if (tt == 1) "v0" else s"v${tt - 1}"
+          s"""u$tt AS MATERIALIZED (SELECT mm.i, sum(mm.m * $pv.v) AS u
+             |  FROM mm JOIN $pv ON $pv.i = mm.j GROUP BY 1),
+             |x$tt AS MATERIALIZED (SELECT max(abs(u)) AS mx FROM u$tt),
+             |v$tt AS MATERIALIZED (SELECT i, CASE WHEN u < 0 THEN -((-u) * 65536 // mx)
+             |    ELSE (u * 65536) // mx END AS v FROM u$tt, x$tt),
+             |r$tt AS (SELECT CAST($tt AS BIGINT) AS iter,
+             |    CAST((SELECT sum(va.v * mm.m * vb.v) FROM mm
+             |        JOIN v$tt va ON va.i = mm.i JOIN v$tt vb ON vb.i = mm.j) * 10000
+             |      // ((SELECT sum(v * v) FROM v$tt) * (SELECT tr FROM tr)) AS BIGINT)
+             |      AS var_explained_bp,
+             |    CAST((SELECT i FROM v$tt ORDER BY abs(v) DESC, i LIMIT 1) AS BIGINT)
+             |      AS top_dim,
+             |    CAST((SELECT sum(CASE WHEN v > 0 AND i < 32
+             |        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END)
+             |      FROM v$tt) AS BIGINT) AS sign_lo,
+             |    CAST((SELECT sum(CASE WHEN v > 0 AND i >= 32
+             |        THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INTEGER)) ELSE 0 END)
+             |      FROM v$tt) AS BIGINT) AS sign_hi)""".stripMargin
+        }
+        val its = (1 to 8).map(iterSql).mkString(",\n")
+        val unions = (1 to 8).map(tt => s"SELECT * FROM r$tt").mkString("\nUNION ALL ")
+        s"""WITH q AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 65536.0) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |px AS MATERIALIZED (SELECT vec_id, i, qv[i+1] AS x FROM q, range(64) t(i)),
+           |gm AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(CAST(a.x AS HUGEINT) * b.x) AS g
+           |  FROM px a JOIN px b USING (vec_id) GROUP BY 1, 2),
+           |sv AS MATERIALIZED (SELECT i, sum(CAST(x AS HUGEINT)) AS s FROM px GROUP BY 1),
+           |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+           |mm AS MATERIALIZED (SELECT gm.i, gm.j, nn.n * gm.g - sa.s * sb.s AS m
+           |  FROM gm, nn, sv sa, sv sb WHERE sa.i = gm.i AND sb.i = gm.j),
+           |tr AS MATERIALIZED (SELECT sum(m) AS tr FROM mm WHERE i = j),
+           |v0 AS MATERIALIZED (SELECT i, CAST(65536 AS HUGEINT) AS v FROM range(64) t(i)),
+           |$its
+           |$unions
+           |ORDER BY iter""".stripMargin
+      }
     )
   )
 

@@ -2121,6 +2121,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(gotRem == ref)
   }
 
+  test("pca power iteration: planted component found, shift-invariant, monotone Rayleigh (r17b)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // planted: dim 3 carries ~16x the variance of the noise dims; all
+    // values are multiples of 2^-8 so the +0.5 shift below is float-exact
+    def noise(i: Int, j: Int): Float = (((i * (j + 2)) % 3) - 1) * 0.0078125f
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(j => noise(i, j))
+      v(3) = ((i % 7) - 3) * 0.25f
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("id", "v")
+    val cert = Similarity.pcaPowerCertificate(df, "v", dims = 8, iters = 6)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(cert.length == 6)
+    assert(cert.last._3 == 3L, s"planted dim 3, got ${cert.last._3}")
+    assert(cert.last._2 > 9000L, s"dominant component should explain >90%, got ${cert.last._2} bp")
+    // Rayleigh quotient is monotone under power iteration (±1 bp for the
+    // truncating renormalization at the plateau)
+    cert.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 - 1, s"Rayleigh regressed: ${a._2} -> ${b._2}")
+    }
+    assert(((cert.last._4 >> 3) & 1L) == 1L, "component sign on the planted dim")
+    assert(cert.last._5 == 0L, "dims 32..63 do not exist at dims=8")
+    // the scatter matrix is translation-invariant: shifting every vector by
+    // +0.5 (exact in float and in the 2^16 fixed point) changes nothing
+    val shifted = vecs.map { case (id, v) => (id, v.map(_ + 0.5f)) }.toDF("id", "v")
+    val cert2 = Similarity.pcaPowerCertificate(shifted, "v", dims = 8, iters = 6)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(cert2.toSeq == cert.toSeq, "centering must not change the scatter certificate")
+    // deterministic across partitionings (the BigInt combine is exact —
+    // no float-order dependence to hide)
+    val cert3 = Similarity.pcaPowerCertificate(df.repartition(7), "v", dims = 8, iters = 6)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(cert3.toSeq == cert.toSeq)
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
