@@ -496,22 +496,34 @@ object Dedup {
       textCol: String, maxHamming: Int = 3, maxPostings: Int = 500): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
-    require(maxPostings >= 1, "maxPostings must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val corpusBands = simHashBands(corpus, idCol, textCol)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("band_idx"), col("band_key")).orderBy(col(idCol))))
-      .filter(col("__rn") <= maxPostings)
-      .select(col(idCol).as("corpus_id"), col("simhash64").as("__csh"),
-        col("band_idx"), col("band_key"))
     simHashBands(batch, idCol, textCol)
       .select(col(idCol).as("batch_id"), col("simhash64").as("__bsh"),
         col("band_idx"), col("band_key"))
-      .join(corpusBands, Seq("band_idx", "band_key"))
+      .join(simHashCorpusIndex(corpus, idCol, textCol, maxPostings),
+        Seq("band_idx", "band_key"))
       .select(col("batch_id"), col("corpus_id"),
-        expr("bit_count(__bsh ^ __csh)").cast("long").as("hamming"))
+        expr("bit_count(__bsh ^ corpus_simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** The frozen-epoch half of [[simHashAgainstCorpus]], exposed so a
+    * pipeline (or the streaming gate) can band the corpus ONCE per epoch,
+    * persist the result bucket-partitioned on (band_idx, band_key), and
+    * join arriving batches against it all night: (corpus_id,
+    * corpus_simhash, band_idx, band_key), 4 short rows per doc, postings
+    * per bucket capped at `maxPostings` (smallest ids win, deterministic —
+    * price the cap with [[simHashCapReport]] before destructive use). */
+  def simHashCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 500): DataFrame = {
+    require(maxPostings >= 1, "maxPostings must be positive")
+    import org.apache.spark.sql.expressions.Window
+    simHashBands(corpus, idCol, textCol)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_key")).orderBy(col(idCol))))
+      .filter(col("__rn") <= maxPostings)
+      .select(col(idCol).as("corpus_id"), col("simhash64").as("corpus_simhash"),
+        col("band_idx"), col("band_key"))
   }
 
   /** Per-source dedup-savings datasheet — what exact dedup actually BUYS,

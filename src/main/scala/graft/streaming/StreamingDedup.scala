@@ -269,4 +269,60 @@ object StreamingDedup {
           }
       }
   }
+
+  /** Streaming SimHash gate against a FROZEN corpus epoch — the firehose
+    * twin of [[Dedup.simHashAgainstCorpus]] (the MinHash side has had one
+    * since r16; this closes the SimHash leg). `corpusIndex` is
+    * [[Dedup.simHashCorpusIndex]]'s output, banded once per epoch and
+    * persisted; the stream computes each arriving doc's simhash64
+    * STATELESSLY ([[simHash64RowLocal]] math), explodes its 4 band keys,
+    * stream-static joins the index, and VERIFIES with one
+    * `bit_count(xor)` before anything downstream may drop the doc — the
+    * verify-before-drop contract, now on both near-dup legs.
+    *
+    * The arriving doc's hash computes WITHOUT the batch form's word
+    * explode + per-doc aggregate (a streaming agg would demand a watermark
+    * and a state store for a value that is a pure function of the text):
+    * distinct words → md5 per word → one 64-wide bit-count fold, each bit
+    * extracted with the SAME per-hex-digit `conv` arithmetic as
+    * [[Dedup.simHash64]]'s aggregate — integer counts either way, so the
+    * two forms are bit-identical by construction and the spec pins it.
+    * O(words·64) per row, fused into the stream's map stage.
+    *
+    * Output: (band_idx, doc_id, corpus_id, hamming) per MATCHING band —
+    * stateless, so a pair matching in two bands emits twice; downstream
+    * `distinct()`s before acting, exactly as with [[lshCandidates]] (the
+    * batch operator's own final `distinct` plays that role there). The
+    * whole gate is a stream-static inner equi-join: no watermark, no
+    * state store, bounded memory at any stream length. */
+  def simHashCorpusGate(docs: DataFrame, corpusIndex: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
+    val zeros = (0 until 64).map(_ => "0").mkString("array(", ", ", ")")
+    val bitOf = (0 until 64).map { b =>
+      val j = b / 4
+      val k = 3 - (b % 4)
+      s"cast(cast(conv(substring(h, ${j + 1}, 1), 16, 10) as int) / ${1 << k} as int) % 2"
+    }.mkString("array(", ", ", ")")
+    val sim = (0 until 64).map { b =>
+      when(expr(s"element_at(__counts, ${b + 1})") * 2 >= col("__nw"),
+        lit(1L << (63 - b))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs
+      .withColumn("__counts", expr(
+        s"""aggregate(transform(array_distinct(split(text, ' ')), w -> md5(w)),
+           |  $zeros, (acc, h) -> zip_with(acc, $bitOf, (a, c) -> a + c))""".stripMargin))
+      .withColumn("__nw", size(array_distinct(split(col("text"), " "))))
+      .filter(col("__nw") > 0)
+      .withColumn("simhash64", sim)
+      .select(col("doc_id"), col("simhash64"),
+        explode(expr("sequence(0, 3)")).as("band_idx"))
+      .withColumn("band_key",
+        expr("(simhash64 >> ((3 - band_idx) * 16)) & 65535").cast("int"))
+      .join(corpusIndex, Seq("band_idx", "band_key"))
+      .select(col("band_idx"), col("doc_id"), col("corpus_id"),
+        expr("bit_count(simhash64 ^ corpus_simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -325,6 +325,43 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size <= 4) // the state never exceeds the capacity
   }
 
+  test("streaming SimHash corpus gate: stream flags == batch incremental join, verify-before-drop (r17b)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.operators.Dedup
+    def mk(i: Long) = s"document number $i with shared scaffold words " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpusDf = (0L until 30L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    val idx = Dedup.simHashCorpusIndex(corpusDf, "doc_id", "text")
+    // arriving batch: exact replays of 3 corpus docs (hamming 0 guaranteed),
+    // one-word-appended twins (low hamming), and unrelated noise
+    val batchRows: Seq[(Long, String)] =
+      (0L until 3L).map(i => (3000L + i, mk(i))) ++
+        (0L until 10L).map(i => (1000L + i, mk(i) + " zz")) ++
+        (0L until 5L).map(i => (2000L + i,
+          s"totally unrelated content row $i sharing nothing with the corpus fixture"))
+    val batchDf = batchRows.toDF("doc_id", "text")
+    val truth = Dedup.simHashAgainstCorpus(batchDf, corpusDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(truth.exists(_._3 == 0L), "exact replays must flag at hamming 0")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(batchRows.take(8): _*)
+    mem.addData(batchRows.drop(8): _*)
+    val q = StreamingDedup.simHashCorpusGate(mem.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("simhash_gate_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("simhash_gate_test")
+      .select("doc_id", "corpus_id", "hamming").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the stateless row-local hash + stream-static join reproduces the
+    // batch incremental operator EXACTLY (after the documented distinct)
+    assert(got == truth, s"stream ${got.size} vs batch ${truth.size}")
+    // every drop decision was verified: nothing unrelated was flagged
+    assert(!got.exists(t => t._1 >= 2000L && t._1 < 3000L))
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
