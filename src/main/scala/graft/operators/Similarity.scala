@@ -1017,9 +1017,21 @@ object Similarity {
     * signal; a plateaued var_explained_bp is the convergence receipt. */
   def pcaPowerCertificate(df: DataFrame, vecCol: String, dims: Int,
       iters: Int = 8, scaleBits: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val (rows, _, _) = pcaChain(df, vecCol, dims, iters, scaleBits)
+    import spark.implicits._
+    rows.toDF("iter", "var_explained_bp", "top_dim", "sign_lo", "sign_hi")
+  }
+
+  /** The shared integer power chain behind [[pcaPowerCertificate]] and
+    * [[pcaEpochDrift]]: the distributed Gram pass, the BigInt scatter
+    * matrix, and `iters` truncating-renormalized rounds. Returns the
+    * per-round certificate rows, the FINAL iterate (for cross-epoch
+    * comparison), and the trace. */
+  private def pcaChain(df: DataFrame, vecCol: String, dims: Int,
+      iters: Int, scaleBits: Int): (Seq[(Long, Long, Long, Long, Long)], Array[BigInt], BigInt) = {
     require(dims >= 2 && iters >= 1 && scaleBits >= 1 && scaleBits <= 24,
       s"bad pca params dims=$dims iters=$iters scaleBits=$scaleBits")
-    val spark = df.sparkSession
     val scale = 1L << scaleBits
     val q = df.filter(col(vecCol).isNotNull)
       .select(transform(col(vecCol),
@@ -1044,17 +1056,17 @@ object Similarity {
       Iterator.single((n, s, g))
     }.collect()
     val n = BigInt(partials.map(_._1).sum)
-    require(n > 0, "pcaPowerCertificate: empty corpus")
+    require(n > 0, "pcaChain: empty corpus")
     val sSum = Array.tabulate(dims)(i => partials.map(p => BigInt(p._2(i))).sum)
     val gSum = Array.tabulate(dims * dims)(k => partials.map(p => BigInt(p._3(k))).sum)
     val m = Array.tabulate(dims, dims)((i, j) => n * gSum(i * dims + j) - sSum(i) * sSum(j))
     val trace = (0 until dims).map(i => m(i)(i)).sum
-    require(trace > 0, "pcaPowerCertificate: degenerate corpus (zero scatter)")
+    require(trace > 0, "pcaChain: degenerate corpus (zero scatter)")
     var v = Array.fill(dims)(BigInt(scale))
     val rows = (1 to iters).map { t =>
       val u = Array.tabulate(dims)(i => (0 until dims).map(j => m(i)(j) * v(j)).sum)
       val mx = u.map(_.abs).max
-      require(mx > 0, s"pcaPowerCertificate: iterate vanished at round $t")
+      require(mx > 0, s"pcaChain: iterate vanished at round $t")
       v = u.map(ui => ui * scale / mx) // BigInt / truncates toward zero
       val vmv = (for (i <- 0 until dims; j <- 0 until dims) yield v(i) * m(i)(j) * v(j)).sum
       val vv = v.map(x => x * x).sum
@@ -1064,8 +1076,32 @@ object Similarity {
         (0 until 32).map(b => if (lo + b < dims && v(lo + b) > 0) 1L << b else 0L).sum
       (t.toLong, varBp, topDim, half(0), half(32))
     }
+    (rows, v, trace)
+  }
+
+  /** Principal-component DRIFT between two corpus epochs — the numeric
+    * companion to [[pcaPowerCertificate]]'s sign fingerprint and
+    * [[annMaintain]]'s recall drift: both epochs run the same integer
+    * power chain, and the certificate row carries each side's final
+    * Rayleigh ratio and top dimension plus `cos2_x10k` — the exact
+    * squared cosine between the final iterates, (vᵀw)²·10⁴/(vᵀv·wᵀw) in
+    * BigInt (squared, so the component's arbitrary sign cancels; no sqrt,
+    * no floats — bit-replayable on any engine). 10000 = colinear
+    * components; a falling value is the embedding-space rotation a frozen
+    * ANN index silently pays for. */
+  def pcaEpochDrift(base: DataFrame, head: DataFrame, vecCol: String,
+      dims: Int, iters: Int = 8, scaleBits: Int = 16): DataFrame = {
+    val spark = base.sparkSession
+    val (rowsA, vA, _) = pcaChain(base, vecCol, dims, iters, scaleBits)
+    val (rowsB, vB, _) = pcaChain(head, vecCol, dims, iters, scaleBits)
+    val dot = (0 until dims).map(i => vA(i) * vB(i)).sum
+    val cos2 = (dot * dot * 10000 /
+      (vA.map(x => x * x).sum * vB.map(x => x * x).sum)).toLong
+    val (_, aVar, aTop, _, _) = rowsA.last
+    val (_, bVar, bTop, _, _) = rowsB.last
     import spark.implicits._
-    rows.toDF("iter", "var_explained_bp", "top_dim", "sign_lo", "sign_hi")
+    Seq((aVar, bVar, aTop, bTop, cos2))
+      .toDF("base_var_bp", "head_var_bp", "base_top_dim", "head_top_dim", "cos2_x10k")
   }
 
   // ---- product quantization (PQ) ----------------------------------------

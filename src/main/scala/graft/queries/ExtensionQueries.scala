@@ -12963,47 +12963,105 @@ object ExtensionQueries {
             dims = 64, iters = 8)
           .orderBy("iter"),
       Some {
-        def iterSql(tt: Int): String = {
-          val pv = if (tt == 1) "v0" else s"v${tt - 1}"
-          s"""u$tt AS MATERIALIZED (SELECT mm.i, sum(mm.m * $pv.v) AS u
-             |  FROM mm JOIN $pv ON $pv.i = mm.j GROUP BY 1),
-             |x$tt AS MATERIALIZED (SELECT max(abs(u)) AS mx FROM u$tt),
-             |v$tt AS MATERIALIZED (SELECT i, CASE WHEN u < 0 THEN -((-u) * 65536 // mx)
-             |    ELSE (u * 65536) // mx END AS v FROM u$tt, x$tt),
-             |r$tt AS (SELECT CAST($tt AS BIGINT) AS iter,
-             |    CAST((SELECT sum(va.v * mm.m * vb.v) FROM mm
-             |        JOIN v$tt va ON va.i = mm.i JOIN v$tt vb ON vb.i = mm.j) * 10000
-             |      // ((SELECT sum(v * v) FROM v$tt) * (SELECT tr FROM tr)) AS BIGINT)
-             |      AS var_explained_bp,
-             |    CAST((SELECT i FROM v$tt ORDER BY abs(v) DESC, i LIMIT 1) AS BIGINT)
-             |      AS top_dim,
-             |    CAST((SELECT sum(CASE WHEN v > 0 AND i < 32
-             |        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END)
-             |      FROM v$tt) AS BIGINT) AS sign_lo,
-             |    CAST((SELECT sum(CASE WHEN v > 0 AND i >= 32
-             |        THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INTEGER)) ELSE 0 END)
-             |      FROM v$tt) AS BIGINT) AS sign_hi)""".stripMargin
-        }
-        val its = (1 to 8).map(iterSql).mkString(",\n")
         val unions = (1 to 8).map(tt => s"SELECT * FROM r$tt").mkString("\nUNION ALL ")
-        s"""WITH q AS MATERIALIZED (SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 65536.0) AS BIGINT)) AS qv
-           |  FROM embeddings WHERE embedding IS NOT NULL),
-           |px AS MATERIALIZED (SELECT vec_id, i, qv[i+1] AS x FROM q, range(64) t(i)),
-           |gm AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(CAST(a.x AS HUGEINT) * b.x) AS g
-           |  FROM px a JOIN px b USING (vec_id) GROUP BY 1, 2),
-           |sv AS MATERIALIZED (SELECT i, sum(CAST(x AS HUGEINT)) AS s FROM px GROUP BY 1),
-           |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
-           |mm AS MATERIALIZED (SELECT gm.i, gm.j, nn.n * gm.g - sa.s * sb.s AS m
-           |  FROM gm, nn, sv sa, sv sb WHERE sa.i = gm.i AND sb.i = gm.j),
-           |tr AS MATERIALIZED (SELECT sum(m) AS tr FROM mm WHERE i = j),
-           |v0 AS MATERIALIZED (SELECT i, CAST(65536 AS HUGEINT) AS v FROM range(64) t(i)),
-           |$its
+        s"""WITH ${pcaChainSql("",
+             """SELECT vec_id,
+               |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 65536.0) AS BIGINT)) AS qv
+               |  FROM embeddings WHERE embedding IS NOT NULL""".stripMargin)}
            |$unions
            |ORDER BY iter""".stripMargin
       }
+    ),
+
+    // Principal-component drift between corpus epochs (r17 continuation,
+    // J1): both epochs run q379's integer-exact power chain, and the
+    // certificate row carries each side's final Rayleigh ratio and top
+    // dimension plus the exact squared cosine between the final iterates
+    // — (vᵀw)²·10⁴/(vᵀv·wᵀw) in pure integers (squared, so the
+    // component's arbitrary sign cancels; no sqrt). Epoch B is epoch A
+    // with +0.25 added to dims 0..7 of every even-id vector (the q362
+    // planted-drift idiom, float-exact on both engines) — a real
+    // embedding-space rotation the certificate must price. The oracle
+    // replays BOTH chains (two parametrized 8-round HUGEINT CTE
+    // pipelines) plus the cosine ratio.
+    QueryDef(
+      "q380_pca_epoch_drift",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val head = e.withColumn("embedding",
+          when(col("vec_id") % 2 === 0,
+            transform(col("embedding"), (x, i) =>
+              when(i < 8, (x.cast("double") + 0.25).cast("float")).otherwise(x)))
+            .otherwise(col("embedding")))
+        Similarity.pcaEpochDrift(e, head, "embedding", dims = 64, iters = 8)
+      },
+      Some {
+        val baseSrc =
+          """SELECT vec_id,
+            |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 65536.0) AS BIGINT)) AS qv
+            |  FROM embeddings WHERE embedding IS NOT NULL""".stripMargin
+        val headSrc =
+          """SELECT vec_id,
+            |    list_transform(range(64), i -> CAST(floor(
+            |      (CASE WHEN vec_id % 2 = 0 AND i < 8
+            |        THEN CAST(embedding[i+1]::DOUBLE + 0.25 AS REAL)
+            |        ELSE embedding[i+1] END)::DOUBLE * 65536.0) AS BIGINT)) AS qv
+            |  FROM embeddings WHERE embedding IS NOT NULL""".stripMargin
+        s"""WITH ${pcaChainSql("a_", baseSrc)},
+           |${pcaChainSql("b_", headSrc)},
+           |dd AS (SELECT sum(a.v * b.v) AS d FROM a_v8 a JOIN b_v8 b USING (i)),
+           |na AS (SELECT sum(v * v) AS s FROM a_v8),
+           |nb AS (SELECT sum(v * v) AS s FROM b_v8)
+           |SELECT CAST((SELECT var_explained_bp FROM a_r8) AS BIGINT) AS base_var_bp,
+           |  CAST((SELECT var_explained_bp FROM b_r8) AS BIGINT) AS head_var_bp,
+           |  CAST((SELECT top_dim FROM a_r8) AS BIGINT) AS base_top_dim,
+           |  CAST((SELECT top_dim FROM b_r8) AS BIGINT) AS head_top_dim,
+           |  CAST(dd.d * dd.d * 10000 // (na.s * nb.s) AS BIGINT) AS cos2_x10k
+           |FROM dd, na, nb""".stripMargin
+      }
     )
   )
+
+  /** Generate one integer-exact PCA power chain as DuckDB CTEs (shared by
+    * q379 and q380's two-epoch replay): `p`-prefixed names, `sourceSelect`
+    * supplies the quantized (vec_id, qv) relation. 8 rounds, all stages
+    * MATERIALIZED (the chain references earlier CTEs many times — DuckDB
+    * would otherwise inline them exponentially). */
+  private def pcaChainSql(p: String, sourceSelect: String): String = {
+    def iterSql(tt: Int): String = {
+      val pv = if (tt == 1) s"${p}v0" else s"${p}v${tt - 1}"
+      s"""${p}u$tt AS MATERIALIZED (SELECT mm.i, sum(mm.m * $pv.v) AS u
+         |  FROM ${p}mm mm JOIN $pv ON $pv.i = mm.j GROUP BY 1),
+         |${p}x$tt AS MATERIALIZED (SELECT max(abs(u)) AS mx FROM ${p}u$tt),
+         |${p}v$tt AS MATERIALIZED (SELECT i, CASE WHEN u < 0 THEN -((-u) * 65536 // mx)
+         |    ELSE (u * 65536) // mx END AS v FROM ${p}u$tt, ${p}x$tt),
+         |${p}r$tt AS (SELECT CAST($tt AS BIGINT) AS iter,
+         |    CAST((SELECT sum(va.v * mm.m * vb.v) FROM ${p}mm mm
+         |        JOIN ${p}v$tt va ON va.i = mm.i JOIN ${p}v$tt vb ON vb.i = mm.j) * 10000
+         |      // ((SELECT sum(v * v) FROM ${p}v$tt) * (SELECT tr FROM ${p}tr)) AS BIGINT)
+         |      AS var_explained_bp,
+         |    CAST((SELECT i FROM ${p}v$tt ORDER BY abs(v) DESC, i LIMIT 1) AS BIGINT)
+         |      AS top_dim,
+         |    CAST((SELECT sum(CASE WHEN v > 0 AND i < 32
+         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END)
+         |      FROM ${p}v$tt) AS BIGINT) AS sign_lo,
+         |    CAST((SELECT sum(CASE WHEN v > 0 AND i >= 32
+         |        THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INTEGER)) ELSE 0 END)
+         |      FROM ${p}v$tt) AS BIGINT) AS sign_hi)""".stripMargin
+    }
+    val its = (1 to 8).map(iterSql).mkString(",\n")
+    s"""${p}q AS MATERIALIZED ($sourceSelect),
+       |${p}px AS MATERIALIZED (SELECT vec_id, i, qv[i+1] AS x FROM ${p}q, range(64) t(i)),
+       |${p}gm AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(CAST(a.x AS HUGEINT) * b.x) AS g
+       |  FROM ${p}px a JOIN ${p}px b USING (vec_id) GROUP BY 1, 2),
+       |${p}sv AS MATERIALIZED (SELECT i, sum(CAST(x AS HUGEINT)) AS s FROM ${p}px GROUP BY 1),
+       |${p}nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM ${p}q),
+       |${p}mm AS MATERIALIZED (SELECT gm.i, gm.j, nn.n * gm.g - sa.s * sb.s AS m
+       |  FROM ${p}gm gm, ${p}nn nn, ${p}sv sa, ${p}sv sb WHERE sa.i = gm.i AND sb.i = gm.j),
+       |${p}tr AS MATERIALIZED (SELECT sum(m) AS tr FROM ${p}mm WHERE i = j),
+       |${p}v0 AS MATERIALIZED (SELECT i, CAST(65536 AS HUGEINT) AS v FROM range(64) t(i)),
+       |$its""".stripMargin
+  }
 
   /** q352's blocklist: q336's four present phrases plus 1500 generated
     * absent entries — large enough that an array-scan plan pays a

@@ -2161,6 +2161,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(cert3.toSeq == cert.toSeq)
   }
 
+  test("pca epoch drift: identical epochs score exactly 10000, a planted rotation collapses cos2 (r17b)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def noise(i: Int, j: Int): Float = (((i * (j + 2)) % 3) - 1) * 0.0078125f
+    def corpus(axis: Int) = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(j => noise(i, j))
+      v(axis) = ((i % 7) - 3) * 0.25f
+      (i.toLong, v)
+    }.toDF("id", "v")
+    val a = corpus(3)
+    // identical epochs: dot^2 * 10^4 / (|v|^2)^2 == 10^4 EXACTLY
+    val same = Similarity.pcaEpochDrift(a, corpus(3), "v", dims = 8, iters = 6)
+      .collect().head
+    assert(same.getLong(4) == 10000L, s"identical epochs must score 10000, got ${same.getLong(4)}")
+    assert(same.getLong(0) == same.getLong(1) && same.getLong(2) == same.getLong(3))
+    // the dominant axis rotates 3 -> 6: components near-orthogonal
+    val rot = Similarity.pcaEpochDrift(a, corpus(6), "v", dims = 8, iters = 6)
+      .collect().head
+    assert(rot.getLong(2) == 3L && rot.getLong(3) == 6L)
+    assert(rot.getLong(4) < 2500L,
+      s"orthogonal rotation must collapse cos2, got ${rot.getLong(4)}")
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
