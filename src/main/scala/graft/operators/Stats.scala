@@ -1092,4 +1092,49 @@ object Stats {
           lag(col("calibrated_fp"), 1).over(wMono) <= col("calibrated_fp"), 1L)
           .otherwise(0L))
   }
+
+  /** Best-F1 operating point for a score gate — the threshold a curation
+    * pipeline should cut at when it has a labeled sample (the q327/q365
+    * calibration family's ACTION: those describe the curve, this picks the
+    * point). Predicting positive at `score ≥ t` for every distinct score t:
+    * TP = positives at-or-above, and the F1 denominator collapses to
+    * 2TP+FP+FN = n_ge + P, so `f1_x1e6 = 2·TP·10⁶ div (n_ge + P)` — exact
+    * integers end to end; the argmax takes the HIGHEST f1 with ties to the
+    * SMALLEST threshold (the more-recall point of equal-F1 cuts — both
+    * orderings are defensible, one is pinned). One row: threshold, the
+    * confusion counts, precision/recall in bp, f1_x1e6.
+    *
+    * Scale contract: the suffix sums run in one unpartitioned window over
+    * DISTINCT scores — [[exactThresholds]]' cardinality contract (scores
+    * are quantized integers: ×1000 weights, ×100 ratios), never raw-row
+    * cardinality. Degenerate inputs (no positives) yield f1 = 0 rows and
+    * threshold = the smallest score. */
+  def bestF1Threshold(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    val base = df.select(col(scoreCol).cast("long").as("__s"),
+      when(coalesce(labelCol, lit(false)), 1L).otherwise(0L).as("__y"))
+    val perScore = base.groupBy("__s")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__ps"))
+    // NB: Spark resolution is case-insensitive — the total must not differ
+    // from the per-score column by case alone
+    val tot = base.agg(coalesce(sum(col("__y")), lit(0L)).as("__ptot"))
+    val wCum = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perScore
+      .withColumn("__nge", sum(col("__n")).over(wCum))
+      .withColumn("__pge", sum(col("__ps")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("__s").as("threshold"),
+        col("__pge").as("tp"),
+        (col("__nge") - col("__pge")).as("fp"),
+        (col("__ptot") - col("__pge")).as("fn"),
+        expr("case when __nge > 0 then __pge * 10000 div __nge else 0 end")
+          .as("precision_bp"),
+        expr("case when __ptot > 0 then __pge * 10000 div __ptot else 0 end")
+          .as("recall_bp"),
+        expr("__pge * 2000000 div (__nge + __ptot)").as("f1_x1e6"))
+    curve.withColumn("__rk", row_number().over(
+        Window.orderBy(col("f1_x1e6").desc, col("threshold"))))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
 }

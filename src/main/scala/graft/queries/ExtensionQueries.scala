@@ -13019,6 +13019,48 @@ object ExtensionQueries {
            |  CAST(dd.d * dd.d * 10000 // (na.s * nb.s) AS BIGINT) AS cos2_x10k
            |FROM dd, na, nb""".stripMargin
       }
+    ),
+
+    // Best-F1 threshold for the DSIR gate (r17 continuation, J2): the
+    // calibration family's ACTION — q365 describes the score/label curve,
+    // this picks the operating point. Scores are the ×1000 DSIR importance
+    // weights toward lang='zh', labels the actual zh docs; for every
+    // distinct score t the suffix sums give TP/FP/FN exactly (the F1
+    // denominator collapses to n_ge + P), f1 in exact millionths, argmax
+    // with (f1 desc, threshold asc) pinned. One row: the cut a curation
+    // pipeline should gate at, with its confusion counts and
+    // precision/recall in bp. The oracle replays the weight fold, the
+    // suffix sums and the argmax.
+    QueryDef(
+      "q381_best_f1_threshold",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val w = Dsir.importanceWeights(docs, "doc_id", "text",
+          targetCol = col("lang") === "zh", buckets = 8192)
+        val scored = w.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        Stats.bestF1Threshold(scored, "weight_x1000", col("lang") === "zh")
+      },
+      Some(s"""WITH $dsirWeightsCtes,
+             |lab AS (SELECT w.weight_x1000 AS s,
+             |    CASE WHEN d.lang = 'zh' THEN 1 ELSE 0 END AS y
+             |  FROM weights w JOIN documents d USING (doc_id)),
+             |tt AS (SELECT CAST(coalesce(sum(y), 0) AS BIGINT) AS P FROM lab),
+             |ps AS (SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+             |  FROM lab GROUP BY 1),
+             |cum AS (SELECT s, sum(n) OVER (ORDER BY s DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nge,
+             |  sum(p) OVER (ORDER BY s DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pge FROM ps),
+             |f AS (SELECT s, pge, nge, P,
+             |    pge * 2000000 // (nge + P) AS f1 FROM cum, tt)
+             |SELECT CAST(s AS BIGINT) AS threshold, CAST(pge AS BIGINT) AS tp,
+             |  CAST(nge - pge AS BIGINT) AS fp, CAST(P - pge AS BIGINT) AS fn,
+             |  CAST(CASE WHEN nge > 0 THEN pge * 10000 // nge ELSE 0 END AS BIGINT)
+             |    AS precision_bp,
+             |  CAST(CASE WHEN P > 0 THEN pge * 10000 // P ELSE 0 END AS BIGINT)
+             |    AS recall_bp,
+             |  CAST(f1 AS BIGINT) AS f1_x1e6
+             |FROM f QUALIFY row_number() OVER (ORDER BY f1 DESC, s) = 1""".stripMargin)
     )
   )
 

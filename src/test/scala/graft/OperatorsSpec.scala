@@ -2184,6 +2184,30 @@ class OperatorsSpec extends SparkTestBase {
       s"orthogonal rotation must collapse cos2, got ${rot.getLong(4)}")
   }
 
+  test("best F1 threshold: hand-checked optimum, degenerate no-positives tie-break (r17b)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Stats
+    // t=7 is the optimum: TP3 FP1 FN0 -> F1 = 6/7
+    val df = Seq((10L, true), (9L, true), (8L, false), (7L, true),
+      (6L, false), (5L, false)).toDF("score", "label")
+    val row = Stats.bestF1Threshold(df, "score", col("label")).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6)) ==
+      ((7L, 3L, 1L, 0L, 7500L, 10000L, 857142L)))
+    // exactly one row comes back
+    assert(Stats.bestF1Threshold(df, "score", col("label")).count() == 1L)
+    // no positives: every F1 is 0; the tie-break pins the smallest score
+    val neg = Seq((5L, false), (3L, false)).toDF("score", "label")
+    val r0 = Stats.bestF1Threshold(neg, "score", col("label")).collect().head
+    assert(r0.getLong(0) == 3L && r0.getLong(1) == 0L && r0.getLong(5) == 0L
+      && r0.getLong(6) == 0L)
+    // null labels count as negatives, not errors
+    val withNull = Seq((4L, Some(true)), (2L, None)).toDF("score", "label")
+    val rn = Stats.bestF1Threshold(withNull, "score", col("label")).collect().head
+    assert(rn.getLong(0) == 4L && rn.getLong(6) == 1000000L)
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
