@@ -369,14 +369,45 @@ object Sampling {
   def epochShuffle(df: DataFrame, keyCol: String, seed: Long,
       nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val h = expr(s"cast(conv(substring(md5(concat('$seed', ':', " +
-      s"cast($keyCol as string))), 1, 8), 16, 10) as bigint)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
-    df.withColumn("__h", h)
+    df.withColumn("__h", epochHash(keyCol, seed))
       .withColumn("shard", col("__h") % nShards)
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
+  }
+
+  /** The seeded per-epoch key hash shared by [[epochShuffle]] and
+    * [[epochShuffleAudit]] — `md5(seed:key)`, first 8 hex as a bigint. */
+  private def epochHash(keyCol: String, seed: Long): Column =
+    expr(s"cast(conv(substring(md5(concat('$seed', ':', " +
+      s"cast($keyCol as string))), 1, 8), 16, 10) as bigint)")
+
+  /** The size audit [[epochShuffle]]'s scaladoc defers: per-shard key
+    * counts with the balance deviation a loader-capacity plan needs.
+    * `share_bp` = 10000·n_shard/(n/nShards) (integer: n_shard·nShards·10⁴
+    * div n — positive-only division, so truncation is engine-identical),
+    * `dev_bp` = share_bp − 10000 (subtraction AFTER the division — a
+    * signed integer division would floor/truncate differently across
+    * engines). Shards the hash never hit still get a row (share 0,
+    * dev −10000) via the shard spine — an empty shard is precisely what
+    * the audit exists to surface. One count aggregate over the corpus;
+    * the spine join is nShards rows. */
+  def epochShuffleAudit(df: DataFrame, keyCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val spark = df.sparkSession
+    val counts = df
+      .withColumn("shard", epochHash(keyCol, seed) % nShards)
+      .groupBy("shard").agg(count(lit(1)).as("n_keys"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    spark.range(nShards).select(col("id").as("shard"))
+      .join(counts, Seq("shard"), "left")
+      .na.fill(0L, Seq("n_keys"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_keys"),
+        expr(s"n_keys * $nShards * 10000 div __n").as("share_bp"),
+        (expr(s"n_keys * $nShards * 10000 div __n") - 10000).as("dev_bp"))
   }
 
   /** Stratified k-fold assignment — cross-validation folds that preserve

@@ -13061,6 +13061,31 @@ object ExtensionQueries {
              |    AS recall_bp,
              |  CAST(f1 AS BIGINT) AS f1_x1e6
              |FROM f QUALIFY row_number() OVER (ORDER BY f1 DESC, s) = 1""".stripMargin)
+    ),
+
+    // Shard-balance audit for the epoch shuffle (r17 continuation, J5):
+    // epochShuffle's scaladoc defers the size audit — this is it. Per
+    // shard of the seeded md5 deal: key count, share of the ideal
+    // n/nShards in bp (positive-only integer division, then the signed
+    // deviation by SUBTRACTION — a signed division would floor/truncate
+    // differently across engines), empty shards surfaced via the spine.
+    // The oracle replays the seeded hash, the mod deal and the spine.
+    QueryDef(
+      "q382_epoch_shard_audit",
+      (s, dir) =>
+        Sampling.epochShuffleAudit(t(s, dir, "documents"), "doc_id",
+            seed = 7L, nShards = 16)
+          .orderBy("shard"),
+      Some(
+        s"""WITH h AS (SELECT ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
+           |  FROM documents),
+           |c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_keys FROM h GROUP BY 1),
+           |tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+           |SELECT s.shard, CAST(coalesce(c.n_keys, 0) AS BIGINT) AS n_keys,
+           |  CAST(coalesce(c.n_keys, 0) * 16 * 10000 // tt.n AS BIGINT) AS share_bp,
+           |  CAST(coalesce(c.n_keys, 0) * 16 * 10000 // tt.n - 10000 AS BIGINT) AS dev_bp
+           |FROM range(16) s(shard) LEFT JOIN c ON s.shard = c.shard, tt
+           |ORDER BY s.shard""".stripMargin)
     )
   )
 

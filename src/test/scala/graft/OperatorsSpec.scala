@@ -2208,6 +2208,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(rn.getLong(0) == 4L && rn.getLong(6) == 1000000L)
   }
 
+  test("epoch shuffle audit: counts reconcile with the shuffle, empty shards surface (r17b)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (0L until 200L).toDF("k")
+    val audit = Sampling.epochShuffleAudit(df, "k", seed = 42L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit.length == 8 && audit.map(_._2).sum == 200L)
+    // the audit's counts are EXACTLY the shuffle's shard sizes
+    val fromShuffle = Sampling.epochShuffle(df, "k", 42L, 8)
+      .groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    audit.foreach { case (s, n, shareBp, devBp) =>
+      assert(fromShuffle.getOrElse(s, 0L) == n)
+      assert(devBp == shareBp - 10000L)
+    }
+    // multinomial balance at 25 keys/shard: every shard within ±50% of ideal
+    assert(audit.forall(a => a._4.abs <= 5000L), s"wildly unbalanced: $audit")
+    // more shards than keys: empty shards get (0, 0, -10000) rows
+    val tiny = Seq(1L, 2L).toDF("k")
+    val sparse = Sampling.epochShuffleAudit(tiny, "k", seed = 1L, nShards = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sparse.length == 64)
+    assert(sparse.count(_._1 == 0L) == 62)
+    assert(sparse.filter(_._1 == 0L).forall(t => t._2 == 0L && t._3 == -10000L))
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
