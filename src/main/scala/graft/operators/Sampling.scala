@@ -352,6 +352,68 @@ object Sampling {
     }
   }
 
+  /** TOKEN-budgeted mixture cut — [[materializeMixture]]'s sibling in the
+    * unit budgets are actually written in: per domain, keep the maximal
+    * (hash32(key), key)-ordered PREFIX whose token sum stays ≤ target_d
+    * ([[selectByTokenBudget]]'s no-backfill semantics, per domain; token
+    * counts are non-negative, so "running sum ≤ target" IS the maximal
+    * prefix). Deterministic on any engine/partitioning; under- and
+    * over-shoot surface as utilization against the target, never as a
+    * silently different sample.
+    *
+    * Same scale machinery as [[materializeMixture]]: per-(domain, bucket)
+    * token sums (collect bounded by |domains|·buckets), a driver walk
+    * finds each domain's boundary bucket and residual budget, full
+    * buckets pass as a filter, and only the boundary bucket (~1/buckets
+    * of one domain) pays a running-sum window. Bucket monotonicity in the
+    * hash makes this provably ≡ the global per-domain prefix — the form
+    * the oracle replays and the spec pins. */
+  def tokenBudgetMixture(df: DataFrame, domainCol: String, keyCol: String,
+      tokenCol: String, targets: Map[String, Long], buckets: Int = 1024): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0),
+      "targets must be non-negative")
+    require(buckets > 0 && (Two32 % buckets) == 0,
+      s"buckets must divide 2^32, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val dStr = col(domainCol).cast("string")
+    val widthL = (Two32 / buckets).toLong
+    val bucketC = expr(
+      s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint) div $widthL")
+    val base = df.filter(dStr.isin(targets.keys.toSeq: _*))
+      .withColumn("__b", bucketC)
+    val bStats = base.groupBy(dStr.as("__d"), col("__b"))
+      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cut: Map[String, (Long, Long)] = targets.map { case (d, tgt) =>
+      val bs = bStats.filter(_._1 == d).sortBy(_._2)
+      var cum = 0L
+      var boundary = Long.MaxValue // no boundary: the whole domain fits
+      var local = 0L
+      var i = 0
+      while (i < bs.length && boundary == Long.MaxValue) {
+        val (_, b, tk) = bs(i)
+        if (cum + tk > tgt) { boundary = b; local = tgt - cum } else cum += tk
+        i += 1
+      }
+      d -> (boundary, local)
+    }
+    val boundaryLit = cut.foldLeft(lit(Long.MinValue)) { case (acc, (d, (b, _))) =>
+      when(dStr === d, lit(b)).otherwise(acc)
+    }
+    val localLit = cut.foldLeft(lit(0L)) { case (acc, (d, (_, q))) =>
+      when(dStr === d, lit(q)).otherwise(acc)
+    }
+    val full = base.filter(col("__b") < boundaryLit)
+    val w = Window.partitionBy(dStr, col("__b"))
+      .orderBy(hash32Of(keyCol), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bnd = base.filter(col("__b") === boundaryLit)
+      .withColumn("__ct", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__ct") <= localLit)
+      .drop("__ct")
+    full.unionByName(bnd).drop("__b")
+  }
+
   /** Deterministic per-epoch training-order shuffle: every key lands in a
     * shard and a position decided ONLY by `md5(seed:key)` — any engine,
     * any partitioning, any cluster size reproduces the identical order,

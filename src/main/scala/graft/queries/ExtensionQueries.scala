@@ -13086,6 +13086,78 @@ object ExtensionQueries {
            |  CAST(coalesce(c.n_keys, 0) * 16 * 10000 // tt.n - 10000 AS BIGINT) AS dev_bp
            |FROM range(16) s(shard) LEFT JOIN c ON s.shard = c.shard, tt
            |ORDER BY s.shard""".stripMargin)
+    ),
+
+    // Token-budgeted mixture cut (r17 continuation, J3): the mixture in
+    // the unit budgets are written in. Temperature shares (√count, exact
+    // bp) over a half-the-corpus token budget give per-language token
+    // targets; each language keeps the maximal md5-ordered doc prefix
+    // whose token sum fits (no backfill), via the bucket machinery — so
+    // the sample is deterministic AND the shortfall/overshoot shows up as
+    // utilization, never as a silently different cut. The oracle replays
+    // token counts, √-shares, targets, the per-domain running-sum prefix
+    // and the per-domain rollup with id checksums.
+    QueryDef(
+      "q383_token_budget_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tok",
+            size(expr("filter(split(text, '\\\\s+'), x -> x != '')")).cast("long"))
+        val shares = Sampling.sqrtTemperatureShares(docs, "lang")
+          .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+        val totTok = docs.agg(sum(col("n_tok")).as("t")).collect()(0).getLong(0)
+        val budget = totTok / 2
+        val targets = shares.map { case (d, bp) => d -> budget * bp / 10000 }
+        val kept = Sampling.tokenBudgetMixture(docs, "lang", "doc_id", "n_tok", targets)
+        val summary = kept.groupBy(col("lang")).agg(
+          count(lit(1)).as("docs_kept"),
+          sum(col("n_tok")).as("tokens_kept"),
+          sum(col("doc_id")).as("sum_doc_id"))
+        val src = docs.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_src_docs"), sum(col("n_tok")).as("tokens_src"))
+        val tgtDf = targets.toSeq.toDF("lang", "target_tokens")
+        src.join(tgtDf, "lang").join(summary, Seq("lang"), "left")
+          .na.fill(0L, Seq("docs_kept", "tokens_kept", "sum_doc_id"))
+          .select(col("lang"), col("n_src_docs"), col("tokens_src"),
+            col("target_tokens"), col("docs_kept"), col("tokens_kept"),
+            expr("case when target_tokens > 0 then tokens_kept * 10000 div target_tokens else 0 end")
+              .as("util_bp"),
+            col("sum_doc_id"))
+          .orderBy("lang")
+      },
+      Some(
+        s"""WITH dt AS (SELECT doc_id, lang,
+           |    CAST(len($duckToks) AS BIGINT) AS n_tok FROM documents),
+           |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM dt
+           |  WHERE lang IS NOT NULL GROUP BY 1),
+           |w AS (SELECT lang, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS ws FROM c),
+           |wt AS (SELECT CAST(sum(ws) AS BIGINT) AS wtot FROM w),
+           |tk AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM dt),
+           |tg AS (SELECT w.lang,
+           |    (tk.tot // 2) * (w.ws * 10000 // wt.wtot) // 10000 AS target
+           |  FROM w, wt, tk),
+           |rk AS (SELECT dt.*, sum(n_tok) OVER (PARTITION BY lang
+           |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct FROM dt),
+           |kp AS (SELECT rk.* FROM rk JOIN tg ON tg.lang = rk.lang
+           |  WHERE rk.ct <= tg.target),
+           |sm AS (SELECT lang, CAST(count(*) AS BIGINT) AS docs_kept,
+           |    CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+           |    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id FROM kp GROUP BY 1),
+           |src AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_src_docs,
+           |    CAST(sum(n_tok) AS BIGINT) AS tokens_src FROM dt GROUP BY 1)
+           |SELECT src.lang, src.n_src_docs, src.tokens_src,
+           |  CAST(tg.target AS BIGINT) AS target_tokens,
+           |  CAST(coalesce(sm.docs_kept, 0) AS BIGINT) AS docs_kept,
+           |  CAST(coalesce(sm.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           |  CAST(CASE WHEN tg.target > 0
+           |    THEN coalesce(sm.tokens_kept, 0) * 10000 // tg.target
+           |    ELSE 0 END AS BIGINT) AS util_bp,
+           |  CAST(coalesce(sm.sum_doc_id, 0) AS BIGINT) AS sum_doc_id
+           |FROM src JOIN tg ON src.lang = tg.lang
+           |  LEFT JOIN sm ON src.lang = sm.lang
+           |ORDER BY src.lang""".stripMargin)
     )
   )
 

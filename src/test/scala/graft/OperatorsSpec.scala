@@ -2234,6 +2234,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(sparse.filter(_._1 == 0L).forall(t => t._2 == 0L && t._3 == -10000L))
   }
 
+  test("token budget mixture: bucketed prefix == global prefix, degenerate targets (r17b)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.operators.Sampling
+    val docs = (0L until 60L).map { i =>
+      (i, if (i % 3 == 0) "a" else "b", 5L + (i % 7))
+    }.toDF("doc_id", "lang", "n_tok")
+    val targets = Map("a" -> 50L, "b" -> 37L)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = keyset(Sampling.tokenBudgetMixture(docs, "lang", "doc_id", "n_tok", targets))
+    // reference: the global per-domain running-sum prefix
+    val ref = keyset(docs
+      .withColumn("__h", Sampling.hash32Of("doc_id"))
+      .withColumn("__ct", expr(
+        """sum(n_tok) over (partition by lang order by __h, doc_id
+          |rows between unbounded preceding and current row)""".stripMargin))
+      .filter((col("lang") === "a" && col("__ct") <= 50L) ||
+        (col("lang") === "b" && col("__ct") <= 37L)))
+    assert(got == ref && got.nonEmpty)
+    // any bucket count picks the same prefix; partitioning is irrelevant
+    val got4 = keyset(Sampling.tokenBudgetMixture(docs.repartition(7), "lang",
+      "doc_id", "n_tok", targets, buckets = 4))
+    assert(got4 == ref)
+    // the kept token sums never exceed the targets
+    val sums = Sampling.tokenBudgetMixture(docs, "lang", "doc_id", "n_tok", targets)
+      .groupBy("lang").sum("n_tok").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums("a") <= 50L && sums("b") <= 37L)
+    // zero target drops the domain; an over-sized target keeps all of it
+    val degenerate = Sampling.tokenBudgetMixture(docs, "lang", "doc_id", "n_tok",
+      Map("a" -> 0L, "b" -> 1000000L))
+    assert(degenerate.filter(col("lang") === "a").count() == 0L)
+    assert(degenerate.filter(col("lang") === "b").count() ==
+      docs.filter(col("lang") === "b").count())
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
