@@ -823,6 +823,53 @@ object Similarity {
     }))
   }
 
+  /** STALE-quantization drift certificate — the storage-layer staleness
+    * signal next to [[annMaintain]]'s index drift and [[pcaEpochDrift]]'s
+    * rotation: per-dim int8 params are fit once per epoch in practice, and
+    * a drifted corpus quantizes through ranges that no longer cover it
+    * (values clamp to the stale [min,max], silently flattening exactly the
+    * directions that moved). Per probe: top-k recall of search over
+    * STALE-params-quantized vectors vs FRESH-params-quantized vectors,
+    * both against the float truth on the CURRENT corpus, plus the global
+    * count of clamped values (outside the stale per-dim range) — the
+    * refit trigger. Fresh-vs-stale recall delta is the price of not
+    * refitting; `clamped_vals` says why. */
+  def staleQuantRecall(base: DataFrame, head: DataFrame, idCol: String,
+      vecCol: String, probeFilter: Column, k: Int): DataFrame = {
+    val pStale = int8DimParams(base, vecCol)
+    val pFresh = int8DimParams(head, vecCol)
+    val truth = knnJoin(head, idCol, vecCol, probeFilter, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    def overlapOf(params: Seq[(Double, Double)], name: String) = {
+      val eq = dequantizeInt8PerDim(
+          quantizeInt8PerDim(head, vecCol, params), "q8", "__dq", params)
+        .select(col(idCol), col("__dq"))
+      val top = knnJoin(eq, idCol, "__dq", probeFilter, k)
+        .select(col("probe_id"), col("neighbor_id"))
+      truth.join(top, Seq("probe_id", "neighbor_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as(name))
+    }
+    val minsL = typedLit(pStale.map(_._1))
+    val maxsL = typedLit(pStale.map(_._2))
+    val clampPerRow = aggregate(
+      transform(col(vecCol), (x, i) => {
+        val mn = element_at(minsL, (i + 1).cast("int"))
+        val mx = element_at(maxsL, (i + 1).cast("int"))
+        when(x.cast("double") < mn || x.cast("double") > mx, 1L).otherwise(0L)
+      }), lit(0L), (acc, v) => acc + v)
+    val clamped = head.agg(coalesce(sum(clampPerRow), lit(0L)).as("clamped_vals"))
+    head.filter(probeFilter).select(col(idCol).as("probe_id"))
+      .join(overlapOf(pStale, "overlap_stale"), Seq("probe_id"), "left")
+      .join(overlapOf(pFresh, "overlap_fresh"), Seq("probe_id"), "left")
+      .na.fill(0L, Seq("overlap_stale", "overlap_fresh"))
+      .crossJoin(broadcast(clamped))
+      .select(col("probe_id"), col("overlap_stale"),
+        expr(s"overlap_stale * 100 div $k").as("recall_stale_pct"),
+        col("overlap_fresh"),
+        expr(s"overlap_fresh * 100 div $k").as("recall_fresh_pct"),
+        col("clamped_vals"))
+  }
+
   // ---- binary (1-bit) quantization ---------------------------------------
 
   /** 64-bit binary sign code for each embedding, packed as TWO u32 halves

@@ -13158,6 +13158,94 @@ object ExtensionQueries {
            |FROM src JOIN tg ON src.lang = tg.lang
            |  LEFT JOIN sm ON src.lang = sm.lang
            |ORDER BY src.lang""".stripMargin)
+    ),
+
+    // Stale-quantization drift certificate (r17 continuation, J4): int8
+    // params are fit once per epoch in practice; when the corpus drifts
+    // (q380's planted +0.25 on dims 0..7 of even ids), values outside the
+    // stale per-dim range CLAMP — silently flattening exactly the
+    // directions that moved. Per probe: recall of search over
+    // stale-params-quantized vectors vs fresh-params-quantized vectors,
+    // both against float truth on the CURRENT corpus, plus the global
+    // clamped-value count (the refit trigger). The oracle replays the
+    // mutation, BOTH param fits, both quantize/dequantize chains, all
+    // three searches and the clamp census.
+    QueryDef(
+      "q384_stale_quant_drift",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val head = e.withColumn("embedding",
+          when(col("vec_id") % 2 === 0,
+            transform(col("embedding"), (x, i) =>
+              when(i < 8, (x.cast("double") + 0.25).cast("float")).otherwise(x)))
+            .otherwise(col("embedding")))
+        Similarity.staleQuantRecall(e, head, "vec_id", "embedding",
+            col("vec_id") % 50 === 0, k = 10)
+          .orderBy("probe_id")
+      },
+      Some {
+        def fold(n: String, a: String, b: String) =
+          s"list_reduce(list_transform(range($n), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)"
+        def cos(n: String, a: String, b: String) =
+          s"""CAST(${fold(n, a, b)}
+             | / (sqrt(${fold(n, a, a)}) * sqrt(${fold(n, b, b)})) AS DECIMAL(16,12))"""
+            .stripMargin
+        def dimParams(src: String, vc: String, out: String) =
+          s"""pp$out AS (SELECT i, CAST(min(x) AS DOUBLE) AS mn,
+             |    CAST(max(x) AS DOUBLE) - CAST(min(x) AS DOUBLE) AS rg,
+             |    CAST(max(x) AS DOUBLE) AS mx FROM (
+             |    SELECT unnest($vc) AS x, unnest(range(len($vc))) AS i
+             |    FROM $src WHERE $vc IS NOT NULL) GROUP BY i),
+             |ml$out AS (SELECT list(mn ORDER BY i) AS mins, list(rg ORDER BY i) AS rngs,
+             |    list(mx ORDER BY i) AS maxs FROM pp$out)""".stripMargin
+        def quant(params: String, out: String) =
+          s"""eq$out AS MATERIALIZED (SELECT vec_id, list_transform(range(len(emb)), i ->
+             |    CAST(CASE WHEN rngs[i+1] <= 0 THEN mins[i+1]
+             |         ELSE mins[i+1] + least(255.0, greatest(0.0,
+             |           floor((emb[i+1]::DOUBLE - mins[i+1]) * 255.0 / rngs[i+1])))
+             |           * rngs[i+1] / 255.0 END AS REAL)) AS embq
+             |  FROM hd, $params)""".stripMargin
+        def search(rel: String, vc: String, out: String) =
+          s"""pr$out AS (SELECT vec_id AS probe_id, $vc AS pv FROM $rel
+             |  WHERE vec_id % 50 = 0),
+             |rk$out AS (SELECT pr$out.probe_id, r.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY pr$out.probe_id ORDER BY
+             |      ${cos(s"len(r.$vc)", s"r.$vc", s"pr$out.pv")} DESC, r.vec_id) AS rk
+             |  FROM $rel r, pr$out WHERE r.vec_id <> pr$out.probe_id)""".stripMargin
+        s"""WITH hd AS MATERIALIZED (SELECT vec_id, list_transform(range(64), i ->
+           |    CASE WHEN vec_id % 2 = 0 AND i < 8
+           |      THEN CAST(embedding[i+1]::DOUBLE + 0.25 AS REAL)
+           |      ELSE embedding[i+1] END) AS emb
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |${dimParams("embeddings", "embedding", "S")},
+           |${dimParams("hd", "emb", "F")},
+           |${quant("mlS", "S")},
+           |${quant("mlF", "F")},
+           |${search("hd", "emb", "T")},
+           |${search("eqS", "embq", "S")},
+           |${search("eqF", "embq", "F")},
+           |ovS AS (SELECT t.probe_id, CAST(count(*) AS BIGINT) AS overlap_stale
+           |  FROM rkT t JOIN rkS s ON t.probe_id = s.probe_id
+           |    AND t.neighbor_id = s.neighbor_id
+           |  WHERE t.rk <= 10 AND s.rk <= 10 GROUP BY 1),
+           |ovF AS (SELECT t.probe_id, CAST(count(*) AS BIGINT) AS overlap_fresh
+           |  FROM rkT t JOIN rkF f ON t.probe_id = f.probe_id
+           |    AND t.neighbor_id = f.neighbor_id
+           |  WHERE t.rk <= 10 AND f.rk <= 10 GROUP BY 1),
+           |cl AS (SELECT CAST(coalesce(sum(CASE WHEN u.x::DOUBLE < mlS.mins[u.i+1]
+           |      OR u.x::DOUBLE > mlS.maxs[u.i+1] THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |    AS clamped_vals
+           |  FROM (SELECT unnest(emb) AS x, unnest(range(len(emb))) AS i FROM hd) u, mlS)
+           |SELECT prT.probe_id,
+           |  CAST(coalesce(ovS.overlap_stale, 0) AS BIGINT) AS overlap_stale,
+           |  CAST(coalesce(ovS.overlap_stale, 0) * 100 // 10 AS BIGINT) AS recall_stale_pct,
+           |  CAST(coalesce(ovF.overlap_fresh, 0) AS BIGINT) AS overlap_fresh,
+           |  CAST(coalesce(ovF.overlap_fresh, 0) * 100 // 10 AS BIGINT) AS recall_fresh_pct,
+           |  cl.clamped_vals
+           |FROM prT LEFT JOIN ovS ON prT.probe_id = ovS.probe_id
+           |  LEFT JOIN ovF ON prT.probe_id = ovF.probe_id, cl
+           |ORDER BY prT.probe_id""".stripMargin
+      }
     )
   )
 

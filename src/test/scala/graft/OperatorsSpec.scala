@@ -2271,6 +2271,38 @@ class OperatorsSpec extends SparkTestBase {
       docs.filter(col("lang") === "b").count())
   }
 
+  test("stale quantization drift: identical epochs tie, planted shift clamps and costs recall (r17b)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    def noise(i: Int, j: Int): Float = (((i * (j + 3)) % 5) - 2) * 0.125f
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == 0) i / 20.0f else noise(i, j)))
+    }.toDF("vec_id", "v")
+    val probeF = col("vec_id") % 5 === 0
+    // identical epochs: stale params ARE fresh params — columns must tie
+    val same = Similarity.staleQuantRecall(base, base, "vec_id", "v", probeF, k = 3)
+      .collect()
+    assert(same.length == 4)
+    same.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4))
+      assert(r.getLong(5) == 0L, "nothing clamps against its own params")
+    }
+    // planted drift: dim 0 of rows 0..9 shifts far beyond the stale range
+    val head = (0 until 20).map { i =>
+      val v = Array.tabulate(4)(j => if (j == 0) i / 20.0f else noise(i, j))
+      if (i < 10) v(0) += 5.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "v")
+    val drift = Similarity.staleQuantRecall(base, head, "vec_id", "v", probeF, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5)))
+    // exactly the 10 shifted dim-0 values clamp against the stale range
+    assert(drift.forall(_._4 == 10L), s"clamp census wrong: ${drift.toList}")
+    // clamping can only lose ground: fresh params never trail stale in total
+    assert(drift.map(_._3).sum >= drift.map(_._2).sum,
+      s"fresh must not trail stale overall: ${drift.toList}")
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
