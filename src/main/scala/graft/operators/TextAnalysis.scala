@@ -1718,4 +1718,31 @@ object TextAnalysis {
         sum(col("__y")).cast("long").as("n_pos"))
       .withColumn("pos_bp", expr("n_pos * 10000 div n_docs"))
   }
+
+  /** Per-document Unicode-SCRIPT character census — the multilingual
+    * pipeline's sibling to the language-ID model: lang-ID says what a doc
+    * claims to be, the script census says what its characters ARE (a
+    * 'zh'-labeled doc with zero CJK characters is a labeling bug this
+    * surfaces in one pass). Counts over the space-stripped text: Latin
+    * letters (ASCII + Latin-1, × and ÷ excluded), ASCII digits, CJK
+    * unified ideographs (U+4E00–9FFF), Cyrillic (U+0400–04FF), and the
+    * remainder (`other` — punctuation, symbols, every script not counted).
+    * Each count is a regexp-strip length delta — codegen'd per row, no
+    * shuffle, no explode. Counts are UTF-16 code units on the JVM and
+    * code points in SQL engines: identical for BMP text (all counted
+    * classes are BMP); supplementary-plane characters land in `other`
+    * with weight 2 here vs 1 there — the q368 BMP caveat applies. */
+  def scriptCensus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(cls: String) =
+      (length(col("__t")) - length(regexp_replace(col("__t"), cls, ""))).cast("long")
+    df.withColumn("__t", regexp_replace(col(textCol), "\\s", ""))
+      .select(col(idCol),
+        length(col("__t")).cast("long").as("n_chars"),
+        cnt("[A-Za-zÀ-ÖØ-öø-ÿ]").as("latin"),
+        cnt("[0-9]").as("digit"),
+        cnt("[一-鿿]").as("cjk"),
+        cnt("[Ѐ-ӿ]").as("cyrillic"))
+      .withColumn("other",
+        col("n_chars") - col("latin") - col("digit") - col("cjk") - col("cyrillic"))
+  }
 }

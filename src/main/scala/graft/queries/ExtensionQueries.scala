@@ -13246,6 +13246,62 @@ object ExtensionQueries {
            |  LEFT JOIN ovF ON prT.probe_id = ovF.probe_id, cl
            |ORDER BY prT.probe_id""".stripMargin
       }
+    ),
+
+    // Unicode-script census (r17 continuation, K3): lang-ID says what a
+    // doc CLAIMS to be; this says what its characters ARE (a 'zh'-labeled
+    // doc with zero CJK characters is a labeling bug). Over the q368
+    // multilingual literal fixture (the synthetic documents table is
+    // all-ASCII regardless of its lang labels — this fixture actually has
+    // CJK/Latin-1/punctuation mass), per source: space-stripped char
+    // totals, Latin/digit/CJK/Cyrillic/other counts by regexp-strip
+    // length deltas, and Latin/CJK shares in bp. Spark counts UTF-16
+    // units, DuckDB code points — identical on this BMP fixture (the
+    // documented caveat). The oracle recomputes every count with RE2
+    // classes over the same literals.
+    QueryDef(
+      "q385_script_census",
+      (s, dir) => {
+        import s.implicits._
+        val docs = q368Fixtures.toDF("doc_id", "source", "text")
+        TextAnalysis.scriptCensus(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source")).agg(
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("latin")).as("latin"),
+            sum(col("digit")).as("digit"),
+            sum(col("cjk")).as("cjk"),
+            sum(col("cyrillic")).as("cyrillic"),
+            sum(col("other")).as("other"))
+          .withColumn("latin_bp", expr("latin * 10000 div n_chars"))
+          .withColumn("cjk_bp", expr("cjk * 10000 div n_chars"))
+          .orderBy("source")
+      },
+      Some {
+        val rows = q368Fixtures.map { case (id, src, text) =>
+          s"($id, '$src', '${text.replace("'", "''")}')"
+        }.mkString(",\n  ")
+        def cnt(cls: String) =
+          s"length(t) - length(regexp_replace(t, '$cls', '', 'g'))"
+        s"""WITH d(doc_id, source, text) AS (VALUES
+           |  $rows),
+           |s AS (SELECT doc_id, source, regexp_replace(text, '\\s', '', 'g') AS t FROM d),
+           |c AS (SELECT source, CAST(length(t) AS BIGINT) AS n_chars,
+           |    CAST(${cnt("[A-Za-zÀ-ÖØ-öø-ÿ]")} AS BIGINT) AS latin,
+           |    CAST(${cnt("[0-9]")} AS BIGINT) AS digit,
+           |    CAST(${cnt("[\\x{4e00}-\\x{9fff}]")} AS BIGINT) AS cjk,
+           |    CAST(${cnt("[\\x{0400}-\\x{04ff}]")} AS BIGINT) AS cyrillic
+           |  FROM s),
+           |g AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |    CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(digit) AS BIGINT) AS digit,
+           |    CAST(sum(cjk) AS BIGINT) AS cjk, CAST(sum(cyrillic) AS BIGINT) AS cyrillic
+           |  FROM c GROUP BY 1)
+           |SELECT source, n_chars, latin, digit, cjk, cyrillic,
+           |  CAST(n_chars - latin - digit - cjk - cyrillic AS BIGINT) AS other,
+           |  CAST(latin * 10000 // n_chars AS BIGINT) AS latin_bp,
+           |  CAST(cjk * 10000 // n_chars AS BIGINT) AS cjk_bp
+           |FROM g ORDER BY source""".stripMargin
+      }
     )
   )
 

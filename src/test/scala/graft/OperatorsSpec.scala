@@ -2303,6 +2303,30 @@ class OperatorsSpec extends SparkTestBase {
       s"fresh must not trail stale overall: ${drift.toList}")
   }
 
+  test("script census: hand-checked mixed-script counts, empty doc, labeling-bug surfacing (r17b)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "Привет мир 123 abc 数据"),
+      (2L, ""),
+      (3L, "¡señor! — naïve×café")).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptCensus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // Приветмир=9 cyr, 123=3 digit, abc=3 latin, 数据=2 cjk, other=0
+    assert(got(1L) == ((17L, 3L, 3L, 2L, 9L, 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    // señor/naïve/café letters are Latin-1 letters; ¡ ! — × are other
+    // (× U+00D7 is deliberately outside the letter ranges)
+    assert(got(3L)._2 == 14L && got(3L)._6 == 4L, s"got ${got(3L)}")
+    // the audit this op exists for: the synthetic docs table is all-ASCII,
+    // so its 'zh' label carries ZERO CJK characters — a labeling bug the
+    // census surfaces in one pass
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val zh = TextAnalysis.scriptCensus(real.filter($"lang" === "zh"), "doc_id", "text")
+    assert(zh.agg(org.apache.spark.sql.functions.sum("cjk")).head().getLong(0) == 0L)
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
