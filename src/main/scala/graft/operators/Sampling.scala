@@ -180,27 +180,46 @@ object Sampling {
     require(weights.nonEmpty && weights.values.forall(_ >= 0) && weights.values.sum > 0,
       "weights must be non-negative with a positive sum")
     require(totalBudget > 0, "totalBudget must be positive")
-    val wSum = BigInt(weights.values.sum)
-    // compare domains as STRINGS on both sides: an int-coded domain column
-    // would otherwise ClassCastException on getString; casting the group key
-    // and the filter comparison identically keeps weight lookup consistent.
-    // NULL domains are excluded from the counts — they can never match a
-    // weight (null comparison) so they always drop, and folding them into
-    // any real domain's count would deflate that domain's keep-rate.
     val domainStr = col(domainCol).cast("string")
-    // unweighted domains always drop, so they never need counting: the isin
-    // filter bounds the collect at |weights| rows no matter how many
-    // distinct values the column actually has
+    val threshold = mixtureThresholds(df, domainCol, weights, totalBudget)
+      .foldLeft(lit(0L)) { case (acc, (d, t)) =>
+        when(domainStr === d, lit(t)).otherwise(acc)
+      }
+    df.filter(hash32Of(keyCol) < threshold)
+  }
+
+  /** The frozen per-epoch threshold table behind [[rebalanceToMixture]],
+    * exposed so a STREAM can apply the same mixture (compute thresholds
+    * once per corpus epoch, broadcast the map to the firehose — the
+    * frozen-model pattern DSIR uses): domain → keep iff
+    * `hash32(key) < threshold`, `threshold = ⌊budget·w_d·2³²/(Σw·n_d)⌋`
+    * in BigInt on the driver (exact — no overflow for any Long budget, no
+    * basis-point grid to floor a small-but-positive rate to zero).
+    *
+    * Domains are compared as STRINGS on both sides: an int-coded domain
+    * column would otherwise ClassCastException on getString; casting the
+    * group key and the gate comparison identically keeps lookup
+    * consistent. NULL domains are excluded from the counts — they can
+    * never match a weight so they always drop, and folding them into a
+    * real domain's count would deflate its keep-rate. Unweighted domains
+    * always drop and never need counting: the isin filter bounds the
+    * collect at |weights| rows regardless of the column's cardinality.
+    * Empty weighted domains get no entry (nothing to keep). */
+  def mixtureThresholds(df: DataFrame, domainCol: String,
+      weights: Map[String, Int], totalBudget: Long): Map[String, Long] = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "weights must be non-negative with a positive sum")
+    require(totalBudget > 0, "totalBudget must be positive")
+    val wSum = BigInt(weights.values.sum)
+    val domainStr = col(domainCol).cast("string")
     val counts = df.filter(domainStr.isin(weights.keys.toSeq: _*))
       .groupBy(domainStr.as("__d")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val threshold = weights.foldLeft(lit(0L)) { case (acc, (d, w)) =>
-      val n = counts.getOrElse(d, 0L)
-      val t = if (n == 0) BigInt(0)
-        else (BigInt(totalBudget) * w * Two32 / (wSum * n)).min(Two32)
-      when(domainStr === d, lit(t.toLong)).otherwise(acc)
+    weights.flatMap { case (d, w) =>
+      counts.get(d).filter(_ > 0).map { n =>
+        d -> (BigInt(totalBudget) * w * Two32 / (wSum * n)).min(Two32).toLong
+      }
     }
-    df.filter(hash32Of(keyCol) < threshold)
   }
 
   /** Largest-remainder (Hamilton) apportionment of an integer sample

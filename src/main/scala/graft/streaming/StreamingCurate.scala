@@ -161,4 +161,25 @@ object StreamingCurate {
       .withColumn("content_key", md5(col(payloadCol)))
     StreamingDedup.dedupExact(routed, tsCol, lateness, Seq("content_key"))
   }
+
+  /** Streaming mixture gate — [[graft.operators.Sampling.rebalanceToMixture]]
+    * on the firehose, via the frozen-model pattern the DSIR gate uses:
+    * compute [[graft.operators.Sampling.mixtureThresholds]] ONCE per corpus
+    * epoch (the batch side's exact BigInt threshold algebra), ship the
+    * tiny map here, and keep a document iff `hash32(key) < threshold` for
+    * its domain. A key's verdict is a pure function of (key, thresholds) —
+    * the same document admitted by the batch rebalance is admitted here,
+    * which the spec pins row-for-row. Stateless (a broadcast when-chain
+    * fused into the stream's map stage): no watermark, no state store,
+    * and domains without a threshold entry drop — including NULL domains,
+    * which can never equal a key. */
+  def mixtureGate(docs: DataFrame, keyCol: String, domainCol: String,
+      thresholds: Map[String, Long]): DataFrame = {
+    require(thresholds.nonEmpty, "empty threshold table gates everything out")
+    val domainStr = col(domainCol).cast("string")
+    val t = thresholds.foldLeft(lit(0L)) { case (acc, (d, th)) =>
+      when(domainStr === d, lit(th)).otherwise(acc)
+    }
+    docs.filter(graft.operators.Sampling.hash32Of(keyCol) < t)
+  }
 }

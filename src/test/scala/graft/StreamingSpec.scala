@@ -362,6 +362,33 @@ class StreamingSpec extends SparkTestBase {
     assert(!got.exists(t => t._1 >= 2000L && t._1 < 3000L))
   }
 
+  test("streaming mixture gate: frozen thresholds reproduce the batch rebalance row-for-row (r17b)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Sampling
+    import graft.streaming.StreamingCurate
+    val rows: Seq[(Long, String)] =
+      (0L until 120L).map(i => (i, if (i % 4 == 0L) "web" else "books")) ++
+        (200L until 210L).map(i => (i, "junk")) // unweighted -> must drop
+    val batch = rows.toDF("doc_id", "domain")
+    val weights = Map("web" -> 3, "books" -> 1)
+    val thresholds = Sampling.mixtureThresholds(batch, "domain", weights, totalBudget = 40L)
+    val expected = Sampling.rebalanceToMixture(batch, "domain", "doc_id", weights, 40L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expected.nonEmpty && !expected.exists(_._2 == "junk"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows.take(60): _*)
+    mem.addData(rows.drop(60): _*)
+    val q = StreamingCurate.mixtureGate(
+        mem.toDF().toDF("doc_id", "domain"), "doc_id", "domain", thresholds)
+      .writeStream.format("memory").queryName("mixture_gate_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("mixture_gate_test")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected, s"stream ${got.size} vs batch ${expected.size}")
+  }
+
   test("sessionization closes sessions on event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
