@@ -117,6 +117,11 @@ object Main {
       nprobe: Int = 4,
       // datasheet subcommand
       sourceCol: String = "source",
+      // mixture-plan subcommand (r17b): doc/token budgets and the domain
+      // column the mixture is planned over
+      domainCol: String = "lang",
+      budgetDocs: Long = 0L,
+      budgetTokens: Long = 0L,
       // advise-layout subcommand
       candidates: Seq[String] = Nil,
       valueCol: Option[String] = None,
@@ -134,7 +139,7 @@ object Main {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain" | "mixture-plan") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -235,6 +240,9 @@ object Main {
         case "--work-dir" => a = a.copy(workDir = Some(need("--work-dir")))
         case "--resume" => a = a.copy(resume = true)
         case "--source-col" => a = a.copy(sourceCol = need("--source-col"))
+        case "--domain-col" => a = a.copy(domainCol = need("--domain-col"))
+        case "--budget-docs" => a = a.copy(budgetDocs = need("--budget-docs").toLong)
+        case "--budget-tokens" => a = a.copy(budgetTokens = need("--budget-tokens").toLong)
         case "--candidates" =>
           a = a.copy(candidates =
             need("--candidates").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -273,6 +281,13 @@ object Main {
       }
       i += 1
     }
+    finishParse(cmd, a, positional)
+  }
+
+  /** Subcommand-specific positional/combination validation — split out of
+    * [[parseArgs]], whose flag match alone sits near the JVM's 64KB method
+    * bytecode limit (adding the mixture-plan flags pushed it over). */
+  private def finishParse(cmd: String, a: Args, positional: Vector[String]): Args = {
     // flag-combination validation: by-column attribution pairs rows 1:1,
     // which is exactly what the salted digest path avoids — rejecting the
     // combination loudly beats silently dropping the section the user
@@ -312,6 +327,11 @@ object Main {
         require(a.minChars >= 0 && a.minWords >= 0 && a.evalMod >= 2,
           "min-chars/min-words must be >= 0 and eval-mod >= 2")
         a.copy(basePath = positional.head, model = "release-manifest")
+      case "mixture-plan" =>
+        require(positional.nonEmpty, "mixture-plan requires a <docsPath> argument")
+        require(a.budgetDocs > 0 || a.budgetTokens > 0,
+          "mixture-plan needs --budget-docs and/or --budget-tokens")
+        a.copy(basePath = positional.head, model = "mixture-plan")
       case "ann-maintain" =>
         require(positional.length >= 3,
           "ann-maintain requires <baseVecs> <batchVecs> <outDir>")
@@ -961,6 +981,54 @@ object Main {
       s""""recall_after_x100": ${r.getAs[Long]("recall_after_x100")}, "out": ${jsonStr(a.outPath)}}""")
   }
 
+  /** `mixture-plan <docsPath> [--domain-col c --text-col c --budget-docs N
+    * --budget-tokens N]` — the plan the mixture family ACTS on, from the
+    * shell (r17b): per domain, raw and √-temperature shares in exact bp,
+    * the largest-remainder doc allocation at `--budget-docs` with its
+    * copies/remainder split (what [[graft.operators.Sampling.materializeMixture]]
+    * would emit), and the token target at `--budget-tokens` (what
+    * [[graft.operators.Sampling.tokenBudgetMixture]] would cut to) next to
+    * the domain's actual token mass. Pure metadata: two bounded
+    * aggregates (domain cardinality contract), one JSON line — run it
+    * BEFORE the materialization to review the mixture a budget implies. */
+  def runMixturePlan(spark: SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+    val df = spark.read.parquet(a.basePath)
+    require(df.columns.contains(a.domainCol),
+      s"mixture-plan needs '${a.domainCol}' column (saw ${df.columns.mkString(", ")})")
+    val wantTokens = a.budgetTokens > 0
+    require(!wantTokens || df.columns.contains(a.textCol),
+      s"--budget-tokens needs '${a.textCol}' column (saw ${df.columns.mkString(", ")})")
+    val shares = Sampling.sqrtTemperatureShares(df, a.domainCol)
+      .orderBy(a.domainCol).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    val docAlloc =
+      if (a.budgetDocs <= 0) Map.empty[String, Long]
+      else Sampling.largestRemainderAllocation(df, a.domainCol, a.budgetDocs)
+        .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(4)).toMap
+    val tokSrc =
+      if (!wantTokens) Map.empty[String, Long]
+      else df.filter(col(a.domainCol).isNotNull)
+        .groupBy(col(a.domainCol).cast("string").as("__d"))
+        .agg(sum(size(expr(
+          s"filter(split(${a.textCol}, '\\\\s+'), x -> x != '')")).cast("long")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = shares.map { case (d, cnt, shareBp, tempBp, boostBp) =>
+      val doc = docAlloc.get(d).map { t =>
+        s""", "doc_target": $t, "full_copies": ${t / cnt}, "remainder": ${t % cnt}"""
+      }.getOrElse("")
+      val tok =
+        if (!wantTokens) ""
+        else s""", "tokens_src": ${tokSrc.getOrElse(d, 0L)}, "token_target": ${a.budgetTokens * tempBp / 10000}"""
+      s"""{"domain": ${jsonStr(d)}, "n_docs": $cnt, "share_bp": $shareBp, """ +
+        s""""temp_share_bp": $tempBp, "boost_bp": $boostBp$doc$tok}"""
+    }
+    println(s"""{"n_domains": ${shares.length}, "budget_docs": ${a.budgetDocs}, """ +
+      s""""budget_tokens": ${a.budgetTokens}, "domains": ${rows.mkString("[", ", ", "]")}}""")
+  }
+
   def runDatasheet(spark: SparkSession, a: Args): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, TextAnalysis}
@@ -1220,7 +1288,9 @@ object Main {
       |            [--near-dup-pct N] [--min-words N]
       |       advise-layout <tablePath> --candidates c1[,c2,...]
       |            [--value-col COL] [--bucket-rows N]
-      |       compact-plan <tablePath> [--small-threshold BYTES] [--target-size BYTES]""".stripMargin
+      |       compact-plan <tablePath> [--small-threshold BYTES] [--target-size BYTES]
+      |       mixture-plan <docsPath> [--domain-col COL] [--text-col COL]
+      |            [--budget-docs N] [--budget-tokens N]""".stripMargin
 
   /** Map a profiles.yml target onto Spark session settings. The reference
     * uses conn_info to pick its warehouse connection (cli.py:110-117); this
@@ -1287,6 +1357,7 @@ object Main {
       if (a.command == "release-manifest") { runReleaseManifest(spark, a); return }
       if (a.command == "datasheet") { runDatasheet(spark, a); return }
       if (a.command == "ann-maintain") { runAnnMaintain(spark, a); return }
+      if (a.command == "mixture-plan") { runMixturePlan(spark, a); return }
       val jdbcConn = conn.filter(JdbcSource.isJdbc)
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a, jdbcConn)

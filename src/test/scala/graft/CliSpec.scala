@@ -364,6 +364,51 @@ class CliSpec extends SparkTestBase {
     assert(line5.contains(""""resumed_stages": []"""), line5)
   }
 
+  test("mixture-plan subcommand: shares, Hamilton doc targets, token targets as one JSON line (r17b)") {
+    import spark.implicits._
+    // parse surface: a budget is mandatory, inPath is mandatory
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("mixture-plan", "/in")))
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("mixture-plan", "--budget-docs", "10")))
+    val ap = Main.parseArgs(Seq("mixture-plan", "/in", "--domain-col", "lang",
+      "--budget-docs", "20", "--budget-tokens", "100"))
+    assert(ap.command == "mixture-plan" && ap.domainCol == "lang" &&
+      ap.budgetDocs == 20L && ap.budgetTokens == 100L)
+    // 9/4/1 docs of 3 tokens each: every golden below is hand-derived
+    val dir = Files.createTempDirectory("graft_mixplan_")
+    val in = dir.resolve("docs").toString
+    ((0 until 9).map(i => (i.toLong, "a", "t1 t2 t3")) ++
+      (9 until 13).map(i => (i.toLong, "b", "t1 t2 t3")) ++
+      Seq((13L, "c", "t1 t2 t3")))
+      .toDF("doc_id", "lang", "text").write.parquet(in)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.runMixturePlan(spark, Main.parseArgs(Seq("mixture-plan", in,
+        "--domain-col", "lang", "--budget-docs", "20", "--budget-tokens", "100")))
+    }
+    val line = buf.toString("UTF-8").trim
+    assert(line.startsWith("""{"n_domains": 3, "budget_docs": 20, "budget_tokens": 100"""), line)
+    // a: 9 docs, sqrt weight 3/6 -> temp 5000 bp (raw 6428, boost -1428);
+    // Hamilton at 20: base 12 rem-rank wins +1 -> 13 = 1 full copy + 4
+    assert(line.contains("""{"domain": "a", "n_docs": 9, "share_bp": 6428, """ +
+      """"temp_share_bp": 5000, "boost_bp": -1428, "doc_target": 13, """ +
+      """"full_copies": 1, "remainder": 4, "tokens_src": 27, "token_target": 50}"""), line)
+    assert(line.contains("""{"domain": "b", "n_docs": 4, "share_bp": 2857, """ +
+      """"temp_share_bp": 3333, "boost_bp": 476, "doc_target": 6, """ +
+      """"full_copies": 1, "remainder": 2, "tokens_src": 12, "token_target": 33}"""), line)
+    assert(line.contains("""{"domain": "c", "n_docs": 1, "share_bp": 714, """ +
+      """"temp_share_bp": 1666, "boost_bp": 952, "doc_target": 1, """ +
+      """"full_copies": 1, "remainder": 0, "tokens_src": 3, "token_target": 16}"""), line)
+    // docs-only plan omits the token fields entirely
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2, true, "UTF-8")) {
+      Main.runMixturePlan(spark, Main.parseArgs(Seq("mixture-plan", in,
+        "--domain-col", "lang", "--budget-docs", "20")))
+    }
+    val line2 = buf2.toString("UTF-8").trim
+    assert(!line2.contains("token_target") && line2.contains(""""doc_target": 13"""), line2)
+  }
+
   test("ann-maintain subcommand: drift check, partial refit, published index + certificate JSON (r17)") {
     import spark.implicits._
     // parse surface
