@@ -122,6 +122,11 @@ object Main {
       domainCol: String = "lang",
       budgetDocs: Long = 0L,
       budgetTokens: Long = 0L,
+      // embedding-datasheet subcommand (r17b)
+      probeMod: Long = 50L,
+      minNormX100: Int = 50,
+      maxNormX100: Int = 200,
+      baseVecs: Option[String] = None,
       // advise-layout subcommand
       candidates: Seq[String] = Nil,
       valueCol: Option[String] = None,
@@ -139,7 +144,7 @@ object Main {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain" | "mixture-plan") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain" | "mixture-plan" | "embedding-datasheet") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -206,16 +211,38 @@ object Main {
         case "--min-words" => a = a.copy(minWords = need("--min-words").toInt)
         case "--shards" => a = a.copy(shards = need("--shards").toInt)
         case "--jsonl" => a = a.copy(jsonlIn = true)
-        case "--near-dup-mode" =>
+        case "--format" =>
+          val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
+          require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
+          a = a.copy(format = f)
+        case flag if flag.startsWith("-") =>
+          a = extFlag(a, flag, need)
+            .getOrElse(throw new IllegalArgumentException(s"unknown flag '$flag'"))
+        case pos => positional :+= pos
+      }
+      i += 1
+    }
+    finishParse(cmd, a, positional)
+  }
+
+
+  /** Extension-subcommand flags (curate/datasheet/ann-maintain/mixture/
+    * embedding-datasheet…), split out of [[parseArgs]]' flag match — the
+    * single match sat past the JVM's 64KB method bytecode limit. Returns
+    * None for flags it does not own (the caller then rejects). */
+  private def extFlag(a: Args, key: String, need: String => String): Option[Args] = {
+    var na = a
+    key match {
+      case "--near-dup-mode" =>
           val m = need("--near-dup-mode")
           require(Set("off", "auto", "exact", "lsh")(m),
             s"--near-dup-mode must be off|auto|exact|lsh, got '$m'")
-          a = a.copy(nearDupMode = m)
-        case "--near-dup-pct" =>
+          na = na.copy(nearDupMode = m)
+      case "--near-dup-pct" =>
           val p = need("--near-dup-pct").toInt
           require(p >= 1 && p <= 100, "--near-dup-pct must be 1..100")
-          a = a.copy(nearDupPct = p)
-        case "--dsir-targets" =>
+          na = na.copy(nearDupPct = p)
+      case "--dsir-targets" =>
           val pairs = need("--dsir-targets").split(",").map(_.trim).filter(_.nonEmpty)
             .map { kv =>
               val eq = kv.indexOf('=')
@@ -231,57 +258,55 @@ object Main {
               n -> p
             }.toSeq
           require(pairs.map(_._1).distinct.size == pairs.size, "dsir domain names must be unique")
-          a = a.copy(dsirTargets = pairs)
-        case "--dsir-mix" =>
+          na = na.copy(dsirTargets = pairs)
+      case "--dsir-mix" =>
           val m = need("--dsir-mix").split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
           require(m.forall(v => v >= 0 && v <= 1000000L) && m.sum >= 1,
             "--dsir-mix weights must be x1000 values in 0..1e6 with a positive sum")
-          a = a.copy(dsirMix = m)
-        case "--work-dir" => a = a.copy(workDir = Some(need("--work-dir")))
-        case "--resume" => a = a.copy(resume = true)
-        case "--source-col" => a = a.copy(sourceCol = need("--source-col"))
-        case "--domain-col" => a = a.copy(domainCol = need("--domain-col"))
-        case "--budget-docs" => a = a.copy(budgetDocs = need("--budget-docs").toLong)
-        case "--budget-tokens" => a = a.copy(budgetTokens = need("--budget-tokens").toLong)
-        case "--candidates" =>
-          a = a.copy(candidates =
+          na = na.copy(dsirMix = m)
+      case "--work-dir" => na = na.copy(workDir = Some(need("--work-dir")))
+      case "--resume" => na = na.copy(resume = true)
+      case "--source-col" => na = na.copy(sourceCol = need("--source-col"))
+      case "--domain-col" => na = na.copy(domainCol = need("--domain-col"))
+      case "--budget-docs" => na = na.copy(budgetDocs = need("--budget-docs").toLong)
+      case "--budget-tokens" => na = na.copy(budgetTokens = need("--budget-tokens").toLong)
+      case "--probe-mod" =>
+          na = na.copy(probeMod = need("--probe-mod").toLong)
+          require(na.probeMod >= 1, "--probe-mod must be positive")
+      case "--min-norm-x100" => na = na.copy(minNormX100 = need("--min-norm-x100").toInt)
+      case "--max-norm-x100" => na = na.copy(maxNormX100 = need("--max-norm-x100").toInt)
+      case "--base-vecs" => na = na.copy(baseVecs = Some(need("--base-vecs")))
+      case "--candidates" =>
+          na = na.copy(candidates =
             need("--candidates").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        case "--value-col" => a = a.copy(valueCol = Some(need("--value-col")))
-        case "--bucket-rows" => a = a.copy(bucketRows = need("--bucket-rows").toInt)
-        case "--small-threshold" => a = a.copy(smallThreshold = need("--small-threshold").toLong)
-        case "--target-size" => a = a.copy(targetSize = need("--target-size").toLong)
-        case "--id-col" => a = a.copy(idCol = need("--id-col"))
-        case "--text-col" => a = a.copy(textCol = need("--text-col"))
-        case "--vec-col" => a = a.copy(vecCol = need("--vec-col"))
-        case "--nlist" =>
-          a = a.copy(nlist = need("--nlist").toInt)
-          require(a.nlist >= 1, "--nlist must be positive")
-        case "--kmeans-iters" =>
-          a = a.copy(kmeansIters = need("--kmeans-iters").toInt)
-          require(a.kmeansIters >= 0, "--kmeans-iters must be >= 0")
-        case "--drift-x1m" =>
-          a = a.copy(driftX1m = need("--drift-x1m").toLong)
-          require(a.driftX1m >= 0L, "--drift-x1m must be >= 0")
-        case "--probe-id" => a = a.copy(probeId = need("--probe-id").toLong)
-        case "--k" =>
-          a = a.copy(annK = need("--k").toInt)
-          require(a.annK >= 1, "--k must be positive")
-        case "--nprobe" =>
-          a = a.copy(nprobe = need("--nprobe").toInt)
-          require(a.nprobe >= 1, "--nprobe must be positive")
-        case "--min-chars" => a = a.copy(minChars = need("--min-chars").toInt)
-        case "--eval-mod" => a = a.copy(evalMod = need("--eval-mod").toInt)
-        case "--format" =>
-          val f = need("--format").toLowerCase.trim // reference normalizes (cli.py:102-105)
-          require(Set("rich", "json", "markdown")(f), s"unsupported format '$f' (rich|json|markdown)")
-          a = a.copy(format = f)
-        case flag if flag.startsWith("-") =>
-          throw new IllegalArgumentException(s"unknown flag '$flag'")
-        case pos => positional :+= pos
-      }
-      i += 1
+      case "--value-col" => na = na.copy(valueCol = Some(need("--value-col")))
+      case "--bucket-rows" => na = na.copy(bucketRows = need("--bucket-rows").toInt)
+      case "--small-threshold" => na = na.copy(smallThreshold = need("--small-threshold").toLong)
+      case "--target-size" => na = na.copy(targetSize = need("--target-size").toLong)
+      case "--id-col" => na = na.copy(idCol = need("--id-col"))
+      case "--text-col" => na = na.copy(textCol = need("--text-col"))
+      case "--vec-col" => na = na.copy(vecCol = need("--vec-col"))
+      case "--nlist" =>
+          na = na.copy(nlist = need("--nlist").toInt)
+          require(na.nlist >= 1, "--nlist must be positive")
+      case "--kmeans-iters" =>
+          na = na.copy(kmeansIters = need("--kmeans-iters").toInt)
+          require(na.kmeansIters >= 0, "--kmeans-iters must be >= 0")
+      case "--drift-x1m" =>
+          na = na.copy(driftX1m = need("--drift-x1m").toLong)
+          require(na.driftX1m >= 0L, "--drift-x1m must be >= 0")
+      case "--probe-id" => na = na.copy(probeId = need("--probe-id").toLong)
+      case "--k" =>
+          na = na.copy(annK = need("--k").toInt)
+          require(na.annK >= 1, "--k must be positive")
+      case "--nprobe" =>
+          na = na.copy(nprobe = need("--nprobe").toInt)
+          require(na.nprobe >= 1, "--nprobe must be positive")
+      case "--min-chars" => na = na.copy(minChars = need("--min-chars").toInt)
+      case "--eval-mod" => na = na.copy(evalMod = need("--eval-mod").toInt)
+      case _ => return None
     }
-    finishParse(cmd, a, positional)
+    Some(na)
   }
 
   /** Subcommand-specific positional/combination validation — split out of
@@ -332,6 +357,9 @@ object Main {
         require(a.budgetDocs > 0 || a.budgetTokens > 0,
           "mixture-plan needs --budget-docs and/or --budget-tokens")
         a.copy(basePath = positional.head, model = "mixture-plan")
+      case "embedding-datasheet" =>
+        require(positional.nonEmpty, "embedding-datasheet requires a <vecsPath> argument")
+        a.copy(basePath = positional.head, model = "embedding-datasheet")
       case "ann-maintain" =>
         require(positional.length >= 3,
           "ann-maintain requires <baseVecs> <batchVecs> <outDir>")
@@ -1029,6 +1057,90 @@ object Main {
       s""""budget_tokens": ${a.budgetTokens}, "domains": ${rows.mkString("[", ", ", "]")}}""")
   }
 
+  /** `embedding-datasheet <vecsPath> [--id-col c --vec-col c --probe-mod N
+    * --min-norm-x100 N --max-norm-x100 N --base-vecs PATH]` — the r16
+    * datasheet treatment for the OTHER modality (r17b): the embedding-table
+    * intake review as ONE JSON line. Sections:
+    *   - shape + norm audit: n_vecs, dims (uniformity enforced — a ragged
+    *     table poisons every cosine downstream), zero-norm count and
+    *     out-of-band norm count ([[graft.operators.Similarity.withNormAudit]]);
+    *   - `pc1`: the integer-exact power-iteration certificate's final row
+    *     (q379) — variance-explained bp, top dimension, sign fingerprint;
+    *   - `int8_recall` / `binary_recall`: the storage-tier certificates
+    *     (q370 / q376) summarized as exact mean/min recall over the
+    *     `--probe-mod` probe set — the brute-force truth side makes these
+    *     the expensive rows; on a 100 TB table run them on a sample,
+    *     exactly like the datasheet's lsh_recall leg prescribes;
+    *   - with `--base-vecs`: the drift triptych vs that epoch — q380's
+    *     cos²×10⁴ rotation, q384's stale-vs-fresh quantized recall means
+    *     and clamp census.
+    * Every collect is bounded: probes, dims, one certificate row each. */
+  def runEmbeddingDatasheet(spark: SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val df = spark.read.parquet(a.basePath)
+    require(df.columns.contains(a.idCol) && df.columns.contains(a.vecCol),
+      s"embedding-datasheet needs '${a.idCol}' and '${a.vecCol}' columns (saw ${df.columns.mkString(", ")})")
+    val nVecs = df.count()
+    require(nVecs > 0, "embedding-datasheet: empty table")
+    val dimsRow = df.agg(min(size(col(a.vecCol))).as("mn"),
+      max(size(col(a.vecCol))).as("mx")).head()
+    require(dimsRow.getInt(0) == dimsRow.getInt(1),
+      s"ragged embedding dims ${dimsRow.getInt(0)}..${dimsRow.getInt(1)} — fix upstream before auditing")
+    val dims = dimsRow.getInt(0)
+    val audited = Similarity.withNormAudit(df, a.vecCol, a.minNormX100, a.maxNormX100)
+      .select(col("norm_sq"), col("is_outlier")).localCheckpoint()
+    val zeroNorm = audited.filter(col("norm_sq") === 0.0).count()
+    val outliers = audited.filter(col("is_outlier") === 1).count()
+    val pc = Similarity.pcaPowerCertificate(df, a.vecCol, dims, iters = 8)
+      .orderBy("iter").collect().last
+    val probeF = col(a.idCol) % a.probeMod === 0
+    val nProbes = df.filter(probeF).count()
+    require(nProbes > 0, s"--probe-mod ${a.probeMod} selects no probe ids")
+    def meanMin(rows: Array[(Long, Long)]): (Long, Long) =
+      (rows.map(_._2).sum / rows.length, rows.map(_._2).min)
+    // int8 tier (q370's algebra)
+    val params = Similarity.int8DimParams(df, a.vecCol)
+    val full = Similarity.knnJoin(df, a.idCol, a.vecCol, probeF, 10)
+      .select(col("probe_id"), col("neighbor_id"))
+    val eq = Similarity.dequantizeInt8PerDim(
+        Similarity.quantizeInt8PerDim(df, a.vecCol, params), "q8", "__dq", params)
+      .select(col(a.idCol), col("__dq"))
+    val qtop = Similarity.knnJoin(eq, a.idCol, "__dq", probeF, 10)
+      .select(col("probe_id"), col("neighbor_id"))
+    val int8Rows = df.filter(probeF).select(col(a.idCol).as("probe_id"))
+      .join(full.join(qtop, Seq("probe_id", "neighbor_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("ov")), Seq("probe_id"), "left")
+      .na.fill(0L, Seq("ov"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) * 10))
+    val (i8Mean, i8Min) = meanMin(int8Rows)
+    // binary tier (q376's chain; the rerank column is the production number)
+    val binRows = Similarity.binaryQuantRecall(df, a.idCol, a.vecCol, probeF,
+        k = 10, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    val (binMean, binMin) = meanMin(binRows)
+    val driftJson = a.baseVecs.map { bp =>
+      val base = spark.read.parquet(bp)
+      require(base.columns.contains(a.idCol) && base.columns.contains(a.vecCol),
+        s"--base-vecs needs '${a.idCol}' and '${a.vecCol}' columns")
+      val rot = Similarity.pcaEpochDrift(base, df, a.vecCol, dims, iters = 8).head()
+      val sq = Similarity.staleQuantRecall(base, df, a.idCol, a.vecCol, probeF, k = 10)
+        .collect()
+      val staleMean = sq.map(_.getLong(2)).sum / sq.length
+      val freshMean = sq.map(_.getLong(4)).sum / sq.length
+      s""", "drift": {"cos2_x10k": ${rot.getLong(4)}, """ +
+        s""""base_var_bp": ${rot.getLong(0)}, "head_var_bp": ${rot.getLong(1)}, """ +
+        s""""stale_quant_recall_mean_pct": $staleMean, """ +
+        s""""fresh_quant_recall_mean_pct": $freshMean, """ +
+        s""""clamped_vals": ${sq.head.getLong(5)}}"""
+    }.getOrElse("")
+    println(s"""{"n_vecs": $nVecs, "dims": $dims, "zero_norm": $zeroNorm, """ +
+      s""""norm_outliers": $outliers, "pc1": {"var_explained_bp": ${pc.getLong(1)}, """ +
+      s""""top_dim": ${pc.getLong(2)}, "sign_lo": ${pc.getLong(3)}, "sign_hi": ${pc.getLong(4)}}, """ +
+      s""""n_probes": $nProbes, "int8_recall": {"mean_pct": $i8Mean, "min_pct": $i8Min}, """ +
+      s""""binary_recall": {"mean_pct": $binMean, "min_pct": $binMin}$driftJson}""")
+  }
+
   def runDatasheet(spark: SparkSession, a: Args): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, TextAnalysis}
@@ -1290,7 +1402,10 @@ object Main {
       |            [--value-col COL] [--bucket-rows N]
       |       compact-plan <tablePath> [--small-threshold BYTES] [--target-size BYTES]
       |       mixture-plan <docsPath> [--domain-col COL] [--text-col COL]
-      |            [--budget-docs N] [--budget-tokens N]""".stripMargin
+      |            [--budget-docs N] [--budget-tokens N]
+      |       embedding-datasheet <vecsPath> [--id-col COL] [--vec-col COL]
+      |            [--probe-mod N] [--min-norm-x100 N] [--max-norm-x100 N]
+      |            [--base-vecs PATH]""".stripMargin
 
   /** Map a profiles.yml target onto Spark session settings. The reference
     * uses conn_info to pick its warehouse connection (cli.py:110-117); this
@@ -1358,6 +1473,7 @@ object Main {
       if (a.command == "datasheet") { runDatasheet(spark, a); return }
       if (a.command == "ann-maintain") { runAnnMaintain(spark, a); return }
       if (a.command == "mixture-plan") { runMixturePlan(spark, a); return }
+      if (a.command == "embedding-datasheet") { runEmbeddingDatasheet(spark, a); return }
       val jdbcConn = conn.filter(JdbcSource.isJdbc)
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a, jdbcConn)

@@ -409,6 +409,43 @@ class CliSpec extends SparkTestBase {
     assert(!line2.contains("token_target") && line2.contains(""""doc_target": 13"""), line2)
   }
 
+  test("embedding-datasheet subcommand: shape, pc1, storage recalls, self-drift identity (r17b)") {
+    // parse surface
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("embedding-datasheet")))
+    intercept[IllegalArgumentException](Main.parseArgs(
+      Seq("embedding-datasheet", "/v", "--probe-mod", "0")))
+    val vecs = "/root/testdata/sf0.001/embeddings.parquet"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.runEmbeddingDatasheet(spark, Main.parseArgs(Seq("embedding-datasheet",
+        vecs, "--id-col", "vec_id", "--probe-mod", "100",
+        "--base-vecs", vecs)))
+    }
+    val line = buf.toString("UTF-8").trim
+    assert(line.startsWith("""{"n_vecs": 500, "dims": 64"""), line)
+    // the CLI's pc1 section must agree with the library certificate
+    val pc = graft.operators.Similarity.pcaPowerCertificate(
+        spark.read.parquet(vecs), "embedding", dims = 64, iters = 8)
+      .orderBy("iter").collect().last
+    assert(line.contains(s""""pc1": {"var_explained_bp": ${pc.getLong(1)}, """ +
+      s""""top_dim": ${pc.getLong(2)}, "sign_lo": ${pc.getLong(3)}, """ +
+      s""""sign_hi": ${pc.getLong(4)}}"""), line)
+    assert(line.contains(""""n_probes": 5"""), line)
+    // drift against ITSELF: exact identity — cos2 10000, nothing clamps,
+    // stale params ARE fresh params
+    assert(line.contains(""""cos2_x10k": 10000"""), line)
+    assert(line.contains(""""clamped_vals": 0"""), line)
+    val stale = """"stale_quant_recall_mean_pct": (\d+)""".r
+      .findFirstMatchIn(line).get.group(1)
+    val fresh = """"fresh_quant_recall_mean_pct": (\d+)""".r
+      .findFirstMatchIn(line).get.group(1)
+    assert(stale == fresh, line)
+    // storage-tier recalls are percentages over the probe set
+    val i8 = """"int8_recall": \{"mean_pct": (\d+), "min_pct": (\d+)\}""".r
+      .findFirstMatchIn(line).get
+    assert(i8.group(1).toLong <= 100L && i8.group(2).toLong <= i8.group(1).toLong, line)
+  }
+
   test("ann-maintain subcommand: drift check, partial refit, published index + certificate JSON (r17)") {
     import spark.implicits._
     // parse surface
