@@ -996,7 +996,10 @@ object Similarity {
       probeFilter: Column, k: Int, dims: Int, outDims: Int,
       seed: Int = DefaultPlaneSeed): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val rp = randomProject(df, vecCol, "__rp", dims, outDims, seed)
+    // pin the projection: the 16 interpreted HOF folds would otherwise
+    // re-execute in each of the four consumers below (the simHashCapReports
+    // advice class — claim one pass, BE one pass)
+    val rp = randomProject(df, vecCol, "__rp", dims, outDims, seed).localCheckpoint()
     val reduced = rp.select(col(idCol), col("__rp"))
     val fullTop = knnJoin(df, idCol, vecCol, probeFilter, k)
       .select(col("probe_id"), col("neighbor_id"))
@@ -1074,7 +1077,9 @@ object Similarity {
     * [[pcaEpochDrift]]: the distributed Gram pass, the BigInt scatter
     * matrix, and `iters` truncating-renormalized rounds. Returns the
     * per-round certificate rows, the FINAL iterate (for cross-epoch
-    * comparison), and the trace. */
+    * comparison), and the trace. Input contract: every non-null vector has
+    * exactly `dims` non-null elements (the embedding-table invariant the
+    * CLI datasheet's ragged-dims refusal enforces up front). */
   private def pcaChain(df: DataFrame, vecCol: String, dims: Int,
       iters: Int, scaleBits: Int): (Seq[(Long, Long, Long, Long, Long)], Array[BigInt], BigInt) = {
     require(dims >= 2 && iters >= 1 && scaleBits >= 1 && scaleBits <= 24,

@@ -87,7 +87,12 @@ object ScaleRehearsal {
     // well-spread corpus; saturation is measured, never assumed) the
     // rehearsal directly evidences. One simhash pass prices both caps;
     // measured ~flat at 10× in the r16 warm probe (3.5 → 3.1 s).
-    "q359_simhash_cap")
+    "q359_simhash_cap",
+    // r17b: the integer-exact PCA Gram pass — the round's one new
+    // mapPartitions kernel; replicas keep values identical, so the
+    // certificate rows double as a scale-invariance check (see
+    // ensureData's embeddings block)
+    "q379_pca_power")
 
   /** Build (once per source-fixture state) the `copies`× dataset under
     * `outDir`; returns outDir. The done-marker carries a fingerprint of
@@ -97,7 +102,7 @@ object ScaleRehearsal {
   def ensureData(spark: SparkSession, srcDir: String, outDir: String,
       copies: Int = 10): String = {
     val done = java.nio.file.Paths.get(outDir, "_REHEARSAL_READY")
-    val fingerprint = Seq("orders", "documents", "events", "lineitem").map { t =>
+    val fingerprint = Seq("orders", "documents", "events", "lineitem", "embeddings").map { t =>
       s"$t=${spark.read.parquet(s"$srcDir/$t.parquet").count()}"
     }.mkString(s"copies=$copies;", ";", "")
     if (java.nio.file.Files.exists(done) &&
@@ -129,6 +134,18 @@ object ScaleRehearsal {
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // embeddings (q379 PCA): vec_id shifts per replica, VALUES stay
+    // identical — the scatter matrix of c identical replicas is exactly
+    // c² times the source's, so the certificate's var/top-dim/sign rows
+    // are scale-INVARIANT by construction and any drift in them at 10×
+    // or 100× is an engine bug, while the wall measures the Gram pass's
+    // linear corpus scan (the driver tail is fixed at dims²)
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until copies).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * off))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     // events (q285 identity stitch): the bipartite user↔device graph must
     // keep its component structure PER REPLICA — replicating user_id alone
