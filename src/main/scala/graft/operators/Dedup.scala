@@ -526,6 +526,59 @@ object Dedup {
         col("band_idx"), col("band_key"))
   }
 
+  /** Incremental near-dup CLUSTER maintenance — the assignment-table half
+    * of the nightly loop [[simHashAgainstCorpus]] / [[nearDupAgainstCorpus]]
+    * feed: given the FROZEN epoch's cluster table and only the NEW edges
+    * (batch↔corpus flags + batch↔batch pairs), produce the next epoch's
+    * full assignment without re-clustering the corpus.
+    *
+    * Every new edge has a batch endpoint, so prior components can only
+    * merge through batch paths — all of which live in the DELTA graph:
+    * nodes are batch ids plus the prior CLUSTER LABELS their corpus
+    * endpoints map to, edges are the new pairs with corpus ids replaced by
+    * their labels. One [[connectedComponents]] over that graph (work ∝ new
+    * edges, never corpus size), then: batch docs take their delta
+    * component (own id if unpaired — a new singleton), and prior clusters
+    * whose label appears in a delta component remap to the component
+    * label (one bounded keyed join over the corpus table).
+    *
+    * Contract: `prior` is a min-id component labeling covering EVERY
+    * corpus doc (a [[connectedComponents]] run completed with singleton
+    * self-labels), and batch ids are disjoint from corpus ids. Under that
+    * contract the output is EXACTLY the from-scratch min-id clustering of
+    * corpus ∪ batch — the delta component min is min(batch ids, prior
+    * minima) = the merged component's true min. The gate's oracle
+    * computes the from-scratch answer independently; the spec pins the
+    * equivalence on planted chain-merge fixtures. Output: (idCol,
+    * cluster, is_new). */
+  def incrementalClusters(prior: DataFrame, idCol: String,
+      batchCorpusPairs: DataFrame, batchPairs: DataFrame,
+      batchIds: DataFrame, bpACol: String, bpBCol: String): DataFrame = {
+    val priorLab = prior.select(col(idCol).cast("long").as("__pid"),
+      col("cluster").cast("long").as("__pcl"))
+    val bcE = batchCorpusPairs
+      .select(col("batch_id").cast("long").as("__a"),
+        col("corpus_id").cast("long").as("__pid"))
+      .join(priorLab, "__pid")
+      .select(col("__a"), col("__pcl").as("__b"))
+    val bbE = batchPairs.select(col(bpACol).cast("long").as("__a"),
+      col(bpBCol).cast("long").as("__b"))
+    val comp = connectedComponents(bcE.unionByName(bbE), "__a", "__b")
+      .select(col("id").as("__n"), col("component").as("__c"))
+    val batchOut = batchIds.select(col(idCol).cast("long").as("__bid")).distinct()
+      .join(comp.withColumnRenamed("__n", "__bid"), Seq("__bid"), "left")
+      .select(col("__bid").as(idCol),
+        coalesce(col("__c"), col("__bid")).as("cluster"), lit(1L).as("is_new"))
+    val remap = comp
+      .join(priorLab.select(col("__pcl").as("__n")).distinct(), "__n")
+      .select(col("__n").as("__oldcl"), col("__c").as("__newcl"))
+    val priorOut = priorLab
+      .join(remap, priorLab("__pcl") === remap("__oldcl"), "left")
+      .select(col("__pid").as(idCol),
+        coalesce(col("__newcl"), col("__pcl")).as("cluster"), lit(0L).as("is_new"))
+    priorOut.unionByName(batchOut)
+  }
+
   /** Per-source dedup-savings datasheet — what exact dedup actually BUYS,
     * in the unit budgets are written in (tokens): per source, doc and
     * token totals before/after min-id exact dedup and the saved fraction

@@ -13302,6 +13302,102 @@ object ExtensionQueries {
            |  CAST(cjk * 10000 // n_chars AS BIGINT) AS cjk_bp
            |FROM g ORDER BY source""".stripMargin
       }
+    ),
+
+    // Incremental cluster maintenance (r17 continuation, L1): the
+    // assignment-table half of the nightly near-dup loop — q369 flags the
+    // arriving batch against the frozen corpus, THIS turns those flags
+    // into the next epoch's cluster table without re-clustering the
+    // corpus (delta graph over batch ids + touched prior labels; work ∝
+    // new edges). The oracle is the strongest kind: it computes the
+    // FROM-SCRATCH min-id clustering of corpus ∪ batch (recursive
+    // closure over the replayed simhash pair sets), so the gate passes
+    // only because incremental ≡ from-scratch — the operator's central
+    // claim, checked value-exact at both scales. Per-cluster rollup with
+    // member/new counts and id checksums.
+    QueryDef(
+      "q386_incremental_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(corpus.filter(col("doc_id") % 9 === 1)
+            .select((col("doc_id") + 500000L).as("doc_id"),
+              concat(col("text"), lit(" zz")).as("text")))
+        val cc0 = Dedup.connectedComponents(
+          Dedup.simHashPairs(corpus, "doc_id", "text"), "a_doc_id", "b_doc_id")
+        val prior = corpus.select(col("doc_id"))
+          .join(cc0.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster"))
+        val out = Dedup.incrementalClusters(prior, "doc_id",
+          Dedup.simHashAgainstCorpus(batch, corpus, "doc_id", "text"),
+          Dedup.simHashPairs(batch, "doc_id", "text"),
+          batch.select("doc_id"), "a_doc_id", "b_doc_id")
+        out.groupBy("cluster").agg(
+            count(lit(1)).cast("long").as("n_members"),
+            sum(col("is_new")).cast("long").as("n_new"),
+            sum(col("doc_id")).cast("long").as("sum_id"))
+          .orderBy("cluster")
+      },
+      Some {
+        val subC = duckSimhash64Sub.replace("FROM documents)", "FROM corp)")
+        val subB = duckSimhash64Sub.replace("FROM documents)", "FROM bat)")
+        s"""WITH RECURSIVE corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+           |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL SELECT doc_id + 500000, text || ' zz' FROM documents
+           |  WHERE doc_id % 3 <> 0 AND doc_id % 9 = 1),
+           |shc AS ($subC),
+           |shb AS ($subB),
+           |ccb AS (SELECT doc_id, simhash64, band_idx, band_key FROM (
+           |    SELECT doc_id, simhash64, band_idx,
+           |      CAST((simhash64 >> ((3 - band_idx) * 16)) & 65535 AS INT) AS band_key,
+           |      row_number() OVER (PARTITION BY band_idx,
+           |        CAST((simhash64 >> ((3 - band_idx) * 16)) & 65535 AS INT)
+           |        ORDER BY doc_id) AS rn
+           |    FROM shc, (SELECT unnest([0, 1, 2, 3]) AS band_idx)) WHERE rn <= 500),
+           |bbc AS (SELECT doc_id, simhash64, band_idx, band_key FROM (
+           |    SELECT doc_id, simhash64, band_idx,
+           |      CAST((simhash64 >> ((3 - band_idx) * 16)) & 65535 AS INT) AS band_key,
+           |      row_number() OVER (PARTITION BY band_idx,
+           |        CAST((simhash64 >> ((3 - band_idx) * 16)) & 65535 AS INT)
+           |        ORDER BY doc_id) AS rn
+           |    FROM shb, (SELECT unnest([0, 1, 2, 3]) AS band_idx)) WHERE rn <= 500),
+           |bbn AS (SELECT doc_id, simhash64, band_idx,
+           |    CAST((simhash64 >> ((3 - band_idx) * 16)) & 65535 AS INT) AS band_key
+           |  FROM shb, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+           |pcc AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+           |  FROM ccb a JOIN ccb b USING (band_idx, band_key)
+           |  WHERE a.doc_id < b.doc_id
+           |    AND bit_count(xor(a.simhash64, b.simhash64)) <= 3),
+           |pbc AS (SELECT DISTINCT b.doc_id AS u, c.doc_id AS v
+           |  FROM bbn b JOIN ccb c USING (band_idx, band_key)
+           |  WHERE bit_count(xor(b.simhash64, c.simhash64)) <= 3),
+           |pbb AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+           |  FROM bbc a JOIN bbc b USING (band_idx, band_key)
+           |  WHERE a.doc_id < b.doc_id
+           |    AND bit_count(xor(a.simhash64, b.simhash64)) <= 3),
+           |edges AS (SELECT u, v FROM (SELECT * FROM pcc UNION SELECT * FROM pbc
+           |    UNION SELECT * FROM pbb)
+           |  UNION SELECT v, u FROM (SELECT * FROM pcc UNION SELECT * FROM pbc
+           |    UNION SELECT * FROM pbb)),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT u, u FROM edges
+           |  UNION
+           |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+           |lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+           |allids AS (SELECT doc_id, 0 AS is_new FROM corp
+           |  UNION ALL SELECT doc_id, 1 FROM bat),
+           |fin AS (SELECT a.doc_id, coalesce(l.component, a.doc_id) AS cluster,
+           |    a.is_new FROM allids a LEFT JOIN lab l ON l.id = a.doc_id)
+           |SELECT CAST(cluster AS BIGINT) AS cluster,
+           |  CAST(count(*) AS BIGINT) AS n_members,
+           |  CAST(sum(is_new) AS BIGINT) AS n_new,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+      }
     )
   )
 

@@ -2327,6 +2327,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(zh.agg(org.apache.spark.sql.functions.sum("cjk")).head().getLong(0) == 0L)
   }
 
+  test("incremental clusters: bridge merges, chain joins, singletons, == from-scratch (r17b)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    // prior epoch: corpus pairs (1,2),(2,3),(5,6) -> clusters {1,2,3}=1,
+    // {5,6}=5, 4/7..10 singletons
+    val corpusPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_doc_id", "b_doc_id")
+    val cc0 = Dedup.connectedComponents(corpusPairs, "a_doc_id", "b_doc_id")
+    val corpusIds = (1L to 10L).toDF("doc_id")
+    val prior = corpusIds
+      .join(cc0.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("component"), col("doc_id"))
+          .as("cluster"))
+    // batch: 101 bridges prior clusters 1 and 5 (via corpus docs 2 and 6);
+    // 103-104 chain to 102, which touches corpus 9; 105 arrives unpaired
+    val bc = Seq((101L, 2L), (101L, 6L), (102L, 9L)).toDF("batch_id", "corpus_id")
+    val bb = Seq((103L, 104L), (104L, 102L)).toDF("a_doc_id", "b_doc_id")
+    val batchIds = Seq(101L, 102L, 103L, 104L, 105L).toDF("doc_id")
+    val got = Dedup.incrementalClusters(prior, "doc_id", bc, bb, batchIds,
+        "a_doc_id", "b_doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, // bridge merged {1,5}
+      4L -> 4L, 7L -> 7L, 8L -> 8L, 10L -> 10L,
+      9L -> 9L, 102L -> 9L, 103L -> 9L, 104L -> 9L,     // chain into 9
+      101L -> 1L, 105L -> 105L)
+    assert(got.view.mapValues(_._1).toMap == expected, s"got $got")
+    got.foreach { case (id, (_, isNew)) =>
+      assert(isNew == (if (id > 100L) 1L else 0L), s"is_new wrong for $id")
+    }
+    // the central claim: incremental == from-scratch over the union graph
+    val allPairs = corpusPairs
+      .unionByName(bc.toDF("a_doc_id", "b_doc_id"))
+      .unionByName(bb)
+    val scratch = Dedup.connectedComponents(allPairs, "a_doc_id", "b_doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (corpusIds.collect().map(_.getLong(0)) ++ Seq(101L, 102L, 103L, 104L, 105L))
+      .foreach { id =>
+        assert(got(id)._1 == scratch.getOrElse(id, id),
+          s"incremental diverged from from-scratch at $id")
+      }
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
