@@ -122,6 +122,10 @@ object Main {
       domainCol: String = "lang",
       budgetDocs: Long = 0L,
       budgetTokens: Long = 0L,
+      // neardup-maintain subcommand (r17b)
+      maxHamming: Int = 3,
+      maxPostings: Int = 500,
+      priorPath: Option[String] = None,
       // embedding-datasheet subcommand (r17b)
       probeMod: Long = 50L,
       minNormX100: Int = 50,
@@ -144,7 +148,7 @@ object Main {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain" | "mixture-plan" | "embedding-datasheet") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain" | "mixture-plan" | "embedding-datasheet" | "neardup-maintain") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -276,6 +280,14 @@ object Main {
       case "--min-norm-x100" => na = na.copy(minNormX100 = need("--min-norm-x100").toInt)
       case "--max-norm-x100" => na = na.copy(maxNormX100 = need("--max-norm-x100").toInt)
       case "--base-vecs" => na = na.copy(baseVecs = Some(need("--base-vecs")))
+      case "--max-hamming" =>
+        na = na.copy(maxHamming = need("--max-hamming").toInt)
+        require(na.maxHamming >= 0 && na.maxHamming <= 3,
+          "--max-hamming must be 0..3 (banded recall is exact only there)")
+      case "--max-postings" =>
+        na = na.copy(maxPostings = need("--max-postings").toInt)
+        require(na.maxPostings >= 2, "--max-postings must be at least 2")
+      case "--prior" => na = na.copy(priorPath = Some(need("--prior")))
       case "--candidates" =>
           na = na.copy(candidates =
             need("--candidates").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -357,6 +369,11 @@ object Main {
         require(a.budgetDocs > 0 || a.budgetTokens > 0,
           "mixture-plan needs --budget-docs and/or --budget-tokens")
         a.copy(basePath = positional.head, model = "mixture-plan")
+      case "neardup-maintain" =>
+        require(positional.length >= 3,
+          "neardup-maintain requires <corpusDocs> <batchDocs> <outDir>")
+        a.copy(basePath = positional(0), headPath = positional(1),
+          outPath = positional(2), model = "neardup-maintain")
       case "embedding-datasheet" =>
         require(positional.nonEmpty, "embedding-datasheet requires a <vecsPath> argument")
         a.copy(basePath = positional.head, model = "embedding-datasheet")
@@ -1141,6 +1158,73 @@ object Main {
       s""""binary_recall": {"mean_pct": $binMean, "min_pct": $binMin}$driftJson}""")
   }
 
+  /** `neardup-maintain <corpusDocs> <batchDocs> <outDir> [--id-col c
+    * --text-col c --max-hamming N --max-postings N --prior PATH]` — the
+    * nightly NEAR-DUP loop from the shell (r17b), the text twin of
+    * `ann-maintain`: flag the arriving batch against the frozen corpus
+    * (q369's banded SimHash join, verify-before-drop), price the corpus
+    * postings cap (the zero-foregone certificate destructive use gates
+    * on), and roll the flags into the next epoch's cluster table with the
+    * incremental maintainer (q386 — work ∝ new edges, never corpus size).
+    * `--prior` feeds the previous night's `<out>/clusters` back in (the
+    * frozen-epoch loop); without it the corpus bootstraps its own
+    * clustering once. Writes `<out>/flags` and `<out>/clusters`; prints
+    * one JSON line: counts, per-Hamming census, cap pricing, and how
+    * little the night actually changed (rows remapped, clusters merged). */
+  def runNearDupMaintain(spark: SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val corpus = spark.read.parquet(a.basePath)
+    val batch = spark.read.parquet(a.headPath)
+    Seq("corpus" -> corpus, "batch" -> batch).foreach { case (n, df) =>
+      require(df.columns.contains(a.idCol) && df.columns.contains(a.textCol),
+        s"neardup-maintain $n needs '${a.idCol}' and '${a.textCol}' columns (saw ${df.columns.mkString(", ")})")
+    }
+    val cap = Dedup.simHashCapReport(corpus, a.idCol, a.textCol, a.maxPostings).head()
+    val flags = Dedup.simHashAgainstCorpus(batch, corpus, a.idCol, a.textCol,
+      a.maxHamming, a.maxPostings).localCheckpoint()
+    val prior = a.priorPath.map { p =>
+      val pr = spark.read.parquet(p)
+      require(pr.columns.contains(a.idCol) && pr.columns.contains("cluster"),
+        s"--prior needs '${a.idCol}' and 'cluster' columns")
+      pr.select(col(a.idCol), col("cluster"))
+    }.getOrElse {
+      val cc0 = Dedup.connectedComponents(
+        Dedup.simHashPairs(corpus, a.idCol, a.textCol, a.maxHamming, a.maxPostings),
+        s"a_${a.idCol}", s"b_${a.idCol}")
+      corpus.select(col(a.idCol))
+        .join(cc0.withColumnRenamed("id", a.idCol), Seq(a.idCol), "left")
+        .select(col(a.idCol), coalesce(col("component"), col(a.idCol)).as("cluster"))
+    }
+    val updated = Dedup.incrementalClusters(prior, a.idCol, flags,
+        Dedup.simHashPairs(batch, a.idCol, a.textCol, a.maxHamming, a.maxPostings),
+        batch.select(a.idCol), s"a_${a.idCol}", s"b_${a.idCol}")
+      .localCheckpoint()
+    flags.write.mode("overwrite").parquet(s"${a.outPath}/flags")
+    updated.write.mode("overwrite").parquet(s"${a.outPath}/clusters")
+    val nCorpus = corpus.count()
+    val nBatch = batch.count()
+    val census = flags.groupBy("hamming").agg(count(lit(1)).as("n"))
+      .orderBy("hamming").collect()
+      .map(r => s""""${r.getLong(0)}": ${r.getLong(1)}""").mkString("{", ", ", "}")
+    val flaggedDocs = flags.select("batch_id").distinct().count()
+    val changed = prior.withColumnRenamed("cluster", "__old")
+      .join(updated.filter(col("is_new") === 0), a.idCol)
+      .filter(col("__old") =!= col("cluster")).localCheckpoint()
+    val rowsRemapped = changed.count()
+    val clustersMerged = changed.select("__old").distinct().count()
+    val nClusters = updated.select("cluster").distinct().count()
+    println(s"""{"n_corpus": $nCorpus, "n_batch": $nBatch, """ +
+      s""""n_flags": ${flags.count()}, "flagged_batch_docs": $flaggedDocs, """ +
+      s""""hamming_census": $census, """ +
+      s""""cap": {"max_postings": ${a.maxPostings}, """ +
+      s""""n_capped_buckets": ${cap.getAs[Long]("n_capped_buckets")}, """ +
+      s""""n_foregone_postings": ${cap.getAs[Long]("n_foregone_postings")}, """ +
+      s""""exact": ${cap.getAs[Long]("n_foregone_postings") == 0L}}, """ +
+      s""""rows_remapped": $rowsRemapped, "clusters_merged": $clustersMerged, """ +
+      s""""n_clusters": $nClusters, "out": ${jsonStr(a.outPath)}}""")
+  }
+
   def runDatasheet(spark: SparkSession, a: Args): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, TextAnalysis}
@@ -1405,7 +1489,10 @@ object Main {
       |            [--budget-docs N] [--budget-tokens N]
       |       embedding-datasheet <vecsPath> [--id-col COL] [--vec-col COL]
       |            [--probe-mod N] [--min-norm-x100 N] [--max-norm-x100 N]
-      |            [--base-vecs PATH]""".stripMargin
+      |            [--base-vecs PATH]
+      |       neardup-maintain <corpusDocs> <batchDocs> <outDir> [--id-col COL]
+      |            [--text-col COL] [--max-hamming N] [--max-postings N]
+      |            [--prior PATH]""".stripMargin
 
   /** Map a profiles.yml target onto Spark session settings. The reference
     * uses conn_info to pick its warehouse connection (cli.py:110-117); this
@@ -1474,6 +1561,7 @@ object Main {
       if (a.command == "ann-maintain") { runAnnMaintain(spark, a); return }
       if (a.command == "mixture-plan") { runMixturePlan(spark, a); return }
       if (a.command == "embedding-datasheet") { runEmbeddingDatasheet(spark, a); return }
+      if (a.command == "neardup-maintain") { runNearDupMaintain(spark, a); return }
       val jdbcConn = conn.filter(JdbcSource.isJdbc)
       val result = a.command match {
         case "diff-tables" => runDiffTables(spark, a, jdbcConn)

@@ -446,6 +446,59 @@ class CliSpec extends SparkTestBase {
     assert(i8.group(1).toLong <= 100L && i8.group(2).toLong <= i8.group(1).toLong, line)
   }
 
+  test("neardup-maintain subcommand: flags, cap pricing, incremental clusters, prior loop (r17b)") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("neardup-maintain", "/c", "/b")))
+    intercept[IllegalArgumentException](Main.parseArgs(
+      Seq("neardup-maintain", "/c", "/b", "/o", "--max-hamming", "4")))
+    val tDup = "shared boilerplate sentence with many common scaffold words " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tUniqC = "completely different corpus content about orbital mechanics " +
+      "periapsis inclination eccentricity burn window transfer vector"
+    val tUniqB = "unrelated batch arrival concerning sourdough hydration ratios " +
+      "levain autolyse crumb oven spring scoring lame banneton"
+    val dir = Files.createTempDirectory("graft_ndm_")
+    val corpusPath = dir.resolve("corpus").toString
+    val batchPath = dir.resolve("batch").toString
+    val out = dir.resolve("night1").toString
+    // corpus: 1 and 2 are exact dups (one prior cluster), 3 is unique
+    Seq((1L, tDup), (2L, tDup), (3L, tUniqC))
+      .toDF("doc_id", "text").write.parquet(corpusPath)
+    // batch: 101 replays the dup text (flags to BOTH corpus dups at
+    // hamming 0), 102 is unrelated (a new singleton)
+    Seq((101L, tDup), (102L, tUniqB))
+      .toDF("doc_id", "text").write.parquet(batchPath)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.runNearDupMaintain(spark, Main.parseArgs(Seq("neardup-maintain",
+        corpusPath, batchPath, out)))
+    }
+    val line = buf.toString("UTF-8").trim
+    assert(line.contains(""""n_corpus": 3, "n_batch": 2, "n_flags": 2, "flagged_batch_docs": 1"""), line)
+    assert(line.contains(""""hamming_census": {"0": 2}"""), line)
+    assert(line.contains(""""n_foregone_postings": 0, "exact": true"""), line)
+    // nothing merged: the batch joined an existing cluster, none bridged
+    assert(line.contains(""""rows_remapped": 0, "clusters_merged": 0, "n_clusters": 3"""), line)
+    val clusters = spark.read.parquet(s"$out/clusters")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters == Map(
+      1L -> ((1L, 0L)), 2L -> ((1L, 0L)), 3L -> ((3L, 0L)),
+      101L -> ((1L, 1L)), 102L -> ((102L, 1L))), clusters.toString)
+    // the frozen-epoch loop: feeding the corpus slice of night 1's table
+    // back as --prior reproduces the same answer without re-clustering
+    val priorPath = dir.resolve("prior").toString
+    spark.read.parquet(s"$out/clusters").filter($"is_new" === 0)
+      .select("doc_id", "cluster").write.parquet(priorPath)
+    val out2 = dir.resolve("night1b").toString
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream(), true, "UTF-8")) {
+      Main.runNearDupMaintain(spark, Main.parseArgs(Seq("neardup-maintain",
+        corpusPath, batchPath, out2, "--prior", priorPath)))
+    }
+    val clusters2 = spark.read.parquet(s"$out2/clusters")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters2 == clusters)
+  }
+
   test("ann-maintain subcommand: drift check, partial refit, published index + certificate JSON (r17)") {
     import spark.implicits._
     // parse surface
