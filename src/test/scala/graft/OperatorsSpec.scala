@@ -2161,6 +2161,63 @@ class OperatorsSpec extends SparkTestBase {
     assert(cert3.toSeq == cert.toSeq)
   }
 
+  test("pca gram combine: executor-side 128-bit merge law + dims>=256 driver-receipt bound (r18 #1)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 128-bit add law vs BigInt: random 126-bit values (so sums fit 127
+    // bits) plus the Long extremes promoted to (sign-extension, value)
+    val rnd = new scala.util.Random(42)
+    def decomp(v: BigInt): (Long, Long) =
+      ((v >> 64).toLong, (v & ((BigInt(1) << 64) - 1)).toLong)
+    val cases = (1 to 200).map { _ =>
+      (BigInt(126, rnd) - (BigInt(1) << 125), BigInt(126, rnd) - (BigInt(1) << 125))
+    } ++ Seq(
+      (BigInt(Long.MaxValue), BigInt(Long.MaxValue)),
+      (BigInt(Long.MinValue), BigInt(Long.MinValue)),
+      (BigInt(-1), BigInt(1)), (BigInt(0), BigInt(Long.MinValue)))
+    cases.foreach { case (x, y) =>
+      val (h1, l1) = decomp(x); val (h2, l2) = decomp(y)
+      assert(Similarity.big128(h1, l1) == x && Similarity.big128(h2, l2) == y)
+      val (hs, ls) = Similarity.add128(h1, l1, h2, l2)
+      assert(Similarity.big128(hs, ls) == x + y, s"add128 broke on $x + $y")
+    }
+    // dims=256, many partitions: the driver receives ONE combined partial
+    // of 2*(dims^2+dims)+1 longs — the r17 verdict's receipt bound — and
+    // its 128-bit sums equal the driver-computed reference exactly
+    val dims = 256
+    val rows = (0 until 48).map { i =>
+      (i.toLong, Array.tabulate(dims)(j => ((i * 31 + j * 7) % 2003).toLong - 1001L))
+    }
+    val q = rows.toDF("id", "q").repartition(16)
+    val g = Similarity.gramPass(q, "q", dims, scaleBits = 16)
+    assert(g.n == 48L)
+    assert(g.sHi.length == dims && g.sLo.length == dims)
+    assert(g.gHi.length == dims * dims && g.gLo.length == dims * dims)
+    val driverLongs = 1 + 2 * g.sLo.length + 2 * g.gLo.length
+    assert(driverLongs <= 2 * (dims * dims + dims + 1),
+      s"driver received $driverLongs longs > bound ${2 * (dims * dims + dims + 1)}")
+    val expS = Array.tabulate(dims)(j => rows.map(r => BigInt(r._2(j))).sum)
+    val expG = Array.tabulate(4)(k => { // spot-check 4 scattered cells
+      val (i, j) = (k * 67 % dims, (k * 131 + 5) % dims)
+      (i * dims + j, rows.map(r => BigInt(r._2(i)) * BigInt(r._2(j))).sum)
+    })
+    (0 until dims).foreach(j =>
+      assert(Similarity.big128(g.sHi(j), g.sLo(j)) == expS(j)))
+    expG.foreach { case (k, exp) =>
+      assert(Similarity.big128(g.gHi(k), g.gLo(k)) == exp) }
+    // overflow on unnormalized input fails LOUDLY, naming the knob (r17
+    // ADVICE 2): magnitudes ~2^40 at scaleBits=16 quantize to ~2^56, whose
+    // squares overflow 2^63 — must throw, never certify garbage
+    val huge = (0 until 8).map(i => (i.toLong,
+      Array.fill(4)((1L << 40).toFloat))).toDF("id", "v")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Similarity.pcaPowerCertificate(huge, "v", dims = 4, iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("scaleBits") ||
+      Option(ex.getCause).exists(_.getMessage.contains("scaleBits")),
+      s"overflow error must name the fix, got: ${ex.getMessage}")
+  }
+
   test("pca epoch drift: identical epochs score exactly 10000, a planted rotation collapses cos2 (r17b)") {
     import spark.implicits._
     import graft.operators.Similarity
