@@ -1036,6 +1036,12 @@ object Main {
     * the domain's actual token mass. Pure metadata: two bounded
     * aggregates (domain cardinality contract), one JSON line — run it
     * BEFORE the materialization to review the mixture a budget implies. */
+  /** budget·tempBp/10⁴ via BigInt (the mixtureThresholds idiom): the Long
+    * product overflows silently past ~9.2e14 budget tokens at tempBp up to
+    * 10⁴, printing a negative target into the plan JSON (r17 ADVICE). */
+  private[graft] def tokenTarget(budgetTokens: Long, tempBp: Long): Long =
+    (BigInt(budgetTokens) * tempBp / 10000).toLong
+
   def runMixturePlan(spark: SparkSession, a: Args): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.Sampling
@@ -1066,7 +1072,7 @@ object Main {
       }.getOrElse("")
       val tok =
         if (!wantTokens) ""
-        else s""", "tokens_src": ${tokSrc.getOrElse(d, 0L)}, "token_target": ${a.budgetTokens * tempBp / 10000}"""
+        else s""", "tokens_src": ${tokSrc.getOrElse(d, 0L)}, "token_target": ${tokenTarget(a.budgetTokens, tempBp)}"""
       s"""{"domain": ${jsonStr(d)}, "n_docs": $cnt, "share_bp": $shareBp, """ +
         s""""temp_share_bp": $tempBp, "boost_bp": $boostBp$doc$tok}"""
     }

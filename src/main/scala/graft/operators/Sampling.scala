@@ -482,13 +482,17 @@ object Sampling {
       .withColumn("shard", epochHash(keyCol, seed) % nShards)
       .groupBy("shard").agg(count(lit(1)).as("n_keys"))
     val tot = df.agg(count(lit(1)).as("__n"))
+    // empty corpus: `div 0` is NULL in Spark, and downstream getLong on a
+    // NULL share is an opaque NPE (r17 ADVICE) — emit the honest all-empty
+    // audit instead: every spine shard at share 0, deviation -10000
+    val share = s"case when __n = 0 then 0 else n_keys * $nShards * 10000 div __n end"
     spark.range(nShards).select(col("id").as("shard"))
       .join(counts, Seq("shard"), "left")
       .na.fill(0L, Seq("n_keys"))
       .crossJoin(broadcast(tot))
       .select(col("shard"), col("n_keys"),
-        expr(s"n_keys * $nShards * 10000 div __n").as("share_bp"),
-        (expr(s"n_keys * $nShards * 10000 div __n") - 10000).as("dev_bp"))
+        expr(share).as("share_bp"),
+        (expr(share) - 10000).as("dev_bp"))
   }
 
   /** Stratified k-fold assignment — cross-validation folds that preserve

@@ -296,9 +296,15 @@ object StreamingDedup {
     * whole gate is a stream-static inner equi-join: no watermark, no
     * state store, bounded memory at any stream length. */
   def simHashCorpusGate(docs: DataFrame, corpusIndex: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
+    // contract error, not a mid-stream AnalysisException — and the same
+    // idCol/textCol surface as the batch twins (r17 ADVICE)
+    require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
+      s"simHashCorpusGate needs '$idCol' and '$textCol' columns " +
+        s"(saw ${docs.columns.mkString(", ")})")
     val zeros = (0 until 64).map(_ => "0").mkString("array(", ", ", ")")
     val bitOf = (0 until 64).map { b =>
       val j = b / 4
@@ -311,12 +317,12 @@ object StreamingDedup {
     }.reduce(_ + _)
     docs
       .withColumn("__counts", expr(
-        s"""aggregate(transform(array_distinct(split(text, ' ')), w -> md5(w)),
+        s"""aggregate(transform(array_distinct(split($textCol, ' ')), w -> md5(w)),
            |  $zeros, (acc, h) -> zip_with(acc, $bitOf, (a, c) -> a + c))""".stripMargin))
-      .withColumn("__nw", size(array_distinct(split(col("text"), " "))))
+      .withColumn("__nw", size(array_distinct(split(col(textCol), " "))))
       .filter(col("__nw") > 0)
       .withColumn("simhash64", sim)
-      .select(col("doc_id"), col("simhash64"),
+      .select(col(idCol).as("doc_id"), col("simhash64"),
         explode(expr("sequence(0, 3)")).as("band_idx"))
       .withColumn("band_key",
         expr("(simhash64 >> ((3 - band_idx) * 16)) & 65535").cast("int"))

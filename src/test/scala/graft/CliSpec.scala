@@ -407,6 +407,11 @@ class CliSpec extends SparkTestBase {
     }
     val line2 = buf2.toString("UTF-8").trim
     assert(!line2.contains("token_target") && line2.contains(""""doc_target": 13"""), line2)
+    // token_target arithmetic is BigInt-exact (r18, r17 ADVICE 4): the Long
+    // product budget*tempBp overflowed silently past ~9.2e14 tokens
+    assert(Main.tokenTarget(2_000_000_000_000_000L, 9999L) == 1_999_800_000_000_000L)
+    assert(Main.tokenTarget(Long.MaxValue, 10000L) == Long.MaxValue)
+    assert(Main.tokenTarget(123L, 3333L) == 40L) // truncating, matches the small-budget path
   }
 
   test("embedding-datasheet subcommand: shape, pc1, storage recalls, self-drift identity (r17b)") {

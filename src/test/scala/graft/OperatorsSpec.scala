@@ -2289,6 +2289,14 @@ class OperatorsSpec extends SparkTestBase {
     assert(sparse.length == 64)
     assert(sparse.count(_._1 == 0L) == 62)
     assert(sparse.filter(_._1 == 0L).forall(t => t._2 == 0L && t._3 == -10000L))
+    // EMPTY corpus (r18, r17 ADVICE 1): div-by-zero previously emitted NULL
+    // shares (an opaque NPE at the first getLong) — now the honest
+    // all-empty audit: every spine shard present at (0, 0, -10000)
+    val empty = Sampling.epochShuffleAudit(
+        spark.range(0).select(col("id").as("k")), "k", seed = 7L, nShards = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(empty.length == 5)
+    assert(empty.forall(t => t._2 == 0L && t._3 == 0L && t._4 == -10000L))
   }
 
   test("token budget mixture: bucketed prefix == global prefix, degenerate targets (r17b)") {

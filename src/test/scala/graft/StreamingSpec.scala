@@ -360,6 +360,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got == truth, s"stream ${got.size} vs batch ${truth.size}")
     // every drop decision was verified: nothing unrelated was flagged
     assert(!got.exists(t => t._1 >= 2000L && t._1 < 3000L))
+    // custom column names work like the batch twins' idCol/textCol (r18,
+    // r17 ADVICE 3) — same stream under renamed columns, same flags
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData(batchRows: _*)
+    val q2 = StreamingDedup.simHashCorpusGate(
+        mem2.toDF().toDF("item_id", "body"), idx, idCol = "item_id", textCol = "body")
+      .writeStream.format("memory").queryName("simhash_gate_renamed")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got2 = spark.table("simhash_gate_renamed")
+      .select("doc_id", "corpus_id", "hamming").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == truth)
+    // and a missing column is a CONTRACT error naming the columns, not a
+    // raw mid-stream AnalysisException
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDedup.simHashCorpusGate(mem2.toDF().toDF("item_id", "body"), idx)
+    }
+    assert(ex.getMessage.contains("doc_id") && ex.getMessage.contains("item_id"))
   }
 
   test("streaming mixture gate: frozen thresholds reproduce the batch rebalance row-for-row (r17b)") {
