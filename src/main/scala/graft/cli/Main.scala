@@ -1193,7 +1193,25 @@ object Main {
       val pr = spark.read.parquet(p)
       require(pr.columns.contains(a.idCol) && pr.columns.contains("cluster"),
         s"--prior needs '${a.idCol}' and 'cluster' columns")
-      pr.select(col(a.idCol), col("cluster"))
+      val sel = pr.select(col(a.idCol), col("cluster"))
+      // contract audit (r18, VERDICT r17 #2): incrementalClusters' from-
+      // scratch equivalence holds ONLY for a min-id labeling covering the
+      // corpus — a stale or hand-edited prior would otherwise yield wrong
+      // clusters silently. One aggregate + one anti-join, refused loudly
+      // with the offending labels.
+      val bad = graft.operators.Dedup.auditPriorLabeling(sel, a.idCol)
+        .orderBy("cluster").limit(10).collect()
+      require(bad.isEmpty,
+        s"--prior $p is not a min-id cluster labeling — offending labels: " +
+          bad.map(r => s"${r.get(0)} (${r.getString(4)}, min_member=${r.get(2)})")
+            .mkString("; ") +
+          " — rebuild the prior with a completed clustering run before maintaining incrementally")
+      val uncovered = corpus.select(col(a.idCol))
+        .join(sel.select(col(a.idCol)), Seq(a.idCol), "left_anti").count()
+      require(uncovered == 0L,
+        s"--prior $p does not cover the corpus: $uncovered corpus docs have no prior label" +
+          " — the prior must come from a clustering of THIS corpus epoch")
+      sel
     }.getOrElse {
       val cc0 = Dedup.connectedComponents(
         Dedup.simHashPairs(corpus, a.idCol, a.textCol, a.maxHamming, a.maxPostings),

@@ -579,6 +579,39 @@ object Dedup {
     priorOut.unionByName(batchOut)
   }
 
+  /** Runtime CONTRACT AUDIT for [[incrementalClusters]]' prior table (r18,
+    * VERDICT r17 #2): the from-scratch-equivalence proof requires `prior`
+    * to be a MIN-ID labeling — every cluster label is itself a member of
+    * its own cluster AND no smaller member id exists — but
+    * `neardup-maintain --prior` reads whatever parquet the user points at,
+    * and a stale or hand-edited table silently yields wrong clusters (the
+    * one silent-garbage mode the nightly loop had left).
+    *
+    * ONE aggregate over the prior: per label, member count, min member id
+    * and a self-membership flag; a label violates iff it is not a member
+    * of its own cluster (`label_not_member` — covers stale labels whose
+    * min-id row moved clusters, and null labels) or it is a member but not
+    * the minimum (`label_not_min`). Self-membership ⇒ label ≥ min, so the
+    * two reasons partition every possible violation and an empty result IS
+    * the contract. Coverage (every corpus doc labeled) is the caller's
+    * anti-join — it needs the corpus, not the prior alone.
+    *
+    * Output: (cluster, n_members, min_member, self_member, reason), one
+    * row per VIOLATING label; empty = safe to maintain incrementally. */
+  def auditPriorLabeling(prior: DataFrame, idCol: String): DataFrame =
+    prior
+      .select(col(idCol).cast("long").as("__id"),
+        col("cluster").cast("long").as("__cl"))
+      .groupBy(col("__cl").as("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        min(col("__id")).as("min_member"),
+        max(when(col("__id") === col("__cl"), 1L).otherwise(0L))
+          .cast("long").as("self_member"))
+      .filter(col("self_member") === 0 || col("cluster") > col("min_member"))
+      .withColumn("reason",
+        when(col("self_member") === 0, lit("label_not_member"))
+          .otherwise(lit("label_not_min")))
+
   /** Per-source dedup-savings datasheet — what exact dedup actually BUYS,
     * in the unit budgets are written in (tokens): per source, doc and
     * token totals before/after min-id exact dedup and the saved fraction

@@ -13398,6 +13398,47 @@ object ExtensionQueries {
            |  CAST(sum(doc_id) AS BIGINT) AS sum_id
            |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
       }
+    ),
+
+    // Prior-labeling contract audit (r18, VERDICT r17 #2): the runtime
+    // check `neardup-maintain --prior` now refuses on — q386's
+    // equivalence proof assumes a min-id labeling, and this gates the
+    // auditor that enforces it. A correct exact-dup min-id labeling of
+    // documents (cluster = min doc_id per md5(text) group) is corrupted
+    // deterministically (labels shifted +1 on doc_id % 101 = 5), and the
+    // audit must surface EXACTLY the broken labels with their reasons:
+    // self-membership and min-membership from ONE aggregate. The oracle
+    // replays labeling, corruption, and audit; the spec adds the
+    // clean-labeling-audits-empty law (incl. a real connectedComponents
+    // output) that a VALUES oracle can't express.
+    QueryDef(
+      "q387_prior_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val w = Window.partitionBy(md5(coalesce(col("text"), lit(""))))
+        val prior = docs.select(col("doc_id").cast("long").as("doc_id"),
+          min(col("doc_id").cast("long")).over(w).as("cluster"))
+        val corrupt = prior.withColumn("cluster",
+          when(col("doc_id") % 101 === 5, col("cluster") + 1)
+            .otherwise(col("cluster")))
+        Dedup.auditPriorLabeling(corrupt, "doc_id").orderBy("cluster")
+      },
+      Some("""WITH pr AS (SELECT CAST(doc_id AS BIGINT) AS id,
+             |    min(CAST(doc_id AS BIGINT)) OVER (PARTITION BY md5(coalesce(text, ''))) AS cluster
+             |  FROM documents),
+             |co AS (SELECT id,
+             |    CASE WHEN id % 101 = 5 THEN cluster + 1 ELSE cluster END AS cluster
+             |  FROM pr),
+             |ag AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+             |    min(id) AS min_member,
+             |    CAST(max(CASE WHEN id = cluster THEN 1 ELSE 0 END) AS BIGINT) AS self_member
+             |  FROM co GROUP BY cluster)
+             |SELECT cluster, n_members, min_member, self_member,
+             |  CASE WHEN self_member = 0 THEN 'label_not_member'
+             |       ELSE 'label_not_min' END AS reason
+             |FROM ag WHERE self_member = 0 OR cluster > min_member
+             |ORDER BY cluster""".stripMargin)
     )
   )
 

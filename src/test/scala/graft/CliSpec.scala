@@ -502,6 +502,31 @@ class CliSpec extends SparkTestBase {
     val clusters2 = spark.read.parquet(s"$out2/clusters")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(clusters2 == clusters)
+    // a CORRUPTED prior is REFUSED with the offending labels (r18, VERDICT
+    // r17 #2): label 2 for doc 1 is not min (doc 1 < 2) and not a member
+    // of cluster 2's true member set under this table — the one
+    // silent-garbage mode the nightly loop had left
+    val corruptPath = dir.resolve("prior_corrupt").toString
+    Seq((1L, 2L), (2L, 2L), (3L, 3L))
+      .toDF("doc_id", "cluster").write.parquet(corruptPath)
+    val ex = intercept[IllegalArgumentException] {
+      Main.runNearDupMaintain(spark, Main.parseArgs(Seq("neardup-maintain",
+        corpusPath, batchPath, dir.resolve("night1c").toString,
+        "--prior", corruptPath)))
+    }
+    assert(ex.getMessage.contains("min-id") && ex.getMessage.contains("2 (label_not_min"),
+      ex.getMessage)
+    // a prior that doesn't COVER the corpus is refused too (doc 3 missing)
+    val partialPath = dir.resolve("prior_partial").toString
+    Seq((1L, 1L), (2L, 1L))
+      .toDF("doc_id", "cluster").write.parquet(partialPath)
+    val ex2 = intercept[IllegalArgumentException] {
+      Main.runNearDupMaintain(spark, Main.parseArgs(Seq("neardup-maintain",
+        corpusPath, batchPath, dir.resolve("night1d").toString,
+        "--prior", partialPath)))
+    }
+    assert(ex2.getMessage.contains("does not cover") && ex2.getMessage.contains("1 corpus docs"),
+      ex2.getMessage)
   }
 
   test("ann-maintain subcommand: drift check, partial refit, published index + certificate JSON (r17)") {

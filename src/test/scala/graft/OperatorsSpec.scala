@@ -2436,6 +2436,32 @@ class OperatorsSpec extends SparkTestBase {
       }
   }
 
+  test("prior labeling audit: clean CC output audits empty, every corruption mode surfaces (r18 #2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col}
+    import graft.operators.Dedup
+    // a REAL completed clustering (connectedComponents + singleton
+    // self-labels — exactly incrementalClusters' documented contract)
+    // must audit EMPTY
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b")
+    val prior = (1L to 10L).toDF("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+    assert(Dedup.auditPriorLabeling(prior, "doc_id").count() == 0L)
+    // corruption modes: (a) label above min (cluster {1,2,3} labeled 2);
+    // (b) label not a member at all (7 labeled 999); (c) null label
+    val corrupt = Seq(
+      (1L, Some(2L)), (2L, Some(2L)), (3L, Some(2L)),
+      (5L, Some(5L)), (6L, Some(5L)),
+      (7L, Some(999L)), (8L, Option.empty[Long]))
+      .toDF("doc_id", "cluster")
+    val bad = Dedup.auditPriorLabeling(corrupt, "doc_id")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(4))).toMap
+    assert(bad == Map(2L -> "label_not_min", 999L -> "label_not_member",
+      -1L -> "label_not_member"), bad.toString)
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
