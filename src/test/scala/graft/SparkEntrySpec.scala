@@ -216,6 +216,41 @@ class SparkEntrySpec extends SparkTestBase {
     assert(both \ "sf10" \ "rerun_skipped" == JString("budget"))
   }
 
+  test("sub-second floor hygiene: noisy <0.5s-floor queries escalate to 5 reps (r18 #4)") {
+    // the r17 exceedance class: floor 0.19, both opening reps ~0.43
+    assert(Bench.repTarget(3, Some(0.19), 0.43, 0.41) == 5)
+    // clean sub-second query: plain count (and repCut will have cut it anyway)
+    assert(Bench.repTarget(3, Some(0.19), 0.2, 0.21) == 3)
+    // one fast rep is already evidence the floor is reachable: no escalation
+    assert(Bench.repTarget(3, Some(0.19), 0.43, 0.2) == 3)
+    // floors >= 0.5s stay on the plain count — the 2x rerun guard owns them
+    assert(Bench.repTarget(3, Some(0.8), 2.0, 2.0) == 3)
+    // no floor (new query): never escalate
+    assert(Bench.repTarget(3, None, 0.43, 0.41) == 3)
+    // an explicit higher rep count is never reduced
+    assert(Bench.repTarget(7, Some(0.19), 0.43, 0.41) == 7)
+  }
+
+  test("clean-priors embed: flagged blocks carry committed decade floors with provenance (r18 #3)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // no committed floors: the field is ABSENT, not empty-object noise
+    assert(Bench.cleanPriorsField(Nil, fmt) == "")
+    val cp = Bench.cleanPriorsField(Seq(
+      ("q32_dedup_minhash_lsh", 3.1912, "3d76404", "2026-08-12T09:00:00Z"),
+      ("q11_diff_summary", 0.842, "3d76404", "2026-08-12T09:00:00Z")), fmt)
+    // embeds into a flagged block and the whole record still parses; the
+    // judge reads clean floors + commit + ts from BENCH_rN.json alone
+    val base = """"metric":"total","value":1.0,"best_total":1.0,"unit":"sec","reps":3,"queries":{},"detail":{},"noisy":[],"reran":{},"rebased":{},"load":{"start":"","end":""},"fixtures":{}"""
+    val sf1 = s""","sf1":{"copies":10,"wall":60.2,"reran":false,"rerun_skipped":"budget","rerun_reason":"implausible"$cp,"load":{"start":"","end":""},"queries":{}}"""
+    val rec = JsonMethods.parse(Bench.assembleRecord(base, Seq(sf1), "sf"))
+    assert(rec \ "sf1" \ "clean_priors" \ "q32_dedup_minhash_lsh" \ "floor" == JDouble(3.1912))
+    assert(rec \ "sf1" \ "clean_priors" \ "q11_diff_summary" \ "commit" == JString("3d76404"))
+    assert(rec \ "sf1" \ "clean_priors" \ "q11_diff_summary" \ "ts" == JString("2026-08-12T09:00:00Z"))
+  }
+
   test("rep cut: only a committed floor with both reps within 1.5x skips rep 3 (r17 #1c)") {
     // clean query at its floor: cut
     assert(Bench.repCut(Some(1.0), 1.2, 1.1))
