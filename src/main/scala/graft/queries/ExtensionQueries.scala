@@ -13439,6 +13439,89 @@ object ExtensionQueries {
              |       ELSE 'label_not_min' END AS reason
              |FROM ag WHERE self_member = 0 OR cluster > min_member
              |ORDER BY cluster""".stripMargin)
+    ),
+
+    // Scalable BPE at PRODUCTION merge count (r18, VERDICT r17 #5):
+    // trainBytesDistributed launches one Spark job per merge round — at
+    // 8k–32k merges the per-round fixed cost dominates. The scalable
+    // split (one distributed pre-token count, then a DELTA-maintained
+    // driver loop whose per-round work ∝ the winning pair's occurrences)
+    // is gated here at 1000 merges on a pinned fixture: the certificate
+    // pins the winning count, the delta work (words_touched — the cost
+    // curve the verdict asked for, in data units), the candidate-pair
+    // population, and the md5 of the merge-table PREFIX at each curve
+    // round — a wrong merge ANYWHERE in the thousand shifts every later
+    // prefix digest. The oracle's VALUES come from an INDEPENDENT naive
+    // replay at generation time (per-round from-scratch pair recount —
+    // O(rounds × vocab), fine on the fixture, exactly what the delta
+    // structures must agree with); BpeSpec-side laws prove scalable ==
+    // trainBytes == trainBytesDistributed on real corpus text.
+    QueryDef(
+      "q389_bpe_scalable_1k",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val fixt = q389Fixtures.toDF("doc_id", "text")
+        Bpe.scalableTrainCertificate(fixt, "text", numMerges = 1000,
+            curveRounds = Seq(1, 10, 100, 250, 500, 750, 1000))
+          .orderBy("round")
+      },
+      Some {
+        // independent replay: from-scratch pair recount every round
+        val words0: Map[Vector[String], Long] = q389Fixtures.iterator
+          .flatMap(d => Bpe.bytePreTokens(d._2))
+          .map(p => p.iterator.map(_.toString).toVector)
+          .foldLeft(Map.empty[Vector[String], Long]) { (m, w) =>
+            m.updated(w, m.getOrElse(w, 0L) + 1L) }
+        val nVocab = words0.size.toLong
+        var words = words0.toVector
+        val curve = Set(1, 10, 100, 250, 500, 750, 1000)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5Of(ms: Seq[(String, String)]): String = {
+          md.reset()
+          md.update(ms.map { case (a, b) => a + " " + b }.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          md.digest().map(b => f"$b%02x").mkString
+        }
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cum = 0L
+        var r = 1
+        while (r <= 1000) {
+          val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          words.foreach { case (syms, n) =>
+            syms.iterator.zip(syms.iterator.drop(1)).foreach(p =>
+              pc(p) = pc.getOrElse(p, 0L) + n) }
+          require(pc.nonEmpty, s"q389 fixture exhausted at round $r — grow the fixture")
+          val distinctPairs = pc.size.toLong
+          val ((x, y), cnt) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          var touched = 0L
+          words = words.map { case (syms, n) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            var hit = false
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+                out += (x + y); i += 2; hit = true
+              } else { out += syms(i); i += 1 }
+            }
+            if (hit) { touched += 1; (out.result(), n) } else (syms, n)
+          }
+          merges += ((x, y))
+          cum += touched
+          if (curve(r)) rows +=
+            s"(CAST($r AS BIGINT), CAST($cnt AS BIGINT), CAST($touched AS BIGINT), " +
+              s"CAST($cum AS BIGINT), CAST($distinctPairs AS BIGINT), " +
+              s"'${md5Of(merges.toSeq)}', CAST($nVocab AS BIGINT), CAST(0 AS BIGINT))"
+          r += 1
+        }
+        require(rows.length == 7, s"q389 expected 7 curve rows, got ${rows.length}")
+        s"""SELECT * FROM (VALUES
+           |  ${rows.mkString(",\n  ")})
+           |  AS t(round, best_count, words_touched, cum_touched, distinct_pairs,
+           |       merges_md5, n_vocab_kept, occ_foregone)
+           |ORDER BY round""".stripMargin
+      }
     )
   )
 
@@ -13524,6 +13607,31 @@ object ExtensionQueries {
       "混合 mixed 文本 text 测试 test 用例 case")
     ascii.zipWithIndex.map { case (t, i) => (i.toLong, "ascii", t) } ++
       dense.zipWithIndex.map { case (t, i) => ((100 + i).toLong, "dense", t) }
+  }
+
+  /** q389's literal fixture: 120 documents over a 397-word synthetic
+    * vocabulary (LCG-drawn 6–10 letter words), sized so the byte-level
+    * merge space comfortably exceeds 1000 merges (Σ per-word byte length
+    * ≈ 3.2k candidate merges) — the production-merge-count regime the
+    * scalable trainer exists for, kept literal so the oracle generator
+    * can replay training without corpus access. */
+  private[queries] lazy val q389Fixtures: Seq[(Long, String)] = {
+    def word(i: Int): String = {
+      var st = i * 2654435761L + 97531L
+      val len = 6 + math.floorMod(st >>> 20, 5L).toInt
+      (0 until len).map { _ =>
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ('a' + math.floorMod(st >>> 16, 26L).toInt).toChar
+      }.mkString
+    }
+    var sel = 11L
+    (0 until 120).map { d =>
+      val text = (0 until 40).map { _ =>
+        sel = sel * 6364136223846793005L + 1442695040888963407L
+        word(math.floorMod(sel >>> 16, 397L).toInt)
+      }.mkString(" ")
+      (d.toLong, text)
+    }
   }
 
   /** q109's three literal fixtures — LCG printable noise, LCG common-word

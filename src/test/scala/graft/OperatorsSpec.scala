@@ -1875,6 +1875,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(enc.getAs[Long]("n_bpe_tokens") > 0L)
   }
 
+  test("bpe scalable trainer: delta loop == naive greedy on real text, cap priced, monotone counts (r18 #5)") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60).repartition(7)
+    // merge-for-merge equality against the naive greedy driver trainer at
+    // a merge count that exercises the delta structures hard
+    val sc = Bpe.trainBytesScalable(docs, "text", numMerges = 200)
+    val drv = Bpe.trainBytes(docs, "text", numMerges = 200, sampleDocs = 10000)
+    assert(sc.merges == drv)
+    // and against the per-round distributed trainer (its cost profile is
+    // why the scalable form exists; its ANSWER must agree)
+    assert(Bpe.trainBytesDistributed(docs, "text", 16) == sc.merges.take(16))
+    // uncapped run prices itself as exact
+    assert(sc.nDistinct == sc.nKept && sc.occTotal == sc.occKept)
+    // this slice EXHAUSTS its merge space before 200 (every pre-token a
+    // single symbol) — both trainers must stop at the same round
+    assert(sc.merges.length == drv.length && sc.merges.length >= 100,
+      s"merge space: scalable ${sc.merges.length} vs naive ${drv.length}")
+    // cost-curve invariants: one stat per merge, every round touched >= 1
+    // word, and best counts are NON-INCREASING (a merge-created pair's
+    // count is bounded by the count of the merge that created it)
+    assert(sc.rounds.length == sc.merges.length)
+    assert(sc.rounds.forall(_.wordsTouched >= 1L))
+    sc.rounds.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.bestCount <= a.bestCount,
+        s"best count rose ${a.bestCount} -> ${b.bestCount} at round ${b.round}")
+    }
+    // a BINDING vocab cap is priced, never silent: top-10 pre-tokens kept,
+    // foregone occurrence mass positive, training still deterministic
+    val capped = Bpe.trainBytesScalable(docs, "text", numMerges = 20, maxVocab = 10)
+    assert(capped.nKept == 10L && capped.nDistinct > 10L)
+    assert(capped.occTotal > capped.occKept && capped.occKept > 0L)
+    assert(capped.merges == Bpe.trainBytesScalable(docs, "text", 20, maxVocab = 10).merges)
+  }
+
   test("bpe bytes: distributed trainer equals the driver trainer merge-for-merge (r17)") {
     import spark.implicits._
     import graft.operators.Bpe
