@@ -1665,6 +1665,131 @@ object Similarity {
     rows.toSeq.toDF("round", "hits", "gained")
   }
 
+  /** The two-table bucket-mate kNN graph — round 0 of
+    * [[nnDescentBuildCertificate]] as a standalone BUILDER, so query-time
+    * search ([[graphSearchTopK]]) can run over the same graph the build
+    * certificate starts from: per node, top-`kGraph` by cosine among ids
+    * sharing either hyperplane bucket (two independent plane tables —
+    * one table's bucket boundary cuts are the other's mates). Output
+    * (src, dst), kGraph rows per src with any mates at all. */
+  def bucketMateGraph(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, kGraph: Int, seed2: Int = 1337): DataFrame = {
+    require(kGraph >= 1, "kGraph must be positive")
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bktA",
+        GraftFunctions.hyperplaneBucket(col("v"), bits, DefaultPlaneSeed))
+      .withColumn("bktB",
+        GraftFunctions.hyperplaneBucket(col("v"), bits, seed2))
+    def mates(bkt: String) = base.as("x").join(base.as("y"),
+        col(s"x.$bkt") === col(s"y.$bkt") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+    val scored = mates("bktA").unionByName(mates("bktB")).distinct()
+      .join(base.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
+      .join(base.select(col("id").as("dst"), col("v").as("dv")), Seq("dst"))
+      .select(col("src"), col("dst"), cosine("sv", "dv").as("cs"))
+    val wg = Window.partitionBy("src").orderBy(col("cs").desc, col("dst"))
+    scored.withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= kGraph)
+      .select("src", "dst")
+  }
+
+  /** QUERY-TIME search over a built kNN graph (r18, VERDICT r17 #6):
+    * [[nnDescentBuildCertificate]] builds and certifies the graph; this is
+    * the operator that USES it — the greedy/beam walk every graph-ANN
+    * index (HNSW-family) answers queries with, certified against brute
+    * float truth. Entry points are md5-SEEDED: the `nEntry` corpus ids
+    * minimizing md5(id) — deterministic, engine-replayable, and corpus-
+    * stable across partitionings (no RNG to ship). Per beam width b: the
+    * frontier is the top-b of everything VISITED so far (best-first beam
+    * over the visited pool); each hop expands the frontier's graph
+    * neighbors, scores only the NEW candidates (one keyed join — work per
+    * hop ∝ frontier×degree, never corpus size), and the answer is the
+    * top-k of the visited pool after `maxHops` hops.
+    *
+    * Output: one row per (probe, beam) — hops, n_visited (the whole cost
+    * of the query, in scored candidates), hits@k vs the exact float
+    * top-k, recall_pct. Greedy is beam=1; running beams (1, b) in one
+    * call prices exactly what beam width buys — the spec pins beam ≥
+    * greedy recall in aggregate on real embeddings (per-probe the walk
+    * can diverge: a wider frontier explores a different region).
+    *
+    * Scale shape: probes × nEntry start rows, then per hop one
+    * frontier→graph join + one scoring join, both keyed; the corpus never
+    * cross-joins (only the probe-restricted TRUTH side is brute force,
+    * same as every recall certificate here). All hop state is
+    * probe-keyed and bounded by visited ≤ nEntry + hops·b·degree. */
+  def graphSearchTopK(df: DataFrame, idCol: String, vecCol: String,
+      graph: DataFrame, probeFilter: Column, k: Int, beams: Seq[Int],
+      nEntry: Int = 4, maxHops: Int = 3): DataFrame = {
+    require(k >= 1 && nEntry >= 1 && maxHops >= 0, "k, nEntry >= 1; maxHops >= 0")
+    require(beams.nonEmpty && beams.forall(_ >= 1), "beams must be positive")
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint()
+    val g = graph.select(col("src"), col("dst")).localCheckpoint()
+    // probeFilter references the ORIGINAL df columns; evaluate it there
+    val probeIds = df.filter(probeFilter).select(col(idCol).cast("long").as("pid"))
+    val probeVecs = base.join(probeIds, base("id") === probeIds("pid"))
+      .select(col("pid"), col("v").as("pv")).localCheckpoint()
+    val entries = base
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(nEntry)
+      .select(col("id").as("cid"), col("v").as("cv")).localCheckpoint()
+    val visited0 = probeVecs.crossJoin(broadcast(entries))
+      .filter(col("cid") =!= col("pid"))
+      .select(col("pid"), col("cid"), cosine("pv", "cv").as("cs"))
+      .localCheckpoint()
+    val truth = knnJoin(df, idCol, vecCol, probeFilter, k)
+      .select(col("probe_id").as("pid"), col("neighbor_id").as("cid"))
+      .localCheckpoint()
+    val results = beams.distinct.sorted.map { b =>
+      var vis = visited0
+      val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
+      (1 to maxHops).foreach { _ =>
+        val frontier = vis.withColumn("__rn", row_number().over(wf))
+          .filter(col("__rn") <= b).select("pid", "cid")
+        val cand = frontier.join(g, frontier("cid") === g("src"))
+          .select(col("pid"), col("dst").as("cid")).distinct()
+          .filter(col("cid") =!= col("pid"))
+          .join(vis.select("pid", "cid"), Seq("pid", "cid"), "left_anti")
+        val scored = cand
+          .join(base.select(col("id").as("cid"), col("v").as("cv")), Seq("cid"))
+          .join(probeVecs, Seq("pid"))
+          .select(col("pid"), col("cid"), cosine("pv", "cv").as("cs"))
+        val prev = vis
+        vis = prev.unionByName(scored).localCheckpoint()
+        // visited0 is shared across beam widths — only intra-beam hop
+        // states are disposable here
+        if (prev ne visited0)
+          graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
+      }
+      val top = vis.withColumn("__rn", row_number().over(wf))
+        .filter(col("__rn") <= k).select("pid", "cid")
+      val stats = vis.groupBy("pid").agg(count(lit(1)).as("n_visited"))
+        .join(top.join(truth, Seq("pid", "cid"), "left_semi")
+          .groupBy("pid").agg(count(lit(1)).as("hits")), Seq("pid"), "left")
+      // checkpoint the (tiny) per-beam answer BEFORE dropping the visited
+      // pool it derives from — a lazily-evaluated out over an unpersisted
+      // truncated-lineage frame has nothing to recompute from
+      val out = probeIds
+        .join(stats, Seq("pid"), "left")
+        .select(col("pid").as("probe_id"), lit(b.toLong).as("beam"),
+          lit(maxHops.toLong).as("hops"),
+          coalesce(col("n_visited"), lit(0L)).as("n_visited"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_pct", expr(s"hits * 100 div $k"))
+        .localCheckpoint()
+      graft.tools.Hygiene.quietly(vis.unpersist(blocking = false))
+      out
+    }
+    Seq(base, g, probeVecs, entries, visited0, truth).foreach(d =>
+      graft.tools.Hygiene.quietly(d.unpersist(blocking = false)))
+    results.reduce(_ unionByName _)
+  }
+
   /** Margin-based bitext/pair mining (the ratio margin of Artetxe &
     * Schwenk 2019, the ccMatrix/LASER criterion): a candidate pair (x, y)
     * across two corpora is a mined pair when its similarity stands out

@@ -13522,6 +13522,109 @@ object ExtensionQueries {
            |       merges_md5, n_vocab_kept, occ_foregone)
            |ORDER BY round""".stripMargin
       }
+    ),
+
+    // Query-time graph-ANN search (r18, VERDICT r17 #6): q371 builds and
+    // certifies the kNN graph; this gates the operator that USES it — the
+    // greedy/beam walk an HNSW-family index answers queries with. Entry
+    // points are the 4 ids minimizing md5(id) (deterministic, replayed by
+    // the oracle's ORDER BY md5); per beam width (1 = greedy, 4 = beam)
+    // the frontier is the top-b of the visited pool, each hop expands
+    // graph neighbors and scores only NEW candidates, and the row pins
+    // the whole query's cost (n_visited) next to its recall vs brute
+    // float truth. The oracle replays the graph build, the md5-seeded
+    // entries, all three hops of BOTH walks, and both recall counts.
+    QueryDef(
+      "q388_graph_search",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val g = Similarity.bucketMateGraph(e, "vec_id", "embedding",
+          bits = 4, kGraph = 5, seed2 = 1337)
+        Similarity.graphSearchTopK(e, "vec_id", "embedding", g,
+            col("vec_id") % 50 === 0, k = 5, beams = Seq(1, 4),
+            nEntry = 4, maxHops = 3)
+          .orderBy("probe_id", "beam")
+      },
+      Some {
+        def planeVals(seed: Int) =
+          graft.functions.HyperplaneBucket.table(4, 64, seed).zipWithIndex
+            .map { case (row, p) =>
+              s"($p, ${row.map(b => if (b) "1" else "-1").mkString("[", ", ", "]")})"
+            }.mkString(",\n  ")
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        def bucket(planes: String, out: String) =
+          s"""pr$out AS (SELECT e.vec_id, p.idx,
+             |    list_reduce(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * p.w[i+1]), (x,y) -> x + y) AS proj
+             |  FROM embeddings e CROSS JOIN $planes p),
+             |bk$out AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS bkt
+             |  FROM pr$out GROUP BY vec_id)""".stripMargin
+        // one beam walk: frontier = top-b of the visited pool, expand via
+        // g0, score only NEW candidates, three hops
+        def hop(b: Int, h: Int) =
+          s"""f$b${h - 1} AS MATERIALIZED (SELECT pid, cid FROM (
+             |    SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, cid) AS rn
+             |    FROM vb$b${h - 1}) WHERE rn <= $b),
+             |n$b$h AS MATERIALIZED (SELECT DISTINCT f.pid, g.dst AS cid
+             |  FROM f$b${h - 1} f JOIN g0 g ON g.src = f.cid
+             |  WHERE g.dst <> f.pid AND NOT EXISTS (
+             |    SELECT 1 FROM vb$b${h - 1} v WHERE v.pid = f.pid AND v.cid = g.dst)),
+             |s$b$h AS MATERIALIZED (SELECT n.pid, n.cid, ${cos("q.pv", "e.embedding")} AS cs
+             |  FROM n$b$h n JOIN pp q ON q.pid = n.pid
+             |    JOIN embeddings e ON e.vec_id = n.cid),
+             |vb$b$h AS MATERIALIZED (SELECT pid, cid, cs FROM vb$b${h - 1}
+             |  UNION ALL SELECT pid, cid, cs FROM s$b$h)""".stripMargin
+        def beam(b: Int) =
+          s"""vb${b}0 AS MATERIALIZED (SELECT pid, cid, cs FROM v0),
+             |${hop(b, 1)},
+             |${hop(b, 2)},
+             |${hop(b, 3)},
+             |tb$b AS MATERIALIZED (SELECT pid, cid FROM (
+             |    SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, cid) AS rn
+             |    FROM vb${b}3) WHERE rn <= 5),
+             |rb$b AS MATERIALIZED (SELECT p.pid,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM vb${b}3 v WHERE v.pid = p.pid) AS n_visited,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM tb$b t JOIN br ON br.src = t.pid AND br.dst = t.cid
+             |      WHERE t.pid = p.pid) AS hits
+             |  FROM (SELECT DISTINCT pid FROM pp) p)""".stripMargin
+        s"""WITH planesA(idx, w) AS (VALUES
+           |  ${planeVals(Similarity.DefaultPlaneSeed)}),
+           |planesB(idx, w) AS (VALUES
+           |  ${planeVals(1337)}),
+           |${bucket("planesA", "A")},
+           |${bucket("planesB", "B")},
+           |v AS (SELECT e.vec_id AS id, e.embedding AS vec, a.bkt AS ba, b.bkt AS bb
+           |  FROM embeddings e JOIN bkA a USING (vec_id) JOIN bkB b USING (vec_id)),
+           |mt AS (SELECT x.id AS src, y.id AS dst, ${cos("x.vec", "y.vec")} AS cs
+           |  FROM v x JOIN v y ON x.id <> y.id AND (x.ba = y.ba OR x.bb = y.bb)),
+           |g0 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn FROM mt)
+           |  WHERE rn <= 5),
+           |br AS MATERIALIZED (SELECT pid AS src, cid AS dst FROM (
+           |    SELECT p.vec_id AS pid, e.vec_id AS cid,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY ${cos("p.embedding", "e.embedding")} DESC, e.vec_id) AS rn
+           |    FROM embeddings e CROSS JOIN
+           |      (SELECT * FROM embeddings WHERE vec_id % 50 = 0) p
+           |    WHERE e.vec_id <> p.vec_id) WHERE rn <= 5),
+           |ent AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+           |pp AS MATERIALIZED (SELECT vec_id AS pid, embedding AS pv
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |v0 AS MATERIALIZED (SELECT pp.pid, ent.vec_id AS cid,
+           |    ${cos("pp.pv", "ent.embedding")} AS cs
+           |  FROM pp, ent WHERE ent.vec_id <> pp.pid),
+           |${beam(1)},
+           |${beam(4)}
+           |SELECT CAST(pid AS BIGINT) AS probe_id, CAST(1 AS BIGINT) AS beam,
+           |  CAST(3 AS BIGINT) AS hops, n_visited, hits,
+           |  CAST(hits * 100 // 5 AS BIGINT) AS recall_pct FROM rb1
+           |UNION ALL SELECT CAST(pid AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+           |  n_visited, hits, CAST(hits * 100 // 5 AS BIGINT) FROM rb4
+           |ORDER BY probe_id, beam""".stripMargin
+      }
     )
   )
 

@@ -2498,6 +2498,43 @@ class OperatorsSpec extends SparkTestBase {
       -1L -> "label_not_member"), bad.toString)
   }
 
+  test("graph search top-k: beam >= greedy aggregate recall, bounded cost, partition-invariant (r18 #6)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.bucketMateGraph(e, "vec_id", "embedding",
+      bits = 3, kGraph = 4, seed2 = 1337)
+    val rows = Similarity.graphSearchTopK(e, "vec_id", "embedding", g,
+        col("vec_id") % 20 === 0, k = 4, beams = Seq(1, 3), nEntry = 3, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nProbes = e.filter(col("vec_id") % 20 === 0).count()
+    assert(rows.length == 2 * nProbes)
+    // bounded hops and bounded per-query cost: visited <= entries + hops*b*degree
+    rows.foreach { case (_, b, hops, nv, hits, rec) =>
+      assert(hops == 3L)
+      assert(nv <= 3 + 3 * b * 4, s"visited $nv exceeds the frontier-degree bound")
+      assert(hits >= 0L && hits <= 4L && rec == hits * 100 / 4)
+    }
+    // the beam >= greedy law, in AGGREGATE over probes (per probe a wider
+    // frontier can wander differently; summed over the probe set the
+    // wider beam must not lose recall on this fixture)
+    val byBeam = rows.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(byBeam(3L) >= byBeam(1L),
+      s"beam recall ${byBeam(3L)} under greedy ${byBeam(1L)}")
+    // and the walk actually finds things on this graph
+    assert(byBeam(3L) > 0L)
+    // partition invariance: md5 entries, windowed ranks and keyed joins
+    // carry no partition dependence
+    val g2 = Similarity.bucketMateGraph(e.repartition(7), "vec_id", "embedding",
+      bits = 3, kGraph = 4, seed2 = 1337)
+    val rows2 = Similarity.graphSearchTopK(e.repartition(5), "vec_id", "embedding",
+        g2, col("vec_id") % 20 === 0, k = 4, beams = Seq(1, 3), nEntry = 3, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows2.sortBy(t => (t._1, t._2)).toSeq == rows.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
