@@ -778,7 +778,13 @@ object Main {
          else Seq.fill(a.dsirTargets.size)(1000L)).mkString(",")
       graft.engine.CurateResume.stageFingerprints(digest, Seq(
         "near_dup" -> s"mode=${a.nearDupMode}|pct=${a.nearDupPct}",
-        "dsir" -> s"targets=$tgts|mix=$mixCanon"))
+        "dsir" -> s"targets=$tgts|mix=$mixCanon",
+        // r18 (VERDICT r17 #7): the quality gate and packing join the
+        // chain — the Gopher scan is the most expensive stage left
+        // re-running on resume. Shard count is layout-only (same rows
+        // either way) and deliberately NOT in the pack fingerprint.
+        "quality" -> s"minWords=${a.minWords}|spanWords=${a.spanWords}|maxSpanDocs=${a.maxSpanDocs}",
+        "pack" -> s"budget=${a.budget}"))
         .map { case (n, _, fp) => n -> fp }.toMap
     }.getOrElse(Map.empty)
     val resumedStages = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -940,11 +946,45 @@ object Main {
         commitStage("dsir", samp.select("doc_id"), json)
         (json, pinned.join(samp.select("doc_id"), Seq("doc_id"), "left_semi"))
       }
-    val curated = graft.operators.Pipelines.curateAndPack(
-      selected, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,
-      minWords = a.minWords, spanWords = a.spanWords,
-      maxSpanDocs = a.maxSpanDocs, budget = a.budget, keepText = true)
-      .persist()
+    // quality stage (r18, verdict #7): gate + scrub + dedupe + count — the
+    // full-corpus-scan half of curateAndPack. Unlike near_dup/dsir (id
+    // frames), this checkpoint carries the stage's PRODUCT (the cleaned
+    // text): that payload is exactly what a resume must not recompute, so
+    // --work-dir belongs on the same storage tier as the output.
+    import org.apache.spark.sql.functions.col
+    val (qualityJson, cleaned) = resumeStage("quality") match {
+      case Some((qdf, meta)) => (meta, qdf)
+      case None =>
+        val c0 = graft.operators.Pipelines.curateClean(
+          selected, "doc_id", "text", graft.operators.TextAnalysis.DefaultStopwords,
+          minWords = a.minWords, spanWords = a.spanWords,
+          maxSpanDocs = a.maxSpanDocs, keepText = true)
+        // pin before the commit write so packing doesn't re-run the gate
+        val c = if (a.workDir.isDefined) c0.localCheckpoint() else c0
+        val json = s""", "quality_gate": {"min_words": ${a.minWords}, """ +
+          s""""span_words": ${a.spanWords}, "max_span_docs": ${a.maxSpanDocs}}"""
+        commitStage("quality", c, json)
+        (json, c)
+    }
+    // pack stage: the global running-total shuffle; its checkpoint is the
+    // (doc_id, bin_id, bin_offset) assignment — tiny — and resume is one
+    // keyed join against the quality stage's committed frame (the chain
+    // guarantees quality resumed whenever pack's fingerprint matched)
+    val (packJson, packed) = resumeStage("pack") match {
+      case Some((bins, meta)) =>
+        (meta, cleaned
+          .join(bins.select("doc_id", "bin_id", "bin_offset"), Seq("doc_id"))
+          .select(col("doc_id"), col("kept_spans"), col("n_tokens"),
+            col("clean_text"), col("bin_id"), col("bin_offset")))
+      case None =>
+        val p = graft.operators.Packing.packByTokenBudget(
+          cleaned, "doc_id", "n_tokens", a.budget)
+        val pc = if (a.workDir.isDefined) p.localCheckpoint() else p
+        val json = s""", "pack_budget": ${a.budget}"""
+        commitStage("pack", pc.select("doc_id", "bin_id", "bin_offset"), json)
+        (json, pc)
+    }
+    val curated = packed.persist()
     try {
       val kept = curated.count() // materializes curated; the parse cache is now droppable
       parsed.foreach(_.unpersist())
@@ -956,7 +996,7 @@ object Main {
       val resumeJson = if (!a.resume) ""
         else s""", "resumed_stages": ${resumedStages.map(s => "\"" + s + "\"").mkString("[", ", ", "]")}"""
       println(
-        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}$nearDupJson$dsirJson$resumeJson, "out": ${jstr(a.headPath)}}""")
+        s"""{"in_docs": $inDocs, "kept_docs": $kept, "bins": $bins, "budget": ${a.budget}$nearDupJson$dsirJson$qualityJson$packJson$resumeJson, "out": ${jstr(a.headPath)}}""")
     } finally { curated.unpersist(); () }
   }
 

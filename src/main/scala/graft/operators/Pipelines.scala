@@ -39,6 +39,27 @@ object Pipelines {
       maxSpanDocs: Long = 2,
       budget: Long = 256,
       keepText: Boolean = false // true adds clean_text (the export path wants it)
+  ): DataFrame =
+    Packing.packByTokenBudget(
+      curateClean(df, idCol, textCol, stopwords, minWords, spanWords,
+        maxSpanDocs, keepText),
+      idCol, "n_tokens", budget)
+
+  /** The QUALITY half of [[curateAndPack]] — gate, scrub, dedupe, count —
+    * exposed standalone so `curate --work-dir` can checkpoint its output
+    * as a resumable stage (r18, VERDICT r17 #7: at 100 TB the Gopher gate
+    * is a full corpus scan; a failure in packing should not re-pay it).
+    * Output: (idCol, kept_spans, n_tokens[, clean_text]) — exactly the
+    * frame [[Packing.packByTokenBudget]] consumes. */
+  def curateClean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      minWords: Int = 50,
+      spanWords: Int = 5,
+      maxSpanDocs: Long = 2,
+      keepText: Boolean = false
   ): DataFrame = {
     val gated = TextAnalysis.gopherFilter(df, textCol, stopwords, minWords = minWords)
     val scrubbed = Dedup.removeBoilerplateSpans(gated, idCol, textCol, spanWords, maxSpanDocs)
@@ -56,10 +77,8 @@ object Pipelines {
     // plain split size, no regex needed
     val counted = unique.withColumn("n_tokens",
       size(split(col("clean_text"), " ")).cast("long"))
-    val carried =
-      if (keepText) counted.select(col(idCol), col("kept_spans"), col("n_tokens"), col("clean_text"))
-      else counted.select(col(idCol), col("kept_spans"), col("n_tokens"))
-    Packing.packByTokenBudget(carried, idCol, "n_tokens", budget)
+    if (keepText) counted.select(col(idCol), col("kept_spans"), col("n_tokens"), col("clean_text"))
+    else counted.select(col(idCol), col("kept_spans"), col("n_tokens"))
   }
 
   /** Corpus DATASHEET — the one-page summary a dataset release ships

@@ -325,34 +325,52 @@ class CliSpec extends SparkTestBase {
     assert(line1.contains(""""near_dup_removed": 1""") && !line1.contains("resumed_stages"), line1)
     val workDirs = new java.io.File(work).listFiles().map(_.getName).toSet
     assert(workDirs.exists(_.startsWith("near_dup_")) && workDirs.exists(_.startsWith("dsir_")), workDirs)
+    // r18 (#7): the quality gate and packing commit under the SAME chain
+    assert(workDirs.exists(_.startsWith("quality_")) && workDirs.exists(_.startsWith("pack_")), workDirs)
     val ndDir = new java.io.File(work).listFiles().find(_.getName.startsWith("near_dup_")).get
+    val qDir = new java.io.File(work).listFiles().find(_.getName.startsWith("quality_")).get
     assert(new java.io.File(ndDir, graft.engine.CurateResume.CommitMarker).exists())
+    assert(new java.io.File(qDir, graft.engine.CurateResume.CommitMarker).exists())
     val golden = export(dir.resolve("outA").toString)
     // 2. kill-and-resume: the run died after the stages committed — the
     //    resumed run must produce the SAME export without re-running the
-    //    pair join. Proof of non-execution: a sentinel planted in the
-    //    committed meta flows to the summary verbatim (a recompute would
-    //    regenerate the fragment without it).
-    val metaFile = new java.io.File(ndDir, "_meta.json")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
-    java.nio.file.Files.write(metaFile.toPath,
-      (meta + """, "sentinel_replayed": 7""").getBytes("UTF-8"))
-    // the raw edit above bypasses Hadoop's checksummed local FS — drop the
-    // stale .crc sidecar (test-only concern; real resumes never hand-edit)
-    new java.io.File(ndDir, "._meta.json.crc").delete()
+    //    pair join OR the quality-gate corpus scan. Proof of
+    //    non-execution: sentinels planted in the committed metas flow to
+    //    the summary verbatim (a recompute would regenerate the fragment
+    //    without them).
+    def plant(d: java.io.File, sentinel: String): Unit = {
+      val mf = new java.io.File(d, "_meta.json")
+      val meta = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      java.nio.file.Files.write(mf.toPath, (meta + sentinel).getBytes("UTF-8"))
+      // the raw edit bypasses Hadoop's checksummed local FS — drop the
+      // stale .crc sidecar (test-only concern; real resumes never hand-edit)
+      new java.io.File(d, "._meta.json.crc").delete()
+    }
+    plant(ndDir, """, "sentinel_replayed": 7""")
+    plant(qDir, """, "sentinel_quality": 9""")
     val line2 = run(dir.resolve("outB").toString, "--resume")
-    assert(line2.contains(""""resumed_stages": ["near_dup", "dsir"]"""), line2)
+    assert(line2.contains(""""resumed_stages": ["near_dup", "dsir", "quality", "pack"]"""), line2)
     assert(line2.contains(""""sentinel_replayed": 7"""), line2)
+    assert(line2.contains(""""sentinel_quality": 9"""), line2)
     assert(export(dir.resolve("outB").toString) == golden)
     // 3. changed stage params -> different fingerprint -> stage recomputed
-    //    (and the near_dup change invalidates the CHAINED dsir stage too)
+    //    (a near_dup change invalidates EVERY chained later stage)
     val line3 = run(dir.resolve("outC").toString, "--resume", "--near-dup-pct", "60")
     assert(line3.contains(""""resumed_stages": []"""), line3)
-    assert(!line3.contains("sentinel_replayed"), line3)
-    // 4. a torn commit (marker missing) is refused, not trusted
+    assert(!line3.contains("sentinel_replayed") && !line3.contains("sentinel_quality"), line3)
+    // 3b. a changed PACK budget recomputes only the pack stage — the
+    //     expensive upstream three all replay (per-stage invalidation)
+    val line3b = run(dir.resolve("outC2").toString, "--resume", "--budget", "90000")
+    assert(line3b.contains(""""resumed_stages": ["near_dup", "dsir", "quality"]"""), line3b)
+    assert(line3b.contains(""""sentinel_quality": 9"""), line3b)
+    // 4. a torn commit (marker missing) is refused, not trusted — the
+    //    recomputed near_dup is deterministic, so the param-chained
+    //    quality/pack stages still replay
     assert(new java.io.File(ndDir, graft.engine.CurateResume.CommitMarker).delete())
     val line4 = run(dir.resolve("outD").toString, "--resume")
-    assert(line4.contains(""""resumed_stages": ["dsir"]""") && !line4.contains("sentinel_replayed"), line4)
+    assert(line4.contains(""""resumed_stages": ["dsir", "quality", "pack"]""")
+      && !line4.contains("sentinel_replayed"), line4)
+    assert(line4.contains(""""sentinel_quality": 9"""), line4)
     assert(export(dir.resolve("outD").toString) == golden)
     // the recompute re-committed the stage: marker is back
     assert(new java.io.File(ndDir, graft.engine.CurateResume.CommitMarker).exists())
