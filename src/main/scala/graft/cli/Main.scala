@@ -1251,6 +1251,12 @@ object Main {
       require(uncovered == 0L,
         s"--prior $p does not cover the corpus: $uncovered corpus docs have no prior label" +
           " — the prior must come from a clustering of THIS corpus epoch")
+      // one row per doc: a duplicated id fans out every maintenance join
+      // (the audit is per-LABEL and cannot see it)
+      val nRows = sel.count()
+      val nIds = sel.select(col(a.idCol)).distinct().count()
+      require(nRows == nIds,
+        s"--prior $p has ${nRows - nIds} duplicate ${a.idCol} rows — a cluster table labels each doc exactly once")
       sel
     }.getOrElse {
       val cc0 = Dedup.connectedComponents(

@@ -1721,14 +1721,20 @@ object Similarity {
     * cross-joins (only the probe-restricted TRUTH side is brute force,
     * same as every recall certificate here). All hop state is
     * probe-keyed and bounded by visited ≤ nEntry + hops·b·degree. */
-  def graphSearchTopK(df: DataFrame, idCol: String, vecCol: String,
-      graph: DataFrame, probeFilter: Column, k: Int, beams: Seq[Int],
-      nEntry: Int = 4, maxHops: Int = 3): DataFrame = {
-    require(k >= 1 && nEntry >= 1 && maxHops >= 0, "k, nEntry >= 1; maxHops >= 0")
-    require(beams.nonEmpty && beams.forall(_ >= 1), "beams must be positive")
-    val spark = df.sparkSession
-    GraftFunctions.register(spark)
-    import org.apache.spark.sql.expressions.Window
+  /** Shared state of one graph-walk invocation: the renamed corpus, the
+    * graph, probe ids/vectors, the md5-seeded entries, and the scored
+    * hop-0 visited pool — all pinned; [[dispose]] drops the pins once
+    * every derived answer is checkpointed. */
+  private final case class GraphWalkCtx(base: DataFrame, g: DataFrame,
+    probeIds: DataFrame, probeVecs: DataFrame, entries: DataFrame,
+    visited0: DataFrame) {
+    def dispose(): Unit =
+      Seq(base, g, probeVecs, entries, visited0).foreach(d =>
+        graft.tools.Hygiene.quietly(d.unpersist(blocking = false)))
+  }
+
+  private def graphWalkSetup(df: DataFrame, idCol: String, vecCol: String,
+      graph: DataFrame, probeFilter: Column, nEntry: Int): GraphWalkCtx = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint()
     val g = graph.select(col("src"), col("dst")).localCheckpoint()
     // probeFilter references the ORIGINAL df columns; evaluate it there
@@ -1742,30 +1748,50 @@ object Similarity {
       .filter(col("cid") =!= col("pid"))
       .select(col("pid"), col("cid"), cosine("pv", "cv").as("cs"))
       .localCheckpoint()
+    GraphWalkCtx(base, g, probeIds, probeVecs, entries, visited0)
+  }
+
+  /** One beam walk to its final visited pool (checkpointed — caller
+    * unpersists after deriving its answer). */
+  private def beamVisited(ctx: GraphWalkCtx, b: Int, maxHops: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
+    var vis = ctx.visited0
+    (1 to maxHops).foreach { _ =>
+      val frontier = vis.withColumn("__rn", row_number().over(wf))
+        .filter(col("__rn") <= b).select("pid", "cid")
+      val cand = frontier.join(ctx.g, frontier("cid") === ctx.g("src"))
+        .select(col("pid"), col("dst").as("cid")).distinct()
+        .filter(col("cid") =!= col("pid"))
+        .join(vis.select("pid", "cid"), Seq("pid", "cid"), "left_anti")
+      val scored = cand
+        .join(ctx.base.select(col("id").as("cid"), col("v").as("cv")), Seq("cid"))
+        .join(ctx.probeVecs, Seq("pid"))
+        .select(col("pid"), col("cid"), cosine("pv", "cv").as("cs"))
+      val prev = vis
+      vis = prev.unionByName(scored).localCheckpoint()
+      // visited0 is shared across beam widths — only intra-beam hop
+      // states are disposable here
+      if (prev ne ctx.visited0)
+        graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
+    }
+    vis
+  }
+
+  def graphSearchTopK(df: DataFrame, idCol: String, vecCol: String,
+      graph: DataFrame, probeFilter: Column, k: Int, beams: Seq[Int],
+      nEntry: Int = 4, maxHops: Int = 3): DataFrame = {
+    require(k >= 1 && nEntry >= 1 && maxHops >= 0, "k, nEntry >= 1; maxHops >= 0")
+    require(beams.nonEmpty && beams.forall(_ >= 1), "beams must be positive")
+    GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val ctx = graphWalkSetup(df, idCol, vecCol, graph, probeFilter, nEntry)
+    val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
     val truth = knnJoin(df, idCol, vecCol, probeFilter, k)
       .select(col("probe_id").as("pid"), col("neighbor_id").as("cid"))
       .localCheckpoint()
     val results = beams.distinct.sorted.map { b =>
-      var vis = visited0
-      val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
-      (1 to maxHops).foreach { _ =>
-        val frontier = vis.withColumn("__rn", row_number().over(wf))
-          .filter(col("__rn") <= b).select("pid", "cid")
-        val cand = frontier.join(g, frontier("cid") === g("src"))
-          .select(col("pid"), col("dst").as("cid")).distinct()
-          .filter(col("cid") =!= col("pid"))
-          .join(vis.select("pid", "cid"), Seq("pid", "cid"), "left_anti")
-        val scored = cand
-          .join(base.select(col("id").as("cid"), col("v").as("cv")), Seq("cid"))
-          .join(probeVecs, Seq("pid"))
-          .select(col("pid"), col("cid"), cosine("pv", "cv").as("cs"))
-        val prev = vis
-        vis = prev.unionByName(scored).localCheckpoint()
-        // visited0 is shared across beam widths — only intra-beam hop
-        // states are disposable here
-        if (prev ne visited0)
-          graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
-      }
+      val vis = beamVisited(ctx, b, maxHops)
       val top = vis.withColumn("__rn", row_number().over(wf))
         .filter(col("__rn") <= k).select("pid", "cid")
       val stats = vis.groupBy("pid").agg(count(lit(1)).as("n_visited"))
@@ -1774,7 +1800,7 @@ object Similarity {
       // checkpoint the (tiny) per-beam answer BEFORE dropping the visited
       // pool it derives from — a lazily-evaluated out over an unpersisted
       // truncated-lineage frame has nothing to recompute from
-      val out = probeIds
+      val out = ctx.probeIds
         .join(stats, Seq("pid"), "left")
         .select(col("pid").as("probe_id"), lit(b.toLong).as("beam"),
           lit(maxHops.toLong).as("hops"),
@@ -1785,9 +1811,36 @@ object Similarity {
       graft.tools.Hygiene.quietly(vis.unpersist(blocking = false))
       out
     }
-    Seq(base, g, probeVecs, entries, visited0, truth).foreach(d =>
-      graft.tools.Hygiene.quietly(d.unpersist(blocking = false)))
+    ctx.dispose()
+    graft.tools.Hygiene.quietly(truth.unpersist(blocking = false))
     results.reduce(_ unionByName _)
+  }
+
+  /** [[graphSearchTopK]]'s SERVING form: the actual ranked answer list —
+    * (probe_id, rank, neighbor_id) for ONE beam width — rather than the
+    * recall certificate (no brute-force truth side, so this is the one a
+    * query service runs; q390 gates it neighbor-exact and the streaming
+    * twin [[graft.streaming.StreamingSimilarity.graphServeGate]] must
+    * reproduce it row-for-row). Same walk, same md5-seeded entries, same
+    * (cos DESC, id ASC) tie-break. */
+  def graphSearchNeighbors(df: DataFrame, idCol: String, vecCol: String,
+      graph: DataFrame, probeFilter: Column, k: Int, beam: Int,
+      nEntry: Int = 4, maxHops: Int = 3): DataFrame = {
+    require(k >= 1 && beam >= 1 && nEntry >= 1 && maxHops >= 0,
+      "k, beam, nEntry >= 1; maxHops >= 0")
+    GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val ctx = graphWalkSetup(df, idCol, vecCol, graph, probeFilter, nEntry)
+    val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
+    val vis = beamVisited(ctx, beam, maxHops)
+    val out = vis.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("pid").as("probe_id"), col("rank").cast("long").as("rank"),
+        col("cid").as("neighbor_id"))
+      .localCheckpoint()
+    graft.tools.Hygiene.quietly(vis.unpersist(blocking = false))
+    ctx.dispose()
+    out
   }
 
   /** Margin-based bitext/pair mining (the ratio margin of Artetxe &

@@ -545,6 +545,17 @@ class CliSpec extends SparkTestBase {
     }
     assert(ex2.getMessage.contains("does not cover") && ex2.getMessage.contains("1 corpus docs"),
       ex2.getMessage)
+    // a prior with DUPLICATE id rows fans out every maintenance join and
+    // the per-label audit cannot see it — refused by the row-per-doc check
+    val dupPath = dir.resolve("prior_dup").toString
+    Seq((1L, 1L), (1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "cluster").write.parquet(dupPath)
+    val ex3 = intercept[IllegalArgumentException] {
+      Main.runNearDupMaintain(spark, Main.parseArgs(Seq("neardup-maintain",
+        corpusPath, batchPath, dir.resolve("night1e").toString,
+        "--prior", dupPath)))
+    }
+    assert(ex3.getMessage.contains("1 duplicate doc_id rows"), ex3.getMessage)
   }
 
   test("ann-maintain subcommand: drift check, partial refit, published index + certificate JSON (r17)") {

@@ -2447,9 +2447,15 @@ class OperatorsSpec extends SparkTestBase {
     val bc = Seq((101L, 2L), (101L, 6L), (102L, 9L)).toDF("batch_id", "corpus_id")
     val bb = Seq((103L, 104L), (104L, 102L)).toDF("a_doc_id", "b_doc_id")
     val batchIds = Seq(101L, 102L, 103L, 104L, 105L).toDF("doc_id")
-    val got = Dedup.incrementalClusters(prior, "doc_id", bc, bb, batchIds,
-        "a_doc_id", "b_doc_id")
+    val gotDf = Dedup.incrementalClusters(prior, "doc_id", bc, bb, batchIds,
+      "a_doc_id", "b_doc_id")
+    val got = gotDf
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // closure law (r18 #2): the maintained table is itself a valid min-id
+    // prior — the nightly loop feeds tonight's output back as tomorrow's
+    // --prior, and the runtime audit must accept its own producer
+    assert(Dedup.auditPriorLabeling(
+      gotDf.select(col("doc_id"), col("cluster")), "doc_id").count() == 0L)
     val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, // bridge merged {1,5}
       4L -> 4L, 7L -> 7L, 8L -> 8L, 10L -> 10L,

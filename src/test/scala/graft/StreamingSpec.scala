@@ -381,6 +381,44 @@ class StreamingSpec extends SparkTestBase {
     assert(ex.getMessage.contains("doc_id") && ex.getMessage.contains("item_id"))
   }
 
+  test("streaming graph serve gate: broadcast-index walk == batch graphSearchNeighbors row-for-row (r18)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.streaming.StreamingSimilarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.bucketMateGraph(e, "vec_id", "embedding",
+      bits = 3, kGraph = 4, seed2 = 1337).localCheckpoint()
+    val batch = Similarity.graphSearchNeighbors(e, "vec_id", "embedding", g,
+        col("vec_id") % 20 === 0, k = 4, beam = 3, nEntry = 3, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    val idx = StreamingSimilarity.buildServeIndex(e, "vec_id", "embedding", g, nEntry = 3)
+    // probes arrive over TWO stream batches — the gate is stateless, so
+    // delivery slicing cannot change any answer
+    val probeRows = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(probeRows.take(probeRows.size / 2): _*)
+    mem.addData(probeRows.drop(probeRows.size / 2): _*)
+    val q = StreamingSimilarity.graphServeGate(
+        mem.toDF().toDF("probe_id", "vec"), idx, k = 4, beam = 3, maxHops = 3)
+      .writeStream.format("memory").queryName("graph_serve_test")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("graph_serve_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch, s"stream ${got.size} rows vs batch ${batch.size}")
+    // the replica-memory contract fails LOUDLY at build, never as an
+    // executor OOM mid-stream
+    val ex = intercept[IllegalArgumentException] {
+      StreamingSimilarity.buildServeIndex(e, "vec_id", "embedding", g,
+        nEntry = 3, maxIndexRows = 10)
+    }
+    assert(ex.getMessage.contains("int8/binary"), ex.getMessage)
+  }
+
   test("streaming mixture gate: frozen thresholds reproduce the batch rebalance row-for-row (r17b)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
