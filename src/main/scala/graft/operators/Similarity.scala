@@ -1843,6 +1843,96 @@ object Similarity {
     out
   }
 
+  /** Beam walk over the COMPRESSED tier with a float rerank (r18, the
+    * serving composition of [[graphSearchTopK]] × q370's storage tier):
+    * a replica that fits 4× more corpus serves int8 codes, so the WALK
+    * scores quantized — and pays a recall price the certificate must
+    * pin next to what the standard fix (rerank the visited pool in
+    * float) buys back. Per probe: the [[graphSearchNeighbors]] walk with
+    * every cosine computed over the dequantized int8 vectors (params
+    * from ONE corpus pass, the q370 chain), then TWO answers from the
+    * same visited pool — top-k by quantized score, and top-k after
+    * reranking the pool against the float vectors — each scored against
+    * exact float truth. Output per probe: n_visited, hits_quant,
+    * hits_rerank, recall_quant_pct, recall_rerank_pct.
+    *
+    * The rerank costs |visited| float cosines per probe — the pool is
+    * nEntry + hops·beam·degree, so the float vectors are touched only
+    * for a bounded candidate set: exactly the retrieve-rerank contract
+    * the binary tier (q376) certificates at the brute-force layer,
+    * here at the graph-serving layer. */
+  def graphSearchQuantRerank(df: DataFrame, idCol: String, vecCol: String,
+      graph: DataFrame, probeFilter: Column, k: Int, beam: Int,
+      nEntry: Int = 4, maxHops: Int = 3): DataFrame = {
+    require(k >= 1 && beam >= 1 && nEntry >= 1 && maxHops >= 0,
+      "k, beam, nEntry >= 1; maxHops >= 0")
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val params = int8DimParams(df, vecCol)
+    val eq = dequantizeInt8PerDim(
+        quantizeInt8PerDim(df, vecCol, params), "q8", "embq", params)
+      .select(col(idCol).as("id"), col("embq").as("qv")).localCheckpoint()
+    val baseF = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint()
+    val g = graph.select(col("src"), col("dst")).localCheckpoint()
+    val probeIds = df.filter(probeFilter).select(col(idCol).cast("long").as("pid"))
+    val probeQ = eq.join(probeIds, eq("id") === probeIds("pid"))
+      .select(col("pid"), col("qv").as("pq")).localCheckpoint()
+    val probeF = baseF.join(probeIds, baseF("id") === probeIds("pid"))
+      .select(col("pid"), col("v").as("pf")).localCheckpoint()
+    val entries = eq
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(nEntry)
+      .select(col("id").as("cid"), col("qv").as("cq")).localCheckpoint()
+    val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
+    var vis = probeQ.crossJoin(broadcast(entries))
+      .filter(col("cid") =!= col("pid"))
+      .select(col("pid"), col("cid"), cosine("pq", "cq").as("cs"))
+      .localCheckpoint()
+    (1 to maxHops).foreach { _ =>
+      val frontier = vis.withColumn("__rn", row_number().over(wf))
+        .filter(col("__rn") <= beam).select("pid", "cid")
+      val cand = frontier.join(g, frontier("cid") === g("src"))
+        .select(col("pid"), col("dst").as("cid")).distinct()
+        .filter(col("cid") =!= col("pid"))
+        .join(vis.select("pid", "cid"), Seq("pid", "cid"), "left_anti")
+      val scored = cand
+        .join(eq.select(col("id").as("cid"), col("qv").as("cq")), Seq("cid"))
+        .join(probeQ, Seq("pid"))
+        .select(col("pid"), col("cid"), cosine("pq", "cq").as("cs"))
+      val prev = vis
+      vis = prev.unionByName(scored).localCheckpoint()
+      graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
+    }
+    val truth = knnJoin(df, idCol, vecCol, probeFilter, k)
+      .select(col("probe_id").as("pid"), col("neighbor_id").as("cid"))
+      .localCheckpoint()
+    def hitsOf(top: DataFrame, name: String): DataFrame = top
+      .join(truth, Seq("pid", "cid"), "left_semi")
+      .groupBy("pid").agg(count(lit(1)).as(name))
+    val topQuant = vis.withColumn("__rn", row_number().over(wf))
+      .filter(col("__rn") <= k).select("pid", "cid")
+    val reranked = vis.select("pid", "cid")
+      .join(baseF.select(col("id").as("cid"), col("v").as("cv")), Seq("cid"))
+      .join(probeF, Seq("pid"))
+      .select(col("pid"), col("cid"), cosine("pf", "cv").as("cs"))
+    val topRerank = reranked.withColumn("__rn", row_number().over(wf))
+      .filter(col("__rn") <= k).select("pid", "cid")
+    val out = probeIds
+      .join(vis.groupBy("pid").agg(count(lit(1)).as("n_visited")), Seq("pid"), "left")
+      .join(hitsOf(topQuant, "hits_quant"), Seq("pid"), "left")
+      .join(hitsOf(topRerank, "hits_rerank"), Seq("pid"), "left")
+      .select(col("pid").as("probe_id"),
+        coalesce(col("n_visited"), lit(0L)).as("n_visited"),
+        coalesce(col("hits_quant"), lit(0L)).as("hits_quant"),
+        coalesce(col("hits_rerank"), lit(0L)).as("hits_rerank"))
+      .withColumn("recall_quant_pct", expr(s"hits_quant * 100 div $k"))
+      .withColumn("recall_rerank_pct", expr(s"hits_rerank * 100 div $k"))
+      .localCheckpoint()
+    Seq(eq, baseF, g, probeQ, probeF, entries, vis, truth).foreach(d =>
+      graft.tools.Hygiene.quietly(d.unpersist(blocking = false)))
+    out
+  }
+
   /** Margin-based bitext/pair mining (the ratio margin of Artetxe &
     * Schwenk 2019, the ccMatrix/LASER criterion): a candidate pair (x, y)
     * across two corpora is a mined pair when its similarity stands out

@@ -13702,6 +13702,121 @@ object ExtensionQueries {
            |      FROM vv3) WHERE rn <= 5
            |ORDER BY probe_id, rank""".stripMargin
       }
+    ),
+
+    // Compressed-tier graph serving with float rerank (r18, q388 × q370):
+    // a replica serving int8 codes walks the graph on QUANTIZED scores —
+    // and pays a recall price the standard fix (rerank the bounded
+    // visited pool in float) buys back. The gate pins, per probe, the
+    // walk cost and BOTH answers' recall vs float truth: top-k by
+    // quantized score and top-k after the float rerank of the same pool
+    // — the q376 retrieve-rerank contract at the graph-serving layer.
+    // The oracle replays the q370 quantize/dequantize chain, the
+    // float-built graph, the quantized 3-hop walk, the rerank, and both
+    // recall counts.
+    QueryDef(
+      "q391_graph_quant_rerank",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val g = Similarity.bucketMateGraph(e, "vec_id", "embedding",
+          bits = 4, kGraph = 5, seed2 = 1337)
+        Similarity.graphSearchQuantRerank(e, "vec_id", "embedding", g,
+            col("vec_id") % 50 === 0, k = 5, beam = 4, nEntry = 4, maxHops = 3)
+          .orderBy("probe_id")
+      },
+      Some {
+        def planeVals(seed: Int) =
+          graft.functions.HyperplaneBucket.table(4, 64, seed).zipWithIndex
+            .map { case (row, p) =>
+              s"($p, ${row.map(b => if (b) "1" else "-1").mkString("[", ", ", "]")})"
+            }.mkString(",\n  ")
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        def bucket(planes: String, out: String) =
+          s"""pr$out AS (SELECT e.vec_id, p.idx,
+             |    list_reduce(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * p.w[i+1]), (x,y) -> x + y) AS proj
+             |  FROM embeddings e CROSS JOIN $planes p),
+             |bk$out AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS bkt
+             |  FROM pr$out GROUP BY vec_id)""".stripMargin
+        def hop(h: Int) =
+          s"""f${h - 1} AS MATERIALIZED (SELECT pid, cid FROM (
+             |    SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, cid) AS rn
+             |    FROM vv${h - 1}) WHERE rn <= 4),
+             |n$h AS MATERIALIZED (SELECT DISTINCT f.pid, g.dst AS cid
+             |  FROM f${h - 1} f JOIN g0 g ON g.src = f.cid
+             |  WHERE g.dst <> f.pid AND NOT EXISTS (
+             |    SELECT 1 FROM vv${h - 1} v WHERE v.pid = f.pid AND v.cid = g.dst)),
+             |s$h AS MATERIALIZED (SELECT n.pid, n.cid, ${cos("q.pq", "e.embq")} AS cs
+             |  FROM n$h n JOIN ppq q ON q.pid = n.pid
+             |    JOIN eq e ON e.vec_id = n.cid),
+             |vv$h AS MATERIALIZED (SELECT pid, cid, cs FROM vv${h - 1}
+             |  UNION ALL SELECT pid, cid, cs FROM s$h)""".stripMargin
+        s"""WITH mm AS (SELECT i, CAST(min(x) AS DOUBLE) AS mn,
+           |    CAST(max(x) AS DOUBLE) - CAST(min(x) AS DOUBLE) AS rg FROM (
+           |    SELECT unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+           |    FROM embeddings WHERE embedding IS NOT NULL) GROUP BY i),
+           |mml AS (SELECT list(mn ORDER BY i) AS mins, list(rg ORDER BY i) AS rngs FROM mm),
+           |eq AS MATERIALIZED (SELECT vec_id, list_transform(range(len(embedding)), i ->
+           |    CAST(CASE WHEN rngs[i+1] <= 0 THEN mins[i+1]
+           |         ELSE mins[i+1] + least(255.0, greatest(0.0,
+           |           floor((embedding[i+1]::DOUBLE - mins[i+1]) * 255.0 / rngs[i+1])))
+           |           * rngs[i+1] / 255.0 END AS REAL)) AS embq
+           |  FROM embeddings, mml),
+           |planesA(idx, w) AS (VALUES
+           |  ${planeVals(Similarity.DefaultPlaneSeed)}),
+           |planesB(idx, w) AS (VALUES
+           |  ${planeVals(1337)}),
+           |${bucket("planesA", "A")},
+           |${bucket("planesB", "B")},
+           |v AS (SELECT e.vec_id AS id, e.embedding AS vec, a.bkt AS ba, b.bkt AS bb
+           |  FROM embeddings e JOIN bkA a USING (vec_id) JOIN bkB b USING (vec_id)),
+           |mt AS (SELECT x.id AS src, y.id AS dst, ${cos("x.vec", "y.vec")} AS cs
+           |  FROM v x JOIN v y ON x.id <> y.id AND (x.ba = y.ba OR x.bb = y.bb)),
+           |g0 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn FROM mt)
+           |  WHERE rn <= 5),
+           |br AS MATERIALIZED (SELECT pid AS src, cid AS dst FROM (
+           |    SELECT p.vec_id AS pid, e.vec_id AS cid,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY ${cos("p.embedding", "e.embedding")} DESC, e.vec_id) AS rn
+           |    FROM embeddings e CROSS JOIN
+           |      (SELECT * FROM embeddings WHERE vec_id % 50 = 0) p
+           |    WHERE e.vec_id <> p.vec_id) WHERE rn <= 5),
+           |ent AS MATERIALIZED (SELECT eq.vec_id, eq.embq FROM eq
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+           |ppq AS MATERIALIZED (SELECT vec_id AS pid, embq AS pq
+           |  FROM eq WHERE vec_id % 50 = 0),
+           |ppf AS MATERIALIZED (SELECT vec_id AS pid, embedding AS pf
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |vv0 AS MATERIALIZED (SELECT ppq.pid, ent.vec_id AS cid,
+           |    ${cos("ppq.pq", "ent.embq")} AS cs
+           |  FROM ppq, ent WHERE ent.vec_id <> ppq.pid),
+           |${hop(1)},
+           |${hop(2)},
+           |${hop(3)},
+           |tq AS (SELECT pid, cid FROM (
+           |    SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, cid) AS rn
+           |    FROM vv3) WHERE rn <= 5),
+           |rr AS MATERIALIZED (SELECT v.pid, v.cid, ${cos("p.pf", "e.embedding")} AS cs
+           |  FROM vv3 v JOIN ppf p ON p.pid = v.pid
+           |    JOIN embeddings e ON e.vec_id = v.cid),
+           |tr AS (SELECT pid, cid FROM (
+           |    SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, cid) AS rn
+           |    FROM rr) WHERE rn <= 5),
+           |res AS (SELECT p.pid,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM vv3 v WHERE v.pid = p.pid) AS n_visited,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM tq t JOIN br ON br.src = t.pid AND br.dst = t.cid
+           |      WHERE t.pid = p.pid) AS hits_quant,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM tr t JOIN br ON br.src = t.pid AND br.dst = t.cid
+           |      WHERE t.pid = p.pid) AS hits_rerank
+           |  FROM (SELECT DISTINCT pid FROM ppq) p)
+           |SELECT CAST(pid AS BIGINT) AS probe_id, n_visited, hits_quant, hits_rerank,
+           |  CAST(hits_quant * 100 // 5 AS BIGINT) AS recall_quant_pct,
+           |  CAST(hits_rerank * 100 // 5 AS BIGINT) AS recall_rerank_pct
+           |FROM res ORDER BY probe_id""".stripMargin
+      }
     )
   )
 

@@ -2541,6 +2541,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows2.sortBy(t => (t._1, t._2)).toSeq == rows.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("graph quant-rerank walk: rerank recovers recall in aggregate, bounded pool, partition-invariant (r18)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.bucketMateGraph(e, "vec_id", "embedding",
+      bits = 3, kGraph = 4, seed2 = 1337).localCheckpoint()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.graphSearchQuantRerank(df, "vec_id", "embedding", g,
+          col("vec_id") % 20 === 0, k = 4, beam = 3, nEntry = 3, maxHops = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    val rows = run(e)
+    val nProbes = e.filter(col("vec_id") % 20 === 0).count()
+    assert(rows.length == nProbes)
+    rows.foreach { case (_, nv, hq, hr, rq, rr) =>
+      assert(nv <= 3 + 3 * 3 * 4, s"visited $nv exceeds the frontier-degree bound")
+      assert(hq >= 0L && hq <= 4L && hr >= 0L && hr <= 4L)
+      assert(rq == hq * 100 / 4 && rr == hr * 100 / 4)
+    }
+    // the retrieve-rerank claim, in AGGREGATE: the float rerank of the
+    // SAME visited pool never loses recall to the quantized ranking on
+    // this fixture (per probe the quantized order can luck into a truth
+    // row the float order ranks k+1th, so the law is aggregate)
+    val sq = rows.map(_._3).sum
+    val sr = rows.map(_._4).sum
+    assert(sr >= sq, s"rerank $sr under quant $sq")
+    assert(sr > 0L)
+    // partition invariance
+    assert(run(e.repartition(7)).sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
   test("nn-descent build: monotone per-round hits, fixpoint early exit (r17)") {
     import graft.operators.Similarity
     // real embedding slice: hits must be monotone nondecreasing round to
