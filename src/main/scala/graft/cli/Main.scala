@@ -126,6 +126,11 @@ object Main {
       maxHamming: Int = 3,
       maxPostings: Int = 500,
       priorPath: Option[String] = None,
+      // bpe-train subcommand (r18): merge count, vocab cap, optional
+      // corpus encode output (the budget-ready per-doc token counts)
+      bpeMerges: Int = 1000,
+      maxVocab: Int = 1 << 22,
+      encodeOut: Option[String] = None,
       // embedding-datasheet subcommand (r17b)
       probeMod: Long = 50L,
       minNormX100: Int = 50,
@@ -148,7 +153,7 @@ object Main {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain" | "mixture-plan" | "embedding-datasheet" | "neardup-maintain") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain" | "mixture-plan" | "embedding-datasheet" | "neardup-maintain" | "bpe-train") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -280,6 +285,9 @@ object Main {
       case "--min-norm-x100" => na = na.copy(minNormX100 = need("--min-norm-x100").toInt)
       case "--max-norm-x100" => na = na.copy(maxNormX100 = need("--max-norm-x100").toInt)
       case "--base-vecs" => na = na.copy(baseVecs = Some(need("--base-vecs")))
+      case "--merges" => na = na.copy(bpeMerges = need("--merges").toInt)
+      case "--max-vocab" => na = na.copy(maxVocab = need("--max-vocab").toInt)
+      case "--encode-out" => na = na.copy(encodeOut = Some(need("--encode-out")))
       case "--max-hamming" =>
         na = na.copy(maxHamming = need("--max-hamming").toInt)
         require(na.maxHamming >= 0 && na.maxHamming <= 3,
@@ -369,6 +377,11 @@ object Main {
         require(a.budgetDocs > 0 || a.budgetTokens > 0,
           "mixture-plan needs --budget-docs and/or --budget-tokens")
         a.copy(basePath = positional.head, model = "mixture-plan")
+      case "bpe-train" =>
+        require(positional.length >= 2, "bpe-train requires <docsPath> <outDir>")
+        require(a.bpeMerges >= 1, "--merges must be positive")
+        require(a.maxVocab >= 1, "--max-vocab must be positive")
+        a.copy(basePath = positional(0), outPath = positional(1), model = "bpe-train")
       case "neardup-maintain" =>
         require(positional.length >= 3,
           "neardup-maintain requires <corpusDocs> <batchDocs> <outDir>")
@@ -1204,6 +1217,55 @@ object Main {
       s""""binary_recall": {"mean_pct": $binMean, "min_pct": $binMin}$driftJson}""")
   }
 
+  /** `bpe-train <docsPath> <outDir> [--text-col c --merges N --max-vocab V
+    * --encode-out PATH --id-col c]` — production tokenizer training from
+    * the shell (r18, the q389 trainer's CLI): ONE distributed pre-token
+    * count, the delta-maintained driver merge loop
+    * ([[graft.operators.Bpe.trainBytesScalable]]), the merge table
+    * written as `<out>/merges` parquet — (rank, a, b) as BINARY columns,
+    * byte-exact for any alphabet — and one JSON line with the merge-table
+    * md5, the vocab-cap pricing (`cap_exact: true` = nothing foregone —
+    * the same zero-foregone certificate shape the LSH caps print), and
+    * the final round's winning count (the "was numMerges enough"
+    * signal: a high final count means the vocabulary still had mass to
+    * merge). `--encode-out` additionally encodes the corpus with the
+    * trained merges (distributed, broadcast ranks) and writes per-doc
+    * (id, n_bpe_tokens, token_mass_bytes) — the budget-ready counts a
+    * mixture-plan run consumes. */
+  def runBpeTrain(spark: SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Bpe
+    val df = spark.read.parquet(a.basePath)
+    require(df.columns.contains(a.textCol),
+      s"bpe-train needs '${a.textCol}' column (saw ${df.columns.mkString(", ")})")
+    val t = Bpe.trainBytesScalable(df, a.textCol, a.bpeMerges, a.maxVocab)
+    val sp = spark
+    import sp.implicits._
+    t.merges.zipWithIndex.map { case ((x, y), r) =>
+      (r.toLong, x.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        y.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }.toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"${a.outPath}/merges")
+    val encodeJson = a.encodeOut.map { p =>
+      require(df.columns.contains(a.idCol),
+        s"--encode-out needs '${a.idCol}' column (saw ${df.columns.mkString(", ")})")
+      Bpe.encodeBytes(df, a.idCol, a.textCol, t.merges)
+        .select(col(a.idCol), col("n_bpe_tokens"), col("token_mass_bytes"))
+        .write.mode("overwrite").parquet(p)
+      val enc = spark.read.parquet(p)
+        .agg(count(lit(1)).as("n"), coalesce(sum("n_bpe_tokens"), lit(0L)).as("t"))
+        .head()
+      s""", "encoded_docs": ${enc.getLong(0)}, "total_tokens": ${enc.getLong(1)}, """ +
+        s""""encode_out": ${jsonStr(p)}"""
+    }.getOrElse("")
+    val lastCount = t.rounds.lastOption.map(_.bestCount).getOrElse(0L)
+    println(s"""{"n_merges": ${t.merges.length}, "merges_md5": "${Bpe.mergesMd5(t.merges)}", """ +
+      s""""n_distinct_pretokens": ${t.nDistinct}, "n_kept": ${t.nKept}, """ +
+      s""""occ_total": ${t.occTotal}, "occ_kept": ${t.occKept}, """ +
+      s""""cap_exact": ${t.occTotal == t.occKept}, "final_best_count": $lastCount""" +
+      encodeJson + s""", "out": ${jsonStr(a.outPath)}}""")
+  }
+
   /** `neardup-maintain <corpusDocs> <batchDocs> <outDir> [--id-col c
     * --text-col c --max-hamming N --max-postings N --prior PATH]` — the
     * nightly NEAR-DUP loop from the shell (r17b), the text twin of
@@ -1560,6 +1622,8 @@ object Main {
       |       embedding-datasheet <vecsPath> [--id-col COL] [--vec-col COL]
       |            [--probe-mod N] [--min-norm-x100 N] [--max-norm-x100 N]
       |            [--base-vecs PATH]
+      |       bpe-train <docsPath> <outDir> [--text-col COL] [--merges N]
+      |            [--max-vocab V] [--encode-out PATH] [--id-col COL]
       |       neardup-maintain <corpusDocs> <batchDocs> <outDir> [--id-col COL]
       |            [--text-col COL] [--max-hamming N] [--max-postings N]
       |            [--prior PATH]""".stripMargin
@@ -1629,6 +1693,7 @@ object Main {
       if (a.command == "release-manifest") { runReleaseManifest(spark, a); return }
       if (a.command == "datasheet") { runDatasheet(spark, a); return }
       if (a.command == "ann-maintain") { runAnnMaintain(spark, a); return }
+      if (a.command == "bpe-train") { runBpeTrain(spark, a); return }
       if (a.command == "mixture-plan") { runMixturePlan(spark, a); return }
       if (a.command == "embedding-datasheet") { runEmbeddingDatasheet(spark, a); return }
       if (a.command == "neardup-maintain") { runNearDupMaintain(spark, a); return }

@@ -558,6 +558,53 @@ class CliSpec extends SparkTestBase {
     assert(ex3.getMessage.contains("1 duplicate doc_id rows"), ex3.getMessage)
   }
 
+  test("bpe-train subcommand: merges roundtrip == driver trainer, cap pricing, encode-out (r18)") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("bpe-train", "/d")))
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("bpe-train", "/d", "/o", "--merges", "0")))
+    val dir = Files.createTempDirectory("graft_bpetrain_")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the rat"),
+      (3L, "a mat and a rat and a cat")).toDF("doc_id", "text")
+    val in = dir.resolve("docs").toString
+    docs.write.parquet(in)
+    val out = dir.resolve("tok").toString
+    val enc = dir.resolve("enc").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.runBpeTrain(spark, Main.parseArgs(Seq("bpe-train", in, out,
+        "--merges", "12", "--encode-out", enc)))
+    }
+    val line = buf.toString("UTF-8").trim
+    assert(line.contains(""""n_merges": 12""") && line.contains(""""cap_exact": true"""), line)
+    // merges roundtrip: the BINARY columns decode to exactly the driver
+    // trainer's table (byte-level tokens survive parquet byte-exact)
+    val got = spark.read.parquet(s"$out/merges").orderBy("rank").collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("a"), "ISO-8859-1"),
+        new String(r.getAs[Array[Byte]]("b"), "ISO-8859-1"))).toSeq
+    val drv = graft.operators.Bpe.trainBytes(docs, "text", 12)
+    assert(got == drv, s"merges diverged: $got vs $drv")
+    // encode-out: one row per doc, counts == direct distributed encode
+    val encDf = spark.read.parquet(enc)
+    assert(encDf.count() == 3)
+    val direct = graft.operators.Bpe.encodeBytes(docs, "doc_id", "text", drv)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    encDf.collect().foreach(r =>
+      assert(direct(r.getLong(0)) == r.getAs[Long]("n_bpe_tokens")))
+    assert(line.contains(""""encoded_docs": 3"""), line)
+    // a BINDING vocab cap prices itself: cap_exact false, foregone mass
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2, true, "UTF-8")) {
+      Main.runBpeTrain(spark, Main.parseArgs(Seq("bpe-train", in,
+        dir.resolve("tok2").toString, "--merges", "5", "--max-vocab", "3")))
+    }
+    val line2 = buf2.toString("UTF-8").trim
+    assert(line2.contains(""""n_kept": 3""") && line2.contains(""""cap_exact": false"""), line2)
+  }
+
   test("ann-maintain subcommand: drift check, partial refit, published index + certificate JSON (r17)") {
     import spark.implicits._
     // parse surface
