@@ -131,6 +131,14 @@ object Main {
       bpeMerges: Int = 1000,
       maxVocab: Int = 1 << 22,
       encodeOut: Option[String] = None,
+      // graph-serve subcommand (r18): build params for the bucket-mate
+      // graph and the beam walk, plus the replica-memory contract bound
+      gsBits: Int = 4,
+      gsKGraph: Int = 5,
+      gsBeam: Int = 4,
+      gsEntries: Int = 4,
+      gsHops: Int = 3,
+      maxIndexRows: Long = 10000000L,
       // embedding-datasheet subcommand (r17b)
       probeMod: Long = 50L,
       minNormX100: Int = 50,
@@ -153,7 +161,7 @@ object Main {
     // legacy shape `dbt-model-diff <model>` (no subcommand) is accepted like
     // the reference's compatibility matrix (test_postgres_e2e.py:205-239)
     val (cmd, rest) = argv match {
-      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain" | "mixture-plan" | "embedding-datasheet" | "neardup-maintain" | "bpe-train") +: tail => (argv.head, tail)
+      case ("diff" | "diff-tables" | "curate" | "advise-layout" | "compact-plan" | "release-manifest" | "datasheet" | "ann-maintain" | "mixture-plan" | "embedding-datasheet" | "neardup-maintain" | "bpe-train" | "graph-serve") +: tail => (argv.head, tail)
       case m +: _ if !m.startsWith("-") => ("diff", argv)
       case _ => ("diff", argv)
     }
@@ -286,6 +294,12 @@ object Main {
       case "--max-norm-x100" => na = na.copy(maxNormX100 = need("--max-norm-x100").toInt)
       case "--base-vecs" => na = na.copy(baseVecs = Some(need("--base-vecs")))
       case "--merges" => na = na.copy(bpeMerges = need("--merges").toInt)
+      case "--bits" => na = na.copy(gsBits = need("--bits").toInt)
+      case "--kgraph" => na = na.copy(gsKGraph = need("--kgraph").toInt)
+      case "--beam" => na = na.copy(gsBeam = need("--beam").toInt)
+      case "--n-entry" => na = na.copy(gsEntries = need("--n-entry").toInt)
+      case "--max-hops" => na = na.copy(gsHops = need("--max-hops").toInt)
+      case "--max-index-rows" => na = na.copy(maxIndexRows = need("--max-index-rows").toLong)
       case "--max-vocab" => na = na.copy(maxVocab = need("--max-vocab").toInt)
       case "--encode-out" => na = na.copy(encodeOut = Some(need("--encode-out")))
       case "--max-hamming" =>
@@ -377,6 +391,14 @@ object Main {
         require(a.budgetDocs > 0 || a.budgetTokens > 0,
           "mixture-plan needs --budget-docs and/or --budget-tokens")
         a.copy(basePath = positional.head, model = "mixture-plan")
+      case "graph-serve" =>
+        require(positional.length >= 3,
+          "graph-serve requires <corpusVecs> <probeVecs> <outDir>")
+        require(a.gsBits >= 1 && a.gsKGraph >= 1 && a.gsBeam >= 1 &&
+          a.gsEntries >= 1 && a.gsHops >= 0 && a.annK >= 1,
+          "--bits/--kgraph/--beam/--n-entry/--k must be >= 1, --max-hops >= 0")
+        a.copy(basePath = positional(0), headPath = positional(1),
+          outPath = positional(2), model = "graph-serve")
       case "bpe-train" =>
         require(positional.length >= 2, "bpe-train requires <docsPath> <outDir>")
         require(a.bpeMerges >= 1, "--merges must be positive")
@@ -1217,6 +1239,50 @@ object Main {
       s""""binary_recall": {"mean_pct": $binMean, "min_pct": $binMin}$driftJson}""")
   }
 
+  /** `graph-serve <corpusVecs> <probeVecs> <outDir> [--id-col c --vec-col c
+    * --k N --beam N --bits N --kgraph N --n-entry N --max-hops N
+    * --max-index-rows N]` — graph-ANN serving from the shell (r18, the
+    * q388/q390/q392 family's CLI): build the bucket-mate kNN graph over
+    * the corpus, collect the serving index (graph + vectors + md5-seeded
+    * entries — REFUSED loudly past `--max-index-rows`, the replica-memory
+    * contract), and answer EVERY probe in `<probeVecs>` with the
+    * broadcast-index row-local beam walk
+    * ([[graft.streaming.StreamingSimilarity.graphServeGate]] — the same
+    * code path the streaming gate runs, here over a batch probe table;
+    * q392 gates it value-exact against the DuckDB walk replay). Probes
+    * are EXTERNAL vectors — any parquet with id + vector columns, not
+    * corpus members. Writes `<out>/answers` (probe_id, rank,
+    * neighbor_id); prints one JSON line with corpus/graph/probe counts
+    * and the entry ids. */
+  def runGraphServe(spark: SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.streaming.StreamingSimilarity
+    val corpus = spark.read.parquet(a.basePath)
+    val probes = spark.read.parquet(a.headPath)
+    Seq("corpus" -> corpus, "probes" -> probes).foreach { case (n, df) =>
+      require(df.columns.contains(a.idCol) && df.columns.contains(a.vecCol),
+        s"graph-serve $n needs '${a.idCol}' and '${a.vecCol}' columns (saw ${df.columns.mkString(", ")})")
+    }
+    val g = Similarity.bucketMateGraph(corpus, a.idCol, a.vecCol,
+      a.gsBits, a.gsKGraph).localCheckpoint()
+    val nEdges = g.count()
+    val idx = StreamingSimilarity.buildServeIndex(corpus, a.idCol, a.vecCol,
+      g, a.gsEntries, a.maxIndexRows)
+    val answers = StreamingSimilarity.graphServeGate(
+        probes.select(col(a.idCol).as("probe_id"), col(a.vecCol).as("vec")),
+        idx, a.annK, a.gsBeam, a.gsHops)
+      .localCheckpoint()
+    answers.write.mode("overwrite").parquet(s"${a.outPath}/answers")
+    val nProbes = probes.count()
+    val nAnswers = answers.count()
+    println(s"""{"n_corpus": ${idx.vecs.size}, "n_edges": $nEdges, """ +
+      s""""n_probes": $nProbes, "n_answers": $nAnswers, """ +
+      s""""k": ${a.annK}, "beam": ${a.gsBeam}, "max_hops": ${a.gsHops}, """ +
+      s""""entries": ${idx.entries.mkString("[", ", ", "]")}, """ +
+      s""""out": ${jsonStr(a.outPath)}}""")
+  }
+
   /** `bpe-train <docsPath> <outDir> [--text-col c --merges N --max-vocab V
     * --encode-out PATH --id-col c]` — production tokenizer training from
     * the shell (r18, the q389 trainer's CLI): ONE distributed pre-token
@@ -1622,6 +1688,9 @@ object Main {
       |       embedding-datasheet <vecsPath> [--id-col COL] [--vec-col COL]
       |            [--probe-mod N] [--min-norm-x100 N] [--max-norm-x100 N]
       |            [--base-vecs PATH]
+      |       graph-serve <corpusVecs> <probeVecs> <outDir> [--id-col COL]
+      |            [--vec-col COL] [--k N] [--beam N] [--bits N] [--kgraph N]
+      |            [--n-entry N] [--max-hops N] [--max-index-rows N]
       |       bpe-train <docsPath> <outDir> [--text-col COL] [--merges N]
       |            [--max-vocab V] [--encode-out PATH] [--id-col COL]
       |       neardup-maintain <corpusDocs> <batchDocs> <outDir> [--id-col COL]
@@ -1694,6 +1763,7 @@ object Main {
       if (a.command == "datasheet") { runDatasheet(spark, a); return }
       if (a.command == "ann-maintain") { runAnnMaintain(spark, a); return }
       if (a.command == "bpe-train") { runBpeTrain(spark, a); return }
+      if (a.command == "graph-serve") { runGraphServe(spark, a); return }
       if (a.command == "mixture-plan") { runMixturePlan(spark, a); return }
       if (a.command == "embedding-datasheet") { runEmbeddingDatasheet(spark, a); return }
       if (a.command == "neardup-maintain") { runNearDupMaintain(spark, a); return }

@@ -13817,6 +13817,91 @@ object ExtensionQueries {
            |  CAST(hits_rerank * 100 // 5 AS BIGINT) AS recall_rerank_pct
            |FROM res ORDER BY probe_id""".stripMargin
       }
+    ),
+
+    // EXTERNAL-probe serving through the broadcast-index row-local walk
+    // (r18, q390's companion): q390 gates the DataFrame walk on corpus
+    // probes; this gates the SERVING code path itself — buildServeIndex +
+    // graphServeGate, the exact code the streaming gate and the
+    // graph-serve CLI run — on probes that are NOT corpus members
+    // (corpus vectors under shifted ids, so the identical twin is
+    // reachable and never self-excluded). The oracle replays the same
+    // walk with the shifted probe table; every guard (`<> pid`) is
+    // vacuous for external ids, which is exactly the semantics the gate
+    // pins.
+    QueryDef(
+      "q392_graph_serve_external",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val g = Similarity.bucketMateGraph(e, "vec_id", "embedding",
+          bits = 4, kGraph = 5, seed2 = 1337)
+        val idx = graft.streaming.StreamingSimilarity.buildServeIndex(
+          e, "vec_id", "embedding", g, nEntry = 4)
+        val probes = e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 500000L).as("probe_id"),
+            col("embedding").as("vec"))
+        graft.streaming.StreamingSimilarity.graphServeGate(
+            probes, idx, k = 5, beam = 4, maxHops = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some {
+        def planeVals(seed: Int) =
+          graft.functions.HyperplaneBucket.table(4, 64, seed).zipWithIndex
+            .map { case (row, p) =>
+              s"($p, ${row.map(b => if (b) "1" else "-1").mkString("[", ", ", "]")})"
+            }.mkString(",\n  ")
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y)
+             | / (sqrt(list_reduce(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE), (x,y) -> x + y))
+             |  * sqrt(list_reduce(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x,y) -> x + y))))""".stripMargin
+        def bucket(planes: String, out: String) =
+          s"""pr$out AS (SELECT e.vec_id, p.idx,
+             |    list_reduce(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * p.w[i+1]), (x,y) -> x + y) AS proj
+             |  FROM embeddings e CROSS JOIN $planes p),
+             |bk$out AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS bkt
+             |  FROM pr$out GROUP BY vec_id)""".stripMargin
+        def hop(h: Int) =
+          s"""f${h - 1} AS MATERIALIZED (SELECT pid, cid FROM (
+             |    SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, cid) AS rn
+             |    FROM vv${h - 1}) WHERE rn <= 4),
+             |n$h AS MATERIALIZED (SELECT DISTINCT f.pid, g.dst AS cid
+             |  FROM f${h - 1} f JOIN g0 g ON g.src = f.cid
+             |  WHERE g.dst <> f.pid AND NOT EXISTS (
+             |    SELECT 1 FROM vv${h - 1} v WHERE v.pid = f.pid AND v.cid = g.dst)),
+             |s$h AS MATERIALIZED (SELECT n.pid, n.cid, ${cos("q.pv", "e.embedding")} AS cs
+             |  FROM n$h n JOIN pp q ON q.pid = n.pid
+             |    JOIN embeddings e ON e.vec_id = n.cid),
+             |vv$h AS MATERIALIZED (SELECT pid, cid, cs FROM vv${h - 1}
+             |  UNION ALL SELECT pid, cid, cs FROM s$h)""".stripMargin
+        s"""WITH planesA(idx, w) AS (VALUES
+           |  ${planeVals(Similarity.DefaultPlaneSeed)}),
+           |planesB(idx, w) AS (VALUES
+           |  ${planeVals(1337)}),
+           |${bucket("planesA", "A")},
+           |${bucket("planesB", "B")},
+           |v AS (SELECT e.vec_id AS id, e.embedding AS vec, a.bkt AS ba, b.bkt AS bb
+           |  FROM embeddings e JOIN bkA a USING (vec_id) JOIN bkB b USING (vec_id)),
+           |mt AS (SELECT x.id AS src, y.id AS dst, ${cos("x.vec", "y.vec")} AS cs
+           |  FROM v x JOIN v y ON x.id <> y.id AND (x.ba = y.ba OR x.bb = y.bb)),
+           |g0 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn FROM mt)
+           |  WHERE rn <= 5),
+           |ent AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+           |pp AS MATERIALIZED (SELECT vec_id + 500000 AS pid, embedding AS pv
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |vv0 AS MATERIALIZED (SELECT pp.pid, ent.vec_id AS cid,
+           |    ${cos("pp.pv", "ent.embedding")} AS cs
+           |  FROM pp, ent WHERE ent.vec_id <> pp.pid),
+           |${hop(1)},
+           |${hop(2)},
+           |${hop(3)}
+           |SELECT CAST(pid AS BIGINT) AS probe_id, CAST(rn AS BIGINT) AS rank,
+           |  CAST(cid AS BIGINT) AS neighbor_id
+           |FROM (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, cid) AS rn
+           |      FROM vv3) WHERE rn <= 5
+           |ORDER BY probe_id, rank""".stripMargin
+      }
     )
   )
 

@@ -558,6 +558,55 @@ class CliSpec extends SparkTestBase {
     assert(ex3.getMessage.contains("1 duplicate doc_id rows"), ex3.getMessage)
   }
 
+  test("graph-serve subcommand: external probes answered by the broadcast-index walk (r18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("graph-serve", "/c", "/p")))
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("graph-serve", "/c", "/p", "/o", "--beam", "0")))
+    val dir = Files.createTempDirectory("graft_gserve_")
+    val corpusPath = "/root/testdata/sf0.001/embeddings.parquet"
+    val e = spark.read.parquet(corpusPath)
+    val probesPath = dir.resolve("probes").toString
+    e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+      .write.parquet(probesPath)
+    val out = dir.resolve("idx").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.runGraphServe(spark, Main.parseArgs(Seq("graph-serve",
+        corpusPath, probesPath, out, "--id-col", "vec_id",
+        "--k", "4", "--beam", "3", "--bits", "3", "--kgraph", "4",
+        "--n-entry", "3")))
+    }
+    val line = buf.toString("UTF-8").trim
+    val nCorpus = e.count()
+    val nProbes = spark.read.parquet(probesPath).count()
+    assert(line.contains(s""""n_corpus": $nCorpus""") &&
+      line.contains(s""""n_probes": $nProbes""") &&
+      line.contains(""""k": 4, "beam": 3"""), line)
+    // the written answers ARE the library serving gate's rows
+    val g = graft.operators.Similarity.bucketMateGraph(e, "vec_id", "embedding",
+      bits = 3, kGraph = 4)
+    val idx = graft.streaming.StreamingSimilarity.buildServeIndex(
+      e, "vec_id", "embedding", g, nEntry = 3)
+    val direct = graft.streaming.StreamingSimilarity.graphServeGate(
+        spark.read.parquet(probesPath)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("vec")),
+        idx, k = 4, beam = 3, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val written = spark.read.parquet(s"$out/answers")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(written == direct && written.nonEmpty)
+    // the replica-memory refusal propagates through the CLI
+    val ex = intercept[IllegalArgumentException] {
+      Main.runGraphServe(spark, Main.parseArgs(Seq("graph-serve",
+        corpusPath, probesPath, dir.resolve("idx2").toString,
+        "--id-col", "vec_id", "--max-index-rows", "5")))
+    }
+    assert(ex.getMessage.contains("int8/binary"), ex.getMessage)
+  }
+
   test("bpe-train subcommand: merges roundtrip == driver trainer, cap pricing, encode-out (r18)") {
     import spark.implicits._
     intercept[IllegalArgumentException](Main.parseArgs(Seq("bpe-train", "/d")))
