@@ -97,6 +97,54 @@ object Packing {
       .drop("__cum", "__start")
   }
 
+  /** FIXED-LENGTH sequence packing with documents CROSSING boundaries
+    * (r18): [[packByTokenBudget]] bins whole documents; a training packer
+    * fills every context window to exactly `seqLen` tokens, SPLITTING the
+    * document that straddles each boundary — this emits that
+    * sample-to-sequence mapping as a per-sequence summary. Over the
+    * deterministic total order of `orderCol`, each document occupies the
+    * token interval [start, start+n) of the concatenated stream; sequence
+    * `s` is the interval [s·seqLen, (s+1)·seqLen); a document contributes
+    * to every sequence its interval intersects. Output, one row per
+    * sequence: (seq_id, n_docs, n_tokens — seqLen everywhere but the tail,
+    * BY CONSTRUCTION, n_split_docs — member docs that cross any
+    * boundary, first_doc, last_doc).
+    *
+    * Zero-token documents sit AT their start offset (they occupy no
+    * interval): they count as members of the sequence containing that
+    * offset, contribute 0 tokens, never split.
+    *
+    * Scale shape: the distributed prefix sum above, then ONE bounded
+    * explode (a doc lands in 1 + ⌊(n−1)/seqLen⌋ sequences — total rows
+    * = docs + crossings, ≤ docs + totalTokens/seqLen) and one seq-keyed
+    * aggregate. No driver state beyond the prefix sum's partition row. */
+  def packFixedSequences(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      seqLen: Long
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    withRunningTotal(df, orderCol, tokenCol, "__cum")
+      .withColumn("__n", coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn("__start", col("__cum") - col("__n"))
+      .withColumn("__first", expr(s"__start div ${seqLen}L"))
+      .withColumn("__last", expr(
+        s"case when __n <= 0 then __start div ${seqLen}L " +
+          s"else (__start + __n - 1) div ${seqLen}L end"))
+      .withColumn("seq_id", explode(expr("sequence(__first, __last)")))
+      .withColumn("__tok_in_seq", expr(
+        s"greatest(0L, least(__start + __n, (seq_id + 1) * ${seqLen}L) - " +
+          s"greatest(__start, seq_id * ${seqLen}L))"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__tok_in_seq")).cast("long").as("n_tokens"),
+        sum(when(col("__first") =!= col("__last"), 1L).otherwise(0L))
+          .cast("long").as("n_split_docs"),
+        min(col(orderCol)).as("first_doc"),
+        max(col(orderCol)).as("last_doc"))
+  }
+
   /** EXCLUSIVE running max of `valueCol` over the total order given by
     * `orderCol` (unique, as in [[withRunningTotal]]): each row gets the max
     * over all STRICTLY EARLIER rows, null for the first. Same two-phase

@@ -13902,6 +13902,49 @@ object ExtensionQueries {
            |      FROM vv3) WHERE rn <= 5
            |ORDER BY probe_id, rank""".stripMargin
       }
+    ),
+
+    // Fixed-length sequence packing with boundary-crossing documents
+    // (r18, q160/packByTokenBudget's missing half): a training packer
+    // fills every context window to EXACTLY seqLen tokens, splitting the
+    // straddling document — this gates the sample-to-sequence mapping.
+    // Every interior sequence's n_tokens = 256 BY CONSTRUCTION (the gate
+    // proves the construction), split membership is counted per
+    // sequence, and first/last doc pin the layout. The oracle replays
+    // the global prefix sum, the per-doc sequence range, the interval
+    // intersections, and the rollup — the distributed two-phase scan
+    // must equal the single-window form exactly.
+    QueryDef(
+      "q393_sequence_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            size(expr("filter(split(coalesce(text, ''), '\\\\s+'), x -> x != '')"))
+              .cast("long").as("n_tok"))
+        Packing.packFixedSequences(docs, "doc_id", "n_tok", seqLen = 256L)
+          .orderBy("seq_id")
+      },
+      Some(raw"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |    CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (SELECT doc_id, n,
+             |    CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) - n AS BIGINT) AS s
+             |  FROM d),
+             |b AS (SELECT doc_id, n, s, s // 256 AS f,
+             |    CASE WHEN n <= 0 THEN s // 256 ELSE (s + n - 1) // 256 END AS l
+             |  FROM c),
+             |x AS (SELECT doc_id, n, s, f, l, CAST(seqs.seq AS BIGINT) AS seq
+             |  FROM b, LATERAL (SELECT unnest(generate_series(f, l)) AS seq) seqs),
+             |p AS (SELECT doc_id, seq,
+             |    greatest(0, least(s + n, (seq + 1) * 256) - greatest(s, seq * 256)) AS t,
+             |    CASE WHEN f <> l THEN 1 ELSE 0 END AS split
+             |  FROM x)
+             |SELECT seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(t) AS BIGINT) AS n_tokens,
+             |  CAST(sum(split) AS BIGINT) AS n_split_docs,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM p GROUP BY seq ORDER BY seq_id""".stripMargin)
     )
   )
 

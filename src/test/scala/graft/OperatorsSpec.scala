@@ -793,6 +793,45 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Packing.packByTokenBudget(df, "doc_id", "toks", 0))
   }
 
+  test("fixed-length sequence packing: hand-checked splits, full interiors, conservation, partition-invariant (r18)") {
+    import spark.implicits._
+    // L=4, docs of 3,5,4,0,2 -> starts 0,3,8,12,12; stream length 14
+    //   seq 0 [0,4): doc1 (3) + doc2 head (1)       -> 2 docs, doc2 splits
+    //   seq 1 [4,8): doc2 middle (4)                -> 1 doc, split member
+    //   seq 2 [8,12): doc3 whole (4)                -> 1 doc, no split
+    //   seq 3 [12,14): doc4 (0 tok, sits at 12) + doc5 (2) -> tail, 2 docs
+    val df = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 0L), (5L, 2L))
+      .toDF("doc_id", "toks")
+    val got = Packing.packFixedSequences(df, "doc_id", "toks", seqLen = 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 4L, 1L, 1L, 2L)),
+      1L -> ((1L, 4L, 1L, 2L, 2L)),
+      2L -> ((1L, 4L, 0L, 3L, 3L)),
+      3L -> ((2L, 2L, 0L, 4L, 5L))), got.toString)
+    // real-shape corpus: every interior sequence holds EXACTLY seqLen
+    // tokens and the total is conserved — the packer's whole contract
+    val docs = (1L to 200L).map(i => (i, (i * 7 % 13) + 1)).toDF("doc_id", "toks")
+    val seqs = Packing.packFixedSequences(docs, "doc_id", "toks", seqLen = 32L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val total = (1L to 200L).map(i => (i * 7 % 13) + 1).sum
+    assert(seqs.values.sum == total, "token conservation")
+    val tail = seqs.keys.max
+    seqs.foreach { case (s, t) =>
+      if (s != tail) assert(t == 32L, s"interior seq $s held $t tokens") }
+    // partition invariance: the two-phase distributed scan == total order
+    val got7 = Packing.packFixedSequences(docs.repartition(7), "doc_id", "toks", 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val got1 = Packing.packFixedSequences(docs.coalesce(1), "doc_id", "toks", 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(got7 == got1)
+    intercept[IllegalArgumentException](
+      Packing.packFixedSequences(df, "doc_id", "toks", 0L))
+  }
+
   test("cross-corpus contamination: shared-shingle pairs via inverted index, hot cap") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),
