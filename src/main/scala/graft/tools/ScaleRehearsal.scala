@@ -92,7 +92,18 @@ object ScaleRehearsal {
     // mapPartitions kernel; replicas keep values identical, so the
     // certificate rows double as a scale-invariance check (see
     // ensureData's embeddings block)
-    "q379_pca_power")
+    "q379_pca_power",
+    // r18: the prior-labeling audit (one aggregate + one window over
+    // documents — the nightly loop's new runtime gate, linear by
+    // construction) and the fixed-length sequence packer (the
+    // distributed two-phase prefix scan + bounded explode — the
+    // decade ratio IS the "no single-task global sort" claim).
+    // q388/q390/q391/q392 are DELIBERATELY absent: replicated
+    // identical embeddings make the bucket-mate graph build quadratic
+    // in copies (the q257-class fixture artifact documented above);
+    // the walk's own per-probe cost is bounded by construction and
+    // evidenced by the gated n_visited column instead.
+    "q387_prior_audit", "q393_sequence_pack")
 
   /** Build (once per source-fixture state) the `copies`× dataset under
     * `outDir`; returns outDir. The done-marker carries a fingerprint of
