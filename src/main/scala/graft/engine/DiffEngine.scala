@@ -846,10 +846,23 @@ object DiffEngine {
     val hSub = head.withColumn("__seg", seg)
       .join(broadcast(differing), col("__seg") === col("seg"), "left_semi")
       .drop("__seg")
-    Seq((segments.toLong, nDiff,
-      added(bSub, hSub, Seq(keyCol)).count(),
-      removed(bSub, hSub, Seq(keyCol)).count(),
-      changed(bSub, hSub, Seq(keyCol), payloadCols).count()))
+    // added/removed/changed in ONE full-outer pass (r18): the three
+    // separate anti/inner-join counts each re-scanned both subsets (and
+    // re-hashed every row) — 3 jobs, 6 scans. The fused join counts
+    // identically: unmatched head rows (added) and base rows (removed)
+    // appear exactly once, matched key pairs multiply exactly as the
+    // inner join did, and the hash filter is unchanged.
+    val b = bSub.select(col(keyCol).as("__k"),
+      rowHash(payloadCols).as("__bh"), lit(1L).as("__bp"))
+    val h = hSub.select(col(keyCol).as("__k"),
+      rowHash(payloadCols).as("__hh"), lit(1L).as("__hp"))
+    val cRow = b.join(h, Seq("__k"), "full_outer").agg(
+      sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("added"),
+      sum(when(col("__hp").isNull, 1L).otherwise(0L)).as("removed"),
+      sum(when(col("__bp").isNotNull && col("__hp").isNotNull &&
+        col("__bh") =!= col("__hh"), 1L).otherwise(0L)).as("changed")).head()
+    def nz(i: Int): Long = if (cRow.isNullAt(i)) 0L else cRow.getLong(i)
+    Seq((segments.toLong, nDiff, nz(0), nz(1), nz(2)))
       .toDF("n_segments", "n_differing", "added", "removed", "changed")
   }
 

@@ -144,6 +144,12 @@ object Bpe {
         .map { case (w, n) => (codePointSyms(w): Seq[String], n) }
         .localCheckpoint()
     val merges = Vector.newBuilder[(String, String)]
+    // checkpoint every 4th rewrite, not every round (r18): the rewrite is
+    // a narrow vocab-sized map, so re-deriving ≤3 of them inside the next
+    // count job is cheaper than an eager materialization job per round —
+    // halves the loop's job count, merges unchanged
+    var lastCkpt = words
+    var sinceCkpt = 0
     var it = 0
     var done = false
     while (it < numMerges && !done) {
@@ -158,7 +164,6 @@ object Bpe {
         val x = best(0).getString(0); val y = best(0).getString(1)
         merges += ((x, y))
         val xy = x + y
-        val prev = words
         words = words.map { case (syms, n) =>
           val out = Seq.newBuilder[String]
           var i = 0
@@ -167,12 +172,18 @@ object Bpe {
             else { out += syms(i); i += 1 }
           }
           (out.result(), n)
-        }.localCheckpoint()
-        graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
+        }
+        sinceCkpt += 1
+        if (sinceCkpt >= 4) {
+          words = words.localCheckpoint()
+          graft.tools.Hygiene.quietly(lastCkpt.unpersist(blocking = false))
+          lastCkpt = words
+          sinceCkpt = 0
+        }
         it += 1
       }
     }
-    graft.tools.Hygiene.quietly(words.unpersist(blocking = false))
+    graft.tools.Hygiene.quietly(lastCkpt.unpersist(blocking = false))
     merges.result()
   }
 
@@ -318,6 +329,9 @@ object Bpe {
         .map { case (w, n) => (byteSyms(w): Seq[String], n) }
         .localCheckpoint()
     val merges = Vector.newBuilder[(String, String)]
+    // checkpoint every 4th rewrite (r18) — see [[trainDistributed]]
+    var lastCkpt = words
+    var sinceCkpt = 0
     var it = 0
     var done = false
     while (it < numMerges && !done) {
@@ -332,7 +346,6 @@ object Bpe {
         val x = best(0).getString(0); val y = best(0).getString(1)
         merges += ((x, y))
         val xy = x + y
-        val prev = words
         words = words.map { case (syms, n) =>
           val out = Seq.newBuilder[String]
           var i = 0
@@ -341,12 +354,18 @@ object Bpe {
             else { out += syms(i); i += 1 }
           }
           (out.result(), n)
-        }.localCheckpoint()
-        graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
+        }
+        sinceCkpt += 1
+        if (sinceCkpt >= 4) {
+          words = words.localCheckpoint()
+          graft.tools.Hygiene.quietly(lastCkpt.unpersist(blocking = false))
+          lastCkpt = words
+          sinceCkpt = 0
+        }
         it += 1
       }
     }
-    graft.tools.Hygiene.quietly(words.unpersist(blocking = false))
+    graft.tools.Hygiene.quietly(lastCkpt.unpersist(blocking = false))
     merges.result()
   }
 

@@ -327,17 +327,22 @@ object Dedup {
     // round-robin exchange a consistent +0.5 s on q231 — simHash's per-row
     // stage (space-split + per-word md5) is light enough that the scan
     // task finishes before the shuffle pays for itself.
+    // the 8 hex digits are projected ONCE per word (r18): aggregate-input
+    // expressions are not common-subexpression-eliminated across the 32
+    // sums, so the substring+conv pair previously re-ran 4x per digit
     val words = df.select(
       col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("__w"))
       .withColumn("__h", md5(col("__w")))
+    val digits = words.select(
+      col(idCol) +: (0 until 8).map(j =>
+        expr(s"cast(conv(substring(__h, ${j + 1}, 1), 16, 10) as int)").as(s"__d$j")): _*)
     val bitCols = (0 until 32).map { b =>
       val j = b / 4 // hex digit index
       val k = 3 - (b % 4) // bit within digit, msb first
-      val d = expr(s"cast(conv(substring(__h, ${j + 1}, 1), 16, 10) as int)")
-      sum((d.divide(lit(1 << k)).cast("int") % 2)).as(s"__b$b")
+      sum((col(s"__d$j").divide(lit(1 << k)).cast("int") % 2)).as(s"__b$b")
     }
-    val agged = words
+    val agged = digits
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"), bitCols: _*)
     val simhash = (0 until 32)
@@ -356,17 +361,20 @@ object Dedup {
     * GENERATION needs the wider hash so the band keyspace doesn't
     * saturate (see [[simHashPairs]]). */
   def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // 16 hex digits projected once per word (r18) — see [[simHash]]
     val words = df.select(
       col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("__w"))
       .withColumn("__h", md5(col("__w")))
+    val digits = words.select(
+      col(idCol) +: (0 until 16).map(j =>
+        expr(s"cast(conv(substring(__h, ${j + 1}, 1), 16, 10) as int)").as(s"__d$j")): _*)
     val bitCols = (0 until 64).map { b =>
       val j = b / 4 // hex digit index
       val k = 3 - (b % 4) // bit within digit, msb first
-      val d = expr(s"cast(conv(substring(__h, ${j + 1}, 1), 16, 10) as int)")
-      sum((d.divide(lit(1 << k)).cast("int") % 2)).as(s"__b$b")
+      sum((col(s"__d$j").divide(lit(1 << k)).cast("int") % 2)).as(s"__b$b")
     }
-    val agged = words
+    val agged = digits
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"), bitCols: _*)
     // bit 0 carries the sign (1L << 63 = Long.MinValue); building the word
@@ -410,8 +418,19 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
     require(maxBucketSize >= 2, "maxBucketSize must be at least 2")
+    simHashPairsFromBands(simHashBands(df, idCol, textCol), idCol,
+      maxHamming, maxBucketSize)
+  }
+
+  /** [[simHashPairs]] over pre-computed bands (r18, see
+    * [[simHashBandsOf]]). */
+  def simHashPairsFromBands(bandsIn: DataFrame, idCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
+    require(maxBucketSize >= 2, "maxBucketSize must be at least 2")
     import org.apache.spark.sql.expressions.Window
-    val bands = simHashBands(df, idCol, textCol)
+    val bands = bandsIn
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("band_idx"), col("band_key")).orderBy(col(idCol))))
       .filter(col("__rn") <= maxBucketSize)
@@ -493,19 +512,37 @@ object Dedup {
     * the batch side is never capped (a batch is bounded by construction).
     * Output: (batch_id, corpus_id, hamming), distinct. */
   def simHashAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 3, maxPostings: Int = 500): DataFrame = {
+      textCol: String, maxHamming: Int = 3, maxPostings: Int = 500): DataFrame =
+    simHashAgainstCorpusFromBands(simHashBands(batch, idCol, textCol),
+      simHashCorpusIndex(corpus, idCol, textCol, maxPostings), idCol, maxHamming)
+
+  /** [[simHashAgainstCorpus]] over a PRE-BANDED batch and a built corpus
+    * index (r18): a pipeline that also needs the batch's self-join pairs
+    * (q386's incremental-cluster feed) bands the batch once and feeds
+    * both legs. */
+  def simHashAgainstCorpusFromBands(batchBands: DataFrame, corpusIndex: DataFrame,
+      idCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
-    simHashBands(batch, idCol, textCol)
+    batchBands
       .select(col(idCol).as("batch_id"), col("simhash64").as("__bsh"),
         col("band_idx"), col("band_key"))
-      .join(simHashCorpusIndex(corpus, idCol, textCol, maxPostings),
-        Seq("band_idx", "band_key"))
+      .join(corpusIndex, Seq("band_idx", "band_key"))
       .select(col("batch_id"), col("corpus_id"),
         expr("bit_count(__bsh ^ corpus_simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** The banded fingerprint table the simhash family builds internally —
+    * exposed (r18) so a pipeline needing several legs over the SAME side
+    * (q386: prior pairs + frozen index from the corpus; cross-leg +
+    * self-pairs from the batch) computes the simhash aggregate once per
+    * side (the aggregate is pinned by the internal checkpoint; the band
+    * explode re-derives lazily per leg, 4 short rows/doc). Columns:
+    * (idCol, simhash64, band_idx, band_key). */
+  def simHashBandsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashBands(df, idCol, textCol)
 
   /** The frozen-epoch half of [[simHashAgainstCorpus]], exposed so a
     * pipeline (or the streaming gate) can band the corpus ONCE per epoch,
@@ -515,10 +552,16 @@ object Dedup {
     * per bucket capped at `maxPostings` (smallest ids win, deterministic —
     * price the cap with [[simHashCapReport]] before destructive use). */
   def simHashCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 500): DataFrame =
+    simHashCorpusIndexFromBands(simHashBands(corpus, idCol, textCol), idCol, maxPostings)
+
+  /** [[simHashCorpusIndex]] over pre-computed bands (r18, see
+    * [[simHashBandsOf]]). */
+  def simHashCorpusIndexFromBands(bands: DataFrame, idCol: String,
       maxPostings: Int = 500): DataFrame = {
     require(maxPostings >= 1, "maxPostings must be positive")
     import org.apache.spark.sql.expressions.Window
-    simHashBands(corpus, idCol, textCol)
+    bands
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("band_idx"), col("band_key")).orderBy(col(idCol))))
       .filter(col("__rn") <= maxPostings)
@@ -1744,6 +1787,10 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     if (edges.isEmpty) return (Seq.empty[(Long, Long)].toDF("id", "component"), 0)
     var lastRdd = ckptRdd(edges)
+    // carry the previous round's count forward (r18): edges.count() per
+    // round re-counted the frame the previous round already counted as
+    // `next` — one job per round for a number already in hand
+    var edgeCount = edges.count()
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxIters) {
@@ -1751,10 +1798,13 @@ object Dedup {
       // min(Γ(u) ∪ {u}); self-loops (u was its own neighborhood min) drop
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      // no intermediate distinct (r18): duplicates cannot change mins2's
+      // MIN aggregate and the round's final distinct dedups the edge set —
+      // one exchange per round saved, identical fixpoint
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // small-star: edges now oriented high→low; re-point u and every
       // smaller neighbor at u's minimum neighbor
       val oriented = large.select(
@@ -1765,8 +1815,9 @@ object Dedup {
         .union(mins2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint()
-      stable = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val nextCount = next.count()
+      stable = nextCount == edgeCount && next.except(edges).isEmpty
+      edgeCount = nextCount
       graft.tools.Hygiene.quietly(lastRdd.foreach(_.unpersist(blocking = false)))
       lastRdd = ckptRdd(next)
       edges = next

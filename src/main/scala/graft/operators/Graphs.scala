@@ -105,7 +105,11 @@ object Graphs {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(level))
         .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+      // visited stays a LAZY union of checkpointed levels (r18): the
+      // per-level eager checkpoint of the whole visited set re-wrote
+      // every labeled node each hop; the anti-join and the final return
+      // read the union of ≤maxHops materialized level frames instead
+      visited = visited.union(next)
       frontier = next
     }
     visited
@@ -141,17 +145,24 @@ object Graphs {
     // One edge endpoint aggregation, normalized to the running L1 mass.
     def propagate(scores: DataFrame, scoreName: String, joinOn: String,
         groupOn: String, outName: String): DataFrame = {
+      // checkpoint the endpoint aggregate ONCE (r18): it feeds both the
+      // L1-total reduction and the normalized output, and lazily it
+      // re-ran the join+aggregate for each — twice per propagate, four
+      // times per HITS round
       val raw = e.join(scores, e(joinOn) === scores("node"))
         .groupBy(col(groupOn).as("node"))
         .agg(sum(col(scoreName)).as("raw"))
+        .localCheckpoint()
       // max(total, 1): a zero L1 mass means every raw is zero, and 0 div 1
       // keeps them zero instead of tripping ANSI division-by-zero.
       val total = math.max(
         Option(raw.agg(sum(col("raw"))).head().get(0)).fold(0L)(_.asInstanceOf[Long]), 1L)
-      nodes.join(raw, Seq("node"), "left")
+      val out = nodes.join(raw, Seq("node"), "left")
         .select(col("node"),
           expr(s"coalesce(raw, 0) * $Scale div $total").as(outName))
         .localCheckpoint()
+      graft.tools.Hygiene.quietly(raw.unpersist(blocking = false))
+      out
     }
     var hubs = nodes.withColumn("hub_x1m", lit(Scale / n)).localCheckpoint()
     var auths: DataFrame = null
@@ -356,8 +367,55 @@ object Graphs {
     * DAG depth × fixed job latency — not the per-wave bookkeeping, so the
     * simpler three-frame form stays. */
   def topoLayers(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int): DataFrame = {
+      maxIters: Int, driverThreshold: Long = 1000000L): DataFrame = {
     require(maxIters >= 1 && maxIters <= 256, "maxIters out of range")
+    // Hybrid execution (r18, the [[graft.operators.Dedup.connectedComponents]]
+    // pattern): model/build DAGs are metadata-sized — below
+    // `driverThreshold` edges the peel runs as driver-side Kahn waves
+    // (one collect, no per-wave job chains; the distributed loop costs
+    // ~7 jobs PER WAVE and q306's 16-deep DAG paid ~112). Above the
+    // threshold the distributed peel below takes over. Identical results:
+    // wave index = level, same maxIters refusal, same cyclic -1 sentinel.
+    val spark0 = edges.sparkSession
+    val probe = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .limit((driverThreshold + 1).toInt).collect()
+    if (probe.length <= driverThreshold) {
+      val edgePairs = probe.map(r => (r.getLong(0), r.getLong(1))).distinct
+      val adj = edgePairs.groupBy(_._1)
+      val indeg = scala.collection.mutable.Map.empty[Long, Int]
+      val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+      edgePairs.foreach { case (a, b) =>
+        nodes += a; nodes += b
+        indeg(b) = indeg.getOrElse(b, 0) + 1
+        indeg.getOrElseUpdate(a, 0)
+      }
+      var frontier: Seq[Long] = nodes.toSeq.filter(n => indeg(n) == 0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      var level = 0
+      while (frontier.nonEmpty && level < maxIters) {
+        frontier.foreach(n => out += ((n, level)))
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { n =>
+          adj.getOrElse(n, Array.empty[(Long, Long)]).foreach { case (_, m) =>
+            indeg(m) -= 1
+            if (indeg(m) == 0) next += m
+          }
+        }
+        frontier = next.toSeq
+        level += 1
+      }
+      if (frontier.nonEmpty)
+        throw new IllegalStateException(
+          s"topoLayers: wave budget maxIters=$maxIters exhausted but the graph " +
+            "still has peelable roots — the DAG is deeper than maxIters, not cyclic; " +
+            "raise maxIters")
+      val peeled = out.map(_._1).toSet
+      val cyclic = nodes.toSeq.filterNot(peeled).map(n => (n, -1))
+      import spark0.implicits._
+      return (out.toSeq ++ cyclic).toDF("node", "level")
+    }
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)

@@ -996,10 +996,11 @@ object Similarity {
       probeFilter: Column, k: Int, dims: Int, outDims: Int,
       seed: Int = DefaultPlaneSeed): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    val src = Par.ensureParallel(df)
     // pin the projection: the 16 interpreted HOF folds would otherwise
     // re-execute in each of the four consumers below (the simHashCapReports
     // advice class — claim one pass, BE one pass)
-    val rp = randomProject(df, vecCol, "__rp", dims, outDims, seed).localCheckpoint()
+    val rp = randomProject(src, vecCol, "__rp", dims, outDims, seed).localCheckpoint()
     val reduced = rp.select(col(idCol), col("__rp"))
     val fullTop = knnJoin(df, idCol, vecCol, probeFilter, k)
       .select(col("probe_id"), col("neighbor_id"))
@@ -1168,7 +1169,9 @@ object Similarity {
     require(dims >= 2 && iters >= 1 && scaleBits >= 1 && scaleBits <= 24,
       s"bad pca params dims=$dims iters=$iters scaleBits=$scaleBits")
     val scale = 1L << scaleBits
-    val q = df.filter(col(vecCol).isNotNull)
+    // guard scan parallelism (r18): the Gram kernel is dims²-heavy per
+    // row, and a single-row-group scan would run it all on one core
+    val q = Par.ensureParallel(df).filter(col(vecCol).isNotNull)
       .select(transform(col(vecCol),
         x => floor(x.cast("double") * scale.toDouble).cast("long")).as("q"))
     val combined = gramPass(q, "q", dims, scaleBits)
@@ -1628,10 +1631,15 @@ object Similarity {
       .join(base.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
       .join(base.select(col("id").as("dst"), col("v").as("dv")), Seq("dst"))
       .select(col("src"), col("dst"), cosine("sv", "dv").as("cs"))
-    def mates(bkt: String) = base.as("x").join(base.as("y"),
+    // round 0 scores INSIDE the bucket self-join (r18, the
+    // [[bucketMateGraph]] optimization): vectors never re-join the pair
+    // list; both-bucket duplicates score bit-identically and max() dedups
+    def matesScored(bkt: String) = base.as("x").join(base.as("y"),
         col(s"x.$bkt") === col(s"y.$bkt") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("src"), col("y.id").as("dst"))
-    var g = topKGraph(score(mates("bktA").unionByName(mates("bktB")).distinct()))
+      .select(col("x.id").as("src"), col("y.id").as("dst"),
+        cosine("x.v", "y.v").as("cs"))
+    var g = topKGraph(matesScored("bktA").unionByName(matesScored("bktB"))
+        .groupBy("src", "dst").agg(max(col("cs")).as("cs")))
       .localCheckpoint()
     val truth = knnJoin(df, idCol, vecCol, col(idCol) % probeMod === 0, kGraph)
       .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
@@ -1683,13 +1691,18 @@ object Similarity {
         GraftFunctions.hyperplaneBucket(col("v"), bits, DefaultPlaneSeed))
       .withColumn("bktB",
         GraftFunctions.hyperplaneBucket(col("v"), bits, seed2))
-    def mates(bkt: String) = base.as("x").join(base.as("y"),
+    // cosine is computed INSIDE the bucket self-join (r18 optimization):
+    // vectors never leave the join — the previous form shuffled the bare
+    // pair list, then joined `base` back TWICE to fetch both vectors (two
+    // extra exchanges carrying the whole corpus). A pair sharing both
+    // buckets scores twice with bit-identical cs; max() dedups it exactly
+    // as the old distinct-then-score did.
+    def matesScored(bkt: String) = base.as("x").join(base.as("y"),
         col(s"x.$bkt") === col(s"y.$bkt") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("src"), col("y.id").as("dst"))
-    val scored = mates("bktA").unionByName(mates("bktB")).distinct()
-      .join(base.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
-      .join(base.select(col("id").as("dst"), col("v").as("dv")), Seq("dst"))
-      .select(col("src"), col("dst"), cosine("sv", "dv").as("cs"))
+      .select(col("x.id").as("src"), col("y.id").as("dst"),
+        cosine("x.v", "y.v").as("cs"))
+    val scored = matesScored("bktA").unionByName(matesScored("bktB"))
+      .groupBy("src", "dst").agg(max(col("cs")).as("cs"))
     val wg = Window.partitionBy("src").orderBy(col("cs").desc, col("dst"))
     scored.withColumn("__rn", row_number().over(wg))
       .filter(col("__rn") <= kGraph)
@@ -1722,60 +1735,122 @@ object Similarity {
     * same as every recall certificate here). All hop state is
     * probe-keyed and bounded by visited ≤ nEntry + hops·b·degree. */
   /** Shared state of one graph-walk invocation: the renamed corpus, the
-    * graph, probe ids/vectors, the md5-seeded entries, and the scored
-    * hop-0 visited pool — all pinned; [[dispose]] drops the pins once
-    * every derived answer is checkpointed. */
-  private final case class GraphWalkCtx(base: DataFrame, g: DataFrame,
-    probeIds: DataFrame, probeVecs: DataFrame, entries: DataFrame,
-    visited0: DataFrame) {
+    * graph, probe ids/vectors, and the scored hop-0 visited pool CROSSED
+    * with the beam-width spine — all persisted LAZILY; [[dispose]] drops
+    * the pins once every derived answer is checkpointed.
+    *
+    * r18 optimization (guide §2.4/§5): the previous form ran EVERY beam
+    * width as its own hop loop and `localCheckpoint`ed (eagerly — one
+    * Spark job each) every setup frame and every hop state: ~15 eager
+    * actions per call, and under AQE each action re-materializes its own
+    * exchange chain (q388 measured 95 jobs for 137 tasks — pure
+    * scheduling overhead). Now all beam widths walk in ONE frame keyed
+    * (pid, beam) — hop algebra is per-(pid, beam)-group identical, so
+    * results are bit-equal — and hop states `persist()` lazily: the
+    * single final action evaluates the whole walk, each hop cached once,
+    * shared subtrees reused. The hop states stay pinned until [[dispose]]
+    * (they are probe-bounded: ≤ nEntry + hops·beam·degree rows per probe,
+    * never corpus-sized). */
+  private final case class GraphWalkCtx(gv: DataFrame,
+    probeIds: DataFrame, beams: Seq[Int], state0: DataFrame) {
     def dispose(): Unit =
-      Seq(base, g, probeVecs, entries, visited0).foreach(d =>
+      Seq(gv, state0).foreach(d =>
         graft.tools.Hygiene.quietly(d.unpersist(blocking = false)))
   }
 
+  /** (cs DESC nulls last, cid ASC) as an array_sort comparator — the exact
+    * tie-break `row_number() OVER (ORDER BY cs DESC, cid)` used before the
+    * r18 array-state rewrite (DECIMAL compares are exact, so the orders
+    * coincide bit-for-bit; a NULL cosine — zero-norm vector — sorts last,
+    * Spark's desc default). */
+  private val visCmp: (Column, Column) => Column = (l, r) => {
+    val (lc, rc) = (l.getField("cs"), r.getField("cs"))
+    when(lc.isNull && rc.isNotNull, 1).when(lc.isNotNull && rc.isNull, -1)
+      .when(lc > rc, -1).when(lc < rc, 1)
+      .when(l.getField("cid") < r.getField("cid"), -1)
+      .when(l.getField("cid") > r.getField("cid"), 1)
+      .otherwise(0)
+  }
+
+  private val emptyVis =
+    expr("CAST(array() AS array<struct<cs:decimal(16,12),cid:bigint>>)")
+
+  /** The walk state lives in ONE row per (probe, beam) — `vis` is the
+    * visited pool as an array<struct<cs, cid>> (r18 restructuring, guide
+    * §2.4/§8): per hop the old form ran a window over the pooled visited
+    * rows, a distinct, an anti-join against the pool, and two scoring
+    * joins — ~7 exchanges per hop per beam width, each a scheduling
+    * round. Here a hop is: explode the row-local top-`beam` frontier
+    * (array_sort on the bounded pool — no window), ONE keyed join against
+    * the vector-carrying graph `gv` scoring cosine in-join (the probe
+    * vector rides the ≤beam frontier rows — fewer bytes than re-joining
+    * it onto every candidate), ONE collect_list back to the state row,
+    * and a row-local dedup/merge (array HOFs over a pool bounded by
+    * nEntry + hops·beam·degree). Same candidate set, same scores, same
+    * tie-breaks — bit-equal output, 3 exchanges per hop for ALL beams. */
   private def graphWalkSetup(df: DataFrame, idCol: String, vecCol: String,
-      graph: DataFrame, probeFilter: Column, nEntry: Int): GraphWalkCtx = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint()
-    val g = graph.select(col("src"), col("dst")).localCheckpoint()
+      graph: DataFrame, probeFilter: Column, nEntry: Int,
+      beams: Seq[Int]): GraphWalkCtx = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // the graph is pre-joined with its dst vectors ONCE (r18): the hop
+    // join scores candidates directly instead of re-joining the corpus
+    val gv = graph.select(col("src"), col("dst"))
+      .join(base.select(col("id").as("dst"), col("v").as("dv")), Seq("dst"))
+      .localCheckpoint()
     // probeFilter references the ORIGINAL df columns; evaluate it there
     val probeIds = df.filter(probeFilter).select(col(idCol).cast("long").as("pid"))
     val probeVecs = base.join(probeIds, base("id") === probeIds("pid"))
-      .select(col("pid"), col("v").as("pv")).localCheckpoint()
+      .select(col("pid"), col("v").as("pv"))
     val entries = base
       .orderBy(md5(col("id").cast("string")), col("id")).limit(nEntry)
-      .select(col("id").as("cid"), col("v").as("cv")).localCheckpoint()
-    val visited0 = probeVecs.crossJoin(broadcast(entries))
+      .select(col("id").as("cid"), col("v").as("cv"))
+    import spark.implicits._
+    val beamsDf = beams.map(_.toLong).toDF("beam")
+    val v0 = probeVecs.crossJoin(broadcast(entries))
       .filter(col("cid") =!= col("pid"))
-      .select(col("pid"), col("cid"), cosine("pv", "cv").as("cs"))
+      .groupBy("pid").agg(
+        collect_list(struct(cosine("pv", "cv").as("cs"), col("cid").as("cid"))).as("vis"))
+    val state0 = probeVecs.join(v0, Seq("pid"), "left")
+      .select(col("pid"), col("pv"), coalesce(col("vis"), emptyVis).as("vis"))
+      .crossJoin(broadcast(beamsDf))
       .localCheckpoint()
-    GraphWalkCtx(base, g, probeIds, probeVecs, entries, visited0)
+    GraphWalkCtx(gv, probeIds, beams, state0)
   }
 
-  /** One beam walk to its final visited pool (checkpointed — caller
-    * unpersists after deriving its answer). */
-  private def beamVisited(ctx: GraphWalkCtx, b: Int, maxHops: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
-    var vis = ctx.visited0
+  /** All beam walks to their final visited pools, one state row per
+    * (pid, beam) — see [[graphWalkSetup]]. Each hop state is
+    * `localCheckpoint`ed (eager): the barrier is load-bearing — a lazy
+    * persist lets AQE's concurrent stages race the cache and recompute
+    * shared subtrees (measured 9x the task count). */
+  private def beamVisited(ctx: GraphWalkCtx, maxHops: Int): DataFrame = {
+    var st = ctx.state0
     (1 to maxHops).foreach { _ =>
-      val frontier = vis.withColumn("__rn", row_number().over(wf))
-        .filter(col("__rn") <= b).select("pid", "cid")
-      val cand = frontier.join(ctx.g, frontier("cid") === ctx.g("src"))
-        .select(col("pid"), col("dst").as("cid")).distinct()
-        .filter(col("cid") =!= col("pid"))
-        .join(vis.select("pid", "cid"), Seq("pid", "cid"), "left_anti")
-      val scored = cand
-        .join(ctx.base.select(col("id").as("cid"), col("v").as("cv")), Seq("cid"))
-        .join(ctx.probeVecs, Seq("pid"))
-        .select(col("pid"), col("cid"), cosine("pv", "cv").as("cs"))
-      val prev = vis
-      vis = prev.unionByName(scored).localCheckpoint()
-      // visited0 is shared across beam widths — only intra-beam hop
-      // states are disposable here
-      if (prev ne ctx.visited0)
+      val frontier = st.select(col("pid"), col("beam"), col("pv"),
+          explode(slice(array_sort(col("vis"), visCmp),
+            lit(1), col("beam").cast("int"))).as("f"))
+        .select(col("pid"), col("beam"), col("pv"), col("f.cid").as("fcid"))
+      val cands = frontier.join(ctx.gv, frontier("fcid") === ctx.gv("src"))
+        .select(col("pid"), col("beam"),
+          struct(cosine("pv", "dv").as("cs"), col("dst").as("cid")).as("c"))
+        .groupBy("pid", "beam").agg(collect_list(col("c")).as("cands"))
+      val prev = st
+      // merge row-locally: a candidate enters the pool iff it is not the
+      // probe itself and not already visited; duplicates within the hop
+      // carry bit-identical (cs, cid) structs, so array_distinct dedups
+      // them exactly as the old per-hop distinct did
+      st = prev.join(cands, Seq("pid", "beam"), "left")
+        .select(col("pid"), col("beam"), col("pv"),
+          concat(col("vis"),
+            filter(array_distinct(coalesce(col("cands"), emptyVis)),
+              c => c.getField("cid") =!= col("pid") &&
+                !exists(col("vis"), v => v.getField("cid") === c.getField("cid"))))
+            .as("vis"))
+        .localCheckpoint()
+      if (prev ne ctx.state0)
         graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
     }
-    vis
+    st
   }
 
   def graphSearchTopK(df: DataFrame, idCol: String, vecCol: String,
@@ -1783,37 +1858,37 @@ object Similarity {
       nEntry: Int = 4, maxHops: Int = 3): DataFrame = {
     require(k >= 1 && nEntry >= 1 && maxHops >= 0, "k, nEntry >= 1; maxHops >= 0")
     require(beams.nonEmpty && beams.forall(_ >= 1), "beams must be positive")
-    GraftFunctions.register(df.sparkSession)
-    import org.apache.spark.sql.expressions.Window
-    val ctx = graphWalkSetup(df, idCol, vecCol, graph, probeFilter, nEntry)
-    val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val beamList = beams.distinct.sorted
+    val ctx = graphWalkSetup(df, idCol, vecCol, graph, probeFilter, nEntry, beamList)
     val truth = knnJoin(df, idCol, vecCol, probeFilter, k)
       .select(col("probe_id").as("pid"), col("neighbor_id").as("cid"))
+    val vis = beamVisited(ctx, maxHops)
+    val top = vis.select(col("pid"), col("beam"),
+        explode(slice(array_sort(col("vis"), visCmp), lit(1), lit(k))).as("t"))
+      .select(col("pid"), col("beam"), col("t.cid").as("cid"))
+    val stats = vis
+      .select(col("pid"), col("beam"), size(col("vis")).cast("long").as("n_visited"))
+      .join(top.join(truth, Seq("pid", "cid"), "left_semi")
+        .groupBy("pid", "beam").agg(count(lit(1)).as("hits")),
+        Seq("pid", "beam"), "left")
+    import spark.implicits._
+    val beamsDf = beamList.map(_.toLong).toDF("beam")
+    // checkpoint the (tiny) answer BEFORE dropping the visited pools it
+    // derives from — a lazily-evaluated out over an unpersisted
+    // truncated-lineage frame has nothing to recompute from
+    val out = ctx.probeIds.crossJoin(broadcast(beamsDf))
+      .join(stats, Seq("pid", "beam"), "left")
+      .select(col("pid").as("probe_id"), col("beam"),
+        lit(maxHops.toLong).as("hops"),
+        coalesce(col("n_visited"), lit(0L)).as("n_visited"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_pct", expr(s"hits * 100 div $k"))
       .localCheckpoint()
-    val results = beams.distinct.sorted.map { b =>
-      val vis = beamVisited(ctx, b, maxHops)
-      val top = vis.withColumn("__rn", row_number().over(wf))
-        .filter(col("__rn") <= k).select("pid", "cid")
-      val stats = vis.groupBy("pid").agg(count(lit(1)).as("n_visited"))
-        .join(top.join(truth, Seq("pid", "cid"), "left_semi")
-          .groupBy("pid").agg(count(lit(1)).as("hits")), Seq("pid"), "left")
-      // checkpoint the (tiny) per-beam answer BEFORE dropping the visited
-      // pool it derives from — a lazily-evaluated out over an unpersisted
-      // truncated-lineage frame has nothing to recompute from
-      val out = ctx.probeIds
-        .join(stats, Seq("pid"), "left")
-        .select(col("pid").as("probe_id"), lit(b.toLong).as("beam"),
-          lit(maxHops.toLong).as("hops"),
-          coalesce(col("n_visited"), lit(0L)).as("n_visited"),
-          coalesce(col("hits"), lit(0L)).as("hits"))
-        .withColumn("recall_pct", expr(s"hits * 100 div $k"))
-        .localCheckpoint()
-      graft.tools.Hygiene.quietly(vis.unpersist(blocking = false))
-      out
-    }
+    graft.tools.Hygiene.quietly(vis.unpersist(blocking = false))
     ctx.dispose()
-    graft.tools.Hygiene.quietly(truth.unpersist(blocking = false))
-    results.reduce(_ unionByName _)
+    out
   }
 
   /** [[graphSearchTopK]]'s SERVING form: the actual ranked answer list —
@@ -1829,14 +1904,12 @@ object Similarity {
     require(k >= 1 && beam >= 1 && nEntry >= 1 && maxHops >= 0,
       "k, beam, nEntry >= 1; maxHops >= 0")
     GraftFunctions.register(df.sparkSession)
-    import org.apache.spark.sql.expressions.Window
-    val ctx = graphWalkSetup(df, idCol, vecCol, graph, probeFilter, nEntry)
-    val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
-    val vis = beamVisited(ctx, beam, maxHops)
-    val out = vis.withColumn("rank", row_number().over(wf))
-      .filter(col("rank") <= k)
-      .select(col("pid").as("probe_id"), col("rank").cast("long").as("rank"),
-        col("cid").as("neighbor_id"))
+    val ctx = graphWalkSetup(df, idCol, vecCol, graph, probeFilter, nEntry, Seq(beam))
+    val vis = beamVisited(ctx, maxHops)
+    val out = vis.select(col("pid"),
+        posexplode(slice(array_sort(col("vis"), visCmp), lit(1), lit(k))))
+      .select(col("pid").as("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.cid").as("neighbor_id"))
       .localCheckpoint()
     graft.tools.Hygiene.quietly(vis.unpersist(blocking = false))
     ctx.dispose()
@@ -1869,38 +1942,51 @@ object Similarity {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
+    // r18 restructuring, the [[graphWalkSetup]] array-state shape over
+    // QUANTIZED vectors: the graph pre-joined with its dst int8 codes
+    // once, the visited pool a row-local array per probe, 3 exchanges
+    // per hop instead of ~7 (see [[beamVisited]] — same algebra, same
+    // scores, bit-equal output).
     val params = int8DimParams(df, vecCol)
     val eq = dequantizeInt8PerDim(
         quantizeInt8PerDim(df, vecCol, params), "q8", "embq", params)
       .select(col(idCol).as("id"), col("embq").as("qv")).localCheckpoint()
-    val baseF = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint()
-    val g = graph.select(col("src"), col("dst")).localCheckpoint()
+    val baseF = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val gq = graph.select(col("src"), col("dst"))
+      .join(eq.select(col("id").as("dst"), col("qv").as("dq")), Seq("dst"))
+      .localCheckpoint()
     val probeIds = df.filter(probeFilter).select(col(idCol).cast("long").as("pid"))
     val probeQ = eq.join(probeIds, eq("id") === probeIds("pid"))
-      .select(col("pid"), col("qv").as("pq")).localCheckpoint()
+      .select(col("pid"), col("qv").as("pq"))
     val probeF = baseF.join(probeIds, baseF("id") === probeIds("pid"))
-      .select(col("pid"), col("v").as("pf")).localCheckpoint()
+      .select(col("pid"), col("v").as("pf"))
     val entries = eq
       .orderBy(md5(col("id").cast("string")), col("id")).limit(nEntry)
-      .select(col("id").as("cid"), col("qv").as("cq")).localCheckpoint()
-    val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
-    var vis = probeQ.crossJoin(broadcast(entries))
+      .select(col("id").as("cid"), col("qv").as("cq"))
+    val v0 = probeQ.crossJoin(broadcast(entries))
       .filter(col("cid") =!= col("pid"))
-      .select(col("pid"), col("cid"), cosine("pq", "cq").as("cs"))
+      .groupBy("pid").agg(
+        collect_list(struct(cosine("pq", "cq").as("cs"), col("cid").as("cid"))).as("vis"))
+    var st = probeQ.join(v0, Seq("pid"), "left")
+      .select(col("pid"), col("pq"), coalesce(col("vis"), emptyVis).as("vis"))
       .localCheckpoint()
     (1 to maxHops).foreach { _ =>
-      val frontier = vis.withColumn("__rn", row_number().over(wf))
-        .filter(col("__rn") <= beam).select("pid", "cid")
-      val cand = frontier.join(g, frontier("cid") === g("src"))
-        .select(col("pid"), col("dst").as("cid")).distinct()
-        .filter(col("cid") =!= col("pid"))
-        .join(vis.select("pid", "cid"), Seq("pid", "cid"), "left_anti")
-      val scored = cand
-        .join(eq.select(col("id").as("cid"), col("qv").as("cq")), Seq("cid"))
-        .join(probeQ, Seq("pid"))
-        .select(col("pid"), col("cid"), cosine("pq", "cq").as("cs"))
-      val prev = vis
-      vis = prev.unionByName(scored).localCheckpoint()
+      val frontier = st.select(col("pid"), col("pq"),
+          explode(slice(array_sort(col("vis"), visCmp), lit(1), lit(beam))).as("f"))
+        .select(col("pid"), col("pq"), col("f.cid").as("fcid"))
+      val cands = frontier.join(gq, frontier("fcid") === gq("src"))
+        .select(col("pid"),
+          struct(cosine("pq", "dq").as("cs"), col("dst").as("cid")).as("c"))
+        .groupBy("pid").agg(collect_list(col("c")).as("cands"))
+      val prev = st
+      st = prev.join(cands, Seq("pid"), "left")
+        .select(col("pid"), col("pq"),
+          concat(col("vis"),
+            filter(array_distinct(coalesce(col("cands"), emptyVis)),
+              c => c.getField("cid") =!= col("pid") &&
+                !exists(col("vis"), v => v.getField("cid") === c.getField("cid"))))
+            .as("vis"))
+        .localCheckpoint()
       graft.tools.Hygiene.quietly(prev.unpersist(blocking = false))
     }
     val truth = knnJoin(df, idCol, vecCol, probeFilter, k)
@@ -1909,16 +1995,20 @@ object Similarity {
     def hitsOf(top: DataFrame, name: String): DataFrame = top
       .join(truth, Seq("pid", "cid"), "left_semi")
       .groupBy("pid").agg(count(lit(1)).as(name))
-    val topQuant = vis.withColumn("__rn", row_number().over(wf))
-      .filter(col("__rn") <= k).select("pid", "cid")
-    val reranked = vis.select("pid", "cid")
-      .join(baseF.select(col("id").as("cid"), col("v").as("cv")), Seq("cid"))
+    val topQuant = st.select(col("pid"),
+        explode(slice(array_sort(col("vis"), visCmp), lit(1), lit(k))).as("t"))
+      .select(col("pid"), col("t.cid").as("cid"))
+    val reranked = st.select(col("pid"), explode(col("vis")).as("t"))
+      .select(col("pid"), col("t.cid").as("cid"))
+      .join(baseF.select(col(s"id").as("cid"), col("v").as("cv")), Seq("cid"))
       .join(probeF, Seq("pid"))
       .select(col("pid"), col("cid"), cosine("pf", "cv").as("cs"))
+    val wf = Window.partitionBy("pid").orderBy(col("cs").desc, col("cid"))
     val topRerank = reranked.withColumn("__rn", row_number().over(wf))
       .filter(col("__rn") <= k).select("pid", "cid")
     val out = probeIds
-      .join(vis.groupBy("pid").agg(count(lit(1)).as("n_visited")), Seq("pid"), "left")
+      .join(st.select(col("pid"), size(col("vis")).cast("long").as("n_visited")),
+        Seq("pid"), "left")
       .join(hitsOf(topQuant, "hits_quant"), Seq("pid"), "left")
       .join(hitsOf(topRerank, "hits_rerank"), Seq("pid"), "left")
       .select(col("pid").as("probe_id"),
@@ -1928,7 +2018,7 @@ object Similarity {
       .withColumn("recall_quant_pct", expr(s"hits_quant * 100 div $k"))
       .withColumn("recall_rerank_pct", expr(s"hits_rerank * 100 div $k"))
       .localCheckpoint()
-    Seq(eq, baseF, g, probeQ, probeF, entries, vis, truth).foreach(d =>
+    Seq(eq, gq, st, truth).foreach(d =>
       graft.tools.Hygiene.quietly(d.unpersist(blocking = false)))
     out
   }

@@ -12660,8 +12660,17 @@ object ExtensionQueries {
         val sp = s
         import sp.implicits._
         val fixt = q368Fixtures.toDF("doc_id", "source", "text")
-        val mergesB = Bpe.trainBytesDistributed(fixt, "text", numMerges = 16)
-        val mergesC = Bpe.trainDistributed(fixt, "text", numMerges = 16)
+        // the two trainers are independent greedy loops whose per-round
+        // jobs are tiny — run them as concurrent driver-side jobs (guide
+        // §2.6) so one loop's scheduling gaps back-fill the other's;
+        // results are unchanged (separate lineages, no shared state)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fB = Future { Bpe.trainBytesDistributed(fixt, "text", numMerges = 16) }
+        val fC = Future { Bpe.trainDistributed(fixt, "text", numMerges = 16) }
+        val mergesB = Await.result(fB, Duration.Inf)
+        val mergesC = Await.result(fC, Duration.Inf)
         val encB = Bpe.encodeBytes(fixt, "doc_id", "text", mergesB)
           .select(col("doc_id"), col("n_bpe_tokens").as("__bt"))
         val encC = Bpe.encodeTokens(fixt, "doc_id", "text", mergesC)
@@ -13326,15 +13335,23 @@ object ExtensionQueries {
           .unionByName(corpus.filter(col("doc_id") % 9 === 1)
             .select((col("doc_id") + 500000L).as("doc_id"),
               concat(col("text"), lit(" zz")).as("text")))
+        // band each side ONCE (r18): the corpus bands feed both the prior
+        // clustering and the frozen index, the batch bands both the
+        // cross-leg and the batch self-pairs — the simhash aggregate (the
+        // expensive per-doc pass, pinned by its internal checkpoint)
+        // previously ran twice per side
+        val corpusBands = Dedup.simHashBandsOf(corpus, "doc_id", "text")
+        val batchBands = Dedup.simHashBandsOf(batch, "doc_id", "text")
         val cc0 = Dedup.connectedComponents(
-          Dedup.simHashPairs(corpus, "doc_id", "text"), "a_doc_id", "b_doc_id")
+          Dedup.simHashPairsFromBands(corpusBands, "doc_id"), "a_doc_id", "b_doc_id")
         val prior = corpus.select(col("doc_id"))
           .join(cc0.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("cluster"))
         val out = Dedup.incrementalClusters(prior, "doc_id",
-          Dedup.simHashAgainstCorpus(batch, corpus, "doc_id", "text"),
-          Dedup.simHashPairs(batch, "doc_id", "text"),
+          Dedup.simHashAgainstCorpusFromBands(batchBands,
+            Dedup.simHashCorpusIndexFromBands(corpusBands, "doc_id"), "doc_id"),
+          Dedup.simHashPairsFromBands(batchBands, "doc_id"),
           batch.select("doc_id"), "a_doc_id", "b_doc_id")
         out.groupBy("cluster").agg(
             count(lit(1)).cast("long").as("n_members"),
