@@ -461,8 +461,16 @@ object Similarity {
     val unionDf = base.select(col(idCol), col(vecCol))
       .unionByName(batch.select(col(idCol), col(vecCol)))
       .localCheckpoint()
-    val frozen = refineCentroids(base, idCol, vecCol, nlist, kmeansIters)
-    val refit = refineCentroids(unionDf, idCol, vecCol, nlist, kmeansIters)
+    // the frozen and refit fits are independent Lloyd chains of tiny
+    // sequential driver jobs — run them concurrently (guide §2.6) so one
+    // chain's scheduling gaps back-fill the other's; centroids unchanged
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fFrozen = Future { refineCentroids(base, idCol, vecCol, nlist, kmeansIters) }
+    val fRefit = Future { refineCentroids(unionDf, idCol, vecCol, nlist, kmeansIters) }
+    val frozen = Await.result(fFrozen, Duration.Inf)
+    val refit = Await.result(fRefit, Duration.Inf)
     val af = assignToCentroids(unionDf, vecCol, frozen)
       .select(col(idCol).as("__mid"), col("cid").as("cid_f"))
     val ar = assignToCentroids(unionDf, vecCol, refit)

@@ -9509,18 +9509,32 @@ object ExtensionQueries {
         val c = t(s, dir, "customer")
           .filter(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey"))
-        def n(d: DataFrame) = d.count()
-        def ndv(d: DataFrame, cname: String) =
-          d.select(cname).distinct().count()
-        val (nLi, nO, nC) = (n(li), n(o), n(c))
+        // ALL ten statistics in ONE action (r18): the per-stat count()
+        // calls were ten sequential driver jobs; the fused scalar plan
+        // (the oracle's own shape) lets AQE run the independent
+        // aggregates' stages concurrently. Values unchanged — and the
+        // est arithmetic stays Scala-side, truncating exactly as before.
+        val statsRow = li
+          .agg(count(lit(1)).as("nli"), countDistinct("l_orderkey").as("dli"))
+          .crossJoin(o.agg(count(lit(1)).as("no"),
+            countDistinct("o_orderkey").as("dok"),
+            countDistinct("o_custkey").as("dock")))
+          .crossJoin(c.agg(count(lit(1)).as("nc"),
+            countDistinct("c_custkey").as("dc")))
+          .crossJoin(li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .agg(count(lit(1)).as("xa")))
+          .crossJoin(o.join(c, o("o_custkey") === c("c_custkey"))
+            .agg(count(lit(1)).as("xb")))
+          .crossJoin(li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .join(c, o("o_custkey") === c("c_custkey"))
+            .agg(count(lit(1)).as("fin")))
+          .head()
+        val Seq(nLi, dLi, nO, dOk, dOck, nC, dC, exactA, exactB, finalRows) =
+          (0 until 10).map(statsRow.getLong)
         // plan A: (li ⋈ o) first, then ⋈ c
-        val estA = nLi * nO / math.max(ndv(li, "l_orderkey"), ndv(o, "o_orderkey"))
-        val exactA = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+        val estA = nLi * nO / math.max(dLi, dOk)
         // plan B: (o ⋈ c) first, then ⋈ li
-        val estB = nO * nC / math.max(ndv(o, "o_custkey"), ndv(c, "c_custkey"))
-        val exactB = o.join(c, o("o_custkey") === c("c_custkey")).count()
-        val finalRows = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(c, o("o_custkey") === c("c_custkey")).count()
+        val estB = nO * nC / math.max(dOck, dC)
         Seq(
           ("A_fact_first", estA, exactA, finalRows, if (estA <= estB) 1L else 0L),
           ("B_dim_first", estB, exactB, finalRows, if (estB < estA) 1L else 0L))

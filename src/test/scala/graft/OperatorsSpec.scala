@@ -5572,6 +5572,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(10L) == -1 && r(11L) == -1 && r(12L) == -1) // cycle + downstream
   }
 
+  test("topo layers: driver-hybrid Kahn path == distributed peel (r18 optimization)") {
+    // same fixture shapes as the semantic tests: diamond + cycle + hostage,
+    // plus an isolated 2-chain — the hybrid (driverThreshold default) and
+    // the distributed loop (forced via driverThreshold = 0) must emit the
+    // identical (node, level) set, including the cyclic -1 sentinel
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (4L, 5L),
+      (10L, 11L), (11L, 10L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("a", "b")
+    def rows(threshold: Long) =
+      Graphs.topoLayers(edges, "a", "b", maxIters = 10, driverThreshold = threshold)
+        .collect().map(x => (x.getLong(0), x.getInt(1))).toSet
+    assert(rows(1000000L) == rows(0L))
+    // the maxIters refusal fires identically on both paths
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b")
+    Seq(1000000L, 0L).foreach { th =>
+      val e = intercept[IllegalStateException] {
+        Graphs.topoLayers(chain, "a", "b", maxIters = 3, driverThreshold = th).collect()
+      }
+      assert(e.getMessage.contains("deeper than maxIters"))
+    }
+  }
+
   test("topo layers: deep-but-acyclic chain past maxIters throws, never fakes a cycle") {
     val chain = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b") // depth 8 > budget 3
     val e = intercept[IllegalStateException] {
