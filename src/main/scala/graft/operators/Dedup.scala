@@ -1798,13 +1798,17 @@ object Dedup {
       // min(Γ(u) ∪ {u}); self-loops (u was its own neighborhood min) drop
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      // no intermediate distinct (r18): duplicates cannot change mins2's
-      // MIN aggregate and the round's final distinct dedups the edge set —
-      // one exchange per round saved, identical fixpoint
+      // the intermediate distinct is KEPT deliberately (r18 re-A/B):
+      // dropping it is algebraically sound (mins2's MIN ignores
+      // duplicates, the round's final distinct dedups) but measured
+      // q259 2.24→3.34 s / q285 2.53→3.46 s on a clean close-out sweep —
+      // the duplicate fan-out through the small-star join costs more than
+      // the exchange it saves. Same lesson class as the r12 window-min
+      // A/B above: fewer exchanges ≠ faster round.
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
+        .filter(col("u") =!= col("v")).distinct()
       // small-star: edges now oriented high→low; re-point u and every
       // smaller neighbor at u's minimum neighbor
       val oriented = large.select(

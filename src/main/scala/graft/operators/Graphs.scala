@@ -105,11 +105,11 @@ object Graphs {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(level))
         .localCheckpoint()
-      // visited stays a LAZY union of checkpointed levels (r18): the
-      // per-level eager checkpoint of the whole visited set re-wrote
-      // every labeled node each hop; the anti-join and the final return
-      // read the union of ≤maxHops materialized level frames instead
-      visited = visited.union(next)
+      // visited stays EAGERLY checkpointed per level (r18 re-A/B): the
+      // lazy-union form saves one job per level but makes level L's
+      // anti-join read the union of L frames — O(levels²) frame reads,
+      // measured q165 0.69→0.91 s on a clean close-out sweep. Reverted.
+      visited = visited.union(next).localCheckpoint()
       frontier = next
     }
     visited
@@ -145,24 +145,22 @@ object Graphs {
     // One edge endpoint aggregation, normalized to the running L1 mass.
     def propagate(scores: DataFrame, scoreName: String, joinOn: String,
         groupOn: String, outName: String): DataFrame = {
-      // checkpoint the endpoint aggregate ONCE (r18): it feeds both the
-      // L1-total reduction and the normalized output, and lazily it
-      // re-ran the join+aggregate for each — twice per propagate, four
-      // times per HITS round
+      // NOTE (r18 re-A/B): checkpointing `raw` to share it between the
+      // L1-total reduction and the output looked like a saved
+      // join+aggregate, but the extra eager barrier measured q166
+      // 1.02→1.43 s on a clean close-out sweep — the double evaluation
+      // is cheaper than the materialization job at every tested scale.
       val raw = e.join(scores, e(joinOn) === scores("node"))
         .groupBy(col(groupOn).as("node"))
         .agg(sum(col(scoreName)).as("raw"))
-        .localCheckpoint()
       // max(total, 1): a zero L1 mass means every raw is zero, and 0 div 1
       // keeps them zero instead of tripping ANSI division-by-zero.
       val total = math.max(
         Option(raw.agg(sum(col("raw"))).head().get(0)).fold(0L)(_.asInstanceOf[Long]), 1L)
-      val out = nodes.join(raw, Seq("node"), "left")
+      nodes.join(raw, Seq("node"), "left")
         .select(col("node"),
           expr(s"coalesce(raw, 0) * $Scale div $total").as(outName))
         .localCheckpoint()
-      graft.tools.Hygiene.quietly(raw.unpersist(blocking = false))
-      out
     }
     var hubs = nodes.withColumn("hub_x1m", lit(Scale / n)).localCheckpoint()
     var auths: DataFrame = null

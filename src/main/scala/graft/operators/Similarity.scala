@@ -1639,15 +1639,15 @@ object Similarity {
       .join(base.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
       .join(base.select(col("id").as("dst"), col("v").as("dv")), Seq("dst"))
       .select(col("src"), col("dst"), cosine("sv", "dv").as("cs"))
-    // round 0 scores INSIDE the bucket self-join (r18, the
-    // [[bucketMateGraph]] optimization): vectors never re-join the pair
-    // list; both-bucket duplicates score bit-identically and max() dedups
-    def matesScored(bkt: String) = base.as("x").join(base.as("y"),
+    // round-0 shape kept as distinct-then-score (r18 re-A/B): the
+    // carried-vector form was a wash in isolation but q371 measured
+    // 1.96→2.34 s on a clean close-out sweep with it — the wider
+    // (src, dst, cs) dedup aggregate costs more than the two broadcast
+    // re-joins it replaces at this fixture's fan-out.
+    def mates(bkt: String) = base.as("x").join(base.as("y"),
         col(s"x.$bkt") === col(s"y.$bkt") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("src"), col("y.id").as("dst"),
-        cosine("x.v", "y.v").as("cs"))
-    var g = topKGraph(matesScored("bktA").unionByName(matesScored("bktB"))
-        .groupBy("src", "dst").agg(max(col("cs")).as("cs")))
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+    var g = topKGraph(score(mates("bktA").unionByName(mates("bktB")).distinct()))
       .localCheckpoint()
     val truth = knnJoin(df, idCol, vecCol, col(idCol) % probeMod === 0, kGraph)
       .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
